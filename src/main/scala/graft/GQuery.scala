@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One operator/query in the engine's driver-contract surface
+  * (SURVEY.md §2.11 checklist + LLM-pipeline extensions).
+  *
+  * @param name   stable driver-contract key (also the verify output dir name)
+  * @param doc    one-line description of the operator this query exercises
+  * @param build  (session, sfDir) => result; sfDir holds the parquet tables
+  * @param oracle DuckDB-runnable ANSI SQL over the same tables producing the
+  *               identical result (column names AND row order must match).
+  *               None => the op is not SQL-expressible; driver records a
+  *               weaker rows-only check.
+  * @param bench  include in the headline Bench set (sf0.1 timing)
+  */
+final case class GQuery(
+    name: String,
+    doc: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false)
+
+object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one driver-generated parquet table (TESTDATA.md), normalizing
+    * timestamps: TIMESTAMP_NTZ → session-UTC TIMESTAMP (lossless under the
+    * UTC session tz), and `events.ts` — TIMESTAMP(NANOS), which Spark's
+    * parquet reader only surfaces as a nanos LongType via
+    * spark.sql.legacy.parquet.nanosAsLong=true — → micros TIMESTAMP
+    * (the data is micro-aligned, so `div 1000` is lossless). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if name == "events" && f.name == "ts" =>
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case _ => acc
+      }
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql-expressed queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

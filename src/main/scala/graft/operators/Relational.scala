@@ -1,0 +1,651 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2.11): scans, projection/filter,
+  * every join flavor, aggregation (hash/partial+final, distinct, rollup/cube/
+  * grouping sets), window functions, sort/limit/top-k, set ops, subqueries.
+  *
+  * Scale stance (100 TB): every query is a declarative DataFrame plan —
+  * Catalyst pushes filters/projections into the parquet scan, chooses
+  * broadcast vs shuffle joins (we hint `broadcast` only for genuinely small
+  * dims), and AQE re-plans skew at runtime. No collect(), no driver loops.
+  */
+object Relational {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ---------------------------------------------------------------- q01
+  // Hash aggregation, partial+final (TPC-H Q1 shape). Single shuffle on the
+  // (tiny-cardinality) group key; map-side combine does nearly all the work.
+  private val q01 = GQuery(
+    "q01_pricing_summary",
+    "filter + hash aggregate with map-side partial aggregation",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    bench = true)
+
+  // ---------------------------------------------------------------- q02
+  // 3-way shuffle join; at 100 TB customer/orders shuffle on the join keys
+  // while the final agg key is tiny. AQE coalesces post-shuffle partitions.
+  private val q02 = GQuery(
+    "q02_revenue_by_segment",
+    "multi-table equi-join (shuffle hash / sort-merge) + aggregate",
+    (s, d) => {
+      import s.implicits._
+      val cust = T(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+      val ord = T(s, d, "orders").select($"o_orderkey", $"o_custkey")
+      val li = T(s, d, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q03
+  // Broadcast join: part is a small dim at any SF — explicitly broadcast so
+  // the 100 TB fact side never shuffles for this join.
+  private val q03 = GQuery(
+    "q03_broadcast_join_brand_volume",
+    "broadcast hash join (small dim x huge fact)",
+    (s, d) => {
+      import s.implicits._
+      val li = T(s, d, "lineitem").select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      val part = T(s, d, "part").select($"p_partkey", $"p_brand")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy($"p_brand")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_price,
+            count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q04
+  private val q04 = GQuery(
+    "q04_left_outer_customer_orders",
+    "left outer join preserving unmatched rows + aggregate",
+    (s, d) => {
+      import s.implicits._
+      val cust = T(s, d, "customer").select($"c_custkey")
+      val ord = T(s, d, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+        .groupBy($"c_custkey")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          round(sum(coalesce($"o_totalprice", lit(0.0))), 2).as("spend"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+            round(sum(coalesce(o_totalprice, 0.0)), 2) AS spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+            ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q05
+  private val q05 = GQuery(
+    "q05_semi_join_big_lines",
+    "left semi join (EXISTS) — dedup-free existence filter",
+    (s, d) => {
+      import s.implicits._
+      val ord = T(s, d, "orders").select($"o_orderkey", $"o_orderstatus")
+      val big = T(s, d, "lineitem").filter($"l_quantity" >= 48).select($"l_orderkey")
+      ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q06
+  private val q06 = GQuery(
+    "q06_anti_join_customers_without_big_orders",
+    "left anti join (NOT EXISTS)",
+    (s, d) => {
+      import s.implicits._
+      val cust = T(s, d, "customer").select($"c_custkey", $"c_name")
+      val big = T(s, d, "orders").filter($"o_totalprice" > 400000).select($"o_custkey")
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q07
+  // Theta/range join: non-equi condition against a tiny broadcast side →
+  // BroadcastNestedLoopJoin; the fact side streams once, no shuffle.
+  private val q07 = GQuery(
+    "q07_range_join_price_bands",
+    "non-equi (range) join against a broadcast inline dimension",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b1_900_925", 900.0, 925.0),
+        ("b2_925_950", 925.0, 950.0),
+        ("b3_950_975", 950.0, 975.0),
+        ("b4_975_1000", 975.0, 1000.0)).toDF("band", "lo", "hi")
+      val part = T(s, d, "part").select($"p_retailprice")
+      part.join(broadcast(bands),
+          part("p_retailprice") >= bands("lo") && part("p_retailprice") < bands("hi"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_parts"), round(avg($"p_retailprice"), 4).as("avg_price"))
+        .orderBy($"band")
+    },
+    Some("""WITH bands(band, lo, hi) AS (VALUES
+              ('b1_900_925', 900.0, 925.0),
+              ('b2_925_950', 925.0, 950.0),
+              ('b3_950_975', 950.0, 975.0),
+              ('b4_975_1000', 975.0, 1000.0))
+            SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+            FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band
+            ORDER BY band"""))
+
+  // ---------------------------------------------------------------- q08
+  // As-of join via the union+window algorithm: ONE shuffle on user_id, no
+  // join explosion — this is the 100 TB-safe formulation (the naive
+  // inequality join the oracle uses is quadratic per user).
+  private val q08 = GQuery(
+    "q08_asof_join_last_click_before_purchase",
+    "as-of (most-recent-event) join via union + window, single shuffle",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      val tagged = e
+        .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
+        .withColumn("click_id", when($"event_type" === "click", $"event_id"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("lc", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"event_id".as("purchase_id"), coalesce($"lc", lit(-1L)).as("last_click_id"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id AND c.ts <= p.ts) t
+            WHERE rn = 1
+            ORDER BY purchase_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q09
+  private val q09 = GQuery(
+    "q09_agg_distinct_stats",
+    "distinct aggregates + full numeric aggregate battery",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"o_custkey").as("n_cust"),
+          countDistinct($"o_orderpriority").as("n_prio"),
+          round(sum($"o_totalprice"), 2).as("sum_price"),
+          round(avg($"o_totalprice"), 4).as("avg_price"),
+          round(min($"o_totalprice"), 2).as("min_price"),
+          round(max($"o_totalprice"), 2).as("max_price"),
+          round(stddev_samp($"o_totalprice"), 2).as("sd_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+            count(DISTINCT o_custkey) AS n_cust,
+            count(DISTINCT o_orderpriority) AS n_prio,
+            round(sum(o_totalprice), 2) AS sum_price,
+            round(avg(o_totalprice), 4) AS avg_price,
+            round(min(o_totalprice), 2) AS min_price,
+            round(max(o_totalprice), 2) AS max_price,
+            round(stddev_samp(o_totalprice), 2) AS sd_price
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q10
+  private val q10 = GQuery(
+    "q10_rollup_region_nation",
+    "ROLLUP hierarchy aggregate over a snowflake join",
+    (s, d) => {
+      import s.implicits._
+      val cust = T(s, d, "customer").select($"c_custkey", $"c_nationkey")
+      val nat = T(s, d, "nation")
+      val reg = T(s, d, "region")
+      val ord = T(s, d, "orders").select($"o_custkey", $"o_totalprice")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(
+          coalesce($"r_name", lit("(all)")).as("region"),
+          coalesce($"n_name", lit("(all)")).as("nation"),
+          $"revenue", $"n_orders")
+        .orderBy($"region", $"nation")
+    },
+    Some("""SELECT coalesce(r_name, '(all)') AS region,
+                   coalesce(n_name, '(all)') AS nation,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region, nation"""))
+
+  // ---------------------------------------------------------------- q11
+  private val q11 = GQuery(
+    "q11_cube_returnflag_linestatus",
+    "CUBE aggregate (all grouping-set combinations)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("(all)")).as("rf"),
+          coalesce($"l_linestatus", lit("(all)")).as("ls"),
+          $"sum_qty", $"n")
+        .orderBy($"rf", $"ls")
+    },
+    Some("""SELECT coalesce(l_returnflag, '(all)') AS rf,
+                   coalesce(l_linestatus, '(all)') AS ls,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""))
+
+  // ---------------------------------------------------------------- q12
+  private val q12 = GQuery(
+    "q12_window_topk_per_customer",
+    "ranking window function (row_number) + per-group top-k",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      T(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"rk", $"o_orderkey", round($"o_totalprice", 2).as("price"))
+        .orderBy($"o_custkey", $"rk")
+    },
+    Some("""SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) t
+            WHERE rk <= 3
+            ORDER BY o_custkey, rk"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q13
+  private val q13 = GQuery(
+    "q13_window_running_total",
+    "cumulative window frame (rows unbounded preceding)",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(w), 2).as("running_spend"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+            FROM orders
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- q14
+  private val q14 = GQuery(
+    "q14_window_lag_delta",
+    "lag/lead navigation window function",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T(s, d, "events")
+        .select($"event_id", $"user_id",
+          round(coalesce($"value" - lag($"value", 1).over(w), lit(0.0)), 2).as("delta"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+                   round(coalesce(value - lag(value, 1) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id), 0.0), 2) AS delta
+            FROM events
+            ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q15
+  // Top-k: Catalyst compiles orderBy+limit into TakeOrderedAndProject —
+  // per-partition heaps + driver merge, never a full sort at scale.
+  private val q15 = GQuery(
+    "q15_topk_orders",
+    "global top-k (TakeOrderedAndProject, no full sort)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", round($"o_totalprice", 2).as("price"))
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q16
+  private val q16 = GQuery(
+    "q16_set_ops",
+    "INTERSECT / EXCEPT / UNION set operations",
+    (s, d) => {
+      import s.implicits._
+      val a = T(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("k"))
+      val b = T(s, d, "orders").filter($"o_totalprice" > 300000)
+        .select($"o_custkey".as("k")).distinct()
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionAll(a.except(b).withColumn("op", lit("except")))
+        .unionAll(a.union(b).distinct().withColumn("op", lit("union")))
+        .orderBy($"op", $"k")
+    },
+    Some("""WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+            SELECT k, 'intersect' AS op FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+            UNION ALL
+            SELECT k, 'except' AS op FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+            UNION ALL
+            SELECT k, 'union' AS op FROM (SELECT k FROM a UNION SELECT k FROM b)
+            ORDER BY op, k"""))
+
+  // ---------------------------------------------------------------- q17
+  private val q17 = GQuery(
+    "q17_string_functions",
+    "scalar string function battery (codegen'd, no UDFs)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_type").as("u"),
+          lower($"p_brand").as("lo"),
+          length($"p_name").as("len"),
+          substring($"p_name", 1, 8).as("pre"),
+          concat_ws("|", $"p_brand", $"p_type").as("cat"),
+          instr($"p_name", "a").cast("int").as("pos_a"),
+          reverse($"p_brand").as("rev"),
+          lpad($"p_brand", 12, "*").as("pad"),
+          translate($"p_type", "AEIOU", "aeiou").as("tr"),
+          trim(lit("  x  ")).as("trm"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   upper(p_type) AS u,
+                   lower(p_brand) AS lo,
+                   CAST(length(p_name) AS INTEGER) AS len,
+                   substr(p_name, 1, 8) AS pre,
+                   concat_ws('|', p_brand, p_type) AS cat,
+                   CAST(strpos(p_name, 'a') AS INTEGER) AS pos_a,
+                   reverse(p_brand) AS rev,
+                   lpad(p_brand, 12, '*') AS pad,
+                   translate(p_type, 'AEIOU', 'aeiou') AS tr,
+                   trim('  x  ') AS trm
+            FROM part
+            ORDER BY p_partkey"""))
+
+  // ---------------------------------------------------------------- q18
+  private val q18 = GQuery(
+    "q18_date_functions",
+    "scalar date/time function battery",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          quarter($"o_orderdate").as("q"),
+          dayofmonth($"o_orderdate").as("dom"),
+          $"o_orderdate".cast("date").as("od"),
+          last_day($"o_orderdate").as("eom"),
+          date_add($"o_orderdate".cast("date"), 30).as("plus30"),
+          datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).as("age_days"),
+          unix_micros($"o_orderdate").as("epoch_us"),
+          date_format($"o_orderdate", "yyyy-MM").as("ym"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS y,
+                   CAST(month(o_orderdate) AS INTEGER) AS m,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS q,
+                   CAST(day(o_orderdate) AS INTEGER) AS dom,
+                   CAST(o_orderdate AS DATE) AS od,
+                   last_day(CAST(o_orderdate AS DATE)) AS eom,
+                   CAST(o_orderdate AS DATE) + 30 AS plus30,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS age_days,
+                   epoch_us(o_orderdate) AS epoch_us,
+                   strftime(o_orderdate, '%Y-%m') AS ym
+            FROM orders
+            ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q19
+  private val q19 = GQuery(
+    "q19_math_functions",
+    "scalar math function battery + CASE/COALESCE",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "part")
+        .select(
+          $"p_partkey",
+          round(sqrt($"p_retailprice"), 6).as("sq"),
+          ceil($"p_retailprice").as("ce"),
+          floor($"p_retailprice").as("fl"),
+          round(log($"p_retailprice"), 6).as("ln_p"),
+          round(pow($"p_size", 2), 1).as("sz2"),
+          ($"p_size" % 7).as("m7"),
+          greatest($"p_size", lit(25)).as("gt"),
+          least($"p_size", lit(25)).as("lt"),
+          round(abs($"p_retailprice" - 950.0), 2).as("dist"),
+          when($"p_size" >= 25, "big").otherwise("small").as("sz_class"),
+          coalesce(nullif($"p_brand", lit("Brand#1")), lit("(b1)")).as("brand_or"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+                   round(sqrt(p_retailprice), 6) AS sq,
+                   CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+                   CAST(floor(p_retailprice) AS BIGINT) AS fl,
+                   round(ln(p_retailprice), 6) AS ln_p,
+                   round(pow(p_size, 2), 1) AS sz2,
+                   CAST(p_size % 7 AS INTEGER) AS m7,
+                   CAST(greatest(p_size, 25) AS INTEGER) AS gt,
+                   CAST(least(p_size, 25) AS INTEGER) AS lt,
+                   round(abs(p_retailprice - 950.0), 2) AS dist,
+                   CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS sz_class,
+                   coalesce(nullif(p_brand, 'Brand#1'), '(b1)') AS brand_or
+            FROM part
+            ORDER BY p_partkey"""))
+
+  // ---------------------------------------------------------------- q20
+  private val q20 = GQuery(
+    "q20_having_supplier_volume",
+    "GROUP BY + HAVING post-aggregate filter",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+        .filter($"qty" > 100)
+        .orderBy($"l_suppkey")
+    },
+    Some("""SELECT l_suppkey, round(sum(l_quantity), 2) AS qty, count(*) AS n
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING round(sum(l_quantity), 2) > 100
+            ORDER BY l_suppkey"""))
+
+  // ---------------------------------------------------------------- q21
+  // Same SQL text runs on Spark (views registered by Tables.registerAll)
+  // and DuckDB — scalar + IN subqueries are decorrelated by Catalyst into
+  // joins automatically.
+  private val q21Sql =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY o_orderkey""".stripMargin
+  private val q21 = GQuery(
+    "q21_subqueries",
+    "scalar + IN subqueries (Catalyst decorrelation)",
+    (s, d) => { Tables.registerAll(s, d); s.sql(q21Sql) },
+    Some(q21Sql))
+
+  // ---------------------------------------------------------------- q22
+  private val q25Sql =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |       coalesce(l_linestatus, '(all)') AS ls,
+      |       round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+  private val q25 = GQuery(
+    "q25_grouping_sets",
+    "explicit GROUPING SETS aggregate",
+    (s, d) => { Tables.registerAll(s, d); s.sql(q25Sql) },
+    Some(q25Sql))
+
+  // ---------------------------------------------------------------- q23
+  // Pivot: Spark-side relational pivot; oracle expresses the same result as
+  // conditional aggregation (portable ANSI form).
+  private val q23 = GQuery(
+    "q23_pivot_event_values",
+    "pivot (wide conditional aggregation)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .withColumn("cohort", ($"user_id" % 10).cast("int"))
+        .groupBy($"cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum($"value"), 2))
+        .orderBy($"cohort")
+    },
+    Some("""SELECT CAST(user_id % 10 AS INTEGER) AS cohort,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+                   round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+            FROM events
+            GROUP BY 1
+            ORDER BY cohort"""))
+
+  // ---------------------------------------------------------------- q24
+  // explode = distributed flatMap: shuffle only the (token) agg, order+limit
+  // is TakeOrdered. The canonical "tokenize the corpus" shape.
+  private val q24 = GQuery(
+    "q24_explode_top_tokens",
+    "explode/unnest (generator) + aggregate + top-k",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select(explode(split($"text", " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(50)
+    },
+    Some("""SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- q26
+  // JSON path extraction: Spark 4 Variant (parse_json + variant_get) — the
+  // open-typed row model SURVEY §1.3 calls for; oracle uses DuckDB JSON.
+  private val q26 = GQuery(
+    "q26_json_extract_props",
+    "semi-structured JSON field extraction (VariantType)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "events")
+        .select($"event_type",
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(avg($"k"), 4).as("avg_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+                   CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26)
+}
