@@ -1,0 +1,69 @@
+package graft.core
+
+/** Positioned parse error (reference exceptions.scala:24). `index` is the
+  * absolute byte offset in the input stream; `line`/`col` are 1-based.
+  */
+class ParseException(val msg: String, val index: Int, val line: Int, val col: Int)
+    extends Exception(s"$msg (line $line, column $col, offset $index)")
+
+/** EOF arrived mid-value (reference exceptions.scala:25). */
+class IncompleteParseException(msg: String)
+    extends Exception(msg)
+
+/** Outcome of absorbing one chunk / continuing / finishing a parse
+  * (reference ParseResult.scala:26-138).
+  *
+  *  - [[ParseResult.Complete]] all absorbed bytes consumed (the batch may
+  *    still be non-terminal — more chunks can follow)
+  *  - [[ParseResult.Partial]]  batch abbreviated by [[Signal.BreakBatch]];
+  *    `remaining` unconsumed bytes are buffered — call `continueParse()`
+  *    to keep draining without new input
+  *  - [[ParseResult.Failure]]  parse error
+  */
+sealed trait ParseResult[+A] {
+  def map[B](f: A => B): ParseResult[B] = this match {
+    case ParseResult.Complete(a)     => ParseResult.Complete(f(a))
+    case ParseResult.Partial(a, r)   => ParseResult.Partial(f(a), r)
+    case f @ ParseResult.Failure(_)  => f
+  }
+
+  def fold[B](complete: A => B, partial: (A, Int) => B, failure: Throwable => B): B =
+    this match {
+      case ParseResult.Complete(a)   => complete(a)
+      case ParseResult.Partial(a, r) => partial(a, r)
+      case ParseResult.Failure(e)    => failure(e)
+    }
+
+  /** The batch value, if any (Complete or Partial). */
+  def toOption: Option[A] = this match {
+    case ParseResult.Complete(a)   => Some(a)
+    case ParseResult.Partial(a, _) => Some(a)
+    case ParseResult.Failure(_)    => None
+  }
+
+  /** Unwrap or throw — the embedding entry point for non-streaming callers. */
+  def unsafeGet: A = this match {
+    case ParseResult.Complete(a)   => a
+    case ParseResult.Partial(a, _) => a
+    case ParseResult.Failure(e)    => throw e
+  }
+}
+
+object ParseResult {
+  final case class Complete[A](value: A) extends ParseResult[A]
+  final case class Partial[A](value: A, remaining: Int) extends ParseResult[A]
+  final case class Failure(error: Throwable) extends ParseResult[Nothing]
+
+  /** Associative combine (keeps the first failure; Partial dominates
+    * Complete on the right so chunk sequences retain "unfinished" status).
+    */
+  def combine[A](r1: ParseResult[A], r2: ParseResult[A])(merge: (A, A) => A): ParseResult[A] =
+    (r1, r2) match {
+      case (f @ Failure(_), _)                => f
+      case (_, f @ Failure(_))                => f
+      case (Complete(a), Complete(b))         => Complete(merge(a, b))
+      case (Complete(a), Partial(b, r))       => Partial(merge(a, b), r)
+      case (Partial(a, _), Complete(b))       => Complete(merge(a, b))
+      case (Partial(a, _), Partial(b, r))     => Partial(merge(a, b), r)
+    }
+}

@@ -1,0 +1,360 @@
+package graft.core.csv
+
+import graft.core._
+import graft.core.ParserControl.{BatchBroken, NeedsInput}
+
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable.ArrayBuffer
+
+/** Incremental CSV parser pushing a columnar event stream into a [[Plate]]
+  * (clean-room counterpart of reference csv/Parser.scala:30-478).
+  *
+  * Every record becomes a single-level map of strings:
+  * `nestMap(header) str(value) unnest` per cell, then `finishRow` — no type
+  * coercion. Headers come from the first record (`header = true`) or are
+  * inferred Excel-style (`A..Z, AA, AB, …` — reference csv/Parser.scala:
+  * 439-454) when `header = false`.
+  *
+  * Fully configurable single-byte delimiters with a two-byte row delimiter
+  * (`row1`/`row2`, e.g. CRLF; set `row2 = 0` for single-byte rows). A lone
+  * `row1` byte inside an unquoted value is literal content. Quoted values
+  * may contain record and row delimiters; `escape == closeQuote` gives
+  * Excel-style quote doubling.
+  *
+  * Pushdown (an extension over the reference, whose CSV backend ignores
+  * signals): `nestMap` returning SkipColumn skips the cell's value without
+  * string materialization (`skipped(bytes)` reported); SkipRow from any
+  * event skips to the end of the record and suppresses its `finishRow`;
+  * BreakBatch abbreviates at the next row boundary.
+  */
+final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
+    extends BaseParser[A](plate0) {
+
+  import CsvParser._
+
+  private[this] val headers = new ArrayBuffer[String]
+  private[this] var readingHeader = config.header
+  private[this] var column = 0
+  private[this] var abbreviate = false
+  private[this] var rowSkip = false
+  private[this] var rowSkipBytes = 0
+  private[this] var skipRowRequested = false
+  // nestMap for the current cell is already emitted (survives a mid-cell
+  // input starvation so the resume does not re-emit it)
+  private[this] var nestEmitted = false
+  private[this] var cellSkip = false
+
+  protected def endOk: Boolean = true
+
+  protected def churnLoop(): Unit = {
+    while (true) {
+      if (rowSkip) runRowSkip()
+      if (curr >= len) {
+        if (!done) return
+        if (column == 0) return
+        // EOF right after a record delimiter: one empty trailing cell
+        tokenStart = curr
+        emitTrailingEmptyCell()
+      } else {
+        tokenStart = curr
+        parseCell()
+      }
+    }
+  }
+
+  private[this] def headerFor(col: Int): String = {
+    if (col < headers.length) headers(col)
+    else if (readingHeader) sys.error("unreachable: header cells are accumulated")
+    else if (config.header) die(curr, s"record has more fields than the ${headers.length} header(s)")
+    else {
+      // Excel-style inferred names, generated (and memoized) on demand
+      while (headers.length <= col) headers += asHeader(headers.length)
+      headers(col)
+    }
+  }
+
+  /** Parse one cell plus its terminator, emitting its events. */
+  private[this] def parseCell(): Unit = {
+    if (readingHeader) {
+      val (value, term) = scanCell(buildValue = true)
+      if (value.length == 0) die(tokenStart, "empty header cell")
+      headers += value
+      finishCell(term)
+    } else {
+      if (!nestEmitted) {
+        val sig = plate.nestMap(headerFor(column))
+        if (sig eq Signal.SkipColumn) cellSkip = true
+        else {
+          cellSkip = false
+          noteSignal(sig)
+          if (skipRowRequested) {
+            // the cell is not consumed yet: byte-skip from here to row end
+            skipRowRequested = false
+            rowSkip = true
+            rowSkipBytes = 0
+            return
+          }
+        }
+        nestEmitted = true
+      }
+      if (cellSkip) {
+        val before = curr
+        val (_, term) = scanCell(buildValue = false)
+        nestEmitted = false
+        // terminator bytes are not part of the skipped value accounting
+        val termLen = term match {
+          case TermRecord => 1
+          case TermRow    => if (config.row2 == 0) 1 else 2
+          case _          => 0
+        }
+        plate.skipped(curr - before - termLen)
+        noteSignal(plate.unnest())
+        finishCell(term)
+      } else {
+        val (value, term) = scanCell(buildValue = true)
+        nestEmitted = false
+        noteSignal(plate.str(value))
+        // a SkipRow from str() drops the row: its unnest is suppressed too
+        if (!skipRowRequested) noteSignal(plate.unnest())
+        finishCell(term)
+      }
+    }
+  }
+
+  private[this] def emitTrailingEmptyCell(): Unit = {
+    val name = headerFor(column)
+    val sig = plate.nestMap(name)
+    if (sig eq Signal.SkipColumn) {
+      plate.skipped(0)
+      noteSignal(plate.unnest())
+    } else {
+      noteSignal(sig)
+      if (!skipRowRequested) {
+        noteSignal(plate.str(""))
+        noteSignal(plate.unnest())
+      }
+    }
+    finishCell(TermEof)
+  }
+
+  /** Advance past a completed cell, honoring a SkipRow that arrived from
+    * its `str`/`unnest` events: if the record continues, byte-skip the
+    * remaining cells; if the terminator already ended the record, just
+    * suppress its finishRow.
+    */
+  private[this] def finishCell(term: Int): Unit = {
+    if (skipRowRequested) {
+      skipRowRequested = false
+      if (term == TermRecord) { rowSkip = true; rowSkipBytes = 0 }
+      else {
+        if (readingHeader) readingHeader = false
+        column = 0
+        if (abbreviate) { abbreviate = false; throw BatchBroken }
+      }
+    } else if (term == TermRecord) column += 1
+    else rowEnd()
+  }
+
+  private[this] def rowEnd(): Unit = {
+    if (readingHeader) readingHeader = false
+    else {
+      plate.finishRow()
+      if (abbreviate) { abbreviate = false; column = 0; throw BatchBroken }
+    }
+    column = 0
+  }
+
+  private[this] def noteSignal(s: Signal): Unit =
+    if (s eq Signal.SkipRow) skipRowRequested = true
+    else if (s eq Signal.BreakBatch) abbreviate = true
+    else if (s eq Signal.Terminate)
+      die(curr, "parse terminated by consumer (Signal.Terminate)")
+
+  /** Skip raw cells until the end of the current record; the record's
+    * finishRow is suppressed (the consumer dropped the row).
+    */
+  private[this] def runRowSkip(): Unit = {
+    while (rowSkip) {
+      if (curr >= len) {
+        if (!done) { tokenStart = curr; throw NeedsInput }
+        // EOF terminates the skipped record
+        if (rowSkipBytes > 0) plate.skipped(rowSkipBytes)
+        rowSkip = false
+        column = 0
+        return
+      }
+      tokenStart = curr
+      val before = curr
+      val (_, term) = scanCell(buildValue = false)
+      rowSkipBytes += curr - before
+      if (term != TermRecord) {
+        if (rowSkipBytes > 0) plate.skipped(rowSkipBytes)
+        rowSkip = false
+        column = 0
+        if (abbreviate) { abbreviate = false; throw BatchBroken }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ cell scan
+
+  /** Scan one cell starting at `curr`; consumes the terminator. Returns
+    * (value, terminator). With `buildValue = false` the value is not
+    * materialized (byte-skip path) and "" is returned.
+    */
+  private[this] def scanCell(buildValue: Boolean): (String, Int) = {
+    val start = curr
+    if (curr < len && data(curr) == config.openQuote) scanQuoted(buildValue)
+    else {
+      var i = start
+      while (true) {
+        if (i >= len) {
+          if (!done) throw NeedsInput
+          val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+          curr = i
+          return (v, TermEof)
+        }
+        val b = data(i)
+        if (b == config.record) {
+          val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+          curr = i + 1
+          return (v, TermRecord)
+        } else if (b == config.row1) {
+          if (config.row2 == 0) {
+            val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+            curr = i + 1
+            return (v, TermRow)
+          } else if (i + 1 < len) {
+            if (data(i + 1) == config.row2) {
+              val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+              curr = i + 2
+              return (v, TermRow)
+            } else i += 1 // lone row1 byte is literal content
+          } else if (done) {
+            i += 1 // trailing row1 at EOF: literal
+          } else throw NeedsInput
+        } else i += 1
+      }
+      sys.error("unreachable")
+    }
+  }
+
+  /** Quoted cell: `curr` is at the opening quote. Fast path slices the
+    * bytes when no escape appears; the slow path processes quote doubling
+    * (escape == closeQuote) or dedicated escape bytes.
+    */
+  private[this] def scanQuoted(buildValue: Boolean): (String, Int) = {
+    val start = curr
+    var i = curr + 1
+    var needSlow = false
+    var end = -1
+    while (end < 0) {
+      if (i >= len) {
+        if (done) die(start, "unclosed quoted value at end of input")
+        throw NeedsInput
+      }
+      val b = data(i)
+      if (b == config.escape && config.escape != config.closeQuote) {
+        needSlow = true
+        if (i + 1 >= len) { if (done) die(i, "dangling escape at end of input"); throw NeedsInput }
+        i += 2
+      } else if (b == config.closeQuote) {
+        if (config.escape == config.closeQuote && i + 1 < len && data(i + 1) == config.closeQuote) {
+          needSlow = true
+          i += 2 // doubled quote = literal quote
+        } else if (config.escape == config.closeQuote && i + 1 >= len && !done) {
+          throw NeedsInput // can't yet tell closing quote from doubling
+        } else {
+          end = i
+        }
+      } else i += 1
+    }
+    val value =
+      if (!buildValue) ""
+      else if (!needSlow) new String(data, start + 1, end - start - 1, UTF_8)
+      else unescapeQuoted(start + 1, end)
+    curr = end + 1
+    // after the closing quote: a record/row delimiter or EOF must follow
+    if (curr >= len) {
+      if (!done) throw NeedsInput
+      return (value, TermEof)
+    }
+    val b = data(curr)
+    if (b == config.record) { curr += 1; (value, TermRecord) }
+    else if (b == config.row1) {
+      if (config.row2 == 0) { curr += 1; (value, TermRow) }
+      else if (curr + 1 < len) {
+        if (data(curr + 1) == config.row2) { curr += 2; (value, TermRow) }
+        else die(curr, "unexpected content after closing quote")
+      } else if (done) die(curr, "unexpected content after closing quote")
+      else throw NeedsInput
+    } else die(curr, "unexpected content after closing quote")
+  }
+
+  private[this] def unescapeQuoted(from: Int, to: Int): String = {
+    val raw = new java.io.ByteArrayOutputStream(to - from)
+    var i = from
+    while (i < to) {
+      val b = data(i)
+      if (b == config.escape && config.escape != config.closeQuote && i + 1 < to) {
+        raw.write(data(i + 1).toInt); i += 2
+      } else if (b == config.closeQuote && config.escape == config.closeQuote &&
+                 i + 1 < to && data(i + 1) == config.closeQuote) {
+        raw.write(b.toInt); i += 2
+      } else { raw.write(b.toInt); i += 1 }
+    }
+    new String(raw.toByteArray, UTF_8)
+  }
+}
+
+object CsvParser {
+  /** Parser configuration; defaults are Excel-style with Windows newlines
+    * (reference csv/Parser.scala:470-477). Set `row2 = 0` when the row
+    * delimiter is a single byte.
+    */
+  final case class Config(
+      header: Boolean = true,
+      record: Byte = ',',
+      row1: Byte = '\r',
+      row2: Byte = '\n',
+      openQuote: Byte = '"',
+      closeQuote: Byte = '"',
+      escape: Byte = '"')
+
+  private final val TermRecord = 0
+  private final val TermRow = 1
+  private final val TermEof = 2
+
+  /** Excel-style column naming: 0 -> A … 25 -> Z, 26 -> AA, … (bijective
+    * base-26, reference csv/Parser.scala:439-454).
+    */
+  def asHeader(column: Int): String = {
+    var n = column + 1
+    val sb = new java.lang.StringBuilder
+    while (n > 0) {
+      n -= 1
+      sb.append(('A' + n % 26).toChar)
+      n /= 26
+    }
+    sb.reverse.toString
+  }
+
+  /** Convenience: parse a complete input in one call. */
+  def parseAll[A](input: String, plate: Plate[A], config: Config)(merge: (A, A) => A): ParseResult[A] = {
+    val p = new CsvParser[A](plate, config)
+    var res = p.absorb(input)
+    def drainPartials(): Unit = while (res match {
+      case ParseResult.Partial(_, _) =>
+        res = ParseResult.combine(res, p.continueParse())(merge); true
+      case _ => false
+    }) ()
+    drainPartials()
+    res match {
+      case ParseResult.Complete(_) =>
+        res = ParseResult.combine(res, p.finish())(merge)
+        drainPartials()
+      case _ => ()
+    }
+    res
+  }
+}

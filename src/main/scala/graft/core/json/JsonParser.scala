@@ -1,0 +1,571 @@
+package graft.core.json
+
+import graft.core._
+import graft.core.ParserControl.{BatchBroken, NeedsInput}
+
+import scala.annotation.{switch, tailrec}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Incremental (asynchronous) JSON parser pushing a columnar event stream
+  * into a [[Plate]], with Mison-style byte-level pushdown.
+  *
+  * Clean-room re-derivation of the reference engine's capabilities
+  * (reference json/Parser.scala:95-936): bytes arrive in arbitrary chunks
+  * via `absorb`; the parser checkpoints its complete state between chunks
+  * (including mid-skip) and resumes on the next chunk. Framing modes:
+  *
+  *  - [[JsonParser.ValueStream]]: whitespace-separated top-level values,
+  *    one row each (JSON Lines superset)
+  *  - [[JsonParser.UnwrapArray]]: one top-level array whose elements are
+  *    the rows
+  *  - [[JsonParser.SingleValue]]: exactly one value, one row
+  *
+  * Pushdown:
+  *  - `nestMap`/`nestArr` returning [[Signal.SkipColumn]] causes the value
+  *    to be byte-skipped with *no structural validation* (error-check
+  *    elision — mismatched brackets inside skipped values are not errors,
+  *    matching reference json/Parser.scala:823 semantics); the plate still
+  *    receives the matching `unnest()` and a `skipped(bytes)` accounting
+  *    call (per churn, so a skip spanning chunks reports per-chunk counts).
+  *  - Any event returning [[Signal.SkipRow]] causes the remainder of the
+  *    current row to be byte-skipped; the row's `finishRow()` is suppressed
+  *    (the consumer asked for the row to be dropped).
+  *  - [[Signal.BreakBatch]] abbreviates the batch at the next row boundary:
+  *    the current call returns `ParseResult.Partial(batch, remaining)` and
+  *    `continueParse()` resumes from buffered bytes.
+  *  - [[Signal.Terminate]] halts the parse immediately with an error.
+  *
+  * Numbers are lazy: `num(text, decIdx, expIdx)` with the raw text and the
+  * indices of `'.'` and `'e'/'E'` (-1 when absent); never eagerly converted.
+  */
+final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
+    extends BaseParser[A](plate0) {
+
+  import JsonParser._
+
+  // ------------------------------------------------------------- structure
+  private[this] var phase: Int = mode match {
+    case UnwrapArray => PhUnwrapStart
+    case _           => PhTop
+  }
+  private[this] var depth = 0
+  private[this] var stack = new Array[Long](1) // bit per depth: 1=object, 0=array
+  private[this] var abbreviate = false
+
+  // ------------------------------------------------------------- skip state
+  private[this] var skipMode = SkipNone
+  private[this] var skipPhase = SkAwait
+  private[this] var skipRel = 0        // bracket depth delta inside the skip
+  private[this] var skipRelTarget = 0  // row-skip: stop when skipRel hits this
+  private[this] var skipEscape = false // in-string: previous byte was '\'
+
+  // ========================================================= base contract
+
+  protected def endOk: Boolean =
+    (skipMode == SkipNone) && (depth == 0) && (phase match {
+      case PhTop    => mode eq ValueStream // SingleValue still needs its value
+      case PhTopEnd => true
+      case _        => false
+    })
+
+  /** Main loop: dispatch on phase until input runs dry or a control
+    * exception (NeedsInput / BatchBroken / ParseException) unwinds.
+    */
+  protected def churnLoop(): Unit = {
+    while (true) {
+      if (skipMode == SkipColumnMode || skipMode == SkipRowMode) {
+        runSkip()
+      } else {
+        skipWs()
+        if (curr >= len) return
+        tokenStart = curr
+        val b = data(curr)
+        (phase: @switch) match {
+          case PhTop          => parseValue(b)
+          case PhValue        => parseValue(b)
+          case PhUnwrapStart  =>
+            if (b == '[') { curr += 1; phase = PhUnwrapFirst }
+            else die(curr, s"expected '[' at start of UnwrapArray stream, got '${b.toChar}'")
+          case PhUnwrapFirst  =>
+            if (b == ']') { curr += 1; phase = PhTopEnd }
+            else parseValue(b)
+          case PhTopSep       =>
+            if (b == ',') { curr += 1; phase = PhValue }
+            else if (b == ']') { curr += 1; phase = PhTopEnd }
+            else die(curr, s"expected ',' or ']' between rows, got '${b.toChar}'")
+          case PhTopEnd       =>
+            die(curr, s"unexpected trailing input '${b.toChar}'")
+          case PhKeyFirst     =>
+            if (b == '}') { curr += 1; depth -= 1; emitScalar(EmptyMap) }
+            else if (b == '"') parseKey()
+            else die(curr, s"expected object key or '}', got '${b.toChar}'")
+          case PhKey          =>
+            if (b == '"') parseKey()
+            else die(curr, s"expected object key, got '${b.toChar}'")
+          case PhColon        =>
+            if (b == ':') {
+              curr += 1
+              if (skipMode == SkipColumnPending) {
+                skipMode = SkipColumnMode; skipPhase = SkAwait; skipRel = 0
+              } else phase = PhValue
+            } else die(curr, s"expected ':', got '${b.toChar}'")
+          case PhArrFirst     =>
+            if (b == ']') { curr += 1; depth -= 1; emitScalar(EmptyArr) }
+            else startElement(b)
+          case PhAfter        =>
+            if (b == ',') {
+              curr += 1
+              if (inObject) phase = PhKey
+              else {
+                skipWs()
+                if (curr >= len) { phase = PhArrNext; return }
+                startElement(data(curr))
+              }
+            } else if (b == '}') {
+              if (!inObject) die(curr, "mismatched '}' closing an array")
+              curr += 1; depth -= 1; valueDone()
+            } else if (b == ']') {
+              if (inObject) die(curr, "mismatched ']' closing an object")
+              curr += 1; depth -= 1; valueDone()
+            } else die(curr, s"expected ',' or container close, got '${b.toChar}'")
+          case PhArrNext      =>
+            startElement(b)
+          case _ => die(curr, s"illegal parser phase $phase")
+        }
+      }
+    }
+  }
+
+  // ============================================================ internals
+
+  private[this] def pushContainer(isObject: Boolean): Unit = {
+    val word = depth >> 6
+    if (word >= stack.length) {
+      val next = new Array[Long](stack.length * 2)
+      System.arraycopy(stack, 0, next, 0, stack.length)
+      stack = next
+    }
+    val bit = 1L << (depth & 63)
+    if (isObject) stack(word) |= bit else stack(word) &= ~bit
+    depth += 1
+  }
+
+  /** Is the innermost open container an object? (depth must be > 0) */
+  private[this] def inObject: Boolean =
+    (stack((depth - 1) >> 6) & (1L << ((depth - 1) & 63))) != 0
+
+  private[this] def skipWs(): Unit = {
+    while (curr < len) {
+      val b = data(curr)
+      if (b == ' ' || b == '\n' || b == '\t' || b == '\r') curr += 1
+      else return
+    }
+  }
+
+  /** Array element entry: emit nestArr, honor its signal, then parse (or
+    * skip) the element value.
+    */
+  private[this] def startElement(b: Byte): Unit = {
+    val s = plate.nestArr()
+    if (s eq Signal.SkipColumn) {
+      skipMode = SkipColumnMode; skipPhase = SkAwait; skipRel = 0
+    } else {
+      handleRowSignals(s)
+      if (skipMode == SkipNone) {
+        // nestArr is already emitted: re-anchor the rewind point at the
+        // value so an input-starved value parse resumes without re-emitting
+        phase = PhValue
+        tokenStart = curr
+        parseValue(b)
+      }
+    }
+  }
+
+  /** Common handling for SkipRow / BreakBatch / Terminate from any event. */
+  private[this] def handleRowSignals(s: Signal): Unit =
+    if (s eq Signal.SkipRow) beginRowSkip()
+    else if (s eq Signal.BreakBatch) abbreviate = true
+    else if (s eq Signal.Terminate)
+      die(curr, "parse terminated by consumer (Signal.Terminate)")
+
+  private[this] def beginRowSkip(): Unit = {
+    if (depth == 0) {
+      // the row's value is already fully consumed: just suppress finishRow
+      rowDoneAfterSkip()
+    } else {
+      skipMode = SkipRowMode
+      skipPhase = SkContainer
+      skipRel = 0
+      skipRelTarget = -depth
+    }
+  }
+
+  private[this] def rowDoneAfterSkip(): Unit = {
+    depth = 0
+    phase = mode match {
+      case ValueStream => PhTop
+      case UnwrapArray => PhTopSep
+      case SingleValue => PhTopEnd
+    }
+    if (abbreviate) { abbreviate = false; throw BatchBroken }
+  }
+
+  /** A complete value just ended (scalar emitted or container closed). */
+  private[this] def valueDone(): Unit = {
+    if (depth == 0) {
+      plate.finishRow()
+      phase = mode match {
+        case ValueStream => PhTop
+        case UnwrapArray => PhTopSep
+        case SingleValue => PhTopEnd
+      }
+      if (abbreviate) { abbreviate = false; throw BatchBroken }
+    } else {
+      val s = plate.unnest()
+      phase = PhAfter
+      handleRowSignals(s)
+    }
+  }
+
+  private[this] def emitScalar(kind: Int): Unit = {
+    val s = (kind: @switch) match {
+      case EmptyMap => plate.map()
+      case EmptyArr => plate.arr()
+      case KNull    => plate.nul()
+      case KTrue    => plate.tru()
+      case KFalse   => plate.fls()
+    }
+    handleRowSignals(s)
+    if (skipMode == SkipNone) valueDone()
+  }
+
+  private[this] def parseValue(b: Byte): Unit = (b: @switch) match {
+    case '{' => curr += 1; pushContainer(isObject = true); phase = PhKeyFirst
+    case '[' => curr += 1; pushContainer(isObject = false); phase = PhArrFirst
+    case '"' =>
+      val s = parseStringToken()
+      val sig = plate.str(s)
+      handleRowSignals(sig)
+      if (skipMode == SkipNone) valueDone()
+    case 't' => expectWord("true"); emitScalar(KTrue)
+    case 'f' => expectWord("false"); emitScalar(KFalse)
+    case 'n' => expectWord("null"); emitScalar(KNull)
+    case '-' => parseNumToken()
+    case _   =>
+      if (b >= '0' && b <= '9') parseNumToken()
+      else die(curr, s"expected JSON value, got '${b.toChar}'")
+  }
+
+  private[this] def parseKey(): Unit = {
+    val key = parseStringToken()
+    val s = plate.nestMap(key)
+    phase = PhColon
+    if (s eq Signal.SkipColumn) skipMode = SkipColumnPending
+    else handleRowSignals(s)
+  }
+
+  private[this] def expectWord(w: String): Unit = {
+    val n = w.length
+    if (curr + n > len) {
+      if (done) die(curr, s"invalid JSON literal (expected '$w')")
+      throw NeedsInput
+    }
+    var i = 0
+    while (i < n) {
+      if (data(curr + i) != w.charAt(i)) die(curr, s"invalid JSON literal (expected '$w')")
+      i += 1
+    }
+    // the literal must be followed by a delimiter, not more atom characters
+    if (curr + n < len) {
+      val nb = data(curr + n)
+      if ((nb >= 'a' && nb <= 'z') || (nb >= 'A' && nb <= 'Z') || (nb >= '0' && nb <= '9'))
+        die(curr, s"invalid JSON literal")
+    } else if (!done) throw NeedsInput
+    curr += n
+  }
+
+  // --------------------------------------------------------------- string
+
+  /** Parse the string token at `curr` (opening quote included). Fast path:
+    * no escapes / control bytes — decode the byte range directly; slow path
+    * processes escapes and raw UTF-8 sequences.
+    */
+  private[this] def parseStringToken(): CharSequence = {
+    val start = curr // at '"'
+    var i = curr + 1
+    while (i < len) {
+      val b = data(i)
+      if (b == '"') {
+        val s = new String(data, start + 1, i - start - 1, UTF_8)
+        curr = i + 1
+        return s
+      } else if (b == '\\' || (b >= 0 && b < 0x20)) {
+        return parseStringSlow(start)
+      }
+      i += 1
+    }
+    throw NeedsInput
+  }
+
+  private[this] def parseStringSlow(start: Int): CharSequence = {
+    val sb = new java.lang.StringBuilder
+    var i = start + 1
+    while (true) {
+      if (i >= len) throw NeedsInput
+      val b = data(i)
+      if (b == '"') {
+        curr = i + 1
+        return sb.toString
+      } else if (b == '\\') {
+        if (i + 1 >= len) throw NeedsInput
+        val e = data(i + 1)
+        (e: @switch) match {
+          case '"'  => sb.append('"');  i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/'  => sb.append('/');  i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'u'  =>
+            if (i + 6 > len) throw NeedsInput
+            var cp = 0
+            var k = i + 2
+            while (k < i + 6) {
+              val h = data(k)
+              val v =
+                if (h >= '0' && h <= '9') h - '0'
+                else if (h >= 'a' && h <= 'f') h - 'a' + 10
+                else if (h >= 'A' && h <= 'F') h - 'A' + 10
+                else die(k, "invalid \\u escape")
+              cp = (cp << 4) | v
+              k += 1
+            }
+            sb.append(cp.toChar)
+            i += 6
+          case _ => die(i, s"invalid escape character '\\${e.toChar}'")
+        }
+      } else if (b >= 0 && b < 0x20) {
+        die(i, "unescaped control character in string")
+      } else if (b >= 0) {
+        sb.append(b.toChar)
+        i += 1
+      } else {
+        // UTF-8 multi-byte sequence
+        val ub = b & 0xFF
+        val n =
+          if (ub >= 0xC0 && ub < 0xE0) 2
+          else if (ub >= 0xE0 && ub < 0xF0) 3
+          else if (ub >= 0xF0 && ub < 0xF8) 4
+          else die(i, "invalid UTF-8 leading byte in string")
+        if (i + n > len) throw NeedsInput
+        var cp = ub & (0x3F >> (n - 1))
+        var k = i + 1
+        while (k < i + n) {
+          val cb = data(k) & 0xFF
+          if ((cb & 0xC0) != 0x80) die(k, "invalid UTF-8 continuation byte in string")
+          cp = (cp << 6) | (cb & 0x3F)
+          k += 1
+        }
+        sb.appendCodePoint(cp)
+        i += n
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  // --------------------------------------------------------------- number
+
+  /** Lazy number scan: validates JSON number grammar, records the indices
+    * of '.' and 'e'/'E', and hands the raw text to the plate unconverted.
+    */
+  private[this] def parseNumToken(): Unit = {
+    val start = curr
+    var i = curr
+    var decIdx = -1
+    var expIdx = -1
+
+    @inline def byteAt(j: Int): Int =
+      if (j < len) data(j) else -1 // -1 = end of available input
+
+    var b = byteAt(i)
+    if (b == '-') { i += 1; b = byteAt(i) }
+    // integer part: 0 | [1-9][0-9]*
+    if (b == '0') { i += 1; b = byteAt(i) }
+    else if (b >= '1' && b <= '9') {
+      while (b >= '0' && b <= '9') { i += 1; b = byteAt(i) }
+    } else {
+      if (b == -1 && !done) throw NeedsInput
+      die(i, "invalid number: expected digit")
+    }
+    if (b == '.') {
+      decIdx = i - start
+      i += 1; b = byteAt(i)
+      if (!(b >= '0' && b <= '9')) {
+        if (b == -1 && !done) throw NeedsInput
+        die(i, "invalid number: expected digit after '.'")
+      }
+      while (b >= '0' && b <= '9') { i += 1; b = byteAt(i) }
+    }
+    if (b == 'e' || b == 'E') {
+      expIdx = i - start
+      i += 1; b = byteAt(i)
+      if (b == '+' || b == '-') { i += 1; b = byteAt(i) }
+      if (!(b >= '0' && b <= '9')) {
+        if (b == -1 && !done) throw NeedsInput
+        die(i, "invalid number: expected digit in exponent")
+      }
+      while (b >= '0' && b <= '9') { i += 1; b = byteAt(i) }
+    }
+    if (b == -1 && !done) throw NeedsInput // the number may continue in the next chunk
+
+    val text = new String(data, start, i - start, UTF_8)
+    curr = i
+    val sig = plate.num(text, decIdx, expIdx)
+    handleRowSignals(sig)
+    if (skipMode == SkipNone) valueDone()
+  }
+
+  // ----------------------------------------------------------------- skip
+
+  /** Byte-level skip scanner ("rskip"): consumes bytes with NO structural
+    * validation — only string boundaries and bracket depth are tracked, so
+    * mismatched brackets inside skipped values are deliberately not errors.
+    * State persists across chunks; `skipped(n)` is reported per churn.
+    */
+  private[this] def runSkip(): Unit = {
+    val chunkStart = curr
+    @inline def report(): Unit =
+      if (curr > chunkStart) plate.skipped(curr - chunkStart)
+
+    while (curr < len) {
+      val b = data(curr)
+      (skipPhase: @switch) match {
+        case SkAwait =>
+          if (b == ' ' || b == '\n' || b == '\t' || b == '\r') curr += 1
+          else if (b == '"') { skipPhase = SkString; skipEscape = false; curr += 1 }
+          else if (b == '{' || b == '[') { skipPhase = SkContainer; skipRel = 1; curr += 1 }
+          else { skipPhase = SkScalar; curr += 1 }
+        case SkScalar =>
+          if (b == ',' || b == '}' || b == ']' ||
+              b == ' ' || b == '\n' || b == '\t' || b == '\r') {
+            report(); finishColumnSkip(); return
+          } else curr += 1
+        case SkString =>
+          curr += 1
+          if (skipEscape) skipEscape = false
+          else if (b == '\\') skipEscape = true
+          else if (b == '"') {
+            if (skipMode == SkipColumnMode && skipRel == 0) { report(); finishColumnSkip(); return }
+            else skipPhase = SkContainer // structural scan continues
+          }
+        case SkContainer =>
+          curr += 1
+          if (b == '"') { skipPhase = SkString; skipEscape = false }
+          else if (b == '{' || b == '[') skipRel += 1
+          else if (b == '}' || b == ']') {
+            skipRel -= 1
+            if (skipMode == SkipColumnMode) {
+              if (skipRel == 0) { report(); finishColumnSkip(); return }
+            } else {
+              if (skipRel == skipRelTarget) { report(); finishRowSkip(); return }
+            }
+          }
+      }
+    }
+    // out of input mid-skip: report what we consumed; state is checkpointed
+    report()
+    if (done && skipMode == SkipColumnMode && skipPhase == SkScalar) {
+      // a scalar can legally terminate at EOF; structure cannot
+      finishColumnSkip()
+      return
+    }
+    tokenStart = curr // skipped bytes are consumed for good: nothing to rewind
+    throw NeedsInput  // at EOF this becomes IncompleteParseException
+  }
+
+  private[this] def finishColumnSkip(): Unit = {
+    skipMode = SkipNone
+    // the skipped value still closes its nest: emit unnest, honor its signal
+    if (depth == 0) {
+      // (defensive: nestArr-skips always occur at depth >= 1 today)
+      plate.finishRow()
+      rowDoneAfterSkip()
+    } else {
+      val s = plate.unnest()
+      phase = PhAfter
+      handleRowSignals(s)
+    }
+  }
+
+  private[this] def finishRowSkip(): Unit = {
+    skipMode = SkipNone
+    rowDoneAfterSkip()
+  }
+}
+
+object JsonParser {
+  sealed trait Mode
+  /** Whitespace-separated top-level values; each value is a row. */
+  case object ValueStream extends Mode
+  /** One top-level `[ ... ]`; each element is a row. */
+  case object UnwrapArray extends Mode
+  /** Exactly one top-level value; one row. */
+  case object SingleValue extends Mode
+
+  // phases
+  private final val PhTop = 0
+  private final val PhValue = 1
+  private final val PhUnwrapStart = 2
+  private final val PhUnwrapFirst = 3
+  private final val PhTopSep = 4
+  private final val PhTopEnd = 5
+  private final val PhKeyFirst = 6
+  private final val PhKey = 7
+  private final val PhColon = 8
+  private final val PhArrFirst = 9
+  private final val PhAfter = 10
+  private final val PhArrNext = 11
+
+  // scalar kinds for emitScalar
+  private final val EmptyMap = 0
+  private final val EmptyArr = 1
+  private final val KNull = 2
+  private final val KTrue = 3
+  private final val KFalse = 4
+
+  // skip modes
+  private final val SkipNone = 0
+  private final val SkipColumnPending = 1 // nestMap said skip; ':' not yet consumed
+  private final val SkipColumnMode = 2
+  private final val SkipRowMode = 3
+
+  // skip phases
+  private final val SkAwait = 0
+  private final val SkScalar = 1
+  private final val SkString = 2
+  private final val SkContainer = 3
+
+  /** Convenience: parse a complete input in one call (absorb, drain all
+    * Partial batches, finish), merging batch values with `merge`.
+    */
+  def parseAll[A](input: String, plate: Plate[A], mode: Mode)(merge: (A, A) => A): ParseResult[A] = {
+    val p = new JsonParser[A](plate, mode)
+    var res = p.absorb(input)
+    @tailrec def drainPartials(): Unit = res match {
+      case ParseResult.Partial(_, _) =>
+        res = ParseResult.combine(res, p.continueParse())(merge)
+        drainPartials()
+      case _ => ()
+    }
+    drainPartials()
+    res match {
+      case ParseResult.Complete(_) =>
+        res = ParseResult.combine(res, p.finish())(merge)
+        drainPartials()
+      case _ => ()
+    }
+    res
+  }
+}
