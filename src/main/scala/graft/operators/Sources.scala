@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Driver-contract queries for the graft DSv2 sources (SURVEY §2.11 rows
+  * "Scans: JSON (graft reader)" / "Scans: CSV (graft reader)").
+  *
+  * Each query materializes a deterministic fixture derived from the
+  * SF-independent dimension tables (nation: 25 rows, region: 5 rows) so
+  * the same file is read by our reader AND by the DuckDB oracle
+  * (`read_json` / `read_csv`) — end-to-end scan parity, not just unit
+  * parity. Numeric derived values (name lengths) are baked into the
+  * fixture so both engines read them rather than recompute them.
+  */
+object Sources {
+
+  private val fixtureDir = "/tmp/graft_fixtures"
+  private val jsonFixture = s"$fixtureDir/q27_nation.jsonl"
+  private val csvFixture = s"$fixtureDir/q28_region.csv"
+
+  /** Write both fixtures (driver-side, 30 rows total, SF-independent). */
+  private def ensureFixtures(spark: SparkSession, dir: String): Unit = {
+    Files.createDirectories(Paths.get(fixtureDir))
+    val nation = Tables(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+      .collect() // 25 rows: fixture generation, not a data path
+    val jsonContent = nation.map { r =>
+      val k = r.getAs[Number](0).longValue
+      val name = r.getString(1)
+      val reg = r.getAs[Number](2).longValue
+      s"""{"n_nationkey": $k, "n_name": "$name", "n_regionkey": $reg, "meta": {"r": $reg, "len": ${name.length}}}"""
+    }.mkString("", "\n", "\n")
+    Files.write(Paths.get(jsonFixture), jsonContent.getBytes(UTF_8))
+
+    val region = Tables(spark, dir, "region")
+      .select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
+      .collect()
+    val csvContent = "r_regionkey,r_name,name_len\r\n" + region.map { r =>
+      s"${r.getAs[Number](0).longValue},${r.getString(1)},${r.getString(1).length}"
+    }.mkString("", "\r\n", "\r\n")
+    Files.write(Paths.get(csvFixture), csvContent.getBytes(UTF_8))
+  }
+
+  // ---------------------------------------------------------------- q27
+  // Read the JSONL fixture through the graft DSv2 reader: schema inference,
+  // nested-field extraction (SkipColumn prunes everything else at the byte
+  // level), and a pushed filter (SkipRow). Oracle reads the same file with
+  // DuckDB's read_json.
+  private val q27 = GQuery(
+    "q27_json_scan_parity",
+    "graft-json DSv2 scan: inference + nested extraction + pushdown vs DuckDB read_json",
+    (s, d) => {
+      ensureFixtures(s, d)
+      s.read.format("graft-json").load(jsonFixture)
+        .filter(col("n_regionkey") <= 3)
+        .select(
+          col("n_nationkey"),
+          col("n_name"),
+          col("meta.r").as("r"),
+          col("meta.len").as("len"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey, n_name, meta.r AS r, meta.len AS len
+             FROM read_json('$jsonFixture', format='newline_delimited')
+             WHERE n_regionkey <= 3
+             ORDER BY n_nationkey"""))
+
+  // ---------------------------------------------------------------- q28
+  // Read the CSV fixture (CRLF rows, Excel dialect) through the graft DSv2
+  // reader; cells are strings, typed by explicit casts on both sides.
+  private val q28 = GQuery(
+    "q28_csv_scan",
+    "graft-csv DSv2 scan: header + typed casts vs DuckDB read_csv",
+    (s, d) => {
+      ensureFixtures(s, d)
+      s.read.format("graft-csv").option("linesep", "\r\n").load(csvFixture)
+        .select(
+          col("r_regionkey").cast("long").as("r_regionkey"),
+          col("r_name"),
+          col("name_len").cast("long").as("name_len"))
+        .filter(col("name_len") > 0)
+        .orderBy("r_regionkey")
+    },
+    Some(s"""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+                    CAST(name_len AS BIGINT) AS name_len
+             FROM read_csv('$csvFixture', header=true, all_varchar=true)
+             WHERE CAST(name_len AS BIGINT) > 0
+             ORDER BY r_regionkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28)
+}

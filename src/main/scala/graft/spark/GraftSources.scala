@@ -1,0 +1,455 @@
+package graft.spark
+
+import graft.core.ParseResult
+import graft.core.csv.CsvParser
+import graft.core.json.JsonParser
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util.OptionalLong
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 integration for the graft parser core (SURVEY §7.1):
+  * `spark.read.format("graft-json")` / `format("graft-csv")`.
+  *
+  * Scale design (100 TB stance):
+  *  - JSON-lines files are split into byte ranges at
+  *    `spark.sql.files.maxPartitionBytes` granularity and realigned to row
+  *    boundaries executor-side (raw '\n' can never occur inside a JSON
+  *    token, so any newline is a safe split point). One task per range —
+  *    a single 1 TB file parallelizes across the cluster.
+  *  - multiline JSON (array/single modes) and CSV (quoted row delimiters
+  *    make newline splits unsound) read one file per task; parallelism
+  *    comes from file count.
+  *  - Catalyst column pruning reaches the byte level: the pruned schema
+  *    drives SkipColumn plates (projection pushdown into the parse);
+  *    pushed filters drive SkipRow (predicate pushdown). Skipped bytes
+  *    surface as a custom SQLMetric on the scan node.
+  */
+object GraftSources {
+  final val SkippedBytesMetricName = "graftSkippedBytes"
+
+  def activeHadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** Resolve the path option (possibly comma-separated, possibly dirs)
+    * into concrete file paths.
+    */
+  def resolveFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+    val conf = activeHadoopConf()
+    val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .getOrElse(throw new IllegalArgumentException("graft source requires a 'path' option"))
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { p =>
+      val path = new Path(p.stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+      val fs = path.getFileSystem(conf)
+      val status = fs.getFileStatus(path)
+      if (status.isDirectory)
+        fs.listStatus(path).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(s => (s.getPath.toString, s.getLen))
+      else Seq((status.getPath.toString, status.getLen))
+    }
+  }
+
+  def jsonMode(options: java.util.Map[String, String]): JsonParser.Mode =
+    Option(options.get("mode")).map(_.toLowerCase).getOrElse("lines") match {
+      case "lines" | "valuestream"  => JsonParser.ValueStream
+      case "array" | "unwraparray"  => JsonParser.UnwrapArray
+      case "single" | "singlevalue" => JsonParser.SingleValue
+      case other => throw new IllegalArgumentException(s"unknown graft-json mode '$other'")
+    }
+
+  def csvConfig(options: java.util.Map[String, String]): CsvParser.Config = {
+    def byteOpt(key: String, dflt: Byte): Byte =
+      Option(options.get(key)).map(_.charAt(0).toByte).getOrElse(dflt)
+    val lineSep = Option(options.get("linesep")).getOrElse("\n")
+    val (r1, r2): (Byte, Byte) =
+      if (lineSep.length == 2) (lineSep.charAt(0).toByte, lineSep.charAt(1).toByte)
+      else (lineSep.charAt(0).toByte, 0.toByte)
+    CsvParser.Config(
+      header = Option(options.get("header")).forall(_.toBoolean),
+      record = byteOpt("sep", ','),
+      row1 = r1,
+      row2 = r2,
+      openQuote = byteOpt("quote", '"'),
+      closeQuote = byteOpt("quote", '"'),
+      escape = byteOpt("escape", '"'))
+  }
+}
+
+final class SkippedBytesMetric extends CustomSumMetric {
+  override def name(): String = GraftSources.SkippedBytesMetricName
+  override def description(): String = "bytes pruned by parser pushdown"
+}
+
+final case class GraftInputPartition(
+    path: String,
+    start: Long,
+    end: Long, // exclusive byte-range end (rows realign executor-side)
+    fileLen: Long) extends InputPartition
+
+// ====================================================================== JSON
+
+class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-json"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = GraftSources.resolveFiles(options)
+    val conf = GraftSources.activeHadoopConf()
+    val sampleBytes = Option(options.get("samplebytes")).map(_.toLong).getOrElse(4L << 20)
+    val mode = GraftSources.jsonMode(options.asCaseSensitiveMap())
+    // sample a bounded prefix of each file on the driver
+    val merged = files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
+      case (acc, (p, len)) =>
+        val path = new Path(p)
+        val in = path.getFileSystem(conf).open(path)
+        try {
+          val n = math.min(len, sampleBytes).toInt
+          val buf = new Array[Byte](n)
+          in.readFully(0, buf)
+          val plate = new SchemaInference.InferencePlate
+          val parser = new JsonParser(plate, mode)
+          parser.absorb(buf)
+          if (len <= sampleBytes) parser.finish()
+          SchemaInference.merge(acc, plate.finishBatch(true))
+        } finally in.close()
+    }
+    SchemaInference.toStructType(merged)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftJsonTable(schema, properties)
+}
+
+final class GraftJsonTable(schema: StructType, properties: java.util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-json:${properties.get("path")}"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(schema, options, isJson = true)
+}
+
+// ======================================================================= CSV
+
+class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-csv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = GraftSources.resolveFiles(options)
+    val conf = GraftSources.activeHadoopConf()
+    val config = GraftSources.csvConfig(options.asCaseSensitiveMap())
+    val (p, len) = files.headOption.getOrElse(
+      throw new IllegalArgumentException("no input files"))
+    val path = new Path(p)
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      val n = math.min(len, 1L << 20).toInt
+      val buf = new Array[Byte](n)
+      in.readFully(0, buf)
+      // capture the first data row's keys (header names or inferred A..Z)
+      val keys = new mutable.LinkedHashSet[String]
+      val plate = new graft.core.Plate[Unit] {
+        import graft.core.Signal
+        var rows = 0
+        def nul() = Signal.Continue
+        def fls() = Signal.Continue
+        def tru() = Signal.Continue
+        def map() = Signal.Continue
+        def arr() = Signal.Continue
+        def num(s: CharSequence, d: Int, e: Int) = Signal.Continue
+        def str(s: CharSequence) = Signal.Continue
+        def nestMap(k: CharSequence) = {
+          if (rows == 0) keys += k.toString
+          Signal.Continue
+        }
+        def nestArr() = Signal.Continue
+        def nestMeta(k: CharSequence) = Signal.Continue
+        def unnest() = Signal.Continue
+        def finishRow(): Unit = rows += 1
+        def finishBatch(terminal: Boolean): Unit = ()
+        def skipped(bytes: Int): Unit = ()
+      }
+      val parser = new CsvParser(plate, config)
+      parser.absorb(buf)
+      if (len <= n) parser.finish()
+      StructType(keys.toSeq.map(k =>
+        org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
+    } finally in.close()
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftCsvTable(schema, properties)
+}
+
+final class GraftCsvTable(schema: StructType, properties: java.util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-csv:${properties.get("path")}"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(schema, options, isJson = false)
+}
+
+// ============================================================ scan machinery
+
+final class GraftScanBuilder(
+    fullSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    isJson: Boolean)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept simple single-column filters for byte-level SkipRow; return
+    // every filter as residual so Spark re-evaluates (our eval is
+    // conservative, never dropping rows a correct filter would keep)
+    pushed = filters.filter(f =>
+      f.references.length == 1 && !f.references.head.contains("."))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftScan(required, pushed, options, isJson)
+}
+
+final class GraftScan(
+    schema: StructType,
+    filters: Array[Filter],
+    options: CaseInsensitiveStringMap,
+    isJson: Boolean)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
+      s" pushed=[${filters.mkString(", ")}])"
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new SkippedBytesMetric)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val files = GraftSources.resolveFiles(options)
+    val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
+      .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    val splittable = isJson &&
+      GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream
+    files.flatMap { case (p, len) =>
+      if (!splittable || len <= maxSplit)
+        Seq(GraftInputPartition(p, 0, len, len))
+      else
+        (0L until len by maxSplit).map { start =>
+          GraftInputPartition(p, start, math.min(start + maxSplit, len), len)
+        }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+    if (isJson)
+      new GraftJsonReaderFactory(schema, filters, conf,
+        GraftSources.jsonMode(options.asCaseSensitiveMap()))
+    else
+      new GraftCsvReaderFactory(schema, filters, conf,
+        GraftSources.csvConfig(options.asCaseSensitiveMap()))
+  }
+}
+
+final class GraftJsonReaderFactory(
+    schema: StructType,
+    filters: Array[Filter],
+    conf: SerializableConfiguration,
+    mode: JsonParser.Mode) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftJsonPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode)
+}
+
+final class GraftCsvReaderFactory(
+    schema: StructType,
+    filters: Array[Filter],
+    conf: SerializableConfiguration,
+    config: CsvParser.Config) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftCsvPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config)
+}
+
+/** Streams one byte range of a JSON-lines file through the core parser.
+  * Range protocol (Hadoop text-split convention): a reader with start > 0
+  * first discards bytes through the first '\n' at/after `start`; every
+  * reader keeps consuming past `end` until the first '\n' at/after `end`.
+  * Adjacent ranges therefore partition rows exactly.
+  */
+final class GraftJsonPartitionReader(
+    part: GraftInputPartition,
+    schema: StructType,
+    filters: Array[Filter],
+    conf: Configuration,
+    mode: JsonParser.Mode) extends PartitionReader[InternalRow] {
+
+  private val queue = new mutable.ArrayDeque[InternalRow]
+  private val plate = new RowPlate(schema, filters, queue.append(_))
+  private val parser = new JsonParser(plate, mode)
+
+  private val path = new Path(part.path)
+  private val in = path.getFileSystem(conf).open(path)
+  private val chunk = new Array[Byte](256 * 1024)
+  private var pos = part.start
+  private var aligned = part.start == 0
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  if (part.start > 0) in.seek(part.start)
+
+  override def next(): Boolean = {
+    while (queue.isEmpty && !exhausted) step()
+    if (queue.nonEmpty) { current = queue.removeHead(); true }
+    else false
+  }
+
+  override def get(): InternalRow = current
+
+  private def raise(r: ParseResult[Long]): Unit = r match {
+    case ParseResult.Failure(e) => throw e
+    case ParseResult.Partial(_, _) => raise(parser.continueParse())
+    case _ => ()
+  }
+
+  private def step(): Unit = {
+    val n = in.read(chunk)
+    if (n < 0) {
+      raise(parser.finish())
+      exhausted = true
+      return
+    }
+    val chunkStartAbs = pos
+    pos += n
+    var off = 0
+    if (!aligned) {
+      // discard through the first '\n' at/after start (previous range's row)
+      val nl = indexOfNl(chunk, 0, n)
+      if (nl < 0) return
+      if (chunkStartAbs + nl >= part.end) {
+        // no row starts inside this range: the previous range owns the
+        // boundary row and the next range aligns to this same newline
+        exhausted = true
+        return
+      }
+      off = nl + 1
+      aligned = true
+    }
+    if (chunkStartAbs + n <= part.end || part.end == part.fileLen) {
+      raise(parser.absorb(chunk, off, n - off))
+    } else {
+      // past the range end: stop after the first '\n' at/after `end`
+      val fromRel = math.max(off, math.max(0L, part.end - chunkStartAbs).toInt)
+      val nl = indexOfNl(chunk, fromRel, n)
+      if (nl < 0) {
+        raise(parser.absorb(chunk, off, n - off)) // boundary row continues
+      } else {
+        raise(parser.absorb(chunk, off, nl + 1 - off))
+        raise(parser.finish())
+        exhausted = true
+      }
+    }
+  }
+
+  private def indexOfNl(buf: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i < until) {
+      if (buf(i) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  override def close(): Unit = in.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(new CustomTaskMetric {
+      override def name(): String = GraftSources.SkippedBytesMetricName
+      override def value(): Long = plate.totalSkippedBytes
+    })
+}
+
+/** Streams one whole CSV file through the core parser (quoted row
+  * delimiters make byte-range splits unsound; parallelism is per file).
+  */
+final class GraftCsvPartitionReader(
+    part: GraftInputPartition,
+    schema: StructType,
+    filters: Array[Filter],
+    conf: Configuration,
+    config: CsvParser.Config) extends PartitionReader[InternalRow] {
+
+  private val queue = new mutable.ArrayDeque[InternalRow]
+  private val plate = new RowPlate(schema, filters, queue.append(_))
+  private val parser = new CsvParser(plate, config)
+
+  private val path = new Path(part.path)
+  private val in = path.getFileSystem(conf).open(path)
+  private val chunk = new Array[Byte](256 * 1024)
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (queue.isEmpty && !exhausted) {
+      val n = in.read(chunk)
+      if (n < 0) {
+        raise(parser.finish())
+        exhausted = true
+      } else raise(parser.absorb(chunk, 0, n))
+    }
+    if (queue.nonEmpty) { current = queue.removeHead(); true }
+    else false
+  }
+
+  private def raise(r: ParseResult[Long]): Unit = r match {
+    case ParseResult.Failure(e) => throw e
+    case ParseResult.Partial(_, _) => raise(parser.continueParse())
+    case _ => ()
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(new CustomTaskMetric {
+      override def name(): String = GraftSources.SkippedBytesMetricName
+      override def value(): Long = plate.totalSkippedBytes
+    })
+}

@@ -1,0 +1,401 @@
+package graft.spark
+
+import graft.core.{Plate, Signal}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Builds Spark `InternalRow`s from the core event stream against a
+  * required (pruned) schema — the bridge between the parser core and the
+  * DSv2 scan (SURVEY §7.1 layer 2).
+  *
+  * Frame model: exactly one frame per `nest*`/`unnest` pair. A frame opens
+  * as an empty value slot for an expected DataType and *morphs* when its
+  * shape is revealed (scalar fill, struct, array, map, or discard on
+  * schema mismatch). The row itself is a permanent struct frame.
+  *
+  * Pushdown wiring:
+  *  - a `nestMap` key absent from the current level's (pruned) schema
+  *    returns [[Signal.SkipColumn]] → the parser byte-skips the value:
+  *    projection pushdown at EVERY nesting depth;
+  *  - a value whose shape contradicts the schema reads as null; its inner
+  *    entries are byte-skipped one by one (discard frames);
+  *  - pushed single-column filters are evaluated the moment the column's
+  *    top-level value completes; a definitive failure returns
+  *    [[Signal.SkipRow]] → the parser byte-skips the rest of the row.
+  *    Rows are dropped only on DEFINITE failure (null/missing semantics
+  *    re-checked at row end), so Spark's residual filter stays correct.
+  *
+  * The same plate serves the CSV source: cells arrive as `str` events and
+  * are coerced to the schema type.
+  */
+final class RowPlate(
+    schema: StructType,
+    filters: Array[Filter],
+    push: InternalRow => Unit) extends Plate[Long] {
+
+  // frame kinds
+  private final val KEmpty = 0
+  private final val KScalar = 1
+  private final val KStruct = 2
+  private final val KArray = 3
+  private final val KMap = 4
+  private final val KDiscard = 5
+
+  private final class VFrame(val expected: DataType, val childIdx: Int) {
+    var kind: Int = KEmpty
+    var value: Any = null                        // KScalar result
+    var values: Array[Any] = null                // KStruct
+    var st: StructType = null                    // KStruct
+    var buf: mutable.ArrayBuffer[Any] = null     // KArray
+    var keys: mutable.ArrayBuffer[Any] = null    // KMap
+    var vals: mutable.ArrayBuffer[Any] = null    // KMap
+
+    def finalValue(): Any = kind match {
+      case KScalar  => value
+      case KStruct  => new GenericInternalRow(values)
+      case KArray   => new GenericArrayData(buf.toArray)
+      case KMap     => ArrayBasedMapData(keys.toArray, vals.toArray)
+      case _        => null
+    }
+
+    def morphStruct(s: StructType): Unit = {
+      kind = KStruct; st = s; values = new Array[Any](s.length)
+    }
+    def morphArray(): Unit = { kind = KArray; buf = new mutable.ArrayBuffer[Any] }
+    def morphMap(): Unit = {
+      kind = KMap
+      keys = new mutable.ArrayBuffer[Any]; vals = new mutable.ArrayBuffer[Any]
+    }
+  }
+
+  private[this] var stack = new mutable.ArrayDeque[VFrame]
+  private[this] var rowFrame: VFrame = null
+  resetRow()
+
+  /** The parser emits one unnest for a value it skipped (no frame pushed). */
+  private[this] var skipPending = false
+  private[this] var skippedBytes = 0L
+  private[this] var rowCount = 0L
+
+  private[this] val topIndex: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+  private[this] val valueColIdx: Int = topIndex.getOrElse("value", -1)
+
+  // name->index per struct node, cached by node identity (schemas are shared)
+  private[this] val fieldIndexCache =
+    new java.util.IdentityHashMap[StructType, Map[String, Int]]
+  private def fieldIndex(st: StructType, name: String): Int = {
+    var m = fieldIndexCache.get(st)
+    if (m == null) {
+      m = st.fieldNames.zipWithIndex.toMap
+      fieldIndexCache.put(st, m)
+    }
+    m.getOrElse(name, -1)
+  }
+
+  // single-column filters grouped by referenced top-level column index
+  private[this] val filtersByIdx: Map[Int, Array[Filter]] =
+    filters.filter(_.references.length == 1)
+      .groupBy(f => topIndex.getOrElse(f.references.head, -1))
+      .removed(-1)
+  private[this] val hasNullFilters =
+    filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
+
+  private def resetRow(): Unit = {
+    stack.clear()
+    rowFrame = new VFrame(schema, -1)
+    rowFrame.morphStruct(schema)
+    stack.prepend(rowFrame)
+    skipPending = false
+  }
+
+  @inline private def top: VFrame = stack.head
+
+  // ------------------------------------------------------------- events
+
+  private def fillScalar(convert: DataType => Any): Signal = {
+    val f = top
+    if (f.kind == KEmpty) {
+      f.kind = KScalar
+      f.value = convert(f.expected)
+      Signal.Continue
+    } else if (f eq rowFrame) {
+      // scalar row in a schemaless stream: the "value" column when present
+      if (valueColIdx >= 0) {
+        f.values(valueColIdx) = convert(schema(valueColIdx).dataType)
+        earlyFilter(valueColIdx, f.values(valueColIdx))
+      } else Signal.Continue
+    } else Signal.Continue // discard / malformed: ignore
+  }
+
+  def nul(): Signal = fillScalar(_ => null)
+  def fls(): Signal = fillScalar(Conversions.fromBoolean(_, false))
+  def tru(): Signal = fillScalar(Conversions.fromBoolean(_, true))
+  def map(): Signal = fillScalar {
+    case s: StructType => new GenericInternalRow(new Array[Any](s.length))
+    case _: MapType    => ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
+    case _             => null
+  }
+  def arr(): Signal = fillScalar {
+    case _: ArrayType => new GenericArrayData(Array.empty[Any])
+    case _            => null
+  }
+  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal =
+    fillScalar(Conversions.fromNum(_, s, decIdx, expIdx))
+  def str(s: CharSequence): Signal =
+    fillScalar(Conversions.fromString(_, s))
+
+  def nestMap(pathComponent: CharSequence): Signal = {
+    val f = top
+    if (f.kind == KEmpty) {
+      // the slot's value is revealed to be an object
+      f.expected match {
+        case s: StructType => f.morphStruct(s)
+        case m: MapType    => f.morphMap()
+        case _             => f.kind = KDiscard
+      }
+    }
+    f.kind match {
+      case KStruct =>
+        val idx = fieldIndex(f.st, pathComponent.toString)
+        if (idx < 0) {
+          skipPending = true
+          Signal.SkipColumn // projection pushdown: key not in (pruned) schema
+        } else {
+          stack.prepend(new VFrame(f.st(idx).dataType, idx))
+          Signal.Continue
+        }
+      case KMap =>
+        val m = f.expected.asInstanceOf[MapType]
+        f.keys += Conversions.fromString(m.keyType, pathComponent)
+        stack.prepend(new VFrame(m.valueType, -1))
+        Signal.Continue
+      case _ =>
+        skipPending = true
+        Signal.SkipColumn
+    }
+  }
+
+  def nestArr(): Signal = {
+    val f = top
+    if ((f eq rowFrame) && f.kind == KStruct) {
+      // array row in a schemaless stream -> "value" column when present
+      if (valueColIdx >= 0) {
+        val child = new VFrame(schema(valueColIdx).dataType, valueColIdx)
+        child.expected match {
+          case _: ArrayType =>
+            child.morphArray()
+            stack.prepend(child)
+            stack.prepend(new VFrame(child.expected.asInstanceOf[ArrayType].elementType, -1))
+            return Signal.Continue
+          case _ => ()
+        }
+      }
+      skipPending = true
+      return Signal.SkipColumn
+    }
+    if (f.kind == KEmpty) {
+      f.expected match {
+        case _: ArrayType => f.morphArray()
+        case _            => f.kind = KDiscard
+      }
+    }
+    f.kind match {
+      case KArray =>
+        stack.prepend(new VFrame(f.expected.asInstanceOf[ArrayType].elementType, -1))
+        Signal.Continue
+      case _ =>
+        skipPending = true
+        Signal.SkipColumn
+    }
+  }
+
+  def nestMeta(pathComponent: CharSequence): Signal = {
+    // no metadata channel in the relational schema: always prune
+    skipPending = true
+    Signal.SkipColumn
+  }
+
+  def unnest(): Signal = {
+    if (skipPending) {
+      // the unnest matching a value the parser byte-skipped for us
+      skipPending = false
+      Signal.Continue
+    } else if (stack.size <= 1) {
+      Signal.Continue // defensive: never pop the row frame
+    } else {
+      val f = stack.removeHead()
+      val v = f.finalValue()
+      val parent = top
+      parent.kind match {
+        case KStruct =>
+          if (f.childIdx >= 0) parent.values(f.childIdx) = v
+          if (parent eq rowFrame) earlyFilter(f.childIdx, v) else Signal.Continue
+        case KArray => parent.buf += v; Signal.Continue
+        case KMap   => parent.vals += v; Signal.Continue
+        case _      => Signal.Continue
+      }
+    }
+  }
+
+  def finishRow(): Unit = {
+    // top-level array/`value` rows leave their slot open (the row-value has
+    // no unnest of its own): finalize any frames above the row frame
+    while (stack.size > 1) {
+      val f = stack.removeHead()
+      val v = f.finalValue()
+      val parent = top
+      parent.kind match {
+        case KStruct => if (f.childIdx >= 0) parent.values(f.childIdx) = v
+        case KArray  => parent.buf += v
+        case KMap    => parent.vals += v
+        case _       => ()
+      }
+    }
+    val row = new GenericInternalRow(rowFrame.values)
+    if (passesRowEnd(row)) {
+      rowCount += 1
+      push(row)
+    }
+    resetRow()
+  }
+
+  def finishBatch(terminal: Boolean): Long = rowCount
+
+  def skipped(bytes: Int): Unit = skippedBytes += bytes
+
+  /** Total bytes the parser pruned for this plate (custom metric). */
+  def totalSkippedBytes: Long = skippedBytes
+
+  // ------------------------------------------------------------ filters
+
+  /** Evaluate pushed filters on a completed top-level column value; a
+    * definitive failure skips the rest of the row.
+    */
+  private def earlyFilter(idx: Int, value: Any): Signal =
+    filtersByIdx.get(idx) match {
+      case Some(fs) if fs.exists(FilterEval.definitelyFails(_, value)) =>
+        // the parser honors SkipRow by suppressing this row's finishRow,
+        // so resetting here cleanly abandons the partial row
+        resetRow()
+        Signal.SkipRow
+      case _ => Signal.Continue
+    }
+
+  /** Null/missing-column semantics checked once the whole row is known. */
+  private def passesRowEnd(row: InternalRow): Boolean = {
+    if (!hasNullFilters) return true
+    filters.forall { f =>
+      f match {
+        case IsNotNull(col) =>
+          val idx = topIndex.getOrElse(col, -1)
+          idx < 0 || !row.isNullAt(idx)
+        case IsNull(col) =>
+          val idx = topIndex.getOrElse(col, -1)
+          idx < 0 || row.isNullAt(idx)
+        case _ => true
+      }
+    }
+  }
+}
+
+/** Scalar conversions from parse events to Catalyst values. Mismatches
+  * read as null (permissive).
+  */
+object Conversions {
+  def fromBoolean(dt: DataType, v: Boolean): Any = dt match {
+    case BooleanType => v
+    case StringType  => UTF8String.fromString(v.toString)
+    case _           => null
+  }
+
+  def fromNum(dt: DataType, text: CharSequence, decIdx: Int, expIdx: Int): Any = {
+    val s = text.toString
+    try dt match {
+      case LongType    => if (decIdx < 0 && expIdx < 0) java.lang.Long.parseLong(s) else null
+      case IntegerType => if (decIdx < 0 && expIdx < 0) java.lang.Integer.parseInt(s) else null
+      case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(s) else null
+      case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(s) else null
+      case DoubleType  => java.lang.Double.parseDouble(s)
+      case FloatType   => java.lang.Float.parseFloat(s)
+      case d: DecimalType =>
+        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) dec else null
+      case StringType  => UTF8String.fromString(s)
+      case _           => null
+    } catch { case _: NumberFormatException => null }
+  }
+
+  def fromString(dt: DataType, text: CharSequence): Any = {
+    val s = text.toString
+    try dt match {
+      case StringType  => UTF8String.fromString(s)
+      case LongType    => java.lang.Long.parseLong(s.trim)
+      case IntegerType => java.lang.Integer.parseInt(s.trim)
+      case ShortType   => java.lang.Short.parseShort(s.trim)
+      case ByteType    => java.lang.Byte.parseByte(s.trim)
+      case DoubleType  => java.lang.Double.parseDouble(s.trim)
+      case FloatType   => java.lang.Float.parseFloat(s.trim)
+      case BooleanType => s.trim.toLowerCase match {
+        case "true" | "t" | "1"  => true
+        case "false" | "f" | "0" => false
+        case _ => null
+      }
+      case d: DecimalType =>
+        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s.trim))
+        if (dec.changePrecision(d.precision, d.scale)) dec else null
+      case DateType =>
+        java.time.LocalDate.parse(s.trim).toEpochDay.toInt
+      case TimestampType =>
+        val inst = java.time.Instant.parse(s.trim)
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case _ => null
+    } catch { case _: RuntimeException => null }
+  }
+}
+
+/** Conservative evaluation of DSv2 source filters against Catalyst values:
+  * true = the filter DEFINITELY fails for this value (safe to drop the row
+  * early; unknowns are kept for the residual Catalyst filter).
+  */
+object FilterEval {
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: UTF8String, y: String) => Some(x.toString.compareTo(y))
+    case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  def definitelyFails(f: Filter, value: Any): Boolean = f match {
+    case EqualTo(_, v)            => cmp(value, v).exists(_ != 0)
+    case GreaterThan(_, v)        => cmp(value, v).exists(_ <= 0)
+    case GreaterThanOrEqual(_, v) => cmp(value, v).exists(_ < 0)
+    case LessThan(_, v)           => cmp(value, v).exists(_ >= 0)
+    case LessThanOrEqual(_, v)    => cmp(value, v).exists(_ > 0)
+    case In(_, vs)                => value != null && vs.nonEmpty &&
+      vs.forall(v => cmp(value, v).exists(_ != 0))
+    case StringStartsWith(_, p)   => value match {
+      case s: UTF8String => !s.toString.startsWith(p)
+      case _ => false
+    }
+    case StringEndsWith(_, p)     => value match {
+      case s: UTF8String => !s.toString.endsWith(p)
+      case _ => false
+    }
+    case StringContains(_, p)     => value match {
+      case s: UTF8String => !s.toString.contains(p)
+      case _ => false
+    }
+    case IsNull(_)                => value != null
+    case _                        => false // unknown filter: never drop early
+  }
+}
