@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (driver contract). Uses the noop sink so the full
   * plan executes (count() would let Catalyst prune most of the work).
+  *
+  * The JSON line is also written to /tmp/bench.json and echoed to stderr
+  * unprefixed, so the driver's parser is immune to sbt's [info] prefix.
+  * Alongside the query timings it reports the parser-level projection-skip
+  * micro-benchmark (SkipColumn on vs off over wide JSON rows) — the
+  * engine-side counterpart of the reference's headline 3.47x skip win.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,9 +42,114 @@ object Bench {
     bench.foreach(time)
     val results = bench.map(q => q.name -> time(q))
 
+    val skip = SkipBench.run()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,"skip_off_mbps":${skip.offMbps},"skip_on_mbps":${skip.onMbps},""" +
+      s""""skip_speedup":${skip.speedup},"sf":"$sfDir"}"""
+    println(line)
+    System.err.println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
     spark.stop()
+  }
+}
+
+/** Parser-level projection pushdown micro-benchmark — the engine-level
+  * equivalent of `SELECT f17 FROM wide_json`: parse ~4 MB of wide JSON
+  * rows (20 fields incl. nested values, ugh10k-shaped) into InternalRows
+  * through [[graft.spark.RowPlate]] with (a) the full 20-column schema
+  * (no pushdown: every value decoded and materialized) and (b) a 1-column
+  * pruned schema (the other 19 fields byte-skipped via SkipColumn).
+  * Reports MB/s for both and the speedup (reference's corresponding
+  * headline: 3.47x, README "Column Skip Benchmarks").
+  */
+object SkipBench {
+  import graft.core._
+  import graft.core.json.JsonParser
+  import graft.spark.RowPlate
+  import org.apache.spark.sql.types._
+
+  final case class Result(offMbps: Double, onMbps: Double, speedup: Double)
+
+  private def mkData(rows: Int): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(rows * 400)
+    var i = 0
+    while (i < rows) {
+      sb.append("{")
+      var f = 0
+      while (f < 20) {
+        if (f > 0) sb.append(", ")
+        sb.append("\"f").append(f).append("\": ")
+        (f % 4) match {
+          case 0 => sb.append("\"value-").append(i).append("-").append(f).append("-padpadpadpad\"")
+          case 1 => sb.append(i * 31 + f)
+          case 2 => sb.append("{\"x\": ").append(f).append(", \"y\": [1, 2, 3, ").append(i % 97).append("]}")
+          case 3 => sb.append(i % 2 == 0)
+        }
+        f += 1
+      }
+      sb.append("}\n")
+      i += 1
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private val fullSchema = StructType((0 until 20).map { f =>
+    StructField(s"f$f", (f % 4) match {
+      case 0 => StringType
+      case 1 => LongType
+      case 2 => StructType(Seq(
+        StructField("x", LongType), StructField("y", ArrayType(LongType))))
+      case 3 => BooleanType
+    })
+  })
+  private val prunedSchema = StructType(Seq(StructField("f17", LongType)))
+
+  private def parseAllBytes(data: Array[Byte], schema: StructType): Long = {
+    var rows = 0L
+    val plate = new RowPlate(schema, Array.empty, _ => rows += 1)
+    val p = new JsonParser(plate, JsonParser.ValueStream)
+    p.absorb(data) match {
+      case ParseResult.Failure(e) => throw e
+      case _ => ()
+    }
+    p.finish() match {
+      case ParseResult.Failure(e) => throw e
+      case _ => ()
+    }
+    rows
+  }
+
+  def run(): Result = {
+    val data = mkData(10000)
+    val mb = data.length / 1e6
+    def bestOf(n: Int)(body: => Unit): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        val t0 = System.nanoTime()
+        body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      best
+    }
+    // warmup both paths thoroughly (JIT) before measuring
+    var w = 0
+    while (w < 5) {
+      require(parseAllBytes(data, fullSchema) == 10000)
+      require(parseAllBytes(data, prunedSchema) == 10000)
+      w += 1
+    }
+    val off = bestOf(10)(parseAllBytes(data, fullSchema))
+    val on = bestOf(10)(parseAllBytes(data, prunedSchema))
+    Result(
+      offMbps = math.round(mb / off * 10) / 10.0,
+      onMbps = math.round(mb / on * 10) / 10.0,
+      speedup = math.round(off / on * 100) / 100.0)
   }
 }

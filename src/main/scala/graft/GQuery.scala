@@ -48,7 +48,14 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view (for spark.sql-expressed queries). */
+  /** Register the named tables as temp views (for spark.sql-expressed
+    * queries). Register ONLY what the query reads — every registration
+    * costs a parquet footer round-trip, which is pure waste at 100 TB.
+    */
+  def register(spark: SparkSession, dir: String, which: String*): Unit =
+    which.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every table (driver/debug convenience). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }

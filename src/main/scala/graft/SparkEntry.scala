@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** The full registry, assembled from the operator modules. */
   def registry: Seq[GQuery] =
-    operators.Relational.all ++ operators.Sources.all
+    operators.Relational.all ++ operators.Sources.all ++
+      operators.Pipeline.all ++ operators.Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

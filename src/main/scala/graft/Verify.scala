@@ -17,6 +17,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous run's result first: a query that now throws must
+      // leave NO stale parquet behind for the comparer to false-green on
+      val qDir = java.nio.file.Paths.get(outDir, name)
+      if (java.nio.file.Files.exists(qDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(qDir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -256,12 +256,39 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       else die(curr, s"expected JSON value, got '${b.toChar}'")
   }
 
+  // Reusable zero-copy view handed to nestMap for plain ASCII keys: valid
+  // only for the duration of the call (plates must copy if they retain it,
+  // which ReplayPlate/ReifiedPlate do). Escaped/non-ASCII keys take the
+  // full decode path.
+  private[this] val keyView = new JsonParser.ByteSliceCharSeq
+
   private[this] def parseKey(): Unit = {
-    val key = parseStringToken()
+    val key = parseKeyToken()
     val s = plate.nestMap(key)
     phase = PhColon
     if (s eq Signal.SkipColumn) skipMode = SkipColumnPending
     else handleRowSignals(s)
+  }
+
+  /** Key fast path: a quote-terminated run of plain ASCII bytes becomes a
+    * reusable buffer view (no allocation, no UTF-8 decode) — keys are the
+    * dominant string traffic under column-skipping workloads.
+    */
+  private[this] def parseKeyToken(): CharSequence = {
+    var i = curr + 1
+    while (i < len) {
+      val b = data(i)
+      if (b == '"') {
+        keyView.set(data, curr + 1, i - curr - 1)
+        curr = i + 1
+        return keyView
+      }
+      // '\\' = escape; b < 0x20 covers control chars AND (signed) bytes
+      // >= 0x80, i.e. multi-byte UTF-8 -> full decode path
+      if (b == '\\' || b < 0x20) return parseStringToken()
+      i += 1
+    }
+    throw NeedsInput
   }
 
   private[this] def expectWord(w: String): Unit = {
@@ -439,41 +466,72 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     @inline def report(): Unit =
       if (curr > chunkStart) plate.skipped(curr - chunkStart)
 
-    while (curr < len) {
-      val b = data(curr)
-      (skipPhase: @switch) match {
+    // hot loop: keep all state in locals (registers), commit to fields
+    // only when pausing for input; one byte never touches object fields
+    val buf = data
+    val limit = len
+    var i = curr
+    var phase = skipPhase
+    var rel = skipRel
+    var esc = skipEscape
+    val columnMode = skipMode == SkipColumnMode
+    val relTarget = skipRelTarget
+
+    @inline def commit(): Unit = {
+      curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
+    }
+
+    while (i < limit) {
+      (phase: @switch) match {
         case SkAwait =>
-          if (b == ' ' || b == '\n' || b == '\t' || b == '\r') curr += 1
-          else if (b == '"') { skipPhase = SkString; skipEscape = false; curr += 1 }
-          else if (b == '{' || b == '[') { skipPhase = SkContainer; skipRel = 1; curr += 1 }
-          else { skipPhase = SkScalar; curr += 1 }
+          val b = buf(i)
+          if (b == ' ' || b == '\n' || b == '\t' || b == '\r') i += 1
+          else if (b == '"') { phase = SkString; esc = false; i += 1 }
+          else if (b == '{' || b == '[') { phase = SkContainer; rel = 1; i += 1 }
+          else { phase = SkScalar; i += 1 }
         case SkScalar =>
-          if (b == ',' || b == '}' || b == ']' ||
-              b == ' ' || b == '\n' || b == '\t' || b == '\r') {
-            report(); finishColumnSkip(); return
-          } else curr += 1
+          var b = buf(i)
+          while (!(b == ',' || b == '}' || b == ']' ||
+                   b == ' ' || b == '\n' || b == '\t' || b == '\r')) {
+            i += 1
+            if (i >= limit) {
+              commit(); report()
+              if (done && columnMode) { finishColumnSkip(); return }
+              tokenStart = curr
+              throw NeedsInput
+            }
+            b = buf(i)
+          }
+          commit(); report(); finishColumnSkip(); return
         case SkString =>
-          curr += 1
-          if (skipEscape) skipEscape = false
-          else if (b == '\\') skipEscape = true
-          else if (b == '"') {
-            if (skipMode == SkipColumnMode && skipRel == 0) { report(); finishColumnSkip(); return }
-            else skipPhase = SkContainer // structural scan continues
+          while (phase == SkString && i < limit) {
+            val b = buf(i)
+            i += 1
+            if (esc) esc = false
+            else if (b == '\\') esc = true
+            else if (b == '"') {
+              if (columnMode && rel == 0) { commit(); report(); finishColumnSkip(); return }
+              else phase = SkContainer // structural scan continues
+            }
           }
         case SkContainer =>
-          curr += 1
-          if (b == '"') { skipPhase = SkString; skipEscape = false }
-          else if (b == '{' || b == '[') skipRel += 1
-          else if (b == '}' || b == ']') {
-            skipRel -= 1
-            if (skipMode == SkipColumnMode) {
-              if (skipRel == 0) { report(); finishColumnSkip(); return }
-            } else {
-              if (skipRel == skipRelTarget) { report(); finishRowSkip(); return }
+          while (phase == SkContainer && i < limit) {
+            val b = buf(i)
+            i += 1
+            if (b == '"') { phase = SkString; esc = false }
+            else if (b == '{' || b == '[') rel += 1
+            else if (b == '}' || b == ']') {
+              rel -= 1
+              if (columnMode) {
+                if (rel == 0) { commit(); report(); finishColumnSkip(); return }
+              } else {
+                if (rel == relTarget) { commit(); report(); finishRowSkip(); return }
+              }
             }
           }
       }
     }
+    commit()
     // out of input mid-skip: report what we consumed; state is checkpointed
     report()
     if (done && skipMode == SkipColumnMode && skipPhase == SkScalar) {
@@ -546,6 +604,25 @@ object JsonParser {
   private final val SkScalar = 1
   private final val SkString = 2
   private final val SkContainer = 3
+
+  /** Mutable ASCII byte-slice CharSequence: a zero-copy view over the
+    * parse buffer, reused across keys. charAt is safe because the parser
+    * only creates views over verified 7-bit ASCII runs.
+    */
+  final class ByteSliceCharSeq extends CharSequence {
+    private[this] var arr: Array[Byte] = _
+    private[this] var off = 0
+    private[this] var n = 0
+    private[json] def set(a: Array[Byte], o: Int, len: Int): Unit = {
+      arr = a; off = o; n = len
+    }
+    def length: Int = n
+    def charAt(index: Int): Char = (arr(off + index) & 0x7F).toChar
+    def subSequence(start: Int, end: Int): CharSequence =
+      new String(arr, off + start, end - start, java.nio.charset.StandardCharsets.US_ASCII)
+    override def toString: String =
+      new String(arr, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+  }
 
   /** Convenience: parse a complete input in one call (absorb, drain all
     * Partial batches, finish), merging batch values with `merge`.

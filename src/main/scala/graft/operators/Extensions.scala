@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Remaining §2.11 surface: sketch aggregation (HLL), the UDAF extension
+  * surface (typed Aggregator), and Structured Streaming (file micro-batch
+  * source + event-time window + watermark).
+  */
+object Extensions {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ---------------------------------------------------------------- q22
+  // approx_count_distinct = HyperLogLog++ partial-mergeable sketch: the
+  // 100 TB way to count distincts (no exact-distinct shuffle explosion).
+  // Sketch estimates are engine-specific -> rows-only gate; the exact
+  // distinct count rides along for eyeballing the error.
+  private val q22 = GQuery(
+    "q22_approx_count_distinct",
+    "HyperLogLog approx_count_distinct vs exact (rows-only: sketches differ per engine)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          count_distinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
+  // ---------------------------------------------------------------- q41
+  // UDAF surface: a typed Aggregator (geometric mean via log-space sums —
+  // partial+final mergeable, exactly like a built-in declarative agg).
+  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double =
+      if (r._2 == 0) Double.NaN else math.exp(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val q41 = GQuery(
+    "q41_udaf_geomean",
+    "custom typed Aggregator UDAF (geometric mean), mergeable partial aggregation",
+    (s, d) => {
+      import s.implicits._
+      s.udf.register("geomean", udaf(GeoMean))
+      T(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(expr("round(geomean(o_totalprice), 2)").as("geo_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
+                   count(*) AS n
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q42
+  // Structured Streaming: the events table replayed as a file micro-batch
+  // stream; event-time tumbling window + watermark; AvailableNow trigger
+  // drains it like a bounded backfill (the 100 TB pattern: the same query
+  // runs unbounded). Complete output mode keeps the result deterministic
+  // for the oracle (a production append-mode run would emit each window
+  // once the watermark passes it).
+  private val q42 = GQuery(
+    "q42_streaming_window",
+    "Structured Streaming event-time window + watermark over the events stream",
+    (s, d) => {
+      import s.implicits._
+      // the file stream source watches a DIRECTORY: stage the events file
+      // into one (a production stream would land files here continuously)
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events")
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val path = streamDir.toString
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos long -> micros ts
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName("q42_stream_agg")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table("q42_stream_agg")
+        .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY window_start, event_type"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42)
+}

@@ -1,0 +1,402 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing row shapes (top-level for Encoder derivation). */
+final case class MediaRow(doc_id: Long, source: String, media: Array[Byte])
+final case class DecodedMedia(
+    doc_id: Long, source: String, width: Int, height: Int, n_bytes: Long, fp: String)
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (language ID, quality scoring, token counting,
+  * fingerprinting), and multimodal binary plumbing.
+  *
+  * Scale stance (100 TB): every similarity operator is BUCKETED — LSH bands
+  * or shared-shingle inverted-index joins, never an all-pairs crossJoin
+  * (the only cross join is 3 broadcast query vectors). Dedup is a single
+  * hash-partitioned shuffle on the content fingerprint. Exact-oracle
+  * queries restrict themselves to arithmetic both engines evaluate
+  * identically (md5, integer math, IEEE double division).
+  */
+object Pipeline {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ---------------------------------------------------------------- q29
+  // Exact dedup: one shuffle on the md5 content fingerprint. The corpus
+  // unions the table with an id-shifted copy so every text has exactly one
+  // duplicate (the driver data is dup-free); keeper = min id, like a
+  // production "first writer wins" policy.
+  private val q29 = GQuery(
+    "q29_dedup_exact",
+    "exact near-zero-memory dedup via content-hash groupBy (one shuffle)",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionAll(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      corpus
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy($"fp")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+            FROM corpus
+            GROUP BY md5(text)
+            ORDER BY fp"""))
+
+  // ---------------------------------------------------------------- q30
+  // MinHash-LSH near-dup candidates: distinct word-3-shingles -> 16
+  // minhashes -> 4 bands of 4 -> join docs sharing a band bucket (never
+  // all-pairs), then estimate Jaccard from minhash agreement. Rows-only
+  // oracle: xxhash64 is Spark-specific.
+  private val q30 = GQuery(
+    "q30_minhash_lsh_neardup",
+    "MinHash-LSH banded near-duplicate candidate join (bucketed, no crossJoin)",
+    (s, d) => {
+      import s.implicits._
+      val sh = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", expr(
+          """CASE WHEN size(w) < 3 THEN array()
+             ELSE array_distinct(transform(sequence(0, size(w) - 3),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END""").as("sh"))
+        .filter(size($"sh") > 0)
+      val mh = sh.select($"doc_id", expr(
+        """transform(sequence(0, 15),
+             i -> array_min(transform(sh, t -> xxhash64(i, t))))""").as("mh"))
+      val bands = mh.select($"doc_id", $"mh",
+          posexplode(expr(
+            """transform(sequence(0, 3),
+                 b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))""")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = bands.select($"doc_id".as("doc_a"), $"mh".as("mh_a"), $"band", $"bucket")
+      val b = bands.select($"doc_id".as("doc_b"), $"mh".as("mh_b"), $"band", $"bucket")
+      a.join(b, Seq("band", "bucket"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          expr("round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / 16.0, 4)").as("jaccard_est"))
+        .distinct()
+        .filter($"jaccard_est" >= 0.25)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    None) // xxhash64 minhashes are engine-specific: rows-only gate
+
+  // ---------------------------------------------------------------- q31
+  // SimHash (32-bit, md5 family): bit b votes +1/-1 per token occurrence by
+  // whether hex digit b of md5(token) has its high bit set; the fingerprint
+  // is the sign vector. Pure md5 + substr arithmetic -> exact oracle.
+  private val q31 = GQuery(
+    "q31_simhash_fingerprint",
+    "SimHash document fingerprint (md5-family bit votes; portable arithmetic)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id")
+        .agg(expr(s"concat(${(0 until 32).map(b =>
+          s"CASE WHEN sum(CASE WHEN substring(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END").mkString(", ")})").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id, concat(${(0 until 32).map(b =>
+              s"CASE WHEN sum(CASE WHEN substring(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+             WHERE tok <> ''
+             GROUP BY doc_id
+             ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q32
+  // n-gram Jaccard similarity join through the shared-shingle inverted
+  // index: only docs sharing >= 1 shingle are ever paired (bucketed), then
+  // |A∩B| / (|A|+|B|-|A∩B|). Integer counts + one IEEE division -> exact.
+  private val q32 = GQuery(
+    "q32_ngram_jaccard_join",
+    "word-3-gram Jaccard similarity join (inverted-index bucketing)",
+    (s, d) => {
+      import s.implicits._
+      val sh = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          """CASE WHEN size(w) < 3 THEN array()
+             ELSE array_distinct(transform(sequence(0, size(w) - 3),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END""")).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("x").join(sh.as("y"), Seq("sh"))
+        .filter($"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        // basis points via pure integer division: engine-exact, no float
+        .select($"doc_a", $"doc_b",
+          expr("(10000 * inter) DIV (na + nb - inter)").as("jaccard_bp"))
+        .filter($"jaccard_bp" >= 1500)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM sh x JOIN sh y USING (sh)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id)
+            SELECT doc_a, doc_b,
+                   (10000 * inter) // (sa.n + sb.n - inter) AS jaccard_bp
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (10000 * inter) // (sa.n + sb.n - inter) >= 1500
+            ORDER BY doc_a, doc_b"""))
+
+  // ---------------------------------------------------------------- q33
+  // Brute-force cosine top-k: 3 broadcast query vectors against the full
+  // table (the ONLY cross join in the engine — the small side is 3 rows),
+  // double-precision dot products, integer-only output so the oracle
+  // cannot flip on float formatting.
+  private val q33 = GQuery(
+    "q33_ann_cosine_topk",
+    "brute-force cosine top-k over embeddings (broadcast query vectors)",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val q = emb.filter($"vec_id".isin(1, 2, 3))
+        .select($"vec_id".as("qid"), $"e".as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          expr("""aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+                  / (sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))
+                   * sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v)))""").as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor"))
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id IN (1, 2, 3)),
+            scored AS (
+              SELECT qid, vec_id,
+                     list_dot_product(qe, e)
+                       / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cos
+              FROM q, e
+              WHERE vec_id <> qid),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT qid, rank, vec_id AS neighbor
+            FROM ranked
+            WHERE rank <= 10
+            ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------------------- q34
+  // LSH-bucketed ANN (the 100 TB path): 6 data vectors act as fixed random
+  // hyperplanes; every vector gets a 6-bit sign bucket; queries probe ONLY
+  // their bucket (equi-join on bucket, not a scan). Approximate by design:
+  // rows-only gate.
+  private val q34 = GQuery(
+    "q34_ann_lsh_bucketed",
+    "random-hyperplane LSH bucketed ANN (equi-join on sign bucket)",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val planes = emb.filter($"vec_id".isin(10, 20, 30, 40, 50, 60))
+        .select($"vec_id".as("pid"), $"e".as("pe"))
+      val bucketed = emb.crossJoin(broadcast(planes))
+        .select($"vec_id", $"e", $"pid",
+          expr("CASE WHEN aggregate(zip_with(e, pe, (x, y) -> x * y), 0D, (a, v) -> a + v) >= 0 THEN 1 ELSE 0 END").as("bit"))
+        .groupBy($"vec_id", $"e")
+        .agg(sum(expr("bit * CAST(pow(2, pid / 10 - 1) AS BIGINT)")).as("bucket"))
+      val q = bucketed.filter($"vec_id".isin(1, 2, 3))
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"bucket")
+      q.join(bucketed, "bucket") // bucket equi-join: the scale path
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          expr("""round(aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+                  / (sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))
+                   * sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))), 4)""").as("cos"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor"))
+        .orderBy($"qid", $"rank")
+    },
+    None) // approximate (bucket recall < 1): rows-only gate
+
+  // ---------------------------------------------------------------- q35
+  // Heuristic language ID (stopword-ratio n-gram family) scored against
+  // the labeled lang column as a confusion matrix. Portable arithmetic.
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  private val q35 = GQuery(
+    "q35_lang_id_heuristic",
+    "language-ID heuristic (stopword ratio) scored as a confusion matrix",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"lang", expr(
+          s"""CASE WHEN size(filter(split(text, ' '), w -> w IN ($stopList)))
+                    / CAST(size(filter(split(text, ' '), w -> w <> '')) AS DOUBLE) > 0.08
+              THEN 'en' ELSE 'other' END""").as("predicted"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some(s"""SELECT lang,
+                    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+                              / CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) > 0.08
+                         THEN 'en' ELSE 'other' END AS predicted,
+                    count(*) AS n
+             FROM documents
+             GROUP BY 1, 2
+             ORDER BY lang, predicted"""))
+
+  // ---------------------------------------------------------------- q36
+  // Quality scoring: length & stopword components via portable arithmetic
+  // (replace/length/split only), aggregated per source.
+  private val q36 = GQuery(
+    "q36_quality_score",
+    "document quality scoring (length + stopword-ratio components) per source",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"source", expr(
+          s"""least(size(filter(split(text, ' '), w -> w <> '')) / 80.0, 1.0) * 0.5
+             + (size(filter(split(text, ' '), w -> w IN ($stopList)))
+                / CAST(size(filter(split(text, ' '), w -> w <> '')) AS DOUBLE)) * 0.5""").as("score"))
+        .groupBy($"source")
+        .agg(round(avg($"score"), 4).as("avg_quality"), count(lit(1)).as("docs"))
+        .orderBy($"source")
+    },
+    Some(s"""SELECT source,
+                    round(avg(least(len(list_filter(string_split(text, ' '), w -> w <> '')) / 80.0, 1.0) * 0.5
+                      + (len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+                         / CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE)) * 0.5), 4) AS avg_quality,
+                    count(*) AS docs
+             FROM documents
+             GROUP BY source
+             ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q37
+  // Token counting: whitespace tokens + a BPE-ish estimate from pure
+  // integer arithmetic (2 bytes-per-7 ~ chars/3.5), per source and total.
+  private val q37 = GQuery(
+    "q37_token_count",
+    "corpus token accounting (whitespace + BPE-style estimate), ROLLUP total",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"source",
+          expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("ws_tokens"),
+          expr("CAST((length(text) * 2) DIV 7 AS BIGINT)").as("bpe_est"))
+        .rollup($"source")
+        .agg(sum($"ws_tokens").as("ws_tokens"), sum($"bpe_est").as("bpe_tokens"))
+        .select(coalesce($"source", lit("(total)")).as("source"), $"ws_tokens", $"bpe_tokens")
+        .orderBy($"source")
+    },
+    Some("""SELECT coalesce(source, '(total)') AS source,
+                   sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+            FROM (SELECT source,
+                         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws,
+                         (length(text) * 2) // 7 AS bpe
+                  FROM documents) t
+            GROUP BY ROLLUP (source)
+            ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q38
+  // Winnowing-style fingerprinting: md5 of every word-5-gram, kept as the
+  // per-doc (min, max, distinct-count) sketch. Exact md5 oracle.
+  private val q38 = GQuery(
+    "q38_fingerprint_shingles",
+    "rolling 5-gram md5 fingerprint sketch per document",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          """CASE WHEN size(w) < 5 THEN array()
+             ELSE transform(sequence(0, size(w) - 5),
+                    i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) END""")).as("fp"))
+        .groupBy($"doc_id")
+        .agg(min($"fp").as("min_fp"), max($"fp").as("max_fp"),
+          count_distinct($"fp").as("n_distinct"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            fp AS (
+              SELECT doc_id,
+                     md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS fp
+              FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) t(i))
+            SELECT doc_id, min(fp) AS min_fp, max(fp) AS max_fp,
+                   count(DISTINCT fp) AS n_distinct
+            FROM fp
+            GROUP BY doc_id
+            ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q40
+  // Multimodal columns: media as opaque binary + typed metadata, with the
+  // decode/feature-extract step as a per-partition batch stub (image/audio
+  // codecs are absent in this container — a real deployment swaps the stub
+  // body for the codec call; the Spark-side plumbing — binary column,
+  // Dataset encoders, partition-batched decode, downstream relational use —
+  // is real). The stub derives fake dimensions from the payload md5, which
+  // the DuckDB oracle reproduces exactly.
+  private val q40 = GQuery(
+    "q40_multimodal_decode_stub",
+    "binary media column + partition-batched decode stub + typed metadata",
+    (s, d) => {
+      import s.implicits._
+      val media = T(s, d, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"source",
+          encode($"text", "utf-8").as("media"))
+        .as[MediaRow]
+      val decoded = media.mapPartitions { rows =>
+        // STUB decode (deterministic fake): md5 the payload, read "dims"
+        // from the first two hex chars. Real codecs slot in here, one
+        // MessageDigest/decoder instance per partition (batch shape).
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { m =>
+          digest.reset()
+          val hex = digest.digest(m.media).map(b => f"$b%02x").mkString
+          DecodedMedia(m.doc_id, m.source, hex.charAt(0).toInt, hex.charAt(1).toInt,
+            m.media.length.toLong, hex)
+        }
+      }
+      decoded.toDF()
+        .groupBy($"source")
+        .agg(
+          sum($"n_bytes").as("total_bytes"),
+          round(avg($"width"), 4).as("avg_w"),
+          round(avg($"height"), 4).as("avg_h"),
+          count_distinct($"fp").as("n_media"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+                   round(avg(ascii(substring(md5(text), 1, 1))), 4) AS avg_w,
+                   round(avg(ascii(substring(md5(text), 2, 1))), 4) AS avg_h,
+                   count(DISTINCT md5(text)) AS n_media
+            FROM documents
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40)
+}

@@ -543,7 +543,7 @@ object Relational {
             ORDER BY l_suppkey"""))
 
   // ---------------------------------------------------------------- q21
-  // Same SQL text runs on Spark (views registered by Tables.registerAll)
+  // Same SQL text runs on Spark (only the two referenced views registered)
   // and DuckDB — scalar + IN subqueries are decorrelated by Catalyst into
   // joins automatically.
   private val q21Sql =
@@ -555,10 +555,10 @@ object Relational {
   private val q21 = GQuery(
     "q21_subqueries",
     "scalar + IN subqueries (Catalyst decorrelation)",
-    (s, d) => { Tables.registerAll(s, d); s.sql(q21Sql) },
+    (s, d) => { Tables.register(s, d, "orders", "customer"); s.sql(q21Sql) },
     Some(q21Sql))
 
-  // ---------------------------------------------------------------- q22
+  // ---------------------------------------------------------------- q25
   private val q25Sql =
     """SELECT coalesce(l_returnflag, '(all)') AS rf,
       |       coalesce(l_linestatus, '(all)') AS ls,
@@ -569,7 +569,7 @@ object Relational {
   private val q25 = GQuery(
     "q25_grouping_sets",
     "explicit GROUPING SETS aggregate",
-    (s, d) => { Tables.registerAll(s, d); s.sql(q25Sql) },
+    (s, d) => { Tables.register(s, d, "lineitem"); s.sql(q25Sql) },
     Some(q25Sql))
 
   // ---------------------------------------------------------------- q23

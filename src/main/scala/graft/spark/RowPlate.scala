@@ -87,16 +87,23 @@ final class RowPlate(
   private[this] val topIndex: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   private[this] val valueColIdx: Int = topIndex.getOrElse("value", -1)
 
-  // name->index per struct node, cached by node identity (schemas are shared)
-  private[this] val fieldIndexCache =
-    new java.util.IdentityHashMap[StructType, Map[String, Int]]
-  private def fieldIndex(st: StructType, name: String): Int = {
-    var m = fieldIndexCache.get(st)
-    if (m == null) {
-      m = st.fieldNames.zipWithIndex.toMap
-      fieldIndexCache.put(st, m)
+  // field names per struct node, cached by node identity (schemas are
+  // shared); lookup is an allocation-free linear contentEquals scan so the
+  // parser's reusable zero-copy key views never need toString
+  private[this] val fieldNamesCache =
+    new java.util.IdentityHashMap[StructType, Array[String]]
+  private def fieldIndex(st: StructType, name: CharSequence): Int = {
+    var names = fieldNamesCache.get(st)
+    if (names == null) {
+      names = st.fieldNames
+      fieldNamesCache.put(st, names)
     }
-    m.getOrElse(name, -1)
+    var i = 0
+    while (i < names.length) {
+      if (names(i).contentEquals(name)) return i
+      i += 1
+    }
+    -1
   }
 
   // single-column filters grouped by referenced top-level column index
@@ -119,37 +126,49 @@ final class RowPlate(
 
   // ------------------------------------------------------------- events
 
-  private def fillScalar(convert: DataType => Any): Signal = {
+  /** Scalar dispatch without per-event closures (hot path): kind 0=null,
+    * 1=false, 2=true, 3=empty-map, 4=empty-arr, 5=num, 6=str.
+    */
+  private def scalarValue(dt: DataType, kind: Int, s: CharSequence,
+      decIdx: Int, expIdx: Int): Any = kind match {
+    case 0 => null
+    case 1 => Conversions.fromBoolean(dt, false)
+    case 2 => Conversions.fromBoolean(dt, true)
+    case 3 => dt match {
+      case st: StructType => new GenericInternalRow(new Array[Any](st.length))
+      case _: MapType     => ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
+      case _              => null
+    }
+    case 4 => dt match {
+      case _: ArrayType => new GenericArrayData(Array.empty[Any])
+      case _            => null
+    }
+    case 5 => Conversions.fromNum(dt, s, decIdx, expIdx)
+    case _ => Conversions.fromString(dt, s)
+  }
+
+  private def fillScalar(kind: Int, s: CharSequence, decIdx: Int, expIdx: Int): Signal = {
     val f = top
     if (f.kind == KEmpty) {
       f.kind = KScalar
-      f.value = convert(f.expected)
+      f.value = scalarValue(f.expected, kind, s, decIdx, expIdx)
       Signal.Continue
     } else if (f eq rowFrame) {
       // scalar row in a schemaless stream: the "value" column when present
       if (valueColIdx >= 0) {
-        f.values(valueColIdx) = convert(schema(valueColIdx).dataType)
+        f.values(valueColIdx) = scalarValue(schema(valueColIdx).dataType, kind, s, decIdx, expIdx)
         earlyFilter(valueColIdx, f.values(valueColIdx))
       } else Signal.Continue
     } else Signal.Continue // discard / malformed: ignore
   }
 
-  def nul(): Signal = fillScalar(_ => null)
-  def fls(): Signal = fillScalar(Conversions.fromBoolean(_, false))
-  def tru(): Signal = fillScalar(Conversions.fromBoolean(_, true))
-  def map(): Signal = fillScalar {
-    case s: StructType => new GenericInternalRow(new Array[Any](s.length))
-    case _: MapType    => ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
-    case _             => null
-  }
-  def arr(): Signal = fillScalar {
-    case _: ArrayType => new GenericArrayData(Array.empty[Any])
-    case _            => null
-  }
-  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal =
-    fillScalar(Conversions.fromNum(_, s, decIdx, expIdx))
-  def str(s: CharSequence): Signal =
-    fillScalar(Conversions.fromString(_, s))
+  def nul(): Signal = fillScalar(0, null, -1, -1)
+  def fls(): Signal = fillScalar(1, null, -1, -1)
+  def tru(): Signal = fillScalar(2, null, -1, -1)
+  def map(): Signal = fillScalar(3, null, -1, -1)
+  def arr(): Signal = fillScalar(4, null, -1, -1)
+  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = fillScalar(5, s, decIdx, expIdx)
+  def str(s: CharSequence): Signal = fillScalar(6, s, -1, -1)
 
   def nestMap(pathComponent: CharSequence): Signal = {
     val f = top
@@ -163,7 +182,7 @@ final class RowPlate(
     }
     f.kind match {
       case KStruct =>
-        val idx = fieldIndex(f.st, pathComponent.toString)
+        val idx = fieldIndex(f.st, pathComponent)
         if (idx < 0) {
           skipPending = true
           Signal.SkipColumn // projection pushdown: key not in (pruned) schema

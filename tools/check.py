@@ -1,28 +1,64 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run graft.Verify, then
 run each oracle SQL in DuckDB over the same tables and compare (columns
-sorted by name, row order preserved, exact value equality).
+sorted by name, row order preserved).
 
-Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify] [query ...]
+Floats compare with a small absolute tolerance (both engines round() their
+aggregates, but last-bit summation-order differences can straddle a
+rounding boundary); everything else compares exactly.
+
+Usage: python3 tools/check.py [--sf DIR] [--out DIR] [--skip-verify] [query ...]
+       (bare positional dir args still accepted for compatibility)
 """
-import json, subprocess, sys, glob, os
+import argparse, json, subprocess, sys, glob, os, shutil
 
-sf = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith('-') else "/tmp/verify_out"
-skip = '--skip-verify' in sys.argv
-only = [a for a in sys.argv[3:] if not a.startswith('-')]
+ap = argparse.ArgumentParser()
+ap.add_argument("--sf", default=None, help="scale-factor data dir")
+ap.add_argument("--out", default=None, help="verify output dir")
+ap.add_argument("--skip-verify", action="store_true",
+                help="reuse the existing output dir instead of re-running Verify")
+ap.add_argument("--atol", type=float, default=1e-6, help="float comparison tolerance")
+ap.add_argument("rest", nargs="*",
+                help="optional: positional sfDir/outDir (if they look like dirs) and query-name filters")
+args = ap.parse_args()
 
-if not skip:
+rest = list(args.rest)
+sf = args.sf
+out = args.out
+# legacy positionals: first arg starting with '/' is sfDir, second is outDir
+if sf is None and rest and rest[0].startswith("/"):
+    sf = rest.pop(0)
+if out is None and rest and rest[0].startswith("/"):
+    out = rest.pop(0)
+sf = sf or "/root/testdata/sf0.01"
+out = out or "/tmp/verify_out"
+only = rest
+
+verify_errors = []
+if not args.skip_verify:
+    # fresh output dir: stale parquet from an earlier run must never be
+    # compared (false-green risk)
+    if only:
+        for q in only:
+            shutil.rmtree(os.path.join(out, q), ignore_errors=True)
+    else:
+        shutil.rmtree(out, ignore_errors=True)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
-    sys.stdout.write('\n'.join(l for l in r.stdout.splitlines()
-                               if 'error' in l.lower() or 'failed' in l.lower()) + '\n')
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line and "failed" in line:
+            verify_errors.append(line[line.index("[verify]"):])
+    interesting = [l for l in r.stdout.splitlines()
+                   if 'error' in l.lower() or 'failed' in l.lower()]
+    if interesting:
+        sys.stdout.write('\n'.join(interesting) + '\n')
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-3000:]); sys.exit(1)
 
 import duckdb
 import pandas as pd
+import numpy as np
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
@@ -54,7 +90,12 @@ for name, sql in sorted(oracle.items()):
         if str(g.dtype).startswith('datetime') or str(e.dtype).startswith('datetime'):
             g = pd.to_datetime(g).astype('datetime64[us]')
             e = pd.to_datetime(e).astype('datetime64[us]')
-        neq = ~((g == e) | (g.isna() & e.isna()))
+        if g.dtype.kind == 'f' or e.dtype.kind == 'f':
+            gg = g.astype('float64'); ee = e.astype('float64')
+            neq = ~(np.isclose(gg, ee, atol=args.atol, rtol=0.0, equal_nan=True)
+                    | (gg.isna() & ee.isna()))
+        else:
+            neq = ~((g == e) | (g.isna() & e.isna()))
         if neq.any():
             i = neq.idxmax()
             bad = (c, i, g[i], e[i], int(neq.sum()))
@@ -66,5 +107,11 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"ok   {name} ({len(got)} rows)")
         ok += 1
-print(f"\n{ok} ok, {fail} fail")
-sys.exit(1 if fail else 0)
+
+# a '[verify] <q> failed' line is a hard failure even though the per-query
+# parquet was simply absent (already counted) — surface the reasons
+for line in verify_errors:
+    print(f"VERIFY-ERROR {line}")
+
+print(f"\n{ok} ok, {fail} fail" + (f", {len(verify_errors)} verify errors" if verify_errors else ""))
+sys.exit(1 if (fail or verify_errors) else 0)
