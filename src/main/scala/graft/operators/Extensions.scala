@@ -112,5 +112,48 @@ object Extensions {
             GROUP BY 1, 2
             ORDER BY window_start, event_type"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42)
+  // ---------------------------------------------------------------- q43
+  // Typed custom per-key logic: KeyValueGroupedDataset.mapGroups
+  // sessionization (30-minute inactivity gap) — the batch shape of
+  // mapGroupsWithState custom state (per-user events fit an executor; hot
+  // keys would pre-split by (user, day) at 100 TB). Exact gaps-and-islands
+  // oracle.
+  private val q43 = GQuery(
+    "q43_typed_sessionization",
+    "typed groupByKey.mapGroups sessionization (30-min gap), custom per-key state",
+    (s, d) => {
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      T(s, d, "events")
+        .select($"user_id".cast("long").as("user_id"), unix_micros($"ts").as("ts_us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          var sessions = if (ts.isEmpty) 0L else 1L
+          var i = 1
+          while (i < ts.length) {
+            if (ts(i) - ts(i - 1) > gapUs) sessions += 1
+            i += 1
+          }
+          (uid, ts.length.toLong, sessions)
+        }
+        .toDF("user_id", "n_events", "n_sessions")
+        .orderBy($"user_id")
+    },
+    Some("""WITH gaps AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions
+            FROM gaps
+            GROUP BY user_id
+            ORDER BY user_id"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43)
 }

@@ -77,6 +77,10 @@ object Pipeline {
             """transform(sequence(0, 3),
                  b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))""")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // Self-join re-plans the signature computation on each side; at
+      // 100 TB the signature table (a few hundred bytes/doc vs KBs of
+      // text) would be materialized once — persist() or a bucketed write
+      // on `bucket` — turning this into a co-partitioned merge join.
       val a = bands.select($"doc_id".as("doc_a"), $"mh".as("mh_a"), $"band", $"bucket")
       val b = bands.select($"doc_id".as("doc_b"), $"mh".as("mh_b"), $"band", $"bucket")
       a.join(b, Seq("band", "bucket"))

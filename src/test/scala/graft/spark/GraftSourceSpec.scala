@@ -1,0 +1,171 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** DataFrame-level parity: the graft DSv2 readers vs spark.read.json/csv
+  * on identical fixtures, plus byte-range splitting and pushdown checks.
+  */
+class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-source-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft-src")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(UTF_8))
+    p.toString
+  }
+
+  private val jsonFixture: String = (1 to 50).map { i =>
+    s"""{"id": $i, "name": "item$i", "score": ${i * 0.5}, "tags": ["a$i", "b$i"], "meta": {"grp": ${i % 5}, "flag": ${i % 2 == 0}}}"""
+  }.mkString("\n") + "\n"
+
+  test("graft-json matches spark.read.json row for row") {
+    val p = write("parity.json", jsonFixture)
+    val ours = spark.read.format("graft-json").load(p)
+    val theirs = spark.read.json(p)
+    val cols = theirs.columns.sorted.map(col).toSeq
+    val a = ours.select(cols: _*).orderBy("id").collect().map(_.toString).toSeq
+    val b = theirs.select(cols: _*).orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("schema inference types match the built-in reader's") {
+    val p = write("types.json", jsonFixture)
+    val ours = spark.read.format("graft-json").load(p).schema
+    val theirs = spark.read.json(p).schema
+    // field sets and types agree (order may differ: theirs is alphabetized)
+    assert(ours.fields.map(f => f.name -> f.dataType).toMap ==
+      theirs.fields.map(f => f.name -> f.dataType).toMap)
+  }
+
+  test("byte-range splits reassemble every row exactly once") {
+    val p = write("split.json", jsonFixture)
+    val whole = spark.read.format("graft-json").load(p)
+    val split = spark.read.format("graft-json")
+      .option("maxsplitbytes", "256") // forces many tiny ranges
+      .load(p)
+    assert(split.rdd.getNumPartitions > 1)
+    assert(split.count() == 50)
+    assert(split.select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 50L))
+    assert(whole.count() == split.count())
+  }
+
+  test("column pruning reaches the scan (pruned read schema)") {
+    val p = write("prune.json", jsonFixture)
+    val df = spark.read.format("graft-json").load(p).select("id", "name")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSet == Set("id", "name"))
+    assert(df.count() == 50)
+  }
+
+  test("filter pushdown drops rows in the reader and stays correct") {
+    val p = write("filter.json", jsonFixture)
+    val df = spark.read.format("graft-json").load(p).filter(col("id") > 40)
+    assert(df.count() == 10)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.head.scan.description().contains("GreaterThan"))
+    // parity with the built-in reader under the same filter
+    val theirs = spark.read.json(p).filter(col("id") > 40)
+    assert(df.select("id", "name").orderBy("id").collect().toSeq ==
+      theirs.select("id", "name").orderBy("id").collect().toSeq)
+  }
+
+  test("nested field access and heterogeneous rows") {
+    val content =
+      """{"a": 1, "nested": {"x": "one"}}
+        |{"a": 2}
+        |{"a": 3, "nested": {"x": "three", "y": 9}}
+        |""".stripMargin
+    val p = write("nested.json", content)
+    val df = spark.read.format("graft-json").load(p)
+    val rows = df.select(col("a"), col("nested.x"), col("nested.y"))
+      .orderBy("a").collect()
+    assert(rows.map(r => (r.get(0), r.get(1), r.get(2))).toSeq == Seq(
+      (1L, "one", null), (2L, null, null), (3L, "three", 9L)))
+  }
+
+  test("UnwrapArray mode reads a top-level JSON array") {
+    val p = write("arr.json", """[{"v": 1}, {"v": 2}, {"v": 3}]""")
+    val df = spark.read.format("graft-json").option("mode", "array").load(p)
+    assert(df.select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("user-supplied schema skips inference and prunes eagerly") {
+    val p = write("user.json", jsonFixture)
+    val df = spark.read.format("graft-json")
+      .schema("id LONG, score DOUBLE")
+      .load(p)
+    assert(df.columns.toSeq == Seq("id", "score"))
+    assert(df.agg(sum("id")).collect()(0).getLong(0) == (1 to 50).sum.toLong)
+  }
+
+  // ---------------------------------------------------------------- CSV
+
+  private val csvFixture: String =
+    "id,name,qty\n" + (1 to 30).map(i => s"$i,thing$i,${i * 3}").mkString("\n") + "\n"
+
+  test("graft-csv matches spark.read.csv with header") {
+    val p = write("parity.csv", csvFixture)
+    val ours = spark.read.format("graft-csv").load(p)
+    val theirs = spark.read.option("header", "true").csv(p)
+    assert(ours.schema.fieldNames.toSeq == theirs.schema.fieldNames.toSeq)
+    assert(ours.orderBy(col("id").cast("long")).collect().map(_.toString).toSeq ==
+      theirs.orderBy(col("id").cast("long")).collect().map(_.toString).toSeq)
+  }
+
+  test("graft-csv honors quoting and embedded delimiters") {
+    val p = write("quote.csv", "a,b\r\n\"x,y\",\"with \"\"quotes\"\"\"\r\nplain,2\r\n")
+    val df = spark.read.format("graft-csv").option("linesep", "\r\n").load(p)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("x,y", "with \"quotes\""), ("plain", "2")))
+  }
+
+  test("graft-csv header inference (Excel names) when header=false") {
+    val p = write("nohdr.csv", "1,2,3\n4,5,6\n")
+    val df = spark.read.format("graft-csv").option("header", "false").load(p)
+    assert(df.columns.toSeq == Seq("A", "B", "C"))
+    assert(df.count() == 2)
+  }
+
+  test("graft-csv typed user schema coerces cells") {
+    val p = write("typed.csv", csvFixture)
+    val df = spark.read.format("graft-csv")
+      .schema("id LONG, name STRING, qty LONG")
+      .load(p)
+    assert(df.agg(sum("qty")).collect()(0).getLong(0) == (1 to 30).map(_ * 3).sum.toLong)
+  }
+
+  test("csv filter pushdown parity") {
+    val p = write("fcsv.csv", csvFixture)
+    val df = spark.read.format("graft-csv").load(p).filter(col("name") === "thing7")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("7"))
+  }
+}
