@@ -94,5 +94,36 @@ object Sources {
              WHERE CAST(name_len AS BIGINT) > 0
              ORDER BY r_regionkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28)
+  // ---------------------------------------------------------------- q44
+  // The graft-json DSv2 source under readStream: byte-capped micro-batches
+  // (BreakBatch ≈ ReadLimit admission control) drained with AvailableNow,
+  // aggregated, and checked exactly against DuckDB over the same file.
+  private val q44 = GQuery(
+    "q44_json_stream_ingest",
+    "graft-json micro-batch streaming ingest (admission-controlled) vs DuckDB",
+    (s, d) => {
+      import s.implicits._
+      ensureFixtures(s, d)
+      val schema = s.read.format("graft-json").load(jsonFixture).schema
+      val stream = s.readStream.format("graft-json")
+        .schema(schema)
+        .option("maxbytespertrigger", "256") // several micro-batches over 25 rows
+        .load(jsonFixture)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n"), sum(col("meta.len")).as("total_len"))
+      val q = stream.writeStream
+        .format("memory")
+        .queryName("q44_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q44_stream").orderBy($"n_regionkey")
+    },
+    Some(s"""SELECT n_regionkey, count(*) AS n, sum(meta.len) AS total_len
+             FROM read_json('$jsonFixture', format='newline_delimited')
+             GROUP BY n_regionkey
+             ORDER BY n_regionkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44)
 }

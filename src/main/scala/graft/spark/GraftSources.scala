@@ -142,7 +142,7 @@ final class GraftJsonTable(schema: StructType, properties: java.util.Map[String,
   override def name(): String = s"graft-json:${properties.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options, isJson = true)
 }
@@ -253,6 +253,13 @@ final class GraftScan(
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(isJson, "graft-csv does not support streaming reads")
+    new GraftJsonMicroBatchStream(schema, filters, options,
+      GraftSources.jsonMode(options.asCaseSensitiveMap()))
+  }
   override def description(): String =
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
       s" pushed=[${filters.mkString(", ")}])"

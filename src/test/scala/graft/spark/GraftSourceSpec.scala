@@ -168,4 +168,27 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.read.format("graft-csv").load(p).filter(col("name") === "thing7")
     assert(df.collect().map(_.getString(0)).toSeq == Seq("7"))
   }
+
+  // ----------------------------------------------------------- streaming
+
+  test("graft-json streams in byte-capped micro-batches with exact rows") {
+    val p = write("stream.json", jsonFixture)
+    val schema = spark.read.format("graft-json").load(p).schema
+    val df = spark.readStream.format("graft-json")
+      .schema(schema)
+      .option("maxbytespertrigger", "512") // force many micro-batches
+      .load(p)
+    val q = df.writeStream
+      .format("memory")
+      .queryName("graft_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("graft_stream_test").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 50L))
+    val batches = q.recentProgress.length
+    assert(batches > 1, s"expected multiple micro-batches, saw $batches")
+  }
 }
