@@ -43,6 +43,7 @@ object Bench {
     val results = bench.map(q => q.name -> time(q))
 
     val skip = SkipBench.run()
+    val csvMbps = SkipBench.csvRowCountMbps()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
@@ -50,7 +51,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"skip_off_mbps":${skip.offMbps},"skip_on_mbps":${skip.onMbps},""" +
-      s""""skip_speedup":${skip.speedup},"sf":"$sfDir"}"""
+      s""""skip_speedup":${skip.speedup},"csv_count_mbps":$csvMbps,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
@@ -151,5 +152,47 @@ object SkipBench {
       offMbps = math.round(mb / off * 10) / 10.0,
       onMbps = math.round(mb / on * 10) / 10.0,
       speedup = math.round(off / on * 100) / 100.0)
+  }
+
+  /** CSV row-count throughput over worldcitiespop-shaped rows — the
+    * reference's CSV benchmark scenario (its number: 144 MB in 2.02 s =
+    * ~71 MB/s, README "Row-Counting Benchmark for CSV").
+    */
+  def csvRowCountMbps(): Double = {
+    import graft.core.csv.CsvParser
+    val sb = new java.lang.StringBuilder
+    sb.append("country,city,accentcity,region,population,latitude,longitude\r\n")
+    var i = 0
+    while (i < 300000) {
+      sb.append("ad,aixas,Aixas,06,,42.48333").append(i % 10)
+        .append(",1.46666").append(i % 10).append("\r\n")
+      i += 1
+    }
+    val data = sb.toString.getBytes("UTF-8")
+    def countOnce(): Unit = {
+      val p = new CsvParser(new RowCountPlate, CsvParser.Config())
+      var c = 0L
+      p.absorb(data) match {
+        case ParseResult.Complete(n) => c += n
+        case ParseResult.Partial(n, _) => c += n
+        case ParseResult.Failure(e) => throw e
+      }
+      p.finish() match {
+        case ParseResult.Complete(n) => c += n
+        case _ => ()
+      }
+      require(c == 300000, s"row count $c")
+    }
+    var w = 0
+    while (w < 4) { countOnce(); w += 1 }
+    var best = Double.MaxValue
+    var r = 0
+    while (r < 6) {
+      val t0 = System.nanoTime()
+      countOnce()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    math.round(data.length / 1e6 / best * 10) / 10.0
   }
 }

@@ -55,18 +55,21 @@ object Extensions {
     (s, d) => {
       import s.implicits._
       s.udf.register("geomean", udaf(GeoMean))
+      // scalar UDF surface alongside the UDAF (priority bucket from the
+      // "N-..." prefix); trivial logic so the oracle reproduces it exactly
+      s.udf.register("priobucket", (p: String) => p.substring(0, 1))
       T(s, d, "orders")
-        .groupBy($"o_orderpriority")
+        .groupBy(expr("priobucket(o_orderpriority)").as("prio"))
         .agg(expr("round(geomean(o_totalprice), 2)").as("geo_price"),
           count(lit(1)).as("n"))
-        .orderBy($"o_orderpriority")
+        .orderBy($"prio")
     },
-    Some("""SELECT o_orderpriority,
+    Some("""SELECT substring(o_orderpriority, 1, 1) AS prio,
                    round(exp(avg(ln(o_totalprice))), 2) AS geo_price,
                    count(*) AS n
             FROM orders
-            GROUP BY o_orderpriority
-            ORDER BY o_orderpriority"""))
+            GROUP BY 1
+            ORDER BY prio"""))
 
   // ---------------------------------------------------------------- q42
   // Structured Streaming: the events table replayed as a file micro-batch
@@ -155,5 +158,56 @@ object Extensions {
             GROUP BY user_id
             ORDER BY user_id"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43)
+  // ---------------------------------------------------------------- q45
+  // Skew-resistant as-of join: q08's union+window formulation puts a hot
+  // user's entire history in one task. This variant pre-buckets by
+  // (user_id, day): the big window runs per (user, day) — bounded work per
+  // task no matter how hot the user — and a per-user carry-over window
+  // runs only over the tiny (user, day) summary table to propagate the
+  // last click across bucket boundaries. Same result, same oracle.
+  private val q45 = GQuery(
+    "q45_asof_join_skew_resistant",
+    "as-of join pre-bucketed by (user, day) with boundary carry-over (hot-key safe)",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+        .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
+        .withColumn("click_id", when($"event_type" === "click", $"event_id"))
+        .withColumn("bucket", expr("unix_micros(ts) div 86400000000")) // day
+      // in-bucket as-of: bounded per (user, day) regardless of user heat
+      val wLocal = Window.partitionBy($"user_id", $"bucket")
+        .orderBy($"ts", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = e.withColumn("lc_local", last($"click_id", ignoreNulls = true).over(wLocal))
+      // tiny summary: one row per (user, day) with the bucket's last click
+      val summary = e.groupBy($"user_id", $"bucket")
+        .agg(expr("max_by(click_id, struct(ts, event_id)) FILTER (WHERE click_id IS NOT NULL)")
+          .as("bucket_last_click"))
+      // carry the last click across PRIOR buckets (per-user window over the
+      // summary only: rows-per-user = active days, never the event count)
+      val wCarry = Window.partitionBy($"user_id").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = summary.withColumn(
+        "carry", last($"bucket_last_click", ignoreNulls = true).over(wCarry))
+        .select($"user_id", $"bucket", $"carry")
+      local.join(carried, Seq("user_id", "bucket"))
+        .filter($"tag" === 1)
+        .select($"event_id".as("purchase_id"),
+          coalesce($"lc_local", $"carry", lit(-1L)).as("last_click_id"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id AND c.ts <= p.ts) t
+            WHERE rn = 1
+            ORDER BY purchase_id"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45)
 }
