@@ -402,5 +402,53 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40)
+  // ---------------------------------------------------------------- q46
+  // tf-idf: term frequency x inverse document frequency, top-5 terms per
+  // document for the first 10 docs. Two aggregations (term-per-doc, then
+  // doc-frequency) + a broadcast 1-row corpus count; ranking is a bounded
+  // per-doc window. ln() agrees across engines at round(4).
+  private val q46 = GQuery(
+    "q46_tfidf_top_terms",
+    "tf-idf scoring with per-document top-k term ranking",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val toks = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          round($"tf" * log($"n_docs" / $"df"), 4).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+      scored.filter($"doc_id" < 10)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"tfidf")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, tf.term AS term,
+                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+              FROM tf JOIN dfreq ON tf.term = dfreq.term, n),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored WHERE doc_id < 10)
+            SELECT doc_id, rank, term, tfidf
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46)
 }
