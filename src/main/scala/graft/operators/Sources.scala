@@ -125,5 +125,28 @@ object Sources {
              GROUP BY n_regionkey
              ORDER BY n_regionkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44)
+  // ---------------------------------------------------------------- q47
+  // Open-typed VARIANT ingestion: no inference, one VARIANT column built
+  // event-by-event (exact decimal scale preserved); relational shape is
+  // recovered lazily with variant_get — the schemaless row model of
+  // SURVEY §1.3 option 1, end-to-end against DuckDB's JSON reader.
+  private val q47 = GQuery(
+    "q47_variant_ingest",
+    "schema-free VARIANT ingestion + lazy typed extraction (variant_get)",
+    (s, d) => {
+      ensureFixtures(s, d)
+      s.read.format("graft-json").option("variant", "true").load(jsonFixture)
+        .selectExpr(
+          "variant_get(value, '$.n_regionkey', 'long') AS n_regionkey",
+          "variant_get(value, '$.n_name', 'string') AS n_name",
+          "variant_get(value, '$.meta.len', 'long') AS len")
+        .where("len > 5")
+        .orderBy("n_regionkey", "n_name")
+    },
+    Some(s"""SELECT n_regionkey, n_name, meta.len AS len
+             FROM read_json('$jsonFixture', format='newline_delimited')
+             WHERE meta.len > 5
+             ORDER BY n_regionkey, n_name"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47)
 }

@@ -107,6 +107,11 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // open-typed mode: one VARIANT column, no inference pass at all —
+    // heterogeneous rows and exact decimal scale survive ingestion
+    if (options.getBoolean("variant", false))
+      return StructType(Seq(org.apache.spark.sql.types.StructField(
+        "value", org.apache.spark.sql.types.VariantType)))
     val files = GraftSources.resolveFiles(options)
     val conf = GraftSources.activeHadoopConf()
     val sampleBytes = Option(options.get("samplebytes")).map(_.toLong).getOrElse(4L << 20)
@@ -329,7 +334,14 @@ final class GraftJsonPartitionReader(
     mode: JsonParser.Mode) extends PartitionReader[InternalRow] {
 
   private val queue = new mutable.ArrayDeque[InternalRow]
-  private val plate = new RowPlate(schema, filters, queue.append(_))
+  // a single VARIANT column selects open-typed ingestion (no pruning: the
+  // whole value is the column); otherwise the schema-driven pushdown plate
+  private val variantMode = schema.length == 1 &&
+    schema.head.dataType == org.apache.spark.sql.types.VariantType
+  private val rowPlate: RowPlate =
+    if (variantMode) null else new RowPlate(schema, filters, queue.append(_))
+  private val plate: graft.core.Plate[Long] =
+    if (variantMode) new VariantRowPlate(queue.append(_)) else rowPlate
   private val parser = new JsonParser(plate, mode)
 
   private val path = new Path(part.path)
@@ -409,7 +421,7 @@ final class GraftJsonPartitionReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(new CustomTaskMetric {
       override def name(): String = GraftSources.SkippedBytesMetricName
-      override def value(): Long = plate.totalSkippedBytes
+      override def value(): Long = if (rowPlate == null) 0L else rowPlate.totalSkippedBytes
     })
 }
 

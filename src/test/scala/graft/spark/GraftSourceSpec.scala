@@ -191,4 +191,30 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batches = q.recentProgress.length
     assert(batches > 1, s"expected multiple micro-batches, saw $batches")
   }
+
+  // ------------------------------------------------------------- variant
+
+  test("variant mode ingests heterogeneous rows with exact decimals") {
+    val content =
+      """{"a": 1.50, "b": "x"}
+        |{"a": {"nested": true}}
+        |{"a": [1, 2.25], "c": 99999999999999999999}
+        |""".stripMargin
+    val p = write("variant.json", content)
+    val df = spark.read.format("graft-json").option("variant", "true").load(p)
+    assert(df.schema.fields.map(_.dataType.typeName).toSeq == Seq("variant"))
+    val js = df.selectExpr("to_json(value) AS j").collect().map(_.getString(0)).sorted
+    assert(js.exists(_.contains("\"b\":\"x\"")))
+    assert(js.exists(_.contains("99999999999999999999"))) // > Long.MaxValue survives
+    // decimals stay decimals (scale preserved in the binary; typed extraction)
+    val dec = df.selectExpr("try_variant_get(value, '$.a', 'decimal(12,2)') AS d")
+      .collect().flatMap(r => Option(r.get(0))).map(_.toString).sorted.toSeq
+    assert(dec == Seq("1.50"))
+    val types = df.selectExpr("schema_of_variant(value) AS t")
+      .collect().map(_.getString(0)).mkString(";")
+    assert(types.contains("DECIMAL"))
+    val a1 = df.selectExpr("variant_get(value, '$.a.nested', 'boolean') AS n")
+      .collect().flatMap(r => Option(r.get(0))).toSeq
+    assert(a1 == Seq(true))
+  }
 }
