@@ -243,7 +243,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     case '{' => curr += 1; pushContainer(isObject = true); phase = PhKeyFirst
     case '[' => curr += 1; pushContainer(isObject = false); phase = PhArrFirst
     case '"' =>
-      val s = parseStringToken()
+      val s = parseValueStringToken()
       val sig = plate.str(s)
       handleRowSignals(sig)
       if (skipMode == SkipNone) valueDone()
@@ -256,11 +256,12 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       else die(curr, s"expected JSON value, got '${b.toChar}'")
   }
 
-  // Reusable zero-copy view handed to nestMap for plain ASCII keys: valid
-  // only for the duration of the call (plates must copy if they retain it,
-  // which ReplayPlate/ReifiedPlate do). Escaped/non-ASCII keys take the
-  // full decode path.
+  // Reusable zero-copy views handed to nestMap (keys) and str (values) for
+  // plain ASCII runs: valid only for the duration of the call (plates must
+  // copy if they retain content, which ReplayPlate/ReifiedPlate do).
+  // Escaped/non-ASCII strings take the full decode path.
   private[this] val keyView = new JsonParser.ByteSliceCharSeq
+  private[this] val valueView = new JsonParser.ByteSliceCharSeq
 
   private[this] def parseKey(): Unit = {
     val key = parseKeyToken()
@@ -274,14 +275,21 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     * reusable buffer view (no allocation, no UTF-8 decode) — keys are the
     * dominant string traffic under column-skipping workloads.
     */
-  private[this] def parseKeyToken(): CharSequence = {
+  private[this] def parseKeyToken(): CharSequence = parseViewOr(keyView)
+
+  /** Same fast path for string VALUES (separate view: a consumer may still
+    * be comparing the key view when the value arrives).
+    */
+  private[this] def parseValueStringToken(): CharSequence = parseViewOr(valueView)
+
+  private[this] def parseViewOr(view: JsonParser.ByteSliceCharSeq): CharSequence = {
     var i = curr + 1
     while (i < len) {
       val b = data(i)
       if (b == '"') {
-        keyView.set(data, curr + 1, i - curr - 1)
+        view.set(data, curr + 1, i - curr - 1)
         curr = i + 1
-        return keyView
+        return view
       }
       // '\\' = escape; b < 0x20 covers control chars AND (signed) bytes
       // >= 0x80, i.e. multi-byte UTF-8 -> full decode path
@@ -616,6 +624,11 @@ object JsonParser {
     private[json] def set(a: Array[Byte], o: Int, len: Int): Unit = {
       arr = a; off = o; n = len
     }
+    /** Raw slice access for zero-decode consumers (the bytes are verified
+      * 7-bit ASCII, hence valid UTF-8; copy before the call returns).
+      */
+    def bytes: Array[Byte] = arr
+    def offset: Int = off
     def length: Int = n
     def charAt(index: Int): Char = (arr(off + index) & 0x7F).toChar
     def subSequence(start: Int, end: Int): CharSequence =

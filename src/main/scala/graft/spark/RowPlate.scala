@@ -352,6 +352,14 @@ object Conversions {
   }
 
   def fromString(dt: DataType, text: CharSequence): Any = {
+    // zero-decode path: an ASCII buffer view becomes UTF8String bytes
+    // directly (one copy, no char decode, no intermediate String)
+    text match {
+      case v: graft.core.json.JsonParser.ByteSliceCharSeq if dt == StringType =>
+        return UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
+      case _ => ()
+    }
     val s = text.toString
     try dt match {
       case StringType  => UTF8String.fromString(s)
