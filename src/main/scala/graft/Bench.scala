@@ -126,7 +126,10 @@ object SkipBench {
   }
 
   def run(): Result = {
-    val data = mkData(10000)
+    // ~12 MB corpus: long enough that a steady-state pass dominates JIT
+    // and GC noise (small corpora made the ratio swing run to run)
+    val rows = 30000
+    val data = mkData(rows)
     val mb = data.length / 1e6
     def bestOf(n: Int)(body: => Unit): Double = {
       var best = Double.MaxValue
@@ -141,13 +144,13 @@ object SkipBench {
     }
     // warmup both paths thoroughly (JIT) before measuring
     var w = 0
-    while (w < 5) {
-      require(parseAllBytes(data, fullSchema) == 10000)
-      require(parseAllBytes(data, prunedSchema) == 10000)
+    while (w < 3) {
+      require(parseAllBytes(data, fullSchema) == rows)
+      require(parseAllBytes(data, prunedSchema) == rows)
       w += 1
     }
-    val off = bestOf(10)(parseAllBytes(data, fullSchema))
-    val on = bestOf(10)(parseAllBytes(data, prunedSchema))
+    val off = bestOf(6)(parseAllBytes(data, fullSchema))
+    val on = bestOf(6)(parseAllBytes(data, prunedSchema))
     Result(
       offMbps = math.round(mb / off * 10) / 10.0,
       onMbps = math.round(mb / on * 10) / 10.0,

@@ -262,6 +262,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   // Escaped/non-ASCII strings take the full decode path.
   private[this] val keyView = new JsonParser.ByteSliceCharSeq
   private[this] val valueView = new JsonParser.ByteSliceCharSeq
+  private[this] val numView = new JsonParser.ByteSliceCharSeq // numbers are ASCII
 
   private[this] def parseKey(): Unit = {
     val key = parseKeyToken()
@@ -455,9 +456,11 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     }
     if (b == -1 && !done) throw NeedsInput // the number may continue in the next chunk
 
-    val text = new String(data, start, i - start, UTF_8)
+    // zero-copy: number text is always ASCII; consumers needing to retain
+    // it (ReplayPlate etc.) copy via toString
+    numView.set(data, start, i - start)
     curr = i
-    val sig = plate.num(text, decIdx, expIdx)
+    val sig = plate.num(numView, decIdx, expIdx)
     handleRowSignals(sig)
     if (skipMode == SkipNone) valueDone()
   }

@@ -335,18 +335,19 @@ object Conversions {
   }
 
   def fromNum(dt: DataType, text: CharSequence, decIdx: Int, expIdx: Int): Any = {
-    val s = text.toString
     try dt match {
-      case LongType    => if (decIdx < 0 && expIdx < 0) java.lang.Long.parseLong(s) else null
-      case IntegerType => if (decIdx < 0 && expIdx < 0) java.lang.Integer.parseInt(s) else null
-      case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(s) else null
-      case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(s) else null
-      case DoubleType  => java.lang.Double.parseDouble(s)
-      case FloatType   => java.lang.Float.parseFloat(s)
+      // integral targets parse straight from the CharSequence view — the
+      // dominant case allocates nothing
+      case LongType    => if (decIdx < 0 && expIdx < 0) java.lang.Long.parseLong(text, 0, text.length, 10) else null
+      case IntegerType => if (decIdx < 0 && expIdx < 0) java.lang.Integer.parseInt(text, 0, text.length, 10) else null
+      case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(text.toString) else null
+      case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(text.toString) else null
+      case DoubleType  => java.lang.Double.parseDouble(text.toString)
+      case FloatType   => java.lang.Float.parseFloat(text.toString)
       case d: DecimalType =>
-        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))
         if (dec.changePrecision(d.precision, d.scale)) dec else null
-      case StringType  => UTF8String.fromString(s)
+      case StringType  => UTF8String.fromString(text.toString)
       case _           => null
     } catch { case _: NumberFormatException => null }
   }
