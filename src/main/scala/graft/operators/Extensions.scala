@@ -209,5 +209,30 @@ object Extensions {
             WHERE rn = 1
             ORDER BY purchase_id"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45)
+  // ---------------------------------------------------------------- q48
+  // Quantiles: exact percentile with linear interpolation (the sketch-free
+  // sibling of q22's HLL; at 100 TB one would reach for approx_percentile,
+  // whose t-digest boundaries are engine-specific and rows-only gated).
+  private val q48 = GQuery(
+    "q48_percentiles",
+    "exact percentile aggregation (p25/p50/p95) per group",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.95D))").as("p"))
+        .select($"o_orderpriority",
+          round(element_at($"p", 1), 2).as("p25"),
+          round(element_at($"p", 2), 2).as("p50"),
+          round(element_at($"p", 3), 2).as("p95"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   round(q[1], 2) AS p25, round(q[2], 2) AS p50, round(q[3], 2) AS p95
+            FROM (SELECT o_orderpriority,
+                         quantile_cont(o_totalprice, [0.25, 0.5, 0.95]) AS q
+                  FROM orders GROUP BY o_orderpriority) t
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48)
 }

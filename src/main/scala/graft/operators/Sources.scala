@@ -148,5 +148,32 @@ object Sources {
              WHERE meta.len > 5
              ORDER BY n_regionkey, n_name"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47)
+  // ---------------------------------------------------------------- q49
+  // Sink surface: DataFrameWriter emits multi-part CSV and JSON
+  // directories (distributed write — each task a part file), and the graft
+  // readers ingest them back; the joined round-trip must reproduce the
+  // source table exactly.
+  private val q49 = GQuery(
+    "q49_sink_roundtrip",
+    "DataFrameWriter csv/json sinks round-tripped through the graft readers",
+    (s, d) => {
+      import s.implicits._
+      val nation = Tables(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name")
+      val csvDir = "/tmp/graft_sink/nation_csv"
+      val jsonDir = "/tmp/graft_sink/nation_json"
+      nation.write.mode("overwrite").option("header", "true").csv(csvDir)
+      nation.write.mode("overwrite").json(jsonDir)
+      val fromCsv = s.read.format("graft-csv").load(csvDir)
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name".as("name_csv"))
+      val fromJson = s.read.format("graft-json").load(jsonDir)
+        .select($"n_nationkey", $"n_name".as("name_json"))
+      fromCsv.join(fromJson, "n_nationkey")
+        .orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name AS name_csv, n_name AS name_json
+            FROM nation
+            ORDER BY n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49)
 }
