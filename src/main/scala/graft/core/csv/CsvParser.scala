@@ -78,7 +78,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
     if (readingHeader) {
       val (value, term) = scanCell(buildValue = true)
       if (value.length == 0) die(tokenStart, "empty header cell")
-      headers += value
+      headers += value.toString
       finishCell(term)
     } else {
       if (!nestEmitted) {
@@ -198,42 +198,55 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
 
   // ------------------------------------------------------------ cell scan
 
+  // reusable zero-copy view for ASCII unquoted cells (valid only for the
+  // duration of the plate call; header capture copies via toString)
+  private[this] val cellView = new ByteSliceCharSeq
+
   /** Scan one cell starting at `curr`; consumes the terminator. Returns
     * (value, terminator). With `buildValue = false` the value is not
-    * materialized (byte-skip path) and "" is returned.
+    * materialized (byte-skip path) and "" is returned. Pure-ASCII unquoted
+    * cells come back as a reusable buffer view (no decode, no alloc).
     */
-  private[this] def scanCell(buildValue: Boolean): (String, Int) = {
+  private[this] def scanCell(buildValue: Boolean): (CharSequence, Int) = {
     val start = curr
     if (curr < len && data(curr) == config.openQuote) scanQuoted(buildValue)
     else {
       var i = start
+      var ascii = true
+      @inline def value(until: Int): CharSequence =
+        if (!buildValue) ""
+        else if (ascii) { cellView.set(data, start, until - start); cellView }
+        else new String(data, start, until - start, UTF_8)
       while (true) {
         if (i >= len) {
           if (!done) throw NeedsInput
-          val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+          val v = value(i)
           curr = i
           return (v, TermEof)
         }
         val b = data(i)
         if (b == config.record) {
-          val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+          val v = value(i)
           curr = i + 1
           return (v, TermRecord)
         } else if (b == config.row1) {
           if (config.row2 == 0) {
-            val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+            val v = value(i)
             curr = i + 1
             return (v, TermRow)
           } else if (i + 1 < len) {
             if (data(i + 1) == config.row2) {
-              val v = if (buildValue) new String(data, start, i - start, UTF_8) else ""
+              val v = value(i)
               curr = i + 2
               return (v, TermRow)
             } else i += 1 // lone row1 byte is literal content
           } else if (done) {
             i += 1 // trailing row1 at EOF: literal
           } else throw NeedsInput
-        } else i += 1
+        } else {
+          if (b < 0) ascii = false // multi-byte UTF-8: decode path
+          i += 1
+        }
       }
       sys.error("unreachable")
     }

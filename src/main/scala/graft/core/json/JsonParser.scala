@@ -260,9 +260,9 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   // plain ASCII runs: valid only for the duration of the call (plates must
   // copy if they retain content, which ReplayPlate/ReifiedPlate do).
   // Escaped/non-ASCII strings take the full decode path.
-  private[this] val keyView = new JsonParser.ByteSliceCharSeq
-  private[this] val valueView = new JsonParser.ByteSliceCharSeq
-  private[this] val numView = new JsonParser.ByteSliceCharSeq // numbers are ASCII
+  private[this] val keyView = new ByteSliceCharSeq
+  private[this] val valueView = new ByteSliceCharSeq
+  private[this] val numView = new ByteSliceCharSeq // numbers are ASCII
 
   private[this] def parseKey(): Unit = {
     val key = parseKeyToken()
@@ -283,7 +283,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     */
   private[this] def parseValueStringToken(): CharSequence = parseViewOr(valueView)
 
-  private[this] def parseViewOr(view: JsonParser.ByteSliceCharSeq): CharSequence = {
+  private[this] def parseViewOr(view: ByteSliceCharSeq): CharSequence = {
     var i = curr + 1
     while (i < len) {
       val b = data(i)
@@ -615,30 +615,6 @@ object JsonParser {
   private final val SkScalar = 1
   private final val SkString = 2
   private final val SkContainer = 3
-
-  /** Mutable ASCII byte-slice CharSequence: a zero-copy view over the
-    * parse buffer, reused across keys. charAt is safe because the parser
-    * only creates views over verified 7-bit ASCII runs.
-    */
-  final class ByteSliceCharSeq extends CharSequence {
-    private[this] var arr: Array[Byte] = _
-    private[this] var off = 0
-    private[this] var n = 0
-    private[json] def set(a: Array[Byte], o: Int, len: Int): Unit = {
-      arr = a; off = o; n = len
-    }
-    /** Raw slice access for zero-decode consumers (the bytes are verified
-      * 7-bit ASCII, hence valid UTF-8; copy before the call returns).
-      */
-    def bytes: Array[Byte] = arr
-    def offset: Int = off
-    def length: Int = n
-    def charAt(index: Int): Char = (arr(off + index) & 0x7F).toChar
-    def subSequence(start: Int, end: Int): CharSequence =
-      new String(arr, off + start, end - start, java.nio.charset.StandardCharsets.US_ASCII)
-    override def toString: String =
-      new String(arr, off, n, java.nio.charset.StandardCharsets.US_ASCII)
-  }
 
   /** Convenience: parse a complete input in one call (absorb, drain all
     * Partial batches, finish), merging batch values with `merge`.

@@ -356,7 +356,7 @@ object Conversions {
     // zero-decode path: an ASCII buffer view becomes UTF8String bytes
     // directly (one copy, no char decode, no intermediate String)
     text match {
-      case v: graft.core.json.JsonParser.ByteSliceCharSeq if dt == StringType =>
+      case v: graft.core.ByteSliceCharSeq if dt == StringType =>
         return UTF8String.fromBytes(
           java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
       case _ => ()
