@@ -1,0 +1,280 @@
+package graft.spark
+
+import graft.core.{ByteSliceCharSeq, Plate, Signal}
+
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Vectorized sibling of [[RowPlate]] for FLAT schemas (top-level atomic
+  * columns only): parse events write straight into `OnHeapColumnVector`s
+  * and the scan hands Spark whole `ColumnarBatch`es — no per-row
+  * `InternalRow` allocation, and downstream whole-stage codegen consumes
+  * vectors exactly as it does from the built-in parquet reader.
+  *
+  * Pushdown is identical to the row path: absent keys → SkipColumn,
+  * container values under an atomic column → per-entry SkipColumn
+  * (reads as null), definitively failing filtered rows → SkipRow.
+  */
+final class ColumnarPlate(
+    schema: StructType,
+    filters: Array[Filter]) extends Plate[Long] {
+
+  private[this] val numCols = schema.length
+  private[this] val types: Array[DataType] = schema.fields.map(_.dataType)
+  private[this] val names: Array[String] = schema.fieldNames
+
+  private[this] var capacity = 4096
+  private[this] var vectors: Array[OnHeapColumnVector] = allocate()
+  private[this] var rows = 0
+  private[this] val seen = new Array[Boolean](numCols)
+
+  // nesting state: depth inside the current row; the open column index
+  private[this] var depth = 0
+  private[this] var curIdx = -1
+  private[this] var skipPending = false
+  private[this] var rowCount = 0L
+  private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
+
+  private[this] val filtersByIdx: Map[Int, Array[Filter]] =
+    filters.filter(_.references.length == 1)
+      .groupBy(f => names.indexOf(f.references.head))
+      .removed(-1)
+  private[this] val hasNullFilters =
+    filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
+
+  private def allocate(): Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, schema).asInstanceOf[Array[OnHeapColumnVector]]
+
+  /** Rows currently buffered in the open batch. */
+  def pendingRows: Int = rows
+
+  /** Hand the buffered rows out as a batch and start a fresh one. */
+  def takeBatch(): ColumnarBatch = {
+    val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], rows)
+    vectors = allocate()
+    rows = 0
+    batch
+  }
+
+  @inline private def ensureCapacity(): Unit =
+    if (rows >= capacity) {
+      capacity = capacity << 1
+      var i = 0
+      while (i < numCols) { vectors(i).reserve(capacity); i += 1 }
+    }
+
+  // ------------------------------------------------------------- events
+
+  def nestMap(pathComponent: CharSequence): Signal = {
+    if (depth == 0) {
+      // a top-level column opens
+      var i = 0
+      var idx = -1
+      while (idx < 0 && i < numCols) {
+        if (names(i).contentEquals(pathComponent)) idx = i
+        i += 1
+      }
+      if (idx < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curIdx = idx
+        depth = 1
+        Signal.Continue
+      }
+    } else {
+      // container value under an atomic column: prune entry by entry
+      skipPending = true
+      Signal.SkipColumn
+    }
+  }
+
+  def nestArr(): Signal =
+    if (depth == 0) {
+      // top-level array row cannot fill a flat schema: drop its elements
+      skipPending = true
+      Signal.SkipColumn
+    } else {
+      skipPending = true
+      Signal.SkipColumn
+    }
+
+  def nestMeta(pathComponent: CharSequence): Signal = {
+    skipPending = true
+    Signal.SkipColumn
+  }
+
+  def unnest(): Signal = {
+    if (skipPending) skipPending = false
+    else if (depth > 0) {
+      depth -= 1
+      if (depth == 0) curIdx = -1
+    }
+    Signal.Continue
+  }
+
+  /** The column the next scalar event feeds: an open top-level column, or
+    * the "value" column for bare scalar rows; -1 = not interested.
+    */
+  @inline private def targetIdx: Int =
+    if (depth == 1 && curIdx >= 0) { if (seen(curIdx)) -1 else curIdx }
+    else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) valueColIdx
+    else -1
+
+  @inline private def writing: Boolean = targetIdx >= 0
+
+  private def earlyFilter(idx: Int, value: Any): Signal =
+    filtersByIdx.get(idx) match {
+      case Some(fs) if fs.exists(FilterEval.definitelyFails(_, value)) =>
+        // abandon the partial row: the parser suppresses its finishRow
+        java.util.Arrays.fill(seen, false)
+        depth = 0; curIdx = -1; skipPending = false
+        Signal.SkipRow
+      case _ => Signal.Continue
+    }
+
+  private def checkFilterLong(idx: Int, v: Long): Signal =
+    if (filtersByIdx.contains(idx)) earlyFilter(idx, java.lang.Long.valueOf(v)) else Signal.Continue
+  private def checkFilterAny(idx: Int, v: Any): Signal =
+    if (filtersByIdx.contains(idx)) earlyFilter(idx, v) else Signal.Continue
+
+  def nul(): Signal = {
+    val idx = targetIdx
+    if (idx >= 0) { seen(idx) = true; ensureCapacity(); vectors(idx).putNull(rows) }
+    Signal.Continue
+  }
+
+  private def putBoolean(b: Boolean): Signal = {
+    val idx = targetIdx
+    if (idx >= 0) {
+      ensureCapacity()
+      types(idx) match {
+        case BooleanType => vectors(idx).putBoolean(rows, b); seen(idx) = true
+        case StringType =>
+          vectors(idx).putByteArray(rows, (if (b) "true" else "false").getBytes)
+          seen(idx) = true
+        case _ => vectors(idx).putNull(rows); seen(idx) = true
+      }
+      checkFilterAny(idx, java.lang.Boolean.valueOf(b))
+    } else Signal.Continue
+  }
+
+  def fls(): Signal = putBoolean(false)
+  def tru(): Signal = putBoolean(true)
+
+  def map(): Signal = {
+    val idx = targetIdx
+    if (idx >= 0) { seen(idx) = true; ensureCapacity(); vectors(idx).putNull(rows) }
+    Signal.Continue
+  }
+  def arr(): Signal = map()
+
+  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = {
+    val idx = targetIdx
+    if (idx >= 0) {
+      ensureCapacity()
+      seen(idx) = true
+      try types(idx) match {
+        case LongType if decIdx < 0 && expIdx < 0 =>
+          val v = java.lang.Long.parseLong(s, 0, s.length, 10)
+          vectors(idx).putLong(rows, v)
+          return checkFilterLong(idx, v)
+        case IntegerType if decIdx < 0 && expIdx < 0 =>
+          val v = java.lang.Integer.parseInt(s, 0, s.length, 10)
+          vectors(idx).putInt(rows, v)
+          return checkFilterAny(idx, java.lang.Integer.valueOf(v))
+        case DoubleType =>
+          val v = java.lang.Double.parseDouble(s.toString)
+          vectors(idx).putDouble(rows, v)
+          return checkFilterAny(idx, java.lang.Double.valueOf(v))
+        case FloatType =>
+          vectors(idx).putFloat(rows, java.lang.Float.parseFloat(s.toString))
+        case StringType =>
+          vectors(idx).putByteArray(rows, s.toString.getBytes("UTF-8"))
+        case _ =>
+          vectors(idx).putNull(rows)
+      } catch { case _: NumberFormatException => vectors(idx).putNull(rows) }
+      Signal.Continue
+    } else Signal.Continue
+  }
+
+  def str(s: CharSequence): Signal = {
+    val idx = targetIdx
+    if (idx >= 0) {
+      ensureCapacity()
+      seen(idx) = true
+      try types(idx) match {
+        case StringType => s match {
+          case v: ByteSliceCharSeq =>
+            vectors(idx).putByteArray(rows, v.bytes, v.offset, v.length)
+            if (filtersByIdx.contains(idx))
+              return earlyFilter(idx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
+          case _ =>
+            val bytes = s.toString.getBytes("UTF-8")
+            vectors(idx).putByteArray(rows, bytes)
+            if (filtersByIdx.contains(idx))
+              return earlyFilter(idx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+        }
+        case LongType =>
+          val v = java.lang.Long.parseLong(s.toString.trim)
+          vectors(idx).putLong(rows, v)
+          return checkFilterLong(idx, v)
+        case IntegerType =>
+          vectors(idx).putInt(rows, java.lang.Integer.parseInt(s.toString.trim))
+        case DoubleType =>
+          vectors(idx).putDouble(rows, java.lang.Double.parseDouble(s.toString.trim))
+        case FloatType =>
+          vectors(idx).putFloat(rows, java.lang.Float.parseFloat(s.toString.trim))
+        case BooleanType => s.toString.trim.toLowerCase match {
+          case "true" | "t" | "1"   => vectors(idx).putBoolean(rows, true)
+          case "false" | "f" | "0"  => vectors(idx).putBoolean(rows, false)
+          case _ => vectors(idx).putNull(rows)
+        }
+        case _ => vectors(idx).putNull(rows)
+      } catch { case _: RuntimeException => vectors(idx).putNull(rows) }
+      Signal.Continue
+    } else Signal.Continue
+  }
+
+  def finishRow(): Unit = {
+    ensureCapacity()
+    var keep = true
+    if (hasNullFilters) {
+      keep = filters.forall {
+        case IsNotNull(col) =>
+          val idx = names.indexOf(col); idx < 0 || seen(idx)
+        case IsNull(col) =>
+          val idx = names.indexOf(col); idx < 0 || !seen(idx)
+        case _ => true
+      }
+    }
+    if (keep) {
+      var i = 0
+      while (i < numCols) {
+        if (!seen(i)) vectors(i).putNull(rows)
+        i += 1
+      }
+      rows += 1
+      rowCount += 1
+    }
+    java.util.Arrays.fill(seen, false)
+    depth = 0
+    curIdx = -1
+    skipPending = false
+  }
+
+  def finishBatch(terminal: Boolean): Long = rowCount
+  def skipped(bytes: Int): Unit = ()
+}
+
+object ColumnarPlate {
+  /** Columnar reads apply to flat all-atomic schemas. */
+  def supports(schema: StructType): Boolean =
+    schema.fields.forall(_.dataType match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType | StringType => true
+      case _ => false
+    })
+}

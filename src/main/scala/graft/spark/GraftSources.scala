@@ -308,6 +308,14 @@ final class GraftJsonReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode)
+
+  // flat all-atomic schemas take the vectorized path (ColumnarBatch out)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ColumnarPlate.supports(schema)
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftJsonColumnarReader(
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode)
 }
 
 final class GraftCsvReaderFactory(
@@ -318,31 +326,22 @@ final class GraftCsvReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ColumnarPlate.supports(schema)
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftCsvColumnarReader(
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config)
 }
 
-/** Streams one byte range of a JSON-lines file through the core parser.
-  * Range protocol (Hadoop text-split convention): a reader with start > 0
-  * first discards bytes through the first '\n' at/after `start`; every
-  * reader keeps consuming past `end` until the first '\n' at/after `end`.
-  * Adjacent ranges therefore partition rows exactly.
+/** Feeds one byte range of a JSON-lines file into a parser, handling the
+  * row-realignment protocol (shared by the row and columnar readers).
   */
-final class GraftJsonPartitionReader(
+private[spark] final class JsonRangeFeeder[A](
     part: GraftInputPartition,
-    schema: StructType,
-    filters: Array[Filter],
     conf: Configuration,
-    mode: JsonParser.Mode) extends PartitionReader[InternalRow] {
-
-  private val queue = new mutable.ArrayDeque[InternalRow]
-  // a single VARIANT column selects open-typed ingestion (no pruning: the
-  // whole value is the column); otherwise the schema-driven pushdown plate
-  private val variantMode = schema.length == 1 &&
-    schema.head.dataType == org.apache.spark.sql.types.VariantType
-  private val rowPlate: RowPlate =
-    if (variantMode) null else new RowPlate(schema, filters, queue.append(_))
-  private val plate: graft.core.Plate[Long] =
-    if (variantMode) new VariantRowPlate(queue.append(_)) else rowPlate
-  private val parser = new JsonParser(plate, mode)
+    parser: graft.core.json.JsonParser[A]) {
 
   private val path = new Path(part.path)
   private val in = path.getFileSystem(conf).open(path)
@@ -350,25 +349,20 @@ final class GraftJsonPartitionReader(
   private var pos = part.start
   private var aligned = part.start == 0
   private var exhausted = false
-  private var current: InternalRow = _
 
   if (part.start > 0) in.seek(part.start)
 
-  override def next(): Boolean = {
-    while (queue.isEmpty && !exhausted) step()
-    if (queue.nonEmpty) { current = queue.removeHead(); true }
-    else false
-  }
+  def isExhausted: Boolean = exhausted
 
-  override def get(): InternalRow = current
-
-  private def raise(r: ParseResult[Long]): Unit = r match {
+  private def raise(r: ParseResult[A]): Unit = r match {
     case ParseResult.Failure(e) => throw e
     case ParseResult.Partial(_, _) => raise(parser.continueParse())
     case _ => ()
   }
 
-  private def step(): Unit = {
+  /** Absorb the next chunk (or finish at the range/file end). */
+  def step(): Unit = {
+    if (exhausted) return
     val n = in.read(chunk)
     if (n < 0) {
       raise(parser.finish())
@@ -416,7 +410,107 @@ final class GraftJsonPartitionReader(
     -1
   }
 
+  def close(): Unit = in.close()
+}
+
+/** Vectorized JSON reader: same range protocol, ColumnarBatch output. */
+final class GraftJsonColumnarReader(
+    part: GraftInputPartition,
+    schema: StructType,
+    filters: Array[Filter],
+    conf: Configuration,
+    mode: JsonParser.Mode)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val plate = new ColumnarPlate(schema, filters)
+  private val parser = new JsonParser(plate, mode)
+  private val feeder = new JsonRangeFeeder(part, conf, parser)
+  private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (plate.pendingRows == 0 && !feeder.isExhausted) feeder.step()
+    if (plate.pendingRows > 0) { current = plate.takeBatch(); true }
+    else false
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+  override def close(): Unit = feeder.close()
+}
+
+/** Vectorized CSV reader: whole file per task, ColumnarBatch output. */
+final class GraftCsvColumnarReader(
+    part: GraftInputPartition,
+    schema: StructType,
+    filters: Array[Filter],
+    conf: Configuration,
+    config: CsvParser.Config)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val plate = new ColumnarPlate(schema, filters)
+  private val parser = new CsvParser(plate, config)
+  private val path = new Path(part.path)
+  private val in = path.getFileSystem(conf).open(path)
+  private val chunk = new Array[Byte](256 * 1024)
+  private var exhausted = false
+  private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+  private def raise(r: ParseResult[Long]): Unit = r match {
+    case ParseResult.Failure(e) => throw e
+    case ParseResult.Partial(_, _) => raise(parser.continueParse())
+    case _ => ()
+  }
+
+  override def next(): Boolean = {
+    while (plate.pendingRows == 0 && !exhausted) {
+      val n = in.read(chunk)
+      if (n < 0) {
+        raise(parser.finish())
+        exhausted = true
+      } else raise(parser.absorb(chunk, 0, n))
+    }
+    if (plate.pendingRows > 0) { current = plate.takeBatch(); true }
+    else false
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
   override def close(): Unit = in.close()
+}
+
+/** Streams one byte range of a JSON-lines file through the core parser.
+  * Range protocol (Hadoop text-split convention): a reader with start > 0
+  * first discards bytes through the first '\n' at/after `start`; every
+  * reader keeps consuming past `end` until the first '\n' at/after `end`.
+  * Adjacent ranges therefore partition rows exactly.
+  */
+final class GraftJsonPartitionReader(
+    part: GraftInputPartition,
+    schema: StructType,
+    filters: Array[Filter],
+    conf: Configuration,
+    mode: JsonParser.Mode) extends PartitionReader[InternalRow] {
+
+  private val queue = new mutable.ArrayDeque[InternalRow]
+  // a single VARIANT column selects open-typed ingestion (no pruning: the
+  // whole value is the column); otherwise the schema-driven pushdown plate
+  private val variantMode = schema.length == 1 &&
+    schema.head.dataType == org.apache.spark.sql.types.VariantType
+  private val rowPlate: RowPlate =
+    if (variantMode) null else new RowPlate(schema, filters, queue.append(_))
+  private val plate: graft.core.Plate[Long] =
+    if (variantMode) new VariantRowPlate(queue.append(_)) else rowPlate
+  private val parser = new JsonParser(plate, mode)
+  private val feeder = new JsonRangeFeeder(part, conf, parser)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (queue.isEmpty && !feeder.isExhausted) feeder.step()
+    if (queue.nonEmpty) { current = queue.removeHead(); true }
+    else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = feeder.close()
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(new CustomTaskMetric {

@@ -217,4 +217,49 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().flatMap(r => Option(r.get(0))).toSeq
     assert(a1 == Seq(true))
   }
+
+  // ------------------------------------------------------------ columnar
+
+  test("flat schemas read as ColumnarBatches; nested fall back to rows") {
+    val p = write("colmnr.json", jsonFixture)
+    val flat = spark.read.format("graft-json").schema("id LONG, name STRING, score DOUBLE").load(p)
+    val scans = flat.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.head.supportsColumnar, "flat schema should take the vectorized path")
+    assert(flat.agg(sum("id")).collect()(0).getLong(0) == (1 to 50).sum.toLong)
+    // value parity with the row-based built-in reader
+    assert(flat.orderBy("id").collect().map(_.toString).toSeq ==
+      spark.read.json(p).selectExpr("id", "name", "score").orderBy("id")
+        .collect().map(_.toString).toSeq)
+
+    val nested = spark.read.format("graft-json").load(p) // inferred: has struct/array
+    val nestedScans = nested.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(!nestedScans.head.supportsColumnar, "nested schema stays on the row path")
+  }
+
+  test("columnar path honors filters and null semantics") {
+    val content =
+      """{"id": 1, "v": "a"}
+        |{"id": 2}
+        |{"id": 3, "v": "c"}
+        |""".stripMargin
+    val p = write("colf.json", content)
+    val df = spark.read.format("graft-json").schema("id LONG, v STRING").load(p)
+    assert(df.filter(col("id") > 1).count() == 2)
+    assert(df.filter(col("v").isNotNull).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(df.filter(col("v").isNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("columnar CSV aggregates match the row path") {
+    val p = write("colcsv.csv", csvFixture)
+    val df = spark.read.format("graft-csv").schema("id LONG, name STRING, qty LONG").load(p)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.head.supportsColumnar)
+    assert(df.agg(sum("qty")).collect()(0).getLong(0) == (1 to 30).map(_ * 3).sum.toLong)
+  }
 }
