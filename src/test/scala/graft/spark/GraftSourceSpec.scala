@@ -262,4 +262,30 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.head.supportsColumnar)
     assert(df.agg(sum("qty")).collect()(0).getLong(0) == (1 to 30).map(_ * 3).sum.toLong)
   }
+
+  // ------------------------------------------------- randomized parity
+
+  test("randomized tables: graft-json equals spark.read.json end to end") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 6).foreach { t =>
+      val nRows = 20 + rnd.nextInt(60)
+      val rows = (0 until nRows).map { i =>
+        val sb = new StringBuilder("{\"k\": " + i)
+        if (rnd.nextBoolean()) sb.append(", \"s\": \"w" + rnd.nextInt(1000) + " sp\"")
+        if (rnd.nextBoolean()) sb.append(", \"d\": " + rnd.nextInt(5000) + "." + (1 + rnd.nextInt(99)))
+        if (rnd.nextBoolean()) sb.append(", \"b\": " + rnd.nextBoolean())
+        if (rnd.nextBoolean()) sb.append(", \"nested\": {\"x\": " + rnd.nextInt(10) + "}")
+        if (rnd.nextBoolean()) sb.append(", \"arr\": [" + rnd.nextInt(9) + ", " + rnd.nextInt(9) + "]")
+        sb.append("}")
+        sb.toString
+      }
+      val p = write(s"rand$t.json", rows.mkString("\n") + "\n")
+      val theirs = spark.read.json(p)
+      val cols = theirs.columns.sorted.map(col).toSeq
+      val ours = spark.read.format("graft-json").load(p)
+      assert(ours.select(cols: _*).orderBy("k").collect().map(_.toString).toSeq ==
+        theirs.select(cols: _*).orderBy("k").collect().map(_.toString).toSeq,
+        s"random table $t diverged")
+    }
+  }
 }
