@@ -418,19 +418,24 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     */
   private[this] def parseNumToken(): Unit = {
     val start = curr
+    val limit = len
+    val buf = data
     var i = curr
     var decIdx = -1
     var expIdx = -1
 
     @inline def byteAt(j: Int): Int =
-      if (j < len) data(j) else -1 // -1 = end of available input
+      if (j < limit) buf(j) else -1 // -1 = end of available input
 
     var b = byteAt(i)
     if (b == '-') { i += 1; b = byteAt(i) }
     // integer part: 0 | [1-9][0-9]*
     if (b == '0') { i += 1; b = byteAt(i) }
     else if (b >= '1' && b <= '9') {
-      while (b >= '0' && b <= '9') { i += 1; b = byteAt(i) }
+      // hot loop: single bounds check via hoisted limit
+      i += 1
+      while (i < limit && { b = buf(i); b >= '0' && b <= '9' }) i += 1
+      if (i >= limit) b = -1
     } else {
       if (b == -1 && !done) throw NeedsInput
       die(i, "invalid number: expected digit")
@@ -442,7 +447,9 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
         if (b == -1 && !done) throw NeedsInput
         die(i, "invalid number: expected digit after '.'")
       }
-      while (b >= '0' && b <= '9') { i += 1; b = byteAt(i) }
+      i += 1
+      while (i < limit && { b = buf(i); b >= '0' && b <= '9' }) i += 1
+      if (i >= limit) b = -1
     }
     if (b == 'e' || b == 'E') {
       expIdx = i - start
@@ -452,7 +459,9 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
         if (b == -1 && !done) throw NeedsInput
         die(i, "invalid number: expected digit in exponent")
       }
-      while (b >= '0' && b <= '9') { i += 1; b = byteAt(i) }
+      i += 1
+      while (i < limit && { b = buf(i); b >= '0' && b <= '9' }) i += 1
+      if (i >= limit) b = -1
     }
     if (b == -1 && !done) throw NeedsInput // the number may continue in the next chunk
 

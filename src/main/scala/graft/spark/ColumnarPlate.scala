@@ -67,14 +67,33 @@ final class ColumnarPlate(
 
   // ------------------------------------------------------------- events
 
+  // key-order cache: JSON rows almost always repeat the same key order, so
+  // remember (key, column) per field position and hit with one compare
+  private[this] val orderCap = 64
+  private[this] val orderNames = new Array[String](orderCap)
+  private[this] val orderCols = new Array[Int](orderCap)
+  private[this] var fieldPos = 0
+
   def nestMap(pathComponent: CharSequence): Signal = {
     if (depth == 0) {
       // a top-level column opens
-      var i = 0
-      var idx = -1
-      while (idx < 0 && i < numCols) {
-        if (names(i).contentEquals(pathComponent)) idx = i
-        i += 1
+      val pos = fieldPos
+      fieldPos += 1
+      var idx = -2 // -2 = unresolved; -1 = known-absent (skip)
+      if (pos < orderCap && orderNames(pos) != null &&
+          orderNames(pos).contentEquals(pathComponent)) {
+        idx = orderCols(pos)
+      } else {
+        var i = 0
+        idx = -1
+        while (idx < 0 && i < numCols) {
+          if (names(i).contentEquals(pathComponent)) idx = i
+          i += 1
+        }
+        if (pos < orderCap) {
+          orderNames(pos) = pathComponent.toString // copy: views are reused
+          orderCols(pos) = idx
+        }
       }
       if (idx < 0) {
         skipPending = true
@@ -130,7 +149,7 @@ final class ColumnarPlate(
       case Some(fs) if fs.exists(FilterEval.definitelyFails(_, value)) =>
         // abandon the partial row: the parser suppresses its finishRow
         java.util.Arrays.fill(seen, false)
-        depth = 0; curIdx = -1; skipPending = false
+        depth = 0; curIdx = -1; skipPending = false; fieldPos = 0
         Signal.SkipRow
       case _ => Signal.Continue
     }
@@ -264,6 +283,7 @@ final class ColumnarPlate(
     depth = 0
     curIdx = -1
     skipPending = false
+    fieldPos = 0
   }
 
   def finishBatch(terminal: Boolean): Long = rowCount
