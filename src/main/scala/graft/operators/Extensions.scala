@@ -234,5 +234,47 @@ object Extensions {
                   FROM orders GROUP BY o_orderpriority) t
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48)
+  // ---------------------------------------------------------------- q50
+  // Array function family over aggregated collections: collect_list is
+  // order-nondeterministic, so sort_array canonicalizes before any
+  // element-positional use (the only safe pattern for distributed
+  // collection aggregates).
+  private val q50 = GQuery(
+    "q50_array_functions",
+    "array functions over collected aggregates (sort/size/element/contains/slice)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .filter($"l_orderkey" <= 100)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_linenumber")).as("lines"),
+          sort_array(collect_list($"l_quantity".cast("double"))).as("qtys"))
+        .select($"l_orderkey",
+          size($"lines").cast("long").as("n_lines"),
+          element_at($"lines", 1).as("first_line"),
+          element_at($"lines", -1).as("last_line"),
+          array_contains($"lines", 3).as("has_line3"),
+          round(element_at($"qtys", 1), 2).as("min_qty"),
+          expr("round(aggregate(qtys, 0D, (a, x) -> a + x), 2)").as("sum_qty"),
+          // array-valued cells defeat the comparer: serialize positionally
+          concat_ws("-", expr("slice(lines, 1, 2)")).as("first_two"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   lines[1] AS first_line,
+                   lines[-1] AS last_line,
+                   list_contains(lines, 3) AS has_line3,
+                   round(qtys[1], 2) AS min_qty,
+                   round(list_sum(qtys), 2) AS sum_qty,
+                   array_to_string(lines[1:2], '-') AS first_two
+            FROM (SELECT l_orderkey,
+                         list_sort(list(l_linenumber)) AS lines,
+                         list_sort(list(CAST(l_quantity AS DOUBLE))) AS qtys
+                  FROM lineitem
+                  WHERE l_orderkey <= 100
+                  GROUP BY l_orderkey) t
+            ORDER BY l_orderkey"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50)
 }
