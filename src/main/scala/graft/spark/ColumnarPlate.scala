@@ -288,6 +288,18 @@ final class ColumnarPlate(
 
   def finishBatch(terminal: Boolean): Long = rowCount
   def skipped(bytes: Int): Unit = ()
+
+  /** Discard any in-flight row state (malformed-record recovery): buffered
+    * complete rows stay; the partial row's cells are overwritten/nulled by
+    * the next row at the same index.
+    */
+  def abandonPartialRow(): Unit = {
+    java.util.Arrays.fill(seen, false)
+    depth = 0
+    curIdx = -1
+    skipPending = false
+    fieldPos = 0
+  }
 }
 
 object ColumnarPlate {

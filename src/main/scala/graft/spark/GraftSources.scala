@@ -293,7 +293,8 @@ final class GraftScan(
     val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
     if (isJson)
       new GraftJsonReaderFactory(schema, filters, conf,
-        GraftSources.jsonMode(options.asCaseSensitiveMap()))
+        GraftSources.jsonMode(options.asCaseSensitiveMap()),
+        dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")))
     else
       new GraftCsvReaderFactory(schema, filters, conf,
         GraftSources.csvConfig(options.asCaseSensitiveMap()))
@@ -304,10 +305,11 @@ final class GraftJsonReaderFactory(
     schema: StructType,
     filters: Array[Filter],
     conf: SerializableConfiguration,
-    mode: JsonParser.Mode) extends PartitionReaderFactory {
+    mode: JsonParser.Mode,
+    dropMalformed: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode, dropMalformed)
 
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out)
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -315,7 +317,7 @@ final class GraftJsonReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode, dropMalformed)
 }
 
 final class GraftCsvReaderFactory(
@@ -337,27 +339,75 @@ final class GraftCsvReaderFactory(
 
 /** Feeds one byte range of a JSON-lines file into a parser, handling the
   * row-realignment protocol (shared by the row and columnar readers).
+  *
+  * With `dropMalformed`, a parse error triggers line resync: the parser's
+  * positioned exception gives the bad byte's offset in its stream (which
+  * started at `streamStartAbs`), the feeder seeks past the next newline,
+  * and `mkParser` builds a fresh parser/plate — one corrupt record costs
+  * one line, not the split (DROPMALFORMED semantics at 100 TB).
   */
 private[spark] final class JsonRangeFeeder[A](
     part: GraftInputPartition,
     conf: Configuration,
-    parser: graft.core.json.JsonParser[A]) {
+    mkParser: () => graft.core.json.JsonParser[A],
+    dropMalformed: Boolean = false) {
 
   private val path = new Path(part.path)
   private val in = path.getFileSystem(conf).open(path)
   private val chunk = new Array[Byte](256 * 1024)
+  private var parser = mkParser()
   private var pos = part.start
   private var aligned = part.start == 0
   private var exhausted = false
+  private var streamStartAbs = part.start // file offset of parser's byte 0
+  private var dropped = 0L
+  private var resynced = false // a recovery happened inside the current step
 
   if (part.start > 0) in.seek(part.start)
+  else streamStartAbs = 0L
 
   def isExhausted: Boolean = exhausted
+  def droppedRecords: Long = dropped
 
   private def raise(r: ParseResult[A]): Unit = r match {
-    case ParseResult.Failure(e) => throw e
+    case ParseResult.Failure(e) => handleFailure(e)
     case ParseResult.Partial(_, _) => raise(parser.continueParse())
     case _ => ()
+  }
+
+  private def handleFailure(e: Throwable): Unit = {
+    if (!dropMalformed) throw e
+    dropped += 1
+    val errAbs = e match {
+      case pe: graft.core.ParseException => streamStartAbs + math.max(pe.index, 0).toLong
+      case _ => pos // incomplete at EOF etc.: resync from the read position
+    }
+    // resync: skip the bad record by seeking past the next newline
+    var resume = errAbs + 1
+    in.seek(math.min(resume, part.fileLen))
+    var found = resume >= part.fileLen
+    while (!found) {
+      val n = in.read(chunk)
+      if (n < 0) { resume = part.fileLen; found = true }
+      else {
+        val nl = indexOfNl(chunk, 0, n)
+        if (nl >= 0) { resume = resume + nl + 1; found = true }
+        else resume += n
+      }
+    }
+    if (resume >= part.fileLen ||
+        (resume > part.end && part.end != part.fileLen)) {
+      // the bad record ran past this range's end (or the file's): done —
+      // the next range aligns to the same newline and owns what follows
+      exhausted = true
+      return
+    }
+    in.seek(resume)
+    parser = mkParser()
+    pos = resume
+    streamStartAbs = resume
+    aligned = true
+    resynced = true
   }
 
   /** Absorb the next chunk (or finish at the range/file end). */
@@ -366,6 +416,7 @@ private[spark] final class JsonRangeFeeder[A](
     val n = in.read(chunk)
     if (n < 0) {
       raise(parser.finish())
+      if (resynced) { resynced = false; return } // recovery restarted the stream
       exhausted = true
       return
     }
@@ -384,9 +435,11 @@ private[spark] final class JsonRangeFeeder[A](
       }
       off = nl + 1
       aligned = true
+      streamStartAbs = chunkStartAbs + off
     }
     if (chunkStartAbs + n <= part.end || part.end == part.fileLen) {
       raise(parser.absorb(chunk, off, n - off))
+      resynced = false
     } else {
       // past the range end: stop after the first '\n' at/after `end`
       val fromRel = math.max(off, math.max(0L, part.end - chunkStartAbs).toInt)
@@ -395,7 +448,8 @@ private[spark] final class JsonRangeFeeder[A](
         raise(parser.absorb(chunk, off, n - off)) // boundary row continues
       } else {
         raise(parser.absorb(chunk, off, nl + 1 - off))
-        raise(parser.finish())
+        if (resynced) { resynced = false; return } // recovery restarted the stream
+        if (!exhausted) raise(parser.finish())
         exhausted = true
       }
     }
@@ -419,12 +473,20 @@ final class GraftJsonColumnarReader(
     schema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    mode: JsonParser.Mode)
+    mode: JsonParser.Mode,
+    dropMalformed: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  private val plate = new ColumnarPlate(schema, filters)
-  private val parser = new JsonParser(plate, mode)
-  private val feeder = new JsonRangeFeeder(part, conf, parser)
+  // recovery keeps the SAME plate (its buffered batch holds completed
+  // rows); only the parser restarts — the plate's row state resets via
+  // the columnar plate's own finishRow bookkeeping being per-row
+  private var plate: ColumnarPlate = null
+  private def mkParser(): JsonParser[Long] = {
+    if (plate == null) plate = new ColumnarPlate(schema, filters)
+    else plate.abandonPartialRow()
+    new JsonParser(plate, mode)
+  }
+  private val feeder = new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed)
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   override def next(): Boolean = {
@@ -487,19 +549,26 @@ final class GraftJsonPartitionReader(
     schema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    mode: JsonParser.Mode) extends PartitionReader[InternalRow] {
+    mode: JsonParser.Mode,
+    dropMalformed: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val queue = new mutable.ArrayDeque[InternalRow]
   // a single VARIANT column selects open-typed ingestion (no pruning: the
   // whole value is the column); otherwise the schema-driven pushdown plate
   private val variantMode = schema.length == 1 &&
     schema.head.dataType == org.apache.spark.sql.types.VariantType
-  private val rowPlate: RowPlate =
-    if (variantMode) null else new RowPlate(schema, filters, queue.append(_))
-  private val plate: graft.core.Plate[Long] =
-    if (variantMode) new VariantRowPlate(queue.append(_)) else rowPlate
-  private val parser = new JsonParser(plate, mode)
-  private val feeder = new JsonRangeFeeder(part, conf, parser)
+  // recovery replaces parser AND plate; completed rows already sit in queue
+  private var rowPlate: RowPlate = null
+  private def mkParser(): JsonParser[Long] = {
+    val plate: graft.core.Plate[Long] =
+      if (variantMode) new VariantRowPlate(queue.append(_))
+      else {
+        rowPlate = new RowPlate(schema, filters, queue.append(_))
+        rowPlate
+      }
+    new JsonParser(plate, mode)
+  }
+  private val feeder = new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

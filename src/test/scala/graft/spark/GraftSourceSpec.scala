@@ -288,4 +288,47 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"random table $t diverged")
     }
   }
+
+  // -------------------------------------------------- malformed records
+
+  test("badrecords=drop resyncs past corrupt lines (row and columnar paths)") {
+    val content =
+      """{"id": 1, "v": "a"}
+        |{"id": 2, "v": "b"  THIS IS NOT JSON !!!
+        |{"id": 3, "v": "c"}
+        |{"id": 4 "missing": colon}
+        |{"id": 5, "v": "e", "nested": {"x": 1}}
+        |""".stripMargin
+    val p = write("bad.json", content)
+    // columnar (flat schema)
+    val flat = spark.read.format("graft-json")
+      .schema("id LONG, v STRING")
+      .option("badrecords", "drop")
+      .load(p)
+    assert(flat.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    // row path (nested schema)
+    val nested = spark.read.format("graft-json")
+      .schema("id LONG, v STRING, nested STRUCT<x: LONG>")
+      .option("badrecords", "drop")
+      .load(p)
+    assert(nested.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 5L))
+    // default (fail-fast) still throws
+    intercept[Exception] {
+      spark.read.format("graft-json").schema("id LONG, v STRING").load(p).collect()
+    }
+  }
+
+  test("badrecords=drop works across byte-range splits") {
+    val rows = (1 to 200).map { i =>
+      if (i % 37 == 0) s"""{"id": $i, BROKEN""" else s"""{"id": $i, "ok": true}"""
+    }
+    val p = write("badsplit.json", rows.mkString("\n") + "\n")
+    val df = spark.read.format("graft-json")
+      .schema("id LONG, ok BOOLEAN")
+      .option("badrecords", "drop")
+      .option("maxsplitbytes", "333")
+      .load(p)
+    val good = (1 to 200).filterNot(_ % 37 == 0).map(_.toLong)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == good)
+  }
 }
