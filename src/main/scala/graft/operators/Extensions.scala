@@ -6,6 +6,9 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Per-user streaming state for q51 (top-level for Encoder derivation). */
+final case class UserProfile(n: Long, sumValue: Double, minTs: Long, maxTs: Long)
+
 /** Remaining §2.11 surface: sketch aggregation (HLL), the UDAF extension
   * surface (typed Aggregator), and Structured Streaming (file micro-batch
   * source + event-time window + watermark).
@@ -276,5 +279,60 @@ object Extensions {
                   GROUP BY l_orderkey) t
             ORDER BY l_orderkey"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50)
+  // ---------------------------------------------------------------- q51
+  // Custom streaming state: KeyValueGroupedDataset.mapGroupsWithState over
+  // a micro-batch stream — per-user GroupState accumulates an event
+  // profile. A single AvailableNow batch makes the update-mode output
+  // deterministic (one state emission per key), so the gate is exact; a
+  // production run would carry the same state across triggers.
+  private val q51 = GQuery(
+    "q51_streaming_stateful",
+    "mapGroupsWithState per-key streaming state (update mode, bounded drain)",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q51")
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select($"user_id".cast("long").as[Long],
+          expr("ts div 1000").as[Long], // nanos -> micros
+          $"value".as[Double])
+      val updated = stream
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, events: Iterator[(Long, Long, Double)], state: GroupState[UserProfile]) =>
+            var p = state.getOption.getOrElse(UserProfile(0L, 0.0, Long.MaxValue, Long.MinValue))
+            events.foreach { case (_, ts, v) =>
+              p = UserProfile(p.n + 1, p.sumValue + v, math.min(p.minTs, ts), math.max(p.maxTs, ts))
+            }
+            state.update(p)
+            (uid, p.n, p.minTs, p.maxTs)
+        }
+      val q = updated.toDF("user_id", "n_events", "min_ts_us", "max_ts_us")
+        .writeStream
+        .format("memory")
+        .queryName("q51_state")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q51_state")
+        .select($"user_id", $"n_events",
+          timestamp_micros($"min_ts_us").as("first_ts"),
+          timestamp_micros($"max_ts_us").as("last_ts"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+                   CAST(min(ts) AS TIMESTAMP) AS first_ts,
+                   CAST(max(ts) AS TIMESTAMP) AS last_ts
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51)
 }

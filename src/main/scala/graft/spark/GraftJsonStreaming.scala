@@ -86,3 +86,55 @@ final class GraftJsonMicroBatchStream(
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+/** Micro-batch streaming over CSV files: quoted row delimiters preclude
+  * byte-offset splits, so the offset is a FILE index into the (snapshot,
+  * name-ordered) list — each trigger admits up to `maxfilespertrigger`
+  * whole files (the classic file-source admission model).
+  */
+final class GraftCsvMicroBatchStream(
+    schema: StructType,
+    filters: Array[Filter],
+    options: CaseInsensitiveStringMap,
+    config: graft.core.csv.CsvParser.Config)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val files: Seq[(String, Long)] =
+    GraftSources.resolveFiles(options).sortBy(_._1)
+  private val maxFilesPerTrigger: Int =
+    Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
+
+  private val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.replaceAll("[^0-9]", "")
+    GraftStreamOffset(if (pos.isEmpty) 0L else pos.toLong)
+  }
+
+  override def latestOffset(): Offset = GraftStreamOffset(files.length.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[GraftStreamOffset].pos
+    GraftStreamOffset(math.min(files.length.toLong, start + maxFilesPerTrigger))
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(files.length.toLong)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].pos.toInt
+    val e = end.asInstanceOf[GraftStreamOffset].pos.toInt
+    files.slice(s, e).map { case (p, len) =>
+      GraftInputPartition(p, 0, len, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvReaderFactory(schema, filters, conf, config)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -213,7 +213,7 @@ final class GraftCsvTable(schema: StructType, properties: java.util.Map[String, 
   override def name(): String = s"graft-csv:${properties.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options, isJson = false)
 }
@@ -260,11 +260,13 @@ final class GraftScan(
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(isJson, "graft-csv does not support streaming reads")
-    new GraftJsonMicroBatchStream(schema, filters, options,
-      GraftSources.jsonMode(options.asCaseSensitiveMap()))
-  }
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    if (isJson)
+      new GraftJsonMicroBatchStream(schema, filters, options,
+        GraftSources.jsonMode(options.asCaseSensitiveMap()))
+    else
+      new GraftCsvMicroBatchStream(schema, filters, options,
+        GraftSources.csvConfig(options.asCaseSensitiveMap()))
   override def description(): String =
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
       s" pushed=[${filters.mkString(", ")}])"

@@ -135,4 +135,24 @@ object JsonRoundTripProps extends Properties("JsonRoundTrip") {
       }
       acc == expected
     }
+
+  property("UnwrapArray: elements of a rendered array become rows") =
+    forAll(genCase) { case (docs, pad, cuts) =>
+      val text = docs.map(render(_, pad)).mkString("[", s"$pad,$pad", "]")
+      val expected = docs.flatMap(d => events(d) :+ FinishRow)
+      val bytes = text.getBytes("UTF-8")
+      val cutsAbs = cuts.map(c => (c * bytes.length).toInt).distinct.sorted
+      val plate = new ReifiedPlate
+      val parser = new JsonParser(plate, JsonParser.UnwrapArray)
+      var acc = List.empty[Event]
+      var prev = 0
+      (cutsAbs :+ bytes.length).foreach { cut =>
+        if (cut > prev) {
+          acc = acc ::: parser.absorb(bytes.slice(prev, cut)).unsafeGet
+          prev = cut
+        }
+      }
+      acc = acc ::: parser.finish().unsafeGet
+      acc == expected
+    }
 }

@@ -331,4 +331,27 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val good = (1 to 200).filterNot(_ % 37 == 0).map(_.toLong)
     assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == good)
   }
+
+  test("graft-csv streams file-by-file micro-batches") {
+    val d = dir.resolve("csvstream")
+    Files.createDirectories(d)
+    (1 to 4).foreach { f =>
+      Files.write(d.resolve(s"part$f.csv"),
+        ("id,v\n" + (1 to 10).map(i => s"${f * 100 + i},x$i").mkString("\n") + "\n").getBytes(UTF_8))
+    }
+    val df = spark.readStream.format("graft-csv")
+      .schema("id LONG, v STRING")
+      .option("maxfilespertrigger", "1")
+      .load(d.toString)
+    val q = df.writeStream
+      .format("memory").queryName("graft_csv_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("graft_csv_stream").select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for { f <- 1 to 4; i <- 1 to 10 } yield (f * 100 + i).toLong).sorted
+    assert(got == want)
+    assert(q.recentProgress.length >= 4, "expected one micro-batch per file")
+  }
 }
