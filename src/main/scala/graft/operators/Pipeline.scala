@@ -77,12 +77,13 @@ object Pipeline {
             """transform(sequence(0, 3),
                  b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))""")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // Self-join re-plans the signature computation on each side; at
-      // 100 TB the signature table (a few hundred bytes/doc vs KBs of
-      // text) would be materialized once — persist() or a bucketed write
-      // on `bucket` — turning this into a co-partitioned merge join.
-      val a = bands.select($"doc_id".as("doc_a"), $"mh".as("mh_a"), $"band", $"bucket")
-      val b = bands.select($"doc_id".as("doc_b"), $"mh".as("mh_b"), $"band", $"bucket")
+      // Materialize the signature table once (a few hundred bytes/doc vs
+      // KBs of text) so the self-join reads the cached signatures instead
+      // of re-computing 16 minhashes per side; at 100 TB this would be a
+      // bucketed write on `bucket` for a co-partitioned merge join.
+      val sigs = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sigs.select($"doc_id".as("doc_a"), $"mh".as("mh_a"), $"band", $"bucket")
+      val b = sigs.select($"doc_id".as("doc_b"), $"mh".as("mh_b"), $"band", $"bucket")
       a.join(b, Seq("band", "bucket"))
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b",
