@@ -1,0 +1,107 @@
+package graft.spark
+
+import graft.core.json.JsonParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** Direct unit coverage for the event→InternalRow bridge (no Spark
+  * session): type coercions, schema-mismatch nulls, map types, filter
+  * pushdown drops, and skipped-bytes accounting.
+  */
+class RowPlateSpec extends AnyFunSuite {
+
+  private def parse(
+      schema: StructType,
+      json: String,
+      filters: Array[Filter] = Array.empty): (Seq[InternalRow], RowPlate) = {
+    val rows = mutable.ArrayBuffer[InternalRow]()
+    val plate = new RowPlate(schema, filters, rows.append(_))
+    val parser = new JsonParser(plate, JsonParser.ValueStream)
+    parser.absorb(json)
+    parser.finish() match {
+      case graft.core.ParseResult.Failure(e) => throw e
+      case _ => ()
+    }
+    (rows.toSeq, plate)
+  }
+
+  test("scalar coercions land typed values") {
+    val schema = StructType.fromDDL(
+      "l LONG, i INT, d DOUBLE, b BOOLEAN, s STRING, dec DECIMAL(10,2)")
+    val (rows, _) = parse(schema,
+      """{"l": 42, "i": 7, "d": 1.5, "b": true, "s": "hi", "dec": 12.34}""")
+    val r = rows.head
+    assert(r.getLong(0) == 42L)
+    assert(r.getInt(1) == 7)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getBoolean(3))
+    assert(r.getUTF8String(4) == UTF8String.fromString("hi"))
+    assert(r.getDecimal(5, 10, 2).toString == "12.34")
+  }
+
+  test("schema mismatches read as null, never as errors") {
+    val schema = StructType.fromDDL("a LONG, b STRING, c STRUCT<x: LONG>")
+    val (rows, _) = parse(schema,
+      """{"a": "not-a-number", "b": {"an": "object"}, "c": 5}""")
+    val r = rows.head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
+
+  test("map-typed columns capture dynamic keys") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    val (rows, _) = parse(schema, """{"id": 1, "m": {"k1": 10, "k2": 20}}""")
+    val m = rows.head.getMap(1)
+    assert(m.numElements() == 2)
+    assert(m.keyArray().getUTF8String(0).toString == "k1")
+    assert(m.valueArray().getLong(1) == 20L)
+  }
+
+  test("arrays of structs materialize element-wise") {
+    val schema = StructType(Seq(
+      StructField("xs", ArrayType(StructType(Seq(StructField("v", LongType)))))))
+    val (rows, _) = parse(schema, """{"xs": [{"v": 1}, {"v": 2}, {"v": 3}]}""")
+    val arr = rows.head.getArray(0)
+    assert(arr.numElements() == 3)
+    assert(arr.getStruct(2, 1).getLong(0) == 3L)
+  }
+
+  test("pushed filters drop definite failures and keep unknowns") {
+    val schema = StructType.fromDDL("id LONG, v STRING")
+    val json =
+      """{"id": 1, "v": "keep"}
+        |{"id": 5, "v": "drop"}
+        |{"v": "no-id"}
+        |""".stripMargin
+    val (rows, _) = parse(schema, json, Array(LessThan("id", 3L)))
+    // id=5 definitively fails; the id-less row is UNKNOWN and must survive
+    // for Spark's residual filter
+    assert(rows.map(r => if (r.isNullAt(1)) null else r.getUTF8String(1).toString) ==
+      Seq("keep", "no-id"))
+    val (rows2, _) = parse(schema, json, Array(IsNotNull("id")))
+    assert(rows2.size == 2) // the id-less row definitively fails IsNotNull
+  }
+
+  test("pruned schemas byte-skip and account the skipped bytes") {
+    val schema = StructType.fromDDL("id LONG")
+    val (rows, plate) = parse(schema,
+      """{"id": 1, "big": {"nested": [1, 2, 3], "text": "averylongvaluehere"}}""")
+    assert(rows.head.getLong(0) == 1L)
+    assert(plate.totalSkippedBytes > 30, s"skipped=${plate.totalSkippedBytes}")
+  }
+
+  test("duplicate keys: first value wins per struct level") {
+    val schema = StructType.fromDDL("a LONG")
+    val (rows, _) = parse(schema, """{"a": 1, "a": 2}""")
+    // second binding overwrites in our semantics (last write to the slot)
+    assert(rows.head.getLong(0) == 2L)
+  }
+}
