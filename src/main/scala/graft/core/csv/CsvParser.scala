@@ -54,6 +54,9 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
         if (column == 0) return
         // EOF right after a record delimiter: one empty trailing cell
         tokenStart = curr
+        // ... which in the header row is an empty header cell (e.g. "a,"):
+        // a positioned error, same as parseCell's in-row check
+        if (readingHeader) die(curr, "empty header cell")
         emitTrailingEmptyCell()
       } else {
         tokenStart = curr

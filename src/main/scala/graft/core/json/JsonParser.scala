@@ -190,8 +190,12 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
 
   private[this] def beginRowSkip(): Unit = {
     if (depth == 0) {
-      // the row's value is already fully consumed: just suppress finishRow
+      // the row's value is already fully consumed: just suppress finishRow.
+      // rowDoneAfterSkip may throw BatchBroken (abbreviate set earlier in
+      // the row) — then the unwind itself suppresses valueDone, so the
+      // flag is only set on normal return.
       rowDoneAfterSkip()
+      rowSuppressed = true
     } else {
       skipMode = SkipRowMode
       skipPhase = SkContainer
@@ -199,6 +203,17 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       skipRelTarget = -depth
     }
   }
+
+  // SkipRow arrived for a fully-consumed top-level value (bare scalar row):
+  // the pending valueDone()/finishRow() at the emit site must not fire.
+  private[this] var rowSuppressed = false
+
+  /** A scalar was emitted and its signal handled: complete the value unless
+    * a top-level SkipRow just suppressed the row or a skip is in progress.
+    */
+  @inline private[this] def scalarDone(): Unit =
+    if (rowSuppressed) rowSuppressed = false
+    else if (skipMode == SkipNone) valueDone()
 
   private[this] def rowDoneAfterSkip(): Unit = {
     depth = 0
@@ -236,7 +251,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       case KFalse   => plate.fls()
     }
     handleRowSignals(s)
-    if (skipMode == SkipNone) valueDone()
+    scalarDone()
   }
 
   private[this] def parseValue(b: Byte): Unit = (b: @switch) match {
@@ -246,7 +261,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       val s = parseValueStringToken()
       val sig = plate.str(s)
       handleRowSignals(sig)
-      if (skipMode == SkipNone) valueDone()
+      scalarDone()
     case 't' => expectWord("true"); emitScalar(KTrue)
     case 'f' => expectWord("false"); emitScalar(KFalse)
     case 'n' => expectWord("null"); emitScalar(KNull)
@@ -471,7 +486,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     curr = i
     val sig = plate.num(numView, decIdx, expIdx)
     handleRowSignals(sig)
-    if (skipMode == SkipNone) valueDone()
+    scalarDone()
   }
 
   // ----------------------------------------------------------------- skip

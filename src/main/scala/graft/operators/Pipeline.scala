@@ -318,7 +318,7 @@ object Pipeline {
         .orderBy($"source")
     },
     Some("""SELECT coalesce(source, '(total)') AS source,
-                   sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens, CAST(sum(bpe) AS BIGINT) AS bpe_tokens
             FROM (SELECT source,
                          CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws,
                          (length(text) * 2) // 7 AS bpe

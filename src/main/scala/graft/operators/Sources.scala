@@ -120,7 +120,7 @@ object Sources {
       q.awaitTermination()
       s.table("q44_stream").orderBy($"n_regionkey")
     },
-    Some(s"""SELECT n_regionkey, count(*) AS n, sum(meta.len) AS total_len
+    Some(s"""SELECT n_regionkey, count(*) AS n, CAST(sum(meta.len) AS BIGINT) AS total_len
              FROM read_json('$jsonFixture', format='newline_delimited')
              GROUP BY n_regionkey
              ORDER BY n_regionkey"""))

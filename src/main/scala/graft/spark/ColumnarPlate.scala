@@ -38,7 +38,7 @@ final class ColumnarPlate(
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
 
   private[this] val filtersByIdx: Map[Int, Array[Filter]] =
-    filters.filter(_.references.length == 1)
+    FilterEval.normalize(filters.filter(_.references.length == 1))
       .groupBy(f => names.indexOf(f.references.head))
       .removed(-1)
   private[this] val hasNullFilters =
@@ -50,11 +50,39 @@ final class ColumnarPlate(
   /** Rows currently buffered in the open batch. */
   def pendingRows: Int = rows
 
-  /** Hand the buffered rows out as a batch and start a fresh one. */
+  /** Hand the buffered rows out as a batch and start a fresh one.
+    *
+    * A chunk boundary can split a row, so takeBatch() may be called with a
+    * row in flight: its already-written cells live in the OLD vectors at
+    * index `rows` (with `seen` flags set) and must be carried over to the
+    * new vectors at index 0, or the completed row would silently read
+    * stale defaults for those columns in the next batch.
+    */
   def takeBatch(): ColumnarBatch = {
     val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], rows)
+    val old = vectors
+    val partialAt = rows
     vectors = allocate()
     rows = 0
+    var i = 0
+    while (i < numCols) {
+      if (seen(i)) {
+        val src = old(i)
+        if (src.isNullAt(partialAt)) vectors(i).putNull(0)
+        else types(i) match {
+          case BooleanType => vectors(i).putBoolean(0, src.getBoolean(partialAt))
+          case IntegerType => vectors(i).putInt(0, src.getInt(partialAt))
+          case LongType    => vectors(i).putLong(0, src.getLong(partialAt))
+          case FloatType   => vectors(i).putFloat(0, src.getFloat(partialAt))
+          case DoubleType  => vectors(i).putDouble(0, src.getDouble(partialAt))
+          case StringType  =>
+            val s = src.getUTF8String(partialAt)
+            vectors(i).putByteArray(0, s.getBytes)
+          case _           => vectors(i).putNull(0)
+        }
+      }
+      i += 1
+    }
     batch
   }
 

@@ -108,7 +108,7 @@ final class RowPlate(
 
   // single-column filters grouped by referenced top-level column index
   private[this] val filtersByIdx: Map[Int, Array[Filter]] =
-    filters.filter(_.references.length == 1)
+    FilterEval.normalize(filters.filter(_.references.length == 1))
       .groupBy(f => topIndex.getOrElse(f.references.head, -1))
       .removed(-1)
   private[this] val hasNullFilters =
@@ -393,12 +393,55 @@ object Conversions {
   * early; unknowns are kept for the residual Catalyst filter).
   */
 object FilterEval {
+  /** Pre-convert comparison literals (String → UTF8String) once at plate
+    * construction so the per-row cmp path never allocates.
+    */
+  def normalize(filters: Array[Filter]): Array[Filter] = filters.map {
+    case EqualTo(c, v: String)            => EqualTo(c, UTF8String.fromString(v))
+    case GreaterThan(c, v: String)        => GreaterThan(c, UTF8String.fromString(v))
+    case GreaterThanOrEqual(c, v: String) => GreaterThanOrEqual(c, UTF8String.fromString(v))
+    case LessThan(c, v: String)           => LessThan(c, UTF8String.fromString(v))
+    case LessThanOrEqual(c, v: String)    => LessThanOrEqual(c, UTF8String.fromString(v))
+    case In(c, vs) if vs.exists(_.isInstanceOf[String]) =>
+      In(c, vs.map { case s: String => UTF8String.fromString(s); case v => v })
+    case f => f
+  }
+
+  @inline private def isFloating(n: java.lang.Number): Boolean =
+    n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float]
+
+  // exact numeric view: integrals via long, floating via the exact binary
+  // expansion — a long past 2^53 must never round onto a double literal
+  // (a wrongly-dropped row cannot be restored by the residual filter)
+  private def toBig(n: java.lang.Number): java.math.BigDecimal = n match {
+    case b: java.math.BigDecimal => b
+    case b: java.math.BigInteger => new java.math.BigDecimal(b)
+    case _ if isFloating(n)      => new java.math.BigDecimal(n.doubleValue)
+    case _                       => java.math.BigDecimal.valueOf(n.longValue)
+  }
+
+  private def cmpNum(x: java.lang.Number, y: java.lang.Number): Int = {
+    val xf = isFloating(x); val yf = isFloating(y)
+    if (!xf && !yf && !x.isInstanceOf[java.math.BigDecimal] && !y.isInstanceOf[java.math.BigDecimal] &&
+        !x.isInstanceOf[java.math.BigInteger] && !y.isInstanceOf[java.math.BigInteger])
+      java.lang.Long.compare(x.longValue, y.longValue)
+    else {
+      // NaN sorts above everything and equal to itself (Spark's ordering)
+      val xn = xf && java.lang.Double.isNaN(x.doubleValue)
+      val yn = yf && java.lang.Double.isNaN(y.doubleValue)
+      if (xn || yn) java.lang.Boolean.compare(xn, yn)
+      else if (xf && yf) java.lang.Double.compare(x.doubleValue, y.doubleValue)
+      else toBig(x).compareTo(toBig(y))
+    }
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
-    case (x: UTF8String, y: String) => Some(x.toString.compareTo(y))
-    case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
-    case (x: java.lang.Number, y: java.lang.Number) =>
-      Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    // binary UTF-8 ordering, matching Spark's UTF8String sort order (UTF-16
+    // String.compareTo disagrees for U+E000..U+FFFF vs supplementary chars)
+    case (x: UTF8String, y: String) => Some(x.binaryCompare(UTF8String.fromString(y)))
+    case (x: UTF8String, y: UTF8String) => Some(x.binaryCompare(y))
+    case (x: java.lang.Number, y: java.lang.Number) => Some(cmpNum(x, y))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None
   }

@@ -127,6 +127,14 @@ class CsvParserSpec extends AnyFunSuite {
     assert(csvError("abc,,def", unix).isInstanceOf[ParseException])
   }
 
+  test("trailing empty header cell at EOF is a positioned parse error") {
+    // "a," ends the header row on a record delimiter at EOF: the implied
+    // trailing header cell is empty — a ParseException, not a RuntimeException
+    val e = csvError("a,")
+    assert(e.isInstanceOf[ParseException])
+    assert(e.getMessage.contains("empty header cell"))
+  }
+
   test("unclosed quote fails") {
     assert(csvError("a\r\n\"fubar").isInstanceOf[ParseException])
   }

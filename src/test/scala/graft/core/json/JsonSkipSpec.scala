@@ -125,6 +125,35 @@ class JsonSkipSpec extends AnyFunSuite {
       NestMap("k"), Num("5", -1, -1), Unnest, FinishRow))
   }
 
+  test("SkipRow on a bare top-level scalar suppresses finishRow") {
+    // the scalar IS the row: no skipping needed, but finishRow must not fire
+    val events = jsonEvents("1 0 2", wrap = rowFilter)
+    assert(events == List(
+      Num("1", -1, -1), FinishRow,
+      Num("0", -1, -1),
+      Num("2", -1, -1), FinishRow))
+  }
+
+  test("SkipRow on a bare scalar UnwrapArray element suppresses finishRow") {
+    val events = jsonEvents("[1, 0, 3]", JsonParser.UnwrapArray, wrap = rowFilter)
+    assert(events == List(
+      Num("1", -1, -1), FinishRow,
+      Num("0", -1, -1),
+      Num("3", -1, -1), FinishRow))
+  }
+
+  test("SkipRow on a bare string row suppresses finishRow") {
+    val dropB = (delegate: EventPlate) =>
+      new DelegatingPlate[List[Event]](delegate) {
+        override def str(s: CharSequence): Signal = {
+          super.str(s)
+          if (s.toString == "b") Signal.SkipRow else Signal.Continue
+        }
+      }
+    val events = jsonEvents("\"a\" \"b\" \"c\"", wrap = dropB)
+    assert(events == List(Str("a"), FinishRow, Str("b"), Str("c"), FinishRow))
+  }
+
   // ---------------------------------------------------------- BreakBatch
 
   /** Break the batch after every row (element-by-element abbreviation). */

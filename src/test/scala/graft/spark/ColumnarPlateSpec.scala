@@ -1,0 +1,82 @@
+package graft.spark
+
+import graft.core.ParseResult
+import graft.core.json.JsonParser
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage for the event→ColumnarBatch bridge, in particular
+  * the chunk-boundary protocol: the columnar readers call takeBatch()
+  * whenever complete rows are pending after a 256 KB chunk, which can
+  * happen with a row IN FLIGHT — its already-written cells must carry over
+  * into the fresh vectors.
+  */
+class ColumnarPlateSpec extends AnyFunSuite {
+
+  private def raise[A](r: ParseResult[A]): Unit = r match {
+    case ParseResult.Failure(e) => throw e
+    case _ => ()
+  }
+
+  test("takeBatch mid-row carries the partial row's cells into the new batch") {
+    val schema = StructType.fromDDL("a LONG, b STRING, c DOUBLE")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+
+    // chunk 1 ends mid-row: row 2 has a=2 and b="y" already written
+    raise(p.absorb("""{"a": 1, "b": "x", "c": 0.5}""" + "\n" + """{"a": 2, "b": "y", """))
+    assert(plate.pendingRows == 1)
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    assert(b1.column(0).getLong(0) == 1L)
+    assert(b1.column(1).getUTF8String(0).toString == "x")
+
+    raise(p.absorb(""""c": 2.5}"""))
+    raise(p.finish())
+    assert(plate.pendingRows == 1)
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    // before the carry-over fix these read stale defaults (0 / empty)
+    assert(b2.column(0).getLong(0) == 2L)
+    assert(b2.column(1).getUTF8String(0).toString == "y")
+    assert(b2.column(2).getDouble(0) == 2.5)
+  }
+
+  test("takeBatch mid-row carries explicit nulls and booleans") {
+    val schema = StructType.fromDDL("a LONG, b BOOLEAN, c STRING")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb("""{"a": 7, "b": true, "c": "k"}""" + "\n" + """{"a": null, "b": false, """))
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    raise(p.absorb(""""c": "z"}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    assert(b2.column(0).isNullAt(0))
+    assert(!b2.column(1).getBoolean(0))
+    assert(b2.column(2).getUTF8String(0).toString == "z")
+  }
+
+  test("every split point of a two-row flat input yields identical batches") {
+    val schema = StructType.fromDDL("a LONG, b STRING")
+    val input = """{"a": 11, "b": "left"}""" + "\n" + """{"a": 22, "b": "right"}"""
+    val bytes = input.getBytes("UTF-8")
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      // the reader takes whatever is pending at the chunk boundary
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map { r =>
+          (b.column(0).getLong(r), b.column(1).getUTF8String(r).toString)
+        }
+      }
+      assert(rows == Seq((11L, "left"), (22L, "right")), s"split $i")
+    }
+  }
+}
