@@ -1,0 +1,103 @@
+package graft
+
+/** Ad-hoc parse-throughput profiler (not part of the driver contract):
+  * measures the RowPlate full-materialization path on flat JSONL — the
+  * shape where spark.read.json's Jackson reader is the competition.
+  *
+  * Usage: sbt "runMain graft.ProfParse [rows] [reps]"
+  */
+object ProfParse {
+  import graft.core._
+  import graft.core.json.JsonParser
+  import graft.spark.RowPlate
+  import org.apache.spark.sql.types._
+
+  private def mkFlat(rows: Int): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(rows * 200)
+    var i = 0
+    while (i < rows) {
+      sb.append("{\"id\": ").append(i)
+        .append(", \"user\": \"user-").append(i % 9973)
+        .append("\", \"score\": ").append((i % 1000) / 10.0)
+        .append(", \"flag\": ").append(i % 3 == 0)
+        .append(", \"ts\": ").append(1700000000L + i)
+        .append(", \"city\": \"city-").append(i % 211)
+        .append("\", \"amount\": ").append(i % 100000).append(".").append(i % 97)
+        .append(", \"tag\": \"t").append(i % 17).append("\"}\n")
+      i += 1
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private val flatSchema = StructType.fromDDL(
+    "id LONG, user STRING, score DOUBLE, flag BOOLEAN, ts LONG, city STRING, amount DOUBLE, tag STRING")
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toInt else 200000
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val data = mkFlat(rows)
+    val mb = data.length / 1e6
+    println(f"corpus: $mb%.1f MB, $rows rows")
+
+    def once(): Long = {
+      var n = 0L
+      val plate = new RowPlate(flatSchema, Array.empty, _ => n += 1)
+      val p = new JsonParser(plate, JsonParser.ValueStream)
+      p.absorb(data) match { case ParseResult.Failure(e) => throw e; case _ => () }
+      p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+      require(n == rows, s"rows $n")
+      n
+    }
+    var w = 0
+    while (w < 5) { once(); w += 1 }
+    var best = Double.MaxValue
+    var r = 0
+    while (r < reps) {
+      val t0 = System.nanoTime()
+      once()
+      val dt = (System.nanoTime() - t0) / 1e9
+      best = math.min(best, dt)
+      r += 1
+    }
+    println(f"RowPlate flat: best ${mb / best}%.1f MB/s")
+
+    if (args.contains("e2e")) e2e(data, mb)
+  }
+
+  /** Single-task end-to-end: graft-json DSv2 scan vs spark.read.json
+    * (Jackson) over the same file, count(*) forced through a real scan by
+    * aggregating a data column.
+    */
+  private def e2e(data: Array[Byte], mb: Double): Unit = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder()
+      .master("local[1]")
+      .appName("prof-parse")
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val path = "/tmp/prof_parse/flat.json"
+    val dir = new java.io.File("/tmp/prof_parse")
+    dir.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), data)
+
+    def bench(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      def once(): Unit = mk.agg(sum(length(col("user"))), sum(col("id"))).collect()
+      once(); once() // warmup
+      var best = Double.MaxValue
+      var i = 0
+      while (i < 5) {
+        val t0 = System.nanoTime()
+        once()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      println(f"$label: ${mb / best}%.1f MB/s")
+    }
+    bench("graft-json e2e")(spark.read.format("graft-json").schema(flatSchema).load(path))
+    bench("spark.read.json e2e")(spark.read.schema(flatSchema).json(path))
+    spark.stop()
+  }
+}

@@ -48,14 +48,28 @@ final class RowPlate(
   private final val KMap = 4
   private final val KDiscard = 5
 
-  private final class VFrame(val expected: DataType, val childIdx: Int) {
+  /** One frame per open value slot. Frames are POOLED per stack depth and
+    * reset on push (the parse hot path allocates no frame objects); only
+    * the values that escape into rows (struct arrays, array/map copies)
+    * are freshly allocated.
+    */
+  private final class VFrame {
+    var expected: DataType = null
+    var childIdx: Int = -1
     var kind: Int = KEmpty
+    var fieldPos: Int = 0 // KStruct: nestMap count, keys the order cache
     var value: Any = null                        // KScalar result
     var values: Array[Any] = null                // KStruct
     var st: StructType = null                    // KStruct
-    var buf: mutable.ArrayBuffer[Any] = null     // KArray
-    var keys: mutable.ArrayBuffer[Any] = null    // KMap
-    var vals: mutable.ArrayBuffer[Any] = null    // KMap
+    var lookup: StructLookup = null              // KStruct
+    var buf: mutable.ArrayBuffer[Any] = null     // KArray (reused, cleared)
+    var keys: mutable.ArrayBuffer[Any] = null    // KMap (reused, cleared)
+    var vals: mutable.ArrayBuffer[Any] = null    // KMap (reused, cleared)
+
+    def reset(e: DataType, c: Int): Unit = {
+      expected = e; childIdx = c; kind = KEmpty; value = null
+      values = null; st = null
+    }
 
     def finalValue(): Any = kind match {
       case KScalar  => value
@@ -66,18 +80,36 @@ final class RowPlate(
     }
 
     def morphStruct(s: StructType): Unit = {
-      kind = KStruct; st = s; values = new Array[Any](s.length)
+      kind = KStruct; st = s; values = new Array[Any](s.length); fieldPos = 0
+      lookup = lookupFor(s)
     }
-    def morphArray(): Unit = { kind = KArray; buf = new mutable.ArrayBuffer[Any] }
+    def morphArray(): Unit = {
+      kind = KArray
+      if (buf == null) buf = new mutable.ArrayBuffer[Any] else buf.clear()
+    }
     def morphMap(): Unit = {
       kind = KMap
-      keys = new mutable.ArrayBuffer[Any]; vals = new mutable.ArrayBuffer[Any]
+      if (keys == null) { keys = new mutable.ArrayBuffer[Any]; vals = new mutable.ArrayBuffer[Any] }
+      else { keys.clear(); vals.clear() }
     }
   }
 
-  private[this] var stack = new mutable.ArrayDeque[VFrame]
-  private[this] var rowFrame: VFrame = null
-  resetRow()
+  // depth-indexed frame pool: frames(0) is the permanent row frame
+  private[this] var frames = Array.fill(16)(new VFrame)
+  private[this] var sp = 0
+  private[this] def rowFrame: VFrame = frames(0)
+
+  @inline private[this] def pushFrame(e: DataType, c: Int): Unit = {
+    sp += 1
+    if (sp >= frames.length) {
+      val next = new Array[VFrame](frames.length * 2)
+      System.arraycopy(frames, 0, next, 0, frames.length)
+      var i = frames.length
+      while (i < next.length) { next(i) = new VFrame; i += 1 }
+      frames = next
+    }
+    frames(sp).reset(e, c)
+  }
 
   /** The parser emits one unnest for a value it skipped (no frame pushed). */
   private[this] var skipPending = false
@@ -87,23 +119,49 @@ final class RowPlate(
   private[this] val topIndex: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
   private[this] val valueColIdx: Int = topIndex.getOrElse("value", -1)
 
-  // field names per struct node, cached by node identity (schemas are
-  // shared); lookup is an allocation-free linear contentEquals scan so the
-  // parser's reusable zero-copy key views never need toString
-  private[this] val fieldNamesCache =
-    new java.util.IdentityHashMap[StructType, Array[String]]
-  private def fieldIndex(st: StructType, name: CharSequence): Int = {
-    var names = fieldNamesCache.get(st)
-    if (names == null) {
-      names = st.fieldNames
-      fieldNamesCache.put(st, names)
+  // Per-struct-node lookup state, cached by node identity (schemas are
+  // shared). Lookup is allocation-free (no toString on the parser's
+  // zero-copy key views): a KEY-ORDER cache keyed by field position —
+  // JSON rows almost always repeat the same key order, so the steady
+  // state is a single contentEquals per key; misses fall back to a
+  // linear scan and re-learn the order.
+  private final class StructLookup(st: StructType) {
+    val names: Array[String] = st.fieldNames
+    private[this] val cap = names.length + 8 // room for pruned/extra keys
+    val orderNames = new Array[String](cap)
+    val orderCols = new Array[Int](cap)
+
+    def indexOf(name: CharSequence, pos: Int): Int = {
+      if (pos < orderNames.length && orderNames(pos) != null &&
+          orderNames(pos).contentEquals(name)) return orderCols(pos)
+      var i = 0
+      while (i < names.length) {
+        if (names(i).contentEquals(name)) {
+          if (pos < orderNames.length) {
+            orderNames(pos) = names(i) // interned copy, not the view
+            orderCols(pos) = i
+          }
+          return i
+        }
+        i += 1
+      }
+      if (pos < orderNames.length) {
+        orderNames(pos) = name.toString // absent key: remember the prune
+        orderCols(pos) = -1
+      }
+      -1
     }
-    var i = 0
-    while (i < names.length) {
-      if (names(i).contentEquals(name)) return i
-      i += 1
+  }
+
+  private[this] val structLookups =
+    new java.util.IdentityHashMap[StructType, StructLookup]
+  private def lookupFor(st: StructType): StructLookup = {
+    var l = structLookups.get(st)
+    if (l == null) {
+      l = new StructLookup(st)
+      structLookups.put(st, l)
     }
-    -1
+    l
   }
 
   // single-column filters grouped by referenced top-level column index
@@ -115,14 +173,15 @@ final class RowPlate(
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
 
   private def resetRow(): Unit = {
-    stack.clear()
-    rowFrame = new VFrame(schema, -1)
-    rowFrame.morphStruct(schema)
-    stack.prepend(rowFrame)
+    sp = 0
+    frames(0).reset(schema, -1)
+    frames(0).morphStruct(schema)
     skipPending = false
   }
 
-  @inline private def top: VFrame = stack.head
+  @inline private def top: VFrame = frames(sp)
+
+  resetRow() // after structLookups/filter vals: morphStruct touches them
 
   // ------------------------------------------------------------- events
 
@@ -182,18 +241,20 @@ final class RowPlate(
     }
     f.kind match {
       case KStruct =>
-        val idx = fieldIndex(f.st, pathComponent)
+        val pos = f.fieldPos
+        f.fieldPos = pos + 1
+        val idx = f.lookup.indexOf(pathComponent, pos)
         if (idx < 0) {
           skipPending = true
           Signal.SkipColumn // projection pushdown: key not in (pruned) schema
         } else {
-          stack.prepend(new VFrame(f.st(idx).dataType, idx))
+          pushFrame(f.st(idx).dataType, idx)
           Signal.Continue
         }
       case KMap =>
         val m = f.expected.asInstanceOf[MapType]
         f.keys += Conversions.fromString(m.keyType, pathComponent)
-        stack.prepend(new VFrame(m.valueType, -1))
+        pushFrame(m.valueType, -1)
         Signal.Continue
       case _ =>
         skipPending = true
@@ -206,12 +267,11 @@ final class RowPlate(
     if ((f eq rowFrame) && f.kind == KStruct) {
       // array row in a schemaless stream -> "value" column when present
       if (valueColIdx >= 0) {
-        val child = new VFrame(schema(valueColIdx).dataType, valueColIdx)
-        child.expected match {
-          case _: ArrayType =>
-            child.morphArray()
-            stack.prepend(child)
-            stack.prepend(new VFrame(child.expected.asInstanceOf[ArrayType].elementType, -1))
+        schema(valueColIdx).dataType match {
+          case at: ArrayType =>
+            pushFrame(at, valueColIdx)
+            top.morphArray()
+            pushFrame(at.elementType, -1)
             return Signal.Continue
           case _ => ()
         }
@@ -227,7 +287,7 @@ final class RowPlate(
     }
     f.kind match {
       case KArray =>
-        stack.prepend(new VFrame(f.expected.asInstanceOf[ArrayType].elementType, -1))
+        pushFrame(f.expected.asInstanceOf[ArrayType].elementType, -1)
         Signal.Continue
       case _ =>
         skipPending = true
@@ -246,10 +306,11 @@ final class RowPlate(
       // the unnest matching a value the parser byte-skipped for us
       skipPending = false
       Signal.Continue
-    } else if (stack.size <= 1) {
+    } else if (sp == 0) {
       Signal.Continue // defensive: never pop the row frame
     } else {
-      val f = stack.removeHead()
+      val f = frames(sp)
+      sp -= 1
       val v = f.finalValue()
       val parent = top
       parent.kind match {
@@ -266,8 +327,9 @@ final class RowPlate(
   def finishRow(): Unit = {
     // top-level array/`value` rows leave their slot open (the row-value has
     // no unnest of its own): finalize any frames above the row frame
-    while (stack.size > 1) {
-      val f = stack.removeHead()
+    while (sp > 0) {
+      val f = frames(sp)
+      sp -= 1
       val v = f.finalValue()
       val parent = top
       parent.kind match {
@@ -334,6 +396,32 @@ object Conversions {
     case _           => null
   }
 
+  // 10^k is exactly representable for k <= 22; we only need <= 15
+  private[this] val POW10 = Array.tabulate(16)(k => math.pow(10, k))
+
+  /** Clinger fast path for exponent-free decimals with <= 15 significant
+    * digits: the mantissa fits a long exactly and 10^frac is an exact
+    * double, so one IEEE division yields the correctly-rounded value —
+    * identical to parseDouble, without the String round-trip. Returns null
+    * when the token is outside the fast range (caller falls back).
+    */
+  private def fastDouble(text: CharSequence, decIdx: Int, expIdx: Int): java.lang.Double = {
+    if (expIdx >= 0) return null
+    val n = text.length
+    val neg = text.charAt(0) == '-'
+    val start = if (neg) 1 else 0
+    if (n - start - (if (decIdx >= 0) 1 else 0) > 15) return null
+    var m = 0L
+    var j = start
+    while (j < n) {
+      val c = text.charAt(j)
+      if (c != '.') m = m * 10 + (c - '0')
+      j += 1
+    }
+    val d = if (decIdx >= 0) m / POW10(n - decIdx - 1) else m.toDouble
+    java.lang.Double.valueOf(if (neg) -d else d)
+  }
+
   def fromNum(dt: DataType, text: CharSequence, decIdx: Int, expIdx: Int): Any = {
     try dt match {
       // integral targets parse straight from the CharSequence view — the
@@ -342,7 +430,9 @@ object Conversions {
       case IntegerType => if (decIdx < 0 && expIdx < 0) java.lang.Integer.parseInt(text, 0, text.length, 10) else null
       case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(text.toString) else null
       case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(text.toString) else null
-      case DoubleType  => java.lang.Double.parseDouble(text.toString)
+      case DoubleType  =>
+        val fast = fastDouble(text, decIdx, expIdx)
+        if (fast != null) fast else java.lang.Double.parseDouble(text.toString)
       case FloatType   => java.lang.Float.parseFloat(text.toString)
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))
