@@ -245,6 +245,147 @@ object Pipeline {
     },
     None) // approximate (bucket recall < 1): rows-only gate
 
+  // ---------------------------------------------------------------- q52
+  // IVF ANN (the trained-index scale path): a deterministic coarse
+  // quantizer (every 25th vector stands in for a k-means centroid; real
+  // deployments train centroids offline — the index mechanics are
+  // identical) is collected to the driver and inlined as a literal, so
+  // ASSIGNMENT IS MAP-ONLY: each vector scores all centroids in one
+  // projection (no N-x-K explode, no shuffle) and lands in its inverted
+  // list. Queries probe nprobe=2 centroid lists via a broadcast join on
+  // the centroid id — the big side never shuffles at all. Exact oracle:
+  // both engines evaluate the same sequential IEEE double arithmetic.
+  private val q52 = GQuery(
+    "q52_ann_ivf",
+    "IVF ANN: literal centroids, map-only assignment, nprobe=2 list probe",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      // coarse quantizer: k = N/25 centroids, deterministic pick
+      val cents: Seq[(Long, Seq[Double])] = emb
+        .filter($"vec_id" % 25 === 0).orderBy($"vec_id")
+        .collect().map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1))).toSeq
+      val scored = emb
+        .withColumn("cids", typedlit(cents.map(_._1)))
+        .withColumn("cvecs", typedlit(cents.map(_._2)))
+        .withColumn("scored", expr(
+          """array_sort(
+               transform(cvecs, (cv, i) -> struct(
+                 aggregate(zip_with(e, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)
+                   / (sqrt(aggregate(e, 0D, (a, v) -> a + v * v))
+                    * sqrt(aggregate(cv, 0D, (a, v) -> a + v * v))) AS ccos,
+                 cids[i] AS cid)),
+               (l, r) -> CASE WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
+                              WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+                              ELSE 0 END)"""))
+        .select($"vec_id", $"e", $"scored")
+      val assigned = scored.select($"vec_id", $"e", expr("scored[0].cid").as("cid"))
+      val probes = scored.filter($"vec_id".isin(1, 2, 3))
+        .select($"vec_id".as("qid"), $"e".as("qe"),
+          explode(expr("transform(slice(scored, 1, 2), s -> s.cid)")).as("cid"))
+      probes.join(assigned, "cid") // inverted-list probe (broadcast: 6 rows)
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          expr("""aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, v) -> a + v)
+                  / (sqrt(aggregate(qe, 0D, (a, v) -> a + v * v))
+                   * sqrt(aggregate(e, 0D, (a, v) -> a + v * v)))""").as("cos"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor"))
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id % 25 = 0),
+            scored AS (
+              SELECT e.vec_id, e.e, c.cid,
+                     list_dot_product(e.e, c.ce)
+                       / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS ccos,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.e, c.ce)
+                         / (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+                       c.cid ASC) AS crank
+              FROM e, c),
+            assigned AS (SELECT vec_id, e, cid FROM scored WHERE crank = 1),
+            probes AS (SELECT vec_id AS qid, e AS qe, cid FROM scored
+                       WHERE crank <= 2 AND vec_id IN (1, 2, 3)),
+            cand AS (
+              SELECT p.qid, a.vec_id,
+                     list_dot_product(p.qe, a.e)
+                       / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.e, a.e))) AS cos
+              FROM probes p JOIN assigned a USING (cid)
+              WHERE a.vec_id <> p.qid),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+            SELECT qid, rank, vec_id AS neighbor
+            FROM ranked WHERE rank <= 5
+            ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------------------- q53
+  // Embedding-cosine near-dup dedup: 4 data vectors act as fixed random
+  // hyperplanes (inlined as literals -> the 4-bit sign bucket is MAP-ONLY,
+  // no explode/shuffle); candidate pairs come from a self-equi-join on the
+  // bucket (the one shuffle), never all-pairs; pairs at cosine >= 0.35 mark
+  // the larger id as a duplicate of the smaller (first-writer-wins). The
+  // oracle replicates the bucketed algorithm exactly, so the gate checks
+  // the algorithm, not LSH recall. At 100 TB: more planes + per-band
+  // repetition, salting for hot buckets.
+  private val q53 = GQuery(
+    "q53_embedding_neardup",
+    "embedding-cosine near-dup dedup (sign-LSH buckets, first-writer-wins)",
+    (s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      val planes: Seq[Seq[Double]] = emb
+        .filter($"vec_id".isin(100, 200, 300, 400)).orderBy($"vec_id")
+        .collect().map(_.getSeq[Double](1)).toSeq
+      val bucketed = emb
+        .withColumn("planes", typedlit(planes))
+        .withColumn("bucket", expr(
+          """aggregate(
+               transform(planes, (pv, i) ->
+                 CASE WHEN aggregate(zip_with(e, pv, (x, y) -> x * y), 0D, (a, v) -> a + v) >= 0
+                      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+               CAST(0 AS BIGINT), (a, v) -> a + v)"""))
+        .select($"vec_id", $"e", $"bucket")
+      val left = bucketed.select($"bucket", $"vec_id".as("i"), $"e".as("ei"))
+      val right = bucketed.select($"bucket", $"vec_id".as("j"), $"e".as("ej"))
+      left.join(right, "bucket").filter($"i" < $"j")
+        .withColumn("cos", expr(
+          """aggregate(zip_with(ei, ej, (x, y) -> x * y), 0D, (a, v) -> a + v)
+             / (sqrt(aggregate(ei, 0D, (a, v) -> a + v * v))
+              * sqrt(aggregate(ej, 0D, (a, v) -> a + v * v)))"""))
+        .filter($"cos" >= 0.35)
+        .groupBy($"j")
+        .agg(min($"i").as("witness_id"), count(lit(1)).as("n_near"))
+        .select($"j".as("dropped_id"), $"witness_id", $"n_near")
+        .orderBy($"dropped_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            p AS (SELECT vec_id AS pid, e AS pe FROM e WHERE vec_id IN (100, 200, 300, 400)),
+            bkt AS (SELECT e.vec_id,
+                      sum(CASE WHEN list_dot_product(e.e, p.pe) >= 0
+                               THEN CASE p.pid WHEN 100 THEN 1 WHEN 200 THEN 2 WHEN 300 THEN 4 ELSE 8 END
+                               ELSE 0 END) AS bucket
+                    FROM e, p GROUP BY e.vec_id),
+            pairs AS (
+              SELECT ba.vec_id AS i, bb.vec_id AS j,
+                     list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+              FROM bkt ba JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+              JOIN e a ON a.vec_id = ba.vec_id
+              JOIN e b ON b.vec_id = bb.vec_id)
+            SELECT j AS dropped_id, CAST(min(i) AS BIGINT) AS witness_id, count(*) AS n_near
+            FROM pairs
+            WHERE cos >= 0.35
+            GROUP BY j
+            ORDER BY dropped_id"""))
+
   // ---------------------------------------------------------------- q35
   // Heuristic language ID (stopword-ratio n-gram family) scored against
   // the labeled lang column as a confusion matrix. Portable arithmetic.
@@ -451,5 +592,5 @@ object Pipeline {
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46)
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53)
 }
