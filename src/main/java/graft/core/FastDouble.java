@@ -1,0 +1,132 @@
+package graft.core;
+
+import java.math.BigInteger;
+
+/**
+ * Exactly-rounded decimal-to-double conversion via the Eisel-Lemire
+ * algorithm (Lemire, "Number Parsing at a Gigabyte per Second", 2021; the
+ * same published algorithm used by Go's strconv and Rust's core). The
+ * parser already knows the token layout ({@code decIdx}/{@code expIdx}),
+ * so conversion runs straight off the zero-copy view with no String
+ * round-trip; the rare ambiguous cases (>19 significant digits, exponent
+ * out of table range, a truncated-product tie) fall back to
+ * {@link Double#parseDouble}, keeping results bit-identical to the JDK.
+ *
+ * Java, not Scala: the hot path needs {@link Math#multiplyHigh} plus
+ * unsigned long arithmetic, which is clearer and faster here.
+ */
+public final class FastDouble {
+    private FastDouble() {}
+
+    private static final int MIN_EXP10 = -348;
+    private static final int MAX_EXP10 = 347;
+    // 128-bit truncated, normalized (top bit set) mantissas of 10^e
+    private static final long[] POW10_HI = new long[MAX_EXP10 - MIN_EXP10 + 1];
+    private static final long[] POW10_LO = new long[MAX_EXP10 - MIN_EXP10 + 1];
+
+    static {
+        BigInteger TEN = BigInteger.TEN;
+        for (int e = MIN_EXP10; e <= MAX_EXP10; e++) {
+            BigInteger m;
+            if (e >= 0) {
+                m = TEN.pow(e);
+                int s = m.bitLength();
+                m = s <= 128 ? m.shiftLeft(128 - s) : m.shiftRight(s - 128); // truncates
+            } else {
+                BigInteger d = TEN.pow(-e);
+                // 2^(127+bits(d)) / d is always in [2^127, 2^128) for non-power-of-2 d
+                m = BigInteger.ONE.shiftLeft(127 + d.bitLength()).divide(d); // truncates
+            }
+            POW10_HI[e - MIN_EXP10] = m.shiftRight(64).longValue();
+            POW10_LO[e - MIN_EXP10] = m.longValue();
+        }
+    }
+
+    private static long unsignedMulHi(long a, long b) {
+        // Math.unsignedMultiplyHigh is JDK 18+; derive from the signed high word
+        return Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a);
+    }
+
+    /**
+     * Eisel-Lemire core: the correctly-rounded double nearest w * 10^q, or
+     * NaN when the algorithm cannot decide (caller falls back; finite
+     * decimal text never legitimately parses to NaN, so it is a safe
+     * sentinel).
+     */
+    public static double tryEiselLemire(long w, int q, boolean neg) {
+        if (w == 0) return neg ? -0.0 : 0.0;
+        if (q < MIN_EXP10 || q > MAX_EXP10) return Double.NaN;
+        int lz = Long.numberOfLeadingZeros(w);
+        long man = w << lz;
+        long po10Hi = POW10_HI[q - MIN_EXP10];
+        long po10Lo = POW10_LO[q - MIN_EXP10];
+        long exp2 = (long) ((217706 * q >> 16) + 64 + 1023) - lz;
+        long xHi = unsignedMulHi(man, po10Hi);
+        long xLo = man * po10Hi;
+        if ((xHi & 0x1FF) == 0x1FF && Long.compareUnsigned(xLo + man, man) < 0) {
+            // truncated 128-bit power may not suffice: refine with the low word
+            long yHi = unsignedMulHi(man, po10Lo);
+            long yLo = man * po10Lo;
+            long mergedHi = xHi;
+            long mergedLo = xLo + yHi;
+            if (Long.compareUnsigned(mergedLo, xLo) < 0) mergedHi++;
+            if ((mergedHi & 0x1FF) == 0x1FF && mergedLo + 1 == 0
+                    && Long.compareUnsigned(yLo + man, man) < 0)
+                return Double.NaN;
+            xHi = mergedHi;
+            xLo = mergedLo;
+        }
+        long msb = xHi >>> 63;
+        long mantissa = xHi >>> (msb + 9);
+        exp2 -= 1 ^ msb;
+        if (xLo == 0 && (xHi & 0x1FF) == 0 && (mantissa & 3) == 1)
+            return Double.NaN; // round-to-even tie cannot be resolved here
+        mantissa = (mantissa + (mantissa & 1)) >>> 1;
+        if ((mantissa >>> 53) > 0) {
+            mantissa >>>= 1;
+            exp2++;
+        }
+        if (Long.compareUnsigned(exp2 - 1, 0x7FF - 1) >= 0)
+            return Double.NaN; // subnormal or overflow: defer to the JDK
+        long bits = (exp2 << 52) | (mantissa & 0x000FFFFFFFFFFFFFL);
+        if (neg) bits |= 0x8000000000000000L;
+        return Double.longBitsToDouble(bits);
+    }
+
+    /**
+     * Parse a JSON number token (grammar already validated by the parser;
+     * {@code decIdx}/{@code expIdx} are the indices of '.' and 'e'/'E' or
+     * -1) into the exactly-rounded nearest double.
+     */
+    public static double parse(CharSequence t, int decIdx, int expIdx) {
+        int n = t.length();
+        boolean neg = t.charAt(0) == '-';
+        int digEnd = expIdx >= 0 ? expIdx : n;
+        long w = 0;
+        int sig = 0; // significant digits accumulated (after leading zeros)
+        for (int j = neg ? 1 : 0; j < digEnd; j++) {
+            char c = t.charAt(j);
+            if (c == '.') continue;
+            if (sig == 0 && c == '0') continue; // leading zeros are not significant
+            if (sig == 19) return slow(t); // w would overflow 2^64
+            w = w * 10 + (c - '0');
+            sig++;
+        }
+        int q = decIdx >= 0 ? -(digEnd - decIdx - 1) : 0;
+        if (expIdx >= 0) {
+            int j = expIdx + 1;
+            char c = t.charAt(j);
+            boolean eneg = c == '-';
+            if (c == '-' || c == '+') j++;
+            long e = 0;
+            for (; j < n && e < 100000; j++) e = e * 10 + (t.charAt(j) - '0');
+            q += (int) (eneg ? -e : e);
+        }
+        double r = tryEiselLemire(w, q, neg);
+        return Double.isNaN(r) ? slow(t) : r;
+    }
+
+    private static double slow(CharSequence t) {
+        return Double.parseDouble(t.toString());
+    }
+}

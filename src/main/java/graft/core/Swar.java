@@ -1,0 +1,28 @@
+package graft.core;
+
+import java.lang.invoke.MethodHandles;
+import java.lang.invoke.VarHandle;
+import java.nio.ByteOrder;
+
+/**
+ * SWAR primitives for the byte-skip scanners. Java, not Scala, because
+ * VarHandle's polymorphic-signature {@code get} needs an exact primitive
+ * call-site descriptor ({@code (long) VH.get(...)}) that scalac cannot emit
+ * without boxing.
+ */
+public final class Swar {
+    private Swar() {}
+
+    private static final VarHandle LONG_LE =
+        MethodHandles.byteArrayViewVarHandle(long[].class, ByteOrder.LITTLE_ENDIAN);
+
+    /** Read 8 little-endian bytes at {@code i} as one long (unaligned ok). */
+    public static long readLongLE(byte[] buf, int i) {
+        return (long) LONG_LE.get(buf, i);
+    }
+
+    /** High bit set in each byte lane of {@code x} that is zero (classic SWAR). */
+    public static long zeros(long x) {
+        return (x - 0x0101010101010101L) & ~x & 0x8080808080808080L;
+    }
+}

@@ -76,39 +76,62 @@ object SkipBench {
 
   final case class Result(offMbps: Double, onMbps: Double, speedup: Double)
 
+  /** ugh10k-shaped rows (the reference's headline skip corpus, README
+    * "Column Skip Benchmarks"): ~370 B objects with nested double-triples,
+    * mixed arrays, long random strings, and scientific-notation doubles;
+    * the pushdown keeps only `.bar`. Content is synthetic/deterministic.
+    */
   private def mkData(rows: Int): Array[Byte] = {
     val sb = new java.lang.StringBuilder(rows * 400)
+    var seed = 0x9E3779B97F4A7C15L
+    def nextLong(): Long = { // xorshift64*
+      seed ^= seed >>> 12; seed ^= seed << 25; seed ^= seed >>> 27
+      seed * 0x2545F4914F6CDD1DL
+    }
+    def word(minLen: Int, span: Int): String = {
+      val n = minLen + (nextLong() & 0x7FFFFFFF).toInt % span
+      val cs = new Array[Char](n)
+      var k = 0
+      while (k < n) {
+        val r = (nextLong() & 0x7FFFFFFF).toInt
+        cs(k) = (if ((r & 1) == 0) 'a' + r % 26 else 'A' + r % 26).toChar
+        k += 1
+      }
+      new String(cs)
+    }
+    def sci(): String = {
+      val m = nextLong() % 1000000000000L
+      val e = (nextLong() % 40).toInt
+      s"$m.${math.abs(nextLong() % 10000)}e$e"
+    }
     var i = 0
     while (i < rows) {
-      sb.append("{")
-      var f = 0
-      while (f < 20) {
-        if (f > 0) sb.append(", ")
-        sb.append("\"f").append(f).append("\": ")
-        (f % 4) match {
-          case 0 => sb.append("\"value-").append(i).append("-").append(f).append("-padpadpadpad\"")
-          case 1 => sb.append(i * 31 + f)
-          case 2 => sb.append("{\"x\": ").append(f).append(", \"y\": [1, 2, 3, ").append(i % 97).append("]}")
-          case 3 => sb.append(i % 2 == 0)
-        }
-        f += 1
-      }
-      sb.append("}\n")
+      sb.append("{\"duh\": {\"a\": ").append(sci())
+        .append(", \"c\": ").append(sci())
+        .append(", \"b\": ").append(sci())
+        .append("}, \"abc\": [\"").append(word(7, 10)).append("\", ")
+        .append(sci()).append(", ").append(sci()).append(", ").append(sci())
+        .append("], \"bar\": ").append(math.abs(nextLong() % 100000000000000L))
+        .append(".").append(math.abs(nextLong() % 100))
+        .append(", \"qux\": \"").append(word(20, 17))
+        .append("\", \"xyz\": {\"yy\": \"").append(word(10, 12))
+        .append("\", \"zz\": \"").append(word(20, 18))
+        .append("\"}, \"foo\": \"").append(word(10, 8)).append("\"}\n")
       i += 1
     }
     sb.toString.getBytes("UTF-8")
   }
 
-  private val fullSchema = StructType((0 until 20).map { f =>
-    StructField(s"f$f", (f % 4) match {
-      case 0 => StringType
-      case 1 => LongType
-      case 2 => StructType(Seq(
-        StructField("x", LongType), StructField("y", ArrayType(LongType))))
-      case 3 => BooleanType
-    })
-  })
-  private val prunedSchema = StructType(Seq(StructField("f17", LongType)))
+  private val fullSchema = StructType(Seq(
+    StructField("duh", StructType(Seq(
+      StructField("a", DoubleType), StructField("b", DoubleType), StructField("c", DoubleType)))),
+    StructField("abc", ArrayType(StringType)),
+    StructField("bar", DoubleType),
+    StructField("qux", StringType),
+    StructField("xyz", StructType(Seq(
+      StructField("yy", StringType), StructField("zz", StringType)))),
+    StructField("foo", StringType)))
+  private val prunedSchema = StructType(Seq(StructField("bar", DoubleType)))
 
   private def parseAllBytes(data: Array[Byte], schema: StructType): Long = {
     var rows = 0L
@@ -124,6 +147,11 @@ object SkipBench {
     }
     rows
   }
+
+  /** Profiling hooks for ProfParse (not used by the bench itself). */
+  def profCorpus(): Array[Byte] = mkData(30000)
+  def profParse(data: Array[Byte], pruned: Boolean): Long =
+    parseAllBytes(data, if (pruned) prunedSchema else fullSchema)
 
   def run(): Result = {
     // ~12 MB corpus: long enough that a steady-state pass dominates JIT
@@ -142,15 +170,16 @@ object SkipBench {
       }
       best
     }
-    // warmup both paths thoroughly (JIT) before measuring
+    // warmup both paths thoroughly (C2 needs several passes to settle on
+    // the good compile of the SWAR loops) before measuring
     var w = 0
-    while (w < 3) {
+    while (w < 8) {
       require(parseAllBytes(data, fullSchema) == rows)
       require(parseAllBytes(data, prunedSchema) == rows)
       w += 1
     }
-    val off = bestOf(6)(parseAllBytes(data, fullSchema))
-    val on = bestOf(6)(parseAllBytes(data, prunedSchema))
+    val off = bestOf(10)(parseAllBytes(data, fullSchema))
+    val on = bestOf(10)(parseAllBytes(data, prunedSchema))
     Result(
       offMbps = math.round(mb / off * 10) / 10.0,
       onMbps = math.round(mb / on * 10) / 10.0,

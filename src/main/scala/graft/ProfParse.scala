@@ -33,6 +33,27 @@ object ProfParse {
     "id LONG, user STRING, score DOUBLE, flag BOOLEAN, ts LONG, city STRING, amount DOUBLE, tag STRING")
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("skip")) {
+      val r = SkipBench.run()
+      println(f"skip off ${r.offMbps}%.1f MB/s, on ${r.onMbps}%.1f MB/s, speedup ${r.speedup}%.2f")
+      return
+    }
+    if (args.contains("skipon") || args.contains("skipoff")) {
+      // isolated loop for profiling one side of the skip micro-bench
+      val on = args.contains("skipon")
+      val d = SkipBench.profCorpus()
+      val mb = d.length / 1e6
+      var i = 0
+      var best = Double.MaxValue
+      while (i < 40) {
+        val t0 = System.nanoTime()
+        SkipBench.profParse(d, on)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      println(f"${if (on) "pruned" else "full"}: best ${mb / best}%.1f MB/s")
+      return
+    }
     val rows = if (args.length > 0) args(0).toInt else 200000
     val reps = if (args.length > 1) args(1).toInt else 10
     val data = mkFlat(rows)

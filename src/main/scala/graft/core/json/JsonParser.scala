@@ -538,30 +538,89 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
             b = buf(i)
           }
           commit(); report(); finishColumnSkip(); return
-        case SkString =>
-          while (phase == SkString && i < limit) {
-            val b = buf(i)
-            i += 1
-            if (esc) esc = false
-            else if (b == '\\') esc = true
-            else if (b == '"') {
-              if (columnMode && rel == 0) { commit(); report(); finishColumnSkip(); return }
-              else phase = SkContainer // structural scan continues
-            }
-          }
-        case SkContainer =>
-          while (phase == SkContainer && i < limit) {
-            val b = buf(i)
-            i += 1
-            if (b == '"') { phase = SkString; esc = false }
-            else if (b == '{' || b == '[') rel += 1
-            else if (b == '}' || b == ']') {
-              rel -= 1
-              if (columnMode) {
-                if (rel == 0) { commit(); report(); finishColumnSkip(); return }
-              } else {
-                if (rel == relTarget) { commit(); report(); finishRowSkip(); return }
+        case SkString | SkContainer =>
+          if (phase == SkString && columnMode && rel == 0) {
+            // bare string value being column-skipped: the exit is the first
+            // unescaped '"'. SWAR-hop whole words free of '"' and '\\',
+            // then byte-step the word containing the candidate.
+            while (phase == SkString && i < limit) {
+              if (!esc) {
+                while (i + 8 <= limit && {
+                  val w = JsonParser.readLongLE(buf, i)
+                  (JsonParser.swarZeros(w ^ JsonParser.BcQuote) |
+                   JsonParser.swarZeros(w ^ JsonParser.BcBackslash)) == 0L
+                }) i += 8
               }
+              val stop = if (i + 8 <= limit) i + 8 else limit
+              while (phase == SkString && i < stop) {
+                val b = buf(i)
+                i += 1
+                if (esc) esc = false
+                else if (b == '\\') esc = true
+                else if (b == '"') { commit(); report(); finishColumnSkip(); return }
+              }
+            }
+          } else {
+            // inside a skipped container: aggregate SWAR word loop
+            // (simdjson-style, one word = 8 bytes). Per word: exact '"'
+            // marks (unfolded) → inclusive prefix-XOR gives per-lane quote
+            // parity → brackets at in-string lanes are masked out of the
+            // (OR-folded, exact) bracket tests. Depth then advances by
+            // popcounts. Words bearing backslashes, a pending escape, or a
+            // possible depth exit fall to the byte loop below for exact
+            // semantics; everything else advances 8 bytes in ~25 ALU ops
+            // regardless of how quote-dense the content is.
+            val target = if (columnMode) 0 else relTarget
+            var inStr = phase == SkString
+            while (i < limit) {
+              if (!esc) {
+                var go = true
+                while (go && i + 8 <= limit) {
+                  val w = JsonParser.readLongLE(buf, i)
+                  if (JsonParser.swarZeros(w ^ JsonParser.BcBackslash) != 0L) go = false
+                  else {
+                    var p = JsonParser.swarZeros(w ^ JsonParser.BcQuote)
+                    p ^= p << 8; p ^= p << 16; p ^= p << 32 // inclusive prefix parity
+                    val outside = ~((p << 8) ^ (if (inStr) JsonParser.BcHigh else 0L))
+                    val wf = w | JsonParser.BcFold
+                    val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose) & outside
+                    val nc = java.lang.Long.bitCount(close)
+                    if (nc > 0 && rel - nc <= target) go = false // exit may be here
+                    else {
+                      rel += java.lang.Long.bitCount(
+                        JsonParser.swarZeros(wf ^ JsonParser.BcOpen) & outside) - nc
+                      inStr ^= p < 0 // bit 63 of p = parity of all 8 lanes
+                      i += 8
+                    }
+                  }
+                }
+              }
+              phase = if (inStr) SkString else SkContainer
+              // exact byte-step over (at most) the word the fast loop stopped on
+              val stop = if (i + 8 <= limit) i + 8 else limit
+              while (i < stop) {
+                if (phase == SkString) {
+                  val b = buf(i)
+                  i += 1
+                  if (esc) esc = false
+                  else if (b == '\\') esc = true
+                  else if (b == '"') phase = SkContainer
+                } else {
+                  val b = buf(i)
+                  i += 1
+                  if (b == '"') { phase = SkString; esc = false }
+                  else if (b == '{' || b == '[') rel += 1
+                  else if (b == '}' || b == ']') {
+                    rel -= 1
+                    if (rel == target) {
+                      commit(); report()
+                      if (columnMode) finishColumnSkip() else finishRowSkip()
+                      return
+                    }
+                  }
+                }
+              }
+              inStr = phase == SkString
             }
           }
       }
@@ -599,6 +658,19 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
 }
 
 object JsonParser {
+  // ------------------------------------------------------- SWAR skip scan
+  @inline private[json] def readLongLE(buf: Array[Byte], i: Int): Long =
+    Swar.readLongLE(buf, i)
+
+  @inline private[json] def swarZeros(x: Long): Long = Swar.zeros(x)
+
+  private[json] final val BcFold      = 0x2020202020202020L // '{'|0x20=='{', '['|0x20=='{' etc.
+  private[json] final val BcQuote     = 0x2222222222222222L // '"' (bit 5 already set)
+  private[json] final val BcOpen      = 0x7B7B7B7B7B7B7B7BL // '{' and (folded) '['
+  private[json] final val BcClose     = 0x7D7D7D7D7D7D7D7DL // '}' and (folded) ']'
+  private[json] final val BcBackslash = 0x5C5C5C5C5C5C5C5CL // '\\'
+  private[json] final val BcHigh      = 0x8080808080808080L // lane high bits
+
   sealed trait Mode
   /** Whitespace-separated top-level values; each value is a row. */
   case object ValueStream extends Mode

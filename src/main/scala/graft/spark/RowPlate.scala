@@ -127,28 +127,55 @@ final class RowPlate(
   // linear scan and re-learn the order.
   private final class StructLookup(st: StructType) {
     val names: Array[String] = st.fieldNames
-    private[this] val cap = names.length + 8 // room for pruned/extra keys
-    val orderNames = new Array[String](cap)
-    val orderCols = new Array[Int](cap)
+    // the order cache tracks OBSERVED key positions, which under pruning
+    // exceed the schema width (19 skipped keys still occupy positions);
+    // growable so wide rows with narrow schemas stay fully cached
+    private[this] var cap = names.length + 8
+    private[this] var orderNames = new Array[String](cap)
+    // UTF-8 bytes of each order-slot name: the parser's zero-copy key views
+    // are verified ASCII slices, so the steady-state compare is one
+    // Arrays.equals range check (vectorized intrinsic) on raw bytes instead
+    // of a per-char CharSequence walk
+    private[this] var orderBytes = new Array[Array[Byte]](cap)
+    private[this] var orderCols = new Array[Int](cap)
 
     def indexOf(name: CharSequence, pos: Int): Int = {
-      if (pos < orderNames.length && orderNames(pos) != null &&
-          orderNames(pos).contentEquals(name)) return orderCols(pos)
+      if (pos < cap) {
+        name match {
+          case v: graft.core.ByteSliceCharSeq =>
+            val ob = orderBytes(pos)
+            if (ob != null && java.util.Arrays.equals(
+                ob, 0, ob.length, v.bytes, v.offset, v.offset + v.length))
+              return orderCols(pos)
+          case _ =>
+            if (orderNames(pos) != null && orderNames(pos).contentEquals(name))
+              return orderCols(pos)
+        }
+      }
+      indexOfSlow(name, pos)
+    }
+
+    private def indexOfSlow(name: CharSequence, pos: Int): Int = {
+      while (pos >= cap) { // grow to cover this key position (amortized)
+        cap *= 2
+        orderNames = java.util.Arrays.copyOf(orderNames, cap)
+        orderBytes = java.util.Arrays.copyOf(orderBytes, cap)
+        orderCols = java.util.Arrays.copyOf(orderCols, cap)
+      }
+      @inline def learn(s: String, col: Int): Unit = {
+        orderNames(pos) = s
+        orderBytes(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        orderCols(pos) = col
+      }
       var i = 0
       while (i < names.length) {
         if (names(i).contentEquals(name)) {
-          if (pos < orderNames.length) {
-            orderNames(pos) = names(i) // interned copy, not the view
-            orderCols(pos) = i
-          }
+          learn(names(i), i) // interned copy, not the view
           return i
         }
         i += 1
       }
-      if (pos < orderNames.length) {
-        orderNames(pos) = name.toString // absent key: remember the prune
-        orderCols(pos) = -1
-      }
+      learn(name.toString, -1) // absent key: remember the prune
       -1
     }
   }
@@ -396,32 +423,6 @@ object Conversions {
     case _           => null
   }
 
-  // 10^k is exactly representable for k <= 22; we only need <= 15
-  private[this] val POW10 = Array.tabulate(16)(k => math.pow(10, k))
-
-  /** Clinger fast path for exponent-free decimals with <= 15 significant
-    * digits: the mantissa fits a long exactly and 10^frac is an exact
-    * double, so one IEEE division yields the correctly-rounded value —
-    * identical to parseDouble, without the String round-trip. Returns null
-    * when the token is outside the fast range (caller falls back).
-    */
-  private def fastDouble(text: CharSequence, decIdx: Int, expIdx: Int): java.lang.Double = {
-    if (expIdx >= 0) return null
-    val n = text.length
-    val neg = text.charAt(0) == '-'
-    val start = if (neg) 1 else 0
-    if (n - start - (if (decIdx >= 0) 1 else 0) > 15) return null
-    var m = 0L
-    var j = start
-    while (j < n) {
-      val c = text.charAt(j)
-      if (c != '.') m = m * 10 + (c - '0')
-      j += 1
-    }
-    val d = if (decIdx >= 0) m / POW10(n - decIdx - 1) else m.toDouble
-    java.lang.Double.valueOf(if (neg) -d else d)
-  }
-
   def fromNum(dt: DataType, text: CharSequence, decIdx: Int, expIdx: Int): Any = {
     try dt match {
       // integral targets parse straight from the CharSequence view — the
@@ -431,8 +432,9 @@ object Conversions {
       case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(text.toString) else null
       case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(text.toString) else null
       case DoubleType  =>
-        val fast = fastDouble(text, decIdx, expIdx)
-        if (fast != null) fast else java.lang.Double.parseDouble(text.toString)
+        // Eisel-Lemire exactly-rounded conversion off the zero-copy view
+        // (falls back to parseDouble internally on the rare hard cases)
+        java.lang.Double.valueOf(graft.core.FastDouble.parse(text, decIdx, expIdx))
       case FloatType   => java.lang.Float.parseFloat(text.toString)
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))
