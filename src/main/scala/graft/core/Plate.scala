@@ -132,6 +132,30 @@ class NullPlate extends Plate[Unit] {
 /** Count `finishRow`s per batch; the count resets at each batch boundary
   * (reference harness/RowCountHarness.scala:59-92).
   */
+/** Row counter that prunes every nested value: `nest*` returns SkipColumn
+  * so the parser byte-skips all container content (the SWAR scan), while
+  * `finishRow` still fires per row — the cheapest possible exact COUNT(*)
+  * over raw JSON/CSV (backs the DSv2 aggregate pushdown).
+  */
+final class SkipAllCountPlate extends Plate[Long] {
+  private[this] var count = 0L
+  def total: Long = count
+  def nul(): Signal = Signal.Continue
+  def fls(): Signal = Signal.Continue
+  def tru(): Signal = Signal.Continue
+  def map(): Signal = Signal.Continue
+  def arr(): Signal = Signal.Continue
+  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = Signal.Continue
+  def str(s: CharSequence): Signal = Signal.Continue
+  def nestMap(pathComponent: CharSequence): Signal = Signal.SkipColumn
+  def nestArr(): Signal = Signal.SkipColumn
+  def nestMeta(pathComponent: CharSequence): Signal = Signal.SkipColumn
+  def unnest(): Signal = Signal.Continue
+  def finishRow(): Unit = count += 1
+  def finishBatch(terminal: Boolean): Long = count
+  def skipped(bytes: Int): Unit = ()
+}
+
 final class RowCountPlate extends Plate[Long] {
   private[this] var count = 0L
   def nul(): Signal = Signal.Continue

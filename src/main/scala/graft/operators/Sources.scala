@@ -175,5 +175,34 @@ object Sources {
             FROM nation
             ORDER BY n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49)
+  // ---------------------------------------------------------------- q54
+  // DSv2 aggregate + limit pushdown: an ungrouped COUNT(*) becomes a
+  // parse-only scan (SkipAllCountPlate byte-skips every value, one partial
+  // count per partition — the row-count harness of SURVEY §2.7 as a Spark
+  // optimization), and LIMIT n stops the parser after n rows (the
+  // Terminate analog, SURVEY §2.5). The limited aggregate is order-safe
+  // because the fixture is a single split read in file order on both
+  // engines.
+  private val q54 = GQuery(
+    "q54_count_limit_pushdown",
+    "COUNT(*) agg pushdown (parse-only scan) + LIMIT pushdown into the reader",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val counted = s.read.format("graft-json").load(jsonFixture)
+        .groupBy().count().withColumnRenamed("count", "n_rows")
+      val limited = s.read.format("graft-json").load(jsonFixture)
+        .limit(10)
+        .agg(
+          sum("n_nationkey").cast("long").as("s10"),
+          count(lit(1)).as("n10"))
+      counted.crossJoin(limited)
+    },
+    Some(s"""SELECT
+               (SELECT count(*) FROM read_json('$jsonFixture', format='newline_delimited')) AS n_rows,
+               (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM
+                 (SELECT n_nationkey FROM read_json('$jsonFixture', format='newline_delimited') LIMIT 10)) AS s10,
+               (SELECT count(*) FROM
+                 (SELECT 1 FROM read_json('$jsonFixture', format='newline_delimited') LIMIT 10)) AS n10"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54)
 }

@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -226,10 +227,14 @@ final class GraftScanBuilder(
     isJson: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -245,18 +250,43 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** LIMIT n reaches the parser (the Terminate analog, SURVEY §2.5): each
+    * partition stops parsing bytes once it has produced n rows. Partial
+    * push — Spark still applies the global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Ungrouped COUNT(*) becomes a parse-only scan: every partition
+    * byte-skips all values (SkipAllCountPlate) and answers with one
+    * partial-count row that Spark sums — the DSv2 form of the row-count
+    * harness (SURVEY §2.7). Partial pushdown, so multi-split parallelism
+    * is preserved. Spark only attempts this when no residual filter
+    * remains; we double-check and also refuse when filters were pushed
+    * (our filter eval is conservative by design).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val fs = agg.aggregateExpressions
+    if (fs.length == 1 && fs(0).isInstanceOf[CountStar]) { countStar = true; true }
+    else false
+  }
+
   override def build(): Scan =
-    new GraftScan(required, pushed, options, isJson)
+    new GraftScan(required, pushed, options, isJson, limit, countStar)
 }
 
 final class GraftScan(
     schema: StructType,
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
-    isJson: Boolean)
+    isJson: Boolean,
+    limit: Int = -1,
+    countStar: Boolean = false)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType =
+    if (countStar) GraftScan.CountSchema else schema
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -269,7 +299,9 @@ final class GraftScan(
         GraftSources.csvConfig(options.asCaseSensitiveMap()))
   override def description(): String =
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
-      s" pushed=[${filters.mkString(", ")}])"
+      s" pushed=[${filters.mkString(", ")}]" +
+      (if (limit >= 0) s", limit=$limit" else "") +
+      (if (countStar) ", countStar" else "") + ")"
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new SkippedBytesMetric)
@@ -293,14 +325,28 @@ final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
-    if (isJson)
+    if (countStar)
+      new GraftCountReaderFactory(conf,
+        if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
+        GraftSources.csvConfig(options.asCaseSensitiveMap()),
+        dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")))
+    else if (isJson)
       new GraftJsonReaderFactory(schema, filters, conf,
         GraftSources.jsonMode(options.asCaseSensitiveMap()),
-        dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")))
+        dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
+        limit = limit)
     else
       new GraftCsvReaderFactory(schema, filters, conf,
-        GraftSources.csvConfig(options.asCaseSensitiveMap()))
+        GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit)
   }
+}
+
+object GraftScan {
+  /** Output schema of a pushed-down ungrouped COUNT(*): one non-null
+    * partial count per partition (Spark plans the summing final agg).
+    */
+  val CountSchema: StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
 }
 
 final class GraftJsonReaderFactory(
@@ -308,10 +354,12 @@ final class GraftJsonReaderFactory(
     filters: Array[Filter],
     conf: SerializableConfiguration,
     mode: JsonParser.Mode,
-    dropMalformed: Boolean = false) extends PartitionReaderFactory {
+    dropMalformed: Boolean = false,
+    limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode, dropMalformed)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
+      dropMalformed, limit)
 
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out)
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -319,24 +367,88 @@ final class GraftJsonReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode, dropMalformed)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
+      dropMalformed, limit)
 }
 
 final class GraftCsvReaderFactory(
     schema: StructType,
     filters: Array[Filter],
     conf: SerializableConfiguration,
-    config: CsvParser.Config) extends PartitionReaderFactory {
+    config: CsvParser.Config,
+    limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config, limit)
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     ColumnarPlate.supports(schema)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config, limit)
+}
+
+/** COUNT(*) pushdown: parse-only partial counts, one row per partition.
+  * JSON ranges go through the standard realignment protocol; CSV counts a
+  * whole file per task. All values are byte-skipped (SkipAllCountPlate).
+  */
+final class GraftCountReaderFactory(
+    conf: SerializableConfiguration,
+    jsonMode: Option[JsonParser.Mode],
+    csvConfig: CsvParser.Config,
+    dropMalformed: Boolean) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftCountPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], conf.value, jsonMode, csvConfig, dropMalformed)
+}
+
+final class GraftCountPartitionReader(
+    part: GraftInputPartition,
+    conf: Configuration,
+    jsonMode: Option[JsonParser.Mode],
+    csvConfig: CsvParser.Config,
+    dropMalformed: Boolean) extends PartitionReader[InternalRow] {
+
+  private val plate = new graft.core.SkipAllCountPlate
+  private var served = false
+  private var jsonFeeder: JsonRangeFeeder[Long] = null
+
+  private def count(): Long = jsonMode match {
+    case Some(mode) =>
+      jsonFeeder = new JsonRangeFeeder[Long](
+        part, conf, () => new JsonParser(plate, mode), dropMalformed)
+      while (!jsonFeeder.isExhausted) jsonFeeder.step()
+      plate.total
+    case None =>
+      val in = new Path(part.path).getFileSystem(conf).open(part.path match {
+        case p => new Path(p)
+      })
+      try {
+        val parser = new CsvParser(plate, csvConfig)
+        val chunk = new Array[Byte](256 * 1024)
+        var eof = false
+        def raise(r: ParseResult[Long]): Unit = r match {
+          case ParseResult.Failure(e) => throw e
+          case ParseResult.Partial(_, _) => raise(parser.continueParse())
+          case _ => ()
+        }
+        while (!eof) {
+          val n = in.read(chunk)
+          if (n < 0) { raise(parser.finish()); eof = true }
+          else raise(parser.absorb(chunk, 0, n))
+        }
+        plate.total
+      } finally in.close()
+  }
+
+  override def next(): Boolean =
+    if (served) false
+    else { served = true; currentRow = InternalRow(count()); true }
+
+  private var currentRow: InternalRow = _
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = if (jsonFeeder != null) jsonFeeder.close()
 }
 
 /** Feeds one byte range of a JSON-lines file into a parser, handling the
@@ -476,7 +588,8 @@ final class GraftJsonColumnarReader(
     filters: Array[Filter],
     conf: Configuration,
     mode: JsonParser.Mode,
-    dropMalformed: Boolean = false)
+    dropMalformed: Boolean = false,
+    limit: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // recovery keeps the SAME plate (its buffered batch holds completed
@@ -489,12 +602,16 @@ final class GraftJsonColumnarReader(
     new JsonParser(plate, mode)
   }
   private val feeder = new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed)
+  private var emitted = 0L
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   override def next(): Boolean = {
+    // pushed limit satisfied (batch granularity): stop parsing bytes
+    if (limit >= 0 && emitted >= limit) return false
     while (plate.pendingRows == 0 && !feeder.isExhausted) feeder.step()
-    if (plate.pendingRows > 0) { current = plate.takeBatch(); true }
-    else false
+    if (plate.pendingRows > 0) {
+      current = plate.takeBatch(); emitted += current.numRows; true
+    } else false
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
@@ -507,7 +624,8 @@ final class GraftCsvColumnarReader(
     schema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    config: CsvParser.Config)
+    config: CsvParser.Config,
+    limit: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val plate = new ColumnarPlate(schema, filters)
@@ -516,6 +634,7 @@ final class GraftCsvColumnarReader(
   private val in = path.getFileSystem(conf).open(path)
   private val chunk = new Array[Byte](256 * 1024)
   private var exhausted = false
+  private var emitted = 0L
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
   private def raise(r: ParseResult[Long]): Unit = r match {
@@ -525,6 +644,7 @@ final class GraftCsvColumnarReader(
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (plate.pendingRows == 0 && !exhausted) {
       val n = in.read(chunk)
       if (n < 0) {
@@ -532,8 +652,9 @@ final class GraftCsvColumnarReader(
         exhausted = true
       } else raise(parser.absorb(chunk, 0, n))
     }
-    if (plate.pendingRows > 0) { current = plate.takeBatch(); true }
-    else false
+    if (plate.pendingRows > 0) {
+      current = plate.takeBatch(); emitted += current.numRows; true
+    } else false
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
@@ -552,8 +673,10 @@ final class GraftJsonPartitionReader(
     filters: Array[Filter],
     conf: Configuration,
     mode: JsonParser.Mode,
-    dropMalformed: Boolean = false) extends PartitionReader[InternalRow] {
+    dropMalformed: Boolean = false,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
 
+  private var emitted = 0L
   private val queue = new mutable.ArrayDeque[InternalRow]
   // a single VARIANT column selects open-typed ingestion (no pruning: the
   // whole value is the column); otherwise the schema-driven pushdown plate
@@ -574,8 +697,10 @@ final class GraftJsonPartitionReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed limit satisfied: stop parsing bytes entirely (Terminate analog)
+    if (limit >= 0 && emitted >= limit) return false
     while (queue.isEmpty && !feeder.isExhausted) feeder.step()
-    if (queue.nonEmpty) { current = queue.removeHead(); true }
+    if (queue.nonEmpty) { current = queue.removeHead(); emitted += 1; true }
     else false
   }
 
@@ -598,8 +723,10 @@ final class GraftCsvPartitionReader(
     schema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    config: CsvParser.Config) extends PartitionReader[InternalRow] {
+    config: CsvParser.Config,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
 
+  private var emitted = 0L
   private val queue = new mutable.ArrayDeque[InternalRow]
   private val plate = new RowPlate(schema, filters, queue.append(_))
   private val parser = new CsvParser(plate, config)
@@ -611,6 +738,7 @@ final class GraftCsvPartitionReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (queue.isEmpty && !exhausted) {
       val n = in.read(chunk)
       if (n < 0) {
@@ -618,7 +746,7 @@ final class GraftCsvPartitionReader(
         exhausted = true
       } else raise(parser.absorb(chunk, 0, n))
     }
-    if (queue.nonEmpty) { current = queue.removeHead(); true }
+    if (queue.nonEmpty) { current = queue.removeHead(); emitted += 1; true }
     else false
   }
 
