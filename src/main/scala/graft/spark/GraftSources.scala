@@ -240,11 +240,17 @@ final class GraftScanBuilder(
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept simple single-column filters for byte-level SkipRow; return
+    // accept single-column filters for byte-level SkipRow — including
+    // dotted nested references that resolve through struct fields; return
     // every filter as residual so Spark re-evaluates (our eval is
     // conservative, never dropping rows a correct filter would keep)
     pushed = filters.filter(f =>
-      f.references.length == 1 && !f.references.head.contains("."))
+      f.references.length == 1 && {
+        val ref = f.references.head
+        !ref.contains(".") ||
+          fullSchema.fieldNames.contains(ref) ||
+          RowPlate.resolvePath(fullSchema, ref).isDefined
+      })
     filters
   }
 

@@ -107,8 +107,14 @@ final class RowPlate(
       var i = frames.length
       while (i < next.length) { next(i) = new VFrame; i += 1 }
       frames = next
+      nodeStack = java.util.Arrays.copyOf(nodeStack, next.length)
     }
     frames(sp).reset(e, c)
+    // descend the nested-filter trie alongside the frame stack
+    val parent = nodeStack(sp - 1)
+    nodeStack(sp) =
+      if (parent == null || c < 0) null
+      else parent.children.getOrElse(c, null)
   }
 
   /** The parser emits one unnest for a value it skipped (no frame pushed). */
@@ -193,9 +199,46 @@ final class RowPlate(
 
   // single-column filters grouped by referenced top-level column index
   private[this] val filtersByIdx: Map[Int, Array[Filter]] =
-    FilterEval.normalize(filters.filter(_.references.length == 1))
+    FilterEval.normalize(filters.filter(f =>
+        f.references.length == 1 &&
+        (!f.references.head.contains(".") || topIndex.contains(f.references.head))))
       .groupBy(f => topIndex.getOrElse(f.references.head, -1))
       .removed(-1)
+
+  /** Trie over nested filter paths (dotted references like `meta.len`),
+    * keyed by struct field index per level. A node stack parallel to the
+    * frame stack descends as frames push, so when a nested value's frame
+    * unnests, its node (if any) holds exactly the filters anchored there —
+    * evaluated immediately for an early SkipRow.
+    */
+  private final class NestedNode {
+    var filters: Array[Filter] = Array.empty
+    var children: Map[Int, NestedNode] = Map.empty
+  }
+
+  private[this] val nestedRoot: NestedNode = {
+    var root: NestedNode = null
+    FilterEval.normalize(filters.filter(f =>
+        f.references.length == 1 && f.references.head.contains(".") &&
+        !topIndex.contains(f.references.head))).foreach { f =>
+      RowPlate.resolvePath(schema, f.references.head).foreach { path =>
+        if (root == null) root = new NestedNode
+        var node = root
+        path.foreach { idx =>
+          node.children.get(idx) match {
+            case Some(c) => node = c
+            case None =>
+              val c = new NestedNode
+              node.children = node.children.updated(idx, c)
+              node = c
+          }
+        }
+        node.filters :+= f
+      }
+    }
+    root
+  }
+  private[this] var nodeStack = new Array[NestedNode](frames.length)
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
 
@@ -203,6 +246,7 @@ final class RowPlate(
     sp = 0
     frames(0).reset(schema, -1)
     frames(0).morphStruct(schema)
+    nodeStack(0) = nestedRoot
     skipPending = false
   }
 
@@ -337,8 +381,16 @@ final class RowPlate(
       Signal.Continue // defensive: never pop the row frame
     } else {
       val f = frames(sp)
+      val node = nodeStack(sp)
       sp -= 1
       val v = f.finalValue()
+      // a nested value with anchored pushed filters just completed: a
+      // definitive failure byte-skips the rest of the row
+      if (node != null && node.filters.length > 0 &&
+          node.filters.exists(FilterEval.definitelyFails(_, v))) {
+        resetRow()
+        return Signal.SkipRow
+      }
       val parent = top
       parent.kind match {
         case KStruct =>
@@ -410,6 +462,34 @@ final class RowPlate(
         case _ => true
       }
     }
+  }
+}
+
+object RowPlate {
+  /** Resolve a dotted nested filter reference (e.g. `meta.len`) against a
+    * schema to a field-index path. None when the reference is quoted, is a
+    * literal top-level name, traverses a non-struct, or names a missing
+    * field — callers then leave the filter to Catalyst's residual.
+    */
+  def resolvePath(schema: StructType, ref: String): Option[Array[Int]] = {
+    if (ref.contains("`") || schema.fieldNames.contains(ref)) return None
+    val parts = ref.split('.')
+    if (parts.length < 2) return None
+    val path = new Array[Int](parts.length)
+    var dt: DataType = schema
+    var i = 0
+    while (i < parts.length) {
+      dt match {
+        case s: StructType =>
+          val idx = s.fieldNames.indexOf(parts(i))
+          if (idx < 0) return None
+          path(i) = idx
+          dt = s(idx).dataType
+        case _ => return None
+      }
+      i += 1
+    }
+    Some(path)
   }
 }
 

@@ -132,6 +132,30 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val csvFixture: String =
     "id,name,qty\n" + (1 to 30).map(i => s"$i,thing$i,${i * 3}").mkString("\n") + "\n"
 
+  test("nested-field filters push down and byte-skip rows") {
+    // heterogeneous rows: some missing meta / meta.grp (must survive to
+    // the residual, not be dropped by the early eval)
+    val mixed = (1 to 30).map { i =>
+      if (i % 7 == 0) s"""{"id": $i, "name": "x$i"}"""
+      else s"""{"id": $i, "name": "x$i", "meta": {"grp": ${i % 5}, "flag": ${i % 2 == 0}}}"""
+    }.mkString("\n") + "\n"
+    val p = write("nestedfilter.json", mixed)
+    val df = spark.read.format("graft-json").load(p).filter(col("meta.grp") > 2)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.scan.description().contains("meta.grp"))
+    val theirs = spark.read.json(p).filter(col("meta.grp") > 2)
+    assert(df.select("id").orderBy("id").collect().toSeq ==
+      theirs.select("id").orderBy("id").collect().toSeq)
+    // IsNull-style nested predicates: rows WITH the field drop early,
+    // rows without it pass through to the residual and are kept
+    val nulls = spark.read.format("graft-json").load(p).filter(col("meta.grp").isNull)
+    val theirsN = spark.read.json(p).filter(col("meta.grp").isNull)
+    assert(nulls.select("id").orderBy("id").collect().toSeq ==
+      theirsN.select("id").orderBy("id").collect().toSeq)
+  }
+
   test("ungrouped COUNT(*) pushes down to a parse-only count scan") {
     val p = write("countstar.json", jsonFixture)
     // force byte-range splits so partial counts from several partitions sum
