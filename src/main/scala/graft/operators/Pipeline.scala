@@ -176,16 +176,16 @@ object Pipeline {
     "brute-force cosine top-k over embeddings (broadcast query vectors)",
     (s, d) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val emb = T(s, d, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       val q = emb.filter($"vec_id".isin(1, 2, 3))
         .select($"vec_id".as("qid"), $"e".as("qe"))
       val scored = emb.crossJoin(broadcast(q))
         .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          expr("""aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-                  / (sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))
-                   * sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v)))""").as("cos"))
+        // native codegen'd expression: fused dot+norms, no per-pair
+        // zipped-array allocation (same index-order sums as the oracle)
+        .select($"qid", $"vec_id", expr("cosine_sim(qe, e)").as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)
       scored.withColumn("rank", row_number().over(w))
@@ -220,6 +220,7 @@ object Pipeline {
     "random-hyperplane LSH bucketed ANN (equi-join on sign bucket)",
     (s, d) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val emb = T(s, d, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       val planes = emb.filter($"vec_id".isin(10, 20, 30, 40, 50, 60))
@@ -233,10 +234,7 @@ object Pipeline {
         .select($"vec_id".as("qid"), $"e".as("qe"), $"bucket")
       q.join(bucketed, "bucket") // bucket equi-join: the scale path
         .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          expr("""round(aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-                  / (sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))
-                   * sqrt(aggregate(e, 0D, (acc, v) -> acc + v * v))), 4)""").as("cos"))
+        .select($"qid", $"vec_id", expr("round(cosine_sim(qe, e), 4)").as("cos"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)
@@ -260,6 +258,7 @@ object Pipeline {
     "IVF ANN: literal centroids, map-only assignment, nprobe=2 list probe",
     (s, d) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val emb = T(s, d, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       // coarse quantizer: k = N/25 centroids, deterministic pick
@@ -272,9 +271,7 @@ object Pipeline {
         .withColumn("scored", expr(
           """array_sort(
                transform(cvecs, (cv, i) -> struct(
-                 aggregate(zip_with(e, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)
-                   / (sqrt(aggregate(e, 0D, (a, v) -> a + v * v))
-                    * sqrt(aggregate(cv, 0D, (a, v) -> a + v * v))) AS ccos,
+                 cosine_sim(e, cv) AS ccos,
                  cids[i] AS cid)),
                (l, r) -> CASE WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
                               WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
@@ -286,10 +283,7 @@ object Pipeline {
           explode(expr("transform(slice(scored, 1, 2), s -> s.cid)")).as("cid"))
       probes.join(assigned, "cid") // inverted-list probe (broadcast: 6 rows)
         .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          expr("""aggregate(zip_with(qe, e, (x, y) -> x * y), 0D, (a, v) -> a + v)
-                  / (sqrt(aggregate(qe, 0D, (a, v) -> a + v * v))
-                   * sqrt(aggregate(e, 0D, (a, v) -> a + v * v)))""").as("cos"))
+        .select($"qid", $"vec_id", expr("cosine_sim(qe, e)").as("cos"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)))
@@ -339,6 +333,7 @@ object Pipeline {
     "embedding-cosine near-dup dedup (sign-LSH buckets, first-writer-wins)",
     (s, d) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val emb = T(s, d, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       val planes: Seq[Seq[Double]] = emb
@@ -356,10 +351,7 @@ object Pipeline {
       val left = bucketed.select($"bucket", $"vec_id".as("i"), $"e".as("ei"))
       val right = bucketed.select($"bucket", $"vec_id".as("j"), $"e".as("ej"))
       left.join(right, "bucket").filter($"i" < $"j")
-        .withColumn("cos", expr(
-          """aggregate(zip_with(ei, ej, (x, y) -> x * y), 0D, (a, v) -> a + v)
-             / (sqrt(aggregate(ei, 0D, (a, v) -> a + v * v))
-              * sqrt(aggregate(ej, 0D, (a, v) -> a + v * v)))"""))
+        .withColumn("cos", expr("cosine_sim(ei, ej)"))
         .filter($"cos" >= 0.35)
         .groupBy($"j")
         .agg(min($"i").as("witness_id"), count(lit(1)).as("n_near"))
