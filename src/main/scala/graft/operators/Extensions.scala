@@ -334,5 +334,121 @@ object Extensions {
             GROUP BY user_id
             ORDER BY user_id"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51)
+  // ---------------------------------------------------------------- q55
+  // flatMapGroupsWithState + EventTimeTimeout: full streaming
+  // sessionization (30-min gap). Sessions close two ways — a later event
+  // from the same user opens the next session, or the event-time timeout
+  // fires once the watermark passes sessionEnd+gap. Two far-future
+  // sentinel files (processed as their own micro-batches via
+  // maxFilesPerTrigger=1) push the final watermark past every real
+  // session, so the emitted set is exactly the gaps-and-islands session
+  // set regardless of batch boundaries — which makes an exact SQL oracle
+  // possible for a timeout-driven operator.
+  private val q55 = GQuery(
+    "q55_flatmap_state_timeout",
+    "flatMapGroupsWithState sessionization with EventTimeTimeout (append mode)",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val gapUs = 30L * 60 * 1000000
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q55")
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir.toFile)
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("a_events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // sentinel batches: one far-future event each (user -1), +30/+60 days
+      val src = s.read.parquet(streamDir.resolve("a_events.parquet").toString)
+      val dayNs = 86400L * 1000000000L
+      Seq(("b_sentinel1", 30L), ("c_sentinel2", 60L)).foreach { case (name, days) =>
+        val tmp = streamDir.resolve(name + "_tmp")
+        src.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", $"ts" + lit(days * dayNs))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        // the stream source wants plain files: lift the single part file out
+        val part = java.nio.file.Files.list(tmp).filter(
+          p => p.getFileName.toString.startsWith("part-")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve(name + ".parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val schema = src.schema
+      val base = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 minute")
+      val sessions = base
+        // the watermarked column must survive into the stateful operator's
+        // input, so it rides along in the typed tuple
+        .select($"user_id".cast("long").as("uid"),
+          expr("ts div 1000").as("tus"), $"ets")
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, events: Iterator[(Long, Long, java.sql.Timestamp)],
+           state: GroupState[(Long, Long, Long)]) => // (start, end, n)
+            if (state.hasTimedOut) {
+              val (st, en, n) = state.get
+              state.remove()
+              Iterator((uid, st, en, n))
+            } else {
+              val ts = events.map(_._2).toArray
+              java.util.Arrays.sort(ts)
+              var closed = List.empty[(Long, Long, Long, Long)]
+              var cur = state.getOption.getOrElse((ts.head, ts.head - 1, 0L))
+              ts.foreach { t =>
+                cur = if (cur._3 == 0L || t - cur._2 <= gapUs)
+                  (if (cur._3 == 0L) t else cur._1, t, cur._3 + 1)
+                else {
+                  closed ::= ((uid, cur._1, cur._2, cur._3))
+                  (t, t, 1L)
+                }
+              }
+              state.update(cur)
+              // close by timeout once the watermark passes end + gap
+              state.setTimeoutTimestamp(cur._2 / 1000 + gapUs / 1000 + 1)
+              closed.reverseIterator
+            }
+        }
+      val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream
+        .format("memory")
+        .queryName("q55_sessions")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q55_sessions")
+        .filter($"user_id" >= 0)
+        .select($"user_id",
+          timestamp_micros($"start_us").as("session_start"),
+          timestamp_micros($"end_us").as("session_end"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            grp AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked)
+            SELECT user_id,
+                   CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   CAST(max(ts) AS TIMESTAMP) AS session_end,
+                   count(*) AS n_events
+            FROM grp
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55)
 }

@@ -14,31 +14,84 @@ import org.apache.spark.util.SerializableConfiguration
   * Streaming (SURVEY §2.4 — batch abbreviation ≈ `ReadLimit`/admission
   * control; checkpoint/resume ≈ offsets).
   *
-  * The offset is a single byte position over the (snapshot, name-ordered)
-  * file list; each trigger advances at most `maxbytespertrigger` bytes
-  * (default 128 MB) and planInputPartitions maps the byte window onto
-  * per-file segments read by the SAME row-realigning partition reader as
-  * the batch path — so micro-batch boundaries can fall mid-row and rows
-  * are still delivered exactly once.
+  * The offset is a single byte position over the discovery-ordered file
+  * registry (new files appended as they land — see [[StreamFileRegistry]]);
+  * each trigger advances at most `maxbytespertrigger` bytes (default
+  * 128 MB) and planInputPartitions maps the byte window onto per-file
+  * segments read by the SAME row-realigning partition reader as the batch
+  * path — so micro-batch boundaries can fall mid-row and rows are still
+  * delivered exactly once.
   */
 final case class GraftStreamOffset(pos: Long) extends Offset {
   override def json(): String = s"""{"pos":$pos}"""
+}
+
+/** Append-only file registry shared by both streaming sources: offsets are
+  * cumulative positions over the DISCOVERY order, so the mapping list may
+  * only ever grow at the tail. New files landing in the directory are
+  * appended (name-sorted within each discovery round); the order is
+  * persisted in the stream's checkpoint directory so a restarted query
+  * reconstructs the identical mapping even though a fresh listing would
+  * interleave old and new names. Files are treated as immutable once
+  * discovered (their recorded length is kept).
+  */
+private[spark] final class StreamFileRegistry(
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: String) {
+
+  private val logPath = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-files.log")
+  private val fs = logPath.getFileSystem(GraftSources.activeHadoopConf())
+
+  private var list: Vector[(String, Long)] = {
+    if (fs.exists(logPath)) {
+      val in = fs.open(logPath)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { line =>
+          val i = line.lastIndexOf('\t')
+          if (i <= 0) None else Some((line.substring(0, i), line.substring(i + 1).toLong))
+        }.toVector
+      } finally in.close()
+    } else Vector.empty
+  }
+  private var known: Set[String] = list.map(_._1).toSet
+
+  discover() // initial listing
+
+  /** Re-list the input and append any newly landed files. */
+  def discover(): Unit = synchronized {
+    val fresh = GraftSources.resolveFiles(options)
+      .filterNot(f => known(f._1)).sortBy(_._1)
+    if (fresh.nonEmpty) {
+      list = list ++ fresh
+      known = known ++ fresh.map(_._1)
+      // rewrite-and-rename: atomic enough for a single-driver writer
+      val tmp = new org.apache.hadoop.fs.Path(logPath.getParent, logPath.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try list.foreach { case (p, l) => out.write(s"$p\t$l\n".getBytes("UTF-8")) }
+      finally out.close()
+      fs.rename(tmp, logPath)
+    }
+  }
+
+  def files: Vector[(String, Long)] = synchronized(list)
+  def totalBytes: Long = files.map(_._2).sum
+  def fileCount: Long = files.length.toLong
 }
 
 final class GraftJsonMicroBatchStream(
     schema: StructType,
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
-    mode: JsonParser.Mode)
+    mode: JsonParser.Mode,
+    checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  // snapshot of the input at stream start (a production source would
-  // re-list and append newly landed files to the tail of the mapping)
-  private val files: Seq[(String, Long)] =
-    GraftSources.resolveFiles(options).sortBy(_._1)
-  private val totalBytes: Long = files.map(_._2).sum
+  private val registry = new StreamFileRegistry(options, checkpointLocation)
   private val maxBytesPerTrigger: Long =
     Option(options.get("maxbytespertrigger")).map(_.toLong).getOrElse(128L << 20)
+  // Trigger.AvailableNow cap: set once at prepare, so files landing during
+  // the drain wait for the next run (the AvailableNow contract)
+  private var availableNowCap: Long = -1L
 
   private val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
 
@@ -49,29 +102,36 @@ final class GraftJsonMicroBatchStream(
     GraftStreamOffset(if (pos.isEmpty) 0L else pos.toLong)
   }
 
+  private def availableBytes(): Long = {
+    registry.discover() // new-file discovery happens at offset time
+    val t = registry.totalBytes
+    if (availableNowCap >= 0) math.min(t, availableNowCap) else t
+  }
+
   override def latestOffset(): Offset =
-    GraftStreamOffset(totalBytes) // plain API: everything available
+    GraftStreamOffset(availableBytes()) // plain API: everything available
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[GraftStreamOffset].pos
-    GraftStreamOffset(math.min(totalBytes, start + maxBytesPerTrigger))
+    GraftStreamOffset(math.min(availableBytes(), start + maxBytesPerTrigger))
   }
 
-  override def reportLatestOffset(): Offset = GraftStreamOffset(totalBytes)
+  override def reportLatestOffset(): Offset = GraftStreamOffset(availableBytes())
 
-  // Trigger.AvailableNow: the drain target is the static snapshot; batches
-  // keep firing (maxBytesPerTrigger each) until the offset reaches it
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def prepareForTriggerAvailableNow(): Unit = {
+    registry.discover()
+    availableNowCap = registry.totalBytes
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].pos
     val e = end.asInstanceOf[GraftStreamOffset].pos
-    // map the global byte window onto per-file segments
+    // map the global byte window onto per-file segments (discovery order)
     val parts = Seq.newBuilder[InputPartition]
     var base = 0L
-    files.foreach { case (path, len) =>
+    registry.files.foreach { case (path, len) =>
       val fs = math.max(s - base, 0L)
       val fe = math.min(e - base, len)
       if (fe > fs) parts += GraftInputPartition(path, fs, fe, len)
@@ -96,13 +156,14 @@ final class GraftCsvMicroBatchStream(
     schema: StructType,
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
-    config: graft.core.csv.CsvParser.Config)
+    config: graft.core.csv.CsvParser.Config,
+    checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  private val files: Seq[(String, Long)] =
-    GraftSources.resolveFiles(options).sortBy(_._1)
+  private val registry = new StreamFileRegistry(options, checkpointLocation)
   private val maxFilesPerTrigger: Int =
     Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
+  private var availableNowCap: Long = -1L
 
   private val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
 
@@ -113,21 +174,31 @@ final class GraftCsvMicroBatchStream(
     GraftStreamOffset(if (pos.isEmpty) 0L else pos.toLong)
   }
 
-  override def latestOffset(): Offset = GraftStreamOffset(files.length.toLong)
+  private def availableFiles(): Long = {
+    registry.discover()
+    val t = registry.fileCount
+    if (availableNowCap >= 0) math.min(t, availableNowCap) else t
+  }
+
+  override def latestOffset(): Offset = GraftStreamOffset(availableFiles())
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[GraftStreamOffset].pos
-    GraftStreamOffset(math.min(files.length.toLong, start + maxFilesPerTrigger))
+    GraftStreamOffset(math.min(availableFiles(), start + maxFilesPerTrigger))
   }
 
-  override def reportLatestOffset(): Offset = GraftStreamOffset(files.length.toLong)
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = GraftStreamOffset(availableFiles())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    registry.discover()
+    availableNowCap = registry.fileCount
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].pos.toInt
     val e = end.asInstanceOf[GraftStreamOffset].pos.toInt
-    files.slice(s, e).map { case (p, len) =>
+    registry.files.slice(s, e).map { case (p, len) =>
       GraftInputPartition(p, 0, len, len): InputPartition
     }.toArray
   }

@@ -299,10 +299,10 @@ final class GraftScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (isJson)
       new GraftJsonMicroBatchStream(schema, filters, options,
-        GraftSources.jsonMode(options.asCaseSensitiveMap()))
+        GraftSources.jsonMode(options.asCaseSensitiveMap()), checkpointLocation)
     else
       new GraftCsvMicroBatchStream(schema, filters, options,
-        GraftSources.csvConfig(options.asCaseSensitiveMap()))
+        GraftSources.csvConfig(options.asCaseSensitiveMap()), checkpointLocation)
   override def description(): String =
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
       s" pushed=[${filters.mkString(", ")}]" +

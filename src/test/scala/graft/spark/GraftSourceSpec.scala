@@ -132,6 +132,49 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val csvFixture: String =
     "id,name,qty\n" + (1 to 30).map(i => s"$i,thing$i,${i * 3}").mkString("\n") + "\n"
 
+  test("streaming discovers files that land after the stream starts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val streamDir = Files.createTempDirectory("graft-stream-disc")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    def writeFile(name: String, ids: Range): Unit =
+      Files.write(streamDir.resolve(name),
+        ids.map(i => s"""{"id": $i}""").mkString("", "\n", "\n").getBytes(UTF_8))
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+    def sunk(): Seq[Long] =
+      spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    def startQuery() = spark.readStream.format("graft-json")
+      .schema("id LONG")
+      .load(streamDir.toString)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    writeFile("f1.json", 1 to 10)
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(sunk() == (1L to 10L))
+      // a file landing AFTER stream start must be picked up
+      writeFile("f2.json", 11 to 25)
+      q.processAllAvailable()
+      assert(sunk() == (1L to 25L))
+      // and one that sorts BEFORE existing names (registry is append-only,
+      // so earlier offsets stay valid)
+      writeFile("a0.json", 26 to 30)
+      q.processAllAvailable()
+      assert(sunk() == (1L to 30L))
+    } finally q.stop()
+    // restart from the same checkpoint: the persisted discovery order keeps
+    // old offsets meaningful, so only NEW data lands (exactly once)
+    writeFile("f3.json", 31 to 40)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() == (1L to 40L))
+    } finally q2.stop()
+  }
+
   test("nested-field filters push down and byte-skip rows") {
     // heterogeneous rows: some missing meta / meta.grp (must survive to
     // the residual, not be dropped by the early eval)
