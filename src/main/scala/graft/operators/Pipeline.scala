@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
 final case class MediaRow(doc_id: Long, source: String, media: Array[Byte])
 final case class DecodedMedia(
     doc_id: Long, source: String, width: Int, height: Int, n_bytes: Long, fp: String)
+final case class FrameRow(doc_id: Long, source: String, frame: String)
+final case class ResizedFrame(
+    doc_id: Long, source: String, fp: String, width: Int, height: Int)
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
@@ -584,5 +587,58 @@ object Pipeline {
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53)
+  // ---------------------------------------------------------------- q56
+  // Multimodal frame pipeline: treat each document's payload as a "video",
+  // sample every 4th 16-byte frame (declarative explode — codegen'd, no
+  // serde), then run the "resize" step as a partition-batched typed stub
+  // (one codec instance per partition; a real deployment swaps the md5
+  // stand-in for the decoder+scaler call). Frame slicing, sampling stride,
+  // and the per-partition batch shape are real; only the codec is fake.
+  private val q56 = GQuery(
+    "q56_multimodal_framesample",
+    "frame-sample (every 4th 16-byte frame) + partition-batched resize stub",
+    (s, d) => {
+      import s.implicits._
+      val frames = T(s, d, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"source", $"text")
+        .filter(length($"text") >= 16)
+        .withColumn("fidx",
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(floor((length(text)-16)/64) AS BIGINT))")))
+        .select($"doc_id", $"source",
+          expr("substring(text, CAST(fidx*64+1 AS INT), 16)").as("frame"))
+        .as[FrameRow]
+      val resized = frames.mapPartitions { it =>
+        // STUB resize: md5 the frame, derive target dims from the first two
+        // hex chars — the partition-batched shape a real scaler would use
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { f =>
+          digest.reset()
+          val hex = digest.digest(f.frame.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          ResizedFrame(f.doc_id, f.source, hex,
+            hex.charAt(0).toInt % 8 + 1, hex.charAt(1).toInt % 8 + 1)
+        }
+      }
+      resized.toDF()
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          count_distinct($"fp").as("n_uniq"),
+          round(avg($"width"), 4).as("avg_w"),
+          round(avg($"height"), 4).as("avg_h"))
+        .orderBy($"source")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id, source,
+                     md5(substring(text, CAST(g*64+1 AS BIGINT), 16)) AS fp
+              FROM documents,
+                   unnest(generate_series(0, CAST(floor((strlen(text)-16)/64) AS BIGINT))) AS t(g)
+              WHERE strlen(text) >= 16)
+            SELECT source, count(*) AS n_frames, count(DISTINCT fp) AS n_uniq,
+                   round(avg(ascii(substring(fp, 1, 1)) % 8 + 1), 4) AS avg_w,
+                   round(avg(ascii(substring(fp, 2, 1)) % 8 + 1), 4) AS avg_h
+            FROM f
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53, q56)
 }

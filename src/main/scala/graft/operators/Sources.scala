@@ -204,5 +204,71 @@ object Sources {
                (SELECT count(*) FROM
                  (SELECT 1 FROM read_json('$jsonFixture', format='newline_delimited') LIMIT 10)) AS n10"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54)
+  // ---------------------------------------------------------------- q57
+  // Materialization & replay through the gate (SURVEY §2.6): each task
+  // parses its lines through ReplayPlate (packed 4-bit event recording),
+  // finishes the batch into an EventCursor, and REPLAYS the recorded
+  // stream into a kind-collecting plate via drive() — the record/replay
+  // path a downstream engine uses to iterate rows without re-parsing. The
+  // fixture's shape is fixed, so the per-kind event counts have an exact
+  // SQL oracle (6 nestMap + 4 num + 1 str + 6 unnest + 1 finishRow per
+  // row).
+  private val q57 = GQuery(
+    "q57_event_replay_explode",
+    "ReplayPlate/EventCursor record+replay exploded to per-kind event counts",
+    (s, d) => {
+      import s.implicits._
+      ensureFixtures(s, d)
+      val lines = s.read.textFile(jsonFixture).repartition(2)
+      val kinds = lines.mapPartitions { it =>
+        import graft.core._
+        val plate = new ReplayPlate()
+        val parser = new json.JsonParser[Option[EventCursor]](plate, json.JsonParser.ValueStream)
+        it.foreach { l =>
+          parser.absorb(l + "\n") match {
+            case ParseResult.Failure(e) => throw e
+            case _ => ()
+          }
+        }
+        val cursor = parser.finish() match {
+          case ParseResult.Complete(c) => c
+          case ParseResult.Failure(e)  => throw e
+          case ParseResult.Partial(c, _) => c
+        }
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val collector = new Plate[Unit] {
+          def nul(): Signal = { buf += "nul"; Signal.Continue }
+          def fls(): Signal = { buf += "bool"; Signal.Continue }
+          def tru(): Signal = { buf += "bool"; Signal.Continue }
+          def map(): Signal = { buf += "emptyMap"; Signal.Continue }
+          def arr(): Signal = { buf += "emptyArr"; Signal.Continue }
+          def num(t: CharSequence, d: Int, e: Int): Signal = { buf += "num"; Signal.Continue }
+          def str(t: CharSequence): Signal = { buf += "str"; Signal.Continue }
+          def nestMap(k: CharSequence): Signal = { buf += "nestMap"; Signal.Continue }
+          def nestArr(): Signal = { buf += "nestArr"; Signal.Continue }
+          def nestMeta(k: CharSequence): Signal = { buf += "nestMeta"; Signal.Continue }
+          def unnest(): Signal = { buf += "unnest"; Signal.Continue }
+          def finishRow(): Unit = buf += "finishRow"
+          def finishBatch(terminal: Boolean): Unit = ()
+          def skipped(bytes: Int): Unit = ()
+        }
+        cursor.foreach(_.drive(collector))
+        buf.iterator
+      }
+      kinds.toDF("kind")
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"kind")
+    },
+    Some(s"""WITH c AS (SELECT count(*) AS rows FROM
+               read_json('$jsonFixture', format='newline_delimited'))
+             SELECT kind, n FROM (
+               SELECT 'finishRow' AS kind, rows AS n FROM c
+               UNION ALL SELECT 'nestMap', 6 * rows FROM c
+               UNION ALL SELECT 'num', 4 * rows FROM c
+               UNION ALL SELECT 'str', rows FROM c
+               UNION ALL SELECT 'unnest', 6 * rows FROM c)
+             ORDER BY kind"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57)
 }
