@@ -64,6 +64,44 @@ object GraftSources {
     }
   }
 
+  final val VariantMetadataKey = "__VARIANT_METADATA_KEY"
+
+  /** Parse a pushed variant extraction path (`$`, `$.a.b`, …) into its
+    * object-key segments; None for anything beyond plain dotted keys
+    * (array indices, quoted/bracketed names, wildcards stay unpushed).
+    */
+  def variantPathSegments(meta: org.apache.spark.sql.types.Metadata): Option[Array[String]] = {
+    if (!meta.contains(VariantMetadataKey)) return None
+    val path = meta.getMetadata(VariantMetadataKey).getString("path")
+    if (path == "$") Some(Array.empty)
+    else if (path.startsWith("$.") && !path.exists(c => c == '[' || c == ']' ||
+        c == '\'' || c == '"' || c == '*')) {
+      val segs = path.substring(2).split('.')
+      if (segs.nonEmpty && segs.forall(_.nonEmpty)) Some(segs) else None
+    } else None
+  }
+
+  /** Build an explicit shredded-read schema: one VARIANT column per
+    * requested path (`$`, `$.a.b`, …). Passing it to
+    * `spark.read.format("graft-json").option("variant","true").schema(...)`
+    * makes the reader parse ONLY those subtrees ([[PathVariantPlate]]),
+    * byte-skipping everything else — sub-variant projection pushdown with
+    * `variant_get`-identical results (missing path = null). Column names
+    * are `v0..vN` in path order.
+    */
+  def shreddedSchema(paths: Seq[String]): StructType =
+    StructType(paths.zipWithIndex.map { case (p, i) =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putMetadata(VariantMetadataKey, new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("path", p).build())
+        .build()
+      val f = StructField(s"v$i", org.apache.spark.sql.types.VariantType,
+        nullable = true, metadata = meta)
+      require(variantPathSegments(f.metadata).isDefined,
+        s"unsupported shred path '$p' (only $$ and plain dotted object keys)")
+      f
+    })
+
   def jsonMode(options: java.util.Map[String, String]): JsonParser.Mode =
     Option(options.get("mode")).map(_.toLowerCase).getOrElse("lines") match {
       case "lines" | "valuestream"  => JsonParser.ValueStream
@@ -277,6 +315,26 @@ final class GraftScanBuilder(
     if (fs.length == 1 && fs(0).isInstanceOf[CountStar]) { countStar = true; true }
     else false
   }
+
+  /** Sub-variant extraction pushdown (variant shredding for the open-typed
+    * mode): `variant_get(value, '$.a.b')` with a VARIANT target becomes a
+    * shredded scan column, and the reader parses ONLY the requested
+    * subtrees, byte-skipping the rest ([[PathVariantPlate]]). Restricted
+    * to VariantType targets over plain object-key paths — subtree capture
+    * has no cast semantics, so the result is exactly `variant_get`'s;
+    * typed targets keep evaluating from the `$` fallback column Spark
+    * pushes alongside.
+    */
+  // NOTE: SupportsPushDownVariantExtractions deliberately NOT implemented.
+  // Empirically (this Spark build), once a V2 ScanBuilder exposes the
+  // interface the planner's rewrite breaks regardless of the answers —
+  // all-false still hits RequestedVariantField mapping lookups and
+  // full acceptance leaves unresolved attributes in the rewritten plan.
+  // Sub-variant shredding is offered instead via an EXPLICIT metadata-
+  // tagged schema (see PathVariantPlate / GraftSources.shreddedSchema),
+  // which keeps the broken rule out of the loop.
+
+
 
   override def build(): Scan =
     new GraftScan(required, pushed, options, isJson, limit, countStar)
@@ -684,19 +742,31 @@ final class GraftJsonPartitionReader(
 
   private var emitted = 0L
   private val queue = new mutable.ArrayDeque[InternalRow]
-  // a single VARIANT column selects open-typed ingestion (no pruning: the
-  // whole value is the column); otherwise the schema-driven pushdown plate
+  // VARIANT columns select open-typed ingestion: shredded path-extraction
+  // columns (pushed variant_get, metadata-tagged) parse only the requested
+  // subtrees; a bare single VARIANT column captures whole rows; any other
+  // schema takes the schema-driven pushdown plate
+  private val shreddedPaths: Option[Array[Array[String]]] =
+    if (schema.nonEmpty && schema.forall(_.dataType == org.apache.spark.sql.types.VariantType) &&
+        schema.exists(_.metadata.contains(GraftSources.VariantMetadataKey)))
+      Some(schema.fields.map(f =>
+        GraftSources.variantPathSegments(f.metadata).getOrElse(Array.empty[String])))
+    else None
   private val variantMode = schema.length == 1 &&
     schema.head.dataType == org.apache.spark.sql.types.VariantType
   // recovery replaces parser AND plate; completed rows already sit in queue
   private var rowPlate: RowPlate = null
+  private var pathPlate: PathVariantPlate = null
   private def mkParser(): JsonParser[Long] = {
-    val plate: graft.core.Plate[Long] =
-      if (variantMode) new VariantRowPlate(queue.append(_))
-      else {
+    val plate: graft.core.Plate[Long] = shreddedPaths match {
+      case Some(paths) =>
+        pathPlate = new PathVariantPlate(paths, queue.append(_))
+        pathPlate
+      case None if variantMode => new VariantRowPlate(queue.append(_))
+      case None =>
         rowPlate = new RowPlate(schema, filters, queue.append(_))
         rowPlate
-      }
+    }
     new JsonParser(plate, mode)
   }
   private val feeder = new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed)
@@ -717,7 +787,10 @@ final class GraftJsonPartitionReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(new CustomTaskMetric {
       override def name(): String = GraftSources.SkippedBytesMetricName
-      override def value(): Long = if (rowPlate == null) 0L else rowPlate.totalSkippedBytes
+      override def value(): Long =
+        if (rowPlate != null) rowPlate.totalSkippedBytes
+        else if (pathPlate != null) pathPlate.totalSkippedBytes
+        else 0L
     })
 }
 

@@ -9,16 +9,14 @@ import org.apache.spark.unsafe.types.VariantVal
 
 import scala.collection.mutable
 
-/** Open-typed ingestion: build one Spark VARIANT value per row directly
-  * from the event stream — no schema inference, heterogeneous rows and
-  * EXACT decimal scale preserved (the lazy `num` text feeds BigDecimal
-  * untouched; SURVEY §1.3 option 1 for the schemaless-rows gap).
-  *
-  * Frame model mirrors [[RowPlate]]: one frame per nest/unnest pair; a
-  * value slot morphs into an object/array writer when its shape appears.
+/** Event-driven builder of ONE Spark VARIANT value: the shared state
+  * machine behind open-typed row ingestion ([[VariantRowPlate]]) and
+  * pushed-down sub-variant extraction ([[PathVariantPlate]]). One frame
+  * per nest/unnest pair; a value slot morphs into an object/array writer
+  * when its shape appears; the lazy `num` text feeds BigDecimal untouched
+  * so EXACT decimal scale is preserved.
   */
-final class VariantRowPlate(push: InternalRow => Unit) extends Plate[Long] {
-
+private[spark] final class VariantCapture {
   private final val KSlot = 0
   private final val KObj = 1
   private final val KArr = 2
@@ -29,19 +27,12 @@ final class VariantRowPlate(push: InternalRow => Unit) extends Plate[Long] {
     var offsets: java.util.ArrayList[Integer] = null
   }
 
-  private[this] var builder = new VariantBuilder(false)
+  private[this] val builder = new VariantBuilder(false)
   private[this] val stack = new mutable.ArrayDeque[Frame]
-  private[this] var rowCount = 0L
-  resetRow()
-
-  private def resetRow(): Unit = {
-    stack.clear()
-    stack.prepend(new Frame(KSlot)) // the row's top value
-  }
+  stack.prepend(new Frame(KSlot)) // the captured value's top slot
 
   @inline private def top: Frame = stack.head
 
-  /** Reveal the top slot as an object writer (idempotent). */
   private def asObj(): Frame = {
     val f = top
     if (f.kind == KSlot) {
@@ -62,28 +53,21 @@ final class VariantRowPlate(push: InternalRow => Unit) extends Plate[Long] {
     f
   }
 
-  def nestMap(pathComponent: CharSequence): Signal = {
+  def nestMap(pathComponent: CharSequence): Unit = {
     val f = asObj()
     val key = pathComponent.toString
     val id = builder.addKey(key)
     f.fields.add(new VariantBuilder.FieldEntry(key, id, builder.getWritePos - f.start))
     stack.prepend(new Frame(KSlot))
-    Signal.Continue
   }
 
-  def nestArr(): Signal = {
+  def nestArr(): Unit = {
     val f = asArr()
     f.offsets.add(builder.getWritePos - f.start)
     stack.prepend(new Frame(KSlot))
-    Signal.Continue
   }
 
-  def nestMeta(pathComponent: CharSequence): Signal = nestMap(pathComponent)
-
-  def unnest(): Signal = {
-    closeFrame(stack.removeHead())
-    Signal.Continue
-  }
+  def unnest(): Unit = closeFrame(stack.removeHead())
 
   private def closeFrame(f: Frame): Unit = f.kind match {
     case KObj => builder.finishWritingObject(f.start, f.fields)
@@ -91,22 +75,16 @@ final class VariantRowPlate(push: InternalRow => Unit) extends Plate[Long] {
     case _    => () // scalar slot: value already appended (empty slot = null)
   }
 
-  def nul(): Signal = { builder.appendNull(); Signal.Continue }
-  def fls(): Signal = { builder.appendBoolean(false); Signal.Continue }
-  def tru(): Signal = { builder.appendBoolean(true); Signal.Continue }
-  def map(): Signal = {
-    // empty object scalar
+  def nul(): Unit = builder.appendNull()
+  def bool(v: Boolean): Unit = builder.appendBoolean(v)
+  def emptyMap(): Unit =
     builder.finishWritingObject(builder.getWritePos,
       new java.util.ArrayList[VariantBuilder.FieldEntry])
-    Signal.Continue
-  }
-  def arr(): Signal = {
+  def emptyArr(): Unit =
     builder.finishWritingArray(builder.getWritePos, new java.util.ArrayList[Integer])
-    Signal.Continue
-  }
-  def str(s: CharSequence): Signal = { builder.appendString(s.toString); Signal.Continue }
+  def str(s: CharSequence): Unit = builder.appendString(s.toString)
 
-  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = {
+  def num(s: CharSequence, decIdx: Int, expIdx: Int): Unit = {
     val text = s.toString
     if (decIdx < 0 && expIdx < 0) {
       try builder.appendLong(java.lang.Long.parseLong(text))
@@ -119,17 +97,44 @@ final class VariantRowPlate(push: InternalRow => Unit) extends Plate[Long] {
     } else {
       builder.appendDouble(java.lang.Double.parseDouble(text))
     }
-    Signal.Continue
+  }
+
+  /** Close any open frames and return the built value. */
+  def finish(): VariantVal = {
+    while (stack.nonEmpty) closeFrame(stack.removeHead())
+    val v = builder.result()
+    new VariantVal(v.getValue, v.getMetadata)
+  }
+}
+
+/** Open-typed ingestion: build one Spark VARIANT value per row directly
+  * from the event stream — no schema inference, heterogeneous rows and
+  * exact decimal scale preserved (SURVEY §1.3 option 1 for the
+  * schemaless-rows gap).
+  */
+final class VariantRowPlate(push: InternalRow => Unit) extends Plate[Long] {
+
+  private[this] var capture = new VariantCapture
+  private[this] var rowCount = 0L
+
+  def nestMap(pathComponent: CharSequence): Signal = { capture.nestMap(pathComponent); Signal.Continue }
+  def nestArr(): Signal = { capture.nestArr(); Signal.Continue }
+  def nestMeta(pathComponent: CharSequence): Signal = { capture.nestMap(pathComponent); Signal.Continue }
+  def unnest(): Signal = { capture.unnest(); Signal.Continue }
+  def nul(): Signal = { capture.nul(); Signal.Continue }
+  def fls(): Signal = { capture.bool(false); Signal.Continue }
+  def tru(): Signal = { capture.bool(true); Signal.Continue }
+  def map(): Signal = { capture.emptyMap(); Signal.Continue }
+  def arr(): Signal = { capture.emptyArr(); Signal.Continue }
+  def str(s: CharSequence): Signal = { capture.str(s); Signal.Continue }
+  def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = {
+    capture.num(s, decIdx, expIdx); Signal.Continue
   }
 
   def finishRow(): Unit = {
-    // top-level container rows have no unnest of their own
-    while (stack.nonEmpty) closeFrame(stack.removeHead())
-    val v = builder.result()
-    push(new GenericInternalRow(Array[Any](new VariantVal(v.getValue, v.getMetadata))))
+    push(new GenericInternalRow(Array[Any](capture.finish())))
     rowCount += 1
-    builder = new VariantBuilder(false)
-    resetRow()
+    capture = new VariantCapture
   }
 
   def finishBatch(terminal: Boolean): Long = rowCount
