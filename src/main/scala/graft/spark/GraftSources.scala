@@ -8,6 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
@@ -48,20 +49,80 @@ object GraftSources {
   /** Resolve the path option (possibly comma-separated, possibly dirs)
     * into concrete file paths.
     */
-  def resolveFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+  def resolveFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] =
+    resolvePartitioned(options).files.map(f => (f.path, f.len))
+
+  final case class ListedFile(path: String, len: Long, partValues: Array[String])
+  /** `partCols` in first-seen directory order; each file's `partValues`
+    * align to it (null = value absent for that file).
+    */
+  final case class Listing(partCols: Seq[String], files: Seq[ListedFile])
+
+  private def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Recursively resolve the path option, deriving hive-style partition
+    * columns (`k=v` directory segments) along the way — the 100 TB layout
+    * (`date=2024-01-01/hour=03/part-*.json`) lists, prunes, and reads
+    * without a metastore.
+    */
+  def resolvePartitioned(options: CaseInsensitiveStringMap): Listing = {
     val conf = activeHadoopConf()
     val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
       .getOrElse(throw new IllegalArgumentException("graft source requires a 'path' option"))
-    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { p =>
+    val partCols = new mutable.LinkedHashSet[String]
+    val files = Seq.newBuilder[(String, Long, mutable.LinkedHashMap[String, String])]
+
+    def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+        parts: mutable.LinkedHashMap[String, String]): Unit =
+      fs.listStatus(dir).foreach { s =>
+        val name = s.getPath.getName
+        if (!hidden(name)) {
+          if (s.isFile) files += ((s.getPath.toString, s.getLen, parts))
+          else {
+            val i = name.indexOf('=')
+            val next =
+              if (i > 0) {
+                val k = name.substring(0, i)
+                val v = java.net.URLDecoder.decode(name.substring(i + 1), "UTF-8")
+                partCols += k
+                parts.clone().addOne(k ->
+                  (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+              } else parts
+            walk(fs, s.getPath, next)
+          }
+        }
+      }
+
+    raw.split(",").map(_.trim).filter(_.nonEmpty).foreach { p =>
       val path = new Path(p.stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
       val fs = path.getFileSystem(conf)
       val status = fs.getFileStatus(path)
-      if (status.isDirectory)
-        fs.listStatus(path).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          .map(s => (s.getPath.toString, s.getLen))
-      else Seq((status.getPath.toString, status.getLen))
+      if (status.isDirectory) walk(fs, path, mutable.LinkedHashMap.empty)
+      else files += ((status.getPath.toString, status.getLen, mutable.LinkedHashMap.empty))
     }
+    val cols = partCols.toSeq
+    Listing(cols, files.result().map { case (p, l, m) =>
+      ListedFile(p, l, cols.map(c => m.getOrElse(c, null)).toArray)
+    })
+  }
+
+  /** Infer partition column types the way the built-in sources do: all
+    * values integral → LongType, else all numeric → DoubleType, else
+    * StringType.
+    */
+  def partitionSchema(listing: Listing): StructType = {
+    def typeOf(col: Int): org.apache.spark.sql.types.DataType = {
+      val vs = listing.files.map(_.partValues(col)).filter(_ != null)
+      def all(p: String => Boolean) = vs.nonEmpty && vs.forall(p)
+      if (all(v => scala.util.Try(v.toLong).isSuccess)) LongType
+      else if (all(v => scala.util.Try(v.toDouble).isSuccess))
+        org.apache.spark.sql.types.DoubleType
+      else org.apache.spark.sql.types.StringType
+    }
+    StructType(listing.partCols.zipWithIndex.map { case (c, i) =>
+      StructField(c, typeOf(i), nullable = true)
+    })
   }
 
   final val VariantMetadataKey = "__VARIANT_METADATA_KEY"
@@ -137,7 +198,8 @@ final case class GraftInputPartition(
     path: String,
     start: Long,
     end: Long, // exclusive byte-range end (rows realign executor-side)
-    fileLen: Long) extends InputPartition
+    fileLen: Long,
+    partValues: Array[String] = Array.empty) extends InputPartition
 
 // ====================================================================== JSON
 
@@ -151,13 +213,13 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
     if (options.getBoolean("variant", false))
       return StructType(Seq(org.apache.spark.sql.types.StructField(
         "value", org.apache.spark.sql.types.VariantType)))
-    val files = GraftSources.resolveFiles(options)
+    val listing = GraftSources.resolvePartitioned(options)
     val conf = GraftSources.activeHadoopConf()
     val sampleBytes = Option(options.get("samplebytes")).map(_.toLong).getOrElse(4L << 20)
     val mode = GraftSources.jsonMode(options.asCaseSensitiveMap())
     // sample a bounded prefix of each file on the driver
-    val merged = files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
-      case (acc, (p, len)) =>
+    val merged = listing.files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
+      case (acc, GraftSources.ListedFile(p, len, _)) =>
         val path = new Path(p)
         val in = path.getFileSystem(conf).open(path)
         try {
@@ -171,7 +233,11 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
           SchemaInference.merge(acc, plate.finishBatch(true))
         } finally in.close()
     }
-    SchemaInference.toStructType(merged)
+    val data = SchemaInference.toStructType(merged)
+    // hive-style partition columns ride at the end (data fields win ties)
+    val partExtra = GraftSources.partitionSchema(listing)
+      .filterNot(f => data.fieldNames.contains(f.name))
+    StructType(data.fields ++ partExtra)
   }
 
   override def getTable(
@@ -198,10 +264,10 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = GraftSources.resolveFiles(options)
+    val listing = GraftSources.resolvePartitioned(options)
     val conf = GraftSources.activeHadoopConf()
     val config = GraftSources.csvConfig(options.asCaseSensitiveMap())
-    val (p, len) = files.headOption.getOrElse(
+    val GraftSources.ListedFile(p, len, _) = listing.files.headOption.getOrElse(
       throw new IllegalArgumentException("no input files"))
     val path = new Path(p)
     val in = path.getFileSystem(conf).open(path)
@@ -235,8 +301,11 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
       val parser = new CsvParser(plate, config)
       parser.absorb(buf)
       if (len <= n) parser.finish()
-      StructType(keys.toSeq.map(k =>
+      val data = StructType(keys.toSeq.map(k =>
         org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
+      val partExtra = GraftSources.partitionSchema(listing)
+        .filterNot(f => data.fieldNames.contains(f.name))
+      StructType(data.fields ++ partExtra)
     } finally in.close()
   }
 
@@ -370,38 +439,86 @@ final class GraftScan(
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new SkippedBytesMetric)
 
+  // driver-side partition discovery, shared by planning and the factory
+  private lazy val listing = GraftSources.resolvePartitioned(options)
+  private lazy val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+    val inferred = GraftSources.partitionSchema(listing)
+    // the required schema's type wins (user-supplied schemas may retype)
+    listing.partCols.map { c =>
+      c -> schema.find(_.name == c).map(_.dataType)
+        .orElse(inferred.find(_.name == c).map(_.dataType))
+        .getOrElse(org.apache.spark.sql.types.StringType)
+    }.toMap
+  }
+
+  /** Hive-style partition pruning: a pushed filter on a partition column
+    * that DEFINITELY fails for a file's partition value drops the whole
+    * file at planning time — no task, no bytes (FilterEval is
+    * conservative, so exactness is preserved by the residual).
+    */
+  private def prunedFiles: Seq[GraftSources.ListedFile] = {
+    if (listing.partCols.isEmpty || filters.isEmpty) return listing.files
+    val partIdx = listing.partCols.zipWithIndex.toMap
+    val relevant = FilterEval.normalize(filters.filter(f =>
+      f.references.length == 1 && partIdx.contains(f.references.head)))
+    if (relevant.isEmpty) return listing.files
+    listing.files.filterNot { f =>
+      relevant.exists { flt =>
+        val col = flt.references.head
+        val raw = f.partValues(partIdx(col))
+        val typed = if (raw == null) null
+          else Conversions.fromString(partTypes(col), raw)
+        FilterEval.definitelyFails(flt, typed)
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val files = GraftSources.resolveFiles(options)
     val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     val splittable = isJson &&
       GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream
-    files.flatMap { case (p, len) =>
+    prunedFiles.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       if (!splittable || len <= maxSplit)
-        Seq(GraftInputPartition(p, 0, len, len))
+        Seq(GraftInputPartition(p, 0, len, len, pv))
       else
         (0L until len by maxSplit).map { start =>
-          GraftInputPartition(p, start, math.min(start + maxSplit, len), len)
+          GraftInputPartition(p, start, math.min(start + maxSplit, len), len, pv)
         }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+    // required-schema slots served from hive-style partition values:
+    // (output index, index into the file's partValues, target type)
+    val partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] =
+      schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        val pi = listing.partCols.indexOf(f.name)
+        if (pi >= 0) Some((i, pi, f.dataType)) else None
+      }
+    // partition-column filters are handled at planning time (file pruning)
+    // and by the residual; the row plate must not see them (the column is
+    // null until the partition value is stamped in)
+    val partNames = listing.partCols.toSet
+    val plateFilters =
+      if (partSpec.isEmpty) filters
+      else filters.filterNot(_.references.exists(partNames.contains))
     if (countStar)
       new GraftCountReaderFactory(conf,
         if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
         GraftSources.csvConfig(options.asCaseSensitiveMap()),
         dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")))
     else if (isJson)
-      new GraftJsonReaderFactory(schema, filters, conf,
+      new GraftJsonReaderFactory(schema, plateFilters, conf,
         GraftSources.jsonMode(options.asCaseSensitiveMap()),
         dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
-        limit = limit)
+        limit = limit, partSpec = partSpec)
     else
-      new GraftCsvReaderFactory(schema, filters, conf,
-        GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit)
+      new GraftCsvReaderFactory(schema, plateFilters, conf,
+        GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
+        partSpec = partSpec)
   }
 }
 
@@ -419,15 +536,18 @@ final class GraftJsonReaderFactory(
     conf: SerializableConfiguration,
     mode: JsonParser.Mode,
     dropMalformed: Boolean = false,
-    limit: Int = -1) extends PartitionReaderFactory {
+    limit: Int = -1,
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit)
+      dropMalformed, limit, partSpec)
 
-  // flat all-atomic schemas take the vectorized path (ColumnarBatch out)
+  // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
+  // partitioned reads stay row-based (constant vectors not yet wired)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema)
+    partSpec.isEmpty && ColumnarPlate.supports(schema)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
@@ -440,13 +560,16 @@ final class GraftCsvReaderFactory(
     filters: Array[Filter],
     conf: SerializableConfiguration,
     config: CsvParser.Config,
-    limit: Int = -1) extends PartitionReaderFactory {
+    limit: Int = -1,
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config, limit)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
+      limit, partSpec)
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema)
+    partSpec.isEmpty && ColumnarPlate.supports(schema)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
@@ -738,10 +861,26 @@ final class GraftJsonPartitionReader(
     conf: Configuration,
     mode: JsonParser.Mode,
     dropMalformed: Boolean = false,
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    limit: Int = -1,
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
   private val queue = new mutable.ArrayDeque[InternalRow]
+  // typed partition values for this split, stamped into every row (hive
+  // semantics: the directory value wins over any same-named data field)
+  private val partTyped: Array[(Int, Any)] = partSpec.map { case (ri, pi, dt) =>
+    val raw = part.partValues(pi)
+    (ri, if (raw == null) null else Conversions.fromString(dt, raw))
+  }
+  @inline private def stamp(row: InternalRow): InternalRow = {
+    var i = 0
+    while (i < partTyped.length) {
+      row.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
+      i += 1
+    }
+    row
+  }
   // VARIANT columns select open-typed ingestion: shredded path-extraction
   // columns (pushed variant_get, metadata-tagged) parse only the requested
   // subtrees; a bare single VARIANT column captures whole rows; any other
@@ -764,7 +903,7 @@ final class GraftJsonPartitionReader(
         pathPlate
       case None if variantMode => new VariantRowPlate(queue.append(_))
       case None =>
-        rowPlate = new RowPlate(schema, filters, queue.append(_))
+        rowPlate = new RowPlate(schema, filters, r => queue.append(stamp(r)))
         rowPlate
     }
     new JsonParser(plate, mode)
@@ -803,11 +942,24 @@ final class GraftCsvPartitionReader(
     filters: Array[Filter],
     conf: Configuration,
     config: CsvParser.Config,
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    limit: Int = -1,
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
   private val queue = new mutable.ArrayDeque[InternalRow]
-  private val plate = new RowPlate(schema, filters, queue.append(_))
+  private val partTyped: Array[(Int, Any)] = partSpec.map { case (ri, pi, dt) =>
+    val raw = part.partValues(pi)
+    (ri, if (raw == null) null else Conversions.fromString(dt, raw))
+  }
+  private val plate = new RowPlate(schema, filters, { r =>
+    var i = 0
+    while (i < partTyped.length) {
+      r.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
+      i += 1
+    }
+    queue.append(r)
+  })
   private val parser = new CsvParser(plate, config)
 
   private val path = new Path(part.path)
