@@ -270,5 +270,38 @@ object Sources {
                UNION ALL SELECT 'unnest', 6 * rows FROM c)
              ORDER BY kind"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57)
+  // ---------------------------------------------------------------- q58
+  // Hive-partitioned scan: nation staged as region=R directories; the
+  // partition column comes from the directory name (typed long), and the
+  // pushed partition filter prunes two of five files at PLANNING time.
+  // The oracle reconstructs the partition value from the file path.
+  private val partDir = s"$fixtureDir/q58_nation_part"
+
+  private val q58 = GQuery(
+    "q58_partitioned_scan",
+    "hive-partitioned directory scan with planning-time partition pruning",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+      nation.groupBy(_.getAs[Number](2).longValue).foreach { case (reg, rows) =>
+        val dir = Paths.get(s"$partDir/region=$reg")
+        Files.createDirectories(dir)
+        Files.write(dir.resolve("nation.jsonl"), rows.map { r =>
+          s"""{"n_nationkey": ${r.getAs[Number](0).longValue}, "n_name": "${r.getString(1)}"}"""
+        }.mkString("", "\n", "\n").getBytes(UTF_8))
+      }
+      s.read.format("graft-json").load(partDir)
+        .filter(col("region") <= 2)
+        .select(col("n_nationkey"), col("n_name"), col("region"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey, n_name,
+                    CAST(regexp_extract(filename, 'region=([0-9]+)', 1) AS BIGINT) AS region
+             FROM read_json('$partDir/*/*.jsonl', format='newline_delimited', filename=true)
+             WHERE CAST(regexp_extract(filename, 'region=([0-9]+)', 1) AS BIGINT) <= 2
+             ORDER BY n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58)
 }
