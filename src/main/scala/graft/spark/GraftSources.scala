@@ -61,6 +61,25 @@ object GraftSources {
   private def hidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
+  /** Hive path unescaping: only %xx sequences decode ('+' stays literal —
+    * URLDecoder semantics would corrupt it).
+    */
+  private def unescapePathValue(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Recursively resolve the path option, deriving hive-style partition
     * columns (`k=v` directory segments) along the way — the 100 TB layout
     * (`date=2024-01-01/hour=03/part-*.json`) lists, prunes, and reads
@@ -84,7 +103,7 @@ object GraftSources {
             val next =
               if (i > 0) {
                 val k = name.substring(0, i)
-                val v = java.net.URLDecoder.decode(name.substring(i + 1), "UTF-8")
+                val v = unescapePathValue(name.substring(i + 1))
                 partCols += k
                 parts.clone().addOne(k ->
                   (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
@@ -545,14 +564,14 @@ final class GraftJsonReaderFactory(
       dropMalformed, limit, partSpec)
 
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
-  // partitioned reads stay row-based (constant vectors not yet wired)
+  // partition columns become constant vectors per batch
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partSpec.isEmpty && ColumnarPlate.supports(schema)
+    ColumnarPlate.supports(schema)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit)
+      dropMalformed, limit, partSpec)
 }
 
 final class GraftCsvReaderFactory(
@@ -569,11 +588,12 @@ final class GraftCsvReaderFactory(
       limit, partSpec)
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partSpec.isEmpty && ColumnarPlate.supports(schema)
+    ColumnarPlate.supports(schema)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
-      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config, limit)
+      partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
+      limit, partSpec)
 }
 
 /** COUNT(*) pushdown: parse-only partial counts, one row per partition.
@@ -768,6 +788,43 @@ private[spark] final class JsonRangeFeeder[A](
   def close(): Unit = in.close()
 }
 
+/** Partition-column constant vectors for the vectorized readers: each
+  * batch keeps the parsed data vectors and swaps in one
+  * ConstantColumnVector per partition-served column.
+  */
+private[spark] object PartitionVectors {
+  def typed(partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)],
+      partValues: Array[String]): Array[(Int, Any, org.apache.spark.sql.types.DataType)] =
+    partSpec.map { case (ri, pi, dt) =>
+      val raw = partValues(pi)
+      (ri, if (raw == null) null else Conversions.fromString(dt, raw), dt)
+    }
+
+  def wrap(batch: org.apache.spark.sql.vectorized.ColumnarBatch,
+      parts: Array[(Int, Any, org.apache.spark.sql.types.DataType)])
+      : org.apache.spark.sql.vectorized.ColumnarBatch = {
+    if (parts.isEmpty) return batch
+    val n = batch.numCols()
+    val vecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](n)
+    var i = 0
+    while (i < n) { vecs(i) = batch.column(i); i += 1 }
+    parts.foreach { case (idx, v, dt) =>
+      val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+        batch.numRows(), dt)
+      v match {
+        case null => cv.setNull()
+        case l: java.lang.Long => cv.setLong(l)
+        case d: java.lang.Double => cv.setDouble(d)
+        case s: org.apache.spark.unsafe.types.UTF8String => cv.setUtf8String(s)
+        case other => throw new IllegalStateException(
+          s"unsupported partition value type ${other.getClass}")
+      }
+      vecs(idx) = cv
+    }
+    new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, batch.numRows())
+  }
+}
+
 /** Vectorized JSON reader: same range protocol, ColumnarBatch output. */
 final class GraftJsonColumnarReader(
     part: GraftInputPartition,
@@ -776,7 +833,8 @@ final class GraftJsonColumnarReader(
     conf: Configuration,
     mode: JsonParser.Mode,
     dropMalformed: Boolean = false,
-    limit: Int = -1)
+    limit: Int = -1,
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // recovery keeps the SAME plate (its buffered batch holds completed
@@ -789,6 +847,7 @@ final class GraftJsonColumnarReader(
     new JsonParser(plate, mode)
   }
   private val feeder = new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed)
+  private val partTyped = PartitionVectors.typed(partSpec, part.partValues)
   private var emitted = 0L
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
@@ -797,7 +856,8 @@ final class GraftJsonColumnarReader(
     if (limit >= 0 && emitted >= limit) return false
     while (plate.pendingRows == 0 && !feeder.isExhausted) feeder.step()
     if (plate.pendingRows > 0) {
-      current = plate.takeBatch(); emitted += current.numRows; true
+      current = PartitionVectors.wrap(plate.takeBatch(), partTyped)
+      emitted += current.numRows; true
     } else false
   }
 
@@ -812,7 +872,8 @@ final class GraftCsvColumnarReader(
     filters: Array[Filter],
     conf: Configuration,
     config: CsvParser.Config,
-    limit: Int = -1)
+    limit: Int = -1,
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val plate = new ColumnarPlate(schema, filters)
@@ -820,6 +881,7 @@ final class GraftCsvColumnarReader(
   private val path = new Path(part.path)
   private val in = path.getFileSystem(conf).open(path)
   private val chunk = new Array[Byte](256 * 1024)
+  private val partTyped = PartitionVectors.typed(partSpec, part.partValues)
   private var exhausted = false
   private var emitted = 0L
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -840,7 +902,8 @@ final class GraftCsvColumnarReader(
       } else raise(parser.absorb(chunk, 0, n))
     }
     if (plate.pendingRows > 0) {
-      current = plate.takeBatch(); emitted += current.numRows; true
+      current = PartitionVectors.wrap(plate.takeBatch(), partTyped)
+      emitted += current.numRows; true
     } else false
   }
 

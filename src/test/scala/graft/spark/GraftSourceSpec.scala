@@ -148,6 +148,11 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema("date").dataType == org.apache.spark.sql.types.StringType)
     assert(df.schema("region").dataType == org.apache.spark.sql.types.LongType)
     assert(df.count() == 15)
+    // flat partitioned schemas stay vectorized (constant partition vectors)
+    val colPlan = df.select("id", "date", "region").queryExecution.executedPlan
+    assert(colPlan.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty)
     // values stamped per file, parity with the built-in partitioned reader
     val ours = df.select("id", "date", "region").orderBy("id")
       .collect().map(_.toString).toSeq
@@ -170,6 +175,13 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cdf = spark.read.format("graft-csv").load(cbase.toString)
     assert(cdf.select("a", "grp").collect().map(r =>
       (r.getString(0), r.getLong(1))).sorted.toSeq == Seq(("1", 7L), ("2", 7L)))
+    // hive escaping: %xx decodes, '+' stays literal
+    val ebase = Files.createTempDirectory("graft-part-esc")
+    val ed = ebase.resolve("tag=a%3Ab+c")
+    Files.createDirectories(ed)
+    Files.write(ed.resolve("f.json"), """{"id": 1}""".getBytes(UTF_8))
+    val edf = spark.read.format("graft-json").load(ebase.toString)
+    assert(edf.select("tag").collect()(0).getString(0) == "a:b+c")
   }
 
   test("streaming discovers files that land after the stream starts") {

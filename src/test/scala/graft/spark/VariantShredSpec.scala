@@ -106,6 +106,35 @@ class VariantShredSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](GraftSources.shreddedSchema(Seq("$.a..b")))
   }
 
+  test("randomized documents: shredded paths equal variant_get (sweep)") {
+    val rnd = new scala.util.Random(20260812L)
+    def gen(depth: Int): String =
+      if (depth <= 0 || rnd.nextInt(3) == 0) rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(1000).toString
+        case 1 => s""""s${rnd.nextInt(100)}""""
+        case 2 => if (rnd.nextBoolean()) "true" else "null"
+        case 3 if depth > 0 =>
+          s"[${Seq.fill(rnd.nextInt(3))(gen(depth - 1)).mkString(",")}]"
+        case _ => "[]"
+      } else {
+        val keys = Seq("a", "b", "c", "d").take(1 + rnd.nextInt(3))
+        s"{${keys.map(k => s""""$k": ${gen(depth - 1)}""").mkString(",")}}"
+      }
+    val docs = Seq.fill(40)(s"""{"r": ${gen(3)}, "pad": "zz"}""")
+    val dir = Files.createTempDirectory("graft-shred-rnd")
+    val p = dir.resolve("r.jsonl").toString
+    Files.write(java.nio.file.Paths.get(p), docs.mkString("\n").getBytes(UTF_8))
+    val paths = Seq("$.r", "$.r.a", "$.r.b", "$.r.a.c", "$.r.d")
+    val sel = paths.zipWithIndex.map { case (_, i) => s"cast(v$i AS STRING)" }
+    val shredded = spark.read.format("graft-json").option("variant", "true")
+      .schema(GraftSources.shreddedSchema(paths)).load(p)
+      .selectExpr(sel: _*).collect().map(_.toString).toSeq
+    val full = spark.read.format("graft-json").option("variant", "true").load(p)
+      .selectExpr(paths.map(q => s"cast(variant_get(value, '$q') AS STRING)"): _*)
+      .collect().map(_.toString).toSeq
+    assert(shredded.sorted == full.sorted)
+  }
+
   test("exact decimals survive subtree capture") {
     val p2 = Files.createTempDirectory("graft-shred2").resolve("d.jsonl").toString
     Files.write(java.nio.file.Paths.get(p2),
