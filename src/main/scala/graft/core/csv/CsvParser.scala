@@ -33,7 +33,8 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
   import CsvParser._
 
   private[this] val headers = new ArrayBuffer[String]
-  private[this] var readingHeader = config.header
+  headers ++= config.providedHeader
+  private[this] var readingHeader = config.header && config.providedHeader.isEmpty
   private[this] var column = 0
   private[this] var abbreviate = false
   private[this] var rowSkip = false
@@ -328,6 +329,10 @@ object CsvParser {
     * (reference csv/Parser.scala:470-477). Set `row2 = 0` when the row
     * delimiter is a single byte.
     */
+  /** `providedHeader` supplies the column names without consuming a header
+    * row from the stream — the byte-range split case, where only the first
+    * range sees the file's header line.
+    */
   final case class Config(
       header: Boolean = true,
       record: Byte = ',',
@@ -335,7 +340,8 @@ object CsvParser {
       row2: Byte = '\n',
       openQuote: Byte = '"',
       closeQuote: Byte = '"',
-      escape: Byte = '"')
+      escape: Byte = '"',
+      providedHeader: Seq[String] = Nil)
 
   private final val TermRecord = 0
   private final val TermRow = 1

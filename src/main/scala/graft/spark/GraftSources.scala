@@ -425,7 +425,8 @@ final class GraftScanBuilder(
 
 
   override def build(): Scan =
-    new GraftScan(required, pushed, options, isJson, limit, countStar)
+    new GraftScan(required, pushed, options, isJson, limit, countStar,
+      fullSchema = fullSchema)
 }
 
 final class GraftScan(
@@ -434,7 +435,8 @@ final class GraftScan(
     options: CaseInsensitiveStringMap,
     isJson: Boolean,
     limit: Int = -1,
-    countStar: Boolean = false)
+    countStar: Boolean = false,
+    fullSchema: StructType = StructType(Nil))
     extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -496,8 +498,11 @@ final class GraftScan(
     val spark = SparkSession.active
     val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
-    val splittable = isJson &&
-      GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream
+    // CSV splits are sound only when values contain no row delimiters —
+    // the user asserts that with option("splittable","true")
+    val splittable =
+      (isJson && GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream) ||
+      (!isJson && options.getBoolean("splittable", false))
     prunedFiles.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       if (!splittable || len <= maxSplit)
         Seq(GraftInputPartition(p, 0, len, len, pv))
@@ -534,10 +539,14 @@ final class GraftScan(
         GraftSources.jsonMode(options.asCaseSensitiveMap()),
         dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
         limit = limit, partSpec = partSpec)
-    else
+    else {
+      // byte-range splits past 0 cannot re-read the file's header row:
+      // hand them the column order (the data part of the table schema)
+      val dataCols = fullSchema.fieldNames.filterNot(partNames.contains)
       new GraftCsvReaderFactory(schema, plateFilters, conf,
         GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
-        partSpec = partSpec)
+        partSpec = partSpec, fullDataCols = dataCols)
+    }
   }
 }
 
@@ -580,15 +589,19 @@ final class GraftCsvReaderFactory(
     conf: SerializableConfiguration,
     config: CsvParser.Config,
     limit: Int = -1,
-    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
+    fullDataCols: Array[String] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
-      limit, partSpec)
+      limit, partSpec, fullDataCols)
 
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema)
+  // sub-range splits stay row-based (the columnar reader is whole-file)
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    p.start == 0 && p.end == p.fileLen && ColumnarPlate.supports(schema)
+  }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
@@ -996,6 +1009,80 @@ final class GraftJsonPartitionReader(
     })
 }
 
+/** Feeds one byte range of a splittable CSV file into a parser, using the
+  * same Hadoop text-split realignment protocol as [[JsonRangeFeeder]]:
+  * ranges with start > 0 discard through the first row-delimiter byte
+  * at/after `start`, every range consumes past `end` to the next
+  * delimiter. Sound only when values contain no row delimiters — the
+  * `splittable` option's contract.
+  */
+private[spark] final class CsvRangeFeeder[A](
+    part: GraftInputPartition,
+    conf: Configuration,
+    parser: graft.core.BaseParser[A],
+    alignByte: Byte) {
+
+  private val path = new Path(part.path)
+  private val in = path.getFileSystem(conf).open(path)
+  private val chunk = new Array[Byte](256 * 1024)
+  private var pos = part.start
+  private var aligned = part.start == 0
+  private var exhausted = false
+
+  if (part.start > 0) in.seek(part.start)
+
+  def isExhausted: Boolean = exhausted
+
+  private def raise(r: ParseResult[A]): Unit = r match {
+    case ParseResult.Failure(e) => throw e
+    case ParseResult.Partial(_, _) => raise(parser.continueParse())
+    case _ => ()
+  }
+
+  private def indexOf(b: Byte, buf: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    while (i < until) {
+      if (buf(i) == b) return i
+      i += 1
+    }
+    -1
+  }
+
+  def step(): Unit = {
+    if (exhausted) return
+    val n = in.read(chunk)
+    if (n < 0) {
+      raise(parser.finish())
+      exhausted = true
+      return
+    }
+    val chunkStart = pos
+    pos += n
+    var off = 0
+    if (!aligned) {
+      val nl = indexOf(alignByte, chunk, 0, n)
+      if (nl < 0) return
+      if (chunkStart + nl >= part.end) { exhausted = true; return }
+      off = nl + 1
+      aligned = true
+    }
+    if (chunkStart + n <= part.end || part.end == part.fileLen) {
+      raise(parser.absorb(chunk, off, n - off))
+    } else {
+      val fromRel = math.max(off, math.max(0L, part.end - chunkStart).toInt)
+      val nl = indexOf(alignByte, chunk, fromRel, n)
+      if (nl < 0) raise(parser.absorb(chunk, off, n - off)) // boundary row continues
+      else {
+        raise(parser.absorb(chunk, off, nl + 1 - off))
+        raise(parser.finish())
+        exhausted = true
+      }
+    }
+  }
+
+  def close(): Unit = in.close()
+}
+
 /** Streams one whole CSV file through the core parser (quoted row
   * delimiters make byte-range splits unsound; parallelism is per file).
   */
@@ -1006,7 +1093,8 @@ final class GraftCsvPartitionReader(
     conf: Configuration,
     config: CsvParser.Config,
     limit: Int = -1,
-    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
+    fullDataCols: Array[String] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -1023,35 +1111,25 @@ final class GraftCsvPartitionReader(
     }
     queue.append(r)
   })
-  private val parser = new CsvParser(plate, config)
-
-  private val path = new Path(part.path)
-  private val in = path.getFileSystem(conf).open(path)
-  private val chunk = new Array[Byte](256 * 1024)
-  private var exhausted = false
+  // a mid-file range never sees the header row: hand it the column order
+  private val effConfig =
+    if (part.start > 0 && config.header && config.providedHeader.isEmpty)
+      config.copy(providedHeader = fullDataCols.toSeq)
+    else config
+  private val parser = new CsvParser(plate, effConfig)
+  private val feeder = new CsvRangeFeeder(
+    part, conf, parser, if (config.row2 != 0) config.row2 else config.row1)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    while (queue.isEmpty && !exhausted) {
-      val n = in.read(chunk)
-      if (n < 0) {
-        raise(parser.finish())
-        exhausted = true
-      } else raise(parser.absorb(chunk, 0, n))
-    }
+    while (queue.isEmpty && !feeder.isExhausted) feeder.step()
     if (queue.nonEmpty) { current = queue.removeHead(); emitted += 1; true }
     else false
   }
 
-  private def raise(r: ParseResult[Long]): Unit = r match {
-    case ParseResult.Failure(e) => throw e
-    case ParseResult.Partial(_, _) => raise(parser.continueParse())
-    case _ => ()
-  }
-
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = feeder.close()
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(new CustomTaskMetric {

@@ -132,6 +132,35 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val csvFixture: String =
     "id,name,qty\n" + (1 to 30).map(i => s"$i,thing$i,${i * 3}").mkString("\n") + "\n"
 
+  test("splittable CSV: byte ranges reassemble every row exactly once") {
+    val rows = (1 to 400).map(i => s"$i,name-$i,${i % 7}")
+    val p = write("split.csv", "id,name,grp\n" + rows.mkString("\n") + "\n")
+    val want = (1 to 400).map(_.toLong)
+    // a sweep of split sizes incl. ones that cut mid-row and mid-header
+    Seq(7, 64, 257, 1023, 100000).foreach { split =>
+      val df = spark.read.format("graft-csv")
+        .option("linesep", "\n")
+        .option("splittable", "true")
+        .option("maxsplitbytes", split.toString)
+        .load(p)
+      val got = df.select(col("id").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"split=$split")
+    }
+    // multiple ranges really were planned
+    val df = spark.read.format("graft-csv").option("linesep", "\n")
+      .option("splittable", "true").option("maxsplitbytes", "257").load(p)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.head.scan.toBatch.planInputPartitions().length > 5)
+    // without the option a file is one task (quoted delimiters stay sound)
+    val whole = spark.read.format("graft-csv").option("linesep", "\n").load(p)
+    val ws = whole.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(ws.head.scan.toBatch.planInputPartitions().length == 1)
+  }
+
   test("hive-partitioned directories: columns, values, and file pruning") {
     val base = Files.createTempDirectory("graft-part")
     def writePart(date: String, region: Long, ids: Range): Unit = {
