@@ -303,5 +303,45 @@ object Sources {
              WHERE CAST(regexp_extract(filename, 'region=([0-9]+)', 1) AS BIGINT) <= 2
              ORDER BY n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58)
+  // ---------------------------------------------------------------- q59
+  // Splittable CSV scan: a staged lineitem extract read through byte-range
+  // splits (maxsplitbytes small enough for ~10 ranges; mid-header and
+  // mid-row cuts realign executor-side, later ranges never re-read the
+  // header). Integer-only aggregate so the oracle hash is exact.
+  private val csvSplitFixture = s"$fixtureDir/q59_lineitem.csv"
+
+  private val q59 = GQuery(
+    "q59_csv_split_scan",
+    "byte-range-split CSV scan (opt-in splittable) vs DuckDB read_csv",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val li = Tables(s, d, "lineitem")
+        .selectExpr("l_orderkey", "l_linenumber",
+          "CAST(l_quantity AS BIGINT) AS qty",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5000).collect()
+      val content = "ok,ln,qty,cents\n" + li.map(r =>
+        s"${r.getAs[Number](0).longValue},${r.getAs[Number](1).longValue}," +
+          s"${r.getLong(2)},${r.getLong(3)}").mkString("\n") + "\n"
+      Files.write(Paths.get(csvSplitFixture), content.getBytes(UTF_8))
+      s.read.format("graft-csv")
+        .option("linesep", "\n")
+        .option("splittable", "true")
+        .option("maxsplitbytes", "16384")
+        .load(csvSplitFixture)
+        .selectExpr("CAST(ok AS BIGINT) AS ok", "CAST(qty AS BIGINT) AS qty",
+          "CAST(cents AS BIGINT) AS cents")
+        .groupBy(expr("ok % 7").as("g"))
+        .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"), sum("cents").as("sum_cents"))
+        .orderBy("g")
+    },
+    Some(s"""SELECT ok % 7 AS g, count(*) AS n,
+                    CAST(sum(qty) AS BIGINT) AS sum_qty,
+                    CAST(sum(cents) AS BIGINT) AS sum_cents
+             FROM read_csv('$csvSplitFixture', header=true)
+             GROUP BY 1
+             ORDER BY g"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59)
 }
