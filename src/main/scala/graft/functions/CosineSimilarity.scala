@@ -106,12 +106,21 @@ object GraftFunctions {
       CosineSimilarity(args(0), args(1))
     })
 
+  val shinglesInfo = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "word_shingles takes exactly 2 arguments")
+      WordShingles(args(0), args(1))
+    })
+
   /** Register the graft function library on an existing session
     * (idempotent) — for sessions not built with the extensions class.
     */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineInfo
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineInfo, shinglesInfo).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }
 
@@ -122,5 +131,6 @@ object GraftFunctions {
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineInfo)
+    ext.injectFunction(GraftFunctions.shinglesInfo)
   }
 }

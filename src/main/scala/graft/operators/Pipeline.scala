@@ -640,5 +640,42 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53, q56)
+  // ---------------------------------------------------------------- q60
+  // True Generator UDTF (SURVEY §2.11 UDF/UDAF/UDTF row): word_shingles
+  // streams one (pos, shingle) row per 3-word window straight out of the
+  // document bytes — no per-document shingle array is ever materialized
+  // (contrast q32's transform(sequence(...)) + explode). Top shared
+  // shingles with document reach and earliest position; integer-only
+  // output so the oracle hash is exact.
+  private val q60 = GQuery(
+    "q60_shingle_generator",
+    "word_shingles Generator UDTF: top 3-gram shingles (streamed, no array build)",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      T(s, d, "documents")
+        .selectExpr("doc_id", "source", "word_shingles(text, 3) AS (pos, shingle)")
+        .groupBy($"shingle")
+        .agg(
+          count(lit(1)).as("cnt"),
+          count_distinct($"doc_id").as("n_docs"),
+          min($"pos").as("first_pos"))
+        .filter($"cnt" >= 3)
+        .orderBy($"cnt".desc, $"shingle")
+        .limit(25)
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i))
+            SELECT shingle, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs,
+                   min(pos) AS first_pos
+            FROM sh
+            GROUP BY shingle
+            HAVING count(*) >= 3
+            ORDER BY cnt DESC, shingle
+            LIMIT 25"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53, q56, q60)
 }

@@ -84,6 +84,21 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 50)
   }
 
+  test("nested schema pruning reaches the scan (sibling subfields dropped)") {
+    val p = write("nestedprune.json", jsonFixture)
+    val df = spark.read.format("graft-json").load(p).select(col("meta.grp"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.scan.readSchema()
+    assert(read.fieldNames.toSet == Set("meta"))
+    val meta = read("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSet == Set("grp"),
+      s"expected sibling 'flag' pruned from the nested read schema, got $meta")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (1 to 50).map(i => (i % 5).toLong).sorted)
+  }
+
   test("filter pushdown drops rows in the reader and stays correct") {
     val p = write("filter.json", jsonFixture)
     val df = spark.read.format("graft-json").load(p).filter(col("id") > 40)
