@@ -450,5 +450,46 @@ object Extensions {
             GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55)
+  // ---------------------------------------------------------------- q61
+  // Bucketed-write co-located join: both sides written with bucketBy(8)
+  // on the join key, then joined through the catalog — Spark's bucketed
+  // scan plans a SortMergeJoin with NO Exchange on either side (asserted
+  // by BucketedJoinSpec). At 100 TB this is the anti-shuffle technique:
+  // one bucketed write amortizes across every later join/agg on that key,
+  // and each bucket pair joins locally (no network). Integer-cents sums
+  // keep the oracle hash exact.
+  private val q61 = GQuery(
+    "q61_bucketed_colocated_join",
+    "pre-bucketed co-located join (bucketBy both sides, shuffle-free SMJ)",
+    (s, d) => {
+      import s.implicits._
+      val base = "/tmp/graft_bucketed"
+      s.sql("DROP TABLE IF EXISTS graft_cust_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      val baseDir = java.nio.file.Paths.get(base).toFile
+      if (baseDir.exists) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      T(s, d, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/cust").saveAsTable("graft_cust_b")
+      T(s, d, "orders")
+        .select($"o_custkey",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/ord").saveAsTable("graft_ord_b")
+      s.table("graft_cust_b").hint("merge")
+        .join(s.table("graft_ord_b"), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61)
 }
