@@ -343,5 +343,49 @@ object Sources {
              GROUP BY 1
              ORDER BY g"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59)
+  // ---------------------------------------------------------------- q62
+  // PERMISSIVE malformed-record handling: every corrupt line becomes a
+  // null-filled row carrying the raw line in _corrupt_record (Spark
+  // PERMISSIVE semantics, line-resync recovery — one bad record costs one
+  // line, never the split). The oracle cross-checks with DuckDB: good rows
+  // via read_json(ignore_errors), the total via raw line count.
+  private val permissiveFixture = s"$fixtureDir/q62_mixed.jsonl"
+
+  private val q62 = GQuery(
+    "q62_permissive_ingest",
+    "badrecords=keep PERMISSIVE ingest (corrupt lines -> _corrupt_record rows)",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val li = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+      val content = li.map { r =>
+        val k = r.getAs[Number](0).longValue
+        if (k % 7 == 3) s"""{"id": $k, BROKEN LINE $k"""
+        else s"""{"id": $k, "name": "${r.getString(1)}"}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(permissiveFixture), content.getBytes(UTF_8))
+      s.read.format("graft-json")
+        .schema("id LONG, name STRING, _corrupt_record STRING")
+        .option("badrecords", "keep")
+        .load(permissiveFixture)
+        .agg(
+          count(lit(1)).as("total_rows"),
+          count(col("_corrupt_record")).as("n_bad"),
+          sum(col("id")).as("sum_good_ids"),
+          count(col("name")).as("n_named"))
+    },
+    Some(s"""WITH raw AS (
+               SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+               FROM read_text('$permissiveFixture')),
+             good AS (
+               SELECT * FROM read_json('$permissiveFixture',
+                 format='newline_delimited', ignore_errors=true,
+                 columns={id: 'BIGINT', name: 'VARCHAR'})
+               WHERE id IS NOT NULL)
+             SELECT (SELECT count(*) FROM raw) AS total_rows,
+                    (SELECT count(*) FROM raw) - (SELECT count(*) FROM good) AS n_bad,
+                    (SELECT CAST(sum(id) AS BIGINT) FROM good) AS sum_good_ids,
+                    (SELECT count(name) FROM good) AS n_named"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62)
 }

@@ -182,6 +182,12 @@ object GraftSources {
       f
     })
 
+  /** PERMISSIVE-mode corrupt-record column name (Spark's default name;
+    * override with `option("corruptcolumn", ...)`).
+    */
+  def corruptColumn(options: CaseInsensitiveStringMap): String =
+    options.getOrDefault("corruptcolumn", "_corrupt_record")
+
   def jsonMode(options: java.util.Map[String, String]): JsonParser.Mode =
     Option(options.get("mode")).map(_.toLowerCase).getOrElse("lines") match {
       case "lines" | "valuestream"  => JsonParser.ValueStream
@@ -252,7 +258,17 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
           SchemaInference.merge(acc, plate.finishBatch(true))
         } finally in.close()
     }
-    val data = SchemaInference.toStructType(merged)
+    val data0 = SchemaInference.toStructType(merged)
+    // PERMISSIVE (badrecords=keep): the corrupt-record column is part of
+    // the inferred schema (always appended — deterministic, all-null when
+    // the data is clean; Spark only adds it when the sample has bad rows)
+    val badrecords = options.getOrDefault("badrecords", "fail")
+    val data =
+      if (("keep".equalsIgnoreCase(badrecords) || "permissive".equalsIgnoreCase(badrecords)) &&
+          !data0.fieldNames.contains(GraftSources.corruptColumn(options)))
+        StructType(data0.fields :+ org.apache.spark.sql.types.StructField(
+          GraftSources.corruptColumn(options), org.apache.spark.sql.types.StringType))
+      else data0
     // hive-style partition columns ride at the end (data fields win ties)
     val partExtra = GraftSources.partitionSchema(listing)
       .filterNot(f => data.fieldNames.contains(f.name))
@@ -529,16 +545,21 @@ final class GraftScan(
     val plateFilters =
       if (partSpec.isEmpty) filters
       else filters.filterNot(_.references.exists(partNames.contains))
+    val badrecords = options.getOrDefault("badrecords", "fail")
+    val keepMalformed = "keep".equalsIgnoreCase(badrecords) ||
+      "permissive".equalsIgnoreCase(badrecords)
+    val dropMalformed = "drop".equalsIgnoreCase(badrecords) || keepMalformed
     if (countStar)
       new GraftCountReaderFactory(conf,
         if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
         GraftSources.csvConfig(options.asCaseSensitiveMap()),
-        dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")))
+        dropMalformed = dropMalformed, countMalformed = keepMalformed)
     else if (isJson)
       new GraftJsonReaderFactory(schema, plateFilters, conf,
         GraftSources.jsonMode(options.asCaseSensitiveMap()),
-        dropMalformed = "drop".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
-        limit = limit, partSpec = partSpec)
+        dropMalformed = dropMalformed,
+        limit = limit, partSpec = partSpec,
+        corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null)
     else {
       // byte-range splits past 0 cannot re-read the file's header row:
       // hand them the column order (the data part of the table schema)
@@ -565,17 +586,19 @@ final class GraftJsonReaderFactory(
     mode: JsonParser.Mode,
     dropMalformed: Boolean = false,
     limit: Int = -1,
-    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
+    corruptCol: String = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec)
+      dropMalformed, limit, partSpec, corruptCol)
 
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
-  // partition columns become constant vectors per batch
+  // partition columns become constant vectors per batch. PERMISSIVE mode
+  // stays row-based (corrupt-row emission is a row-queue concept).
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema)
+    ColumnarPlate.supports(schema) && corruptCol == null
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
@@ -617,10 +640,12 @@ final class GraftCountReaderFactory(
     conf: SerializableConfiguration,
     jsonMode: Option[JsonParser.Mode],
     csvConfig: CsvParser.Config,
-    dropMalformed: Boolean) extends PartitionReaderFactory {
+    dropMalformed: Boolean,
+    countMalformed: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCountPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], conf.value, jsonMode, csvConfig, dropMalformed)
+      partition.asInstanceOf[GraftInputPartition], conf.value, jsonMode, csvConfig,
+      dropMalformed, countMalformed)
 }
 
 final class GraftCountPartitionReader(
@@ -628,7 +653,8 @@ final class GraftCountPartitionReader(
     conf: Configuration,
     jsonMode: Option[JsonParser.Mode],
     csvConfig: CsvParser.Config,
-    dropMalformed: Boolean) extends PartitionReader[InternalRow] {
+    dropMalformed: Boolean,
+    countMalformed: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val plate = new graft.core.SkipAllCountPlate
   private var served = false
@@ -639,7 +665,9 @@ final class GraftCountPartitionReader(
       jsonFeeder = new JsonRangeFeeder[Long](
         part, conf, () => new JsonParser(plate, mode), dropMalformed)
       while (!jsonFeeder.isExhausted) jsonFeeder.step()
-      plate.total
+      // PERMISSIVE emits one (null-filled) row per corrupt line, so a
+      // pushed-down COUNT(*) must count them too
+      plate.total + (if (countMalformed) jsonFeeder.droppedRecords else 0L)
     case None =>
       val in = new Path(part.path).getFileSystem(conf).open(part.path match {
         case p => new Path(p)
@@ -684,7 +712,8 @@ private[spark] final class JsonRangeFeeder[A](
     part: GraftInputPartition,
     conf: Configuration,
     mkParser: () => graft.core.json.JsonParser[A],
-    dropMalformed: Boolean = false) {
+    dropMalformed: Boolean = false,
+    onCorrupt: Array[Byte] => Unit = null) {
 
   private val path = new Path(part.path)
   private val in = path.getFileSystem(conf).open(path)
@@ -720,15 +749,21 @@ private[spark] final class JsonRangeFeeder[A](
     var resume = errAbs + 1
     in.seek(math.min(resume, part.fileLen))
     var found = resume >= part.fileLen
+    var sawNl = false
     while (!found) {
       val n = in.read(chunk)
       if (n < 0) { resume = part.fileLen; found = true }
       else {
         val nl = indexOfNl(chunk, 0, n)
-        if (nl >= 0) { resume = resume + nl + 1; found = true }
+        if (nl >= 0) { resume = resume + nl + 1; found = true; sawNl = true }
         else resume += n
       }
     }
+    // PERMISSIVE: hand the raw corrupt line to the reader (it emits a row
+    // with the line in the corrupt-record column). This range owns the
+    // record even when it runs past `end` — the row started here.
+    if (onCorrupt != null)
+      onCorrupt(captureLine(errAbs, if (sawNl) resume - 1 else resume))
     if (resume >= part.fileLen ||
         (resume > part.end && part.end != part.fileLen)) {
       // the bad record ran past this range's end (or the file's): done —
@@ -742,6 +777,32 @@ private[spark] final class JsonRangeFeeder[A](
     streamStartAbs = resume
     aligned = true
     resynced = true
+  }
+
+  /** Rebuild the corrupt line's bytes: from the last '\n' before the error
+    * (or the parser stream's start) to `lineEndExcl`. Positioned reads, so
+    * the main stream's seek pointer is untouched. Errors are rare; the
+    * backward window scan is off the hot path. Capture is capped at 8 MiB
+    * (a pathological unterminated record can span the rest of the file).
+    */
+  private def captureLine(errAbs: Long, lineEndExcl: Long): Array[Byte] = {
+    val lo = streamStartAbs
+    var found = -1L
+    var cur = math.max(lo, math.min(errAbs, lineEndExcl))
+    val win = new Array[Byte](64 * 1024)
+    while (found < 0 && cur > lo) {
+      val start = math.max(lo, cur - win.length)
+      val n = (cur - start).toInt
+      in.readFully(start, win, 0, n)
+      var i = n - 1
+      while (i >= 0 && found < 0) { if (win(i) == '\n') found = start + i; i -= 1 }
+      cur = start
+    }
+    val ls = if (found < 0) lo else found + 1
+    val len = math.max(0L, math.min(lineEndExcl - ls, 8L << 20)).toInt
+    val out = new Array[Byte](len)
+    if (len > 0) in.readFully(ls, out, 0, len)
+    out
   }
 
   /** Absorb the next chunk (or finish at the range/file end). */
@@ -938,7 +999,8 @@ final class GraftJsonPartitionReader(
     mode: JsonParser.Mode,
     dropMalformed: Boolean = false,
     limit: Int = -1,
-    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
+    corruptCol: String = null)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -984,7 +1046,21 @@ final class GraftJsonPartitionReader(
     }
     new JsonParser(plate, mode)
   }
-  private val feeder = new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed)
+  // PERMISSIVE (badrecords=keep): each corrupt line becomes a row of nulls
+  // carrying the raw line in the corrupt-record column (when the required
+  // schema retains it — Spark prunes it like any other column)
+  private val corruptIdx =
+    if (corruptCol == null) -1 else schema.fieldNames.indexOf(corruptCol)
+  private val onCorrupt: Array[Byte] => Unit =
+    if (corruptCol == null) null
+    else bytes => {
+      val row = new GenericInternalRow(schema.length)
+      if (corruptIdx >= 0)
+        row.update(corruptIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+      queue.append(stamp(row))
+    }
+  private val feeder =
+    new JsonRangeFeeder(part, conf, () => mkParser(), dropMalformed, onCorrupt)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -540,6 +540,63 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == good)
   }
 
+  test("badrecords=keep emits corrupt lines in _corrupt_record (PERMISSIVE)") {
+    val content =
+      """{"id": 1, "v": "a"}
+        |{"id": 2, "v": "b"  THIS IS NOT JSON !!!
+        |{"id": 3, "v": "c"}
+        |{"id": 4 "missing": colon}
+        |{"id": 5, "v": "e"}
+        |""".stripMargin
+    val p = write("keepbad.json", content)
+    // inference appends the corrupt column
+    val inferred = spark.read.format("graft-json")
+      .option("badrecords", "keep").load(p)
+    assert(inferred.schema.fieldNames.last == "_corrupt_record")
+    val rows = inferred.select("id", "v", "_corrupt_record").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+    assert(rows.count(_._2 == null) == 3) // good rows: corrupt col null
+    val corrupt = rows.filter(_._2 != null).map(_._2).sorted.toSeq
+    assert(corrupt == Seq(
+      """{"id": 2, "v": "b"  THIS IS NOT JSON !!!""",
+      """{"id": 4 "missing": colon}"""))
+    // corrupt rows carry nulls for the data columns
+    assert(rows.filter(_._2 != null).forall(_._1 == -1L))
+    // COUNT(*) pushdown counts the corrupt rows too (5 total lines)
+    assert(inferred.count() == 5)
+    // pruning away the corrupt column still yields a null row per bad line
+    val pruned = spark.read.format("graft-json")
+      .schema("id LONG, v STRING")
+      .option("badrecords", "keep").load(p)
+    assert(pruned.collect().length == 5)
+    assert(pruned.select("id").collect().count(_.isNullAt(0)) == 2)
+    // custom column name
+    val named = spark.read.format("graft-json")
+      .option("badrecords", "keep").option("corruptcolumn", "_bad")
+      .load(p)
+    assert(named.schema.fieldNames.contains("_bad"))
+    assert(named.select("_bad").collect().count(!_.isNullAt(0)) == 2)
+  }
+
+  test("badrecords=keep captures corrupt lines across byte-range splits") {
+    val rows = (1 to 200).map { i =>
+      if (i % 37 == 0) s"""{"id": $i, BROKEN""" else s"""{"id": $i, "ok": true}"""
+    }
+    val p = write("keepsplit.json", rows.mkString("\n") + "\n")
+    val df = spark.read.format("graft-json")
+      .schema("id LONG, ok BOOLEAN, _corrupt_record STRING")
+      .option("badrecords", "keep")
+      .option("maxsplitbytes", "333")
+      .load(p)
+    val got = df.collect()
+    assert(got.length == 200) // every line becomes exactly one row
+    val goodIds = got.filter(_.isNullAt(2)).map(_.getLong(0)).sorted.toSeq
+    assert(goodIds == (1 to 200).filterNot(_ % 37 == 0).map(_.toLong))
+    val corrupt = got.filterNot(_.isNullAt(2)).map(_.getString(2)).toSeq
+    assert(corrupt.sorted ==
+      (1 to 200).filter(_ % 37 == 0).map(i => s"""{"id": $i, BROKEN""").sorted)
+  }
+
   test("graft-csv streams file-by-file micro-batches") {
     val d = dir.resolve("csvstream")
     Files.createDirectories(d)
