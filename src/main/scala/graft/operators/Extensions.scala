@@ -491,5 +491,120 @@ object Extensions {
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61)
+  // ---------------------------------------------------------------- q63
+  // Stream-stream interval join: purchases joined to the clicks that
+  // happened in the preceding 30 minutes, both sides watermarked (the
+  // watermark + time-interval condition bound the join state — without
+  // them a stream-stream join buffers forever; that state bound is what
+  // makes this operator viable at 100 TB/day). Inner-join matches emit in
+  // the batch they're found, so an AvailableNow drain over a static
+  // directory is complete and exactly SQL-expressible.
+  private val q63 = GQuery(
+    "q63_stream_stream_join",
+    "watermarked stream-stream interval join (clicks within 30 min before purchase)",
+    (s, d) => {
+      import s.implicits._
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q63")
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir.toFile)
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("a_events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(streamDir.resolve("a_events.parquet").toString).schema
+      def side(tpe: String, u: String, t: String) =
+        s.readStream.schema(schema).parquet(streamDir.toString)
+          .filter($"event_type" === tpe)
+          .select($"user_id".cast("long").as(u),
+            expr("ts div 1000").as(s"${t}_us"),
+            timestamp_micros(expr("ts div 1000")).as(t))
+          .withWatermark(t, "1 minute")
+      val clicks = side("click", "cu", "cts")
+      val purchases = side("purchase", "pu", "pts")
+      val joined = purchases.join(clicks,
+        expr("""cu = pu AND
+                cts > pts - INTERVAL 30 MINUTES AND
+                cts <= pts"""))
+        .select($"pu".as("user_id"), ($"pts_us" - $"cts_us").as("gap_us"))
+      val q = joined.writeStream
+        .format("memory").queryName("q63_pairs")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q63_pairs")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"gap_us").as("sum_gap_us"),
+          max($"gap_us").as("max_gap_us"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+                 p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+                 pairs AS (
+                   SELECT p.user_id,
+                          (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000 AS gap_us
+                   FROM p JOIN c ON c.user_id = p.user_id
+                    AND c.ts > p.ts - INTERVAL 30 MINUTE
+                    AND c.ts <= p.ts)
+            SELECT user_id, count(*) AS n_pairs,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM pairs
+            GROUP BY user_id
+            ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q64
+  // Streaming dedup across micro-batches: the same events file lands
+  // twice (two batches via maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
+  // on event_id emits each event exactly once. The watermark delay bounds
+  // the dedup state's lifetime — the 100 TB/day answer to "at-least-once
+  // upstream delivery" (a plain dropDuplicates would keep state forever).
+  // The delay here exceeds the data's time span so no state is evicted
+  // mid-drain and the output is exactly SELECT DISTINCT.
+  private val q64 = GQuery(
+    "q64_stream_dedup_watermark",
+    "dropDuplicatesWithinWatermark: exactly-once over a twice-delivered stream",
+    (s, d) => {
+      import s.implicits._
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q64")
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir.toFile)
+      java.nio.file.Files.createDirectories(streamDir)
+      Seq("a_first.parquet", "b_redelivery.parquet").foreach { name =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          streamDir.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val schema = s.read.parquet(streamDir.resolve("a_first.parquet").toString).schema
+      val deduped = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "3650 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped
+        .select($"event_id", $"user_id".cast("long").as("user_id"), $"event_type")
+        .writeStream
+        .format("memory").queryName("q64_dedup")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q64_dedup")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct($"user_id").as("n_users"),
+          min($"event_id").as("min_id"),
+          max($"event_id").as("max_id"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64)
 }
