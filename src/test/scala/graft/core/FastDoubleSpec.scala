@@ -43,6 +43,32 @@ class FastDoubleSpec extends AnyFunSuite {
       "3.141592653589793", "2.718281828459045e0", "1E5", "1e+5", "1e-5"
     ).foreach(s => assert(bitIdentical(s), s"token '$s'"))
   }
+
+  test("Clinger fast-path region: small mantissas, |q| <= 22, halfway shapes") {
+    // the money-like shapes that used to hit the Eisel-Lemire tie bail
+    val hand = List(
+      "0.5", "1.0", "2.5", "5.5", "0.05", "12.0", "99.9", "100.50",
+      "4503599627370496.5",   // 2^52 + .5 (exact halfway at the precision edge)
+      "9007199254740991.5",   // (2^53-1) + .5
+      "0.0000000000000000000005", // q < -22: EL path
+      "55e21", "55e22", "55e23", "5e-22", "5e-23")
+    hand.foreach(s => assert(bitIdentical(s), s"token '$s'"))
+    // exhaustive-ish sweep across the fast-path boundary
+    var w = 1L
+    while (w < (1L << 60)) {
+      for (q <- -25 to 25) {
+        val s = if (q >= 0) w.toString + "e" + q else w.toString + "e" + q
+        assert(bitIdentical(s), s"token '$s'")
+      }
+      w = w * 3 + 1
+    }
+    // fractional halfway battery: x.5, x.25, x.05
+    for (x <- 0 to 2000) {
+      assert(bitIdentical(s"$x.5"), s"$x.5")
+      assert(bitIdentical(s"$x.25"), s"$x.25")
+      assert(bitIdentical(s"$x.05"), s"$x.05")
+    }
+  }
 }
 
 /** 10k-case generative sweep over mantissa/fraction/exponent shapes. */
