@@ -677,5 +677,90 @@ object Pipeline {
             ORDER BY cnt DESC, shingle
             LIMIT 25"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53, q56, q60)
+  // ---------------------------------------------------------------- q65
+  // K-means TRAINING for IVF centroids (q52 probes literal centroids; this
+  // trains them): 3 Lloyd iterations over integer-quantized embeddings.
+  // Everything is order-independent integer arithmetic — floor-quantize at
+  // 1e3 (floor, not round: IEEE-identical in both engines), BIGINT squared
+  // L2, truncating integer division for the centroid update, ties to the
+  // lowest centroid id — so distributed k-means gets an EXACT SQL oracle
+  // (3 unrolled CTE iterations in DuckDB). Scale shape: per iteration one
+  // posexplode + (cid, pos) partial-aggregated shuffle (k*dim per
+  // partition after map-side combine), centroids broadcast as literals.
+  private def kmeansAssign(qTab: String, cTab: String): String =
+    s"""SELECT vec_id, qe, cid, dist FROM (
+          SELECT vec_id, qe, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM (SELECT q.vec_id, q.qe, c.cid,
+                       CAST(list_sum(list_transform(list_zip(q.qe, c.c),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+                FROM $qTab q CROSS JOIN $cTab c) x) y WHERE rn = 1"""
+
+  private def kmeansUpdate(mTab: String): String =
+    s"""SELECT cid, list(cv ORDER BY pos) AS c FROM (
+          SELECT cid, i AS pos, CAST(sum(qe[i]) AS BIGINT) // count(*) AS cv
+          FROM $mTab, unnest(generate_series(1, len(qe))) t(i)
+          GROUP BY cid, i) z GROUP BY cid"""
+
+  private val q65 = GQuery(
+    "q65_kmeans_train",
+    "integer-space k-means centroid training (3 Lloyd iterations, exact oracle)",
+    (s, d) => {
+      import s.implicits._
+      val q = T(s, d, "embeddings")
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // read 4x
+      var cents: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(8).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+      def centsExpr: String = "array(" + cents.map { case (cid, c) =>
+        s"struct(CAST($cid AS INT) AS cid, array(${c.map(_.toString + "L").mkString(",")}) AS c)"
+      }.mkString(", ") + ")"
+      // nearest centroid: array_min over (dist, cid) structs — lexicographic
+      // struct ordering breaks distance ties toward the lowest centroid id
+      def assigned = q.withColumn("best", expr(
+        s"""array_min(transform($centsExpr, s ->
+              struct(aggregate(zip_with(qe, s.c, (a, b) -> (a - b) * (a - b)),
+                               CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,
+                     s.cid AS cid)))"""))
+      var it = 0
+      while (it < 3) {
+        val sums = assigned
+          .select($"best.cid".as("cid"), posexplode($"qe"))
+          .groupBy($"cid", $"pos")
+          .agg(sum($"col").as("sv"), count(lit(1)).as("n"))
+          .collect() // k*dim rows: the only driver traffic per iteration
+        cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3)).toSeq)
+        }.sortBy(_._1)
+        it += 1
+      }
+      assigned
+        .groupBy($"best.cid".cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"vec_id").as("min_vec"),
+          sum($"best.d").as("inertia"))
+        .orderBy($"cid")
+    },
+    Some(s"""WITH q AS (
+               SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+               FROM embeddings),
+             c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe AS c
+                    FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 8) s),
+             m1 AS (${kmeansAssign("q", "c0")}),
+             c1 AS (${kmeansUpdate("m1")}),
+             m2 AS (${kmeansAssign("q", "c1")}),
+             c2 AS (${kmeansUpdate("m2")}),
+             m3 AS (${kmeansAssign("q", "c2")}),
+             c3 AS (${kmeansUpdate("m3")}),
+             mf AS (${kmeansAssign("q", "c3")})
+             SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_members,
+                    min(vec_id) AS min_vec, CAST(sum(dist) AS BIGINT) AS inertia
+             FROM mf
+             GROUP BY cid
+             ORDER BY cid"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53, q56, q60, q65)
 }
