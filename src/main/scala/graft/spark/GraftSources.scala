@@ -620,16 +620,14 @@ final class GraftCsvReaderFactory(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
       limit, partSpec, fullDataCols)
 
-  // sub-range splits stay row-based (the columnar reader is whole-file)
-  override def supportColumnarReads(partition: InputPartition): Boolean = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    p.start == 0 && p.end == p.fileLen && ColumnarPlate.supports(schema)
-  }
+  // byte-range splits vectorize too (CsvRangeFeeder + providedHeader)
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ColumnarPlate.supports(schema)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
-      limit, partSpec)
+      limit, partSpec, fullDataCols)
 }
 
 /** COUNT(*) pushdown: parse-only partial counts, one row per partition.
@@ -939,7 +937,11 @@ final class GraftJsonColumnarReader(
   override def close(): Unit = feeder.close()
 }
 
-/** Vectorized CSV reader: whole file per task, ColumnarBatch output. */
+/** Vectorized CSV reader: one byte range per task (whole file when the
+  * scan is unsplit), ColumnarBatch output through the same
+  * [[CsvRangeFeeder]] realignment protocol as the row reader — so opt-in
+  * splittable CSV scans stay vectorized.
+  */
 final class GraftCsvColumnarReader(
     part: GraftInputPartition,
     schema: StructType,
@@ -947,34 +949,26 @@ final class GraftCsvColumnarReader(
     conf: Configuration,
     config: CsvParser.Config,
     limit: Int = -1,
-    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
+    fullDataCols: Array[String] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   private val plate = new ColumnarPlate(schema, filters)
-  private val parser = new CsvParser(plate, config)
-  private val path = new Path(part.path)
-  private val in = path.getFileSystem(conf).open(path)
-  private val chunk = new Array[Byte](256 * 1024)
+  // a mid-file range never sees the header row: hand it the column order
+  private val effConfig =
+    if (part.start > 0 && config.header && config.providedHeader.isEmpty)
+      config.copy(providedHeader = fullDataCols.toSeq)
+    else config
+  private val parser = new CsvParser(plate, effConfig)
+  private val feeder = new CsvRangeFeeder(
+    part, conf, parser, if (config.row2 != 0) config.row2 else config.row1)
   private val partTyped = PartitionVectors.typed(partSpec, part.partValues)
-  private var exhausted = false
   private var emitted = 0L
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
 
-  private def raise(r: ParseResult[Long]): Unit = r match {
-    case ParseResult.Failure(e) => throw e
-    case ParseResult.Partial(_, _) => raise(parser.continueParse())
-    case _ => ()
-  }
-
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    while (plate.pendingRows == 0 && !exhausted) {
-      val n = in.read(chunk)
-      if (n < 0) {
-        raise(parser.finish())
-        exhausted = true
-      } else raise(parser.absorb(chunk, 0, n))
-    }
+    while (plate.pendingRows == 0 && !feeder.isExhausted) feeder.step()
     if (plate.pendingRows > 0) {
       current = PartitionVectors.wrap(plate.takeBatch(), partTyped)
       emitted += current.numRows; true
@@ -982,7 +976,7 @@ final class GraftCsvColumnarReader(
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = feeder.close()
 }
 
 /** Streams one byte range of a JSON-lines file through the core parser.

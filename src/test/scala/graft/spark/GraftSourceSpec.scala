@@ -174,6 +174,9 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }
     assert(ws.head.scan.toBatch.planInputPartitions().length == 1)
+    // split ranges still take the vectorized path (flat schema)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
   }
 
   test("hive-partitioned directories: columns, values, and file pruning") {
