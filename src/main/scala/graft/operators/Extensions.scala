@@ -606,5 +606,126 @@ object Extensions {
             GROUP BY event_type
             ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64)
+  // ---------------------------------------------------------------- q66
+  // Map-function family (§2.11 scalar functions: map): build maps from
+  // aggregated entries (sorted for engine-independent entry order), then
+  // element_at / cardinality / map_keys / map_values consumption. Output
+  // is all scalars so the oracle hash is exact (DuckDB map extraction
+  // yields single-element lists -> [1] unwraps them).
+  private val q66 = GQuery(
+    "q66_map_functions",
+    "map_from_entries + element_at/cardinality/map_keys/map_values over orders",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"o_orderstatus")
+        .agg(map_from_entries(sort_array(collect_list(struct($"o_orderpriority", $"n"))))
+          .as("m"))
+        .select(
+          $"o_orderstatus",
+          expr("cardinality(m)").as("n_prios"),
+          expr("element_at(m, '1-URGENT')").as("n_urgent"),
+          expr("element_at(m, '5-LOW')").as("n_low"),
+          concat_ws("|", map_keys($"m")).as("prio_keys"),
+          expr("aggregate(map_values(m), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            .as("n_total"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""WITH counts AS (
+              SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              FROM orders GROUP BY 1, 2),
+            maps AS (
+              SELECT o_orderstatus,
+                     map_from_entries(list(struct_pack(k := o_orderpriority, v := n)
+                                           ORDER BY o_orderpriority)) AS m
+              FROM counts GROUP BY 1)
+            SELECT o_orderstatus,
+                   CAST(cardinality(m) AS INT) AS n_prios,
+                   m['1-URGENT'][1] AS n_urgent,
+                   m['5-LOW'][1] AS n_low,
+                   array_to_string(map_keys(m), '|') AS prio_keys,
+                   CAST(list_sum(map_values(m)) AS BIGINT) AS n_total
+            FROM maps
+            ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q67
+  // Built-in session windows: groupBy(user, session_window(ets, gap))
+  // in append mode — the declarative form of q55's hand-rolled
+  // flatMapGroupsWithState sessionization (state merging, watermark-driven
+  // finalization all inside Spark's SessionWindowStateStore). Two
+  // far-future sentinel micro-batches (q55's trick) push the final
+  // watermark past every real session so append mode emits them all, which
+  // again admits an exact gaps-and-islands oracle. Spark merges sessions
+  // when the next event is STRICTLY inside [start, last+gap), so the
+  // oracle breaks sessions on diff >= gap.
+  private val q67 = GQuery(
+    "q67_session_window",
+    "built-in session_window streaming aggregation (30-min gap, append mode)",
+    (s, d) => {
+      import s.implicits._
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q67")
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir.toFile)
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("a_events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val src = s.read.parquet(streamDir.resolve("a_events.parquet").toString)
+      val dayNs = 86400L * 1000000000L
+      Seq(("b_sentinel1", 30L), ("c_sentinel2", 60L)).foreach { case (name, days) =>
+        val tmp = streamDir.resolve(name + "_tmp")
+        src.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", $"ts" + lit(days * dayNs))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(
+          p => p.getFileName.toString.startsWith("part-")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve(name + ".parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      val sessions = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 minute")
+        .groupBy($"user_id".cast("long").as("user_id"),
+          session_window($"ets", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = sessions
+        .select($"user_id", $"w.start".as("session_start"),
+          $"w.end".as("session_end"), $"n_events")
+        .writeStream
+        .format("memory").queryName("q67_sessions")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q67_sessions")
+        .filter($"user_id" >= 0)
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            grp AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked)
+            SELECT user_id,
+                   CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+                   count(*) AS n_events
+            FROM grp
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67)
 }
