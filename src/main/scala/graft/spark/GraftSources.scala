@@ -453,10 +453,27 @@ final class GraftScan(
     limit: Int = -1,
     countStar: Boolean = false,
     fullSchema: StructType = StructType(Nil))
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType =
     if (countStar) GraftScan.CountSchema else schema
+
+  // ---- runtime filtering: DSv2 dynamic partition pruning. Spark feeds
+  // the build side's join-key values (an In filter) into the scan at
+  // EXECUTION time; files whose hive partition value definitely fails
+  // are dropped before any task launches — the v2 analog of DPP, and at
+  // 100 TB the difference between scanning one date partition and all of
+  // them when the date set only materializes from a dimension join.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    listing.partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  override def filter(fs: Array[Filter]): Unit =
+    runtimeFilters = fs.filter(f =>
+      f.references.length == 1 && listing.partCols.contains(f.references.head))
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -494,9 +511,10 @@ final class GraftScan(
     * conservative, so exactness is preserved by the residual).
     */
   private def prunedFiles: Seq[GraftSources.ListedFile] = {
-    if (listing.partCols.isEmpty || filters.isEmpty) return listing.files
+    val allFilters = filters ++ runtimeFilters
+    if (listing.partCols.isEmpty || allFilters.isEmpty) return listing.files
     val partIdx = listing.partCols.zipWithIndex.toMap
-    val relevant = FilterEval.normalize(filters.filter(f =>
+    val relevant = FilterEval.normalize(allFilters.filter(f =>
       f.references.length == 1 && partIdx.contains(f.references.head)))
     if (relevant.isEmpty) return listing.files
     listing.files.filterNot { f =>
@@ -512,6 +530,9 @@ final class GraftScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    val pf = prunedFiles
+    if (runtimeFilters.nonEmpty) // observability for tests / debugging
+      GraftScan.lastRuntimePruned.set(listing.files.length - pf.length)
     val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     // CSV splits are sound only when values contain no row delimiters —
@@ -519,7 +540,7 @@ final class GraftScan(
     val splittable =
       (isJson && GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream) ||
       (!isJson && options.getBoolean("splittable", false))
-    prunedFiles.flatMap { case GraftSources.ListedFile(p, len, pv) =>
+    pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       if (!splittable || len <= maxSplit)
         Seq(GraftInputPartition(p, 0, len, len, pv))
       else
@@ -577,6 +598,11 @@ object GraftScan {
     */
   val CountSchema: StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+
+  /** Files dropped by the latest runtime-filtered (DPP) partition
+    * planning in this JVM — test/debug observability only.
+    */
+  val lastRuntimePruned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 final class GraftJsonReaderFactory(

@@ -500,6 +500,42 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime filtering (DPP): join-key values prune partition files at execution") {
+    val base = Files.createTempDirectory("graft-dpp")
+    (0L to 4L).foreach { r =>
+      val d = base.resolve(s"region=$r")
+      Files.createDirectories(d)
+      Files.write(d.resolve("part.json"),
+        (1 to 20).map(i => s"""{"id": ${r * 100 + i}, "v": $i}""")
+          .mkString("", "\n", "\n").getBytes(UTF_8))
+    }
+    val fact = spark.read.format("graft-json").load(base.toString)
+    val s = spark; import s.implicits._
+    // selective dim: only region 2 survives its filter. The dim must be a
+    // real scan + Filter (a LocalRelation folds the filter away and DPP's
+    // "has selective predicate" check never fires)
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").resolve("dim").toString
+    Seq((2L, "keep"), (7L, "other")).toDF("r", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    graft.spark.GraftScan.lastRuntimePruned.set(-1)
+    // the DPP benefit heuristic is size-based; force it for KB-scale fixtures
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    try {
+      val joined = fact.join(broadcast(dim), col("region") === col("r"))
+      val ids = joined.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (201L to 220L))
+      // the scan's runtime filter dropped the other 4 partition files
+      assert(graft.spark.GraftScan.lastRuntimePruned.get == 4,
+        s"runtime pruning did not engage (got ${graft.spark.GraftScan.lastRuntimePruned.get}):\n" +
+          joined.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
   // -------------------------------------------------- malformed records
 
   test("badrecords=drop resyncs past corrupt lines (row and columnar paths)") {
