@@ -454,7 +454,8 @@ final class GraftScan(
     countStar: Boolean = false,
     fullSchema: StructType = StructType(Nil))
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
     if (countStar) GraftScan.CountSchema else schema
@@ -474,6 +475,17 @@ final class GraftScan(
   override def filter(fs: Array[Filter]): Unit =
     runtimeFilters = fs.filter(f =>
       f.references.length == 1 && listing.partCols.contains(f.references.head))
+
+  // ---- planning statistics: the (partition-pruned) byte size of the
+  // listing, so Catalyst's join strategy sees a honest size for graft
+  // scans (a pruned date partition broadcast-joins instead of SMJ-ing).
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = prunedFiles.map(_.len).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -536,6 +536,26 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reported statistics: scan size = file bytes, small dims auto-broadcast") {
+    val p = write("stats.json", jsonFixture)
+    val df = spark.read.format("graft-json").load(p)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == Files.size(Paths.get(p)),
+      s"expected listing size, got ${stats.sizeInBytes}")
+    // a graft-json dim joined to a parquet fact broadcasts WITHOUT a hint
+    // (absent stats, v2 relations default to defaultSizeInBytes = never
+    // broadcast)
+    val factPath = Files.createTempDirectory("graft-stats").resolve("fact").toString
+    val s = spark; import s.implicits._
+    (1 to 5000).map(i => (i.toLong, (i % 50).toLong)).toDF("k", "fk")
+      .write.mode("overwrite").parquet(factPath)
+    val joined = spark.read.parquet(factPath)
+      .join(df, col("fk") === col("id"))
+    assert(joined.count() == 4900) // fk 1..49 match dim ids, 100 rows each
+    val hasBroadcast = joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcast, joined.queryExecution.executedPlan.toString)
+  }
+
   // -------------------------------------------------- malformed records
 
   test("badrecords=drop resyncs past corrupt lines (row and columnar paths)") {
