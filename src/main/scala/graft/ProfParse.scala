@@ -60,6 +60,39 @@ object ProfParse {
     val mb = data.length / 1e6
     println(f"corpus: $mb%.1f MB, $rows rows")
 
+    if (args.contains("columnar")) {
+      // the DEFAULT DSv2 path for flat schemas: ColumnarPlate batches
+      def onceCol(): Long = {
+        var n = 0L
+        val plate = new graft.spark.ColumnarPlate(flatSchema, Array.empty)
+        val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+        var off = 0
+        val chunk = 256 * 1024
+        while (off < data.length) {
+          val len = math.min(chunk, data.length - off)
+          p.absorb(data, off, len) match { case ParseResult.Failure(e) => throw e; case _ => () }
+          off += len
+          while (plate.pendingRows > 0) n += plate.takeBatch().numRows()
+        }
+        p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+        while (plate.pendingRows > 0) n += plate.takeBatch().numRows()
+        require(n == rows, s"rows $n")
+        n
+      }
+      var w = 0
+      while (w < 5) { onceCol(); w += 1 }
+      var best = Double.MaxValue
+      var r = 0
+      while (r < reps) {
+        val t0 = System.nanoTime()
+        onceCol()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      println(f"ColumnarPlate flat: best ${mb / best}%.1f MB/s")
+      return
+    }
+
     def once(): Long = {
       var n = 0L
       val plate = new RowPlate(flatSchema, Array.empty, _ => n += 1)

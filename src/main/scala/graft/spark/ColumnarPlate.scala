@@ -96,9 +96,12 @@ final class ColumnarPlate(
   // ------------------------------------------------------------- events
 
   // key-order cache: JSON rows almost always repeat the same key order, so
-  // remember (key, column) per field position and hit with one compare
+  // remember (key, column) per field position and hit with one compare —
+  // raw UTF-8 bytes vs the parser's zero-copy ASCII views (one vectorized
+  // Arrays.equals range check, no per-char CharSequence walk)
   private[this] val orderCap = 64
   private[this] val orderNames = new Array[String](orderCap)
+  private[this] val orderBytes = new Array[Array[Byte]](orderCap)
   private[this] val orderCols = new Array[Int](orderCap)
   private[this] var fieldPos = 0
 
@@ -108,8 +111,15 @@ final class ColumnarPlate(
       val pos = fieldPos
       fieldPos += 1
       var idx = -2 // -2 = unresolved; -1 = known-absent (skip)
-      if (pos < orderCap && orderNames(pos) != null &&
-          orderNames(pos).contentEquals(pathComponent)) {
+      if (pos < orderCap && orderNames(pos) != null && {
+            pathComponent match {
+              case v: ByteSliceCharSeq =>
+                val ob = orderBytes(pos)
+                java.util.Arrays.equals(ob, 0, ob.length,
+                  v.bytes, v.offset, v.offset + v.length)
+              case _ => orderNames(pos).contentEquals(pathComponent)
+            }
+          }) {
         idx = orderCols(pos)
       } else {
         var i = 0
@@ -119,7 +129,9 @@ final class ColumnarPlate(
           i += 1
         }
         if (pos < orderCap) {
-          orderNames(pos) = pathComponent.toString // copy: views are reused
+          val s = pathComponent.toString // copy: views are reused
+          orderNames(pos) = s
+          orderBytes(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           orderCols(pos) = idx
         }
       }
@@ -225,7 +237,13 @@ final class ColumnarPlate(
       seen(idx) = true
       try types(idx) match {
         case LongType if decIdx < 0 && expIdx < 0 =>
-          val v = java.lang.Long.parseLong(s, 0, s.length, 10)
+          val v = s match {
+            case b: ByteSliceCharSeq => // byte loop, no charAt dispatch
+              val boxed = Conversions.parseLongBoxed(b.bytes, b.offset, b.length)
+              if (boxed == null) { vectors(idx).putNull(rows); return Signal.Continue }
+              boxed.longValue
+            case _ => java.lang.Long.parseLong(s, 0, s.length, 10)
+          }
           vectors(idx).putLong(rows, v)
           return checkFilterLong(idx, v)
         case IntegerType if decIdx < 0 && expIdx < 0 =>
@@ -233,7 +251,9 @@ final class ColumnarPlate(
           vectors(idx).putInt(rows, v)
           return checkFilterAny(idx, java.lang.Integer.valueOf(v))
         case DoubleType =>
-          val v = java.lang.Double.parseDouble(s.toString)
+          // exactly-rounded conversion off the zero-copy view (FastDouble:
+          // Clinger/Eisel-Lemire; parseDouble only on the rare hard cases)
+          val v = graft.core.FastDouble.parse(s, decIdx, expIdx)
           vectors(idx).putDouble(rows, v)
           return checkFilterAny(idx, java.lang.Double.valueOf(v))
         case FloatType =>

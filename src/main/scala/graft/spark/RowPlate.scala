@@ -518,7 +518,7 @@ object Conversions {
     * call + bounds check per digit). Returns null (not an exception) on
     * overflow. Accumulates negative, JDK-style, so Long.MinValue parses.
     */
-  private def parseLongBytes(b: Array[Byte], off: Int, len: Int): Any = {
+  private[spark] def parseLongBoxed(b: Array[Byte], off: Int, len: Int): java.lang.Long = {
     var i = off
     val end = off + len
     val neg = b(i) == '-'
@@ -543,12 +543,12 @@ object Conversions {
       // integral targets parse straight from the CharSequence view — the
       // dominant case allocates nothing
       case LongType    => if (decIdx < 0 && expIdx < 0) text match {
-        case v: graft.core.ByteSliceCharSeq => parseLongBytes(v.bytes, v.offset, v.length)
+        case v: graft.core.ByteSliceCharSeq => parseLongBoxed(v.bytes, v.offset, v.length)
         case _ => java.lang.Long.parseLong(text, 0, text.length, 10)
       } else null
       case IntegerType => if (decIdx < 0 && expIdx < 0) text match {
         case v: graft.core.ByteSliceCharSeq =>
-          parseLongBytes(v.bytes, v.offset, v.length) match {
+          parseLongBoxed(v.bytes, v.offset, v.length) match {
             case l: java.lang.Long if l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue =>
               java.lang.Integer.valueOf(l.intValue)
             case _ => null
