@@ -387,5 +387,42 @@ object Sources {
                     (SELECT CAST(sum(id) AS BIGINT) FROM good) AS sum_good_ids,
                     (SELECT count(name) FROM good) AS n_named"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62)
+  // ---------------------------------------------------------------- q68
+  // DSv2 write path: nation flows THROUGH the graft-json sink (per-task
+  // staged files + atomic rename publish, overwrite = truncate) and back
+  // through the graft-json reader; the oracle reads the very files our
+  // sink produced with DuckDB's read_json — sink format + reader + oracle
+  // all agree end to end.
+  private val sinkDir = "/tmp/graft_fixtures/q68_sink"
+
+  private val q68 = GQuery(
+    "q68_dsv2_sink_roundtrip",
+    "graft-json DSv2 sink write + read-back (atomic task commit, overwrite)",
+    (s, d) => {
+      import s.implicits._
+      Tables(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"),
+          $"n_regionkey".cast("long").as("r"),
+          struct(length($"n_name").as("len"), upper($"n_name").as("up")).as("meta"))
+        .write.format("graft-json").mode("overwrite").save(sinkDir)
+      s.read.format("graft-json")
+        .schema("k LONG, name STRING, r LONG, meta STRUCT<len: INT, up: STRING>")
+        .load(sinkDir)
+        .groupBy($"r")
+        .agg(count(lit(1)).as("n"),
+          sum($"meta.len").as("sum_len"),
+          min($"name").as("first_name"),
+          max($"meta.up").as("last_up"))
+        .orderBy($"r")
+    },
+    Some(s"""SELECT r, count(*) AS n,
+                    CAST(sum(meta.len) AS BIGINT) AS sum_len,
+                    min(name) AS first_name, max(meta.up) AS last_up
+             FROM read_json('$sinkDir/*.jsonl',
+                            columns={k: 'BIGINT', name: 'VARCHAR', r: 'BIGINT',
+                                     meta: 'STRUCT(len INT, up VARCHAR)'})
+             GROUP BY r
+             ORDER BY r"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68)
 }

@@ -1,0 +1,187 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** DSv2 write path for `format("graft-json")`: each task streams its rows
+  * as JSON lines to a uniquely-named staging file and RENAMES it into
+  * place on task commit — rename is the atomic primitive, so speculative
+  * or retried tasks never double-publish (the loser's stage file is
+  * deleted on abort). `mode("overwrite")` maps to SupportsTruncate: the
+  * driver clears prior part files before launching tasks.
+  *
+  * The reference has no sink (the Plate IS its sink, SURVEY §2.11 row
+  * "Sinks"); this is the Spark-native counterpart so a graft pipeline can
+  * round-trip JSONL without leaving the DSv2 surface.
+  */
+final class GraftWriteBuilder(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate)
+  }
+}
+
+final class GraftBatchWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate && fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        if (st.isFile) fs.delete(st.getPath, false)
+      }
+    }
+    fs.mkdirs(dir)
+    new GraftJsonWriterFactory(path, schema, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private final case class GraftCommit(file: String) extends WriterCommitMessage
+
+final class GraftJsonWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId)
+}
+
+final class GraftJsonDataWriter(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fs = new Path(path).getFileSystem(conf.value)
+  private val finalFile = new Path(path, f"part-$partitionId%05d.jsonl")
+  private val stageFile = new Path(path, f".part-$partitionId%05d-$taskId.jsonl.stage")
+  private val out = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
+  private val sb = new java.lang.StringBuilder(4096)
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    GraftJsonDataWriter.writeStruct(sb, row, schema)
+    sb.append('\n')
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    // atomic publish; a retried task overwrites the same final name
+    fs.delete(finalFile, false)
+    fs.rename(stageFile, finalFile)
+    GraftCommit(finalFile.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(stageFile, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object GraftJsonDataWriter {
+
+  def writeStruct(sb: java.lang.StringBuilder, row: InternalRow, st: StructType): Unit = {
+    sb.append('{')
+    var first = true
+    var i = 0
+    while (i < st.length) {
+      if (!row.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        writeString(sb, st(i).name)
+        sb.append(':')
+        writeValue(sb, row.get(i, st(i).dataType), st(i).dataType)
+      }
+      i += 1
+    }
+    sb.append('}')
+  }
+
+  private def writeValue(sb: java.lang.StringBuilder, v: Any, dt: DataType): Unit = dt match {
+    case _ if v == null  => sb.append("null")
+    case StringType      => writeString(sb, v.toString)
+    case LongType | IntegerType | ShortType | ByteType | BooleanType =>
+      sb.append(v.toString)
+    case DoubleType | FloatType =>
+      val d = v match { case f: java.lang.Float => f.doubleValue; case x => x.asInstanceOf[Double] }
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) sb.append("null")
+      else sb.append(d.toString)
+    case d: DecimalType =>
+      sb.append(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString)
+    case s: StructType =>
+      writeStruct(sb, v.asInstanceOf[InternalRow], s)
+    case a: ArrayType =>
+      val arr = v.asInstanceOf[ArrayData]
+      sb.append('[')
+      var i = 0
+      while (i < arr.numElements()) {
+        if (i > 0) sb.append(',')
+        if (arr.isNullAt(i)) sb.append("null")
+        else writeValue(sb, arr.get(i, a.elementType), a.elementType)
+        i += 1
+      }
+      sb.append(']')
+    case m: MapType =>
+      val md = v.asInstanceOf[MapData]
+      sb.append('{')
+      val ks = md.keyArray()
+      val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        if (i > 0) sb.append(',')
+        writeString(sb, ks.get(i, m.keyType).toString)
+        sb.append(':')
+        if (vs.isNullAt(i)) sb.append("null")
+        else writeValue(sb, vs.get(i, m.valueType), m.valueType)
+        i += 1
+      }
+      sb.append('}')
+    case _ => writeString(sb, v.toString) // timestamps/dates/etc: text form
+  }
+
+  def writeString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      (c: @annotation.switch) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x")
+          else sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+}

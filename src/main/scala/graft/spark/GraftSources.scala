@@ -283,13 +283,21 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
 }
 
 final class GraftJsonTable(schema: StructType, properties: java.util.Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-json:${properties.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options, isJson = true)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(
+      Option(info.options.get("path")).getOrElse(properties.get("path")),
+      info.schema(),
+      new SerializableConfiguration(GraftSources.activeHadoopConf()))
 }
 
 // ======================================================================= CSV
