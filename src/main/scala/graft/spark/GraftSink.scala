@@ -29,7 +29,41 @@ final class GraftWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(path, schema, conf)
   }
+}
+
+/** Streaming sink: files are named by (epoch, partition), so a replayed
+  * epoch after failure re-publishes the SAME names — idempotent, which is
+  * what makes the file sink exactly-once under micro-batch re-execution.
+  */
+final class GraftStreamingWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    dir.getFileSystem(conf.value).mkdirs(dir)
+    new GraftStreamingWriterFactory(path, schema, conf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftStreamingWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
+      namePrefix = f"part-$epochId%05d")
 }
 
 final class GraftBatchWrite(
@@ -70,12 +104,13 @@ final class GraftJsonDataWriter(
     schema: StructType,
     conf: SerializableConfiguration,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    namePrefix: String = "part")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
-  private val finalFile = new Path(path, f"part-$partitionId%05d.jsonl")
-  private val stageFile = new Path(path, f".part-$partitionId%05d-$taskId.jsonl.stage")
+  private val finalFile = new Path(path, f"$namePrefix-$partitionId%05d.jsonl")
+  private val stageFile = new Path(path, f".$namePrefix-$partitionId%05d-$taskId.jsonl.stage")
   private val out = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
   private val sb = new java.lang.StringBuilder(4096)
 

@@ -289,7 +289,8 @@ final class GraftJsonTable(schema: StructType, properties: java.util.Map[String,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options, isJson = true)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

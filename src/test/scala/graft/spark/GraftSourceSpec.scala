@@ -580,6 +580,36 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft-json").schema(df.schema).load(out).count() == 1)
   }
 
+  test("graft-json streaming sink: micro-batches land as epoch-named files") {
+    val srcDir = Files.createTempDirectory("graft-ssink-src")
+    (1 to 3).foreach { f =>
+      Files.write(srcDir.resolve(s"f$f.json"),
+        (1 to 10).map(i => s"""{"id": ${f * 100 + i}, "v": "x$i"}""")
+          .mkString("", "\n", "\n").getBytes(UTF_8))
+    }
+    val outDir = Files.createTempDirectory("graft-ssink-out").resolve("out").toString
+    val ckpt = Files.createTempDirectory("graft-ssink-ckpt").toString
+    val q = spark.readStream.format("graft-json")
+      .schema("id LONG, v STRING")
+      .option("maxbytespertrigger", "120") // several micro-batches
+      .load(srcDir.toString)
+      .writeStream.format("graft-json")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = spark.read.format("graft-json").schema("id LONG, v STRING").load(outDir)
+    val ids = back.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (f <- 1 to 3; i <- 1 to 10) yield (f * 100 + i).toLong).sorted
+    assert(ids == want)
+    // multiple epochs actually happened
+    val parts = Files.list(java.nio.file.Paths.get(outDir)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+    assert(parts.map(_.replaceAll(".*part-", "").take(5)).distinct.length > 1, parts.mkString(","))
+  }
+
   // -------------------------------------------------- malformed records
 
   test("badrecords=drop resyncs past corrupt lines (row and columnar paths)") {
