@@ -492,6 +492,52 @@ object Pipeline {
             GROUP BY doc_id
             ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q39
+  // TRUE winnowing (MOSS-style): the 3-gram hash sequence slides a window
+  // of 4, keeping each window's MINIMUM hash — the classic guarantee that
+  // any sufficiently long match between documents shares a selected
+  // fingerprint, at ~1/window the storage of q38's keep-everything sketch.
+  // All md5-string comparisons -> identical in both engines; short docs
+  // degenerate to one whole-sequence window (slicing clamps identically).
+  private val q39 = GQuery(
+    "q39_winnowing_select",
+    "winnowing fingerprint selection (min hash per 4-window of 3-gram hashes)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", expr(
+          """CASE WHEN size(w) < 3 THEN array()
+             ELSE transform(sequence(0, size(w) - 3),
+                    i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) END""").as("hs"))
+        .select($"doc_id", $"hs",
+          explode(expr(
+            "transform(sequence(0, greatest(size(hs) - 4, 0)), j -> array_min(slice(hs, j + 1, 4)))"))
+            .as("fp"))
+        .filter($"fp".isNotNull)
+        .groupBy($"doc_id")
+        .agg(
+          count_distinct($"fp").as("n_selected"),
+          expr("size(first(hs))").as("n_grams"),
+          min($"fp").as("min_fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, i, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            hs AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM grams GROUP BY doc_id),
+            sel AS (
+              SELECT doc_id, hs, list_min(hs[j:j+3]) AS fp
+              FROM hs, unnest(generate_series(1, greatest(len(hs) - 3, 1))) t(j))
+            SELECT doc_id, count(DISTINCT fp) AS n_selected,
+                   CAST(max(len(hs)) AS INT) AS n_grams,
+                   min(fp) AS min_fp
+            FROM sel
+            WHERE fp IS NOT NULL
+            GROUP BY doc_id
+            ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q40
   // Multimodal columns: media as opaque binary + typed metadata, with the
   // decode/feature-extract step as a per-partition batch stub (image/audio
@@ -762,5 +808,5 @@ object Pipeline {
              GROUP BY cid
              ORDER BY cid"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q40, q46, q52, q53, q56, q60, q65)
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65)
 }
