@@ -248,34 +248,43 @@ object Pipeline {
 
   // ---------------------------------------------------------------- q52
   // IVF ANN (the trained-index scale path): a deterministic coarse
-  // quantizer (every 25th vector stands in for a k-means centroid; real
-  // deployments train centroids offline — the index mechanics are
-  // identical) is collected to the driver and inlined as a literal, so
-  // ASSIGNMENT IS MAP-ONLY: each vector scores all centroids in one
-  // projection (no N-x-K explode, no shuffle) and lands in its inverted
-  // list. Queries probe nprobe=2 centroid lists via a broadcast join on
-  // the centroid id — the big side never shuffles at all. Exact oracle:
-  // both engines evaluate the same sequential IEEE double arithmetic.
+  // quantizer — every 25th vector, CAPPED at k=16 — stands in for k-means
+  // centroids (real deployments train them offline with q65's integer-
+  // space Lloyd trainer and persist a centroid table; the index mechanics
+  // from here on are identical). The k centroids never touch the driver:
+  // they are packed into ONE row (array of k (cid, vec) structs) and
+  // BROADCAST-joined to the big side, so ASSIGNMENT IS MAP-ONLY — each
+  // vector scores k centroids in a single projection (no N-x-K explode,
+  // no shuffle) and lands in its inverted list. Queries probe nprobe=2
+  // centroid lists via a broadcast hash join on the centroid id — the big
+  // side never shuffles at all. Driver memory and plan size are O(k), not
+  // O(N): at 100 TB only k changes (trained, a few thousand), and both
+  // broadcasts stay kilobytes. Exact oracle: both engines evaluate the
+  // same sequential IEEE double arithmetic.
   private val q52 = GQuery(
     "q52_ann_ivf",
-    "IVF ANN: literal centroids, map-only assignment, nprobe=2 list probe",
+    "IVF ANN: broadcast capped-k centroids, map-only assignment, nprobe=2 list probe",
     (s, d) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val emb = T(s, d, "embeddings")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      // coarse quantizer: k = N/25 centroids, deterministic pick
-      val cents: Seq[(Long, Seq[Double])] = emb
-        .filter($"vec_id" % 25 === 0).orderBy($"vec_id")
-        .collect().map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1))).toSeq
+      // coarse quantizer: every 25th vector, capped at k=16 — one row,
+      // array<struct<cid,ce>>, sorted by cid for deterministic scoring
+      val packed = emb
+        .filter($"vec_id" % 25 === 0).orderBy($"vec_id").limit(16)
+        .agg(expr(
+          """array_sort(
+               collect_list(struct(vec_id AS cid, e AS ce)),
+               (l, r) -> CASE WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+                              ELSE 0 END)""").as("cents"))
       val scored = emb
-        .withColumn("cids", typedlit(cents.map(_._1)))
-        .withColumn("cvecs", typedlit(cents.map(_._2)))
+        .join(broadcast(packed)) // 1-row build side: assignment stays map-only
         .withColumn("scored", expr(
           """array_sort(
-               transform(cvecs, (cv, i) -> struct(
-                 cosine_sim(e, cv) AS ccos,
-                 cids[i] AS cid)),
+               transform(cents, s -> struct(
+                 cosine_sim(e, s.ce) AS ccos,
+                 s.cid AS cid)),
                (l, r) -> CASE WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
                               WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
                               ELSE 0 END)"""))
@@ -284,7 +293,7 @@ object Pipeline {
       val probes = scored.filter($"vec_id".isin(1, 2, 3))
         .select($"vec_id".as("qid"), $"e".as("qe"),
           explode(expr("transform(slice(scored, 1, 2), s -> s.cid)")).as("cid"))
-      probes.join(assigned, "cid") // inverted-list probe (broadcast: 6 rows)
+      broadcast(probes).join(assigned, "cid") // inverted-list probe: BHJ, 6-row build
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id", expr("cosine_sim(qe, e)").as("cos"))
         .withColumn("rank", row_number().over(
@@ -295,7 +304,8 @@ object Pipeline {
         .orderBy($"qid", $"rank")
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id % 25 = 0),
+            c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id % 25 = 0
+                  ORDER BY vec_id LIMIT 16),
             scored AS (
               SELECT e.vec_id, e.e, c.cid,
                      list_dot_product(e.e, c.ce)

@@ -195,27 +195,45 @@ object Relational {
             ORDER BY band"""))
 
   // ---------------------------------------------------------------- q08
-  // As-of join via the union+window algorithm: ONE shuffle on user_id, no
-  // join explosion — this is the 100 TB-safe formulation (the naive
-  // inequality join the oracle uses is quadratic per user).
+  // As-of join via union + window, pre-bucketed by (user, day) so a hot
+  // user's history never lands in one task: the big window runs per
+  // (user, day) bucket — bounded work per task — and a per-user carry-over
+  // window runs only over the tiny (user, day) summary to propagate the
+  // last click across bucket boundaries. ONE shuffle over the event table,
+  // no join explosion, hot-key safe — the 100 TB formulation (the naive
+  // inequality join the oracle uses is quadratic per user; the unbucketed
+  // union+window variant serializes a hot user into a single task).
   private val q08 = GQuery(
     "q08_asof_join_last_click_before_purchase",
-    "as-of (most-recent-event) join via union + window, single shuffle",
+    "as-of (most-recent-event) join via (user, day)-bucketed union + window, hot-key safe",
     (s, d) => {
       import s.implicits._
       val e = T(s, d, "events")
         .filter($"event_type".isin("click", "purchase"))
         .select($"event_id", $"user_id", $"ts", $"event_type")
-      val tagged = e
         .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
         .withColumn("click_id", when($"event_type" === "click", $"event_id"))
-      val w = Window.partitionBy($"user_id")
+        .withColumn("bucket", expr("unix_micros(ts) div 86400000000")) // day
+      // in-bucket as-of: bounded per (user, day) regardless of user heat
+      val wLocal = Window.partitionBy($"user_id", $"bucket")
         .orderBy($"ts", $"tag", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("lc", last($"click_id", ignoreNulls = true).over(w))
+      val local = e.withColumn("lc_local", last($"click_id", ignoreNulls = true).over(wLocal))
+      // tiny summary: one row per (user, day) with the bucket's last click
+      val summary = e.groupBy($"user_id", $"bucket")
+        .agg(expr("max_by(click_id, struct(ts, event_id)) FILTER (WHERE click_id IS NOT NULL)")
+          .as("bucket_last_click"))
+      // carry the last click across PRIOR buckets (per-user window over the
+      // summary only: rows-per-user = active days, never the event count)
+      val wCarry = Window.partitionBy($"user_id").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = summary.withColumn(
+        "carry", last($"bucket_last_click", ignoreNulls = true).over(wCarry))
+        .select($"user_id", $"bucket", $"carry")
+      local.join(carried, Seq("user_id", "bucket"))
         .filter($"tag" === 1)
-        .select($"event_id".as("purchase_id"), coalesce($"lc", lit(-1L)).as("last_click_id"))
+        .select($"event_id".as("purchase_id"),
+          coalesce($"lc_local", $"carry", lit(-1L)).as("last_click_id"))
         .orderBy($"purchase_id")
     },
     Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
