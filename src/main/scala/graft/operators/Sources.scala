@@ -204,6 +204,40 @@ object Sources {
                (SELECT count(*) FROM
                  (SELECT 1 FROM read_json('$jsonFixture', format='newline_delimited') LIMIT 10)) AS n10"""))
 
+  // ---------------------------------------------------------------- q69
+  // DSv2 GROUPED aggregate pushdown (the general battery, beyond q54's
+  // lone COUNT(*)): min / max / count(col) / count(*) grouped by a data
+  // column all fold INSIDE the scan — the readers parse only the
+  // referenced columns (everything else is byte-skipped), hold one state
+  // entry per group, and ship one partial row per group per partition;
+  // Spark plans the merging final aggregate (min-of-mins, sum-of-counts),
+  // so multi-split parallelism is preserved and no full row is ever
+  // materialized (AggPushdownSpec asserts the pushedAgg plan shape and
+  // the capped-state overflow path).
+  private val q69 = GQuery(
+    "q69_grouped_agg_pushdown",
+    "grouped min/max/count battery pushed into the graft-json scan",
+    (s, d) => {
+      ensureFixtures(s, d)
+      s.read.format("graft-json").load(jsonFixture)
+        .groupBy(col("n_regionkey"))
+        .agg(
+          min("n_name").as("first_name"),
+          max("n_name").as("last_name"),
+          min("n_nationkey").as("min_key"),
+          max("n_nationkey").as("max_key"),
+          count("n_name").as("n_named"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_regionkey")
+    },
+    Some(s"""SELECT n_regionkey,
+                    min(n_name) AS first_name, max(n_name) AS last_name,
+                    min(n_nationkey) AS min_key, max(n_nationkey) AS max_key,
+                    count(n_name) AS n_named, count(*) AS n_rows
+             FROM read_json('$jsonFixture', format='newline_delimited')
+             GROUP BY n_regionkey
+             ORDER BY n_regionkey"""))
+
   // ---------------------------------------------------------------- q57
   // Materialization & replay through the gate (SURVEY §2.6): each task
   // parses its lines through ReplayPlate (packed 4-bit event recording),
@@ -424,5 +458,5 @@ object Sources {
              GROUP BY r
              ORDER BY r"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69)
 }

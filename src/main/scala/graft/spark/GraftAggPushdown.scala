@@ -1,0 +1,268 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 partial aggregate pushdown for the graft scans (SURVEY §2.7's
+  * row-count harness, generalized): grouped or ungrouped MIN / MAX /
+  * COUNT(col) / COUNT(*) batteries evaluate INSIDE the scan, so a query
+  * like `SELECT region, min(ts), max(ts), count(*) FROM graft_json GROUP
+  * BY region` parses only the referenced columns (everything else is
+  * byte-skipped by the pruned plate) and ships one partial row per group
+  * per partition instead of materializing every record. Spark plans the
+  * final merge (min-of-mins, sum-of-counts) on top — partial pushdown
+  * keeps multi-split parallelism and needs no exactness trust in the
+  * source beyond what the normal row scan already provides.
+  *
+  * Scale stance (100 TB): per-partition state is one entry per distinct
+  * group, the same footprint as Spark's own map-side partial aggregate —
+  * except ours cannot spill. So the hash state is CAPPED (default 64k
+  * groups): once full, further unseen keys are emitted as singleton
+  * partial rows (count=1/0, min=max=value), which the final aggregate
+  * merges identically. High-cardinality group-bys therefore degrade to
+  * exactly the unpushed plan's shuffle volume instead of OOMing.
+  */
+object GraftAgg {
+
+  /** One pushed aggregate function; `col == null` only for COUNT(*). */
+  sealed trait Func { def col: String }
+  case object FCountStar extends Func { val col: String = null }
+  final case class FCount(col: String) extends Func
+  final case class FMin(col: String, dt: DataType) extends Func
+  final case class FMax(col: String, dt: DataType) extends Func
+
+  final case class Spec(groupCols: Seq[(String, DataType)], funcs: Seq[Func]) {
+
+    /** Columns the parser must materialize (group keys + agg inputs),
+      * in table-schema order; the rest stay on the byte-skip path.
+      */
+    def parseSchema(full: StructType): StructType = {
+      val needed = (groupCols.map(_._1) ++ funcs.flatMap(f => Option(f.col))).toSet
+      StructType(full.fields.filter(f => needed(f.name)))
+    }
+
+    /** Scan output: group columns first, then one column per aggregate —
+      * the shape V2ScanRelationPushDown wires its final merge onto.
+      */
+    def outputSchema: StructType = StructType(
+      groupCols.map { case (n, dt) => StructField(n, dt) } ++
+        funcs.map {
+          case FCountStar   => StructField("count(*)", LongType, nullable = false)
+          case FCount(c)    => StructField(s"count($c)", LongType, nullable = false)
+          case FMin(c, dt)  => StructField(s"min($c)", dt)
+          case FMax(c, dt)  => StructField(s"max($c)", dt)
+        })
+
+    override def toString: String =
+      funcs.map {
+        case FCountStar => "count(*)"
+        case FCount(c) => s"count($c)"
+        case FMin(c, _) => s"min($c)"
+        case FMax(c, _) => s"max($c)"
+      }.mkString(",") +
+        (if (groupCols.isEmpty) "" else s" group by ${groupCols.map(_._1).mkString(",")}")
+  }
+
+  private def singleName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Types we can hash (group keys) and order (min/max): atomic and
+    * comparable via their JVM boxed form. Arrays/structs/maps/binary are
+    * refused — Spark then runs the aggregate itself over the pruned scan.
+    */
+  private def atomic(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Translate a Spark [[Aggregation]] into a [[Spec]]; None refuses the
+    * pushdown (any unsupported function/column/type rejects the whole
+    * aggregation — partial pushdown is all-or-nothing per scan).
+    */
+  def translate(agg: Aggregation, full: StructType): Option[Spec] = {
+    def field(n: String): Option[StructField] = full.fields.find(_.name == n)
+    val groups = agg.groupByExpressions.toSeq.map(e =>
+      singleName(e).flatMap(field).filter(f => atomic(f.dataType))
+        .map(f => (f.name, f.dataType)))
+    if (groups.exists(_.isEmpty)) return None
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(FCountStar)
+      case c: Count if !c.isDistinct =>
+        singleName(c.column).flatMap(field).map(f => FCount(f.name))
+      case m: Min =>
+        singleName(m.column).flatMap(field).filter(f => atomic(f.dataType))
+          .map(f => FMin(f.name, f.dataType))
+      case m: Max =>
+        singleName(m.column).flatMap(field).filter(f => atomic(f.dataType))
+          .map(f => FMax(f.name, f.dataType))
+      case _ => None
+    }
+    if (funcs.isEmpty || funcs.exists(_.isEmpty)) return None
+    Some(Spec(groups.map(_.get), funcs.map(_.get)))
+  }
+}
+
+/** Wraps a row-based reader factory with per-partition partial
+  * aggregation. Columnar reads are disabled — the aggregating wrapper is
+  * a row fold (and the rows it folds are the pruned few-column ones).
+  */
+final class GraftAggReaderFactory(
+    inner: PartitionReaderFactory,
+    parseSchema: StructType,
+    spec: GraftAgg.Spec,
+    maxGroups: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftAggPartitionReader(inner.createReader(partition), parseSchema, spec, maxGroups)
+}
+
+final class GraftAggPartitionReader(
+    inner: PartitionReader[InternalRow],
+    parseSchema: StructType,
+    spec: GraftAgg.Spec,
+    maxGroups: Int) extends PartitionReader[InternalRow] {
+  import GraftAgg._
+
+  private val groupIdx: Array[(Int, DataType)] =
+    spec.groupCols.map { case (n, dt) => (parseSchema.fieldIndex(n), dt) }.toArray
+  private val funcs = spec.funcs.toArray
+  private val funcIdx: Array[Int] =
+    funcs.map(f => if (f.col == null) -1 else parseSchema.fieldIndex(f.col))
+  private val funcDt: Array[DataType] = funcs.map {
+    case FMin(_, dt) => dt
+    case FMax(_, dt) => dt
+    case f if f.col != null => parseSchema(parseSchema.fieldIndex(f.col)).dataType
+    case _ => NullType
+  }
+
+  /** Per-group state: counts for COUNT(*)/COUNT(col); boxed extrema for
+    * MIN/MAX (null until the first non-null value).
+    */
+  private final class State {
+    val counts = new Array[Long](funcs.length)
+    val vals = new Array[Any](funcs.length)
+  }
+
+  private val state = new java.util.LinkedHashMap[Seq[Any], State]()
+  // ungrouped: exactly one state row per partition, emitted even when the
+  // split holds zero records (count=0, min/max=null) — the final merge
+  // then sums to 0 instead of aggregating an empty input to null
+  if (groupIdx.isEmpty) state.put(Nil, new State)
+
+  private var current: InternalRow = null
+  private var mapIter: java.util.Iterator[java.util.Map.Entry[Seq[Any], State]] = null
+
+  // parser plates may reuse backing buffers across rows: copy anything
+  // reference-typed that outlives the row
+  private def copyVal(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case d: org.apache.spark.sql.types.Decimal => d.clone()
+    case other => other
+  }
+
+  // boxed atomic values (Long/Double/UTF8String/Decimal/...) are all
+  // Comparable, with IEEE NaN ordered last — matching Spark's aggregate
+  // ordering for the types translate() admits
+  private def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  private def update(st: State, r: InternalRow): Unit = {
+    var i = 0
+    while (i < funcs.length) {
+      funcs(i) match {
+        case FCountStar => st.counts(i) += 1L
+        case _: FCount => if (!r.isNullAt(funcIdx(i))) st.counts(i) += 1L
+        case _: FMin =>
+          if (!r.isNullAt(funcIdx(i))) {
+            val v = r.get(funcIdx(i), funcDt(i))
+            if (st.vals(i) == null || cmp(v, st.vals(i)) < 0) st.vals(i) = copyVal(v)
+          }
+        case _: FMax =>
+          if (!r.isNullAt(funcIdx(i))) {
+            val v = r.get(funcIdx(i), funcDt(i))
+            if (st.vals(i) == null || cmp(v, st.vals(i)) > 0) st.vals(i) = copyVal(v)
+          }
+      }
+      i += 1
+    }
+  }
+
+  private def outputRow(key: Seq[Any], st: State): InternalRow = {
+    val out = new Array[Any](groupIdx.length + funcs.length)
+    var i = 0
+    while (i < groupIdx.length) { out(i) = key(i); i += 1 }
+    var j = 0
+    while (j < funcs.length) {
+      out(groupIdx.length + j) = funcs(j) match {
+        case FCountStar | _: FCount => st.counts(j)
+        case _ => st.vals(j)
+      }
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Overflow path: the row becomes its own partial group (count=1/0,
+    * min=max=value) — sound because the final aggregate merges partials
+    * associatively; no state grows.
+    */
+  private def singletonRow(key: Seq[Any], r: InternalRow): InternalRow = {
+    val out = new Array[Any](groupIdx.length + funcs.length)
+    var i = 0
+    while (i < groupIdx.length) { out(i) = key(i); i += 1 }
+    var j = 0
+    while (j < funcs.length) {
+      out(groupIdx.length + j) = funcs(j) match {
+        case FCountStar => 1L
+        case _: FCount => if (r.isNullAt(funcIdx(j))) 0L else 1L
+        case _ =>
+          if (r.isNullAt(funcIdx(j))) null
+          else copyVal(r.get(funcIdx(j), funcDt(j)))
+      }
+      j += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def next(): Boolean = {
+    if (mapIter == null) {
+      while (inner.next()) {
+        val r = inner.get()
+        var key: Seq[Any] = Nil
+        if (groupIdx.length > 0) {
+          val ks = new Array[Any](groupIdx.length)
+          var i = 0
+          while (i < groupIdx.length) {
+            val (idx, dt) = groupIdx(i)
+            ks(i) = if (r.isNullAt(idx)) null else copyVal(r.get(idx, dt))
+            i += 1
+          }
+          key = scala.collection.immutable.ArraySeq.unsafeWrapArray(ks)
+        }
+        var st = state.get(key)
+        if (st == null) {
+          if (state.size >= maxGroups) { current = singletonRow(key, r); return true }
+          st = new State
+          state.put(key, st)
+        }
+        update(st, r)
+      }
+      mapIter = state.entrySet().iterator()
+    }
+    if (mapIter.hasNext) {
+      val e = mapIter.next()
+      current = outputRow(e.getKey, e.getValue)
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}

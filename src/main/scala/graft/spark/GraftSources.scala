@@ -380,12 +380,15 @@ final class GraftScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var offset: Int = -1
   private var countStar = false
+  private var aggSpec: Option[GraftAgg.Spec] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -413,20 +416,55 @@ final class GraftScanBuilder(
     */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  /** Ungrouped COUNT(*) becomes a parse-only scan: every partition
-    * byte-skips all values (SkipAllCountPlate) and answers with one
-    * partial-count row that Spark sums — the DSv2 form of the row-count
-    * harness (SURVEY §2.7). Partial pushdown, so multi-split parallelism
-    * is preserved. Spark only attempts this when no residual filter
-    * remains; we double-check and also refuse when filters were pushed
-    * (our filter eval is conservative by design).
+  /** OFFSET pushdown is COMPLETE (Spark deletes the Offset node), so it
+    * is sound only when the scan is one partition in file order. We
+    * accept a single listed file — planInputPartitions then pins it to a
+    * single unsplit range — and refuse everything else (multi-file
+    * listings have no global row order for an offset to be exact over;
+    * Spark keeps the Offset itself). Inherently serial, like the
+    * operator's semantics: a paginated reader wants one ordered stream.
+    */
+  override def pushOffset(n: Int): Boolean = {
+    if (countStar || aggSpec.isDefined) return false
+    if (GraftSources.resolvePartitioned(options).files.length != 1) return false
+    offset = n
+    true
+  }
+
+  /** Aggregate pushdown (always PARTIAL — Spark plans the merging final
+    * aggregate, so multi-split parallelism is preserved):
+    *
+    *   - A lone ungrouped COUNT(*) becomes a parse-only scan: every
+    *     partition byte-skips all values (SkipAllCountPlate) and answers
+    *     with one partial-count row that Spark sums — the DSv2 form of
+    *     the row-count harness (SURVEY §2.7).
+    *   - Any other grouped/ungrouped battery of MIN / MAX / COUNT(col) /
+    *     COUNT(*) over atomic top-level columns folds inside the scan
+    *     ([[GraftAgg]]): only the referenced columns are parsed, one
+    *     partial row per group per partition ships out.
+    *
+    * Spark only attempts this when no residual filter remains; we
+    * double-check and also refuse when filters were pushed (our filter
+    * eval is conservative by design). PERMISSIVE mode keeps the COUNT(*)
+    * fast path (which counts corrupt rows explicitly) but refuses the
+    * general battery — a corrupt record's null-filled row cannot be
+    * reproduced from the pruned parse. Drop mode is fine for both: the
+    * inner pruned reader drops exactly the rows the full scan would.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     val fs = agg.aggregateExpressions
-    if (fs.length == 1 && fs(0).isInstanceOf[CountStar]) { countStar = true; true }
-    else false
+    if (agg.groupByExpressions.isEmpty && fs.length == 1 && fs(0).isInstanceOf[CountStar]) {
+      countStar = true
+      return true
+    }
+    val bad = options.getOrDefault("badrecords", "fail")
+    if ("keep".equalsIgnoreCase(bad) || "permissive".equalsIgnoreCase(bad)) return false
+    GraftAgg.translate(agg, fullSchema) match {
+      case Some(s) => aggSpec = Some(s); true
+      case None => false
+    }
   }
 
   /** Sub-variant extraction pushdown (variant shredding for the open-typed
@@ -451,7 +489,7 @@ final class GraftScanBuilder(
 
   override def build(): Scan =
     new GraftScan(required, pushed, options, isJson, limit, countStar,
-      fullSchema = fullSchema)
+      fullSchema = fullSchema, aggSpec = aggSpec, offset = offset)
 }
 
 final class GraftScan(
@@ -461,13 +499,16 @@ final class GraftScan(
     isJson: Boolean,
     limit: Int = -1,
     countStar: Boolean = false,
-    fullSchema: StructType = StructType(Nil))
+    fullSchema: StructType = StructType(Nil),
+    aggSpec: Option[GraftAgg.Spec] = None,
+    offset: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
-    if (countStar) GraftScan.CountSchema else schema
+    if (countStar) GraftScan.CountSchema
+    else aggSpec.map(_.outputSchema).getOrElse(schema)
 
   // ---- runtime filtering: DSv2 dynamic partition pruning. Spark feeds
   // the build side's join-key values (an In filter) into the scan at
@@ -509,7 +550,9 @@ final class GraftScan(
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
       s" pushed=[${filters.mkString(", ")}]" +
       (if (limit >= 0) s", limit=$limit" else "") +
-      (if (countStar) ", countStar" else "") + ")"
+      (if (offset >= 0) s", offset=$offset" else "") +
+      (if (countStar) ", countStar" else "") +
+      aggSpec.map(s => s", pushedAgg=[$s]").getOrElse("") + ")"
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new SkippedBytesMetric)
@@ -562,7 +605,9 @@ final class GraftScan(
       (isJson && GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream) ||
       (!isJson && options.getBoolean("splittable", false))
     pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
-      if (!splittable || len <= maxSplit)
+      // a pushed OFFSET requires one partition in file order (the builder
+      // already guaranteed a single file; never split it)
+      if (!splittable || offset >= 0 || len <= maxSplit)
         Seq(GraftInputPartition(p, 0, len, len, pv))
       else
         (0L until len by maxSplit).map { start =>
@@ -573,10 +618,13 @@ final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+    // with a pushed aggregate battery the row readers parse only the
+    // referenced columns; the aggregating wrapper folds their rows
+    val rowSchema = aggSpec.map(_.parseSchema(fullSchema)).getOrElse(schema)
     // required-schema slots served from hive-style partition values:
     // (output index, index into the file's partValues, target type)
     val partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] =
-      schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      rowSchema.fields.zipWithIndex.flatMap { case (f, i) =>
         val pi = listing.partCols.indexOf(f.name)
         if (pi >= 0) Some((i, pi, f.dataType)) else None
       }
@@ -596,19 +644,30 @@ final class GraftScan(
         if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
         GraftSources.csvConfig(options.asCaseSensitiveMap()),
         dropMalformed = dropMalformed, countMalformed = keepMalformed)
-    else if (isJson)
-      new GraftJsonReaderFactory(schema, plateFilters, conf,
-        GraftSources.jsonMode(options.asCaseSensitiveMap()),
-        dropMalformed = dropMalformed,
-        limit = limit, partSpec = partSpec,
-        corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null)
     else {
-      // byte-range splits past 0 cannot re-read the file's header row:
-      // hand them the column order (the data part of the table schema)
-      val dataCols = fullSchema.fieldNames.filterNot(partNames.contains)
-      new GraftCsvReaderFactory(schema, plateFilters, conf,
-        GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
-        partSpec = partSpec, fullDataCols = dataCols)
+      val rowFactory: PartitionReaderFactory =
+        if (isJson)
+          new GraftJsonReaderFactory(rowSchema, plateFilters, conf,
+            GraftSources.jsonMode(options.asCaseSensitiveMap()),
+            dropMalformed = dropMalformed,
+            limit = limit, partSpec = partSpec,
+            corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null)
+        else {
+          // byte-range splits past 0 cannot re-read the file's header row:
+          // hand them the column order (the data part of the table schema)
+          val dataCols = fullSchema.fieldNames.filterNot(partNames.contains)
+          new GraftCsvReaderFactory(rowSchema, plateFilters, conf,
+            GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
+            partSpec = partSpec, fullDataCols = dataCols)
+        }
+      aggSpec match {
+        case Some(spec) =>
+          new GraftAggReaderFactory(rowFactory, rowSchema, spec,
+            maxGroups = options.getInt("aggmaxgroups", 1 << 16))
+        case None =>
+          if (offset > 0) new GraftOffsetReaderFactory(rowFactory, offset)
+          else rowFactory
+      }
     }
   }
 }
@@ -675,6 +734,32 @@ final class GraftCsvReaderFactory(
     new GraftCsvColumnarReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
       limit, partSpec, fullDataCols)
+}
+
+/** OFFSET pushdown: drops the first `offset` rows of the (single) input
+  * partition — sound because the builder only accepts the pushdown for a
+  * one-file listing and planInputPartitions never splits it. When Spark
+  * pushes LIMIT alongside, it pushes limit+offset into the parser, so the
+  * stream this wrapper trims is exactly rows [offset, offset+limit).
+  */
+final class GraftOffsetReaderFactory(
+    inner: PartitionReaderFactory,
+    offset: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private var dropped = 0
+      override def next(): Boolean = {
+        while (dropped < offset) {
+          if (!r.next()) return false
+          dropped += 1
+        }
+        r.next()
+      }
+      override def get(): InternalRow = r.get()
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
 /** COUNT(*) pushdown: parse-only partial counts, one row per partition.

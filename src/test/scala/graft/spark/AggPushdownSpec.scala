@@ -1,0 +1,149 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Grouped / MIN / MAX / COUNT(col) aggregate pushdown: the battery folds
+  * inside the scan (plan shows pushedAgg + no full-row materialization),
+  * answers match spark.read.json on the same fixture, and unsupported
+  * shapes are refused (parity with the unpushed plan either way).
+  */
+class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("agg-pushdown-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft-aggpush")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(UTF_8))
+    p.toString
+  }
+
+  // nulls + missing keys exercise COUNT(col) vs COUNT(*) and min/max
+  // null-skipping; grp has modest cardinality for the grouped battery
+  private val fixture: String = (1 to 60).map { i =>
+    val score = if (i % 7 == 0) "null" else (i * 1.5).toString
+    val name = if (i % 11 == 0) "" else s""", "name": "item${i % 13}""""
+    s"""{"id": $i, "grp": ${i % 4}, "score": $score$name}"""
+  }.mkString("\n") + "\n"
+
+  // aggregates plan through AQE: flatten AdaptiveSparkPlanExec / query
+  // stages so the collector sees the BatchScanExec inside
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def scans(df: DataFrame): Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+    flatten(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+
+  private def scanDescr(df: DataFrame): String =
+    scans(df).map(_.scan.description()).mkString("\n")
+
+  test("ungrouped min/max/count battery is pushed and exact") {
+    val p = write("ungrouped.json", fixture)
+    def agg(df: DataFrame): DataFrame = df.agg(
+      min("score").as("mn"), max("score").as("mx"),
+      count("name").as("cn"), count(lit(1)).as("cs"),
+      min("name").as("mnn"), max("id").as("mxi"))
+    val ours = agg(spark.read.format("graft-json").load(p))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    // the pushed scan's read schema is the partial-agg shape, not rows
+    assert(scans(ours).head.scan.readSchema().length == 6)
+    assert(ours.collect().toSeq == agg(spark.read.json(p)).collect().toSeq)
+  }
+
+  test("grouped battery is pushed, split-parallel, and exact") {
+    val p = write("grouped.json", fixture)
+    def agg(df: DataFrame): DataFrame = df.groupBy("grp").agg(
+      count(lit(1)).as("cs"), count("score").as("cn"),
+      min("score").as("mn"), max("score").as("mx"))
+      .orderBy("grp")
+    val oursDf = spark.read.format("graft-json")
+      .option("maxsplitbytes", "512").load(p) // several byte-range splits
+    val ours = agg(oursDf)
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    assert(ours.collect().toSeq == agg(spark.read.json(p)).collect().toSeq)
+  }
+
+  test("group-state cap degrades to singleton partials, still exact") {
+    val p = write("cap.json", fixture)
+    def agg(df: DataFrame): DataFrame = df.groupBy("id").agg(
+      count(lit(1)).as("cs"), max("score").as("mx")).orderBy("id")
+    // cap of 4 forces the overflow path on a 60-group key
+    val ours = agg(spark.read.format("graft-json").option("aggmaxgroups", "4").load(p))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    assert(ours.collect().toSeq == agg(spark.read.json(p)).collect().toSeq)
+  }
+
+  test("lone COUNT(*) keeps the parse-only fast path") {
+    val p = write("countstar.json", fixture)
+    val ours = spark.read.format("graft-json").load(p).agg(count(lit(1)))
+    assert(scanDescr(ours).contains("countStar"), scanDescr(ours))
+    assert(ours.collect().head.getLong(0) == 60L)
+  }
+
+  test("refusals: distinct, avg, nested column, pushed filter — all stay exact") {
+    val p = write("refuse.json", fixture)
+    val g = spark.read.format("graft-json").load(p)
+    val j = spark.read.json(p)
+
+    // distinct count: not partial-pushable
+    val d = g.agg(countDistinct("grp").as("d"))
+    assert(!scanDescr(d).contains("pushedAgg"), scanDescr(d))
+    assert(d.collect().toSeq == j.agg(countDistinct("grp").as("d")).collect().toSeq)
+
+    // avg: refused (we only push splittable min/max/count)
+    val a = g.agg(avg("score").as("a"))
+    assert(!scanDescr(a).contains("pushedAgg"), scanDescr(a))
+    assert(a.collect().toSeq == j.agg(avg("score").as("a")).collect().toSeq)
+
+    // a filter above the scan blocks aggregate pushdown (residual filter)
+    val f = g.filter(col("id") > 30).groupBy("grp").agg(max("score").as("mx")).orderBy("grp")
+    assert(!scanDescr(f).contains("pushedAgg"), scanDescr(f))
+    assert(f.collect().toSeq ==
+      j.filter(col("id") > 30).groupBy("grp").agg(max("score").as("mx")).orderBy("grp").collect().toSeq)
+  }
+
+  test("grouped battery over a hive partition column is pushed and exact") {
+    val root = Files.createTempDirectory("graft-aggpart")
+    for (r <- Seq("eu", "us")) {
+      val d = root.resolve(s"region=$r")
+      Files.createDirectories(d)
+      val rows = (1 to 20).map(i => s"""{"v": ${i * (if (r == "eu") 1 else 100)}}""")
+      Files.write(d.resolve("part.json"), rows.mkString("\n").getBytes(UTF_8))
+    }
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("region").agg(min("v").as("mn"), max("v").as("mx"),
+        count(lit(1)).as("c")).orderBy("region")
+    val ours = agg(spark.read.format("graft-json").load(root.toString))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    assert(ours.collect().toSeq ==
+      agg(spark.read.json(root.toString)).collect().toSeq)
+  }
+}
