@@ -9,8 +9,8 @@ final case class MediaRow(doc_id: Long, source: String, media: Array[Byte])
 final case class DecodedMedia(
     doc_id: Long, source: String, width: Int, height: Int, n_bytes: Long, fp: String)
 final case class FrameRow(doc_id: Long, source: String, frame: String)
-final case class ResizedFrame(
-    doc_id: Long, source: String, fp: String, width: Int, height: Int)
+final case class PooledFrame(
+    doc_id: Long, source: String, q00: Long, q01: Long, q10: Long, q11: Long)
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
@@ -549,48 +549,63 @@ object Pipeline {
             ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q40
-  // Multimodal columns: media as opaque binary + typed metadata, with the
-  // decode/feature-extract step as a per-partition batch stub (image/audio
-  // codecs are absent in this container — a real deployment swaps the stub
-  // body for the codec call; the Spark-side plumbing — binary column,
-  // Dataset encoders, partition-batched decode, downstream relational use —
-  // is real). The stub derives fake dimensions from the payload md5, which
-  // the DuckDB oracle reproduces exactly.
+  // Multimodal columns: media as an opaque binary column + typed metadata,
+  // decoded by a REAL header parser ([[graft.functions.ImageHeaders]] —
+  // PNG IHDR / JPEG SOF dimension extraction per the public format specs,
+  // validated against JDK ImageIO output in ImageHeadersSpec). The sandbox
+  // ships no image files, so each document fabricates a structurally valid
+  // PNG or JFIF payload whose dims/size derive from its own fields; the
+  // oracle recomputes those formulas directly, so the gate is exact — a
+  // decoder that misread the header bytes would break the hash match.
+  // Shape at 100 TB: one decoder pass per partition over header bytes
+  // only; full pixel decode would slot into the same mapPartitions batch.
   private val q40 = GQuery(
-    "q40_multimodal_decode_stub",
-    "binary media column + partition-batched decode stub + typed metadata",
+    "q40_multimodal_decode",
+    "binary media column + partition-batched real PNG/JPEG header decode",
     (s, d) => {
       import s.implicits._
       val media = T(s, d, "documents")
         .select($"doc_id".cast("long").as("doc_id"), $"source",
-          encode($"text", "utf-8").as("media"))
-        .as[MediaRow]
+          $"doc_id".cast("long").as("did"), $"n_chars".cast("long").as("nc"))
+        .as[(Long, String, Long, Long)]
+        .mapPartitions { rows =>
+          rows.map { case (id, src, did, nc) =>
+            val w = (nc % 61 + 16).toInt
+            val h = (did % 47 + 16).toInt
+            val pad = (nc % 101).toInt
+            val bytes =
+              if (did % 2 == 0) graft.functions.ImageHeaders.syntheticPng(w, h, pad)
+              else graft.functions.ImageHeaders.syntheticJpeg(w, h, pad)
+            MediaRow(id, src, bytes)
+          }
+        }
       val decoded = media.mapPartitions { rows =>
-        // STUB decode (deterministic fake): md5 the payload, read "dims"
-        // from the first two hex chars. Real codecs slot in here, one
-        // MessageDigest/decoder instance per partition (batch shape).
-        val digest = java.security.MessageDigest.getInstance("MD5")
+        // real decode: walk the container structure, read dims from the
+        // header bytes — one decoder per partition (batch shape)
         rows.map { m =>
-          digest.reset()
-          val hex = digest.digest(m.media).map(b => f"$b%02x").mkString
-          DecodedMedia(m.doc_id, m.source, hex.charAt(0).toInt, hex.charAt(1).toInt,
-            m.media.length.toLong, hex)
+          val (fmt, w, h) = graft.functions.ImageHeaders.decodeDims(m.media)
+            .getOrElse(throw new IllegalArgumentException(
+              s"undecodable media for doc ${m.doc_id}"))
+          DecodedMedia(m.doc_id, m.source, w, h, m.media.length.toLong, fmt)
         }
       }
       decoded.toDF()
         .groupBy($"source")
         .agg(
+          count(lit(1)).as("n_media"),
           sum($"n_bytes").as("total_bytes"),
           round(avg($"width"), 4).as("avg_w"),
           round(avg($"height"), 4).as("avg_h"),
-          count_distinct($"fp").as("n_media"))
+          sum(when($"fp" === "png", 1L).otherwise(0L)).as("n_png"))
         .orderBy($"source")
     },
     Some("""SELECT source,
-                   CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-                   round(avg(ascii(substring(md5(text), 1, 1))), 4) AS avg_w,
-                   round(avg(ascii(substring(md5(text), 2, 1))), 4) AS avg_h,
-                   count(DISTINCT md5(text)) AS n_media
+                   count(*) AS n_media,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 39 END
+                            + n_chars % 101) AS BIGINT) AS total_bytes,
+                   round(avg(n_chars % 61 + 16), 4) AS avg_w,
+                   round(avg(doc_id % 47 + 16), 4) AS avg_h,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png
             FROM documents
             GROUP BY source
             ORDER BY source"""))
@@ -646,13 +661,16 @@ object Pipeline {
   // ---------------------------------------------------------------- q56
   // Multimodal frame pipeline: treat each document's payload as a "video",
   // sample every 4th 16-byte frame (declarative explode — codegen'd, no
-  // serde), then run the "resize" step as a partition-batched typed stub
-  // (one codec instance per partition; a real deployment swaps the md5
-  // stand-in for the decoder+scaler call). Frame slicing, sampling stride,
-  // and the per-partition batch shape are real; only the codec is fake.
+  // serde), then run a REAL resize on each frame: the 16 bytes are a 4x4
+  // grayscale tile, average-pooled 2x2 (integer mean of each quadrant) —
+  // the exact arithmetic of a box-filter downscale, one scaler per
+  // partition. Frame slicing, sampling stride, batch shape, and the
+  // pooling math are all real; only the container parsing is elided (the
+  // "frames" come from text bytes, which are ASCII in this corpus, so the
+  // DuckDB oracle reproduces the integer pooling per character).
   private val q56 = GQuery(
     "q56_multimodal_framesample",
-    "frame-sample (every 4th 16-byte frame) + partition-batched resize stub",
+    "frame-sample (every 4th 16-byte frame) + partition-batched 4x4→2x2 average-pool resize",
     (s, d) => {
       import s.implicits._
       val frames = T(s, d, "documents")
@@ -664,35 +682,46 @@ object Pipeline {
           expr("substring(text, CAST(fidx*64+1 AS INT), 16)").as("frame"))
         .as[FrameRow]
       val resized = frames.mapPartitions { it =>
-        // STUB resize: md5 the frame, derive target dims from the first two
-        // hex chars — the partition-batched shape a real scaler would use
-        val digest = java.security.MessageDigest.getInstance("MD5")
+        // real 2x2 average-pool of the 4x4 tile (row-major bytes): the
+        // partition-batched shape a decoder+scaler pipeline uses
         it.map { f =>
-          digest.reset()
-          val hex = digest.digest(f.frame.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-          ResizedFrame(f.doc_id, f.source, hex,
-            hex.charAt(0).toInt % 8 + 1, hex.charAt(1).toInt % 8 + 1)
+          val b = f.frame.getBytes("UTF-8")
+          def pool(r: Int, c: Int): Long = {
+            val i = r * 8 + c * 2 // top-left of the 2x2 quadrant, row stride 4
+            (b(i) + b(i + 1) + b(i + 4) + b(i + 5)).toLong / 4L
+          }
+          PooledFrame(f.doc_id, f.source, pool(0, 0), pool(0, 1), pool(1, 0), pool(1, 1))
         }
       }
       resized.toDF()
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_frames"),
-          count_distinct($"fp").as("n_uniq"),
-          round(avg($"width"), 4).as("avg_w"),
-          round(avg($"height"), 4).as("avg_h"))
+          sum($"q00").as("s00"), sum($"q01").as("s01"),
+          sum($"q10").as("s10"), sum($"q11").as("s11"))
         .orderBy($"source")
     },
     Some("""WITH f AS (
               SELECT doc_id, source,
-                     md5(substring(text, CAST(g*64+1 AS BIGINT), 16)) AS fp
+                     substring(text, CAST(g*64+1 AS BIGINT), 16) AS fr
               FROM documents,
                    unnest(generate_series(0, CAST(floor((strlen(text)-16)/64) AS BIGINT))) AS t(g)
-              WHERE strlen(text) >= 16)
-            SELECT source, count(*) AS n_frames, count(DISTINCT fp) AS n_uniq,
-                   round(avg(ascii(substring(fp, 1, 1)) % 8 + 1), 4) AS avg_w,
-                   round(avg(ascii(substring(fp, 2, 1)) % 8 + 1), 4) AS avg_h
-            FROM f
+              WHERE strlen(text) >= 16),
+            p AS (
+              SELECT source,
+                     (ascii(substring(fr,1,1))+ascii(substring(fr,2,1))
+                      +ascii(substring(fr,5,1))+ascii(substring(fr,6,1))) // 4 AS q00,
+                     (ascii(substring(fr,3,1))+ascii(substring(fr,4,1))
+                      +ascii(substring(fr,7,1))+ascii(substring(fr,8,1))) // 4 AS q01,
+                     (ascii(substring(fr,9,1))+ascii(substring(fr,10,1))
+                      +ascii(substring(fr,13,1))+ascii(substring(fr,14,1))) // 4 AS q10,
+                     (ascii(substring(fr,11,1))+ascii(substring(fr,12,1))
+                      +ascii(substring(fr,15,1))+ascii(substring(fr,16,1))) // 4 AS q11
+              FROM f)
+            SELECT source, count(*) AS n_frames,
+                   CAST(sum(q00) AS BIGINT) AS s00, CAST(sum(q01) AS BIGINT) AS s01,
+                   CAST(sum(q10) AS BIGINT) AS s10, CAST(sum(q11) AS BIGINT) AS s11
+            FROM p
             GROUP BY source
             ORDER BY source"""))
 
