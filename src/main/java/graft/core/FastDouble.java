@@ -146,4 +146,47 @@ public final class FastDouble {
     private static double slow(CharSequence t) {
         return Double.parseDouble(t.toString());
     }
+
+    /**
+     * Byte-slice specialization of {@link #parse(CharSequence, int, int)}
+     * for the parser's zero-copy views: identical logic over the raw
+     * buffer (no per-digit virtual {@code charAt}); {@code decIdx}/{@code
+     * expIdx} are relative to {@code off}. Bit-identical results
+     * (FastDoubleSpec covers both entry points).
+     */
+    public static double parse(byte[] b, int off, int n, int decIdx, int expIdx) {
+        boolean neg = b[off] == '-';
+        int digEnd = expIdx >= 0 ? expIdx : n;
+        long w = 0;
+        int sig = 0;
+        for (int j = neg ? 1 : 0; j < digEnd; j++) {
+            byte c = b[off + j];
+            if (c == '.') continue;
+            if (sig == 0 && c == '0') continue;
+            if (sig == 19) return slowBytes(b, off, n);
+            w = w * 10 + (c - '0');
+            sig++;
+        }
+        int q = decIdx >= 0 ? -(digEnd - decIdx - 1) : 0;
+        if (expIdx >= 0) {
+            int j = expIdx + 1;
+            byte c = b[off + j];
+            boolean eneg = c == '-';
+            if (c == '-' || c == '+') j++;
+            long e = 0;
+            for (; j < n && e < 100000; j++) e = e * 10 + (b[off + j] - '0');
+            q += (int) (eneg ? -e : e);
+        }
+        if (w >>> 53 == 0 && q >= -22 && q <= 22) {
+            double v = q >= 0 ? (double) w * POW10D[q] : (double) w / POW10D[-q];
+            return neg ? -v : v;
+        }
+        double r = tryEiselLemire(w, q, neg);
+        return Double.isNaN(r) ? slowBytes(b, off, n) : r;
+    }
+
+    private static double slowBytes(byte[] b, int off, int n) {
+        // number tokens are pure ASCII: a latin-1 String copy is exact
+        return Double.parseDouble(new String(b, off, n, java.nio.charset.StandardCharsets.ISO_8859_1));
+    }
 }

@@ -43,9 +43,10 @@ object ProfParse {
       val on = args.contains("skipon")
       val d = SkipBench.profCorpus()
       val mb = d.length / 1e6
+      val iters = args.find(_.startsWith("n=")).map(_.drop(2).toInt).getOrElse(40)
       var i = 0
       var best = Double.MaxValue
-      while (i < 40) {
+      while (i < iters) {
         val t0 = System.nanoTime()
         SkipBench.profParse(d, on)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)

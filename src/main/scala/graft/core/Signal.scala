@@ -13,6 +13,15 @@ package graft.core
   *  - [[Signal.Terminate]]  halt the parse immediately with an error
   *  - [[Signal.BreakBatch]] abbreviate the current batch at the next row
   *                          boundary (backpressure / partial results)
+  *  - [[Signal.FinishRow]]  saturation pushdown (beyond the reference's
+  *                          signal set): every value the consumer needs
+  *                          from this row has arrived — byte-skip the
+  *                          remainder, then finish (KEEP) the row. A
+  *                          consumer may only return it when its own frame
+  *                          state is back at the row root. Note: fields
+  *                          repeated AFTER saturation keep the first
+  *                          occurrence (RFC 8259 leaves duplicate-name
+  *                          behavior undefined; signals are hints).
   */
 sealed abstract class Signal(final val ordinal: Int)
 
@@ -22,6 +31,7 @@ object Signal {
   case object SkipRow extends Signal(-2)
   case object Terminate extends Signal(3)
   case object BreakBatch extends Signal(4)
+  case object FinishRow extends Signal(5)
 
   /** Commutative meet of two consumers' wishes (used when one event stream
     * feeds several plates, cf. [[MultiplexingPlate]]): equal signals agree;

@@ -184,9 +184,24 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   /** Common handling for SkipRow / BreakBatch / Terminate from any event. */
   private[this] def handleRowSignals(s: Signal): Unit =
     if (s eq Signal.SkipRow) beginRowSkip()
+    else if (s eq Signal.FinishRow) beginFinishRowSkip()
     else if (s eq Signal.BreakBatch) abbreviate = true
     else if (s eq Signal.Terminate)
       die(curr, "parse terminated by consumer (Signal.Terminate)")
+
+  /** Saturation pushdown: the plate has every value it needs from this
+    * row — byte-skip the remaining fields in one scan (same machinery as
+    * SkipRow) and then KEEP the row (finishRow fires after the skip).
+    */
+  private[this] var finishAfterRowSkip = false
+  private[this] def beginFinishRowSkip(): Unit =
+    if (depth > 0) { // at depth 0 the row is already complete: nothing to do
+      finishAfterRowSkip = true
+      skipMode = SkipRowMode
+      skipPhase = SkContainer
+      skipRel = 0
+      skipRelTarget = -depth
+    }
 
   private[this] def beginRowSkip(): Unit = {
     if (depth == 0) {
@@ -299,11 +314,35 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   private[this] def parseValueStringToken(): CharSequence = parseViewOr(valueView)
 
   private[this] def parseViewOr(view: ByteSliceCharSeq): CharSequence = {
+    val buf = data
+    val limit = len
     var i = curr + 1
-    while (i < len) {
-      val b = data(i)
+    // SWAR hop: one word op classifies 8 bytes — the first '"', '\\',
+    // control, or >= 0x80 byte is located by trailing-zero count. Short
+    // keys (the dominant emit-path string traffic) resolve in ONE word.
+    while (i + 8 <= limit) {
+      val w = JsonParser.readLongLE(buf, i)
+      val special =
+        JsonParser.swarZeros(w ^ JsonParser.BcQuote) |
+        JsonParser.swarZeros(w ^ JsonParser.BcBackslash) |
+        ((w - JsonParser.BcCtrl) & ~w & JsonParser.BcHigh) | // ascii byte < 0x20
+        (w & JsonParser.BcHigh)                              // byte >= 0x80
+      if (special == 0L) i += 8
+      else {
+        val j = i + (java.lang.Long.numberOfTrailingZeros(special) >>> 3)
+        if (buf(j) == '"') {
+          view.set(buf, curr + 1, j - curr - 1)
+          curr = j + 1
+          return view
+        }
+        // escape / control / multi-byte UTF-8 -> full decode path
+        return parseStringToken()
+      }
+    }
+    while (i < limit) {
+      val b = buf(i)
       if (b == '"') {
-        view.set(data, curr + 1, i - curr - 1)
+        view.set(buf, curr + 1, i - curr - 1)
         curr = i + 1
         return view
       }
@@ -653,6 +692,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
 
   private[this] def finishRowSkip(): Unit = {
     skipMode = SkipNone
+    if (finishAfterRowSkip) { finishAfterRowSkip = false; plate.finishRow() }
     rowDoneAfterSkip()
   }
 }
@@ -670,6 +710,7 @@ object JsonParser {
   private[json] final val BcClose     = 0x7D7D7D7D7D7D7D7DL // '}' and (folded) ']'
   private[json] final val BcBackslash = 0x5C5C5C5C5C5C5C5CL // '\\'
   private[json] final val BcHigh      = 0x8080808080808080L // lane high bits
+  private[json] final val BcCtrl      = 0x2020202020202020L // lt-compare threshold 0x20
 
   sealed trait Mode
   /** Whitespace-separated top-level values; each value is a row. */

@@ -19,7 +19,11 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   */
 final class ColumnarPlate(
     schema: StructType,
-    filters: Array[Filter]) extends Plate[Long] {
+    filters: Array[Filter],
+    // saturation pushdown (Signal.FinishRow) elides validation of the row
+    // tail; readers that must fully validate rows (dropMalformed) turn it
+    // off — see RowPlate's twin flag
+    saturate: Boolean = true) extends Plate[Long] {
 
   private[this] val numCols = schema.length
   private[this] val types: Array[DataType] = schema.fields.map(_.dataType)
@@ -29,6 +33,17 @@ final class ColumnarPlate(
   private[this] var vectors: Array[OnHeapColumnVector] = allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
+  // count of distinct top-level columns filled this row; when it reaches
+  // numCols the row is SATURATED and unnest answers Signal.FinishRow (the
+  // parser byte-skips the remaining fields in one scan)
+  private[this] var seenCnt = 0
+  private[this] val canSaturate = saturate && numCols > 0
+
+  @inline private[this] def markSeen(idx: Int): Unit = {
+    // targetIdx only yields unseen columns, so every mark is a first mark
+    seen(idx) = true
+    seenCnt += 1
+  }
 
   // nesting state: depth inside the current row; the open column index
   private[this] var depth = 0
@@ -169,7 +184,11 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
-      if (depth == 0) curIdx = -1
+      if (depth == 0) {
+        curIdx = -1
+        // row saturated: every schema column present — skip the rest
+        if (canSaturate && seenCnt == numCols) return Signal.FinishRow
+      }
     }
     Signal.Continue
   }
@@ -189,6 +208,7 @@ final class ColumnarPlate(
       case Some(fs) if fs.exists(FilterEval.definitelyFails(_, value)) =>
         // abandon the partial row: the parser suppresses its finishRow
         java.util.Arrays.fill(seen, false)
+        seenCnt = 0
         depth = 0; curIdx = -1; skipPending = false; fieldPos = 0
         Signal.SkipRow
       case _ => Signal.Continue
@@ -201,7 +221,7 @@ final class ColumnarPlate(
 
   def nul(): Signal = {
     val idx = targetIdx
-    if (idx >= 0) { seen(idx) = true; ensureCapacity(); vectors(idx).putNull(rows) }
+    if (idx >= 0) { markSeen(idx); ensureCapacity(); vectors(idx).putNull(rows) }
     Signal.Continue
   }
 
@@ -210,11 +230,11 @@ final class ColumnarPlate(
     if (idx >= 0) {
       ensureCapacity()
       types(idx) match {
-        case BooleanType => vectors(idx).putBoolean(rows, b); seen(idx) = true
+        case BooleanType => vectors(idx).putBoolean(rows, b); markSeen(idx)
         case StringType =>
           vectors(idx).putByteArray(rows, (if (b) "true" else "false").getBytes)
-          seen(idx) = true
-        case _ => vectors(idx).putNull(rows); seen(idx) = true
+          markSeen(idx)
+        case _ => vectors(idx).putNull(rows); markSeen(idx)
       }
       checkFilterAny(idx, java.lang.Boolean.valueOf(b))
     } else Signal.Continue
@@ -225,7 +245,7 @@ final class ColumnarPlate(
 
   def map(): Signal = {
     val idx = targetIdx
-    if (idx >= 0) { seen(idx) = true; ensureCapacity(); vectors(idx).putNull(rows) }
+    if (idx >= 0) { markSeen(idx); ensureCapacity(); vectors(idx).putNull(rows) }
     Signal.Continue
   }
   def arr(): Signal = map()
@@ -234,7 +254,7 @@ final class ColumnarPlate(
     val idx = targetIdx
     if (idx >= 0) {
       ensureCapacity()
-      seen(idx) = true
+      markSeen(idx)
       try types(idx) match {
         case LongType if decIdx < 0 && expIdx < 0 =>
           val v = s match {
@@ -253,7 +273,11 @@ final class ColumnarPlate(
         case DoubleType =>
           // exactly-rounded conversion off the zero-copy view (FastDouble:
           // Clinger/Eisel-Lemire; parseDouble only on the rare hard cases)
-          val v = graft.core.FastDouble.parse(s, decIdx, expIdx)
+          val v = s match {
+            case b: ByteSliceCharSeq =>
+              graft.core.FastDouble.parse(b.bytes, b.offset, b.length, decIdx, expIdx)
+            case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
+          }
           vectors(idx).putDouble(rows, v)
           return checkFilterAny(idx, java.lang.Double.valueOf(v))
         case FloatType =>
@@ -271,7 +295,7 @@ final class ColumnarPlate(
     val idx = targetIdx
     if (idx >= 0) {
       ensureCapacity()
-      seen(idx) = true
+      markSeen(idx)
       try types(idx) match {
         case StringType => s match {
           case v: ByteSliceCharSeq =>
@@ -328,6 +352,7 @@ final class ColumnarPlate(
       rowCount += 1
     }
     java.util.Arrays.fill(seen, false)
+    seenCnt = 0
     depth = 0
     curIdx = -1
     skipPending = false
@@ -342,7 +367,9 @@ final class ColumnarPlate(
     * the next row at the same index.
     */
   def abandonPartialRow(): Unit = {
+    seenCnt = 0
     java.util.Arrays.fill(seen, false)
+    seenCnt = 0
     depth = 0
     curIdx = -1
     skipPending = false

@@ -1046,7 +1046,9 @@ final class GraftJsonColumnarReader(
   // the columnar plate's own finishRow bookkeeping being per-row
   private var plate: ColumnarPlate = null
   private def mkParser(): JsonParser[Long] = {
-    if (plate == null) plate = new ColumnarPlate(schema, filters)
+    if (plate == null)
+      // drop mode needs full per-row validation: no saturation elision
+      plate = new ColumnarPlate(schema, filters, saturate = !dropMalformed)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -1167,7 +1169,10 @@ final class GraftJsonPartitionReader(
         pathPlate
       case None if variantMode => new VariantRowPlate(queue.append(_))
       case None =>
-        rowPlate = new RowPlate(schema, filters, r => queue.append(stamp(r)))
+        // corrupt-capture / drop modes need full per-row validation, which
+        // the saturation skip's error-check elision would subvert
+        rowPlate = new RowPlate(schema, filters, r => queue.append(stamp(r)),
+          saturate = !dropMalformed && corruptCol == null)
         rowPlate
     }
     new JsonParser(plate, mode)

@@ -38,7 +38,12 @@ import scala.collection.mutable
 final class RowPlate(
     schema: StructType,
     filters: Array[Filter],
-    push: InternalRow => Unit) extends Plate[Long] {
+    push: InternalRow => Unit,
+    // saturation pushdown (Signal.FinishRow) rides the skip scanner, which
+    // elides structural validation of the row tail — readers that must
+    // fully validate each row (PERMISSIVE corrupt capture, dropMalformed)
+    // turn it off
+    saturate: Boolean = true) extends Plate[Long] {
 
   // frame kinds
   private final val KEmpty = 0
@@ -148,18 +153,41 @@ final class RowPlate(
     // UTF-8 bytes of each order-slot name: the parser's zero-copy key views
     // are verified ASCII slices, so the steady-state compare is one
     // Arrays.equals range check (vectorized intrinsic) on raw bytes instead
-    // of a per-char CharSequence walk
+    // of a per-char CharSequence walk. Keys of <= 8 bytes (the common case
+    // by far) compare as ONE masked little-endian long — Arrays.equals'
+    // vectorized intro costs more than the whole key at these lengths.
     private[this] var orderBytes = new Array[Array[Byte]](cap)
     private[this] var orderCols = new Array[Int](cap)
+    private[this] var orderLen = { val a = new Array[Int](cap); java.util.Arrays.fill(a, -1); a }
+    private[this] var orderPacked = new Array[Long](cap)
+
+    @inline private[this] def packOf(b: Array[Byte], off: Int, n: Int): Long =
+      if (n == 0) 0L // Java's >>> masks the shift to 6 bits: guard n=0
+      else if (off + 8 <= b.length)
+        graft.core.Swar.readLongLE(b, off) & (-1L >>> ((8 - n) << 3))
+      else { // end-of-buffer tail: assemble (rare)
+        var x = 0L
+        var k = n - 1
+        while (k >= 0) { x = (x << 8) | (b(off + k) & 0xffL); k -= 1 }
+        x
+      }
 
     def indexOf(name: CharSequence, pos: Int): Int = {
       if (pos < cap) {
         name match {
           case v: graft.core.ByteSliceCharSeq =>
-            val ob = orderBytes(pos)
-            if (ob != null && java.util.Arrays.equals(
-                ob, 0, ob.length, v.bytes, v.offset, v.offset + v.length))
-              return orderCols(pos)
+            val ol = orderLen(pos)
+            if (ol >= 0) {
+              if (ol <= 8) {
+                if (v.length == ol && packOf(v.bytes, v.offset, ol) == orderPacked(pos))
+                  return orderCols(pos)
+              } else {
+                val ob = orderBytes(pos)
+                if (java.util.Arrays.equals(
+                    ob, 0, ob.length, v.bytes, v.offset, v.offset + v.length))
+                  return orderCols(pos)
+              }
+            }
           case _ =>
             if (orderNames(pos) != null && orderNames(pos).contentEquals(name))
               return orderCols(pos)
@@ -170,15 +198,22 @@ final class RowPlate(
 
     private def indexOfSlow(name: CharSequence, pos: Int): Int = {
       while (pos >= cap) { // grow to cover this key position (amortized)
+        val old = cap
         cap *= 2
         orderNames = java.util.Arrays.copyOf(orderNames, cap)
         orderBytes = java.util.Arrays.copyOf(orderBytes, cap)
         orderCols = java.util.Arrays.copyOf(orderCols, cap)
+        orderLen = java.util.Arrays.copyOf(orderLen, cap)
+        java.util.Arrays.fill(orderLen, old, cap, -1)
+        orderPacked = java.util.Arrays.copyOf(orderPacked, cap)
       }
       @inline def learn(s: String, col: Int): Unit = {
         orderNames(pos) = s
-        orderBytes(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val ob = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        orderBytes(pos) = ob
         orderCols(pos) = col
+        orderLen(pos) = ob.length
+        if (ob.length <= 8) orderPacked(pos) = packOf(ob, 0, ob.length)
       }
       var i = 0
       while (i < names.length) {
@@ -251,6 +286,19 @@ final class RowPlate(
 
   private[this] var rootLookup: StructLookup = null
 
+  // saturation pushdown (Signal.FinishRow): a per-row bitmask of top-level
+  // schema columns that have completed; once ALL are present the parser
+  // can byte-skip the remainder of the row in one scan — under heavy
+  // pruning (narrow schema over wide rows) that collapses the tail of
+  // key-parse/skip cycles into a single SWAR container skip. Schemas wider
+  // than 64 columns simply never saturate (the mask can't fill) — correct,
+  // just without the shortcut.
+  private[this] val fullMask: Long =
+    if (saturate && schema.length >= 1 && schema.length <= 64)
+      -1L >>> (64 - schema.length)
+    else 0L
+  private[this] var seenMask = 0L
+
   private def resetRow(): Unit = {
     sp = 0
     frames(0).reset(schema, -1)
@@ -258,6 +306,7 @@ final class RowPlate(
     frames(0).morphStructWith(schema, rootLookup)
     nodeStack(0) = nestedRoot
     skipPending = false
+    seenMask = 0L
   }
 
   @inline private def top: VFrame = frames(sp)
@@ -405,7 +454,16 @@ final class RowPlate(
       parent.kind match {
         case KStruct =>
           if (f.childIdx >= 0) parent.values(f.childIdx) = v
-          if (parent eq rowFrame) earlyFilter(f.childIdx, v) else Signal.Continue
+          if (parent eq rowFrame) {
+            val s = earlyFilter(f.childIdx, v)
+            if (s ne Signal.Continue) s
+            else {
+              if (f.childIdx >= 0) seenMask |= 1L << f.childIdx
+              // row saturated: every schema column present — skip the rest
+              if (fullMask != 0L && seenMask == fullMask) Signal.FinishRow
+              else Signal.Continue
+            }
+          } else Signal.Continue
         case KArray => parent.buf += v; Signal.Continue
         case KMap   => parent.vals += v; Signal.Continue
         case _      => Signal.Continue
@@ -559,8 +617,13 @@ object Conversions {
       case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(text.toString) else null
       case DoubleType  =>
         // Eisel-Lemire exactly-rounded conversion off the zero-copy view
-        // (falls back to parseDouble internally on the rare hard cases)
-        java.lang.Double.valueOf(graft.core.FastDouble.parse(text, decIdx, expIdx))
+        // (falls back to parseDouble internally on the rare hard cases);
+        // buffer views take the byte-specialized entry (no charAt dispatch)
+        java.lang.Double.valueOf(text match {
+          case v: graft.core.ByteSliceCharSeq =>
+            graft.core.FastDouble.parse(v.bytes, v.offset, v.length, decIdx, expIdx)
+          case _ => graft.core.FastDouble.parse(text, decIdx, expIdx)
+        })
       case FloatType   => java.lang.Float.parseFloat(text.toString)
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))

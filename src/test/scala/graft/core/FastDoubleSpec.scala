@@ -18,7 +18,13 @@ object FastDoubleSpec {
     val (dec, exp) = indicesOf(s)
     val got = FastDouble.parse(s, dec, exp)
     val want = java.lang.Double.parseDouble(s)
+    // the byte-slice entry point must agree bit for bit too (offset != 0
+    // exercises the relative indexing)
+    val padded = ("xx" + s + "x").getBytes("US-ASCII")
+    val gotB = FastDouble.parse(padded, 2, s.length, dec, exp)
     java.lang.Double.doubleToRawLongBits(got) ==
+      java.lang.Double.doubleToRawLongBits(want) &&
+    java.lang.Double.doubleToRawLongBits(gotB) ==
       java.lang.Double.doubleToRawLongBits(want)
   }
 }

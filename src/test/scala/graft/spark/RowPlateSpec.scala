@@ -98,10 +98,17 @@ class RowPlateSpec extends AnyFunSuite {
     assert(plate.totalSkippedBytes > 30, s"skipped=${plate.totalSkippedBytes}")
   }
 
-  test("duplicate keys: first value wins per struct level") {
+  test("duplicate keys: saturation keeps the first, open rows take the last") {
+    // schema saturated by the first `a`: the duplicate is byte-skipped
+    // with the rest of the row (Signal.FinishRow) — first value wins
     val schema = StructType.fromDDL("a LONG")
     val (rows, _) = parse(schema, """{"a": 1, "a": 2}""")
-    // second binding overwrites in our semantics (last write to the slot)
-    assert(rows.head.getLong(0) == 2L)
+    assert(rows.head.getLong(0) == 1L)
+    // an unsaturated row (b never arrives) still parses every binding:
+    // the second write to the slot wins
+    val schema2 = StructType.fromDDL("a LONG, b LONG")
+    val (rows2, _) = parse(schema2, """{"a": 1, "a": 2}""")
+    assert(rows2.head.getLong(0) == 2L)
+    assert(rows2.head.isNullAt(1))
   }
 }

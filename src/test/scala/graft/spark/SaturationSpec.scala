@@ -1,0 +1,94 @@
+package graft.spark
+
+import graft.core.ParseResult
+import graft.core.json.JsonParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Saturation pushdown (Signal.FinishRow): once every schema column has
+  * arrived, the parser byte-skips the rest of the row in one scan and
+  * still KEEPS the row. Checked for both plates, including suspension at
+  * every possible chunk boundary (the skip must checkpoint mid-tail).
+  */
+class SaturationSpec extends AnyFunSuite {
+
+  private val corpus =
+    """{"a": 1, "junk": {"x": [1, 2, "three"], "y": "zzz"}, "tail": "t1", "more": 1.5}
+      |{"junk": "before", "a": 2, "tail": "t2"}
+      |{"a": 3}
+      |{"tail": "only", "junk": 9}
+      |""".stripMargin
+
+  private def rowPlateRows(input: String, chunk: Int): Seq[(Boolean, Long)] = {
+    val schema = StructType.fromDDL("a LONG")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long)]
+    val plate = new RowPlate(schema, Array.empty,
+      r => out += ((r.isNullAt(0), if (r.isNullAt(0)) -1L else r.getLong(0))))
+    val p = new JsonParser(plate, JsonParser.ValueStream)
+    val bytes = input.getBytes("UTF-8")
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(chunk, bytes.length - off)
+      p.absorb(bytes, off, n) match {
+        case ParseResult.Failure(e) => throw e
+        case _ => ()
+      }
+      off += n
+    }
+    p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+    out.toSeq
+  }
+
+  test("RowPlate saturation keeps rows and skips tails at every chunk split") {
+    val want = Seq((false, 1L), (false, 2L), (false, 3L), (true, -1L))
+    for (chunk <- 1 to corpus.length) {
+      assert(rowPlateRows(corpus, chunk) == want, s"chunk=$chunk")
+    }
+  }
+
+  test("RowPlate saturation accounts the skipped tail bytes") {
+    val schema = StructType.fromDDL("a LONG")
+    var rows = 0
+    val plate = new RowPlate(schema, Array.empty, _ => rows += 1)
+    JsonParser.parseAll(corpus, plate, JsonParser.ValueStream)((a: Long, b: Long) => a + b)
+    assert(rows == 4)
+    // row 1's tail alone is > 40 bytes; the junk values of rows 2/4 are
+    // skipped as columns — either way the meter must have moved well past
+    // the per-column skips of the unsaturated formulation
+    assert(plate.totalSkippedBytes > 60, s"skipped=${plate.totalSkippedBytes}")
+  }
+
+  test("ColumnarPlate saturation matches the unsaturated parse exactly") {
+    val schema = StructType.fromDDL("a LONG, tail STRING")
+    def run(saturate: Boolean, chunk: Int): Seq[String] = {
+      val plate = new ColumnarPlate(schema, Array.empty, saturate = saturate)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      val bytes = corpus.getBytes("UTF-8")
+      var off = 0
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drain(): Unit = while (plate.pendingRows > 0) {
+        val b = plate.takeBatch()
+        for (i <- 0 until b.numRows()) {
+          val a = if (b.column(0).isNullAt(i)) "null" else b.column(0).getLong(i).toString
+          val t = if (b.column(1).isNullAt(i)) "null" else b.column(1).getUTF8String(i).toString
+          got += s"$a/$t"
+        }
+      }
+      while (off < bytes.length) {
+        val n = math.min(chunk, bytes.length - off)
+        p.absorb(bytes, off, n) match { case ParseResult.Failure(e) => throw e; case _ => () }
+        drain()
+        off += n
+      }
+      p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+      drain()
+      got.toSeq
+    }
+    val want = Seq("1/t1", "2/t2", "3/null", "null/only")
+    for (chunk <- Seq(1, 3, 7, corpus.length)) {
+      assert(run(saturate = true, chunk) == want, s"saturated chunk=$chunk")
+      assert(run(saturate = false, chunk) == want, s"unsaturated chunk=$chunk")
+    }
+  }
+}
