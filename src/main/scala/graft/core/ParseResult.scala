@@ -47,12 +47,66 @@ sealed trait ParseResult[+A] {
     case ParseResult.Partial(a, _) => a
     case ParseResult.Failure(e)    => throw e
   }
+
+  // ---- typeclass-shaped surface (reference ParseResult.scala:44-133
+  // ships cats Semigroup/Monoid/MonadError/Foldable instances; cats is
+  // not resolvable in this build, so the same OPERATIONS live directly on
+  // the type, law-tested in ParseResultProps — see COVERAGE.md)
+
+  /** MonadError bind: sequence a dependent computation, short-circuiting
+    * failures. Partial's remaining-byte count survives an f that returns
+    * Complete (the stream is still unfinished), and f's own Partial wins
+    * otherwise (the newer suspension).
+    */
+  def flatMap[B](f: A => ParseResult[B]): ParseResult[B] = this match {
+    case ParseResult.Complete(a)    => f(a)
+    case ParseResult.Partial(a, r)  => f(a) match {
+      case ParseResult.Complete(b)  => ParseResult.Partial(b, r)
+      case other                    => other
+    }
+    case fl @ ParseResult.Failure(_) => fl
+  }
+
+  /** MonadError handleErrorWith: recover a failure, pass success through. */
+  def handleErrorWith[B >: A](f: Throwable => ParseResult[B]): ParseResult[B] =
+    this match {
+      case ParseResult.Failure(e) => f(e)
+      case other                  => other
+    }
+
+  /** MonadError attempt: reify the failure channel. */
+  def attempt: ParseResult[Either[Throwable, A]] = this match {
+    case ParseResult.Complete(a)   => ParseResult.Complete(Right(a))
+    case ParseResult.Partial(a, r) => ParseResult.Partial(Right(a), r)
+    case ParseResult.Failure(e)    => ParseResult.Complete(Left(e))
+  }
+
+  /** Foldable over the 0-or-1 carried value. */
+  def foldLeft[B](z: B)(f: (B, A) => B): B = this match {
+    case ParseResult.Failure(_) => z
+    case other                  => f(z, other.unsafeGet)
+  }
+
+  def exists(p: A => Boolean): Boolean = toOption.exists(p)
+  def forall(p: A => Boolean): Boolean = toOption.forall(p)
+  def isFailure: Boolean = this.isInstanceOf[ParseResult.Failure]
 }
 
 object ParseResult {
   final case class Complete[A](value: A) extends ParseResult[A]
   final case class Partial[A](value: A, remaining: Int) extends ParseResult[A]
   final case class Failure(error: Throwable) extends ParseResult[Nothing]
+
+  /** Monad pure / Applicative point. */
+  def pure[A](a: A): ParseResult[A] = Complete(a)
+
+  /** MonadError raiseError. */
+  def raiseError[A](e: Throwable): ParseResult[A] = Failure(e)
+
+  /** Monoid identity for [[combine]] given A's identity: `combine(empty(z),
+    * r)(merge) == r` whenever `merge(z, a) == a` (and symmetrically).
+    */
+  def empty[A](zero: A): ParseResult[A] = Complete(zero)
 
   /** Associative combine (keeps the first failure; Partial dominates
     * Complete on the right so chunk sequences retain "unfinished" status).

@@ -3,12 +3,15 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Exhaustive truth table for the Signal.and meet (the reference pins all
-  * pairs in its SignalSpecs; we cover the full 5x5).
+  * pairs in its SignalSpecs; we cover the full table, including our
+  * FinishRow extension — which only agrees with itself and degrades to
+  * Continue against anything else: keep-and-stop vs any other wish must
+  * keep the event stream flowing so both consumers stay correct).
   */
 class SignalSpec extends AnyFunSuite {
   import Signal._
 
-  private val all = List(Continue, SkipColumn, SkipRow, Terminate, BreakBatch)
+  private val all = List(Continue, SkipColumn, SkipRow, Terminate, BreakBatch, FinishRow)
 
   test("and is reflexive: s and s == s") {
     all.foreach(s => assert(and(s, s) == s))
