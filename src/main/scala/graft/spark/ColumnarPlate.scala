@@ -40,9 +40,14 @@ final class ColumnarPlate(
   private[this] val canSaturate = saturate && numCols > 0
 
   @inline private[this] def markSeen(idx: Int): Unit = {
-    // targetIdx only yields unseen columns, so every mark is a first mark
-    seen(idx) = true
-    seenCnt += 1
+    if (!seen(idx)) {
+      seen(idx) = true
+      seenCnt += 1
+    } else {
+      // duplicate key overwrite (last-wins, matching RowPlate and
+      // spark.read.json): clear a possible null bit from the first binding
+      vectors(idx).putNotNull(rows)
+    }
   }
 
   // nesting state: depth inside the current row; the open column index
@@ -197,7 +202,7 @@ final class ColumnarPlate(
     * the "value" column for bare scalar rows; -1 = not interested.
     */
   @inline private def targetIdx: Int =
-    if (depth == 1 && curIdx >= 0) { if (seen(curIdx)) -1 else curIdx }
+    if (depth == 1 && curIdx >= 0) curIdx // duplicates overwrite: last-wins
     else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) valueColIdx
     else -1
 
@@ -369,7 +374,6 @@ final class ColumnarPlate(
   def abandonPartialRow(): Unit = {
     seenCnt = 0
     java.util.Arrays.fill(seen, false)
-    seenCnt = 0
     depth = 0
     curIdx = -1
     skipPending = false

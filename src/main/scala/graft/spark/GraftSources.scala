@@ -426,6 +426,10 @@ final class GraftScanBuilder(
     */
   override def pushOffset(n: Int): Boolean = {
     if (countStar || aggSpec.isDefined) return false
+    // COMPLETE offset must not reorder past a filter: our pushFilters keeps
+    // every filter as residual (Spark's Filter node stays above the scan),
+    // but that soundness must hold locally — refuse if that ever changes.
+    if (pushed.nonEmpty) return false
     if (GraftSources.resolvePartitioned(options).files.length != 1) return false
     offset = n
     true
@@ -639,6 +643,13 @@ final class GraftScan(
     val keepMalformed = "keep".equalsIgnoreCase(badrecords) ||
       "permissive".equalsIgnoreCase(badrecords)
     val dropMalformed = "drop".equalsIgnoreCase(badrecords) || keepMalformed
+    // saturation pushdown (byte-skip the row tail once every schema column
+    // is bound) trades two parity points for speed: duplicate keys after
+    // saturation keep the FIRST value (unsaturated rows keep last-wins,
+    // matching spark.read.json), and in badrecords=fail mode structural
+    // errors in the skipped tail go undetected. option("saturation","false")
+    // restores exact parity/strict validation at full-parse cost.
+    val saturate = options.getBoolean("saturation", true)
     if (countStar)
       new GraftCountReaderFactory(conf,
         if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
@@ -651,7 +662,8 @@ final class GraftScan(
             GraftSources.jsonMode(options.asCaseSensitiveMap()),
             dropMalformed = dropMalformed,
             limit = limit, partSpec = partSpec,
-            corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null)
+            corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null,
+            saturate = saturate)
         else {
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
@@ -693,12 +705,13 @@ final class GraftJsonReaderFactory(
     dropMalformed: Boolean = false,
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
-    corruptCol: String = null)
+    corruptCol: String = null,
+    saturate: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec, corruptCol)
+      dropMalformed, limit, partSpec, corruptCol, saturate)
 
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
   // partition columns become constant vectors per batch. PERMISSIVE mode
@@ -709,7 +722,7 @@ final class GraftJsonReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec)
+      dropMalformed, limit, partSpec, saturate)
 }
 
 final class GraftCsvReaderFactory(
@@ -1038,7 +1051,8 @@ final class GraftJsonColumnarReader(
     mode: JsonParser.Mode,
     dropMalformed: Boolean = false,
     limit: Int = -1,
-    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty)
+    partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
+    saturate: Boolean = true)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // recovery keeps the SAME plate (its buffered batch holds completed
@@ -1048,7 +1062,7 @@ final class GraftJsonColumnarReader(
   private def mkParser(): JsonParser[Long] = {
     if (plate == null)
       // drop mode needs full per-row validation: no saturation elision
-      plate = new ColumnarPlate(schema, filters, saturate = !dropMalformed)
+      plate = new ColumnarPlate(schema, filters, saturate = saturate && !dropMalformed)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -1128,7 +1142,8 @@ final class GraftJsonPartitionReader(
     dropMalformed: Boolean = false,
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
-    corruptCol: String = null)
+    corruptCol: String = null,
+    saturate: Boolean = true)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -1172,7 +1187,7 @@ final class GraftJsonPartitionReader(
         // corrupt-capture / drop modes need full per-row validation, which
         // the saturation skip's error-check elision would subvert
         rowPlate = new RowPlate(schema, filters, r => queue.append(stamp(r)),
-          saturate = !dropMalformed && corruptCol == null)
+          saturate = saturate && !dropMalformed && corruptCol == null)
         rowPlate
     }
     new JsonParser(plate, mode)

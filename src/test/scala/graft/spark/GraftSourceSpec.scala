@@ -732,4 +732,29 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
     assert(q.recentProgress.length >= 4, "expected one micro-batch per file")
   }
+
+  test("option saturation=false restores last-wins duplicates and strict tails") {
+    // duplicate key AFTER the schema saturates: default keeps the first
+    // binding (the tail is byte-skipped); saturation=false parses the
+    // whole row and keeps Spark's last-wins
+    val p = write("satopt.json", """{"a": 1, "b": 2, "a": 9}""" + "\n")
+    def readA(opts: Map[String, String]): Long = {
+      var r = spark.read.format("graft-json").schema("a LONG, b LONG")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(p).collect().head.getLong(0)
+    }
+    assert(readA(Map.empty) == 1L)
+    assert(readA(Map("saturation" -> "false")) == 9L)
+    // structural garbage after saturation: default (fail mode) is
+    // best-effort on the skipped tail; saturation=false reports it
+    val bad = write("satopt_bad.json", """{"a": 1, "b": 2, zzz}""" + "\n")
+    def rows(opts: Map[String, String]): Int = {
+      var r = spark.read.format("graft-json").schema("a LONG, b LONG")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(bad).collect().length
+    }
+    assert(rows(Map.empty) == 1) // tolerated: tail was byte-skipped
+    val e = intercept[Exception] { rows(Map("saturation" -> "false")) }
+    assert(e.getMessage != null)
+  }
 }
