@@ -171,37 +171,7 @@ object Extensions {
   private val q45 = GQuery(
     "q45_asof_join_skew_resistant",
     "as-of join pre-bucketed by (user, day) with boundary carry-over (hot-key safe)",
-    (s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val e = T(s, d, "events")
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"event_id", $"user_id", $"ts", $"event_type")
-        .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
-        .withColumn("click_id", when($"event_type" === "click", $"event_id"))
-        .withColumn("bucket", expr("unix_micros(ts) div 86400000000")) // day
-      // in-bucket as-of: bounded per (user, day) regardless of user heat
-      val wLocal = Window.partitionBy($"user_id", $"bucket")
-        .orderBy($"ts", $"tag", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = e.withColumn("lc_local", last($"click_id", ignoreNulls = true).over(wLocal))
-      // tiny summary: one row per (user, day) with the bucket's last click
-      val summary = e.groupBy($"user_id", $"bucket")
-        .agg(expr("max_by(click_id, struct(ts, event_id)) FILTER (WHERE click_id IS NOT NULL)")
-          .as("bucket_last_click"))
-      // carry the last click across PRIOR buckets (per-user window over the
-      // summary only: rows-per-user = active days, never the event count)
-      val wCarry = Window.partitionBy($"user_id").orderBy($"bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carried = summary.withColumn(
-        "carry", last($"bucket_last_click", ignoreNulls = true).over(wCarry))
-        .select($"user_id", $"bucket", $"carry")
-      local.join(carried, Seq("user_id", "bucket"))
-        .filter($"tag" === 1)
-        .select($"event_id".as("purchase_id"),
-          coalesce($"lc_local", $"carry", lit(-1L)).as("last_click_id"))
-        .orderBy($"purchase_id")
-    },
+    (s, d) => Relational.asofBucketed(s, d),
     Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
               SELECT p.event_id AS purchase_id, c.event_id AS c_id,
                      row_number() OVER (PARTITION BY p.event_id

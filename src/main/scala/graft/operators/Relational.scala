@@ -18,6 +18,50 @@ object Relational {
 
   private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** Shared body of q08/q45: as-of join via (user, day)-bucketed union +
+    * window, hot-key safe. The big window runs per (user, day) — bounded
+    * work per task no matter how hot a user is — and a per-user carry-over
+    * window runs only over the tiny (user, day) summary table to propagate
+    * the last click across bucket boundaries. ONE pass over the event
+    * table: the summary is derived from the windowed output, so its
+    * groupBy and the final join both reuse the window's (user_id, bucket)
+    * exchange (ReuseExchange dedupes the shuffle; no second scan), and
+    * only purchases — a fraction of events — reach the join.
+    */
+  private[operators] def asofBucketed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = T(s, d, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
+      .withColumn("click_id", when($"event_type" === "click", $"event_id"))
+      .withColumn("bucket", expr("unix_micros(ts) div 86400000000")) // day
+    // in-bucket as-of: bounded per (user, day) regardless of user heat
+    val wLocal = Window.partitionBy($"user_id", $"bucket")
+      .orderBy($"ts", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = e.withColumn("lc_local", last($"click_id", ignoreNulls = true).over(wLocal))
+    // tiny summary: one row per (user, day); lc_local at the bucket's last
+    // event IS the bucket's last click (running last-non-null) — deriving
+    // it from `local` keeps the whole query to one scan + one big shuffle
+    val summary = local.groupBy($"user_id", $"bucket")
+      .agg(expr("max_by(lc_local, struct(ts, tag, event_id))").as("bucket_last_click"))
+    // carry the last click across PRIOR buckets (per-user window over the
+    // summary only: rows-per-user = active days, never the event count)
+    val wCarry = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = summary.withColumn(
+      "carry", last($"bucket_last_click", ignoreNulls = true).over(wCarry))
+      .select($"user_id", $"bucket", $"carry")
+    // join ONLY the purchases with the tiny carried summary
+    local.filter($"tag" === 1)
+      .select($"user_id", $"bucket", $"event_id", $"lc_local")
+      .join(carried, Seq("user_id", "bucket"))
+      .select($"event_id".as("purchase_id"),
+        coalesce($"lc_local", $"carry", lit(-1L)).as("last_click_id"))
+      .orderBy($"purchase_id")
+  }
+
   // ---------------------------------------------------------------- q01
   // Hash aggregation, partial+final (TPC-H Q1 shape). Single shuffle on the
   // (tiny-cardinality) group key; map-side combine does nearly all the work.
@@ -206,36 +250,7 @@ object Relational {
   private val q08 = GQuery(
     "q08_asof_join_last_click_before_purchase",
     "as-of (most-recent-event) join via (user, day)-bucketed union + window, hot-key safe",
-    (s, d) => {
-      import s.implicits._
-      val e = T(s, d, "events")
-        .filter($"event_type".isin("click", "purchase"))
-        .select($"event_id", $"user_id", $"ts", $"event_type")
-        .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
-        .withColumn("click_id", when($"event_type" === "click", $"event_id"))
-        .withColumn("bucket", expr("unix_micros(ts) div 86400000000")) // day
-      // in-bucket as-of: bounded per (user, day) regardless of user heat
-      val wLocal = Window.partitionBy($"user_id", $"bucket")
-        .orderBy($"ts", $"tag", $"event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = e.withColumn("lc_local", last($"click_id", ignoreNulls = true).over(wLocal))
-      // tiny summary: one row per (user, day) with the bucket's last click
-      val summary = e.groupBy($"user_id", $"bucket")
-        .agg(expr("max_by(click_id, struct(ts, event_id)) FILTER (WHERE click_id IS NOT NULL)")
-          .as("bucket_last_click"))
-      // carry the last click across PRIOR buckets (per-user window over the
-      // summary only: rows-per-user = active days, never the event count)
-      val wCarry = Window.partitionBy($"user_id").orderBy($"bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carried = summary.withColumn(
-        "carry", last($"bucket_last_click", ignoreNulls = true).over(wCarry))
-        .select($"user_id", $"bucket", $"carry")
-      local.join(carried, Seq("user_id", "bucket"))
-        .filter($"tag" === 1)
-        .select($"event_id".as("purchase_id"),
-          coalesce($"lc_local", $"carry", lit(-1L)).as("last_click_id"))
-        .orderBy($"purchase_id")
-    },
+    (s, d) => asofBucketed(s, d),
     Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
               SELECT p.event_id AS purchase_id, c.event_id AS c_id,
                      row_number() OVER (PARTITION BY p.event_id
