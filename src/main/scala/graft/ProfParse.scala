@@ -38,6 +38,81 @@ object ProfParse {
       println(f"skip off ${r.offMbps}%.1f MB/s, on ${r.onMbps}%.1f MB/s, speedup ${r.speedup}%.2f")
       return
     }
+    if (args.contains("bound")) {
+      // skip-machinery ceiling: SkipAllCountPlate byte-skips every value of
+      // the skip corpus (no schema, no emit) — the max the scanner can do
+      val d = SkipBench.profCorpus()
+      val mb = d.length / 1e6
+      val iters = args.find(_.startsWith("n=")).map(_.drop(2).toInt).getOrElse(40)
+      var i = 0
+      var best = Double.MaxValue
+      while (i < iters) {
+        val plate = new SkipAllCountPlate
+        val p = new JsonParser(plate, JsonParser.ValueStream)
+        val t0 = System.nanoTime()
+        p.absorb(d) match { case ParseResult.Failure(e) => throw e; case _ => () }
+        p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      println(f"skip-all bound: best ${mb / best}%.1f MB/s")
+      return
+    }
+    if (args.contains("swar")) {
+      // isolate the skip scanner's aggregate rate by segment shape: long
+      // strings, long containers, and ugh-shaped mixed rows
+      def corpus(kind: String, rows: Int): Array[Byte] = {
+        val sb = new java.lang.StringBuilder(rows * 420)
+        val letters = "abcdefghijklmnopqrstuvwxyzABCDEF"
+        var i = 0
+        while (i < rows) {
+          kind match {
+            case "longstr" =>
+              sb.append("{\"pad\": \"")
+              var k = 0
+              while (k < 380) { sb.append(letters.charAt((i + k) % 32)); k += 1 }
+              sb.append("\"}\n")
+            case "container" =>
+              sb.append("{\"pad\": {")
+              var k = 0
+              while (k < 24) {
+                if (k > 0) sb.append(", ")
+                sb.append("\"k").append(k).append("\": [1.5, \"ab\", {\"z\": 9}]")
+                k += 1
+              }
+              sb.append("}}\n")
+            case "manyscalars" =>
+              sb.append("{")
+              var k = 0
+              while (k < 24) {
+                if (k > 0) sb.append(", ")
+                sb.append("\"key").append(k).append("\": ").append(i + k)
+                k += 1
+              }
+              sb.append("}\n")
+          }
+          i += 1
+        }
+        sb.toString.getBytes("UTF-8")
+      }
+      for (kind <- Seq("longstr", "container", "manyscalars")) {
+        val d = corpus(kind, 25000)
+        val mb = d.length / 1e6
+        var best = Double.MaxValue
+        var it = 0
+        while (it < 40) {
+          val plate = new SkipAllCountPlate
+          val p = new JsonParser(plate, JsonParser.ValueStream)
+          val t0 = System.nanoTime()
+          p.absorb(d) match { case ParseResult.Failure(e) => throw e; case _ => () }
+          p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          it += 1
+        }
+        println(f"$kind%-12s ${mb / best}%8.1f MB/s  (row ~${d.length / 25000} B)")
+      }
+      return
+    }
     if (args.contains("skipon") || args.contains("skipoff")) {
       // isolated loop for profiling one side of the skip micro-bench
       val on = args.contains("skipon")

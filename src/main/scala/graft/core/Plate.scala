@@ -18,6 +18,20 @@ package graft.core
   * `skipped(bytes)` is a metrics side-channel reporting bytes the producer
   * pruned due to SkipColumn/SkipRow pushdown (accuracy ±1-2 bytes).
   */
+/** Optional plate capability — Mison-style key pushdown (Li et al., VLDB
+  * 2017; the same family as the reference's SkipColumn, taken one step
+  * further): a producer that sees this on its plate may skip a whole
+  * `"key": value` pair at ROW depth (depth 1) with NO plate notification
+  * (no nestMap/unnest, no skipped-value events) whenever `cruisableKey`
+  * returns true. The plate must therefore answer false for every key it
+  * could act on (schema columns, filter anchors, capture-alls). Only
+  * consulted for unescaped, ASCII-verified key bytes; anything else takes
+  * the ordinary nestMap path.
+  */
+trait KeyProbe {
+  def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean
+}
+
 abstract class Plate[A] { self =>
   def nul(): Signal
   def fls(): Signal

@@ -59,6 +59,16 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   private[this] var skipRelTarget = 0  // row-skip: stop when skipRel hits this
   private[this] var skipEscape = false // in-string: previous byte was '\'
 
+  // Mison-style key cruise ([[KeyProbe]]): row-depth keys the plate cannot
+  // act on are consumed `"key": value` in one motion, with no plate calls.
+  private[this] val cruiseProbe: KeyProbe = plate0 match {
+    case k: KeyProbe => k
+    case _           => null
+  }
+  // a cruise-initiated column skip is in flight: its completion must NOT
+  // emit unnest (the plate never saw a nestMap for this key)
+  private[this] var cruiseSkipping = false
+
   // ========================================================= base contract
 
   protected def endOk: Boolean =
@@ -97,10 +107,14 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
             die(curr, s"unexpected trailing input '${b.toChar}'")
           case PhKeyFirst     =>
             if (b == '}') { curr += 1; depth -= 1; emitScalar(EmptyMap) }
-            else if (b == '"') parseKey()
+            else if (b == '"') {
+              if (cruiseProbe == null || depth != 1 || !tryCruiseKey()) parseKey()
+            }
             else die(curr, s"expected object key or '}', got '${b.toChar}'")
           case PhKey          =>
-            if (b == '"') parseKey()
+            if (b == '"') {
+              if (cruiseProbe == null || depth != 1 || !tryCruiseKey()) parseKey()
+            }
             else die(curr, s"expected object key, got '${b.toChar}'")
           case PhColon        =>
             if (b == ':') {
@@ -300,6 +314,62 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     phase = PhColon
     if (s eq Signal.SkipColumn) skipMode = SkipColumnPending
     else handleRowSignals(s)
+  }
+
+  /** Key cruise: scan the row-depth key non-committally; if it is plain
+    * ASCII, complete in buffer, and the [[KeyProbe]] rules it out, consume
+    * it silently and set up a no-notification column skip for its value.
+    * A wanted key is delivered from the same scan (no re-scan). Returns
+    * false — state untouched — for escapes / UTF-8 / incomplete keys,
+    * which take the ordinary parseKey path.
+    */
+  private[this] def tryCruiseKey(): Boolean = {
+    val buf = data
+    val limit = len
+    val start = curr + 1
+    var i = start
+    var end = -1
+    var scanning = true
+    while (scanning && i + 8 <= limit) {
+      val w = JsonParser.readLongLE(buf, i)
+      val special =
+        JsonParser.swarZeros(w ^ JsonParser.BcQuote) |
+        JsonParser.swarZeros(w ^ JsonParser.BcBackslash) |
+        ((w - JsonParser.BcCtrl) & ~w & JsonParser.BcHigh) | // ascii byte < 0x20
+        (w & JsonParser.BcHigh)                              // byte >= 0x80
+      if (special == 0L) i += 8
+      else {
+        val j = i + (java.lang.Long.numberOfTrailingZeros(special) >>> 3)
+        if (buf(j) != '"') return false // escape/ctrl/UTF-8: full decode path
+        end = j
+        scanning = false
+      }
+    }
+    if (scanning) { // tail: fewer than 8 bytes left in buffer
+      while (end < 0 && i < limit) {
+        val b = buf(i)
+        if (b == '"') end = i
+        else if (b == '\\' || b < 0x20) return false
+        else i += 1
+      }
+      if (end < 0) return false // key incomplete: parseKey suspends properly
+    }
+    if (cruiseProbe.cruisableKey(buf, start, end - start)) {
+      // not wanted: consume the key, then skip ": value" silently
+      curr = end + 1
+      phase = PhColon
+      skipMode = SkipColumnPending
+      cruiseSkipping = true
+    } else {
+      // wanted: deliver the already-scanned key through the normal protocol
+      keyView.set(buf, start, end - start)
+      curr = end + 1
+      val s = plate.nestMap(keyView)
+      phase = PhColon
+      if (s eq Signal.SkipColumn) skipMode = SkipColumnPending
+      else handleRowSignals(s)
+    }
+    true
   }
 
   /** Key fast path: a quote-terminated run of plain ASCII bytes becomes a
@@ -618,18 +688,38 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                   val w = JsonParser.readLongLE(buf, i)
                   if (JsonParser.swarZeros(w ^ JsonParser.BcBackslash) != 0L) go = false
                   else {
-                    var p = JsonParser.swarZeros(w ^ JsonParser.BcQuote)
-                    p ^= p << 8; p ^= p << 16; p ^= p << 32 // inclusive prefix parity
-                    val outside = ~((p << 8) ^ (if (inStr) JsonParser.BcHigh else 0L))
-                    val wf = w | JsonParser.BcFold
-                    val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose) & outside
-                    val nc = java.lang.Long.bitCount(close)
-                    if (nc > 0 && rel - nc <= target) go = false // exit may be here
-                    else {
-                      rel += java.lang.Long.bitCount(
-                        JsonParser.swarZeros(wf ^ JsonParser.BcOpen) & outside) - nc
-                      inStr ^= p < 0 // bit 63 of p = parity of all 8 lanes
-                      i += 8
+                    val q = JsonParser.swarZeros(w ^ JsonParser.BcQuote)
+                    if (q == 0L) {
+                      // quote-free word: parity is unchanged, every lane
+                      // shares inStr — the two dominant shapes get a short
+                      // op sequence (string content: nothing; structural:
+                      // no parity chain, no outside mask)
+                      if (inStr) i += 8
+                      else {
+                        val wf = w | JsonParser.BcFold
+                        val nc = java.lang.Long.bitCount(
+                          JsonParser.swarZeros(wf ^ JsonParser.BcClose))
+                        if (nc > 0 && rel - nc <= target) go = false // exit may be here
+                        else {
+                          rel += java.lang.Long.bitCount(
+                            JsonParser.swarZeros(wf ^ JsonParser.BcOpen)) - nc
+                          i += 8
+                        }
+                      }
+                    } else {
+                      var p = q
+                      p ^= p << 8; p ^= p << 16; p ^= p << 32 // inclusive prefix parity
+                      val outside = ~((p << 8) ^ (if (inStr) JsonParser.BcHigh else 0L))
+                      val wf = w | JsonParser.BcFold
+                      val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose) & outside
+                      val nc = java.lang.Long.bitCount(close)
+                      if (nc > 0 && rel - nc <= target) go = false // exit may be here
+                      else {
+                        rel += java.lang.Long.bitCount(
+                          JsonParser.swarZeros(wf ^ JsonParser.BcOpen) & outside) - nc
+                        inStr ^= p < 0 // bit 63 of p = parity of all 8 lanes
+                        i += 8
+                      }
                     }
                   }
                 }
@@ -678,6 +768,12 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
 
   private[this] def finishColumnSkip(): Unit = {
     skipMode = SkipNone
+    if (cruiseSkipping) {
+      // cruise skip: the plate never saw this key — no unnest to emit
+      cruiseSkipping = false
+      phase = PhAfter
+      return
+    }
     // the skipped value still closes its nest: emit unnest, honor its signal
     if (depth == 0) {
       // (defensive: nestArr-skips always occur at depth >= 1 today)

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.core.{ByteSliceCharSeq, Plate, Signal}
+import graft.core.{ByteSliceCharSeq, KeyProbe, Plate, Signal}
 
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
@@ -23,7 +23,7 @@ final class ColumnarPlate(
     // saturation pushdown (Signal.FinishRow) elides validation of the row
     // tail; readers that must fully validate rows (dropMalformed) turn it
     // off — see RowPlate's twin flag
-    saturate: Boolean = true) extends Plate[Long] {
+    saturate: Boolean = true) extends Plate[Long] with KeyProbe {
 
   private[this] val numCols = schema.length
   private[this] val types: Array[DataType] = schema.fields.map(_.dataType)
@@ -38,6 +38,34 @@ final class ColumnarPlate(
   // parser byte-skips the remaining fields in one scan)
   private[this] var seenCnt = 0
   private[this] val canSaturate = saturate && numCols > 0
+
+  // Key-cruise probe (Mison-style, [[graft.core.KeyProbe]]), the twin of
+  // RowPlate's: unknown row-depth keys skip with no plate notification.
+  // Gated on `saturate` (the cruise elides per-value validation).
+  private[this] val probeWanted: Array[Array[Byte]] =
+    if (!saturate) null
+    else (names ++ filters.flatMap(_.references))
+      .distinct
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private[this] val probePacked: Array[Long] =
+    if (probeWanted == null) null
+    else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
+
+  override def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean = {
+    if (probeWanted == null) return false
+    var i = 0
+    while (i < probeWanted.length) {
+      val w = probeWanted(i)
+      if (w.length == len && {
+        if (len <= 8)
+          graft.core.Swar.packPrefix(bytes, off, len) == probePacked(i)
+        else
+          java.util.Arrays.equals(w, 0, len, bytes, off, off + len)
+      }) return false
+      i += 1
+    }
+    true
+  }
 
   @inline private[this] def markSeen(idx: Int): Unit = {
     if (!seen(idx)) {

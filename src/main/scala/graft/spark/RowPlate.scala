@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.core.{Plate, Signal}
+import graft.core.{KeyProbe, Plate, Signal}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -43,7 +43,7 @@ final class RowPlate(
     // elides structural validation of the row tail — readers that must
     // fully validate each row (PERMISSIVE corrupt capture, dropMalformed)
     // turn it off
-    saturate: Boolean = true) extends Plate[Long] {
+    saturate: Boolean = true) extends Plate[Long] with KeyProbe {
 
   // frame kinds
   private final val KEmpty = 0
@@ -298,6 +298,36 @@ final class RowPlate(
       -1L >>> (64 - schema.length)
     else 0L
   private[this] var seenMask = 0L
+
+  // Key-cruise probe (Mison-style, [[graft.core.KeyProbe]]): a row-depth
+  // key that is neither a schema column nor a pushed-filter anchor head
+  // can be skipped with no plate notification. Gated on `saturate` — the
+  // cruise, like saturation, elides per-value structural validation.
+  private[this] val probeWanted: Array[Array[Byte]] =
+    if (!saturate) null
+    else (schema.fieldNames ++
+      filters.flatMap(_.references).map(r => r.takeWhile(_ != '.')))
+      .distinct
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private[this] val probePacked: Array[Long] =
+    if (probeWanted == null) null
+    else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
+
+  override def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean = {
+    if (probeWanted == null) return false
+    var i = 0
+    while (i < probeWanted.length) {
+      val w = probeWanted(i)
+      if (w.length == len && {
+        if (len <= 8)
+          graft.core.Swar.packPrefix(bytes, off, len) == probePacked(i)
+        else
+          java.util.Arrays.equals(w, 0, len, bytes, off, off + len)
+      }) return false
+      i += 1
+    }
+    true
+  }
 
   private def resetRow(): Unit = {
     sp = 0
