@@ -49,9 +49,11 @@ sealed trait ParseResult[+A] {
   }
 
   // ---- typeclass-shaped surface (reference ParseResult.scala:44-133
-  // ships cats Semigroup/Monoid/MonadError/Foldable instances; cats is
-  // not resolvable in this build, so the same OPERATIONS live directly on
-  // the type, law-tested in ParseResultProps — see COVERAGE.md)
+  // ships cats Semigroup/Monoid/MonadError/Foldable instances; cats-KERNEL
+  // is on the classpath and real Semigroup/Monoid/Eq instances live in
+  // [[ParseResult.catsInstances]]; cats-core is not resolvable here, so
+  // the MonadError/Foldable OPERATIONS live directly on the type,
+  // law-tested in ParseResultProps — see COVERAGE.md)
 
   /** MonadError bind: sequence a dependent computation, short-circuiting
     * failures. Partial's remaining-byte count survives an f that returns
@@ -120,4 +122,45 @@ object ParseResult {
       case (Partial(a, _), Complete(b))       => Complete(merge(a, b))
       case (Partial(a, _), Partial(b, r))     => Partial(merge(a, b), r)
     }
+
+  /** cats-kernel typeclass instances (the kernel jar is on Spark's
+    * classpath; cats-core — MonadError/Foldable — is not resolvable in
+    * this build, so those OPERATIONS live on the type itself: flatMap /
+    * handleErrorWith / attempt / foldLeft above). Semantics match the
+    * reference's instances (reference ParseResult.scala:44-133):
+    * first failure wins, Partial dominates Complete on EITHER side, and
+    * Partial remainders add. Law-tested in ParseResultProps.
+    */
+  object catsInstances {
+    import cats.kernel.{Eq, Monoid, Semigroup}
+
+    implicit def parseResultSemigroup[A](implicit A: Semigroup[A]): Semigroup[ParseResult[A]] =
+      new ParseResultSemigroup[A]
+
+    implicit def parseResultMonoid[A](implicit A: Monoid[A]): Monoid[ParseResult[A]] =
+      new ParseResultSemigroup[A] with Monoid[ParseResult[A]] {
+        def empty: ParseResult[A] = Complete(A.empty)
+      }
+
+    implicit def parseResultEq[A](implicit A: Eq[A]): Eq[ParseResult[A]] =
+      Eq.instance {
+        case (Complete(a), Complete(b))         => A.eqv(a, b)
+        case (Partial(a, r1), Partial(b, r2))   => r1 == r2 && A.eqv(a, b)
+        case (Failure(e1), Failure(e2))         => e1 == e2
+        case _                                  => false
+      }
+
+    private class ParseResultSemigroup[A](implicit A: Semigroup[A])
+        extends Semigroup[ParseResult[A]] {
+      def combine(x: ParseResult[A], y: ParseResult[A]): ParseResult[A] =
+        (x, y) match {
+          case (f @ Failure(_), _)              => f
+          case (_, f @ Failure(_))              => f
+          case (Partial(a, r1), Partial(b, r2)) => Partial(A.combine(a, b), r1 + r2)
+          case (Partial(a, r), Complete(b))     => Partial(A.combine(a, b), r)
+          case (Complete(a), Partial(b, r))     => Partial(A.combine(a, b), r)
+          case (Complete(a), Complete(b))       => Complete(A.combine(a, b))
+        }
+    }
+  }
 }

@@ -92,4 +92,31 @@ object ParseResultProps extends Properties("ParseResult") {
     r.exists(_ > 0) == r.toOption.exists(_ > 0) &&
     r.forall(_ > 0) == r.toOption.forall(_ > 0)
   }
+
+  // cats-kernel instances (ParseResult.catsInstances): reference-equivalent
+  // semantics — Partial dominates EITHER side, remainders add
+  {
+    import ParseResult.catsInstances._
+    import cats.kernel.{Eq, Monoid, Semigroup}
+    val S = Semigroup[ParseResult[Int]]
+    val M = Monoid[ParseResult[Int]]
+    val E = Eq[ParseResult[Int]]
+
+    property("kernel semigroup associativity") = forAll {
+      (a: ParseResult[Int], b: ParseResult[Int], c: ParseResult[Int]) =>
+        E.eqv(S.combine(S.combine(a, b), c), S.combine(a, S.combine(b, c)))
+    }
+    property("kernel monoid identity") = forAll { (r: ParseResult[Int]) =>
+      E.eqv(M.combine(M.empty, r), r) && E.eqv(M.combine(r, M.empty), r)
+    }
+    property("kernel partial remainders add") = forAll {
+      (a: Int, b: Int, r1: Int, r2: Int) =>
+        S.combine(Partial(a, r1 & 0xff), Partial(b, r2 & 0xff)) ==
+          Partial(a + b, (r1 & 0xff) + (r2 & 0xff))
+    }
+    property("kernel eq is reflexive and discriminates variants") = forAll {
+      (a: ParseResult[Int], b: ParseResult[Int]) =>
+        E.eqv(a, a) && (E.eqv(a, b) == (a == b))
+    }
+  }
 }
