@@ -238,6 +238,27 @@ object Sources {
              GROUP BY n_regionkey
              ORDER BY n_regionkey"""))
 
+  // ---------------------------------------------------------------- q70
+  // DSv2 partial TopN pushdown: ORDER BY + LIMIT over the scan ships only
+  // each split's bounded-heap best n rows into Spark's global sort
+  // (GraftTopNReaderFactory; isPartiallyPushed, so Spark's final Sort +
+  // Limit makes the result exact). At 100 TB this is the difference
+  // between shuffling n rows per split and shuffling the table.
+  private val q70 = GQuery(
+    "q70_topn_pushdown",
+    "ORDER BY + LIMIT pushed into the graft-json scan as a per-split bounded heap",
+    (s, d) => {
+      import s.implicits._
+      ensureFixtures(s, d)
+      s.read.format("graft-json").load(jsonFixture)
+        .orderBy($"n_name".desc)
+        .limit(5)
+        .select($"n_name", $"n_nationkey")
+    },
+    Some(s"""SELECT n_name, n_nationkey
+             FROM read_json('$jsonFixture', format='newline_delimited')
+             ORDER BY n_name DESC LIMIT 5"""))
+
   // ---------------------------------------------------------------- q57
   // Materialization & replay through the gate (SURVEY §2.6): each task
   // parses its lines through ReplayPlate (packed 4-bit event recording),
@@ -458,5 +479,5 @@ object Sources {
              GROUP BY r
              ORDER BY r"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70)
 }

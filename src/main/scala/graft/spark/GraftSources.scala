@@ -381,6 +381,7 @@ final class GraftScanBuilder(
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownOffset
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
@@ -389,6 +390,8 @@ final class GraftScanBuilder(
   private var offset: Int = -1
   private var countStar = false
   private var aggSpec: Option[GraftAgg.Spec] = None
+  private var topN: Array[(String, Boolean, Boolean)] = null // (col, asc, nullsFirst)
+  private var topNLimit = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -434,6 +437,41 @@ final class GraftScanBuilder(
     offset = n
     true
   }
+
+  /** TopN pushdown is PARTIAL (isPartiallyPushed = true, Spark keeps the
+    * global Sort + Limit): each partition drains through a bounded heap
+    * and ships only its local best n rows — `ORDER BY x LIMIT n` over a
+    * TB of files moves n rows per split instead of every row. Accepted
+    * for single-column atomic sort keys; anything else stays unpushed.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (countStar || aggSpec.isDefined || offset >= 0) return false
+    if (n <= 0 || n > (1 << 16)) return false // bounded per-task memory
+    val spec = new Array[(String, Boolean, Boolean)](orders.length)
+    var k = 0
+    while (k < orders.length) {
+      val o = orders(k)
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          val name = ref.fieldNames()(0)
+          val idx = fullSchema.fieldNames.indexOf(name)
+          if (idx < 0 || !GraftTopNReaderFactory.comparable(fullSchema(idx).dataType))
+            return false
+          spec(k) = (name,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST)
+        case _ => return false
+      }
+      k += 1
+    }
+    topN = spec
+    topNLimit = n
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Aggregate pushdown (always PARTIAL — Spark plans the merging final
     * aggregate, so multi-split parallelism is preserved):
@@ -493,7 +531,8 @@ final class GraftScanBuilder(
 
   override def build(): Scan =
     new GraftScan(required, pushed, options, isJson, limit, countStar,
-      fullSchema = fullSchema, aggSpec = aggSpec, offset = offset)
+      fullSchema = fullSchema, aggSpec = aggSpec, offset = offset,
+      topN = topN, topNLimit = topNLimit)
 }
 
 final class GraftScan(
@@ -505,7 +544,9 @@ final class GraftScan(
     countStar: Boolean = false,
     fullSchema: StructType = StructType(Nil),
     aggSpec: Option[GraftAgg.Spec] = None,
-    offset: Int = -1)
+    offset: Int = -1,
+    topN: Array[(String, Boolean, Boolean)] = null,
+    topNLimit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -556,6 +597,11 @@ final class GraftScan(
       (if (limit >= 0) s", limit=$limit" else "") +
       (if (offset >= 0) s", offset=$offset" else "") +
       (if (countStar) ", countStar" else "") +
+      (if (topN != null && topNLimit > 0)
+        s", topN=[${topN.map { case (c, asc, nf) =>
+          s"$c ${if (asc) "ASC" else "DESC"} ${if (nf) "NULLS FIRST" else "NULLS LAST"}"
+        }.mkString(", ")} LIMIT $topNLimit]"
+      else "") +
       aggSpec.map(s => s", pushedAgg=[$s]").getOrElse("") + ")"
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -678,6 +724,8 @@ final class GraftScan(
             maxGroups = options.getInt("aggmaxgroups", 1 << 16))
         case None =>
           if (offset > 0) new GraftOffsetReaderFactory(rowFactory, offset)
+          else if (topN != null && topNLimit > 0)
+            new GraftTopNReaderFactory(rowFactory, rowSchema, topN, topNLimit)
           else rowFactory
       }
     }
@@ -773,6 +821,104 @@ final class GraftOffsetReaderFactory(
       override def close(): Unit = r.close()
     }
   }
+}
+
+/** Partial TopN pushdown executor: each partition drains its inner reader
+  * through a bounded heap holding the sort-wise best `n` rows, so only
+  * `n` rows per split reach Spark's global Sort + Limit
+  * (isPartiallyPushed). A sort column that fails to resolve in the final
+  * (pruned) schema degrades to pass-through — under PARTIAL push any
+  * superset is correct, so the fallback is safe by construction.
+  */
+final class GraftTopNReaderFactory(
+    inner: PartitionReaderFactory,
+    schema: StructType,
+    orders: Array[(String, Boolean, Boolean)], // (column, ascending, nullsFirst)
+    n: Int) extends PartitionReaderFactory {
+  import org.apache.spark.sql.types._
+
+  private val resolved: Array[(Int, DataType, Boolean, Boolean)] =
+    orders.flatMap { case (name, asc, nf) =>
+      val i = schema.fieldNames.indexOf(name)
+      if (i < 0 || !GraftTopNReaderFactory.comparable(schema(i).dataType)) None
+      else Some((i, schema(i).dataType, asc, nf))
+    }
+  private val usable = resolved.length == orders.length
+
+  private object cmp extends java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = {
+      var k = 0
+      while (k < resolved.length) {
+        val (i, dt, asc, nullsFirst) = resolved(k)
+        val an = a.isNullAt(i)
+        val bn = b.isNullAt(i)
+        // null ordering is absolute (not flipped by DESC), Spark semantics
+        val c =
+          if (an && bn) 0
+          else if (an) { if (nullsFirst) -1 else 1 }
+          else if (bn) { if (nullsFirst) 1 else -1 }
+          else {
+            val v = dt match {
+              case LongType | TimestampType | TimestampNTZType =>
+                java.lang.Long.compare(a.getLong(i), b.getLong(i))
+              case IntegerType | DateType => Integer.compare(a.getInt(i), b.getInt(i))
+              case DoubleType  => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+              case FloatType   => java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+              case ShortType   => java.lang.Short.compare(a.getShort(i), b.getShort(i))
+              case ByteType    => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+              case BooleanType => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+              case StringType  => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+              case _           => 0
+            }
+            if (asc) v else -v
+          }
+        if (c != 0) return c
+        k += 1
+      }
+      0
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    if (!usable) return r
+    GraftTopNReaderFactory.engaged.incrementAndGet()
+    new PartitionReader[InternalRow] {
+      private var out: java.util.Iterator[InternalRow] = _
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (out == null) {
+          // max-heap on the retained set: root = worst kept row
+          val heap = new java.util.PriorityQueue[InternalRow](math.max(n, 1), cmp.reversed())
+          while (r.next()) {
+            val row = r.get()
+            if (heap.size < n) heap.add(row.copy())
+            else if (cmp.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
+          out = heap.iterator()
+        }
+        if (out.hasNext) { current = out.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+object GraftTopNReaderFactory {
+  import org.apache.spark.sql.types._
+  /** Sort-key types the partial-TopN comparator understands. */
+  def comparable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | ShortType | ByteType |
+         BooleanType | StringType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** Bounded-heap readers created in this JVM — test/debug observability. */
+  val engaged = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 /** COUNT(*) pushdown: parse-only partial counts, one row per partition.

@@ -1,0 +1,105 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Partial TopN pushdown: ORDER BY + LIMIT over a graft scan ships only
+  * each split's bounded-heap best n rows into Spark's global sort. The
+  * push is PARTIAL, so results must be byte-identical to the unpushed
+  * plan in every direction/null-ordering combination.
+  */
+class TopNPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("topn-pushdown-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft-topn")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ids deliberately NOT in file order; every 7th name is null
+  private val fixture: String = (1 to 200).map { i =>
+    val id = (i * 73) % 200
+    val name = if (i % 7 == 0) "null" else s""""name-${(i * 31) % 97}""""
+    s"""{"id": $id, "name": $name, "w": ${i % 5}}"""
+  }.mkString("\n") + "\n"
+
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def scanDescr(df: DataFrame): String =
+    flatten(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.map(_.scan.description()).mkString("\n")
+
+  test("topN is pushed, engages the bounded heap, and matches the oracle") {
+    val p = dir.resolve("multi.json")
+    Files.write(p, fixture.getBytes(UTF_8))
+    val g = spark.read.format("graft-json")
+      .option("maxsplitbytes", "2048") // force several byte-range splits
+      .load(p.toString)
+    val j = spark.read.json(p.toString)
+
+    val pushedDf = g.orderBy(g("id")).limit(7)
+    assert(scanDescr(pushedDf).contains("topN=[id ASC NULLS FIRST LIMIT 7]"),
+      scanDescr(pushedDf))
+    GraftTopNReaderFactory.engaged.set(0)
+    val got = pushedDf.select("id", "name").collect().map(_.toString).toSeq
+    assert(GraftTopNReaderFactory.engaged.get() > 1, "bounded heap never engaged")
+    val want = j.orderBy(j("id")).limit(7).select("id", "name").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
+  test("desc and null-ordering combinations match spark.read.json") {
+    import org.apache.spark.sql.functions.col
+    val p = dir.resolve("nulls.json")
+    Files.write(p, fixture.getBytes(UTF_8))
+    val g = spark.read.format("graft-json").option("maxsplitbytes", "2048").load(p.toString)
+    val j = spark.read.json(p.toString)
+    for ((mk, label) <- Seq(
+        ((c: String) => col(c).desc, "desc"),
+        ((c: String) => col(c).asc_nulls_last, "asc_nulls_last"),
+        ((c: String) => col(c).desc_nulls_first, "desc_nulls_first"))) {
+      // tiebreak on id so the comparison is deterministic across engines
+      val got = g.orderBy(mk("name"), col("id")).limit(11)
+        .select("name", "id").collect().map(_.toString).toSeq
+      val want = j.orderBy(mk("name"), col("id")).limit(11)
+        .select("name", "id").collect().map(_.toString).toSeq
+      assert(got == want, label)
+    }
+  }
+
+  test("unsupported sort keys refuse the push (plan stays correct)") {
+    val p = dir.resolve("expr.json")
+    Files.write(p, fixture.getBytes(UTF_8))
+    val g = spark.read.format("graft-json").load(p.toString)
+    val j = spark.read.json(p.toString)
+    // an expression key (id % 10) is not a NamedReference -> no push
+    val df = g.orderBy((g("id") % 10).asc, g("id").asc).limit(5)
+    assert(!scanDescr(df).contains("topN="), scanDescr(df))
+    val got = df.select("id").collect().map(_.getLong(0)).toSeq
+    val want = j.orderBy((j("id") % 10).asc, j("id").asc).limit(5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+}
