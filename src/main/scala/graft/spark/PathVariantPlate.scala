@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.core.{Plate, Signal}
+import graft.core.{KeyProbe, Plate, Signal}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -21,7 +21,7 @@ import scala.collection.mutable
   */
 final class PathVariantPlate(
     paths: Array[Array[String]],
-    push: InternalRow => Unit) extends Plate[Long] {
+    push: InternalRow => Unit) extends Plate[Long] with KeyProbe {
 
   private final class Node {
     val children = new mutable.HashMap[String, Node]
@@ -43,6 +43,33 @@ final class PathVariantPlate(
     val capture = new VariantCapture
     var openNests = 0 // nests opened INSIDE the captured subtree
     var isRoot = false // '$' capture: closes at finishRow, not at an unnest
+  }
+
+  // Key-cruise probe ([[graft.core.KeyProbe]]): only the trie's depth-1
+  // heads can start a capture, so every other row-level key skips with no
+  // plate notification. A root terminal ('$' capture) wants every key.
+  private[this] val probeWanted: Array[Array[Byte]] =
+    if (root.terminals.nonEmpty) null
+    else root.children.keysIterator
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private[this] val probePacked: Array[Long] =
+    if (probeWanted == null) null
+    else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
+
+  override def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean = {
+    if (probeWanted == null) return false
+    var i = 0
+    while (i < probeWanted.length) {
+      val w = probeWanted(i)
+      if (w.length == len && {
+        if (len <= 8)
+          graft.core.Swar.packPrefix(bytes, off, len) == probePacked(i)
+        else
+          java.util.Arrays.equals(w, 0, len, bytes, off, off + len)
+      }) return false
+      i += 1
+    }
+    true
   }
 
   private[this] val outputs = new Array[Any](paths.length)
