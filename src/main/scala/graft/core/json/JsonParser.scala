@@ -697,12 +697,34 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                       if (inStr) i += 8
                       else {
                         val wf = w | JsonParser.BcFold
-                        val nc = java.lang.Long.bitCount(
-                          JsonParser.swarZeros(wf ^ JsonParser.BcClose))
-                        if (nc > 0 && rel - nc <= target) go = false // exit may be here
-                        else {
-                          rel += java.lang.Long.bitCount(
-                            JsonParser.swarZeros(wf ^ JsonParser.BcOpen)) - nc
+                        val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose)
+                        val nc = java.lang.Long.bitCount(close)
+                        val open = JsonParser.swarZeros(wf ^ JsonParser.BcOpen)
+                        if (nc > 0 && rel - nc <= target) {
+                          // exact in-word replay: brackets in lane order —
+                          // either the exit is here (return without ever
+                          // leaving the fast loop) or depth is updated
+                          var events = close | open
+                          var exitAt = -1
+                          while (exitAt < 0 && events != 0L) {
+                            val lane = java.lang.Long.numberOfTrailingZeros(events) >>> 3
+                            if (((close >>> (lane << 3)) & 0x80L) != 0L) {
+                              rel -= 1
+                              if (rel == target) exitAt = lane
+                            } else rel += 1
+                            events &= events - 1L
+                          }
+                          if (exitAt >= 0) {
+                            i += exitAt + 1
+                            phase = SkContainer
+                            esc = false
+                            commit(); report()
+                            if (columnMode) finishColumnSkip() else finishRowSkip()
+                            return
+                          }
+                          i += 8
+                        } else {
+                          rel += java.lang.Long.bitCount(open) - nc
                           i += 8
                         }
                       }
@@ -713,10 +735,31 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                       val wf = w | JsonParser.BcFold
                       val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose) & outside
                       val nc = java.lang.Long.bitCount(close)
-                      if (nc > 0 && rel - nc <= target) go = false // exit may be here
-                      else {
-                        rel += java.lang.Long.bitCount(
-                          JsonParser.swarZeros(wf ^ JsonParser.BcOpen) & outside) - nc
+                      val open = JsonParser.swarZeros(wf ^ JsonParser.BcOpen) & outside
+                      if (nc > 0 && rel - nc <= target) {
+                        // exact in-word replay (quote-bearing flavor)
+                        var events = close | open
+                        var exitAt = -1
+                        while (exitAt < 0 && events != 0L) {
+                          val lane = java.lang.Long.numberOfTrailingZeros(events) >>> 3
+                          if (((close >>> (lane << 3)) & 0x80L) != 0L) {
+                            rel -= 1
+                            if (rel == target) exitAt = lane
+                          } else rel += 1
+                          events &= events - 1L
+                        }
+                        if (exitAt >= 0) {
+                          i += exitAt + 1
+                          phase = SkContainer
+                          esc = false
+                          commit(); report()
+                          if (columnMode) finishColumnSkip() else finishRowSkip()
+                          return
+                        }
+                        inStr ^= p < 0
+                        i += 8
+                      } else {
+                        rel += java.lang.Long.bitCount(open) - nc
                         inStr ^= p < 0 // bit 63 of p = parity of all 8 lanes
                         i += 8
                       }
