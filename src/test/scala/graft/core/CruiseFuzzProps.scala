@@ -1,0 +1,87 @@
+package graft.core
+
+import graft.core.json.JsonParser
+import graft.spark.RowPlate
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Differential fuzz for the key-cruise + saturation fast paths: for
+  * random rows, a random schema subset, and a random chunk size, the
+  * optimized parse (cruise + saturation ON) must produce exactly the rows
+  * of the strict parse (both OFF) — modulo the one documented divergence
+  * (duplicate keys after saturation), which the generator avoids by
+  * keeping keys unique per object.
+  */
+object CruiseFuzzProps extends Properties("KeyCruise") {
+
+  private val keyPool = Vector("a", "bb", "ccc", "dddd", "key_five", "sixsix",
+    "a_rather_long_key_name", "z9", "q", "nested")
+
+  private val genScalar: Gen[String] = Gen.oneOf(
+    Gen.choose(-100000L, 100000L).map(_.toString),
+    Gen.choose(-1000.0, 1000.0).map(d => f"$d%.4f"),
+    Gen.alphaNumStr.map(s => "\"" + s.take(12) + "\""),
+    Gen.oneOf("true", "false", "null"),
+    Gen.const("\"es\\\"caped\\\\\""),
+    Gen.const("\"uni\\u00e9\""))
+
+  private def genValue(depth: Int): Gen[String] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      5 -> genScalar,
+      2 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, genValue(depth - 1)).map(_.mkString("[", ", ", "]"))),
+      2 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, genValue(depth - 1)).flatMap { vs =>
+          Gen.pick(vs.length, keyPool).map(ks =>
+            ks.zip(vs).map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}"))
+        }))
+
+  private val genRow: Gen[String] = for {
+    n    <- Gen.choose(1, 6)
+    keys <- Gen.pick(n, keyPool)
+    vals <- Gen.listOfN(n, genValue(2))
+  } yield keys.zip(vals).map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+
+  private val genCase = for {
+    rows   <- Gen.choose(1, 8).flatMap(Gen.listOfN(_, genRow))
+    nCols  <- Gen.choose(1, 4)
+    cols   <- Gen.pick(nCols, keyPool)
+    chunk  <- Gen.choose(1, 64)
+  } yield (rows.mkString("", "\n", "\n"),
+           StructType(cols.map(c => StructField(c, StringType)).toArray), chunk)
+
+  private def run(input: String, schema: StructType, chunk: Int,
+      fast: Boolean): Seq[Seq[Any]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val plate = new RowPlate(schema, Array.empty,
+      r => out += (0 until schema.length).map(i =>
+        if (r.isNullAt(i)) null else r.getUTF8String(i).toString),
+      saturate = fast)
+    val p = new JsonParser(plate, JsonParser.ValueStream)
+    val bytes = input.getBytes("UTF-8")
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(chunk, bytes.length - off)
+      p.absorb(bytes, off, n) match {
+        case ParseResult.Failure(e) => throw e
+        case _ => ()
+      }
+      off += n
+    }
+    p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+    out.toSeq
+  }
+
+  property("cruise+saturation equals the strict parse on unique-key rows") =
+    forAll(genCase) { case (input, schema, chunk) =>
+      run(input, schema, chunk, fast = true) == run(input, schema, chunk, fast = false)
+    }
+
+  property("chunk size never changes the fast-path result") =
+    forAll(genCase) { case (input, schema, _) =>
+      val whole = run(input, schema, input.length.max(1), fast = true)
+      (1 to 7).forall(c => run(input, schema, c, fast = true) == whole)
+    }
+}
