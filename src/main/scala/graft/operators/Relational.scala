@@ -105,13 +105,21 @@ object Relational {
       import s.implicits._
       val cust = T(s, d, "customer").select($"c_custkey", $"c_mktsegment")
       val ord = T(s, d, "orders").select($"o_orderkey", $"o_custkey")
-      val li = T(s, d, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      // partial aggregation BELOW the join (Catalyst won't do this itself):
+      // lineitem collapses to one row per order before touching orders, so
+      // both joins and the o_custkey shuffle move ~4x fewer rows — and the
+      // aggregate's l_orderkey exchange is the same one the join needs, so
+      // no shuffle is added
+      val li = T(s, d, "lineitem")
+        .select($"l_orderkey", ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+        .groupBy($"l_orderkey")
+        .agg(sum($"rev").as("o_rev"), count(lit(1)).as("o_lines"))
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy($"c_mktsegment")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
-          count(lit(1)).as("n_lines"))
+          round(sum($"o_rev"), 2).as("revenue"),
+          sum($"o_lines").as("n_lines"))
         .orderBy($"c_mktsegment")
     },
     Some("""SELECT c_mktsegment,
