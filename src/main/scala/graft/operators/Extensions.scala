@@ -186,6 +186,49 @@ object Extensions {
   // Quantiles: exact percentile with linear interpolation (the sketch-free
   // sibling of q22's HLL; at 100 TB one would reach for approx_percentile,
   // whose t-digest boundaries are engine-specific and rows-only gated).
+  // ---------------------------------------------------------------- q71
+  // Dataset.observe — the Spark analog of the reference's
+  // MultiplexingPlate (SURVEY §2.7: tee ONE event stream into a main
+  // consumer plus a side observer, main's result survives): metrics
+  // accumulate on the scan as the main query runs, with no second pass
+  // over the data. Integer-exact metrics only (count/min/max/integer sum)
+  // so the gate stays hash-exact. The observation drains at build time
+  // (Observation.get blocks on the collecting action), then rides the
+  // result as literal columns.
+  private val q71 = GQuery(
+    "q71_observe_multiplex",
+    "Dataset.observe side-channel metrics (MultiplexingPlate analog): one pass, main + observer",
+    (s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation(s"q71_obs_${System.nanoTime}")
+      val main = T(s, d, "orders")
+        .observe(obs,
+          count(lit(1)).as("n_orders"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"),
+          sum($"o_custkey").as("sum_cust"))
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_f"))
+      val rows = main.collect() // the action that populates the observation
+      val m = obs.get
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), main.schema)
+        .withColumn("n_orders", lit(m("n_orders").asInstanceOf[Long]))
+        .withColumn("min_key", lit(m("min_key") match { case n: Number => n.longValue }))
+        .withColumn("max_key", lit(m("max_key") match { case n: Number => n.longValue }))
+        .withColumn("sum_cust", lit(m("sum_cust") match { case n: Number => n.longValue }))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_f,
+                   (SELECT count(*) FROM orders) AS n_orders,
+                   (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders) AS min_key,
+                   (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders) AS max_key,
+                   (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders) AS sum_cust
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   private val q48 = GQuery(
     "q48_percentiles",
     "exact percentile aggregation (p25/p50/p95) per group",
@@ -697,5 +740,5 @@ object Extensions {
             GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67)
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71)
 }

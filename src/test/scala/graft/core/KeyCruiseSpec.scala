@@ -68,6 +68,28 @@ class KeyCruiseSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(3L))
   }
 
+  test("cruise applies to UnwrapArray row objects too (depth 1)") {
+    val input = """[{"junk": [1, 2], "bar": 5}, {"bar": 6, "x": "y"}]"""
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bytes = input.getBytes("UTF-8")
+    for (chunk <- Seq(1, 3, input.length)) {
+      out.clear()
+      val q = new JsonParser(new RowPlate(StructType.fromDDL("bar LONG"), Array.empty,
+        r => out += r.getLong(0)), JsonParser.UnwrapArray)
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(chunk, bytes.length - off)
+        q.absorb(bytes, off, n) match {
+          case ParseResult.Failure(e) => throw e
+          case _ => ()
+        }
+        off += n
+      }
+      q.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+      assert(out.toSeq == Seq(5L, 6L), s"chunk=$chunk")
+    }
+  }
+
   test("probe rules: schema columns and filter heads are never cruisable") {
     import org.apache.spark.sql.sources.GreaterThan
     val plate = new RowPlate(
