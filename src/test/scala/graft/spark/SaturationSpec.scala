@@ -91,4 +91,33 @@ class SaturationSpec extends AnyFunSuite {
       assert(run(saturate = false, chunk) == want, s"unsaturated chunk=$chunk")
     }
   }
+
+  test("ColumnarPlate duplicate keys overwrite (last-wins), strings and nulls included") {
+    // pre-saturation duplicates must match RowPlate/spark.read.json:
+    // later binding wins, including string re-pointing and null-bit
+    // clearing (putNotNull) when the first binding was null
+    val schema = StructType.fromDDL("a LONG, s STRING, z LONG")
+    val input =
+      """{"a": null, "s": "first", "a": 5, "s": "second-longer", "z": 1}
+        |{"s": "x", "s": null, "a": 2, "z": 2}
+        |""".stripMargin
+    val plate = new ColumnarPlate(schema, Array.empty, saturate = false)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    p.absorb(input.getBytes("UTF-8")) match {
+      case ParseResult.Failure(e) => throw e
+      case _ => ()
+    }
+    p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (plate.pendingRows > 0) {
+      val b = plate.takeBatch()
+      for (i <- 0 until b.numRows()) {
+        val a = if (b.column(0).isNullAt(i)) "null" else b.column(0).getLong(i).toString
+        val s = if (b.column(1).isNullAt(i)) "null" else b.column(1).getUTF8String(i).toString
+        val z = b.column(2).getLong(i)
+        got += s"$a/$s/$z"
+      }
+    }
+    assert(got.toSeq == Seq("5/second-longer/1", "2/null/2"))
+  }
 }
