@@ -162,6 +162,7 @@ object SkipBench {
 
   /** Profiling hooks for ProfParse (not used by the bench itself). */
   def profCorpus(): Array[Byte] = mkData(30000)
+  def profCorpus(rows: Int): Array[Byte] = mkData(rows)
   def profParse(data: Array[Byte], pruned: Boolean): Long =
     parseAllBytes(data, if (pruned) prunedSchema else fullSchema)
 

@@ -113,6 +113,7 @@ object ProfParse {
       }
       return
     }
+    if (args.contains("e2eskip")) { e2eSkip(); return }
     if (args.contains("skipon") || args.contains("skipoff")) {
       // isolated loop for profiling one side of the skip micro-bench
       val on = args.contains("skipon")
@@ -192,6 +193,49 @@ object ProfParse {
     println(f"RowPlate flat: best ${mb / best}%.1f MB/s")
 
     if (args.contains("e2e")) e2e(data, mb)
+  }
+
+  /** Single-task end-to-end PRUNED projection: one double column out of
+    * ugh10k-shaped wide rows — the cruise + saturation + SkipColumn path
+    * as Spark actually drives it, vs spark.read.json with the same
+    * user-supplied 1-column schema (Jackson still tokenizes every byte).
+    */
+  private def e2eSkip(): Unit = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    // ~120 MB: large enough that per-query planning/listing overhead
+    // (~100 ms fixed) stops dominating the rate
+    val data = SkipBench.profCorpus(300000)
+    val mb = data.length / 1e6
+    val spark = SparkSession.builder()
+      .master("local[1]")
+      .appName("prof-parse")
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val path = "/tmp/prof_parse/ugh.json"
+    new java.io.File("/tmp/prof_parse").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), data)
+    val pruned = StructType.fromDDL("bar DOUBLE")
+
+    def bench(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      def once(): Unit = mk.agg(sum(col("bar"))).collect()
+      once(); once()
+      var best = Double.MaxValue
+      var i = 0
+      while (i < 7) {
+        val t0 = System.nanoTime()
+        once()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      println(f"$label: ${mb / best}%.1f MB/s")
+    }
+    bench("graft-json pruned e2e")(
+      spark.read.format("graft-json").schema(pruned).load(path))
+    bench("spark.read.json pruned e2e")(spark.read.schema(pruned).json(path))
+    spark.stop()
   }
 
   /** Single-task end-to-end: graft-json DSv2 scan vs spark.read.json
