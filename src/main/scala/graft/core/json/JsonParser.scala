@@ -621,9 +621,6 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     val columnMode = skipMode == SkipColumnMode
     val relTarget = skipRelTarget
 
-    @inline def commit(): Unit = {
-      curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
-    }
 
     while (i < limit) {
       (phase: @switch) match {
@@ -639,14 +636,14 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                    b == ' ' || b == '\n' || b == '\t' || b == '\r')) {
             i += 1
             if (i >= limit) {
-              commit(); report()
+              { curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc }; report()
               if (done && columnMode) { finishColumnSkip(); return }
               tokenStart = curr
               throw NeedsInput
             }
             b = buf(i)
           }
-          commit(); report(); finishColumnSkip(); return
+          { curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc }; report(); finishColumnSkip(); return
         case SkString | SkContainer =>
           if (phase == SkString && columnMode && rel == 0) {
             // bare string value being column-skipped: the exit is the first
@@ -666,7 +663,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                 i += 1
                 if (esc) esc = false
                 else if (b == '\\') esc = true
-                else if (b == '"') { commit(); report(); finishColumnSkip(); return }
+                else if (b == '"') { { curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc }; report(); finishColumnSkip(); return }
               }
             }
           } else {
@@ -718,7 +715,8 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                             i += exitAt + 1
                             phase = SkContainer
                             esc = false
-                            commit(); report()
+                            curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
+                            report()
                             if (columnMode) finishColumnSkip() else finishRowSkip()
                             return
                           }
@@ -752,7 +750,8 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                           i += exitAt + 1
                           phase = SkContainer
                           esc = false
-                          commit(); report()
+                          curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
+                          report()
                           if (columnMode) finishColumnSkip() else finishRowSkip()
                           return
                         }
@@ -785,7 +784,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                   else if (b == '}' || b == ']') {
                     rel -= 1
                     if (rel == target) {
-                      commit(); report()
+                      { curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc }; report()
                       if (columnMode) finishColumnSkip() else finishRowSkip()
                       return
                     }
@@ -797,7 +796,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
           }
       }
     }
-    commit()
+    curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
     // out of input mid-skip: report what we consumed; state is checkpointed
     report()
     if (done && skipMode == SkipColumnMode && skipPhase == SkScalar) {
