@@ -80,7 +80,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
   /** Parse one cell plus its terminator, emitting its events. */
   private[this] def parseCell(): Unit = {
     if (readingHeader) {
-      val (value, term) = scanCell(buildValue = true)
+      val term = scanCell(buildValue = true); val value = cellValue
       if (value.length == 0) die(tokenStart, "empty header cell")
       headers += value.toString
       finishCell(term)
@@ -103,7 +103,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
       }
       if (cellSkip) {
         val before = curr
-        val (_, term) = scanCell(buildValue = false)
+        val term = scanCell(buildValue = false)
         nestEmitted = false
         // terminator bytes are not part of the skipped value accounting
         val termLen = term match {
@@ -115,7 +115,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
         noteSignal(plate.unnest())
         finishCell(term)
       } else {
-        val (value, term) = scanCell(buildValue = true)
+        val term = scanCell(buildValue = true); val value = cellValue
         nestEmitted = false
         noteSignal(plate.str(value))
         // a SkipRow from str() drops the row: its unnest is suppressed too
@@ -189,7 +189,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
       }
       tokenStart = curr
       val before = curr
-      val (_, term) = scanCell(buildValue = false)
+      val term = scanCell(buildValue = false)
       rowSkipBytes += curr - before
       if (term != TermRecord) {
         if (rowSkipBytes > 0) plate.skipped(rowSkipBytes)
@@ -206,43 +206,50 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
   // duration of the plate call; header capture copies via toString)
   private[this] val cellView = new ByteSliceCharSeq
 
-  /** Scan one cell starting at `curr`; consumes the terminator. Returns
-    * (value, terminator). With `buildValue = false` the value is not
-    * materialized (byte-skip path) and "" is returned. Pure-ASCII unquoted
-    * cells come back as a reusable buffer view (no decode, no alloc).
+  /** The value of the last cell scanned by [[scanCell]]/[[scanQuoted]]
+    * (a reusable buffer view for pure-ASCII unquoted cells — no decode,
+    * no alloc; valid until the next scan).
     */
-  private[this] def scanCell(buildValue: Boolean): (CharSequence, Int) = {
+  private[this] var cellValue: CharSequence = ""
+
+  /** Scan one cell starting at `curr`; consumes the terminator. Returns
+    * the terminator kind and leaves the value in [[cellValue]]. With
+    * `buildValue = false` the value is not materialized (byte-skip path)
+    * and [[cellValue]] is "". Returns Int (not a tuple) and passes the
+    * ascii flag explicitly so the hot path allocates nothing.
+    */
+  private[this] def scanCell(buildValue: Boolean): Int = {
     val start = curr
     if (curr < len && data(curr) == config.openQuote) scanQuoted(buildValue)
     else {
       var i = start
       var ascii = true
-      @inline def value(until: Int): CharSequence =
+      @inline def value(until: Int, asciiNow: Boolean): CharSequence =
         if (!buildValue) ""
-        else if (ascii) { cellView.set(data, start, until - start); cellView }
+        else if (asciiNow) { cellView.set(data, start, until - start); cellView }
         else new String(data, start, until - start, UTF_8)
       while (true) {
         if (i >= len) {
           if (!done) throw NeedsInput
-          val v = value(i)
+          cellValue = value(i, ascii)
           curr = i
-          return (v, TermEof)
+          return TermEof
         }
         val b = data(i)
         if (b == config.record) {
-          val v = value(i)
+          cellValue = value(i, ascii)
           curr = i + 1
-          return (v, TermRecord)
+          return TermRecord
         } else if (b == config.row1) {
           if (config.row2 == 0) {
-            val v = value(i)
+            cellValue = value(i, ascii)
             curr = i + 1
-            return (v, TermRow)
+            return TermRow
           } else if (i + 1 < len) {
             if (data(i + 1) == config.row2) {
-              val v = value(i)
+              cellValue = value(i, ascii)
               curr = i + 2
-              return (v, TermRow)
+              return TermRow
             } else i += 1 // lone row1 byte is literal content
           } else if (done) {
             i += 1 // trailing row1 at EOF: literal
@@ -260,7 +267,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
     * bytes when no escape appears; the slow path processes quote doubling
     * (escape == closeQuote) or dedicated escape bytes.
     */
-  private[this] def scanQuoted(buildValue: Boolean): (String, Int) = {
+  private[this] def scanQuoted(buildValue: Boolean): Int = {
     val start = curr
     var i = curr + 1
     var needSlow = false
@@ -286,7 +293,7 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
         }
       } else i += 1
     }
-    val value =
+    cellValue =
       if (!buildValue) ""
       else if (!needSlow) new String(data, start + 1, end - start - 1, UTF_8)
       else unescapeQuoted(start + 1, end)
@@ -294,14 +301,14 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
     // after the closing quote: a record/row delimiter or EOF must follow
     if (curr >= len) {
       if (!done) throw NeedsInput
-      return (value, TermEof)
+      return TermEof
     }
     val b = data(curr)
-    if (b == config.record) { curr += 1; (value, TermRecord) }
+    if (b == config.record) { curr += 1; TermRecord }
     else if (b == config.row1) {
-      if (config.row2 == 0) { curr += 1; (value, TermRow) }
+      if (config.row2 == 0) { curr += 1; TermRow }
       else if (curr + 1 < len) {
-        if (data(curr + 1) == config.row2) { curr += 2; (value, TermRow) }
+        if (data(curr + 1) == config.row2) { curr += 2; TermRow }
         else die(curr, "unexpected content after closing quote")
       } else if (done) die(curr, "unexpected content after closing quote")
       else throw NeedsInput
