@@ -89,6 +89,13 @@ final class ColumnarPlate(
     FilterEval.normalize(filters.filter(_.references.length == 1))
       .groupBy(f => names.indexOf(f.references.head))
       .removed(-1)
+  // array-indexed view of filtersByIdx: the per-scalar membership test
+  // must not box the column index into a Map key
+  private[this] val filterAt: Array[Array[Filter]] = {
+    val a = new Array[Array[Filter]](numCols)
+    filtersByIdx.foreach { case (i, fs) => if (i >= 0 && i < numCols) a(i) = fs }
+    a
+  }
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
 
@@ -236,21 +243,21 @@ final class ColumnarPlate(
 
   @inline private def writing: Boolean = targetIdx >= 0
 
-  private def earlyFilter(idx: Int, value: Any): Signal =
-    filtersByIdx.get(idx) match {
-      case Some(fs) if fs.exists(FilterEval.definitelyFails(_, value)) =>
-        // abandon the partial row: the parser suppresses its finishRow
-        java.util.Arrays.fill(seen, false)
-        seenCnt = 0
-        depth = 0; curIdx = -1; skipPending = false; fieldPos = 0
-        Signal.SkipRow
-      case _ => Signal.Continue
-    }
+  private def earlyFilter(idx: Int, value: Any): Signal = {
+    val fs = filterAt(idx)
+    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
+      // abandon the partial row: the parser suppresses its finishRow
+      java.util.Arrays.fill(seen, false)
+      seenCnt = 0
+      depth = 0; curIdx = -1; skipPending = false; fieldPos = 0
+      Signal.SkipRow
+    } else Signal.Continue
+  }
 
   private def checkFilterLong(idx: Int, v: Long): Signal =
-    if (filtersByIdx.contains(idx)) earlyFilter(idx, java.lang.Long.valueOf(v)) else Signal.Continue
+    if (filterAt(idx) != null) earlyFilter(idx, java.lang.Long.valueOf(v)) else Signal.Continue
   private def checkFilterAny(idx: Int, v: Any): Signal =
-    if (filtersByIdx.contains(idx)) earlyFilter(idx, v) else Signal.Continue
+    if (filterAt(idx) != null) earlyFilter(idx, v) else Signal.Continue
 
   def nul(): Signal = {
     val idx = targetIdx
@@ -333,13 +340,13 @@ final class ColumnarPlate(
         case StringType => s match {
           case v: ByteSliceCharSeq =>
             vectors(idx).putByteArray(rows, v.bytes, v.offset, v.length)
-            if (filtersByIdx.contains(idx))
+            if (filterAt(idx) != null)
               return earlyFilter(idx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
           case _ =>
             val bytes = s.toString.getBytes("UTF-8")
             vectors(idx).putByteArray(rows, bytes)
-            if (filtersByIdx.contains(idx))
+            if (filterAt(idx) != null)
               return earlyFilter(idx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
         }
         case LongType =>

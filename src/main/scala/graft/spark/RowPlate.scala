@@ -246,6 +246,12 @@ final class RowPlate(
         (!f.references.head.contains(".") || topIndex.contains(f.references.head))))
       .groupBy(f => topIndex.getOrElse(f.references.head, -1))
       .removed(-1)
+  // array-indexed view: the per-value lookup must not box the column index
+  private[this] val filterAt: Array[Array[Filter]] = {
+    val a = new Array[Array[Filter]](schema.length)
+    filtersByIdx.foreach { case (i, fs) => if (i >= 0 && i < schema.length) a(i) = fs }
+    a
+  }
 
   /** Trie over nested filter paths (dotted references like `meta.len`),
     * keyed by struct field index per level. A node stack parallel to the
@@ -536,14 +542,14 @@ final class RowPlate(
   /** Evaluate pushed filters on a completed top-level column value; a
     * definitive failure skips the rest of the row.
     */
-  private def earlyFilter(idx: Int, value: Any): Signal =
-    filtersByIdx.get(idx) match {
-      case Some(fs) if fs.exists(FilterEval.definitelyFails(_, value)) =>
-        // the parser honors SkipRow by suppressing this row's finishRow,
-        // so resetting here cleanly abandons the partial row
-        resetRow()
-        Signal.SkipRow
-      case _ => Signal.Continue
+  private def earlyFilter(idx: Int, value: Any): Signal = {
+    val fs = if (idx >= 0 && idx < filterAt.length) filterAt(idx) else null
+    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
+      // the parser honors SkipRow by suppressing this row's finishRow,
+      // so resetting here cleanly abandons the partial row
+      resetRow()
+      Signal.SkipRow
+    } else Signal.Continue
     }
 
   /** Null/missing-column semantics checked once the whole row is known. */
