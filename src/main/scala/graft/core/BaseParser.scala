@@ -51,8 +51,66 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
   /** Absorb one chunk of input; returns the plate's (non-terminal) batch. */
   def absorb(bytes: Array[Byte], off: Int, n: Int): ParseResult[A] = {
     if (finished) return alreadyFinished
-    append(bytes, off, n)
-    churn()
+    // zero-copy fast path: nothing buffered and the chunk starts at the
+    // array base — parse straight from the caller's array (never retained
+    // past this call; only the unconsumed tail is copied back in). Saves
+    // the allocate-zero-copy cycle entirely for whole-buffer callers.
+    if (off == 0 && curr == len) absorbBorrowed(bytes, n)
+    else {
+      append(bytes, off, n)
+      churn()
+    }
+  }
+
+  private[this] def absorbBorrowed(bytes: Array[Byte], n: Int): ParseResult[A] = {
+    // retire the fully-consumed owned content (compaction bookkeeping,
+    // no copy: curr == len means nothing remains)
+    advanceBases(data, curr)
+    consumedBase += curr
+    len = 0; curr = 0; tokenStart = 0
+    val owned = data
+    data = bytes
+    len = n
+    try churn()
+    finally {
+      // keep only the unconsumed tail (partial token / undrained rows)
+      val rem = len - curr
+      advanceBases(data, curr)
+      consumedBase += curr
+      val dst =
+        if (owned.length >= rem) owned
+        else {
+          var size = owned.length
+          while (size < rem) size =
+            if (size >= (Int.MaxValue >> 1)) Int.MaxValue else size << 1
+          new Array[Byte](size)
+        }
+      System.arraycopy(data, curr, dst, 0, rem)
+      data = dst
+      len = rem
+      curr = 0
+      tokenStart = 0
+    }
+  }
+
+  /** Advance the line/column bases past `to` consumed bytes of `b` —
+    * the bookkeeping half of compaction, shared with the zero-copy path.
+    */
+  private[this] def advanceBases(b: Array[Byte], to: Int): Unit = {
+    // pure counting reduction (no cross-iteration dependency: C2 can
+    // vectorize it), then one short backward scan for the last newline
+    var count = 0
+    var i = 0
+    while (i < to) {
+      if (b(i) == '\n') count += 1
+      i += 1
+    }
+    linesBase += count
+    if (count > 0) {
+      var j = to - 1
+      while (b(j) != '\n') j -= 1
+      colBase = to - j - 1
+    } else colBase += to
   }
 
   def absorb(bytes: Array[Byte]): ParseResult[A] = absorb(bytes, 0, bytes.length)

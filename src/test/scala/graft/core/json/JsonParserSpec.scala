@@ -184,6 +184,34 @@ class JsonParserSpec extends AnyFunSuite {
     assert(e.col == 3)
   }
 
+  test("error positions stay exact across zero-copy whole-array absorbs") {
+    // each absorb(arr) is drained at a row boundary -> every chunk takes
+    // the borrowed (zero-copy) path; line/col bases must advance exactly
+    val plate = new ReifiedPlate
+    val p = new JsonParser(plate, JsonParser.ValueStream)
+    p.absorb("{\"a\": 1}\n{\"b\": 2}\n".getBytes("UTF-8")).unsafeGet
+    p.absorb("{\"c\": 3}\n".getBytes("UTF-8")).unsafeGet
+    val r = p.absorb("{\"d\":\n  !}".getBytes("UTF-8"))
+    val e = r.asInstanceOf[ParseResult.Failure].error.asInstanceOf[ParseException]
+    assert(e.line == 5, s"line ${e.line}")
+    assert(e.col == 3, s"col ${e.col}")
+    assert(e.index == 9 + 9 + 9 + 8, s"index ${e.index}")
+  }
+
+  test("zero-copy absorb keeps a partial-token tail across chunks") {
+    val plate = new ReifiedPlate
+    val p = new JsonParser(plate, JsonParser.ValueStream)
+    // first chunk ends mid-string: the tail must be copied out of the
+    // borrowed array before absorb returns (the caller may reuse it)
+    val chunk1 = "{\"k\": \"par".getBytes("UTF-8")
+    val b1 = p.absorb(chunk1).unsafeGet
+    java.util.Arrays.fill(chunk1, 'Z'.toByte) // caller clobbers its buffer
+    val b2 = p.absorb("tial\"}".getBytes("UTF-8")).unsafeGet
+    val events = b1 ++ b2 ++ p.finish().unsafeGet
+    import graft.core.Event._
+    assert(events.contains(Str("partial")), events.toString)
+  }
+
   // ----------------------------------------------------------- chunking
 
   test("every split point yields identical events (object row)") {
