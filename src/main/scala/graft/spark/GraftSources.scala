@@ -429,6 +429,10 @@ final class GraftScanBuilder(
     */
   override def pushOffset(n: Int): Boolean = {
     if (countStar || aggSpec.isDefined) return false
+    // a pushed TopN reorders rows; a COMPLETE offset over it would apply
+    // in file order — keep the mutual exclusion local (Spark never asks
+    // for both today, but the invariant should not live in the planner)
+    if (topN != null) return false
     // COMPLETE offset must not reorder past a filter: our pushFilters keeps
     // every filter as residual (Spark's Filter node stays above the scan),
     // but that soundness must hold locally — refuse if that ever changes.
