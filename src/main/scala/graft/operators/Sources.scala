@@ -238,6 +238,35 @@ object Sources {
              GROUP BY n_regionkey
              ORDER BY n_regionkey"""))
 
+  // ---------------------------------------------------------------- q72
+  // SUM / AVG pushdown (round 5, extending q69's battery): integral sums
+  // fold in a Long lane with overflow piece-splitting (GraftAgg.FSum —
+  // the final merge keeps the query's evalMode, so ANSI/try/legacy
+  // overflow semantics survive the pushdown), and AVG rides the planner's
+  // partial-pushdown rewrite into SUM/COUNT. The scan parses only the two
+  // referenced columns; AggPushdownSpec asserts the plan shape and the
+  // overflow path.
+  private val q72 = GQuery(
+    "q72_sum_avg_pushdown",
+    "grouped sum/avg pushed into the graft-json scan via the sum/count rewrite",
+    (s, d) => {
+      ensureFixtures(s, d)
+      s.read.format("graft-json").load(jsonFixture)
+        .groupBy(col("n_regionkey"))
+        .agg(
+          sum("n_nationkey").as("sum_key"),
+          avg("n_nationkey").as("avg_key"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_regionkey")
+    },
+    Some(s"""SELECT n_regionkey,
+                    CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+                    avg(n_nationkey) AS avg_key,
+                    count(*) AS n_rows
+             FROM read_json('$jsonFixture', format='newline_delimited')
+             GROUP BY n_regionkey
+             ORDER BY n_regionkey"""))
+
   // ---------------------------------------------------------------- q70
   // DSv2 partial TopN pushdown: ORDER BY + LIMIT over the scan ships only
   // each split's bounded-heap best n rows into Spark's global sort
@@ -479,5 +508,5 @@ object Sources {
              GROUP BY r
              ORDER BY r"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72)
 }

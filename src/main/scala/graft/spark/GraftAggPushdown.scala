@@ -3,14 +3,16 @@ package graft.spark
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DSv2 partial aggregate pushdown for the graft scans (SURVEY §2.7's
   * row-count harness, generalized): grouped or ungrouped MIN / MAX /
-  * COUNT(col) / COUNT(*) batteries evaluate INSIDE the scan, so a query
+  * COUNT(col) / COUNT(*) / SUM batteries evaluate INSIDE the scan (and
+  * AVG rides for free — V2ScanRelationPushDown rewrites it to SUM/COUNT
+  * when only partial pushdown is offered), so a query
   * like `SELECT region, min(ts), max(ts), count(*) FROM graft_json GROUP
   * BY region` parses only the referenced columns (everything else is
   * byte-skipped by the pruned plate) and ships one partial row per group
@@ -36,6 +38,26 @@ object GraftAgg {
   final case class FMin(col: String, dt: DataType) extends Func
   final case class FMax(col: String, dt: DataType) extends Func
 
+  /** SUM(col). Integral inputs accumulate in a Long with OVERFLOW
+    * DETECTION: when the next add would overflow, the reader emits the
+    * group's current state as an extra partial row and starts a fresh
+    * accumulator — our side never wraps, so the FINAL merge Sum (which
+    * keeps the query's original evalMode; V2 translation drops it, see
+    * V2ExpressionBuilder's Sum branch) applies the session's overflow
+    * semantics itself: legacy wraps (mod-2^64 addition is associative, so
+    * piece-splitting is exact), ANSI raises, try_sum nulls. Any answer we
+    * produce equals vanilla Spark's under some legitimate partitioning of
+    * the same rows. Float/double inputs accumulate in Double — Sum's
+    * update casts every value to its result type, so the per-partition
+    * fold is bit-identical to Spark's own partial aggregate over the same
+    * file-order rows. `integral` decides which accumulator is live;
+    * `outDt` is LongType or DoubleType accordingly (the type the planner
+    * wires the final merge Sum onto).
+    */
+  final case class FSum(col: String, inDt: DataType, integral: Boolean) extends Func {
+    def outDt: DataType = if (integral) LongType else DoubleType
+  }
+
   final case class Spec(groupCols: Seq[(String, DataType)], funcs: Seq[Func]) {
 
     /** Columns the parser must materialize (group keys + agg inputs),
@@ -56,6 +78,7 @@ object GraftAgg {
           case FCount(c)    => StructField(s"count($c)", LongType, nullable = false)
           case FMin(c, dt)  => StructField(s"min($c)", dt)
           case FMax(c, dt)  => StructField(s"max($c)", dt)
+          case f: FSum      => StructField(s"sum(${f.col})", f.outDt)
         })
 
     override def toString: String =
@@ -64,6 +87,7 @@ object GraftAgg {
         case FCount(c) => s"count($c)"
         case FMin(c, _) => s"min($c)"
         case FMax(c, _) => s"max($c)"
+        case FSum(c, _, _) => s"sum($c)"
       }.mkString(",") +
         (if (groupCols.isEmpty) "" else s" group by ${groupCols.map(_._1).mkString(",")}")
   }
@@ -104,6 +128,20 @@ object GraftAgg {
       case m: Max =>
         singleName(m.column).flatMap(field).filter(f => atomic(f.dataType))
           .map(f => FMax(f.name, f.dataType))
+      case s: Sum if !s.isDistinct =>
+        // Decimal stays unpushed (precision widening + overflow checks
+        // aren't worth reimplementing); overflow semantics for the
+        // integral lane are handled by piece-splitting in the reader, so
+        // no evalMode knowledge is needed here.
+        singleName(s.column).flatMap(field).flatMap { f =>
+          f.dataType match {
+            case _: DecimalType => None
+            case it @ (ByteType | ShortType | IntegerType | LongType) =>
+              Some(FSum(f.name, it, integral = true))
+            case FloatType | DoubleType => Some(FSum(f.name, f.dataType, integral = false))
+            case _ => None
+          }
+        }
       case _ => None
     }
     if (funcs.isEmpty || funcs.exists(_.isEmpty)) return None
@@ -143,12 +181,23 @@ final class GraftAggPartitionReader(
     case _ => NullType
   }
 
-  /** Per-group state: counts for COUNT(*)/COUNT(col); boxed extrema for
-    * MIN/MAX (null until the first non-null value).
+  /** Per-group state: counts for COUNT(*)/COUNT(col) (and non-null counts
+    * for SUM nullability); boxed extrema for MIN/MAX (null until the first
+    * non-null value); primitive accumulators for SUM (long lane for
+    * integral inputs — wrapping, like Catalyst's non-ANSI Sum — double
+    * lane otherwise).
     */
   private final class State {
     val counts = new Array[Long](funcs.length)
     val vals = new Array[Any](funcs.length)
+    val lsums = new Array[Long](funcs.length)
+    val dsums = new Array[Double](funcs.length)
+    def reset(): Unit = {
+      java.util.Arrays.fill(counts, 0L)
+      java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(lsums, 0L)
+      java.util.Arrays.fill(dsums, 0.0)
+    }
   }
 
   private val state = new java.util.LinkedHashMap[Seq[Any], State]()
@@ -173,12 +222,55 @@ final class GraftAggPartitionReader(
   // ordering for the types translate() admits
   private def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
 
+  // SUM reads its input with the primitive accessor for the column's
+  // declared type — no boxing on the per-row path
+  private def longAt(r: InternalRow, idx: Int, dt: DataType): Long = dt match {
+    case LongType => r.getLong(idx)
+    case IntegerType => r.getInt(idx).toLong
+    case ShortType => r.getShort(idx).toLong
+    case _ => r.getByte(idx).toLong
+  }
+  private def doubleAt(r: InternalRow, idx: Int, dt: DataType): Double = dt match {
+    case DoubleType => r.getDouble(idx)
+    case _ => r.getFloat(idx).toDouble
+  }
+
+  /** True when folding `r` into `st` would overflow an integral-sum
+    * accumulator — the caller then emits `st` as a partial piece and
+    * retries on a zeroed state (a lone value never overflows zero).
+    */
+  private def wouldOverflow(st: State, r: InternalRow): Boolean = {
+    var i = 0
+    while (i < funcs.length) {
+      funcs(i) match {
+        case f: FSum if f.integral =>
+          val idx = funcIdx(i)
+          if (!r.isNullAt(idx)) {
+            val a = st.lsums(i)
+            val b = longAt(r, idx, f.inDt)
+            val s = a + b
+            if (((a ^ s) & (b ^ s)) < 0) return true
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    false
+  }
+
   private def update(st: State, r: InternalRow): Unit = {
     var i = 0
     while (i < funcs.length) {
       funcs(i) match {
         case FCountStar => st.counts(i) += 1L
         case _: FCount => if (!r.isNullAt(funcIdx(i))) st.counts(i) += 1L
+        case f: FSum =>
+          val idx = funcIdx(i)
+          if (!r.isNullAt(idx)) {
+            st.counts(i) += 1L
+            if (f.integral) st.lsums(i) += longAt(r, idx, f.inDt)
+            else st.dsums(i) += doubleAt(r, idx, f.inDt)
+          }
         case _: FMin =>
           if (!r.isNullAt(funcIdx(i))) {
             val v = r.get(funcIdx(i), funcDt(i))
@@ -202,6 +294,10 @@ final class GraftAggPartitionReader(
     while (j < funcs.length) {
       out(groupIdx.length + j) = funcs(j) match {
         case FCountStar | _: FCount => st.counts(j)
+        case f: FSum =>
+          if (st.counts(j) == 0L) null // all-null input: SUM is null
+          else if (f.integral) java.lang.Long.valueOf(st.lsums(j))
+          else java.lang.Double.valueOf(st.dsums(j))
         case _ => st.vals(j)
       }
       j += 1
@@ -222,6 +318,10 @@ final class GraftAggPartitionReader(
       out(groupIdx.length + j) = funcs(j) match {
         case FCountStar => 1L
         case _: FCount => if (r.isNullAt(funcIdx(j))) 0L else 1L
+        case f: FSum =>
+          if (r.isNullAt(funcIdx(j))) null
+          else if (f.integral) java.lang.Long.valueOf(longAt(r, funcIdx(j), f.inDt))
+          else java.lang.Double.valueOf(doubleAt(r, funcIdx(j), f.inDt))
         case _ =>
           if (r.isNullAt(funcIdx(j))) null
           else copyVal(r.get(funcIdx(j), funcDt(j)))
@@ -251,6 +351,15 @@ final class GraftAggPartitionReader(
           if (state.size >= maxGroups) { current = singletonRow(key, r); return true }
           st = new State
           state.put(key, st)
+        }
+        if (wouldOverflow(st, r)) {
+          // flush the group's running state as an extra partial piece and
+          // fold the row into a fresh accumulator — the final merge adds
+          // the pieces under the query's own evalMode (see FSum scaladoc)
+          current = outputRow(key, st)
+          st.reset()
+          update(st, r)
+          return true
         }
         update(st, r)
       }

@@ -118,16 +118,78 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scanDescr(d).contains("pushedAgg"), scanDescr(d))
     assert(d.collect().toSeq == j.agg(countDistinct("grp").as("d")).collect().toSeq)
 
-    // avg: refused (we only push splittable min/max/count)
-    val a = g.agg(avg("score").as("a"))
-    assert(!scanDescr(a).contains("pushedAgg"), scanDescr(a))
-    assert(a.collect().toSeq == j.agg(avg("score").as("a")).collect().toSeq)
+    // sum(distinct): not partial-pushable
+    val sd = g.agg(sum_distinct(col("id")).as("sd"))
+    assert(!scanDescr(sd).contains("pushedAgg"), scanDescr(sd))
+    assert(sd.collect().toSeq == j.agg(sum_distinct(col("id")).as("sd")).collect().toSeq)
 
     // a filter above the scan blocks aggregate pushdown (residual filter)
     val f = g.filter(col("id") > 30).groupBy("grp").agg(max("score").as("mx")).orderBy("grp")
     assert(!scanDescr(f).contains("pushedAgg"), scanDescr(f))
     assert(f.collect().toSeq ==
       j.filter(col("id") > 30).groupBy("grp").agg(max("score").as("mx")).orderBy("grp").collect().toSeq)
+  }
+
+  test("sum battery (integral long lane + double lane, nulls) is pushed and exact") {
+    val p = write("sum.json", fixture)
+    def agg(df: DataFrame): DataFrame = df.groupBy("grp").agg(
+      sum("id").as("si"), sum("score").as("ss"),
+      count("score").as("cn"), count(lit(1)).as("cs"))
+      .orderBy("grp")
+    val ours = agg(spark.read.format("graft-json").option("maxsplitbytes", "512").load(p))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    assert(scanDescr(ours).contains("sum(id)"), scanDescr(ours))
+    assert(ours.collect().toSeq == agg(spark.read.json(p)).collect().toSeq)
+  }
+
+  test("sum over an all-null group is null; avg rides the sum/count rewrite") {
+    // one group whose score is always null exercises the null-sum output
+    val rows = (1 to 30).map { i =>
+      val score = if (i % 3 == 0) "null" else (i * 2).toString
+      s"""{"g": ${i % 3}, "score": ${if (i % 3 == 0) "null" else score}}"""
+    }.mkString("\n") + "\n"
+    val p = write("sumnull.json", rows)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("g").agg(sum("score").as("s"), avg("score").as("a")).orderBy("g")
+    val ours = agg(spark.read.format("graft-json").load(p))
+    // avg alone would be refused, but the planner rewrites it to sum/count
+    // for partial-only sources — so the battery still folds in the scan
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    assert(ours.collect().toSeq == agg(spark.read.json(p)).collect().toSeq)
+  }
+
+  test("integral sum near Long.MaxValue piece-splits; legacy mode wraps like vanilla") {
+    val big = Long.MaxValue - 10
+    // three big values per group force accumulator overflow mid-group;
+    // piece-splitting hands intact partials to the final merge, whose
+    // legacy-mode addition is mod-2^64 (associative) — totals must match
+    // spark.read.json exactly
+    val rows = (1 to 6).map(i => s"""{"g": ${i % 2}, "v": $big}""") ++
+      (1 to 6).map(i => s"""{"g": ${i % 2}, "v": ${-big}}""")
+    val p = write("sumoverflow.json", rows.mkString("\n") + "\n")
+    spark.conf.set("spark.sql.ansi.enabled", "false") // evalMode binds at analysis
+    try {
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("g")
+      val ours = agg(spark.read.format("graft-json").load(p))
+      assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+      // totals cancel to 0 per group despite intermediate overflow
+      assert(ours.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((0L, 0L, 6L), (1L, 0L, 6L)))
+      assert(ours.collect().toSeq == agg(spark.read.json(p)).collect().toSeq)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("integral sum overflow in the total still raises under ANSI") {
+    val p = write("sumansi.json",
+      (1 to 4).map(_ => s"""{"v": ${Long.MaxValue - 10}}""").mkString("\n") + "\n")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true") // Spark 4 default
+    val ours = spark.read.format("graft-json").load(p).agg(sum("v").as("s"))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    val e = intercept[Exception](ours.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
   }
 
   test("grouped battery over a hive partition column is pushed and exact") {
