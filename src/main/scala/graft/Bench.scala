@@ -147,7 +147,12 @@ object SkipBench {
 
   private def parseAllBytes(data: Array[Byte], schema: StructType): Long = {
     var rows = 0L
-    val plate = new RowPlate(schema, Array.empty, _ => rows += 1)
+    // count-and-recycle mirrors the DSv2 reader's consumption contract
+    // (row objects handed back once the consumer advances)
+    var plateRef: RowPlate = null
+    val plate = new RowPlate(schema, Array.empty,
+      r => { rows += 1; plateRef.recycle(r) })
+    plateRef = plate
     val p = new JsonParser(plate, JsonParser.ValueStream)
     p.absorb(data) match {
       case ParseResult.Failure(e) => throw e

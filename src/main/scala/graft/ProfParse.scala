@@ -172,7 +172,10 @@ object ProfParse {
 
     def once(): Long = {
       var n = 0L
-      val plate = new RowPlate(flatSchema, Array.empty, _ => n += 1)
+      var plateRef: RowPlate = null
+      val plate = new RowPlate(flatSchema, Array.empty,
+        r => { n += 1; plateRef.recycle(r) })
+      plateRef = plate
       val p = new JsonParser(plate, JsonParser.ValueStream)
       p.absorb(data) match { case ParseResult.Failure(e) => throw e; case _ => () }
       p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }

@@ -1362,6 +1362,12 @@ final class GraftJsonPartitionReader(
   override def next(): Boolean = {
     // pushed limit satisfied: stop parsing bytes entirely (Terminate analog)
     if (limit >= 0 && emitted >= limit) return false
+    // the previously returned row is dead once the consumer advances
+    // (DSv2 row-reuse contract): hand it back to the plate's row pool
+    if (current != null && rowPlate != null) {
+      rowPlate.recycle(current)
+      current = null
+    }
     while (queue.isEmpty && !feeder.isExhausted) feeder.step()
     if (queue.nonEmpty) { current = queue.removeHead(); emitted += 1; true }
     else false
@@ -1495,6 +1501,8 @@ final class GraftCsvPartitionReader(
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
+    // DSv2 row-reuse contract: the previous row is dead once we advance
+    if (current != null) { plate.recycle(current); current = null }
     while (queue.isEmpty && !feeder.isExhausted) feeder.step()
     if (queue.nonEmpty) { current = queue.removeHead(); emitted += 1; true }
     else false

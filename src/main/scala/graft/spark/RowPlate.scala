@@ -89,10 +89,11 @@ final class RowPlate(
       lookup = lookupFor(s)
     }
     /** Root-row reset: same as morphStruct but with the lookup pre-resolved
-      * (one IdentityHashMap probe per ROW saved on the hot path).
+      * (one IdentityHashMap probe per ROW saved on the hot path) and the
+      * values array supplied by the caller (row recycling).
       */
-    def morphStructWith(s: StructType, l: StructLookup): Unit = {
-      kind = KStruct; st = s; values = new Array[Any](s.length); fieldPos = 0
+    def morphStructWith(s: StructType, l: StructLookup, vs: Array[Any]): Unit = {
+      kind = KStruct; st = s; values = vs; fieldPos = 0
       lookup = l
     }
     def morphArray(): Unit = {
@@ -335,11 +336,48 @@ final class RowPlate(
     true
   }
 
+  // ------------------------------------------------- row object recycling
+  // A DSv2 row reader may return the same InternalRow object on every
+  // get() — the consumer copies anything it retains (the contract Spark's
+  // own parquet reader relies on, and GraftAgg/GraftTopN already honor by
+  // copying). So the wrapper + values array of a CONSUMED row can be
+  // handed back via recycle() and reused for a later row: the pruned parse
+  // then allocates nothing per row. Pool size covers the reader's
+  // max rows-in-flight per absorbed chunk; overflow rows just fall to GC.
+  private[this] val rowPool = new Array[GenericInternalRow](1024)
+  private[this] var rowPoolTop = 0
+  /** The wrapper that owns frames(0).values for the row being built; null
+    * when the row must be wrapped fresh at finishRow.
+    */
+  private[this] var rowWrapper: GenericInternalRow = null
+
+  /** Hand back a row previously pushed by this plate (or any
+    * schema-shaped GenericInternalRow) once its consumer is done with it.
+    * Safe to call with foreign rows — anything unrecognized is ignored.
+    */
+  def recycle(row: InternalRow): Unit = row match {
+    case g: GenericInternalRow if g.numFields == schema.length && rowPoolTop < rowPool.length =>
+      java.util.Arrays.fill(g.values, null) // missing keys must read null
+      rowPool(rowPoolTop) = g
+      rowPoolTop += 1
+    case _ => ()
+  }
+
   private def resetRow(): Unit = {
     sp = 0
     frames(0).reset(schema, -1)
     if (rootLookup == null) rootLookup = lookupFor(schema)
-    frames(0).morphStructWith(schema, rootLookup)
+    if (rowWrapper == null) {
+      if (rowPoolTop > 0) { // recycled rows were cleared on the way in
+        rowPoolTop -= 1
+        rowWrapper = rowPool(rowPoolTop)
+        rowPool(rowPoolTop) = null
+      } else rowWrapper = new GenericInternalRow(new Array[Any](schema.length))
+    } else {
+      // abandoned row (filter skip / reset): scrub and reuse in place
+      java.util.Arrays.fill(rowWrapper.values, null)
+    }
+    frames(0).morphStructWith(schema, rootLookup, rowWrapper.values)
     nodeStack(0) = nestedRoot
     skipPending = false
     seenMask = 0L
@@ -522,9 +560,10 @@ final class RowPlate(
         case _       => ()
       }
     }
-    val row = new GenericInternalRow(rowFrame.values)
+    val row = rowWrapper // owns rowFrame.values (see resetRow)
     if (passesRowEnd(row)) {
       rowCount += 1
+      rowWrapper = null // consumed: resetRow pulls the next from the pool
       push(row)
     }
     resetRow()
