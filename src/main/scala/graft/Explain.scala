@@ -20,10 +20,17 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else Seq("q01_pricing_summary")
+    val (flags, queryArgs) = args.toSeq.partition(_.startsWith("-"))
+    val run = flags.contains("-run") // execute, then print the FINAL adaptive plan
+    val names = if (queryArgs.nonEmpty) queryArgs else Seq("q01_pricing_summary")
     names.foreach { name =>
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (run) {
+        val n = df.collect().length
+        println(s"rows=$n")
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

@@ -22,11 +22,18 @@ object Relational {
     * window, hot-key safe. The big window runs per (user, day) — bounded
     * work per task no matter how hot a user is — and a per-user carry-over
     * window runs only over the tiny (user, day) summary table to propagate
-    * the last click across bucket boundaries. ONE pass over the event
-    * table: the summary is derived from the windowed output, so its
-    * groupBy and the final join both reuse the window's (user_id, bucket)
-    * exchange (ReuseExchange dedupes the shuffle; no second scan), and
-    * only purchases — a fraction of events — reach the join.
+    * the last click across bucket boundaries. The event table is scanned
+    * and shuffled ONCE: the explicit repartition on (user_id, bucket) is
+    * the single exchange, shared verbatim by both consumers (runtime
+    * ReuseExchange — both subtrees are canonically identical, which the
+    * explicit not-null filters below preserve; the join would otherwise
+    * push isnotnull(bucket) into only one side and defeat reuse). The
+    * window's distribution requirement is satisfied by it, and the summary
+    * aggregate groups on exactly its keys, so neither adds a shuffle — and
+    * the aggregate reads the raw shuffle output directly rather than
+    * re-running the window's 5-key sort. Only purchases — a fraction of
+    * events — reach the join, and the carried summary (one row per active
+    * user-day) broadcasts.
     */
   private[operators] def asofBucketed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -36,16 +43,18 @@ object Relational {
       .withColumn("tag", when($"event_type" === "click", 0).otherwise(1))
       .withColumn("click_id", when($"event_type" === "click", $"event_id"))
       .withColumn("bucket", expr("unix_micros(ts) div 86400000000")) // day
+      .filter($"user_id".isNotNull && $"bucket".isNotNull)
+      .repartition($"user_id", $"bucket") // the ONE big shuffle, shared below
     // in-bucket as-of: bounded per (user, day) regardless of user heat
     val wLocal = Window.partitionBy($"user_id", $"bucket")
       .orderBy($"ts", $"tag", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = e.withColumn("lc_local", last($"click_id", ignoreNulls = true).over(wLocal))
-    // tiny summary: one row per (user, day); lc_local at the bucket's last
-    // event IS the bucket's last click (running last-non-null) — deriving
-    // it from `local` keeps the whole query to one scan + one big shuffle
-    val summary = local.groupBy($"user_id", $"bucket")
-      .agg(expr("max_by(lc_local, struct(ts, tag, event_id))").as("bucket_last_click"))
+    // tiny summary: one row per (user, day) with the bucket's last click,
+    // aggregated straight off the shared exchange (no second window pass)
+    val summary = e.groupBy($"user_id", $"bucket")
+      .agg(expr("max_by(click_id, struct(ts, tag, event_id)) FILTER (WHERE click_id IS NOT NULL)")
+        .as("bucket_last_click"))
     // carry the last click across PRIOR buckets (per-user window over the
     // summary only: rows-per-user = active days, never the event count)
     val wCarry = Window.partitionBy($"user_id").orderBy($"bucket")
