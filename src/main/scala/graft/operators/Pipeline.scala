@@ -763,8 +763,9 @@ object Pipeline {
             LIMIT 25"""))
 
   // ---------------------------------------------------------------- q65
-  // K-means TRAINING for IVF centroids (q52 probes literal centroids; this
-  // trains them): 3 Lloyd iterations over integer-quantized embeddings.
+  // K-means TRAINING for IVF centroids (q52 probes a fixed coarse
+  // quantizer; this trains one): 3 Lloyd iterations over integer-quantized
+  // embeddings.
   // Everything is order-independent integer arithmetic — floor-quantize at
   // 1e3 (floor, not round: IEEE-identical in both engines), BIGINT squared
   // L2, truncating integer division for the centroid update, ties to the
@@ -847,5 +848,68 @@ object Pipeline {
              GROUP BY cid
              ORDER BY cid"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65)
+  // ---------------------------------------------------------------- q73
+  // Deterministic hash sampling + dataset split: the reproducible analog of
+  // rand()-Bernoulli a training pipeline actually wants — membership is a
+  // pure function of the key (and a salt), so the sample is stable across
+  // reruns, repartitions, backfills, and engines. The md5 keyspace is cut
+  // into bands: hex < '2' keeps 2/16 = 12.5% of documents; the kept rows
+  // get a train/val/test split from DISJOINT bands of a differently-salted
+  // hash (salts decorrelate sample membership from split assignment).
+  // MAP-ONLY at any scale — no shuffle anywhere but the gate's final sort.
+  private val q73 = GQuery(
+    "q73_deterministic_sample",
+    "deterministic hash-Bernoulli sample + salted train/val/test split (map-only)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .withColumn("h", md5(concat(lit("graft-sample:"), $"doc_id".cast("string"))))
+        .filter($"h" < "2") // 2/16 of the keyspace = 12.5% expected rate
+        .withColumn("hs", md5(concat(lit("graft-split:"), $"doc_id".cast("string"))))
+        .withColumn("split",
+          when($"hs" < "c", "train")      // 12/16 = 75%
+            .when($"hs" < "e", "val")     //  2/16 = 12.5%
+            .otherwise("test"))           //  2/16 = 12.5%
+        .select($"doc_id", $"source", $"n_chars", $"split")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars,
+                   CASE WHEN md5('graft-split:' || CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+                        WHEN md5('graft-split:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+            WHERE md5('graft-sample:' || CAST(doc_id AS VARCHAR)) < '2'
+            ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q74
+  // Stratified sampling: a fixed per-stratum quota (40 docs per source),
+  // picked by deterministic hash order so the sample is reproducible and
+  // uniform within each stratum. row_number + filter plans as
+  // WindowGroupLimit (asserted in SamplingSpec): each task pre-truncates
+  // every stratum to the quota BEFORE the shuffle, so at 100 TB the
+  // exchange moves O(strata x quota x tasks) rows, not the corpus — and a
+  // hot stratum can't blow up a task.
+  private val q74 = GQuery(
+    "q74_stratified_sample",
+    "stratified per-source quota sample via hash-ordered WindowGroupLimit",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .withColumn("h", md5(concat(lit("graft-strat:"), $"doc_id".cast("string"))))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"source").orderBy($"h", $"doc_id")))
+        .filter($"rk" <= 40)
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+        .orderBy($"source", $"rk")
+    },
+    Some("""SELECT source, rk, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       md5('graft-strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 40
+            ORDER BY source, rk"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74)
 }
