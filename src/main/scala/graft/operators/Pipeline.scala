@@ -911,5 +911,48 @@ object Pipeline {
             WHERE rk <= 40
             ORDER BY source, rk"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74)
+  // ---------------------------------------------------------------- q75
+  // Benchmark decontamination: flag training documents that share n-gram
+  // shingles with an evaluation suite (the standard pre-training hygiene
+  // step — eval answers leaking into the training set inflate scores).
+  // The eval suite (here: a deterministic 1/97 slice standing in for a
+  // benchmark like MMLU) is SMALL by nature, so its shingle index is
+  // BROADCAST: the training corpus streams through a map-only join —
+  // no shuffle of the big side at any scale — and the per-(train, bench)
+  // overlap count partial-aggregates map-side. Distinct from q32's
+  // pairwise Jaccard: this is an asymmetric contains-style screen of a
+  // huge corpus against a tiny reference set.
+  private val q75 = GQuery(
+    "q75_decontaminate",
+    "benchmark decontamination screen (broadcast eval-suite shingle index, map-only)",
+    (s, d) => {
+      import s.implicits._
+      val sh = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          """CASE WHEN size(w) < 3 THEN array()
+             ELSE array_distinct(transform(sequence(0, size(w) - 3),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END""")).as("sh"))
+      val bench = sh.filter($"doc_id" % 97 === 0).select($"doc_id".as("bench_id"), $"sh")
+      val train = sh.filter($"doc_id" % 97 =!= 0).select($"doc_id".as("train_id"), $"sh")
+      train.join(broadcast(bench), "sh")
+        .groupBy($"train_id", $"bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"train_id", $"bench_id")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 97 <> 0)
+            SELECT train_id, bench_id, count(*) AS n_shared
+            FROM train JOIN bench USING (sh)
+            GROUP BY train_id, bench_id
+            HAVING count(*) >= 2
+            ORDER BY train_id, bench_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75)
 }
