@@ -954,5 +954,50 @@ object Pipeline {
             HAVING count(*) >= 2
             ORDER BY train_id, bench_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75)
+  // ---------------------------------------------------------------- q76
+  // Sequence packing: concat-then-chunk documents into fixed token-budget
+  // training sequences (budget 512) — the step that turns a cleaned corpus
+  // into pretraining batches. Each document's start offset is a running
+  // token cumsum; its pack is start div budget (documents straddle pack
+  // boundaries exactly as GPT-style packing does). The cumsum window is
+  // SHARDED — partitioned by (source, doc_id div 200) — so no task ever
+  // sequences more than 200 documents no matter how large a source is:
+  // the hierarchical pack-within-shards pattern production packers use
+  // (cross-shard packs are then stitched by renumbering, which needs only
+  // shard totals). Reports per-pack document and token counts.
+  private val q76 = GQuery(
+    "q76_sequence_packing",
+    "token-budget sequence packing via sharded cumsum windows (bounded tasks)",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source", $"shard").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      T(s, d, "documents")
+        .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("toks"))
+        .withColumn("shard", ($"doc_id" / 200).cast("long"))
+        .withColumn("start", coalesce(sum($"toks").over(w), lit(0L)))
+        .withColumn("pack_id", ($"start" / 512).cast("long"))
+        .groupBy($"source", $"shard", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+        .orderBy($"source", $"shard", $"pack_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
+                     doc_id // 200 AS shard
+              FROM documents),
+            packed AS (
+              SELECT source, shard,
+                     CAST(coalesce(sum(toks) OVER (PARTITION BY source, shard
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       // 512 AS BIGINT) AS pack_id,
+                     toks
+              FROM toks)
+            SELECT source, shard, pack_id, count(*) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens
+            FROM packed
+            GROUP BY source, shard, pack_id
+            ORDER BY source, shard, pack_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76)
 }

@@ -56,6 +56,24 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hash sampling must not shuffle:\n$plan")
   }
 
+  test("q76 packs every token exactly once into contiguous per-shard packs") {
+    val rows = graft.SparkEntry.queries("q76_sequence_packing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+
+    val docs = graft.Tables(spark, sf, "documents")
+    val totalToks = docs.selectExpr("sum(size(split(text, ' ')))").collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum == totalToks,
+      "packing must conserve tokens: every document lands in exactly one pack")
+
+    // pack ids within a (source, shard) are contiguous from 0 (concat-then-
+    // chunk leaves no empty pack below the last used one)
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rs) =>
+      val ids = rs.map(_.getLong(2)).sorted
+      assert(ids.head == 0L && ids.sameElements(0L until ids.length),
+        s"shard $k has non-contiguous packs: ${ids.mkString(",")}")
+    }
+  }
+
   test("q74 rides WindowGroupLimit and fills each stratum to min(quota, size)") {
     val df = graft.SparkEntry.queries("q74_stratified_sample")(spark, sf)
     val rows = df.collect()
