@@ -1,0 +1,142 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The user-facing training-data pipeline API: the parameterized operator
+  * library behind the q29/q73–q76 driver gates (which delegate here), for
+  * callers who want the operators on their own tables rather than the
+  * fixture queries.
+  *
+  * Design rules, enforced across every operator:
+  *   - DETERMINISTIC: membership/assignment is a pure function of a key
+  *     column and a caller-supplied salt (md5 keyspace cuts) — stable
+  *     across reruns, repartitionings, and engines; never `rand()`.
+  *   - SCALE-SAFE: map-only where possible (sampling, splits), bounded
+  *     tasks where sequencing is inherent (packing shards, stratified
+  *     quotas via WindowGroupLimit), broadcast where one side is small
+  *     by nature (decontamination reference sets, ANN query vectors).
+  */
+object TrainingData {
+
+  /** Salted md5 over a key column — the determinism primitive. */
+  def keyHash(key: Column, salt: String): Column =
+    md5(concat(lit(salt), key.cast("string")))
+
+  /** Lowercase 8-hex-digit threshold T such that `md5 < T` keeps ~rate of
+    * the keyspace (16^8 = 2^32 buckets of resolution).
+    */
+  private def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    if (rate >= 1.0) "g" // any md5 hex string sorts below 'g'
+    else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keeps rows whose salted key hash
+    * falls in the first `rate` slice of the md5 keyspace. Map-only — adds
+    * no shuffle at any scale — and reproducible: the same (key, salt)
+    * always makes the same in/out decision.
+    */
+  def sampleDeterministic(df: DataFrame, keyCol: String, rate: Double,
+      salt: String): DataFrame =
+    df.filter(substring(keyHash(col(keyCol), salt), 1, 8) < hexThreshold(rate))
+
+  /** Deterministic dataset split: appends `splitCol` assigning each row to
+    * one of the named bands (weights sum to ~1; the last band absorbs
+    * rounding). Use a different salt than any sampling pass so membership
+    * and assignment stay decorrelated. Map-only.
+    */
+  def withSplit(df: DataFrame, keyCol: String, salt: String,
+      bands: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(bands.nonEmpty, "at least one split band")
+    val h = substring(keyHash(col(keyCol), salt), 1, 8)
+    val cuts = bands.init.scanLeft(0.0)(_ + _._2).tail // cumulative weights
+    val expr0 = bands.init.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = h < hexThreshold(cum)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    val assigned = expr0.fold(lit(bands.head._1))(_.otherwise(bands.last._1))
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Stratified quota sample: up to `quota` rows per stratum, picked in
+    * deterministic salted-hash order (uniform within the stratum). The
+    * row_number + filter pair plans as WindowGroupLimit, so each task
+    * pre-truncates every stratum to the quota BEFORE the shuffle — a hot
+    * stratum cannot blow up a task. Adds `rankCol` (1-based).
+    */
+  def sampleStratified(df: DataFrame, strataCol: String, keyCol: String,
+      quota: Int, salt: String, rankCol: String = "rk"): DataFrame =
+    df.withColumn(rankCol, row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(keyHash(col(keyCol), salt), col(keyCol))))
+      .filter(col(rankCol) <= quota)
+
+  /** Sequence packing (concat-then-chunk): assigns every row a `pack_id`
+    * by running token cumsum in `orderCol` order, so documents fill fixed
+    * `budget`-token training sequences and straddle pack boundaries
+    * GPT-style. The cumsum window is sharded — partitioned by the strata
+    * columns plus `orderCol div shardSize` — so no task sequences more
+    * than shardSize rows however large a stratum is (hierarchical
+    * pack-within-shards; stitch across shards by renumbering with shard
+    * totals). Adds `shard`, `start` (token offset in shard), `pack_id`.
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
+      budget: Int, shardSize: Int, strataCols: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(strataCols.map(col) :+ col("shard"): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", (col(orderCol) / shardSize).cast("long"))
+      .withColumn("start", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", (col("start") / budget).cast("long"))
+  }
+
+  /** Distinct word n-gram shingles of a text column (space-tokenized). */
+  def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle width >= 1")
+    val w = split(text, " ")
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+  }
+
+  /** Benchmark decontamination screen: (corpusId, benchId, n_shared) for
+    * every corpus document sharing at least `minShared` distinct word
+    * n-gram shingles with a reference-set document. The reference side is
+    * BROADCAST (eval suites are small by nature): the corpus streams
+    * through map-only with no shuffle of the big side, and overlap counts
+    * partial-aggregate map-side.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Int = 2): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(wordShingles(col(textCol), n)).as("sh"))
+    shingled(corpus, "corpus_id")
+      .join(broadcast(shingled(bench, "bench_id")), "sh")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Exact dedup summary: one row per distinct content value with the
+    * surviving id (first writer wins = min id) and the copy count. ONE
+    * shuffle, on the md5 content fingerprint — content bytes never
+    * co-locate, only their hashes.
+    */
+  def dedupExactSummary(df: DataFrame, idCol: String, contentCol: String)
+      : DataFrame =
+    df.groupBy(md5(col(contentCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: the surviving rows themselves (min id per content). */
+  def dedupExact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val keep = dedupExactSummary(df, idCol, contentCol)
+      .select(col("keeper").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+}

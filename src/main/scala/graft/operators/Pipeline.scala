@@ -41,9 +41,7 @@ object Pipeline {
       import s.implicits._
       val docs = T(s, d, "documents").select($"doc_id", $"text")
       val corpus = docs.unionAll(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
-      corpus
-        .groupBy(md5($"text").as("fp"))
-        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      graft.api.TrainingData.dedupExactSummary(corpus, "doc_id", "text")
         .orderBy($"fp")
     },
     Some("""WITH corpus AS (
@@ -862,14 +860,10 @@ object Pipeline {
     "deterministic hash-Bernoulli sample + salted train/val/test split (map-only)",
     (s, d) => {
       import s.implicits._
-      T(s, d, "documents")
-        .withColumn("h", md5(concat(lit("graft-sample:"), $"doc_id".cast("string"))))
-        .filter($"h" < "2") // 2/16 of the keyspace = 12.5% expected rate
-        .withColumn("hs", md5(concat(lit("graft-split:"), $"doc_id".cast("string"))))
-        .withColumn("split",
-          when($"hs" < "c", "train")      // 12/16 = 75%
-            .when($"hs" < "e", "val")     //  2/16 = 12.5%
-            .otherwise("test"))           //  2/16 = 12.5%
+      val sampled = graft.api.TrainingData.sampleDeterministic(
+        T(s, d, "documents"), "doc_id", 0.125, "graft-sample:")
+      graft.api.TrainingData.withSplit(sampled, "doc_id", "graft-split:",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .select($"doc_id", $"source", $"n_chars", $"split")
         .orderBy($"doc_id")
     },
@@ -894,12 +888,8 @@ object Pipeline {
     "stratified per-source quota sample via hash-ordered WindowGroupLimit",
     (s, d) => {
       import s.implicits._
-      T(s, d, "documents")
-        .withColumn("h", md5(concat(lit("graft-strat:"), $"doc_id".cast("string"))))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"source").orderBy($"h", $"doc_id")))
-        .filter($"rk" <= 40)
+      graft.api.TrainingData.sampleStratified(
+          T(s, d, "documents"), "source", "doc_id", 40, "graft-strat:")
         .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
         .orderBy($"source", $"rk")
     },
@@ -927,18 +917,11 @@ object Pipeline {
     "benchmark decontamination screen (broadcast eval-suite shingle index, map-only)",
     (s, d) => {
       import s.implicits._
-      val sh = T(s, d, "documents")
-        .select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", explode(expr(
-          """CASE WHEN size(w) < 3 THEN array()
-             ELSE array_distinct(transform(sequence(0, size(w) - 3),
-                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END""")).as("sh"))
-      val bench = sh.filter($"doc_id" % 97 === 0).select($"doc_id".as("bench_id"), $"sh")
-      val train = sh.filter($"doc_id" % 97 =!= 0).select($"doc_id".as("train_id"), $"sh")
-      train.join(broadcast(bench), "sh")
-        .groupBy($"train_id", $"bench_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter($"n_shared" >= 2)
+      val docs = T(s, d, "documents")
+      graft.api.TrainingData.decontaminate(
+          docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", n = 3, minShared = 2)
+        .select($"corpus_id".as("train_id"), $"bench_id", $"n_shared")
         .orderBy($"train_id", $"bench_id")
     },
     Some("""WITH words AS (
@@ -970,14 +953,10 @@ object Pipeline {
     "token-budget sequence packing via sharded cumsum windows (bounded tasks)",
     (s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source", $"shard").orderBy($"doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      T(s, d, "documents")
+      val toks = T(s, d, "documents")
         .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("toks"))
-        .withColumn("shard", ($"doc_id" / 200).cast("long"))
-        .withColumn("start", coalesce(sum($"toks").over(w), lit(0L)))
-        .withColumn("pack_id", ($"start" / 512).cast("long"))
+      graft.api.TrainingData.packSequences(toks, "doc_id", "toks",
+          budget = 512, shardSize = 200, strataCols = Seq("source"))
         .groupBy($"source", $"shard", $"pack_id")
         .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
         .orderBy($"source", $"shard", $"pack_id")

@@ -1,0 +1,107 @@
+package graft.spark
+
+import graft.api.TrainingData
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The public TrainingData facade on arbitrary (non-fixture) frames: the
+  * gates delegate to these functions, but a library user calls them with
+  * their own columns, rates, salts, and budgets — so pin the general
+  * contracts, not the fixture outputs.
+  */
+class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("trainingdata-api-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def people = {
+    val s = spark; import s.implicits._
+    (1L to 4000L).map(i => (i, s"group${i % 7}", 10 + (i % 50)))
+      .toDF("id", "grp", "toks")
+  }
+
+  test("sampleDeterministic tracks the rate and composes disjointly") {
+    val df = people
+    val r30 = TrainingData.sampleDeterministic(df, "id", 0.30, "s1")
+    val n = r30.count()
+    assert(math.abs(n / 4000.0 - 0.30) < 0.05, s"rate ${n / 4000.0} far from 0.30")
+    // rate monotonicity: a 10% cut is a subset of a 30% cut (same salt)
+    val r10 = TrainingData.sampleDeterministic(df, "id", 0.10, "s1")
+    assert(r10.join(r30, Seq("id"), "left_anti").count() == 0)
+    // rate 1.0 keeps everything, 0.0 nothing
+    assert(TrainingData.sampleDeterministic(df, "id", 1.0, "s1").count() == 4000)
+    assert(TrainingData.sampleDeterministic(df, "id", 0.0, "s1").count() == 0)
+  }
+
+  test("withSplit covers every row with bands near their weights") {
+    val got = TrainingData.withSplit(people, "id", "s2",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 4000)
+    assert(math.abs(got("train") / 4000.0 - 0.8) < 0.05)
+  }
+
+  test("sampleStratified honors quotas per stratum and is rerun-stable") {
+    val a = TrainingData.sampleStratified(people, "grp", "id", 25, "s3")
+    assert(a.groupBy("grp").count().collect().forall(_.getLong(1) == 25))
+    val b = TrainingData.sampleStratified(people, "grp", "id", 25, "s3")
+    assert(a.collect().map(_.toString).sorted
+      .sameElements(b.collect().map(_.toString).sorted))
+  }
+
+  test("packSequences conserves tokens and respects the budget boundary") {
+    val packed = TrainingData.packSequences(people, "id", "toks",
+      budget = 256, shardSize = 500, strataCols = Seq("grp"))
+    val rows = packed.select("grp", "shard", "pack_id", "start", "toks").collect()
+    assert(rows.length == 4000)
+    // every start offset is the div-consistent pack
+    rows.foreach { r =>
+      assert(r.getLong(3) / 256 == r.getLong(2), s"start/budget mismatch: $r")
+    }
+    // within a (grp, shard): starts are a strictly increasing cumsum from 0
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val total = rs.map(_.getLong(4)).sum
+      assert(rs.map(_.getLong(3)).max < total)
+      assert(rs.map(_.getLong(3)).min == 0L)
+    }
+  }
+
+  test("decontaminate flags planted overlaps and nothing else") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 shingles w/ bench
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "alpha beta gamma unrelated tail here") // shares 1 shingle: below min
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TrainingData.decontaminate(corpus, bench, "doc_id", "text",
+        n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 100L, 3L)),
+      s"expected only doc 1 flagged (3 shared 3-grams), got ${got.toSeq}")
+  }
+
+  test("dedupExact keeps exactly the first writer per content") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"))
+      .toDF("id", "text")
+    val kept = TrainingData.dedupExact(df, "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 2L, 4L)))
+  }
+}
