@@ -139,4 +139,79 @@ object TrainingData {
       .select(col("keeper").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** MinHash-LSH near-duplicate candidate pairs: distinct word shingles →
+    * `numHashes` minhashes → `bands` bands hashed to buckets → self-join on
+    * (band, bucket) — only documents sharing a band bucket are ever paired,
+    * NEVER all-pairs — then Jaccard estimated from signature agreement.
+    * The signature table is persisted before the self-join (hundreds of
+    * bytes/doc vs KBs of text); at 100 TB make it a bucketed write on
+    * `bucket` for a co-partitioned merge join. Returns
+    * (id_a, id_b, jaccard_est) with id_a < id_b.
+    */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minJaccardEst: Double = 0.25): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol),
+        wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mh = sh.select(col(idCol), expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+            i -> array_min(transform(sh, t -> xxhash64(i, t))))""").as("mh"))
+    val banded = mh.select(col(idCol), col("mh"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+                b -> xxhash64(${(0 until rowsPerBand)
+                  .map(j => s"mh[b*$rowsPerBand+$j]").mkString(", ")}))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val sigs = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sigs.select(col(idCol).as("id_a"), col("mh").as("mh_a"), col("band"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id_b"), col("mh").as("mh_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr(s"round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / $numHashes.0, 4)")
+          .as("jaccard_est"))
+      .distinct()
+      .filter(col("jaccard_est") >= minJaccardEst)
+  }
+
+  /** Sign-LSH bucket id of a double-array vector column: bit i of the
+    * result is the sign of the dot product with `planes(i)`. The planes
+    * are configuration (O(bits), not data), so they travel as a literal;
+    * bucketing is MAP-ONLY — pair near-duplicate vectors with one
+    * self-equi-join on the bucket, never all-pairs.
+    */
+  def signLshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63, "1..63 hyperplanes")
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(vec, typedlit(p), (x, y) => x * y),
+        lit(0d), (a, v) => a + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k: every corpus vector scored against a SMALL
+    * broadcast query set (the one legitimate cross join — the build side
+    * is the handful of query vectors), ranked per query. Returns
+    * (qid, rank, neighbor id, cos). For corpus-scale query sets use an
+    * LSH/IVF route instead (see the q34/q52 gates).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "e",
+      qidCol: String = "qid", qvecCol: String = "qe",
+      excludeSelf: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf) joined.filter(col(idCol) =!= col(qidCol)) else joined)
+      .select(col(qidCol), col(idCol),
+        expr(s"cosine_sim($qvecCol, $vecCol)").as("cos"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"),
+        col(idCol).as("neighbor"), col("cos"))
+  }
 }

@@ -63,34 +63,10 @@ object Pipeline {
     "MinHash-LSH banded near-duplicate candidate join (bucketed, no crossJoin)",
     (s, d) => {
       import s.implicits._
-      val sh = T(s, d, "documents")
-        .select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", expr(
-          """CASE WHEN size(w) < 3 THEN array()
-             ELSE array_distinct(transform(sequence(0, size(w) - 3),
-                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END""").as("sh"))
-        .filter(size($"sh") > 0)
-      val mh = sh.select($"doc_id", expr(
-        """transform(sequence(0, 15),
-             i -> array_min(transform(sh, t -> xxhash64(i, t))))""").as("mh"))
-      val bands = mh.select($"doc_id", $"mh",
-          posexplode(expr(
-            """transform(sequence(0, 3),
-                 b -> xxhash64(mh[b*4], mh[b*4+1], mh[b*4+2], mh[b*4+3]))""")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // Materialize the signature table once (a few hundred bytes/doc vs
-      // KBs of text) so the self-join reads the cached signatures instead
-      // of re-computing 16 minhashes per side; at 100 TB this would be a
-      // bucketed write on `bucket` for a co-partitioned merge join.
-      val sigs = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sigs.select($"doc_id".as("doc_a"), $"mh".as("mh_a"), $"band", $"bucket")
-      val b = sigs.select($"doc_id".as("doc_b"), $"mh".as("mh_b"), $"band", $"bucket")
-      a.join(b, Seq("band", "bucket"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b",
-          expr("round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / 16.0, 4)").as("jaccard_est"))
-        .distinct()
-        .filter($"jaccard_est" >= 0.25)
+      graft.api.TrainingData.minhashLshCandidates(
+          T(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, minJaccardEst = 0.25)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard_est")
         .orderBy($"doc_a", $"doc_b")
     },
     None) // xxhash64 minhashes are engine-specific: rows-only gate
@@ -182,16 +158,10 @@ object Pipeline {
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       val q = emb.filter($"vec_id".isin(1, 2, 3))
         .select($"vec_id".as("qid"), $"e".as("qe"))
-      val scored = emb.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"qid")
-        // native codegen'd expression: fused dot+norms, no per-pair
-        // zipped-array allocation (same index-order sums as the oracle)
-        .select($"qid", $"vec_id", expr("cosine_sim(qe, e)").as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 10)
-        .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor"))
+      // cosine runs through the native codegen'd cosine_sim expression:
+      // fused dot+norms, same index-order sums as the oracle
+      graft.api.TrainingData.cosineTopK(emb, q, k = 10, excludeSelf = true)
+        .select($"qid", $"rank", $"neighbor")
         .orderBy($"qid", $"rank")
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -351,13 +321,7 @@ object Pipeline {
         .filter($"vec_id".isin(100, 200, 300, 400)).orderBy($"vec_id")
         .collect().map(_.getSeq[Double](1)).toSeq
       val bucketed = emb
-        .withColumn("planes", typedlit(planes))
-        .withColumn("bucket", expr(
-          """aggregate(
-               transform(planes, (pv, i) ->
-                 CASE WHEN aggregate(zip_with(e, pv, (x, y) -> x * y), 0D, (a, v) -> a + v) >= 0
-                      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
-               CAST(0 AS BIGINT), (a, v) -> a + v)"""))
+        .withColumn("bucket", graft.api.TrainingData.signLshBucket($"e", planes))
         .select($"vec_id", $"e", $"bucket")
       val left = bucketed.select($"bucket", $"vec_id".as("i"), $"e".as("ei"))
       val right = bucketed.select($"bucket", $"vec_id".as("j"), $"e".as("ej"))

@@ -96,6 +96,45 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected only doc 1 flagged (3 shared 3-grams), got ${got.toSeq}")
   }
 
+  test("minhashLshCandidates pairs near-identical docs and skips unrelated ones") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+      (3L, "completely different words nothing shared with any other entry here at all")
+    ).toDF("doc_id", "text")
+    val got = TrainingData.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccardEst = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), s"expected only the planted near-dup pair, got ${got.toSeq}")
+  }
+
+  test("signLshBucket is map-only and separates opposite-sign vectors") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 1.0)), (2L, Seq(0.9, 1.1)),   // same quadrant -> same bucket
+      (3L, Seq(-1.0, -1.0))                        // opposite -> different bucket
+    ).toDF("id", "e")
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = vecs.withColumn("b", TrainingData.signLshBucket(org.apache.spark.sql.functions.col("e"), planes))
+    val by = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(by(1L) == by(2L) && by(1L) != by(3L), s"buckets: $by")
+    assert(by(1L) == 3L && by(3L) == 0L) // both positive dots -> bits 0 and 1 set
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucketing must not shuffle")
+  }
+
+  test("cosineTopK ranks the aligned vector first and excludes self") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "e")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qe")
+    val got = TrainingData.cosineTopK(corpus, queries, k = 2, excludeSelf = true)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("dedupExact keeps exactly the first writer per content") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"))
