@@ -22,6 +22,13 @@ object Sources {
   private val fixtureDir = "/tmp/graft_fixtures"
   private val jsonFixture = s"$fixtureDir/q27_nation.jsonl"
   private val csvFixture = s"$fixtureDir/q28_region.csv"
+  private val jsonGzFixture = s"$fixtureDir/q77_nation.jsonl.gz"
+  private val csvGzFixture = s"$fixtureDir/q77_region.csv.gz"
+
+  private def gzWrite(path: String, bytes: Array[Byte]): Unit = {
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(Paths.get(path)))
+    try out.write(bytes) finally out.close()
+  }
 
   /** Write both fixtures (driver-side, 30 rows total, SF-independent). */
   private def ensureFixtures(spark: SparkSession, dir: String): Unit = {
@@ -37,6 +44,7 @@ object Sources {
       s"""{"n_nationkey": $k, "n_name": "$name", "n_regionkey": $reg, "meta": {"r": $reg, "len": ${name.length}}}"""
     }.mkString("", "\n", "\n")
     Files.write(Paths.get(jsonFixture), jsonContent.getBytes(UTF_8))
+    gzWrite(jsonGzFixture, jsonContent.getBytes(UTF_8))
 
     val region = Tables(spark, dir, "region")
       .select("r_regionkey", "r_name")
@@ -46,6 +54,7 @@ object Sources {
       s"${r.getAs[Number](0).longValue},${r.getString(1)},${r.getString(1).length}"
     }.mkString("", "\r\n", "\r\n")
     Files.write(Paths.get(csvFixture), csvContent.getBytes(UTF_8))
+    gzWrite(csvGzFixture, csvContent.getBytes(UTF_8))
   }
 
   // ---------------------------------------------------------------- q27
@@ -508,5 +517,32 @@ object Sources {
              GROUP BY r
              ORDER BY r"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72)
+  // ---------------------------------------------------------------- q77
+  // Gzip-compressed ingest through BOTH graft readers: the feeders run in
+  // decompressed coordinates over whole-file partitions (gzip members are
+  // unsplittable — planning never byte-splits them), schema inference
+  // samples a decompressed prefix, and the regions dim broadcasts. Oracle:
+  // DuckDB reads the same .gz files natively.
+  private val q77 = GQuery(
+    "q77_gzip_scan",
+    "gzip-compressed graft-json + graft-csv ingest (decompressed whole-file partitions)",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val nations = s.read.format("graft-json").load(jsonGzFixture)
+      val regions = s.read.format("graft-csv").option("linesep", "\r\n").load(csvGzFixture)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      nations.join(broadcast(regions), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_regionkey"), col("r_name"))
+        .agg(count(lit(1)).as("n_nations"), sum(col("meta.len")).as("total_len"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some(s"""SELECT n_regionkey, r_name, count(*) AS n_nations,
+                    CAST(sum(meta.len) AS BIGINT) AS total_len
+             FROM read_json('$jsonGzFixture', format='newline_delimited')
+             JOIN read_csv('$csvGzFixture', header=true, all_varchar=true)
+               ON n_regionkey = CAST(r_regionkey AS BIGINT)
+             GROUP BY n_regionkey, r_name
+             ORDER BY n_regionkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77)
 }

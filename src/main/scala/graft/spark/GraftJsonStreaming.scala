@@ -132,6 +132,11 @@ final class GraftJsonMicroBatchStream(
     val parts = Seq.newBuilder[InputPartition]
     var base = 0L
     registry.files.foreach { case (path, len) =>
+      if (GraftSources.isGzip(path))
+        throw new UnsupportedOperationException(
+          s"graft-json streaming admits byte windows that can fall mid-file; " +
+          s"gzip members cannot be realigned from an offset: $path " +
+          "(use the batch reader, or graft-csv streaming's whole-file admission)")
       val fs = math.max(s - base, 0L)
       val fe = math.min(e - base, len)
       if (fe > fs) parts += GraftInputPartition(path, fs, fe, len)
@@ -199,7 +204,7 @@ final class GraftCsvMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset].pos.toInt
     val e = end.asInstanceOf[GraftStreamOffset].pos.toInt
     registry.files.slice(s, e).map { case (p, len) =>
-      GraftInputPartition(p, 0, len, len): InputPartition
+      GraftSources.wholeFilePartition(p, len): InputPartition
     }.toArray
   }
 

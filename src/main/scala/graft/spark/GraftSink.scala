@@ -21,16 +21,17 @@ import org.apache.spark.util.SerializableConfiguration
 final class GraftWriteBuilder(
     path: String,
     schema: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    gzip: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate)
+    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate, gzip)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(path, schema, conf)
+      new GraftStreamingWrite(path, schema, conf, gzip)
   }
 }
 
@@ -41,14 +42,15 @@ final class GraftWriteBuilder(
 final class GraftStreamingWrite(
     path: String,
     schema: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    gzip: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(path, schema, conf)
+    new GraftStreamingWriterFactory(path, schema, conf, gzip)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -58,19 +60,21 @@ final class GraftStreamingWrite(
 final class GraftStreamingWriterFactory(
     path: String,
     schema: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    gzip: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      namePrefix = f"part-$epochId%05d")
+      namePrefix = f"part-$epochId%05d", gzip = gzip)
 }
 
 final class GraftBatchWrite(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    truncate: Boolean)
+    truncate: Boolean,
+    gzip: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -82,7 +86,7 @@ final class GraftBatchWrite(
       }
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf)
+    new GraftJsonWriterFactory(path, schema, conf, gzip)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -94,9 +98,10 @@ private final case class GraftCommit(file: String) extends WriterCommitMessage
 final class GraftJsonWriterFactory(
     path: String,
     schema: StructType,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    gzip: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId)
+    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId, gzip = gzip)
 }
 
 final class GraftJsonDataWriter(
@@ -105,13 +110,18 @@ final class GraftJsonDataWriter(
     conf: SerializableConfiguration,
     partitionId: Int,
     taskId: Long,
-    namePrefix: String = "part")
+    namePrefix: String = "part",
+    gzip: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
-  private val finalFile = new Path(path, f"$namePrefix-$partitionId%05d.jsonl")
-  private val stageFile = new Path(path, f".$namePrefix-$partitionId%05d-$taskId.jsonl.stage")
-  private val out = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
+  private val ext = if (gzip) "jsonl.gz" else "jsonl"
+  private val finalFile = new Path(path, f"$namePrefix-$partitionId%05d.$ext")
+  private val stageFile = new Path(path, f".$namePrefix-$partitionId%05d-$taskId.$ext.stage")
+  private val out: java.io.OutputStream = {
+    val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
+    if (gzip) new java.util.zip.GZIPOutputStream(base, 1 << 16) else base
+  }
   private val sb = new java.lang.StringBuilder(4096)
 
   override def write(row: InternalRow): Unit = {

@@ -46,6 +46,55 @@ object GraftSources {
   def activeHadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** Gzip inputs: read through a decompressor in DECOMPRESSED coordinates,
+    * never split (a byte range inside a gzip member cannot be realigned).
+    */
+  def isGzip(path: String): Boolean = {
+    val p = path.toLowerCase(java.util.Locale.ROOT)
+    p.endsWith(".gz") || p.endsWith(".gzip")
+  }
+
+  /** One whole-file input partition. Gzip files use Long.MaxValue for
+    * end/fileLen: readers work in decompressed coordinates, where the
+    * length is unknown at planning — the feeders' "consume to EOF" path
+    * (end == fileLen) handles both.
+    */
+  def wholeFilePartition(path: String, len: Long,
+      partValues: Array[String] = Array.empty): GraftInputPartition =
+    if (isGzip(path)) GraftInputPartition(path, 0, Long.MaxValue, Long.MaxValue, partValues)
+    else GraftInputPartition(path, 0, len, len, partValues)
+
+  /** Up to `maxBytes` decompressed bytes from a file's head (driver-side
+    * schema sampling). Returns (bytes, sawWholeFile).
+    */
+  def readPrefix(path: Path, conf: Configuration, fileLen: Long,
+      maxBytes: Long): (Array[Byte], Boolean) = {
+    if (!isGzip(path.getName)) {
+      val in = path.getFileSystem(conf).open(path)
+      try {
+        val n = math.min(fileLen, maxBytes).toInt
+        val buf = new Array[Byte](n)
+        in.readFully(0, buf)
+        (buf, fileLen <= maxBytes)
+      } finally in.close()
+    } else {
+      val in = new java.util.zip.GZIPInputStream(
+        path.getFileSystem(conf).open(path), 64 * 1024)
+      try {
+        val max = maxBytes.toInt
+        val buf = new Array[Byte](math.min(max, 1 << 20).max(1))
+        val out = new java.io.ByteArrayOutputStream()
+        var eof = false
+        while (!eof && out.size < max) {
+          val n = in.read(buf, 0, math.min(buf.length, max - out.size))
+          if (n < 0) eof = true else out.write(buf, 0, n)
+        }
+        // sawWholeFile only when the member ended within the budget
+        (out.toByteArray, eof || in.read() < 0)
+      } finally in.close()
+    }
+  }
+
   /** Resolve the path option (possibly comma-separated, possibly dirs)
     * into concrete file paths.
     */
@@ -245,18 +294,12 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
     // sample a bounded prefix of each file on the driver
     val merged = listing.files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
       case (acc, GraftSources.ListedFile(p, len, _)) =>
-        val path = new Path(p)
-        val in = path.getFileSystem(conf).open(path)
-        try {
-          val n = math.min(len, sampleBytes).toInt
-          val buf = new Array[Byte](n)
-          in.readFully(0, buf)
-          val plate = new SchemaInference.InferencePlate
-          val parser = new JsonParser(plate, mode)
-          parser.absorb(buf)
-          if (len <= sampleBytes) parser.finish()
-          SchemaInference.merge(acc, plate.finishBatch(true))
-        } finally in.close()
+        val (buf, whole) = GraftSources.readPrefix(new Path(p), conf, len, sampleBytes)
+        val plate = new SchemaInference.InferencePlate
+        val parser = new JsonParser(plate, mode)
+        parser.absorb(buf)
+        if (whole) parser.finish()
+        SchemaInference.merge(acc, plate.finishBatch(true))
     }
     val data0 = SchemaInference.toStructType(merged)
     // PERMISSIVE (badrecords=keep): the corrupt-record column is part of
@@ -298,7 +341,10 @@ final class GraftJsonTable(schema: StructType, properties: java.util.Map[String,
     new GraftWriteBuilder(
       Option(info.options.get("path")).getOrElse(properties.get("path")),
       info.schema(),
-      new SerializableConfiguration(GraftSources.activeHadoopConf()))
+      new SerializableConfiguration(GraftSources.activeHadoopConf()),
+      gzip = "gzip".equalsIgnoreCase(
+        Option(info.options.get("compression"))
+          .orElse(Option(properties.get("compression"))).getOrElse("none")))
 }
 
 // ======================================================================= CSV
@@ -313,12 +359,8 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
     val config = GraftSources.csvConfig(options.asCaseSensitiveMap())
     val GraftSources.ListedFile(p, len, _) = listing.files.headOption.getOrElse(
       throw new IllegalArgumentException("no input files"))
-    val path = new Path(p)
-    val in = path.getFileSystem(conf).open(path)
-    try {
-      val n = math.min(len, 1L << 20).toInt
-      val buf = new Array[Byte](n)
-      in.readFully(0, buf)
+    val (buf, whole) = GraftSources.readPrefix(new Path(p), conf, len, 1L << 20)
+    locally {
       // capture the first data row's keys (header names or inferred A..Z)
       val keys = new mutable.LinkedHashSet[String]
       val plate = new graft.core.Plate[Unit] {
@@ -344,13 +386,13 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
       }
       val parser = new CsvParser(plate, config)
       parser.absorb(buf)
-      if (len <= n) parser.finish()
+      if (whole) parser.finish()
       val data = StructType(keys.toSeq.map(k =>
         org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
       val partExtra = GraftSources.partitionSchema(listing)
         .filterNot(f => data.fieldNames.contains(f.name))
       StructType(data.fields ++ partExtra)
-    } finally in.close()
+    }
   }
 
   override def getTable(
@@ -580,7 +622,14 @@ final class GraftScan(
   // scans (a pruned date partition broadcast-joins instead of SMJ-ing).
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = prunedFiles.map(_.len).sum
+      // gzip sizes are compressed: scale by the standard
+      // spark.sql.sources.fileCompressionFactor so join strategy sees an
+      // honest decompressed estimate
+      private val factor =
+        SparkSession.active.sessionState.conf.fileCompressionFactor
+      private val bytes = prunedFiles.map { f =>
+        if (GraftSources.isGzip(f.path)) (f.len * factor).toLong else f.len
+      }.sum
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -660,8 +709,11 @@ final class GraftScan(
       (!isJson && options.getBoolean("splittable", false))
     pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       // a pushed OFFSET requires one partition in file order (the builder
-      // already guaranteed a single file; never split it)
-      if (!splittable || offset >= 0 || len <= maxSplit)
+      // already guaranteed a single file; never split it); gzip members
+      // are inherently unsplittable
+      if (GraftSources.isGzip(p))
+        Seq(GraftSources.wholeFilePartition(p, len, pv))
+      else if (!splittable || offset >= 0 || len <= maxSplit)
         Seq(GraftInputPartition(p, 0, len, len, pv))
       else
         (0L until len by maxSplit).map { start =>
@@ -962,9 +1014,7 @@ final class GraftCountPartitionReader(
       // pushed-down COUNT(*) must count them too
       plate.total + (if (countMalformed) jsonFeeder.droppedRecords else 0L)
     case None =>
-      val in = new Path(part.path).getFileSystem(conf).open(part.path match {
-        case p => new Path(p)
-      })
+      val in = new RangeInput(new Path(part.path), conf)
       try {
         val parser = new CsvParser(plate, csvConfig)
         val chunk = new Array[Byte](256 * 1024)
@@ -992,6 +1042,69 @@ final class GraftCountPartitionReader(
   override def close(): Unit = if (jsonFeeder != null) jsonFeeder.close()
 }
 
+/** Sequential range input shared by the feeders. Plain files delegate to
+  * the FS stream (native seek / positioned read). Gzip files decompress on
+  * the fly and expose DECOMPRESSED coordinates: `seek` and `readFully` —
+  * used only on malformed-record recovery paths — are emulated by
+  * reopening the member and skipping, which is correct (gzip partitions
+  * always start at offset 0) and costs re-decompression only when a
+  * corrupt record actually needs a resync.
+  */
+private[spark] final class RangeInput(path: Path, conf: Configuration) {
+  private val fs = path.getFileSystem(conf)
+  private val gz = GraftSources.isGzip(path.getName)
+  private var raw = fs.open(path)
+  private var in: java.io.InputStream =
+    if (gz) new java.util.zip.GZIPInputStream(raw, 64 * 1024) else raw
+  private var dpos = 0L // next-read offset in stream coordinates
+
+  def read(buf: Array[Byte]): Int = {
+    val n = in.read(buf)
+    if (n > 0) dpos += n
+    n
+  }
+
+  def seek(pos: Long): Unit = {
+    if (!gz) { raw.seek(pos); dpos = pos; return }
+    if (pos < dpos) { // restart the member
+      in.close()
+      raw = fs.open(path)
+      in = new java.util.zip.GZIPInputStream(raw, 64 * 1024)
+      dpos = 0L
+    }
+    skipTo(in, pos - dpos)
+    dpos = pos
+  }
+
+  private def skipTo(s: java.io.InputStream, bytes: Long): Unit = {
+    var left = bytes
+    while (left > 0) {
+      val n = s.skip(left)
+      if (n > 0) left -= n
+      else if (s.read() < 0) return // EOF short of the target: seek clamps
+      else left -= 1
+    }
+  }
+
+  /** Positioned read; the main cursor is untouched. */
+  def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    if (!gz) { raw.readFully(pos, buf, off, len); return }
+    val r2 = fs.open(path)
+    val in2 = new java.util.zip.GZIPInputStream(r2, 64 * 1024)
+    try {
+      skipTo(in2, pos)
+      var got = 0
+      while (got < len) {
+        val n = in2.read(buf, off + got, len - got)
+        if (n < 0) throw new java.io.EOFException(s"$path at $pos+$len")
+        got += n
+      }
+    } finally in2.close()
+  }
+
+  def close(): Unit = in.close()
+}
+
 /** Feeds one byte range of a JSON-lines file into a parser, handling the
   * row-realignment protocol (shared by the row and columnar readers).
   *
@@ -1009,7 +1122,7 @@ private[spark] final class JsonRangeFeeder[A](
     onCorrupt: Array[Byte] => Unit = null) {
 
   private val path = new Path(part.path)
-  private val in = path.getFileSystem(conf).open(path)
+  private val in = new RangeInput(path, conf)
   private val chunk = new Array[Byte](256 * 1024)
   private var parser = mkParser()
   private var pos = part.start
@@ -1401,7 +1514,7 @@ private[spark] final class CsvRangeFeeder[A](
     alignByte: Byte) {
 
   private val path = new Path(part.path)
-  private val in = path.getFileSystem(conf).open(path)
+  private val in = new RangeInput(path, conf)
   private val chunk = new Array[Byte](256 * 1024)
   private var pos = part.start
   private var aligned = part.start == 0

@@ -1,0 +1,118 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.{Files, Paths}
+
+/** Gzip ingest paths the q77 gate doesn't reach: malformed-record recovery
+  * (seek/positioned-read are emulated on gzip by reopen+skip — exactly the
+  * code the happy path never runs), PERMISSIVE corrupt-line capture,
+  * planning unsplittability, and COUNT(*) pushdown through the
+  * decompressing reader.
+  */
+class GzipSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = Files.createTempDirectory("graft-gzip-spec")
+
+  private def gzWrite(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    p.toString
+  }
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("gzip-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def rows(n: Int, bad: Set[Int] = Set.empty): String =
+    (0 until n).map { i =>
+      if (bad(i)) s"""{"id": $i, "v": oops}""" // bare token: fails in place
+      else s"""{"id": $i, "v": "val-$i"}"""
+    }.mkString("", "\n", "\n")
+
+  test("gzip json reads whole and never splits, whatever maxsplitbytes says") {
+    val p = gzWrite("clean.jsonl.gz", rows(200))
+    val df = spark.read.format("graft-json")
+      .option("maxsplitbytes", "64") // would mean dozens of splits if honored
+      .load(p)
+    assert(df.count() == 200)
+    assert(df.rdd.getNumPartitions == 1, "a gzip member must stay one partition")
+    assert(df.selectExpr("sum(id)").collect()(0).getLong(0) == 199L * 200 / 2)
+  }
+
+  test("dropmalformed resyncs inside a gzip stream (emulated seek)") {
+    val p = gzWrite("bad.jsonl.gz", rows(100, bad = Set(13, 57)))
+    val df = spark.read.format("graft-json")
+      .option("badrecords", "drop")
+      .load(p)
+    // read BOTH columns: a pruned scan would byte-skip the malformed value
+    // with error-check elision (documented) and never trigger the resync
+    val kept = df.select("id", "v").collect()
+    val ids = kept.map(_.getLong(0)).toSet
+    assert(kept.length == 98 && !ids(13) && !ids(57),
+      s"expected 98 clean rows, got ${kept.length}")
+    assert(kept.forall(_.getString(1).startsWith("val-")))
+  }
+
+  test("permissive mode captures the corrupt gzip line bytes") {
+    val p = gzWrite("perm.jsonl.gz", rows(20, bad = Set(7)))
+    val df = spark.read.format("graft-json")
+      .option("badrecords", "keep")
+      .load(p)
+    val all = df.select("id", "v", "_corrupt_record").collect()
+    val corrupt = all.filter(!_.isNullAt(2)).map(_.getString(2))
+    assert(corrupt.length == 1 && corrupt(0).contains("\"id\": 7"),
+      s"corrupt capture: ${corrupt.mkString("|")}")
+    assert(all.length == 20) // 19 clean + 1 corrupt-record row
+  }
+
+  test("COUNT(*) pushdown runs through the decompressing reader") {
+    val p = gzWrite("count.jsonl.gz", rows(321))
+    val df = spark.read.format("graft-json").load(p).selectExpr("count(*) AS n")
+    assert(df.collect()(0).getLong(0) == 321)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("countStar"), s"expected pushed COUNT(*):\n$scan")
+  }
+
+  test("graft-json sink writes gzip members that round-trip through the reader") {
+    val s = spark; import s.implicits._
+    val outDir = dir.resolve("sinkout").toString
+    val src = (1L to 300L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+    src.repartition(3).write.format("graft-json")
+      .option("compression", "gzip").mode("overwrite").save(outDir)
+
+    val files = Files.list(Paths.get(outDir)).toArray.map(_.toString)
+      .filterNot(p => p.contains(".stage") || Paths.get(p).getFileName.toString.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.endsWith(".jsonl.gz")),
+      s"expected .jsonl.gz parts: ${files.mkString(",")}")
+
+    val back = spark.read.format("graft-json").load(outDir)
+    assert(back.count() == 300)
+    assert(back.selectExpr("sum(id)").collect()(0).getLong(0) == 300L * 301 / 2)
+    assert(back.rdd.getNumPartitions == files.length, "one partition per gzip member")
+  }
+
+  test("gzip csv reads with header and types") {
+    val p = gzWrite("t.csv.gz", "a,b\r\n" + (1 to 50).map(i => s"$i,x$i").mkString("\r\n") + "\r\n")
+    val df = spark.read.format("graft-csv").option("linesep", "\r\n").load(p)
+    assert(df.count() == 50)
+    assert(df.selectExpr("sum(CAST(a AS LONG))").collect()(0).getLong(0) == 25L * 51)
+  }
+}
