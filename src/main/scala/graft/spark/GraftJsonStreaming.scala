@@ -132,10 +132,10 @@ final class GraftJsonMicroBatchStream(
     val parts = Seq.newBuilder[InputPartition]
     var base = 0L
     registry.files.foreach { case (path, len) =>
-      if (GraftSources.isGzip(path))
+      if (GraftSources.isCompressed(path))
         throw new UnsupportedOperationException(
           s"graft-json streaming admits byte windows that can fall mid-file; " +
-          s"gzip members cannot be realigned from an offset: $path " +
+          s"compressed members cannot be realigned from an offset: $path " +
           "(use the batch reader, or graft-csv streaming's whole-file admission)")
       val fs = math.max(s - base, 0L)
       val fe = math.min(e - base, len)

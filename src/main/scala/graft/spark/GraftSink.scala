@@ -22,16 +22,16 @@ final class GraftWriteBuilder(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    gzip: Boolean = false)
+    codec: String = "none")
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate, gzip)
+    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate, codec)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(path, schema, conf, gzip)
+      new GraftStreamingWrite(path, schema, conf, codec)
   }
 }
 
@@ -43,14 +43,14 @@ final class GraftStreamingWrite(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    gzip: Boolean = false)
+    codec: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(path, schema, conf, gzip)
+    new GraftStreamingWriterFactory(path, schema, conf, codec)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -61,12 +61,12 @@ final class GraftStreamingWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    gzip: Boolean = false)
+    codec: String = "none")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      namePrefix = f"part-$epochId%05d", gzip = gzip)
+      namePrefix = f"part-$epochId%05d", codec = codec)
 }
 
 final class GraftBatchWrite(
@@ -74,7 +74,7 @@ final class GraftBatchWrite(
     schema: StructType,
     conf: SerializableConfiguration,
     truncate: Boolean,
-    gzip: Boolean = false)
+    codec: String = "none")
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -86,7 +86,7 @@ final class GraftBatchWrite(
       }
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf, gzip)
+    new GraftJsonWriterFactory(path, schema, conf, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -99,9 +99,9 @@ final class GraftJsonWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    gzip: Boolean = false) extends DataWriterFactory {
+    codec: String = "none") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId, gzip = gzip)
+    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId, codec = codec)
 }
 
 final class GraftJsonDataWriter(
@@ -111,16 +111,27 @@ final class GraftJsonDataWriter(
     partitionId: Int,
     taskId: Long,
     namePrefix: String = "part",
-    gzip: Boolean = false)
+    codec: String = "none")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
-  private val ext = if (gzip) "jsonl.gz" else "jsonl"
+  private val ext = codec match {
+    case "gzip" => "jsonl.gz"
+    case "zstd" => "jsonl.zst"
+    case "none" => "jsonl"
+    case other => throw new IllegalArgumentException(
+      s"graft-json compression '$other' (supported: none, gzip, zstd)")
+  }
   private val finalFile = new Path(path, f"$namePrefix-$partitionId%05d.$ext")
   private val stageFile = new Path(path, f".$namePrefix-$partitionId%05d-$taskId.$ext.stage")
   private val out: java.io.OutputStream = {
     val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
-    if (gzip) new java.util.zip.GZIPOutputStream(base, 1 << 16) else base
+    codec match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(base, 1 << 16)
+      case "zstd" => new java.io.BufferedOutputStream(
+        new com.github.luben.zstd.ZstdOutputStream(base), 1 << 16)
+      case _ => base
+    }
   }
   private val sb = new java.lang.StringBuilder(4096)
 

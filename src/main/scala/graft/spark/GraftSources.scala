@@ -46,22 +46,37 @@ object GraftSources {
   def activeHadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
-  /** Gzip inputs: read through a decompressor in DECOMPRESSED coordinates,
-    * never split (a byte range inside a gzip member cannot be realigned).
+  /** Compressed inputs: read through a decompressor in DECOMPRESSED
+    * coordinates, never split (a byte range inside a compressed member
+    * cannot be realigned).
     */
-  def isGzip(path: String): Boolean = {
+  def compressionCodec(path: String): Option[String] = {
     val p = path.toLowerCase(java.util.Locale.ROOT)
-    p.endsWith(".gz") || p.endsWith(".gzip")
+    if (p.endsWith(".gz") || p.endsWith(".gzip")) Some("gzip")
+    else if (p.endsWith(".zst") || p.endsWith(".zstd")) Some("zstd")
+    else None
   }
+  def isCompressed(path: String): Boolean = compressionCodec(path).isDefined
 
-  /** One whole-file input partition. Gzip files use Long.MaxValue for
-    * end/fileLen: readers work in decompressed coordinates, where the
+  /** Wrap a raw stream with the path's decompressor. */
+  def decompress(path: String, in: java.io.InputStream): java.io.InputStream =
+    compressionCodec(path) match {
+      case Some("gzip") => new java.util.zip.GZIPInputStream(in, 64 * 1024)
+      case Some("zstd") =>
+        val z = new com.github.luben.zstd.ZstdInputStream(in)
+        z.setContinuous(true) // concatenated frames read through
+        new java.io.BufferedInputStream(z, 64 * 1024)
+      case _ => in
+    }
+
+  /** One whole-file input partition. Compressed files use Long.MaxValue
+    * for end/fileLen: readers work in decompressed coordinates, where the
     * length is unknown at planning — the feeders' "consume to EOF" path
     * (end == fileLen) handles both.
     */
   def wholeFilePartition(path: String, len: Long,
       partValues: Array[String] = Array.empty): GraftInputPartition =
-    if (isGzip(path)) GraftInputPartition(path, 0, Long.MaxValue, Long.MaxValue, partValues)
+    if (isCompressed(path)) GraftInputPartition(path, 0, Long.MaxValue, Long.MaxValue, partValues)
     else GraftInputPartition(path, 0, len, len, partValues)
 
   /** Up to `maxBytes` decompressed bytes from a file's head (driver-side
@@ -69,7 +84,7 @@ object GraftSources {
     */
   def readPrefix(path: Path, conf: Configuration, fileLen: Long,
       maxBytes: Long): (Array[Byte], Boolean) = {
-    if (!isGzip(path.getName)) {
+    if (!isCompressed(path.getName)) {
       val in = path.getFileSystem(conf).open(path)
       try {
         val n = math.min(fileLen, maxBytes).toInt
@@ -78,8 +93,7 @@ object GraftSources {
         (buf, fileLen <= maxBytes)
       } finally in.close()
     } else {
-      val in = new java.util.zip.GZIPInputStream(
-        path.getFileSystem(conf).open(path), 64 * 1024)
+      val in = decompress(path.getName, path.getFileSystem(conf).open(path))
       try {
         val max = maxBytes.toInt
         val buf = new Array[Byte](math.min(max, 1 << 20).max(1))
@@ -342,9 +356,9 @@ final class GraftJsonTable(schema: StructType, properties: java.util.Map[String,
       Option(info.options.get("path")).getOrElse(properties.get("path")),
       info.schema(),
       new SerializableConfiguration(GraftSources.activeHadoopConf()),
-      gzip = "gzip".equalsIgnoreCase(
-        Option(info.options.get("compression"))
-          .orElse(Option(properties.get("compression"))).getOrElse("none")))
+      codec = Option(info.options.get("compression"))
+        .orElse(Option(properties.get("compression"))).getOrElse("none")
+        .toLowerCase(java.util.Locale.ROOT))
 }
 
 // ======================================================================= CSV
@@ -622,13 +636,13 @@ final class GraftScan(
   // scans (a pruned date partition broadcast-joins instead of SMJ-ing).
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      // gzip sizes are compressed: scale by the standard
+      // compressed sizes: scale by the standard
       // spark.sql.sources.fileCompressionFactor so join strategy sees an
       // honest decompressed estimate
       private val factor =
         SparkSession.active.sessionState.conf.fileCompressionFactor
       private val bytes = prunedFiles.map { f =>
-        if (GraftSources.isGzip(f.path)) (f.len * factor).toLong else f.len
+        if (GraftSources.isCompressed(f.path)) (f.len * factor).toLong else f.len
       }.sum
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -709,9 +723,9 @@ final class GraftScan(
       (!isJson && options.getBoolean("splittable", false))
     pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       // a pushed OFFSET requires one partition in file order (the builder
-      // already guaranteed a single file; never split it); gzip members
-      // are inherently unsplittable
-      if (GraftSources.isGzip(p))
+      // already guaranteed a single file; never split it); compressed
+      // members are inherently unsplittable
+      if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv))
       else if (!splittable || offset >= 0 || len <= maxSplit)
         Seq(GraftInputPartition(p, 0, len, len, pv))
@@ -1043,19 +1057,19 @@ final class GraftCountPartitionReader(
 }
 
 /** Sequential range input shared by the feeders. Plain files delegate to
-  * the FS stream (native seek / positioned read). Gzip files decompress on
-  * the fly and expose DECOMPRESSED coordinates: `seek` and `readFully` —
-  * used only on malformed-record recovery paths — are emulated by
-  * reopening the member and skipping, which is correct (gzip partitions
-  * always start at offset 0) and costs re-decompression only when a
-  * corrupt record actually needs a resync.
+  * the FS stream (native seek / positioned read). Compressed files (gzip,
+  * zstd) decompress on the fly and expose DECOMPRESSED coordinates: `seek`
+  * and `readFully` — used only on malformed-record recovery paths — are
+  * emulated by reopening the member and skipping, which is correct
+  * (compressed partitions always start at offset 0) and costs
+  * re-decompression only when a corrupt record actually needs a resync.
   */
 private[spark] final class RangeInput(path: Path, conf: Configuration) {
   private val fs = path.getFileSystem(conf)
-  private val gz = GraftSources.isGzip(path.getName)
+  private val gz = GraftSources.isCompressed(path.getName)
   private var raw = fs.open(path)
   private var in: java.io.InputStream =
-    if (gz) new java.util.zip.GZIPInputStream(raw, 64 * 1024) else raw
+    if (gz) GraftSources.decompress(path.getName, raw) else raw
   private var dpos = 0L // next-read offset in stream coordinates
 
   def read(buf: Array[Byte]): Int = {
@@ -1069,7 +1083,7 @@ private[spark] final class RangeInput(path: Path, conf: Configuration) {
     if (pos < dpos) { // restart the member
       in.close()
       raw = fs.open(path)
-      in = new java.util.zip.GZIPInputStream(raw, 64 * 1024)
+      in = GraftSources.decompress(path.getName, raw)
       dpos = 0L
     }
     skipTo(in, pos - dpos)
@@ -1089,8 +1103,7 @@ private[spark] final class RangeInput(path: Path, conf: Configuration) {
   /** Positioned read; the main cursor is untouched. */
   def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
     if (!gz) { raw.readFully(pos, buf, off, len); return }
-    val r2 = fs.open(path)
-    val in2 = new java.util.zip.GZIPInputStream(r2, 64 * 1024)
+    val in2 = GraftSources.decompress(path.getName, fs.open(path))
     try {
       skipTo(in2, pos)
       var got = 0

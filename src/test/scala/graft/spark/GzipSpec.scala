@@ -109,6 +109,30 @@ class GzipSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.rdd.getNumPartitions == files.length, "one partition per gzip member")
   }
 
+  test("zstd json reads whole, drops malformed, and round-trips the sink") {
+    val s = spark; import s.implicits._
+    // read: zstd member with a corrupt line
+    val p = dir.resolve("z.jsonl.zst")
+    val out = new com.github.luben.zstd.ZstdOutputStream(Files.newOutputStream(p))
+    try out.write(rows(80, bad = Set(11)).getBytes("UTF-8")) finally out.close()
+    val df = spark.read.format("graft-json").option("badrecords", "drop").load(p.toString)
+    val kept = df.select("id", "v").collect()
+    assert(kept.length == 79 && !kept.map(_.getLong(0)).toSet(11))
+    assert(df.rdd.getNumPartitions == 1)
+
+    // write: sink round-trip
+    val outDir = dir.resolve("zsink").toString
+    (1L to 120L).map(i => (i, s"z-$i")).toDF("id", "payload")
+      .repartition(2).write.format("graft-json")
+      .option("compression", "zstd").mode("overwrite").save(outDir)
+    val files = Files.list(Paths.get(outDir)).toArray.map(_.toString)
+      .filterNot(f => f.contains(".stage") || Paths.get(f).getFileName.toString.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.endsWith(".jsonl.zst")),
+      s"expected .jsonl.zst parts: ${files.mkString(",")}")
+    val back = spark.read.format("graft-json").load(outDir)
+    assert(back.selectExpr("count(*)", "sum(id)").collect()(0).toSeq == Seq(120L, 120L * 121 / 2))
+  }
+
   test("gzip csv reads with header and types") {
     val p = gzWrite("t.csv.gz", "a,b\r\n" + (1 to 50).map(i => s"$i,x$i").mkString("\r\n") + "\r\n")
     val df = spark.read.format("graft-csv").option("linesep", "\r\n").load(p)
