@@ -133,6 +133,24 @@ class GzipSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.selectExpr("count(*)", "sum(id)").collect()(0).toSeq == Seq(120L, 120L * 121 / 2))
   }
 
+  test("gzip and plain reads agree under random corruption (differential)") {
+    val rng = new scala.util.Random(0xC0DEC)
+    (1 to 4).foreach { trial =>
+      val bad = Seq.fill(rng.nextInt(6))(rng.nextInt(150)).toSet
+      val content = rows(150, bad)
+      val plain = dir.resolve(s"diff$trial.jsonl")
+      Files.write(plain, content.getBytes("UTF-8"))
+      val gz = gzWrite(s"diff$trial.jsonl.gz", content)
+      def readAll(p: String): Seq[(Long, String)] =
+        spark.read.format("graft-json").option("badrecords", "drop").load(p)
+          .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val a = readAll(plain.toString)
+      val b = readAll(gz)
+      assert(a == b, s"trial $trial (bad=$bad): plain ${a.size} rows vs gzip ${b.size}")
+      assert(a.size >= 150 - bad.size * 2) // each bad line costs at most itself + successor
+    }
+  }
+
   test("gzip csv reads with header and types") {
     val p = gzWrite("t.csv.gz", "a,b\r\n" + (1 to 50).map(i => s"$i,x$i").mkString("\r\n") + "\r\n")
     val df = spark.read.format("graft-csv").option("linesep", "\r\n").load(p)
