@@ -544,5 +544,31 @@ object Sources {
              GROUP BY n_regionkey, r_name
              ORDER BY n_regionkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77)
+  // ---------------------------------------------------------------- q78
+  // graft-csv DSv2 sink: header + quote-doubling dialect (exactly what the
+  // graft-csv reader parses), per-task staged files published by atomic
+  // rename, mode("overwrite") via SupportsTruncate. Written across 2
+  // partitions, read back through the graft-csv reader (each part file
+  // carries its own header), compared against the source table.
+  private val q78 = GQuery(
+    "q78_csv_sink_roundtrip",
+    "graft-csv DSv2 sink write + read-back round-trip (header, quoting, atomic rename)",
+    (s, d) => {
+      val out = s"$fixtureDir/q78_nation_out"
+      Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .repartition(2)
+        .write.format("graft-csv").mode("overwrite").save(out)
+      s.read.format("graft-csv").load(out)
+        .select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation
+            ORDER BY n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78)
 }

@@ -241,3 +241,163 @@ object GraftJsonDataWriter {
     sb.append('"')
   }
 }
+
+/** DSv2 write path for `format("graft-csv")`: flat schemas only (CSV has
+  * no nesting), header row per file, quote-doubling when a value contains
+  * the delimiter, a quote, or a row-delimiter byte — the same dialect the
+  * graft-csv reader and its Config parse. Shares the staged-file
+  * atomic-rename commit protocol with the JSON writer.
+  */
+final class GraftCsvWriteBuilder(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    header: Boolean,
+    delim: String,
+    linesep: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType =>
+        throw new IllegalArgumentException(
+          s"graft-csv cannot write nested column '${f.name}: ${f.dataType.simpleString}' " +
+          "(serialize it to a string or use graft-json)")
+      case _ => ()
+    }
+  }
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        val dir = new Path(path)
+        val fs = dir.getFileSystem(conf.value)
+        if (doTruncate && fs.exists(dir))
+          fs.listStatus(dir).foreach(st => if (st.isFile) fs.delete(st.getPath, false))
+        fs.mkdirs(dir)
+        new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep)
+      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+final class GraftCsvWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    header: Boolean,
+    delim: String,
+    linesep: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec, header, delim, linesep)
+}
+
+final class GraftCsvDataWriter(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    partitionId: Int,
+    taskId: Long,
+    codec: String,
+    header: Boolean,
+    delim: String,
+    linesep: String)
+    extends DataWriter[InternalRow] {
+
+  private val fs = new Path(path).getFileSystem(conf.value)
+  private val ext = codec match {
+    case "gzip" => "csv.gz"
+    case "zstd" => "csv.zst"
+    case "none" => "csv"
+    case other => throw new IllegalArgumentException(
+      s"graft-csv compression '$other' (supported: none, gzip, zstd)")
+  }
+  private val finalFile = new Path(path, f"part-$partitionId%05d.$ext")
+  private val stageFile = new Path(path, f".part-$partitionId%05d-$taskId.$ext.stage")
+  private val out: java.io.OutputStream = {
+    val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
+    codec match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(base, 1 << 16)
+      case "zstd" => new java.io.BufferedOutputStream(
+        new com.github.luben.zstd.ZstdOutputStream(base), 1 << 16)
+      case _ => base
+    }
+  }
+  private val sb = new java.lang.StringBuilder(1024)
+  private val mustQuote: Set[Char] =
+    (delim.toSet ++ linesep.toSet) + '"'
+
+  if (header) {
+    sb.setLength(0)
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(delim)
+      appendCell(schema.fields(i).name)
+      i += 1
+    }
+    sb.append(linesep)
+    flushLine()
+  }
+
+  private def appendCell(s: String): Unit = {
+    if (s.exists(mustQuote)) {
+      sb.append('"')
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '"') sb.append("\"\"") else sb.append(c)
+        i += 1
+      }
+      sb.append('"')
+    } else sb.append(s)
+  }
+
+  private def flushLine(): Unit =
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    sb.setLength(0)
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(delim)
+      if (!row.isNullAt(i)) {
+        val dt = schema.fields(i).dataType
+        dt match {
+          case StringType => appendCell(row.getUTF8String(i).toString)
+          case LongType => sb.append(row.getLong(i))
+          case IntegerType => sb.append(row.getInt(i))
+          case DoubleType => sb.append(row.getDouble(i))
+          case FloatType => sb.append(row.getFloat(i))
+          case BooleanType => sb.append(row.getBoolean(i))
+          case ShortType => sb.append(row.getShort(i))
+          case ByteType => sb.append(row.getByte(i))
+          case _ => appendCell(row.get(i, dt).toString)
+        }
+      }
+      i += 1
+    }
+    sb.append(linesep)
+    flushLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    fs.delete(finalFile, false)
+    fs.rename(stageFile, finalFile)
+    GraftCommit(finalFile.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(stageFile, false)
+  }
+
+  override def close(): Unit = ()
+}

@@ -417,13 +417,28 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
 }
 
 final class GraftCsvTable(schema: StructType, properties: java.util.Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-csv:${properties.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options, isJson = false)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    def opt(k: String, dflt: String): String =
+      Option(info.options.get(k)).orElse(Option(properties.get(k))).getOrElse(dflt)
+    new GraftCsvWriteBuilder(
+      Option(info.options.get("path")).getOrElse(properties.get("path")),
+      info.schema(),
+      new SerializableConfiguration(GraftSources.activeHadoopConf()),
+      codec = opt("compression", "none").toLowerCase(java.util.Locale.ROOT),
+      header = opt("header", "true").toBoolean,
+      delim = opt("delimiter", ","),
+      linesep = opt("linesep", "\n"))
+  }
 }
 
 // ============================================================ scan machinery
