@@ -89,6 +89,17 @@ final class GraftJsonMicroBatchStream(
   private val registry = new StreamFileRegistry(options, checkpointLocation)
   private val maxBytesPerTrigger: Long =
     Option(options.get("maxbytespertrigger")).map(_.toLong).getOrElse(128L << 20)
+  private val maxFilesPerTrigger: Long =
+    Option(options.get("maxfilespertrigger")).map(_.toLong).getOrElse(Long.MaxValue)
+  // Whole-file admission (the CSV stream's model): offsets count FILES, a
+  // trigger admits whole members — the mode compressed inputs need, since
+  // a byte window cannot realign inside a gzip/zstd member. Opt in with
+  // option("admission", "files"), or automatic when the initial listing
+  // already contains a compressed file. The two modes' offsets are not
+  // interchangeable: don't switch modes over an existing checkpoint.
+  private val fileAdmission: Boolean =
+    "files".equalsIgnoreCase(Option(options.get("admission")).getOrElse("")) ||
+      registry.files.exists(f => GraftSources.isCompressed(f._1))
   // Trigger.AvailableNow cap: set once at prepare, so files landing during
   // the drain wait for the next run (the AvailableNow contract)
   private var availableNowCap: Long = -1L
@@ -102,32 +113,37 @@ final class GraftJsonMicroBatchStream(
     GraftStreamOffset(if (pos.isEmpty) 0L else pos.toLong)
   }
 
-  private def availableBytes(): Long = {
+  private def available(): Long = {
     registry.discover() // new-file discovery happens at offset time
-    val t = registry.totalBytes
+    val t = if (fileAdmission) registry.fileCount else registry.totalBytes
     if (availableNowCap >= 0) math.min(t, availableNowCap) else t
   }
 
   override def latestOffset(): Offset =
-    GraftStreamOffset(availableBytes()) // plain API: everything available
+    GraftStreamOffset(available()) // plain API: everything available
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[GraftStreamOffset].pos
-    GraftStreamOffset(math.min(availableBytes(), start + maxBytesPerTrigger))
+    val step = if (fileAdmission) maxFilesPerTrigger else maxBytesPerTrigger
+    GraftStreamOffset(math.min(available(), start + step))
   }
 
-  override def reportLatestOffset(): Offset = GraftStreamOffset(availableBytes())
+  override def reportLatestOffset(): Offset = GraftStreamOffset(available())
 
   override def prepareForTriggerAvailableNow(): Unit = {
     registry.discover()
-    availableNowCap = registry.totalBytes
+    availableNowCap = if (fileAdmission) registry.fileCount else registry.totalBytes
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].pos
     val e = end.asInstanceOf[GraftStreamOffset].pos
+    if (fileAdmission)
+      return registry.files.slice(s.toInt, e.toInt).map { case (p, len) =>
+        GraftSources.wholeFilePartition(p, len): InputPartition
+      }.toArray
     // map the global byte window onto per-file segments (discovery order)
     val parts = Seq.newBuilder[InputPartition]
     var base = 0L
@@ -136,7 +152,7 @@ final class GraftJsonMicroBatchStream(
         throw new UnsupportedOperationException(
           s"graft-json streaming admits byte windows that can fall mid-file; " +
           s"compressed members cannot be realigned from an offset: $path " +
-          "(use the batch reader, or graft-csv streaming's whole-file admission)")
+          "(set option(\"admission\", \"files\") for whole-file admission)")
       val fs = math.max(s - base, 0L)
       val fe = math.min(e - base, len)
       if (fe > fs) parts += GraftInputPartition(path, fs, fe, len)

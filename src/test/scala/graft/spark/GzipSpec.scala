@@ -151,6 +151,30 @@ class GzipSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("json streaming auto-switches to whole-file admission for gzip input") {
+    val s = spark; import s.implicits._
+    val streamDir = dir.resolve("stream")
+    Files.createDirectories(streamDir)
+    gzWrite("stream/a.jsonl.gz", rows(30))
+    gzWrite("stream/b.jsonl.gz",
+      (30 until 75).map(i => s"""{"id": $i, "v": "val-$i"}""").mkString("", "\n", "\n"))
+    val schema = spark.read.format("graft-json").load(streamDir.toString).schema
+    val q = spark.readStream.format("graft-json")
+      .schema(schema)
+      .option("maxfilespertrigger", "1") // two micro-batches
+      .load(streamDir.toString)
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"id").as("s"))
+      .writeStream.format("memory").queryName("gz_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val r = spark.table("gz_stream").collect()(0)
+    assert(r.getLong(0) == 75 && r.getLong(1) == 74L * 75 / 2, r.toString)
+  }
+
   test("gzip csv reads with header and types") {
     val p = gzWrite("t.csv.gz", "a,b\r\n" + (1 to 50).map(i => s"$i,x$i").mkString("\r\n") + "\r\n")
     val df = spark.read.format("graft-csv").option("linesep", "\r\n").load(p)
