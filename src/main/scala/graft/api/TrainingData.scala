@@ -140,6 +140,28 @@ object TrainingData {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Email-address pattern: RE2-safe (no backtracking constructs), so the
+    * same pattern means the same thing to Spark's Java regex and to
+    * RE2-based engines.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4 pattern (word-bounded dotted quad), RE2-safe like the above. */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction (the C4/Dolma scrubbing step): replaces every email
+    * address and IPv4 literal in `textCol` with placeholder tokens.
+    * MAP-ONLY — pure per-row regexp work, no shuffle at any scale. The
+    * patterns avoid backtracking-only constructs so results agree across
+    * regex engines (Java, RE2).
+    */
+  def redactPii(df: DataFrame, textCol: String,
+      redactedCol: String = "redacted"): DataFrame =
+    df.withColumn(redactedCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"))
+
   /** MinHash-LSH near-duplicate candidate pairs: distinct word shingles →
     * `numHashes` minhashes → `bands` bands hashed to buckets → self-join on
     * (band, bucket) — only documents sharing a band bucket are ever paired,

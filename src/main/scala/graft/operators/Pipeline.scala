@@ -942,5 +942,59 @@ object Pipeline {
             GROUP BY source, shard, pack_id
             ORDER BY source, shard, pack_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76)
+  // ---------------------------------------------------------------- q79
+  // PII redaction (C4/Dolma scrubbing): the synthetic corpus carries no
+  // PII, so the gate PLANTS deterministic contact strings (an email and an
+  // IPv4 per document, derived from doc_id) and then redacts them through
+  // the shared RE2-safe patterns — map-only per-row regexp work, no
+  // shuffle. The summary proves every planted item was found: one email
+  // and one IP per document, and redacted text shorter by the exact
+  // planted-minus-placeholder length.
+  private val q79 = GQuery(
+    "q79_pii_redaction",
+    "PII redaction screen (email + IPv4 scrub, map-only, engine-portable regex)",
+    (s, d) => {
+      import s.implicits._
+      val contaminated = T(s, d, "documents")
+        .withColumn("dirty", concat(
+          $"text",
+          lit(" contact user"), $"doc_id" % 97, lit("@mail"), $"doc_id" % 7,
+          lit(".org from host "),
+          $"doc_id" % 223, lit("."), ($"doc_id" * 7) % 251, lit(".0."),
+          $"doc_id" % 254 + 1))
+      val redacted = graft.api.TrainingData.redactPii(contaminated, "dirty")
+      redacted
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr(
+            s"size(regexp_extract_all(dirty, '${graft.api.TrainingData.EmailPattern}', 0))"))
+            .as("n_emails"),
+          sum(when(expr("redacted RLIKE '<EMAIL>'") && expr("redacted RLIKE '<IP>'"), 1L)
+            .otherwise(0L)).as("n_scrubbed"),
+          sum(length($"dirty") - length($"redacted")).as("chars_removed"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH dirty AS (
+              SELECT source,
+                     text || ' contact user' || (doc_id % 97) || '@mail' || (doc_id % 7) ||
+                       '.org from host ' || (doc_id % 223) || '.' || ((doc_id * 7) % 251) ||
+                       '.0.' || (doc_id % 254 + 1) AS dirty
+              FROM documents),
+            red AS (
+              SELECT source, dirty,
+                     regexp_replace(
+                       regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+              FROM dirty)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+                   CAST(sum(CASE WHEN regexp_matches(redacted, '<EMAIL>')
+                                  AND regexp_matches(redacted, '<IP>') THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+                   CAST(sum(len(dirty) - len(redacted)) AS BIGINT) AS chars_removed
+            FROM red
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79)
 }

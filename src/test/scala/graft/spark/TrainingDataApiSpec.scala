@@ -135,6 +135,21 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 2L), (2L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("redactPii scrubs emails and IPv4s, leaves clean text alone") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "write a.b-c_d%e+f@sub.domain.co and 10.0.0.1 here"),
+      (2L, "two mails x@y.io y@z.org one ip 192.168.255.254"),
+      (3L, "version 1.2 is not an ip, nor is user@localhost a mail")
+    ).toDF("id", "text")
+    val got = TrainingData.redactPii(df, "text")
+      .select("id", "redacted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "write <EMAIL> and <IP> here")
+    assert(got(2L) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert(got(3L) == "version 1.2 is not an ip, nor is user@localhost a mail")
+  }
+
   test("dedupExact keeps exactly the first writer per content") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"))
