@@ -996,5 +996,47 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79)
+  // ---------------------------------------------------------------- q80
+  // Repetition signals (Gopher-style quality rules): per document, the
+  // fraction of word-2-grams held by the single most frequent 2-gram and
+  // the fraction that are duplicates of an earlier occurrence — the two
+  // ratios used to drop loopy/boilerplate documents from pretraining sets.
+  // Integer basis points throughout (one DIV per ratio), so both engines
+  // agree bit-for-bit. Shape: explode → (doc, gram) count → per-doc
+  // aggregate; both aggregations partial-combine map-side, and the second
+  // rides the first's (doc_id, gram)-compatible exchange (doc_id prefix).
+  private val q80 = GQuery(
+    "q80_repetition_signals",
+    "Gopher-style repetition ratios (top-2-gram and duplicate-2-gram basis points)",
+    (s, d) => {
+      import s.implicits._
+      val grams = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))""")).as("g"))
+      grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"cnt").as("total_2grams"),
+          expr("(10000 * max(cnt)) DIV sum(cnt)").as("top_bp"),
+          expr("(10000 * (sum(cnt) - count(*))) DIV sum(cnt)").as("dup_bp"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) t(i)
+              WHERE len(w) >= 2),
+            counts AS (
+              SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g)
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS total_2grams,
+                   CAST((10000 * max(cnt)) // sum(cnt) AS BIGINT) AS top_bp,
+                   CAST((10000 * (sum(cnt) - count(*))) // sum(cnt) AS BIGINT) AS dup_bp
+            FROM counts
+            GROUP BY doc_id
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80)
 }
