@@ -1003,8 +1003,9 @@ object Pipeline {
   // ratios used to drop loopy/boilerplate documents from pretraining sets.
   // Integer basis points throughout (one DIV per ratio), so both engines
   // agree bit-for-bit. Shape: explode → (doc, gram) count → per-doc
-  // aggregate; both aggregations partial-combine map-side, and the second
-  // rides the first's (doc_id, gram)-compatible exchange (doc_id prefix).
+  // aggregate; both aggregations partial-combine map-side, so the first
+  // exchange moves distinct (doc, gram) pairs and the second only one
+  // partial row per document per partition.
   private val q80 = GQuery(
     "q80_repetition_signals",
     "Gopher-style repetition ratios (top-2-gram and duplicate-2-gram basis points)",
