@@ -570,5 +570,37 @@ object Sources {
             FROM nation
             ORDER BY n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78)
+  // ---------------------------------------------------------------- q81
+  // Data-skipping sidecars (Delta/parquet-footer-style min/max pruning for
+  // JSON, which has no native footer): the graft-json sink records
+  // per-file (rows, nulls, min, max) in a hidden sidecar; the scan drops
+  // whole files whose ranges cannot satisfy a pushed filter at PLANNING
+  // time — no task, no bytes. Orders are range-partitioned into 4 files
+  // by key, the filter touches one range, and DataSkippingSpec asserts
+  // the other 3 files never produce partitions. Exactness is oracle-
+  // checked here against the source table.
+  private val q81 = GQuery(
+    "q81_stats_skipping",
+    "sidecar min/max data skipping: ranged sink write + pruned filtered scan",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q81_orders_ranged"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey")
+        .write.format("graft-json").mode("overwrite").save(out)
+      s.read.format("graft-json").load(out)
+        .filter($"o_orderkey" <= 1500)
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderkey <= 1500"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81)
 }

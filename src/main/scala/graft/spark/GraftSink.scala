@@ -134,12 +134,14 @@ final class GraftJsonDataWriter(
     }
   }
   private val sb = new java.lang.StringBuilder(4096)
+  private val stats = new FileStatsCollector(schema)
 
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
     GraftJsonDataWriter.writeStruct(sb, row, schema)
     sb.append('\n')
     out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    stats.observe(row)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -147,6 +149,9 @@ final class GraftJsonDataWriter(
     // atomic publish; a retried task overwrites the same final name
     fs.delete(finalFile, false)
     fs.rename(stageFile, finalFile)
+    // data-skipping sidecar (hidden: listings skip dot-files); written
+    // after the data publish — absence merely disables pruning
+    stats.writeSidecar(fs, FileStats.sidecarFor(finalFile))
     GraftCommit(finalFile.toString)
   }
 

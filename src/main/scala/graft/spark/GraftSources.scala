@@ -706,7 +706,10 @@ final class GraftScan(
     * file at planning time — no task, no bytes (FilterEval is
     * conservative, so exactness is preserved by the residual).
     */
-  private def prunedFiles: Seq[GraftSources.ListedFile] = {
+  private def prunedFiles: Seq[GraftSources.ListedFile] =
+    statsPruned(partitionPruned)
+
+  private def partitionPruned: Seq[GraftSources.ListedFile] = {
     val allFilters = filters ++ runtimeFilters
     if (listing.partCols.isEmpty || allFilters.isEmpty) return listing.files
     val partIdx = listing.partCols.zipWithIndex.toMap
@@ -722,6 +725,37 @@ final class GraftScan(
         FilterEval.definitelyFails(flt, typed)
       }
     }
+  }
+
+  /** Stats-sidecar data skipping: a pushed single-column filter whose
+    * value range cannot intersect a file's recorded [min, max] (or whose
+    * null demands its null counts rule out) drops the file at planning
+    * time. Sidecars are written by the graft sinks; files without one are
+    * kept. Conservative by construction (FilterEval.definitelyEmpty), so
+    * exactness is preserved even though dropped files have no residual.
+    */
+  private val statsCache =
+    scala.collection.mutable.HashMap.empty[String, Option[FileStats.Stats]]
+  private def statsPruned(files: Seq[GraftSources.ListedFile])
+      : Seq[GraftSources.ListedFile] = {
+    val dataFilters = FilterEval.normalize(filters.filter(f =>
+      f.references.length == 1 && !listing.partCols.contains(f.references.head)))
+    if (dataFilters.isEmpty) return files
+    val conf = GraftSources.activeHadoopConf()
+    val kept = files.filterNot { f =>
+      val stats = statsCache.getOrElseUpdate(f.path, {
+        val p = new Path(f.path)
+        FileStats.load(p.getFileSystem(conf), p)
+      })
+      stats.exists { st =>
+        dataFilters.exists { flt =>
+          st.cols.get(flt.references.head).exists(c =>
+            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows))
+        }
+      }
+    }
+    GraftScan.lastStatsPruned.set(files.length - kept.length)
+    kept
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -828,6 +862,11 @@ object GraftScan {
     * planning in this JVM — test/debug observability only.
     */
   val lastRuntimePruned = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Files dropped by the latest stats-sidecar data skipping in this
+    * JVM — test/debug observability only.
+    */
+  val lastStatsPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 final class GraftJsonReaderFactory(

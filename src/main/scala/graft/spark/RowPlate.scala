@@ -825,4 +825,53 @@ object FilterEval {
     case IsNull(_)                => value != null
     case _                        => false // unknown filter: never drop early
   }
+
+  /** Interval form of [[definitelyFails]] for per-file data skipping:
+    * true = NO row in a file with the given (min, max, nulls, rows) column
+    * stats can satisfy the filter, so the whole file may be dropped at
+    * planning time. Conservative: any uncertainty returns false. A
+    * comparison filter never matches null rows, so a column with no
+    * non-null values (min/max null while rows > 0) definitely fails every
+    * comparison.
+    */
+  def definitelyEmpty(f: Filter, min: Any, max: Any,
+      nulls: Long, rows: Long): Boolean = {
+    if (rows == 0) return true
+    def noValues = min == null || max == null
+    f match {
+      case EqualTo(_, v) =>
+        noValues || cmp(min, v).exists(_ > 0) || cmp(max, v).exists(_ < 0)
+      case GreaterThan(_, v)        => noValues || cmp(max, v).exists(_ <= 0)
+      case GreaterThanOrEqual(_, v) => noValues || cmp(max, v).exists(_ < 0)
+      case LessThan(_, v)           => noValues || cmp(min, v).exists(_ >= 0)
+      case LessThanOrEqual(_, v)    => noValues || cmp(min, v).exists(_ > 0)
+      case In(_, vs) => vs.nonEmpty && (noValues ||
+        vs.forall(v => cmp(min, v).exists(_ > 0) || cmp(max, v).exists(_ < 0)))
+      case IsNull(_)    => nulls == 0
+      case IsNotNull(_) => nulls == rows
+      case StringStartsWith(_, p) if p.nonEmpty => (min, max) match {
+        case (mn: UTF8String, mx: UTF8String) =>
+          val pre = UTF8String.fromString(p)
+          // all values below the prefix, or at/above its byte-successor
+          mx.binaryCompare(pre) < 0 ||
+            prefixSuccessor(pre).exists(succ => mn.binaryCompare(succ) >= 0)
+        case _ => noValues
+      }
+      case _ => false
+    }
+  }
+
+  /** Smallest byte string greater than every string with prefix `p`
+    * (increment the last non-0xFF byte); None when p is all 0xFF.
+    */
+  private def prefixSuccessor(p: UTF8String): Option[UTF8String] = {
+    val b = p.getBytes.clone()
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      b(i) = (b(i) + 1).toByte
+      Some(UTF8String.fromBytes(java.util.Arrays.copyOf(b, i + 1)))
+    }
+  }
 }
