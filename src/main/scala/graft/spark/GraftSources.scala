@@ -738,6 +738,7 @@ final class GraftScan(
     scala.collection.mutable.HashMap.empty[String, Option[FileStats.Stats]]
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
+    if (!options.getBoolean("dataskipping", true)) return files
     val dataFilters = FilterEval.normalize(filters.filter(f =>
       f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     if (dataFilters.isEmpty) return files

@@ -105,6 +105,15 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftScan.lastStatsPruned.get == 1, "the no-null file should be pruned")
   }
 
+  test("option(dataskipping=false) disables pruning but not correctness") {
+    val out = writeRanged()
+    GraftScan.lastStatsPruned.set(-1)
+    val n = spark.read.format("graft-json").option("dataskipping", "false")
+      .load(out).filter(col("id") < 500).count()
+    assert(n == 500)
+    assert(GraftScan.lastStatsPruned.get == -1, "pruning should not have run")
+  }
+
   test("sidecar round-trips through render/parse including edge values") {
     import FileStats._
     val st = Stats(7, Map(
