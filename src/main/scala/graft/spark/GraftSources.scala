@@ -774,10 +774,12 @@ final class GraftScan(
     pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       // a pushed OFFSET requires one partition in file order (the builder
       // already guaranteed a single file; never split it); compressed
-      // members are inherently unsplittable
+      // members are inherently unsplittable; a pushed COUNT(*) keeps
+      // files whole so the count reader can answer from a stats sidecar
+      // without reading data bytes
       if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv))
-      else if (!splittable || offset >= 0 || len <= maxSplit)
+      else if (!splittable || offset >= 0 || countStar || len <= maxSplit)
         Seq(GraftInputPartition(p, 0, len, len, pv))
       else
         (0L until len by maxSplit).map { start =>
@@ -1076,6 +1078,18 @@ final class GraftCountPartitionReader(
 
   private def count(): Long = jsonMode match {
     case Some(mode) =>
+      // metadata-only count: a sink-written whole-file partition in strict
+      // (fail) mode answers from the stats sidecar without reading a
+      // single data byte — the JSON analog of counting from parquet
+      // footers. drop/permissive modes still parse (they validate).
+      if (!dropMalformed && !countMalformed &&
+          part.start == 0 && part.end == part.fileLen) {
+        val p = new Path(part.path)
+        FileStats.load(p.getFileSystem(conf), p) match {
+          case Some(st) => return st.rows
+          case None => ()
+        }
+      }
       jsonFeeder = new JsonRangeFeeder[Long](
         part, conf, () => new JsonParser(plate, mode), dropMalformed)
       while (!jsonFeeder.isExhausted) jsonFeeder.step()

@@ -114,6 +114,30 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftScan.lastStatsPruned.get == -1, "pruning should not have run")
   }
 
+  test("COUNT(*) over sink-written files is metadata-only") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("metacount").toString
+    (1L to 1234L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(3).write.format("graft-json").mode("overwrite").save(out)
+
+    // poison one DATA file: a metadata count must not notice (proof that
+    // no data bytes were read); the sidecar keeps the true row count
+    val victim = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).head
+    Files.write(java.nio.file.Paths.get(victim), "NOT JSON AT ALL\n".getBytes("UTF-8"))
+    val vp = java.nio.file.Paths.get(victim)
+    Files.deleteIfExists(vp.getParent.resolve("." + vp.getFileName + ".crc"))
+
+    val n = spark.read.format("graft-json").load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(n == 1234, s"metadata count returned $n")
+
+    // drop mode must PARSE (it validates), so the poisoned file now counts 0
+    val strict = spark.read.format("graft-json").option("badrecords", "drop")
+      .load(out).selectExpr("count(*)").collect()(0).getLong(0)
+    assert(strict < 1234, s"drop-mode count should have parsed and shrunk, got $strict")
+  }
+
   test("sidecar round-trips through render/parse including edge values") {
     import FileStats._
     val st = Stats(7, Map(
