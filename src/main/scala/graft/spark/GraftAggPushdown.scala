@@ -157,9 +157,26 @@ final class GraftAggReaderFactory(
     inner: PartitionReaderFactory,
     parseSchema: StructType,
     spec: GraftAgg.Spec,
-    maxGroups: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    maxGroups: Int,
+    conf: org.apache.spark.util.SerializableConfiguration = null,
+    metadataOk: Boolean = false) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // whole-file partition + strict mode + sidecar coverage: answer the
+    // battery from metadata, zero data bytes read
+    partition match {
+      case p: GraftInputPartition
+          if metadataOk && conf != null && p.start == 0 && p.end == p.fileLen &&
+            GraftAggMeta.eligible(spec) =>
+        val path = new org.apache.hadoop.fs.Path(p.path)
+        FileStats.load(path.getFileSystem(conf.value), path)
+          .flatMap(st => GraftAggMeta.answer(spec, st)) match {
+          case Some(row) => return new GraftAggMeta.Reader(row)
+          case None => ()
+        }
+      case _ => ()
+    }
     new GraftAggPartitionReader(inner.createReader(partition), parseSchema, spec, maxGroups)
+  }
 }
 
 final class GraftAggPartitionReader(
@@ -374,4 +391,78 @@ final class GraftAggPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()
+}
+
+/** Metadata answers for pushed aggregates: an ungrouped MIN / MAX /
+  * COUNT(col) / COUNT(*) battery over a whole sink-written file is fully
+  * determined by its stats sidecar — one partial row, zero data bytes
+  * (SUM is not recorded, groups need per-group stats; both fall back to
+  * the parsing reader). Strict-mode only: drop/permissive counts depend
+  * on validating every record.
+  */
+private[spark] object GraftAggMeta {
+  import GraftAgg._
+
+  /** True when the spec COULD be metadata-answered (shape check only). */
+  def eligible(spec: Spec): Boolean =
+    spec.groupCols.isEmpty && spec.funcs.forall {
+      case _: FSum => false
+      case _ => true
+    }
+
+  private def conv(kind: Char, v: Any, dt: DataType): Either[Unit, Any] =
+    if (v == null) Right(null)
+    else (kind, dt) match {
+      case ('i', LongType)    => Right(v)
+      case ('i', IntegerType) => Right(v.asInstanceOf[Long].toInt)
+      case ('i', ShortType)   => Right(v.asInstanceOf[Long].toShort)
+      case ('i', ByteType)    => Right(v.asInstanceOf[Long].toByte)
+      case ('f', DoubleType)  => Right(v)
+      case ('f', FloatType)   => Right(v.asInstanceOf[Double].toFloat)
+      case ('s', StringType)  => Right(v)
+      case ('b', BooleanType) => Right(v)
+      case _ => Left(()) // sidecar kind does not match the column type
+    }
+
+  /** The partial row [[GraftAggPartitionReader]] would produce for this
+    * file, from stats alone; None when anything is uncovered (caller
+    * parses instead).
+    */
+  def answer(spec: Spec, st: graft.spark.FileStats.Stats): Option[InternalRow] = {
+    if (!eligible(spec)) return None
+    val vals = new Array[Any](spec.funcs.length)
+    var i = 0
+    val it = spec.funcs.iterator
+    while (it.hasNext) {
+      it.next() match {
+        case FCountStar => vals(i) = st.rows
+        case FCount(c) =>
+          val cs = st.cols.getOrElse(c, return None)
+          vals(i) = st.rows - cs.nulls
+        case FMin(c, dt) =>
+          val cs = st.cols.getOrElse(c, return None)
+          conv(cs.kind, cs.min, dt) match {
+            case Right(v) => vals(i) = v
+            case Left(_) => return None
+          }
+        case FMax(c, dt) =>
+          val cs = st.cols.getOrElse(c, return None)
+          conv(cs.kind, cs.max, dt) match {
+            case Right(v) => vals(i) = v
+            case Left(_) => return None
+          }
+        case _: FSum => return None
+      }
+      i += 1
+    }
+    Some(new GenericInternalRow(vals))
+  }
+
+  /** Single-row reader for a metadata-answered partition. */
+  final class Reader(row: InternalRow) extends PartitionReader[InternalRow] {
+    private var served = false
+    override def next(): Boolean = if (served) false else { served = true; true }
+    override def get(): InternalRow = row
+    override def close(): Unit = ()
+  }
 }

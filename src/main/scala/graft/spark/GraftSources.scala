@@ -736,19 +736,19 @@ final class GraftScan(
     */
   private val statsCache =
     scala.collection.mutable.HashMap.empty[String, Option[FileStats.Stats]]
+  private def sidecarStats(path: String): Option[FileStats.Stats] =
+    statsCache.getOrElseUpdate(path, {
+      val p = new Path(path)
+      FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p)
+    })
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
     if (!options.getBoolean("dataskipping", true)) return files
     val dataFilters = FilterEval.normalize(filters.filter(f =>
       f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     if (dataFilters.isEmpty) return files
-    val conf = GraftSources.activeHadoopConf()
     val kept = files.filterNot { f =>
-      val stats = statsCache.getOrElseUpdate(f.path, {
-        val p = new Path(f.path)
-        FileStats.load(p.getFileSystem(conf), p)
-      })
-      stats.exists { st =>
+      sidecarStats(f.path).exists { st =>
         dataFilters.exists { flt =>
           st.cols.get(flt.references.head).exists(c =>
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows))
@@ -771,15 +771,22 @@ final class GraftScan(
     val splittable =
       (isJson && GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream) ||
       (!isJson && options.getBoolean("splittable", false))
+    // a pushed COUNT(*) or metadata-eligible aggregate battery keeps a
+    // file whole WHEN its sidecar exists, so the reader answers from
+    // metadata without reading data bytes; sidecar-less files still split
+    // for parse parallelism
+    val metaAggCandidate =
+      (countStar || aggSpec.exists(GraftAggMeta.eligible)) &&
+        options.getBoolean("dataskipping", true) &&
+        "fail".equalsIgnoreCase(options.getOrDefault("badrecords", "fail"))
     pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
       // a pushed OFFSET requires one partition in file order (the builder
       // already guaranteed a single file; never split it); compressed
-      // members are inherently unsplittable; a pushed COUNT(*) keeps
-      // files whole so the count reader can answer from a stats sidecar
-      // without reading data bytes
+      // members are inherently unsplittable
       if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv))
-      else if (!splittable || offset >= 0 || countStar || len <= maxSplit)
+      else if (!splittable || offset >= 0 || len <= maxSplit ||
+          (metaAggCandidate && sidecarStats(p).isDefined))
         Seq(GraftInputPartition(p, 0, len, len, pv))
       else
         (0L until len by maxSplit).map { start =>
@@ -822,7 +829,8 @@ final class GraftScan(
       new GraftCountReaderFactory(conf,
         if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
         GraftSources.csvConfig(options.asCaseSensitiveMap()),
-        dropMalformed = dropMalformed, countMalformed = keepMalformed)
+        dropMalformed = dropMalformed, countMalformed = keepMalformed,
+        useStats = options.getBoolean("dataskipping", true))
     else {
       val rowFactory: PartitionReaderFactory =
         if (isJson)
@@ -843,7 +851,9 @@ final class GraftScan(
       aggSpec match {
         case Some(spec) =>
           new GraftAggReaderFactory(rowFactory, rowSchema, spec,
-            maxGroups = options.getInt("aggmaxgroups", 1 << 16))
+            maxGroups = options.getInt("aggmaxgroups", 1 << 16),
+            conf = conf,
+            metadataOk = !dropMalformed && options.getBoolean("dataskipping", true))
         case None =>
           if (offset > 0) new GraftOffsetReaderFactory(rowFactory, offset)
           else if (topN != null && topNLimit > 0)
@@ -1057,11 +1067,12 @@ final class GraftCountReaderFactory(
     jsonMode: Option[JsonParser.Mode],
     csvConfig: CsvParser.Config,
     dropMalformed: Boolean,
-    countMalformed: Boolean = false) extends PartitionReaderFactory {
+    countMalformed: Boolean = false,
+    useStats: Boolean = true) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCountPartitionReader(
       partition.asInstanceOf[GraftInputPartition], conf.value, jsonMode, csvConfig,
-      dropMalformed, countMalformed)
+      dropMalformed, countMalformed, useStats)
 }
 
 final class GraftCountPartitionReader(
@@ -1070,7 +1081,8 @@ final class GraftCountPartitionReader(
     jsonMode: Option[JsonParser.Mode],
     csvConfig: CsvParser.Config,
     dropMalformed: Boolean,
-    countMalformed: Boolean = false) extends PartitionReader[InternalRow] {
+    countMalformed: Boolean = false,
+    useStats: Boolean = true) extends PartitionReader[InternalRow] {
 
   private val plate = new graft.core.SkipAllCountPlate
   private var served = false
@@ -1082,7 +1094,7 @@ final class GraftCountPartitionReader(
       // (fail) mode answers from the stats sidecar without reading a
       // single data byte — the JSON analog of counting from parquet
       // footers. drop/permissive modes still parse (they validate).
-      if (!dropMalformed && !countMalformed &&
+      if (useStats && !dropMalformed && !countMalformed &&
           part.start == 0 && part.end == part.fileLen) {
         val p = new Path(part.path)
         FileStats.load(p.getFileSystem(conf), p) match {

@@ -138,6 +138,41 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict < 1234, s"drop-mode count should have parsed and shrunk, got $strict")
   }
 
+  test("ungrouped min/max/count batteries answer from metadata (no data read)") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("metaagg").toString
+    (1L to 900L).map(i => (i, s"k$i", i * 1.5))
+      .toDF("id", "name", "score")
+      .repartition(3).write.format("graft-json").mode("overwrite").save(out)
+
+    val schema = spark.read.format("graft-json").load(out).schema
+
+    // poison every data file: only metadata can produce these answers
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).foreach { f =>
+        Files.write(java.nio.file.Paths.get(f), "GARBAGE\n".getBytes("UTF-8"))
+        val vp = java.nio.file.Paths.get(f)
+        Files.deleteIfExists(vp.getParent.resolve("." + vp.getFileName + ".crc"))
+      }
+
+    val df = spark.read.format("graft-json").schema(schema).load(out)
+      .selectExpr("min(id) AS mn", "max(id) AS mx", "count(id) AS c",
+        "min(score) AS smn", "max(name) AS nmx")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("min(id)") && plan.contains("RelationV2"),
+      s"battery must be pushed into the scan:\n$plan")
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 900L, 900L)))
+    assert(r.getDouble(3) == 1.5 && r.getString(4) == "k99")
+
+    // SUM in the battery forces the parsing path (sidecars carry no sums):
+    // over the poisoned files that must now fail in strict mode
+    intercept[Exception] {
+      spark.read.format("graft-json").schema(schema).load(out)
+        .selectExpr("min(id)", "sum(id)").collect()
+    }
+  }
+
   test("sidecar round-trips through render/parse including edge values") {
     import FileStats._
     val st = Stats(7, Map(
