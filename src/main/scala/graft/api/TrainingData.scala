@@ -140,6 +140,34 @@ object TrainingData {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Mixture resampling (the domain-weighting step: given target shares
+    * per stratum, deterministically downsample each stratum so the kept
+    * corpus approaches the target mix at the largest total the data
+    * supports). The math: T = min over strata of (n_s / w_s) is the
+    * largest total with w_s*T <= n_s everywhere; each stratum keeps at
+    * rate (w_s * T) / n_s via the salted-hash keyspace cut — so membership
+    * stays reproducible and composable like every sampler here. The
+    * per-stratum counts are collected to the driver: strata are domains
+    * (dozens), not data.
+    */
+  def sampleToMixture(df: DataFrame, strataCol: String, keyCol: String,
+      targetWeights: Map[String, Double], salt: String): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "every target weight must be positive")
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val t = targetWeights.map { case (s, w) => counts.getOrElse(s, 0L) / w }.min
+    val h = substring(keyHash(col(keyCol), salt), 1, 8)
+    val cond = targetWeights.foldLeft(lit(false)) { case (acc, (s, w)) =>
+      val n = counts.getOrElse(s, 0L)
+      val rate = if (n == 0) 0.0 else w * t / n
+      // the min stratum's rate can land just above 1.0 in floating math
+      val thr = if (rate >= 1.0) "g" else hexThreshold(rate)
+      acc || (col(strataCol) === s && h < thr)
+    }
+    df.filter(cond)
+  }
+
   /** Email-address pattern: RE2-safe (no backtracking constructs), so the
     * same pattern means the same thing to Spark's Java regex and to
     * RE2-based engines.

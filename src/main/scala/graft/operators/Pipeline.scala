@@ -1039,5 +1039,46 @@ object Pipeline {
             GROUP BY doc_id
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80)
+  // ---------------------------------------------------------------- q82
+  // Mixture resampling (domain weighting, the Pile/Dolma step): given a
+  // target share per source, deterministically downsample each source so
+  // the kept corpus approaches the target mix at the largest total the
+  // data supports (T = min n_s/w_s; stratum keep-rate = w_s*T/n_s via the
+  // salted md5 keyspace cut). Uniform target here. EXACT oracle: both
+  // engines evaluate the identical double expressions in the identical
+  // order (divide, min, multiply-divide, floor to a 2^32 threshold), and
+  // per-key membership is the same md5 comparison — so the kept set
+  // matches row for row, not just in expectation.
+  private val q82 = GQuery(
+    "q82_mixture_resample",
+    "deterministic mixture resampling to a uniform source mix (salted keyspace cut)",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val sources = docs.select($"source").distinct().collect()
+        .map(_.getString(0)).sorted
+      val w = 1.0 / sources.length
+      graft.api.TrainingData.sampleToMixture(
+          docs, "source", "doc_id", sources.map(_ -> w).toMap, "graft-mix:")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+        .orderBy($"source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+                 k AS (SELECT count(*) AS ns FROM c),
+                 t AS (SELECT min(n / (1.0 / ns)) AS t FROM c, k),
+                 r AS (SELECT source, n, (1.0 / ns) * t / n AS rate FROM c, k, t),
+                 kept AS (
+                   SELECT d.source, d.n_chars
+                   FROM documents d JOIN r USING (source)
+                   WHERE substring(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                         CASE WHEN rate >= 1 THEN 'g'
+                              ELSE printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)) END)
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM kept
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82)
 }

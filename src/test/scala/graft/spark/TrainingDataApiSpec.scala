@@ -135,6 +135,27 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 2L), (2L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("sampleToMixture approaches the target mix and keeps the floor stratum whole") {
+    val s = spark; import s.implicits._
+    // skewed strata: 2800/1000/200 — uniform target => T = 600, keep ~200 each
+    val df = (1L to 4000L).map { i =>
+      val g = if (i <= 2800) "big" else if (i <= 3800) "mid" else "small"
+      (i, g)
+    }.toDF("id", "grp")
+    val kept = TrainingData.sampleToMixture(df, "grp", "id",
+      Map("big" -> (1.0 / 3), "mid" -> (1.0 / 3), "small" -> (1.0 / 3)), "mx")
+    val by = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("small") == 200, "the floor stratum keeps everything")
+    assert(math.abs(by("big") - 200.0) / 200.0 < 0.25, s"big kept ${by("big")}, want ~200")
+    assert(math.abs(by("mid") - 200.0) / 200.0 < 0.25, s"mid kept ${by("mid")}, want ~200")
+    // deterministic: same inputs, same kept set
+    val again = TrainingData.sampleToMixture(df, "grp", "id",
+      Map("big" -> (1.0 / 3), "mid" -> (1.0 / 3), "small" -> (1.0 / 3)), "mx")
+    assert(kept.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+
   test("redactPii scrubs emails and IPv4s, leaves clean text alone") {
     val s = spark; import s.implicits._
     val df = Seq(
