@@ -16,6 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * line per column) with base64-encoded strings so no value can corrupt
   * the framing. Missing or unreadable sidecars simply disable pruning for
   * that file.
+  *
+  * Scale note: sidecar loads are driver-side, one small read per
+  * CANDIDATE file, cached per scan, and consulted only when a pushed
+  * filter or metadata-answerable aggregate makes them useful — and only
+  * AFTER hive partition pruning has already cut the listing. At millions
+  * of surviving files the per-file reads would dominate planning; the
+  * production evolution is a per-directory manifest compacting the
+  * sidecars (exactly Delta's checkpoint trajectory), which the format's
+  * versioned line protocol leaves room for.
   */
 object FileStats {
 
