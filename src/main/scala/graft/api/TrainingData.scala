@@ -228,6 +228,27 @@ object TrainingData {
       .filter(col("jaccard_est") >= minJaccardEst)
   }
 
+  /** SimHash document fingerprints (md5-bit-vote family): bit b of the
+    * fingerprint is the sign of the +1/-1 votes cast per token occurrence
+    * by whether hex digit b of md5(token) has its high bit set. One
+    * explode + one partial-combined aggregate per document; the md5
+    * arithmetic is engine-portable, so fingerprints agree bit-for-bit
+    * across engines. Returns (idCol, fingerprintCol) with the fingerprint
+    * as a `bits`-character 0/1 string (near-dup distance = Hamming).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, fingerprintCol: String = "simhash"): DataFrame = {
+    require(bits >= 1 && bits <= 32, "1..32 bits (one md5 hex digit each)")
+    val voteExpr = s"concat(${(0 until bits).map(b =>
+      s"CASE WHEN sum(CASE WHEN substring(md5(tok), ${b + 1}, 1) " +
+        s"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 " +
+        "THEN '1' ELSE '0' END").mkString(", ")})"
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol))
+      .agg(expr(voteExpr).as(fingerprintCol))
+  }
+
   /** Sign-LSH bucket id of a double-array vector column: bit i of the
     * result is the sign of the dot product with `planes(i)`. The planes
     * are configuration (O(bits), not data), so they travel as a literal;

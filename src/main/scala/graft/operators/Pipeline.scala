@@ -80,12 +80,7 @@ object Pipeline {
     "SimHash document fingerprint (md5-family bit votes; portable arithmetic)",
     (s, d) => {
       import s.implicits._
-      T(s, d, "documents")
-        .select($"doc_id", explode(split($"text", " ")).as("tok"))
-        .filter($"tok" =!= "")
-        .groupBy($"doc_id")
-        .agg(expr(s"concat(${(0 until 32).map(b =>
-          s"CASE WHEN sum(CASE WHEN substring(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END").mkString(", ")})").as("simhash"))
+      graft.api.TrainingData.simhash(T(s, d, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id, concat(${(0 until 32).map(b =>

@@ -156,6 +156,25 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(again.collect().map(_.toString).sorted))
   }
 
+  test("simhash fingerprints are stable and near for near-duplicate docs") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 1 token differs
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val fp = TrainingData.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    assert(fp.values.forall(f => f.length == 32 && f.forall(c => c == '0' || c == '1')))
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)),
+      s"near-dups must be closer: ${fp(1L)} / ${fp(2L)} / ${fp(3L)}")
+    // deterministic across runs
+    val again = TrainingData.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == fp)
+  }
+
   test("redactPii scrubs emails and IPv4s, leaves clean text alone") {
     val s = spark; import s.implicits._
     val df = Seq(
