@@ -100,11 +100,8 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       val sh = T(s, d, "documents")
-        .select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", explode(expr(
-          """CASE WHEN size(w) < 3 THEN array()
-             ELSE array_distinct(transform(sequence(0, size(w) - 3),
-                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) END""")).as("sh"))
+        .select($"doc_id",
+          explode(graft.api.TrainingData.wordShingles($"text", 3)).as("sh"))
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("x").join(sh.as("y"), Seq("sh"))
         .filter($"x.doc_id" < $"y.doc_id")
