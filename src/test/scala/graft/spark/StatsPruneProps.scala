@@ -1,0 +1,107 @@
+package graft.spark
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Soundness property for data skipping: whenever
+  * FilterEval.definitelyEmpty says a file's (min, max, nulls, rows) rule
+  * out a filter, NO value in the file may satisfy it — a wrongly-dropped
+  * file loses rows with no residual to save them. Checked against a
+  * direct per-value evaluator over randomly generated files and filters
+  * (longs incl. 2^53-adjacent, doubles incl. NaN/-0.0/infinities, strings
+  * incl. supplementary characters).
+  */
+object StatsPruneProps extends Properties("StatsPrune") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(4000)
+
+  private val genLong: Gen[Any] = Gen.oneOf(
+    Gen.chooseNum(-10L, 10L),
+    Gen.chooseNum(Long.MinValue, Long.MaxValue),
+    Gen.oneOf((1L << 53) - 1, 1L << 53, (1L << 53) + 1))
+    .map(java.lang.Long.valueOf(_))
+  private val genDouble: Gen[Any] = Gen.oneOf(
+    Gen.chooseNum(-5.0, 5.0),
+    Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      -0.0, 0.0, Double.MinPositiveValue))
+    .map(java.lang.Double.valueOf(_))
+  private val genString: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(6)),
+    Gen.oneOf("", "a", "", "😀", "za", "a\tb"))
+    .map(s => UTF8String.fromString(s))
+
+  // direct evaluation of one filter against one value (None = null)
+  private def cmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: UTF8String, y: UTF8String) => Some(x.binaryCompare(y))
+    case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      Some(java.lang.Double.compare(x, y)) // NaN last, matching Spark's ordering
+    case _ => None
+  }
+
+  private def satisfies(f: Filter, v: Option[Any]): Boolean = (f, v) match {
+    case (IsNull(_), None) => true
+    case (IsNull(_), _) => false
+    case (IsNotNull(_), Some(_)) => true
+    case (IsNotNull(_), None) => false
+    case (_, None) => false // comparisons never match null
+    case (EqualTo(_, l), Some(x)) => cmpOpt(x, l).contains(0)
+    case (GreaterThan(_, l), Some(x)) => cmpOpt(x, l).exists(_ > 0)
+    case (GreaterThanOrEqual(_, l), Some(x)) => cmpOpt(x, l).exists(_ >= 0)
+    case (LessThan(_, l), Some(x)) => cmpOpt(x, l).exists(_ < 0)
+    case (LessThanOrEqual(_, l), Some(x)) => cmpOpt(x, l).exists(_ <= 0)
+    case (In(_, ls), Some(x)) => ls.exists(l => cmpOpt(x, l).contains(0))
+    case (StringStartsWith(_, p), Some(x: UTF8String)) => x.toString.startsWith(p)
+    case _ => false
+  }
+
+  private def mkFilters(lit: Any, extra: Any): Seq[Filter] = {
+    val base = Seq[Filter](
+      EqualTo("c", lit), GreaterThan("c", lit), GreaterThanOrEqual("c", lit),
+      LessThan("c", lit), LessThanOrEqual("c", lit),
+      In("c", Array(lit, extra)), IsNull("c"), IsNotNull("c"))
+    lit match {
+      case s: UTF8String if s.toString.nonEmpty =>
+        base :+ StringStartsWith("c", s.toString.take(2))
+      case _ => base
+    }
+  }
+
+  private def sound(vals: List[Option[Any]], lit: Any, extra: Any): Prop = {
+    val present = vals.flatten
+    val nulls = vals.count(_.isEmpty).toLong
+    val rows = vals.length.toLong
+    def cmp(a: Any, b: Any): Int = cmpOpt(a, b).get
+    val min = if (present.isEmpty) null
+      else present.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+    val max = if (present.isEmpty) null
+      else present.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+    Prop.all(mkFilters(lit, extra).map { f =>
+      val pruned = FilterEval.definitelyEmpty(f, min, max, nulls, rows)
+      val survivor = if (pruned) vals.find(v => satisfies(f, v)) else None
+      Prop(survivor.isEmpty) :| {
+        s"UNSOUND: $f pruned file(min=$min, max=$max, nulls=$nulls, rows=$rows) " +
+          s"but $survivor satisfies it"
+      }
+    }: _*)
+  }
+
+  private def fileAndLits(gen: Gen[Any]): Gen[(List[Option[Any]], Any, Any)] =
+    for {
+      vals <- Gen.listOfN(6, Gen.option(gen))
+      lit <- gen
+      extra <- gen
+    } yield (vals, lit, extra)
+
+  property("never prunes a file containing a satisfying long") =
+    forAll(fileAndLits(genLong)) { case (vals, lit, extra) => sound(vals, lit, extra) }
+
+  property("never prunes a file containing a satisfying double") =
+    forAll(fileAndLits(genDouble)) { case (vals, lit, extra) => sound(vals, lit, extra) }
+
+  property("never prunes a file containing a satisfying string") =
+    forAll(fileAndLits(genString)) { case (vals, lit, extra) => sound(vals, lit, extra) }
+}
