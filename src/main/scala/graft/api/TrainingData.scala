@@ -228,6 +228,40 @@ object TrainingData {
       .filter(col("jaccard_est") >= minJaccardEst)
   }
 
+  /** Non-empty whitespace token count of a text column. */
+  def wsTokens(text: Column): Column =
+    size(filter(split(text, " "), w => w =!= ""))
+
+  /** BPE-style token estimate from pure integer arithmetic (~chars/3.5 —
+    * 2 tokens per 7 characters), engine-portable.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    floor((length(text) * 2) / lit(7)).cast("long")
+
+  /** Fraction of whitespace tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val words = split(text, " ")
+    size(filter(words, w => w.isin(stopwords: _*))) /
+      size(filter(words, w => w =!= "")).cast("double")
+  }
+
+  /** Heuristic language ID: stopword-density thresholding (the cheap
+    * n-gram-family screen corpora run before a real classifier). Emits
+    * `hit` when the ratio exceeds `threshold`, else `miss`.
+    */
+  def langIdHeuristic(text: Column, stopwords: Seq[String],
+      threshold: Double = 0.08, hit: String = "en", miss: String = "other"): Column =
+    when(stopwordRatio(text, stopwords) > threshold, hit).otherwise(miss)
+
+  /** Composite quality score in [0, 1]: half length (saturating at
+    * `targetTokens`), half stopword density — the Gopher/C4-style cheap
+    * quality signal family.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String],
+      targetTokens: Int = 80): Column =
+    least(wsTokens(text) / (targetTokens + 0.0), lit(1.0)) * 0.5 +
+      stopwordRatio(text, stopwords) * 0.5
+
   /** SimHash document fingerprints (md5-bit-vote family): bit b of the
     * fingerprint is the sign of the +1/-1 votes cast per token occurrence
     * by whether hex digit b of md5(token) has its high bit set. One

@@ -357,10 +357,8 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       T(s, d, "documents")
-        .select($"lang", expr(
-          s"""CASE WHEN size(filter(split(text, ' '), w -> w IN ($stopList)))
-                    / CAST(size(filter(split(text, ' '), w -> w <> '')) AS DOUBLE) > 0.08
-              THEN 'en' ELSE 'other' END""").as("predicted"))
+        .select($"lang",
+          graft.api.TrainingData.langIdHeuristic($"text", stopwords).as("predicted"))
         .groupBy($"lang", $"predicted")
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")
@@ -383,10 +381,8 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       T(s, d, "documents")
-        .select($"source", expr(
-          s"""least(size(filter(split(text, ' '), w -> w <> '')) / 80.0, 1.0) * 0.5
-             + (size(filter(split(text, ' '), w -> w IN ($stopList)))
-                / CAST(size(filter(split(text, ' '), w -> w <> '')) AS DOUBLE)) * 0.5""").as("score"))
+        .select($"source",
+          graft.api.TrainingData.qualityScore($"text", stopwords).as("score"))
         .groupBy($"source")
         .agg(round(avg($"score"), 4).as("avg_quality"), count(lit(1)).as("docs"))
         .orderBy($"source")
@@ -410,8 +406,8 @@ object Pipeline {
       import s.implicits._
       T(s, d, "documents")
         .select($"source",
-          expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("ws_tokens"),
-          expr("CAST((length(text) * 2) DIV 7 AS BIGINT)").as("bpe_est"))
+          graft.api.TrainingData.wsTokens($"text").cast("long").as("ws_tokens"),
+          graft.api.TrainingData.bpeTokenEstimate($"text").as("bpe_est"))
         .rollup($"source")
         .agg(sum($"ws_tokens").as("ws_tokens"), sum($"bpe_est").as("bpe_tokens"))
         .select(coalesce($"source", lit("(total)")).as("source"), $"ws_tokens", $"bpe_tokens")
