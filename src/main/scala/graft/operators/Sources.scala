@@ -602,5 +602,76 @@ object Sources {
             FROM orders
             WHERE o_orderkey <= 1500"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81)
+  // ---------------------------------------------------------------- q83
+  // CSV data skipping: the graft-csv sink now writes the same stats
+  // sidecars as graft-json (length-bound, truncated string bounds), so a
+  // ranged CSV write + filtered scan prunes whole files at planning time
+  // and COUNT/MIN/MAX can answer from metadata. Mirror of q81 over the
+  // CSV lane; DataSkippingSpec asserts the pruning counts and the
+  // poisoned-file metadata-only proof.
+  private val q83 = GQuery(
+    "q83_csv_stats_skipping",
+    "sidecar min/max data skipping over graft-csv: ranged sink write + pruned filtered scan",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q83_orders_ranged_csv"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey")
+        .write.format("graft-csv").mode("overwrite").save(out)
+      s.read.format("graft-csv")
+        .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+        .load(out)
+        .filter($"o_orderkey" <= 1500)
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderkey <= 1500"""))
+
+  // ---------------------------------------------------------------- q84
+  // DECIMAL lanes end-to-end: a money-shaped DECIMAL(14,2) column derived
+  // exactly from o_orderkey (double→decimal casts round differently
+  // across engines; integer→decimal is exact in both) round-trips through
+  // the graft-json sink (decimal sidecar stats) and scan (decimal parse),
+  // and the grouped SUM/MIN/MAX/COUNT battery folds inside the scan via
+  // the new FSumDec piece-splitting lane (AggPushdownSpec pins the plan
+  // shape and overflow semantics).
+  private val q84 = GQuery(
+    "q84_decimal_agg_pushdown",
+    "decimal money column: sink round-trip + grouped sum/min/max/count pushed into the scan",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q84_orders_decimal"
+      Tables(s, d, "orders")
+        .select($"o_orderpriority",
+          $"o_orderkey".cast("decimal(14,2)").as("amt"))
+        .repartition(3)
+        .write.format("graft-json").mode("overwrite").save(out)
+      s.read.format("graft-json")
+        .schema("o_orderpriority STRING, amt DECIMAL(14,2)")
+        .load(out)
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum($"amt").cast("decimal(18,2)").as("amt_sum"),
+          min($"amt").as("amt_min"),
+          max($"amt").as("amt_max"),
+          count($"amt").as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(sum(CAST(o_orderkey AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS amt_sum,
+                   min(CAST(o_orderkey AS DECIMAL(14,2))) AS amt_min,
+                   max(CAST(o_orderkey AS DECIMAL(14,2))) AS amt_max,
+                   count(o_orderkey) AS n
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84)
 }

@@ -7,15 +7,29 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-file data-skipping statistics (Delta/parquet-footer-style min/max
   * pruning for JSON corpora, which have no native footer): the graft-json
-  * sink writes one hidden `.<file>.stats` sidecar per part with row count
-  * and per-column (nulls, min, max) for top-level atomic columns; the
-  * graft scan consults it at PLANNING time to drop whole files whose
-  * value ranges cannot satisfy a pushed filter — no task, no bytes.
+  * and graft-csv sinks write one hidden `.<file>.stats` sidecar per part
+  * with row count and per-column (nulls, min, max) for top-level atomic
+  * columns; the graft scan consults it at PLANNING time to drop whole
+  * files whose value ranges cannot satisfy a pushed filter — no task, no
+  * bytes.
   *
-  * Sidecar format is line-oriented (version line, `rows`, then one `col`
-  * line per column) with base64-encoded strings so no value can corrupt
-  * the framing. Missing or unreadable sidecars simply disable pruning for
-  * that file.
+  * Sidecar format is line-oriented (version line, `rows`, `len`, then one
+  * `col` line per column) with base64-encoded strings so no value can
+  * corrupt the framing. Missing or unreadable sidecars simply disable
+  * pruning for that file.
+  *
+  * Staleness binding: the sidecar records the data file's byte length at
+  * write time (`len` line) and [[load]] validates it against the actual
+  * file status — a data file later rewritten by another tool no longer
+  * matches and its stale sidecar is ignored (parse instead of trusting
+  * wrong COUNT/MIN/MAX). Sidecars predating the `len` line are accepted
+  * best-effort.
+  *
+  * String bounds are TRUNCATED like parquet footers: values longer than
+  * [[FileStats.MaxStringStatBytes]] store a bounded prefix for min and a
+  * prefix-successor for max. Truncated bounds stay valid for pruning
+  * (min only ever lowered, max only ever raised — conservative) but are
+  * flagged inexact so metadata-only MIN/MAX answers refuse them.
   *
   * Scale note: sidecar loads are driver-side, one small read per
   * CANDIDATE file, cached per scan, and consulted only when a pushed
@@ -28,28 +42,45 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FileStats {
 
+  /** Bound on stored string min/max bytes (parquet's default is 64). */
+  val MaxStringStatBytes = 64
+
   /** One column's stats. kind: 'i' integral (Long), 'f' floating (Double),
-    * 's' string (UTF8String), 'b' boolean. min/max null = no non-null
-    * values observed.
+    * 's' string (UTF8String), 'b' boolean, 'd' decimal
+    * (java.math.BigDecimal). min/max null = no non-null values observed.
+    * minExact/maxExact false = the bound is a truncation artifact (valid
+    * for pruning, unusable as a metadata MIN/MAX answer).
     */
-  final case class ColStats(kind: Char, nulls: Long, min: Any, max: Any)
-  final case class Stats(rows: Long, cols: Map[String, ColStats])
+  final case class ColStats(kind: Char, nulls: Long, min: Any, max: Any,
+      minExact: Boolean = true, maxExact: Boolean = true)
+
+  /** dataLen -1 = unknown (legacy sidecar without a `len` line). */
+  final case class Stats(rows: Long, cols: Map[String, ColStats], dataLen: Long = -1L)
 
   def sidecarFor(dataFile: Path): Path =
     new Path(dataFile.getParent, "." + dataFile.getName + ".stats")
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64Bytes(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
-  private[spark] def encodeValue(kind: Char, v: Any): String =
+  /** Inexact (truncated) bounds carry a `~` marker so exactness survives
+    * the round-trip; their payload is RAW bytes (a prefix-successor need
+    * not be valid UTF-8).
+    */
+  private[spark] def encodeValue(kind: Char, v: Any, exact: Boolean = true): String =
     if (v == null) "-"
     else kind match {
       case 'i' => v.toString
       case 'f' => java.lang.Double.toString(v.asInstanceOf[Double]) // exact round-trip
-      case 's' => b64(v.toString)
+      case 's' =>
+        if (exact) b64(v.toString)
+        else "~" + b64Bytes(v.asInstanceOf[UTF8String].getBytes)
       case 'b' => if (v.asInstanceOf[Boolean]) "t" else "f"
+      case 'd' => v.asInstanceOf[java.math.BigDecimal].toPlainString
     }
 
   private[spark] def decodeValue(kind: Char, s: String): Any =
@@ -57,18 +88,23 @@ object FileStats {
     else kind match {
       case 'i' => java.lang.Long.valueOf(s)
       case 'f' => java.lang.Double.valueOf(s)
-      case 's' => UTF8String.fromString(unb64(s))
+      case 's' =>
+        if (s.startsWith("~"))
+          UTF8String.fromBytes(java.util.Base64.getDecoder.decode(s.substring(1)))
+        else UTF8String.fromString(unb64(s))
       case 'b' => java.lang.Boolean.valueOf(s == "t")
+      case 'd' => new java.math.BigDecimal(s)
     }
 
   def render(stats: Stats): String = {
     val sb = new StringBuilder("graft-stats v1\n")
     sb.append("rows\t").append(stats.rows).append('\n')
+    if (stats.dataLen >= 0) sb.append("len\t").append(stats.dataLen).append('\n')
     stats.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
       sb.append("col\t").append(b64(name)).append('\t').append(c.kind)
         .append('\t').append(c.nulls)
-        .append('\t').append(encodeValue(c.kind, c.min))
-        .append('\t').append(encodeValue(c.kind, c.max))
+        .append('\t').append(encodeValue(c.kind, c.min, c.minExact))
+        .append('\t').append(encodeValue(c.kind, c.max, c.maxExact))
         .append('\n')
     }
     sb.toString
@@ -80,36 +116,74 @@ object FileStats {
     if (lines.isEmpty || lines(0) != "graft-stats v1") return None
     try {
       var rows = -1L
+      var len = -1L
       val cols = Map.newBuilder[String, ColStats]
       lines.drop(1).foreach { line =>
         val p = line.split('\t')
         p(0) match {
           case "rows" => rows = p(1).toLong
+          case "len" => len = p(1).toLong
           case "col" =>
             val kind = p(2).charAt(0)
             cols += unb64(p(1)) -> ColStats(
-              kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)))
+              kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
+              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"))
           case _ => () // forward-compatible: unknown lines ignored
         }
       }
-      if (rows < 0) None else Some(Stats(rows, cols.result()))
+      if (rows < 0) None else Some(Stats(rows, cols.result(), len))
     } catch { case _: Exception => None }
   }
 
-  /** Load the sidecar for a data file; None when absent/unreadable. */
+  /** Load the sidecar for a data file; None when absent/unreadable, or
+    * when its recorded data-file length no longer matches the file on
+    * disk (stale sidecar after an out-of-band rewrite — trusting it would
+    * return wrong results, so fall back to parsing).
+    */
   def load(fs: FileSystem, dataFile: Path): Option[Stats] = {
     val p = sidecarFor(dataFile)
     try {
       if (!fs.exists(p)) return None
       val in = fs.open(p)
-      try parse(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-      finally in.close()
+      val st =
+        try parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        finally in.close()
+      st.filter(s => s.dataLen < 0 || s.dataLen == fs.getFileStatus(dataFile).getLen)
     } catch { case _: Exception => None }
+  }
+
+  /** Codepoint-safe byte-bounded prefix: backs off past UTF-8
+    * continuation bytes so the result is valid UTF-8 and byte-wise ≤ the
+    * original (a prefix always is).
+    */
+  private[spark] def truncatePrefix(u: UTF8String, maxBytes: Int): UTF8String = {
+    val b = u.getBytes
+    if (b.length <= maxBytes) return u
+    var i = maxBytes
+    while (i > 0 && (b(i) & 0xC0) == 0x80) i -= 1
+    UTF8String.fromBytes(java.util.Arrays.copyOf(b, i))
+  }
+
+  /** Smallest byte string greater than every string with the prefix
+    * `truncatePrefix(u, maxBytes)` (increment the last non-0xFF byte,
+    * drop the tail); None when every prefix byte is 0xFF — the caller
+    * then keeps the untruncated value. The result may not be valid
+    * UTF-8, which is fine: it is only ever byte-compared.
+    */
+  private[spark] def truncateUpperBound(u: UTF8String, maxBytes: Int): Option[UTF8String] = {
+    val b = java.util.Arrays.copyOf(u.getBytes, math.min(u.numBytes, maxBytes))
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      b(i) = (b(i) + 1).toByte
+      Some(UTF8String.fromBytes(java.util.Arrays.copyOf(b, i + 1)))
+    }
   }
 }
 
-/** Streaming min/max/null collector over InternalRows for the sink. Only
+/** Streaming min/max/null collector over InternalRows for the sinks. Only
   * top-level atomic columns participate; everything else is skipped (the
   * sidecar simply omits them).
   */
@@ -124,6 +198,7 @@ private[spark] final class FileStatsCollector(schema: StructType) {
         case DoubleType | FloatType => Some((i, f.name, 'f'))
         case StringType => Some((i, f.name, 's'))
         case BooleanType => Some((i, f.name, 'b'))
+        case _: DecimalType => Some((i, f.name, 'd'))
         case _ => None
       }
     }
@@ -137,6 +212,8 @@ private[spark] final class FileStatsCollector(schema: StructType) {
     case 'f' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case 's' => a.asInstanceOf[UTF8String].binaryCompare(b.asInstanceOf[UTF8String])
     case 'b' => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case 'd' => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal])
   }
 
   def observe(row: InternalRow): Unit = {
@@ -160,6 +237,9 @@ private[spark] final class FileStatsCollector(schema: StructType) {
           // rows are recycled by upstream operators: copy the bytes
           case 's' => row.getUTF8String(i).clone()
           case 'b' => row.getBoolean(i)
+          case 'd' =>
+            val dt = schema.fields(i).dataType.asInstanceOf[DecimalType]
+            row.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal // immutable copy
         }
         if (mins(t) == null || cmp(kind, v, mins(t)) < 0) mins(t) = v
         if (maxs(t) == null || cmp(kind, v, maxs(t)) > 0) maxs(t) = v
@@ -168,15 +248,30 @@ private[spark] final class FileStatsCollector(schema: StructType) {
     }
   }
 
-  def snapshot(): Stats = Stats(rows,
+  def snapshot(dataLen: Long = -1L): Stats = Stats(rows,
     tracked.zipWithIndex.map { case ((_, name, kind), t) =>
-      name -> ColStats(kind, nulls(t), mins(t), maxs(t))
-    }.toMap)
+      // bound string stats like parquet footers: min → prefix (lowered),
+      // max → prefix-successor (raised); both flagged inexact
+      val (mn, mnExact) = (kind, mins(t)) match {
+        case ('s', u: UTF8String) if u.numBytes > MaxStringStatBytes =>
+          (truncatePrefix(u, MaxStringStatBytes), false)
+        case (_, v) => (v, true)
+      }
+      val (mx, mxExact) = (kind, maxs(t)) match {
+        case ('s', u: UTF8String) if u.numBytes > MaxStringStatBytes =>
+          truncateUpperBound(u, MaxStringStatBytes) match {
+            case Some(ub) => (ub, false)
+            case None => (u, true) // all-0xFF prefix: keep the full value
+          }
+        case (_, v) => (v, true)
+      }
+      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact)
+    }.toMap, dataLen)
 
-  def writeSidecar(fs: FileSystem, path: Path): Unit = {
+  def writeSidecar(fs: FileSystem, path: Path, dataLen: Long = -1L): Unit = {
     try {
       val out = fs.create(path, true)
-      try out.write(render(snapshot()).getBytes("UTF-8"))
+      try out.write(render(snapshot(dataLen)).getBytes("UTF-8"))
       finally out.close()
     } catch { case _: Exception => () } // stats are best-effort
   }

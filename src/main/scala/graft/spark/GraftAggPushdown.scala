@@ -58,6 +58,24 @@ object GraftAgg {
     def outDt: DataType = if (integral) LongType else DoubleType
   }
 
+  /** SUM over a DecimalType column: accumulates in an unbounded
+    * java.math.BigDecimal with the same piece-splitting trick as the Long
+    * lane — when the next add would leave the OUTPUT type's range, the
+    * group's running state is emitted as an extra partial row and a fresh
+    * accumulator starts (a single value always fits: the input's
+    * precision is ≤ the output's at the same scale). The final merge Sum
+    * then applies the session's overflow semantics itself (ANSI raises,
+    * legacy nulls, try_sum nulls). `outDt` is the result type Catalyst's
+    * Sum declares for this input — DecimalType.bounded(p+10, s) — which
+    * is the column type the planner wires the final merge onto.
+    */
+  final case class FSumDec(col: String, inDt: DecimalType) extends Func {
+    // DecimalType.bounded is private[sql]; same formula (Sum.resultType)
+    def outDt: DecimalType =
+      DecimalType(math.min(inDt.precision + 10, DecimalType.MAX_PRECISION),
+        math.min(inDt.scale, DecimalType.MAX_SCALE))
+  }
+
   final case class Spec(groupCols: Seq[(String, DataType)], funcs: Seq[Func]) {
 
     /** Columns the parser must materialize (group keys + agg inputs),
@@ -79,6 +97,7 @@ object GraftAgg {
           case FMin(c, dt)  => StructField(s"min($c)", dt)
           case FMax(c, dt)  => StructField(s"max($c)", dt)
           case f: FSum      => StructField(s"sum(${f.col})", f.outDt)
+          case f: FSumDec   => StructField(s"sum(${f.col})", f.outDt)
         })
 
     override def toString: String =
@@ -88,6 +107,7 @@ object GraftAgg {
         case FMin(c, _) => s"min($c)"
         case FMax(c, _) => s"max($c)"
         case FSum(c, _, _) => s"sum($c)"
+        case FSumDec(c, _) => s"sum($c)"
       }.mkString(",") +
         (if (groupCols.isEmpty) "" else s" group by ${groupCols.map(_._1).mkString(",")}")
   }
@@ -129,13 +149,12 @@ object GraftAgg {
         singleName(m.column).flatMap(field).filter(f => atomic(f.dataType))
           .map(f => FMax(f.name, f.dataType))
       case s: Sum if !s.isDistinct =>
-        // Decimal stays unpushed (precision widening + overflow checks
-        // aren't worth reimplementing); overflow semantics for the
-        // integral lane are handled by piece-splitting in the reader, so
-        // no evalMode knowledge is needed here.
+        // Overflow semantics are handled by piece-splitting in the reader
+        // (integral and decimal lanes alike), so no evalMode knowledge is
+        // needed here — the final merge applies the query's own mode.
         singleName(s.column).flatMap(field).flatMap { f =>
           f.dataType match {
-            case _: DecimalType => None
+            case d: DecimalType => Some(FSumDec(f.name, d))
             case it @ (ByteType | ShortType | IntegerType | LongType) =>
               Some(FSum(f.name, it, integral = true))
             case FloatType | DoubleType => Some(FSum(f.name, f.dataType, integral = false))
@@ -209,11 +228,13 @@ final class GraftAggPartitionReader(
     val vals = new Array[Any](funcs.length)
     val lsums = new Array[Long](funcs.length)
     val dsums = new Array[Double](funcs.length)
+    val bsums = new Array[java.math.BigDecimal](funcs.length)
     def reset(): Unit = {
       java.util.Arrays.fill(counts, 0L)
       java.util.Arrays.fill(vals.asInstanceOf[Array[AnyRef]], null)
       java.util.Arrays.fill(lsums, 0L)
       java.util.Arrays.fill(dsums, 0.0)
+      java.util.Arrays.fill(bsums.asInstanceOf[Array[AnyRef]], null)
     }
   }
 
@@ -251,6 +272,16 @@ final class GraftAggPartitionReader(
     case DoubleType => r.getDouble(idx)
     case _ => r.getFloat(idx).toDouble
   }
+  private def decAt(r: InternalRow, idx: Int, dt: DecimalType): java.math.BigDecimal =
+    r.getDecimal(idx, dt.precision, dt.scale).toJavaBigDecimal
+
+  // |sum| must stay below 10^(p-s) to be representable as Decimal(p, s);
+  // one bound per decimal-sum slot, precomputed
+  private val decLimit: Array[java.math.BigDecimal] = funcs.map {
+    case f: FSumDec =>
+      java.math.BigDecimal.TEN.pow(f.outDt.precision - f.outDt.scale)
+    case _ => null
+  }
 
   /** True when folding `r` into `st` would overflow an integral-sum
     * accumulator — the caller then emits `st` as a partial piece and
@@ -267,6 +298,12 @@ final class GraftAggPartitionReader(
             val b = longAt(r, idx, f.inDt)
             val s = a + b
             if (((a ^ s) & (b ^ s)) < 0) return true
+          }
+        case f: FSumDec =>
+          val idx = funcIdx(i)
+          if (!r.isNullAt(idx) && st.bsums(i) != null) {
+            val s = st.bsums(i).add(decAt(r, idx, f.inDt))
+            if (s.abs.compareTo(decLimit(i)) >= 0) return true
           }
         case _ => ()
       }
@@ -287,6 +324,13 @@ final class GraftAggPartitionReader(
             st.counts(i) += 1L
             if (f.integral) st.lsums(i) += longAt(r, idx, f.inDt)
             else st.dsums(i) += doubleAt(r, idx, f.inDt)
+          }
+        case f: FSumDec =>
+          val idx = funcIdx(i)
+          if (!r.isNullAt(idx)) {
+            st.counts(i) += 1L
+            val v = decAt(r, idx, f.inDt)
+            st.bsums(i) = if (st.bsums(i) == null) v else st.bsums(i).add(v)
           }
         case _: FMin =>
           if (!r.isNullAt(funcIdx(i))) {
@@ -315,6 +359,10 @@ final class GraftAggPartitionReader(
           if (st.counts(j) == 0L) null // all-null input: SUM is null
           else if (f.integral) java.lang.Long.valueOf(st.lsums(j))
           else java.lang.Double.valueOf(st.dsums(j))
+        case f: FSumDec =>
+          if (st.counts(j) == 0L) null
+          else org.apache.spark.sql.types.Decimal( // fits: piece-splitting bound
+            st.bsums(j), f.outDt.precision, f.outDt.scale)
         case _ => st.vals(j)
       }
       j += 1
@@ -339,6 +387,10 @@ final class GraftAggPartitionReader(
           if (r.isNullAt(funcIdx(j))) null
           else if (f.integral) java.lang.Long.valueOf(longAt(r, funcIdx(j), f.inDt))
           else java.lang.Double.valueOf(doubleAt(r, funcIdx(j), f.inDt))
+        case f: FSumDec =>
+          if (r.isNullAt(funcIdx(j))) null
+          else org.apache.spark.sql.types.Decimal( // single value always fits
+            decAt(r, funcIdx(j), f.inDt), f.outDt.precision, f.outDt.scale)
         case _ =>
           if (r.isNullAt(funcIdx(j))) null
           else copyVal(r.get(funcIdx(j), funcDt(j)))
@@ -406,7 +458,7 @@ private[spark] object GraftAggMeta {
   /** True when the spec COULD be metadata-answered (shape check only). */
   def eligible(spec: Spec): Boolean =
     spec.groupCols.isEmpty && spec.funcs.forall {
-      case _: FSum => false
+      case _: FSum | _: FSumDec => false
       case _ => true
     }
 
@@ -421,6 +473,9 @@ private[spark] object GraftAggMeta {
       case ('f', FloatType)   => Right(v.asInstanceOf[Double].toFloat)
       case ('s', StringType)  => Right(v)
       case ('b', BooleanType) => Right(v)
+      case ('d', dt: DecimalType) =>
+        val dec = org.apache.spark.sql.types.Decimal(v.asInstanceOf[java.math.BigDecimal])
+        if (dec.changePrecision(dt.precision, dt.scale)) Right(dec) else Left(())
       case _ => Left(()) // sidecar kind does not match the column type
     }
 
@@ -441,17 +496,19 @@ private[spark] object GraftAggMeta {
           vals(i) = st.rows - cs.nulls
         case FMin(c, dt) =>
           val cs = st.cols.getOrElse(c, return None)
+          if (!cs.minExact) return None // truncated bound: prune-only, not an answer
           conv(cs.kind, cs.min, dt) match {
             case Right(v) => vals(i) = v
             case Left(_) => return None
           }
         case FMax(c, dt) =>
           val cs = st.cols.getOrElse(c, return None)
+          if (!cs.maxExact) return None
           conv(cs.kind, cs.max, dt) match {
             case Right(v) => vals(i) = v
             case Left(_) => return None
           }
-        case _: FSum => return None
+        case _: FSum | _: FSumDec => return None
       }
       i += 1
     }

@@ -96,10 +96,42 @@ final class GraftJsonMicroBatchStream(
   // a byte window cannot realign inside a gzip/zstd member. Opt in with
   // option("admission", "files"), or automatic when the initial listing
   // already contains a compressed file. The two modes' offsets are not
-  // interchangeable: don't switch modes over an existing checkpoint.
-  private val fileAdmission: Boolean =
-    "files".equalsIgnoreCase(Option(options.get("admission")).getOrElse("")) ||
-      registry.files.exists(f => GraftSources.isCompressed(f._1))
+  // interchangeable, so the mode resolved on the FIRST run is pinned in the
+  // checkpoint (graft-admission.mode); a restart that resolves differently
+  // (option flipped, or a compressed file landed over a byte-mode
+  // checkpoint) fails fast instead of reinterpreting committed offsets.
+  private val fileAdmission: Boolean = {
+    val derived =
+      "files".equalsIgnoreCase(Option(options.get("admission")).getOrElse("")) ||
+        registry.files.exists(f => GraftSources.isCompressed(f._1))
+    val modePath = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-admission.mode")
+    val fs = modePath.getFileSystem(GraftSources.activeHadoopConf())
+    if (fs.exists(modePath)) {
+      val in = fs.open(modePath)
+      val persisted =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val persistedFiles = persisted == "files"
+      if (persistedFiles != derived) {
+        val derivedName = if (derived) "files" else "bytes"
+        throw new IllegalStateException(
+          s"graft-json stream checkpoint at $checkpointLocation was started with " +
+          s"admission mode '$persisted' but this run resolves to '$derivedName'. " +
+          "Byte offsets and file-count offsets are not interchangeable; continuing " +
+          "would silently skip or re-read data. Restart with the original mode " +
+          s"""(option("admission", "$persisted")) after removing any input the """ +
+          "original mode cannot read, or start a fresh checkpoint.")
+      }
+      persistedFiles
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-admission.mode.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((if (derived) "files" else "bytes").getBytes("UTF-8"))
+      finally out.close()
+      fs.rename(tmp, modePath)
+      derived
+    }
+  }
   // Trigger.AvailableNow cap: set once at prepare, so files landing during
   // the drain wait for the next run (the AvailableNow contract)
   private var availableNowCap: Long = -1L

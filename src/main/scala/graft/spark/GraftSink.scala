@@ -146,12 +146,19 @@ final class GraftJsonDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    // a prior file's sidecar must not outlive its data: drop it BEFORE the
+    // rename so a crash between the two steps leaves no-stats (pruning
+    // disabled) rather than wrong-stats (wrong results)
+    fs.delete(FileStats.sidecarFor(finalFile), false)
     // atomic publish; a retried task overwrites the same final name
     fs.delete(finalFile, false)
     fs.rename(stageFile, finalFile)
     // data-skipping sidecar (hidden: listings skip dot-files); written
-    // after the data publish — absence merely disables pruning
-    stats.writeSidecar(fs, FileStats.sidecarFor(finalFile))
+    // after the data publish — absence merely disables pruning. The
+    // recorded byte length binds the sidecar to THIS data file; a later
+    // out-of-band rewrite invalidates it (FileStats.load checks).
+    stats.writeSidecar(fs, FileStats.sidecarFor(finalFile),
+      fs.getFileStatus(finalFile).getLen)
     GraftCommit(finalFile.toString)
   }
 
@@ -336,6 +343,7 @@ final class GraftCsvDataWriter(
     }
   }
   private val sb = new java.lang.StringBuilder(1024)
+  private val stats = new FileStatsCollector(schema)
   private val mustQuote: Set[Char] =
     (delim.toSet ++ linesep.toSet) + '"'
 
@@ -390,12 +398,18 @@ final class GraftCsvDataWriter(
     }
     sb.append(linesep)
     flushLine()
+    stats.observe(row)
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    // same sidecar protocol as the JSON writer: stale sidecar dropped
+    // before the rename, fresh one bound to the published file's length
+    fs.delete(FileStats.sidecarFor(finalFile), false)
     fs.delete(finalFile, false)
     fs.rename(stageFile, finalFile)
+    stats.writeSidecar(fs, FileStats.sidecarFor(finalFile),
+      fs.getFileStatus(finalFile).getLen)
     GraftCommit(finalFile.toString)
   }
 

@@ -1088,20 +1088,24 @@ final class GraftCountPartitionReader(
   private var served = false
   private var jsonFeeder: JsonRangeFeeder[Long] = null
 
-  private def count(): Long = jsonMode match {
-    case Some(mode) =>
-      // metadata-only count: a sink-written whole-file partition in strict
-      // (fail) mode answers from the stats sidecar without reading a
-      // single data byte — the JSON analog of counting from parquet
-      // footers. drop/permissive modes still parse (they validate).
-      if (useStats && !dropMalformed && !countMalformed &&
-          part.start == 0 && part.end == part.fileLen) {
-        val p = new Path(part.path)
-        FileStats.load(p.getFileSystem(conf), p) match {
-          case Some(st) => return st.rows
-          case None => ()
-        }
+  private def count(): Long = {
+    // metadata-only count: a sink-written whole-file partition in strict
+    // (fail) mode answers from the stats sidecar without reading a
+    // single data byte — the JSON/CSV analog of counting from parquet
+    // footers. drop/permissive modes still parse (they validate).
+    if (useStats && !dropMalformed && !countMalformed &&
+        part.start == 0 && part.end == part.fileLen) {
+      val p = new Path(part.path)
+      FileStats.load(p.getFileSystem(conf), p) match {
+        case Some(st) => return st.rows
+        case None => ()
       }
+    }
+    parsedCount()
+  }
+
+  private def parsedCount(): Long = jsonMode match {
+    case Some(mode) =>
       jsonFeeder = new JsonRangeFeeder[Long](
         part, conf, () => new JsonParser(plate, mode), dropMalformed)
       while (!jsonFeeder.isExhausted) jsonFeeder.step()

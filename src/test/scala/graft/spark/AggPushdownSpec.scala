@@ -192,6 +192,55 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(causes(e).exists(_.isInstanceOf[ArithmeticException]), e.toString)
   }
 
+  test("decimal sum/min/max battery is pushed and exact (money-column shape)") {
+    val rows = (1 to 60).map { i =>
+      val amt = if (i % 9 == 0) "null" else s"${i * 7}.${10 + i % 80}"
+      s"""{"g": ${i % 3}, "amt": $amt}"""
+    }.mkString("\n") + "\n"
+    val p = write("sumdec.json", rows)
+    val schema = "g LONG, amt DECIMAL(12,2)"
+    def agg(df: DataFrame): DataFrame = df.groupBy("g").agg(
+      sum("amt").as("s"), min("amt").as("mn"), max("amt").as("mx"),
+      avg("amt").as("a"), count("amt").as("c")).orderBy("g")
+    val ours = agg(spark.read.format("graft-json").schema(schema)
+      .option("maxsplitbytes", "512").load(p))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    assert(scanDescr(ours).contains("sum(amt)"), scanDescr(ours))
+    assert(ours.collect().toSeq == agg(spark.read.schema(schema).json(p)).collect().toSeq)
+  }
+
+  test("decimal sum piece-splits at the output precision; totals stay exact") {
+    // two adjacent 38-digit values overflow Decimal(38,0) mid-fold; the
+    // reader flushes a partial piece instead of wrapping, and the final
+    // merge sums pieces that cancel to 0
+    val big = "9" + "0" * 37 // 9e37, 38 digits
+    val rows = Seq(s"""{"v": $big}""", s"""{"v": $big}""",
+      s"""{"v": -$big}""", s"""{"v": -$big}""")
+    val p = write("sumdecoverflow.json", rows.mkString("\n") + "\n")
+    val schema = "v DECIMAL(38,0)"
+    def agg(df: DataFrame): DataFrame = df.agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val ours = agg(spark.read.format("graft-json").schema(schema).load(p))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    val r = ours.collect()(0)
+    assert(r.getDecimal(0).compareTo(java.math.BigDecimal.ZERO) == 0 && r.getLong(1) == 4)
+    assert(ours.collect().toSeq == agg(spark.read.schema(schema).json(p)).collect().toSeq)
+  }
+
+  test("decimal sum overflow in the total raises under ANSI, like vanilla") {
+    val big = "9" + "0" * 37
+    val p = write("sumdecansi.json",
+      (1 to 3).map(_ => s"""{"v": $big}""").mkString("\n") + "\n")
+    val schema = "v DECIMAL(38,0)"
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val ours = spark.read.format("graft-json").schema(schema).load(p).agg(sum("v").as("s"))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    val e = intercept[Exception](ours.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(t => t.isInstanceOf[ArithmeticException] ||
+      t.getMessage != null && t.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE")), e.toString)
+  }
+
   test("grouped battery over a hive partition column is pushed and exact") {
     val root = Files.createTempDirectory("graft-aggpart")
     for (r <- Seq("eu", "us")) {

@@ -36,6 +36,19 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  /** Overwrite a data file with same-length garbage: the length-bound
+    * sidecar stays valid, so metadata-only answers still serve — the
+    * proof that no data bytes were read. (A length-CHANGING rewrite must
+    * instead invalidate the sidecar; see the stale-sidecar test.)
+    */
+  private def poisonSameLength(f: java.nio.file.Path): Unit = {
+    val len = java.nio.file.Files.size(f)
+    require(len >= 1)
+    val junk = ("#" * (len.toInt - 1)) + "\n"
+    Files.write(f, junk.getBytes("UTF-8"))
+    Files.deleteIfExists(f.getParent.resolve("." + f.getFileName + ".crc"))
+  }
+
   private def writeRanged(): String = {
     val s = spark; import s.implicits._
     val out = dir.resolve("ranged").toString
@@ -120,13 +133,12 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1L to 1234L).map(i => (i, s"r$i")).toDF("id", "v")
       .repartition(3).write.format("graft-json").mode("overwrite").save(out)
 
-    // poison one DATA file: a metadata count must not notice (proof that
-    // no data bytes were read); the sidecar keeps the true row count
+    // poison one DATA file (same length — the bound sidecar stays valid):
+    // a metadata count must not notice (proof that no data bytes were
+    // read); the sidecar keeps the true row count
     val victim = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
       .filter(_.endsWith(".jsonl")).head
-    Files.write(java.nio.file.Paths.get(victim), "NOT JSON AT ALL\n".getBytes("UTF-8"))
-    val vp = java.nio.file.Paths.get(victim)
-    Files.deleteIfExists(vp.getParent.resolve("." + vp.getFileName + ".crc"))
+    poisonSameLength(java.nio.file.Paths.get(victim))
 
     val n = spark.read.format("graft-json").load(out)
       .selectExpr("count(*) AS n").collect()(0).getLong(0)
@@ -147,13 +159,11 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val schema = spark.read.format("graft-json").load(out).schema
 
-    // poison every data file: only metadata can produce these answers
+    // poison every data file (same length): only metadata can produce
+    // these answers
     Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
-      .filter(_.endsWith(".jsonl")).foreach { f =>
-        Files.write(java.nio.file.Paths.get(f), "GARBAGE\n".getBytes("UTF-8"))
-        val vp = java.nio.file.Paths.get(f)
-        Files.deleteIfExists(vp.getParent.resolve("." + vp.getFileName + ".crc"))
-      }
+      .filter(_.endsWith(".jsonl"))
+      .foreach(f => poisonSameLength(java.nio.file.Paths.get(f)))
 
     val df = spark.read.format("graft-json").schema(schema).load(out)
       .selectExpr("min(id) AS mn", "max(id) AS mx", "count(id) AS c",
@@ -173,6 +183,116 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a length-changing rewrite invalidates the sidecar (no stale answers)") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("stale").toString
+    (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1).write.format("graft-json").mode("overwrite").save(out)
+
+    // out-of-band append: the data file grows, the sidecar still says 100
+    val f = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).head
+    val fp = java.nio.file.Paths.get(f)
+    Files.write(fp, "{\"id\":101,\"v\":\"extra\"}\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.deleteIfExists(fp.getParent.resolve("." + fp.getFileName + ".crc"))
+
+    // the stale sidecar must be distrusted: count PARSES and sees 101
+    val n = spark.read.format("graft-json").load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(n == 101, s"stale sidecar was trusted: count returned $n")
+  }
+
+  test("graft-csv sink writes sidecars: pruning + metadata-only count") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("csvranged").toString
+    (0L until 4000L).map(i => (i, s"name-$i", i / 10.0))
+      .toDF("id", "name", "score")
+      .repartitionByRange(4, $"id")
+      .write.format("graft-csv").mode("overwrite").save(out)
+    val sidecars = Files.list(dir.resolve("csvranged")).toArray.map(_.toString)
+      .filter(_.endsWith(".stats"))
+    assert(sidecars.length == 4, s"expected 4 CSV sidecars: ${sidecars.mkString(",")}")
+
+    val schema = "id LONG, name STRING, score DOUBLE"
+    GraftScan.lastStatsPruned.set(-1)
+    val n = spark.read.format("graft-csv").schema(schema).load(out)
+      .filter(col("id") < 500).count()
+    assert(n == 500)
+    assert(GraftScan.lastStatsPruned.get == 3,
+      s"expected 3 of 4 CSV files pruned, got ${GraftScan.lastStatsPruned.get}")
+
+    // poison every data file same-length: COUNT(*) must answer from
+    // metadata (no CSV byte is readable any more)
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .foreach(f => poisonSameLength(java.nio.file.Paths.get(f)))
+    val total = spark.read.format("graft-csv").schema(schema).load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(total == 4000, s"CSV metadata count returned $total")
+  }
+
+  test("long string bounds are truncated: prune-safe but never a MIN/MAX answer") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("longstr").toString
+    // two files with distinct 80-char prefixes — every value exceeds the
+    // 64-byte stat bound, so both files carry truncated (inexact) bounds
+    val rows = (0 until 100).map(i => (i.toLong, ("a" * 80) + f"$i%04d")) ++
+      (100 until 200).map(i => (i.toLong, ("b" * 80) + f"$i%04d"))
+    rows.toDF("id", "v").repartitionByRange(2, $"id")
+      .write.format("graft-json").mode("overwrite").save(out)
+
+    // truncated bounds still prune: the a-file's raised max (a…ab) is
+    // below every b-prefixed literal
+    GraftScan.lastStatsPruned.set(-1)
+    val n = spark.read.format("graft-json").load(out)
+      .filter(col("v") === (("b" * 80) + "0150")).count()
+    assert(n == 1)
+    assert(GraftScan.lastStatsPruned.get == 1,
+      s"expected the a-prefix file pruned, got ${GraftScan.lastStatsPruned.get}")
+
+    val schema = spark.read.format("graft-json").load(out).schema
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+      .foreach(f => poisonSameLength(java.nio.file.Paths.get(f)))
+    // rows stat is exact: count still answers from metadata
+    assert(spark.read.format("graft-json").schema(schema).load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0) == 200)
+    // truncated max is NOT the true max: the battery must refuse the
+    // metadata answer and parse — which the poisoned files make fail
+    intercept[Exception] {
+      spark.read.format("graft-json").schema(schema).load(out)
+        .selectExpr("max(v)").collect()
+    }
+  }
+
+  test("decimal columns get sidecar stats: pruning + metadata min/max") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("decimal").toString
+    (1L to 1000L).map(i => (i, BigDecimal(i).setScale(2) * 3))
+      .toDF("id", "amt")
+      .select($"id", $"amt".cast("decimal(12,2)").as("amt"))
+      .repartitionByRange(2, $"id")
+      .write.format("graft-json").mode("overwrite").save(out)
+
+    val schema = "id LONG, amt DECIMAL(12,2)"
+    GraftScan.lastStatsPruned.set(-1)
+    val n = spark.read.format("graft-json").schema(schema).load(out)
+      .filter(col("amt") < new java.math.BigDecimal("150.00")).count()
+    assert(n == 49, s"expected 49 rows, got $n")
+    assert(GraftScan.lastStatsPruned.get == 1,
+      s"expected 1 of 2 files pruned on the decimal range, got ${GraftScan.lastStatsPruned.get}")
+
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+      .foreach(f => poisonSameLength(java.nio.file.Paths.get(f)))
+    val r = spark.read.format("graft-json").schema(schema).load(out)
+      .selectExpr("min(amt) AS mn", "max(amt) AS mx", "count(amt) AS c").collect()(0)
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("3.00")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("3000.00")) == 0)
+    assert(r.getLong(2) == 1000)
+  }
+
   test("sidecar round-trips through render/parse including edge values") {
     import FileStats._
     val st = Stats(7, Map(
@@ -188,5 +308,42 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.get.cols("t\tab").max.toString == "😀")
     assert(back.get.cols("s").min == null)
     assert(parse("junk").isEmpty)
+
+    // v2 additions: data-file length binding, decimal lanes, inexact flags
+    val st2 = Stats(3, Map(
+      "d" -> ColStats('d', 0,
+        new java.math.BigDecimal("-123456789012345678901234.56"),
+        new java.math.BigDecimal("99.99")),
+      "t" -> ColStats('s', 0,
+        org.apache.spark.unsafe.types.UTF8String.fromString("p"),
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(Array[Byte](0x70, -1)),
+        minExact = false, maxExact = false)), dataLen = 4242L)
+    val b2 = parse(render(st2)).get
+    assert(b2.dataLen == 4242L)
+    assert(b2.cols("d").min == new java.math.BigDecimal("-123456789012345678901234.56"))
+    assert(!b2.cols("t").minExact && !b2.cols("t").maxExact)
+    assert(b2.cols("t").max.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes.toSeq == Seq[Byte](0x70, -1))
+  }
+
+  test("truncatePrefix and truncateUpperBound are sound byte-wise bounds") {
+    import FileStats._
+    import org.apache.spark.unsafe.types.UTF8String
+    val long = UTF8String.fromString("x" * 70 + "tail")
+    val p = truncatePrefix(long, 64)
+    assert(p.numBytes <= 64 && p.binaryCompare(long) <= 0)
+    val ub = truncateUpperBound(long, 64).get
+    assert(ub.binaryCompare(long) > 0)
+    // multi-byte codepoint straddling the bound: backs off to a boundary
+    val emoji = UTF8String.fromString("e" * 63 + "😀😀") // 4-byte cp at 63
+    val pe = truncatePrefix(emoji, 64)
+    assert(pe.numBytes == 63 && pe.binaryCompare(emoji) <= 0)
+    assert(truncateUpperBound(emoji, 64).get.binaryCompare(emoji) > 0)
+    // all-0xFF prefix: no successor exists
+    assert(truncateUpperBound(
+      UTF8String.fromBytes(Array.fill[Byte](70)(-1)), 64).isEmpty)
+    // short strings pass through untouched
+    val short = UTF8String.fromString("abc")
+    assert(truncatePrefix(short, 64) eq short)
   }
 }
