@@ -156,6 +156,12 @@ object TrainingData {
       "every target weight must be positive")
     val counts = df.groupBy(col(strataCol)).count().collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    // a target stratum with no rows drives T (= min n_s/w_s) to 0 and the
+    // whole result silently empty — that is always a caller mistake
+    val missing = targetWeights.keys.filter(s => counts.getOrElse(s, 0L) == 0L)
+    require(missing.isEmpty,
+      s"target strata absent from the data (the mixture total would be 0): " +
+        missing.toSeq.sorted.mkString(", "))
     val t = targetWeights.map { case (s, w) => counts.getOrElse(s, 0L) / w }.min
     val h = substring(keyHash(col(keyCol), salt), 1, 8)
     val cond = targetWeights.foldLeft(lit(false)) { case (acc, (s, w)) =>
@@ -198,10 +204,19 @@ object TrainingData {
     * bytes/doc vs KBs of text); at 100 TB make it a bucketed write on
     * `bucket` for a co-partitioned merge join. Returns
     * (id_a, id_b, jaccard_est) with id_a < id_b.
+    *
+    * Cache lifecycle: the persisted signature table lives until the
+    * session evicts it — a long-lived session calling this repeatedly
+    * should either pass `signatureStorage = StorageLevel.NONE` (recompute
+    * instead of cache) or `spark.catalog.clearCache()` between calls;
+    * the cache entry is keyed to this call's plan, so nothing else
+    * releases it.
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      minJaccardEst: Double = 0.25): DataFrame = {
+      minJaccardEst: Double = 0.25,
+      signatureStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
@@ -216,7 +231,9 @@ object TrainingData {
                 b -> xxhash64(${(0 until rowsPerBand)
                   .map(j => s"mh[b*$rowsPerBand+$j]").mkString(", ")}))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val sigs = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs =
+      if (signatureStorage == org.apache.spark.storage.StorageLevel.NONE) banded
+      else banded.persist(signatureStorage)
     val a = sigs.select(col(idCol).as("id_a"), col("mh").as("mh_a"), col("band"), col("bucket"))
     val b = sigs.select(col(idCol).as("id_b"), col("mh").as("mh_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

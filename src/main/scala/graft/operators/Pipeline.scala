@@ -1043,8 +1043,16 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       val docs = T(s, d, "documents")
-      val sources = docs.select($"source").distinct().collect()
+      // driver-side stratum enumeration is bounded: strata are domains
+      // (dozens), and a high-cardinality column here would mean the wrong
+      // column was chosen — fail with a clear message, not an OOM
+      val maxStrata = 10000
+      val sources = docs.select($"source").distinct().limit(maxStrata + 1).collect()
         .map(_.getString(0)).sorted
+      require(sources.length <= maxStrata,
+        s"mixture weighting enumerates strata on the driver; 'source' has more " +
+        s"than $maxStrata distinct values — pick a coarser stratum column or " +
+        "derive weights from an aggregate")
       val w = 1.0 / sources.length
       graft.api.TrainingData.sampleToMixture(
           docs, "source", "doc_id", sources.map(_ -> w).toMap, "graft-mix:")

@@ -175,6 +175,37 @@ class GzipSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 75 && r.getLong(1) == 74L * 75 / 2, r.toString)
   }
 
+  test("admission mode is pinned in the checkpoint: a mode flip fails fast") {
+    val s = spark; import s.implicits._
+    val streamDir = dir.resolve("pinned")
+    Files.createDirectories(streamDir)
+    Files.write(streamDir.resolve("a.jsonl"), rows(20).getBytes("UTF-8"))
+    val ckpt = dir.resolve("pinned-ckpt").toString
+    val sink = dir.resolve("pinned-sink").toString
+    val schema = spark.read.format("graft-json").load(streamDir.toString).schema
+    def start() = spark.readStream.format("graft-json")
+      .schema(schema)
+      .load(streamDir.toString)
+      .writeStream.format("parquet") // memory sink can't recover checkpoints
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    start().awaitTermination() // first run pins byte admission
+    assert(spark.read.parquet(sink).count() == 20)
+
+    // a compressed file lands: a fresh resolution would auto-flip to
+    // whole-file admission, reinterpreting the committed byte offset as a
+    // file index — the pinned mode must fail fast instead
+    gzWrite("pinned/b.jsonl.gz",
+      (20 until 40).map(i => s"""{"id": $i, "v": "val-$i"}""").mkString("", "\n", "\n"))
+    val e = intercept[Exception] { start().awaitTermination() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("admission mode")),
+      s"expected the pinned-admission error, got: $e")
+  }
+
   test("gzip csv reads with header and types") {
     val p = gzWrite("t.csv.gz", "a,b\r\n" + (1 to 50).map(i => s"$i,x$i").mkString("\r\n") + "\r\n")
     val df = spark.read.format("graft-csv").option("linesep", "\r\n").load(p)

@@ -156,6 +156,30 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements(again.collect().map(_.toString).sorted))
   }
 
+  test("sampleToMixture rejects target strata absent from the data") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => (i, "only")).toDF("id", "grp")
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.sampleToMixture(df, "grp", "id",
+        Map("only" -> 0.5, "ghost" -> 0.5), "mx")
+    }
+    assert(e.getMessage.contains("ghost"), e.getMessage)
+  }
+
+  test("minhashLshCandidates with StorageLevel.NONE matches the cached result") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words nothing shared with any other entry here at all")
+    ).toDF("doc_id", "text")
+    val uncached = TrainingData.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccardEst = 0.25,
+        signatureStorage = org.apache.spark.storage.StorageLevel.NONE)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncached.toSeq == Seq((1L, 2L)), s"got ${uncached.toSeq}")
+  }
+
   test("simhash fingerprints are stable and near for near-duplicate docs") {
     val s = spark; import s.implicits._
     val docs = Seq(
