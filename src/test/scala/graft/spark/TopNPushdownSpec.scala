@@ -80,12 +80,36 @@ class TopNPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
         ((c: String) => col(c).desc, "desc"),
         ((c: String) => col(c).asc_nulls_last, "asc_nulls_last"),
         ((c: String) => col(c).desc_nulls_first, "desc_nulls_first"))) {
-      // tiebreak on id so the comparison is deterministic across engines
-      val got = g.orderBy(mk("name"), col("id")).limit(11)
-        .select("name", "id").collect().map(_.toString).toSeq
+      // tiebreak on id so the comparison is deterministic across engines;
+      // the composite (name, id) key must itself engage the push
+      val pushedDf = g.orderBy(mk("name"), col("id")).limit(11)
+      assert(scanDescr(pushedDf).contains("topN=[name "), s"$label:\n${scanDescr(pushedDf)}")
+      val got = pushedDf.select("name", "id").collect().map(_.toString).toSeq
       val want = j.orderBy(mk("name"), col("id")).limit(11)
         .select("name", "id").collect().map(_.toString).toSeq
       assert(got == want, label)
+    }
+  }
+
+  test("multi-column lexicographic keys push, engage the heap, and match across split counts") {
+    import org.apache.spark.sql.functions.col
+    val p = dir.resolve("lex.json")
+    Files.write(p, fixture.getBytes(UTF_8))
+    val j = spark.read.json(p.toString)
+    // w has only 5 distinct values, so the second and third keys carry the
+    // ordering — a single-key heap would return wrong rows here
+    val want = j.orderBy(col("w").desc, col("name").asc_nulls_last, col("id").asc)
+      .limit(13).select("w", "name", "id").collect().map(_.toString).toSeq
+    for (split <- Seq("512", "2048", "1048576")) {
+      val g = spark.read.format("graft-json").option("maxsplitbytes", split).load(p.toString)
+      val df = g.orderBy(col("w").desc, col("name").asc_nulls_last, col("id").asc).limit(13)
+      assert(scanDescr(df).contains(
+        "topN=[w DESC NULLS LAST, name ASC NULLS LAST, id ASC NULLS FIRST LIMIT 13]"),
+        scanDescr(df))
+      GraftTopNReaderFactory.engaged.set(0)
+      val got = df.select("w", "name", "id").collect().map(_.toString).toSeq
+      assert(GraftTopNReaderFactory.engaged.get() >= 1, s"heap never engaged at split=$split")
+      assert(got == want, s"split=$split")
     }
   }
 
