@@ -84,6 +84,78 @@ class StatefulRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
   }
 
+  /** Same sessionizer, but the ENTIRE chain is graft-durable: graft-json
+    * streaming source (byte-window admission, checkpointed registry) →
+    * flatMapGroupsWithState → graft-json streaming SINK (epoch-named
+    * files). The restarted run must recover source offsets, operator
+    * state, and sink epoch numbering from the checkpoint alone.
+    */
+  private def graftSessionQuery(in: Path, out: Path, ckpt: Path) = {
+    val sp = spark
+    import sp.implicits._
+    val sessions: Dataset[(Long, Long, Long, Long)] = spark.readStream
+      .format("graft-json")
+      .schema("uid LONG, ts_ms LONG")
+      .option("maxbytespertrigger", "64") // several micro-batches per run
+      .load(in.toString)
+      .withColumn("ets", timestamp_millis(col("ts_ms")))
+      .withWatermark("ets", "1 minute")
+      .select(col("uid"), col("ts_ms"), col("ets"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionize _)
+    sessions.toDF("uid", "start_ms", "end_ms", "n_events")
+      .writeStream
+      .format("graft-json")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  test("graft source -> stateful -> graft sink resumes from checkpoint with output equality") {
+    val in = Files.createDirectories(root.resolve("gin"))
+    val out = root.resolve("gout")
+    val ckpt = root.resolve("gckpt")
+
+    // phase 1 (two files; the graft source's byte windows split them into
+    // several micro-batches): user1 builds a session; user2's T0 session
+    // closes in-stream when its T0+3600s event opens the next one
+    writeEvents(in, "a.jsonl", Seq((1L, T0), (1L, T0 + 60000), (2L, T0)))
+    writeEvents(in, "b.jsonl", Seq((1L, T0 + 120000), (2L, T0 + 3600000)))
+    graftSessionQuery(in, out, ckpt).awaitTermination()
+
+    // phase 2 after the stop: user2's open session must be EXTENDED by an
+    // event the first run never saw; sentinels time out the rest
+    writeEvents(in, "c.jsonl", Seq((2L, T0 + 3700000)))
+    writeEvents(in, "d.jsonl", Seq((-1L, T0 + 50L * 86400000)))
+    writeEvents(in, "e.jsonl", Seq((-1L, T0 + 100L * 86400000)))
+    graftSessionQuery(in, out, ckpt).awaitTermination()
+
+    // read the sink's own files back through the graft batch reader
+    val got = spark.read.format("graft-json")
+      .schema("uid LONG, start_ms LONG, end_ms LONG, n_events LONG")
+      .load(out.toString)
+      .filter(col("uid") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+    assert(got == Seq(
+      (1L, T0, T0 + 120000, 3L),            // phase-1 events, closed by recovered timeout
+      (2L, T0, T0, 1L),                     // closed in-stream during phase 1
+      (2L, T0 + 3600000, T0 + 3700000, 2L)  // spans the restart: state recovery
+    ), s"got $got")
+    // epochs from BOTH runs landed as distinct part files (exactly-once:
+    // nothing emitted twice, nothing lost)
+    val epochs = Files.list(out).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+      .map(_.replaceAll(".*part-", "").take(5)).distinct
+    assert(epochs.length > 1, s"expected multiple epochs, got ${epochs.mkString(",")}")
+  }
+
   test("flatMapGroupsWithState resumes from checkpoint through the file sink") {
     val in = Files.createDirectories(root.resolve("in"))
     val out = root.resolve("out")
