@@ -11,6 +11,8 @@ final case class DecodedMedia(
 final case class FrameRow(doc_id: Long, source: String, frame: String)
 final case class PooledFrame(
     doc_id: Long, source: String, q00: Long, q01: Long, q10: Long, q11: Long)
+final case class PixelImage(doc_id: Long, source: String, png: Array[Byte])
+final case class PixelSum(doc_id: Long, source: String, n_px: Long, px_sum: Long)
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
@@ -508,7 +510,8 @@ object Pipeline {
   // oracle recomputes those formulas directly, so the gate is exact — a
   // decoder that misread the header bytes would break the hash match.
   // Shape at 100 TB: one decoder pass per partition over header bytes
-  // only; full pixel decode would slot into the same mapPartitions batch.
+  // only; full pixel decode slots into the same mapPartitions batch —
+  // q85 does exactly that with the JDK's real PNG codec.
   private val q40 = GQuery(
     "q40_multimodal_decode",
     "binary media column + partition-batched real PNG/JPEG header decode",
@@ -674,6 +677,84 @@ object Pipeline {
             FROM p
             GROUP BY source
             ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q85
+  // FULL pixel decode — the boundary q40/q56 documented as stubbed is now
+  // closed with a real codec: each document becomes a deterministic
+  // grayscale image (pixel(r,c) = (doc_id*31 + r*7 + c*13) mod 256),
+  // encoded to REAL PNG bytes with the JDK's ImageIO writer executor-side,
+  // then decoded back with ImageIO.read and pixel-summed. PNG is lossless,
+  // so decode∘encode is the identity and the DuckDB oracle reproduces the
+  // pixel formula directly — a decoder that misread any pixel breaks the
+  // hash match. Shape at 100 TB: encode and decode are both map-only
+  // partition batches (one codec per partition, bounded image dims); the
+  // binary column never co-locates with anything else.
+  private val q85 = GQuery(
+    "q85_multimodal_pixel_decode",
+    "real PNG pixel decode (JDK ImageIO): deterministic grayscale encode → decode → pixel sums",
+    (s, d) => {
+      import s.implicits._
+      val imgs = T(s, d, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"source")
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, src) =>
+            val w = (id % 13 + 4).toInt
+            val h = (id % 11 + 4).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var r = 0
+            while (r < h) {
+              var c = 0
+              while (c < w) {
+                raster.setSample(c, r, 0, ((id * 31 + r * 7 + c * 13) % 256).toInt)
+                c += 1
+              }
+              r += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            PixelImage(id, src, bos.toByteArray)
+          }
+        }
+      val decoded = imgs.mapPartitions { rows =>
+        rows.map { m =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+          require(img != null, s"undecodable png for doc ${m.doc_id}")
+          val raster = img.getRaster
+          var sum = 0L
+          var r = 0
+          while (r < img.getHeight) {
+            var c = 0
+            while (c < img.getWidth) { sum += raster.getSample(c, r, 0); c += 1 }
+            r += 1
+          }
+          PixelSum(m.doc_id, m.source, img.getWidth.toLong * img.getHeight, sum)
+        }
+      }
+      decoded.toDF()
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_imgs"),
+          sum($"n_px").as("n_pixels"),
+          sum($"px_sum").as("pixel_sum"))
+        .orderBy($"source")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, source,
+                     doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+              FROM documents),
+            px AS (
+              SELECT d.source, d.w * d.h AS n_px,
+                     (SELECT sum((d.doc_id*31 + r.g*7 + c.g*13) % 256)
+                      FROM unnest(generate_series(0, d.h - 1)) AS r(g),
+                           unnest(generate_series(0, d.w - 1)) AS c(g)) AS s
+              FROM dims d)
+            SELECT source, count(*) AS n_imgs,
+                   CAST(sum(n_px) AS BIGINT) AS n_pixels,
+                   CAST(sum(s) AS BIGINT) AS pixel_sum
+            FROM px GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------- q60
   // True Generator UDTF (SURVEY §2.11 UDF/UDAF/UDTF row): word_shingles
@@ -1076,5 +1157,5 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82)
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85)
 }
