@@ -53,7 +53,7 @@ object Bench {
       q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.sum / ts.size)
     }
 
-    val (skip, csvMbps) = SkipBench.runIsolatedRounds(5)
+    val (skip, csvMbps) = SkipBench.runIsolatedRounds(7)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)

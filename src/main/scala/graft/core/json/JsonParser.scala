@@ -322,54 +322,187 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     * A wanted key is delivered from the same scan (no re-scan). Returns
     * false — state untouched — for escapes / UTF-8 / incomplete keys,
     * which take the ordinary parseKey path.
+    *
+    * CHAINED cruise: after consuming an unwanted scalar or plain-string
+    * value inline, a following `, "key"` run is consumed in the same call
+    * — consecutive skipped fields never round-trip through the phase
+    * machine. Once any field has been consumed (`committed`), a key the
+    * fast scan cannot handle exits at that key's opening quote with
+    * `phase = PhKey` so the ordinary path re-dispatches it.
     */
   private[this] def tryCruiseKey(): Boolean = {
     val buf = data
     val limit = len
-    val start = curr + 1
-    var i = start
-    var end = -1
-    var scanning = true
-    while (scanning && i + 8 <= limit) {
-      val w = JsonParser.readLongLE(buf, i)
-      val special =
-        JsonParser.swarZeros(w ^ JsonParser.BcQuote) |
-        JsonParser.swarZeros(w ^ JsonParser.BcBackslash) |
-        ((w - JsonParser.BcCtrl) & ~w & JsonParser.BcHigh) | // ascii byte < 0x20
-        (w & JsonParser.BcHigh)                              // byte >= 0x80
-      if (special == 0L) i += 8
-      else {
-        val j = i + (java.lang.Long.numberOfTrailingZeros(special) >>> 3)
-        if (buf(j) != '"') return false // escape/ctrl/UTF-8: full decode path
-        end = j
-        scanning = false
+    var keyQuote = curr   // opening '"' of the key under scan
+    var committed = false // fields already consumed: may no longer return false
+    while (true) {
+      val start = keyQuote + 1
+      var i = start
+      var end = -1
+      var scanning = true
+      var hardKey = false // escape / ctrl / UTF-8 / incomplete in buffer
+      while (scanning && i + 8 <= limit) {
+        val w = JsonParser.readLongLE(buf, i)
+        val special =
+          JsonParser.swarZeros(w ^ JsonParser.BcQuote) |
+          JsonParser.swarZeros(w ^ JsonParser.BcBackslash) |
+          ((w - JsonParser.BcCtrl) & ~w & JsonParser.BcHigh) | // ascii byte < 0x20
+          (w & JsonParser.BcHigh)                              // byte >= 0x80
+        if (special == 0L) i += 8
+        else {
+          val j = i + (java.lang.Long.numberOfTrailingZeros(special) >>> 3)
+          if (buf(j) != '"') hardKey = true // full decode path
+          else end = j
+          scanning = false
+        }
+      }
+      if (scanning && !hardKey) { // tail: fewer than 8 bytes left in buffer
+        while (end < 0 && !hardKey && i < limit) {
+          val b = buf(i)
+          if (b == '"') end = i
+          else if (b == '\\' || b < 0x20) hardKey = true
+          else i += 1
+        }
+        if (end < 0) hardKey = true // key incomplete: parseKey suspends properly
+      }
+      if (hardKey) {
+        if (!committed) return false
+        curr = keyQuote; phase = PhKey // re-dispatch this key ordinarily
+        return true
+      }
+      if (!cruiseProbe.cruisableKey(buf, start, end - start)) {
+        // wanted: deliver the already-scanned key through the normal protocol
+        keyView.set(buf, start, end - start)
+        curr = end + 1
+        val s = plate.nestMap(keyView)
+        phase = PhColon
+        if (s eq Signal.SkipColumn) skipMode = SkipColumnPending
+        else handleRowSignals(s)
+        return true
+      }
+      // not wanted: consume the key, then skip ": value" silently.
+      // Fast lane first: a scalar or plain-string value that completes in
+      // buffer is consumed INLINE — no PhColon/runSkip round trip, no
+      // phase-machine dispatch per skipped field (the dominant cost for
+      // short values). Containers, escapes, and buffer-starved values fall
+      // back to the suspendable pending path below; nothing beyond already-
+      // chained fields is committed until a lane is chosen.
+      var j = end + 1
+      while (j < limit && {
+        val b = buf(j); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) j += 1
+      if (j < limit && buf(j) == ':') {
+        j += 1
+        val afterColon = j
+        while (j < limit && {
+          val b = buf(j); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) j += 1
+        if (j < limit) {
+          val vb = buf(j)
+          var valueEnd = -1 // position AFTER the value when inline-consumed
+          if (vb == '"') {
+            // bare string value: SWAR to the closing quote (same exits as
+            // runSkip's bare-string scan — backslash bails, no validation)
+            var k = j + 1
+            var vend = -1
+            var bail = false
+            var scanning2 = true
+            while (scanning2 && k + 8 <= limit) {
+              val w = JsonParser.readLongLE(buf, k)
+              val special =
+                JsonParser.swarZeros(w ^ JsonParser.BcQuote) |
+                JsonParser.swarZeros(w ^ JsonParser.BcBackslash)
+              if (special == 0L) k += 8
+              else {
+                val m = k + (java.lang.Long.numberOfTrailingZeros(special) >>> 3)
+                if (buf(m) == '"') vend = m else bail = true
+                scanning2 = false
+              }
+            }
+            if (scanning2 && !bail) {
+              while (vend < 0 && !bail && k < limit) {
+                val b = buf(k)
+                if (b == '"') vend = k
+                else if (b == '\\') bail = true
+                else k += 1
+              }
+            }
+            if (vend >= 0) {
+              plate.skipped(vend + 1 - afterColon) // parity with runSkip's accounting
+              valueEnd = vend + 1
+            }
+          } else if (vb == '{' || vb == '[') {
+            // container value: consume the opening bracket and enter the
+            // skip scanner DIRECTLY in container state — saves the PhColon
+            // dispatch round trip and the SkAwait step
+            curr = j + 1
+            phase = PhColon // finishColumnSkip (cruise) sets PhAfter
+            skipMode = SkipColumnMode
+            skipPhase = SkContainer
+            skipRel = 1
+            skipEscape = false
+            cruiseSkipping = true
+            plate.skipped(j + 1 - afterColon)
+            return true
+          } else {
+            // scalar value: scan to its delimiter (must complete in buffer)
+            var k = j
+            var stop = -1
+            while (stop < 0 && k < limit) {
+              val b = buf(k)
+              if (b == ',' || b == '}' || b == ']' ||
+                  b == ' ' || b == '\n' || b == '\t' || b == '\r') stop = k
+              else k += 1
+            }
+            if (stop >= 0) {
+              plate.skipped(stop - afterColon)
+              valueEnd = stop
+            }
+          }
+          if (valueEnd >= 0) {
+            // chain: if `, "` follows in buffer, scan the next key in this
+            // same call; otherwise exit with the delimiter unconsumed
+            var p = valueEnd
+            while (p < limit && {
+              val b = buf(p); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) p += 1
+            if (p < limit && buf(p) == ',') {
+              var q2 = p + 1
+              while (q2 < limit && {
+                val b = buf(q2); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) q2 += 1
+              if (q2 < limit && buf(q2) == '"') {
+                keyQuote = q2
+                committed = true
+              } else {
+                // comma consumed; the key (or a proper error) follows later
+                curr = p + 1; phase = PhKey
+                return true
+              }
+            } else {
+              curr = valueEnd; phase = PhAfter
+              return true
+            }
+          } else {
+            // value did not inline-consume: suspendable pending path
+            curr = end + 1
+            phase = PhColon
+            skipMode = SkipColumnPending
+            cruiseSkipping = true
+            return true
+          }
+        } else {
+          curr = end + 1
+          phase = PhColon
+          skipMode = SkipColumnPending
+          cruiseSkipping = true
+          return true
+        }
+      } else {
+        curr = end + 1
+        phase = PhColon
+        skipMode = SkipColumnPending
+        cruiseSkipping = true
+        return true
       }
     }
-    if (scanning) { // tail: fewer than 8 bytes left in buffer
-      while (end < 0 && i < limit) {
-        val b = buf(i)
-        if (b == '"') end = i
-        else if (b == '\\' || b < 0x20) return false
-        else i += 1
-      }
-      if (end < 0) return false // key incomplete: parseKey suspends properly
-    }
-    if (cruiseProbe.cruisableKey(buf, start, end - start)) {
-      // not wanted: consume the key, then skip ": value" silently
-      curr = end + 1
-      phase = PhColon
-      skipMode = SkipColumnPending
-      cruiseSkipping = true
-    } else {
-      // wanted: deliver the already-scanned key through the normal protocol
-      keyView.set(buf, start, end - start)
-      curr = end + 1
-      val s = plate.nestMap(keyView)
-      phase = PhColon
-      if (s eq Signal.SkipColumn) skipMode = SkipColumnPending
-      else handleRowSignals(s)
-    }
-    true
+    false // unreachable
   }
 
   /** Key fast path: a quote-terminated run of plain ASCII bytes becomes a
@@ -814,6 +947,30 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       // cruise skip: the plate never saw this key — no unnest to emit
       cruiseSkipping = false
       phase = PhAfter
+      // chained cruise through the container exit: when `, "` follows in
+      // buffer, hand the next key straight back to the cruise — a row of
+      // skipped fields then never round-trips through the phase machine
+      if (depth == 1) {
+        val buf = data
+        val limit = len
+        var p = curr
+        while (p < limit && {
+          val b = buf(p); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) p += 1
+        if (p < limit && buf(p) == ',') {
+          var q = p + 1
+          while (q < limit && {
+            val b = buf(q); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) q += 1
+          if (q < limit && buf(q) == '"') {
+            curr = q
+            phase = PhKey
+            tryCruiseKey() // false = hard key: PhKey re-dispatches to parseKey
+            ()
+          } else {
+            curr = p + 1 // comma consumed; key (or a proper error) follows
+            phase = PhKey
+          }
+        }
+      }
       return
     }
     // the skipped value still closes its nest: emit unnest, honor its signal
