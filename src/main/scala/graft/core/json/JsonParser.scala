@@ -860,13 +860,22 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                         }
                       }
                     } else {
+                      val wf = w | JsonParser.BcFold
+                      val anyClose = JsonParser.swarZeros(wf ^ JsonParser.BcClose)
+                      val anyOpen = JsonParser.swarZeros(wf ^ JsonParser.BcOpen)
+                      if ((anyClose | anyOpen) == 0L) {
+                        // quote-bearing but bracket-free word (the dominant
+                        // shape in string-heavy rows): only the in-string
+                        // parity advances — no masks, no popcounts
+                        inStr ^= (java.lang.Long.bitCount(q) & 1) == 1
+                        i += 8
+                      } else {
                       var p = q
                       p ^= p << 8; p ^= p << 16; p ^= p << 32 // inclusive prefix parity
                       val outside = ~((p << 8) ^ (if (inStr) JsonParser.BcHigh else 0L))
-                      val wf = w | JsonParser.BcFold
-                      val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose) & outside
+                      val close = anyClose & outside
                       val nc = java.lang.Long.bitCount(close)
-                      val open = JsonParser.swarZeros(wf ^ JsonParser.BcOpen) & outside
+                      val open = anyOpen & outside
                       if (nc > 0 && rel - nc <= target) {
                         // exact in-word replay (quote-bearing flavor)
                         var events = close | open
@@ -894,6 +903,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
                         rel += java.lang.Long.bitCount(open) - nc
                         inStr ^= p < 0 // bit 63 of p = parity of all 8 lanes
                         i += 8
+                      }
                       }
                     }
                   }
