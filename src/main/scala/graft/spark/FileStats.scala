@@ -60,6 +60,17 @@ object FileStats {
   def sidecarFor(dataFile: Path): Path =
     new Path(dataFile.getParent, "." + dataFile.getName + ".stats")
 
+  /** Per-directory compacted stats: one hidden manifest holding every
+    * part's (rows, len, cols) block, written by the batch sinks' driver-
+    * side commit from the tasks' commit messages — planning then reads ONE
+    * small file per directory instead of one sidecar per candidate file
+    * (the Delta-checkpoint trajectory the per-file design points at).
+    * Entries are validated against the LISTING's file length (already in
+    * hand at planning), so a stale manifest degrades to the per-file
+    * sidecar fallback, never to wrong results.
+    */
+  def manifestFor(dir: Path): Path = new Path(dir, ".graft-manifest")
+
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def b64Bytes(b: Array[Byte]): String =
@@ -96,8 +107,7 @@ object FileStats {
       case 'd' => new java.math.BigDecimal(s)
     }
 
-  def render(stats: Stats): String = {
-    val sb = new StringBuilder("graft-stats v1\n")
+  private def renderBody(sb: StringBuilder, stats: Stats): Unit = {
     sb.append("rows\t").append(stats.rows).append('\n')
     if (stats.dataLen >= 0) sb.append("len\t").append(stats.dataLen).append('\n')
     stats.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
@@ -107,8 +117,86 @@ object FileStats {
         .append('\t').append(encodeValue(c.kind, c.max, c.maxExact))
         .append('\n')
     }
+  }
+
+  def render(stats: Stats): String = {
+    val sb = new StringBuilder("graft-stats v1\n")
+    renderBody(sb, stats)
     sb.toString
   }
+
+  /** Render a manifest from per-file rendered sidecar contents (as
+    * produced by [[render]]) — the commit messages carry the rendered
+    * text, so no reparse happens on the driver.
+    */
+  def renderManifest(entries: Seq[(String, String)]): String = {
+    val sb = new StringBuilder("graft-manifest v1\n")
+    entries.sortBy(_._1).foreach { case (name, rendered) =>
+      sb.append("entry\t").append(b64(name)).append('\n')
+      // strip the per-file version line; keep the body lines verbatim
+      val nl = rendered.indexOf('\n')
+      if (nl >= 0) sb.append(rendered.substring(nl + 1))
+    }
+    sb.toString
+  }
+
+  /** Parse a manifest into basename → Stats; None on malformed content. */
+  def parseManifest(text: String): Option[Map[String, Stats]] = {
+    val lines = text.split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty || lines(0) != "graft-manifest v1") return None
+    try {
+      val out = Map.newBuilder[String, Stats]
+      var name: String = null
+      var rows = -1L
+      var dlen = -1L
+      var cols = Map.newBuilder[String, ColStats]
+      def flush(): Unit = if (name != null && rows >= 0) {
+        out += name -> Stats(rows, cols.result(), dlen)
+      }
+      lines.drop(1).foreach { line =>
+        val p = line.split('\t')
+        p(0) match {
+          case "entry" =>
+            flush()
+            name = unb64(p(1)); rows = -1L; dlen = -1L
+            cols = Map.newBuilder[String, ColStats]
+          case "rows" => rows = p(1).toLong
+          case "len" => dlen = p(1).toLong
+          case "col" =>
+            val kind = p(2).charAt(0)
+            cols += unb64(p(1)) -> ColStats(
+              kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
+              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"))
+          case _ => ()
+        }
+      }
+      flush()
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** Load and parse a directory's manifest; None when absent/unreadable. */
+  def loadManifest(fs: FileSystem, dir: Path): Option[Map[String, Stats]] = {
+    val p = manifestFor(dir)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      try parseManifest(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Stats for a data file whose on-disk length is already known (from a
+    * listing or an input partition): per-file sidecar first, then the
+    * directory manifest — manifest entries must carry a matching length
+    * to be trusted (the listing length costs no extra RPC).
+    */
+  def loadFor(fs: FileSystem, dataFile: Path, expectedLen: Long): Option[Stats] =
+    load(fs, dataFile).orElse(
+      loadManifest(fs, dataFile.getParent)
+        .flatMap(_.get(dataFile.getName))
+        .filter(st => st.dataLen >= 0 && st.dataLen == expectedLen))
 
   /** Parse a sidecar; None on any malformed content (no pruning). */
   def parse(text: String): Option[Stats] = {
@@ -267,12 +355,4 @@ private[spark] final class FileStatsCollector(schema: StructType) {
       }
       name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact)
     }.toMap, dataLen)
-
-  def writeSidecar(fs: FileSystem, path: Path, dataLen: Long = -1L): Unit = {
-    try {
-      val out = fs.create(path, true)
-      try out.write(render(snapshot(dataLen)).getBytes("UTF-8"))
-      finally out.close()
-    } catch { case _: Exception => () } // stats are best-effort
-  }
 }

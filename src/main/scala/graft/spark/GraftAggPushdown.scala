@@ -187,7 +187,7 @@ final class GraftAggReaderFactory(
           if metadataOk && conf != null && p.start == 0 && p.end == p.fileLen &&
             GraftAggMeta.eligible(spec) =>
         val path = new org.apache.hadoop.fs.Path(p.path)
-        FileStats.load(path.getFileSystem(conf.value), path)
+        FileStats.loadFor(path.getFileSystem(conf.value), path, p.fileLen)
           .flatMap(st => GraftAggMeta.answer(spec, st)) match {
           case Some(row) => return new GraftAggMeta.Reader(row)
           case None => ()

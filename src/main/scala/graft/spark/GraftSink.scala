@@ -89,11 +89,39 @@ final class GraftBatchWrite(
     new GraftJsonWriterFactory(path, schema, conf, codec)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftManifest.write(path, conf.value, messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private final case class GraftCommit(file: String) extends WriterCommitMessage
+/** `stats` is the rendered sidecar content (null when unavailable): the
+  * driver-side batch commit compacts all tasks' stats into one hidden
+  * per-directory manifest so planning reads one file, not one per part.
+  */
+private final case class GraftCommit(file: String, stats: String = null)
+    extends WriterCommitMessage
+
+private object GraftManifest {
+  /** Write the compacted manifest from task commit messages (atomic
+    * tmp+rename; best-effort — absence only disables the one-read path).
+    */
+  def write(path: String, conf: org.apache.hadoop.conf.Configuration,
+      messages: Array[WriterCommitMessage]): Unit = try {
+    val entries = messages.collect {
+      case GraftCommit(f, s) if s != null => new Path(f).getName -> s
+    }.toSeq
+    if (entries.isEmpty) return
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val target = FileStats.manifestFor(dir)
+    val tmp = new Path(dir, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(FileStats.renderManifest(entries).getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(target, false)
+    fs.rename(tmp, target)
+  } catch { case _: Exception => () }
+}
 
 final class GraftJsonWriterFactory(
     path: String,
@@ -157,9 +185,13 @@ final class GraftJsonDataWriter(
     // after the data publish — absence merely disables pruning. The
     // recorded byte length binds the sidecar to THIS data file; a later
     // out-of-band rewrite invalidates it (FileStats.load checks).
-    stats.writeSidecar(fs, FileStats.sidecarFor(finalFile),
-      fs.getFileStatus(finalFile).getLen)
-    GraftCommit(finalFile.toString)
+    val rendered = FileStats.render(
+      stats.snapshot(fs.getFileStatus(finalFile).getLen))
+    try {
+      val sout = fs.create(FileStats.sidecarFor(finalFile), true)
+      try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
+    } catch { case _: Exception => () } // stats are best-effort
+    GraftCommit(finalFile.toString, rendered)
   }
 
   override def abort(): Unit = {
@@ -293,7 +325,8 @@ final class GraftCsvWriteBuilder(
         fs.mkdirs(dir)
         new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep)
       }
-      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        GraftManifest.write(path, conf.value, messages)
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
@@ -408,9 +441,13 @@ final class GraftCsvDataWriter(
     fs.delete(FileStats.sidecarFor(finalFile), false)
     fs.delete(finalFile, false)
     fs.rename(stageFile, finalFile)
-    stats.writeSidecar(fs, FileStats.sidecarFor(finalFile),
-      fs.getFileStatus(finalFile).getLen)
-    GraftCommit(finalFile.toString)
+    val rendered = FileStats.render(
+      stats.snapshot(fs.getFileStatus(finalFile).getLen))
+    try {
+      val sout = fs.create(FileStats.sidecarFor(finalFile), true)
+      try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
+    } catch { case _: Exception => () }
+    GraftCommit(finalFile.toString, rendered)
   }
 
   override def abort(): Unit = {

@@ -736,10 +736,23 @@ final class GraftScan(
     */
   private val statsCache =
     scala.collection.mutable.HashMap.empty[String, Option[FileStats.Stats]]
-  private def sidecarStats(path: String): Option[FileStats.Stats] =
+  // one manifest read per DIRECTORY (not per file): the compacted stats
+  // written by the batch sinks' driver-side commit
+  private val manifestCache =
+    scala.collection.mutable.HashMap.empty[String, Option[Map[String, FileStats.Stats]]]
+  private def manifestStats(parent: Path): Option[Map[String, FileStats.Stats]] =
+    manifestCache.getOrElseUpdate(parent.toString,
+      FileStats.loadManifest(
+        parent.getFileSystem(GraftSources.activeHadoopConf()), parent))
+  private def sidecarStats(path: String, listedLen: Long): Option[FileStats.Stats] =
     statsCache.getOrElseUpdate(path, {
       val p = new Path(path)
-      FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p)
+      // manifest first (amortized one read per dir, validated against the
+      // LISTING length — no per-file RPC); per-file sidecar as fallback
+      manifestStats(p.getParent)
+        .flatMap(_.get(p.getName))
+        .filter(st => st.dataLen >= 0 && st.dataLen == listedLen)
+        .orElse(FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p))
     })
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
@@ -748,7 +761,7 @@ final class GraftScan(
       f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     if (dataFilters.isEmpty) return files
     val kept = files.filterNot { f =>
-      sidecarStats(f.path).exists { st =>
+      sidecarStats(f.path, f.len).exists { st =>
         dataFilters.exists { flt =>
           st.cols.get(flt.references.head).exists(c =>
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows))
@@ -786,7 +799,7 @@ final class GraftScan(
       if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv))
       else if (!splittable || offset >= 0 || len <= maxSplit ||
-          (metaAggCandidate && sidecarStats(p).isDefined))
+          (metaAggCandidate && sidecarStats(p, len).isDefined))
         Seq(GraftInputPartition(p, 0, len, len, pv))
       else
         (0L until len by maxSplit).map { start =>
@@ -1096,7 +1109,7 @@ final class GraftCountPartitionReader(
     if (useStats && !dropMalformed && !countMalformed &&
         part.start == 0 && part.end == part.fileLen) {
       val p = new Path(part.path)
-      FileStats.load(p.getFileSystem(conf), p) match {
+      FileStats.loadFor(p.getFileSystem(conf), p, part.fileLen) match {
         case Some(st) => return st.rows
         case None => ()
       }

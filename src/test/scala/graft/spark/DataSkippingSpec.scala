@@ -293,6 +293,56 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(2) == 1000)
   }
 
+  test("manifest compaction: pruning and metadata answers survive sidecar loss") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("manifest").toString
+    (0L until 4000L).map(i => (i, s"name-$i", i / 10.0))
+      .toDF("id", "name", "score")
+      .repartitionByRange(4, $"id")
+      .write.format("graft-json").mode("overwrite").save(out)
+    assert(Files.exists(java.nio.file.Paths.get(out, ".graft-manifest")),
+      "batch commit should have written the compacted manifest")
+
+    // delete EVERY per-file sidecar: the one-read manifest must carry the
+    // planning-time pruning and the metadata-only answers alone
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".stats")).foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+
+    GraftScan.lastStatsPruned.set(-1)
+    val n = spark.read.format("graft-json").load(out).filter(col("id") < 500).count()
+    assert(n == 500)
+    assert(GraftScan.lastStatsPruned.get == 3,
+      s"manifest should prune 3 of 4 files, got ${GraftScan.lastStatsPruned.get}")
+
+    // metadata-only count from the manifest (poison proves no data read)
+    val schema = spark.read.format("graft-json").load(out).schema
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+      .foreach(f => poisonSameLength(java.nio.file.Paths.get(f)))
+    val total = spark.read.format("graft-json").schema(schema).load(out)
+      .selectExpr("count(*) AS n", "min(id) AS mn", "max(id) AS mx").collect()(0)
+    assert((total.getLong(0), total.getLong(1), total.getLong(2)) == ((4000L, 0L, 3999L)))
+  }
+
+  test("stale manifest entries (length mismatch) degrade to parsing, not wrong answers") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("manifeststale").toString
+    (1L to 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1).write.format("graft-json").mode("overwrite").save(out)
+    // remove sidecars so only the manifest could answer, then grow the file
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".stats")).foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+    val f = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).head
+    val fp = java.nio.file.Paths.get(f)
+    Files.write(fp, "{\"id\":101,\"v\":\"extra\"}\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    Files.deleteIfExists(fp.getParent.resolve("." + fp.getFileName + ".crc"))
+    val n = spark.read.format("graft-json").load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(n == 101, s"stale manifest entry was trusted: count returned $n")
+  }
+
   test("sidecar round-trips through render/parse including edge values") {
     import FileStats._
     val st = Stats(7, Map(
