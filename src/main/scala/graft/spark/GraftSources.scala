@@ -1018,6 +1018,9 @@ final class GraftTopNReaderFactory(
               case ByteType    => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
               case BooleanType => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
               case StringType  => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+              case d: DecimalType =>
+                a.getDecimal(i, d.precision, d.scale)
+                  .compareTo(b.getDecimal(i, d.precision, d.scale))
               case _           => 0
             }
             if (asc) v else -v
@@ -1064,6 +1067,7 @@ object GraftTopNReaderFactory {
   def comparable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | ShortType | ByteType |
          BooleanType | StringType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
     case _ => false
   }
 

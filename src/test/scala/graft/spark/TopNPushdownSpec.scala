@@ -113,6 +113,29 @@ class TopNPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decimal sort keys push and match (money-column ORDER BY ... LIMIT)") {
+    import org.apache.spark.sql.functions.col
+    val p = dir.resolve("dec.json")
+    val rows = (1 to 150).map { i =>
+      val amt = s"${(i * 37) % 97}.${10 + (i * 13) % 89}"
+      s"""{"id": $i, "amt": ${if (i % 11 == 0) "null" else amt}}"""
+    }.mkString("\n") + "\n"
+    Files.write(p, rows.getBytes(UTF_8))
+    val schema = "id LONG, amt DECIMAL(10,2)"
+    val g = spark.read.format("graft-json").schema(schema)
+      .option("maxsplitbytes", "1024").load(p.toString)
+    val j = spark.read.schema(schema).json(p.toString)
+    val df = g.orderBy(col("amt").desc_nulls_last, col("id")).limit(9)
+    assert(scanDescr(df).contains("topN=[amt DESC NULLS LAST, id ASC NULLS FIRST LIMIT 9]"),
+      scanDescr(df))
+    GraftTopNReaderFactory.engaged.set(0)
+    val got = df.select("amt", "id").collect().map(_.toString).toSeq
+    assert(GraftTopNReaderFactory.engaged.get() >= 1, "heap never engaged")
+    val want = j.orderBy(col("amt").desc_nulls_last, col("id")).limit(9)
+      .select("amt", "id").collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
   test("unsupported sort keys refuse the push (plan stays correct)") {
     val p = dir.resolve("expr.json")
     Files.write(p, fixture.getBytes(UTF_8))
