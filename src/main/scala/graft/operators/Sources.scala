@@ -673,5 +673,38 @@ object Sources {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84)
+  // ---------------------------------------------------------------- q86
+  // Partitioned WRITE: `partitionBy` on the graft-json sink produces the
+  // hive-style `col=value/` layout (values escaped, partition columns
+  // stripped from the data lines, per-leaf sidecars + manifest) that the
+  // graft scan lists, partition-prunes, and reads back — the full
+  // corpus-layout round trip with no metastore. The read filters one
+  // partition (planning touches one directory) and aggregates; oracle
+  // recomputes from the source table.
+  private val q86 = GQuery(
+    "q86_partitioned_sink_roundtrip",
+    "partitionBy sink write (hive layout) + partition-pruned read-back",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q86_orders_partitioned"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .write.format("graft-json").partitionBy("o_orderpriority")
+        .mode("overwrite").save(out)
+      s.read.format("graft-json")
+        .schema("o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING")
+        .load(out)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86)
 }

@@ -304,21 +304,30 @@ private[spark] final class FileStatsCollector(schema: StructType) {
       .compareTo(b.asInstanceOf[java.math.BigDecimal])
   }
 
-  def observe(row: InternalRow): Unit = {
+  def observe(row: InternalRow): Unit = observeProjected(row, null)
+
+  /** Observe a row whose layout is WIDER than this collector's schema:
+    * `proj(i)` maps the collector's field index `i` to the row's column
+    * index (null = identity) — the partitioned writers' shape, where
+    * partition columns are stripped from the written data but the source
+    * row still carries them.
+    */
+  def observeProjected(row: InternalRow, proj: Array[Int]): Unit = {
     rows += 1
     var t = 0
     while (t < tracked.length) {
-      val (i, _, kind) = tracked(t)
+      val (si, _, kind) = tracked(t)
+      val i = if (proj == null) si else proj(si)
       if (row.isNullAt(i)) nulls(t) += 1
       else {
         val v: Any = kind match {
-          case 'i' => schema.fields(i).dataType match {
+          case 'i' => schema.fields(si).dataType match {
             case LongType => row.getLong(i)
             case IntegerType => row.getInt(i).toLong
             case ShortType => row.getShort(i).toLong
             case ByteType => row.getByte(i).toLong
           }
-          case 'f' => schema.fields(i).dataType match {
+          case 'f' => schema.fields(si).dataType match {
             case DoubleType => row.getDouble(i)
             case FloatType => row.getFloat(i).toDouble
           }
@@ -326,7 +335,7 @@ private[spark] final class FileStatsCollector(schema: StructType) {
           case 's' => row.getUTF8String(i).clone()
           case 'b' => row.getBoolean(i)
           case 'd' =>
-            val dt = schema.fields(i).dataType.asInstanceOf[DecimalType]
+            val dt = schema.fields(si).dataType.asInstanceOf[DecimalType]
             row.getDecimal(i, dt.precision, dt.scale).toJavaBigDecimal // immutable copy
         }
         if (mins(t) == null || cmp(kind, v, mins(t)) < 0) mins(t) = v

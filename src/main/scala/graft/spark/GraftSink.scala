@@ -2,17 +2,85 @@ package graft.spark
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
+
+/** Shared sink helpers: hive-style partition path handling for the
+  * `partitionBy(...)` write path (the layout [[GraftSources.resolvePartitioned]]
+  * already lists, prunes, and reads back).
+  */
+object GraftSink {
+
+  /** Identity `partitionBy` columns from the table's transforms; anything
+    * fancier (bucket/years/months/...) is refused with a clear message.
+    */
+  def identityPartCols(
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
+    transforms.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case t => throw new IllegalArgumentException(
+        s"graft sinks support only identity partitionBy columns, got: $t")
+    }
+
+  /** Hive-style %xx escaping for partition VALUES in directory names —
+    * the inverse of the reader's unescapePathValue. Conservative set:
+    * everything path- or shell-hostile escapes; plain alphanumerics and
+    * common punctuation pass through.
+    */
+  def escapePathValue(s: String): String = {
+    def bad(c: Char): Boolean =
+      c < 0x20 || c == 0x7F || "\"%'*/:=?\\{}[]^#".indexOf(c) >= 0
+    if (!s.exists(bad)) return s
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach { c =>
+      if (bad(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Directory-name rendering of one partition value. */
+  def partitionDirValue(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+    else {
+      val raw = dt match {
+        case StringType => row.getUTF8String(i).toString
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case ShortType => row.getShort(i).toString
+        case ByteType => row.getByte(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case FloatType => row.getFloat(i).toString
+        case d: DecimalType =>
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+        case other => row.get(i, other).toString
+      }
+      val esc = escapePathValue(raw)
+      if (esc.isEmpty) "__HIVE_DEFAULT_PARTITION__" else esc
+    }
+
+  /** Per-task cap on simultaneously open partition files — the standard
+    * dynamic-partitioning guard: above it the caller should cluster by
+    * the partition columns (`df.repartition(col(...))`) first.
+    */
+  val MaxOpenPartitions = 1000
+}
 
 /** DSv2 write path for `format("graft-json")`: each task streams its rows
   * as JSON lines to a uniquely-named staging file and RENAMES it into
   * place on task commit — rename is the atomic primitive, so speculative
   * or retried tasks never double-publish (the loser's stage file is
   * deleted on abort). `mode("overwrite")` maps to SupportsTruncate: the
-  * driver clears prior part files before launching tasks.
+  * driver clears prior output before launching tasks. `partitionBy(cols)`
+  * routes rows to hive-style `col=value/` subdirectories (values %xx-
+  * escaped, nulls as __HIVE_DEFAULT_PARTITION__), with partition columns
+  * stripped from the written data — exactly the layout the graft scan
+  * lists, partition-prunes, and reads back.
   *
   * The reference has no sink (the Plate IS its sink, SURVEY §2.11 row
   * "Sinks"); this is the Spark-native counterpart so a graft pipeline can
@@ -22,16 +90,21 @@ final class GraftWriteBuilder(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    codec: String = "none")
+    codec: String = "none",
+    partCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, conf, doTruncate, codec)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (partCols.nonEmpty) throw new UnsupportedOperationException(
+        "graft-json streaming writes do not support partitionBy yet")
       new GraftStreamingWrite(path, schema, conf, codec)
+    }
   }
 }
 
@@ -74,23 +147,23 @@ final class GraftBatchWrite(
     schema: StructType,
     conf: SerializableConfiguration,
     truncate: Boolean,
-    codec: String = "none")
+    codec: String = "none",
+    partCols: Seq[String] = Nil)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) {
-      fs.listStatus(dir).foreach { st =>
-        if (st.isFile) fs.delete(st.getPath, false)
-      }
+      // recursive: partitioned layouts nest their part files in k=v dirs
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf, codec)
+    new GraftJsonWriterFactory(path, schema, conf, codec, partCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftManifest.write(path, conf.value, messages)
+    GraftManifest.write(conf.value, messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -101,25 +174,38 @@ final class GraftBatchWrite(
 private final case class GraftCommit(file: String, stats: String = null)
     extends WriterCommitMessage
 
+/** A partitioned task's publishes: one (file, rendered stats) per
+  * partition directory it wrote.
+  */
+private final case class GraftPartitionedCommit(entries: Seq[(String, String)])
+    extends WriterCommitMessage
+
 private object GraftManifest {
-  /** Write the compacted manifest from task commit messages (atomic
-    * tmp+rename; best-effort — absence only disables the one-read path).
+  /** Write the compacted per-directory manifests from task commit
+    * messages (atomic tmp+rename; best-effort — absence only disables
+    * the one-read path). Partitioned writes produce one manifest per
+    * leaf `k=v` directory.
     */
-  def write(path: String, conf: org.apache.hadoop.conf.Configuration,
+  def write(conf: org.apache.hadoop.conf.Configuration,
       messages: Array[WriterCommitMessage]): Unit = try {
-    val entries = messages.collect {
-      case GraftCommit(f, s) if s != null => new Path(f).getName -> s
-    }.toSeq
+    val entries: Seq[(String, String)] = messages.toSeq.flatMap {
+      case GraftCommit(f, s) if s != null => Seq(f -> s)
+      case GraftPartitionedCommit(es) => es
+      case _ => Nil
+    }
     if (entries.isEmpty) return
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    val target = FileStats.manifestFor(dir)
-    val tmp = new Path(dir, target.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(FileStats.renderManifest(entries).getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(target, false)
-    fs.rename(tmp, target)
+    entries.groupBy { case (f, _) => new Path(f).getParent }.foreach {
+      case (dir, dirEntries) =>
+        val fs = dir.getFileSystem(conf)
+        val target = FileStats.manifestFor(dir)
+        val tmp = new Path(dir, target.getName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(FileStats.renderManifest(
+          dirEntries.map { case (f, s) => new Path(f).getName -> s }).getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(target, false)
+        fs.rename(tmp, target)
+    }
   } catch { case _: Exception => () }
 }
 
@@ -127,9 +213,11 @@ final class GraftJsonWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    codec: String = "none") extends DataWriterFactory {
+    codec: String = "none",
+    partCols: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId, codec = codec)
+    new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
+      codec = codec, partCols = partCols)
 }
 
 final class GraftJsonDataWriter(
@@ -139,7 +227,8 @@ final class GraftJsonDataWriter(
     partitionId: Int,
     taskId: Long,
     namePrefix: String = "part",
-    codec: String = "none")
+    codec: String = "none",
+    partCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -150,53 +239,132 @@ final class GraftJsonDataWriter(
     case other => throw new IllegalArgumentException(
       s"graft-json compression '$other' (supported: none, gzip, zstd)")
   }
-  private val finalFile = new Path(path, f"$namePrefix-$partitionId%05d.$ext")
-  private val stageFile = new Path(path, f".$namePrefix-$partitionId%05d-$taskId.$ext.stage")
-  private val out: java.io.OutputStream = {
-    val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
-    codec match {
-      case "gzip" => new java.util.zip.GZIPOutputStream(base, 1 << 16)
-      case "zstd" => new java.io.BufferedOutputStream(
-        new com.github.luben.zstd.ZstdOutputStream(base), 1 << 16)
-      case _ => base
+
+  // partitioned writes strip the partition columns from the data lines
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val partDts: Array[DataType] = partIdx.map(schema.fields(_).dataType)
+  private val dataFieldIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains).toArray
+  private val dataSchema: StructType =
+    if (partIdx.isEmpty) schema else StructType(dataFieldIdx.map(schema.fields(_)))
+  private val projVals: Array[Any] =
+    if (partIdx.isEmpty) null else new Array[Any](dataFieldIdx.length)
+  private val projRow: GenericInternalRow =
+    if (partIdx.isEmpty) null else new GenericInternalRow(projVals)
+
+  /** One staged output file (a partition directory's, or the root's). */
+  private final class Sink1(dir: Path) {
+    val finalFile = new Path(dir, f"$namePrefix-$partitionId%05d.$ext")
+    val stageFile = new Path(dir, f".$namePrefix-$partitionId%05d-$taskId.$ext.stage")
+    val out: java.io.OutputStream = {
+      fs.mkdirs(dir)
+      val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
+      codec match {
+        case "gzip" => new java.util.zip.GZIPOutputStream(base, 1 << 16)
+        case "zstd" => new java.io.BufferedOutputStream(
+          new com.github.luben.zstd.ZstdOutputStream(base), 1 << 16)
+        case _ => base
+      }
+    }
+    val stats = new FileStatsCollector(dataSchema)
+
+    /** Atomic publish + bound sidecar; returns (file, rendered stats). */
+    def publish(): (String, String) = {
+      out.close()
+      // a prior file's sidecar must not outlive its data: drop it BEFORE
+      // the rename so a crash between the two steps leaves no-stats
+      // (pruning disabled) rather than wrong-stats (wrong results)
+      fs.delete(FileStats.sidecarFor(finalFile), false)
+      fs.delete(finalFile, false)
+      fs.rename(stageFile, finalFile)
+      val rendered = FileStats.render(
+        stats.snapshot(fs.getFileStatus(finalFile).getLen))
+      try {
+        val sout = fs.create(FileStats.sidecarFor(finalFile), true)
+        try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
+      } catch { case _: Exception => () } // stats are best-effort
+      (finalFile.toString, rendered)
+    }
+
+    def drop(): Unit = {
+      try out.close() catch { case _: Exception => () }
+      fs.delete(stageFile, false)
     }
   }
+
+  private val sinks = new java.util.LinkedHashMap[String, Sink1]()
+  private def sinkFor(row: InternalRow): Sink1 = {
+    if (partIdx.isEmpty) {
+      var s = sinks.get("")
+      if (s == null) { s = new Sink1(new Path(path)); sinks.put("", s) }
+      return s
+    }
+    val rel = {
+      val sb = new java.lang.StringBuilder(64)
+      var k = 0
+      while (k < partIdx.length) {
+        if (k > 0) sb.append('/')
+        sb.append(partCols(k)).append('=')
+          .append(GraftSink.partitionDirValue(row, partIdx(k), partDts(k)))
+        k += 1
+      }
+      sb.toString
+    }
+    var s = sinks.get(rel)
+    if (s == null) {
+      if (sinks.size >= GraftSink.MaxOpenPartitions)
+        throw new IllegalStateException(
+          s"task $taskId holds ${sinks.size} open partition files; repartition " +
+          "by the partitionBy columns so each task writes fewer partitions")
+      s = new Sink1(new Path(path, rel))
+      sinks.put(rel, s)
+    }
+    s
+  }
+
   private val sb = new java.lang.StringBuilder(4096)
-  private val stats = new FileStatsCollector(schema)
 
   override def write(row: InternalRow): Unit = {
+    val sink = sinkFor(row)
+    val (r, sch): (InternalRow, StructType) =
+      if (partIdx.isEmpty) (row, schema)
+      else {
+        var k = 0
+        while (k < dataFieldIdx.length) {
+          val i = dataFieldIdx(k)
+          projVals(k) = if (row.isNullAt(i)) null else row.get(i, dataSchema.fields(k).dataType)
+          k += 1
+        }
+        (projRow, dataSchema)
+      }
     sb.setLength(0)
-    GraftJsonDataWriter.writeStruct(sb, row, schema)
+    GraftJsonDataWriter.writeStruct(sb, r, sch)
     sb.append('\n')
-    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    stats.observe(row)
+    sink.out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sink.stats.observe(r)
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    // a prior file's sidecar must not outlive its data: drop it BEFORE the
-    // rename so a crash between the two steps leaves no-stats (pruning
-    // disabled) rather than wrong-stats (wrong results)
-    fs.delete(FileStats.sidecarFor(finalFile), false)
-    // atomic publish; a retried task overwrites the same final name
-    fs.delete(finalFile, false)
-    fs.rename(stageFile, finalFile)
-    // data-skipping sidecar (hidden: listings skip dot-files); written
-    // after the data publish — absence merely disables pruning. The
-    // recorded byte length binds the sidecar to THIS data file; a later
-    // out-of-band rewrite invalidates it (FileStats.load checks).
-    val rendered = FileStats.render(
-      stats.snapshot(fs.getFileStatus(finalFile).getLen))
-    try {
-      val sout = fs.create(FileStats.sidecarFor(finalFile), true)
-      try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
-    } catch { case _: Exception => () } // stats are best-effort
-    GraftCommit(finalFile.toString, rendered)
+    val it = sinks.values().iterator()
+    if (partIdx.isEmpty) {
+      if (!it.hasNext) {
+        // zero-row task still publishes its (empty) part for layout parity
+        val (f, s) = sinkFor(null).publish() // sinkFor("" key) ignores the row
+        GraftCommit(f, s)
+      } else {
+        val (f, s) = it.next().publish()
+        GraftCommit(f, s)
+      }
+    } else {
+      val entries = Seq.newBuilder[(String, String)]
+      while (it.hasNext) entries += it.next().publish()
+      GraftPartitionedCommit(entries.result())
+    }
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Exception => () }
-    fs.delete(stageFile, false)
+    val it = sinks.values().iterator()
+    while (it.hasNext) it.next().drop()
   }
 
   override def close(): Unit = ()
@@ -290,7 +458,8 @@ object GraftJsonDataWriter {
   * no nesting), header row per file, quote-doubling when a value contains
   * the delimiter, a quote, or a row-delimiter byte — the same dialect the
   * graft-csv reader and its Config parse. Shares the staged-file
-  * atomic-rename commit protocol with the JSON writer.
+  * atomic-rename commit protocol and hive-style partitionBy layout with
+  * the JSON writer.
   */
 final class GraftCsvWriteBuilder(
     path: String,
@@ -299,7 +468,8 @@ final class GraftCsvWriteBuilder(
     codec: String,
     header: Boolean,
     delim: String,
-    linesep: String)
+    linesep: String,
+    partCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -321,12 +491,12 @@ final class GraftCsvWriteBuilder(
         val dir = new Path(path)
         val fs = dir.getFileSystem(conf.value)
         if (doTruncate && fs.exists(dir))
-          fs.listStatus(dir).foreach(st => if (st.isFile) fs.delete(st.getPath, false))
+          fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
         fs.mkdirs(dir)
-        new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep)
+        new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep, partCols)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit =
-        GraftManifest.write(path, conf.value, messages)
+        GraftManifest.write(conf.value, messages)
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
@@ -339,9 +509,11 @@ final class GraftCsvWriterFactory(
     codec: String,
     header: Boolean,
     delim: String,
-    linesep: String) extends DataWriterFactory {
+    linesep: String,
+    partCols: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec, header, delim, linesep)
+    new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec, header,
+      delim, linesep, partCols)
 }
 
 final class GraftCsvDataWriter(
@@ -353,7 +525,8 @@ final class GraftCsvDataWriter(
     codec: String,
     header: Boolean,
     delim: String,
-    linesep: String)
+    linesep: String,
+    partCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -364,32 +537,92 @@ final class GraftCsvDataWriter(
     case other => throw new IllegalArgumentException(
       s"graft-csv compression '$other' (supported: none, gzip, zstd)")
   }
-  private val finalFile = new Path(path, f"part-$partitionId%05d.$ext")
-  private val stageFile = new Path(path, f".part-$partitionId%05d-$taskId.$ext.stage")
-  private val out: java.io.OutputStream = {
-    val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
-    codec match {
-      case "gzip" => new java.util.zip.GZIPOutputStream(base, 1 << 16)
-      case "zstd" => new java.io.BufferedOutputStream(
-        new com.github.luben.zstd.ZstdOutputStream(base), 1 << 16)
-      case _ => base
-    }
-  }
+
+  private val partIdx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val partDts: Array[DataType] = partIdx.map(schema.fields(_).dataType)
+  private val dataFieldIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains).toArray
+  private val dataSchema: StructType =
+    if (partIdx.isEmpty) schema else StructType(dataFieldIdx.map(schema.fields(_)))
+
   private val sb = new java.lang.StringBuilder(1024)
-  private val stats = new FileStatsCollector(schema)
   private val mustQuote: Set[Char] =
     (delim.toSet ++ linesep.toSet) + '"'
 
-  if (header) {
-    sb.setLength(0)
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append(delim)
-      appendCell(schema.fields(i).name)
-      i += 1
+  private final class Sink1(dir: Path) {
+    val finalFile = new Path(dir, f"part-$partitionId%05d.$ext")
+    val stageFile = new Path(dir, f".part-$partitionId%05d-$taskId.$ext.stage")
+    val out: java.io.OutputStream = {
+      fs.mkdirs(dir)
+      val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)
+      codec match {
+        case "gzip" => new java.util.zip.GZIPOutputStream(base, 1 << 16)
+        case "zstd" => new java.io.BufferedOutputStream(
+          new com.github.luben.zstd.ZstdOutputStream(base), 1 << 16)
+        case _ => base
+      }
     }
-    sb.append(linesep)
-    flushLine()
+    val stats = new FileStatsCollector(dataSchema)
+    if (header) {
+      sb.setLength(0)
+      var i = 0
+      while (i < dataSchema.length) {
+        if (i > 0) sb.append(delim)
+        appendCell(dataSchema.fields(i).name)
+        i += 1
+      }
+      sb.append(linesep)
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    def publish(): (String, String) = {
+      out.close()
+      fs.delete(FileStats.sidecarFor(finalFile), false)
+      fs.delete(finalFile, false)
+      fs.rename(stageFile, finalFile)
+      val rendered = FileStats.render(
+        stats.snapshot(fs.getFileStatus(finalFile).getLen))
+      try {
+        val sout = fs.create(FileStats.sidecarFor(finalFile), true)
+        try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
+      } catch { case _: Exception => () }
+      (finalFile.toString, rendered)
+    }
+
+    def drop(): Unit = {
+      try out.close() catch { case _: Exception => () }
+      fs.delete(stageFile, false)
+    }
+  }
+
+  private val sinks = new java.util.LinkedHashMap[String, Sink1]()
+  private def sinkFor(row: InternalRow): Sink1 = {
+    if (partIdx.isEmpty) {
+      var s = sinks.get("")
+      if (s == null) { s = new Sink1(new Path(path)); sinks.put("", s) }
+      return s
+    }
+    val rel = {
+      val rb = new java.lang.StringBuilder(64)
+      var k = 0
+      while (k < partIdx.length) {
+        if (k > 0) rb.append('/')
+        rb.append(partCols(k)).append('=')
+          .append(GraftSink.partitionDirValue(row, partIdx(k), partDts(k)))
+        k += 1
+      }
+      rb.toString
+    }
+    var s = sinks.get(rel)
+    if (s == null) {
+      if (sinks.size >= GraftSink.MaxOpenPartitions)
+        throw new IllegalStateException(
+          s"task $taskId holds ${sinks.size} open partition files; repartition " +
+          "by the partitionBy columns so each task writes fewer partitions")
+      s = new Sink1(new Path(path, rel))
+      sinks.put(rel, s)
+    }
+    s
   }
 
   private def appendCell(s: String): Unit = {
@@ -405,14 +638,13 @@ final class GraftCsvDataWriter(
     } else sb.append(s)
   }
 
-  private def flushLine(): Unit =
-    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-
   override def write(row: InternalRow): Unit = {
+    val sink = sinkFor(row)
     sb.setLength(0)
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append(delim)
+    var k = 0
+    while (k < dataFieldIdx.length) {
+      val i = dataFieldIdx(k)
+      if (k > 0) sb.append(delim)
       if (!row.isNullAt(i)) {
         val dt = schema.fields(i).dataType
         dt match {
@@ -427,32 +659,33 @@ final class GraftCsvDataWriter(
           case _ => appendCell(row.get(i, dt).toString)
         }
       }
-      i += 1
+      k += 1
     }
     sb.append(linesep)
-    flushLine()
-    stats.observe(row)
+    sink.out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sink.stats.observeProjected(row, dataFieldIdx)
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    // same sidecar protocol as the JSON writer: stale sidecar dropped
-    // before the rename, fresh one bound to the published file's length
-    fs.delete(FileStats.sidecarFor(finalFile), false)
-    fs.delete(finalFile, false)
-    fs.rename(stageFile, finalFile)
-    val rendered = FileStats.render(
-      stats.snapshot(fs.getFileStatus(finalFile).getLen))
-    try {
-      val sout = fs.create(FileStats.sidecarFor(finalFile), true)
-      try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
-    } catch { case _: Exception => () }
-    GraftCommit(finalFile.toString, rendered)
+    val it = sinks.values().iterator()
+    if (partIdx.isEmpty) {
+      if (!it.hasNext) {
+        val (f, s) = sinkFor(null).publish()
+        GraftCommit(f, s)
+      } else {
+        val (f, s) = it.next().publish()
+        GraftCommit(f, s)
+      }
+    } else {
+      val entries = Seq.newBuilder[(String, String)]
+      while (it.hasNext) entries += it.next().publish()
+      GraftPartitionedCommit(entries.result())
+    }
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Exception => () }
-    fs.delete(stageFile, false)
+    val it = sinks.values().iterator()
+    while (it.hasNext) it.next().drop()
   }
 
   override def close(): Unit = ()

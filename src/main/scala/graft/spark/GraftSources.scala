@@ -336,14 +336,20 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftJsonTable(schema, properties)
+    new GraftJsonTable(schema, partitioning, properties)
 }
 
-final class GraftJsonTable(schema: StructType, properties: java.util.Map[String, String])
+final class GraftJsonTable(
+    schema: StructType,
+    partTransforms: Array[Transform],
+    properties: java.util.Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-json:${properties.get("path")}"
   override def schema(): StructType = schema
+  // reporting the user's partitionBy transforms back is what admits a
+  // partitioned write (Spark checks provided == table partitioning)
+  override def partitioning(): Array[Transform] = partTransforms
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -358,7 +364,8 @@ final class GraftJsonTable(schema: StructType, properties: java.util.Map[String,
       new SerializableConfiguration(GraftSources.activeHadoopConf()),
       codec = Option(info.options.get("compression"))
         .orElse(Option(properties.get("compression"))).getOrElse("none")
-        .toLowerCase(java.util.Locale.ROOT))
+        .toLowerCase(java.util.Locale.ROOT),
+      partCols = GraftSink.identityPartCols(partTransforms))
 }
 
 // ======================================================================= CSV
@@ -413,14 +420,18 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftCsvTable(schema, properties)
+    new GraftCsvTable(schema, partitioning, properties)
 }
 
-final class GraftCsvTable(schema: StructType, properties: java.util.Map[String, String])
+final class GraftCsvTable(
+    schema: StructType,
+    partTransforms: Array[Transform],
+    properties: java.util.Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-csv:${properties.get("path")}"
   override def schema(): StructType = schema
+  override def partitioning(): Array[Transform] = partTransforms
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -437,7 +448,8 @@ final class GraftCsvTable(schema: StructType, properties: java.util.Map[String, 
       codec = opt("compression", "none").toLowerCase(java.util.Locale.ROOT),
       header = opt("header", "true").toBoolean,
       delim = opt("delimiter", ","),
-      linesep = opt("linesep", "\n"))
+      linesep = opt("linesep", "\n"),
+      partCols = GraftSink.identityPartCols(partTransforms))
   }
 }
 

@@ -1,0 +1,125 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+/** `partitionBy(...)` on the graft sinks: rows route to hive-style
+  * `col=value/` directories (values %xx-escaped, nulls as
+  * __HIVE_DEFAULT_PARTITION__), partition columns are stripped from the
+  * data lines, each leaf directory gets its own sidecars + compacted
+  * manifest, and the graft scan lists/prunes/reads the layout back —
+  * the full 100 TB corpus round trip without a metastore.
+  */
+class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = Files.createTempDirectory("graft-psink")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("partitioned-sink-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  test("json partitionBy round-trips: layout, stripping, nulls, escaping") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("json").toString
+    val rows = Seq(
+      (1L, "a", "2024-01-01"),
+      (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02"),
+      (4L, "d", null),
+      (5L, "e", "with/slash=and%pct"))
+    rows.toDF("id", "v", "day")
+      .write.format("graft-json").partitionBy("day").mode("overwrite").save(out)
+
+    // hive layout with escaped values and the null sentinel
+    val dirs = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).filterNot(_.startsWith(".")).sorted
+    assert(dirs.contains("day=2024-01-01") && dirs.contains("day=2024-01-02"))
+    assert(dirs.contains("day=__HIVE_DEFAULT_PARTITION__"), dirs.mkString(","))
+    assert(dirs.exists(d => d.startsWith("day=with%2Fslash%3Dand%25pct")), dirs.mkString(","))
+
+    // partition columns are NOT in the data lines (hive-style stripping)
+    val leaf = java.nio.file.Paths.get(out, "day=2024-01-01")
+    val line = Files.list(leaf).toArray.map(_.toString).filter(_.endsWith(".jsonl"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).head
+    assert(!line.contains("day"), line)
+    // each leaf has its compacted manifest
+    assert(Files.exists(leaf.resolve(".graft-manifest")))
+
+    // full read-back parity, including the escaped and null values
+    val back = spark.read.format("graft-json").load(out)
+      .select($"id".cast("long"), $"v", $"day")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == rows.toSet, back)
+
+    // a partition filter reads only its directory (count stays exact)
+    assert(spark.read.format("graft-json").load(out)
+      .filter($"day" === "2024-01-01").count() == 2)
+    assert(spark.read.format("graft-json").load(out)
+      .filter($"day".isNull).count() == 1)
+  }
+
+  test("overwrite clears prior partition directories recursively") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("ow").toString
+    Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p")
+      .write.format("graft-json").partitionBy("p").mode("overwrite").save(out)
+    Seq((9L, "z", "c")).toDF("id", "v", "p")
+      .write.format("graft-json").partitionBy("p").mode("overwrite").save(out)
+    val back = spark.read.format("graft-json").load(out)
+    assert(back.count() == 1)
+    assert(back.select("p").collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("csv partitionBy round-trips with headers per leaf file") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("csv").toString
+    val rows = Seq((1L, 1.5, "eu"), (2L, 2.5, "eu"), (3L, 3.5, "us"))
+    rows.toDF("id", "score", "region")
+      .write.format("graft-csv").partitionBy("region").mode("overwrite").save(out)
+    val leaf = java.nio.file.Paths.get(out, "region=eu")
+    val lines = Files.list(leaf).toArray.map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.exists(_ == "id,score"), lines.mkString("|")) // header, stripped cols
+    val back = spark.read.format("graft-csv")
+      .schema("id LONG, score DOUBLE, region STRING").load(out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(back == rows.toSet, back)
+  }
+
+  test("partitioned metadata-only COUNT rides the per-leaf sidecars") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("meta").toString
+    (1L to 300L).map(i => (i, s"v$i", s"g${i % 3}")).toDF("id", "v", "g")
+      .repartition(2).write.format("graft-json").partitionBy("g").mode("overwrite").save(out)
+    // poison every data file with same-length garbage: only stats answer
+    Files.walk(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).foreach { f =>
+        val fp = java.nio.file.Paths.get(f)
+        val len = Files.size(fp)
+        Files.write(fp, (("#" * (len.toInt - 1)) + "\n").getBytes("UTF-8"))
+        Files.deleteIfExists(fp.getParent.resolve("." + fp.getFileName + ".crc"))
+      }
+    val schema = "id LONG, v STRING, g STRING"
+    val n = spark.read.format("graft-json").schema(schema).load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(n == 300, s"metadata count over partitioned layout returned $n")
+  }
+}
