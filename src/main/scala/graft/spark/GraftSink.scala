@@ -69,6 +69,16 @@ object GraftSink {
     * the partition columns (`df.repartition(col(...))`) first.
     */
   val MaxOpenPartitions = 1000
+
+  /** Batch part names embed the write's query id, so `mode("append")`
+    * jobs never collide with a prior job's part-<n> files (a task RETRY
+    * within one job keeps the same name — the idempotent-rename
+    * property). Streaming keeps pure epoch names: those must be stable
+    * across query restarts for exactly-once.
+    */
+  def batchNamePrefix(queryId: String): String =
+    if (queryId == null || queryId.isEmpty) "part"
+    else "part-" + queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
 }
 
 /** DSv2 write path for `format("graft-json")`: each task streams its rows
@@ -91,7 +101,8 @@ final class GraftWriteBuilder(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String = "none",
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -99,7 +110,8 @@ final class GraftWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols)
+      new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
+        GraftSink.batchNamePrefix(queryId))
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (partCols.nonEmpty) throw new UnsupportedOperationException(
         "graft-json streaming writes do not support partitionBy yet")
@@ -148,7 +160,8 @@ final class GraftBatchWrite(
     conf: SerializableConfiguration,
     truncate: Boolean,
     codec: String = "none",
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    namePrefix: String = "part")
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -159,7 +172,7 @@ final class GraftBatchWrite(
       fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf, codec, partCols)
+    new GraftJsonWriterFactory(path, schema, conf, codec, partCols, namePrefix)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -198,10 +211,18 @@ private object GraftManifest {
       case (dir, dirEntries) =>
         val fs = dir.getFileSystem(conf)
         val target = FileStats.manifestFor(dir)
+        // merge with a prior job's manifest (append mode): new names win;
+        // out-of-band-deleted files' stale entries are harmless (length
+        // validation rejects them at read)
+        val prior: Seq[(String, String)] =
+          FileStats.loadManifest(fs, dir).toSeq.flatMap(_.toSeq)
+            .map { case (n, st) => n -> FileStats.render(st) }
+        val fresh = dirEntries.map { case (f, s) => new Path(f).getName -> s }
+        val freshNames = fresh.map(_._1).toSet
+        val merged = prior.filterNot(e => freshNames(e._1)) ++ fresh
         val tmp = new Path(dir, target.getName + ".tmp")
         val out = fs.create(tmp, true)
-        try out.write(FileStats.renderManifest(
-          dirEntries.map { case (f, s) => new Path(f).getName -> s }).getBytes("UTF-8"))
+        try out.write(FileStats.renderManifest(merged).getBytes("UTF-8"))
         finally out.close()
         fs.delete(target, false)
         fs.rename(tmp, target)
@@ -214,10 +235,11 @@ final class GraftJsonWriterFactory(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String = "none",
-    partCols: Seq[String] = Nil) extends DataWriterFactory {
+    partCols: Seq[String] = Nil,
+    namePrefix: String = "part") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      codec = codec, partCols = partCols)
+      namePrefix = namePrefix, codec = codec, partCols = partCols)
 }
 
 final class GraftJsonDataWriter(
@@ -469,7 +491,8 @@ final class GraftCsvWriteBuilder(
     header: Boolean,
     delim: String,
     linesep: String,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -493,7 +516,8 @@ final class GraftCsvWriteBuilder(
         if (doTruncate && fs.exists(dir))
           fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
         fs.mkdirs(dir)
-        new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep, partCols)
+        new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep,
+          partCols, GraftSink.batchNamePrefix(queryId))
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         GraftManifest.write(conf.value, messages)
@@ -510,10 +534,11 @@ final class GraftCsvWriterFactory(
     header: Boolean,
     delim: String,
     linesep: String,
-    partCols: Seq[String] = Nil) extends DataWriterFactory {
+    partCols: Seq[String] = Nil,
+    namePrefix: String = "part") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec, header,
-      delim, linesep, partCols)
+      delim, linesep, partCols, namePrefix)
 }
 
 final class GraftCsvDataWriter(
@@ -526,7 +551,8 @@ final class GraftCsvDataWriter(
     header: Boolean,
     delim: String,
     linesep: String,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    namePrefix: String = "part")
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -550,8 +576,8 @@ final class GraftCsvDataWriter(
     (delim.toSet ++ linesep.toSet) + '"'
 
   private final class Sink1(dir: Path) {
-    val finalFile = new Path(dir, f"part-$partitionId%05d.$ext")
-    val stageFile = new Path(dir, f".part-$partitionId%05d-$taskId.$ext.stage")
+    val finalFile = new Path(dir, f"$namePrefix-$partitionId%05d.$ext")
+    val stageFile = new Path(dir, f".$namePrefix-$partitionId%05d-$taskId.$ext.stage")
     val out: java.io.OutputStream = {
       fs.mkdirs(dir)
       val base = new java.io.BufferedOutputStream(fs.create(stageFile, true), 1 << 16)

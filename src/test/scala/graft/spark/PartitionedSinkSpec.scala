@@ -104,6 +104,40 @@ class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back == rows.toSet, back)
   }
 
+  test("append jobs get unique part names and merge the manifest") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("append").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft-json").mode("overwrite").save(out)
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .write.format("graft-json").mode("append").save(out)
+
+    // both jobs' files coexist (query-id-unique names, no silent replace)
+    val back = spark.read.format("graft-json").load(out)
+    assert(back.count() == 4)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // the merged manifest covers BOTH jobs' files: metadata count works
+    // with every per-file sidecar removed
+    Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".stats")).foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+    val n = spark.read.format("graft-json").load(out)
+      .selectExpr("count(*) AS n").collect()(0).getLong(0)
+    assert(n == 4, s"merged manifest should cover both jobs, count returned $n")
+  }
+
+  test("partitioned append adds rows to existing partition directories") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("pappend").toString
+    Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p")
+      .write.format("graft-json").partitionBy("p").mode("overwrite").save(out)
+    Seq((3L, "z", "a")).toDF("id", "v", "p")
+      .write.format("graft-json").partitionBy("p").mode("append").save(out)
+    val back = spark.read.format("graft-json").load(out)
+    assert(back.count() == 3)
+    assert(back.filter(col("p") === "a").count() == 2)
+  }
+
   test("partitioned metadata-only COUNT rides the per-leaf sidecars") {
     val s = spark; import s.implicits._
     val out = dir.resolve("meta").toString
