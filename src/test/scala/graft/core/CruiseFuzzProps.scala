@@ -84,4 +84,24 @@ object CruiseFuzzProps extends Properties("KeyCruise") {
       val whole = run(input, schema, input.length.max(1), fast = true)
       (1 to 7).forall(c => run(input, schema, c, fast = true) == whole)
     }
+
+  // chain-heavy shape: wide rows of consecutive unwanted fields with a
+  // single wanted column — the longest runs through the chained cruise
+  // (inline scalar/string consumption + container exits), across chunk
+  // splits that force every suspension fallback
+  private val genWideCase = for {
+    rows  <- Gen.choose(1, 6).flatMap(Gen.listOfN(_, for {
+      n    <- Gen.choose(8, 10)
+      keys <- Gen.pick(n, keyPool)
+      vals <- Gen.listOfN(n, genValue(2))
+    } yield keys.zip(vals).map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")))
+    col   <- Gen.oneOf(keyPool)
+    chunk <- Gen.choose(1, 16)
+  } yield (rows.mkString("", "\n", "\n"),
+           StructType(Array(StructField(col, StringType))), chunk)
+
+  property("chained cruise over wide rows equals the strict parse") =
+    forAll(genWideCase) { case (input, schema, chunk) =>
+      run(input, schema, chunk, fast = true) == run(input, schema, chunk, fast = false)
+    }
 }
