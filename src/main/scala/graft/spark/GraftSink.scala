@@ -79,6 +79,27 @@ object GraftSink {
   def batchNamePrefix(queryId: String): String =
     if (queryId == null || queryId.isEmpty) "part"
     else "part-" + queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
+
+  /** Partition columns for a write: the table's identity transforms
+    * (batch `partitionBy`), the `__partition_columns` JSON option (how
+    * Spark encodes partitioning when it plumbs it as an option), or an
+    * explicit `option("partitionby", "a,b")` — the documented route for
+    * STREAMING writes, where Spark's V2 path drops
+    * `DataStreamWriter.partitionBy` before it reaches the table.
+    */
+  def writePartCols(
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform],
+      options: java.util.Map[String, String]): Seq[String] = {
+    val fromTransforms = identityPartCols(transforms)
+    if (fromTransforms.nonEmpty) return fromTransforms
+    Option(options.get(
+      org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY))
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns(_).toSeq)
+      .orElse(Option(options.get("partitionby"))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      .getOrElse(Nil)
+  }
 }
 
 /** DSv2 write path for `format("graft-json")`: each task streams its rows
@@ -112,30 +133,32 @@ final class GraftWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
         GraftSink.batchNamePrefix(queryId))
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      if (partCols.nonEmpty) throw new UnsupportedOperationException(
-        "graft-json streaming writes do not support partitionBy yet")
-      new GraftStreamingWrite(path, schema, conf, codec)
-    }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(path, schema, conf, codec, partCols)
   }
 }
 
 /** Streaming sink: files are named by (epoch, partition), so a replayed
   * epoch after failure re-publishes the SAME names — idempotent, which is
   * what makes the file sink exactly-once under micro-batch re-execution.
+  * `partitionBy` routes each epoch's rows into the same hive-style
+  * layout as batch writes (epoch-stable names per leaf directory keep
+  * the idempotency property; manifests stay batch-only — per-file
+  * sidecars cover streaming output).
   */
 final class GraftStreamingWrite(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    codec: String = "none")
+    codec: String = "none",
+    partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(path, schema, conf, codec)
+    new GraftStreamingWriterFactory(path, schema, conf, codec, partCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -146,12 +169,13 @@ final class GraftStreamingWriterFactory(
     path: String,
     schema: StructType,
     conf: SerializableConfiguration,
-    codec: String = "none")
+    codec: String = "none",
+    partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      namePrefix = f"part-$epochId%05d", codec = codec)
+      namePrefix = f"part-$epochId%05d", codec = codec, partCols = partCols)
 }
 
 final class GraftBatchWrite(

@@ -365,7 +365,7 @@ final class GraftJsonTable(
       codec = Option(info.options.get("compression"))
         .orElse(Option(properties.get("compression"))).getOrElse("none")
         .toLowerCase(java.util.Locale.ROOT),
-      partCols = GraftSink.identityPartCols(partTransforms),
+      partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId())
 }
 
@@ -450,7 +450,7 @@ final class GraftCsvTable(
       header = opt("header", "true").toBoolean,
       delim = opt("delimiter", ","),
       linesep = opt("linesep", "\n"),
-      partCols = GraftSink.identityPartCols(partTransforms),
+      partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId())
   }
 }

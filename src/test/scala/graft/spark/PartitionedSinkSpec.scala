@@ -138,6 +138,42 @@ class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("p") === "a").count() == 2)
   }
 
+  test("streaming partitionBy writes the same hive layout with epoch-stable names") {
+    val s = spark; import s.implicits._
+    val in = dir.resolve("sin")
+    Files.createDirectories(in)
+    Files.write(in.resolve("a.jsonl"),
+      (1 to 40).map(i => s"""{"id": $i, "g": "g${i % 2}"}""").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val out = dir.resolve("sout").toString
+    val ckpt = dir.resolve("sckpt").toString
+    val q = spark.readStream.format("graft-json")
+      .schema("id LONG, g STRING")
+      .option("maxbytespertrigger", "256") // several epochs
+      .load(in.toString)
+      .writeStream.format("graft-json")
+      // DataStreamWriter.partitionBy never reaches a V2 table; the sink's
+      // own option is the documented route for streaming writes
+      .option("partitionby", "g")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dirs = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).filterNot(_.startsWith(".")).sorted
+    assert(dirs.toSeq == Seq("g=g0", "g=g1"), dirs.mkString(","))
+    val back = spark.read.format("graft-json").schema("id LONG, g STRING").load(out)
+    assert(back.count() == 40)
+    assert(back.filter(col("g") === "g0").count() == 20)
+    // multiple epochs landed inside the leaf directories
+    val files = Files.list(java.nio.file.Paths.get(out, "g=g0")).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl"))
+    assert(files.map(_.replaceAll(".*part-", "").take(5)).distinct.length > 1,
+      files.mkString(","))
+  }
+
   test("partitioned metadata-only COUNT rides the per-leaf sidecars") {
     val s = spark; import s.implicits._
     val out = dir.resolve("meta").toString
