@@ -154,7 +154,7 @@ object FileStats {
         out += name -> Stats(rows, cols.result(), dlen)
       }
       lines.drop(1).foreach { line =>
-        val p = line.split('\t')
+        val p = line.split("\t", -1)
         p(0) match {
           case "entry" =>
             flush()
@@ -207,7 +207,7 @@ object FileStats {
       var len = -1L
       val cols = Map.newBuilder[String, ColStats]
       lines.drop(1).foreach { line =>
-        val p = line.split('\t')
+        val p = line.split("\t", -1)
         p(0) match {
           case "rows" => rows = p(1).toLong
           case "len" => len = p(1).toLong
