@@ -799,6 +799,12 @@ object FilterEval {
     case (x: UTF8String, y: UTF8String) => Some(x.binaryCompare(y))
     case (x: java.lang.Number, y: java.lang.Number) => Some(cmpNum(x, y))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    // row values for DecimalType columns are Catalyst Decimals; pushed
+    // literals arrive as java.math.BigDecimal
+    case (x: org.apache.spark.sql.types.Decimal, y: java.math.BigDecimal) =>
+      Some(x.toJavaBigDecimal.compareTo(y))
+    case (x: org.apache.spark.sql.types.Decimal, y: java.lang.Number) =>
+      Some(cmpNum(x.toJavaBigDecimal, y))
     case _ => None
   }
 

@@ -241,6 +241,19 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.getMessage != null && t.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE")), e.toString)
   }
 
+  test("the battery also pushes into graft-csv scans (shared builder)") {
+    val rows = "g,v\n" + (1 to 60).map(i => s"${i % 3},${i * 2}").mkString("\n") + "\n"
+    val p = write("aggcsv.csv", rows)
+    val schema = "g LONG, v LONG"
+    def agg(df: DataFrame): DataFrame = df.groupBy("g").agg(
+      sum("v").as("s"), min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("c")).orderBy("g")
+    val ours = agg(spark.read.format("graft-csv").schema(schema).load(p))
+    assert(scanDescr(ours).contains("pushedAgg"), scanDescr(ours))
+    val want = agg(spark.read.schema(schema).option("header", "true").csv(p))
+    assert(ours.collect().toSeq == want.collect().toSeq)
+  }
+
   test("grouped battery over a hive partition column is pushed and exact") {
     val root = Files.createTempDirectory("graft-aggpart")
     for (r <- Seq("eu", "us")) {

@@ -59,6 +59,20 @@ class FilterEvalSpec extends AnyFunSuite {
     assert(!FilterEval.definitelyFails(norm(1), UTF8String.fromString("b")))
   }
 
+  test("Catalyst Decimal row values compare against pushed BigDecimal literals") {
+    import org.apache.spark.sql.types.Decimal
+    val v = Decimal(new java.math.BigDecimal("123.45"))
+    assert(FilterEval.definitelyFails(LessThan("c", new java.math.BigDecimal("100")), v))
+    assert(!FilterEval.definitelyFails(LessThan("c", new java.math.BigDecimal("200")), v))
+    assert(FilterEval.definitelyFails(EqualTo("c", new java.math.BigDecimal("123.46")), v))
+    // same numeric value at a different scale still matches
+    assert(!FilterEval.definitelyFails(EqualTo("c", new java.math.BigDecimal("123.4500")), v))
+    // mixed decimal-vs-long literal stays exact past 2^53
+    assert(FilterEval.definitelyFails(
+      EqualTo("c", java.lang.Long.valueOf(big + 1)),
+      Decimal(new java.math.BigDecimal(big))))
+  }
+
   test("NaN sorts above every number and equal to itself") {
     val nan = java.lang.Double.valueOf(Double.NaN)
     assert(!FilterEval.definitelyFails(GreaterThan("c", java.lang.Double.valueOf(1e300)), nan))
