@@ -547,7 +547,48 @@ final class GraftCsvWriteBuilder(
         GraftManifest.write(conf.value, messages)
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
+
+    // streaming: epoch-named files, same replay-idempotent protocol as the
+    // JSON streaming sink (manifests stay batch-only)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep, partCols)
   }
+}
+
+final class GraftCsvStreamingWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    header: Boolean,
+    delim: String,
+    linesep: String,
+    partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    dir.getFileSystem(conf.value).mkdirs(dir)
+    new GraftCsvStreamingWriterFactory(path, schema, conf, codec, header, delim, linesep, partCols)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftCsvStreamingWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    header: Boolean,
+    delim: String,
+    linesep: String,
+    partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec,
+      header, delim, linesep, partCols, namePrefix = f"part-$epochId%05d")
 }
 
 final class GraftCsvWriterFactory(

@@ -435,7 +435,8 @@ final class GraftCsvTable(
   override def partitioning(): Array[Transform] = partTransforms
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(schema, options, isJson = false)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

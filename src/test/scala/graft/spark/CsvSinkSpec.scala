@@ -78,4 +78,35 @@ class CsvSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 100)
     assert(back.selectExpr("sum(CAST(id AS LONG))").collect()(0).getLong(0) == 100L * 101 / 2)
   }
+
+  test("streaming csv sink: epoch-named files round-trip exactly once") {
+    val srcDir = Files.createTempDirectory("graft-csv-ssink-src")
+    (1 to 3).foreach { f =>
+      Files.write(srcDir.resolve(s"f$f.jsonl"),
+        (1 to 10).map(i => s"""{"id": ${f * 100 + i}, "v": "x$i"}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val out = Files.createTempDirectory("graft-csv-ssink-out").resolve("o").toString
+    val ckpt = Files.createTempDirectory("graft-csv-ssink-ckpt").toString
+    val q = spark.readStream.format("graft-json")
+      .schema("id LONG, v STRING")
+      .option("maxfilespertrigger", "1")
+      .option("admission", "files") // several micro-batches
+      .load(srcDir.toString)
+      .writeStream.format("graft-csv")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.format("graft-csv").schema("id LONG, v STRING").load(out)
+    val ids = back.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (f <- 1 to 3; i <- 1 to 10) yield (f * 100 + i).toLong).sorted
+    assert(ids == want)
+    val parts = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+    assert(parts.map(_.replaceAll(".*part-", "").take(5)).distinct.length > 1,
+      parts.mkString(","))
+  }
 }
