@@ -231,7 +231,10 @@ private object GraftManifest {
       case _ => Nil
     }
     if (entries.isEmpty) return
-    entries.groupBy { case (f, _) => new Path(f).getParent }.foreach {
+    // one manifest per leaf directory; partitioned writes can touch many
+    // directories, so the driver-side writes run in parallel
+    import scala.collection.parallel.CollectionConverters._
+    entries.groupBy { case (f, _) => new Path(f).getParent }.toSeq.par.foreach {
       case (dir, dirEntries) =>
         val fs = dir.getFileSystem(conf)
         val target = FileStats.manifestFor(dir)
