@@ -15,6 +15,11 @@ import org.scalacheck.Prop.forAll
   */
 object CruiseFuzzProps extends Properties("KeyCruise") {
 
+  // deeper soak runs on demand: GRAFT_FUZZ_N=5000 sbt "testOnly ...CruiseFuzzProps"
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(sys.env.getOrElse("GRAFT_FUZZ_N", "100").toInt)
+
   private val keyPool = Vector("a", "bb", "ccc", "dddd", "key_five", "sixsix",
     "a_rather_long_key_name", "z9", "q", "nested")
 
