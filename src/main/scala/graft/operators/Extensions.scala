@@ -427,15 +427,28 @@ object Extensions {
               closed.reverseIterator
             }
         }
+      // durable end-to-end: sessions land in the graft-json STREAMING sink
+      // (epoch-named files, replay-idempotent) and the gate reads the
+      // sink's own output back through the graft reader — the whole
+      // source → stateful operator → sink chain is the durable one a
+      // production run uses (StatefulRestartSpec additionally proves the
+      // checkpoint-restart path)
+      val sinkDir = java.nio.file.Paths.get("/tmp/graft_stream/q55_sink")
+      val ckptDir = java.nio.file.Paths.get("/tmp/graft_stream/q55_ckpt")
+      org.apache.commons.io.FileUtils.deleteDirectory(sinkDir.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckptDir.toFile)
       val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
         .writeStream
-        .format("memory")
-        .queryName("q55_sessions")
+        .format("graft-json")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("q55_sessions")
+      s.read.format("graft-json")
+        .schema("user_id LONG, start_us LONG, end_us LONG, n_events LONG")
+        .load(sinkDir.toString)
         .filter($"user_id" >= 0)
         .select($"user_id",
           timestamp_micros($"start_us").as("session_start"),
