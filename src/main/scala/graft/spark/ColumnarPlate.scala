@@ -243,10 +243,25 @@ final class ColumnarPlate(
 
   @inline private def writing: Boolean = targetIdx >= 0
 
+  /** putX value writes never reset the validity bit, so a slot reused
+    * after an abandoned row must have the partial row's null bits cleared
+    * — otherwise the NEXT row's present values read back as null (e.g. an
+    * abandoned `{"d": null, ..., "id": <fails filter>}` followed by a
+    * kept row whose d is present).
+    */
+  private def clearPartialNullBits(): Unit = {
+    var i = 0
+    while (i < numCols) {
+      if (seen(i)) vectors(i).putNotNull(rows)
+      i += 1
+    }
+  }
+
   private def earlyFilter(idx: Int, value: Any): Signal = {
     val fs = filterAt(idx)
     if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
       // abandon the partial row: the parser suppresses its finishRow
+      clearPartialNullBits()
       java.util.Arrays.fill(seen, false)
       seenCnt = 0
       depth = 0; curIdx = -1; skipPending = false; fieldPos = 0
@@ -390,6 +405,10 @@ final class ColumnarPlate(
       }
       rows += 1
       rowCount += 1
+    } else {
+      // rejected row (null-demand filters): its slot is reused — scrub
+      // the null bits its explicit nulls stamped (see clearPartialNullBits)
+      clearPartialNullBits()
     }
     java.util.Arrays.fill(seen, false)
     seenCnt = 0
@@ -407,6 +426,7 @@ final class ColumnarPlate(
     * the next row at the same index.
     */
   def abandonPartialRow(): Unit = {
+    clearPartialNullBits()
     seenCnt = 0
     java.util.Arrays.fill(seen, false)
     depth = 0

@@ -79,4 +79,43 @@ class ColumnarPlateSpec extends AnyFunSuite {
       assert(rows == Seq((11L, "left"), (22L, "right")), s"split $i")
     }
   }
+
+  // putX value writes never reset a vector's validity bit, so a slot
+  // reused after an abandoned row must have its null bits scrubbed —
+  // minimal cases found by JsonSourceFuzzSpec (stale nulls leaked into
+  // the NEXT row's present values)
+  test("a filter-abandoned row's explicit nulls do not leak into the next row") {
+    import org.apache.spark.sql.sources.LessThan
+    val schema = StructType.fromDDL("id LONG, d DOUBLE, b BOOLEAN")
+    val plate = new ColumnarPlate(schema,
+      Array(LessThan("id", java.lang.Long.valueOf(100L))))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // row 1: d null first, then the filter column fails LAST -> abandoned
+    raise(p.absorb(
+      """{"d": null, "b": null, "id": 9223372036854775806}""" + "\n" +
+      """{"d": 7.5, "id": 68, "b": true}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 1)
+    assert(!b.column(1).isNullAt(0) && b.column(1).getDouble(0) == 7.5,
+      "row 1's null bit leaked into row 2's d")
+    assert(!b.column(2).isNullAt(0) && b.column(2).getBoolean(0))
+  }
+
+  test("a null-demand-rejected row's explicit nulls do not leak into the next row") {
+    import org.apache.spark.sql.sources.IsNotNull
+    val schema = StructType.fromDDL("id LONG, s STRING, d DOUBLE")
+    val plate = new ColumnarPlate(schema, Array(IsNotNull("s")))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // row 1: s missing -> rejected at finishRow, after d stamped null
+    raise(p.absorb(
+      """{"id": 1, "d": null}""" + "\n" +
+      """{"d": 0.25, "id": 2, "s": "za"}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 1)
+    assert(!b.column(2).isNullAt(0) && b.column(2).getDouble(0) == 0.25,
+      "rejected row's null bit leaked into the kept row's d")
+    assert(b.column(1).getUTF8String(0).toString == "za")
+  }
 }

@@ -1,0 +1,114 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** End-to-end randomized differential at the DSv2 level (CruiseFuzzProps
+  * covers the plate; this covers the whole reader): random nested corpora
+  * with missing keys, nulls, escapes, unicode, and extreme numbers read
+  * through `format("graft-json")` — across byte-range splits, columnar
+  * and row paths, saturation + cruise — must collect exactly what
+  * `spark.read.json` collects under the same explicit schema, projection,
+  * and filter. Deterministic seed: failures reproduce.
+  */
+class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = Files.createTempDirectory("graft-json-fuzz")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("json-source-fuzz")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private val fullSchema =
+    "id LONG, s STRING, d DOUBLE, b BOOLEAN, n STRUCT<x: LONG, y: STRING>, a ARRAY<LONG>"
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private val strPool = Seq("", "a", "tab\there", "line\nbreak", "q\"uote",
+    "back\\slash", "π😀", "za", "x" * 90, "ctl")
+
+  private def corpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": ${if (rng.nextInt(10) == 0) Long.MaxValue - rng.nextInt(5) else i}"""
+      if (rng.nextInt(10) > 1)
+        fields += s""""s": ${if (rng.nextInt(8) == 0) "null"
+          else esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(10) > 1)
+        fields += s""""d": ${rng.nextInt(6) match {
+          case 0 => "null"
+          case 1 => s"${rng.nextLong() % 1000000}.${math.abs(rng.nextInt(10000))}e${rng.nextInt(30) - 15}"
+          case _ => (rng.nextDouble() * 2000 - 1000).toString
+        }}"""
+      if (rng.nextInt(10) > 2)
+        fields += s""""b": ${Seq("true", "false", "null")(rng.nextInt(3))}"""
+      if (rng.nextInt(10) > 3)
+        fields += s""""n": {"x": ${rng.nextInt(100)}, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""a": [${Seq.fill(rng.nextInt(4))(rng.nextInt(1000)).mkString(", ")}]"""
+      // unknown keys the schema prunes (the cruise/skip path)
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": {"deep": [1, "two", {"three": 3.0}]}"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("random corpora read identically to spark.read.json (splits, projections, filters)") {
+    val rng = new scala.util.Random(0xD1FF5EED)
+    val projections = Seq(
+      Seq("id", "s", "d", "b", "n", "a"),
+      Seq("id"), Seq("s", "id"), Seq("n.x", "id"), Seq("d", "b"), Seq("a", "n.y"))
+    for (trial <- 1 to 10) {
+      val p = dir.resolve(s"t$trial.jsonl")
+      Files.write(p, corpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(fullSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(fullSchema).json(p.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(3) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case _ => (g0.filter(col("s").isNotNull), j0.filter(col("s").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+    }
+  }
+}
