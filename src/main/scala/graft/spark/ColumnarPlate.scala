@@ -23,7 +23,10 @@ final class ColumnarPlate(
     // saturation pushdown (Signal.FinishRow) elides validation of the row
     // tail; readers that must fully validate rows (dropMalformed) turn it
     // off — see RowPlate's twin flag
-    saturate: Boolean = true) extends Plate[Long] with KeyProbe {
+    saturate: Boolean = true,
+    // CSV semantics: an empty cell is NULL (Spark's csv nullValue default
+    // and DuckDB's read_csv behavior) — see RowPlate's twin flag
+    emptyCellsAsNull: Boolean = false) extends Plate[Long] with KeyProbe {
 
   private[this] val numCols = schema.length
   private[this] val types: Array[DataType] = schema.fields.map(_.dataType)
@@ -347,6 +350,7 @@ final class ColumnarPlate(
   }
 
   def str(s: CharSequence): Signal = {
+    if (emptyCellsAsNull && s.length == 0) return nul()
     val idx = targetIdx
     if (idx >= 0) {
       ensureCapacity()

@@ -1494,7 +1494,8 @@ final class GraftCsvColumnarReader(
     fullDataCols: Array[String] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  private val plate = new ColumnarPlate(schema, filters)
+  private val plate =
+    new ColumnarPlate(schema, filters, emptyCellsAsNull = true) // CSV: empty cell = NULL
   // a mid-file range never sees the header row: hand it the column order
   private val effConfig =
     if (part.start > 0 && config.header && config.providedHeader.isEmpty)
@@ -1731,7 +1732,7 @@ final class GraftCsvPartitionReader(
       i += 1
     }
     queue.append(r)
-  })
+  }, emptyCellsAsNull = true) // CSV: empty cell = NULL (Spark/DuckDB parity)
   // a mid-file range never sees the header row: hand it the column order
   private val effConfig =
     if (part.start > 0 && config.header && config.providedHeader.isEmpty)

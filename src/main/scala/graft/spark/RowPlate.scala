@@ -43,7 +43,11 @@ final class RowPlate(
     // elides structural validation of the row tail — readers that must
     // fully validate each row (PERMISSIVE corrupt capture, dropMalformed)
     // turn it off
-    saturate: Boolean = true) extends Plate[Long] with KeyProbe {
+    saturate: Boolean = true,
+    // CSV semantics: an empty cell is NULL (Spark's csv nullValue default
+    // and DuckDB's read_csv behavior), unlike JSON where "" is a real
+    // string value. Set by the CSV reader only.
+    emptyCellsAsNull: Boolean = false) extends Plate[Long] with KeyProbe {
 
   // frame kinds
   private final val KEmpty = 0
@@ -431,7 +435,9 @@ final class RowPlate(
   def map(): Signal = fillScalar(3, null, -1, -1)
   def arr(): Signal = fillScalar(4, null, -1, -1)
   def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = fillScalar(5, s, decIdx, expIdx)
-  def str(s: CharSequence): Signal = fillScalar(6, s, -1, -1)
+  def str(s: CharSequence): Signal =
+    if (emptyCellsAsNull && s.length == 0) fillScalar(0, null, -1, -1)
+    else fillScalar(6, s, -1, -1)
 
   def nestMap(pathComponent: CharSequence): Signal = {
     val f = top

