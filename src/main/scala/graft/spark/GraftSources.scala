@@ -268,7 +268,9 @@ object GraftSources {
       else (lineSep.charAt(0).toByte, 0.toByte)
     CsvParser.Config(
       header = Option(options.get("header")).forall(_.toBoolean),
-      record = byteOpt("sep", ','),
+      // "sep" (spark.read.csv's name) and "delimiter" (the sink's) alias
+      record = Option(options.get("sep")).orElse(Option(options.get("delimiter")))
+        .map(_.charAt(0).toByte).getOrElse(','.toByte),
       row1 = r1,
       row2 = r2,
       openQuote = byteOpt("quote", '"'),
@@ -449,7 +451,7 @@ final class GraftCsvTable(
       new SerializableConfiguration(GraftSources.activeHadoopConf()),
       codec = opt("compression", "none").toLowerCase(java.util.Locale.ROOT),
       header = opt("header", "true").toBoolean,
-      delim = opt("delimiter", ","),
+      delim = opt("delimiter", opt("sep", ",")), // both names accepted
       linesep = opt("linesep", "\n"),
       partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId())

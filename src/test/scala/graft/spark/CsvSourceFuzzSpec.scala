@@ -64,6 +64,40 @@ class CsvSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     sb.toString
   }
 
+  test("dialect variants (delimiter, CRLF) read identically to spark.read.csv") {
+    val rng = new scala.util.Random(0xD1A7EC7)
+    val schema = "id LONG, s STRING, d DOUBLE, b BOOLEAN"
+    for (trial <- 1 to 4) {
+      val delim = Seq("|", ";", "\t")(rng.nextInt(3))
+      val sep = Seq("\n", "\r\n")(rng.nextInt(2))
+      val sb = new StringBuilder(s"id${delim}s${delim}d${delim}b$sep")
+      (1 to 80).foreach { i =>
+        val s0 = strPool(rng.nextInt(strPool.length)).replace(",", delim)
+        val v = if (s0.contains(delim) || s0.contains("\""))
+          "\"" + s0.replace("\"", "\"\"") + "\"" else s0
+        sb.append(i).append(delim).append(v)
+          .append(delim).append(if (rng.nextBoolean()) (i * 1.5).toString else "")
+          .append(delim).append(Seq("true", "false", "")(rng.nextInt(3)))
+          .append(sep)
+      }
+      val p = dir.resolve(s"dia$trial.csv")
+      Files.write(p, sb.toString.getBytes(UTF_8))
+      val got = spark.read.format("graft-csv").schema(schema)
+        .option(if (trial % 2 == 0) "sep" else "delimiter", delim) // both alias
+        .option("linesep", sep).load(p.toString)
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.read.schema(schema)
+        .option("header", "true").option("escape", "\"").option("sep", delim)
+        .csv(p.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial delim=${delim.replace("\t", "\\t")} sep=${if (sep == "\n") "LF" else "CRLF"}: " +
+          s"${got.size} vs ${want.size}\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+    }
+  }
+
   test("random corpora read identically to spark.read.csv (dialect, types, filters)") {
     val rng = new scala.util.Random(0xC5FF5EED)
     val schema = "id LONG, s STRING, d DOUBLE, b BOOLEAN"

@@ -85,6 +85,35 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     sb.toString
   }
 
+  test("random byte-window admission reassembles exactly the batch read") {
+    val rng = new scala.util.Random(0x57BEA800)
+    for (trial <- 1 to 4) {
+      val in = dir.resolve(s"stream$trial")
+      Files.createDirectories(in)
+      val nFiles = 1 + rng.nextInt(3)
+      (1 to nFiles).foreach { f =>
+        Files.write(in.resolve(s"f$f.jsonl"),
+          corpus(rng, 40 + rng.nextInt(60)).getBytes(UTF_8))
+      }
+      // random admission window: micro-batch boundaries fall mid-row and
+      // mid-file; the realignment protocol must deliver each row once
+      val window = Seq("97", "513", "4096")(rng.nextInt(3))
+      val q = spark.readStream.format("graft-json")
+        .schema(fullSchema)
+        .option("maxbytespertrigger", window)
+        .load(in.toString)
+        .writeStream.format("memory").queryName(s"fuzz_stream_$trial")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table(s"fuzz_stream_$trial")
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.read.format("graft-json").schema(fullSchema)
+        .load(in.toString).collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"trial $trial window=$window: ${got.size} vs ${want.size} rows")
+    }
+  }
+
   test("random corpora read identically to spark.read.json (splits, projections, filters)") {
     val rng = new scala.util.Random(0xD1FF5EED)
     val projections = Seq(
