@@ -85,6 +85,27 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     sb.toString
   }
 
+  test("gzip and zstd reads equal the plain read on random corpora") {
+    val rng = new scala.util.Random(0xC0DEC5)
+    for (trial <- 1 to 3) {
+      val text = corpus(rng, 120)
+      val plain = dir.resolve(s"z$trial.jsonl")
+      Files.write(plain, text.getBytes(UTF_8))
+      val gz = dir.resolve(s"z$trial.jsonl.gz")
+      val go = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+      try go.write(text.getBytes(UTF_8)) finally go.close()
+      val zst = dir.resolve(s"z$trial.jsonl.zst")
+      val zo = new com.github.luben.zstd.ZstdOutputStream(Files.newOutputStream(zst))
+      try zo.write(text.getBytes(UTF_8)) finally zo.close()
+      def read(p: java.nio.file.Path): Seq[String] =
+        spark.read.format("graft-json").schema(fullSchema).load(p.toString)
+          .collect().map(_.toString).sorted.toSeq
+      val want = read(plain)
+      assert(read(gz) == want, s"trial $trial gzip")
+      assert(read(zst) == want, s"trial $trial zstd")
+    }
+  }
+
   test("random byte-window admission reassembles exactly the batch read") {
     val rng = new scala.util.Random(0x57BEA800)
     for (trial <- 1 to 4) {
