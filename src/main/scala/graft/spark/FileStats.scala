@@ -50,9 +50,15 @@ object FileStats {
     * (java.math.BigDecimal). min/max null = no non-null values observed.
     * minExact/maxExact false = the bound is a truncation artifact (valid
     * for pruning, unusable as a metadata MIN/MAX answer).
+    * `sum` (java.lang.Long / java.lang.Double / java.math.BigDecimal by
+    * kind) is the file's exact non-null sum, accumulated in WRITE order —
+    * the same fold the parsing reader would produce — so a pushed SUM
+    * battery can answer from metadata; null = untracked kind, no rows,
+    * or an integral sum that left the Long range (the parse fallback
+    * piece-splits those).
     */
   final case class ColStats(kind: Char, nulls: Long, min: Any, max: Any,
-      minExact: Boolean = true, maxExact: Boolean = true)
+      minExact: Boolean = true, maxExact: Boolean = true, sum: Any = null)
 
   /** dataLen -1 = unknown (legacy sidecar without a `len` line). */
   final case class Stats(rows: Long, cols: Map[String, ColStats], dataLen: Long = -1L)
@@ -107,6 +113,24 @@ object FileStats {
       case 'd' => new java.math.BigDecimal(s)
     }
 
+  private def encodeSum(kind: Char, v: Any): String =
+    if (v == null) "-"
+    else kind match {
+      case 'i' => v.toString
+      case 'f' => java.lang.Double.toString(v.asInstanceOf[Double])
+      case 'd' => v.asInstanceOf[java.math.BigDecimal].toPlainString
+      case _ => "-"
+    }
+
+  private def decodeSum(kind: Char, s: String): Any =
+    if (s == "-") null
+    else kind match {
+      case 'i' => java.lang.Long.valueOf(s)
+      case 'f' => java.lang.Double.valueOf(s)
+      case 'd' => new java.math.BigDecimal(s)
+      case _ => null
+    }
+
   private def renderBody(sb: StringBuilder, stats: Stats): Unit = {
     sb.append("rows\t").append(stats.rows).append('\n')
     if (stats.dataLen >= 0) sb.append("len\t").append(stats.dataLen).append('\n')
@@ -115,6 +139,7 @@ object FileStats {
         .append('\t').append(c.nulls)
         .append('\t').append(encodeValue(c.kind, c.min, c.minExact))
         .append('\t').append(encodeValue(c.kind, c.max, c.maxExact))
+        .append('\t').append(encodeSum(c.kind, c.sum))
         .append('\n')
     }
   }
@@ -166,7 +191,8 @@ object FileStats {
             val kind = p(2).charAt(0)
             cols += unb64(p(1)) -> ColStats(
               kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
-              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"))
+              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"),
+              sum = if (p.length > 6) decodeSum(kind, p(6)) else null)
           case _ => ()
         }
       }
@@ -215,7 +241,8 @@ object FileStats {
             val kind = p(2).charAt(0)
             cols += unb64(p(1)) -> ColStats(
               kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
-              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"))
+              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"),
+              sum = if (p.length > 6) decodeSum(kind, p(6)) else null)
           case _ => () // forward-compatible: unknown lines ignored
         }
       }
@@ -293,6 +320,14 @@ private[spark] final class FileStatsCollector(schema: StructType) {
   private val mins = new Array[Any](tracked.length)
   private val maxs = new Array[Any](tracked.length)
   private val nulls = new Array[Long](tracked.length)
+  private val nonNull = new Array[Long](tracked.length)
+  // write-order sums (the same fold the parsing reader produces): Long
+  // lane with overflow REFUSAL (sum = null past the Long range — the
+  // parse fallback piece-splits those), Double lane, BigDecimal lane
+  private val lsums = new Array[Long](tracked.length)
+  private val lovf = new Array[Boolean](tracked.length)
+  private val dsums = new Array[Double](tracked.length)
+  private val bsums = new Array[java.math.BigDecimal](tracked.length)
   private var rows = 0L
 
   private def cmp(kind: Char, a: Any, b: Any): Int = kind match {
@@ -340,6 +375,19 @@ private[spark] final class FileStatsCollector(schema: StructType) {
         }
         if (mins(t) == null || cmp(kind, v, mins(t)) < 0) mins(t) = v
         if (maxs(t) == null || cmp(kind, v, maxs(t)) > 0) maxs(t) = v
+        nonNull(t) += 1
+        kind match {
+          case 'i' =>
+            val a = lsums(t)
+            val b = v.asInstanceOf[Long]
+            val s = a + b
+            if (((a ^ s) & (b ^ s)) < 0) lovf(t) = true else lsums(t) = s
+          case 'f' => dsums(t) += v.asInstanceOf[Double]
+          case 'd' =>
+            val bd = v.asInstanceOf[java.math.BigDecimal]
+            bsums(t) = if (bsums(t) == null) bd else bsums(t).add(bd)
+          case _ => ()
+        }
       }
       t += 1
     }
@@ -362,6 +410,14 @@ private[spark] final class FileStatsCollector(schema: StructType) {
           }
         case (_, v) => (v, true)
       }
-      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact)
+      val sum: Any =
+        if (nonNull(t) == 0) null
+        else kind match {
+          case 'i' => if (lovf(t)) null else java.lang.Long.valueOf(lsums(t))
+          case 'f' => java.lang.Double.valueOf(dsums(t))
+          case 'd' => bsums(t)
+          case _ => null
+        }
+      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum)
     }.toMap, dataLen)
 }

@@ -446,21 +446,20 @@ final class GraftAggPartitionReader(
 }
 
 /** Metadata answers for pushed aggregates: an ungrouped MIN / MAX /
-  * COUNT(col) / COUNT(*) battery over a whole sink-written file is fully
-  * determined by its stats sidecar — one partial row, zero data bytes
-  * (SUM is not recorded, groups need per-group stats; both fall back to
-  * the parsing reader). Strict-mode only: drop/permissive counts depend
-  * on validating every record.
+  * COUNT(col) / COUNT(*) / SUM battery over a whole sink-written file is
+  * fully determined by its stats sidecar — one partial row, zero data
+  * bytes (the sidecar records each column's exact write-order sum; groups
+  * need per-group stats and fall back to the parsing reader, as do
+  * integral sums that left the Long range). Strict-mode only:
+  * drop/permissive counts depend on validating every record.
   */
 private[spark] object GraftAggMeta {
   import GraftAgg._
 
-  /** True when the spec COULD be metadata-answered (shape check only). */
-  def eligible(spec: Spec): Boolean =
-    spec.groupCols.isEmpty && spec.funcs.forall {
-      case _: FSum | _: FSumDec => false
-      case _ => true
-    }
+  /** True when the spec COULD be metadata-answered (shape check only;
+    * answer() still refuses per-column when a sum/bound is unusable).
+    */
+  def eligible(spec: Spec): Boolean = spec.groupCols.isEmpty
 
   private def conv(kind: Char, v: Any, dt: DataType): Either[Unit, Any] =
     if (v == null) Right(null)
@@ -508,7 +507,25 @@ private[spark] object GraftAggMeta {
             case Right(v) => vals(i) = v
             case Left(_) => return None
           }
-        case _: FSum | _: FSumDec => return None
+        case f: FSum =>
+          val cs = st.cols.getOrElse(f.col, return None)
+          if (st.rows - cs.nulls == 0L) vals(i) = null // all-null: SUM is null
+          else if (cs.sum == null) return None // untracked / Long overflow: parse
+          else (f.integral, cs.kind) match {
+            case (true, 'i') => vals(i) = cs.sum // already a Long
+            case (false, 'f') => vals(i) = cs.sum // already a Double
+            case _ => return None // sidecar kind does not match the lane
+          }
+        case f: FSumDec =>
+          val cs = st.cols.getOrElse(f.col, return None)
+          if (st.rows - cs.nulls == 0L) vals(i) = null
+          else if (cs.sum == null || cs.kind != 'd') return None
+          else {
+            val dec = org.apache.spark.sql.types.Decimal(
+              cs.sum.asInstanceOf[java.math.BigDecimal])
+            if (dec.changePrecision(f.outDt.precision, f.outDt.scale)) vals(i) = dec
+            else return None // out of the output type's range: parse piece-splits
+          }
       }
       i += 1
     }

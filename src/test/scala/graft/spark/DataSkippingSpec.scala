@@ -167,19 +167,37 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val df = spark.read.format("graft-json").schema(schema).load(out)
       .selectExpr("min(id) AS mn", "max(id) AS mx", "count(id) AS c",
-        "min(score) AS smn", "max(name) AS nmx")
+        "min(score) AS smn", "max(name) AS nmx",
+        "sum(id) AS si", "sum(score) AS ss", "avg(score) AS avgs")
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains("min(id)") && plan.contains("RelationV2"),
       s"battery must be pushed into the scan:\n$plan")
     val r = df.collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 900L, 900L)))
     assert(r.getDouble(3) == 1.5 && r.getString(4) == "k99")
+    // SUM/AVG answer from the sidecars' exact write-order sums — still
+    // zero data bytes over the poisoned files
+    assert(r.getLong(5) == 900L * 901 / 2)
+    assert(r.getDouble(6) == (1 to 900).map(_ * 1.5).sum)
+    assert(r.getDouble(7) == (1 to 900).map(_ * 1.5).sum / 900)
+  }
 
-    // SUM in the battery forces the parsing path (sidecars carry no sums):
-    // over the poisoned files that must now fail in strict mode
+  test("integral sums past the Long range refuse the metadata answer") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("metaovf").toString
+    Seq(Long.MaxValue - 10, Long.MaxValue - 10, 5L).map(Tuple1(_)).toDF("v")
+      .coalesce(1).write.format("graft-json").mode("overwrite").save(out)
+    // the file's sum overflows Long -> sidecar records no sum -> the
+    // battery must PARSE (which the poisoned file makes fail), while a
+    // sum-free battery still answers from metadata
+    val f = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).head
+    poisonSameLength(java.nio.file.Paths.get(f))
+    assert(spark.read.format("graft-json").schema("v LONG").load(out)
+      .selectExpr("count(v)").collect()(0).getLong(0) == 3)
     intercept[Exception] {
-      spark.read.format("graft-json").schema(schema).load(out)
-        .selectExpr("min(id)", "sum(id)").collect()
+      spark.read.format("graft-json").schema("v LONG").load(out)
+        .selectExpr("sum(v)").collect()
     }
   }
 
@@ -287,10 +305,14 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.endsWith(".jsonl"))
       .foreach(f => poisonSameLength(java.nio.file.Paths.get(f)))
     val r = spark.read.format("graft-json").schema(schema).load(out)
-      .selectExpr("min(amt) AS mn", "max(amt) AS mx", "count(amt) AS c").collect()(0)
+      .selectExpr("min(amt) AS mn", "max(amt) AS mx", "count(amt) AS c",
+        "sum(amt) AS s").collect()(0)
     assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("3.00")) == 0)
     assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("3000.00")) == 0)
     assert(r.getLong(2) == 1000)
+    // decimal SUM from the sidecar's exact BigDecimal accumulation
+    assert(r.getDecimal(3).compareTo(
+      new java.math.BigDecimal(3L * 1000 * 1001 / 2).setScale(2)) == 0)
   }
 
   test("manifest compaction: pruning and metadata answers survive sidecar loss") {

@@ -135,8 +135,15 @@ object StatsPruneProps extends Properties("StatsPrune") {
     mn <- Gen.option(mk)
     mx <- Gen.option(mk)
     nulls <- Gen.chooseNum(0L, 100L)
+    sum <- kind match { // exact write-order sums ride the same col line
+      case 'i' => Gen.option(genLong)
+      case 'f' => Gen.option(genDouble)
+      case 'd' => Gen.option(genDecimal.map(identity[Any]))
+      case _ => Gen.const(None)
+    }
   } yield FileStats.ColStats(kind, nulls, mn.orNull, mx.orNull,
-    minExact = !(inexact && mn.isDefined), maxExact = !(inexact && mx.isDefined))
+    minExact = !(inexact && mn.isDefined), maxExact = !(inexact && mx.isDefined),
+    sum = sum.orNull)
 
   private val genStats: Gen[FileStats.Stats] = for {
     rows <- Gen.chooseNum(0L, 1000000L)
