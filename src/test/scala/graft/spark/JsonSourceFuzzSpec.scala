@@ -148,10 +148,12 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("maxsplitbytes", split).load(p.toString)
       val j0 = spark.read.schema(fullSchema).json(p.toString)
       val proj = projections(rng.nextInt(projections.length))
-      val (g, j) = rng.nextInt(3) match {
+      val (g, j) = rng.nextInt(5) match {
         case 0 => (g0, j0)
         case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
-        case _ => (g0.filter(col("s").isNotNull), j0.filter(col("s").isNotNull))
+        case 2 => (g0.filter(col("s").isNotNull), j0.filter(col("s").isNotNull))
+        case 3 => (g0.filter(col("d") > 0.0), j0.filter(col("d") > 0.0))
+        case _ => (g0.filter(col("s").startsWith("t")), j0.filter(col("s").startsWith("t")))
       }
       val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
       val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
