@@ -174,6 +174,55 @@ class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       files.mkString(","))
   }
 
+  test("partitioned per-leaf stats are index-correct: metadata min/max/sum proof") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("metamix").toString
+    // partition column in the MIDDLE of the schema: the stats collector
+    // observes through the projected index map — a mapping bug would
+    // stamp one column's values into another's stats and return WRONG
+    // metadata answers, not missing ones
+    (1L to 200L).map(i => (i, s"g${i % 2}", i * 1.5, s"v$i"))
+      .toDF("id", "g", "score", "v")
+      .repartition(2).write.format("graft-json").partitionBy("g")
+      .mode("overwrite").save(out)
+    Files.walk(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).foreach { f =>
+        val fp = java.nio.file.Paths.get(f)
+        val len = Files.size(fp)
+        Files.write(fp, (("#" * (len.toInt - 1)) + "\n").getBytes("UTF-8"))
+        Files.deleteIfExists(fp.getParent.resolve("." + fp.getFileName + ".crc"))
+      }
+    val r = spark.read.format("graft-json")
+      .schema("id LONG, score DOUBLE, v STRING, g STRING").load(out)
+      .selectExpr("min(id) AS mn", "max(id) AS mx", "sum(id) AS si",
+        "sum(score) AS ss", "count(v) AS cv").collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 200L)
+    assert(r.getLong(2) == 200L * 201 / 2)
+    assert(r.getDouble(3) == (1 to 200).map(_ * 1.5).sum)
+    assert(r.getLong(4) == 200L)
+  }
+
+  test("partitioned CSV per-leaf stats are index-correct too (observeProjected)") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("metamixcsv").toString
+    (1L to 150L).map(i => (i, s"g${i % 3}", i * 2.0))
+      .toDF("id", "g", "score")
+      .repartition(2).write.format("graft-csv").partitionBy("g")
+      .mode("overwrite").save(out)
+    Files.walk(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv")).foreach { f =>
+        val fp = java.nio.file.Paths.get(f)
+        val len = Files.size(fp)
+        Files.write(fp, (("#" * (len.toInt - 1)) + "\n").getBytes("UTF-8"))
+        Files.deleteIfExists(fp.getParent.resolve("." + fp.getFileName + ".crc"))
+      }
+    val r = spark.read.format("graft-csv")
+      .schema("id LONG, score DOUBLE, g STRING").load(out)
+      .selectExpr("min(id) AS mn", "max(id) AS mx", "sum(score) AS ss").collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 150L)
+    assert(r.getDouble(2) == (1 to 150).map(_ * 2.0).sum)
+  }
+
   test("partitioned metadata-only COUNT rides the per-leaf sidecars") {
     val s = spark; import s.implicits._
     val out = dir.resolve("meta").toString
