@@ -85,6 +85,44 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     sb.toString
   }
 
+  test("random frames round-trip the sink with exact metadata batteries") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(0x51DE0CA2)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(150)
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+         if (rng.nextInt(6) == 0) null
+         else BigDecimal(rng.nextInt(2000000) - 1000000, 2).bigDecimal,
+         if (rng.nextInt(7) == 0) null
+         else java.lang.Double.valueOf(rng.nextDouble() * 2000 - 1000),
+         if (rng.nextInt(5) == 0) null else s"s${rng.nextInt(1000)}")
+      }
+      val df = rows.toDF("id", "amt", "score", "tag")
+        .select($"id", $"amt".cast("decimal(12,2)").as("amt"), $"score", $"tag")
+      val out = dir.resolve(s"sink$trial").toString
+      df.repartition(1 + rng.nextInt(3))
+        .write.format("graft-json").mode("overwrite").save(out)
+
+      val battery = Seq(
+        min("id"), max("id"), sum("id"), count(col("id")),
+        min("amt"), max("amt"), sum("amt"),
+        min("score"), max("score"),
+        min("tag"), max("tag"), count(col("tag")), count(lit(1)))
+      val got = spark.read.format("graft-json")
+        .schema("id LONG, amt DECIMAL(12,2), score DOUBLE, tag STRING")
+        .load(out).agg(battery.head, battery.tail: _*).collect()(0)
+      val want = df.agg(battery.head, battery.tail: _*).collect()(0)
+      (0 until got.length).foreach { c =>
+        (got.get(c), want.get(c)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(math.abs(a - b) <= math.ulp(b) * 64, s"trial $trial col $c: $a vs $b")
+          case (a, b) => assert(a == b, s"trial $trial col $c: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("gzip and zstd reads equal the plain read on random corpora") {
     val rng = new scala.util.Random(0xC0DEC5)
     for (trial <- 1 to 3) {
