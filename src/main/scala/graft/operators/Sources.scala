@@ -706,5 +706,72 @@ object Sources {
             FROM orders
             WHERE o_orderpriority = '1-URGENT'"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86)
+  // ---------------------------------------------------------------- q87
+  // Bloom-filter sidecars: a HASH-partitioned layout gives every file the
+  // full key range, so min/max stats prune nothing for `key IN (...)` —
+  // the per-column bloom in the sidecar answers "definitely not in this
+  // file" and drops the others at planning time (the parquet-bloom /
+  // Delta-bloom-index analog for JSON corpora). DataSkippingSpec pins the
+  // pruning counts, saturation drop, and no-false-negative property;
+  // exactness is oracle-checked here.
+  private val q87 = GQuery(
+    "q87_bloom_skipping",
+    "sidecar bloom filters: hash-layout sink write + point-lookup pruned scan",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q87_orders_hashed"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(4, $"o_orderkey")
+        .write.format("graft-json").mode("overwrite").save(out)
+      s.read.format("graft-json").load(out)
+        .filter($"o_orderkey".isin(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000000007L))
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 1000000007)"""))
+
+  // ---------------------------------------------------------------- q88
+  // Dynamic FILE pruning: SupportsRuntimeFiltering now reports data
+  // columns, so a join's build-side key set — known only at EXECUTION
+  // time — prunes fact files through the sidecar ranges and blooms before
+  // any task launches (the Delta/Iceberg dynamic-file-pruning shape; at
+  // 100 TB this is "read the files the dim keys admit", not the corpus).
+  // The dim is a real filtered scan so DPP's selectivity check engages;
+  // correctness is oracle-checked against the same join in DuckDB.
+  private val q88 = GQuery(
+    "q88_runtime_file_pruning",
+    "join-key runtime filtering prunes sink-written fact files via sidecar stats",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q88_orders_hashed"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(4, $"o_orderkey")
+        .write.format("graft-json").mode("overwrite").save(out)
+      val fact = s.read.format("graft-json").load(out)
+      val dim = Tables(s, d, "orders")
+        .filter($"o_orderkey" <= 7L && $"o_orderpriority" =!= "")
+        .select($"o_orderkey".as("k"), $"o_orderpriority")
+      fact.join(broadcast(dim), $"o_orderkey" === $"k")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderkey <= 7 AND o_orderpriority <> ''
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88)
 }

@@ -45,6 +45,123 @@ object FileStats {
   /** Bound on stored string min/max bytes (parquet's default is 64). */
   val MaxStringStatBytes = 64
 
+  /** Bloom filter sizing: 64 Kbit (8 KiB) per tracked column, 4 probes.
+    * At k=4 a bloom stays useful (≤ 50% load, FPR ≤ 6.25%) up to ~11k
+    * distinct values per file; past that [[FileStatsCollector.snapshot]]
+    * drops it rather than ship a filter that can no longer prune.
+    */
+  val BloomBits: Int = 1 << 16
+  val BloomK: Int = 4
+
+  /** Values longer than this disable the column's bloom: whole-document
+    * text columns would pay per-row hashing for a filter nobody ever
+    * equality-probes (ids, hashes, domains, categories are all short).
+    */
+  val MaxBloomValueBytes: Int = 128
+
+  /** A per-column bloom filter over the file's non-null values — the
+    * point-lookup complement to min/max ranges: a hash-partitioned or
+    * unsorted layout gives every file the full [min, max] span, so range
+    * stats prune nothing for `key = v` / `key IN (...)`, while the bloom
+    * answers "definitely not in this file" for exactly those filters
+    * (the same role parquet bloom filters / Delta bloom indexes play).
+    * Double hashing (Kirsch–Mitzenmacher): probe i = h1 + i·h2 mod bits.
+    */
+  final case class Bloom(k: Int, bits: Array[Long]) {
+    def numBits: Int = bits.length << 6
+    def mightContain(h: (Long, Long)): Boolean = {
+      val m = numBits
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h._1 + i.toLong * h._2, m).toInt
+        if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+    /** Fraction of set bits — the saturation measure. */
+    def load: Double =
+      bits.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w)).toDouble / numBits
+  }
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Hash pair for an integral value (no byte materialization). */
+  def bloomHashLong(v: Long): (Long, Long) = {
+    val h1 = fmix64(v ^ 0xcbf29ce484222325L)
+    (h1, fmix64(h1 ^ 0x9e3779b97f4a7c15L) | 1L)
+  }
+
+  /** Hash pair for a string value's UTF-8 bytes (FNV-1a then finalize). */
+  def bloomHashBytes(b: Array[Byte]): (Long, Long) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    val h1 = fmix64(h)
+    (h1, fmix64(h1 ^ 0x9e3779b97f4a7c15L) | 1L)
+  }
+
+  /** Hash pair for a filter literal against a column of `kind`; null when
+    * the literal's type does not canonically map onto the column's value
+    * space (then the bloom must not be consulted). Integral literals use
+    * the Long hash (matching the writer's inserts); string literals hash
+    * their UTF-8 bytes.
+    */
+  def bloomHashes(kind: Char, v: Any): (Long, Long) = kind match {
+    case 'i' => v match {
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        bloomHashLong(n.asInstanceOf[java.lang.Number].longValue)
+      case _ => null
+    }
+    case 's' => v match {
+      case u: UTF8String => bloomHashBytes(u.getBytes)
+      case s: String => bloomHashBytes(s.getBytes("UTF-8"))
+      case _ => null
+    }
+    case _ => null
+  }
+
+  /** True when the bloom PROVES no row of the file can satisfy the
+    * filter: every (non-null) equality probe is definitely absent. Only
+    * equality shapes consult the bloom — ranges stay with min/max. A
+    * null literal never matches any row under IN/=, so all-null sets
+    * prune correctly; an unmappable literal type keeps the file.
+    */
+  def bloomExcludes(c: ColStats, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    if (c.bloom == null) return false
+    def absent(v: Any): Boolean = v != null && {
+      val h = bloomHashes(c.kind, v)
+      h != null && !c.bloom.mightContain(h)
+    }
+    f match {
+      case org.apache.spark.sql.sources.EqualTo(_, v) => absent(v)
+      case org.apache.spark.sql.sources.EqualNullSafe(_, v) => v != null && absent(v)
+      case org.apache.spark.sql.sources.In(_, vs) =>
+        vs.nonEmpty && vs.forall(v => v == null || absent(v))
+      case _ => false
+    }
+  }
+
+  private def longsToBytes(ls: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(ls.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(ls)
+    bb.array()
+  }
+
+  private def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](b.length / 8)
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+
   /** One column's stats. kind: 'i' integral (Long), 'f' floating (Double),
     * 's' string (UTF8String), 'b' boolean, 'd' decimal
     * (java.math.BigDecimal). min/max null = no non-null values observed.
@@ -58,7 +175,8 @@ object FileStats {
     * piece-splits those).
     */
   final case class ColStats(kind: Char, nulls: Long, min: Any, max: Any,
-      minExact: Boolean = true, maxExact: Boolean = true, sum: Any = null)
+      minExact: Boolean = true, maxExact: Boolean = true, sum: Any = null,
+      bloom: Bloom = null)
 
   /** dataLen -1 = unknown (legacy sidecar without a `len` line). */
   final case class Stats(rows: Long, cols: Map[String, ColStats], dataLen: Long = -1L)
@@ -131,6 +249,16 @@ object FileStats {
       case _ => null
     }
 
+  /** Attach parsed bloom lines to their columns (a bloom for an unknown
+    * column is dropped — it can only have come from a corrupt sidecar).
+    */
+  private def withBlooms(cols: Map[String, ColStats],
+      blooms: Map[String, Bloom]): Map[String, ColStats] =
+    if (blooms.isEmpty) cols
+    else cols.map { case (n, c) =>
+      n -> blooms.get(n).map(b => c.copy(bloom = b)).getOrElse(c)
+    }
+
   private def renderBody(sb: StringBuilder, stats: Stats): Unit = {
     sb.append("rows\t").append(stats.rows).append('\n')
     if (stats.dataLen >= 0) sb.append("len\t").append(stats.dataLen).append('\n')
@@ -141,6 +269,10 @@ object FileStats {
         .append('\t').append(encodeValue(c.kind, c.max, c.maxExact))
         .append('\t').append(encodeSum(c.kind, c.sum))
         .append('\n')
+      if (c.bloom != null)
+        sb.append("bloom\t").append(b64(name)).append('\t').append(c.bloom.k)
+          .append('\t').append(b64Bytes(longsToBytes(c.bloom.bits)))
+          .append('\n')
     }
   }
 
@@ -175,8 +307,9 @@ object FileStats {
       var rows = -1L
       var dlen = -1L
       var cols = Map.newBuilder[String, ColStats]
+      var blooms = Map.newBuilder[String, Bloom]
       def flush(): Unit = if (name != null && rows >= 0) {
-        out += name -> Stats(rows, cols.result(), dlen)
+        out += name -> Stats(rows, withBlooms(cols.result(), blooms.result()), dlen)
       }
       lines.drop(1).foreach { line =>
         val p = line.split("\t", -1)
@@ -185,6 +318,7 @@ object FileStats {
             flush()
             name = unb64(p(1)); rows = -1L; dlen = -1L
             cols = Map.newBuilder[String, ColStats]
+            blooms = Map.newBuilder[String, Bloom]
           case "rows" => rows = p(1).toLong
           case "len" => dlen = p(1).toLong
           case "col" =>
@@ -193,6 +327,9 @@ object FileStats {
               kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
               minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"),
               sum = if (p.length > 6) decodeSum(kind, p(6)) else null)
+          case "bloom" =>
+            blooms += unb64(p(1)) -> Bloom(p(2).toInt,
+              bytesToLongs(java.util.Base64.getDecoder.decode(p(3))))
           case _ => ()
         }
       }
@@ -232,6 +369,7 @@ object FileStats {
       var rows = -1L
       var len = -1L
       val cols = Map.newBuilder[String, ColStats]
+      val blooms = Map.newBuilder[String, Bloom]
       lines.drop(1).foreach { line =>
         val p = line.split("\t", -1)
         p(0) match {
@@ -243,10 +381,14 @@ object FileStats {
               kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
               minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"),
               sum = if (p.length > 6) decodeSum(kind, p(6)) else null)
+          case "bloom" =>
+            blooms += unb64(p(1)) -> Bloom(p(2).toInt,
+              bytesToLongs(java.util.Base64.getDecoder.decode(p(3))))
           case _ => () // forward-compatible: unknown lines ignored
         }
       }
-      if (rows < 0) None else Some(Stats(rows, cols.result(), len))
+      if (rows < 0) None
+      else Some(Stats(rows, withBlooms(cols.result(), blooms.result()), len))
     } catch { case _: Exception => None }
   }
 
@@ -328,7 +470,25 @@ private[spark] final class FileStatsCollector(schema: StructType) {
   private val lovf = new Array[Boolean](tracked.length)
   private val dsums = new Array[Double](tracked.length)
   private val bsums = new Array[java.math.BigDecimal](tracked.length)
+  // per-column blooms for equality pruning: integral + string kinds only
+  // (range kinds keep min/max; floats/decimals have no canonical equality
+  // bytes worth the cost). A column goes bloom-dead on the first value
+  // past MaxBloomValueBytes — whole-document text columns never pay.
+  private val blooms: Array[Array[Long]] = tracked.map { case (_, _, kind) =>
+    if (kind == 'i' || kind == 's') new Array[Long](BloomBits >>> 6) else null
+  }
+  private val bloomDead = new Array[Boolean](tracked.length)
   private var rows = 0L
+
+  @inline private def bloomAdd(t: Int, h: (Long, Long)): Unit = {
+    val arr = blooms(t)
+    var i = 0
+    while (i < BloomK) {
+      val bit = java.lang.Long.remainderUnsigned(h._1 + i.toLong * h._2, BloomBits).toInt
+      arr(bit >>> 6) |= 1L << (bit & 63)
+      i += 1
+    }
+  }
 
   private def cmp(kind: Char, a: Any, b: Any): Int = kind match {
     case 'i' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -382,10 +542,15 @@ private[spark] final class FileStatsCollector(schema: StructType) {
             val b = v.asInstanceOf[Long]
             val s = a + b
             if (((a ^ s) & (b ^ s)) < 0) lovf(t) = true else lsums(t) = s
+            if (!bloomDead(t)) bloomAdd(t, bloomHashLong(b))
           case 'f' => dsums(t) += v.asInstanceOf[Double]
           case 'd' =>
             val bd = v.asInstanceOf[java.math.BigDecimal]
             bsums(t) = if (bsums(t) == null) bd else bsums(t).add(bd)
+          case 's' if !bloomDead(t) =>
+            val u = v.asInstanceOf[UTF8String]
+            if (u.numBytes > MaxBloomValueBytes) bloomDead(t) = true
+            else bloomAdd(t, bloomHashBytes(u.getBytes))
           case _ => ()
         }
       }
@@ -418,6 +583,14 @@ private[spark] final class FileStatsCollector(schema: StructType) {
           case 'd' => bsums(t)
           case _ => null
         }
-      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum)
+      // a saturated bloom (load > 0.5 ⇒ FPR > 6%) prunes ~nothing but
+      // costs sidecar bytes and probe time on every scan: drop it
+      val bloom: Bloom =
+        if (blooms(t) == null || bloomDead(t) || nonNull(t) == 0) null
+        else {
+          val b = Bloom(BloomK, blooms(t))
+          if (b.load > 0.5) null else b
+        }
+      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum, bloom)
     }.toMap, dataLen)
 }

@@ -647,21 +647,42 @@ final class GraftScan(
     if (countStar) GraftScan.CountSchema
     else aggSpec.map(_.outputSchema).getOrElse(schema)
 
-  // ---- runtime filtering: DSv2 dynamic partition pruning. Spark feeds
-  // the build side's join-key values (an In filter) into the scan at
-  // EXECUTION time; files whose hive partition value definitely fails
-  // are dropped before any task launches — the v2 analog of DPP, and at
-  // 100 TB the difference between scanning one date partition and all of
-  // them when the date set only materializes from a dimension join.
+  // ---- runtime filtering: DSv2 dynamic partition pruning, extended to
+  // DATA columns. Spark feeds the build side's join-key values (an In
+  // filter) into the scan at EXECUTION time; files that definitely hold
+  // no matching rows are dropped before any task launches. Partition
+  // columns prune on the directory value (classic DPP); stats-eligible
+  // data columns prune through the sidecar min/max AND bloom — dynamic
+  // FILE pruning, the Delta/Iceberg trick that turns "join 100 TB of
+  // facts against this week's dims" into "read the handful of files
+  // whose key ranges/blooms admit the dim keys". Files without sidecars
+  // are always kept, so this is purely subtractive.
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** Top-level atomic columns of the read schema — the kinds the sidecar
+    * stats track and FilterEval can evaluate (partition columns excluded:
+    * they prune on the directory value, not the sidecar).
+    */
+  private lazy val statsEligibleCols: Set[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.collect {
+      case f if (f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | StringType | BooleanType | _: DecimalType => true
+        case _ => false
+      }) => f.name
+    }.toSet -- listing.partCols
+  }
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    listing.partCols.map(c =>
+    (listing.partCols ++ statsEligibleCols.toSeq.sorted).distinct.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
 
   override def filter(fs: Array[Filter]): Unit =
     runtimeFilters = fs.filter(f =>
-      f.references.length == 1 && listing.partCols.contains(f.references.head))
+      f.references.length == 1 &&
+        (listing.partCols.contains(f.references.head) ||
+         statsEligibleCols.contains(f.references.head)))
 
   // ---- planning statistics: the (partition-pruned) byte size of the
   // listing, so Catalyst's join strategy sees a honest size for graft
@@ -774,14 +795,18 @@ final class GraftScan(
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
     if (!options.getBoolean("dataskipping", true)) return files
-    val dataFilters = FilterEval.normalize(filters.filter(f =>
+    // runtime filters participate: a join's key In-set arriving at
+    // execution time prunes data files exactly like a static pushed
+    // filter would (planInputPartitions re-runs this after filter())
+    val dataFilters = FilterEval.normalize((filters ++ runtimeFilters).filter(f =>
       f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     if (dataFilters.isEmpty) return files
     val kept = files.filterNot { f =>
       sidecarStats(f.path, f.len).exists { st =>
         dataFilters.exists { flt =>
           st.cols.get(flt.references.head).exists(c =>
-            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows))
+            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows) ||
+              FileStats.bloomExcludes(c, flt))
         }
       }
     }

@@ -418,4 +418,154 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val short = UTF8String.fromString("abc")
     assert(truncatePrefix(short, 64) eq short)
   }
+
+  // ---- bloom sidecars (round 6): point-lookup pruning where ranges fail
+
+  /** Hash layout with holes: even ids only, 4 files each spanning ~the
+    * whole [0, 7998] range — min/max prunes nothing for an equality
+    * probe, so any pruning below is the bloom's doing.
+    */
+  private def writeHashed(): String = {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("hashed").toString
+    (0L until 4000L).map(i => (i * 2, s"name-${i * 2}", i / 10.0))
+      .toDF("id", "name", "score")
+      .repartition(4, $"id")
+      .write.format("graft-json").mode("overwrite").save(out)
+    out
+  }
+
+  test("bloom sidecars prune point lookups that min/max cannot") {
+    val out = writeHashed()
+
+    // integral equality: the key lives in exactly one file
+    GraftScan.lastStatsPruned.set(-1)
+    val one = spark.read.format("graft-json").load(out).filter(col("id") === 2468L)
+    assert(one.collect().map(_.getAs[Long]("id")).toSeq == Seq(2468L))
+    assert(GraftScan.lastStatsPruned.get == 3,
+      s"expected 3 of 4 files bloom-pruned, got ${GraftScan.lastStatsPruned.get}")
+
+    // a value inside every file's [min, max] but present nowhere (odd id):
+    // blooms prune ALL files, zero tasks
+    GraftScan.lastStatsPruned.set(-1)
+    assert(spark.read.format("graft-json").load(out)
+      .filter(col("id") === 1233L).count() == 0)
+    assert(GraftScan.lastStatsPruned.get == 4)
+
+    // string equality probe
+    GraftScan.lastStatsPruned.set(-1)
+    assert(spark.read.format("graft-json").load(out)
+      .filter(col("name") === "name-7700").count() == 1)
+    assert(GraftScan.lastStatsPruned.get == 3)
+
+    // IN set: files containing neither key are pruned (777 is absent
+    // everywhere, 2468 lives in one file)
+    GraftScan.lastStatsPruned.set(-1)
+    val in = spark.read.format("graft-json").load(out)
+      .filter(col("id").isin(2468L, 777L)).collect()
+    assert(in.map(_.getAs[Long]("id")).toSeq == Seq(2468L))
+    assert(GraftScan.lastStatsPruned.get == 3)
+
+    // pruning off → same answers, no pruning
+    GraftScan.lastStatsPruned.set(-1)
+    assert(spark.read.format("graft-json").option("dataskipping", "false")
+      .load(out).filter(col("id") === 2468L).count() == 1)
+    assert(GraftScan.lastStatsPruned.get == -1)
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("saturated blooms are dropped; long string values disable the column's bloom") {
+    val s = spark; import s.implicits._
+    // 20k distinct values > the ~11k useful capacity at 64 Kbit / k=4:
+    // snapshot must drop the bloom rather than ship a saturated filter
+    val satOut = dir.resolve("sat").toString
+    (0L until 20000L).map(i => (i, i.toString)).toDF("id", "name")
+      .coalesce(1)
+      .write.format("graft-json").mode("overwrite").save(satOut)
+    val satSidecar = Files.list(dir.resolve("sat")).toArray.map(_.toString)
+      .filter(_.endsWith(".stats")).head
+    val satText = new String(Files.readAllBytes(java.nio.file.Paths.get(satSidecar)), "UTF-8")
+    assert(!satText.contains("bloom\t"), "saturated bloom must be dropped")
+    // correctness unaffected (min/max still present)
+    assert(spark.read.format("graft-json").load(satOut)
+      .filter(col("id") === 19999L).count() == 1)
+
+    // a document-length string kills that COLUMN's bloom only
+    val docOut = dir.resolve("docs").toString
+    Seq((1L, "short"), (2L, "x" * 300), (3L, "tail"))
+      .toDF("id", "body").coalesce(1)
+      .write.format("graft-json").mode("overwrite").save(docOut)
+    val docSidecar = Files.list(dir.resolve("docs")).toArray.map(_.toString)
+      .filter(_.endsWith(".stats")).head
+    val docText = new String(Files.readAllBytes(java.nio.file.Paths.get(docSidecar)), "UTF-8")
+    assert(docText.contains("bloom\t" + b64("id")), "id bloom expected")
+    assert(!docText.contains("bloom\t" + b64("body")), "body bloom must be disabled")
+  }
+
+  test("blooms round-trip through sidecar and manifest codecs; no false negatives") {
+    import FileStats._
+    val bits = new Array[Long](BloomBits >>> 6)
+    val bloom = Bloom(BloomK, bits)
+    val values = (0L until 500L).map(_ * 31 + 7)
+    values.foreach { v =>
+      val h = bloomHashLong(v)
+      var i = 0
+      while (i < BloomK) {
+        val bit = java.lang.Long.remainderUnsigned(h._1 + i.toLong * h._2, BloomBits).toInt
+        bits(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    val st = Stats(500L, Map(
+      "k" -> ColStats('i', 0, 7L, 15476L, sum = java.lang.Long.valueOf(3870250L),
+        bloom = bloom)), dataLen = 123L)
+    val rt = parse(render(st)).get
+    val rb = rt.cols("k").bloom
+    assert(rb != null && rb.k == BloomK && rb.bits.toSeq == bits.toSeq)
+    values.foreach(v => assert(rb.mightContain(bloomHashLong(v)), s"false negative for $v"))
+
+    // manifest path preserves the bloom line too
+    val mf = parseManifest(renderManifest(Seq("part-1.jsonl" -> render(st)))).get
+    val mb = mf("part-1.jsonl").cols("k").bloom
+    assert(mb != null && mb.bits.toSeq == bits.toSeq)
+
+    // bloomExcludes: equality shapes only, conservative on type mismatch
+    import org.apache.spark.sql.sources._
+    val c = rt.cols("k")
+    assert(bloomExcludes(c, EqualTo("k", 8L)), "8 was never inserted")
+    assert(!bloomExcludes(c, EqualTo("k", 7L)), "7 was inserted")
+    assert(bloomExcludes(c, In("k", Array[Any](8L, null, 9L))))
+    assert(!bloomExcludes(c, In("k", Array[Any](8L, 38L)))) // 38 = 31+7 present
+    assert(!bloomExcludes(c, EqualTo("k", "8"))) // type mismatch: keep
+    assert(!bloomExcludes(c, GreaterThan("k", 99999L))) // ranges never consult
+  }
+
+  test("runtime file pruning: a join's key set prunes data files via sidecar blooms") {
+    val s = spark; import s.implicits._
+    val out = writeHashed()
+    val fact = spark.read.format("graft-json").load(out)
+    // the dim must be a real scan + Filter for DPP's selectivity check
+    val dimPath = dir.resolve("bloom-dim").toString
+    Seq((2468L, "keep"), (4000L, "keep"), (9999L, "other"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    GraftScan.lastRuntimePruned.set(-1)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100000")
+    try {
+      val joined = fact.join(broadcast(dim), col("id") === col("k"))
+      val ids = joined.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(2468L, 4000L))
+      // 2 keys live in at most 2 of the 4 files: the rest were dropped at
+      // execution time without a task
+      assert(GraftScan.lastRuntimePruned.get >= 2,
+        s"runtime file pruning did not engage (got ${GraftScan.lastRuntimePruned.get}):\n" +
+          joined.queryExecution.executedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
 }

@@ -141,9 +141,31 @@ object StatsPruneProps extends Properties("StatsPrune") {
       case 'd' => Gen.option(genDecimal.map(identity[Any]))
       case _ => Gen.const(None)
     }
+    bloomVals <- kind match { // blooms exist for 'i'/'s' kinds only
+      case 'i' => Gen.option(Gen.listOfN(8, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+      case 's' => Gen.option(Gen.listOfN(8, Gen.alphaNumStr.map(_.take(10))))
+      case _ => Gen.const(None)
+    }
   } yield FileStats.ColStats(kind, nulls, mn.orNull, mx.orNull,
     minExact = !(inexact && mn.isDefined), maxExact = !(inexact && mx.isDefined),
-    sum = sum.orNull)
+    sum = sum.orNull,
+    bloom = bloomVals.map { vs =>
+      val bits = new Array[Long](FileStats.BloomBits >>> 6)
+      vs.foreach { v =>
+        val h = v match {
+          case l: Long => FileStats.bloomHashLong(l)
+          case s: String => FileStats.bloomHashBytes(s.getBytes("UTF-8"))
+        }
+        var i = 0
+        while (i < FileStats.BloomK) {
+          val bit = java.lang.Long.remainderUnsigned(
+            h._1 + i.toLong * h._2, FileStats.BloomBits).toInt
+          bits(bit >>> 6) |= 1L << (bit & 63)
+          i += 1
+        }
+      }
+      FileStats.Bloom(FileStats.BloomK, bits)
+    }.orNull)
 
   private val genStats: Gen[FileStats.Stats] = for {
     rows <- Gen.chooseNum(0L, 1000000L)
@@ -163,6 +185,36 @@ object StatsPruneProps extends Properties("StatsPrune") {
   // numeric (NaN != NaN) and would fail spuriously on identical stats
   private def sameStats(a: FileStats.Stats, b: FileStats.Stats): Boolean =
     FileStats.render(a) == FileStats.render(b)
+
+  // Bloom soundness: a value actually inserted is NEVER reported absent —
+  // the false-negative direction is the one that loses rows (a false
+  // positive just keeps a file). Checked across the codec round trip so
+  // serialization can't corrupt the bit positions.
+  property("blooms never report an inserted value absent (across the codec)") =
+    forAll(Gen.listOfN(40, Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (ins, probe) =>
+      val bits = new Array[Long](FileStats.BloomBits >>> 6)
+      ins.foreach { v =>
+        val h = FileStats.bloomHashLong(v)
+        var i = 0
+        while (i < FileStats.BloomK) {
+          val bit = java.lang.Long.remainderUnsigned(
+            h._1 + i.toLong * h._2, FileStats.BloomBits).toInt
+          bits(bit >>> 6) |= 1L << (bit & 63)
+          i += 1
+        }
+      }
+      val st = FileStats.Stats(ins.length.toLong, Map("c" -> FileStats.ColStats(
+        'i', 0, ins.min: java.lang.Long, ins.max: java.lang.Long,
+        bloom = FileStats.Bloom(FileStats.BloomK, bits))), 1L)
+      val c = FileStats.parse(FileStats.render(st)).get.cols("c")
+      val inserted = Prop.all(ins.map(v =>
+        Prop(!FileStats.bloomExcludes(c, EqualTo("c", v))) :| s"false negative: $v"): _*)
+      // an excluded probe must genuinely be absent from the inserted set
+      val probeSound = Prop(
+        !FileStats.bloomExcludes(c, EqualTo("c", probe)) || !ins.contains(probe))
+      inserted && probeSound
+    }
 
   property("sidecar render/parse is the identity") =
     forAll(genStats) { st =>
