@@ -13,6 +13,8 @@ final case class PooledFrame(
     doc_id: Long, source: String, q00: Long, q01: Long, q10: Long, q11: Long)
 final case class PixelImage(doc_id: Long, source: String, png: Array[Byte])
 final case class PixelSum(doc_id: Long, source: String, n_px: Long, px_sum: Long)
+final case class AudioMeta(doc_id: Long, source: String, dur_us: Long,
+    frames: Long, n_bytes: Long, channels: Int)
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
@@ -756,6 +758,75 @@ object Pipeline {
                    CAST(sum(s) AS BIGINT) AS pixel_sum
             FROM px GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- q89
+  // Multimodal AUDIO lane: media as an opaque binary column decoded by a
+  // REAL RIFF/WAV walker ([[graft.functions.AudioHeaders]] — little-
+  // endian chunk framing, odd-size pad bytes, unknown-chunk skipping,
+  // fmt/data field extraction per the RIFF spec, validated against the
+  // JDK's javax.sound.sampled reader in AudioHeadersSpec). Each document
+  // fabricates a structurally valid PCM WAV whose rate/channels/frames/
+  // LIST-chunk size derive from its own fields; the oracle recomputes
+  // duration, container byte length (incl. the odd-chunk pad), and
+  // sample counts from the same formulas — a walker that misread any
+  // size field breaks the hash match. Shape at 100 TB: header-only
+  // metadata extraction reads a few dozen bytes per object; sample-level
+  // DSP (rmsAndPeak) slots into the same mapPartitions batch and is
+  // covered by the spec.
+  private val q89 = GQuery(
+    "q89_multimodal_audio",
+    "binary audio column + real RIFF/WAV header walk: duration/bytes/sample audit",
+    (s, d) => {
+      import s.implicits._
+      val wavs = T(s, d, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"source",
+          $"n_chars".cast("long").as("nc"))
+        .as[(Long, String, Long)]
+        .mapPartitions { rows =>
+          rows.map { case (id, src, nc) =>
+            val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+            val ch = 1 + (id % 2).toInt
+            val frames = (nc % 500 + 100).toInt
+            val lb = (id % 9).toInt // odd sizes exercise the pad byte
+            MediaRow(id, src,
+              graft.functions.AudioHeaders.syntheticWav(rate, ch, frames, lb))
+          }
+        }
+      val meta = wavs.mapPartitions { rows =>
+        // real decode: walk the RIFF chunks, read the fmt/data fields —
+        // one decoder per partition (batch shape), header bytes only
+        rows.map { m =>
+          val info = graft.functions.AudioHeaders.decodeWav(m.media)
+            .getOrElse(throw new IllegalArgumentException(
+              s"undecodable wav for doc ${m.doc_id}"))
+          AudioMeta(m.doc_id, m.source, info.durationMicros, info.frames,
+            m.media.length.toLong, info.channels)
+        }
+      }
+      meta.toDF()
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_audio"),
+          sum($"dur_us").as("total_dur_us"),
+          sum($"n_bytes").as("total_bytes"),
+          sum($"frames" * $"channels").as("total_samples"))
+        .orderBy($"source")
+    },
+    Some("""WITH p AS (
+              SELECT source,
+                     CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS rate,
+                     1 + doc_id % 2 AS ch,
+                     n_chars % 500 + 100 AS frames,
+                     doc_id % 9 AS lb
+              FROM documents)
+            SELECT source, count(*) AS n_audio,
+                   CAST(sum(frames * 1000000 // rate) AS BIGINT) AS total_dur_us,
+                   CAST(sum(44 + frames * ch * 2 +
+                            CASE WHEN lb > 0 THEN 8 + lb + lb % 2 ELSE 0 END)
+                        AS BIGINT) AS total_bytes,
+                   CAST(sum(frames * ch) AS BIGINT) AS total_samples
+            FROM p GROUP BY source ORDER BY source"""))
+
   // ---------------------------------------------------------------- q60
   // True Generator UDTF (SURVEY §2.11 UDF/UDAF/UDTF row): word_shingles
   // streams one (pos, shingle) row per 3-word window straight out of the
@@ -1157,5 +1228,5 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85)
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89)
 }
