@@ -773,5 +773,96 @@ object Sources {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88)
+  // ---------------------------------------------------------------- q90
+  // Storage-partitioned join: two hive-partitioned sink layouts report
+  // KeyGroupedPartitioning (each split carries its typed directory key),
+  // so with spark.sql.sources.v2.bucketing.enabled the per-side
+  // group-bys on the partition column AND the join between them plan
+  // with ZERO exchanges — at 100 TB, co-partitioned corpora aggregate
+  // and merge file-against-file with no shuffle at all (SpjOrderingSpec
+  // pins the plan shapes, incl. the sort-free raw-scan merge join).
+  // Exactness is oracle-checked against the equivalent DuckDB join.
+  private val q90 = GQuery(
+    "q90_storage_partitioned_join",
+    "co-partitioned sink layouts: shuffle-free group-bys + zero-exchange join",
+    (s, d) => {
+      import s.implicits._
+      val outA = s"$fixtureDir/q90_orders_pa"
+      val outB = s"$fixtureDir/q90_orders_pb"
+      val src = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      src.write.format("graft-json").partitionBy("o_orderpriority")
+        .mode("overwrite").save(outA)
+      src.write.format("graft-json").partitionBy("o_orderpriority")
+        .mode("overwrite").save(outB)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val fa = s.read.format("graft-json")
+          .schema("o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING")
+          .load(outA)
+          .groupBy($"o_orderpriority")
+          .agg(round(sum($"o_totalprice"), 2).as("price_sum"))
+        val fb = s.read.format("graft-json")
+          .schema("o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING")
+          .load(outB)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), max($"o_orderkey").as("max_key"))
+        // eager localCheckpoint: the SPJ plan must MATERIALIZE while the
+        // conf is set (DataFrames are lazy; unsetting first would replan
+        // without SPJ) and later consumers must not depend on it
+        fa.join(fb, "o_orderpriority").orderBy($"o_orderpriority")
+          .select($"o_orderpriority", $"price_sum", $"n", $"max_key")
+          .localCheckpoint(true)
+      } finally s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    },
+    Some("""WITH a AS (
+              SELECT o_orderpriority, round(sum(o_totalprice), 2) AS price_sum
+              FROM orders GROUP BY o_orderpriority),
+            b AS (
+              SELECT o_orderpriority, count(*) AS n, max(o_orderkey) AS max_key
+              FROM orders GROUP BY o_orderpriority)
+            SELECT a.o_orderpriority AS o_orderpriority, price_sum, n,
+                   CAST(max_key AS BIGINT) AS max_key
+            FROM a JOIN b ON a.o_orderpriority = b.o_orderpriority
+            ORDER BY a.o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q91
+  // Z-order clustered layout (api.TrainingData.zorderBy — the Delta
+  // OPTIMIZE ZORDER analog): interleaved rank-normalized bits give BOTH
+  // listed columns partially-tight per-file ranges, so filters on either
+  // one prune files through the sidecars (a linear sort only ever prunes
+  // its own column — DataSkippingSpec proves the contrast and the
+  // pruning counts). The layout never affects results, which is exactly
+  // what the oracle checks: both dimension filters recompute identically
+  // from the unclustered source table.
+  private val q91 = GQuery(
+    "q91_zorder_skipping",
+    "z-order clustered sink write: multi-column data skipping, result-identical layout",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q91_orders_zorder"
+      graft.api.TrainingData.zorderBy(
+        Tables(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        8, Seq("o_orderkey", "o_custkey"), bits = 6)
+        .write.format("graft-json").mode("overwrite").save(out)
+      val t = s.read.format("graft-json").load(out)
+      val byKey = t.filter($"o_orderkey" <= 1500)
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("p"))
+        .select(lit("by_key").as("dim"), $"n", $"p")
+      val byCust = t.filter($"o_custkey" <= 150)
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("p"))
+        .select(lit("by_cust").as("dim"), $"n", $"p")
+      byKey.unionAll(byCust).orderBy($"dim")
+    },
+    Some("""SELECT 'by_cust' AS dim, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS p
+            FROM orders WHERE o_custkey <= 150
+            UNION ALL
+            SELECT 'by_key' AS dim, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS p
+            FROM orders WHERE o_orderkey <= 1500
+            ORDER BY dim"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91)
 }

@@ -174,9 +174,15 @@ object FileStats {
     * or an integral sum that left the Long range (the parse fallback
     * piece-splits those).
     */
+  /** `sorted` = the file's WRITE order is ascending-nulls-first on this
+    * column (nulls, if any, all precede the first non-null value, and
+    * non-null values never decrease) — exactly Spark's default ASC
+    * NULLS FIRST SortOrder, so a scan over such files may report a
+    * per-partition output ordering and downstream sorts are elided.
+    */
   final case class ColStats(kind: Char, nulls: Long, min: Any, max: Any,
       minExact: Boolean = true, maxExact: Boolean = true, sum: Any = null,
-      bloom: Bloom = null)
+      bloom: Bloom = null, sorted: Boolean = false)
 
   /** dataLen -1 = unknown (legacy sidecar without a `len` line). */
   final case class Stats(rows: Long, cols: Map[String, ColStats], dataLen: Long = -1L)
@@ -268,6 +274,7 @@ object FileStats {
         .append('\t').append(encodeValue(c.kind, c.min, c.minExact))
         .append('\t').append(encodeValue(c.kind, c.max, c.maxExact))
         .append('\t').append(encodeSum(c.kind, c.sum))
+        .append('\t').append(if (c.sorted) "a" else "-")
         .append('\n')
       if (c.bloom != null)
         sb.append("bloom\t").append(b64(name)).append('\t').append(c.bloom.k)
@@ -326,7 +333,8 @@ object FileStats {
             cols += unb64(p(1)) -> ColStats(
               kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
               minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"),
-              sum = if (p.length > 6) decodeSum(kind, p(6)) else null)
+              sum = if (p.length > 6) decodeSum(kind, p(6)) else null,
+              sorted = p.length > 7 && p(7) == "a")
           case "bloom" =>
             blooms += unb64(p(1)) -> Bloom(p(2).toInt,
               bytesToLongs(java.util.Base64.getDecoder.decode(p(3))))
@@ -380,7 +388,8 @@ object FileStats {
             cols += unb64(p(1)) -> ColStats(
               kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
               minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"),
-              sum = if (p.length > 6) decodeSum(kind, p(6)) else null)
+              sum = if (p.length > 6) decodeSum(kind, p(6)) else null,
+              sorted = p.length > 7 && p(7) == "a")
           case "bloom" =>
             blooms += unb64(p(1)) -> Bloom(p(2).toInt,
               bytesToLongs(java.util.Base64.getDecoder.decode(p(3))))
@@ -478,6 +487,10 @@ private[spark] final class FileStatsCollector(schema: StructType) {
     if (kind == 'i' || kind == 's') new Array[Long](BloomBits >>> 6) else null
   }
   private val bloomDead = new Array[Boolean](tracked.length)
+  // write-order sortedness (ASC NULLS FIRST): prev non-null value per
+  // column; cleared on any decrease or on a null AFTER a non-null
+  private val prevs = new Array[Any](tracked.length)
+  private val unsorted = new Array[Boolean](tracked.length)
   private var rows = 0L
 
   @inline private def bloomAdd(t: Int, h: (Long, Long)): Unit = {
@@ -513,8 +526,11 @@ private[spark] final class FileStatsCollector(schema: StructType) {
     while (t < tracked.length) {
       val (si, _, kind) = tracked(t)
       val i = if (proj == null) si else proj(si)
-      if (row.isNullAt(i)) nulls(t) += 1
-      else {
+      if (row.isNullAt(i)) {
+        nulls(t) += 1
+        // NULLS FIRST: a null after any non-null value breaks the order
+        if (nonNull(t) > 0) unsorted(t) = true
+      } else {
         val v: Any = kind match {
           case 'i' => schema.fields(si).dataType match {
             case LongType => row.getLong(i)
@@ -535,6 +551,10 @@ private[spark] final class FileStatsCollector(schema: StructType) {
         }
         if (mins(t) == null || cmp(kind, v, mins(t)) < 0) mins(t) = v
         if (maxs(t) == null || cmp(kind, v, maxs(t)) > 0) maxs(t) = v
+        if (!unsorted(t)) {
+          if (prevs(t) != null && cmp(kind, v, prevs(t)) < 0) unsorted(t) = true
+          else prevs(t) = v
+        }
         nonNull(t) += 1
         kind match {
           case 'i' =>
@@ -591,6 +611,7 @@ private[spark] final class FileStatsCollector(schema: StructType) {
           val b = Bloom(BloomK, blooms(t))
           if (b.load > 0.5) null else b
         }
-      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum, bloom)
+      name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum, bloom,
+        sorted = !unsorted(t))
     }.toMap, dataLen)
 }

@@ -289,7 +289,15 @@ final case class GraftInputPartition(
     start: Long,
     end: Long, // exclusive byte-range end (rows realign executor-side)
     fileLen: Long,
-    partValues: Array[String] = Array.empty) extends InputPartition
+    partValues: Array[String] = Array.empty,
+    // typed hive-partition key (partCols order) — set only when the scan
+    // reports KeyGroupedPartitioning; Spark consults it to group co-
+    // partitioned splits for storage-partitioned joins
+    partKey: InternalRow = null)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = partKey
+}
 
 // ====================================================================== JSON
 
@@ -641,7 +649,9 @@ final class GraftScan(
     topNLimit: Int = -1)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType =
     if (countStar) GraftScan.CountSchema
@@ -702,6 +712,103 @@ final class GraftScan(
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   override def toBatch: Batch = this
+
+  // ---- reported partitioning: the hive layout IS a physical clustering
+  // on the partition columns, so the scan reports KeyGroupedPartitioning
+  // over them (each split carries its typed directory key). With
+  // spark.sql.sources.v2.bucketing.enabled, Spark then groups splits by
+  // key and plans joins/aggregations on the partition columns WITHOUT a
+  // shuffle — the storage-partitioned-join shape: at 100 TB, two corpora
+  // partitioned by the same key merge-join file-against-file, and a
+  // group-by on the partition key aggregates in place. Guarded by the
+  // same conf Spark itself requires, so default behavior is unchanged.
+  private def v2BucketingOn: Boolean =
+    try SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    catch { case _: Exception => false }
+
+  /** Typed key row for a file's partition values (partCols order); null
+    * when any value fails to convert — then partitioning is not reported.
+    */
+  private def typedPartKey(pv: Array[String]): InternalRow = {
+    if (pv.length != listing.partCols.length) return null
+    val vals = new Array[Any](pv.length)
+    var i = 0
+    while (i < pv.length) {
+      if (pv(i) == null) return null // null partition: refuse, stay unknown
+      val v = Conversions.fromString(partTypes(listing.partCols(i)), pv(i))
+      if (v == null) return null
+      vals(i) = v
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def canReportPartitioning(files: Seq[GraftSources.ListedFile]): Boolean =
+    listing.partCols.nonEmpty && v2BucketingOn && files.nonEmpty &&
+      // the clustering expressions must resolve against the scan OUTPUT:
+      // a projection that drops a partition column drops the claim
+      listing.partCols.forall(c => schema.fieldNames.contains(c)) &&
+      files.forall(f => typedPartKey(f.partValues) != null)
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val pf = prunedFiles
+    if (canReportPartitioning(pf)) {
+      val distinctKeys = pf.map(_.partValues.toSeq).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        listing.partCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]).toArray,
+        distinctKeys)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
+
+  // ---- reported ordering: partition columns are CONSTANT within every
+  // input partition (trivially sorted), and a data column whose sidecars
+  // all carry the write-order `sorted` flag extends the lexicographic
+  // prefix — so scans over sorted sink output expose ASC NULLS FIRST
+  // per-partition ordering and Spark elides the local sorts that
+  // merge-joins and sort-based operators would otherwise insert.
+  // Conservative by construction: any file without a trusted sidecar, or
+  // any unsorted column, drops the claim (wrong ordering would mean wrong
+  // results, so absence of evidence reports nothing).
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    if (!options.getBoolean("reportordering", true)) return Array.empty
+    if (aggSpec.isDefined || countStar || topN != null) return Array.empty
+    val pf = prunedFiles
+    if (pf.isEmpty) return Array.empty
+    def asc(c: String) = Expressions.sort(
+      Expressions.column(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+    val partOrd: Seq[String] =
+      if (listing.partCols.nonEmpty &&
+          // sort expressions must resolve against the scan output
+          listing.partCols.forall(c => schema.fieldNames.contains(c)) &&
+          pf.forall(_.partValues.length == listing.partCols.length))
+        listing.partCols
+      else Nil
+    // first schema column sorted in EVERY file (sidecar-attested); the
+    // probe short-circuits on the first sidecar-less file so stats-less
+    // listings pay one existence check, not one per file
+    val dataOrd: Option[String] = {
+      var stats = List.empty[FileStats.Stats]
+      var covered = true
+      val it = pf.iterator
+      while (covered && it.hasNext) {
+        val f = it.next()
+        sidecarStats(f.path, f.len) match {
+          case Some(s) => stats ::= s
+          case None => covered = false
+        }
+      }
+      if (!covered) None
+      else schema.fields.iterator.map(_.name)
+        .filterNot(listing.partCols.contains)
+        .find(c => stats.forall(_.cols.get(c).exists(_.sorted)))
+    }
+    (partOrd ++ dataOrd.toSeq).map(asc).toArray
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -834,18 +941,22 @@ final class GraftScan(
       (countStar || aggSpec.exists(GraftAggMeta.eligible)) &&
         options.getBoolean("dataskipping", true) &&
         "fail".equalsIgnoreCase(options.getOrDefault("badrecords", "fail"))
+    // storage-partitioned reads: stamp each split's typed directory key
+    // so Spark can group co-partitioned splits (HasPartitionKey)
+    val stampKeys = canReportPartitioning(pf)
     pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
+      val key = if (stampKeys) typedPartKey(pv) else null
       // a pushed OFFSET requires one partition in file order (the builder
       // already guaranteed a single file; never split it); compressed
       // members are inherently unsplittable
       if (GraftSources.isCompressed(p))
-        Seq(GraftSources.wholeFilePartition(p, len, pv))
+        Seq(GraftSources.wholeFilePartition(p, len, pv).copy(partKey = key))
       else if (!splittable || offset >= 0 || len <= maxSplit ||
           (metaAggCandidate && sidecarStats(p, len).isDefined))
-        Seq(GraftInputPartition(p, 0, len, len, pv))
+        Seq(GraftInputPartition(p, 0, len, len, pv, key))
       else
         (0L until len by maxSplit).map { start =>
-          GraftInputPartition(p, start, math.min(start + maxSplit, len), len, pv)
+          GraftInputPartition(p, start, math.min(start + maxSplit, len), len, pv, key)
         }
     }.toArray
   }
