@@ -336,4 +336,73 @@ object TrainingData {
       .select(col(qidCol), col("rank").cast("long").as("rank"),
         col(idCol).as("neighbor"), col("cos"))
   }
+
+  /** Single-column clustering for data skipping: range-partition into
+    * ~`numFiles` files and sort within each, so sink-written files carry
+    * TIGHT disjoint min/max ranges (every range filter on `col` prunes
+    * to one file's worth of data) and the write-order `sorted` flag
+    * (the scan then reports per-partition ordering). The layout pass is
+    * one shuffle — amortized over every later filtered read.
+    */
+  def clusterForSkipping(df: DataFrame, numFiles: Int, colName: String): DataFrame =
+    df.repartitionByRange(numFiles, col(colName)).sortWithinPartitions(colName)
+
+  /** Z-order (Morton) clustering for MULTI-column data skipping — the
+    * Delta `OPTIMIZE ZORDER BY` analog. A linear sort gives tight file
+    * ranges on ONE column and useless full-span ranges on every other;
+    * interleaving the bits of rank-normalized column values gives every
+    * listed column partially-tight ranges, so filters on ANY of them
+    * prune files through the stats sidecars.
+    *
+    * Mechanics: per-column approxQuantile cut points (driver traffic =
+    * cols × 2^bits doubles — small by construction) rank-normalize each
+    * value to a `bits`-bit bucket id; ids interleave into a Morton code;
+    * rows range-partition + sort by it. The bucket lookup is a binary
+    * search over a broadcast cut array inside a scalar UDF — a
+    * deliberate exception to the functions-not-UDFs rule: this is a
+    * WRITE-TIME layout pass, run once per corpus rewrite, where the
+    * per-row log2(2^bits) comparisons are noise against the shuffle.
+    * Numeric columns only (quantiles define the rank space); the layout
+    * never affects query RESULTS, only how well files prune.
+    */
+  def zorderBy(df: DataFrame, numFiles: Int, cols: Seq[String],
+      bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "at least one z-order column")
+    require(bits >= 1 && bits <= 16, s"bits $bits outside [1, 16]")
+    require(cols.size * bits <= 62, s"${cols.size} cols × $bits bits exceeds a Long")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    // one pass per column; 0.005 relative error is plenty for bucketing
+    val cuts: Seq[Array[Double]] =
+      cols.map(c => df.stat.approxQuantile(c, probs, 0.005))
+    val bucketOf = udf { (v: java.lang.Double, ci: Int) =>
+      if (v == null) 0
+      else {
+        val a = cuts(ci)
+        val i = java.util.Arrays.binarySearch(a, v)
+        if (i >= 0) i + 1 else -(i + 1) // first bucket whose cut >= v
+      }
+    }
+    // interleave: output bit (j*cols + ci) takes bucket bit j of column ci
+    val morton = udf { (buckets: Seq[Int]) =>
+      var z = 0L
+      var j = 0
+      while (j < bits) {
+        var ci = 0
+        while (ci < buckets.length) {
+          if (((buckets(ci) >> j) & 1) == 1) z |= 1L << (j * buckets.length + ci)
+          ci += 1
+        }
+        j += 1
+      }
+      z
+    }
+    val zc = "__graft_z"
+    df.withColumn(zc, morton(array(
+        cols.zipWithIndex.map { case (c, i) =>
+          bucketOf(col(c).cast("double"), lit(i)) }: _*)))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
 }

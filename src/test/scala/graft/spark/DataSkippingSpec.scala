@@ -542,6 +542,43 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!bloomExcludes(c, GreaterThan("k", 99999L))) // ranges never consult
   }
 
+  test("z-order clustering prunes on every listed column; linear sort only on its own") {
+    val s = spark; import s.implicits._
+    // two independent uniform dimensions: under a linear sort on x, every
+    // file spans the full y range and y-filters prune nothing
+    val src = (0L until 4096L).map { i =>
+      (i, (i * 2654435761L) % 4096L, ((i * 40503L) + 7) % 4096L)
+    }.toDF("id", "x", "y")
+
+    val linear = dir.resolve("lin").toString
+    src.repartitionByRange(8, $"x").sortWithinPartitions("x")
+      .write.format("graft-json").mode("overwrite").save(linear)
+    val zord = dir.resolve("zord").toString
+    graft.api.TrainingData.zorderBy(src, 8, Seq("x", "y"), bits = 6)
+      .write.format("graft-json").mode("overwrite").save(zord)
+
+    def prunedFor(path: String, c: String): (Long, Int) = {
+      GraftScan.lastStatsPruned.set(-1)
+      val n = spark.read.format("graft-json").load(path)
+        .filter(col(c) >= 100 && col(c) < 200).count()
+      (n, GraftScan.lastStatsPruned.get.toInt)
+    }
+    val expectX = src.filter($"x" >= 100 && $"x" < 200).count()
+    val expectY = src.filter($"y" >= 100 && $"y" < 200).count()
+
+    val (lx, lxPruned) = prunedFor(linear, "x")
+    val (ly, lyPruned) = prunedFor(linear, "y")
+    assert(lx == expectX && ly == expectY)
+    assert(lxPruned >= 6, s"linear sort must prune its own column (got $lxPruned)")
+    assert(lyPruned == 0, s"linear sort cannot prune the other column (got $lyPruned)")
+
+    val (zx, zxPruned) = prunedFor(zord, "x")
+    val (zy, zyPruned) = prunedFor(zord, "y")
+    assert(zx == expectX && zy == expectY)
+    assert(zxPruned >= 1 && zyPruned >= 1,
+      s"z-order must prune on BOTH dimensions (x: $zxPruned, y: $zyPruned)")
+  }
+
   test("runtime file pruning: a join's key set prunes data files via sidecar blooms") {
     val s = spark; import s.implicits._
     val out = writeHashed()
