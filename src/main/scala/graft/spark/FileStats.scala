@@ -452,8 +452,16 @@ object FileStats {
 /** Streaming min/max/null collector over InternalRows for the sinks. Only
   * top-level atomic columns participate; everything else is skipped (the
   * sidecar simply omits them).
+  *
+  * `nonFiniteAsNull`: the JSON serializer writes NaN/±Infinity as `null`
+  * (JSON has no literals for them), so the JSON writers' collectors must
+  * count those values as nulls — stats describe the FILE, not the
+  * in-memory rows, or metadata-only COUNT/SUM answers diverge from what
+  * a parse would return. The CSV writer emits `NaN`/`Infinity` tokens
+  * that its reader parses back, so CSV collectors keep the values.
   */
-private[spark] final class FileStatsCollector(schema: StructType) {
+private[spark] final class FileStatsCollector(schema: StructType,
+    nonFiniteAsNull: Boolean = false) {
   import FileStats._
 
   // (field index, name, kind) for supported columns
@@ -526,7 +534,15 @@ private[spark] final class FileStatsCollector(schema: StructType) {
     while (t < tracked.length) {
       val (si, _, kind) = tracked(t)
       val i = if (proj == null) si else proj(si)
-      if (row.isNullAt(i)) {
+      // JSON writers serialize non-finite floats as null: mirror that
+      val asNull = row.isNullAt(i) || (nonFiniteAsNull && kind == 'f' && {
+        val d = schema.fields(si).dataType match {
+          case DoubleType => row.getDouble(i)
+          case FloatType => row.getFloat(i).toDouble
+        }
+        java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)
+      })
+      if (asNull) {
         nulls(t) += 1
         // NULLS FIRST: a null after any non-null value breaks the order
         if (nonNull(t) > 0) unsorted(t) = true

@@ -315,7 +315,9 @@ final class GraftJsonDataWriter(
         case _ => base
       }
     }
-    val stats = new FileStatsCollector(dataSchema)
+    // nonFiniteAsNull: this writer serializes NaN/±Inf as JSON null —
+    // the stats must describe the file, not the in-memory rows
+    val stats = new FileStatsCollector(dataSchema, nonFiniteAsNull = true)
 
     /** Atomic publish + bound sidecar; returns (file, rendered stats). */
     def publish(): (String, String) = {

@@ -542,6 +542,33 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!bloomExcludes(c, GreaterThan("k", 99999L))) // ranges never consult
   }
 
+  test("non-finite doubles: JSON sidecar stats describe the FILE (NaN/Inf → null)") {
+    val s = spark; import s.implicits._
+    // the JSON serializer writes NaN/±Inf as null — the collector must
+    // count them as nulls or metadata COUNT/SUM answers diverge from a
+    // parse (found by design review; pinned here)
+    val out = dir.resolve("nonfinite").toString
+    Seq(
+      (1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, 2.5), (5L, Double.NegativeInfinity), (6L, Double.NaN))
+      .toDF("id", "d").coalesce(1)
+      .write.format("graft-json").mode("overwrite").save(out)
+
+    def answers(skipping: Boolean): (Long, Long, Double, Double, Double) = {
+      val r = spark.read.format("graft-json")
+        .schema("id LONG, d DOUBLE")
+        .option("dataskipping", skipping.toString).load(out)
+        .agg(count(lit(1)).as("n"), count($"d").as("nd"),
+          sum($"d").as("sd"), min($"d").as("mn"), max($"d").as("mx"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    val meta = answers(skipping = true)   // metadata-only battery
+    val parse = answers(skipping = false) // ground truth: parse the file
+    assert(meta == parse, s"metadata $meta != parse $parse")
+    assert(parse == ((6L, 2L, 4.0, 1.5, 2.5)))
+  }
+
   test("z-order clustering prunes on every listed column; linear sort only on its own") {
     val s = spark; import s.implicits._
     // two independent uniform dimensions: under a linear sort on x, every
