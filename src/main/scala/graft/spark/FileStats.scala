@@ -133,6 +133,17 @@ object FileStats {
     * null literal never matches any row under IN/=, so all-null sets
     * prune correctly; an unmappable literal type keeps the file.
     */
+  /** Filters whose shape a bloom can answer — the gate for paying a
+    * per-file sidecar read when the manifest (bloom-less by design)
+    * served the range stats.
+    */
+  def bloomEligible(f: org.apache.spark.sql.sources.Filter): Boolean = f match {
+    case org.apache.spark.sql.sources.EqualTo(_, _) => true
+    case org.apache.spark.sql.sources.In(_, _) => true
+    case org.apache.spark.sql.sources.EqualNullSafe(_, v) => v != null
+    case _ => false
+  }
+
   def bloomExcludes(c: ColStats, f: org.apache.spark.sql.sources.Filter): Boolean = {
     if (c.bloom == null) return false
     def absent(v: Any): Boolean = v != null && {
@@ -291,15 +302,22 @@ object FileStats {
 
   /** Render a manifest from per-file rendered sidecar contents (as
     * produced by [[render]]) — the commit messages carry the rendered
-    * text, so no reparse happens on the driver.
+    * text, so no reparse happens on the driver. BLOOM LINES ARE
+    * STRIPPED: a bloom is ~11 KB of base64 per column per file, which
+    * would turn the "one small read per directory" manifest into tens
+    * of MB at thousands of files; ranges/counts/sums stay here, blooms
+    * stay in the per-file sidecars and are consulted lazily — only for
+    * equality-shaped filters, only for files the ranges kept (where one
+    * small read can still cancel a whole task).
     */
   def renderManifest(entries: Seq[(String, String)]): String = {
     val sb = new StringBuilder("graft-manifest v1\n")
     entries.sortBy(_._1).foreach { case (name, rendered) =>
       sb.append("entry\t").append(b64(name)).append('\n')
-      // strip the per-file version line; keep the body lines verbatim
-      val nl = rendered.indexOf('\n')
-      if (nl >= 0) sb.append(rendered.substring(nl + 1))
+      // strip the per-file version line; keep body lines minus blooms
+      rendered.linesIterator.drop(1).foreach { line =>
+        if (!line.startsWith("bloom\t")) sb.append(line).append('\n')
+      }
     }
     sb.toString
   }
@@ -453,15 +471,20 @@ object FileStats {
   * top-level atomic columns participate; everything else is skipped (the
   * sidecar simply omits them).
   *
-  * `nonFiniteAsNull`: the JSON serializer writes NaN/±Infinity as `null`
-  * (JSON has no literals for them), so the JSON writers' collectors must
-  * count those values as nulls — stats describe the FILE, not the
-  * in-memory rows, or metadata-only COUNT/SUM answers diverge from what
-  * a parse would return. The CSV writer emits `NaN`/`Infinity` tokens
-  * that its reader parses back, so CSV collectors keep the values.
+  * Stats must describe the FILE, not the in-memory rows, or
+  * metadata-only COUNT/SUM/MIN/MAX answers and sorted-flag claims
+  * diverge from what a parse returns. Two serializer lossy spots:
+  * `nonFiniteAsNull` — the JSON serializer writes NaN/±Infinity as
+  * `null` (JSON has no literals for them; the CSV writer emits
+  * `NaN`/`Infinity` tokens its reader parses back, so CSV keeps them);
+  * `emptyStringsAsNull` — the CSV dialect reads an empty cell as NULL
+  * (Spark/DuckDB parity), and an empty string writes as an empty cell,
+  * so the CSV collectors must count empty strings as nulls (JSON
+  * round-trips `""` exactly, so JSON keeps them).
   */
 private[spark] final class FileStatsCollector(schema: StructType,
-    nonFiniteAsNull: Boolean = false) {
+    nonFiniteAsNull: Boolean = false,
+    emptyStringsAsNull: Boolean = false) {
   import FileStats._
 
   // (field index, name, kind) for supported columns
@@ -534,14 +557,18 @@ private[spark] final class FileStatsCollector(schema: StructType,
     while (t < tracked.length) {
       val (si, _, kind) = tracked(t)
       val i = if (proj == null) si else proj(si)
-      // JSON writers serialize non-finite floats as null: mirror that
-      val asNull = row.isNullAt(i) || (nonFiniteAsNull && kind == 'f' && {
-        val d = schema.fields(si).dataType match {
-          case DoubleType => row.getDouble(i)
-          case FloatType => row.getFloat(i).toDouble
-        }
-        java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)
-      })
+      // mirror the serializer's lossy spots: JSON nulls non-finite
+      // floats; the CSV dialect reads empty cells (= empty strings on
+      // the way out) as null
+      val asNull = row.isNullAt(i) ||
+        (nonFiniteAsNull && kind == 'f' && {
+          val d = schema.fields(si).dataType match {
+            case DoubleType => row.getDouble(i)
+            case FloatType => row.getFloat(i).toDouble
+          }
+          java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)
+        }) ||
+        (emptyStringsAsNull && kind == 's' && row.getUTF8String(i).numBytes == 0)
       if (asNull) {
         nulls(t) += 1
         // NULLS FIRST: a null after any non-null value breaks the order

@@ -658,7 +658,9 @@ final class GraftCsvDataWriter(
         case _ => base
       }
     }
-    val stats = new FileStatsCollector(dataSchema)
+    // emptyStringsAsNull: this dialect's reader parses empty cells as
+    // NULL, and empty strings write as empty cells — stats must agree
+    val stats = new FileStatsCollector(dataSchema, emptyStringsAsNull = true)
     if (header) {
       sb.setLength(0)
       var i = 0

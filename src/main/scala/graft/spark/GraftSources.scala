@@ -899,6 +899,24 @@ final class GraftScan(
         .filter(st => st.dataLen >= 0 && st.dataLen == listedLen)
         .orElse(FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p))
     })
+  // blooms live ONLY in per-file sidecars (the manifest strips them to
+  // stay a small read); this cache pays that one extra read lazily —
+  // only for equality-shaped filters, only for files the ranges kept
+  private val fileSidecarCache =
+    scala.collection.mutable.HashMap.empty[String, Option[FileStats.Stats]]
+  private def bloomColStats(path: String, colName: String)
+      : Option[FileStats.ColStats] = {
+    // a manifest-less listing already served the per-file sidecar (with
+    // blooms) through sidecarStats; reuse it before reading again
+    statsCache.get(path).flatten.flatMap(_.cols.get(colName))
+      .filter(_.bloom != null)
+      .orElse {
+        val p = new Path(path)
+        fileSidecarCache.getOrElseUpdate(path,
+          FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p))
+          .flatMap(_.cols.get(colName)).filter(_.bloom != null)
+      }
+  }
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
     if (!options.getBoolean("dataskipping", true)) return files
@@ -911,9 +929,13 @@ final class GraftScan(
     val kept = files.filterNot { f =>
       sidecarStats(f.path, f.len).exists { st =>
         dataFilters.exists { flt =>
-          st.cols.get(flt.references.head).exists(c =>
-            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows) ||
-              FileStats.bloomExcludes(c, flt))
+          val colName = flt.references.head
+          st.cols.get(colName).exists(c =>
+            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows)) ||
+            // point lookups the ranges kept: one lazy per-file sidecar
+            // read for the bloom (manifests are bloom-less by design)
+            (FileStats.bloomEligible(flt) &&
+              bloomColStats(f.path, colName).exists(FileStats.bloomExcludes(_, flt)))
         }
       }
     }

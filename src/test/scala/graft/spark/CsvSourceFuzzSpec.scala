@@ -124,4 +124,54 @@ class CsvSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             got.diff(want).take(3).mkString("graft-only: ", " | ", "")))
     }
   }
+
+  test("csv sink metadata batteries agree with a parse of the file") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(0xC5F00D)
+    for (trial <- 1 to 4) {
+      val n = 40 + rng.nextInt(120)
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+         rng.nextInt(7) match {
+           case 0 => null
+           // empty cells read back as NULL in this dialect: the
+           // collector must count empty strings as nulls (the
+           // emptyStringsAsNull bug hid here)
+           case 1 => ""
+           case _ => s"v${rng.nextInt(500)}"
+         },
+         rng.nextInt(10) match {
+           case 0 => null
+           // CSV NaN/Infinity tokens round-trip (unlike JSON)
+           case 1 => java.lang.Double.valueOf(Double.NaN)
+           case _ => java.lang.Double.valueOf(rng.nextDouble() * 1000 - 500)
+         })
+      }
+      val df = rows.toDF("id", "tag", "score")
+      val out = dir.resolve(s"sink$trial").toString
+      df.repartition(1 + rng.nextInt(3))
+        .write.format("graft-csv").mode("overwrite").save(out)
+
+      val battery = Seq(
+        min("id"), max("id"), sum("id"), count(col("id")),
+        min("tag"), max("tag"), count(col("tag")),
+        min("score"), max("score"), count(col("score")), count(lit(1)))
+      def readBack(skipping: Boolean) = spark.read.format("graft-csv")
+        .schema("id LONG, tag STRING, score DOUBLE")
+        .option("dataskipping", skipping.toString)
+        .load(out).agg(battery.head, battery.tail: _*).collect()(0)
+      // ground truth = parse of the written file (the dialect is lossy
+      // for "" → NULL; the metadata must describe the file)
+      val got = readBack(skipping = true)
+      val want = readBack(skipping = false)
+      (0 until got.length).foreach { c =>
+        (got.get(c), want.get(c)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert((a.isNaN && b.isNaN) || math.abs(a - b) <= math.ulp(b) * 64,
+              s"trial $trial col $c: $a vs $b")
+          case (a, b) => assert(a == b, s"trial $trial col $c: $a vs $b")
+        }
+      }
+    }
+  }
 }

@@ -526,10 +526,16 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rb != null && rb.k == BloomK && rb.bits.toSeq == bits.toSeq)
     values.foreach(v => assert(rb.mightContain(bloomHashLong(v)), s"false negative for $v"))
 
-    // manifest path preserves the bloom line too
-    val mf = parseManifest(renderManifest(Seq("part-1.jsonl" -> render(st)))).get
-    val mb = mf("part-1.jsonl").cols("k").bloom
-    assert(mb != null && mb.bits.toSeq == bits.toSeq)
+    // manifests STRIP blooms by design (they'd be tens of MB at scale);
+    // ranges/counts survive, and the scan consults the per-file sidecar
+    // lazily for point lookups (the pruning tests above prove that path:
+    // batch writes produce manifests, yet bloom pruning still engages)
+    val mfText = renderManifest(Seq("part-1.jsonl" -> render(st)))
+    assert(!mfText.contains("bloom\t"), "manifest must not embed blooms")
+    val mf = parseManifest(mfText).get
+    assert(mf("part-1.jsonl").cols("k").bloom == null)
+    assert(mf("part-1.jsonl").cols("k").min == java.lang.Long.valueOf(7L))
+    assert(mf("part-1.jsonl").rows == 500L)
 
     // bloomExcludes: equality shapes only, conservative on type mismatch
     import org.apache.spark.sql.sources._
@@ -567,6 +573,32 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val parse = answers(skipping = false) // ground truth: parse the file
     assert(meta == parse, s"metadata $meta != parse $parse")
     assert(parse == ((6L, 2L, 4.0, 1.5, 2.5)))
+  }
+
+  test("CSV empty strings: sidecar stats agree with the empty-cell-as-NULL dialect") {
+    val s = spark; import s.implicits._
+    // the CSV reader parses empty cells as NULL (Spark/DuckDB parity)
+    // and empty strings serialize AS empty cells — the collector must
+    // count them as nulls or metadata COUNT/MIN and the sorted flag
+    // describe rows the parse never returns
+    val out = dir.resolve("csvempty").toString
+    Seq((1L, ""), (2L, "alpha"), (3L, ""), (4L, "beta"))
+      .toDF("id", "t").coalesce(1)
+      .write.format("graft-csv").mode("overwrite").save(out)
+
+    def answers(skipping: Boolean): (Long, Long, String, String) = {
+      val r = spark.read.format("graft-csv")
+        .schema("id LONG, t STRING")
+        .option("dataskipping", skipping.toString).load(out)
+        .agg(count(lit(1)).as("n"), count($"t").as("nt"),
+          min($"t").as("mn"), max($"t").as("mx"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+    }
+    val meta = answers(skipping = true)
+    val parse = answers(skipping = false)
+    assert(meta == parse, s"metadata $meta != parse $parse")
+    assert(parse == ((4L, 2L, "alpha", "beta")))
   }
 
   test("z-order clustering prunes on every listed column; linear sort only on its own") {

@@ -94,9 +94,21 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         (i.toLong,
          if (rng.nextInt(6) == 0) null
          else BigDecimal(rng.nextInt(2000000) - 1000000, 2).bigDecimal,
-         if (rng.nextInt(7) == 0) null
-         else java.lang.Double.valueOf(rng.nextDouble() * 2000 - 1000),
-         if (rng.nextInt(5) == 0) null else s"s${rng.nextInt(1000)}")
+         rng.nextInt(14) match {
+           // non-finite values serialize as JSON null: the metadata
+           // battery must agree with a PARSE of the file (the
+           // nonFiniteAsNull collector bug hid here)
+           case 0 => null
+           case 1 => java.lang.Double.valueOf(Double.NaN)
+           case 2 => java.lang.Double.valueOf(Double.PositiveInfinity)
+           case 3 => java.lang.Double.valueOf(Double.NegativeInfinity)
+           case _ => java.lang.Double.valueOf(rng.nextDouble() * 2000 - 1000)
+         },
+         rng.nextInt(6) match {
+           case 0 => null
+           case 1 => "" // JSON round-trips empty strings exactly
+           case _ => s"s${rng.nextInt(1000)}"
+         })
       }
       val df = rows.toDF("id", "amt", "score", "tag")
         .select($"id", $"amt".cast("decimal(12,2)").as("amt"), $"score", $"tag")
@@ -107,12 +119,17 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val battery = Seq(
         min("id"), max("id"), sum("id"), count(col("id")),
         min("amt"), max("amt"), sum("amt"),
-        min("score"), max("score"),
+        min("score"), max("score"), count(col("score")), sum("score"),
         min("tag"), max("tag"), count(col("tag")), count(lit(1)))
-      val got = spark.read.format("graft-json")
+      def readBack(skipping: Boolean) = spark.read.format("graft-json")
         .schema("id LONG, amt DECIMAL(12,2), score DOUBLE, tag STRING")
+        .option("dataskipping", skipping.toString)
         .load(out).agg(battery.head, battery.tail: _*).collect()(0)
-      val want = df.agg(battery.head, battery.tail: _*).collect()(0)
+      // ground truth is a PARSE of the written file, not the in-memory
+      // frame — the serializer is allowed to be lossy (NaN/Inf → null);
+      // the sidecar metadata is not allowed to disagree with the file
+      val got = readBack(skipping = true)
+      val want = readBack(skipping = false)
       (0 until got.length).foreach { c =>
         (got.get(c), want.get(c)) match {
           case (a: java.lang.Double, b: java.lang.Double) =>
