@@ -67,7 +67,7 @@ class CsvSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("dialect variants (delimiter, CRLF) read identically to spark.read.csv") {
     val rng = new scala.util.Random(0xD1A7EC7)
     val schema = "id LONG, s STRING, d DOUBLE, b BOOLEAN"
-    for (trial <- 1 to 4) {
+    for (trial <- 1 to 4 * SoakX.x) {
       val delim = Seq("|", ";", "\t")(rng.nextInt(3))
       val sep = Seq("\n", "\r\n")(rng.nextInt(2))
       val sb = new StringBuilder(s"id${delim}s${delim}d${delim}b$sep")
@@ -102,7 +102,7 @@ class CsvSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rng = new scala.util.Random(0xC5FF5EED)
     val schema = "id LONG, s STRING, d DOUBLE, b BOOLEAN"
     val projections = Seq(Seq("id", "s", "d", "b"), Seq("s", "id"), Seq("id", "d"))
-    for (trial <- 1 to 8) {
+    for (trial <- 1 to 8 * SoakX.x) {
       val p = dir.resolve(s"t$trial.csv")
       Files.write(p, corpus(rng, 120).getBytes(UTF_8))
       val proj = projections(rng.nextInt(projections.length))
@@ -128,7 +128,7 @@ class CsvSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("csv sink metadata batteries agree with a parse of the file") {
     val s = spark; import s.implicits._
     val rng = new scala.util.Random(0xC5F00D)
-    for (trial <- 1 to 4) {
+    for (trial <- 1 to 4 * SoakX.x) {
       val n = 40 + rng.nextInt(120)
       val rows = (1 to n).map { i =>
         (i.toLong,

@@ -88,7 +88,7 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("random frames round-trip the sink with exact metadata batteries") {
     val s = spark; import s.implicits._
     val rng = new scala.util.Random(0x51DE0CA2)
-    for (trial <- 1 to 5) {
+    for (trial <- 1 to 5 * SoakX.x) {
       val n = 50 + rng.nextInt(150)
       val rows = (1 to n).map { i =>
         (i.toLong,
@@ -195,7 +195,7 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     val projections = Seq(
       Seq("id", "s", "d", "b", "n", "a"),
       Seq("id"), Seq("s", "id"), Seq("n.x", "id"), Seq("d", "b"), Seq("a", "n.y"))
-    for (trial <- 1 to 10) {
+    for (trial <- 1 to 10 * SoakX.x) {
       val p = dir.resolve(s"t$trial.jsonl")
       Files.write(p, corpus(rng, 150).getBytes(UTF_8))
       val split = Seq("512", "4096", "1048576")(rng.nextInt(3))

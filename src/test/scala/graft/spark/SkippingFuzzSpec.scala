@@ -106,7 +106,7 @@ class SkippingFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).sorted.toSeq
 
   test("random layouts + random filters: pruned graft scan equals spark.read.json") {
-    (1 to 6).foreach { trial =>
+    (1 to 6 * SoakX.x).foreach { trial =>
       val rng = new scala.util.Random(0xC0FFEE + trial)
       val out = dir.resolve(s"t$trial").toString
       writeLayout(rng, mkFrame(rng, 250 + rng.nextInt(200)), out)
