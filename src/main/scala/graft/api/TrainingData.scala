@@ -337,6 +337,38 @@ object TrainingData {
         col(idCol).as("neighbor"), col("cos"))
   }
 
+  /** Small-file compaction — corpus maintenance for sink-written layouts
+    * (streaming epochs and fine-grained batch writes accumulate many
+    * small part files; scan planning, listing, and sidecar reads all pay
+    * per file). Reads the layout, re-partitions to ~`targetFileBytes`
+    * per output file (estimated from the INPUT listing's bytes — honest
+    * for uncompressed JSONL/CSV), optionally re-clusters on a column for
+    * data skipping, and rewrites through the same sink — which refreshes
+    * sidecars, blooms, and the per-directory manifest as a side effect.
+    * Writes to a NEW directory: rewriting a layout in place can never be
+    * atomic on a plain filesystem, so the caller swaps directories when
+    * ready (exactly how Delta/Iceberg compaction keeps readers safe —
+    * theirs swap a metadata pointer instead).
+    */
+  def compactLayout(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20,
+      format: String = "graft-json",
+      schema: String = null,
+      clusterBy: String = null): DataFrame = {
+    require(inPath != outPath, "compaction writes to a NEW directory")
+    val reader = spark.read.format(format)
+    val df = (if (schema != null) reader.schema(schema) else reader).load(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nOut = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)
+    val shaped =
+      if (clusterBy != null)
+        df.repartitionByRange(nOut, col(clusterBy)).sortWithinPartitions(clusterBy)
+      else df.repartition(nOut)
+    shaped.write.format(format).mode("overwrite").save(outPath)
+    spark.read.format(format).schema(df.schema).load(outPath)
+  }
+
   /** Single-column clustering for data skipping: range-partition into
     * ~`numFiles` files and sort within each, so sink-written files carry
     * TIGHT disjoint min/max ranges (every range filter on `col` prunes

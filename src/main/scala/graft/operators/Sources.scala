@@ -864,5 +864,41 @@ object Sources {
             FROM orders WHERE o_orderkey <= 1500
             ORDER BY dim"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91)
+  // ---------------------------------------------------------------- q92
+  // Small-file compaction (api.TrainingData.compactLayout): a layout
+  // fragmented into many tiny part files (the streaming-epoch shape)
+  // rewrites into few target-sized files through the same sink —
+  // refreshing sidecars, blooms, and the manifest as a side effect —
+  // optionally re-clustered for data skipping. The oracle checks the
+  // compaction moved NO data: the clustered rewrite answers exactly like
+  // the source table, and the filtered read prunes like q81's ranged
+  // layout (DataSkippingSpec asserts the file-count collapse).
+  private val q92 = GQuery(
+    "q92_compaction",
+    "small-file compaction through the sink: fragment -> few clustered files, data unmoved",
+    (s, d) => {
+      import s.implicits._
+      val frag = s"$fixtureDir/q92_orders_fragmented"
+      val out = s"$fixtureDir/q92_orders_compacted"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(16) // the many-small-files shape
+        .write.format("graft-json").mode("overwrite").save(frag)
+      graft.api.TrainingData.compactLayout(s, frag, out,
+        targetFileBytes = 1L << 20,
+        schema = "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE",
+        clusterBy = "o_orderkey")
+        .filter($"o_orderkey" <= 1500)
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders
+            WHERE o_orderkey <= 1500"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92)
 }

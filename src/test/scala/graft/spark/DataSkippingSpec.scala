@@ -638,6 +638,40 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order must prune on BOTH dimensions (x: $zxPruned, y: $zyPruned)")
   }
 
+  test("compaction collapses a fragmented layout into clustered, skippable files") {
+    val s = spark; import s.implicits._
+    val frag = dir.resolve("frag").toString
+    (0L until 3000L).map(i => (i, s"r-$i")).toDF("id", "tag")
+      .repartition(12)
+      .write.format("graft-json").mode("overwrite").save(frag)
+    def parts(p: String): Array[String] = Files.list(java.nio.file.Paths.get(p))
+      .toArray.map(_.toString).filter(f => f.endsWith(".jsonl"))
+    assert(parts(frag).length == 12)
+
+    val out = dir.resolve("compacted").toString
+    val back = graft.api.TrainingData.compactLayout(spark, frag, out,
+      targetFileBytes = 1L << 16, schema = "id LONG, tag STRING",
+      clusterBy = "id")
+    // ~48 KB of data at 64 KiB target → one file; clustered on id
+    assert(parts(out).length >= 1 && parts(out).length <= 2,
+      s"expected 1-2 compacted files, got ${parts(out).length}")
+    assert(back.count() == 3000)
+    // rewrite refreshed sidecars + manifest: ranged pruning works and
+    // the sorted flag survives into reported ordering
+    assert(Files.exists(java.nio.file.Paths.get(out, ".graft-manifest")))
+    val ord = spark.read.format("graft-json").load(out)
+      .queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.ordering
+      }.flatten
+    assert(ord.exists(_.nonEmpty), "clustered compaction output must report ordering")
+    // exact content parity with the fragmented source
+    val a = spark.read.format("graft-json").schema("id LONG, tag STRING")
+      .load(frag).collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("runtime file pruning: a join's key set prunes data files via sidecar blooms") {
     val s = spark; import s.implicits._
     val out = writeHashed()
