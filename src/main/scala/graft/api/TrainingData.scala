@@ -437,4 +437,66 @@ object TrainingData {
       .sortWithinPartitions(zc)
       .drop(zc)
   }
+
+  /** Connected components over an undirected edge list — the clustering
+    * step after a similarity join: near-duplicate candidate PAIRS (from
+    * [[minhashLshCandidates]], the n-gram Jaccard join, or an embedding
+    * bucket join) become duplicate CLUSTERS, so a pipeline can keep one
+    * canonical document per component rather than dropping only the
+    * pairwise-second of each pair (pairwise drops over-delete on
+    * transitive chains A~B~C).
+    *
+    * Algorithm: iterated hash-min label propagation. Every node starts
+    * labeled with its own id; each round every node takes the min of its
+    * label and its neighbors' labels, until a fixpoint. Rounds needed =
+    * graph diameter, each round one shuffle join + partial-aggregated
+    * min — near-dup graphs are small dense cliques (diameter 2–3), so a
+    * handful of rounds converges even at corpus scale; an adversarially
+    * long path graph would instead want the O(log n)-round star-
+    * contraction variant (same driver-loop skeleton). Each round CHECKPOINTS
+    * its label table — the label plan references itself twice per round
+    * (neighbor-min join + the carry join), so without truncation the
+    * LOGICAL plan doubles every round and the driver dies planning long
+    * before the data is big; checkpointing resets the lineage to a scan.
+    * A reliable checkpoint dir is used when the session has one
+    * (`sparkContext.setCheckpointDir` — survives executor loss, the
+    * production setting); otherwise executor-memory localCheckpoint.
+    * The convergence check is the per-round action.
+    *
+    * Returns (id, component) with component = min node id reachable;
+    * nodes with no edges stay singleton components labeled by their own
+    * id. Deterministic: min over an unordered set.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      maxRounds: Int = 25): DataFrame = {
+    val reliable = nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetric closure: the min label must flow both ways along an edge
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist(storage) // reused every round
+    var labels = snap(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+      val next = snap(labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
+      round += 1
+    }
+    sym.unpersist(false)
+    require(changed == 0,
+      s"connectedComponents: no fixpoint within $maxRounds rounds — " +
+        "the graph's diameter exceeds the round budget; raise maxRounds " +
+        "or pre-contract with the star-contraction variant")
+    labels
+  }
 }

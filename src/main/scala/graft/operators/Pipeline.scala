@@ -1228,5 +1228,65 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89)
+  // ---------------------------------------------------------------- q93
+  // Connected-components duplicate clustering: the step AFTER a similarity
+  // join — q32's candidate pairs become clusters (component = min reachable
+  // doc id), so dedup keeps one canonical doc per transitive chain A~B~C
+  // instead of over-deleting pairwise. Spark side: iterated hash-min label
+  // propagation (TrainingData.connectedComponents — one bounded-lineage
+  // shuffle join per round, rounds = diameter). Oracle: the same reachable
+  // set via a recursive CTE. Exact: integer ids, min over a set.
+  private val q93 = GQuery(
+    "q93_dedup_components",
+    "connected-components duplicate clustering over the n-gram similarity graph (iterated hash-min)",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val sh = docs.select($"doc_id",
+        explode(graft.api.TrainingData.wordShingles($"text", 3)).as("sh"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val edges = sh.as("x").join(sh.as("y"), Seq("sh"))
+        .filter($"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("src"), $"y.doc_id".as("dst"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("src"), $"n".as("na")), "src")
+        .join(sizes.select($"doc_id".as("dst"), $"n".as("nb")), "dst")
+        .filter(expr("(10000 * inter) DIV (na + nb - inter)") >= 1500)
+        .select($"src", $"dst")
+      graft.api.TrainingData.connectedComponents(
+          docs.select($"doc_id"), edges, idCol = "doc_id")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM sh x JOIN sh y USING (sh)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            sim AS (
+              SELECT doc_a, doc_b
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE (10000 * inter) // (sa.n + sb.n - inter) >= 1500),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM sim
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM sim),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach
+            GROUP BY id
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93)
 }

@@ -695,7 +695,135 @@ object Relational {
             GROUP BY event_type
             ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q94
+  // Full outer join: both sides keep unmatched rows (BUILDING customers
+  // with no F-status orders, and F-status customers outside BUILDING).
+  // Portable ANSI — one shared SQL string. Catalyst plans SortMergeJoin
+  // FullOuter; full outer cannot broadcast (both sides preserve), so the
+  // shuffle is inherent and keyed correctly.
+  private val q94Sql =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |       c.c_name,
+      |       o.n_orders,
+      |       o.total_f
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 2) AS total_f
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  GROUP BY o_custkey) o
+      |ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+  private val q94 = GQuery(
+    "q94_full_outer_join",
+    "full outer join (both sides preserved)",
+    (s, d) => { Tables.register(s, d, "customer", "orders"); s.sql(q94Sql) },
+    Some(q94Sql))
+
+  // ---------------------------------------------------------------- q95
+  // Unpivot/melt: wide measure columns to (measure, amount) rows via the
+  // relational unpivot operator (Spark's Unpivot logical node — the
+  // DataFrame.unpivot API); the oracle expresses the same result in the
+  // portable UNION ALL form.
+  private val q95 = GQuery(
+    "q95_unpivot_melt",
+    "unpivot/melt wide measures to long form",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .groupBy($"l_returnflag".as("rf"))
+        .agg(round(sum($"l_extendedprice"), 2).as("extendedprice"),
+          round(sum($"l_discount"), 2).as("discount"),
+          round(sum($"l_tax"), 2).as("tax"))
+        .unpivot(Array($"rf"),
+          Array($"extendedprice", $"discount", $"tax"), "measure", "amount")
+        .orderBy($"rf", $"measure")
+    },
+    Some("""WITH wide AS (
+              SELECT l_returnflag AS rf,
+                     round(sum(l_extendedprice), 2) AS extendedprice,
+                     round(sum(l_discount), 2) AS discount,
+                     round(sum(l_tax), 2) AS tax
+              FROM lineitem GROUP BY 1)
+            SELECT rf, measure, amount FROM (
+              SELECT rf, 'extendedprice' AS measure, extendedprice AS amount FROM wide
+              UNION ALL
+              SELECT rf, 'discount', discount FROM wide
+              UNION ALL
+              SELECT rf, 'tax', tax FROM wide) t
+            ORDER BY rf, measure"""))
+
+  // ---------------------------------------------------------------- q96
+  // Distribution window functions: ntile / percent_rank / cume_dist. The
+  // window ORDER includes the unique o_orderkey tiebreak, so every rank is
+  // a strict position and the IEEE divisions (rank-1)/(n-1), c/n evaluate
+  // over identical integers in both engines — bit-exact doubles, no
+  // rounding needed. Shared SQL.
+  private val q96Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+  private val q96 = GQuery(
+    "q96_window_distribution",
+    "distribution window functions (ntile, percent_rank, cume_dist)",
+    (s, d) => { Tables.register(s, d, "orders"); s.sql(q96Sql) },
+    Some(q96Sql))
+
+  // ---------------------------------------------------------------- q97
+  // Ordered string aggregation (LISTAGG / string_agg): Spark side
+  // canonicalizes collect_list's nondeterministic arrival order with
+  // array_sort before joining — names are unique per group, so the sorted
+  // concatenation is exactly the oracle's string_agg(... ORDER BY). The
+  // per-group payload is bounded by the acctbal filter; an unbounded
+  // group concat at corpus scale would want the explode/window form
+  // instead of a single giant string.
+  private val q97 = GQuery(
+    "q97_listagg_sorted",
+    "ordered group string concatenation (LISTAGG/string_agg)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "customer").filter($"c_acctbal" > 9000)
+        .join(T(s, d, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list($"c_name")), "|").as("names"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n,
+                   string_agg(c_name, '|' ORDER BY c_name) AS names
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 9000
+            GROUP BY n_name
+            ORDER BY n_name"""))
+
+  // ---------------------------------------------------------------- q98
+  // Time-interval RANGE window frame: per-user rolling 7-day event count
+  // and value sum — the frame is defined by the ORDER key's VALUE
+  // (ts >= current - 7 days), not row positions, so ties and gaps behave
+  // identically in both engines. The summed quantity is integer cents
+  // (floor of value*100 — floor, not round: engines disagree on
+  // double-rounding modes but never on floor), so the windowed sum is
+  // exact whatever order the frame accumulates in. Shared SQL.
+  private val q98Sql =
+    """SELECT event_id, user_id,
+      |       count(*) OVER w AS n_7d,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+  private val q98 = GQuery(
+    "q98_window_range_interval",
+    "interval RANGE window frame (rolling 7-day per-user totals)",
+    (s, d) => { Tables.register(s, d, "events"); s.sql(q98Sql) },
+    Some(q98Sql))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26)
+    q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
+    q94, q95, q96, q97, q98)
 }

@@ -1,0 +1,88 @@
+package graft.spark
+
+import graft.api.TrainingData
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** TrainingData.connectedComponents — the dedup-clustering step that turns
+  * similarity-join candidate PAIRS into duplicate CLUSTERS (component =
+  * min reachable id). Pins: transitivity over chains, direction-blindness
+  * of the edge list, singleton preservation, duplicate/self-edge
+  * tolerance, determinism across repartitionings, and the non-convergence
+  * guard.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("connected-components-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxRounds: Int = 25): Map[Long, Long] = {
+    val s = spark; import s.implicits._
+    TrainingData.connectedComponents(
+        nodes.toDF("id"), edges.toDF("src", "dst"), maxRounds = maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains resolve transitively to the component min") {
+    // 1-2-3-4 chained pairwise; 10-11; 20 isolated
+    val got = run(Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L),
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("edge direction is irrelevant (undirected closure)") {
+    // min id only ever appears on the dst side: propagation must flow
+    // against the stored direction too
+    val got = run(Seq(1L, 5L, 9L), Seq((9L, 5L), (5L, 1L)))
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("self-edges, duplicate edges, and edges both ways are harmless") {
+    val got = run(Seq(1L, 2L, 3L),
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("a long path converges within its diameter and is repartition-stable") {
+    val s = spark; import s.implicits._
+    val n = 40L
+    val nodes = (1L to n).toDF("id").repartition(7)
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst").repartition(5)
+    val got = TrainingData.connectedComponents(nodes, edges, maxRounds = 45)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+  }
+
+  test("an exceeded round budget fails loudly, not wrongly") {
+    val n = 12L
+    val ex = intercept[IllegalArgumentException] {
+      run((1L to n).toSeq, (1L until n).map(i => (i, i + 1)), maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
+
+  test("clusters over a similarity-shaped graph keep one canonical id each") {
+    // two 3-cliques sharing no edge + scattered singletons
+    val cliqueA = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val cliqueB = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val got = run(Seq(100L, 101L, 102L, 200L, 201L, 202L, 300L, 301L),
+      cliqueA ++ cliqueB)
+    assert(got.filter(_._1 >= 100L).filter(_._1 < 200L).values.toSet == Set(100L))
+    assert(got.filter(_._1 >= 200L).filter(_._1 < 300L).values.toSet == Set(200L))
+    assert(got(300L) == 300L && got(301L) == 301L)
+  }
+}
