@@ -446,57 +446,87 @@ object TrainingData {
     * pairwise-second of each pair (pairwise drops over-delete on
     * transitive chains A~B~C).
     *
-    * Algorithm: iterated hash-min label propagation. Every node starts
-    * labeled with its own id; each round every node takes the min of its
-    * label and its neighbors' labels, until a fixpoint. Rounds needed =
-    * graph diameter, each round one shuffle join + partial-aggregated
-    * min — near-dup graphs are small dense cliques (diameter 2–3), so a
-    * handful of rounds converges even at corpus scale; an adversarially
-    * long path graph would instead want the O(log n)-round star-
-    * contraction variant (same driver-loop skeleton). Each round CHECKPOINTS
-    * its label table — the label plan references itself twice per round
-    * (neighbor-min join + the carry join), so without truncation the
-    * LOGICAL plan doubles every round and the driver dies planning long
-    * before the data is big; checkpointing resets the lineage to a scan.
-    * A reliable checkpoint dir is used when the session has one
-    * (`sparkContext.setCheckpointDir` — survives executor loss, the
-    * production setting); otherwise executor-memory localCheckpoint.
-    * The convergence check is the per-round action.
+    * Algorithm: alternating large-star/small-star contraction (the
+    * published MapReduce connected-components construction — Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+    * The edge set is rewritten each half-round:
+    *
+    *   - LARGE-STAR: per node u with neighborhood Γ(u), every neighbor
+    *     LARGER than u re-attaches to m = min(Γ(u) ∪ {u});
+    *   - SMALL-STAR: per node u, every neighbor at most u (and u
+    *     itself) attaches to the min of that lower neighborhood.
+    *
+    * Both steps preserve connectivity and strictly contract toward a
+    * star per component rooted at the component MINIMUM; convergence is
+    * O(log² n) half-rounds on ANY graph shape — a million-node path
+    * converges in tens of rounds where naive min-label propagation
+    * needs a million (= its diameter). Each half-round is one
+    * shuffle-grouped min + one co-keyed join, and the edge set only
+    * shrinks-or-stays, so round cost is bounded by the input. Each
+    * half-round CHECKPOINTS its edge set — the plan would otherwise
+    * double per round (the edge frame feeds both the grouped min and
+    * the re-attach join) and the driver dies planning long before the
+    * data is big; a reliable checkpoint dir is used when the session
+    * has one (`sparkContext.setCheckpointDir` — survives executor
+    * loss, the production setting), else executor-memory
+    * localCheckpoint. The convergence check (any edge rewritten?) is
+    * the per-round action that materializes it.
     *
     * Returns (id, component) with component = min node id reachable;
     * nodes with no edges stay singleton components labeled by their own
-    * id. Deterministic: min over an unordered set.
+    * id. Deterministic: mins over unordered sets.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 60): DataFrame = {
     val reliable = nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // symmetric closure: the min label must flow both ways along an edge
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .persist(storage) // reused every round
-    var labels = snap(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+    // canonical undirected pairs (a < b); self-loops contribute nothing
+    var e = snap(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
-      val next = snap(labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
-      changed = next.filter(col("comp") < col("prev")).count()
-      labels = next.select(col("id"), col("comp"))
+      // LARGE-STAR. Group the full symmetric neighborhood of u; every
+      // strictly-larger neighbor b re-attaches to m = min(Γ(u) ∪ {u}).
+      // Emitted pairs are (m, b) with m < b — already canonical.
+      val symL = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mL = symL.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = symL.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // SMALL-STAR on the large-star output. Group only the ≤u side:
+      // for node b its lower neighborhood {a : (a,b) ∈ E} plus b itself
+      // attaches to m = min of that set; canonical pairs (a, b) already
+      // orient lower → the group key is b.
+      val mS = large.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val small = large.join(mS, "b")
+        .select(col("m").as("a"),
+          when(col("a") === col("m"), col("b")).otherwise(col("a")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val next = snap(small)
+      // converged when the round rewrote nothing (same canonical set)
+      changed = next.join(e, Seq("a", "b"), "left_anti").count() +
+        e.join(next, Seq("a", "b"), "left_anti").count()
+      e = next
       round += 1
     }
-    sym.unpersist(false)
     require(changed == 0,
       s"connectedComponents: no fixpoint within $maxRounds rounds — " +
-        "the graph's diameter exceeds the round budget; raise maxRounds " +
-        "or pre-contract with the star-contraction variant")
-    labels
+        "raise maxRounds (star contraction needs O(log^2 n) rounds)")
+    // fixpoint = disjoint stars rooted at each component's min: every
+    // node appears on the b side of at most one (root, node) pair
+    nodes.select(col(idCol).as("id"))
+      .join(e.select(col("b").as("id"), col("a").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
   }
 }

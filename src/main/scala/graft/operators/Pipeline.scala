@@ -1232,13 +1232,13 @@ object Pipeline {
   // Connected-components duplicate clustering: the step AFTER a similarity
   // join — q32's candidate pairs become clusters (component = min reachable
   // doc id), so dedup keeps one canonical doc per transitive chain A~B~C
-  // instead of over-deleting pairwise. Spark side: iterated hash-min label
-  // propagation (TrainingData.connectedComponents — one bounded-lineage
-  // shuffle join per round, rounds = diameter). Oracle: the same reachable
+  // instead of over-deleting pairwise. Spark side: alternating large/small
+  // star contraction (TrainingData.connectedComponents — bounded-lineage
+  // shuffle rounds, O(log^2 n) of them). Oracle: the same reachable
   // set via a recursive CTE. Exact: integer ids, min over a set.
   private val q93 = GQuery(
     "q93_dedup_components",
-    "connected-components duplicate clustering over the n-gram similarity graph (iterated hash-min)",
+    "connected-components duplicate clustering over the n-gram similarity graph (star contraction)",
     (s, d) => {
       import s.implicits._
       val docs = T(s, d, "documents")

@@ -75,6 +75,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("no fixpoint"))
   }
 
+  test("random graphs agree with a union-find oracle (stars, paths, cliques, sparse)") {
+    val rnd = new scala.util.Random(0xC0C0L)
+    for (trial <- 0 until 8) {
+      val n = 30 + rnd.nextInt(40)
+      val ids = (1L to n.toLong).toSeq
+      val density = trial match {
+        case 0 => 0.0                      // all singletons
+        case 1 => 2.0 / n                  // sparse fragments
+        case _ => (0.5 + rnd.nextInt(4)) / n
+      }
+      val edges = for {
+        a <- ids; b <- ids if a < b && rnd.nextDouble() < density
+      } yield (a, b)
+      // union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = run(ids, edges)
+      assert(got == want, s"trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+
   test("clusters over a similarity-shaped graph keep one canonical id each") {
     // two 3-cliques sharing no edge + scattered singletons
     val cliqueA = Seq((100L, 101L), (101L, 102L), (100L, 102L))
