@@ -822,8 +822,62 @@ object Relational {
     (s, d) => { Tables.register(s, d, "events"); s.sql(q98Sql) },
     Some(q98Sql))
 
+  // ---------------------------------------------------------------- q99
+  // Regex set extraction: regexp_extract_all + explode — the log/corpus
+  // token-mining shape. Both engines find non-overlapping left-to-right
+  // matches; the explicit capture-group index pins the one API default
+  // that differs (Spark defaults to group 1, DuckDB to group 0).
+  private val q99 = GQuery(
+    "q99_regexp_extract_all",
+    "regexp_extract_all + explode token mining",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select(explode(expr("regexp_extract_all(text, '(s[a-z]{4,})', 1)")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok".asc)
+        .limit(20)
+    },
+    Some("""SELECT tok, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '(s[a-z]{4,})', 1)) AS tok
+                  FROM documents) t
+            GROUP BY tok
+            ORDER BY n DESC, tok ASC
+            LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q100
+  // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+  // each other — Catalyst plans EqualNullSafe as a real equi-join key
+  // (shuffle on the coalesced key), not a theta join, so the operator
+  // scales like any hash join. The nullif() manufactures a null stratum
+  // from real data; output coalesces it so the ORDER key is null-free
+  // (Spark sorts nulls first, DuckDB last — keep the divergence out).
+  private val q100 = GQuery(
+    "q100_null_safe_join",
+    "null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+    (s, d) => {
+      Tables.register(s, d, "orders")
+      s.sql("""SELECT coalesce(d.p, '(urgent)') AS prio, count(*) AS n,
+              |       round(sum(o.o_totalprice), 2) AS total
+              |FROM orders o
+              |JOIN (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS p
+              |      FROM orders) d
+              |ON nullif(o.o_orderpriority, '1-URGENT') <=> d.p
+              |GROUP BY d.p
+              |ORDER BY prio""".stripMargin)
+    },
+    Some("""SELECT coalesce(d.p, '(urgent)') AS prio, count(*) AS n,
+                   round(sum(o.o_totalprice), 2) AS total
+            FROM orders o
+            JOIN (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS p
+                  FROM orders) d
+            ON nullif(o.o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM d.p
+            GROUP BY d.p
+            ORDER BY prio"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
-    q94, q95, q96, q97, q98)
+    q94, q95, q96, q97, q98, q99, q100)
 }
