@@ -438,6 +438,54 @@ object TrainingData {
       .drop(zc)
   }
 
+  /** Sliding-window document chunking — the long-document → training-
+    * window step: each document becomes ceil((len-width)/step)+1 chunks
+    * of `width` characters starting every `step = width - overlap`
+    * characters (the last window may run short; empty documents yield no
+    * chunks). Pure per-row map work (sequence + substring — no UDF, no
+    * shuffle), so it streams at any corpus size; chunk_idx is the
+    * deterministic 0-based window index, so (id, chunk_idx) is a stable
+    * chunk key across reruns. Character-addressed on purpose: byte/char
+    * window arithmetic is engine-portable and exactly reproducible,
+    * where tokenizer-addressed windows would pin a tokenizer version
+    * (token BUDGET packing is [[packSequences]]).
+    */
+  def chunkByChars(df: DataFrame, idCol: String, textCol: String,
+      width: Int, overlap: Int,
+      chunkIdxCol: String = "chunk_idx", chunkCol: String = "chunk"): DataFrame = {
+    require(width >= 1, s"width $width must be >= 1")
+    require(overlap >= 0 && overlap < width,
+      s"overlap $overlap must be in [0, width)")
+    val step = width - overlap
+    // CASE guards the empty doc OUTSIDE sequence(): sequence(0, -1) would
+    // count DOWN (Spark infers step -1), not produce an empty array
+    df.select(col(idCol),
+        posexplode(expr(
+          s"""CASE WHEN length($textCol) <= 0 THEN CAST(array() AS array<string>)
+              ELSE transform(
+                sequence(0, greatest(CAST(ceil((length($textCol) - $width) / $step.0) AS INT), 0)),
+                i -> substring($textCol, i * $step + 1, $width))
+              END""")))
+      .select(col(idCol), col("pos").as(chunkIdxCol), col("col").as(chunkCol))
+  }
+
+  /** Near-duplicate dedup by CLUSTER: resolve similarity-candidate pairs
+    * into connected components and keep exactly the canonical (min-id)
+    * row of every cluster — the transitively-correct version of
+    * pairwise dropping, which over-deletes on chains A~B~C (B dies to A,
+    * C dies to B, but C~A may not even hold). Rows absent from `pairs`
+    * are singletons and always survive.
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxRounds: Int = 60): DataFrame = {
+    val canonical = connectedComponents(df.select(col(idCol)), pairs,
+        idCol, srcCol, dstCol, maxRounds)
+      .filter(col("id") === col("comp"))
+      .select(col("id").as(idCol))
+    df.join(canonical, Seq(idCol), "left_semi")
+  }
+
   /** Connected components over an undirected edge list — the clustering
     * step after a similarity join: near-duplicate candidate PAIRS (from
     * [[minhashLshCandidates]], the n-gram Jaccard join, or an embedding

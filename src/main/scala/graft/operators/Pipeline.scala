@@ -1288,5 +1288,34 @@ object Pipeline {
             GROUP BY id
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93)
+  // ---------------------------------------------------------------- q101
+  // Sliding-window document chunking (TrainingData.chunkByChars): long
+  // documents become fixed-width overlapping training windows, pure
+  // per-row map work (sequence + substring, no shuffle). The gate hashes
+  // each chunk rather than shipping it — the oracle proves byte-identical
+  // windows via md5, with bounded output.
+  private val q101 = GQuery(
+    "q101_chunk_documents",
+    "sliding-window document chunking (width 200, overlap 40, map-only)",
+    (s, d) => {
+      import s.implicits._
+      graft.api.TrainingData.chunkByChars(
+          T(s, d, "documents"), "doc_id", "text", width = 200, overlap = 40)
+        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          length($"chunk").cast("long").as("chunk_len"),
+          md5($"chunk").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(length(ch) AS BIGINT) AS chunk_len,
+                   md5(ch) AS chunk_md5
+            FROM (
+              SELECT doc_id, i, substring(text, i * 160 + 1, 200) AS ch
+              FROM documents,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil((length(text) - 200) / 160.0) AS INT), 0))) t(i)
+              WHERE length(text) > 0) c
+            ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101)
 }

@@ -101,6 +101,17 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedupByComponents keeps exactly the canonical row per cluster") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (7L, "b"), (9L, "c"))
+      .toDF("id", "text")
+    // chain 1~2~3 (transitive), 7 and 9 singletons
+    val pairs = Seq((2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val kept = TrainingData.dedupByComponents(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 9L))
+  }
+
   test("clusters over a similarity-shaped graph keep one canonical id each") {
     // two 3-cliques sharing no edge + scattered singletons
     val cliqueA = Seq((100L, 101L), (101L, 102L), (100L, 102L))

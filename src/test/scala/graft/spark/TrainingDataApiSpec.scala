@@ -222,4 +222,35 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(kept.sameElements(Array(1L, 2L, 4L)))
   }
+
+  test("chunkByChars covers every character with the declared overlap") {
+    val s = spark; import s.implicits._
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((1L, text), (2L, "short"), (3L, "")).toDF("id", "text")
+    val got = TrainingData.chunkByChars(df, "id", "text", width = 100, overlap = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // empty doc: no chunks; short doc: one short chunk
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short")))
+    // 260 chars, step 80: windows at 0/80/160 (+ final shorter tail at 240)
+    val one = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(one.map(_._2).sameElements(Array(0, 1, 2)) ||
+      one.map(_._2).sameElements(Array(0, 1, 2, 3)))
+    // reconstruction: dropping each chunk's overlap prefix re-yields the doc
+    val rebuilt = one.head._3 + one.tail.map(_._3.drop(20)).mkString
+    assert(rebuilt == text, "chunks must tile the document exactly")
+    // every chunk except the last is exactly `width` wide
+    assert(one.init.forall(_._3.length == 100))
+  }
+
+  test("chunkByChars rejects degenerate widths") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.chunkByChars(df, "id", "text", width = 10, overlap = 10)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.chunkByChars(df, "id", "text", width = 0, overlap = 0)
+    }
+  }
 }
