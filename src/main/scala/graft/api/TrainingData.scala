@@ -104,6 +104,52 @@ object TrainingData {
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
   }
 
+  /** N-gram Jaccard similarity join through a shared-shingle inverted
+    * index: only documents sharing at least one surviving shingle are
+    * ever paired. Returns (doc_a, doc_b, jaccard_bp) with doc_a < doc_b
+    * and jaccard_bp = floor(10000·|A∩B| / |A∪B|) — integer basis points,
+    * so the result is engine-exact (no float accumulation).
+    *
+    * `maxDocFreq` is the stop-shingle cap that keeps the self-join from
+    * going quadratic at corpus scale: a shingle shared by df documents
+    * contributes df·(df−1)/2 candidate pairs, so one stop-phrase shingle
+    * ("of the and…") with df = 10⁶ would alone emit 5·10¹¹ pairs onto a
+    * single reducer. Shingles with df > maxDocFreq are dropped from the
+    * index AND from the per-document set sizes (standard stop-shingle
+    * removal — near-duplicate signal lives in RARE shingles; the MinHash
+    * banding path bounds candidates the same way implicitly), which
+    * bounds per-shingle join work at O(maxDocFreq²) and keeps the
+    * Jaccard numerator/denominator consistent over the same capped sets.
+    * The hot-shingle list is found with one map-side-combining groupBy
+    * (no raw-posting skew) and removed with a broadcast anti-join (the
+    * list is tiny by construction).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccardBp: Int = 0,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(minJaccardBp >= 0 && minJaccardBp <= 10000,
+      s"minJaccardBp $minJaccardBp must be in [0, 10000]")
+    require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq must be >= 1")
+    val sh0 = docs.select(col(idCol).as("__gid"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("sh"))
+    val sh = if (maxDocFreq == Int.MaxValue) sh0
+      else sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = sh.groupBy(col("__gid")).agg(count(lit(1)).as("n"))
+    sh.as("x").join(sh.as("y"), Seq("sh"))
+      .filter(col("x.__gid") < col("y.__gid"))
+      .groupBy(col("x.__gid").as("doc_a"), col("y.__gid").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__gid").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("__gid").as("doc_b"), col("n").as("nb")), "doc_b")
+      // basis points via pure integer division: engine-exact, no float
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10000 * inter) DIV (na + nb - inter)").as("jaccard_bp"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+  }
+
   /** Benchmark decontamination screen: (corpusId, benchId, n_shared) for
     * every corpus document sharing at least `minShared` distinct word
     * n-gram shingles with a reference-set document. The reference side is
@@ -458,10 +504,12 @@ object TrainingData {
       s"overlap $overlap must be in [0, width)")
     val step = width - overlap
     // CASE guards the empty doc OUTSIDE sequence(): sequence(0, -1) would
-    // count DOWN (Spark infers step -1), not produce an empty array
+    // count DOWN (Spark infers step -1), not produce an empty array.
+    // coalesce: length(NULL) is NULL, which would fall through to ELSE
+    // and emit one NULL chunk — NULL text must chunk like empty text.
     df.select(col(idCol),
         posexplode(expr(
-          s"""CASE WHEN length($textCol) <= 0 THEN CAST(array() AS array<string>)
+          s"""CASE WHEN coalesce(length($textCol), 0) <= 0 THEN CAST(array() AS array<string>)
               ELSE transform(
                 sequence(0, greatest(CAST(ceil((length($textCol) - $width) / $step.0) AS INT), 0)),
                 i -> substring($textCol, i * $step + 1, $width))
@@ -527,15 +575,32 @@ object TrainingData {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
       maxRounds: Int = 60): DataFrame = {
-    val reliable = nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val sc = nodes.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    // Dataset.checkpoint wraps the materialized RDD in a LogicalRDD; dig
+    // it out so superseded rounds can be RELEASED — Spark never deletes
+    // reliable checkpoint files on its own (cleanCheckpoints defaults to
+    // false), so a 40-round contraction would otherwise leave 40 edge
+    // sets on the checkpoint filesystem (and 40 pinned block sets in the
+    // localCheckpoint case).
+    def snapRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.headOption
+    def release(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (reliable) rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+      } else rdd.unpersist(blocking = false)
     // canonical undirected pairs (a < b); self-loops contribute nothing
     var e = snap(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
+    var eRdd = snapRdd(e)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -562,10 +627,20 @@ object TrainingData {
         .filter(col("a") =!= col("b"))
         .distinct()
       val next = snap(small)
-      // converged when the round rewrote nothing (same canonical set)
-      changed = next.join(e, Seq("a", "b"), "left_anti").count() +
-        e.join(next, Seq("a", "b"), "left_anti").count()
+      // converged when the round rewrote nothing (same canonical set).
+      // Both sides are distinct, so |symmetric difference| = rows whose
+      // (a,b) appears on exactly one side — ONE grouped count job per
+      // half-round (was two anti-join counts = two job launches).
+      changed = next.select(col("a"), col("b"), lit(1).as("side"))
+        .unionByName(e.select(col("a"), col("b"), lit(2).as("side")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1)
+        .count()
+      // `next` is fully materialized (eager snap) and the convergence
+      // count above is done with the old edge set — release it now
+      eRdd.foreach(release)
       e = next
+      eRdd = snapRdd(e)
       round += 1
     }
     require(changed == 0,

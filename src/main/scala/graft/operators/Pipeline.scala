@@ -98,33 +98,27 @@ object Pipeline {
   // n-gram Jaccard similarity join through the shared-shingle inverted
   // index: only docs sharing >= 1 shingle are ever paired (bucketed), then
   // |A∩B| / (|A|+|B|-|A∩B|). Integer counts + one IEEE division -> exact.
+  // The maxDocFreq=100 stop-shingle cap is ENGAGED (and mirrored in the
+  // oracle): a shingle shared by df docs emits df²/2 candidate pairs, so
+  // the cap is what keeps this join linear-ish at corpus scale.
   private val q32 = GQuery(
     "q32_ngram_jaccard_join",
-    "word-3-gram Jaccard similarity join (inverted-index bucketing)",
+    "word-3-gram Jaccard similarity join (inverted-index bucketing, stop-shingle df cap)",
     (s, d) => {
       import s.implicits._
-      val sh = T(s, d, "documents")
-        .select($"doc_id",
-          explode(graft.api.TrainingData.wordShingles($"text", 3)).as("sh"))
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("x").join(sh.as("y"), Seq("sh"))
-        .filter($"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-        // basis points via pure integer division: engine-exact, no float
-        .select($"doc_a", $"doc_b",
-          expr("(10000 * inter) DIV (na + nb - inter)").as("jaccard_bp"))
-        .filter($"jaccard_bp" >= 1500)
+      graft.api.TrainingData.ngramJaccardPairs(
+          T(s, d, "documents"), "doc_id", "text",
+          n = 3, minJaccardBp = 1500, maxDocFreq = 100)
         .orderBy($"doc_a", $"doc_b")
     },
     Some("""WITH words AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
               FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            sh AS (
+              SELECT * FROM sh0
+              WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
               SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
@@ -1242,17 +1236,10 @@ object Pipeline {
     (s, d) => {
       import s.implicits._
       val docs = T(s, d, "documents")
-      val sh = docs.select($"doc_id",
-        explode(graft.api.TrainingData.wordShingles($"text", 3)).as("sh"))
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val edges = sh.as("x").join(sh.as("y"), Seq("sh"))
-        .filter($"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("src"), $"y.doc_id".as("dst"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select($"doc_id".as("src"), $"n".as("na")), "src")
-        .join(sizes.select($"doc_id".as("dst"), $"n".as("nb")), "dst")
-        .filter(expr("(10000 * inter) DIV (na + nb - inter)") >= 1500)
-        .select($"src", $"dst")
+      // same shared edge-builder as q32, stop-shingle df cap engaged
+      val edges = graft.api.TrainingData.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, minJaccardBp = 1500, maxDocFreq = 100)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
       graft.api.TrainingData.connectedComponents(
           docs.select($"doc_id"), edges, idCol = "doc_id")
         .select($"id".as("doc_id"), $"comp".as("cluster_id"))
@@ -1260,9 +1247,12 @@ object Pipeline {
     },
     Some("""WITH RECURSIVE words AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
               FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            sh AS (
+              SELECT * FROM sh0
+              WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             pairs AS (
               SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter

@@ -653,21 +653,31 @@ object Sources {
           $"o_orderkey".cast("decimal(14,2)").as("amt"))
         .repartition(3)
         .write.format("graft-json").mode("overwrite").save(out)
+      // The grouped battery still folds inside the scan on the DECIMAL
+      // column (AggPushdownSpec pins that plan); only the FINAL projection
+      // canonicalizes to rounded DOUBLE, matching the representation every
+      // other money gate uses — driver-side exact hashing of DECIMAL
+      // outputs is representation-sensitive across engines.
       s.read.format("graft-json")
         .schema("o_orderpriority STRING, amt DECIMAL(14,2)")
         .load(out)
         .groupBy($"o_orderpriority")
         .agg(
-          sum($"amt").cast("decimal(18,2)").as("amt_sum"),
-          min($"amt").as("amt_min"),
-          max($"amt").as("amt_max"),
+          sum($"amt").as("amt_sum_dec"),
+          min($"amt").as("amt_min_dec"),
+          max($"amt").as("amt_max_dec"),
           count($"amt").as("n"))
+        .select($"o_orderpriority",
+          round($"amt_sum_dec".cast("double"), 2).as("amt_sum"),
+          round($"amt_min_dec".cast("double"), 2).as("amt_min"),
+          round($"amt_max_dec".cast("double"), 2).as("amt_max"),
+          $"n")
         .orderBy($"o_orderpriority")
     },
     Some("""SELECT o_orderpriority,
-                   CAST(sum(CAST(o_orderkey AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS amt_sum,
-                   min(CAST(o_orderkey AS DECIMAL(14,2))) AS amt_min,
-                   max(CAST(o_orderkey AS DECIMAL(14,2))) AS amt_max,
+                   round(CAST(sum(CAST(o_orderkey AS DECIMAL(14,2))) AS DOUBLE), 2) AS amt_sum,
+                   round(CAST(min(CAST(o_orderkey AS DECIMAL(14,2))) AS DOUBLE), 2) AS amt_min,
+                   round(CAST(max(CAST(o_orderkey AS DECIMAL(14,2))) AS DOUBLE), 2) AS amt_max,
                    count(o_orderkey) AS n
             FROM orders
             GROUP BY o_orderpriority

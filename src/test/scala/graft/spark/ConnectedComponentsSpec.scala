@@ -122,4 +122,76 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 >= 200L).filter(_._1 < 300L).values.toSet == Set(200L))
     assert(got(300L) == 300L && got(301L) == 301L)
   }
+
+  test("driver actions are bounded: two jobs per half-round (snap + one converge count)") {
+    val s = spark; import s.implicits._
+    // classify each job by the call site of its result stage: the
+    // contraction's own actions are `localCheckpoint` (snap) and `count`
+    // (convergence check) at TrainingData call sites; broadcast-exchange
+    // builds show up as anonymous CompletableFuture jobs and are plan
+    // internals, not driver actions
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = j.stageInfos.map(_.name).find(_.contains("TrainingData"))
+        if (site.isDefined) {
+          actions.incrementAndGet()
+          if (site.exists(_.startsWith("count"))) counts.incrementAndGet()
+        }
+      }
+    }
+    // AQE splits one action into several jobs — turn it off so a job
+    // equals a driver action for the duration of the probe
+    val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.sparkContext.addSparkListener(listener)
+    try {
+      // an already-star graph converges in exactly ONE half-round:
+      // init snap + (round snap + converge count) = 3 driver actions.
+      // The previous two-anti-join check took 4 — this probe pins the
+      // one-job convergence count.
+      TrainingData.connectedComponents(
+        Seq(1L, 2L, 3L).toDF("id"),
+        Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), maxRounds = 5)
+      // listener delivery is async: poll until the count stabilizes
+      var last = -1
+      var spins = 0
+      while (actions.get() != last && spins < 40) {
+        last = actions.get(); Thread.sleep(100); spins += 1
+      }
+      // init snap + round snap + ONE convergence count (the previous
+      // two-anti-join check ran two count jobs here)
+      assert(counts.get() == 1, s"${counts.get()} convergence-count jobs in one round")
+      assert(actions.get() <= 3, s"${actions.get()} driver actions for a 1-round contraction")
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      s.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
+  test("superseded reliable checkpoints are deleted; only the live round remains") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    s.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      // a 16-node path needs several contraction rounds = several
+      // checkpoints; without cleanup each round's edge set would stay
+      // on the checkpoint filesystem forever (Spark never deletes them)
+      val got = TrainingData.connectedComponents(
+          (1L to 16L).toDF("id"),
+          (1L until 16L).map(i => (i, i + 1)).toDF("src", "dst"),
+          maxRounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 16 && got.values.forall(_ == 1L))
+      val leaked = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(u => Option(u.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(leaked.length <= 1,
+        s"leaked checkpoint dirs: ${leaked.map(_.getName).mkString(", ")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
 }

@@ -253,4 +253,62 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       TrainingData.chunkByChars(df, "id", "text", width = 0, overlap = 0)
     }
   }
+
+  test("chunkByChars: NULL text chunks like empty text (no NULL chunk rows)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "abcdef"), (2L, ""), (3L, null: String)).toDF("id", "text")
+    val got = TrainingData.chunkByChars(df, "id", "text", width = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // id 1 -> windows at step 3: "abcd", "def"; ids 2 and 3 -> nothing
+    assert(got == Set((1L, 0, "abcd"), (1L, 1, "def")))
+  }
+
+  // The stop-shingle corpus: one 3-gram ("h h h") shared by 13 documents.
+  // Uncapped, that single hot shingle alone pairs every two of them —
+  // the df² blowup the cap exists to stop.
+  private def stopShingleCorpus = {
+    val s = spark; import s.implicits._
+    val hot = (1L to 12L).map(i => (i, "h h h"))
+    val rest = Seq(
+      (100L, "p q r s"),      // {"p q r","q r s"}
+      (101L, "p q r t"),      // {"p q r","q r t"}
+      (200L, "m n o h h h"),  // {"m n o","n o h","o h h","h h h"}
+      (201L, "m n o q"))      // {"m n o","n o q"}
+    (hot ++ rest).toDF("doc_id", "text")
+  }
+
+  test("ngramJaccardPairs: maxDocFreq bounds the candidate pairs of a stop shingle") {
+    val docs = stopShingleCorpus
+    val uncapped = TrainingData.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .count()
+    // 66 hot-hot pairs + 12 hot-200 pairs + (100,101) + (200,201)
+    assert(uncapped == 80L, s"uncapped candidate count $uncapped")
+    val capped = TrainingData.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the df=13 shingle is gone: only rare-shingle pairs survive
+    assert(capped == Set((100L, 101L, 3333L), (200L, 201L, 2500L)))
+  }
+
+  test("ngramJaccardPairs: capped sizes keep numerator and denominator consistent") {
+    // doc 200 holds 4 shingles but only 3 survive the cap; its Jaccard
+    // with 201 must use the CAPPED size (inter=1, na=3, nb=2 -> 2500 bp),
+    // not the raw one (na=4 -> 2000 bp)
+    val capped = TrainingData.ngramJaccardPairs(stopShingleCorpus, "doc_id",
+        "text", n = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped((200L, 201L)) == 2500L)
+    val uncapped = TrainingData.ngramJaccardPairs(stopShingleCorpus, "doc_id",
+        "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(uncapped((200L, 201L)) == 2000L)
+  }
+
+  test("ngramJaccardPairs: minJaccardBp filters and ordering doc_a < doc_b holds") {
+    val got = TrainingData.ngramJaccardPairs(stopShingleCorpus, "doc_id",
+        "text", n = 3, minJaccardBp = 3000, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((100L, 101L, 3333L)))
+    assert(got.forall(p => p._1 < p._2))
+  }
 }
