@@ -910,5 +910,53 @@ object Sources {
             FROM orders
             WHERE o_orderkey <= 1500"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92)
+  // ---------------------------------------------------------------- q102
+  // q84's decimal lane through the PARTITIONED layout: the money column
+  // round-trips a hive-style partitionBy sink write (per-leaf sidecars +
+  // manifest carry BigDecimal stats), then the grouped battery keyed by
+  // the partition column folds via the manifest path. A decimal range
+  // filter narrows the read so partition listing, decimal parse, and
+  // decimal stats all engage (DataSkippingSpec's partitioned-decimal
+  // battery pins the metadata-only equivalence and leaf pruning).
+  private val q102 = GQuery(
+    "q102_decimal_partitioned_agg",
+    "decimal money column through a partitionBy layout: grouped sum/min/max/count per partition",
+    (s, d) => {
+      import s.implicits._
+      val out = s"$fixtureDir/q102_orders_decimal_part"
+      Tables(s, d, "orders")
+        .select($"o_orderpriority",
+          $"o_orderkey".cast("decimal(14,2)").as("amt"))
+        .write.format("graft-json").partitionBy("o_orderpriority")
+        .mode("overwrite").save(out)
+      s.read.format("graft-json")
+        .schema("amt DECIMAL(14,2), o_orderpriority STRING")
+        .load(out)
+        .filter($"amt" >= new java.math.BigDecimal("1000.00"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum($"amt").as("amt_sum_dec"),
+          min($"amt").as("amt_min_dec"),
+          max($"amt").as("amt_max_dec"),
+          count($"amt").as("n"))
+        .select($"o_orderpriority",
+          round($"amt_sum_dec".cast("double"), 2).as("amt_sum"),
+          round($"amt_min_dec".cast("double"), 2).as("amt_min"),
+          round($"amt_max_dec".cast("double"), 2).as("amt_max"),
+          $"n")
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   round(CAST(sum(amt) AS DOUBLE), 2) AS amt_sum,
+                   round(CAST(min(amt) AS DOUBLE), 2) AS amt_min,
+                   round(CAST(max(amt) AS DOUBLE), 2) AS amt_max,
+                   count(amt) AS n
+            FROM (SELECT o_orderpriority,
+                         CAST(o_orderkey AS DECIMAL(14,2)) AS amt
+                  FROM orders) t
+            WHERE amt >= CAST('1000.00' AS DECIMAL(14,2))
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102)
 }

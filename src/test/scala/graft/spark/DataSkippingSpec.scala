@@ -672,6 +672,47 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("decimal stats flow through a partitioned layout: grouped metadata battery") {
+    val s = spark; import s.implicits._
+    // DECIMAL money column through the hive-style partitionBy layout:
+    // per-leaf sidecars + manifest must carry BigDecimal min/max/sum so
+    // a grouped battery keyed by the partition column can fold inside
+    // the scan — the partitioned sibling of the flat q84 lane
+    val out = dir.resolve("decpart").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("k", "p")
+      .select($"p", $"k".cast("decimal(14,2)").as("amt"))
+      .write.format("graft-json").partitionBy("p").mode("overwrite").save(out)
+
+    def answers(skipping: Boolean): Seq[(String, Long, String, String, String)] = {
+      spark.read.format("graft-json")
+        .schema("amt DECIMAL(14,2), p STRING")
+        .option("dataskipping", skipping.toString).load(out)
+        .groupBy($"p")
+        .agg(count($"amt").as("n"), sum($"amt").as("sm"),
+          min($"amt").as("mn"), max($"amt").as("mx"))
+        .orderBy($"p")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString,
+          r.getDecimal(4).toPlainString)).toSeq
+    }
+    val meta = answers(skipping = true)
+    val parse = answers(skipping = false)
+    assert(meta == parse, s"metadata $meta != parse $parse")
+    assert(parse == Seq(
+      ("a", 2L, "3.00", "1.00", "2.00"),
+      ("b", 3L, "12.00", "3.00", "5.00"),
+      ("c", 1L, "6.00", "6.00", "6.00")))
+    // decimal range predicate prunes partition leaves via their sidecars
+    GraftScan.lastStatsPruned.set(-1)
+    val n = spark.read.format("graft-json")
+      .schema("amt DECIMAL(14,2), p STRING").load(out)
+      .filter($"amt" >= new java.math.BigDecimal("5.00")).count()
+    assert(n == 2)
+    assert(GraftScan.lastStatsPruned.get >= 1,
+      s"decimal min/max must prune leaves (pruned ${GraftScan.lastStatsPruned.get})")
+  }
+
   test("runtime file pruning: a join's key set prunes data files via sidecar blooms") {
     val s = spark; import s.implicits._
     val out = writeHashed()
