@@ -9,8 +9,6 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.collection.mutable
-
 /** Builds Spark `InternalRow`s from the core event stream against a
   * required (pruned) schema — the bridge between the parser core and the
   * DSv2 scan (SURVEY §7.1 layer 2).
@@ -71,21 +69,49 @@ final class RowPlate(
     var values: Array[Any] = null                // KStruct
     var st: StructType = null                    // KStruct
     var lookup: StructLookup = null              // KStruct
-    var buf: mutable.ArrayBuffer[Any] = null     // KArray (reused, cleared)
-    var keys: mutable.ArrayBuffer[Any] = null    // KMap (reused, cleared)
-    var vals: mutable.ArrayBuffer[Any] = null    // KMap (reused, cleared)
+    // KArray / KMap accumulators: hand-rolled growable Array[Any] (reused
+    // across rows, length reset on morph) — ArrayBuffer's append/toArray
+    // generic paths were ~5% of full-parse profile samples
+    var abuf: Array[Any] = null                  // KArray elements
+    var alen: Int = 0
+    var kbuf: Array[Any] = null                  // KMap keys
+    var klen: Int = 0
+    var vbuf: Array[Any] = null                  // KMap values
+    var vlen: Int = 0
 
     def reset(e: DataType, c: Int): Unit = {
       expected = e; childIdx = c; kind = KEmpty; value = null
       values = null; st = null
     }
 
+    private def trimmed(a: Array[Any], n: Int): Array[Any] =
+      java.util.Arrays.copyOf(a.asInstanceOf[Array[AnyRef]], n).asInstanceOf[Array[Any]]
+
     def finalValue(): Any = kind match {
       case KScalar  => value
       case KStruct  => new GenericInternalRow(values)
-      case KArray   => new GenericArrayData(buf.toArray)
-      case KMap     => ArrayBasedMapData(keys.toArray, vals.toArray)
+      case KArray   => new GenericArrayData(trimmed(abuf, alen))
+      case KMap     => ArrayBasedMapData(trimmed(kbuf, klen), trimmed(vbuf, vlen))
       case _        => null
+    }
+
+    def appendElem(v: Any): Unit = {
+      if (alen == abuf.length)
+        abuf = java.util.Arrays.copyOf(abuf.asInstanceOf[Array[AnyRef]], alen << 1)
+          .asInstanceOf[Array[Any]]
+      abuf(alen) = v; alen += 1
+    }
+    def appendKey(v: Any): Unit = {
+      if (klen == kbuf.length)
+        kbuf = java.util.Arrays.copyOf(kbuf.asInstanceOf[Array[AnyRef]], klen << 1)
+          .asInstanceOf[Array[Any]]
+      kbuf(klen) = v; klen += 1
+    }
+    def appendVal(v: Any): Unit = {
+      if (vlen == vbuf.length)
+        vbuf = java.util.Arrays.copyOf(vbuf.asInstanceOf[Array[AnyRef]], vlen << 1)
+          .asInstanceOf[Array[Any]]
+      vbuf(vlen) = v; vlen += 1
     }
 
     def morphStruct(s: StructType): Unit = {
@@ -102,12 +128,13 @@ final class RowPlate(
     }
     def morphArray(): Unit = {
       kind = KArray
-      if (buf == null) buf = new mutable.ArrayBuffer[Any] else buf.clear()
+      if (abuf == null) abuf = new Array[Any](8)
+      alen = 0
     }
     def morphMap(): Unit = {
       kind = KMap
-      if (keys == null) { keys = new mutable.ArrayBuffer[Any]; vals = new mutable.ArrayBuffer[Any] }
-      else { keys.clear(); vals.clear() }
+      if (kbuf == null) { kbuf = new Array[Any](8); vbuf = new Array[Any](8) }
+      klen = 0; vlen = 0
     }
   }
 
@@ -463,7 +490,7 @@ final class RowPlate(
         }
       case KMap =>
         val m = f.expected.asInstanceOf[MapType]
-        f.keys += Conversions.fromString(m.keyType, pathComponent)
+        f.appendKey(Conversions.fromString(m.keyType, pathComponent))
         pushFrame(m.valueType, -1)
         Signal.Continue
       case _ =>
@@ -544,8 +571,8 @@ final class RowPlate(
               else Signal.Continue
             }
           } else Signal.Continue
-        case KArray => parent.buf += v; Signal.Continue
-        case KMap   => parent.vals += v; Signal.Continue
+        case KArray => parent.appendElem(v); Signal.Continue
+        case KMap   => parent.appendVal(v); Signal.Continue
         case _      => Signal.Continue
       }
     }
@@ -561,8 +588,8 @@ final class RowPlate(
       val parent = top
       parent.kind match {
         case KStruct => if (f.childIdx >= 0) parent.values(f.childIdx) = v
-        case KArray  => parent.buf += v
-        case KMap    => parent.vals += v
+        case KArray  => parent.appendElem(v)
+        case KMap    => parent.appendVal(v)
         case _       => ()
       }
     }
