@@ -736,7 +736,15 @@ object Conversions {
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))
         if (dec.changePrecision(d.precision, d.scale)) dec else null
-      case StringType  => UTF8String.fromString(text.toString)
+      case StringType  => text match {
+        // number-token bytes are pure ASCII (valid UTF-8): copy the slice
+        // straight into UTF8String — no intermediate java String, no char
+        // encode (mixed arrays coerce numbers to string A LOT)
+        case v: graft.core.ByteSliceCharSeq =>
+          UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
+        case _ => UTF8String.fromString(text.toString)
+      }
       case _           => null
     } catch { case _: NumberFormatException => null }
   }
