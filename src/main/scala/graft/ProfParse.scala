@@ -114,6 +114,19 @@ object ProfParse {
       return
     }
     if (args.contains("e2eskip")) { e2eSkip(); return }
+    if (args.contains("csv")) {
+      // isolated loop for profiling the CSV row-count path (the Bench
+      // csv_count_mbps scenario, minus classloader isolation)
+      val iters = args.find(_.startsWith("n=")).map(_.drop(2).toInt).getOrElse(40)
+      var i = 0
+      var best = 0.0
+      while (i < iters) {
+        best = math.max(best, SkipBench.csvRowCountMbps())
+        i += 1
+      }
+      println(f"csv count: best $best%.1f MB/s")
+      return
+    }
     if (args.contains("skipon") || args.contains("skipoff")) {
       // isolated loop for profiling one side of the skip micro-bench
       val on = args.contains("skipon")

@@ -206,6 +206,11 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
   // duration of the plate call; header capture copies via toString)
   private[this] val cellView = new ByteSliceCharSeq
 
+  // broadcast byte-lane patterns for the unquoted-cell SWAR cruise
+  // (config is fixed per parser instance)
+  private[this] val recordPat = 0x0101010101010101L * (config.record & 0xFFL)
+  private[this] val row1Pat = 0x0101010101010101L * (config.row1 & 0xFFL)
+
   /** The value of the last cell scanned by [[scanCell]]/[[scanQuoted]]
     * (a reusable buffer view for pure-ASCII unquoted cells — no decode,
     * no alloc; valid until the next scan).
@@ -229,6 +234,22 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
         else if (asciiNow) { cellView.set(data, start, until - start); cellView }
         else new String(data, start, until - start, UTF_8)
       while (true) {
+        // SWAR cruise: plain cell content (not delimiter, not row1, and —
+        // while the cell is still ASCII — no high bit) advances 8 byte
+        // lanes per step; the first stopper lane drops to the byte machine
+        var cruising = i + 8 <= len
+        while (cruising) {
+          val w = Swar.readLongLE(data, i)
+          val hits = Swar.zeros(w ^ recordPat) | Swar.zeros(w ^ row1Pat) |
+            (if (ascii) w & 0x8080808080808080L else 0L)
+          if (hits != 0L) {
+            i += java.lang.Long.numberOfTrailingZeros(hits) >> 3
+            cruising = false
+          } else {
+            i += 8
+            cruising = i + 8 <= len
+          }
+        }
         if (i >= len) {
           if (!done) throw NeedsInput
           cellValue = value(i, ascii)
