@@ -210,6 +210,8 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
   // (config is fixed per parser instance)
   private[this] val recordPat = 0x0101010101010101L * (config.record & 0xFFL)
   private[this] val row1Pat = 0x0101010101010101L * (config.row1 & 0xFFL)
+  private[this] val quotePat = 0x0101010101010101L * (config.closeQuote & 0xFFL)
+  private[this] val escapePat = 0x0101010101010101L * (config.escape & 0xFFL)
 
   /** The value of the last cell scanned by [[scanCell]]/[[scanQuoted]]
     * (a reusable buffer view for pure-ASCII unquoted cells — no decode,
@@ -294,6 +296,21 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
     var needSlow = false
     var end = -1
     while (end < 0) {
+      // SWAR cruise: quoted content stops only at closeQuote or escape
+      // (newlines/delimiters are literal inside quotes)
+      var cruising = i + 8 <= len
+      while (cruising) {
+        val w = Swar.readLongLE(data, i)
+        val hits = Swar.zeros(w ^ quotePat) |
+          (if (config.escape != config.closeQuote) Swar.zeros(w ^ escapePat) else 0L)
+        if (hits != 0L) {
+          i += java.lang.Long.numberOfTrailingZeros(hits) >> 3
+          cruising = false
+        } else {
+          i += 8
+          cruising = i + 8 <= len
+        }
+      }
       if (i >= len) {
         if (done) die(start, "unclosed quoted value at end of input")
         throw NeedsInput
