@@ -876,8 +876,149 @@ object Relational {
             GROUP BY d.p
             ORDER BY prio"""))
 
+  // --------------------------------------------------------------- q103
+  // Gap-based sessionization — the clickstream → session rollup every
+  // event pipeline needs: a session breaks after 30 idle minutes. Two
+  // window passes share ONE sort (same partition/order → Spark plans a
+  // single exchange + sort), and the final per-session rollup groups on
+  // (user_id, sess_id) — a superset of the window's hash keys, so the
+  // aggregation reuses the same distribution with no further shuffle.
+  // Per-task work is bounded by a user's event count; at corpus scale a
+  // pathological single user would want the q08-style day-bucket split.
+  // Summed value is integer cents (floor — engines agree on floor,
+  // not on double-rounding modes), so sums are order-independent exact.
+  private val q103Sql =
+    """WITH gaps AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, value,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM gaps
+      |)
+      |SELECT user_id, sess_id, count(*) AS n_events,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM sess
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+  private val q103 = GQuery(
+    "q103_sessionize",
+    "gap-based sessionization (30-min idle timeout) + per-session rollup",
+    (s, d) => { Tables.register(s, d, "events"); s.sql(q103Sql) },
+    Some(q103Sql))
+
+  // --------------------------------------------------------------- q104
+  // Hand-salted skew join, gated for EXACT parity with the plain join:
+  // the fact side gets a deterministic per-row salt, the dim side is
+  // replicated once per salt value, and the join key becomes
+  // (key, salt) — a hot orderkey's rows now land on SALT different
+  // reducers instead of one. Salting must never change RESULTS, only
+  // placement; the oracle is the unsalted join, so the gate proves it.
+  // This is the manual fallback for skew AQE can't fix (a single hot
+  // key inside one partition); the dim-side blowup is ×SALT rows, fine
+  // for dims that are orders(-of-magnitude) smaller than the fact.
+  private val q104 = GQuery(
+    "q104_salted_skew_join",
+    "salted join (fact salt × replicated dim) — result-parity with plain join",
+    (s, d) => {
+      import s.implicits._
+      val nSalt = 8
+      val fact = T(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .withColumn("__salt", pmod(hash($"l_orderkey", $"l_quantity"), lit(nSalt)))
+      val dim = T(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+        .withColumn("__salt", explode(array((0 until nSalt).map(lit): _*)))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") && fact("__salt") === dim("__salt"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  // --------------------------------------------------------------- q105
+  // Correlated EXISTS / NOT EXISTS in WHERE — Catalyst rewrites them to
+  // left-semi and left-anti joins on the correlation key, so both
+  // predicates scale like hash joins (shuffle on custkey), never as
+  // per-row subquery execution. Shared SQL.
+  private val q105Sql =
+    """SELECT c_mktsegment, count(*) AS n
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 200000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F'
+      |                    AND o2.o_totalprice < 10000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+  private val q105 = GQuery(
+    "q105_exists_correlated",
+    "correlated EXISTS + NOT EXISTS (semi/anti join plan)",
+    (s, d) => { Tables.register(s, d, "customer", "orders"); s.sql(q105Sql) },
+    Some(q105Sql))
+
+  // --------------------------------------------------------------- q106
+  // Exact ordered-set aggregates: median + percentile_disc over integer
+  // cents. Cents make interpolation exact (midpoint of two bigints is a
+  // double-exact .0/.5), and percentile_disc picks an ACTUAL value, so
+  // both engines agree bit-for-bit. Spark plans exact percentiles as a
+  // single-pass typed aggregate (partial per partition, merge at final);
+  // the per-group state is the value multiset, so at corpus scale
+  // approx_percentile (q48) is the cheap path and this is the exact one.
+  // Oracle uses DuckDB's quantile_disc spelling; names are aligned.
+  private val q106 = GQuery(
+    "q106_percentiles_exact",
+    "exact median + percentile_disc (ordered-set aggregates)",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag,
+              |       CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med_cents,
+              |       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS p25_cents
+              |FROM lineitem
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med_cents,
+                   CAST(quantile_disc(CAST(floor(l_extendedprice * 100) AS BIGINT), 0.25) AS DOUBLE) AS p25_cents
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- q107
+  // LATERAL correlated subquery (per-row scalar aggregate): Catalyst
+  // decorrelates the lateral aggregate into a grouped aggregate joined
+  // back on the correlation key — one shuffle each side, never per-row
+  // re-execution. The empty-group semantics (agg with no GROUP BY always
+  // yields a row) match DuckDB's LATERAL exactly.
+  private val q107Sql =
+    """SELECT n_name, t.n_cust, t.top_bal
+      |FROM nation, LATERAL (
+      |  SELECT count(*) AS n_cust, max(c_acctbal) AS top_bal
+      |  FROM customer
+      |  WHERE c_nationkey = n_nationkey) t
+      |ORDER BY n_name""".stripMargin
+  private val q107 = GQuery(
+    "q107_lateral_join",
+    "LATERAL correlated scalar-aggregate subquery",
+    (s, d) => { Tables.register(s, d, "nation", "customer"); s.sql(q107Sql) },
+    Some(q107Sql))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
-    q94, q95, q96, q97, q98, q99, q100)
+    q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107)
 }
