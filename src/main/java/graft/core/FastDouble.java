@@ -157,24 +157,51 @@ public final class FastDouble {
     public static double parse(byte[] b, int off, int n, int decIdx, int expIdx) {
         boolean neg = b[off] == '-';
         int digEnd = expIdx >= 0 ? expIdx : n;
-        long w = 0;
-        int sig = 0;
-        for (int j = neg ? 1 : 0; j < digEnd; j++) {
+        // The token's grammar is already validated (parseNumToken), so the
+        // two digit segments — integer [p0, pDec) and fraction
+        // (pDec, digEnd) — are pure ASCII digits and the mantissa can be
+        // accumulated 8 digits per step (SWAR) instead of one. Leading
+        // zeros accumulate harmlessly (w stays 0), so significance is
+        // counted up front: total digits minus the leading-zero run
+        // (with '.' transparent); > 19 significant digits defers to the
+        // slow path exactly like the per-digit loop's sig cap did. At 19
+        // digits w may exceed Long.MAX_VALUE — everything downstream
+        // (Clinger's >>> 53 check, Eisel-Lemire) treats w as unsigned,
+        // and two's-complement mul/add are bit-identical to unsigned.
+        int p0 = neg ? 1 : 0;
+        int pDec = decIdx >= 0 ? decIdx : digEnd;
+        int totalDigits = (pDec - p0) + (decIdx >= 0 ? digEnd - decIdx - 1 : 0);
+        int lead = 0;
+        for (int j = p0; j < digEnd; j++) {
             byte c = b[off + j];
-            if (c == '.') continue;
-            if (sig == 0 && c == '0') continue;
-            if (sig == 19) return slowBytes(b, off, n);
-            w = w * 10 + (c - '0');
-            sig++;
+            if (c == '0') lead++;
+            else if (c != '.') break;
+        }
+        if (totalDigits - lead > 19) return slowBytes(b, off, n);
+        long w = 0;
+        int j = off + p0, end = off + pDec;
+        while (end - j >= 8) {
+            w = w * 100000000L + Swar.parse8Digits(Swar.readLongLE(b, j));
+            j += 8;
+        }
+        while (j < end) { w = w * 10 + (b[j] - '0'); j++; }
+        if (decIdx >= 0) {
+            j = off + decIdx + 1;
+            end = off + digEnd;
+            while (end - j >= 8) {
+                w = w * 100000000L + Swar.parse8Digits(Swar.readLongLE(b, j));
+                j += 8;
+            }
+            while (j < end) { w = w * 10 + (b[j] - '0'); j++; }
         }
         int q = decIdx >= 0 ? -(digEnd - decIdx - 1) : 0;
         if (expIdx >= 0) {
-            int j = expIdx + 1;
-            byte c = b[off + j];
+            int k = expIdx + 1;
+            byte c = b[off + k];
             boolean eneg = c == '-';
-            if (c == '-' || c == '+') j++;
+            if (c == '-' || c == '+') k++;
             long e = 0;
-            for (; j < n && e < 100000; j++) e = e * 10 + (b[off + j] - '0');
+            for (; k < n && e < 100000; k++) e = e * 10 + (b[off + k] - '0');
             q += (int) (eneg ? -e : e);
         }
         if (w >>> 53 == 0 && q >= -22 && q <= 22) {

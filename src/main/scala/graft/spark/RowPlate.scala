@@ -351,20 +351,64 @@ final class RowPlate(
     if (probeWanted == null) null
     else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
 
+  // Probe order cache: rows almost always repeat the same key order, so
+  // remember (key bytes, verdict) by ARRIVAL POSITION within the row and
+  // answer the steady state with one packed-long compare instead of a
+  // linear scan over every wanted name (the scan was ~1/7 of full-parse
+  // samples — every schema key pays it just to learn it is NOT cruisable).
+  // Entries self-verify against the actual bytes, so a changed key order
+  // only costs a relearn, never a wrong verdict.
+  private[this] val probeOrderCap = 64
+  private[this] var probePos = 0
+  private[this] val probeOrderLen: Array[Int] =
+    if (probeWanted == null) null else { val a = new Array[Int](probeOrderCap); java.util.Arrays.fill(a, -1); a }
+  private[this] val probeOrderPacked: Array[Long] =
+    if (probeWanted == null) null else new Array[Long](probeOrderCap)
+  private[this] val probeOrderBytes: Array[Array[Byte]] =
+    if (probeWanted == null) null else new Array[Array[Byte]](probeOrderCap)
+  private[this] val probeOrderCruise: Array[Boolean] =
+    if (probeWanted == null) null else new Array[Boolean](probeOrderCap)
+
   override def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean = {
     if (probeWanted == null) return false
+    val pos = probePos
+    probePos = pos + 1
+    if (pos < probeOrderCap) {
+      val ol = probeOrderLen(pos)
+      if (ol == len) {
+        if (len <= 8) {
+          if (graft.core.Swar.packPrefix(bytes, off, len) == probeOrderPacked(pos))
+            return probeOrderCruise(pos)
+        } else {
+          val ob = probeOrderBytes(pos)
+          if (java.util.Arrays.equals(ob, 0, ob.length, bytes, off, off + len))
+            return probeOrderCruise(pos)
+        }
+      }
+    }
+    cruisableKeySlow(bytes, off, len, pos)
+  }
+
+  private def cruisableKeySlow(bytes: Array[Byte], off: Int, len: Int, pos: Int): Boolean = {
+    var cruise = true
     var i = 0
-    while (i < probeWanted.length) {
+    while (cruise && i < probeWanted.length) {
       val w = probeWanted(i)
       if (w.length == len && {
         if (len <= 8)
           graft.core.Swar.packPrefix(bytes, off, len) == probePacked(i)
         else
           java.util.Arrays.equals(w, 0, len, bytes, off, off + len)
-      }) return false
+      }) cruise = false
       i += 1
     }
-    true
+    if (pos < probeOrderCap) { // learn this position (copy: bytes is the parse buffer)
+      probeOrderLen(pos) = len
+      probeOrderBytes(pos) = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      if (len <= 8) probeOrderPacked(pos) = graft.core.Swar.packPrefix(bytes, off, len)
+      probeOrderCruise(pos) = cruise
+    }
+    cruise
   }
 
   // ------------------------------------------------- row object recycling
@@ -412,6 +456,7 @@ final class RowPlate(
     nodeStack(0) = nestedRoot
     skipPending = false
     seenMask = 0L
+    probePos = 0
   }
 
   @inline private def top: VFrame = frames(sp)
@@ -705,13 +750,35 @@ object Conversions {
   }
 
   def fromNum(dt: DataType, text: CharSequence, decIdx: Int, expIdx: Int): Any = {
+    // match order = observed frequency (this chain is on every-number hot
+    // path): inferred JSON schemas type numbers as DOUBLE or LONG, and
+    // mixed arrays coerce numbers to STRING a lot; the narrow/exotic
+    // targets (int/short/byte/float/decimal) trail
     try dt match {
-      // integral targets parse straight from the CharSequence view — the
-      // dominant case allocates nothing
+      case DoubleType  =>
+        // Eisel-Lemire exactly-rounded conversion off the zero-copy view
+        // (falls back to parseDouble internally on the rare hard cases);
+        // buffer views take the byte-specialized entry (no charAt dispatch)
+        java.lang.Double.valueOf(text match {
+          case v: graft.core.ByteSliceCharSeq =>
+            graft.core.FastDouble.parse(v.bytes, v.offset, v.length, decIdx, expIdx)
+          case _ => graft.core.FastDouble.parse(text, decIdx, expIdx)
+        })
+      // integral targets parse straight from the CharSequence view —
+      // allocation-free
       case LongType    => if (decIdx < 0 && expIdx < 0) text match {
         case v: graft.core.ByteSliceCharSeq => parseLongBoxed(v.bytes, v.offset, v.length)
         case _ => java.lang.Long.parseLong(text, 0, text.length, 10)
       } else null
+      case StringType  => text match {
+        // number-token bytes are pure ASCII (valid UTF-8): copy the slice
+        // straight into UTF8String — no intermediate java String, no char
+        // encode
+        case v: graft.core.ByteSliceCharSeq =>
+          UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
+        case _ => UTF8String.fromString(text.toString)
+      }
       case IntegerType => if (decIdx < 0 && expIdx < 0) text match {
         case v: graft.core.ByteSliceCharSeq =>
           parseLongBoxed(v.bytes, v.offset, v.length) match {
@@ -723,28 +790,10 @@ object Conversions {
       } else null
       case ShortType   => if (decIdx < 0 && expIdx < 0) java.lang.Short.parseShort(text.toString) else null
       case ByteType    => if (decIdx < 0 && expIdx < 0) java.lang.Byte.parseByte(text.toString) else null
-      case DoubleType  =>
-        // Eisel-Lemire exactly-rounded conversion off the zero-copy view
-        // (falls back to parseDouble internally on the rare hard cases);
-        // buffer views take the byte-specialized entry (no charAt dispatch)
-        java.lang.Double.valueOf(text match {
-          case v: graft.core.ByteSliceCharSeq =>
-            graft.core.FastDouble.parse(v.bytes, v.offset, v.length, decIdx, expIdx)
-          case _ => graft.core.FastDouble.parse(text, decIdx, expIdx)
-        })
       case FloatType   => java.lang.Float.parseFloat(text.toString)
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))
         if (dec.changePrecision(d.precision, d.scale)) dec else null
-      case StringType  => text match {
-        // number-token bytes are pure ASCII (valid UTF-8): copy the slice
-        // straight into UTF8String — no intermediate java String, no char
-        // encode (mixed arrays coerce numbers to string A LOT)
-        case v: graft.core.ByteSliceCharSeq =>
-          UTF8String.fromBytes(
-            java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
-        case _ => UTF8String.fromString(text.toString)
-      }
       case _           => null
     } catch { case _: NumberFormatException => null }
   }
