@@ -1017,8 +1017,128 @@ object Relational {
     (s, d) => { Tables.register(s, d, "nation", "customer"); s.sql(q107Sql) },
     Some(q107Sql))
 
+  // --------------------------------------------------------------- q108
+  // Statistical aggregates (variance / stddev / correlation) computed
+  // EXACTLY across engines: native stddev/corr stream doubles in
+  // engine-specific orders (never hash-identical), so the moments
+  // (n, Σx, Σx², Σy, Σy², Σxy) are accumulated as exact integers over
+  // cents — Spark DECIMAL(38,0), DuckDB HUGEINT, both exact — and the
+  // double arithmetic happens ONCE on identical integer inputs, making
+  // sqrt/divide bit-deterministic. The moment sums are ordinary partial+
+  // final hash aggregates, so the operator scales exactly like sum().
+  private val q108 = GQuery(
+    "q108_stats_moments",
+    "exact stddev + correlation via integer moment sums",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag,
+              |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              |             / (CAST(n AS DOUBLE) * (n - 1))) / 100, 4) AS sd_price,
+              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+              |        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              |           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_price_qty
+              |FROM (
+              |  SELECT l_returnflag,
+              |         CAST(count(*) AS DECIMAL(38,0)) AS n,
+              |         sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sx,
+              |         sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+              |             * CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+              |         sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sy,
+              |         sum(CAST(CAST(l_quantity AS BIGINT)
+              |             * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS syy,
+              |         sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+              |             * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxy
+              |  FROM lineitem GROUP BY l_returnflag)
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+                   round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * (n - 1))) / 100, 4) AS sd_price,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_price_qty
+            FROM (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sx,
+                     sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sxx,
+                     sum(CAST(l_quantity AS BIGINT)) AS sy,
+                     sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS syy,
+                     sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- q109
+  // Conditional / boolean aggregates: count_if, bool_and, bool_or,
+  // max_by — the quality-flag rollup shape. All exact (integers and
+  // booleans), all ordinary hash aggregates. max_by's tie risk is pinned
+  // by maximizing over a UNIQUE key (orderkey).
+  private val q109Sql =
+    """SELECT o_orderpriority,
+      |       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+      |       bool_and(o_totalprice > 1000) AS all_over_1k,
+      |       bool_or(o_orderstatus = 'F') AS any_final,
+      |       max_by(o_orderkey, o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  private val q109 = GQuery(
+    "q109_conditional_aggs",
+    "count_if / bool_and / bool_or / max_by conditional aggregates",
+    (s, d) => { Tables.register(s, d, "orders"); s.sql(q109Sql) },
+    Some(q109Sql))
+
+  // --------------------------------------------------------------- q110
+  // Time-series resample + forward fill: per-user daily grid from the
+  // user's own [first, last] active day (sequence + explode — map-side
+  // off the tiny per-user span summary), left join of observed daily
+  // totals onto the grid, then last_value IGNORE NULLS forward-fills
+  // gaps. Everything keys on user_id (+day), so the shuffles are the
+  // daily rollup and the per-user span/window — no all-pairs work — and
+  // grids are bounded per user by their own activity span (a decade-long
+  // span is ~4k rows, never a cross-join blowup). Integer cents keep the
+  // filled values exact.
+  private val q110 = GQuery(
+    "q110_resample_ffill",
+    "per-user daily resample (sequence/explode grid) + forward fill",
+    (s, d) => {
+      import s.implicits._
+      val daily = T(s, d, "events")
+        .filter($"user_id" <= 200)
+        .groupBy($"user_id",
+          expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      val grid = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("cents_ffill", last($"cents", ignoreNulls = true).over(w))
+        .select($"user_id", $"day", $"cents_ffill")
+        .orderBy($"user_id", $"day")
+    },
+    Some("""WITH daily AS (
+              SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM events WHERE user_id <= 200
+              GROUP BY user_id, day),
+            grid AS (
+              SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+              FROM daily GROUP BY user_id)
+            SELECT g.user_id, g.day,
+                   last_value(d.cents IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
+            FROM grid g LEFT JOIN daily d
+              ON g.user_id = d.user_id AND g.day = d.day
+            ORDER BY g.user_id, g.day"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
-    q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107)
+    q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
+    q108, q109, q110)
 }
