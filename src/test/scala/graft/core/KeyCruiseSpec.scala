@@ -102,4 +102,49 @@ class KeyCruiseSpec extends AnyFunSuite {
     assert(plate.cruisableKey("ba".getBytes, 0, 2))
     assert(plate.cruisableKey("barr".getBytes, 0, 4))
   }
+
+  // ---- probe ORDER cache adversaries (the by-arrival-position verdict
+  // cache must self-verify against the bytes, never trust the position)
+
+  test("order cache: changing key order across rows never flips a verdict") {
+    val sch = StructType.fromDDL("bar LONG, baz LONG")
+    // row 1 teaches position 0 = junk(cruise), 1 = bar, 2 = baz;
+    // row 2 swaps everything; row 3 puts a SAME-LENGTH different key at
+    // each learned position (jnk vs bar at pos 0: both 3 bytes); row 4
+    // re-uses row 1's order (cache re-learned by then)
+    val input =
+      """{"junk": 1, "bar": 10, "baz": 100}
+        |{"baz": 200, "junk": 2, "bar": 20}
+        |{"jnk": 3, "baz": 300, "bar": 30}
+        |{"junk": 4, "bar": 40, "baz": 400}
+        |""".stripMargin
+    val want = Seq(Seq(10L, 100L), Seq(20L, 200L), Seq(30L, 300L), Seq(40L, 400L))
+    for (chunk <- Seq(1, 2, 7, input.length))
+      assert(parse(input, sch, chunk) == want, s"chunk=$chunk")
+  }
+
+  test("order cache: long keys sharing an 8-byte prefix stay distinct") {
+    val sch = StructType.fromDDL("prefix_wanted LONG")
+    // both keys are > 8 bytes and share the first 8 bytes; position 0
+    // alternates between them row to row
+    val input =
+      """{"prefix_wanted": 1, "prefix_unwanted": 9}
+        |{"prefix_unwanted": 9, "prefix_wanted": 2}
+        |{"prefix_wanted": 3}
+        |""".stripMargin
+    val want = Seq(Seq(1L), Seq(2L), Seq(3L))
+    for (chunk <- Seq(1, 3, input.length))
+      assert(parse(input, sch, chunk) == want, s"chunk=$chunk")
+  }
+
+  test("order cache: rows wider than the 64-position cache stay correct") {
+    val sch = StructType.fromDDL("bar LONG")
+    // 70 junk keys before bar (positions past the cache fall back to the
+    // scan), then a second row with bar FIRST (cached positions mismatch)
+    val wide = (0 until 70).map(i => s""""junk$i": $i""").mkString(", ")
+    val input = s"""{$wide, "bar": 1}\n{"bar": 2, $wide}\n"""
+    val want = Seq(Seq(1L), Seq(2L))
+    for (chunk <- Seq(1, 13, input.length))
+      assert(parse(input, sch, chunk) == want, s"chunk=$chunk")
+  }
 }
