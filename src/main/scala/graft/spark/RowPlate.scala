@@ -65,6 +65,8 @@ final class RowPlate(
     var childIdx: Int = -1
     var kind: Int = KEmpty
     var fieldPos: Int = 0 // KStruct: nestMap count, keys the order cache
+    var conv: Int = RowPlate.CvOther       // converter code for THIS slot's scalar
+    var childConv: Int = RowPlate.CvUnset  // KArray/KMap: element/value code, lazy
     var value: Any = null                        // KScalar result
     var values: Array[Any] = null                // KStruct
     var st: StructType = null                    // KStruct
@@ -79,9 +81,9 @@ final class RowPlate(
     var vbuf: Array[Any] = null                  // KMap values
     var vlen: Int = 0
 
-    def reset(e: DataType, c: Int): Unit = {
+    def reset(e: DataType, c: Int, cv: Int): Unit = {
       expected = e; childIdx = c; kind = KEmpty; value = null
-      values = null; st = null
+      values = null; st = null; conv = cv; childConv = RowPlate.CvUnset
     }
 
     private def trimmed(a: Array[Any], n: Int): Array[Any] =
@@ -143,7 +145,8 @@ final class RowPlate(
   private[this] var sp = 0
   private[this] def rowFrame: VFrame = frames(0)
 
-  @inline private[this] def pushFrame(e: DataType, c: Int): Unit = {
+  @inline private[this] def pushFrame(e: DataType, c: Int,
+      cv: Int = RowPlate.CvUnset): Unit = {
     sp += 1
     if (sp >= frames.length) {
       val next = new Array[VFrame](frames.length * 2)
@@ -153,7 +156,7 @@ final class RowPlate(
       frames = next
       nodeStack = java.util.Arrays.copyOf(nodeStack, next.length)
     }
-    frames(sp).reset(e, c)
+    frames(sp).reset(e, c, if (cv == RowPlate.CvUnset) RowPlate.convOf(e) else cv)
     // descend the nested-filter trie alongside the frame stack
     val parent = nodeStack(sp - 1)
     nodeStack(sp) =
@@ -177,6 +180,10 @@ final class RowPlate(
   // linear scan and re-learn the order.
   private final class StructLookup(st: StructType) {
     val names: Array[String] = st.fieldNames
+    // per-field converter code (CvDouble/CvLong/CvString/CvOther):
+    // computed once per schema node so the per-scalar hot path dispatches
+    // on an int instead of walking a DataType match chain
+    val convs: Array[Int] = st.fields.map(f => RowPlate.convOf(f.dataType))
     // the order cache tracks OBSERVED key positions, which under pruning
     // exceed the schema width (19 skipped keys still occupy positions);
     // growable so wide rows with narrow schemas stay fully cached
@@ -440,7 +447,7 @@ final class RowPlate(
 
   private def resetRow(): Unit = {
     sp = 0
-    frames(0).reset(schema, -1)
+    frames(0).reset(schema, -1, RowPlate.CvOther)
     if (rootLookup == null) rootLookup = lookupFor(schema)
     if (rowWrapper == null) {
       if (rowPoolTop > 0) { // recycled rows were cleared on the way in
@@ -466,9 +473,12 @@ final class RowPlate(
   // ------------------------------------------------------------- events
 
   /** Scalar dispatch without per-event closures (hot path): kind 0=null,
-    * 1=false, 2=true, 3=empty-map, 4=empty-arr, 5=num, 6=str.
+    * 1=false, 2=true, 3=empty-map, 4=empty-arr, 5=num, 6=str. `conv` is
+    * the slot's precomputed converter code — the dominant targets
+    * (double/long/string) branch on the int and never walk the DataType
+    * match chains in [[Conversions]]; CvOther falls through to them.
     */
-  private def scalarValue(dt: DataType, kind: Int, s: CharSequence,
+  private def scalarValue(dt: DataType, conv: Int, kind: Int, s: CharSequence,
       decIdx: Int, expIdx: Int): Any = kind match {
     case 0 => null
     case 1 => Conversions.fromBoolean(dt, false)
@@ -482,20 +492,48 @@ final class RowPlate(
       case _: ArrayType => new GenericArrayData(Array.empty[Any])
       case _            => null
     }
-    case 5 => Conversions.fromNum(dt, s, decIdx, expIdx)
-    case _ => Conversions.fromString(dt, s)
+    case 5 => (conv: @scala.annotation.switch) match {
+      case RowPlate.CvDouble => try java.lang.Double.valueOf(s match {
+        case v: graft.core.ByteSliceCharSeq =>
+          graft.core.FastDouble.parse(v.bytes, v.offset, v.length, decIdx, expIdx)
+        case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
+      }) catch { case _: NumberFormatException => null }
+      case RowPlate.CvLong => if (decIdx < 0 && expIdx < 0) s match {
+        case v: graft.core.ByteSliceCharSeq =>
+          Conversions.parseLongBoxed(v.bytes, v.offset, v.length)
+        case _ => try java.lang.Long.valueOf(java.lang.Long.parseLong(s, 0, s.length, 10))
+                  catch { case _: NumberFormatException => null }
+      } else null
+      case RowPlate.CvString => s match {
+        case v: graft.core.ByteSliceCharSeq =>
+          UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
+        case _ => UTF8String.fromString(s.toString)
+      }
+      case _ => Conversions.fromNum(dt, s, decIdx, expIdx)
+    }
+    case _ => (conv: @scala.annotation.switch) match {
+      case RowPlate.CvString => s match {
+        case v: graft.core.ByteSliceCharSeq =>
+          UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
+        case _ => UTF8String.fromString(s.toString)
+      }
+      case _ => Conversions.fromString(dt, s)
+    }
   }
 
   private def fillScalar(kind: Int, s: CharSequence, decIdx: Int, expIdx: Int): Signal = {
     val f = top
     if (f.kind == KEmpty) {
       f.kind = KScalar
-      f.value = scalarValue(f.expected, kind, s, decIdx, expIdx)
+      f.value = scalarValue(f.expected, f.conv, kind, s, decIdx, expIdx)
       Signal.Continue
     } else if (f eq rowFrame) {
       // scalar row in a schemaless stream: the "value" column when present
       if (valueColIdx >= 0) {
-        f.values(valueColIdx) = scalarValue(schema(valueColIdx).dataType, kind, s, decIdx, expIdx)
+        f.values(valueColIdx) = scalarValue(schema(valueColIdx).dataType,
+          RowPlate.CvOther, kind, s, decIdx, expIdx)
         earlyFilter(valueColIdx, f.values(valueColIdx))
       } else Signal.Continue
     } else Signal.Continue // discard / malformed: ignore
@@ -530,13 +568,15 @@ final class RowPlate(
           skipPending = true
           Signal.SkipColumn // projection pushdown: key not in (pruned) schema
         } else {
-          pushFrame(f.st(idx).dataType, idx)
+          pushFrame(f.st(idx).dataType, idx, f.lookup.convs(idx))
           Signal.Continue
         }
       case KMap =>
         val m = f.expected.asInstanceOf[MapType]
         f.appendKey(Conversions.fromString(m.keyType, pathComponent))
-        pushFrame(m.valueType, -1)
+        var cv = f.childConv
+        if (cv == RowPlate.CvUnset) { cv = RowPlate.convOf(m.valueType); f.childConv = cv }
+        pushFrame(m.valueType, -1, cv)
         Signal.Continue
       case _ =>
         skipPending = true
@@ -569,7 +609,12 @@ final class RowPlate(
     }
     f.kind match {
       case KArray =>
-        pushFrame(f.expected.asInstanceOf[ArrayType].elementType, -1)
+        var cv = f.childConv
+        if (cv == RowPlate.CvUnset) {
+          cv = RowPlate.convOf(f.expected.asInstanceOf[ArrayType].elementType)
+          f.childConv = cv
+        }
+        pushFrame(f.expected.asInstanceOf[ArrayType].elementType, -1, cv)
         Signal.Continue
       case _ =>
         skipPending = true
@@ -687,6 +732,23 @@ final class RowPlate(
 }
 
 object RowPlate {
+  // Converter codes for the per-scalar fast dispatch: the three dominant
+  // target types get direct branches; everything else (int/short/byte/
+  // float/decimal/bool/date/...) takes the generic Conversions path.
+  final val CvOther = 0
+  final val CvDouble = 1
+  final val CvLong = 2
+  final val CvString = 3
+  /** Unset sentinel for lazily-computed element/value codes. */
+  final val CvUnset = -1
+
+  private[spark] def convOf(dt: DataType): Int = dt match {
+    case DoubleType => CvDouble
+    case LongType   => CvLong
+    case StringType => CvString
+    case _          => CvOther
+  }
+
   /** Resolve a dotted nested filter reference (e.g. `meta.len`) against a
     * schema to a field-index path. None when the reference is quoted, is a
     * literal top-level name, traverses a non-struct, or names a missing
