@@ -1307,5 +1307,69 @@ object Pipeline {
               WHERE length(text) > 0) c
             ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101)
+  // ---------------------------------------------------------------- q116
+  // Blocked fuzzy match (edit-distance candidate generation): near-identical
+  // part names within a brand block at levenshtein ≤ 2 — the canonical-entity
+  // / catalog-dedup shape. The block key (brand) bounds each comparison
+  // group, and the length-difference prefilter (|len a − len b| ≤ 2 is
+  // implied by distance ≤ 2) rejects most pairs before the O(len²) DP runs.
+  // At 100 TB the same shape holds with a stricter block key (brand ×
+  // name-prefix) — never an unblocked all-pairs join.
+  private val q116 = GQuery(
+    "q116_fuzzy_blocked_join",
+    "blocked fuzzy join: levenshtein ≤ 2 on part names within brand blocks",
+    (s, d) => {
+      import s.implicits._
+      val p = T(s, d, "part").select($"p_partkey", $"p_brand", $"p_name")
+      val a = p.toDF("key_a", "brand", "name_a")
+      val b = p.toDF("key_b", "brand", "name_b")
+      a.join(b, Seq("brand"))
+        .filter($"key_a" < $"key_b" &&
+          abs(length($"name_a") - length($"name_b")) <= 2)
+        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+        .filter($"dist" <= 2)
+        .select($"key_a", $"key_b", $"dist")
+        .orderBy($"key_a", $"key_b")
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY key_a, key_b"""))
+
+  // ---------------------------------------------------------------- q117
+  // Boilerplate-span detection (C4/CCNet-style corpus cleaning): word
+  // 3-gram spans repeated across ≥ 5 distinct documents — the spans a
+  // cleaning pass would strip (navigation chrome, license headers). Pure
+  // explode → one count-distinct aggregate on the span; the HAVING bound
+  // keeps output tiny. At 100 TB the distinct-doc count per span is the
+  // same two-level hash aggregate, and a df cap on the explode (as the
+  // jaccard path uses) bounds any stop-phrase hot keys.
+  private val q117 = GQuery(
+    "q117_boilerplate_spans",
+    "cross-document repeated 3-gram span detection (boilerplate mining)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(size(w) - 2, 0)), i -> array_join(slice(w, i, 3), ' '))"
+        )).as("span"))
+        .groupBy($"span")
+        .agg(countDistinct($"doc_id").as("ndocs"))
+        .filter($"ndocs" >= 5)
+        .orderBy($"ndocs".desc, $"span")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS span
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i))
+            SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+            FROM sh GROUP BY span
+            HAVING count(DISTINCT doc_id) >= 5
+            ORDER BY ndocs DESC, span"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117)
 }

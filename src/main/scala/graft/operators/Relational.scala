@@ -1136,9 +1136,154 @@ object Relational {
               ON g.user_id = d.user_id AND g.day = d.day
             ORDER BY g.user_id, g.day"""))
 
+  // --------------------------------------------------------------- q111
+  // Multiset (bag-semantics) set operations: INTERSECT ALL keeps the
+  // minimum multiplicity per value, EXCEPT ALL subtracts multiplicities —
+  // q16 covers only the DISTINCT forms. Spark plans both as a single
+  // hash aggregate over tagged counts (no sort), sharing one shuffle on
+  // the value key — scale-safe at any cardinality.
+  private val q111 = GQuery(
+    "q111_multiset_ops",
+    "INTERSECT ALL / EXCEPT ALL multiset set operations",
+    (s, d) => {
+      import s.implicits._
+      val a = T(s, d, "orders").filter($"o_totalprice" > 200000)
+        .select($"o_custkey".as("k"))
+      val b = T(s, d, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("k"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .orderBy($"op", $"k")
+    },
+    Some("""WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+                 b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+            SELECT k, 'intersect_all' AS op FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+            UNION ALL
+            SELECT k, 'except_all' AS op FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+            ORDER BY op, k"""))
+
+  // --------------------------------------------------------------- q112
+  // Gaps-and-islands: maximal runs of consecutive active days per user via
+  // the classic day − row_number() group key. One shuffle on user_id
+  // (distinct + window + final group all share it); island state is a
+  // constant per row, so the window is a single pass — no self-join, no
+  // recursion, scale-safe for arbitrarily long histories.
+  private val q112 = GQuery(
+    "q112_gaps_islands",
+    "gaps-and-islands: maximal consecutive-day activity runs per user",
+    (s, d) => {
+      import s.implicits._
+      val days = T(s, d, "events")
+        .filter($"user_id" <= 300)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      days.withColumn("grp", $"day" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+          count(lit(1)).as("len"))
+        .filter($"len" >= 2)
+        .select($"user_id", $"start_day", $"end_day", $"len")
+        .orderBy($"user_id", $"start_day")
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events WHERE user_id <= 300),
+            marked AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+              FROM days)
+            SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+                   CAST(count(*) AS BIGINT) AS len
+            FROM marked GROUP BY user_id, grp
+            HAVING count(*) >= 2
+            ORDER BY user_id, start_day"""))
+
+  // --------------------------------------------------------------- q113
+  // Bitwise aggregates: BIT_AND / BIT_OR / BIT_XOR — order-insensitive,
+  // so they combine map-side like any commutative hash aggregate (XOR
+  // over a unique key column doubles as an order-free set digest, the
+  // trick reconciliation pipelines use to diff table contents cheaply).
+  private val q113Sql =
+    """SELECT l_returnflag,
+      |       bit_and(CAST(l_quantity AS BIGINT)) AS qty_and,
+      |       bit_or(CAST(l_quantity AS BIGINT)) AS qty_or,
+      |       bit_xor(CAST(l_quantity AS BIGINT)) AS qty_xor,
+      |       bit_xor(l_orderkey) AS key_xor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  private val q113 = GQuery(
+    "q113_bitwise_aggs",
+    "BIT_AND / BIT_OR / BIT_XOR aggregates (order-free set digest)",
+    (s, d) => { Tables.register(s, d, "lineitem"); s.sql(q113Sql) },
+    Some(q113Sql))
+
+  // --------------------------------------------------------------- q114
+  // Window navigation battery: FIRST_VALUE ... IGNORE NULLS (first
+  // non-open price per customer), NTH_VALUE over the full frame, and
+  // LEAD with an explicit offset + default. One window partition keyed
+  // on o_custkey — single shuffle, bounded per-customer frames.
+  private val q114 = GQuery(
+    "q114_window_navigation",
+    "first_value IGNORE NULLS / nth_value / lead(offset, default) windows",
+    (s, d) => {
+      import s.implicits._
+      val t = T(s, d, "orders").filter($"o_custkey" <= 500)
+        .withColumn("closed_price",
+          when($"o_orderstatus" === "O", lit(null)).otherwise($"o_totalprice"))
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wLead = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t.select($"o_custkey", $"o_orderkey",
+          first($"closed_price", ignoreNulls = true).over(w).as("first_closed"),
+          nth_value($"o_totalprice", 2).over(w).as("second_price"),
+          lead($"o_totalprice", 2, -1.0).over(wLead).as("lead2_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""WITH t AS (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS closed_price
+              FROM orders WHERE o_custkey <= 500)
+            SELECT o_custkey, o_orderkey,
+                   first_value(closed_price IGNORE NULLS) OVER w AS first_closed,
+                   nth_value(o_totalprice, 2) OVER w AS second_price,
+                   lead(o_totalprice, 2, -1.0) OVER w AS lead2_price
+            FROM t
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // --------------------------------------------------------------- q115
+  // CDC latest-record upsert (SCD-1 merge analog): keep only the newest
+  // version per key by (event time, tiebreak key) — the batch equivalent
+  // of MERGE INTO ... WHEN MATCHED UPDATE. row_number over a per-key
+  // window, one shuffle on the merge key; AQE handles hot keys. The
+  // deterministic tiebreak (orderkey desc) makes replays idempotent.
+  private val q115 = GQuery(
+    "q115_upsert_latest",
+    "CDC latest-record dedup (SCD-1 upsert): newest row per key",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      T(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey".as("latest_key"),
+          $"o_orderdate".as("latest_date"), $"o_totalprice".as("latest_price"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey AS latest_key, o_orderdate AS latest_date,
+                   o_totalprice AS latest_price
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+            ORDER BY o_custkey"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
-    q108, q109, q110)
+    q108, q109, q110, q111, q112, q113, q114, q115)
 }
