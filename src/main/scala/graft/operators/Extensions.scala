@@ -753,5 +753,46 @@ object Extensions {
             GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71)
+  // --------------------------------------------------------------- q118
+  // Higher-order lambda functions over arrays: transform / filter /
+  // exists / forall / zip_with — all codegen'd Catalyst expressions, no
+  // UDFs. Arrays come from a per-orderkey collect (bounded: line count
+  // per order ≤ 7), canonicalized with sort_array; array-valued outputs
+  // serialize positionally (concat_ws) so the cross-engine compare is
+  // representation-proof.
+  private val q118 = GQuery(
+    "q118_higher_order_lambdas",
+    "transform / filter / exists / forall / zip_with array lambdas",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "lineitem")
+        .filter($"l_orderkey" <= 2000)
+        .groupBy($"l_orderkey")
+        .agg(
+          sort_array(collect_list($"l_quantity".cast("long"))).as("qs"),
+          sort_array(collect_list(round($"l_extendedprice" * 100).cast("long")))
+            .as("cents"))
+        .select($"l_orderkey",
+          concat_ws("-", expr("transform(qs, x -> x * 2)")).as("doubled"),
+          concat_ws("-", expr("filter(qs, x -> x >= 25)")).as("big"),
+          expr("exists(qs, x -> x % 2 = 0)").as("any_even"),
+          expr("forall(qs, x -> x > 0)").as("all_pos"),
+          concat_ws("-", expr("zip_with(qs, cents, (x, y) -> x + y)")).as("zipped"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+                   array_to_string(list_transform(qs, x -> x * 2), '-') AS doubled,
+                   coalesce(array_to_string(list_filter(qs, x -> x >= 25), '-'), '') AS big,
+                   len(list_filter(qs, x -> x % 2 = 0)) > 0 AS any_even,
+                   len(list_filter(qs, x -> x > 0)) = len(qs) AS all_pos,
+                   array_to_string(list_transform(list_zip(qs, cents),
+                                                  t -> t[1] + t[2]), '-') AS zipped
+            FROM (SELECT l_orderkey,
+                         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs,
+                         list_sort(list(CAST(round(l_extendedprice * 100) AS BIGINT))) AS cents
+                  FROM lineitem WHERE l_orderkey <= 2000
+                  GROUP BY l_orderkey) g
+            ORDER BY l_orderkey"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118)
 }

@@ -1281,9 +1281,34 @@ object Relational {
                     ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
             ORDER BY o_custkey"""))
 
+  // --------------------------------------------------------------- q120
+  // Schema-aligned union (UNION BY NAME): columns match by NAME, not
+  // position, and columns missing from one side null-fill — the shape
+  // every multi-source ingest union needs (position-based UNION silently
+  // misaligns). Pure map-side concatenation: no shuffle beyond the
+  // final presentation sort.
+  private val q120 = GQuery(
+    "q120_union_by_name",
+    "unionByName with allowMissingColumns (null-filled schema alignment)",
+    (s, d) => {
+      import s.implicits._
+      val a = T(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"))
+      val b = T(s, d, "supplier").filter($"s_suppkey" <= 50)
+        .select(($"s_suppkey" + 1000).cast("long").as("k"), $"s_acctbal".as("bal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select($"k", $"name", $"bal")
+        .orderBy($"k")
+    },
+    Some("""WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation),
+                 b AS (SELECT CAST(s_suppkey + 1000 AS BIGINT) AS k, s_acctbal AS bal
+                       FROM supplier WHERE s_suppkey <= 50)
+            SELECT k, name, bal FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+            ORDER BY k"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115)
+    q108, q109, q110, q111, q112, q113, q114, q115, q120)
 }

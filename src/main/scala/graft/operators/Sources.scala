@@ -958,5 +958,42 @@ object Sources {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102)
+  // --------------------------------------------------------------- q119
+  // Schema evolution on read: two appended batches with DIFFERENT column
+  // subsets (the streaming-corpus reality — producers add fields over
+  // time) read back under the widened union schema. Keys absent from a
+  // row read as NULL (RowPlate's missing-key semantics), keys outside
+  // the schema byte-skip — no rewrite of old files, no read failure.
+  // The per-batch marker column proves which file shape each row came
+  // from, and the nested struct only the NEWER batch carries exercises
+  // evolution below the top level.
+  private val q119sink = s"$fixtureDir/q119_evolving"
+  private val q119 = GQuery(
+    "q119_schema_evolution_scan",
+    "append batches with different column subsets; widened-schema read (missing → null)",
+    (s, d) => {
+      import s.implicits._
+      val n = Tables(s, d, "nation")
+      n.select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"))
+        .write.format("graft-json").mode("overwrite").save(q119sink)
+      n.select(($"n_nationkey" + 100).cast("long").as("k"),
+          $"n_regionkey".cast("long").as("r"),
+          struct(length($"n_name").cast("long").as("len")).as("meta"))
+        .write.format("graft-json").mode("append").save(q119sink)
+      s.read.format("graft-json")
+        .schema("k LONG, name STRING, r LONG, meta STRUCT<len: LONG>")
+        .load(q119sink)
+        .select($"k", coalesce($"name", lit("?")).as("name"),
+          coalesce($"r", lit(-1L)).as("r"),
+          coalesce($"meta.len", lit(-1L)).as("meta_len"))
+        .orderBy($"k")
+    },
+    Some(s"""SELECT k, coalesce(name, '?') AS name, coalesce(r, -1) AS r,
+                    coalesce(meta.len, -1) AS meta_len
+             FROM read_json('$q119sink/*.jsonl',
+                            columns={k: 'BIGINT', name: 'VARCHAR', r: 'BIGINT',
+                                     meta: 'STRUCT(len BIGINT)'})
+             ORDER BY k"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119)
 }
