@@ -794,5 +794,50 @@ object Extensions {
                   GROUP BY l_orderkey) g
             ORDER BY l_orderkey"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118)
+  // --------------------------------------------------------------- q121
+  // Stream-static join: the unbounded side (events) enriched per
+  // micro-batch against a bounded dimension (customer) — no watermark
+  // needed on the static side, no join state kept (each batch probes the
+  // dim afresh), and the explicit broadcast keeps the 100 TB/day stream
+  // from ever shuffling for the join. Inner matches emit append-mode, so
+  // an AvailableNow drain is complete and exactly SQL-expressible.
+  private val q121 = GQuery(
+    "q121_stream_static_join",
+    "stream-static broadcast enrichment (events stream x customer dim)",
+    (s, d) => {
+      import s.implicits._
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q121")
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir.toFile)
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("a_events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(streamDir.resolve("a_events.parquet").toString).schema
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        .filter($"event_type" === "purchase")
+        .select($"user_id".cast("long").as("user_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val dim = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("user_id"), $"c_mktsegment")
+      val q = stream.join(broadcast(dim), Seq("user_id"))
+        .writeStream
+        .format("memory").queryName("q121_enriched")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q121_enriched")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            WHERE event_type = 'purchase'
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121)
 }
