@@ -534,6 +534,32 @@ object TrainingData {
     df.join(canonical, Seq(idCol), "left_semi")
   }
 
+  /** Cluster-canonical "keep best" dedup: like [[dedupByComponents]], but
+    * the survivor of each duplicate cluster is chosen by an explicit
+    * caller-supplied quality order (e.g. longest text, best quality score,
+    * newest crawl) instead of min-id — the policy real corpus dedup wants:
+    * when a page was crawled five times, keep the best capture, not the
+    * one with the smallest id. `rankCols` MUST totally order rows within
+    * a cluster (append the id column as the final tiebreak) or the
+    * survivor is nondeterministic. One row_number window partitioned on
+    * the component key — bounded per-cluster work, one shuffle beyond the
+    * component computation itself. Output keeps all of `df`'s columns
+    * plus the `comp` cluster key.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      rankCols: Seq[Column], srcCol: String = "src", dstCol: String = "dst",
+      maxRounds: Int = 60): DataFrame = {
+    require(rankCols.nonEmpty, "rankCols must not be empty")
+    val comps = connectedComponents(df.select(col(idCol)), pairs,
+        idCol, srcCol, dstCol, maxRounds)
+      .select(col("id").as(idCol), col("comp"))
+    val w = Window.partitionBy(col("comp")).orderBy(rankCols: _*)
+    df.join(comps, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Connected components over an undirected edge list — the clustering
     * step after a similarity join: near-duplicate candidate PAIRS (from
     * [[minhashLshCandidates]], the n-gram Jaccard join, or an embedding

@@ -17,6 +17,36 @@ object Extensions {
 
   private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** The events `ts` column across driver-data vintages: TIMESTAMP(NANOS)
+    * parquet surfaces as LongType nanos (under nanosAsLong=true), micros
+    * as TIMESTAMP_NTZ, already-normalized as TIMESTAMP. The streaming
+    * gates read the parquet directly (no [[Tables]] normalization), so
+    * they adapt here. Returns (event-time TIMESTAMP, epoch-micros BIGINT)
+    * columns. Casting NTZ→TIMESTAMP is lossless under the UTC session tz,
+    * same as Tables.
+    */
+  private def eventTs(schema: org.apache.spark.sql.types.StructType)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        (timestamp_micros(expr("ts div 1000")), expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        (col("ts").cast("timestamp"), unix_micros(col("ts").cast("timestamp")))
+      case _ => (col("ts"), unix_micros(col("ts")))
+    }
+
+  /** Shift the raw `ts` column forward by whole days PRESERVING its
+    * physical type (long nanos vs timestamp/_ntz), so staged sentinel
+    * files keep the exact source schema the stream reader expects.
+    */
+  private def shiftTsDays(schema: org.apache.spark.sql.types.StructType,
+      days: Long): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(days * 86400L * 1000000000L)
+      case _ => col("ts") + expr(s"INTERVAL $days DAYS")
+    }
+
   // ---------------------------------------------------------------- q22
   // approx_count_distinct = HyperLogLog++ partial-mergeable sketch: the
   // 100 TB way to count distincts (no exact-distinct shuffle explosion).
@@ -97,7 +127,7 @@ object Extensions {
       val path = streamDir.toString
       val schema = s.read.parquet(path).schema
       val stream = s.readStream.schema(schema).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos long -> micros ts
+        .withColumn("ts", eventTs(schema)._1)
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
@@ -313,7 +343,7 @@ object Extensions {
       val schema = s.read.parquet(streamDir.toString).schema
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
         .select($"user_id".cast("long").as[Long],
-          expr("ts div 1000").as[Long], // nanos -> micros
+          eventTs(schema)._2.as[Long], // epoch micros
           $"value".as[Double])
       val updated = stream
         .groupByKey(_._1)
@@ -373,12 +403,11 @@ object Extensions {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // sentinel batches: one far-future event each (user -1), +30/+60 days
       val src = s.read.parquet(streamDir.resolve("a_events.parquet").toString)
-      val dayNs = 86400L * 1000000000L
       Seq(("b_sentinel1", 30L), ("c_sentinel2", 60L)).foreach { case (name, days) =>
         val tmp = streamDir.resolve(name + "_tmp")
         src.limit(1)
           .withColumn("user_id", lit(-1L))
-          .withColumn("ts", $"ts" + lit(days * dayNs))
+          .withColumn("ts", shiftTsDays(src.schema, days))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         // the stream source wants plain files: lift the single part file out
         val part = java.nio.file.Files.list(tmp).filter(
@@ -391,13 +420,13 @@ object Extensions {
       val base = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", eventTs(schema)._1)
         .withWatermark("ets", "1 minute")
       val sessions = base
         // the watermarked column must survive into the stateful operator's
         // input, so it rides along in the typed tuple
         .select($"user_id".cast("long").as("uid"),
-          expr("ts div 1000").as("tus"), $"ets")
+          eventTs(schema)._2.as("tus"), $"ets")
         .as[(Long, Long, java.sql.Timestamp)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(
@@ -542,8 +571,8 @@ object Extensions {
         s.readStream.schema(schema).parquet(streamDir.toString)
           .filter($"event_type" === tpe)
           .select($"user_id".cast("long").as(u),
-            expr("ts div 1000").as(s"${t}_us"),
-            timestamp_micros(expr("ts div 1000")).as(t))
+            eventTs(schema)._2.as(s"${t}_us"),
+            eventTs(schema)._1.as(t))
           .withWatermark(t, "1 minute")
       val clicks = side("click", "cu", "cts")
       val purchases = side("purchase", "pu", "pts")
@@ -606,7 +635,7 @@ object Extensions {
       val deduped = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", eventTs(schema)._1)
         .withWatermark("ets", "3650 days")
         .dropDuplicatesWithinWatermark("event_id")
       val q = deduped
@@ -699,12 +728,11 @@ object Extensions {
         streamDir.resolve("a_events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val src = s.read.parquet(streamDir.resolve("a_events.parquet").toString)
-      val dayNs = 86400L * 1000000000L
       Seq(("b_sentinel1", 30L), ("c_sentinel2", 60L)).foreach { case (name, days) =>
         val tmp = streamDir.resolve(name + "_tmp")
         src.limit(1)
           .withColumn("user_id", lit(-1L))
-          .withColumn("ts", $"ts" + lit(days * dayNs))
+          .withColumn("ts", shiftTsDays(src.schema, days))
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = java.nio.file.Files.list(tmp).filter(
           p => p.getFileName.toString.startsWith("part-")).findFirst.get
@@ -715,7 +743,7 @@ object Extensions {
       val sessions = s.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", eventTs(src.schema)._1)
         .withWatermark("ets", "1 minute")
         .groupBy($"user_id".cast("long").as("user_id"),
           session_window($"ets", "30 minutes").as("w"))

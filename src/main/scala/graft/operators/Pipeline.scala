@@ -1371,5 +1371,100 @@ object Pipeline {
             HAVING count(DISTINCT doc_id) >= 5
             ORDER BY ndocs DESC, span"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117)
+  // ---------------------------------------------------------------- q125
+  // Per-document unigram entropy — the distribution-shape quality signal
+  // (gibberish and keyword-stuffed spam sit at the entropy extremes; q36's
+  // ratio features can't see repetition structure). Computed exactly as
+  // H = ln(total) − Σ c·ln(c) / total over the per-(doc, token) counts:
+  // two hash aggregates sharing the doc_id key — the same two-level
+  // shape as tf-idf (q46), no shuffle beyond them. round(5) pins the
+  // float representation for the oracle, as q108 does.
+  private val q125 = GQuery(
+    "q125_unigram_entropy",
+    "per-document unigram entropy (token distribution quality signal)",
+    (s, d) => {
+      import s.implicits._
+      val cnt = T(s, d, "documents").filter($"doc_id" <= 300)
+        .select($"doc_id", explode(split(lower($"text"), "[^a-z0-9]+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      cnt.groupBy($"doc_id")
+        .agg(sum($"c").as("total"), count(lit(1)).as("n_distinct"),
+          sum(expr("c * ln(c)")).as("clnc"))
+        .select($"doc_id", $"total", $"n_distinct",
+          round(expr("ln(total) - clnc / total"), 5).as("entropy"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, t.tok
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) t(tok)
+              WHERE doc_id <= 300 AND t.tok <> ''),
+            cnt AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY doc_id, tok)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 5) AS entropy
+            FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q126
+  // Cluster-canonical KEEP-BEST dedup (TrainingData.dedupKeepBest): the
+  // near-dup clusters from the same capped n-gram similarity graph as
+  // q93, but the survivor is the best-quality member (longest text,
+  // doc_id tiebreak) rather than min-id — the policy production corpus
+  // dedup actually ships. Same scale shape as q93 (star-contraction CC,
+  // checkpointed rounds) plus one per-cluster row_number window.
+  private val q126 = GQuery(
+    "q126_dedup_keep_best",
+    "cluster-canonical keep-best dedup (quality-ranked survivor per near-dup cluster)",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      val edges = graft.api.TrainingData.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, minJaccardBp = 1500, maxDocFreq = 100)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      graft.api.TrainingData.dedupKeepBest(
+          docs.select($"doc_id", $"n_chars"), "doc_id", edges,
+          rankCols = Seq(col("n_chars").desc, col("doc_id")))
+        .select($"doc_id", $"n_chars", $"comp".as("cluster_id"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh0 AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) t(i)),
+            sh AS (
+              SELECT * FROM sh0
+              WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              FROM sh x JOIN sh y USING (sh)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+            sim AS (
+              SELECT doc_a, doc_b
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE (10000 * inter) // (sa.n + sb.n - inter) >= 1500),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM sim
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM sim),
+            reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+            SELECT d.doc_id, d.n_chars, c.cluster_id
+            FROM documents d
+            JOIN (SELECT id AS doc_id, min(r) AS cluster_id
+                  FROM reach GROUP BY id) c USING (doc_id)
+            QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+                    ORDER BY d.n_chars DESC, d.doc_id) = 1
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126)
 }

@@ -1306,9 +1306,225 @@ object Relational {
             SELECT k, name, bal FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
             ORDER BY k"""))
 
+  // --------------------------------------------------------------- q122
+  // Deterministic per-group MODE: the built-in mode() is tie-nondeterministic
+  // in both engines, so the gate computes it as count + row_number with an
+  // explicit total order (count desc, value asc) — the only mode a
+  // reproducible pipeline should ship. Two shuffles: the (group, value)
+  // count (map-side partial combine) and the per-group window over the
+  // already-tiny count table. Scale-safe at any cardinality: the window
+  // partitions on the group key and its input is one row per distinct
+  // value, not per source row.
+  private val q122 = GQuery(
+    "q122_mode_per_group",
+    "deterministic per-group mode (count + tie-broken row_number)",
+    (s, d) => {
+      import s.implicits._
+      val c = T(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"n".desc, $"qty")
+      c.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_returnflag", $"qty".as("mode_qty"), $"n".as("mode_count"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH c AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, qty AS mode_qty, n AS mode_count
+            FROM c
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY n DESC, qty) = 1
+            ORDER BY l_returnflag"""))
+
+  // --------------------------------------------------------------- q123
+  // Equi-width histogram over a fixed domain: bucket = clamped integer
+  // floor-division — pure map work, then a 12-key hash aggregate with
+  // map-side combine, so the shuffle moves 12 rows per task no matter the
+  // input size. (Spark's width_bucket exists, but explicit arithmetic is
+  // engine-portable and keeps the bucket math auditable.)
+  private val q123Sql =
+    """SELECT bucket,
+      |       CAST(bucket * 50000 AS BIGINT) AS lo,
+      |       CAST((bucket + 1) * 50000 AS BIGINT) AS hi,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(min(o_totalprice), 2) AS min_price,
+      |       round(max(o_totalprice), 2) AS max_price
+      |FROM (SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+      |             o_totalprice
+      |      FROM orders) t
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+  private val q123 = GQuery(
+    "q123_histogram_equiwidth",
+    "equi-width histogram via clamped integer bucketing (12 buckets)",
+    (s, d) => { Tables.register(s, d, "orders"); s.sql(q123Sql) },
+    Some(q123Sql))
+
+  // --------------------------------------------------------------- q124
+  // Interval-overlap join (interval × interval), chunk-bucketed: the naive
+  // plan is a theta join (a.s < b.e AND b.s < a.e) — BroadcastNestedLoop
+  // or a full cross product, quadratic at scale. Instead each interval
+  // explodes onto the fixed-width time chunks it covers (≤ 2 chunks here:
+  // interval length ≤ 7 days, chunk width 7 days) and the join becomes an
+  // EQUI-join on the chunk key + residual overlap predicate — one hash
+  // shuffle each side, per-chunk work bounded by temporal density, never
+  // by corpus size. distinct() collapses pairs that meet in two chunks.
+  // This is the standard range-bucketing trick (same family as the as-of
+  // join's day buckets, q08).
+  private val q124 = GQuery(
+    "q124_interval_overlap_join",
+    "interval-overlap join via time-chunk bucketing (equi-join, not theta)",
+    (s, d) => {
+      import s.implicits._
+      def ivals(f: DataFrame => DataFrame, key: String): DataFrame =
+        f(T(s, d, "orders"))
+          .select($"o_orderkey".as(key),
+            expr("unix_micros(o_orderdate) div 86400000000").as("s"),
+            (expr("unix_micros(o_orderdate) div 86400000000") +
+              ($"o_orderkey" % 7) + lit(1)).as("e"))
+      val a = ivals(_.filter($"o_custkey" <= 150), "a_key")
+        .withColumn("chunk", explode(expr("sequence(s div 7, (e - 1) div 7)")))
+        .select($"a_key", $"s".as("a_s"), $"e".as("a_e"), $"chunk")
+      val b = ivals(_.filter($"o_custkey" > 150 && $"o_custkey" <= 300 &&
+          $"o_orderstatus" === "F"), "b_key")
+        .withColumn("chunk", explode(expr("sequence(s div 7, (e - 1) div 7)")))
+        .select($"b_key", $"s".as("b_s"), $"e".as("b_e"), $"chunk")
+      a.join(b, a("chunk") === b("chunk") &&
+          a("a_s") < b("b_e") && b("b_s") < a("a_e"))
+        .select($"a_key", $"b_key",
+          (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_days"))
+        .distinct()
+        .orderBy($"a_key", $"b_key")
+    },
+    Some("""WITH a AS (
+              SELECT o_orderkey AS a_key,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS s,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       + o_orderkey % 7 + 1 AS e
+              FROM orders WHERE o_custkey <= 150),
+            b AS (
+              SELECT o_orderkey AS b_key,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS s,
+                     CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                       + o_orderkey % 7 + 1 AS e
+              FROM orders
+              WHERE o_custkey > 150 AND o_custkey <= 300 AND o_orderstatus = 'F')
+            SELECT a.a_key, b.b_key,
+                   least(a.e, b.e) - greatest(a.s, b.s) AS overlap_days
+            FROM a JOIN b ON a.s < b.e AND b.s < a.e
+            ORDER BY a_key, b_key"""))
+
+  // --------------------------------------------------------------- q127
+  // Graph analytics: triangle counting on the co-purchase graph (parts
+  // appearing in the same order). Edges orient low→high id so each
+  // triangle is counted exactly once; the wedge join (e1.b = e2.a) then
+  // closes against e3 — two hash-shuffle joins on vertex keys, no
+  // enumeration beyond wedges. Per-order pair generation is bounded by
+  // order size (≤ 7 lines), so the map stage never goes quadratic in the
+  // corpus. At 100 TB the standard refinement is degree-based orientation
+  // (orient toward the higher-degree endpoint) to bound wedge counts on
+  // hub vertices; id-orientation is kept here because the oracle must
+  // reproduce it exactly.
+  private val q127 = GQuery(
+    "q127_triangle_count",
+    "triangle counting via oriented wedge join (co-purchase graph)",
+    (s, d) => {
+      import s.implicits._
+      val li = T(s, d, "lineitem").filter($"l_partkey" <= 300)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val e = li.as("x").join(li.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_partkey" < $"y.l_partkey")
+        .select($"x.l_partkey".as("a"), $"y.l_partkey".as("b")).distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), $"e1.b" === $"e2.a")
+        .join(e.as("e3"), $"e1.a" === $"e3.a" && $"e2.b" === $"e3.b")
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri) // two 1-row sides
+    },
+    Some("""WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey
+              FROM lineitem WHERE l_partkey <= 300),
+            e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM li x JOIN li y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""))
+
+  // --------------------------------------------------------------- q128
+  // Iterative graph computation: 3 PageRank iterations in EXACT integer
+  // arithmetic (rank scaled by 1e12, floor division everywhere) so the
+  // result is bit-deterministic and oracle-checkable — float PageRank can
+  // never hash-match across engines. Damping 0.85 = 17/20 in integers;
+  // dangling mass is dropped (the standard simplification). Each round is
+  // one join-aggregate keyed on vertex ids; at real scale the loop
+  // checkpoints per round exactly like connectedComponents
+  // (TrainingData.scala) to truncate lineage — 3 bounded rounds here.
+  // N (one scalar) is computed once driver-side, as any production job
+  // would.
+  private val q128 = GQuery(
+    "q128_pagerank_integer",
+    "fixed-iteration PageRank in exact integer arithmetic (top 10)",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "lineitem")
+        .select(($"l_suppkey" % 50).as("src"), ($"l_partkey" % 50).as("dst"))
+        .filter($"src" =!= $"dst").distinct()
+      val nodes = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+        .distinct()
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("od"))
+      val n = nodes.count()
+      var r = nodes.select($"id", lit(1000000000000L / n).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = e.join(r, e("src") === r("id")).join(deg, "src")
+          .select($"dst".as("id"), expr("r div od").as("c"))
+          .groupBy($"id").agg(sum($"c").as("c"))
+        r = nodes.join(contrib, Seq("id"), "left")
+          .select($"id",
+            (lit(150000000000L / n) +
+              expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
+      }
+      r.select($"id", $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"id").limit(10)
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT l_suppkey % 50 AS src, l_partkey % 50 AS dst
+              FROM lineitem WHERE l_suppkey % 50 <> l_partkey % 50),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+            r0 AS (SELECT id, 1000000000000 // (SELECT n FROM p) AS r FROM nodes),
+            c1 AS (SELECT e.dst AS id, CAST(sum(r0.r // deg.od) AS BIGINT) AS c
+                   FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT nodes.id, 150000000000 // (SELECT n FROM p)
+                          + (17 * coalesce(c1.c, 0)) // 20 AS r
+                   FROM nodes LEFT JOIN c1 ON c1.id = nodes.id),
+            c2 AS (SELECT e.dst AS id, CAST(sum(r1.r // deg.od) AS BIGINT) AS c
+                   FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT nodes.id, 150000000000 // (SELECT n FROM p)
+                          + (17 * coalesce(c2.c, 0)) // 20 AS r
+                   FROM nodes LEFT JOIN c2 ON c2.id = nodes.id),
+            c3 AS (SELECT e.dst AS id, CAST(sum(r2.r // deg.od) AS BIGINT) AS c
+                   FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT nodes.id, 150000000000 // (SELECT n FROM p)
+                          + (17 * coalesce(c3.c, 0)) // 20 AS r
+                   FROM nodes LEFT JOIN c3 ON c3.id = nodes.id)
+            SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_scaled
+            FROM r3 ORDER BY rank_scaled DESC, id LIMIT 10"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q120)
+    q108, q109, q110, q111, q112, q113, q114, q115, q120,
+    q122, q123, q124, q127, q128)
 }
