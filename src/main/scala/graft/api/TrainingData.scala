@@ -42,6 +42,20 @@ object TrainingData {
       salt: String): DataFrame =
     df.filter(substring(keyHash(col(keyCol), salt), 1, 8) < hexThreshold(rate))
 
+  /** Deterministic WEIGHTED Bernoulli sample: each row survives with its
+    * own probability `weightBp` / 10000 (basis points, so the policy
+    * column stays exact-integer and engine-portable — quality-proportional
+    * sampling, domain up/down-weighting). The uniform draw is the first 8
+    * md5 hex digits of (salt, key) reduced mod 10000 — map-only, no
+    * shuffle, reproducible, and identical in any engine with md5. Rows
+    * with weightBp >= 10000 always survive; <= 0 never do.
+    */
+  def sampleWeighted(df: DataFrame, keyCol: String, weightBp: Column,
+      salt: String): DataFrame =
+    df.filter(
+      conv(substring(keyHash(col(keyCol), salt), 1, 8), 16, 10)
+        .cast("long") % 10000 < weightBp)
+
   /** Deterministic dataset split: appends `splitCol` assigning each row to
     * one of the named bands (weights sum to ~1; the last band absorbs
     * rounding). Use a different salt than any sampling pass so membership

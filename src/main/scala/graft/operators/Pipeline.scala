@@ -1466,5 +1466,30 @@ object Pipeline {
                     ORDER BY d.n_chars DESC, d.doc_id) = 1
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126)
+  // ---------------------------------------------------------------- q130
+  // Deterministic WEIGHTED sampling (TrainingData.sampleWeighted): each
+  // document survives with probability proportional to its own quality
+  // weight (here length-proportional in basis points, saturating at
+  // 10000 = always keep) — quality-proportional corpus thinning / domain
+  // re-weighting. Map-only like q73's uniform sample: the draw is a pure
+  // function of (salt, key), so membership is reproducible across reruns,
+  // repartitionings, and engines.
+  private val q130 = GQuery(
+    "q130_weighted_sample",
+    "deterministic weighted Bernoulli sample (per-row basis-point weights, map-only)",
+    (s, d) => {
+      import s.implicits._
+      graft.api.TrainingData.sampleWeighted(
+          T(s, d, "documents"), "doc_id",
+          least($"n_chars" * 2, lit(10000L)), "graft-wsample:")
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE CAST(concat('0x', substring(md5('graft-wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                  < least(n_chars * 2, 10000)
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130)
 }

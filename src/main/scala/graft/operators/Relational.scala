@@ -1521,10 +1521,83 @@ object Relational {
             SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_scaled
             FROM r3 ORDER BY rank_scaled DESC, id LIMIT 10"""))
 
+  // --------------------------------------------------------------- q129
+  // Incremental aggregate maintenance (materialized-view merge): the base
+  // period's PRE-AGGREGATED summary merges with the delta period's
+  // summary by re-aggregating the union — valid because count/sum are
+  // mergeable partial aggregates (the same algebra Spark's partial+final
+  // hash aggregation uses inside one query). This is the 100 TB shape for
+  // daily rollups: never recompute history, aggregate the new partition
+  // and merge. The gate proves merge == full recompute via the oracle.
+  private val q129 = GQuery(
+    "q129_incremental_agg_merge",
+    "incremental materialized-view maintenance: base ⊎ delta pre-aggregates == full recompute",
+    (s, d) => {
+      import s.implicits._
+      val orders = T(s, d, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      def summarize(df: DataFrame): DataFrame =
+        df.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      summarize(orders.filter($"o_orderdate" < cut))
+        .unionByName(summarize(orders.filter($"o_orderdate" >= cut)))
+        .groupBy($"o_orderpriority")
+        .agg(sum($"n").as("n_orders"), sum($"cents").as("sum_cents"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  // --------------------------------------------------------------- q131
+  // Winsorization (percentile capping): per-group exact p05/p95 bounds
+  // over integer cents (q106's cross-engine-exact ordered-set path), then
+  // values clip to the bounds. Two passes — the bounds table is one row
+  // per group and broadcasts back onto the stream — the standard shape
+  // for outlier-robust feature pipelines at scale (approx_percentile
+  // substitutes for the bounds pass when exactness isn't required).
+  private val q131 = GQuery(
+    "q131_winsorize",
+    "winsorization: exact p05/p95 percentile capping per group",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("""WITH b AS (
+              |  SELECT l_returnflag,
+              |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS lo,
+              |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS hi
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l.l_returnflag, b.lo AS lo_cents, b.hi AS hi_cents,
+              |       CAST(count_if(l.c < b.lo) AS BIGINT) AS n_clipped_lo,
+              |       CAST(count_if(l.c > b.hi) AS BIGINT) AS n_clipped_hi,
+              |       CAST(sum(least(greatest(l.c, b.lo), b.hi)) AS BIGINT) AS sum_wins_cents
+              |FROM (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+              |      FROM lineitem) l
+              |JOIN b ON b.l_returnflag = l.l_returnflag
+              |GROUP BY l.l_returnflag, b.lo, b.hi
+              |ORDER BY l.l_returnflag""".stripMargin)
+    },
+    Some("""WITH b AS (
+              SELECT l_returnflag,
+                CAST(quantile_disc(CAST(floor(l_extendedprice * 100) AS BIGINT), 0.05) AS BIGINT) AS lo,
+                CAST(quantile_disc(CAST(floor(l_extendedprice * 100) AS BIGINT), 0.95) AS BIGINT) AS hi
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag, b.lo AS lo_cents, b.hi AS hi_cents,
+                   CAST(count_if(l.c < b.lo) AS BIGINT) AS n_clipped_lo,
+                   CAST(count_if(l.c > b.hi) AS BIGINT) AS n_clipped_hi,
+                   CAST(sum(least(greatest(l.c, b.lo), b.hi)) AS BIGINT) AS sum_wins_cents
+            FROM (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+                  FROM lineitem) l
+            JOIN b ON b.l_returnflag = l.l_returnflag
+            GROUP BY l.l_returnflag, b.lo, b.hi
+            ORDER BY l.l_returnflag"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
-    q122, q123, q124, q127, q128)
+    q122, q123, q124, q127, q128, q129, q131)
 }

@@ -151,6 +151,25 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("g" -> 3L, "h" -> 1L))
   }
 
+  // ---------------------------------------------------------- weighted sample
+  test("sampleWeighted: 0 bp never survives, 10000 bp always, rate tracks weight") {
+    val s = spark; import s.implicits._
+    val n = 4000
+    val df = (1L to n).map(i => (i, i % 3)).toDF("id", "band")
+    // band 0 -> 0 bp, band 1 -> 10000 bp, band 2 -> 2500 bp
+    val w = expr("CASE band WHEN 0 THEN 0 WHEN 1 THEN 10000 ELSE 2500 END")
+    val kept = TrainingData.sampleWeighted(df, "id", w, "spec:")
+      .groupBy($"band").count().as[(Long, Long)].collect().toMap
+    assert(!kept.contains(0L))
+    assert(kept(1L) == (1L to n).count(_ % 3 == 1))
+    val r2 = kept(2L).toDouble / (1L to n).count(_ % 3 == 2)
+    assert(r2 > 0.18 && r2 < 0.32, s"2500bp band kept at rate $r2")
+    // reproducible: second run identical
+    val again = TrainingData.sampleWeighted(df, "id", w, "spec:")
+      .groupBy($"band").count().as[(Long, Long)].collect().toMap
+    assert(again == kept)
+  }
+
   // ---------------------------------------------------------- entropy
   test("unigram entropy: closed forms for uniform and single-token docs") {
     val s = spark; import s.implicits._
