@@ -1594,10 +1594,113 @@ object Relational {
             GROUP BY l.l_returnflag, b.lo, b.hi
             ORDER BY l.l_returnflag"""))
 
+  // --------------------------------------------------------------- q132
+  // Markov transition matrix over per-user event sequences: lead() pairs
+  // each event with its successor inside the user's timeline, then one
+  // hash aggregate counts the (state → next) matrix. One shuffle on
+  // user_id for the window (per-user frames are bounded by that user's
+  // history; a hot user would pre-split by (user, day) exactly like the
+  // as-of join), one map-side-combined aggregate on the 25-cell matrix.
+  // The (ts, event_id) sort key is a total order, so successor choice is
+  // deterministic in both engines.
+  private val q132 = GQuery(
+    "q132_markov_transitions",
+    "event-sequence Markov transition counts (lead window + matrix aggregate)",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      T(s, d, "events").filter($"user_id" <= 500)
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"next_type")
+    },
+    Some("""WITH seq AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_type
+              FROM events WHERE user_id <= 500)
+            SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+            ORDER BY event_type, next_type"""))
+
+  // --------------------------------------------------------------- q133
+  // Ordered funnel (view → click-after-view → purchase-after-click): each
+  // stage is a keyed min-timestamp aggregate joined to the previous
+  // stage's frontier with a strict time predicate. Every join is an
+  // equi-join on user_id — all three stages share the same shuffle key,
+  // so at scale this is one partitioning reused down the chain (funnel
+  // depth adds stages, not shuffle width). The chained-join form beats a
+  // per-user collect_list sort at 100 TB: no per-user memory, no skew
+  // beyond what AQE already handles.
+  private val q133 = GQuery(
+    "q133_funnel_stages",
+    "ordered event funnel: stage frontiers via keyed min-after joins",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "events").select($"user_id", $"event_type", $"ts")
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = e.filter($"event_type" === "click").as("e")
+        .join(v, Seq("user_id")).filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = e.filter($"event_type" === "purchase").as("e")
+        .join(c, Seq("user_id")).filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                       JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+                       WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                       JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+                       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase"""))
+
+  // --------------------------------------------------------------- q134
+  // Median absolute deviation (the robust dispersion stat): median over
+  // integer cents, then median of |x − med| — two exact ordered-set
+  // passes, bounds broadcast between them (q131's winsorize shape).
+  // Exactness across engines: median of BIGINT is .0/.5-exact in DOUBLE,
+  // |c − med| stays exactly representable, and the second median picks
+  // from those exact values.
+  private val q134 = GQuery(
+    "q134_mad_robust",
+    "median absolute deviation via two exact ordered-set passes",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("""WITH m AS (
+              |  SELECT l_returnflag,
+              |         CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l.l_returnflag, m.med AS median_cents,
+              |       CAST(median(abs(CAST(floor(l.l_extendedprice * 100) AS BIGINT) - m.med)) AS DOUBLE) AS mad_cents
+              |FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
+              |GROUP BY l.l_returnflag, m.med
+              |ORDER BY l.l_returnflag""".stripMargin)
+    },
+    Some("""WITH m AS (
+              SELECT l_returnflag,
+                     CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag, m.med AS median_cents,
+                   CAST(median(abs(CAST(floor(l.l_extendedprice * 100) AS BIGINT) - m.med)) AS DOUBLE) AS mad_cents
+            FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
+            GROUP BY l.l_returnflag, m.med
+            ORDER BY l.l_returnflag"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
-    q122, q123, q124, q127, q128, q129, q131)
+    q122, q123, q124, q127, q128, q129, q131, q132, q133, q134)
 }

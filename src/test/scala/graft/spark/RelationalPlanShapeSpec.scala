@@ -105,6 +105,22 @@ class RelationalPlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joins.nonEmpty, s"expected a real join from decorrelation:\n$plan")
   }
 
+  test("q124: interval-overlap join plans as an EQUI-join, never nested-loop") {
+    val plan = finalPlan(q("q124_interval_overlap_join"))
+    val nested = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nested.isEmpty,
+      s"chunk bucketing must make the overlap join an equi-join:\n$plan")
+    val equi = collect(plan) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(equi.nonEmpty, s"expected a hash/merge equi-join on chunk:\n$plan")
+  }
+
   test("q104: salted join equals plain join (parity, not just the oracle)") {
     val salted = q("q104_salted_skew_join").collect().map(_.toSeq)
     val plain = {
