@@ -114,11 +114,19 @@ object GraftFunctions {
       WordShingles(args(0), args(1))
     })
 
+  val levBoundedInfo = (
+    FunctionIdentifier("levenshtein_bounded"),
+    new ExpressionInfo(classOf[LevenshteinBounded].getName, "levenshtein_bounded"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "levenshtein_bounded takes exactly 3 arguments")
+      LevenshteinBounded(args(0), args(1), args(2))
+    })
+
   /** Register the graft function library on an existing session
     * (idempotent) — for sessions not built with the extensions class.
     */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineInfo, shinglesInfo).foreach { case (id, info, builder) =>
+    Seq(cosineInfo, shinglesInfo, levBoundedInfo).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
@@ -132,5 +140,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineInfo)
     ext.injectFunction(GraftFunctions.shinglesInfo)
+    ext.injectFunction(GraftFunctions.levBoundedInfo)
   }
 }

@@ -867,5 +867,55 @@ object Extensions {
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121)
+  // ---------------------------------------------------------------- q136
+  // Count-Min sketch (functions/CountMinSketchAgg): the mergeable
+  // frequency sketch as a typed Aggregator UDAF — fixed 3×256 counter
+  // state per partition, elementwise-add merge, estimate = min of a key's
+  // 3 counters (never an undercount). Unlike HLL (q22, rows-only), the
+  // md5 bucketing is ENGINE-PORTABLE, so the oracle rebuilds the exact
+  // same sketch in SQL (group rows per (hash-row, bucket), min over the
+  // key's buckets) and the gate checks the estimates exactly — a sketch
+  // gate with a hard oracle. exact_n rides along to show the estimates
+  // sit at/above truth (width 256 >> 5 distinct keys ⇒ usually equal).
+  private val q136 = GQuery(
+    "q136_countmin_sketch",
+    "Count-Min sketch UDAF (mergeable frequency sketch, exact cross-engine oracle)",
+    (s, d) => {
+      import s.implicits._
+      s.udf.register("cms_sketch",
+        udaf(new graft.functions.CountMinSketchAgg(3, 256)))
+      val events = T(s, d, "events").select($"event_type")
+      val sk = events.agg(expr("cms_sketch(event_type)").as("sk"))
+      val est = events.distinct().withColumnRenamed("event_type", "k")
+        .crossJoin(sk) // 5 keys × one 1-row sketch
+        .withColumn("cms_estimate", expr(
+          """least(
+            |  element_at(sk, CAST(1 + 0 * 256 + CAST(conv(substring(md5(concat('cms0:', k)), 1, 8), 16, 10) AS BIGINT) % 256 AS INT)),
+            |  element_at(sk, CAST(1 + 1 * 256 + CAST(conv(substring(md5(concat('cms1:', k)), 1, 8), 16, 10) AS BIGINT) % 256 AS INT)),
+            |  element_at(sk, CAST(1 + 2 * 256 + CAST(conv(substring(md5(concat('cms2:', k)), 1, 8), 16, 10) AS BIGINT) % 256 AS INT)))""".stripMargin))
+      T(s, d, "events").groupBy($"event_type").agg(count(lit(1)).as("exact_n"))
+        .join(est, $"event_type" === $"k")
+        .select($"event_type", $"exact_n", $"cms_estimate")
+        .orderBy($"event_type")
+    },
+    Some("""WITH params AS (SELECT unnest([0, 1, 2]) AS i),
+            h AS (
+              SELECT i, CAST(concat('0x', substring(md5(concat('cms', CAST(i AS VARCHAR), ':', event_type)), 1, 8)) AS BIGINT) % 256 AS b
+              FROM events, params),
+            counters AS (SELECT i, b, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY i, b),
+            keys AS (SELECT DISTINCT event_type AS k FROM events),
+            keyh AS (
+              SELECT k, i, CAST(concat('0x', substring(md5(concat('cms', CAST(i AS VARCHAR), ':', k)), 1, 8)) AS BIGINT) % 256 AS b
+              FROM keys, params),
+            est AS (
+              SELECT k, CAST(min(c.c) AS BIGINT) AS cms_estimate
+              FROM keyh JOIN counters c USING (i, b) GROUP BY k),
+            exact AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, e.exact_n, est.cms_estimate
+            FROM exact e JOIN est ON est.k = e.event_type
+            ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121, q136)
 }

@@ -1491,5 +1491,35 @@ object Pipeline {
                   < least(n_chars * 2, 10000)
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130)
+  // ---------------------------------------------------------------- q135
+  // q116's blocked fuzzy join driven through the native BANDED
+  // levenshtein_bounded(a, b, k) expression (functions/
+  // LevenshteinBounded.scala), called by name from SQL via the function
+  // registry (the SparkSessionExtensions surface). Semantics: exact
+  // distance when ≤ k, else k+1 — so under the `<= 2` threshold it is
+  // value-identical to the unbounded built-in, which is the oracle. The
+  // banded kernel does O(k·n) work per pair instead of O(n·m): at corpus
+  // scale the fuzzy-join predicate never needs distances beyond its own
+  // threshold, and computing them is most of a naive join's cost.
+  private val q135 = GQuery(
+    "q135_bounded_fuzzy_join",
+    "blocked fuzzy join via the banded levenshtein_bounded expression (SQL registry)",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.register(s, d, "part")
+      s.sql("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              |       CAST(levenshtein_bounded(a.p_name, b.p_name, 2) AS BIGINT) AS dist
+              |FROM part a JOIN part b
+              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              |WHERE levenshtein_bounded(a.p_name, b.p_name, 2) <= 2
+              |ORDER BY key_a, key_b""".stripMargin)
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY key_a, key_b"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135)
 }
