@@ -1521,5 +1521,49 @@ object Pipeline {
             WHERE levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY key_a, key_b"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135)
+  // ---------------------------------------------------------------- q138
+  // Character-trigram log-probability scoring — the perplexity-proxy
+  // quality filter (CCNet trains a KenLM and drops high-perplexity docs;
+  // the portable analog is a char n-gram model trained on the corpus
+  // itself). Two phases, both plain aggregates: (1) MODEL = trigram →
+  // count over the whole corpus (one hash agg; the model is tiny — at
+  // most |alphabet|³ rows — so it BROADCASTS); (2) SCORE = per-doc mean
+  // ln(count/total) via a broadcast join of each doc's trigrams against
+  // the model. No smoothing needed: every scored trigram is in the model
+  // by construction. At 100 TB the model phase is a cheap global agg and
+  // scoring stays map-side (broadcast), so the filter is one pass.
+  private val q138 = GQuery(
+    "q138_char_trigram_logprob",
+    "char-trigram log-probability quality scoring (corpus model + broadcast scoring)",
+    (s, d) => {
+      import s.implicits._
+      val t = T(s, d, "documents")
+        .select($"doc_id", lower($"text").as("t"))
+        .filter(length($"t") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("g"))
+      val model = t.groupBy($"g").agg(count(lit(1)).as("c"))
+      val total = model.agg(sum($"c").cast("double").as("n"))
+      t.join(broadcast(model), "g").crossJoin(broadcast(total))
+        .filter($"doc_id" <= 300)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          round(avg(expr("ln(CAST(c AS DOUBLE) / n)")), 5).as("logprob"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) >= 3),
+            tri AS (
+              SELECT doc_id, substring(t, i, 3) AS g
+              FROM d, unnest(generate_series(1, length(t) - 2)) s(i)),
+            model AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY g),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM model)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                   round(avg(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 5) AS logprob
+            FROM tri JOIN model USING (g)
+            WHERE doc_id <= 300
+            GROUP BY doc_id
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138)
 }

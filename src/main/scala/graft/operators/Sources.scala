@@ -995,5 +995,37 @@ object Sources {
                                      meta: 'STRUCT(len BIGINT)'})
              ORDER BY k"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119)
+  // ---------------------------------------------------------------- q137
+  // ORC interchange: Spark's second first-class columnar format, written
+  // and read back through the built-in vectorized ORC source with a
+  // pushed timestamp filter (`spark.read.orc` pushes predicates into ORC
+  // stripe/row-group elimination exactly as parquet does footer pruning).
+  // A 100 TB estate is rarely one format — the engine must round-trip the
+  // columnar interchange formats losslessly, timestamps included. The
+  // oracle aggregates the original parquet, so any ORC write/read
+  // divergence (type mapping, timezone handling) breaks the hash.
+  private val q137 = GQuery(
+    "q137_orc_roundtrip",
+    "ORC columnar interchange: write + vectorized filtered read-back",
+    (s, d) => {
+      import s.implicits._
+      val path = "/tmp/graft_orc/lineitem"
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag", $"l_shipdate")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("long")).as("qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137)
 }
