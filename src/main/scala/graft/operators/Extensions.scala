@@ -9,6 +9,33 @@ import org.apache.spark.sql.streaming.Trigger
 /** Per-user streaming state for q51 (top-level for Encoder derivation). */
 final case class UserProfile(n: Long, sumValue: Double, minTs: Long, maxTs: Long)
 
+/** q139's StatefulProcessor — the Spark 4 arbitrary-state streaming API
+  * (transformWithState): typed ValueState per key, explicit exists/get/
+  * update lifecycle, runs only on the RocksDB state store provider.
+  * Keeps a (count, cent-sum) running aggregate per user; integer cents
+  * make emitted values order-independent and oracle-exact.
+  */
+class UserRunningAgg extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = 0L
+    var cents = 0L
+    if (st.exists()) { val s = st.get(); n = s._1; cents = s._2 }
+    rows.foreach { r => n += 1; cents += r._2 }
+    st.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
+
 /** Remaining §2.11 surface: sketch aggregation (HLL), the UDAF extension
   * surface (typed Aggregator), and Structured Streaming (file micro-batch
   * source + event-time window + watermark).
@@ -917,5 +944,56 @@ object Extensions {
             FROM exact e JOIN est ON est.k = e.event_type
             ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121, q136)
+  // ---------------------------------------------------------------- q139
+  // transformWithState — the Spark 4 arbitrary-state streaming API that
+  // supersedes mapGroupsWithState (q51): explicit typed state variables
+  // (ValueState/ListState/MapState + TTL + timers) on the RocksDB state
+  // store. The gate runs the per-user running aggregate through a
+  // ValueState processor, drains with AvailableNow, and checks the final
+  // update-mode emission (single batch ⇒ one row per user) against the
+  // batch aggregate oracle. The provider conf is scoped to the query and
+  // restored after — the other streaming gates keep the default HDFS
+  // provider.
+  private val q139 = GQuery(
+    "q139_transform_with_state",
+    "transformWithState typed ValueState streaming aggregate (RocksDB state store)",
+    (s, d) => {
+      import s.implicits._
+      val streamDir = java.nio.file.Paths.get("/tmp/graft_stream/events_q139")
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+          .filter($"user_id" <= 200)
+          .select($"user_id".cast("long").as[Long],
+            expr("CAST(floor(value * 100) AS BIGINT)").as[Long])
+        val out = stream.groupByKey(_._1)
+          .transformWithState(new UserRunningAgg,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+        val q = out.toDF("user_id", "n_events", "sum_cents")
+          .writeStream.format("memory").queryName("q139_tws")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None    => s.conf.unset(providerKey)
+      }
+      s.table("q139_tws").orderBy($"user_id")
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events WHERE user_id <= 200
+            GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121, q136, q139)
 }
