@@ -1565,5 +1565,61 @@ object Pipeline {
             GROUP BY doc_id
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138)
+  // ---------------------------------------------------------------- q140
+  // Cross-document duplicated-chunk ratio — the RefinedWeb/FineWeb dedup
+  // SIGNAL (drop or trim documents whose content is mostly duplicated
+  // elsewhere), as opposed to q29's whole-document dedup: chunk each doc
+  // into fixed non-overlapping windows (chunkByChars, overlap 0), hash
+  // them, and mark a chunk duplicated when its hash spans >1 distinct
+  // document. One shuffle on the chunk hash (the exact-dedup shuffle) +
+  // one per-doc rollup. The corpus unions a shifted copy of every 5th
+  // doc so the fixture actually contains cross-doc duplication; those
+  // docs score ratio 1.0, the rest ~0.
+  private val q140 = GQuery(
+    "q140_paragraph_dup_ratio",
+    "cross-document duplicated-chunk ratio per doc (FineWeb-style dedup signal)",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionByName(
+        docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      val chunks = graft.api.TrainingData.chunkByChars(
+          corpus, "doc_id", "text", width = 100, overlap = 0)
+        .select($"doc_id", md5($"chunk").as("h"))
+      val dupHashes = chunks.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" > 1)
+        .select($"h")
+      chunks.join(dupHashes.withColumn("isdup", lit(1L)), Seq("h"), "left")
+        .filter($"doc_id" < 10000)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce($"isdup", lit(0L))).as("n_dup"))
+        .select($"doc_id", $"n_chunks", $"n_dup",
+          round($"n_dup" / $"n_chunks", 4).as("dup_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0),
+            chunks AS (
+              SELECT doc_id, md5(substring(text, i * 100 + 1, 100)) AS h
+              FROM corpus,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil((length(text) - 100) / 100.0) AS INT), 0))) t(i)
+              WHERE length(text) > 0),
+            dup AS (
+              SELECT h FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count_if(h IN (SELECT h FROM dup)) AS BIGINT) AS n_dup,
+                   round(count_if(h IN (SELECT h FROM dup)) * 1.0 / count(*), 4) AS dup_ratio
+            FROM chunks
+            WHERE doc_id < 10000
+            GROUP BY doc_id
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140)
 }
