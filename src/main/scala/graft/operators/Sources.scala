@@ -1027,5 +1027,45 @@ object Sources {
             GROUP BY l_returnflag
             ORDER BY l_returnflag"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137)
+  // ---------------------------------------------------------------- q141
+  // SQL-DDL surface: CREATE TABLE ... USING graft-json LOCATION — the
+  // catalog hands the table its storage root via TABLE PROPERTIES (not
+  // per-read options), which GraftSources.mergeTableProps folds into the
+  // scan, so a SQL-first user drives the DSv2 source with no DataFrame
+  // code: DDL once, then plain SELECTs with full pushdown. The gate
+  // stages supplier as graft-written JSONL, registers it as a catalog
+  // table, and aggregates through spark.sql; the oracle aggregates the
+  // original parquet.
+  private val q141 = GQuery(
+    "q141_sql_ddl_table",
+    "CREATE TABLE USING graft-json (catalog DDL → DSv2 scan with pushdown)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_ddl/supplier"
+      Tables(s, d, "supplier")
+        .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        .write.format("graft-json").mode("overwrite").save(dir)
+      s.sql("DROP TABLE IF EXISTS graft_supplier")
+      s.sql(s"""CREATE TABLE graft_supplier
+               |  (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+               |USING `graft-json` LOCATION '$dir'""".stripMargin)
+      val out = s.sql(
+        """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(s_acctbal), 2) AS bal
+          |FROM graft_supplier
+          |WHERE s_acctbal > 0
+          |GROUP BY s_nationkey
+          |ORDER BY s_nationkey""".stripMargin)
+      out.collect() // materialize before dropping the catalog entry
+      s.sql("DROP TABLE graft_supplier")
+      out
+    },
+    Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(s_acctbal), 2) AS bal
+            FROM supplier
+            WHERE s_acctbal > 0
+            GROUP BY s_nationkey
+            ORDER BY s_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141)
 }

@@ -148,9 +148,26 @@ object GraftSources {
     * (`date=2024-01-01/hour=03/part-*.json`) lists, prunes, and reads
     * without a metastore.
     */
+  /** Catalog tables (`CREATE TABLE ... USING graft-json LOCATION ...`)
+    * carry their storage root and options in TABLE PROPERTIES, while the
+    * per-read options map can be empty — merge them under the read
+    * options (read options win) so the scan sees one map either way.
+    */
+  def mergeTableProps(properties: java.util.Map[String, String],
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    if (properties == null || properties.isEmpty) return options
+    val merged = new java.util.HashMap[String, String](properties)
+    merged.putAll(options.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(merged)
+  }
+
   def resolvePartitioned(options: CaseInsensitiveStringMap): Listing = {
     val conf = activeHadoopConf()
+    // "path"/"paths" = DataFrame reader options; "location" = how the V2
+    // catalog hands a `CREATE TABLE ... USING graft-json LOCATION '...'`
+    // table its storage root (SQL-DDL surface, SqlDdlSpec).
     val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .orElse(Option(options.get("location")))
       .getOrElse(throw new IllegalArgumentException("graft source requires a 'path' option"))
     val partCols = new mutable.LinkedHashSet[String]
     val files = Seq.newBuilder[(String, Long, mutable.LinkedHashMap[String, String])]
@@ -365,7 +382,8 @@ final class GraftJsonTable(
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema, options, isJson = true)
+    new GraftScanBuilder(schema,
+      GraftSources.mergeTableProps(properties, options), isJson = true)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(
@@ -448,7 +466,8 @@ final class GraftCsvTable(
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema, options, isJson = false)
+    new GraftScanBuilder(schema,
+      GraftSources.mergeTableProps(properties, options), isJson = false)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     def opt(k: String, dflt: String): String =

@@ -1,0 +1,54 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** SQL DDL over the graft DSv2 sources: CREATE TABLE ... USING graft-json
+  * registers a catalog table whose reads go through the graft scan
+  * (pushdown included) — the surface a SQL-first user drives the engine
+  * with, no DataFrame code at all.
+  */
+class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("sql-ddl-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_ddl_warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("CREATE TABLE USING graft-json + SQL reads with pushdown") {
+    val s = spark
+    val dir = "/tmp/graft_ddl_spec/data"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "rows.jsonl"),
+      """{"id": 1, "name": "a", "score": 10}
+        |{"id": 2, "name": "b", "score": 20}
+        |{"id": 3, "name": "c", "score": 30}
+        |""".stripMargin.getBytes("UTF-8"))
+    s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    s.sql(
+      s"""CREATE TABLE graft_ddl_t (id BIGINT, name STRING, score BIGINT)
+         |USING `graft-json` LOCATION '$dir'""".stripMargin)
+    val rows = s.sql(
+      "SELECT name, score FROM graft_ddl_t WHERE score > 10 ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("b", 20L), ("c", 30L)))
+    // the catalog table's scan is the graft DSv2 scan, not a fallback
+    val plan = s.sql("SELECT id FROM graft_ddl_t").queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("graft") || plan.contains("BatchScan"),
+      s"expected the graft DSv2 scan in:\n$plan")
+    s.sql("DROP TABLE graft_ddl_t")
+  }
+}
