@@ -387,7 +387,10 @@ final class GraftJsonTable(
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(
-      Option(info.options.get("path")).getOrElse(properties.get("path")),
+      Option(info.options.get("path"))
+        .orElse(Option(properties.get("path")))
+        .orElse(Option(properties.get("location"))) // catalog DDL tables
+        .orNull,
       info.schema(),
       new SerializableConfiguration(GraftSources.activeHadoopConf()),
       codec = Option(info.options.get("compression"))
@@ -473,7 +476,10 @@ final class GraftCsvTable(
     def opt(k: String, dflt: String): String =
       Option(info.options.get(k)).orElse(Option(properties.get(k))).getOrElse(dflt)
     new GraftCsvWriteBuilder(
-      Option(info.options.get("path")).getOrElse(properties.get("path")),
+      Option(info.options.get("path"))
+        .orElse(Option(properties.get("path")))
+        .orElse(Option(properties.get("location"))) // catalog DDL tables
+        .orNull,
       info.schema(),
       new SerializableConfiguration(GraftSources.activeHadoopConf()),
       codec = opt("compression", "none").toLowerCase(java.util.Locale.ROOT),

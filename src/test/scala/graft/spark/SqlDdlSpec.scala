@@ -51,4 +51,21 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the graft DSv2 scan in:\n$plan")
     s.sql("DROP TABLE graft_ddl_t")
   }
+
+  test("INSERT INTO a graft catalog table writes through the DSv2 sink") {
+    val s = spark
+    val dir = "/tmp/graft_ddl_spec/ins"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    s.sql("DROP TABLE IF EXISTS graft_ddl_ins")
+    s.sql(
+      s"""CREATE TABLE graft_ddl_ins (id BIGINT, name STRING)
+         |USING `graft-json` LOCATION '$dir'""".stripMargin)
+    s.sql("INSERT INTO graft_ddl_ins VALUES (1, 'x'), (2, 'y')")
+    s.sql("INSERT INTO graft_ddl_ins SELECT id + 10, upper(name) FROM graft_ddl_ins")
+    val rows = s.sql("SELECT id, name FROM graft_ddl_ins ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y"), (11L, "X"), (12L, "Y")))
+    s.sql("DROP TABLE graft_ddl_ins")
+  }
 }
