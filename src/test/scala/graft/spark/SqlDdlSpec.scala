@@ -68,4 +68,18 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1L, "x"), (2L, "y"), (11L, "X"), (12L, "Y")))
     s.sql("DROP TABLE graft_ddl_ins")
   }
+
+  test("CTAS: CREATE TABLE USING graft-json AS SELECT") {
+    val s = spark
+    val dir = "/tmp/graft_ddl_spec/ctas"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    s.sql("DROP TABLE IF EXISTS graft_ddl_ctas")
+    s.sql(
+      s"""CREATE TABLE graft_ddl_ctas USING `graft-json` LOCATION '$dir'
+         |AS SELECT id, concat('n', id) AS name FROM range(5)""".stripMargin)
+    val rows = s.sql("SELECT id, name FROM graft_ddl_ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == (0L to 4L).map(i => (i, s"n$i")))
+    s.sql("DROP TABLE graft_ddl_ctas")
+  }
 }
