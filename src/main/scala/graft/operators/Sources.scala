@@ -1067,5 +1067,42 @@ object Sources {
             GROUP BY s_nationkey
             ORDER BY s_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141)
+  // ---------------------------------------------------------------- q142
+  // Federated heterogeneous-format join: one query over a graft-json
+  // table (DSv2), an ORC table (vectorized built-in), and parquet — the
+  // real shape of a 100 TB estate, where raw ingest lands as JSONL, warm
+  // data is columnar, and nothing gets rewritten just to be joinable.
+  // Each source keeps its own pushdown (the JSON scan byte-skips unused
+  // columns, ORC/parquet prune stripes/row-groups); the dims broadcast.
+  // The oracle runs the same join over the original parquet tables, so
+  // any per-format read divergence breaks the hash.
+  private val q142 = GQuery(
+    "q142_federated_formats_join",
+    "three-format federated join (graft-json × ORC × parquet), per-source pushdown",
+    (s, d) => {
+      import s.implicits._
+      val jsonDir = "/tmp/graft_fed/nation_json"
+      val orcDir = "/tmp/graft_fed/region_orc"
+      Tables(s, d, "nation").write.format("graft-json").mode("overwrite").save(jsonDir)
+      Tables(s, d, "region").write.mode("overwrite").orc(orcDir)
+      val nation = s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .load(jsonDir)
+      val region = s.read.orc(orcDir)
+      Tables(s, d, "customer")
+        .join(nation, $"c_nationkey" === $"n_nationkey")
+        .join(region, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("bal"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(c_acctbal), 2) AS bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142)
 }
