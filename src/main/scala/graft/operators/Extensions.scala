@@ -52,7 +52,7 @@ object Extensions {
     * columns. Casting NTZ→TIMESTAMP is lossless under the UTC session tz,
     * same as Tables.
     */
-  private def eventTs(schema: org.apache.spark.sql.types.StructType)
+  private[operators] def eventTs(schema: org.apache.spark.sql.types.StructType)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -66,7 +66,7 @@ object Extensions {
     * physical type (long nanos vs timestamp/_ntz), so staged sentinel
     * files keep the exact source schema the stream reader expects.
     */
-  private def shiftTsDays(schema: org.apache.spark.sql.types.StructType,
+  private[operators] def shiftTsDays(schema: org.apache.spark.sql.types.StructType,
       days: Long): org.apache.spark.sql.Column =
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -47,6 +47,13 @@ class CountMinSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 until 3).foreach { i =>
       assert(sk.slice(i * 256, (i + 1) * 256).sum == data.size.toLong)
     }
+    // overcount bounded: the CMS guarantee is ~eps*N with eps = e/width;
+    // on this fixed-seed fixture assert the generous empirical 3N/width
+    keys.foreach { k =>
+      val est = estimate(sk, k, 3, 256)
+      assert(est <= truth(k) + 3L * data.size / 256,
+        s"$k: est $est too far above truth ${truth(k)}")
+    }
   }
 
   test("sketch identical at 1 vs 13 partitions (merge associativity)") {
