@@ -1697,10 +1697,42 @@ object Relational {
             GROUP BY l.l_returnflag, m.med
             ORDER BY l.l_returnflag"""))
 
+  // --------------------------------------------------------------- q143
+  // SCD-2 validity-interval reconstruction: a change stream becomes
+  // [valid_from, valid_to) dimension history — each version's end is the
+  // NEXT version's start (lead over the per-key timeline), the newest
+  // version stays open (null end, flagged is_current). One window shuffle
+  // on the dimension key; the complement of q115's SCD-1 latest-only
+  // upsert. The presentation sort keys on (key, valid_from, version key)
+  // — a total order with no nulls (valid_to's nulls stay OUT of the sort,
+  // DuckDB sorts NULLS LAST vs Spark's NULLS FIRST).
+  private val q143 = GQuery(
+    "q143_scd2_intervals",
+    "SCD-2 history build: change stream → [valid_from, valid_to) intervals + current flag",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      T(s, d, "orders").filter($"o_custkey" <= 300)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+        .select($"o_custkey", $"o_orderkey",
+          $"o_orderdate".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"), $"o_totalprice".as("price"))
+        .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER w AS valid_to,
+                   lead(o_orderdate) OVER w IS NULL AS is_current,
+                   o_totalprice AS price
+            FROM orders
+            WHERE o_custkey <= 300
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, valid_from, o_orderkey"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
-    q122, q123, q124, q127, q128, q129, q131, q132, q133, q134)
+    q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143)
 }
