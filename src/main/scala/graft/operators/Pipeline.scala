@@ -15,6 +15,7 @@ final case class PixelImage(doc_id: Long, source: String, png: Array[Byte])
 final case class PixelSum(doc_id: Long, source: String, n_px: Long, px_sum: Long)
 final case class AudioMeta(doc_id: Long, source: String, dur_us: Long,
     frames: Long, n_bytes: Long, channels: Int)
+final case class VideoMeta(doc_id: Long, source: String, dur_us: Long, n_bytes: Long)
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
@@ -1621,5 +1622,56 @@ object Pipeline {
             GROUP BY doc_id
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140)
+  // ---------------------------------------------------------------- q144
+  // Video multimodal lane: a real ISO BMFF (MP4) box walker
+  // (functions/VideoHeaders.scala) — top-level box traversal with the
+  // 64-bit largesize escape, unknown-box skipping at both levels, and
+  // mvhd v0/v1 (timescale, duration) extraction, the video analog of
+  // q89's RIFF/WAV chunk walker. Bytes are synthesized deterministically
+  // per doc (ftyp + moov(free + mvhd) + free + mdat, closed-form byte
+  // length), so the oracle audits duration and byte totals arithmetically
+  // while the walker parses genuine MP4 structure. Frame decode would be
+  // a codec library at this exact batch shape.
+  private val q144 = GQuery(
+    "q144_multimodal_video",
+    "binary video column + real MP4 box walk: duration/bytes audit",
+    (s, d) => {
+      import s.implicits._
+      val metas = T(s, d, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"source",
+          $"n_chars".cast("long").as("nc"))
+        .as[(Long, String, Long)]
+        .mapPartitions { rows =>
+          rows.map { case (id, src, nc) =>
+            val ts = Array(600, 1000, 90000)((id % 3).toInt)
+            val dur = nc % 5000 + 100
+            val mp4 = graft.functions.VideoHeaders.syntheticMp4(
+              ts, dur, pad = (id % 7).toInt, v1 = id % 2 == 1)
+            val info = graft.functions.VideoHeaders.decodeMp4(mp4)
+              .getOrElse(throw new IllegalArgumentException(
+                s"undecodable mp4 for doc $id"))
+            VideoMeta(id, src, info.durationMicros, mp4.length.toLong)
+          }
+        }
+      metas.toDF()
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_videos"),
+          sum($"dur_us").as("total_dur_us"),
+          sum($"n_bytes").as("total_bytes"))
+        .orderBy($"source")
+    },
+    Some("""WITH p AS (
+              SELECT source,
+                     CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                          ELSE 90000 END AS ts,
+                     n_chars % 5000 + 100 AS dur,
+                     doc_id % 7 AS pad,
+                     doc_id % 2 AS v1
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_videos,
+                   CAST(sum((dur * 1000000) // ts) AS BIGINT) AS total_dur_us,
+                   CAST(sum(CASE WHEN v1 = 1 THEN 180 ELSE 160 END + 2 * pad) AS BIGINT) AS total_bytes
+            FROM p GROUP BY source ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144)
 }
