@@ -128,6 +128,30 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set((2L, 90L, 1L), (10L, 5L, 10L), (20L, 1L, 20L)))
   }
 
+  test("dedupKeepBest == union-find + argmax on random graphs") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(321)
+    for (trial <- 1 to 4) {
+      val n = 30
+      val ids = (0L until n).toVector
+      val quality = ids.map(i => i -> rnd.nextInt(5).toLong).toMap // ties likely
+      val edges = Vector.fill(20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // brute force: union-find components, keep (quality desc, id asc) argmax
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = ids.groupBy(find)
+        .values.map(_.minBy(i => (-quality(i), i))).toSet
+
+      val df = ids.map(i => (i, quality(i))).toDF("id", "q")
+      val got = TrainingData.dedupKeepBest(df, "id", edges.toDF("src", "dst"),
+          rankCols = Seq(col("q").desc, col("id")))
+        .select($"id").as[Long].collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("dedupKeepBest requires a rank order") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1L)).toDF("id", "quality")
