@@ -1104,5 +1104,38 @@ object Sources {
             GROUP BY r_name, n_name
             ORDER BY r_name, n_name"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142)
+  // ---------------------------------------------------------------- q145
+  // Avro container interchange through the graft-avro DSv2 lane: write a
+  // deflate-compressed container per task, read back with Catalyst column
+  // pruning pushed as the Avro READER schema (decoder-level field skip)
+  // and byte-range splits realigned on sync markers — the row-interchange
+  // format of a 100 TB ingest bus, alongside the ORC (q137) and parquet
+  // (native) columnar lanes. Oracle aggregates the original parquet.
+  private val q145 = GQuery(
+    "q145_avro_roundtrip",
+    "Avro interchange: splittable graft-avro write + reader-schema-pruned read",
+    (s, d) => {
+      import s.implicits._
+      val path = "/tmp/graft_avro/lineitem"
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_returnflag", $"l_linestatus", $"l_shipdate")
+        .write.format("graft-avro").option("codec", "deflate")
+        .mode("overwrite").save(path)
+      s.read.format("graft-avro")
+        .option("maxsplitbytes", (256 * 1024).toString) // exercise range splits
+        .load(path)
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145)
 }

@@ -1,0 +1,698 @@
+package graft.spark
+
+import org.apache.avro.{LogicalTypes, Schema => ASchema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import java.nio.ByteBuffer
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file lane: `spark.read.format("graft-avro")` /
+  * `df.write.format("graft-avro")`.
+  *
+  * Avro is the row-interchange format the JSON/CSV lanes are not: schema
+  * travels in the file header, blocks are compressed independently, and
+  * 16-byte sync markers make container files byte-range SPLITTABLE — the
+  * properties a 100 TB ingest bus needs. Scale design:
+  *
+  *  - files split into `maxsplitbytes` ranges (default 32 MiB); each task
+  *    realigns to the next sync marker (`DataFileReader.sync`) and reads
+  *    until `pastSync(end)` — the standard Avro split protocol, so one
+  *    large file parallelizes across a cluster exactly like parquet.
+  *  - Catalyst column pruning is pushed as the Avro READER schema: schema
+  *    resolution skips non-projected writer fields at the decoder level
+  *    (`GenericDatumReader` skip paths), never materializing them.
+  *  - COUNT(*) with no filters is answered from block headers alone
+  *    (`nextBlock()` + `getBlockCount()`): object counts are stored per
+  *    block, so the count never decompresses or decodes a single datum.
+  *  - the writer emits one container file per task with a deterministic
+  *    task-unique name; `codec` option selects null/deflate/snappy/zstd
+  *    block compression.
+  *
+  * The reference has no Avro surface (its parsers are JSON/CSV only,
+  * reference core/Parser.scala); this lane is part of the beyond-reference
+  * interchange triad (ORC via Spark's native source — q137 — parquet
+  * native, Avro here).
+  */
+object GraftAvro {
+
+  // ------------------------------------------------------------- schema map
+
+  /** Spark → Avro schema. Nullable fields become union[null, T] (null
+    * first, Avro's convention for default-null). Names must be valid Avro
+    * identifiers — Spark column names in our surface already are.
+    */
+  def toAvroSchema(st: StructType, recordName: String = "graft_record"): ASchema = {
+    val fields = new java.util.ArrayList[ASchema.Field](st.length)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val t = toAvroType(f.dataType, f.nullable, s"${recordName}_f$i")
+      val fld =
+        if (f.nullable)
+          new ASchema.Field(f.name, t, null, ASchema.Field.NULL_DEFAULT_VALUE)
+        else new ASchema.Field(f.name, t, null)
+      fields.add(fld)
+    }
+    ASchema.createRecord(recordName, null, "graft", false, fields)
+  }
+
+  private def toAvroType(dt: DataType, nullable: Boolean, nestName: String): ASchema = {
+    val base = dt match {
+      case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => ASchema.create(ASchema.Type.INT)
+      case LongType => ASchema.create(ASchema.Type.LONG)
+      case FloatType => ASchema.create(ASchema.Type.FLOAT)
+      case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+      case StringType => ASchema.create(ASchema.Type.STRING)
+      case BinaryType => ASchema.create(ASchema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(ASchema.create(ASchema.Type.BYTES))
+      case ArrayType(et, containsNull) =>
+        ASchema.createArray(toAvroType(et, containsNull, nestName + "_item"))
+      case MapType(StringType, vt, valueContainsNull) =>
+        ASchema.createMap(toAvroType(vt, valueContainsNull, nestName + "_value"))
+      case st: StructType => toAvroSchema(st, nestName)
+      case other => throw new IllegalArgumentException(
+        s"graft-avro: unsupported Spark type $other")
+    }
+    if (nullable) ASchema.createUnion(ASchema.create(ASchema.Type.NULL), base)
+    else base
+  }
+
+  /** Avro → Spark schema (for reading externally-written files too):
+    * union[null, T] → nullable T; enum/fixed → string/binary; logical
+    * date/timestamp honored; other unions unsupported.
+    */
+  def toSparkType(s: ASchema): (DataType, Boolean) = s.getType match {
+    case ASchema.Type.UNION =>
+      val ts = s.getTypes.asScala
+      val nonNull = ts.filter(_.getType != ASchema.Type.NULL)
+      require(nonNull.size == 1,
+        s"graft-avro: only union[null, T] supported, got $s")
+      val (dt, _) = toSparkType(nonNull.head)
+      (dt, ts.size > nonNull.size)
+    case ASchema.Type.BOOLEAN => (BooleanType, false)
+    case ASchema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) (DateType, false)
+      else (IntegerType, false)
+    case ASchema.Type.LONG => s.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => (TimestampType, false)
+      case _: LogicalTypes.TimestampMillis => (TimestampType, false)
+      case _: LogicalTypes.LocalTimestampMicros => (TimestampNTZType, false)
+      case _ => (LongType, false)
+    }
+    case ASchema.Type.FLOAT => (FloatType, false)
+    case ASchema.Type.DOUBLE => (DoubleType, false)
+    case ASchema.Type.STRING | ASchema.Type.ENUM => (StringType, false)
+    case ASchema.Type.BYTES => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+      case _ => (BinaryType, false)
+    }
+    case ASchema.Type.FIXED => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+      case _ => (BinaryType, false)
+    }
+    case ASchema.Type.ARRAY =>
+      val (et, n) = toSparkType(s.getElementType)
+      (ArrayType(et, n), false)
+    case ASchema.Type.MAP =>
+      val (vt, n) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, n), false)
+    case ASchema.Type.RECORD =>
+      val fs = s.getFields.asScala.map { f =>
+        val (dt, n) = toSparkType(f.schema())
+        StructField(f.name(), dt, n)
+      }
+      (StructType(fs.toSeq), false)
+    case other => throw new IllegalArgumentException(
+      s"graft-avro: unsupported Avro type $other")
+  }
+
+  def toSparkSchema(s: ASchema): StructType =
+    toSparkType(s)._1.asInstanceOf[StructType]
+
+  /** Reader schema for a pruned projection: the required columns, typed
+    * from the WRITER schema (so resolution is exact), in projection order.
+    * Fields absent from the writer schema are not permitted (the table
+    * schema came from the same header).
+    */
+  def prunedReaderSchema(writer: ASchema, required: StructType): ASchema = {
+    val fields = new java.util.ArrayList[ASchema.Field](required.length)
+    required.fieldNames.foreach { n =>
+      val wf = writer.getField(n)
+      require(wf != null, s"graft-avro: column '$n' not in writer schema")
+      val fld =
+        if (wf.schema().getType == ASchema.Type.UNION &&
+            wf.schema().getTypes.asScala.exists(_.getType == ASchema.Type.NULL))
+          new ASchema.Field(n, wf.schema(), null, ASchema.Field.NULL_DEFAULT_VALUE)
+        else new ASchema.Field(n, wf.schema(), null)
+      fields.add(fld)
+    }
+    ASchema.createRecord(writer.getName, null, writer.getNamespace, false, fields)
+  }
+
+  // --------------------------------------------------------- read converters
+
+  /** Precompiled Avro-datum → Spark-internal converter (one lambda per
+    * column, resolved once per task — no per-value type dispatch).
+    */
+  type Conv = AnyRef => Any
+
+  def readerConv(dt: DataType): Conv = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType => identity[AnyRef]
+    case ByteType => v => v.asInstanceOf[java.lang.Integer].byteValue()
+    case ShortType => v => v.asInstanceOf[java.lang.Integer].shortValue()
+    case DateType => identity[AnyRef] // int days, Spark-internal already
+    case TimestampType | TimestampNTZType => identity[AnyRef] // long micros
+    case StringType => {
+      case u: org.apache.avro.util.Utf8 => UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+      case e: GenericData.EnumSymbol => UTF8String.fromString(e.toString)
+      case s => UTF8String.fromString(s.toString)
+    }
+    case BinaryType => {
+      case bb: ByteBuffer =>
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case f: GenericData.Fixed => f.bytes()
+      case a => a.asInstanceOf[Array[Byte]]
+    }
+    case d: DecimalType => {
+      case bb: ByteBuffer =>
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out)
+        Decimal(new java.math.BigDecimal(new java.math.BigInteger(out), d.scale), d.precision, d.scale)
+      case f: GenericData.Fixed =>
+        Decimal(new java.math.BigDecimal(new java.math.BigInteger(f.bytes()), d.scale), d.precision, d.scale)
+    }
+    case ArrayType(et, _) =>
+      val ec = readerConv(et)
+      v => {
+        val l = v.asInstanceOf[java.util.List[AnyRef]]
+        val out = new Array[Any](l.size())
+        var i = 0
+        while (i < out.length) { val e = l.get(i); out(i) = if (e == null) null else ec(e); i += 1 }
+        new GenericArrayData(out)
+      }
+    case MapType(StringType, vt, _) =>
+      val vc = readerConv(vt)
+      v => {
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val ks = new Array[Any](m.size()); val vs = new Array[Any](m.size())
+        var i = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = UTF8String.fromString(e.getKey.toString)
+          vs(i) = if (e.getValue == null) null else vc(e.getValue)
+          i += 1
+        }
+        ArrayBasedMapData(ks, vs)
+      }
+    case st: StructType =>
+      val convs = st.fields.map(f => readerConv(f.dataType))
+      v => {
+        val r = v.asInstanceOf[GenericRecord]
+        val out = new GenericInternalRow(convs.length)
+        var i = 0
+        while (i < convs.length) {
+          val x = r.get(i)
+          out.update(i, if (x == null) null else convs(i)(x))
+          i += 1
+        }
+        out
+      }
+    case other => throw new IllegalArgumentException(s"graft-avro read: $other")
+  }
+
+  // -------------------------------------------------------- write converters
+
+  /** Spark-internal → Avro-datum converter per column. */
+  type WConv = (InternalRow, Int) => AnyRef
+
+  def writerConv(dt: DataType, avro: ASchema): WConv = {
+    val nonNull =
+      if (avro.getType == ASchema.Type.UNION)
+        avro.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+      else avro
+    dt match {
+      case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case ByteType => (r, i) => java.lang.Integer.valueOf(r.getByte(i).toInt)
+      case ShortType => (r, i) => java.lang.Integer.valueOf(r.getShort(i).toInt)
+      case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
+      case LongType | TimestampType | TimestampNTZType =>
+        (r, i) => java.lang.Long.valueOf(r.getLong(i))
+      case FloatType => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
+      case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
+      case StringType => (r, i) => new org.apache.avro.util.Utf8(r.getUTF8String(i).getBytes)
+      case BinaryType => (r, i) => ByteBuffer.wrap(r.getBinary(i))
+      case d: DecimalType =>
+        (r, i) => ByteBuffer.wrap(
+          r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val es = nonNull.getElementType
+        val ec = elemConv(et, es)
+        (r, i) => {
+          val a = r.getArray(i)
+          val out = new java.util.ArrayList[AnyRef](a.numElements())
+          var j = 0
+          while (j < a.numElements()) {
+            out.add(if (a.isNullAt(j)) null else ec(a, j))
+            j += 1
+          }
+          out
+        }
+      case MapType(StringType, vt, _) =>
+        val vs = nonNull.getValueType
+        val vc = elemConv(vt, vs)
+        (r, i) => {
+          val m = r.getMap(i)
+          val out = new java.util.LinkedHashMap[AnyRef, AnyRef](m.numElements())
+          val ks = m.keyArray(); val varr = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            out.put(new org.apache.avro.util.Utf8(ks.getUTF8String(j).getBytes),
+              if (varr.isNullAt(j)) null else vc(varr, j))
+            j += 1
+          }
+          out
+        }
+      case st: StructType =>
+        val sub = st.fields.zipWithIndex.map { case (f, j) =>
+          writerConv(f.dataType, nonNull.getFields.get(j).schema())
+        }
+        (r, i) => {
+          val in = r.getStruct(i, st.length)
+          val rec = new GenericData.Record(nonNull)
+          var j = 0
+          while (j < sub.length) {
+            rec.put(j, if (in.isNullAt(j)) null else sub(j)(in, j))
+            j += 1
+          }
+          rec
+        }
+      case other => throw new IllegalArgumentException(s"graft-avro write: $other")
+    }
+  }
+
+  /** Element accessor over ArrayData (shares the scalar conversions). */
+  private def elemConv(dt: DataType, avro: ASchema): (ArrayData, Int) => AnyRef = {
+    val nonNull =
+      if (avro.getType == ASchema.Type.UNION)
+        avro.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get
+      else avro
+    dt match {
+      case BooleanType => (a, j) => java.lang.Boolean.valueOf(a.getBoolean(j))
+      case IntegerType | DateType => (a, j) => java.lang.Integer.valueOf(a.getInt(j))
+      case LongType | TimestampType | TimestampNTZType =>
+        (a, j) => java.lang.Long.valueOf(a.getLong(j))
+      case FloatType => (a, j) => java.lang.Float.valueOf(a.getFloat(j))
+      case DoubleType => (a, j) => java.lang.Double.valueOf(a.getDouble(j))
+      case StringType => (a, j) => new org.apache.avro.util.Utf8(a.getUTF8String(j).getBytes)
+      case BinaryType => (a, j) => ByteBuffer.wrap(a.getBinary(j))
+      case d: DecimalType =>
+        (a, j) => ByteBuffer.wrap(
+          a.getDecimal(j, d.precision, d.scale).toJavaBigDecimal.unscaledValue().toByteArray)
+      case st: StructType =>
+        val sub = st.fields.zipWithIndex.map { case (f, k) =>
+          writerConv(f.dataType, nonNull.getFields.get(k).schema())
+        }
+        (a, j) => {
+          val in = a.getStruct(j, st.length)
+          val rec = new GenericData.Record(nonNull)
+          var k = 0
+          while (k < sub.length) {
+            rec.put(k, if (in.isNullAt(k)) null else sub(k)(in, k))
+            k += 1
+          }
+          rec
+        }
+      case ArrayType(et, _) =>
+        val ec = elemConv(et, nonNull.getElementType)
+        (a, j) => {
+          val inner = a.getArray(j)
+          val out = new java.util.ArrayList[AnyRef](inner.numElements())
+          var k = 0
+          while (k < inner.numElements()) {
+            out.add(if (inner.isNullAt(k)) null else ec(inner, k))
+            k += 1
+          }
+          out
+        }
+      case other => throw new IllegalArgumentException(s"graft-avro write elem: $other")
+    }
+  }
+
+  /** First listed file's header schema (driver-side, one footer-sized read). */
+  def headerSchema(options: CaseInsensitiveStringMap): ASchema = {
+    val files = GraftSources.resolveFiles(options)
+    require(files.nonEmpty, "graft-avro: no .avro files found")
+    val conf = GraftSources.activeHadoopConf()
+    val in = new FsInput(new Path(files.head._1), conf)
+    try {
+      val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    } finally in.close()
+  }
+
+  def codecFor(name: String): CodecFactory = name match {
+    case null | "" | "none" | "null" => CodecFactory.nullCodec()
+    case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
+    case "snappy" => CodecFactory.snappyCodec()
+    case "zstd" | "zstandard" => CodecFactory.zstandardCodec(CodecFactory.DEFAULT_ZSTANDARD_LEVEL)
+    case other => throw new IllegalArgumentException(s"graft-avro: unknown codec '$other'")
+  }
+}
+
+// ==================================================================== provider
+
+class GraftAvroTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftAvro.toSparkSchema(GraftAvro.headerSchema(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftAvroTable(schema, properties)
+}
+
+final class GraftAvroTable(
+    tblSchema: StructType,
+    properties: java.util.Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-avro:${properties.get("path")}"
+  override def schema(): StructType = tblSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftAvroScanBuilder(tblSchema, GraftSources.mergeTableProps(properties, options))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftAvroWriteBuilder(
+      Option(info.options.get("path")).orElse(Option(properties.get("path")))
+        .orElse(Option(properties.get("location"))).orNull,
+      info.schema(),
+      new SerializableConfiguration(GraftSources.activeHadoopConf()),
+      Option(info.options.get("codec"))
+        .orElse(Option(properties.get("codec"))).getOrElse("none")
+        .toLowerCase(java.util.Locale.ROOT),
+      info.queryId())
+}
+
+// ======================================================================= scan
+
+final class GraftAvroScanBuilder(
+    fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = fullSchema
+  private var countStar = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** COUNT(*) with no grouping: block headers carry object counts, so the
+    * answer never decodes a datum (complete push — Spark still sums the
+    * per-partition longs).
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions().nonEmpty) return false
+    val ok = agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countStar = true
+    ok
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def build(): Scan =
+    new GraftAvroScan(fullSchema, required, countStar, options)
+}
+
+final class GraftAvroScan(
+    fullSchema: StructType,
+    required: StructType,
+    countStar: Boolean,
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType =
+    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
+
+  override def description(): String =
+    s"graft-avro ${if (countStar) "count-only" else required.fieldNames.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  private val maxSplit =
+    Option(options.get("maxsplitbytes")).map(_.toLong).getOrElse(32L << 20)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftSources.resolveFiles(options)
+    files.flatMap { case (p, len) =>
+      // container files realign on sync markers, so ranges are safe; the
+      // header (read by every task) is tiny relative to a split
+      val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
+      (0L until n).map { i =>
+        GraftInputPartition(p, i * maxSplit, math.min(len, (i + 1) * maxSplit), len)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAvroReaderFactory(required, countStar,
+      new SerializableConfiguration(GraftSources.activeHadoopConf()))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = GraftSources.resolveFiles(options).map(_._2).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+final class GraftAvroReaderFactory(
+    required: StructType,
+    countStar: Boolean,
+    conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    if (countStar) new GraftAvroCountReader(p, conf.value)
+    else new GraftAvroPartitionReader(p, required, conf.value)
+  }
+}
+
+/** Range reader: sync to the first marker at/after `start`, stop once past
+  * `end`. Projection rides the reader schema (decoder-level skip).
+  */
+final class GraftAvroPartitionReader(
+    part: GraftInputPartition,
+    required: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val in = new FsInput(new Path(part.path), conf)
+  private val reader = {
+    // single open: header gives the writer schema, then the pruned reader
+    // schema is installed before any datum decodes (setExpected)
+    val datumReader = new GenericDatumReader[GenericRecord]()
+    val r = new DataFileReader[GenericRecord](in, datumReader)
+    datumReader.setExpected(GraftAvro.prunedReaderSchema(r.getSchema, required))
+    r.sync(part.start)
+    r
+  }
+  private val convs: Array[GraftAvro.Conv] =
+    required.fields.map(f => GraftAvro.readerConv(f.dataType))
+  private var reuse: GenericRecord = _
+  private val row = new GenericInternalRow(required.length)
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done) return false
+    if (!reader.hasNext || reader.pastSync(part.end)) { done = true; return false }
+    reuse = reader.next(reuse)
+    var i = 0
+    while (i < convs.length) {
+      val v = reuse.get(i)
+      row.update(i, if (v == null) null else convs(i)(v))
+      i += 1
+    }
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+/** Decode-free COUNT(*): walk block headers in the range, sum counts. */
+final class GraftAvroCountReader(
+    part: GraftInputPartition,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private val row = new GenericInternalRow(1)
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val in = new FsInput(new Path(part.path), conf)
+    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    var total = 0L
+    try {
+      reader.sync(part.start)
+      var going = true
+      while (going && !reader.pastSync(part.end)) {
+        try {
+          reader.nextBlock()
+          total += reader.getBlockCount
+        } catch { case _: java.util.NoSuchElementException => going = false }
+      }
+    } finally reader.close()
+    row.setLong(0, total)
+    emitted = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+// ====================================================================== write
+
+final class GraftAvroWriteBuilder(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId)
+  }
+}
+
+final class GraftAvroBatchWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    doTruncate: Boolean,
+    queryId: String)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (doTruncate) {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf.value)
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach(s => fs.delete(s.getPath, true))
+      else fs.mkdirs(dir)
+    } else {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf.value)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+    }
+    new GraftAvroWriterFactory(path, schema, conf, codec, GraftSink.batchNamePrefix(queryId))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftAvroWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    namePrefix: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftAvroDataWriter(path, schema, conf.value, codec, namePrefix, partitionId, taskId)
+}
+
+final class GraftAvroDataWriter(
+    dir: String,
+    schema: StructType,
+    conf: org.apache.hadoop.conf.Configuration,
+    codec: String,
+    namePrefix: String,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val avroSchema = GraftAvro.toAvroSchema(schema)
+  private val convs: Array[GraftAvro.WConv] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      GraftAvro.writerConv(f.dataType, avroSchema.getFields.get(i).schema())
+    }
+  // task-attempt-unique temp name, atomically renamed at commit — retried
+  // tasks can never leave a half-written visible file
+  private val finalPath = new Path(dir, f"$namePrefix-$partitionId%05d-$taskId.avro")
+  private val tmpPath = new Path(dir, s".${finalPath.getName}.inprogress")
+  private val fs = finalPath.getFileSystem(conf)
+  private val out = fs.create(tmpPath, true)
+  private val writer = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(GraftAvro.codecFor(codec))
+    w.create(avroSchema, out)
+  }
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < convs.length) {
+      rec.put(i, if (row.isNullAt(i)) null else convs(i)(row, i))
+      i += 1
+    }
+    writer.append(rec)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (rows == 0L) { fs.delete(tmpPath, false) }
+    else {
+      fs.delete(finalPath, false)
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(s"graft-avro: rename failed for $finalPath")
+    }
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    fs.delete(tmpPath, false)
+    ()
+  }
+  override def close(): Unit = ()
+}
