@@ -1729,10 +1729,189 @@ object Relational {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, valid_from, o_orderkey"""))
 
+  // ---------------------------------------------------------------- q146
+  // Full three-action MERGE INTO (the lakehouse upsert statement): a
+  // change set with update/delete/insert ops applied to a base snapshot —
+  // WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE /
+  // WHEN NOT MATCHED AND op<>'D' THEN INSERT. Complements q115 (SCD-1
+  // latest-record upsert) and q143 (SCD-2 history). One full-outer
+  // shuffle join on the merge key — at 100 TB this is the canonical
+  // MERGE plan (both sides hash-partitioned on key; AQE handles skew),
+  // with no driver-side state.
+  private val q146 = GQuery(
+    "q146_merge_into",
+    "MERGE INTO: matched-update / matched-delete / not-matched-insert in one pass",
+    (s, d) => {
+      import s.implicits._
+      val orders = T(s, d, "orders")
+      val base = orders.filter($"o_orderkey" % 5 =!= 0)
+        .select($"o_orderkey", $"o_totalprice".as("price"), $"o_orderstatus".as("status"))
+      val chg = orders.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey",
+          when($"o_orderkey" % 2 === 0, "D").otherwise("U").as("op"),
+          ($"o_totalprice" + 1000.0).as("new_price"))
+      base.join(chg, Seq("o_orderkey"), "full_outer")
+        .filter($"op".isNull || $"op" =!= "D") // matched-delete AND insert-of-delete both drop
+        .select($"o_orderkey",
+          when($"op".isNull, $"price").otherwise($"new_price").as("price"),
+          when($"op".isNull, $"status")
+            .when($"price".isNull, "I").otherwise("U").as("status"))
+        .filter($"o_orderkey" <= 3000)
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH base AS (
+              SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+              FROM orders WHERE o_orderkey % 5 <> 0),
+            chg AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'U' END AS op,
+                     o_totalprice + 1000.0 AS new_price
+              FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT o_orderkey,
+                   CASE WHEN op IS NULL THEN price ELSE new_price END AS price,
+                   CASE WHEN op IS NULL THEN status
+                        WHEN price IS NULL THEN 'I' ELSE 'U' END AS status
+            FROM base FULL OUTER JOIN chg USING (o_orderkey)
+            WHERE (op IS NULL OR op <> 'D') AND o_orderkey <= 3000
+            ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q147
+  // Recursive hierarchy traversal (WITH RECURSIVE analog): label every
+  // node of a forest with its root and depth by iterative frontier
+  // propagation — the org-chart / BOM-explosion shape. The forest is
+  // derived deterministically from part (parent = key div 10; keys < 10
+  // are roots) so the DuckDB oracle can rebuild it with WITH RECURSIVE.
+  // Scale: each round joins ONLY the previous frontier against the node
+  // table (never the accumulated result), localCheckpoint truncates
+  // lineage per round, and rounds = tree depth (log10 of the key space),
+  // with a loud guard against runaway depth. Money sums ride as exact
+  // integer cents (the q108 idiom).
+  private val q147 = GQuery(
+    "q147_recursive_hierarchy",
+    "recursive hierarchy: root/depth labeling by frontier propagation",
+    (s, d) => {
+      import s.implicits._
+      val nodes = T(s, d, "part")
+        .select($"p_partkey".as("node"),
+          expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val roots = nodes.filter($"node" < 10)
+        .select($"node", $"node".as("root"), lit(0).as("depth"), $"cents")
+      val children = nodes.filter($"node" >= 10)
+      var labeled = roots
+      var frontier = roots
+      var rounds = 0
+      var done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= 30, s"hierarchy depth exceeded 30 rounds — cycle?")
+        val next = children
+          .join(frontier.select($"node".as("parent"), $"root", $"depth"),
+            expr("node div 10") === $"parent")
+          .select($"node", $"root", ($"depth" + 1).as("depth"), $"cents")
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else { labeled = labeled.union(next); frontier = next }
+      }
+      labeled.groupBy($"root", $"depth")
+        .agg(count(lit(1)).as("n"),
+          (sum($"cents").cast("double") / 100.0).as("subtotal"))
+        .orderBy($"root", $"depth")
+    },
+    Some("""WITH RECURSIVE r AS (
+              SELECT p_partkey AS node, p_partkey AS root, 0 AS depth,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM part WHERE p_partkey < 10
+              UNION ALL
+              SELECT p.p_partkey, r.root, r.depth + 1,
+                     CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+              FROM part p JOIN r ON p.p_partkey // 10 = r.node
+              WHERE p.p_partkey >= 10)
+            SELECT root, CAST(depth AS INTEGER) AS depth,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS subtotal
+            FROM r GROUP BY root, depth ORDER BY root, depth"""))
+
+  // ---------------------------------------------------------------- q148
+  // Deterministic per-group reservoir sample: k survivors per group,
+  // chosen by hash rank (md5 of the key) — the engine-portable draw that
+  // any re-run, any engine, any partitioning reproduces bit-for-bit.
+  // This is the grouped counterpart of TrainingData.sampleDeterministic
+  // (q73): map-side hash, one bounded per-group window — no global sort,
+  // no RNG state, scale-safe at any group cardinality.
+  private val q148 = GQuery(
+    "q148_grouped_reservoir",
+    "deterministic per-group reservoir sample by hash rank",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      T(s, d, "documents").select($"doc_id", $"lang")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .orderBy($"lang", $"rk")
+    },
+    Some("""SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+            FROM (SELECT doc_id, lang,
+                         row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                  FROM documents)
+            WHERE rk <= 3 ORDER BY lang, rk"""))
+
+  // ---------------------------------------------------------------- q149
+  // Per-group OLS regression (price ~ quantity): slope / intercept from
+  // exact integer moment sums — the q108 idiom extended to the regression
+  // lane. Both engines evaluate the IDENTICAL closed-form expression over
+  // identical integer moments, so the doubles agree to the bit before
+  // rounding. One partial+final aggregation; map-side combine keeps the
+  // shuffle at |groups| rows.
+  private val q149 = GQuery(
+    "q149_ols_regression",
+    "per-group OLS slope/intercept via exact integer moments",
+    (s, d) => {
+      Tables.register(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag,
+              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+              |        / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6) AS slope,
+              |  round((CAST(sy AS DOUBLE)
+              |         - CAST(n * sxy - sx * sy AS DOUBLE)
+              |           / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |        / CAST(n AS DOUBLE) / 100, 4) AS intercept
+              |FROM (
+              |  SELECT l_returnflag,
+              |         CAST(count(*) AS DECIMAL(38,0)) AS n,
+              |         sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sx,
+              |         sum(CAST(CAST(l_quantity AS BIGINT)
+              |             * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+              |         sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
+              |         sum(CAST(CAST(l_quantity AS BIGINT)
+              |             * CAST(floor(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy
+              |  FROM lineitem GROUP BY l_returnflag)
+              |ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) / 100, 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) / 100, 4) AS intercept
+            FROM (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     sum(CAST(l_quantity AS BIGINT)) AS sx,
+                     sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                     sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sy,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
-    q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143)
+    q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
+    q146, q147, q148, q149)
 }
