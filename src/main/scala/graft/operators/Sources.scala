@@ -1137,5 +1137,36 @@ object Sources {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145)
+  // ---------------------------------------------------------------- q150
+  // Snapshot time travel over the graft sink's commit log: every batch
+  // commit appends `.graft-log/<version>` (put-if-absent allocation, the
+  // Delta protocol shape), and `option("versionAsOf", v)` pins a read to
+  // the union of commits ≤ v. The property that matters at 100 TB: a
+  // multi-day consumer pins one version and sees a frozen corpus while
+  // hourly appends keep landing — no copy, no lock service. The gate
+  // writes nation in two batches (keys < 10, then the rest), reads back
+  // AS OF version 0, and checks only the first batch is visible; the
+  // oracle filters the original parquet the same way.
+  private val q150 = GQuery(
+    "q150_time_travel",
+    "versionAsOf snapshot read over the sink's put-if-absent commit log",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/nation"
+      val nation = Tables(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      nation.filter($"n_nationkey" < 10)
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      nation.filter($"n_nationkey" >= 10)
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("versionAsOf", "0")
+        .load(dir)
+        .orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation WHERE n_nationkey < 10
+            ORDER BY n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150)
 }

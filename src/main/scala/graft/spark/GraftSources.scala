@@ -193,7 +193,8 @@ object GraftSources {
         }
       }
 
-    raw.split(",").map(_.trim).filter(_.nonEmpty).foreach { p =>
+    val roots = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    roots.foreach { p =>
       val path = new Path(p.stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
       val fs = path.getFileSystem(conf)
       val status = fs.getFileStatus(path)
@@ -201,7 +202,39 @@ object GraftSources {
       else files += ((status.getPath.toString, status.getLen, mutable.LinkedHashMap.empty))
     }
     val cols = partCols.toSeq
-    Listing(cols, files.result().map { case (p, l, m) =>
+    var listed = files.result()
+
+    // Snapshot pinning (time travel): keep only the files live as of the
+    // requested commit-log version. Strict both ways — a live file missing
+    // from the listing fails (snapshot unreadable), and extra files the
+    // log never committed are excluded (in-flight writers stay invisible,
+    // which is what makes concurrent append + read coherent).
+    Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty).foreach { vstr =>
+      require(roots.length == 1,
+        s"versionAsOf needs exactly one root directory, got ${roots.length}")
+      val version =
+        try vstr.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"versionAsOf must be an integer, got '$vstr'") }
+      val rootPath = new Path(roots.head)
+      val fs = rootPath.getFileSystem(conf)
+      require(fs.getFileStatus(rootPath).isDirectory,
+        "versionAsOf applies to a graft-sink-written directory, not a single file")
+      val live = GraftCommitLog.liveFilesAsOf(fs, rootPath, version)
+      val rootQ = fs.makeQualified(rootPath).toString
+      def rel(p: String): String = {
+        val q = fs.makeQualified(new Path(p)).toString
+        if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
+      }
+      val kept = listed.filter(f => live.contains(rel(f._1)))
+      val missing = live -- kept.map(f => rel(f._1))
+      require(missing.isEmpty,
+        s"versionAsOf=$version: snapshot references ${missing.size} missing file(s), " +
+          s"e.g. ${missing.take(3).mkString(", ")} — was the directory vacuumed?")
+      listed = kept
+    }
+
+    Listing(cols, listed.map { case (p, l, m) =>
       ListedFile(p, l, cols.map(c => m.getOrElse(c, null)).toArray)
     })
   }

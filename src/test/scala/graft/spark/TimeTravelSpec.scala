@@ -1,0 +1,147 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+/** Snapshot time travel on graft batch sinks: each batch commit appends a
+  * `.graft-log/<version>` entry (put-if-absent allocation), and readers
+  * pin `option("versionAsOf", v)` to the union of commits ≤ v.
+  *
+  * Soundness properties under test:
+  *  - version 0 / 1 reads return exactly the respective commits' rows
+  *  - latest (un-pinned) reads are unaffected by the log
+  *  - unknown versions and un-logged directories fail loudly
+  *  - overwrite restarts history at version 0
+  *  - a vacuumed (deleted) live file fails the snapshot read, never
+  *    silently shrinks it
+  *  - partitioned layouts record partition-relative paths correctly
+  *  - in-flight/foreign files the log never committed stay invisible to a
+  *    pinned read (concurrent-append coherence)
+  */
+class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-tt-spec")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("time-travel-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def df(range: Range) = {
+    val s = spark
+    import s.implicits._
+    range.map(i => (i.toLong, s"name-$i")).toDF("id", "name")
+  }
+
+  private def readAsOf(dir: String, v: Long) =
+    spark.read.format("graft-json").schema("id BIGINT, name STRING")
+      .option("versionAsOf", v.toString).load(dir)
+
+  private def readLatest(dir: String) =
+    spark.read.format("graft-json").schema("id BIGINT, name STRING").load(dir)
+
+  test("append history: each version is the union of commits so far") {
+    val dir = root.resolve("basic").toString
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir)  // v0
+    df(5 until 12).write.format("graft-json").mode("append").save(dir)    // v1
+    df(12 until 20).write.format("graft-json").mode("append").save(dir)   // v2
+
+    assert(readAsOf(dir, 0).count() === 5)
+    assert(readAsOf(dir, 1).count() === 12)
+    assert(readAsOf(dir, 2).count() === 20)
+    assert(readLatest(dir).count() === 20)
+    assert(readAsOf(dir, 1).agg(sum("id")).head.getLong(0) === (0 until 12).sum)
+  }
+
+  test("unknown version and un-logged directory fail loudly") {
+    val dir = root.resolve("basic").toString
+    val e1 = intercept[Exception](readAsOf(dir, 99).count())
+    assert(e1.getMessage.contains("unknown version"))
+
+    val bare = root.resolve("unlogged")
+    Files.createDirectories(bare)
+    Files.write(bare.resolve("x.json"), "{\"id\":1,\"name\":\"a\"}\n".getBytes)
+    val e2 = intercept[Exception](readAsOf(bare.toString, 0).count())
+    assert(e2.getMessage.contains("no graft commit log"))
+  }
+
+  test("overwrite restarts history at version 0") {
+    val dir = root.resolve("rewrite").toString
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir)
+    df(5 until 9).write.format("graft-json").mode("append").save(dir)
+    df(100 until 103).write.format("graft-json").mode("overwrite").save(dir) // wipes log
+
+    assert(readAsOf(dir, 0).count() === 3)
+    val e = intercept[Exception](readAsOf(dir, 1).count())
+    assert(e.getMessage.contains("unknown version"))
+  }
+
+  test("a deleted live file fails the snapshot read instead of shrinking it") {
+    val dir = root.resolve("vacuumed")
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir.toString)
+    val dataFile = Files.list(dir).filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith(".") && !n.startsWith("_")
+    }.findFirst().get()
+    Files.delete(dataFile)
+    val e = intercept[Exception](readAsOf(dir.toString, 0).count())
+    assert(e.getMessage.contains("missing file"))
+  }
+
+  test("partitioned writes log partition-relative paths") {
+    val s = spark
+    import s.implicits._
+    val dir = root.resolve("parted").toString
+    val batch1 = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "k")
+    val batch2 = Seq((3L, "c", "x"), (4L, "d", "z")).toDF("id", "name", "k")
+    batch1.write.format("graft-json").partitionBy("k").mode("overwrite").save(dir)
+    batch2.write.format("graft-json").partitionBy("k").mode("append").save(dir)
+
+    // no explicit schema: inference runs over the pinned listing and the
+    // partition column k rides in from the directory names
+    val v0 = spark.read.format("graft-json").option("versionAsOf", "0").load(dir)
+    assert(v0.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val v1 = spark.read.format("graft-json").option("versionAsOf", "1").load(dir)
+    assert(v1.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // partition pruning still applies under a pinned version
+    assert(v1.filter(col("k") === "x").count() === 2)
+  }
+
+  test("files the log never committed are invisible to a pinned read") {
+    val dir = root.resolve("foreign")
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir.toString)
+    // an in-flight/foreign file lands without a commit
+    Files.write(dir.resolve("rogue.json"), "{\"id\":999,\"name\":\"zz\"}\n".getBytes)
+    assert(readAsOf(dir.toString, 0).count() === 5)       // pinned: invisible
+    assert(readLatest(dir.toString).count() === 6)         // unpinned: listed
+  }
+
+  test("versions are contiguous and the log survives many appends") {
+    val dir = root.resolve("many")
+    df(0 until 1).write.format("graft-json").mode("overwrite").save(dir.toString)
+    (1 until 6).foreach(i =>
+      df(i until i + 1).write.format("graft-json").mode("append").save(dir.toString))
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val vs = GraftCommitLog.versions(fs, new org.apache.hadoop.fs.Path(dir.toString))
+    assert(vs === (0L until 6L))
+    assert(readAsOf(dir.toString, 3).count() === 4)
+  }
+}
