@@ -995,5 +995,62 @@ object Extensions {
             FROM events WHERE user_id <= 200
             GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121, q136, q139)
+  // ---------------------------------------------------------------- q151
+  // Portable HyperLogLog (functions/HyperLogLogAgg): the mergeable
+  // distinct-count sketch with ENGINE-PORTABLE md5 bucketing — where q22
+  // (approx_count_distinct, xxhash) can only be gated rows-only, this
+  // oracle rebuilds the exact register file in DuckDB SQL (15-hex-digit
+  // md5 prefix → 60-bit hash; top 10 bits pick the register; ρ from
+  // minimal-length bin()) and checks the estimate to the digit. The
+  // estimate divides two INTEGER reductions (harmonic numerator
+  // Σ 2^(51−M_j) — exact, order-independent — and the zero-register
+  // count), so the one double division is bit-deterministic across
+  // engines: a sketch gate with a hard oracle, like q136 for CMS.
+  private val q151 = GQuery(
+    "q151_hll_portable",
+    "portable HyperLogLog UDAF (mergeable registers, exact cross-engine oracle)",
+    (s, d) => {
+      import s.implicits._
+      s.udf.register("hll_sketch", udaf(new graft.functions.HyperLogLogAgg(10)))
+      T(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact_n"),
+          expr("hll_sketch(CAST(user_id AS STRING))").as("regs"))
+        .withColumn("v_zero",
+          expr("aggregate(regs, 0L, (a, r) -> a + IF(r = 0, 1L, 0L))"))
+        .withColumn("harmonic",
+          expr("aggregate(regs, 0L, (a, r) -> a + CAST(pow(2.0, 51 - r) AS BIGINT))"))
+        .withColumn("hll_est", expr(
+          """CAST(floor(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+            |     * 2251799813685248.0 / CAST(harmonic AS DOUBLE)) AS BIGINT)""".stripMargin))
+        .select($"event_type", $"exact_n", $"v_zero", $"harmonic", $"hll_est")
+        .orderBy($"event_type")
+    },
+    Some("""WITH h AS (
+              SELECT event_type,
+                     CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+              FROM events),
+            r AS (SELECT event_type, hv // 1125899906842624 AS bucket,
+                         hv % 1125899906842624 AS rem FROM h),
+            regs AS (
+              SELECT event_type, bucket,
+                     max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(bin(rem)) END) AS reg
+              FROM r GROUP BY event_type, bucket),
+            agg AS (
+              SELECT event_type,
+                     CAST(1024 - count(*) AS BIGINT) AS v_zero,
+                     CAST((1024 - count(*)) * 2251799813685248
+                          + sum(CAST(pow(2.0, 51 - reg) AS BIGINT)) AS BIGINT) AS harmonic
+              FROM regs GROUP BY event_type),
+            ex AS (
+              SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+              FROM events GROUP BY event_type)
+            SELECT e.event_type, e.exact_n, a.v_zero, a.harmonic,
+                   CAST(floor(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+                        * 2251799813685248.0 / CAST(a.harmonic AS DOUBLE)) AS BIGINT) AS hll_est
+            FROM ex e JOIN agg a USING (event_type)
+            ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(q22, q41, q42, q43, q45, q48, q50, q51, q55, q61, q63, q64, q66, q67, q71, q118, q121, q136, q139, q151)
 }
