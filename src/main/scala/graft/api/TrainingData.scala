@@ -42,6 +42,49 @@ object TrainingData {
       salt: String): DataFrame =
     df.filter(substring(keyHash(col(keyCol), salt), 1, 8) < hexThreshold(rate))
 
+  /** Column profiler (DuckDB-SUMMARIZE / Deequ-analyzer shape): one row
+    * per input column with (n_rows, n_nulls, n_distinct, min, max), the
+    * first thing anyone runs on an unfamiliar corpus drop. ONE pass over
+    * the data: every per-column statistic is an ordinary partial+final
+    * aggregate in a single `agg` (the exact multi-column distincts expand
+    * the input N_cols ways — the standard cost of exact profiling; pass
+    * fewer columns or pre-sample for quick looks at 100 TB). min/max
+    * render deterministically cross-engine: numerics through
+    * DECIMAL(38,2) (fixed scale, no scientific notation), everything else
+    * via plain string cast — which is what lets q152 hash-match a DuckDB
+    * oracle.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def asText(c: Column, dt: DataType): Column = dt match {
+      case _: NumericType => c.cast(DecimalType(38, 2)).cast("string")
+      case StringType => c
+      case _ => c.cast("string")
+    }
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "profile() needs at least one column")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"__nn_${f.name}"),
+        countDistinct(c).as(s"__nd_${f.name}"),
+        asText(min(c), f.dataType).as(s"__mn_${f.name}"),
+        asText(max(c), f.dataType).as(s"__mx_${f.name}"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        col(s"__mn_${f.name}").as("min_value"),
+        col(s"__mx_${f.name}").as("max_value"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+
   /** Deterministic WEIGHTED Bernoulli sample: each row survives with its
     * own probability `weightBp` / 10000 (basis points, so the policy
     * column stays exact-integer and engine-portable — quality-proportional

@@ -1673,5 +1673,58 @@ object Pipeline {
                    CAST(sum(CASE WHEN v1 = 1 THEN 180 ELSE 160 END + 2 * pad) AS BIGINT) AS total_bytes
             FROM p GROUP BY source ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144)
+  // ---------------------------------------------------------------- q152
+  // Column profiler (TrainingData.profile): the first query anyone runs
+  // on an unfamiliar corpus drop — per-column rows/nulls/distincts and
+  // deterministic min/max rendering — computed in ONE pass as ordinary
+  // partial+final aggregates. The numeric min/max route through
+  // DECIMAL(38,2) so both engines print identical fixed-scale strings
+  // (no scientific-notation divergence), making the gate exact.
+  private val q152 = GQuery(
+    "q152_table_profile",
+    "one-pass per-column profiling (rows/nulls/distincts/min/max)",
+    (s, d) => {
+      import s.implicits._
+      graft.api.TrainingData.profile(
+        T(s, d, "orders").select(
+          $"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_orderpriority", $"o_totalprice"))
+    },
+    Some("""WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                                o_orderpriority, o_totalprice FROM orders)
+            SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(CAST(min(o_custkey) AS DECIMAL(38,2)) AS VARCHAR) AS min_value,
+                   CAST(CAST(max(o_custkey) AS DECIMAL(38,2)) AS VARCHAR) AS max_value
+            FROM src
+            UNION ALL
+            SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderkey) AS BIGINT),
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                   CAST(CAST(min(o_orderkey) AS DECIMAL(38,2)) AS VARCHAR),
+                   CAST(CAST(max(o_orderkey) AS DECIMAL(38,2)) AS VARCHAR)
+            FROM src
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM src
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM src
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_totalprice) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(CAST(min(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR),
+                   CAST(CAST(max(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)
+            FROM src
+            ORDER BY col_name"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152)
 }

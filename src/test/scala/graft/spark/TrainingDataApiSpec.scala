@@ -311,4 +311,32 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == Set((100L, 101L, 3333L)))
     assert(got.forall(p => p._1 < p._2))
   }
+
+  test("profile: nulls, distincts, and deterministic min/max rendering") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Some(3L), Some("b"), Some(1.5)),
+      (Some(1L), None, Some(857.71)),
+      (None, Some("a"), Some(1.5)),
+      (Some(3L), Some("c"), None)
+    ).toDF("k", "txt", "price")
+    val p = TrainingData.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(p("k") === ((4L, 1L, 2L, "1.00", "3.00")))
+    assert(p("txt") === ((4L, 1L, 3L, "a", "c")))
+    assert(p("price") === ((4L, 1L, 2L, "1.50", "857.71")))
+    // rows come out ordered by column name
+    assert(TrainingData.profile(df).select("col_name").as[String].collect()
+      .toSeq === Seq("k", "price", "txt"))
+  }
+
+  test("profile: timestamp columns render as plain ISO strings") {
+    val s = spark; import s.implicits._
+    val df = Seq("2024-01-02 03:04:05", "2023-12-31 23:59:59")
+      .toDF("raw").select($"raw".cast("timestamp").as("ts"))
+    val row = TrainingData.profile(df).collect()(0)
+    assert(row.getString(4) === "2023-12-31 23:59:59")
+    assert(row.getString(5) === "2024-01-02 03:04:05")
+  }
 }
