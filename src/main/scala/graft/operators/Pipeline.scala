@@ -1726,5 +1726,83 @@ object Pipeline {
             FROM src
             ORDER BY col_name"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152)
+  // ---------------------------------------------------------------- q154
+  // Token-pair co-occurrence mining (collocations / phrase discovery):
+  // distinct tokens per doc → document-frequency band filter (drops both
+  // noise and — the scale property — caps the per-token posting list
+  // BEFORE the self-join, so no hot token can go quadratic, the same
+  // guard as ngramJaccardPairs.maxDocFreq) → per-doc pair expansion with
+  // t1 < t2 → support count. The fixture corpus draws from a tiny shared
+  // vocabulary (24 tokens of length ≥ 4, df ≈ 300-400 of 500 docs), so
+  // the support threshold (310) is set to make a real cut there — on a
+  // natural corpus the band+support pair is what separates collocations
+  // from chance.
+  private val q154 = GQuery(
+    "q154_token_pair_cooccurrence",
+    "frequent token-pair mining (df-banded inverted index, support-thresholded)",
+    (s, d) => {
+      import s.implicits._
+      val tok = T(s, d, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("t"))
+        .filter(length($"t") >= 4)
+        .distinct()
+      val banded = tok.groupBy($"t")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df".between(5, 450))
+        .select($"t")
+      val tk = tok.join(banded, "t").select($"doc_id", $"t")
+      tk.as("a").join(tk.as("b"),
+          $"a.doc_id" === $"b.doc_id" && $"a.t" < $"b.t")
+        .groupBy($"a.t".as("t1"), $"b.t".as("t2"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" >= 310)
+        .orderBy($"n_docs".desc, $"t1", $"t2")
+    },
+    Some("""WITH tok AS (
+              SELECT DISTINCT doc_id, t
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE length(t) >= 4),
+            banded AS (
+              SELECT t FROM (SELECT t, count(*) AS df FROM tok GROUP BY t)
+              WHERE df BETWEEN 5 AND 450),
+            tk AS (SELECT doc_id, t FROM tok JOIN banded USING (t))
+            SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_docs
+            FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY a.t, b.t
+            HAVING count(*) >= 310
+            ORDER BY n_docs DESC, t1, t2"""))
+
+  // ---------------------------------------------------------------- q157
+  // Feature hashing (the "hashing trick", Weinberger et al. 2009): token
+  // features fold into a fixed 64-bucket vector via ENGINE-PORTABLE md5
+  // bucketing, so the oracle rebuilds the identical sparse vectors in
+  // SQL — the no-vocabulary featurizer whose memory is O(dim) however
+  // large the corpus vocabulary grows. Pure map + one grouped count;
+  // no vocabulary broadcast, no distinct pass.
+  private val q157 = GQuery(
+    "q157_feature_hash",
+    "hashing-trick featurizer (md5-bucketed sparse vectors, exact oracle)",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "documents")
+        .filter($"doc_id" < 40)
+        .select($"doc_id", explode(split($"text", " ")).as("t"))
+        .filter($"t" =!= "")
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 64"))
+        .groupBy($"doc_id", $"bucket")
+        .agg(count(lit(1)).as("weight"))
+        .orderBy($"doc_id", $"bucket")
+    },
+    Some("""SELECT doc_id,
+                   CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents WHERE doc_id < 40)
+            WHERE t <> ''
+            GROUP BY doc_id, bucket
+            ORDER BY doc_id, bucket"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157)
 }

@@ -1907,11 +1907,122 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag)
             ORDER BY l_returnflag"""))
 
+  // --------------------------------------------------------------- q153
+  // Exponentially-weighted smoothing in EXACT integer arithmetic: the
+  // time-series denoising pass (trend extraction, anomaly baselines)
+  // with dyadic weights 16/8/4/2 over the last four observations, so the
+  // weighted sum stays a BIGINT — no double accumulation, no cross-engine
+  // summation-order risk. One window shuffle on user_id with a bounded
+  // 4-lag frame; scales exactly like lag().
+  private val q153 = GQuery(
+    "q153_ewma_smooth",
+    "dyadic-weight EWMA smoothing in exact integer arithmetic (bounded lags)",
+    (s, d) => {
+      Tables.register(s, d, "events")
+      s.sql("""SELECT event_id, user_id,
+              |       16 * cents
+              |       + 8 * coalesce(lag(cents, 1) OVER w, 0)
+              |       + 4 * coalesce(lag(cents, 2) OVER w, 0)
+              |       + 2 * coalesce(lag(cents, 3) OVER w, 0) AS smooth_x16
+              |FROM (SELECT event_id, user_id, ts,
+              |             CAST(floor(value * 100) AS BIGINT) AS cents
+              |      FROM events WHERE event_type = 'purchase')
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |ORDER BY user_id, ts, event_id""".stripMargin)
+    },
+    Some("""SELECT event_id, user_id,
+                   16 * cents
+                   + 8 * coalesce(lag(cents, 1) OVER w, 0)
+                   + 4 * coalesce(lag(cents, 2) OVER w, 0)
+                   + 2 * coalesce(lag(cents, 3) OVER w, 0) AS smooth_x16
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, ts, event_id"""))
+
+  // --------------------------------------------------------------- q155
+  // Forward as-of join with a bounded tolerance (the attribution shape:
+  // each click finds the FIRST purchase by the same user within one day
+  // AFTER it — complement of q08's backward last-click-before-purchase).
+  // Implemented join-free: one shuffle on user_id, then a RANGE frame of
+  // [0, +1 day] over epoch-micros finds min(purchase ts) per click —
+  // per-user-day bounded work, no per-row re-scan, and tie semantics
+  // (purchase at the identical microsecond counts) are inherited from the
+  // RANGE frame exactly as the oracle's p.us >= c.us predicate states.
+  private val q155 = GQuery(
+    "q155_asof_tolerance",
+    "forward as-of with tolerance via RANGE frame (join-free attribution)",
+    (s, d) => {
+      import s.implicits._
+      val e = T(s, d, "events")
+        .select($"event_id", $"user_id", $"event_type",
+          expr("unix_micros(ts)").as("us"))
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(0L, 86400000000L)
+      e.withColumn("next_purchase_us",
+          min(when($"event_type" === "purchase", $"us")).over(w))
+        .filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"next_purchase_us")
+        .orderBy($"event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+                 c AS (SELECT * FROM e WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, min(p.us) AS next_purchase_us
+            FROM c LEFT JOIN e p
+              ON p.user_id = c.user_id AND p.event_type = 'purchase'
+             AND p.us >= c.us AND p.us <= c.us + 86400000000
+            GROUP BY c.event_id, c.user_id
+            ORDER BY c.event_id"""))
+
+  // --------------------------------------------------------------- q156
+  // Label indexing (StringIndexer shape): categorical values ranked by
+  // frequency (ties broken lexically) get dense integer ids — the
+  // feature-encoding step before any model training. Pure rank
+  // arithmetic over a tiny grouped aggregate: one shuffle on the label,
+  // one window over the already-small distinct set.
+  private val q156Sql =
+    """SELECT c_mktsegment AS label, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1
+      |            AS BIGINT) AS label_idx
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY label_idx""".stripMargin
+  private val q156 = GQuery(
+    "q156_label_index",
+    "frequency-ranked dense label ids (deterministic tie-break)",
+    (s, d) => { Tables.register(s, d, "customer"); s.sql(q156Sql) },
+    Some(q156Sql))
+
+  // --------------------------------------------------------------- q158
+  // Equal-frequency binning via ntile over a deterministic total order
+  // (cents, then unique orderkey): the quantile-bucketing feature
+  // transform, exact in both engines because ntile is pure rank
+  // arithmetic — no percentile interpolation, no doubles. The global
+  // sort is the one unavoidable cost; at 100 TB the same transform runs
+  // per-partition-key or over a deterministic sample.
+  private val q158Sql =
+    """SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |       min(cents) AS lo_cents, max(cents) AS hi_cents
+      |FROM (SELECT CAST(ntile(8) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bin,
+      |             cents
+      |      FROM (SELECT o_orderkey,
+      |                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |            FROM orders))
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+  private val q158 = GQuery(
+    "q158_equifreq_binning",
+    "equal-frequency quantile binning via deterministic ntile",
+    (s, d) => { Tables.register(s, d, "orders"); s.sql(q158Sql) },
+    Some(q158Sql))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
     q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
-    q146, q147, q148, q149)
+    q146, q147, q148, q149, q153, q155, q156, q158)
 }
