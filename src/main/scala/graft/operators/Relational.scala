@@ -2018,11 +2018,51 @@ object Relational {
     (s, d) => { Tables.register(s, d, "orders"); s.sql(q158Sql) },
     Some(q158Sql))
 
+  // --------------------------------------------------------------- q160
+  // BM25 relevance ranking (Robertson/Lucene form, k1=1.2, b=0.75): the
+  // standard retrieval scorer, entirely as grouped aggregates + one
+  // broadcast-size term table. Every model input (tf, df, dl, N, Σdl) is
+  // an exact integer aggregate; the floating-point formula is evaluated
+  // ONCE per (doc, term) on identical integers with identical expression
+  // shape in both engines, and the two per-term contributions add
+  // commutatively — so round(4) is hash-stable (the q108/q138 integer-
+  // moments discipline). The query's terms are derived deterministically
+  // from the corpus (first two tokens lexically), keeping the gate
+  // self-contained.
+  private val q160SparkSql =
+    """WITH tok AS (
+      |  SELECT doc_id, t
+      |  FROM (SELECT doc_id, explode(split(text, ' ')) AS t FROM documents)
+      |  WHERE length(t) >= 4),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+      |terms AS (SELECT t FROM (SELECT DISTINCT t FROM tok) ORDER BY t LIMIT 2),
+      |dfreq AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |          FROM tok JOIN terms USING (t) GROUP BY t),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok JOIN terms USING (t) GROUP BY doc_id, t)
+      |SELECT tf.doc_id AS doc_id,
+      |       round(sum(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |                 * (tf.tf * 2.2)
+      |                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+      |                    / (CAST(total_dl AS DOUBLE) / n_docs)))), 4) AS bm25
+      |FROM tf JOIN dfreq USING (t) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |GROUP BY tf.doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 50""".stripMargin
+  private val q160 = GQuery(
+    "q160_bm25_ranking",
+    "BM25 retrieval scoring from exact integer corpus statistics",
+    (s, d) => { Tables.register(s, d, "documents"); s.sql(q160SparkSql) },
+    Some(q160SparkSql
+      .replace("explode(split(text, ' '))", "unnest(string_split(text, ' '))")))
+
   val all: Seq[GQuery] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q23, q24, q25, q26,
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
     q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
-    q146, q147, q148, q149, q153, q155, q156, q158)
+    q146, q147, q148, q149, q153, q155, q156, q158, q160)
 }

@@ -1168,5 +1168,34 @@ object Sources {
             FROM nation WHERE n_nationkey < 10
             ORDER BY n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150)
+  // ---------------------------------------------------------------- q159
+  // Incremental consumption off the commit log (Delta-CDF shape for an
+  // append-only table): a consumer remembers the last version it
+  // processed and `option("changesSinceVersion", v)` reads ONLY the files
+  // newer commits added — the nightly-delta pattern that avoids
+  // reprocessing a 100 TB corpus to pick up yesterday's appends. Strict:
+  // an unknown checkpoint version (e.g. after an overwrite rewrote
+  // history) fails loudly instead of silently re-reading everything.
+  private val q159 = GQuery(
+    "q159_incremental_read",
+    "changesSinceVersion incremental read (process-only-new-commits)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/nation_incr"
+      val nation = Tables(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      nation.filter($"n_nationkey" < 10)
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      nation.filter($"n_nationkey" >= 10)
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("changesSinceVersion", "0")
+        .load(dir)
+        .orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation WHERE n_nationkey >= 10
+            ORDER BY n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159)
 }

@@ -341,7 +341,32 @@ private[graft] object GraftCommitLog {
         "(only graft batch sinks write .graft-log)")
     require(vs.contains(version),
       s"versionAsOf=$version: unknown version (available: ${vs.min}..${vs.max})")
-    vs.filter(_ <= version).flatMap { v =>
+    readEntries(fs, root, vs.filter(_ <= version))
+  }
+
+  /** Root-relative file set committed STRICTLY AFTER `sinceVersion` — the
+    * incremental-consumption primitive: a batch consumer remembers the
+    * last version it processed and reads only what newer commits added
+    * (exactly the Delta CDF "changes since" shape for an append-only
+    * table). `sinceVersion` must itself exist in the log, so a consumer
+    * can never silently skip history it missed.
+    */
+  def filesSince(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      sinceVersion: Long): Set[String] = {
+    val vs = versions(fs, root)
+    require(vs.nonEmpty,
+      s"changesSinceVersion=$sinceVersion: no graft commit log under $root " +
+        "(only graft batch sinks write .graft-log)")
+    require(vs.contains(sinceVersion),
+      s"changesSinceVersion=$sinceVersion: unknown version " +
+        s"(available: ${vs.min}..${vs.max}) — the consumer's checkpoint " +
+        "predates this log (was the table overwritten?)")
+    readEntries(fs, root, vs.filter(_ > sinceVersion))
+  }
+
+  private def readEntries(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      vs: Seq[Long]): Set[String] = {
+    vs.flatMap { v =>
       val p = new Path(logDir(root), f"$v%020d")
       val in = fs.open(p)
       val text = try {

@@ -209,27 +209,34 @@ object GraftSources {
     // from the listing fails (snapshot unreadable), and extra files the
     // log never committed are excluded (in-flight writers stay invisible,
     // which is what makes concurrent append + read coherent).
-    Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty).foreach { vstr =>
+    val pinned = Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty)
+    val since = Option(options.get("changessinceversion")).map(_.trim).filter(_.nonEmpty)
+    require(pinned.isEmpty || since.isEmpty,
+      "versionAsOf and changesSinceVersion are mutually exclusive")
+    pinned.orElse(since).foreach { vstr =>
+      val optName = if (pinned.isDefined) "versionAsOf" else "changesSinceVersion"
       require(roots.length == 1,
-        s"versionAsOf needs exactly one root directory, got ${roots.length}")
+        s"$optName needs exactly one root directory, got ${roots.length}")
       val version =
         try vstr.toLong
         catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"versionAsOf must be an integer, got '$vstr'") }
+          throw new IllegalArgumentException(s"$optName must be an integer, got '$vstr'") }
       val rootPath = new Path(roots.head)
       val fs = rootPath.getFileSystem(conf)
       require(fs.getFileStatus(rootPath).isDirectory,
-        "versionAsOf applies to a graft-sink-written directory, not a single file")
-      val live = GraftCommitLog.liveFilesAsOf(fs, rootPath, version)
+        s"$optName applies to a graft-sink-written directory, not a single file")
+      val wanted =
+        if (pinned.isDefined) GraftCommitLog.liveFilesAsOf(fs, rootPath, version)
+        else GraftCommitLog.filesSince(fs, rootPath, version)
       val rootQ = fs.makeQualified(rootPath).toString
       def rel(p: String): String = {
         val q = fs.makeQualified(new Path(p)).toString
         if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
       }
-      val kept = listed.filter(f => live.contains(rel(f._1)))
-      val missing = live -- kept.map(f => rel(f._1))
+      val kept = listed.filter(f => wanted.contains(rel(f._1)))
+      val missing = wanted -- kept.map(f => rel(f._1))
       require(missing.isEmpty,
-        s"versionAsOf=$version: snapshot references ${missing.size} missing file(s), " +
+        s"$optName=$version: selection references ${missing.size} missing file(s), " +
           s"e.g. ${missing.take(3).mkString(", ")} — was the directory vacuumed?")
       listed = kept
     }

@@ -133,6 +133,31 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLatest(dir.toString).count() === 6)         // unpinned: listed
   }
 
+  test("changesSinceVersion reads only newer commits") {
+    val dir = root.resolve("incr").toString
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir)  // v0
+    df(5 until 12).write.format("graft-json").mode("append").save(dir)    // v1
+    df(12 until 20).write.format("graft-json").mode("append").save(dir)   // v2
+
+    def since(v: Long) =
+      spark.read.format("graft-json").schema("id BIGINT, name STRING")
+        .option("changesSinceVersion", v.toString).load(dir)
+    assert(since(0).count() === 15)
+    assert(since(1).count() === 8)
+    assert(since(2).count() === 0)    // caught up: nothing newer
+    val s = spark; import s.implicits._
+    assert(since(1).select("id").as[Long].collect().sorted.toSeq === (12L until 20L))
+    // an unknown checkpoint (history rewritten) fails loudly
+    val e = intercept[Exception](since(99).count())
+    assert(e.getMessage.contains("unknown version"))
+    // both options at once is an error
+    val e2 = intercept[Exception](
+      spark.read.format("graft-json").schema("id BIGINT, name STRING")
+        .option("versionAsOf", "0").option("changesSinceVersion", "0")
+        .load(dir).count())
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("versions are contiguous and the log survives many appends") {
     val dir = root.resolve("many")
     df(0 until 1).write.format("graft-json").mode("overwrite").save(dir.toString)
