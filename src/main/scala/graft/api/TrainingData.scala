@@ -472,6 +472,48 @@ object TrainingData {
     spark.read.format(format).schema(df.schema).load(outPath)
   }
 
+  /** VACUUM for graft-sink directories: delete data files that the
+    * commit log's LATEST snapshot does not reference — the debris of
+    * failed/abandoned jobs and out-of-band copies that would otherwise be
+    * picked up by un-pinned reads forever. The inverse guarantee is the
+    * important one: a file named by ANY log entry, every hidden
+    * planning artifact (sidecars, manifests, the log itself), and
+    * anything under a dot/underscore name is never touched. Returns the
+    * root-relative paths removed (empty in `dryRun`). Driver-side
+    * listing + deletes — the same cost class as the planning listing
+    * itself; at 100 TB this runs per-partition-directory.
+    */
+  def vacuumOrphans(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dryRun: Boolean = false): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = graft.spark.GraftCommitLog.versions(fs, root)
+    require(vs.nonEmpty, s"vacuum needs a graft commit log under $dir")
+    // referenced by ANY version, not just the latest: time travel to an
+    // older snapshot must keep working after a vacuum
+    val live = graft.spark.GraftCommitLog.liveFilesAsOf(fs, root, vs.max)
+    val rootQ = fs.makeQualified(root).toString
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    val orphans = walk(root).filter { p =>
+      val q = fs.makeQualified(p).toString
+      val rel = if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
+      !live.contains(rel)
+    }
+    val rels = orphans.map { p =>
+      val q = fs.makeQualified(p).toString
+      if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
+    }
+    if (!dryRun) orphans.foreach(p => fs.delete(p, false))
+    rels.sorted
+  }
+
   /** Single-column clustering for data skipping: range-partition into
     * ~`numFiles` files and sort within each, so sink-written files carry
     * TIGHT disjoint min/max ranges (every range filter on `col` prunes

@@ -1197,5 +1197,38 @@ object Sources {
             FROM nation WHERE n_nationkey >= 10
             ORDER BY n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159)
+  // ---------------------------------------------------------------- q161
+  // VACUUM (TrainingData.vacuumOrphans): delete data files the commit
+  // log never committed — failed-job debris and out-of-band copies that
+  // un-pinned reads would otherwise absorb forever. The gate plants a
+  // rogue JSONL file next to two committed batches, vacuums, and proves
+  // the un-pinned read now returns exactly the committed corpus (the
+  // rogue row would otherwise surface); log-referenced files and hidden
+  // planning artifacts survive (VacuumSpec pins the inverse guarantees).
+  private val q161 = GQuery(
+    "q161_vacuum",
+    "vacuum un-committed orphan files (log-referenced data is untouchable)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/nation_vacuum"
+      val nation = Tables(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      nation.filter($"n_nationkey" < 10)
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      nation.filter($"n_nationkey" >= 10)
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "rogue.json"),
+        "{\"n_nationkey\":999,\"n_name\":\"ROGUE\",\"n_regionkey\":0}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.api.TrainingData.vacuumOrphans(s, dir)
+      s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .load(dir)
+        .orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation
+            ORDER BY n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161)
 }

@@ -158,6 +158,42 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("mutually exclusive"))
   }
 
+  test("vacuum removes only orphans; live data, sidecars, and log survive") {
+    val dir = root.resolve("vac")
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir.toString)
+    df(5 until 9).write.format("graft-json").mode("append").save(dir.toString)
+    Files.write(dir.resolve("rogue.json"), "{\"id\":99,\"name\":\"zz\"}\n".getBytes)
+    Files.write(dir.resolve("stray.bin"), Array[Byte](1, 2, 3))
+
+    // dry run reports but deletes nothing
+    val dry = graft.api.TrainingData.vacuumOrphans(spark, dir.toString, dryRun = true)
+    assert(dry === Seq("rogue.json", "stray.bin"))
+    assert(Files.exists(dir.resolve("rogue.json")))
+
+    val removed = graft.api.TrainingData.vacuumOrphans(spark, dir.toString)
+    assert(removed === Seq("rogue.json", "stray.bin"))
+    assert(!Files.exists(dir.resolve("rogue.json")))
+    // all committed rows still read back, pinned reads still work
+    assert(readLatest(dir.toString).count() === 9)
+    assert(readAsOf(dir.toString, 0).count() === 5)
+    // the log and hidden artifacts are intact
+    assert(Files.exists(dir.resolve(".graft-log")))
+    // idempotent: second vacuum finds nothing
+    assert(graft.api.TrainingData.vacuumOrphans(spark, dir.toString) === Nil)
+  }
+
+  test("vacuum in a partitioned layout spares k=v-nested committed files") {
+    val s = spark; import s.implicits._
+    val dir = root.resolve("vacpart")
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "k")
+      .write.format("graft-json").partitionBy("k").mode("overwrite").save(dir.toString)
+    Files.write(dir.resolve("k=x").resolve("rogue.json"),
+      "{\"id\":7,\"name\":\"zz\"}\n".getBytes)
+    val removed = graft.api.TrainingData.vacuumOrphans(spark, dir.toString)
+    assert(removed === Seq("k=x/rogue.json"))
+    assert(spark.read.format("graft-json").load(dir.toString).count() === 2)
+  }
+
   test("versions are contiguous and the log survives many appends") {
     val dir = root.resolve("many")
     df(0 until 1).write.format("graft-json").mode("overwrite").save(dir.toString)
