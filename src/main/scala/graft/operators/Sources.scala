@@ -1230,5 +1230,48 @@ object Sources {
             FROM nation
             ORDER BY n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161)
+  // ---------------------------------------------------------------- q162
+  // Commit-log-following stream (the Delta-streaming-source shape):
+  // `option("followLog", true)` makes the graft-json stream discover
+  // files from the sink's `.graft-log` instead of raw listing — only
+  // COMMITTED files enter the stream, in commit order, so tailing a
+  // table that concurrent jobs append to is coherent (a rogue uncommitted
+  // file is planted and must stay invisible; the raw-listing stream
+  // would absorb it). Drained with AvailableNow and checked exactly.
+  private val q162 = GQuery(
+    "q162_stream_follow_log",
+    "streaming tail of a sink table via commit log (uncommitted files invisible)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/supplier_stream"
+      Tables(s, d, "supplier")
+        .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        .write.format("graft-json").mode("overwrite").save(dir)   // version 0
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "rogue.json"),
+        "{\"s_suppkey\":999999,\"s_nationkey\":0,\"s_acctbal\":1.0}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val stream = s.readStream.format("graft-json")
+        .schema("s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")
+        .option("followLog", "true")
+        .option("maxbytespertrigger", "8192") // several micro-batches
+        .load(dir)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("bal"))
+      val q = stream.writeStream
+        .format("memory")
+        .queryName("q162_followlog")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q162_followlog").orderBy($"s_nationkey")
+    },
+    Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(s_acctbal), 2) AS bal
+            FROM supplier
+            GROUP BY s_nationkey
+            ORDER BY s_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162)
 }

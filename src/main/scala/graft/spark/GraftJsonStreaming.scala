@@ -55,12 +55,21 @@ private[spark] final class StreamFileRegistry(
   }
   private var known: Set[String] = list.map(_._1).toSet
 
+  // followLog: discovery follows the sink's commit log instead of raw
+  // directory listing — only committed files enter the stream, in commit
+  // order (the Delta-streaming-source shape; uncommitted/rogue files and
+  // in-flight writers are invisible, so sink-table tailing is coherent).
+  private val followLog: Boolean =
+    "true".equalsIgnoreCase(Option(options.get("followlog")).getOrElse(""))
+
   discover() // initial listing
 
   /** Re-list the input and append any newly landed files. */
   def discover(): Unit = synchronized {
-    val fresh = GraftSources.resolveFiles(options)
-      .filterNot(f => known(f._1)).sortBy(_._1)
+    val fresh =
+      if (followLog) GraftSources.logOrderedFiles(options).filterNot(f => known(f._1))
+      else GraftSources.resolveFiles(options)
+        .filterNot(f => known(f._1)).sortBy(_._1)
     if (fresh.nonEmpty) {
       list = list ++ fresh
       known = known ++ fresh.map(_._1)

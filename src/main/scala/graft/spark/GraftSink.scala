@@ -365,25 +365,28 @@ private[graft] object GraftCommitLog {
   }
 
   private def readEntries(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      vs: Seq[Long]): Set[String] = {
-    vs.flatMap { v =>
-      val p = new Path(logDir(root), f"$v%020d")
-      val in = fs.open(p)
-      val text = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-      require(lines.headOption.contains("graft-commit v1"),
-        s"malformed commit-log entry $p")
-      lines.tail.map { l =>
-        require(l.startsWith("f "), s"malformed commit-log line in $p: $l")
-        l.substring(2)
-      }
-    }.toSet
+      vs: Seq[Long]): Set[String] =
+    vs.flatMap(entryFiles(fs, root, _)).toSet
+
+  /** One entry's root-relative file list, in committed order. */
+  def entryFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Seq[String] = {
+    val p = new Path(logDir(root), f"$version%020d")
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-commit v1"),
+      s"malformed commit-log entry $p")
+    lines.tail.map { l =>
+      require(l.startsWith("f "), s"malformed commit-log line in $p: $l")
+      l.substring(2)
+    }
   }
 }
 

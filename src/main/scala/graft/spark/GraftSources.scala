@@ -115,6 +115,39 @@ object GraftSources {
   def resolveFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] =
     resolvePartitioned(options).files.map(f => (f.path, f.len))
 
+  /** Committed files in COMMIT-LOG order (version ascending, then each
+    * entry's own order) — the streaming sources' `followLog` discovery:
+    * only files a batch commit published are admitted (in-flight and
+    * rogue files never enter the stream), in a deterministic order that
+    * never interleaves old and new names. Empty before the first commit.
+    * A logged file that has vanished fails loudly — committed data is
+    * not allowed to silently skip.
+    */
+  def logOrderedFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+    val conf = activeHadoopConf()
+    val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .orElse(Option(options.get("location")))
+      .getOrElse(throw new IllegalArgumentException("graft source requires a 'path' option"))
+    val roots = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(roots.length == 1,
+      s"followLog needs exactly one root directory, got ${roots.length}")
+    val root = new Path(roots.head
+      .stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+    val fs = root.getFileSystem(conf)
+    GraftCommitLog.versions(fs, root).flatMap { v =>
+      GraftCommitLog.entryFiles(fs, root, v).map { rel =>
+        val p = fs.makeQualified(new Path(root, rel))
+        val st =
+          try fs.getFileStatus(p)
+          catch { case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"followLog: committed file $rel (version $v) is missing under $root " +
+                "— was the directory vacuumed out-of-band?") }
+        (p.toString, st.getLen)
+      }
+    }
+  }
+
   final case class ListedFile(path: String, len: Long, partValues: Array[String])
   /** `partCols` in first-seen directory order; each file's `partValues`
     * align to it (null = value absent for that file).

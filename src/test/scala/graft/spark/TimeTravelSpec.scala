@@ -194,6 +194,43 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft-json").load(dir.toString).count() === 2)
   }
 
+  test("followLog stream tails commits across restarts; rogue files invisible") {
+    val s = spark; import s.implicits._
+    val dir = root.resolve("tail").toString
+    val ckpt = root.resolve("tail-ckpt").toString
+    df(0 until 5).write.format("graft-json").mode("overwrite").save(dir) // v0
+    Files.write(root.resolve("tail").resolve("rogue.json"),
+      "{\"id\":999,\"name\":\"zz\"}\n".getBytes)
+
+    val outDir = root.resolve("tail-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-json")
+        .schema("id BIGINT, name STRING")
+        .option("followLog", "true")
+        .load(dir)
+        .writeStream.format("graft-json")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def outIds() = {
+      val s2 = spark; import s2.implicits._
+      spark.read.format("graft-json").schema("id BIGINT, name STRING")
+        .load(outDir).select("id").as[Long].collect().sorted.toSeq
+    }
+
+    drain()
+    assert(outIds() === (0L until 5L), "rogue row must not be ingested")
+
+    // appends land; a restarted query (same checkpoint) reads ONLY them
+    df(5 until 9).write.format("graft-json").mode("append").save(dir) // v1
+    drain()
+    assert(outIds() === (0L until 9L), "second drain appends exactly v1's rows")
+  }
+
   test("versions are contiguous and the log survives many appends") {
     val dir = root.resolve("many")
     df(0 until 1).write.format("graft-json").mode("overwrite").save(dir.toString)
