@@ -122,11 +122,19 @@ object GraftFunctions {
       LevenshteinBounded(args(0), args(1), args(2))
     })
 
+  val jaroWinklerInfo = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "jaro_winkler takes exactly 2 arguments")
+      JaroWinkler(args(0), args(1))
+    })
+
   /** Register the graft function library on an existing session
     * (idempotent) — for sessions not built with the extensions class.
     */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineInfo, shinglesInfo, levBoundedInfo).foreach { case (id, info, builder) =>
+    Seq(cosineInfo, shinglesInfo, levBoundedInfo, jaroWinklerInfo).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
@@ -141,5 +149,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineInfo)
     ext.injectFunction(GraftFunctions.shinglesInfo)
     ext.injectFunction(GraftFunctions.levBoundedInfo)
+    ext.injectFunction(GraftFunctions.jaroWinklerInfo)
   }
 }

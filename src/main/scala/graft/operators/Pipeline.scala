@@ -1804,5 +1804,35 @@ object Pipeline {
             GROUP BY doc_id, bucket
             ORDER BY doc_id, bucket"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157)
+  // ---------------------------------------------------------------- q163
+  // Record linkage via the native jaro_winkler expression (functions/
+  // JaroWinkler.scala, SQL registry): the prefix-boosted similarity the
+  // entity-resolution literature prefers for names/titles, where typos
+  // rarely touch the first characters. Same blocked-join discipline as
+  // q135 (block on p_brand, never all-pairs); the oracle is DuckDB's own
+  // jaro_winkler_similarity, so the gate is a value-for-value
+  // cross-IMPLEMENTATION differential of the whole algorithm (match
+  // window, transposition counting, unconditional prefix boost) at
+  // round(4).
+  private val q163 = GQuery(
+    "q163_jaro_winkler_linkage",
+    "blocked record linkage via native jaro_winkler (cross-engine differential)",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.register(s, d, "part")
+      s.sql("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              |       round(jaro_winkler(a.p_name, b.p_name), 4) AS jw
+              |FROM part a JOIN part b
+              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              |WHERE jaro_winkler(a.p_name, b.p_name) >= 0.93
+              |ORDER BY key_a, key_b""".stripMargin)
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+            ORDER BY key_a, key_b"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163)
 }
