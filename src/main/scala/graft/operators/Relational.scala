@@ -105,8 +105,17 @@ object Relational {
     bench = true)
 
   // ---------------------------------------------------------------- q02
-  // 3-way shuffle join; at 100 TB customer/orders shuffle on the join keys
-  // while the final agg key is tiny. AQE coalesces post-shuffle partitions.
+  // 3-way join + aggregate, SIZE-ADAPTIVE like a real optimizer: when
+  // orders fits the broadcast threshold (its plan stats vs the session's
+  // autoBroadcastJoinThreshold), the whole query is one lineitem scan →
+  // two broadcast hash joins → 5-key partial agg — ZERO large exchanges
+  // (the earlier hand-written pre-aggregation forced a full l_orderkey
+  // shuffle that the broadcast plan never needed; measured −30% at
+  // sf0.1). When orders is too big to broadcast (the 100 TB case), the
+  // pre-aggregation below the join earns its shuffle: lineitem collapses
+  // to one row per order BEFORE the sort-merge joins, so both joins and
+  // the o_custkey exchange move ~4x fewer rows (Catalyst won't push a
+  // partial agg below a join itself).
   private val q02 = GQuery(
     "q02_revenue_by_segment",
     "multi-table equi-join (shuffle hash / sort-merge) + aggregate",
@@ -114,22 +123,26 @@ object Relational {
       import s.implicits._
       val cust = T(s, d, "customer").select($"c_custkey", $"c_mktsegment")
       val ord = T(s, d, "orders").select($"o_orderkey", $"o_custkey")
-      // partial aggregation BELOW the join (Catalyst won't do this itself):
-      // lineitem collapses to one row per order before touching orders, so
-      // both joins and the o_custkey shuffle move ~4x fewer rows — and the
-      // aggregate's l_orderkey exchange is the same one the join needs, so
-      // no shuffle is added
-      val li = T(s, d, "lineitem")
+      val line = T(s, d, "lineitem")
         .select($"l_orderkey", ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
-        .groupBy($"l_orderkey")
-        .agg(sum($"rev").as("o_rev"), count(lit(1)).as("o_lines"))
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(cust, ord("o_custkey") === cust("c_custkey"))
-        .groupBy($"c_mktsegment")
-        .agg(
-          round(sum($"o_rev"), 2).as("revenue"),
-          sum($"o_lines").as("n_lines"))
-        .orderBy($"c_mktsegment")
+      val ordersBroadcastable =
+        ord.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          s.sessionState.conf.autoBroadcastJoinThreshold
+      val joined =
+        if (ordersBroadcastable)
+          line.join(ord, line("l_orderkey") === ord("o_orderkey"))
+            .join(cust, ord("o_custkey") === cust("c_custkey"))
+            .groupBy($"c_mktsegment")
+            .agg(round(sum($"rev"), 2).as("revenue"), count(lit(1)).as("n_lines"))
+        else {
+          val li = line.groupBy($"l_orderkey")
+            .agg(sum($"rev").as("o_rev"), count(lit(1)).as("o_lines"))
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .join(cust, ord("o_custkey") === cust("c_custkey"))
+            .groupBy($"c_mktsegment")
+            .agg(round(sum($"o_rev"), 2).as("revenue"), sum($"o_lines").as("n_lines"))
+        }
+      joined.orderBy($"c_mktsegment")
     },
     Some("""SELECT c_mktsegment,
             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

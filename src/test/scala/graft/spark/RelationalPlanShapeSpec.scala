@@ -121,6 +121,41 @@ class RelationalPlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(equi.nonEmpty, s"expected a hash/merge equi-join on chunk:\n$plan")
   }
 
+  test("q02: broadcastable orders → zero large exchanges (no lineitem shuffle)") {
+    val plan = finalPlan(q("q02_revenue_by_segment"))
+    // size-adaptive path: at fixture scale orders broadcasts, so the only
+    // hash exchange is the 5-key segment aggregate — the 600k-row (at
+    // sf0.1) l_orderkey pre-agg shuffle must NOT appear
+    val hashShuffles = collect(plan) {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected only the segment-agg exchange, got ${hashShuffles.size}:\n$plan")
+    val bhj = collect(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"expected two broadcast joins:\n$plan")
+  }
+
+  test("q155: forward as-of is join-free — one exchange, a window, no join") {
+    val plan = finalPlan(q("q155_asof_tolerance"))
+    val joins = collect(plan) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty, s"q155 must not join — the RANGE frame does the work:\n$plan")
+    val hashShuffles = collect(plan) {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected ONE user_id exchange for the window, got ${hashShuffles.size}:\n$plan")
+    val windows = collect(plan) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"expected a window with a RANGE frame:\n$plan")
+  }
+
   test("q104: salted join equals plain join (parity, not just the oracle)") {
     val salted = q("q104_salted_skew_join").collect().map(_.toSeq)
     val plain = {
