@@ -472,6 +472,22 @@ object TrainingData {
     spark.read.format(format).schema(df.schema).load(outPath)
   }
 
+  /** k-anonymity suppression (Sweeney 2002): drop every row whose
+    * quasi-identifier combination is shared by fewer than k rows — the
+    * privacy scrub that runs after PII redaction, because rare attribute
+    * COMBINATIONS re-identify even with direct identifiers gone. One
+    * shuffle on the quasi columns (a window count, no join, no second
+    * scan); rows keep their full schema.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasiCols.nonEmpty, "kAnonymize needs at least one quasi-identifier column")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__qid_n", count(lit(1)).over(w))
+      .filter(col("__qid_n") >= k)
+      .drop("__qid_n")
+  }
+
   /** VACUUM for graft-sink directories: delete data files that the
     * commit log's LATEST snapshot does not reference — the debris of
     * failed/abandoned jobs and out-of-band copies that would otherwise be

@@ -1834,5 +1834,69 @@ object Pipeline {
             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
             ORDER BY key_a, key_b"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163)
+  // ---------------------------------------------------------------- q164
+  // k-anonymity suppression (TrainingData.kAnonymize): rows whose
+  // quasi-identifier combination has < k peers are dropped — the
+  // COMBINATION-level privacy scrub that complements q79's direct-PII
+  // redaction. One window-count shuffle on the quasi columns. The gate
+  // suppresses on (nationkey, mktsegment) at k=15 and rolls up survivors
+  // per nation; the oracle recomputes the suppression as a HAVING join.
+  private val q164 = GQuery(
+    "q164_k_anonymity",
+    "k-anonymity suppression over quasi-identifier groups",
+    (s, d) => {
+      import s.implicits._
+      graft.api.TrainingData
+        .kAnonymize(T(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), 15)
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("kept"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""WITH g AS (
+              SELECT c_nationkey, c_mktsegment, count(*) AS n
+              FROM customer GROUP BY c_nationkey, c_mktsegment)
+            SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS kept
+            FROM g WHERE n >= 15
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey"""))
+
+  // ---------------------------------------------------------------- q166
+  // Sorted-neighborhood record linkage (Hernández & Stolfo 1995): sort on
+  // the linkage key and compare each record only to its next W neighbors
+  // — the classic alternative to LSH blocking, O(N·W) comparisons instead
+  // of O(N²). Join-free: after ONE range-partitioned sort, lead(name, o)
+  // materializes each neighbor pair inside the window, and the distance
+  // predicate filters locally. The oracle recomputes the same pairs via a
+  // rank self-join.
+  private val q166 = GQuery(
+    "q166_sorted_neighborhood",
+    "sorted-neighborhood linkage via window leads (join-free O(N·W) comparisons)",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"p_name", $"p_partkey")
+      val ranked = T(s, d, "part").select($"p_partkey", $"p_name")
+        .withColumn("n1_key", lead($"p_partkey", 1).over(w))
+        .withColumn("n1_name", lead($"p_name", 1).over(w))
+        .withColumn("n2_key", lead($"p_partkey", 2).over(w))
+        .withColumn("n2_name", lead($"p_name", 2).over(w))
+      val p1 = ranked.select($"p_partkey".as("key_a"), $"n1_key".as("key_b"),
+        levenshtein($"p_name", $"n1_name").as("dist"))
+      val p2 = ranked.select($"p_partkey".as("key_a"), $"n2_key".as("key_b"),
+        levenshtein($"p_name", $"n2_name").as("dist"))
+      p1.union(p2)
+        .filter($"key_b".isNotNull && $"dist" <= 4)
+        .selectExpr("key_a", "key_b", "CAST(dist AS BIGINT) AS dist")
+        .orderBy($"key_a", $"key_b")
+    },
+    Some("""WITH ranked AS (
+              SELECT p_partkey, p_name,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS r
+              FROM part)
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 2
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+            ORDER BY key_a, key_b"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166)
 }

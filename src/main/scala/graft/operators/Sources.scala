@@ -1273,5 +1273,44 @@ object Sources {
             GROUP BY s_nationkey
             ORDER BY s_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162)
+  // ---------------------------------------------------------------- q165
+  // Incremental materialized-view maintenance POWERED BY THE COMMIT LOG:
+  // the view's state is the aggregate over snapshot v; when new commits
+  // land, only `changesSinceVersion(v)` is aggregated and merged — q129
+  // proved the algebra (base ⊎ delta == full recompute); this gate proves
+  // the LOG supplies the delta, which is what makes never-recompute-
+  // history real on a 100 TB table: each refresh reads only the new
+  // files, not the corpus. The oracle recomputes from scratch.
+  private val q165 = GQuery(
+    "q165_incremental_mv_log",
+    "incremental view refresh from commit-log deltas == full recompute",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/orders_mv"
+      val orders = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority",
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      orders.filter($"o_orderkey" % 2 === 0)
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      orders.filter($"o_orderkey" % 2 === 1)
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      val schema = "o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT"
+      def agg(df: DataFrame) = df.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+      val base = agg(s.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "0").load(dir))              // the stored view
+      val delta = agg(s.read.format("graft-json").schema(schema)
+        .option("changesSinceVersion", "0").load(dir))      // only new files
+      base.union(delta)
+        .groupBy($"o_orderpriority")
+        .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165)
 }

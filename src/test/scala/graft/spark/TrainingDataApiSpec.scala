@@ -331,6 +331,23 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq === Seq("k", "price", "txt"))
   }
 
+  test("kAnonymize suppresses exactly the groups below k, keeps full rows") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", "x", 1), ("a", "x", 2), ("a", "x", 3),  // group of 3
+      ("a", "y", 4), ("a", "y", 5),                 // group of 2
+      ("b", "x", 6)                                 // singleton
+    ).toDF("q1", "q2", "payload")
+    val k2 = TrainingData.kAnonymize(df, Seq("q1", "q2"), 2)
+    assert(k2.count() === 5)
+    assert(k2.columns.toSeq === Seq("q1", "q2", "payload")) // helper col dropped
+    val k3 = TrainingData.kAnonymize(df, Seq("q1", "q2"), 3)
+    assert(k3.select("payload").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // k=1 keeps everything
+    assert(TrainingData.kAnonymize(df, Seq("q1", "q2"), 1).count() === 6)
+    intercept[IllegalArgumentException](TrainingData.kAnonymize(df, Nil, 2))
+  }
+
   test("profile: timestamp columns render as plain ISO strings") {
     val s = spark; import s.implicits._
     val df = Seq("2024-01-02 03:04:05", "2023-12-31 23:59:59")
