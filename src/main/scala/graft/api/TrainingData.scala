@@ -472,6 +472,29 @@ object TrainingData {
     spark.read.format(format).schema(df.schema).load(outPath)
   }
 
+  /** Order-independent table content digest: one row with (n_rows,
+    * digest_sum, digest_xor) where each row contributes the 60-bit md5 of
+    * its canonical rendering (columns joined with '|', nulls as a
+    * sentinel) — summed mod 1e9+7 and bit-XORed, both order- and
+    * partitioning-independent. The migration/replication check: two
+    * tables (or the same table through two engines, or before/after a
+    * rewrite) match iff all three numbers match. Pure map + one tiny
+    * aggregate; engine-portable by construction (q168 recomputes it in
+    * DuckDB SQL). Callers pick columns with deterministic string
+    * renderings (integers/strings/decimals — not raw doubles).
+    */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableDigest needs at least one column")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(h.as("h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(col("h") % 1000000007L) % 1000000007L).as("digest_sum"),
+        expr("bit_xor(h)").as("digest_xor"))
+  }
+
   /** k-anonymity suppression (Sweeney 2002): drop every row whose
     * quasi-identifier combination is shared by fewer than k rows — the
     * privacy scrub that runs after PII redaction, because rare attribute

@@ -1898,5 +1898,32 @@ object Pipeline {
             WHERE levenshtein(a.p_name, b.p_name) <= 4
             ORDER BY key_a, key_b"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166)
+  // ---------------------------------------------------------------- q168
+  // Table content digest (TrainingData.tableDigest): order- and
+  // partitioning-independent (n_rows, sum-mod, xor) fingerprint from
+  // per-row md5 — the replication/migration check ("did the rewrite
+  // preserve the data?") that costs one map pass. The oracle recomputes
+  // the identical digest in DuckDB SQL, which is the point: the SAME
+  // three numbers from two engines over the same rows.
+  private val q168 = GQuery(
+    "q168_table_digest",
+    "order-independent table fingerprint (engine-portable md5 digest)",
+    (s, d) => {
+      graft.api.TrainingData.tableDigest(
+        T(s, d, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS digest_sum,
+                   bit_xor(h) AS digest_xor
+            FROM (
+              SELECT CAST(concat('0x', substring(md5(
+                       concat_ws('|',
+                         coalesce(CAST(c_custkey AS VARCHAR), '∅'),
+                         coalesce(c_name, '∅'),
+                         coalesce(CAST(c_nationkey AS VARCHAR), '∅'),
+                         coalesce(c_mktsegment, '∅'))), 1, 15)) AS BIGINT) AS h
+              FROM customer)"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168)
 }

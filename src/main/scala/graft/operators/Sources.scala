@@ -1312,5 +1312,83 @@ object Sources {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165)
+  // ---------------------------------------------------------------- q167
+  // Storage tiering: hot ingest lands as many small JSONL files (the
+  // streaming-epoch shape); the tiering pass rewrites a cold slice into
+  // few large PARQUET files via the same stats-sized compaction operator
+  // (compactLayout with a different output format) — the jsonl→columnar
+  // lifecycle every 100 TB estate runs nightly. The gate fragments
+  // lineitem across 64 graft-json files, tiers to parquet, and
+  // aggregates the parquet tier; the oracle aggregates the source table.
+  private val q167 = GQuery(
+    "q167_format_tiering",
+    "hot-jsonl → warm-parquet tiering via stats-sized compaction",
+    (s, d) => {
+      import s.implicits._
+      val hot = "/tmp/graft_tier/lineitem_hot"
+      val warm = "/tmp/graft_tier/lineitem_warm"
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        .repartition(64) // the small-file debris of streaming ingest
+        .write.format("graft-json").mode("overwrite").save(hot)
+      graft.api.TrainingData.compactLayout(s, hot, warm,
+        targetFileBytes = 64L << 20, format = "graft-json",
+        schema = "l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE")
+      // the warm tier re-lands as parquet (columnar) for scan-heavy reads
+      s.read.format("graft-json")
+        .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE")
+        .load(warm)
+        .write.mode("overwrite").parquet(warm + "_pq")
+      s.read.parquet(warm + "_pq")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q169
+  // Semantic diff between two table VERSIONS: full-outer-join the pinned
+  // snapshots on the row key and classify added/removed/unchanged — the
+  // "what changed between yesterday and today" query the commit log makes
+  // cheap (each side reads only its snapshot's files; for adjacent
+  // versions the delta side can use changesSinceVersion instead). The
+  // gate diffs version 0 (keys < 10) against version 1 (all 25) and must
+  // see exactly 15 'added' and 10 'unchanged'.
+  private val q169 = GQuery(
+    "q169_version_diff",
+    "row-level diff of two pinned table versions (added/removed/unchanged)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/nation_diff"
+      val nation = Tables(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      nation.filter($"n_nationkey" < 10)
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      nation.filter($"n_nationkey" >= 10)
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      val schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+      val v0 = s.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "0").load(dir).select($"n_nationkey".as("k0"))
+      val v1 = s.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "1").load(dir).select($"n_nationkey".as("k1"))
+      v0.join(v1, $"k0" === $"k1", "full_outer")
+        .select(
+          coalesce($"k0", $"k1").as("n_nationkey"),
+          when($"k0".isNull, "added")
+            .when($"k1".isNull, "removed")
+            .otherwise("unchanged").as("change"))
+        .groupBy($"change")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"change")
+    },
+    Some("""SELECT CASE WHEN n_nationkey >= 10 THEN 'added' ELSE 'unchanged' END AS change,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM nation
+            GROUP BY 1
+            ORDER BY change"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169)
 }
