@@ -277,6 +277,52 @@ object TrainingData {
     df.filter(cond)
   }
 
+  /** Temperature-weighted mixture sampling (the multilingual/domain
+    * alpha-sampling step): per-stratum sampling mass ∝ count^alpha, so
+    * low-resource strata keep a larger SHARE of the target than their raw
+    * share (alpha < 1 flattens the distribution; alpha = 1 is
+    * proportional). Keep rate per stratum = min(1, targetRows·c^α / Σc^α
+    * / c), applied as the same salted-hash keyspace cut as every sampler
+    * here — deterministic, reproducible, composable. Strata counts
+    * collect to the driver (sorted before the Σc^α fold, so the floating
+    * sum is order-stable): strata are domains, not data. MAP-ONLY after
+    * the one counting aggregate.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetRows: Long, salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMixture over an empty frame")
+    val totW = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
+    val h = substring(keyHash(col(keyCol), salt), 1, 8)
+    val cond = counts.foldLeft(lit(false)) { case (acc, (sv, c)) =>
+      val rate = math.min(1.0, targetRows * math.pow(c.toDouble, alpha) / totW / c)
+      val thr = if (rate >= 1.0) "g" else hexThreshold(rate)
+      acc || (col(strataCol) === sv && h < thr)
+    }
+    df.filter(cond)
+  }
+
+  /** l-diversity filter (the companion to [[kAnonymize]]): a group of
+    * rows sharing quasi-identifier values is safe only if the SENSITIVE
+    * attribute takes at least `l` distinct values inside it — k-anonymity
+    * alone leaks when a large group is homogeneous in the secret. Keeps
+    * rows whose quasi group is l-diverse; one window aggregate on the
+    * quasi columns (approx_count_distinct is NOT used — exactness is the
+    * point of a privacy gate).
+    */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(quasiCols.nonEmpty, "lDiversify needs at least one quasi-identifier column")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__l", size(collect_set(col(sensitiveCol)).over(w)))
+      .filter(col("__l") >= l)
+      .drop("__l")
+  }
+
   /** Email-address pattern: RE2-safe (no backtracking constructs), so the
     * same pattern means the same thing to Spark's Java regex and to
     * RE2-based engines.
@@ -530,8 +576,10 @@ object TrainingData {
     val vs = graft.spark.GraftCommitLog.versions(fs, root)
     require(vs.nonEmpty, s"vacuum needs a graft commit log under $dir")
     // referenced by ANY version, not just the latest: time travel to an
-    // older snapshot must keep working after a vacuum
-    val live = graft.spark.GraftCommitLog.liveFilesAsOf(fs, root, vs.max)
+    // older snapshot must keep working after a vacuum — including files a
+    // later DELETE/UPDATE retired (`r` actions), which older snapshots
+    // still read
+    val live = graft.spark.GraftCommitLog.allReferencedFiles(fs, root)
     val rootQ = fs.makeQualified(root).toString
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -551,6 +599,150 @@ object TrainingData {
     }
     if (!dryRun) orphans.foreach(p => fs.delete(p, false))
     rels.sorted
+  }
+
+  /** Copy-on-write DELETE over a graft table (commit-log protocol v2,
+    * docs/TABLE_FORMAT.md): rows matching `predicate` (a SQL boolean
+    * expression over the table's columns) are removed by REWRITING only
+    * the files that contain them and retiring the originals — the
+    * Delta/Iceberg DELETE shape, at file granularity.
+    *
+    * Two phases, both distributed:
+    *   1. CANDIDATES — scan with the predicate pushed down (stats
+    *      sidecars, blooms, and partition pruning drop definitely-clean
+    *      files at planning; the synthetic `_graft_file` column
+    *      attributes each surviving match to its file). Files with no
+    *      matching rows are never rewritten.
+    *   2. REWRITE — re-read ONLY the candidate files, keep the rows the
+    *      predicate does NOT delete (false or null — SQL DELETE
+    *      semantics), and publish the rewrites together with `r` actions
+    *      retiring the originals in ONE atomic log entry: pinned readers
+    *      flip file sets atomically at the new version.
+    *
+    * `retainHistory = false` (default) also physically deletes the
+    * retired files, so un-pinned raw-listing reads are immediately
+    * correct; older snapshots then fail loudly (protocol strictness)
+    * rather than read deleted rows. `retainHistory = true` keeps every
+    * snapshot readable — un-pinned readers must then pin
+    * `versionAsOf` latest (raw listings still see retired files); run
+    * [[expireRetired]] later to reclaim them.
+    *
+    * Crash windows (single-maintainer op, like Delta without a
+    * coordination service): before the commit — staged debris only,
+    * vacuumable; after the commit, before the physical deletes — pinned
+    * reads are already exact, raw listings double the rewritten rows
+    * until [[expireRetired]] finishes the job.
+    *
+    * Returns the root-relative files rewritten (empty = no row matched,
+    * no version committed).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, predicate: String, format: String = "graft-json",
+      retainHistory: Boolean = false): Seq[String] =
+    rewriteWhere(spark, dir, schema, predicate, format, retainHistory) {
+      (df, cond) => df.filter(!coalesce(cond, lit(false)))
+    }
+
+  /** Copy-on-write UPDATE: rows matching `predicate` get each column in
+    * `set` replaced by its SQL expression (evaluated against the OLD row,
+    * standard UPDATE semantics — set expressions may reference columns
+    * that are themselves being set); all other rows, and all non-matching
+    * files, are untouched. Same two-phase machinery, atomicity, and
+    * `retainHistory` contract as [[deleteWhere]].
+    */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, predicate: String, set: Map[String, String],
+      format: String = "graft-json", retainHistory: Boolean = false): Seq[String] = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    rewriteWhere(spark, dir, schema, predicate, format, retainHistory) { (df, cond) =>
+      val missing = set.keySet -- df.columns.toSet
+      require(missing.isEmpty, s"updateWhere SET names unknown column(s): " +
+        missing.toSeq.sorted.mkString(", "))
+      // one select, so every SET expression sees the pre-update row
+      df.select(df.columns.toSeq.map { c =>
+        set.get(c)
+          .map(e => when(coalesce(cond, lit(false)), expr(e)).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  private def rewriteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, predicate: String, format: String, retainHistory: Boolean)(
+      rewrite: (DataFrame, Column) => DataFrame): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(graft.spark.GraftCommitLog.versions(fs, root).nonEmpty,
+      s"deleteWhere/updateWhere need a graft commit log under $dir " +
+        "(only graft batch sinks write .graft-log); for logless directories " +
+        "rewrite to a new root instead")
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    // `schema` is the DATA schema; hive-style partition columns (typed
+    // from the layout) and the synthetic provenance column ride on top —
+    // a user-specified schema must name every column the scan serves
+    val listing = graft.spark.GraftSources.resolvePartitioned(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    val partCols = listing.partCols
+    val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
+      graft.spark.GraftSources.partitionSchema(listing)
+        .filterNot(f => dataSchema.fieldNames.contains(f.name)))
+    val phase1Schema = org.apache.spark.sql.types.StructType(fullSchema.fields :+
+      org.apache.spark.sql.types.StructField(fileCol,
+        org.apache.spark.sql.types.StringType))
+    // phase 1: exact candidate files (predicate pushdown prunes
+    // definitely-clean files before any byte is read; the collect is one
+    // file name per may-match file — the same driver-size class as the
+    // planning listing itself)
+    val candidates = spark.read.format(format).schema(phase1Schema)
+      .option("withfilepath", "true").load(dir)
+      .filter(expr(predicate))
+      .select(col(fileCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (candidates.isEmpty) return Nil
+    // phase 2: rewrite only the candidates; adds + removes publish in one
+    // atomic v2 log entry via the sink's commitremoves option
+    val source = spark.read.format(format).schema(fullSchema)
+      .option("restrictfiles", candidates.mkString(",")).load(dir)
+    val w = rewrite(source, expr(predicate))
+      .write.format(format).mode("append")
+      .option("commitremoves", candidates.mkString(","))
+    (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
+     else w).save(dir)
+    if (!retainHistory) candidates.foreach { rel =>
+      val p = new Path(root, rel)
+      fs.delete(graft.spark.FileStats.sidecarFor(p), false)
+      fs.delete(p, false)
+    }
+    candidates
+  }
+
+  /** Reclaim files the LATEST snapshot no longer references but older log
+    * entries still do — the retired originals of `retainHistory = true`
+    * rewrites (and the cleanup half of a crashed `retainHistory = false`
+    * one). After this, snapshots that included those files fail loudly;
+    * the latest snapshot and raw listings are exactly the live file set.
+    * The log itself is never touched (history stays auditable). Returns
+    * the root-relative paths deleted.
+    */
+  def expireRetired(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dryRun: Boolean = false): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty, s"expireRetired needs a graft commit log under $dir")
+    val retired =
+      (log.allReferencedFiles(fs, root) -- log.liveFilesAsOf(fs, root, vs.max)).toSeq.sorted
+    if (!dryRun) retired.foreach { rel =>
+      val p = new Path(root, rel)
+      fs.delete(graft.spark.FileStats.sidecarFor(p), false)
+      fs.delete(p, false)
+    }
+    retired
   }
 
   /** Single-column clustering for data skipping: range-partition into

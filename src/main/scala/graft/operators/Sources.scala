@@ -1390,5 +1390,87 @@ object Sources {
             GROUP BY 1
             ORDER BY change"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169)
+  // ---------------------------------------------------------------- q170
+  // Copy-on-write DELETE (TrainingData.deleteWhere, commit-log protocol
+  // v2): rows matching the predicate are removed by rewriting ONLY the
+  // files that contain them; the rewrites and the `r` actions retiring
+  // the originals publish in ONE atomic log entry (docs/TABLE_FORMAT.md).
+  // The gate clusters the writes by return flag so the stats sidecars
+  // refute the predicate for most files — phase 1's pushed predicate
+  // never reads them, and their file names survive the delete untouched
+  // (DeleteCowSpec pins that inverse). The oracle applies SQL DELETE
+  // semantics (drop rows where the predicate is TRUE; null keeps).
+  private val q170 = GQuery(
+    "q170_delete_cow",
+    "copy-on-write DELETE: rewrite only matching files, atomic add+remove commit",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/lineitem_del"
+      val li = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      li.filter($"l_returnflag" === "R")
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      li.filter($"l_returnflag" =!= "R")
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      graft.api.TrainingData.deleteWhere(s, dir,
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING",
+        "l_returnflag = 'R' AND l_quantity > 40.0")
+      s.read.format("graft-json")
+        .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
+        .load(dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE NOT (l_returnflag = 'R' AND l_quantity > 40.0)
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q171
+  // Copy-on-write UPDATE (TrainingData.updateWhere): matched rows get
+  // their SET expressions evaluated against the OLD row (standard UPDATE
+  // semantics — the set can reference the very columns it replaces);
+  // unmatched rows in rewritten files and all untouched files survive
+  // byte-for-byte. Same v2 atomic add+remove commit as q170.
+  private val q171 = GQuery(
+    "q171_update_cow",
+    "copy-on-write UPDATE: OLD-row SET semantics over stats-pruned rewrites",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/lineitem_upd"
+      val li = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_discount", $"l_returnflag")
+      li.filter($"l_returnflag" === "A")
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      li.filter($"l_returnflag" =!= "A")
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      graft.api.TrainingData.updateWhere(s, dir,
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_discount DOUBLE, l_returnflag STRING",
+        "l_returnflag = 'A' AND l_quantity >= 45.0",
+        Map("l_discount" -> "least(l_discount + 0.05, 0.1)",
+            "l_quantity" -> "l_quantity - l_discount * 10.0"))
+      s.read.format("graft-json")
+        .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_discount DOUBLE, l_returnflag STRING")
+        .load(dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("qty"),
+          round(sum($"l_discount"), 2).as("disc"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(CASE WHEN l_returnflag = 'A' AND l_quantity >= 45.0
+                                  THEN l_quantity - l_discount * 10.0
+                                  ELSE l_quantity END), 2) AS qty,
+                   round(sum(CASE WHEN l_returnflag = 'A' AND l_quantity >= 45.0
+                                  THEN least(l_discount + 0.05, 0.1)
+                                  ELSE l_discount END), 2) AS disc
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171)
 }

@@ -123,7 +123,8 @@ final class GraftWriteBuilder(
     conf: SerializableConfiguration,
     codec: String = "none",
     partCols: Seq[String] = Nil,
-    queryId: String = "")
+    queryId: String = "",
+    removes: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -132,7 +133,7 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
-        GraftSink.batchNamePrefix(queryId))
+        GraftSink.batchNamePrefix(queryId), removes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(path, schema, conf, codec, partCols)
   }
@@ -185,8 +186,13 @@ final class GraftBatchWrite(
     truncate: Boolean,
     codec: String = "none",
     partCols: Seq[String] = Nil,
-    namePrefix: String = "part")
+    namePrefix: String = "part",
+    removes: Seq[String] = Nil)
     extends BatchWrite {
+
+  require(removes.isEmpty || !truncate,
+    "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
+      "the truncate wipes the commit log the removes would amend")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
@@ -201,7 +207,7 @@ final class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
-    GraftCommitLog.append(conf.value, path, messages)
+    GraftCommitLog.append(conf.value, path, messages, removes)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -283,9 +289,26 @@ private object GraftManifest {
   * for its files, never the write itself); reads of a LOGGED version are
   * strict — a snapshot referencing a vanished file fails loudly rather
   * than silently shrinking.
+  *
+  * PROTOCOL v2 (copy-on-write rewrites): an entry may carry `r <path>`
+  * REMOVE actions alongside its `f <path>` adds — the Delta remove-action
+  * shape that lets DELETE/UPDATE retire a file's rows and publish its
+  * rewrite in ONE atomic entry. Snapshot `v` folds the entries in version
+  * order (adds union in, removes drop out), so pinned readers flip from
+  * the old file set to the new one atomically at the rewrite's version.
+  * Entries with no removes keep the `v1` header — an append-only history
+  * is byte-identical to what pre-v2 readers wrote and parsed. A commit
+  * that carries removes is NEVER best-effort: losing the removes while
+  * the adds are published would double the rewritten rows, so the log
+  * write failure fails the job.
   */
 private[graft] object GraftCommitLog {
   def logDir(root: Path): Path = new Path(root, ".graft-log")
+
+  /** One commit-log action: `add = true` is an `f` line (file published),
+    * `add = false` an `r` line (file's rows retired by a COW rewrite).
+    */
+  final case class LogAction(add: Boolean, path: String)
 
   private def relativize(fs: org.apache.hadoop.fs.FileSystem, rootQ: String,
       file: String): String = {
@@ -295,31 +318,51 @@ private[graft] object GraftCommitLog {
   }
 
   def append(conf: org.apache.hadoop.conf.Configuration, root: String,
-      messages: Array[WriterCommitMessage]): Unit = try {
+      messages: Array[WriterCommitMessage], removes: Seq[String] = Nil): Unit = {
     val files: Seq[String] = messages.toSeq.flatMap {
       case GraftCommit(f, _) => Seq(f)
       case GraftPartitionedCommit(es) => es.map(_._1)
       case _ => Nil
     }
-    if (files.isEmpty) return
+    if (files.isEmpty && removes.isEmpty) return
+    try {
+      appendEntry(conf, root, files, removes)
+    } catch {
+      // a plain append's log write is best-effort (time travel degrades,
+      // the write itself never fails); a rewrite's is NOT — see Scaladoc
+      case e: Exception => if (removes.nonEmpty) throw e
+    }
+  }
+
+  /** Allocate the next version (put-if-absent) and write one entry with
+    * the given adds and removes (paths may be absolute — they are
+    * root-relativized). Returns the committed version. Throws on failure.
+    */
+  def appendEntry(conf: org.apache.hadoop.conf.Configuration, root: String,
+      adds: Seq[String], removes: Seq[String] = Nil): Long = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty commit-log entry")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     val rootQ = fs.makeQualified(rootPath).toString
-    val body = ("graft-commit v1" +: files.map(f => "f " + relativize(fs, rootQ, f)))
+    val header = if (removes.isEmpty) "graft-commit v1" else "graft-commit v2"
+    val body = (header +:
+        (removes.map(f => "r " + relativize(fs, rootQ, f)) ++
+          adds.map(f => "f " + relativize(fs, rootQ, f))))
       .mkString("", "\n", "\n")
     val dir = logDir(rootPath)
     fs.mkdirs(dir)
     var v = versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(0L)
     var attempts = 0
-    var done = false
-    while (!done && attempts < 64) {
+    while (attempts < 64) {
       try {
         val out = fs.create(new Path(dir, f"$v%020d"), false) // put-if-absent
         try out.write(body.getBytes("UTF-8")) finally out.close()
-        done = true
+        return v
       } catch { case _: java.io.IOException => v += 1; attempts += 1 }
     }
-  } catch { case _: Exception => () }
+    throw new java.io.IOException(
+      s"commit log under $root: could not allocate a version after 64 attempts")
+  }
 
   /** All committed versions under `root`, ascending; empty when unlogged. */
   def versions(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] = try {
@@ -329,9 +372,11 @@ private[graft] object GraftCommitLog {
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
   } catch { case _: Exception => Nil }
 
-  /** Root-relative live-file set as of `version` (union of entries ≤ v).
-    * Fails loudly on an unknown version or a malformed entry — a snapshot
-    * read must never silently degrade to "whatever is there".
+  /** Root-relative live-file set as of `version`: entries ≤ v folded in
+    * version order (adds union in, removes drop out). Fails loudly on an
+    * unknown version, a malformed entry, or a remove of a file that was
+    * not live — a snapshot read must never silently degrade to "whatever
+    * is there".
     */
   def liveFilesAsOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Set[String] = {
@@ -341,8 +386,26 @@ private[graft] object GraftCommitLog {
         "(only graft batch sinks write .graft-log)")
     require(vs.contains(version),
       s"versionAsOf=$version: unknown version (available: ${vs.min}..${vs.max})")
-    readEntries(fs, root, vs.filter(_ <= version))
+    vs.filter(_ <= version).foldLeft(Set.empty[String]) { (live, v) =>
+      entryActions(fs, root, v).foldLeft(live) { (l, a) =>
+        if (a.add) l + a.path
+        else {
+          require(l.contains(a.path),
+            s"commit-log entry $v under $root removes '${a.path}', which is not " +
+              "live at that version — malformed rewrite entry")
+          l - a.path
+        }
+      }
+    }
   }
+
+  /** Every file ANY entry ever added — what vacuum must treat as
+    * untouchable: files retired by a COW rewrite (`r` actions) are still
+    * referenced by the older snapshots that included them.
+    */
+  def allReferencedFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] =
+    versions(fs, root)
+      .flatMap(entryActions(fs, root, _)).filter(_.add).map(_.path).toSet
 
   /** Root-relative file set committed STRICTLY AFTER `sinceVersion` — the
     * incremental-consumption primitive: a batch consumer remembers the
@@ -361,16 +424,45 @@ private[graft] object GraftCommitLog {
       s"changesSinceVersion=$sinceVersion: unknown version " +
         s"(available: ${vs.min}..${vs.max}) — the consumer's checkpoint " +
         "predates this log (was the table overwritten?)")
-    readEntries(fs, root, vs.filter(_ > sinceVersion))
+    // Fold the newer entries: adds accumulate; a remove of a file added
+    // WITHIN the range just cancels it (the consumer never saw it), but a
+    // remove of history the consumer already processed (added ≤ since)
+    // means a DELETE/UPDATE rewrote rows it has consumed — incremental
+    // reading cannot express that, so fail loudly instead of silently
+    // re-delivering rewritten rows alongside the stale ones.
+    vs.filter(_ > sinceVersion).foldLeft(Set.empty[String]) { (acc, v) =>
+      entryActions(fs, root, v).foldLeft(acc) { (a, act) =>
+        if (act.add) a + act.path
+        else if (a.contains(act.path)) a - act.path
+        else throw new IllegalStateException(
+          s"changesSinceVersion=$sinceVersion: version $v under $root removes " +
+            s"'${act.path}', which was committed at or before the checkpoint — " +
+            "the table was rewritten by DELETE/UPDATE; a full refresh is required")
+      }
+    }
   }
 
-  private def readEntries(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      vs: Seq[Long]): Set[String] =
-    vs.flatMap(entryFiles(fs, root, _)).toSet
-
-  /** One entry's root-relative file list, in committed order. */
+  /** One entry's root-relative ADD list, in committed order. Consumers of
+    * this method tail APPEND-ONLY history (followLog streaming): an entry
+    * carrying removes fails loudly — a stream cannot un-deliver rows.
+    */
   def entryFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Seq[String] = {
+    val acts = entryActions(fs, root, version)
+    acts.find(!_.add).foreach { a =>
+      throw new IllegalStateException(
+        s"commit-log entry $version under $root removes '${a.path}' — the table " +
+          "was rewritten by DELETE/UPDATE; followLog tails append-only history " +
+          "(restart the stream from a fresh checkpoint to re-snapshot)")
+    }
+    acts.map(_.path)
+  }
+
+  /** One entry's actions, in committed order (v1 = adds only; v2 may
+    * interleave removes).
+    */
+  def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Seq[LogAction] = {
     val p = new Path(logDir(root), f"$version%020d")
     val in = fs.open(p)
     val text = try {
@@ -381,11 +473,13 @@ private[graft] object GraftCommitLog {
       new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-    require(lines.headOption.contains("graft-commit v1"),
+    val v2 = lines.headOption.contains("graft-commit v2")
+    require(v2 || lines.headOption.contains("graft-commit v1"),
       s"malformed commit-log entry $p")
     lines.tail.map { l =>
-      require(l.startsWith("f "), s"malformed commit-log line in $p: $l")
-      l.substring(2)
+      if (l.startsWith("f ")) LogAction(add = true, l.substring(2))
+      else if (v2 && l.startsWith("r ")) LogAction(add = false, l.substring(2))
+      else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
   }
 }
@@ -654,7 +748,8 @@ final class GraftCsvWriteBuilder(
     delim: String,
     linesep: String,
     partCols: Seq[String] = Nil,
-    queryId: String = "")
+    queryId: String = "",
+    removes: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -671,6 +766,9 @@ final class GraftCsvWriteBuilder(
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
+    require(removes.isEmpty || !doTruncate,
+      "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
+        "the truncate wipes the commit log the removes would amend")
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         val dir = new Path(path)
@@ -683,7 +781,7 @@ final class GraftCsvWriteBuilder(
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
-        GraftCommitLog.append(conf.value, path, messages)
+        GraftCommitLog.append(conf.value, path, messages, removes)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }

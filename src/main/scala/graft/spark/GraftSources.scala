@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -274,10 +274,60 @@ object GraftSources {
       listed = kept
     }
 
-    Listing(cols, listed.map { case (p, l, m) =>
-      ListedFile(p, l, cols.map(c => m.getOrElse(c, null)).toArray)
+    // COW-maintenance listing options (TrainingData.deleteWhere/updateWhere):
+    // `restrictFiles` pins the listing to an explicit root-relative file set
+    // (the rewrite job's "read only the candidate files"), and
+    // `withFilePath` stamps each row's source file as a synthetic partition
+    // column `_graft_file` — it rides the hive partition-value machinery, so
+    // it projects, prunes, and constant-vectorizes like any partition column
+    // (also a provenance column users can select directly).
+    var allCols = cols
+    val restrict = Option(options.get("restrictfiles")).map(_.trim).filter(_.nonEmpty)
+    val withFile = options.getBoolean("withfilepath", false)
+    if (restrict.isDefined || withFile) {
+      require(roots.length == 1,
+        s"restrictFiles/withFilePath need exactly one root directory, got ${roots.length}")
+      val rootPath = new Path(roots.head
+        .stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+      val fs = rootPath.getFileSystem(conf)
+      val rootQ = fs.makeQualified(rootPath).toString
+      def rel(p: String): String = {
+        val q = fs.makeQualified(new Path(p)).toString
+        if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
+      }
+      restrict.foreach { csvList =>
+        val wanted = csvList.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val kept = listed.filter(f => wanted.contains(rel(f._1)))
+        val missing = wanted -- kept.map(f => rel(f._1))
+        require(missing.isEmpty,
+          s"restrictFiles: ${missing.size} named file(s) absent from the listing, " +
+            s"e.g. ${missing.take(3).mkString(", ")} — vacuumed or renamed out-of-band?")
+        listed = kept
+      }
+      if (withFile) {
+        require(!cols.contains(FilePathCol),
+          s"withFilePath: the layout already has a partition column named $FilePathCol")
+        allCols = cols :+ FilePathCol
+        listed = listed.map { case (p, l, m) =>
+          (p, l, m.clone().addOne(FilePathCol -> rel(p)))
+        }
+      }
+    }
+
+    Listing(allCols, listed.map { case (p, l, m) =>
+      ListedFile(p, l, allCols.map(c => m.getOrElse(c, null)).toArray)
     })
   }
+
+  /** Synthetic per-file provenance column surfaced by `withFilePath`. */
+  final val FilePathCol = "_graft_file"
+
+  /** Root-relative files a COW rewrite's commit retires in the same log
+    * entry as its adds (`option("commitremoves", "a.jsonl,b.jsonl")`).
+    */
+  def commitRemoves(options: java.util.Map[String, String]): Seq[String] =
+    Option(options.get("commitremoves")).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
   /** Infer partition column types the way the built-in sources do: all
     * values integral → LongType, else all numeric → DoubleType, else
@@ -293,7 +343,10 @@ object GraftSources {
       else org.apache.spark.sql.types.StringType
     }
     StructType(listing.partCols.zipWithIndex.map { case (c, i) =>
-      StructField(c, typeOf(i), nullable = true)
+      // the synthetic provenance column is always a string — a file named
+      // "123.json" must not flip the column's type per layout
+      val dt = if (c == FilePathCol) StringType else typeOf(i)
+      StructField(c, dt, nullable = true)
     })
   }
 
@@ -470,7 +523,8 @@ final class GraftJsonTable(
         .orElse(Option(properties.get("compression"))).getOrElse("none")
         .toLowerCase(java.util.Locale.ROOT),
       partCols = GraftSink.writePartCols(partTransforms, info.options),
-      queryId = info.queryId())
+      queryId = info.queryId(),
+      removes = GraftSources.commitRemoves(info.options))
 }
 
 // ======================================================================= CSV
@@ -560,7 +614,8 @@ final class GraftCsvTable(
       delim = opt("delimiter", opt("sep", ",")), // both names accepted
       linesep = opt("linesep", "\n"),
       partCols = GraftSink.writePartCols(partTransforms, info.options),
-      queryId = info.queryId())
+      queryId = info.queryId(),
+      removes = GraftSources.commitRemoves(info.options))
   }
 }
 

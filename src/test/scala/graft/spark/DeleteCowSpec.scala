@@ -1,0 +1,271 @@
+package graft.spark
+
+import graft.api.TrainingData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+/** Copy-on-write DELETE/UPDATE over the commit-log protocol v2
+  * (docs/TABLE_FORMAT.md): rewrites publish adds + `r` removes in ONE
+  * atomic log entry; only files that contain matching rows are rewritten.
+  *
+  * Under test:
+  *  - deleteWhere removes exactly the matching rows (null predicate = keep)
+  *  - files the stats refute are NOT rewritten (their names survive)
+  *  - no-match predicates are a no-op (no new version)
+  *  - retainHistory=false: raw reads correct immediately, old snapshots
+  *    fail loudly; retainHistory=true: every snapshot stays readable and
+  *    expireRetired reclaims the retired files later
+  *  - delete-everything commits a removes-only entry
+  *  - updateWhere rewrites matched rows with OLD-row SET semantics
+  *  - partitioned layouts rewrite within their k=v directories
+  *  - filesSince fails loudly across a rewrite of pre-checkpoint history;
+  *    followLog (entryFiles) refuses remove entries
+  *  - vacuum never touches files any log entry referenced
+  *  - withFilePath surfaces `_graft_file`; restrictFiles pins the listing
+  */
+class DeleteCowSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-cow-spec")
+  private val schema = "id BIGINT, grp STRING, v DOUBLE"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("delete-cow-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  /** Two single-file commits with DISJOINT id ranges, so the sidecar
+    * min/max can refute an id predicate for one of them: v0 = ids 0..49,
+    * v1 = ids 100..149. v of id%10==3 rows is null (predicate-null rows).
+    */
+  private def mkTable(name: String): String = {
+    val dir = root.resolve(name).toString
+    val s = spark
+    import s.implicits._
+    def part(r: Range) = r.map { i =>
+      (i.toLong, s"g${i % 3}", if (i % 10 == 3) null else java.lang.Double.valueOf(i * 1.5))
+    }.toDF("id", "grp", "v").coalesce(1)
+    part(0 until 50).write.format("graft-json").mode("overwrite").save(dir)   // v0
+    part(100 until 150).write.format("graft-json").mode("append").save(dir)   // v1
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format("graft-json").schema(schema).load(dir)
+
+  private def dataFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+
+  test("deleteWhere removes matching rows; null-predicate rows survive") {
+    val dir = mkTable("basic")
+    val rewritten = TrainingData.deleteWhere(spark, dir, schema, "v > 30.0")
+    assert(rewritten.nonEmpty)
+    val ids = read(dir).select("id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSet
+    // deleted: v>30 (and v non-null); kept: v<=30 or v null
+    val expected = ((0 until 50) ++ (100 until 150))
+      .filter(i => i % 10 == 3 || i * 1.5 <= 30.0).map(_.toLong).toSet
+    assert(ids === expected)
+    // null-v rows from the ALL-matching file were preserved by the rewrite
+    assert(ids.contains(103L) && ids.contains(143L))
+  }
+
+  test("stats-refuted files are not rewritten; their physical files survive") {
+    val dir = mkTable("prune")
+    val before = dataFiles(dir)
+    // only the v1 file (ids 100..149) can match; v0's sidecar range refutes
+    val rewritten = TrainingData.deleteWhere(spark, dir, schema, "id >= 120")
+    assert(rewritten.size === 1)
+    val after = dataFiles(dir)
+    // v0's file name survived untouched; v1's original is gone
+    assert((before -- after).size === 1)
+    assert(read(dir).count() === 50 + 20)
+  }
+
+  test("no matching rows: no-op, no new version") {
+    val dir = mkTable("noop")
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vsBefore = GraftCommitLog.versions(fs, fsRoot)
+    assert(TrainingData.deleteWhere(spark, dir, schema, "id = 99").isEmpty)
+    assert(GraftCommitLog.versions(fs, fsRoot) === vsBefore)
+    assert(read(dir).count() === 100)
+  }
+
+  test("retainHistory=false: pre-delete snapshots fail loudly (never read deleted rows)") {
+    val dir = mkTable("strict")
+    TrainingData.deleteWhere(spark, dir, schema, "id < 10")
+    val e = intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "0").load(dir).count()
+    }
+    assert(e.getMessage.contains("missing"))
+    // the post-delete snapshot (latest version) reads exactly
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = GraftCommitLog.versions(fs, fsRoot).max
+    assert(spark.read.format("graft-json").schema(schema)
+      .option("versionAsOf", latest.toString).load(dir).count() === 90)
+  }
+
+  test("retainHistory=true: time travel intact, expireRetired reclaims later") {
+    val dir = mkTable("retain")
+    TrainingData.deleteWhere(spark, dir, schema, "id < 10", retainHistory = true)
+    // pre-delete snapshot still reads the deleted rows
+    assert(spark.read.format("graft-json").schema(schema)
+      .option("versionAsOf", "1").load(dir).count() === 100)
+    // pinned-latest excludes them
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = GraftCommitLog.versions(fs, fsRoot).max
+    assert(spark.read.format("graft-json").schema(schema)
+      .option("versionAsOf", latest.toString).load(dir).count() === 90)
+    // vacuum must NOT reclaim the retired file (older snapshots reference it)
+    assert(TrainingData.vacuumOrphans(spark, dir).isEmpty)
+    assert(spark.read.format("graft-json").schema(schema)
+      .option("versionAsOf", "1").load(dir).count() === 100)
+    // expireRetired reclaims it; latest stays exact, old snapshot now fails
+    val expired = TrainingData.expireRetired(spark, dir)
+    assert(expired.nonEmpty)
+    assert(read(dir).count() === 90)
+    intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "1").load(dir).count()
+    }
+  }
+
+  test("delete everything: removes-only entry, empty table") {
+    val dir = mkTable("all")
+    val rewritten = TrainingData.deleteWhere(spark, dir, schema, "id >= 0")
+    assert(rewritten.size === 2)
+    assert(read(dir).count() === 0)
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = GraftCommitLog.versions(fs, fsRoot).max
+    val acts = GraftCommitLog.entryActions(fs, fsRoot, latest)
+    // both originals retired in the one entry; any adds are the zero-row
+    // tasks' empty layout-parity parts (the live set reads to 0 rows)
+    assert(acts.count(!_.add) === 2)
+    val live = GraftCommitLog.liveFilesAsOf(fs, fsRoot, latest)
+    assert(live.intersect(rewritten.toSet).isEmpty)
+  }
+
+  test("updateWhere: OLD-row SET semantics, untouched files survive") {
+    val dir = mkTable("upd")
+    // swap-shaped SET: v references grp and grp references v's OLD value
+    val rewritten = TrainingData.updateWhere(spark, dir, schema, "id >= 120",
+      Map("v" -> "v * 2.0", "grp" -> "concat(grp, '-was-', CAST(v AS INT))"))
+    assert(rewritten.size === 1) // v0's file refuted by stats
+    val row = read(dir).filter(col("id") === 120).head
+    assert(row.getString(1) === "g0-was-180") // OLD v = 180.0
+    assert(row.getDouble(2) === 360.0)
+    // unmatched row in the SAME rewritten file is untouched
+    val r101 = read(dir).filter(col("id") === 101).head
+    assert(r101.getString(1) === "g2" && r101.getDouble(2) === 151.5)
+    assert(read(dir).count() === 100)
+  }
+
+  test("partitioned layout: rewrite stays within k=v directories") {
+    val dir = root.resolve("part").toString
+    val s = spark
+    import s.implicits._
+    (0 until 60).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+      .toDF("id", "grp", "v")
+      .write.format("graft-json").partitionBy("grp").mode("overwrite").save(dir)
+    val rewritten = TrainingData.deleteWhere(spark, dir, "id BIGINT, v DOUBLE",
+      "grp = 'g1' AND id < 30")
+    assert(rewritten.nonEmpty && rewritten.forall(_.startsWith("grp=g1/")))
+    // inference appends the typed partition column to the schema
+    val left = spark.read.format("graft-json").load(dir)
+    assert(left.count() === 60 - 10) // ids 1,4,...,28 in g1 below 30
+    assert(left.filter(col("grp") === "g1").count() === 10)
+    assert(left.filter(col("grp") === "g0").count() === 20)
+  }
+
+  test("filesSince across a rewrite of pre-checkpoint history fails loudly") {
+    val dir = mkTable("cdf")
+    TrainingData.deleteWhere(spark, dir, schema, "id < 5", retainHistory = true)
+    val e = intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("changesSinceVersion", "1").load(dir).count()
+    }
+    assert(e.getMessage.contains("full refresh"))
+    // but a checkpoint BEFORE the whole history still folds cleanly?
+    // no — the remove targets a file added at v0 ≤ since=0 too; a fresh
+    // snapshot read is the only safe consumption after any rewrite
+  }
+
+  test("followLog refuses remove entries (streams cannot un-deliver)") {
+    val dir = mkTable("follow")
+    TrainingData.deleteWhere(spark, dir, schema, "id < 5", retainHistory = true)
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = GraftCommitLog.versions(fs, fsRoot).max
+    val e = intercept[IllegalStateException] {
+      GraftCommitLog.entryFiles(fs, fsRoot, latest)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("malformed: removing a file that is not live fails the snapshot read") {
+    val dir = mkTable("malformed")
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
+      adds = Nil, removes = Seq("no-such-file.jsonl"))
+    val latest = GraftCommitLog.versions(fs, fsRoot).max
+    intercept[IllegalArgumentException] {
+      GraftCommitLog.liveFilesAsOf(fs, fsRoot, latest)
+    }
+  }
+
+  test("withFilePath surfaces _graft_file; restrictFiles pins the listing") {
+    val dir = mkTable("attr")
+    val withPath = spark.read.format("graft-json")
+      .schema(schema + ", _graft_file STRING")
+      .option("withfilepath", "true").load(dir)
+    assert(withPath.columns.contains("_graft_file"))
+    val perFile = withPath.groupBy("_graft_file").count().collect()
+    assert(perFile.length === 2 && perFile.forall(_.getLong(1) === 50))
+    val one = perFile.head.getString(0)
+    val restricted = spark.read.format("graft-json").schema(schema)
+      .option("restrictfiles", one).load(dir)
+    assert(restricted.count() === 50)
+    intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("restrictfiles", "nope.jsonl").load(dir).count()
+    }
+  }
+
+  test("graft-csv tables delete through the same protocol") {
+    val dir = root.resolve("csvcow").toString
+    val s = spark
+    import s.implicits._
+    (0 until 40).map(i => (i.toLong, i * 2.0)).toDF("id", "v").coalesce(1)
+      .write.format("graft-csv").mode("overwrite").save(dir)
+    val rewritten = TrainingData.deleteWhere(spark, dir, "id BIGINT, v DOUBLE",
+      "id % 4 = 0", format = "graft-csv")
+    assert(rewritten.size === 1)
+    val back = spark.read.format("graft-csv").schema("id BIGINT, v DOUBLE").load(dir)
+    assert(back.count() === 30)
+    assert(back.agg(min("id")).head.getLong(0) === 1L)
+  }
+}
