@@ -1925,5 +1925,227 @@ object Pipeline {
                          coalesce(c_mktsegment, '∅'))), 1, 15)) AS BIGINT) AS h
               FROM customer)"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168)
+  // ---------------------------------------------------------------- q172
+  // Duplicate-SPAN removal — the repeated-substring dedup shape (Lee et
+  // al. 2022's ExactSubstr, at token-window granularity): mark every
+  // 8-token window whose text occurs ≥2 times in the corpus, then merge
+  // overlapping/adjacent marked windows per document into maximal spans
+  // (gaps-and-islands with a running max-end) — the (doc, start, end)
+  // ranges a training pipeline cuts out, rather than q29's whole-document
+  // verdicts or q117's span STRINGS. Scale shape: one window-hash shuffle
+  // for the df count + one broadcast-back join + one bounded per-doc
+  // window — no all-pairs anything; at corpus scale the window hash
+  // replaces the window text as the join key (same plan, 16-byte keys).
+  private val q172 = GQuery(
+    "q172_duplicate_spans",
+    "repeated 8-token window spans per doc (ExactSubstr-shaped span merge)",
+    (s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val win = T(s, d, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          """transform(sequence(1, greatest(size(w) - 7, 0)),
+            |          i -> named_struct('pos', CAST(i AS BIGINT),
+            |                            'sh', array_join(slice(w, i, 8), ' ')))""".stripMargin
+        )).as("x"))
+        .select($"doc_id", $"x.pos".as("pos"), $"x.sh".as("sh"))
+      val dup = win.groupBy($"sh").agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      val marked = win.join(dup.select($"sh"), "sh").select($"doc_id", $"pos")
+      val prevEnd = max($"pos" + lit(7L)).over(
+        W.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(W.unboundedPreceding, -1))
+      marked
+        .withColumn("brk",
+          when(coalesce($"pos" <= prevEnd + lit(1L), lit(false)), 0L).otherwise(1L))
+        .withColumn("g", sum($"brk").over(W.partitionBy($"doc_id").orderBy($"pos")))
+        .groupBy($"doc_id", $"g")
+        .agg(min($"pos").as("span_start"), (max($"pos") + lit(7L)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select($"doc_id", $"span_start", $"span_end", $"n_windows")
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            win AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                           array_to_string(w[i:i+7], ' ') AS sh
+                    FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) t(i)),
+            dup AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+            mk AS (SELECT doc_id, pos FROM win WHERE sh IN (SELECT sh FROM dup)),
+            isl AS (SELECT doc_id, pos,
+                      CASE WHEN pos <= coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 7, -9) + 1
+                           THEN 0 ELSE 1 END AS brk
+                    FROM mk),
+            grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM grp GROUP BY doc_id, g
+            ORDER BY doc_id, span_start"""))
+
+  // ---------------------------------------------------------------- q173
+  // Temperature (alpha) mixture sampling — the multilingual/domain
+  // rebalancing step (sampling mass ∝ count^α flattens the source
+  // distribution so low-resource domains are boosted): per-source keep
+  // rates derive from ONE counting aggregate, membership is the salted
+  // md5 keyspace cut shared by every sampler here, so the kept set is
+  // deterministic and the oracle replays the identical arithmetic
+  // (sqrt + one division chain + the same trunc-to-2^32 hex threshold).
+  private val q173 = GQuery(
+    "q173_temperature_mixture",
+    "alpha-sampling by source (count^0.5 temperature rebalance, exact replay)",
+    (s, d) => {
+      import s.implicits._
+      graft.api.TrainingData
+        .temperatureMixture(T(s, d, "documents"), "source", "doc_id",
+          alpha = 0.5, targetRows = 260, salt = "mix8")
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+            tot AS (SELECT sum(pow(cnt, 0.5) ORDER BY source) AS tw FROM c),
+            th AS (SELECT source,
+                     least(1.0, 260 * pow(cnt, 0.5) / (SELECT tw FROM tot) / cnt) AS rate
+                   FROM c),
+            cut AS (SELECT source,
+                     CASE WHEN rate >= 1.0 THEN 'g'
+                          ELSE lpad(lower(to_hex(CAST(trunc(rate * 4294967296) AS BIGINT))), 8, '0')
+                     END AS t
+                    FROM th)
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+            FROM documents d JOIN cut ON d.source = cut.source
+            WHERE substring(md5(concat('mix8', CAST(d.doc_id AS VARCHAR))), 1, 8) < cut.t
+            GROUP BY d.source
+            ORDER BY d.source"""))
+
+  // ---------------------------------------------------------------- q174
+  // PMI collocations — corpus-linguistics association mining over
+  // adjacent token pairs: pmi = ln(c_xy·N² / (P·c_x·c_y)), computed as a
+  // SINGLE division of two exactly-representable integer products (all
+  // counts < 2^53), so both engines see the identical double and ln/round
+  // agree to the digit. Plan shape: one pair aggregate (lead over the
+  // per-doc token window), one unigram aggregate, two broadcast joins of
+  // the (tiny) vocabulary — the frequency tables are vocabulary-sized,
+  // never corpus-sized.
+  private val q174 = GQuery(
+    "q174_pmi_collocations",
+    "top adjacent-pair collocations by PMI (integer-exact ratio, ln once)",
+    (s, d) => {
+      Tables.register(s, d, "documents")
+      s.sql("""
+        |WITH toks AS (
+        |  SELECT doc_id, pos, tok
+        |  FROM documents LATERAL VIEW posexplode(split(text, ' ')) x AS pos, tok),
+        |tk AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+        |pairs AS (
+        |  SELECT tok AS w1,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk),
+        |pc AS (SELECT w1, w2, count(*) AS c_xy
+        |       FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        |uc AS (SELECT tok AS w, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT (SELECT count(*) FROM tk) AS n, (SELECT sum(c_xy) FROM pc) AS p)
+        |SELECT w1, w2, c_xy,
+        |       round(ln(CAST(c_xy * n * n AS DOUBLE) / CAST(p * u1.c * u2.c AS DOUBLE)), 4) AS pmi
+        |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w CROSS JOIN tot
+        |WHERE c_xy >= 25
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin)
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            toks AS (SELECT doc_id, i AS pos, w[i] AS tok
+                     FROM words, unnest(generate_series(1, len(w))) t(i)),
+            tk AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+            pairs AS (
+              SELECT tok AS w1,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM tk),
+            pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                   FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2),
+            uc AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+            tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tk) AS n,
+                           (SELECT CAST(sum(c_xy) AS BIGINT) FROM pc) AS p)
+            SELECT w1, w2, c_xy,
+                   round(ln(CAST(c_xy * n * n AS DOUBLE) / CAST(p * u1.c * u2.c AS DOUBLE)), 4) AS pmi
+            FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w CROSS JOIN tot
+            WHERE c_xy >= 25
+            ORDER BY pmi DESC, w1, w2 LIMIT 30"""))
+
+  // ---------------------------------------------------------------- q175
+  // Linear quality-model INFERENCE — the fasttext-shaped scoring pass
+  // (hashed bag-of-words × weight vector → logistic score → decile
+  // bucket) that grades every document in one map-side job. The weights
+  // are pseudo-random integers derived from the bucket id (a stand-in
+  // for trained parameters with the same plumbing); the logit accumulates
+  // as an exact BIGINT dot product (tf·w_int), so the only floating step
+  // is one division + exp — cross-engine deterministic at round(4).
+  // Scale shape: per-doc aggregate, broadcast-nothing, no shuffle beyond
+  // the doc_id hash agg.
+  private val q175 = GQuery(
+    "q175_quality_model",
+    "hashed linear model scoring (integer-exact logit, logistic deciles)",
+    (s, d) => {
+      Tables.register(s, d, "documents")
+      s.sql("""
+        |WITH toks AS (
+        |  SELECT doc_id, tok FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) x AS tok),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |f AS (SELECT doc_id,
+        |             CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % 64 AS b,
+        |             count(*) AS tf
+        |      FROM tk GROUP BY doc_id, b),
+        |z AS (SELECT doc_id,
+        |             sum(tf * ((b * 2654435761) % 997 - 498)) AS zi,
+        |             sum(tf) AS nt
+        |      FROM f GROUP BY doc_id),
+        |sc AS (SELECT doc_id,
+        |              1.0 / (1.0 + exp(-(CAST(zi AS DOUBLE) / (997.0 * nt)))) AS s
+        |       FROM z)
+        |SELECT doc_id, round(s, 4) AS score, CAST(floor(s * 10) AS BIGINT) AS decile
+        |FROM sc ORDER BY doc_id""".stripMargin)
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+            tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            f AS (SELECT doc_id,
+                         CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+                         count(*) AS tf
+                  FROM tk GROUP BY doc_id, b),
+            z AS (SELECT doc_id,
+                         CAST(sum(tf * ((b * 2654435761) % 997 - 498)) AS BIGINT) AS zi,
+                         CAST(sum(tf) AS BIGINT) AS nt
+                  FROM f GROUP BY doc_id),
+            sc AS (SELECT doc_id,
+                          1.0 / (1.0 + exp(-(CAST(zi AS DOUBLE) / (997.0 * nt)))) AS s
+                   FROM z)
+            SELECT doc_id, round(s, 4) AS score, CAST(floor(s * 10) AS BIGINT) AS decile
+            FROM sc ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q176
+  // l-diversity (TrainingData.lDiversify) — the release gate k-anonymity
+  // (q164) cannot provide alone: a quasi-identifier group is safe only if
+  // the SENSITIVE attribute takes ≥ l distinct values inside it (a large
+  // but homogeneous group still leaks the secret). The gate reports the
+  // surviving (lang, length-bin) groups with their sizes and diversity;
+  // one window aggregate on the quasi columns, exact by construction.
+  private val q176 = GQuery(
+    "q176_l_diversity",
+    "l-diversity privacy filter over (lang, length-bin) quasi groups",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .withColumn("len_bin", expr("CAST(n_chars DIV 100 AS BIGINT)"))
+      graft.api.TrainingData.lDiversify(docs, Seq("lang", "len_bin"), "source", l = 3)
+        .groupBy($"lang", $"len_bin")
+        .agg(count(lit(1)).as("n"), countDistinct($"source").as("l"))
+        .orderBy($"lang", $"len_bin")
+    },
+    Some("""WITH d AS (SELECT *, CAST(n_chars // 100 AS BIGINT) AS len_bin FROM documents),
+            g AS (SELECT lang, len_bin, CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(DISTINCT source) AS BIGINT) AS l
+                  FROM d GROUP BY lang, len_bin)
+            SELECT lang, len_bin, n, l FROM g WHERE l >= 3
+            ORDER BY lang, len_bin"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176)
 }

@@ -356,4 +356,55 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(4) === "2023-12-31 23:59:59")
     assert(row.getString(5) === "2024-01-02 03:04:05")
   }
+
+  test("temperatureMixture flattens the mix: small strata keep a larger share") {
+    val s = spark; import s.implicits._
+    // skewed strata: big=3000, mid=800, small=200
+    val df = ((1L to 3000L).map(i => (i, "big")) ++
+      (3001L to 3800L).map(i => (i, "mid")) ++
+      (3801L to 4000L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = TrainingData.temperatureMixture(df, "src", "id",
+      alpha = 0.5, targetRows = 1000, salt = "t1")
+    val by = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keepRate = Map("big" -> by("big") / 3000.0, "mid" -> by("mid") / 800.0,
+      "small" -> by("small") / 200.0)
+    // alpha < 1: keep RATE increases as stratum size decreases
+    assert(keepRate("small") > keepRate("mid") && keepRate("mid") > keepRate("big"))
+    // expected rates ~ 1000*sqrt(c)/sum(sqrt)/c; sum(sqrt) ≈ 97.2
+    assert(math.abs(by("big") - 3000 * 1000 * math.sqrt(3000) / 97.31 / 3000) < 80)
+    // deterministic: rerun is identical
+    val again = TrainingData.temperatureMixture(df, "src", "id",
+      alpha = 0.5, targetRows = 1000, salt = "t1")
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ===
+      again.select("id").as[Long].collect().sorted.toSeq)
+    // alpha = 1 is proportional sampling: rates equal across strata (±noise)
+    val prop = TrainingData.temperatureMixture(df, "src", "id",
+      alpha = 1.0, targetRows = 1000, salt = "t1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Seq(prop("big") / 3000.0, prop("mid") / 800.0, prop("small") / 200.0)
+    assert(rates.max - rates.min < 0.08, s"alpha=1 rates spread: $rates")
+    intercept[IllegalArgumentException](
+      TrainingData.temperatureMixture(df, "src", "id", 1.5, 100, "t1"))
+    intercept[IllegalArgumentException](
+      TrainingData.temperatureMixture(df, "src", "id", 0.5, 0, "t1"))
+  }
+
+  test("lDiversify keeps only groups where the sensitive column is l-diverse") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", "s1", 1), ("a", "s2", 2), ("a", "s3", 3), // 3-diverse
+      ("b", "s1", 4), ("b", "s1", 5), ("b", "s2", 6), // 2-diverse (big but homogeneous-ish)
+      ("c", "s1", 7), ("c", "s1", 8), ("c", "s1", 9)  // 1-diverse despite size 3
+    ).toDF("quasi", "secret", "payload")
+    val l2 = TrainingData.lDiversify(df, Seq("quasi"), "secret", 2)
+    assert(l2.select("payload").as[Int].collect().sorted.toSeq === Seq(1, 2, 3, 4, 5, 6))
+    val l3 = TrainingData.lDiversify(df, Seq("quasi"), "secret", 3)
+    assert(l3.select("payload").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    assert(l3.columns.toSeq === Seq("quasi", "secret", "payload"))
+    // l=1 keeps everything; bad args refused
+    assert(TrainingData.lDiversify(df, Seq("quasi"), "secret", 1).count() === 9)
+    intercept[IllegalArgumentException](TrainingData.lDiversify(df, Nil, "secret", 2))
+    intercept[IllegalArgumentException](TrainingData.lDiversify(df, Seq("quasi"), "secret", 0))
+  }
 }
