@@ -130,13 +130,22 @@ object GraftFunctions {
       JaroWinkler(args(0), args(1))
     })
 
+  val rollingHashInfo = (
+    FunctionIdentifier("rolling_token_hash"),
+    new ExpressionInfo(classOf[RollingTokenHash].getName, "rolling_token_hash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "rolling_token_hash takes exactly 2 arguments")
+      RollingTokenHash(args(0), args(1))
+    })
+
   /** Register the graft function library on an existing session
     * (idempotent) — for sessions not built with the extensions class.
     */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineInfo, shinglesInfo, levBoundedInfo, jaroWinklerInfo).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    Seq(cosineInfo, shinglesInfo, levBoundedInfo, jaroWinklerInfo, rollingHashInfo)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 }
 
@@ -150,5 +159,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.shinglesInfo)
     ext.injectFunction(GraftFunctions.levBoundedInfo)
     ext.injectFunction(GraftFunctions.jaroWinklerInfo)
+    ext.injectFunction(GraftFunctions.rollingHashInfo)
   }
 }

@@ -2147,5 +2147,59 @@ object Pipeline {
             SELECT lang, len_bin, n, l FROM g WHERE l >= 3
             ORDER BY lang, len_bin"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176)
+  // ---------------------------------------------------------------- q177
+  // q172's span pipeline keyed on the NATIVE Karp–Rabin generator
+  // (functions/RollingTokenHash.scala): `rolling_token_hash(text, 6)`
+  // streams one (pos, 61-bit hash) row per 6-token window with an O(1)
+  // rolling update and ZERO per-window string allocation — the 100 TB
+  // form of repeated-substring detection, where the duplicate-count
+  // shuffle moves 8-byte keys instead of multi-hundred-byte window
+  // strings. The ORACLE stays string-keyed: the gate is the proof that
+  // hash-equality grouping reproduces the exact text-equality duplicate
+  // structure (any collision would split/merge a span and hash-mismatch).
+  private val q177 = GQuery(
+    "q177_rolling_hash_spans",
+    "duplicate spans via native rolling-hash generator == string-keyed oracle",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val W = org.apache.spark.sql.expressions.Window
+      Tables.register(s, d, "documents")
+      val win = s.sql("""
+        |SELECT doc_id, CAST(x.pos AS BIGINT) AS pos, x.hash AS h
+        |FROM documents LATERAL VIEW rolling_token_hash(text, 6) x""".stripMargin)
+      val dup = win.groupBy($"h").agg(count(lit(1)).as("c")).filter($"c" >= 2)
+      val marked = win.join(dup.select($"h"), "h").select($"doc_id", $"pos")
+      val prevEnd = max($"pos" + lit(5L)).over(
+        W.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(W.unboundedPreceding, -1))
+      marked
+        .withColumn("brk",
+          when(coalesce($"pos" <= prevEnd + lit(1L), lit(false)), 0L).otherwise(1L))
+        .withColumn("g", sum($"brk").over(W.partitionBy($"doc_id").orderBy($"pos")))
+        .groupBy($"doc_id", $"g")
+        .agg(min($"pos").as("span_start"), (max($"pos") + lit(5L)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select($"doc_id", $"span_start", $"span_end", $"n_windows")
+        .orderBy($"doc_id", $"span_start")
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            win AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                           array_to_string(w[i:i+5], ' ') AS sh
+                    FROM words, unnest(generate_series(1, greatest(len(w) - 5, 0))) t(i)),
+            dup AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+            mk AS (SELECT doc_id, pos FROM win WHERE sh IN (SELECT sh FROM dup)),
+            isl AS (SELECT doc_id, pos,
+                      CASE WHEN pos <= coalesce(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5, -9) + 1
+                           THEN 0 ELSE 1 END AS brk
+                    FROM mk),
+            grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM grp GROUP BY doc_id, g
+            ORDER BY doc_id, span_start"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177)
 }
