@@ -243,6 +243,27 @@ object TrainingData {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the daily-ingest shape: dedup a NEW batch
+    * against the fingerprints of the corpus already ingested, without
+    * touching the corpus itself (at 100 TB the index is the md5 column of
+    * prior batches — corpus², or even corpus re-reads, are off the
+    * table). Two steps, both single-shuffle on the 16-byte fingerprint:
+    * self-dedup within the batch (min id per content), then anti-join
+    * against the corpus fingerprint set. `corpusFps` is one
+    * fingerprint column named `fp` (build it once per epoch with
+    * [[dedupExactSummary]], or maintain it as a table the commit log
+    * appends to).
+    */
+  def dedupIncremental(newBatch: DataFrame, corpusFps: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    require(corpusFps.columns.sameElements(Array("fp")),
+      s"corpusFps must be a single 'fp' column, got: ${corpusFps.columns.mkString(", ")}")
+    dedupExact(newBatch, idCol, contentCol)
+      .withColumn("__fp", md5(col(contentCol)))
+      .join(corpusFps, col("__fp") === col("fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Mixture resampling (the domain-weighting step: given target shares
     * per stratum, deterministically downsample each stratum so the kept
     * corpus approaches the target mix at the largest total the data

@@ -2201,5 +2201,41 @@ object Pipeline {
             FROM grp GROUP BY doc_id, g
             ORDER BY doc_id, span_start"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177)
+  // ---------------------------------------------------------------- q178
+  // Incremental exact dedup (TrainingData.dedupIncremental) — the
+  // daily-ingest discipline: the new batch dedups against the CORPUS
+  // FINGERPRINT INDEX (md5 column of everything already ingested), never
+  // against the corpus rows — at 100 TB the index is ~3% of the corpus
+  // and the whole operation is batch-sized: one self-dedup shuffle + one
+  // fingerprint anti-join. The gate ingests docs <300 as the corpus
+  // (a graft table whose summary IS the index), then ships a batch of
+  // docs ≥300 polluted with corpus dups (+10000 ids) and in-batch dups
+  // (+20000 ids); exactly docs 300..499 must survive.
+  private val q178 = GQuery(
+    "q178_incremental_dedup",
+    "new-batch dedup against the corpus fingerprint index (batch-sized work)",
+    (s, d) => {
+      import s.implicits._
+      val corpusDir = "/tmp/graft_tt/docs_corpus"
+      val docs = T(s, d, "documents").select($"doc_id", $"text", $"source")
+      docs.filter($"doc_id" < 300)
+        .write.format("graft-json").mode("overwrite").save(corpusDir)
+      val corpus = s.read.format("graft-json")
+        .schema("doc_id BIGINT, text STRING, source STRING").load(corpusDir)
+      val index = graft.api.TrainingData
+        .dedupExactSummary(corpus, "doc_id", "text").select($"fp")
+      val batch = docs.filter($"doc_id" >= 300)
+        .unionByName(docs.filter($"doc_id" < 50)
+          .withColumn("doc_id", $"doc_id" + 10000L))   // corpus dups
+        .unionByName(docs.filter($"doc_id" >= 300 && $"doc_id" < 320)
+          .withColumn("doc_id", $"doc_id" + 20000L))   // in-batch dups
+      graft.api.TrainingData.dedupIncremental(batch, index, "doc_id", "text")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source FROM documents
+            WHERE doc_id >= 300
+            ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178)
 }

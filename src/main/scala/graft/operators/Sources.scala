@@ -1472,5 +1472,58 @@ object Sources {
             GROUP BY l_returnflag
             ORDER BY l_returnflag"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171)
+  // ---------------------------------------------------------------- q179
+  // Streaming UPSERT into a graft table — the Delta "streaming merge"
+  // pattern: each micro-batch applies foreachBatch{ COW delete of the
+  // batch's keys, then append } — idempotent under batch replay (the
+  // delete makes the re-append a no-op in effect), exactly-once in the
+  // final state. The delete's IN-list predicate prunes through the
+  // blooms/stats like any pushed filter, so each batch rewrites only the
+  // files that actually hold its keys; the IN-list is batch-key-sized
+  // (at corpus scale, swap for a join-shaped candidate phase). The feed
+  // drains with AvailableNow over byte-window micro-batches.
+  private val q179 = GQuery(
+    "q179_stream_merge_cow",
+    "foreachBatch streaming upsert (COW delete+append per micro-batch)",
+    (s, d) => {
+      import s.implicits._
+      val table = "/tmp/graft_tt/supplier_merge"
+      val feed = "/tmp/graft_tt/supplier_merge_feed"
+      val schema = "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE"
+      val sup = Tables(s, d, "supplier")
+        .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+      sup.write.format("graft-json").mode("overwrite").save(table) // base state
+      sup.filter($"s_suppkey" % 3 === 0)
+        .withColumn("s_acctbal", $"s_acctbal" + 1000.0)
+        .write.format("graft-json").mode("overwrite").save(feed)   // update feed
+      val q = s.readStream.format("graft-json").schema(schema)
+        .option("maxbytespertrigger", "8192") // several micro-batches
+        .load(feed)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val keys = b.select($"s_suppkey").distinct()
+            .collect().map(_.getLong(0)).sorted
+          if (keys.nonEmpty) {
+            graft.api.TrainingData.deleteWhere(s, table, schema,
+              s"s_suppkey IN (${keys.mkString(",")})")
+            b.write.format("graft-json").mode("append").save(table)
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft-json").schema(schema).load(table)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("bal"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 1000.0
+                                  ELSE s_acctbal END), 2) AS bal
+            FROM supplier
+            GROUP BY s_nationkey
+            ORDER BY s_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179)
 }

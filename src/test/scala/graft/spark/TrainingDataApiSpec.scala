@@ -390,6 +390,25 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       TrainingData.temperatureMixture(df, "src", "id", 0.5, 0, "t1"))
   }
 
+  test("dedupIncremental drops corpus dups and in-batch dups, keeps first writers") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "content")
+    val index = TrainingData.dedupExactSummary(corpus, "id", "content").select("fp")
+    val batch = Seq(
+      (10L, "ccc"), (11L, "aaa"),          // 11 duplicates the corpus
+      (12L, "ddd"), (13L, "ccc"),          // 13 duplicates 10 in-batch
+      (14L, "bbb"), (15L, "eee")           // 14 duplicates the corpus
+    ).toDF("id", "content")
+    val kept = TrainingData.dedupIncremental(batch, index, "id", "content")
+    assert(kept.select("id").as[Long].collect().sorted.toSeq === Seq(10L, 12L, 15L))
+    assert(kept.columns.toSeq === Seq("id", "content")) // helper col dropped
+    // empty index: plain self-dedup (only the in-batch ccc dup drops)
+    val none = index.filter($"fp" === "nope")
+    assert(TrainingData.dedupIncremental(batch, none, "id", "content").count() === 5)
+    intercept[IllegalArgumentException](
+      TrainingData.dedupIncremental(batch, corpus, "id", "content"))
+  }
+
   test("lDiversify keeps only groups where the sensitive column is l-diverse") {
     val s = spark; import s.implicits._
     val df = Seq(
