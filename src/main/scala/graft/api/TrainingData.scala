@@ -243,6 +243,17 @@ object TrainingData {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Canonical text form for dedup (the CCNet/C4 normalization step
+    * before fingerprinting): lowercase, collapse whitespace runs, trim.
+    * Case and spacing variants of the same content then share one md5 —
+    * feed the result to [[dedupExact]] / [[dedupIncremental]] /
+    * [[minhashLshCandidates]] as the content column. Pure per-row column
+    * work (map-only at any scale); the regex is RE2-safe, so the same
+    * canonical form comes out of any engine.
+    */
+  def canonicalText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
   /** Incremental exact dedup — the daily-ingest shape: dedup a NEW batch
     * against the fingerprints of the corpus already ingested, without
     * touching the corpus itself (at 100 TB the index is the md5 column of

@@ -2237,5 +2237,70 @@ object Pipeline {
             WHERE doc_id >= 300
             ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178)
+  // ---------------------------------------------------------------- q180
+  // Canonicalize-then-dedup (TrainingData.canonicalText): web-scrape
+  // corpora carry case/whitespace variants of identical content that raw
+  // md5 dedup (q29) treats as distinct; the CCNet/C4 discipline is to
+  // fingerprint the CANONICAL form (lowercase, collapsed whitespace).
+  // The gate plants uppercase (+1000 ids) and doubled-space (+2000 ids)
+  // variants of docs <150; canonical dedup must collapse each family to
+  // its original — exactly docs 0..149 survive. Same single-shuffle
+  // plan as q29; the canonicalization is map-only column work.
+  private val q180 = GQuery(
+    "q180_canonical_dedup",
+    "dedup on canonical text form (case/whitespace variants collapse)",
+    (s, d) => {
+      import s.implicits._
+      val base = T(s, d, "documents")
+        .select($"doc_id", $"text", $"source").filter($"doc_id" < 150)
+      val corpus = base
+        .unionByName(base
+          .withColumn("doc_id", $"doc_id" + 1000L)
+          .withColumn("text", upper($"text")))
+        .unionByName(base
+          .withColumn("doc_id", $"doc_id" + 2000L)
+          .withColumn("text", regexp_replace($"text", " ", "  ")))
+      graft.api.TrainingData
+        .dedupExact(
+          corpus.withColumn("canon",
+            graft.api.TrainingData.canonicalText($"text")),
+          "doc_id", "canon")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source FROM documents
+            WHERE doc_id < 150
+            ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q181
+  // Per-label embedding centroids — the aggregation half of the vector
+  // toolbox (q33/q52/q65 SEARCH the space; training-data curation also
+  // needs per-cluster/per-label summary vectors for drift checks and
+  // centroid-seeded ANN). Long-form explode → one (label, dim) hash
+  // aggregate: at 100 TB this is the standard shuffle-light shape (the
+  // alternative — array-wise UDAF — holds a 64-slot state per group
+  // either way; long form lets Catalyst's partial aggregation do it).
+  // Floats widen to double BEFORE averaging on both engines; round(4)
+  // absorbs summation-order ulps.
+  private val q181 = GQuery(
+    "q181_embedding_centroids",
+    "per-label centroid vectors via long-form (label, dim) aggregation",
+    (s, d) => {
+      import s.implicits._
+      T(s, d, "embeddings")
+        .select($"label", posexplode($"embedding"))
+        .select($"label", ($"pos" + 1).cast("long").as("dim"),
+          $"col".cast("double").as("v"))
+        .groupBy($"label", $"dim")
+        .agg(round(avg($"v"), 4).as("c"), count(lit(1)).as("n"))
+        .orderBy($"label", $"dim")
+    },
+    Some("""SELECT label, CAST(i AS BIGINT) AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+            GROUP BY label, i
+            ORDER BY label, dim"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181)
 }

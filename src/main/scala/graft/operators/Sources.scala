@@ -1525,5 +1525,49 @@ object Sources {
             GROUP BY s_nationkey
             ORDER BY s_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179)
+  // ---------------------------------------------------------------- q182
+  // Row provenance → ingest-batch attribution: `withFilePath` stamps each
+  // row's source file and the commit log knows which VERSION added each
+  // file — joining the two answers "which ingest batch produced these
+  // rows" (the first question an ops on-call asks about a bad record).
+  // The file→version map is log-sized (driver-side parse, broadcast);
+  // rows never carry more than the 8-byte-ish file reference they already
+  // have. Oracle: the batches were split on n_nationkey < 10, so the
+  // version is derivable from the data.
+  private val q182 = GQuery(
+    "q182_provenance_versions",
+    "rows attributed to their ingest commit via _graft_file x commit log",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/nation_prov"
+      val nation = Tables(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+      nation.filter($"n_nationkey" < 10)
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      nation.filter($"n_nationkey" >= 10)
+        .write.format("graft-json").mode("append").save(dir)    // version 1
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val log = graft.spark.GraftCommitLog
+      val fileToVersion = log.versions(fs, root).flatMap { v =>
+        log.entryActions(fs, root, v).filter(_.add).map(a => (a.path, v))
+      }.groupBy(_._1).map { case (f, vs) => (f, vs.map(_._2).min) }.toSeq
+      val vmap = fileToVersion.toDF("f", "version")
+      s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _graft_file STRING")
+        .option("withfilepath", "true")
+        .load(dir)
+        .join(broadcast(vmap), $"_graft_file" === $"f")
+        .groupBy($"version")
+        .agg(count(lit(1)).as("n"),
+          min($"n_nationkey").as("min_key"), max($"n_nationkey").as("max_key"))
+        .orderBy($"version")
+    },
+    Some("""SELECT CAST(CASE WHEN n_nationkey < 10 THEN 0 ELSE 1 END AS BIGINT) AS version,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+            FROM nation
+            GROUP BY 1
+            ORDER BY version"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182)
 }
