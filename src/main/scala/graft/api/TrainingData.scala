@@ -705,10 +705,16 @@ object TrainingData {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(graft.spark.GraftCommitLog.versions(fs, root).nonEmpty,
+    val logVersions = graft.spark.GraftCommitLog.versions(fs, root)
+    require(logVersions.nonEmpty,
       s"deleteWhere/updateWhere need a graft commit log under $dir " +
         "(only graft batch sinks write .graft-log); for logless directories " +
         "rewrite to a new root instead")
+    // operate on the latest COMMITTED snapshot (the Delta discipline):
+    // retired files from earlier retainHistory rewrites, in-flight
+    // writers, and rogue uncommitted copies must not leak rows back into
+    // the rewrite
+    val latest = logVersions.max.toString
     val fileCol = graft.spark.GraftSources.FilePathCol
     // `schema` is the DATA schema; hive-style partition columns (typed
     // from the layout) and the synthetic provenance column ride on top —
@@ -729,7 +735,7 @@ object TrainingData {
     // file name per may-match file — the same driver-size class as the
     // planning listing itself)
     val candidates = spark.read.format(format).schema(phase1Schema)
-      .option("withfilepath", "true").load(dir)
+      .option("withfilepath", "true").option("versionasof", latest).load(dir)
       .filter(expr(predicate))
       .select(col(fileCol)).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -738,6 +744,8 @@ object TrainingData {
     // atomic v2 log entry via the sink's commitremoves option
     val source = spark.read.format(format).schema(fullSchema)
       .option("restrictfiles", candidates.mkString(",")).load(dir)
+    // (restrictFiles pins the exact candidate set — all ⊆ the latest
+    // snapshot by construction, so no versionAsOf needed here)
     val w = rewrite(source, expr(predicate))
       .write.format(format).mode("append")
       .option("commitremoves", candidates.mkString(","))

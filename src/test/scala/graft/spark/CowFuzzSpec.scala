@@ -1,0 +1,152 @@
+package graft.spark
+
+import graft.api.TrainingData
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+import scala.util.Random
+
+/** Top-level row shape (Encoder derivation needs a stable outer scope). */
+case class CowFuzzRow(id: Long, grp: Long, v: Double)
+
+/** Differential fuzz of the COW table lifecycle: random sequences of
+  * append / deleteWhere / updateWhere / expireRetired / vacuum against an
+  * in-memory model of the table. After EVERY op the raw read must equal
+  * the model exactly; pinned reads of retained snapshots must equal the
+  * model's history; the protocol invariants (vacuum never shrinks the
+  * readable set, expire never touches the live set) must hold at any
+  * interleaving — the same deterministic-seed discipline as the source
+  * fuzzers (JsonSourceFuzzSpec et al).
+  */
+class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-cow-fuzz")
+  private val schema = "id BIGINT, grp BIGINT, v DOUBLE"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("cow-fuzz-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  
+
+  private def toDf(rows: Seq[CowFuzzRow]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "grp", "v")
+  }
+
+  private def readAll(dir: String): Set[CowFuzzRow] =
+    spark.read.format("graft-json").schema(schema).load(dir)
+      .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("random append/delete/update/expire/vacuum sequences match the model") {
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed)
+      val dir = root.resolve(s"t$seed").toString
+      var nextId = 0L
+      def freshRows(n: Int): Seq[CowFuzzRow] = {
+        val out = (0 until n).map { i =>
+          CowFuzzRow(nextId + i, rnd.nextInt(5).toLong, (rnd.nextInt(1000) - 500) / 4.0)
+        }
+        nextId += n
+        out
+      }
+      // model state + per-version history of RETAINED snapshots
+      var model = freshRows(10 + rnd.nextInt(20))
+      toDf(model).coalesce(1 + rnd.nextInt(3))
+        .write.format("graft-json").mode("overwrite").save(dir)
+      var history = Vector(model.toSet) // history(v) = rows as of version v
+      var historyValid = true    // false once a non-retained rewrite/expire ran
+      var retiredPresent = false // retain=true rewrites leave retired files on
+                                 // disk: raw listings see them (documented) —
+                                 // the exact read is then the pinned-latest one
+
+      def exactRead(): Set[CowFuzzRow] =
+        if (!retiredPresent) readAll(dir)
+        else {
+          val fsRoot = new org.apache.hadoop.fs.Path(dir)
+          val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val latest = GraftCommitLog.versions(fs, fsRoot).max
+          spark.read.format("graft-json").schema(schema)
+            .option("versionAsOf", latest.toString).load(dir)
+            .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        }
+
+      val ops = 10
+      for (op <- 1 to ops) {
+        rnd.nextInt(5) match {
+          case 0 => // append
+            val add = freshRows(1 + rnd.nextInt(15))
+            toDf(add).coalesce(1 + rnd.nextInt(2))
+              .write.format("graft-json").mode("append").save(dir)
+            model = model ++ add
+            history :+= model.toSet
+          case 1 => // delete (sometimes retaining history)
+            val cut = rnd.nextInt(5)
+            val retain = rnd.nextBoolean()
+            val pred = s"grp = $cut AND v > 0.0"
+            val rewritten = TrainingData.deleteWhere(spark, dir, schema, pred,
+              retainHistory = retain)
+            val before = model
+            model = model.filterNot(r => r.grp == cut && r.v > 0.0)
+            if (model.size != before.size) {
+              history :+= model.toSet
+              if (retain) retiredPresent = true else historyValid = false
+            } else assert(rewritten.isEmpty, "no-op delete must not rewrite")
+          case 2 => // update
+            val cut = rnd.nextInt(5)
+            val retain = rnd.nextBoolean()
+            val touched = model.exists(r => r.grp == cut)
+            TrainingData.updateWhere(spark, dir, schema, s"grp = $cut",
+              Map("v" -> "v + 1.0"), retainHistory = retain)
+            if (touched) {
+              model = model.map(r => if (r.grp == cut) r.copy(v = r.v + 1.0) else r)
+              history :+= model.toSet
+              if (retain) retiredPresent = true else historyValid = false
+            }
+          case 3 => // expire retired snapshots (invalidates old pins, not latest)
+            val expired = TrainingData.expireRetired(spark, dir)
+            if (expired.nonEmpty) historyValid = false
+            retiredPresent = false
+          case 4 => // vacuum never changes any readable state
+            TrainingData.vacuumOrphans(spark, dir)
+        }
+        assert(exactRead() === model.toSet, s"seed=$seed op=$op read diverged")
+      }
+      // retained histories: every version's pinned read equals the model's
+      // history at that version
+      if (historyValid) {
+        history.zipWithIndex.foreach { case (want, v) =>
+          val got = spark.read.format("graft-json").schema(schema)
+            .option("versionAsOf", v.toString).load(dir)
+            .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+          assert(got === want, s"seed=$seed versionAsOf=$v diverged")
+        }
+      }
+      // latest pinned read always equals the raw read
+      val fsRoot = new org.apache.hadoop.fs.Path(dir)
+      val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val latest = GraftCommitLog.versions(fs, fsRoot).max
+      val pinned = spark.read.format("graft-json").schema(schema)
+        .option("versionAsOf", latest.toString).load(dir)
+        .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pinned === model.toSet, s"seed=$seed latest pin diverged")
+    }
+  }
+}
