@@ -759,6 +759,62 @@ object TrainingData {
     candidates
   }
 
+  /** In-place OPTIMIZE — the Delta `OPTIMIZE [ZORDER BY]` analog the v2
+    * commit protocol makes possible: rewrite the latest snapshot's files
+    * into ~`targetFileBytes`-sized files (optionally range-clustered on
+    * one column or Morton-interleaved on several, so the stats sidecars
+    * get tight ranges), and publish adds + removes in ONE atomic entry —
+    * readers never see a half-compacted table, unlike [[compactLayout]]
+    * which writes a NEW directory with a fresh history. Same
+    * `retainHistory` contract as [[deleteWhere]]: default physically
+    * reclaims the fragmented originals; `true` keeps every snapshot
+    * pinnable until [[expireRetired]]. Partitioned layouts rewrite
+    * within their `k=v` directories (file sizing is then global, not
+    * per-partition). Returns the root-relative files rewritten.
+    */
+  def optimizeTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, targetFileBytes: Long = 128L << 20,
+      clusterBy: Seq[String] = Nil, zorderBits: Int = 8,
+      format: String = "graft-json", retainHistory: Boolean = false): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty, s"optimizeTable needs a graft commit log under $dir")
+    val latest = vs.max
+    val live = log.liveFilesAsOf(fs, root, latest).toSeq.sorted
+    if (live.isEmpty) return Nil
+    val listing = graft.spark.GraftSources.resolvePartitioned(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir, "versionasof", latest.toString)))
+    val partCols = listing.partCols
+    val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
+      graft.spark.GraftSources.partitionSchema(listing)
+        .filterNot(f => dataSchema.fieldNames.contains(f.name)))
+    val totalBytes = listing.files.map(_.len).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.format(format).schema(fullSchema)
+      .option("versionasof", latest.toString).load(dir)
+    val shaped = clusterBy match {
+      case Nil => df.repartition(nFiles)
+      case Seq(c) => clusterForSkipping(df, nFiles, c)
+      case cs => zorderBy(df, nFiles, cs, zorderBits)
+    }
+    val w = shaped.write.format(format).mode("append")
+      .option("commitremoves", live.mkString(","))
+    (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
+     else w).save(dir)
+    if (!retainHistory) live.foreach { rel =>
+      val p = new Path(root, rel)
+      fs.delete(graft.spark.FileStats.sidecarFor(p), false)
+      fs.delete(p, false)
+    }
+    live
+  }
+
   /** Reclaim files the LATEST snapshot no longer references but older log
     * entries still do — the retired originals of `retainHistory = true`
     * rewrites (and the cleanup half of a crashed `retainHistory = false`

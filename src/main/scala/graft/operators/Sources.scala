@@ -1569,5 +1569,43 @@ object Sources {
             GROUP BY 1
             ORDER BY version"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182)
+  // ---------------------------------------------------------------- q183
+  // In-place OPTIMIZE (TrainingData.optimizeTable): the nightly pass that
+  // turns streaming-ingest small-file debris into few stats-sized,
+  // range-clustered files WITHOUT moving the table — adds + removes
+  // publish in one atomic v2 entry, so concurrent pinned readers never
+  // see a half-compacted directory (compactLayout's new-directory answer
+  // forces a root switch; this is the Delta OPTIMIZE shape). The gate
+  // fragments lineitem across 64 files in two commits, optimizes with
+  // l_orderkey clustering, and runs a RANGE-filtered aggregate that the
+  // freshly-tight sidecar ranges prune; the oracle filters the source.
+  private val q183 = GQuery(
+    "q183_optimize_inplace",
+    "atomic in-place OPTIMIZE with range clustering (fragments -> tight files)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/lineitem_opt"
+      val schema = "l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING"
+      val li = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      li.filter($"l_orderkey" % 2 === 0)
+        .repartition(32).write.format("graft-json").mode("overwrite").save(dir)
+      li.filter($"l_orderkey" % 2 === 1)
+        .repartition(32).write.format("graft-json").mode("append").save(dir)
+      graft.api.TrainingData.optimizeTable(s, dir, schema,
+        targetFileBytes = 2L << 20, clusterBy = Seq("l_orderkey"))
+      s.read.format("graft-json").schema(schema).load(dir)
+        .filter($"l_orderkey".between(1000L, 3000L))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 3000
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183)
 }
