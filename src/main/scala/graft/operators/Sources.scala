@@ -1607,5 +1607,53 @@ object Sources {
             GROUP BY l_returnflag
             ORDER BY l_returnflag"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183)
+  // ---------------------------------------------------------------- q184
+  // Write-time CHECK constraints (`option("check", ...)`, the Delta
+  // table-constraint shape): every row the sink accepts must satisfy the
+  // predicate — a violating row fails the JOB, and the atomic-rename
+  // protocol guarantees the failed job published NOTHING, so the table
+  // can never hold a constraint-violating row (the invariant a curated
+  // corpus needs from every ingest path, batch and streaming alike).
+  // The gate writes a conforming slice under a real constraint, proves a
+  // violating append changes nothing, and aggregates the table; the
+  // oracle aggregates the conforming source rows.
+  private val q184 = GQuery(
+    "q184_check_constraints",
+    "write-time CHECK constraint: violating jobs publish nothing",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/orders_checked"
+      val schema = "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING"
+      val orders = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      val check = "o_totalprice > 0.0 AND length(o_orderpriority) BETWEEN 1 AND 15"
+      orders.filter($"o_orderkey" % 2 === 0)
+        .write.format("graft-json").option("check", check)
+        .mode("overwrite").save(dir)
+      // a violating batch must fail and publish NOTHING
+      try {
+        orders.filter($"o_orderkey" % 2 === 1)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 1000 === 1, -1.0).otherwise($"o_totalprice"))
+          .write.format("graft-json").option("check", check)
+          .mode("append").save(dir)
+        throw new IllegalStateException("violating write unexpectedly succeeded")
+      } catch {
+        case _: IllegalStateException => throw new IllegalStateException(
+          "violating write unexpectedly succeeded")
+        case _: Exception => () // expected: CHECK violation fails the job
+      }
+      s.read.format("graft-json").schema(schema).load(dir)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderkey % 2 = 0
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184)
 }

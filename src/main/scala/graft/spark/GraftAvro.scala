@@ -625,7 +625,11 @@ final class GraftAvroBatchWrite(
     }
     new GraftAvroWriterFactory(path, schema, conf, codec, GraftSink.batchNamePrefix(queryId))
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // same put-if-absent commit log as the json/csv sinks (docs/
+  // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion
+  // / vacuum safety for free through the shared listing
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommitLog.append(conf.value, path, messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -681,13 +685,15 @@ final class GraftAvroDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    if (rows == 0L) { fs.delete(tmpPath, false) }
-    else {
+    if (rows == 0L) {
+      fs.delete(tmpPath, false)
+      new WriterCommitMessage {}
+    } else {
       fs.delete(finalPath, false)
       if (!fs.rename(tmpPath, finalPath))
         throw new java.io.IOException(s"graft-avro: rename failed for $finalPath")
+      GraftCommit(finalPath.toString)
     }
-    new WriterCommitMessage {}
   }
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }

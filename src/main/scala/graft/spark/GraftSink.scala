@@ -80,6 +80,76 @@ object GraftSink {
     if (queryId == null || queryId.isEmpty) "part"
     else "part-" + queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
 
+  /** A bound write-time CHECK constraint (expression + original SQL for
+    * error messages); ships to the DataWriters.
+    */
+  final case class CheckSpec(
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      sql: String) extends Serializable
+
+  /** CheckSpec from the write options (null when no `check` option). */
+  def checkFromOptions(options: java.util.Map[String, String],
+      schema: StructType): CheckSpec =
+    Option(options.get("check")).map(_.trim).filter(_.nonEmpty)
+      .map(sql => CheckSpec(parseCheck(sql, schema), sql)).orNull
+
+  /** Parse + analyze a write-time CHECK constraint (`option("check",
+    * "l_quantity BETWEEN 0 AND 60")`, the Delta table-constraint shape)
+    * into a bound row predicate the DataWriters evaluate per row. SQL
+    * CHECK semantics: a row fails only when the predicate is FALSE (null
+    * passes). Full analyzer resolution, so any deterministic expression
+    * over the write schema works; nondeterministic expressions and
+    * non-boolean results are refused at build time (before any task
+    * runs).
+    */
+  def parseCheck(sql: String, schema: StructType)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val analyzed = spark.sessionState.analyzer
+      .executeAndCheck(Filter(parsed, LocalRelation(attrs)),
+        new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+    val cond0 = analyzed.asInstanceOf[Filter].condition
+    require(cond0.dataType == BooleanType,
+      s"check constraint must be BOOLEAN, got ${cond0.dataType.simpleString}: $sql")
+    require(cond0.deterministic,
+      s"check constraint must be deterministic: $sql")
+    // interpreted eval path: RuntimeReplaceable sugar (BETWEEN, ilike, …)
+    // must lower to its replacement, and the replacement's `With`
+    // common-expression nodes (Unevaluable) inline their defs — a row
+    // predicate can afford the duplicate evaluation the sharing avoided
+    val cond = cond0.transformUp {
+      case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        rr.replacement
+    }.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            defs(r.id)
+        }
+    }
+    org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(cond, analyzed.children.head.output)
+  }
+
+  /** Evaluate a bound CHECK against one row; throw with the rendered row
+    * on violation (task fails → job fails → the atomic-rename protocol
+    * publishes nothing from failed tasks).
+    */
+  def enforceCheck(check: org.apache.spark.sql.catalyst.expressions.Expression,
+      checkSql: String, row: InternalRow, schema: StructType): Unit = {
+    val v = check.eval(row)
+    if (v == false) {
+      val rendered = row.toSeq(schema).mkString("[", ", ", "]")
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated: ($checkSql) on row " +
+          (if (rendered.length > 300) rendered.take(300) + "…]" else rendered))
+    }
+  }
+
   /** Partition columns for a write: the table's identity transforms
     * (batch `partitionBy`), the `__partition_columns` JSON option (how
     * Spark encodes partitioning when it plumbs it as an option), or an
@@ -124,7 +194,8 @@ final class GraftWriteBuilder(
     codec: String = "none",
     partCols: Seq[String] = Nil,
     queryId: String = "",
-    removes: Seq[String] = Nil)
+    removes: Seq[String] = Nil,
+    check: GraftSink.CheckSpec = null)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -133,9 +204,9 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
-        GraftSink.batchNamePrefix(queryId), removes)
+        GraftSink.batchNamePrefix(queryId), removes, check)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(path, schema, conf, codec, partCols)
+      new GraftStreamingWrite(path, schema, conf, codec, partCols, check)
   }
 }
 
@@ -152,14 +223,15 @@ final class GraftStreamingWrite(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String = "none",
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    check: GraftSink.CheckSpec = null)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(path, schema, conf, codec, partCols)
+    new GraftStreamingWriterFactory(path, schema, conf, codec, partCols, check)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -171,12 +243,14 @@ final class GraftStreamingWriterFactory(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String = "none",
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    check: GraftSink.CheckSpec = null)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      namePrefix = f"part-$epochId%05d", codec = codec, partCols = partCols)
+      namePrefix = f"part-$epochId%05d", codec = codec, partCols = partCols,
+      check = check)
 }
 
 final class GraftBatchWrite(
@@ -187,7 +261,8 @@ final class GraftBatchWrite(
     codec: String = "none",
     partCols: Seq[String] = Nil,
     namePrefix: String = "part",
-    removes: Seq[String] = Nil)
+    removes: Seq[String] = Nil,
+    check: GraftSink.CheckSpec = null)
     extends BatchWrite {
 
   require(removes.isEmpty || !truncate,
@@ -202,7 +277,7 @@ final class GraftBatchWrite(
       fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf, codec, partCols, namePrefix)
+    new GraftJsonWriterFactory(path, schema, conf, codec, partCols, namePrefix, check)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -490,10 +565,11 @@ final class GraftJsonWriterFactory(
     conf: SerializableConfiguration,
     codec: String = "none",
     partCols: Seq[String] = Nil,
-    namePrefix: String = "part") extends DataWriterFactory {
+    namePrefix: String = "part",
+    check: GraftSink.CheckSpec = null) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      namePrefix = namePrefix, codec = codec, partCols = partCols)
+      namePrefix = namePrefix, codec = codec, partCols = partCols, check = check)
 }
 
 final class GraftJsonDataWriter(
@@ -504,7 +580,8 @@ final class GraftJsonDataWriter(
     taskId: Long,
     namePrefix: String = "part",
     codec: String = "none",
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    check: GraftSink.CheckSpec = null)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -603,6 +680,7 @@ final class GraftJsonDataWriter(
   private val sb = new java.lang.StringBuilder(4096)
 
   override def write(row: InternalRow): Unit = {
+    if (check != null) GraftSink.enforceCheck(check.expr, check.sql, row, schema)
     val sink = sinkFor(row)
     val (r, sch): (InternalRow, StructType) =
       if (partIdx.isEmpty) (row, schema)
@@ -749,7 +827,8 @@ final class GraftCsvWriteBuilder(
     linesep: String,
     partCols: Seq[String] = Nil,
     queryId: String = "",
-    removes: Seq[String] = Nil)
+    removes: Seq[String] = Nil,
+    check: GraftSink.CheckSpec = null)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -777,7 +856,7 @@ final class GraftCsvWriteBuilder(
           fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
         fs.mkdirs(dir)
         new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep,
-          partCols, GraftSink.batchNamePrefix(queryId))
+          partCols, GraftSink.batchNamePrefix(queryId), check)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
@@ -789,7 +868,7 @@ final class GraftCsvWriteBuilder(
     // streaming: epoch-named files, same replay-idempotent protocol as the
     // JSON streaming sink (manifests stay batch-only)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep, partCols)
+      new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep, partCols, check)
   }
 }
 
@@ -801,13 +880,15 @@ final class GraftCsvStreamingWrite(
     header: Boolean,
     delim: String,
     linesep: String,
-    partCols: Seq[String])
+    partCols: Seq[String],
+    check: GraftSink.CheckSpec = null)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftCsvStreamingWriterFactory(path, schema, conf, codec, header, delim, linesep, partCols)
+    new GraftCsvStreamingWriterFactory(path, schema, conf, codec, header, delim, linesep,
+      partCols, check)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -821,12 +902,14 @@ final class GraftCsvStreamingWriterFactory(
     header: Boolean,
     delim: String,
     linesep: String,
-    partCols: Seq[String])
+    partCols: Seq[String],
+    check: GraftSink.CheckSpec = null)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec,
-      header, delim, linesep, partCols, namePrefix = f"part-$epochId%05d")
+      header, delim, linesep, partCols, namePrefix = f"part-$epochId%05d",
+      check = check)
 }
 
 final class GraftCsvWriterFactory(
@@ -838,10 +921,11 @@ final class GraftCsvWriterFactory(
     delim: String,
     linesep: String,
     partCols: Seq[String] = Nil,
-    namePrefix: String = "part") extends DataWriterFactory {
+    namePrefix: String = "part",
+    check: GraftSink.CheckSpec = null) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec, header,
-      delim, linesep, partCols, namePrefix)
+      delim, linesep, partCols, namePrefix, check)
 }
 
 final class GraftCsvDataWriter(
@@ -855,7 +939,8 @@ final class GraftCsvDataWriter(
     delim: String,
     linesep: String,
     partCols: Seq[String] = Nil,
-    namePrefix: String = "part")
+    namePrefix: String = "part",
+    check: GraftSink.CheckSpec = null)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -970,6 +1055,7 @@ final class GraftCsvDataWriter(
   }
 
   override def write(row: InternalRow): Unit = {
+    if (check != null) GraftSink.enforceCheck(check.expr, check.sql, row, schema)
     val sink = sinkFor(row)
     sb.setLength(0)
     var k = 0

@@ -524,7 +524,8 @@ final class GraftJsonTable(
         .toLowerCase(java.util.Locale.ROOT),
       partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId(),
-      removes = GraftSources.commitRemoves(info.options))
+      removes = GraftSources.commitRemoves(info.options),
+      check = GraftSink.checkFromOptions(info.options, info.schema()))
 }
 
 // ======================================================================= CSV
@@ -615,7 +616,8 @@ final class GraftCsvTable(
       linesep = opt("linesep", "\n"),
       partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId(),
-      removes = GraftSources.commitRemoves(info.options))
+      removes = GraftSources.commitRemoves(info.options),
+      check = GraftSink.checkFromOptions(info.options, info.schema()))
   }
 }
 

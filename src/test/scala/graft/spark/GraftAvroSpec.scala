@@ -181,4 +181,21 @@ class GraftAvroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft-avro").load(p)
       .agg(count(lit(1)), sum("id")).collect()(0) === Row(20L, 210L))
   }
+
+  test("avro batch commits write the shared commit log: time travel works") {
+    val sp = spark; import sp.implicits._
+    val p = path("ttavro")
+    (1 to 10).map(i => Tuple1(i.toLong)).toDF("id")
+      .write.format("graft-avro").mode("overwrite").save(p)   // version 0
+    (11 to 20).map(i => Tuple1(i.toLong)).toDF("id")
+      .write.format("graft-avro").mode("append").save(p)      // version 1
+    assert(spark.read.format("graft-avro").option("versionAsOf", "0")
+      .load(p).count() === 10)
+    assert(spark.read.format("graft-avro").option("versionAsOf", "1")
+      .load(p).count() === 20)
+    assert(spark.read.format("graft-avro").option("changesSinceVersion", "0")
+      .load(p).agg(min("id")).collect()(0).getLong(0) === 11L)
+    // vacuum treats the avro files as committed data (untouchable)
+    assert(graft.api.TrainingData.vacuumOrphans(spark, p).isEmpty)
+  }
 }
