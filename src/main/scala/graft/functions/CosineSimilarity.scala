@@ -146,6 +146,10 @@ object GraftFunctions {
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
+    // optimizer rules for sessions not built through GraftSparkExtensions
+    if (!spark.experimental.extraOptimizations.contains(BoundedLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundedLevenshteinRule
   }
 }
 
@@ -160,5 +164,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.levBoundedInfo)
     ext.injectFunction(GraftFunctions.jaroWinklerInfo)
     ext.injectFunction(GraftFunctions.rollingHashInfo)
+    ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
   }
 }

@@ -2302,5 +2302,33 @@ object Pipeline {
             GROUP BY label, i
             ORDER BY label, dim"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181)
+  // ---------------------------------------------------------------- q185
+  // The q135 fuzzy join written the way a USER writes it — plain built-in
+  // `levenshtein(a, b) <= 2` — optimized by the custom Catalyst rule
+  // (functions/GraftOptimizerRules.scala, injected via
+  // SparkSessionExtensions / GraftFunctions.register): every
+  // literal-threshold comparison against the O(n·m) builtin rewrites to
+  // the banded O(k·n) levenshtein_bounded, value-identically
+  // (BoundedLevenshteinRuleSpec pins all ten comparison shapes + the
+  // plan). The oracle runs DuckDB's levenshtein on the same predicate, so
+  // the gate is an end-to-end proof the rewrite preserves semantics.
+  private val q185 = GQuery(
+    "q185_optimizer_bounded_lev",
+    "user-written levenshtein<=k auto-rewritten to the banded kernel (Rule)",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.register(s, d, "part")
+      s.sql("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+              |FROM part a JOIN part b
+              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              |WHERE levenshtein(a.p_name, b.p_name) <= 2
+              |ORDER BY key_a, key_b""".stripMargin)
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY key_a, key_b"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181, q185)
 }
