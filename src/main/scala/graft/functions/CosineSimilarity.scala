@@ -165,5 +165,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.jaroWinklerInfo)
     ext.injectFunction(GraftFunctions.rollingHashInfo)
     ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -292,6 +292,42 @@ object Relational {
             ORDER BY purchase_id"""),
     bench = true)
 
+  // ---------------------------------------------------------------- q186
+  // q08's as-of semantics through the NATIVE AsOfJoin custom operator
+  // (plans/AsOfJoin.scala: logical node → planner Strategy → one-pass
+  // co-partitioned merge exec — SURVEY §7.3's full option-(c) ladder).
+  // One exchange per side on user_id, per-partition (key, time) sort,
+  // O(1) merge state; the tiebreak column reproduces the oracle's
+  // (ts DESC, event_id DESC) tie resolution exactly. Same oracle as q08,
+  // so the custom operator and the composed union+window plan are both
+  // pinned to the identical answer.
+  private val q186 = GQuery(
+    "q186_native_asof_join",
+    "native AsOfJoin operator (custom LogicalPlan + Strategy + merge exec)",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      graft.plans.AsOfJoin.asofJoin(purchases, clicks,
+        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        rightTiebreakCols = Seq("event_id"))
+        .select($"event_id".as("purchase_id"),
+          coalesce($"right_event_id", lit(-1L)).as("last_click_id"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id AND c.ts <= p.ts) t
+            WHERE rn = 1
+            ORDER BY purchase_id"""))
+
   // ---------------------------------------------------------------- q09
   private val q09 = GQuery(
     "q09_agg_distinct_stats",
@@ -2077,5 +2113,5 @@ object Relational {
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
     q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
-    q146, q147, q148, q149, q153, q155, q156, q158, q160)
+    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186)
 }

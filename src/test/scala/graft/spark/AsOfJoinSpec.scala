@@ -1,0 +1,147 @@
+package graft.spark
+
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import scala.util.Random
+
+/** The native AsOfJoin custom operator (logical node → strategy →
+  * physical merge): randomized parity against an in-memory reference
+  * model, null/tolerance/tiebreak semantics, and the plan shape the
+  * operator exists for (one exchange per side, merge with O(1) state).
+  */
+class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("asof-join-spec")
+      .config("spark.sql.shuffle.partitions", "5")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def leftDf(rows: Seq[(java.lang.Long, java.lang.Long, String)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "t", "lv").repartition(4) // scrambled input order
+  }
+  private def rightDf(rows: Seq[(java.lang.Long, java.lang.Long, Double)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("k", "rt", "rv").repartition(3)
+  }
+
+  /** Reference: last right row with same key, rt <= t (tie: max (rt, rv)). */
+  private def reference(
+      ls: Seq[(java.lang.Long, java.lang.Long, String)],
+      rs: Seq[(java.lang.Long, java.lang.Long, Double)],
+      tol: Option[Long]): Set[(Long, Long, String, Option[Double])] =
+    ls.map { case (k, t, lv) =>
+      val cand =
+        if (k == null || t == null) None
+        else rs.filter(r => r._1 == k && r._2 != null && r._2 <= t &&
+            tol.forall(x => t - r._2 <= x))
+          .sortBy(r => (r._2.longValue(), r._3)).lastOption
+      (if (k == null) -999L else k.longValue(),
+        if (t == null) -999L else t.longValue(), lv, cand.map(_._3))
+    }.toSet
+
+  private def runAsof(l: DataFrame, r: DataFrame, tol: Option[Long]) =
+    AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt",
+      rightTiebreakCols = Seq("rv"), toleranceMicros = tol)
+      .select(coalesce(col("k"), lit(-999L)).as("k"),
+        coalesce(col("t"), lit(-999L)).as("t"), col("lv"), col("rv"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+
+  test("randomized parity against the reference model (multi-partition)") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 8) {
+      val nk = 1 + rnd.nextInt(6)
+      val ls = (1 to 40 + rnd.nextInt(60)).map { i =>
+        (java.lang.Long.valueOf(rnd.nextInt(nk).toLong),
+          java.lang.Long.valueOf(rnd.nextInt(50).toLong), s"l$i")
+      }
+      val rs = (1 to 30 + rnd.nextInt(50)).map { i =>
+        (java.lang.Long.valueOf(rnd.nextInt(nk).toLong),
+          java.lang.Long.valueOf(rnd.nextInt(50).toLong), i * 1.0)
+      }
+      val tol = if (rnd.nextBoolean()) Some(5L + rnd.nextInt(20)) else None
+      assert(runAsof(leftDf(ls), rightDf(rs), tol) === reference(ls, rs, tol),
+        s"trial=$trial tol=$tol")
+    }
+  }
+
+  test("null keys and null times never match; unmatched keys survive") {
+    val ls = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (null, 10L, "nullkey"), (2L, null, "nulltime"),
+      (7L, 10L, "lonely"))
+    val rs = Seq[(java.lang.Long, java.lang.Long, Double)](
+      (1L, 5L, 1.5), (null, 1L, 9.9), (2L, 1L, 2.5))
+    val got = runAsof(leftDf(ls), rightDf(rs), None)
+    assert(got === reference(ls, rs, None))
+    assert(got.find(_._3 == "nullkey").get._4.isEmpty)
+    assert(got.find(_._3 == "nulltime").get._4.isEmpty)
+    assert(got.find(_._3 == "lonely").get._4.isEmpty)
+    assert(got.find(_._3 == "a").get._4 === Some(1.5))
+  }
+
+  test("tiebreak: equal right times resolve to the last by the tiebreak column") {
+    val ls = Seq[(java.lang.Long, java.lang.Long, String)]((1L, 10L, "a"))
+    val rs = Seq[(java.lang.Long, java.lang.Long, Double)](
+      (1L, 10L, 3.0), (1L, 10L, 7.0), (1L, 10L, 5.0))
+    assert(runAsof(leftDf(ls), rightDf(rs), None).head._4 === Some(7.0))
+  }
+
+  test("empty right side: all left rows survive unmatched") {
+    val ls = Seq[(java.lang.Long, java.lang.Long, String)]((1L, 1L, "a"), (2L, 2L, "b"))
+    val got = runAsof(leftDf(ls), rightDf(Nil), None)
+    assert(got.size === 2 && got.forall(_._4.isEmpty))
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange per side") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof-plan").toString
+    Seq((1L, 1L, "a"), (2L, 3L, "b")).toDF("k", "t", "lv")
+      .write.mode("overwrite").parquet(dir + "/l")
+    Seq((1L, 1L, 2.0), (2L, 2L, 4.0)).toDF("k", "rt", "rv")
+      .write.mode("overwrite").parquet(dir + "/r")
+    val l = spark.read.parquet(dir + "/l")
+    val r = spark.read.parquet(dir + "/r")
+    val df = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      Seq(p) ++ p.children.flatMap(flatten) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(q.plan)
+        case _ => Nil
+      })
+    val nodes = flatten(plan)
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]), plan.toString)
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("self as-of join: fresh right ids, collided names come back as right_*") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 1L, "x"), (1L, 5L, "y")).toDF("k", "t", "lv").repartition(2)
+    val out = AsOfJoin.asofJoin(df, df, Seq("k"), "t", "t")
+    assert(out.columns.toSeq === Seq("k", "t", "lv", "right_t", "right_lv"))
+    // each row matches itself-or-earlier: t=5 matches the t=5 row (<=)
+    val m = out.collect().map(r => (r.getLong(1), r.getString(4))).toMap
+    assert(m === Map(1L -> "x", 5L -> "y"))
+  }
+}
