@@ -328,6 +328,39 @@ object Relational {
             WHERE rn = 1
             ORDER BY purchase_id"""))
 
+  // ---------------------------------------------------------------- q187
+  // Forward as-of through the same native operator: each click pairs
+  // with the FIRST purchase at-or-after it by the same user — the
+  // time-to-conversion attribution query (merge_asof direction=forward).
+  // Identical plan shape to q186; forward peeks the right cursor instead
+  // of buffering a candidate, so the state is still O(1).
+  private val q187 = GQuery(
+    "q187_native_asof_forward",
+    "forward as-of (first event at-or-after) via the native operator",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      graft.plans.AsOfJoin.asofJoin(clicks, purchases,
+        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        rightTiebreakCols = Seq("event_id"), direction = "forward")
+        .select($"event_id".as("click_id"),
+          coalesce($"right_event_id", lit(-1L)).as("next_purchase_id"))
+        .orderBy($"click_id")
+    },
+    Some("""SELECT click_id, coalesce(p_id, -1) AS next_purchase_id FROM (
+              SELECT c.event_id AS click_id, p.event_id AS p_id,
+                     row_number() OVER (PARTITION BY c.event_id
+                                        ORDER BY p.ts ASC, p.event_id ASC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON p.user_id = c.user_id AND p.ts >= c.ts) t
+            WHERE rn = 1
+            ORDER BY click_id"""))
+
   // ---------------------------------------------------------------- q09
   private val q09 = GQuery(
     "q09_agg_distinct_stats",
@@ -2113,5 +2146,5 @@ object Relational {
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
     q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
-    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186)
+    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186, q187)
 }

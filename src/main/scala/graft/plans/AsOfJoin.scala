@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *
   * Semantics: LEFT-OUTER as-of — every left row pairs with the LAST
   * right row sharing its equi-keys whose time is ≤ the left row's time
-  * (optionally within `toleranceMicros`); no match → right columns null.
+  * (`direction = "backward"`, the default) or the FIRST right row with
+  * time ≥ the left row's (`"forward"`), optionally within
+  * `toleranceMicros`; no match → right columns null.
   * Ties on the right time break by `rightTiebreak` (last in ascending
   * order wins), making the result deterministic under duplicate
   * timestamps. Null keys and null times never match (SQL join
@@ -42,7 +44,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
-    toleranceMicros: Option[Long])
+    toleranceMicros: Option[Long],
+    forward: Boolean)
     extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -59,8 +62,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -79,6 +82,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     rightTiebreak: Seq[Expression],
     toleranceMicros: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
@@ -106,8 +110,9 @@ case class AsOfJoinExec(
     val lt = leftTime
     val rt = rightTime
     val tol = toleranceMicros
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      new AsOfMergeIterator(lIter, rIter, lOut, rOut, lk, rk, lt, rt, tol)
+      new AsOfMergeIterator(lIter, rIter, lOut, rOut, lk, rk, lt, rt, tol, fwd)
     }
   }
 
@@ -129,7 +134,8 @@ private final class AsOfMergeIterator(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long])
+    toleranceMicros: Option[Long],
+    forward: Boolean)
     extends Iterator[InternalRow] {
 
   private[this] val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
@@ -179,6 +185,31 @@ private final class AsOfMergeIterator(
       return joined(l, nullRight)
     }
     val lTime = timeOf(lTimeRow, leftTime.dataType)
+    if (forward) {
+      // FIRST right row with rtime >= ltime: advance past smaller keys
+      // and same-key rows strictly before ltime, then peek (don't
+      // consume — later left rows may share the match)
+      var scanning = rHead != null
+      while (scanning) {
+        val c = keyOrdering.compare(rHeadKey, lKey)
+        if (c < 0) advanceRight()
+        else if (c == 0) {
+          val rTimeRow = rTimeProj(rHead)
+          if (rHeadKey.anyNull || rTimeRow.isNullAt(0) ||
+              timeOf(rTimeRow, rightTime.dataType) < lTime) advanceRight()
+          else scanning = false // the first >= match: peek it
+        } else scanning = false
+        if (rHead == null) scanning = false
+      }
+      val matched = rHead != null && keyOrdering.compare(rHeadKey, lKey) == 0 && {
+        val rTimeRow = rTimeProj(rHead)
+        !rTimeRow.isNullAt(0) && {
+          val rTime = timeOf(rTimeRow, rightTime.dataType)
+          rTime >= lTime && toleranceMicros.forall(t => rTime - lTime <= t)
+        }
+      }
+      return joined(l, if (matched) rHead else nullRight)
+    }
     var scanning = rHead != null
     while (scanning) {
       val c = keyOrdering.compare(rHeadKey, lKey)
@@ -223,8 +254,11 @@ object AsOfJoin {
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       rightTiebreakCols: Seq[String] = Nil,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "asofJoin needs at least one equi-key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val spark = left.sparkSession
     install(spark)
     val resolver = spark.sessionState.conf.resolver
@@ -242,7 +276,8 @@ object AsOfJoin {
     val rKeys = on.map(res(rPlan, _, "right"))
     val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys,
       res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right"),
-      rightTiebreakCols.map(res(rPlan, _, "right")), toleranceMicros)
+      rightTiebreakCols.map(res(rPlan, _, "right")), toleranceMicros,
+      forward = direction == "forward")
     // output shaping: drop right keys, de-collide right names
     val leftNames = lPlan.output.map(_.name).toSet
     val rightKeep = rPlan.output

@@ -80,6 +80,49 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Forward reference: FIRST right row with rt >= t (tie: min (rt, rv)). */
+  private def referenceFwd(
+      ls: Seq[(java.lang.Long, java.lang.Long, String)],
+      rs: Seq[(java.lang.Long, java.lang.Long, Double)],
+      tol: Option[Long]): Set[(Long, Long, String, Option[Double])] =
+    ls.map { case (k, t, lv) =>
+      val cand =
+        if (k == null || t == null) None
+        else rs.filter(r => r._1 == k && r._2 != null && r._2 >= t &&
+            tol.forall(x => r._2 - t <= x))
+          .sortBy(r => (r._2.longValue(), r._3)).headOption
+      (if (k == null) -999L else k.longValue(),
+        if (t == null) -999L else t.longValue(), lv, cand.map(_._3))
+    }.toSet
+
+  private def runAsofFwd(l: DataFrame, r: DataFrame, tol: Option[Long]) =
+    AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt",
+      rightTiebreakCols = Seq("rv"), toleranceMicros = tol,
+      direction = "forward")
+      .select(coalesce(col("k"), lit(-999L)).as("k"),
+        coalesce(col("t"), lit(-999L)).as("t"), col("lv"), col("rv"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+
+  test("forward direction: randomized parity (first right at-or-after)") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 6) {
+      val nk = 1 + rnd.nextInt(5)
+      val ls = (1 to 30 + rnd.nextInt(50)).map { i =>
+        (java.lang.Long.valueOf(rnd.nextInt(nk).toLong),
+          java.lang.Long.valueOf(rnd.nextInt(40).toLong), s"l$i")
+      }
+      val rs = (1 to 20 + rnd.nextInt(40)).map { i =>
+        (java.lang.Long.valueOf(rnd.nextInt(nk).toLong),
+          java.lang.Long.valueOf(rnd.nextInt(40).toLong), i * 1.0)
+      }
+      val tol = if (rnd.nextBoolean()) Some(3L + rnd.nextInt(10)) else None
+      assert(runAsofFwd(leftDf(ls), rightDf(rs), tol) === referenceFwd(ls, rs, tol),
+        s"trial=$trial tol=$tol")
+    }
+  }
+
   test("null keys and null times never match; unmatched keys survive") {
     val ls = Seq[(java.lang.Long, java.lang.Long, String)](
       (1L, 10L, "a"), (null, 10L, "nullkey"), (2L, null, "nulltime"),
