@@ -1655,5 +1655,94 @@ object Sources {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184)
+  // ---------------------------------------------------------------- q188
+  // Dead-letter routing — the production ingest topology for dirty
+  // feeds: ONE permissive read (badrecords=keep) splits valid rows into
+  // the clean table and captured corrupt lines into a DLQ table, both
+  // through the graft sink (each a committed, time-travelable table).
+  // Unlike q62 (which just counts corrupt rows), the corrupt ORIGINALS
+  // are preserved byte-for-byte for replay after the producer is fixed.
+  // The gate plants 3 garbage lines among nation rows; the clean
+  // aggregate must match the source and the DLQ exactly the 3 lines.
+  private val q188 = GQuery(
+    "q188_dead_letter_split",
+    "permissive ingest split: valid rows -> table, corrupt originals -> DLQ",
+    (s, d) => {
+      import s.implicits._
+      val feed = "/tmp/graft_tt/nation_dirty"
+      val clean = "/tmp/graft_tt/nation_clean"
+      val dlq = "/tmp/graft_tt/nation_dlq"
+      Tables(s, d, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+        .coalesce(1).write.format("graft-json").mode("overwrite").save(feed)
+      val garbage = Seq("{broken", "not json at all", "[1,2,}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(feed, "garbage.jsonl"),
+        garbage.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val read = s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt_record STRING")
+        .option("badrecords", "keep")
+        .load(feed)
+      read.filter($"_corrupt_record".isNull)
+        .drop("_corrupt_record")
+        .write.format("graft-json").mode("overwrite").save(clean)
+      read.filter($"_corrupt_record".isNotNull)
+        .select($"_corrupt_record".as("raw"))
+        .write.format("graft-json").mode("overwrite").save(dlq)
+      val perRegion = s.read.format("graft-json")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .load(clean)
+        .groupBy($"n_regionkey".cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val dlqCount = s.read.format("graft-json").schema("raw STRING").load(dlq)
+        .agg(count(lit(1)).as("n")).select(lit("__dlq__").as("bucket"), $"n")
+      perRegion.unionByName(dlqCount).orderBy($"bucket")
+    },
+    Some("""SELECT bucket, n FROM (
+              SELECT CAST(n_regionkey AS VARCHAR) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM nation GROUP BY n_regionkey
+              UNION ALL SELECT '__dlq__', CAST(3 AS BIGINT))
+            ORDER BY bucket"""))
+
+  // ---------------------------------------------------------------- q189
+  // Row-level CDC between two pinned versions — q169 counted the diff;
+  // downstream SYNC consumers need the rows: after a COW UPDATE, joining
+  // snapshot v and v+1 on the key classifies every row as
+  // updated (old+new values) or unchanged — the change feed a replica
+  // applies without re-reading the table. Pinned reads make this exact
+  // even while further appends land.
+  private val q189 = GQuery(
+    "q189_cdc_row_changes",
+    "row-level change feed from two pinned snapshots after a COW update",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/supplier_cdc"
+      val schema = "s_suppkey BIGINT, s_acctbal DOUBLE"
+      Tables(s, d, "supplier").select($"s_suppkey", $"s_acctbal")
+        .write.format("graft-json").mode("overwrite").save(dir) // version 0
+      graft.api.TrainingData.updateWhere(s, dir, schema,
+        "s_suppkey % 5 = 0", Map("s_acctbal" -> "s_acctbal + 500.0"),
+        retainHistory = true)                                    // version 1
+      val v0 = s.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "0").load(dir)
+        .select($"s_suppkey", $"s_acctbal".as("old_bal"))
+      val v1 = s.read.format("graft-json").schema(schema)
+        .option("versionAsOf", "1").load(dir)
+        .select($"s_suppkey", $"s_acctbal".as("new_bal"))
+      v0.join(v1, "s_suppkey")
+        .select($"s_suppkey",
+          when($"old_bal" === $"new_bal", "unchanged").otherwise("updated").as("change"),
+          round($"old_bal", 2).as("old_bal"), round($"new_bal", 2).as("new_bal"))
+        .filter($"change" === "updated")
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, 'updated' AS change,
+                   round(s_acctbal, 2) AS old_bal,
+                   round(s_acctbal + 500.0, 2) AS new_bal
+            FROM supplier
+            WHERE s_suppkey % 5 = 0
+            ORDER BY s_suppkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189)
 }

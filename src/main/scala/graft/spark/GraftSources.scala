@@ -1636,10 +1636,20 @@ private[spark] final class JsonRangeFeeder[A](
     * backward window scan is off the hot path. Capture is capped at 8 MiB
     * (a pathological unterminated record can span the rest of the file).
     */
-  private def captureLine(errAbs: Long, lineEndExcl: Long): Array[Byte] = {
+  private def captureLine(errAbs: Long, lineEndExcl0: Long): Array[Byte] = {
+    // a finish-time error at EOF reports errAbs == fileLen, which makes
+    // the naive end bound fileLen + 1 — clamp everything to the file,
+    // and exclude the record's own terminator when the clamped bound
+    // still covers it (the sawNl path already excluded it)
+    var lineEndExcl = math.min(lineEndExcl0, part.fileLen)
+    if (lineEndExcl > streamStartAbs) {
+      val last = new Array[Byte](1)
+      in.readFully(lineEndExcl - 1, last, 0, 1)
+      if (last(0) == '\n') lineEndExcl -= 1
+    }
     val lo = streamStartAbs
     var found = -1L
-    var cur = math.max(lo, math.min(errAbs, lineEndExcl))
+    var cur = math.max(lo, math.min(math.min(errAbs, part.fileLen), lineEndExcl))
     val win = new Array[Byte](64 * 1024)
     while (found < 0 && cur > lo) {
       val start = math.max(lo, cur - win.length)

@@ -757,4 +757,25 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception] { rows(Map("saturation" -> "false")) }
     assert(e.getMessage != null)
   }
+
+  test("badrecords=keep: finish-time error at EOF captures the last line exactly") {
+    // regression (round 11): an all-garbage file whose LAST corrupt record
+    // errors at finish() reports errAbs == fileLen — the capture window
+    // must clamp to the file and exclude the record's own terminator
+    // (this used to readFully one byte past EOF and fail the task; after
+    // clamping alone, the last capture came back empty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-eof-capture")
+    java.nio.file.Files.write(dir.resolve("garbage.jsonl"),
+      "{broken\nnot json at all\n[1,2,}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("mixed.jsonl"),
+      "{\"id\": 1}\n{unterminated".getBytes("UTF-8")) // no trailing newline
+    val rows = spark.read.format("graft-json")
+      .schema("id BIGINT, _corrupt_record STRING")
+      .option("badrecords", "keep")
+      .load(dir.toString)
+      .collect()
+    val corrupt = rows.filter(!_.isNullAt(1)).map(_.getString(1)).sorted.toSeq
+    assert(corrupt === Seq("[1,2,}", "not json at all", "{broken", "{unterminated"))
+    assert(rows.count(_.isNullAt(1)) === 1) // the one valid row
+  }
 }
