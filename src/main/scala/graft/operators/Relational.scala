@@ -375,6 +375,41 @@ object Relational {
             WHERE rn = 1
             ORDER BY click_id"""))
 
+  // ---------------------------------------------------------------- q191
+  // Bounded-lookback as-of through the native operator: the attribution
+  // window most marketing/feature pipelines actually use ("last click
+  // WITHIN AN HOUR before the purchase" — a stale click attributes
+  // nothing). toleranceMicros rides the same merge; the oracle bounds
+  // the inequality join symmetrically.
+  private val q191 = GQuery(
+    "q191_native_asof_tolerance",
+    "as-of with bounded lookback (tolerance) via the native operator",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      graft.plans.AsOfJoin.asofJoin(purchases, clicks,
+        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        rightTiebreakCols = Seq("event_id"),
+        toleranceMicros = Some(3600L * 1000000L))
+        .select($"event_id".as("purchase_id"),
+          coalesce($"right_event_id", lit(-1L)).as("click_in_window"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT purchase_id, coalesce(c_id, -1) AS click_in_window FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id AND c.ts <= p.ts
+               AND c.ts >= p.ts - INTERVAL 1 HOUR) t
+            WHERE rn = 1
+            ORDER BY purchase_id"""))
+
   // ---------------------------------------------------------------- q09
   private val q09 = GQuery(
     "q09_agg_distinct_stats",
@@ -2160,5 +2195,5 @@ object Relational {
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
     q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
-    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186, q187)
+    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186, q187, q191)
 }

@@ -1744,5 +1744,35 @@ object Sources {
             WHERE s_suppkey % 5 = 0
             ORDER BY s_suppkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189)
+  // ---------------------------------------------------------------- q190
+  // In-place OPTIMIZE through the Z-ORDER path: multi-column clustering
+  // means filters on EITHER column prune files through the sidecar
+  // ranges after the rewrite (a linear sort gives one tight column and
+  // useless full-span ranges on the rest). Same atomic add+remove commit
+  // as q183; the gate filters on the SECOND z-order column, which a
+  // single-column clustering would not help.
+  private val q190 = GQuery(
+    "q190_optimize_zorder",
+    "in-place OPTIMIZE with multi-column z-order clustering",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/orders_zopt"
+      val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(48)
+        .write.format("graft-json").mode("overwrite").save(dir)
+      graft.api.TrainingData.optimizeTable(s, dir, schema,
+        targetFileBytes = 1L << 20,
+        clusterBy = Seq("o_orderkey", "o_custkey"), zorderBits = 6)
+      s.read.format("graft-json").schema(schema).load(dir)
+        .filter($"o_custkey".between(100L, 400L))
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_custkey BETWEEN 100 AND 400"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190)
 }

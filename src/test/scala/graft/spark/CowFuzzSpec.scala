@@ -90,7 +90,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val ops = 10
       for (op <- 1 to ops) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // append
             val add = freshRows(1 + rnd.nextInt(15))
             toDf(add).coalesce(1 + rnd.nextInt(2))
@@ -126,6 +126,16 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             retiredPresent = false
           case 4 => // vacuum never changes any readable state
             TrainingData.vacuumOrphans(spark, dir)
+          case 5 => // in-place OPTIMIZE: rows identical, one new version
+            val retain = rnd.nextBoolean()
+            val rewritten = TrainingData.optimizeTable(spark, dir, schema,
+              targetFileBytes = 1L << 20,
+              clusterBy = if (rnd.nextBoolean()) Seq("id") else Nil,
+              retainHistory = retain)
+            if (rewritten.nonEmpty) {
+              history :+= model.toSet // same rows, new snapshot
+              if (retain) retiredPresent = true else historyValid = false
+            }
         }
         assert(exactRead() === model.toSet, s"seed=$seed op=$op read diverged")
       }
