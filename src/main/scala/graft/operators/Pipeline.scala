@@ -2330,5 +2330,47 @@ object Pipeline {
             WHERE levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY key_a, key_b"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181, q185)
+  // ---------------------------------------------------------------- q192
+  // The curation pipeline END-TO-END in one gate — the composition the
+  // individual operators exist for: language filter → canonical dedup
+  // (the corpus is polluted with uppercase variants) → length-window
+  // quality cut → deterministic 60% sample → per-source accounting.
+  // Every stage is an API call (TrainingData.canonicalText / dedupExact /
+  // sampleDeterministic), and every stage is engine-replayable, so the
+  // WHOLE chain carries one exact oracle: four map-only stages + the one
+  // dedup shuffle — the same plan shape at 100 TB.
+  private val q192 = GQuery(
+    "q192_curation_pipeline",
+    "lang filter -> canonical dedup -> quality cut -> sample, one exact oracle",
+    (s, d) => {
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      val polluted = docs.unionByName(
+        docs.withColumn("doc_id", $"doc_id" + 5000L)
+          .withColumn("text", upper($"text")))
+      val en = polluted.filter($"lang" === "en")
+      val deduped = graft.api.TrainingData.dedupExact(
+        en.withColumn("canon", graft.api.TrainingData.canonicalText($"text")),
+        "doc_id", "canon")
+      val quality = deduped.filter($"n_chars".between(150L, 500L))
+      val sampled = graft.api.TrainingData
+        .sampleDeterministic(quality, "doc_id", 0.6, "cur1")
+      sampled
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(filter(split($"text", " "), w => w =!= ""))).as("n_tokens"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE lang = 'en'
+              AND n_chars BETWEEN 150 AND 500
+              AND substring(md5(concat('cur1', CAST(doc_id AS VARCHAR))), 1, 8)
+                  < lpad(lower(to_hex(CAST(trunc(0.6 * 4294967296) AS BIGINT))), 8, '0')
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181, q185, q192)
 }
