@@ -56,7 +56,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
   test("random append/delete/update/expire/vacuum sequences match the model") {
-    for (seed <- 1 to 4) {
+    for (seed <- 1 to 4 * SoakX.x) {
       val rnd = new Random(seed)
       val dir = root.resolve(s"t$seed").toString
       var nextId = 0L
