@@ -57,7 +57,12 @@ class RelationalPlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def collect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = pf.lift(p).toSeq
-    val kids = p.children ++ p.subqueries
+    val kids = p.children ++ p.subqueries ++ (p match {
+      // AQE hides materialized stages behind QueryStageExec wrappers
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => Nil
+    })
     here ++ kids.flatMap(c => collect(c)(pf))
   }
 
@@ -171,5 +176,30 @@ class RelationalPlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toSeq)
     }
     assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("q08: native as-of plans as AsOfJoinExec with at most one exchange per side") {
+    // the headline bench query rides the custom operator (round 11) — a
+    // planning regression (strategy not installed, extra exchanges, a
+    // fallback to SMJ/BNLJ) would silently triple its cost
+    val df = q("q08_asof_join_last_click_before_purchase")
+    df.collect()
+    val plan = finalPlan(df)
+    val asof = collect(plan) { case a: graft.plans.AsOfJoinExec => a }
+    assert(asof.size == 1, s"expected AsOfJoinExec:\n$plan")
+    // the ORDER BY's rangepartitioning is presentation; the merge itself
+    // must cost at most one hash exchange per side
+    val hashExchanges = collect(plan) {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size <= 2,
+      s"expected <=2 hash exchanges, got ${hashExchanges.size}:\n$plan")
+    val joins = collect(plan) {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"no generic join should remain:\n$plan")
   }
 }
