@@ -102,6 +102,12 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -111,8 +117,11 @@ case class AsOfJoinExec(
     val rt = rightTime
     val tol = toleranceMicros
     val fwd = forward
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      new AsOfMergeIterator(lIter, rIter, lOut, rOut, lk, rk, lt, rt, tol, fwd)
+      new AsOfMergeIterator(lIter, rIter, lOut, rOut, lk, rk, lt, rt, tol, fwd,
+        outRows, matched)
     }
   }
 
@@ -135,7 +144,9 @@ private final class AsOfMergeIterator(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
-    forward: Boolean)
+    forward: Boolean,
+    outRows: org.apache.spark.sql.execution.metric.SQLMetric,
+    matchedRows: org.apache.spark.sql.execution.metric.SQLMetric)
     extends Iterator[InternalRow] {
 
   private[this] val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
@@ -182,6 +193,7 @@ private final class AsOfMergeIterator(
     if (lKey.anyNull || lTimeRow.isNullAt(0)) {
       // null keys/time never match; the right cursor stays put (later
       // left keys may still need its current head)
+      outRows += 1
       return joined(l, nullRight)
     }
     val lTime = timeOf(lTimeRow, leftTime.dataType)
@@ -208,6 +220,8 @@ private final class AsOfMergeIterator(
           rTime >= lTime && toleranceMicros.forall(t => rTime - lTime <= t)
         }
       }
+      outRows += 1
+      if (matched) matchedRows += 1
       return joined(l, if (matched) rHead else nullRight)
     }
     var scanning = rHead != null
@@ -230,6 +244,8 @@ private final class AsOfMergeIterator(
     }
     val matched = candRow != null &&
       toleranceMicros.forall(t => lTime - candTime <= t)
+    outRows += 1
+    if (matched) matchedRows += 1
     joined(l, if (matched) candRow else nullRight)
   }
 }
