@@ -525,7 +525,11 @@ final class GraftJsonTable(
       partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId(),
       removes = GraftSources.commitRemoves(info.options),
-      check = GraftSink.checkFromOptions(info.options, info.schema()))
+      // table-level constraint: a `check` TBLPROPERTY on a catalog table
+      // binds EVERY insert (the Delta table-constraint semantics); a
+      // per-write option overrides
+      check = GraftSink.checkFromOptions(
+        GraftSources.mergeTableProps(properties, info.options), info.schema()))
 }
 
 // ======================================================================= CSV
@@ -617,7 +621,8 @@ final class GraftCsvTable(
       partCols = GraftSink.writePartCols(partTransforms, info.options),
       queryId = info.queryId(),
       removes = GraftSources.commitRemoves(info.options),
-      check = GraftSink.checkFromOptions(info.options, info.schema()))
+      check = GraftSink.checkFromOptions(
+        GraftSources.mergeTableProps(properties, info.options), info.schema()))
   }
 }
 

@@ -82,4 +82,25 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == (0L to 4L).map(i => (i, s"n$i")))
     s.sql("DROP TABLE graft_ddl_ctas")
   }
+
+  test("table-level CHECK constraint via TBLPROPERTIES binds every INSERT") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddl-check").toString
+    s.sql(
+      s"""CREATE TABLE graft_ddl_chk (id BIGINT, score DOUBLE)
+         |USING `graft-json` LOCATION '$dir'
+         |TBLPROPERTIES ('check' = 'score BETWEEN 0.0 AND 1.0')""".stripMargin)
+    s.sql("INSERT INTO graft_ddl_chk VALUES (1, 0.5), (2, 0.9)")
+    assert(s.sql("SELECT count(*) FROM graft_ddl_chk").collect()(0).getLong(0) == 2)
+    val e = intercept[Exception] {
+      s.sql("INSERT INTO graft_ddl_chk VALUES (3, 1.5)")
+    }
+    def hasViolation(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("CHECK constraint violated"))
+        || hasViolation(t.getCause))
+    assert(hasViolation(e))
+    // the failed insert published nothing
+    assert(s.sql("SELECT count(*) FROM graft_ddl_chk").collect()(0).getLong(0) == 2)
+    s.sql("DROP TABLE graft_ddl_chk")
+  }
 }
