@@ -1774,5 +1774,60 @@ object Sources {
             FROM orders
             WHERE o_custkey BETWEEN 100 AND 400"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190)
+  // ---------------------------------------------------------------- q193
+  // Streaming enrichment through the NATIVE as-of operator: each
+  // micro-batch of purchases as-of joins the static click history inside
+  // foreachBatch — the custom operator composes with Structured
+  // Streaming exactly like a built-in join (its strategy plans inside
+  // the batch's own query execution). Results land in a graft sink
+  // table; the oracle is q08's (the stream drains the same purchases).
+  private val q193 = GQuery(
+    "q193_stream_asof_enrich",
+    "micro-batch as-of enrichment via the native operator in foreachBatch",
+    (s, d) => {
+      import s.implicits._
+      val feed = "/tmp/graft_tt/purchase_feed"
+      val out = "/tmp/graft_tt/purchase_enriched"
+      val ev = Tables(s, d, "events")
+      // micros on the wire: timestamps ride the JSONL feed as BIGINT
+      // (the operator takes Long-backed times directly)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+      ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+        .write.format("graft-json").mode("overwrite").save(feed)
+      val q = s.readStream.format("graft-json")
+        .schema("event_id BIGINT, user_id BIGINT, ts_us BIGINT")
+        .option("maxbytespertrigger", "65536") // several micro-batches
+        .load(feed)
+        .writeStream
+        .foreachBatch { (b: DataFrame, epoch: Long) =>
+          graft.plans.AsOfJoin.asofJoin(b, clicks,
+            on = Seq("user_id"), leftTimeCol = "ts_us", rightTimeCol = "ts_us",
+            rightTiebreakCols = Seq("event_id"))
+            .select($"event_id".as("purchase_id"),
+              coalesce($"right_event_id", lit(-1L)).as("last_click_id"))
+            .write.format("graft-json")
+            .mode(if (epoch == 0) "overwrite" else "append").save(out)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft-json")
+        .schema("purchase_id BIGINT, last_click_id BIGINT")
+        .load(out)
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id AND c.ts <= p.ts) t
+            WHERE rn = 1
+            ORDER BY purchase_id"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193)
 }

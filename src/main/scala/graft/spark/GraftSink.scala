@@ -150,6 +150,28 @@ object GraftSink {
     }
   }
 
+  /** Text form for temporal values in JSON/CSV output — the ISO-8601
+    * forms the graft readers (Instant.parse / LocalDate.parse) AND
+    * spark.read.json/csv both parse back to the identical internal
+    * value. Before round 11 these fell through to `v.toString`, which
+    * rendered the INTERNAL micros/days integer — unreadable as a
+    * timestamp by anything (q193 found it: every enriched row nulled).
+    */
+  def temporalString(v: Any, dt: DataType): String = dt match {
+    case TimestampType =>
+      val us = v.asInstanceOf[Long]
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L).toString
+    case TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).toString
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case _ => String.valueOf(v)
+  }
+
   /** Partition columns for a write: the table's identity transforms
     * (batch `partitionBy`), the `__partition_columns` JSON option (how
     * Spark encodes partitioning when it plumbs it as an option), or an
@@ -784,7 +806,9 @@ object GraftJsonDataWriter {
         i += 1
       }
       sb.append('}')
-    case _ => writeString(sb, v.toString) // timestamps/dates/etc: text form
+    case TimestampType | TimestampNTZType | DateType =>
+      writeString(sb, GraftSink.temporalString(v, dt))
+    case _ => writeString(sb, v.toString) // exotic scalars: text form
   }
 
   def writeString(sb: java.lang.StringBuilder, s: String): Unit = {
@@ -1073,6 +1097,8 @@ final class GraftCsvDataWriter(
           case BooleanType => sb.append(row.getBoolean(i))
           case ShortType => sb.append(row.getShort(i))
           case ByteType => sb.append(row.getByte(i))
+          case TimestampType | TimestampNTZType | DateType =>
+            appendCell(GraftSink.temporalString(row.get(i, dt), dt))
           case _ => appendCell(row.get(i, dt).toString)
         }
       }

@@ -891,6 +891,10 @@ object Conversions {
       case TimestampType =>
         val inst = java.time.Instant.parse(s.trim)
         inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case TimestampNTZType =>
+        val ldt = java.time.LocalDateTime.parse(s.trim)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
       case _ => null
     } catch { case _: RuntimeException => null }
   }

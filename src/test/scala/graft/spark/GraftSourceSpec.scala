@@ -758,6 +758,32 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("temporal round-trip: timestamps/dates survive both sinks and spark.read") {
+    // regression (round 11): these used to serialize as the INTERNAL
+    // micros/days integer — unreadable as a timestamp by anything
+    val s = spark; import s.implicits._
+    val df = Seq("2026-01-02 03:04:05.123456", "1999-12-31 23:59:59")
+      .toDF("raw")
+      .select($"raw",
+        org.apache.spark.sql.functions.to_timestamp($"raw").as("ts"),
+        org.apache.spark.sql.functions.to_date($"raw").as("d"))
+    val want = df.orderBy("raw").collect().toSeq
+    for (fmt <- Seq("graft-json", "graft-csv")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-temporal-$fmt").toString
+      df.write.format(fmt).mode("overwrite").save(dir)
+      val back = spark.read.format(fmt)
+        .schema("raw STRING, ts TIMESTAMP, d DATE").load(dir)
+        .orderBy("raw").collect().toSeq
+      assert(back === want, s"graft reader round-trip via $fmt")
+    }
+    // and the json output is readable by the BUILT-IN reader too
+    val jdir = java.nio.file.Files.createTempDirectory("graft-temporal-native").toString
+    df.write.format("graft-json").mode("overwrite").save(jdir)
+    val native = spark.read.schema("raw STRING, ts TIMESTAMP, d DATE")
+      .json(jdir).orderBy("raw").collect().toSeq
+    assert(native === want, "spark.read.json round-trip")
+  }
+
   test("badrecords=keep: finish-time error at EOF captures the last line exactly") {
     // regression (round 11): an all-garbage file whose LAST corrupt record
     // errors at finish() reports errAbs == fileLen — the capture window
