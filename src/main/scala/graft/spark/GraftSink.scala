@@ -58,6 +58,10 @@ object GraftSink {
         case FloatType => row.getFloat(i).toString
         case d: DecimalType =>
           row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+        case TimestampType | TimestampNTZType | DateType =>
+          // ISO forms, not the internal micros/days integer (a
+          // date=2026-01-02/ directory, not date=20454/)
+          temporalString(row.get(i, dt), dt)
         case other => row.get(i, other).toString
       }
       val esc = escapePathValue(raw)

@@ -241,4 +241,20 @@ class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("count(*) AS n").collect()(0).getLong(0)
     assert(n == 300, s"metadata count over partitioned layout returned $n")
   }
+
+  test("DATE partition values render as ISO directories, not epoch-day ints") {
+    val s = spark; import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-part-date").toString
+    Seq(("2026-01-02", 1L), ("2026-01-02", 2L), ("1999-12-31", 3L))
+      .toDF("ds", "v")
+      .select(org.apache.spark.sql.functions.to_date($"ds").as("d"), $"v")
+      .write.format("graft-json").partitionBy("d").mode("overwrite").save(out)
+    val dirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("d=1999-12-31", "d=2026-01-02"), dirs.mkString(", "))
+    val back = spark.read.format("graft-json").load(out)
+    assert(back.filter($"d" === "2026-01-02").count() === 2)
+    assert(back.count() === 3)
+  }
 }
