@@ -812,6 +812,9 @@ object GraftJsonDataWriter {
       sb.append('}')
     case TimestampType | TimestampNTZType | DateType =>
       writeString(sb, GraftSink.temporalString(v, dt))
+    case BinaryType => // base64, the spark.read/write.json convention
+      writeString(sb,
+        java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
     case _ => writeString(sb, v.toString) // exotic scalars: text form
   }
 

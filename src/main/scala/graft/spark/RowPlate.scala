@@ -895,6 +895,8 @@ object Conversions {
         val ldt = java.time.LocalDateTime.parse(s.trim)
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000L
+      case BinaryType => // base64, matching the sink and spark.read.json
+        java.util.Base64.getDecoder.decode(s.trim)
       case _ => null
     } catch { case _: RuntimeException => null }
   }

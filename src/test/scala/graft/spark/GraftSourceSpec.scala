@@ -784,6 +784,20 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native === want, "spark.read.json round-trip")
   }
 
+  test("binary round-trip: base64 through the json sink, parity with spark.read.json") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Array[Byte](0, 1, 2, -1, 127)), (2L, Array.empty[Byte]))
+      .toDF("id", "media")
+    val dir = java.nio.file.Files.createTempDirectory("graft-binary").toString
+    df.write.format("graft-json").mode("overwrite").save(dir)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    val want = rows(df)
+    assert(rows(spark.read.format("graft-json")
+      .schema("id BIGINT, media BINARY").load(dir)) === want)
+    assert(rows(spark.read.schema("id BIGINT, media BINARY").json(dir)) === want)
+  }
+
   test("badrecords=keep: finish-time error at EOF captures the last line exactly") {
     // regression (round 11): an all-garbage file whose LAST corrupt record
     // errors at finish() reports errAbs == fileLen — the capture window
