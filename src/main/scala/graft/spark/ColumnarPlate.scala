@@ -372,6 +372,14 @@ final class ColumnarPlate(
           val v = java.lang.Long.parseLong(s.toString.trim)
           vectors(idx).putLong(rows, v)
           return checkFilterLong(idx, v)
+        case TimestampType => // same strict ISO form as the row path
+          val inst = java.time.Instant.parse(s.toString.trim)
+          val v = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          vectors(idx).putLong(rows, v)
+          return checkFilterLong(idx, v)
+        case DateType =>
+          vectors(idx).putInt(rows,
+            java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt)
         case IntegerType =>
           vectors(idx).putInt(rows, java.lang.Integer.parseInt(s.toString.trim))
         case DoubleType =>
@@ -441,10 +449,13 @@ final class ColumnarPlate(
 }
 
 object ColumnarPlate {
-  /** Columnar reads apply to flat all-atomic schemas. */
+  /** Columnar reads apply to flat all-atomic schemas (temporal columns
+    * vectorize too: micros/days are just long/int lanes — round 11).
+    */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(_.dataType match {
-      case BooleanType | IntegerType | LongType | FloatType | DoubleType | StringType => true
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | TimestampType | DateType => true
       case _ => false
     })
 }
