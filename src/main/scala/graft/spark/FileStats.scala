@@ -226,7 +226,7 @@ object FileStats {
   private[spark] def encodeValue(kind: Char, v: Any, exact: Boolean = true): String =
     if (v == null) "-"
     else kind match {
-      case 'i' => v.toString
+      case 'i' | 't' | 'y' => v.toString // temporal lanes ride the Long form
       case 'f' => java.lang.Double.toString(v.asInstanceOf[Double]) // exact round-trip
       case 's' =>
         if (exact) b64(v.toString)
@@ -238,7 +238,7 @@ object FileStats {
   private[spark] def decodeValue(kind: Char, s: String): Any =
     if (s == "-") null
     else kind match {
-      case 'i' => java.lang.Long.valueOf(s)
+      case 'i' | 't' | 'y' => java.lang.Long.valueOf(s)
       case 'f' => java.lang.Double.valueOf(s)
       case 's' =>
         if (s.startsWith("~"))
@@ -496,6 +496,10 @@ private[spark] final class FileStatsCollector(schema: StructType,
         case StringType => Some((i, f.name, 's'))
         case BooleanType => Some((i, f.name, 'b'))
         case _: DecimalType => Some((i, f.name, 'd'))
+        // temporal lanes: micros ('t') / days ('y') as Longs — the
+        // time-range file pruning every time-series corpus lives on
+        case TimestampType | TimestampNTZType => Some((i, f.name, 't'))
+        case DateType => Some((i, f.name, 'y'))
         case _ => None
       }
     }
@@ -535,7 +539,8 @@ private[spark] final class FileStatsCollector(schema: StructType,
   }
 
   private def cmp(kind: Char, a: Any, b: Any): Int = kind match {
-    case 'i' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'i' | 't' | 'y' =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case 'f' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case 's' => a.asInstanceOf[UTF8String].binaryCompare(b.asInstanceOf[UTF8String])
     case 'b' => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
@@ -581,6 +586,8 @@ private[spark] final class FileStatsCollector(schema: StructType,
             case ShortType => row.getShort(i).toLong
             case ByteType => row.getByte(i).toLong
           }
+          case 't' => row.getLong(i)        // micros
+          case 'y' => row.getInt(i).toLong  // days
           case 'f' => schema.fields(si).dataType match {
             case DoubleType => row.getDouble(i)
             case FloatType => row.getFloat(i).toDouble

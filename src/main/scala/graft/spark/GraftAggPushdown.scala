@@ -472,6 +472,10 @@ private[spark] object GraftAggMeta {
       case ('f', FloatType)   => Right(v.asInstanceOf[Double].toFloat)
       case ('s', StringType)  => Right(v)
       case ('b', BooleanType) => Right(v)
+      // temporal lanes carry the INTERNAL long form already
+      case ('t', TimestampType) => Right(v)
+      case ('t', TimestampNTZType) => Right(v)
+      case ('y', DateType) => Right(v.asInstanceOf[Long].toInt)
       case ('d', dt: DecimalType) =>
         val dec = org.apache.spark.sql.types.Decimal(v.asInstanceOf[java.math.BigDecimal])
         if (dec.changePrecision(dt.precision, dt.scale)) Right(dec) else Left(())

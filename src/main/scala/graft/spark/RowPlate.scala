@@ -963,6 +963,23 @@ object FilterEval {
       Some(x.toJavaBigDecimal.compareTo(y))
     case (x: org.apache.spark.sql.types.Decimal, y: java.lang.Number) =>
       Some(cmpNum(x.toJavaBigDecimal, y))
+    // temporal columns: row values / sidecar bounds are the internal
+    // micros (timestamps) or days (dates) Longs; pushed literals arrive
+    // in the external java.sql / java.time forms
+    case (x: java.lang.Number, y: java.sql.Timestamp) =>
+      Some(java.lang.Long.compare(x.longValue,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(y)))
+    case (x: java.lang.Number, y: java.time.Instant) =>
+      Some(java.lang.Long.compare(x.longValue,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(y)))
+    case (x: java.lang.Number, y: java.time.LocalDateTime) =>
+      Some(java.lang.Long.compare(x.longValue,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(y)))
+    case (x: java.lang.Number, y: java.sql.Date) =>
+      Some(java.lang.Long.compare(x.longValue,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(y).toLong))
+    case (x: java.lang.Number, y: java.time.LocalDate) =>
+      Some(java.lang.Long.compare(x.longValue, y.toEpochDay))
     case _ => None
   }
 

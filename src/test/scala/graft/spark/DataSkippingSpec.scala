@@ -97,6 +97,44 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == 11)
   }
 
+  test("timestamp/date sidecar lanes: time-range file pruning + metadata min/max") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("temporal").toString
+    // 4 files with EXACTLY one day each — the time-series layout
+    def day(dy: Long) = (dy * 1000L until (dy + 1) * 1000L).map { i =>
+      (i, f"2026-01-${dy + 1}%02d 0${i % 9 + 1}:00:${i % 60}%02d")
+    }.toDF("id", "raw")
+      .select($"id", to_timestamp($"raw").as("ts"), to_date($"raw").as("d"))
+      .coalesce(1)
+    day(0).write.format("graft-json").mode("overwrite").save(out)
+    (1L to 3L).foreach(dy =>
+      day(dy).write.format("graft-json").mode("append").save(out))
+    val schema = "id BIGINT, ts TIMESTAMP, d DATE"
+
+    // timestamp range filter prunes 3 of 4 files
+    GraftScan.lastStatsPruned.set(-1)
+    val day1 = spark.read.format("graft-json").schema(schema).load(out)
+      .filter($"ts" < "2026-01-02").count()
+    assert(day1 == 1000, s"day-1 rows: $day1")
+    assert(GraftScan.lastStatsPruned.get == 3,
+      s"expected 3 of 4 files pruned by the ts range, got ${GraftScan.lastStatsPruned.get}")
+
+    // date equality prunes through the days lane too
+    GraftScan.lastStatsPruned.set(-1)
+    val day3 = spark.read.format("graft-json").schema(schema).load(out)
+      .filter($"d" === "2026-01-03").count()
+    assert(day3 == 1000)
+    assert(GraftScan.lastStatsPruned.get >= 2,
+      s"date equality should prune, got ${GraftScan.lastStatsPruned.get}")
+
+    // metadata-only MIN/MAX over the timestamp column (poison-proof)
+    val mm = spark.read.format("graft-json").schema(schema)
+      .option("metadatastrict", "true").load(out)
+      .selectExpr("min(ts) AS mn", "max(ts) AS mx").collect()(0)
+    assert(mm.getTimestamp(0).toString.startsWith("2026-01-01 01:00:00"))
+    assert(mm.getTimestamp(1).toString.startsWith("2026-01-04"))
+  }
+
   test("IsNotNull prunes all-null files only; IsNull prunes no-null files") {
     val s = spark; import s.implicits._
     val out = dir.resolve("nulls").toString
