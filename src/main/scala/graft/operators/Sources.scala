@@ -1829,5 +1829,39 @@ object Sources {
             WHERE rn = 1
             ORDER BY purchase_id"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193)
+  // ---------------------------------------------------------------- q194
+  // Time-range data skipping (round-11 temporal sidecar lanes): events
+  // re-land as day-clustered JSONL files whose sidecars carry micros
+  // min/max, and a time-window aggregate prunes every file outside the
+  // window at PLANNING time — the predicate shape every time-series
+  // corpus actually queries by. clusterForSkipping on ts gives the
+  // disjoint ranges; the oracle windows the source parquet.
+  private val q194 = GQuery(
+    "q194_time_range_skipping",
+    "time-window aggregate over day-clustered files (temporal sidecar pruning)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/events_by_time"
+      val ev = Tables(s, d, "events")
+        .select($"event_id", $"ts", $"event_type", $"value")
+      graft.api.TrainingData.clusterForSkipping(ev, 8, "ts")
+        .write.format("graft-json").mode("overwrite").save(dir)
+      val lo = ev.agg(min($"ts")).head.getTimestamp(0).toInstant
+      val cut = lo.plusSeconds(6 * 3600) // a 6-hour window from the start
+      s.read.format("graft-json")
+        .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .load(dir)
+        .filter($"ts" < lit(java.sql.Timestamp.from(cut)))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS total
+            FROM events
+            WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 6 HOUR
+            GROUP BY event_type
+            ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194)
 }
