@@ -324,7 +324,13 @@ object TrainingData {
       alpha: Double, targetRows: Long, salt: String): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
-    val counts = df.groupBy(col(strataCol)).count().collect()
+    val countRows = df.groupBy(col(strataCol)).count().collect()
+    // a NULL stratum would be silently dropped by the equality cut while
+    // still inflating the weight denominator — always a caller mistake
+    require(!countRows.exists(_.isNullAt(0)),
+      s"temperatureMixture: NULL values in stratum column '$strataCol' " +
+        "(filter or impute them first)")
+    val counts = countRows
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toSeq.sortBy(_._1)
     require(counts.nonEmpty, "temperatureMixture over an empty frame")
     val totW = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum

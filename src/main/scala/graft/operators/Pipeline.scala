@@ -1944,8 +1944,13 @@ object Pipeline {
       val W = org.apache.spark.sql.expressions.Window
       val win = T(s, d, "documents")
         .select($"doc_id", split($"text", " ").as("w"))
+        // guard BEFORE sequence: Spark's sequence(1, 0) is DESCENDING
+        // ([1, 0], step -1), so a <8-token doc would produce a phantom
+        // pos-0 window and slice() would throw; DuckDB's generate_series
+        // is empty there, so the filter changes nothing vs the oracle
+        .filter(size($"w") >= 8)
         .select($"doc_id", explode(expr(
-          """transform(sequence(1, greatest(size(w) - 7, 0)),
+          """transform(sequence(1, size(w) - 7),
             |          i -> named_struct('pos', CAST(i AS BIGINT),
             |                            'sh', array_join(slice(w, i, 8), ' ')))""".stripMargin
         )).as("x"))

@@ -268,6 +268,25 @@ object Relational {
             GROUP BY band
             ORDER BY band"""))
 
+  /** Shared body of q08/q186: as-of join through the NATIVE AsOfJoin
+    * operator — one exchange per side on user_id, per-partition
+    * (key, time) sort, O(1) merge state, (ts, event_id) tie resolution.
+    */
+  private def nativeAsof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, d, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    graft.plans.AsOfJoin.asofJoin(purchases, clicks,
+      on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+      rightTiebreakCols = Seq("event_id"))
+      .select($"event_id".as("purchase_id"),
+        coalesce($"right_event_id", lit(-1L)).as("last_click_id"))
+      .orderBy($"purchase_id")
+  }
+
   // ---------------------------------------------------------------- q08
   // As-of join through the NATIVE AsOfJoin operator (plans/AsOfJoin.scala
   // — custom logical node + Strategy + one-pass co-partitioned merge):
@@ -281,20 +300,7 @@ object Relational {
   private val q08 = GQuery(
     "q08_asof_join_last_click_before_purchase",
     "as-of (most-recent-event) join via the native co-partitioned merge operator",
-    (s, d) => {
-      import s.implicits._
-      val ev = T(s, d, "events")
-      val purchases = ev.filter($"event_type" === "purchase")
-        .select($"event_id", $"user_id", $"ts")
-      val clicks = ev.filter($"event_type" === "click")
-        .select($"event_id", $"user_id", $"ts")
-      graft.plans.AsOfJoin.asofJoin(purchases, clicks,
-        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
-        rightTiebreakCols = Seq("event_id"))
-        .select($"event_id".as("purchase_id"),
-          coalesce($"right_event_id", lit(-1L)).as("last_click_id"))
-        .orderBy($"purchase_id")
-    },
+    (s, d) => nativeAsof(s, d),
     Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
               SELECT p.event_id AS purchase_id, c.event_id AS c_id,
                      row_number() OVER (PARTITION BY p.event_id
@@ -318,20 +324,7 @@ object Relational {
   private val q186 = GQuery(
     "q186_native_asof_join",
     "native AsOfJoin operator (custom LogicalPlan + Strategy + merge exec)",
-    (s, d) => {
-      import s.implicits._
-      val ev = T(s, d, "events")
-      val purchases = ev.filter($"event_type" === "purchase")
-        .select($"event_id", $"user_id", $"ts")
-      val clicks = ev.filter($"event_type" === "click")
-        .select($"event_id", $"user_id", $"ts")
-      graft.plans.AsOfJoin.asofJoin(purchases, clicks,
-        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
-        rightTiebreakCols = Seq("event_id"))
-        .select($"event_id".as("purchase_id"),
-          coalesce($"right_event_id", lit(-1L)).as("last_click_id"))
-        .orderBy($"purchase_id")
-    },
+    (s, d) => nativeAsof(s, d),
     Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
               SELECT p.event_id AS purchase_id, c.event_id AS c_id,
                      row_number() OVER (PARTITION BY p.event_id

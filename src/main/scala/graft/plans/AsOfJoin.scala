@@ -294,10 +294,14 @@ object AsOfJoin {
       res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right"),
       rightTiebreakCols.map(res(rPlan, _, "right")), toleranceMicros,
       forward = direction == "forward")
-    // output shaping: drop right keys, de-collide right names
+    // output shaping: drop right keys, de-collide right names. Right
+    // attributes must surface NULLABLE — the join null-pads them — or
+    // nullability-keyed optimizations (coalesce simplification,
+    // isNotNull folding) would miscompile over non-nullable inputs
     val leftNames = lPlan.output.map(_.name).toSet
     val rightKeep = rPlan.output
       .filterNot(a => rKeys.exists(_.exprId == a.exprId))
+      .map(_.withNullability(true))
       .map { a =>
         if (leftNames.contains(a.name)) Alias(a, s"right_${a.name}")()
         else a

@@ -412,7 +412,14 @@ final class GraftAvroTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftAvroScanBuilder(tblSchema, GraftSources.mergeTableProps(properties, options))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // these write options are honored by the json/csv sinks; silently
+    // dropping them here would void the guarantees they advertise
+    Seq("check", "commitremoves").foreach { opt =>
+      require(info.options.get(opt) == null,
+        s"graft-avro does not support option('$opt', ...) yet — " +
+          "use graft-json/graft-csv for CHECK constraints and COW rewrites")
+    }
     new GraftAvroWriteBuilder(
       Option(info.options.get("path")).orElse(Option(properties.get("path")))
         .orElse(Option(properties.get("location"))).orNull,
@@ -422,6 +429,7 @@ final class GraftAvroTable(
         .orElse(Option(properties.get("codec"))).getOrElse("none")
         .toLowerCase(java.util.Locale.ROOT),
       info.queryId())
+  }
 }
 
 // ======================================================================= scan

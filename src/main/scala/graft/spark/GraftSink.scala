@@ -34,7 +34,9 @@ object GraftSink {
     */
   def escapePathValue(s: String): String = {
     def bad(c: Char): Boolean =
-      c < 0x20 || c == 0x7F || "\"%'*/:=?\\{}[]^#".indexOf(c) >= 0
+      c < 0x20 || c == 0x7F || "\"%',*/:=?\\{}[]^#".indexOf(c) >= 0 // ',' too:
+      // comma-joined file lists (restrictFiles/commitremoves) must never
+      // split inside a partition value
     if (!s.exists(bad)) return s
     val sb = new java.lang.StringBuilder(s.length + 8)
     s.foreach { c =>
@@ -413,9 +415,15 @@ private[graft] object GraftCommitLog {
 
   private def relativize(fs: org.apache.hadoop.fs.FileSystem, rootQ: String,
       file: String): String = {
-    val q = fs.makeQualified(new Path(file)).toString
+    val p = new Path(file)
+    // COW callers pass root-RELATIVE paths (possibly with k=v/ segments);
+    // qualifying those against the process working directory would miss
+    // rootQ and the getName fallback would strip the partition directory
+    // from the logged action — keep them verbatim
+    if (!p.isAbsolute && p.toUri.getScheme == null) return file
+    val q = fs.makeQualified(p).toString
     if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/")
-    else new Path(file).getName
+    else p.getName
   }
 
   def append(conf: org.apache.hadoop.conf.Configuration, root: String,
@@ -455,11 +463,24 @@ private[graft] object GraftCommitLog {
     var v = versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(0L)
     var attempts = 0
     while (attempts < 64) {
-      try {
-        val out = fs.create(new Path(dir, f"$v%020d"), false) // put-if-absent
-        try out.write(body.getBytes("UTF-8")) finally out.close()
+      val entry = new Path(dir, f"$v%020d")
+      // create-time IOException = lost the put-if-absent race: retry at
+      // v+1. A failure AFTER create is OURS (disk full, transient fault):
+      // retrying would leave the truncated entry poisoning every later
+      // log fold — delete it and rethrow instead.
+      val out =
+        try fs.create(entry, false) // put-if-absent
+        catch { case _: java.io.IOException => v += 1; attempts += 1; null }
+      if (out != null) {
+        try {
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        } catch {
+          case e: java.io.IOException =>
+            try fs.delete(entry, false) catch { case _: Exception => () }
+            throw e
+        }
         return v
-      } catch { case _: java.io.IOException => v += 1; attempts += 1 }
+      }
     }
     throw new java.io.IOException(
       s"commit log under $root: could not allocate a version after 64 attempts")
@@ -868,6 +889,10 @@ final class GraftCsvWriteBuilder(
         throw new IllegalArgumentException(
           s"graft-csv cannot write nested column '${f.name}: ${f.dataType.simpleString}' " +
           "(serialize it to a string or use graft-json)")
+      case BinaryType =>
+        throw new IllegalArgumentException(
+          s"graft-csv cannot write binary column '${f.name}' " +
+          "(base64-encode it to a string, or use graft-json which does so automatically)")
       case _ => ()
     }
   }

@@ -178,6 +178,22 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("non-nullable inputs: right columns surface nullable, coalesce survives") {
+    // regression (review finding): the output Project kept right-side
+    // attributes with their original nullability; over non-nullable
+    // in-memory inputs, coalesce(right_x, -1) would FOLD AWAY and
+    // unmatched rows would return null instead of the default
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, "a"), (7L, 10L, "lonely")).toDF("k", "t", "lv").repartition(2)
+    val r = Seq((1L, 5L, 42L)).toDF("k", "rt", "rv").repartition(2)
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt")
+    out.schema.fields.filter(_.name.startsWith("r")).foreach(f =>
+      assert(f.nullable, s"right column ${f.name} must be nullable"))
+    val m = out.select($"k", coalesce($"rv", lit(-1L)).as("rv"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(m === Map(1L -> 42L, 7L -> -1L))
+  }
+
   test("self as-of join: fresh right ids, collided names come back as right_*") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1L, "x"), (1L, 5L, "y")).toDF("k", "t", "lv").repartition(2)

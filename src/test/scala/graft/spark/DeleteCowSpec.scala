@@ -200,6 +200,55 @@ class DeleteCowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.filter(col("grp") === "g0").count() === 20)
   }
 
+  test("partitioned COW: the v2 log records k=v-relative removes (pinned reads + re-delete work)") {
+    // regression (review finding): appendEntry relativized root-relative
+    // remove paths against the process CWD and fell back to getName,
+    // logging 'r part-x.jsonl' for 'grp=g1/part-x.jsonl' — every later
+    // pinned read / COW op then failed on the malformed remove
+    val dir = root.resolve("partlog").toString
+    val s = spark
+    import s.implicits._
+    (0 until 60).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+      .toDF("id", "grp", "v")
+      .write.format("graft-json").partitionBy("grp").mode("overwrite").save(dir)
+    TrainingData.deleteWhere(spark, dir, "id BIGINT, v DOUBLE",
+      "grp = 'g1' AND id < 30", retainHistory = true)
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = GraftCommitLog.versions(fs, fsRoot).max
+    // the remove action must carry the partition-relative path
+    val removes = GraftCommitLog.entryActions(fs, fsRoot, latest).filterNot(_.add)
+    assert(removes.nonEmpty && removes.forall(_.path.startsWith("grp=g1/")),
+      removes.mkString(", "))
+    // pinned read at the post-delete version folds the log without error
+    assert(spark.read.format("graft-json").schema("id BIGINT, v DOUBLE")
+      .option("versionAsOf", latest.toString).load(dir).count() === 50)
+    // and a SECOND COW op (which pins versionAsOf latest) still works
+    TrainingData.deleteWhere(spark, dir, "id BIGINT, v DOUBLE",
+      "grp = 'g2' AND id < 9", retainHistory = true)
+    val latest2 = GraftCommitLog.versions(fs, fsRoot).max
+    assert(spark.read.format("graft-json").schema("id BIGINT, v DOUBLE")
+      .option("versionAsOf", latest2.toString).load(dir).count() === 47)
+  }
+
+  test("partition values containing commas survive COW (escaped in directories)") {
+    // regression (review finding): restrictFiles/commitremoves join file
+    // lists on ',', so an unescaped comma inside a partition VALUE would
+    // mis-split them; ',' now %2C-escapes in directory names
+    val dir = root.resolve("commapart").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "San Jose, CA", 1.0), (2L, "San Jose, CA", 9.0), (3L, "Oslo", 2.0))
+      .toDF("id", "city", "v")
+      .write.format("graft-json").partitionBy("city").mode("overwrite").save(dir)
+    val rewritten = TrainingData.deleteWhere(spark, dir, "id BIGINT, v DOUBLE",
+      "city = 'San Jose, CA' AND v > 5.0")
+    assert(rewritten.size === 1)
+    val back = spark.read.format("graft-json").load(dir)
+    assert(back.count() === 2)
+    assert(back.filter(col("city") === "San Jose, CA").count() === 1)
+  }
+
   test("filesSince across a rewrite of pre-checkpoint history fails loudly") {
     val dir = mkTable("cdf")
     TrainingData.deleteWhere(spark, dir, schema, "id < 5", retainHistory = true)

@@ -822,6 +822,18 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(spark.read.schema("id BIGINT, media BINARY").json(dir)) === want)
   }
 
+  test("graft-csv refuses binary columns loudly (no toString garbage)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-binary").toString
+    val e = intercept[Exception] {
+      Seq((1L, Array[Byte](1, 2))).toDF("id", "media")
+        .write.format("graft-csv").mode("overwrite").save(dir)
+    }
+    def msg(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msg(t.getCause)
+    assert(msg(e).contains("binary column"))
+  }
+
   test("badrecords=keep: finish-time error at EOF captures the last line exactly") {
     // regression (round 11): an all-garbage file whose LAST corrupt record
     // errors at finish() reports errAbs == fileLen — the capture window

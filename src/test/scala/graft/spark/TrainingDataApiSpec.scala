@@ -388,6 +388,12 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       TrainingData.temperatureMixture(df, "src", "id", 1.5, 100, "t1"))
     intercept[IllegalArgumentException](
       TrainingData.temperatureMixture(df, "src", "id", 0.5, 0, "t1"))
+    // NULL strata would silently vanish while inflating the denominator
+    val withNull = df.unionByName(
+      Seq((9999L, null.asInstanceOf[String])).toDF("id", "src"))
+    val e = intercept[IllegalArgumentException](
+      TrainingData.temperatureMixture(withNull, "src", "id", 0.5, 100, "t1"))
+    assert(e.getMessage.contains("NULL"))
   }
 
   test("dedupIncremental drops corpus dups and in-batch dups, keeps first writers") {
