@@ -67,10 +67,17 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         nextId += n
         out
       }
+      // half the seeds run HIVE-PARTITIONED (grp=k/ layout) — the
+      // review-found relativize bug lived exactly in that blind spot
+      val partitioned = seed % 2 == 0
+      val cowSchema = if (partitioned) "id BIGINT, v DOUBLE" else schema
+      def writeOut(df: org.apache.spark.sql.DataFrame, mode: String): Unit = {
+        val w = df.write.format("graft-json").mode(mode)
+        (if (partitioned) w.partitionBy("grp") else w).save(dir)
+      }
       // model state + per-version history of RETAINED snapshots
       var model = freshRows(10 + rnd.nextInt(20))
-      toDf(model).coalesce(1 + rnd.nextInt(3))
-        .write.format("graft-json").mode("overwrite").save(dir)
+      writeOut(toDf(model).coalesce(1 + rnd.nextInt(3)), "overwrite")
       var history = Vector(model.toSet) // history(v) = rows as of version v
       var historyValid = true    // false once a non-retained rewrite/expire ran
       var retiredPresent = false // retain=true rewrites leave retired files on
@@ -93,15 +100,14 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         rnd.nextInt(6) match {
           case 0 => // append
             val add = freshRows(1 + rnd.nextInt(15))
-            toDf(add).coalesce(1 + rnd.nextInt(2))
-              .write.format("graft-json").mode("append").save(dir)
+            writeOut(toDf(add).coalesce(1 + rnd.nextInt(2)), "append")
             model = model ++ add
             history :+= model.toSet
           case 1 => // delete (sometimes retaining history)
             val cut = rnd.nextInt(5)
             val retain = rnd.nextBoolean()
             val pred = s"grp = $cut AND v > 0.0"
-            val rewritten = TrainingData.deleteWhere(spark, dir, schema, pred,
+            val rewritten = TrainingData.deleteWhere(spark, dir, cowSchema, pred,
               retainHistory = retain)
             val before = model
             model = model.filterNot(r => r.grp == cut && r.v > 0.0)
@@ -113,7 +119,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             val cut = rnd.nextInt(5)
             val retain = rnd.nextBoolean()
             val touched = model.exists(r => r.grp == cut)
-            TrainingData.updateWhere(spark, dir, schema, s"grp = $cut",
+            TrainingData.updateWhere(spark, dir, cowSchema, s"grp = $cut",
               Map("v" -> "v + 1.0"), retainHistory = retain)
             if (touched) {
               model = model.map(r => if (r.grp == cut) r.copy(v = r.v + 1.0) else r)
@@ -128,7 +134,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             TrainingData.vacuumOrphans(spark, dir)
           case 5 => // in-place OPTIMIZE: rows identical, one new version
             val retain = rnd.nextBoolean()
-            val rewritten = TrainingData.optimizeTable(spark, dir, schema,
+            val rewritten = TrainingData.optimizeTable(spark, dir, cowSchema,
               targetFileBytes = 1L << 20,
               clusterBy = if (rnd.nextBoolean()) Seq("id") else Nil,
               retainHistory = retain)
