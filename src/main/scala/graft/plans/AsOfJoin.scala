@@ -290,8 +290,26 @@ object AsOfJoin {
       right.queryExecution.analyzed)
     val lKeys = on.map(res(lPlan, _, "left"))
     val rKeys = on.map(res(rPlan, _, "right"))
+    val lTime = res(lPlan, leftTimeCol, "left")
+    val rTime = res(rPlan, rightTimeCol, "right")
+    // the merge comparator and hash partitioning are built from LEFT
+    // types but applied to both sides — an INT-vs-BIGINT key or a
+    // DATE-vs-TIMESTAMP time column would return silently wrong rows
+    // (days compared against micros), so mismatches fail loudly here
+    on.indices.foreach { i =>
+      require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        lKeys(i).dataType, rKeys(i).dataType),
+        s"asofJoin: key '${on(i)}' has type ${lKeys(i).dataType.simpleString} on " +
+          s"the left but ${rKeys(i).dataType.simpleString} on the right — cast " +
+          "one side explicitly")
+    }
+    require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+      lTime.dataType, rTime.dataType),
+      s"asofJoin: time columns disagree — '$leftTimeCol' is " +
+        s"${lTime.dataType.simpleString}, '$rightTimeCol' is " +
+        s"${rTime.dataType.simpleString}; cast one side explicitly")
     val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys,
-      res(lPlan, leftTimeCol, "left"), res(rPlan, rightTimeCol, "right"),
+      lTime, rTime,
       rightTiebreakCols.map(res(rPlan, _, "right")), toleranceMicros,
       forward = direction == "forward")
     // output shaping: drop right keys, de-collide right names. Right

@@ -322,6 +322,24 @@ object GraftSources {
   /** Synthetic per-file provenance column surfaced by `withFilePath`. */
   final val FilePathCol = "_graft_file"
 
+  /** Comma-join a root-relative file list for the `restrictfiles` /
+    * `commitremoves` options. New writes %2C-escape ',' in partition
+    * values, but a PRE-v2 layout already on disk may carry a literal
+    * comma — such a path would split into garbage fragments and surface
+    * as a misleading "vacuumed or renamed out-of-band?" error, so refuse
+    * it with a targeted message instead.
+    */
+  def joinFileList(paths: Seq[String], optName: String): String = {
+    paths.find(_.contains(',')).foreach { p =>
+      throw new IllegalArgumentException(
+        s"$optName: file path '$p' contains a literal ',' — a legacy partition " +
+          "directory written before comma-escaping; COW maintenance cannot " +
+          "address it safely. Rewrite the table to a fresh root (read + write) " +
+          "so partition values re-render %2C-escaped, then retry.")
+    }
+    paths.mkString(",")
+  }
+
   /** Root-relative files a COW rewrite's commit retires in the same log
     * entry as its adds (`option("commitremoves", "a.jsonl,b.jsonl")`).
     */
@@ -1756,6 +1774,13 @@ private[spark] object PartitionVectors {
         case l: java.lang.Long => cv.setLong(l)
         case d: java.lang.Double => cv.setDouble(d)
         case s: org.apache.spark.unsafe.types.UTF8String => cv.setUtf8String(s)
+        // DATE partition values arrive as boxed epoch-day Integers
+        // (Conversions.fromString), and user schemas may type partition
+        // columns INT/BOOLEAN/FLOAT — every type the columnar path serves
+        // (ColumnarPlate.supports) must have a constant-vector case
+        case i: java.lang.Integer => cv.setInt(i)
+        case b: java.lang.Boolean => cv.setBoolean(b)
+        case f: java.lang.Float => cv.setFloat(f)
         case other => throw new IllegalStateException(
           s"unsupported partition value type ${other.getClass}")
       }

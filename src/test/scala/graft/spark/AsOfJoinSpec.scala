@@ -194,6 +194,28 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m === Map(1L -> 42L, 7L -> -1L))
   }
 
+  test("mismatched key or time column types fail loudly, never silently wrong") {
+    // the merge comparator and hash partitioning come from LEFT types but
+    // apply to both sides: INT-vs-BIGINT keys partition differently, and
+    // DATE-vs-TIMESTAMP times would compare days against micros
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val rIntKey = Seq((1, 5L, 1.0)).toDF("k", "rt", "rv")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l, rIntKey, Seq("k"), "t", "rt")
+    }
+    assert(e1.getMessage.contains("key 'k'") && e1.getMessage.contains("bigint")
+      && e1.getMessage.contains("int"), e1.getMessage)
+    val lDate = Seq(("2024-01-01", 1L)).toDF("ds", "k")
+      .select($"k", to_date($"ds").as("t"), lit("x").as("lv"))
+    val rTs = Seq(("2024-01-01 00:00:00", 1L)).toDF("ts", "k")
+      .select($"k", $"ts".cast("timestamp").as("rt"), lit(1.0).as("rv"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(lDate, rTs, Seq("k"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("time columns disagree"), e2.getMessage)
+  }
+
   test("self as-of join: fresh right ids, collided names come back as right_*") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 1L, "x"), (1L, 5L, "y")).toDF("k", "t", "lv").repartition(2)

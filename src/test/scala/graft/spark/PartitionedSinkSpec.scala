@@ -257,4 +257,29 @@ class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter($"d" === "2026-01-02").count() === 2)
     assert(back.count() === 3)
   }
+
+  test("typed DATE/INT partition columns read through the vectorized path") {
+    val s = spark; import s.implicits._
+    val out = dir.resolve("pdate-vec").toString
+    // all-supported schema → ColumnarPlate engages; the partition-served
+    // DATE slot arrives as a boxed epoch-day Integer and INT as Integer —
+    // PartitionVectors.wrap must constant-vectorize both (it used to throw)
+    Seq(("2026-01-02", 1, 10L), ("2026-01-02", 1, 20L),
+        ("1999-12-31", 2, 30L), ("1999-12-31", 2, 40L))
+      .toDF("ds", "bucket", "v")
+      .select(to_date($"ds").as("d"), $"bucket", $"v")
+      .write.format("graft-json").partitionBy("d", "bucket")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("graft-json")
+      .schema("v BIGINT, d DATE, bucket INT").load(out)
+    // force real row materialization through the columnar batches
+    val rows = back.select($"d".cast("string"), $"bucket", $"v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set(("2026-01-02", 1, 10L), ("2026-01-02", 1, 20L),
+      ("1999-12-31", 2, 30L), ("1999-12-31", 2, 40L)), rows)
+    // typed pruning + aggregation over the constant vectors
+    assert(back.filter($"d" === to_date(lit("2026-01-02")))
+      .agg(sum($"v")).collect()(0).getLong(0) == 30L)
+    assert(back.filter($"bucket" === 2).count() == 2)
+  }
 }
