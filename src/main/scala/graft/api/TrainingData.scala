@@ -749,12 +749,14 @@ object TrainingData {
     // phase 2: rewrite only the candidates; adds + removes publish in one
     // atomic v2 log entry via the sink's commitremoves option
     val source = spark.read.format(format).schema(fullSchema)
-      .option("restrictfiles", candidates.mkString(",")).load(dir)
+      .option("restrictfiles",
+        graft.spark.GraftSources.joinFileList(candidates, "restrictfiles")).load(dir)
     // (restrictFiles pins the exact candidate set — all ⊆ the latest
     // snapshot by construction, so no versionAsOf needed here)
     val w = rewrite(source, expr(predicate))
       .write.format(format).mode("append")
-      .option("commitremoves", candidates.mkString(","))
+      .option("commitremoves",
+        graft.spark.GraftSources.joinFileList(candidates, "commitremoves"))
     (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
      else w).save(dir)
     if (!retainHistory) candidates.foreach { rel =>
@@ -810,7 +812,8 @@ object TrainingData {
       case cs => zorderBy(df, nFiles, cs, zorderBits)
     }
     val w = shaped.write.format(format).mode("append")
-      .option("commitremoves", live.mkString(","))
+      .option("commitremoves",
+        graft.spark.GraftSources.joinFileList(live, "commitremoves"))
     (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
      else w).save(dir)
     if (!retainHistory) live.foreach { rel =>
@@ -818,7 +821,68 @@ object TrainingData {
       fs.delete(graft.spark.FileStats.sidecarFor(p), false)
       fs.delete(p, false)
     }
+    // OPTIMIZE is the natural checkpoint moment: the live set was just
+    // folded to its smallest. Best-effort, like the interval hook.
+    try checkpointLog(spark, dir) catch { case _: Exception => () }
     live
+  }
+
+  /** Write a commit-log checkpoint at the table's LATEST version — the
+    * folded live-file set as `.graft-log/<v>.checkpoint` plus the
+    * `_last_checkpoint` pointer (the Delta shape). From then on snapshot
+    * planning seeds from the checkpoint and folds only newer entries:
+    * O(suffix) log reads instead of O(#commits) — load-bearing once a
+    * streaming upsert commits per micro-batch. Checkpoints also land
+    * automatically every `graft.commitlog.checkpoint.interval` commits
+    * (default 20; set via `spark.hadoop.` prefix) and after
+    * [[optimizeTable]]. Returns the checkpointed version.
+    */
+  def checkpointLog(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty, s"checkpointLog needs a graft commit log under $dir")
+    log.writeCheckpoint(conf, root, vs.max)
+    vs.max
+  }
+
+  /** Retire raw log entries the latest checkpoint has replaced — the
+    * log-compaction half of the retention story ([[expireRetired]] ages
+    * out data files; this ages out the LOG). Deletes every entry and
+    * older checkpoint STRICTLY BELOW the latest checkpoint's version;
+    * the checkpoint itself and the entry at its version stay, so the
+    * checkpointed version remains the earliest readable one. After this:
+    * time travel, CDF (`changesSinceVersion`), and followLog restarts
+    * that reach below the checkpoint fail LOUDLY with an
+    * "expired" error (never a silently partial fold — snapshot
+    * resolution refuses a fold that cannot reach version 0 or a readable
+    * checkpoint). Files retired before the checkpoint lose their last
+    * log reference and become reclaimable by [[vacuumOrphans]]. Returns
+    * the versions whose entries were deleted (empty in `dryRun`).
+    */
+  def expireLogHistory(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dryRun: Boolean = false): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.spark.GraftCommitLog
+    val cks = log.checkpointVersions(fs, root)
+    require(cks.nonEmpty,
+      s"expireLogHistory needs a checkpoint under $dir/.graft-log — " +
+        "run checkpointLog first (the checkpoint replaces what this deletes)")
+    val cv = cks.max
+    require(log.readCheckpoint(fs, root, cv).isDefined,
+      s"latest checkpoint $cv under $dir is unreadable — refusing to expire " +
+        "the raw entries it must replace")
+    val expire = log.versions(fs, root).filter(_ < cv)
+    if (!dryRun) {
+      expire.foreach(v => fs.delete(new Path(log.logDir(root), f"$v%020d"), false))
+      cks.filter(_ < cv).foreach(v => fs.delete(log.checkpointFile(root, v), false))
+    }
+    expire
   }
 
   /** Reclaim files the LATEST snapshot no longer references but older log

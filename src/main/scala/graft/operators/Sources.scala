@@ -1863,5 +1863,69 @@ object Sources {
             GROUP BY event_type
             ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194)
+  // ---------------------------------------------------------------- q195
+  // Commit-log checkpointing (the Delta _last_checkpoint shape): 13
+  // commits at checkpoint interval 5 leave checkpoints at v5 and v10;
+  // the gate then POISONS every raw entry below v10 and reads the latest
+  // and a v11 pin anyway — the reads can only succeed by seeding from
+  // the checkpoint and folding the suffix, which is exactly the
+  // O(suffix)-not-O(#commits) planning property a per-micro-batch
+  // streaming upsert (q179's cadence) needs at month scale. The final
+  // COW delete (v12) also proves removes fold exactly ACROSS the
+  // checkpoint boundary.
+  private val q195 = GQuery(
+    "q195_log_checkpoint",
+    "checkpointed log: poisoned pre-checkpoint entries, exact reads from checkpoint+suffix",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/log_ckpt"
+      val schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+      val nation = Tables(s, d, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val key = graft.spark.GraftCommitLog.CheckpointIntervalKey
+      val prior = hconf.get(key)
+      hconf.setInt(key, 5)
+      try {
+        (0 to 11).foreach { i => // v0..v11: slice i = keys with mod 12 == i
+          nation.filter($"n_nationkey" % 12 === i)
+            .write.format("graft-json")
+            .mode(if (i == 0) "overwrite" else "append").save(dir)
+        }
+        graft.api.TrainingData.deleteWhere(s, dir, schema,
+          "n_nationkey % 5 = 0", retainHistory = true) // v12, crosses the ckpt
+      } finally {
+        if (prior == null) hconf.unset(key) else hconf.set(key, prior)
+      }
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(hconf)
+      val log = graft.spark.GraftCommitLog
+      require(log.checkpointVersions(fs, root).contains(10L),
+        "q195: expected an auto-checkpoint at v10 — the poisoning proof would be vacuous")
+      log.versions(fs, root).filter(_ < 10L).foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(log.logDir(root), f"$v%020d")
+        val out = fs.create(p, true)
+        try out.write("#### poisoned ####\n".getBytes("UTF-8")) finally out.close()
+      }
+      def agg(v: Long, src: String) =
+        s.read.format("graft-json").schema(schema)
+          .option("versionAsOf", v.toString).load(dir)
+          .groupBy($"n_regionkey")
+          .agg(count(lit(1)).as("n"), sum($"n_nationkey").as("sk"))
+          .select(lit(src).as("src"), $"n_regionkey", $"n", $"sk")
+      agg(12L, "latest").unionAll(agg(11L, "pinned"))
+        .orderBy($"src", $"n_regionkey")
+    },
+    Some("""SELECT 'latest' AS src, n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_nationkey) AS BIGINT) AS sk
+            FROM nation WHERE n_nationkey % 5 <> 0
+            GROUP BY n_regionkey
+            UNION ALL
+            SELECT 'pinned' AS src, n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_nationkey) AS BIGINT) AS sk
+            FROM nation
+            GROUP BY n_regionkey
+            ORDER BY src, n_regionkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195)
 }

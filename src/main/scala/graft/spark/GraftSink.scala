@@ -233,8 +233,16 @@ final class GraftWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
         GraftSink.batchNamePrefix(queryId), removes, check)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // a streaming epoch commit never touches the commit log, so removes
+      // would be accepted-and-ignored — the one outcome a COW rewrite must
+      // never have (adds published, retirements lost = doubled rows)
+      require(removes.isEmpty,
+        "option(\"commitremoves\", ...) is batch-only: streaming epoch commits " +
+          "do not write the commit log, so the removes would be silently lost — " +
+          "route COW rewrites through foreachBatch + batch mode(\"append\")")
       new GraftStreamingWrite(path, schema, conf, codec, partCols, check)
+    }
   }
 }
 
@@ -404,9 +412,34 @@ private object GraftManifest {
   * that carries removes is NEVER best-effort: losing the removes while
   * the adds are published would double the rewritten rows, so the log
   * write failure fails the job.
+  *
+  * CHECKPOINTS (the Delta `_last_checkpoint` shape): every
+  * `graft.commitlog.checkpoint.interval` commits (default 20) the commit
+  * path also writes `.graft-log/<v>.checkpoint` — the FOLDED live-file
+  * set as of `v` — plus a `_last_checkpoint` pointer. Snapshot resolution
+  * seeds from the newest checkpoint ≤ the pinned version and folds only
+  * the entry suffix, so planning reads O(suffix) log files instead of
+  * O(#commits) — the piece that keeps a once-a-minute streaming upsert
+  * (q179's cadence: ~43k commits/month) plannable. Checkpoints are
+  * strictly derived state: a missing or corrupt one falls back to the
+  * full fold, and raw entries remain the source of truth for CDF,
+  * followLog, and vacuum — until [[TrainingData.expireLogHistory]]
+  * explicitly retires pre-checkpoint entries, after which reads of
+  * expired versions fail loudly (never wrongly).
   */
 private[graft] object GraftCommitLog {
   def logDir(root: Path): Path = new Path(root, ".graft-log")
+
+  /** Hadoop-conf key for the auto-checkpoint cadence (set via
+    * `spark.hadoop.graft.commitlog.checkpoint.interval`); `0` disables.
+    */
+  val CheckpointIntervalKey = "graft.commitlog.checkpoint.interval"
+  val DefaultCheckpointInterval = 20
+
+  def checkpointFile(root: Path, v: Long): Path =
+    new Path(logDir(root), f"$v%020d.checkpoint")
+  private def lastCheckpointFile(root: Path): Path =
+    new Path(logDir(root), "_last_checkpoint")
 
   /** One commit-log action: `add = true` is an `f` line (file published),
     * `add = false` an `r` line (file's rows retired by a COW rewrite).
@@ -479,12 +512,87 @@ private[graft] object GraftCommitLog {
             try fs.delete(entry, false) catch { case _: Exception => () }
             throw e
         }
+        maybeCheckpoint(conf, rootPath, v)
         return v
       }
     }
     throw new java.io.IOException(
       s"commit log under $root: could not allocate a version after 64 attempts")
   }
+
+  /** Auto-checkpoint hook on the commit path: every `interval` commits,
+    * best-effort (a failed checkpoint never fails the commit — the next
+    * reader just folds more entries).
+    */
+  private def maybeCheckpoint(conf: org.apache.hadoop.conf.Configuration,
+      root: Path, committed: Long): Unit = try {
+    val interval = conf.getInt(CheckpointIntervalKey, DefaultCheckpointInterval)
+    if (interval > 0 && committed > 0 && committed % interval == 0)
+      writeCheckpoint(conf, root, committed)
+  } catch { case _: Exception => () }
+
+  /** Write `.graft-log/<version>.checkpoint` (the folded live-file set as
+    * of `version`, sorted) and advance the `_last_checkpoint` pointer.
+    * Deterministic content → tmp+rename overwrite is safe under races.
+    */
+  def writeCheckpoint(conf: org.apache.hadoop.conf.Configuration,
+      root: Path, version: Long): Unit = {
+    val fs = root.getFileSystem(conf)
+    val live = liveFilesAsOf(fs, root, version).toSeq.sorted
+    val body = ("graft-checkpoint v1" +: live.map("f " + _)).mkString("", "\n", "\n")
+    val target = checkpointFile(root, version)
+    val tmp = new Path(logDir(root), f".$version%020d.checkpoint.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not publish checkpoint $target")
+    // advisory pointer (one-read fast path); content is re-validated on read
+    val ptr = fs.create(lastCheckpointFile(root), true)
+    try ptr.write(version.toString.getBytes("UTF-8")) finally ptr.close()
+  }
+
+  /** All checkpoint versions present under `root`, ascending. */
+  def checkpointVersions(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] = try {
+    val d = logDir(root)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint"))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+  } catch { case _: Exception => Nil }
+
+  /** Parse one checkpoint's live-file set; None on any read/parse failure
+    * (checkpoints are derived state — a bad one must only cost the
+    * fallback fold, never correctness).
+    */
+  def readCheckpoint(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[Set[String]] = try {
+    val p = checkpointFile(root, version)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains("graft-checkpoint v1")) return None
+    if (!lines.tail.forall(_.startsWith("f "))) return None
+    Some(lines.tail.map(_.substring(2)).toSet)
+  } catch { case _: Exception => None }
+
+  /** Newest READABLE checkpoint at or before `version`, tried newest
+    * first (`_last_checkpoint` is only a hint — the listing is the
+    * authority, and an unreadable checkpoint falls through to the next).
+    */
+  def checkpointAtOrBefore(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[(Long, Set[String])] =
+    checkpointVersions(fs, root).filter(_ <= version).sorted(Ordering[Long].reverse)
+      .iterator.flatMap(v => readCheckpoint(fs, root, v).map((v, _)))
+      .nextOption()
 
   /** All committed versions under `root`, ascending; empty when unlogged. */
   def versions(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] = try {
@@ -506,9 +614,27 @@ private[graft] object GraftCommitLog {
     require(vs.nonEmpty,
       s"versionAsOf=$version: no graft commit log under $root " +
         "(only graft batch sinks write .graft-log)")
-    require(vs.contains(version),
-      s"versionAsOf=$version: unknown version (available: ${vs.min}..${vs.max})")
-    vs.filter(_ <= version).foldLeft(Set.empty[String]) { (live, v) =>
+    if (!vs.contains(version)) {
+      // targeted error when the miss is expired history, not a typo
+      if (version < vs.min && checkpointVersions(fs, root).nonEmpty)
+        throw new IllegalArgumentException(
+          s"versionAsOf=$version: log history before version ${vs.min} has been " +
+            s"expired (expireLogHistory) — earliest readable version is ${vs.min}")
+      throw new IllegalArgumentException(
+        s"versionAsOf=$version: unknown version (available: ${vs.min}..${vs.max})")
+    }
+    // seed from the newest readable checkpoint ≤ version and fold only the
+    // suffix: O(suffix) entry reads instead of O(#commits)
+    val (seedV, seed) = checkpointAtOrBefore(fs, root, version)
+      .getOrElse((-1L, Set.empty[String]))
+    // rail: with no usable seed the full fold must actually start at the
+    // log's beginning — if the prefix was expired and the checkpoint is
+    // unreadable, a partial fold would return a silently WRONG file set
+    if (seedV < 0) require(vs.min == 0L,
+      s"commit log under $root starts at version ${vs.min} (history expired) " +
+        "but no readable checkpoint covers the missing prefix — refusing a " +
+        "partial fold; restore .graft-log/<v>.checkpoint or the expired entries")
+    vs.filter(v => v > seedV && v <= version).foldLeft(seed) { (live, v) =>
       entryActions(fs, root, v).foldLeft(live) { (l, a) =>
         if (a.add) l + a.path
         else {
@@ -523,11 +649,17 @@ private[graft] object GraftCommitLog {
 
   /** Every file ANY entry ever added — what vacuum must treat as
     * untouchable: files retired by a COW rewrite (`r` actions) are still
-    * referenced by the older snapshots that included them.
+    * referenced by the older snapshots that included them. Checkpoint
+    * live sets count too: after [[TrainingData.expireLogHistory]] retires
+    * pre-checkpoint entries, the checkpoint is the only reference the
+    * surviving files have.
     */
-  def allReferencedFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] =
-    versions(fs, root)
-      .flatMap(entryActions(fs, root, _)).filter(_.add).map(_.path).toSet
+  def allReferencedFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
+    val fromCkpts = checkpointVersions(fs, root)
+      .flatMap(v => readCheckpoint(fs, root, v).getOrElse(Set.empty)).toSet
+    fromCkpts ++ versions(fs, root)
+      .flatMap(entryActions(fs, root, _)).filter(_.add).map(_.path)
+  }
 
   /** Root-relative file set committed STRICTLY AFTER `sinceVersion` — the
     * incremental-consumption primitive: a batch consumer remembers the
@@ -542,10 +674,17 @@ private[graft] object GraftCommitLog {
     require(vs.nonEmpty,
       s"changesSinceVersion=$sinceVersion: no graft commit log under $root " +
         "(only graft batch sinks write .graft-log)")
-    require(vs.contains(sinceVersion),
-      s"changesSinceVersion=$sinceVersion: unknown version " +
-        s"(available: ${vs.min}..${vs.max}) — the consumer's checkpoint " +
-        "predates this log (was the table overwritten?)")
+    if (!vs.contains(sinceVersion)) {
+      if (sinceVersion < vs.min && checkpointVersions(fs, root).nonEmpty)
+        throw new IllegalArgumentException(
+          s"changesSinceVersion=$sinceVersion: log history before version " +
+            s"${vs.min} has been expired (expireLogHistory) — incremental " +
+            "reading cannot bridge expired history; a full refresh is required")
+      throw new IllegalArgumentException(
+        s"changesSinceVersion=$sinceVersion: unknown version " +
+          s"(available: ${vs.min}..${vs.max}) — the consumer's checkpoint " +
+          "predates this log (was the table overwritten?)")
+    }
     // Fold the newer entries: adds accumulate; a remove of a file added
     // WITHIN the range just cancels it (the consumer never saw it), but a
     // remove of history the consumer already processed (added ≤ since)
@@ -923,8 +1062,13 @@ final class GraftCsvWriteBuilder(
 
     // streaming: epoch-named files, same replay-idempotent protocol as the
     // JSON streaming sink (manifests stay batch-only)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(removes.isEmpty,
+        "option(\"commitremoves\", ...) is batch-only: streaming epoch commits " +
+          "do not write the commit log, so the removes would be silently lost — " +
+          "route COW rewrites through foreachBatch + batch mode(\"append\")")
       new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep, partCols, check)
+    }
   }
 }
 

@@ -1,0 +1,210 @@
+package graft.spark
+
+import graft.api.TrainingData
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+/** Commit-log checkpoints (the Delta `_last_checkpoint` shape): every
+  * N commits the log also records the FOLDED live-file set, so snapshot
+  * planning reads checkpoint + suffix instead of O(#commits) entries.
+  *
+  * Soundness properties under test:
+  *  - auto-checkpoint lands at the configured interval; reads at or
+  *    after it never open the pre-checkpoint entries (poisoned-log proof)
+  *  - a corrupt checkpoint falls back to the full fold (never wrong)
+  *  - COW removes fold exactly across the checkpoint boundary
+  *  - expireLogHistory: earliest readable version = the checkpoint;
+  *    older pinned reads and changesSinceVersion fail LOUDLY with an
+  *    "expired" error; vacuum reclaims pre-checkpoint retired files but
+  *    never the checkpoint-referenced live set
+  *  - a partial fold (expired prefix + unreadable checkpoint) is refused
+  */
+class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-ckpt-spec")
+  private val schema = "id BIGINT, name STRING"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("commit-log-checkpoint-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def fsOf(dir: String) = new Path(dir).getFileSystem(hconf)
+
+  private def df(range: Range) = {
+    val s = spark
+    import s.implicits._
+    range.map(i => (i.toLong, s"name-$i")).toDF("id", "name")
+  }
+
+  private def readAsOf(dir: String, v: Long) =
+    spark.read.format("graft-json").schema(schema)
+      .option("versionAsOf", v.toString).load(dir)
+
+  private def readLatest(dir: String) =
+    spark.read.format("graft-json").schema(schema).load(dir)
+
+  /** Overwrite each raw entry below `below` with garbage bytes: any read
+    * that touches them fails; reads that succeed PROVE they seeded from
+    * the checkpoint.
+    */
+  private def poisonEntriesBelow(dir: String, below: Long): Unit = {
+    val fs = fsOf(dir)
+    val rootP = new Path(dir)
+    GraftCommitLog.versions(fs, rootP).filter(_ < below).foreach { v =>
+      val p = new Path(GraftCommitLog.logDir(rootP), f"$v%020d")
+      val out = fs.create(p, true)
+      try out.write("#### poisoned ####\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def withInterval[T](n: Int)(body: => T): T = {
+    val prior = hconf.get(GraftCommitLog.CheckpointIntervalKey)
+    hconf.setInt(GraftCommitLog.CheckpointIntervalKey, n)
+    try body
+    finally {
+      if (prior == null) hconf.unset(GraftCommitLog.CheckpointIntervalKey)
+      else hconf.set(GraftCommitLog.CheckpointIntervalKey, prior)
+    }
+  }
+
+  test("auto-checkpoint at the interval; reads at/after it skip the poisoned prefix") {
+    val dir = root.resolve("auto").toString
+    withInterval(4) {
+      df(0 until 2).write.format("graft-json").mode("overwrite").save(dir) // v0
+      (1 to 6).foreach { i =>                                              // v1..v6
+        df(i * 2 until (i + 1) * 2).write.format("graft-json").mode("append").save(dir)
+      }
+    }
+    val fs = fsOf(dir)
+    assert(GraftCommitLog.checkpointVersions(fs, new Path(dir)) == Seq(4L))
+
+    poisonEntriesBelow(dir, 4L)
+    // latest (= v6) and pinned v4/v5 seed from the checkpoint: exact
+    assert(readLatest(dir).count() === 14)
+    assert(readAsOf(dir, 4).agg(sum("id")).head.getLong(0) === (0 until 10).sum)
+    assert(readAsOf(dir, 5).count() === 12)
+    // a pre-checkpoint pin must now fail (its entries are poisoned) —
+    // loudly, not wrongly
+    intercept[Exception](readAsOf(dir, 2).count())
+  }
+
+  test("corrupt checkpoint falls back to the full fold, never a wrong set") {
+    val dir = root.resolve("corrupt").toString
+    df(0 until 3).write.format("graft-json").mode("overwrite").save(dir) // v0
+    df(3 until 7).write.format("graft-json").mode("append").save(dir)   // v1
+    TrainingData.checkpointLog(spark, dir)
+    val fs = fsOf(dir)
+    val ck = GraftCommitLog.checkpointFile(new Path(dir), 1L)
+    val out = fs.create(ck, true)
+    try out.write("graft-checkpoint v999\ngarbage\n".getBytes("UTF-8")) finally out.close()
+    assert(readLatest(dir).count() === 7)
+    assert(readAsOf(dir, 1).agg(sum("id")).head.getLong(0) === (0 until 7).sum)
+  }
+
+  test("COW removes fold exactly across the checkpoint boundary") {
+    val dir = root.resolve("cow").toString
+    df(0 until 10).write.format("graft-json").mode("overwrite").save(dir)       // v0
+    df(10 until 20).write.format("graft-json").mode("append").save(dir)         // v1
+    TrainingData.deleteWhere(spark, dir, schema, "id >= 15", retainHistory = true) // v2
+    TrainingData.checkpointLog(spark, dir)                                      // ckpt @ 2
+    df(20 until 25).write.format("graft-json").mode("append").save(dir)         // v3
+    TrainingData.deleteWhere(spark, dir, schema, "id < 5", retainHistory = true)   // v4
+
+    assert(readAsOf(dir, 4).collect().map(_.getLong(0)).sorted.toSeq ===
+      ((5L until 15L) ++ (20L until 25L)))
+    assert(readAsOf(dir, 2).collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 15L))
+    // the v2 read crosses INTO the checkpoint; v1 predates it (full fold)
+    assert(readAsOf(dir, 1).count() === 20)
+  }
+
+  test("expireLogHistory: loud failures below the checkpoint, vacuum reclaims retired files") {
+    val dir = root.resolve("expire").toString
+    df(0 until 10).write.format("graft-json").mode("overwrite").save(dir)          // v0
+    TrainingData.deleteWhere(spark, dir, schema, "id < 3", retainHistory = true)   // v1
+    df(10 until 14).write.format("graft-json").mode("append").save(dir)            // v2
+    TrainingData.checkpointLog(spark, dir)                                         // ckpt @ 2
+    df(14 until 16).write.format("graft-json").mode("append").save(dir)            // v3
+
+    val expired = TrainingData.expireLogHistory(spark, dir)
+    assert(expired === Seq(0L, 1L))
+
+    // at/after the checkpoint: exact (pinned — the retained retired file
+    // is still on disk, so raw listings are documented-stale until vacuum)
+    assert(readAsOf(dir, 2).count() === 11)
+    assert(readAsOf(dir, 3).count() === 13)
+    // below the checkpoint: loud, targeted
+    val e1 = intercept[Exception](readAsOf(dir, 1).count())
+    assert(e1.getMessage.contains("expired"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("changesSinceVersion", "0").load(dir).count()
+    }
+    assert(e2.getMessage.contains("expired"), e2.getMessage)
+
+    // the v1 rewrite's retired file lost its last log reference: vacuum
+    // reclaims it, but never the checkpoint-referenced live files
+    val removed = TrainingData.vacuumOrphans(spark, dir)
+    assert(removed.nonEmpty, "pre-checkpoint retired file should be vacuumable")
+    assert(readLatest(dir).count() === 13)
+    assert(readAsOf(dir, 2).count() === 11)
+  }
+
+  test("expired prefix + unreadable checkpoint refuses a partial fold") {
+    val dir = root.resolve("partial").toString
+    df(0 until 4).write.format("graft-json").mode("overwrite").save(dir) // v0
+    df(4 until 8).write.format("graft-json").mode("append").save(dir)   // v1
+    df(8 until 12).write.format("graft-json").mode("append").save(dir)  // v2
+    TrainingData.checkpointLog(spark, dir)                               // ckpt @ 2
+    df(12 until 14).write.format("graft-json").mode("append").save(dir) // v3
+    TrainingData.expireLogHistory(spark, dir)
+    // now nuke the checkpoint: the only way to read v2/v3 is gone — a
+    // fold of just the surviving suffix would be silently WRONG, so the
+    // reader must refuse
+    val fs = fsOf(dir)
+    fs.delete(GraftCommitLog.checkpointFile(new Path(dir), 2L), false)
+    val e = intercept[Exception](readAsOf(dir, 3).count())
+    assert(e.getMessage.contains("refusing a partial fold"), e.getMessage)
+  }
+
+  test("expireLogHistory without a checkpoint refuses") {
+    val dir = root.resolve("nock").toString
+    df(0 until 3).write.format("graft-json").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException](TrainingData.expireLogHistory(spark, dir))
+    assert(e.getMessage.contains("checkpointLog"), e.getMessage)
+  }
+
+  test("optimizeTable leaves a checkpoint behind") {
+    val dir = root.resolve("opt").toString
+    df(0 until 20).repartition(4).write.format("graft-json").mode("overwrite").save(dir)
+    df(20 until 40).repartition(4).write.format("graft-json").mode("append").save(dir)
+    TrainingData.optimizeTable(spark, dir, schema, targetFileBytes = 1L << 20)
+    val fs = fsOf(dir)
+    val cks = GraftCommitLog.checkpointVersions(fs, new Path(dir))
+    assert(cks.nonEmpty)
+    // and the checkpoint is the optimized live set: a PINNED read at the
+    // checkpoint survives a poisoned prefix (raw reads bypass the log)
+    poisonEntriesBelow(dir, cks.max)
+    assert(readAsOf(dir, cks.max).count() === 40)
+  }
+}

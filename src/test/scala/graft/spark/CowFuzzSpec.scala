@@ -79,6 +79,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       var model = freshRows(10 + rnd.nextInt(20))
       writeOut(toDf(model).coalesce(1 + rnd.nextInt(3)), "overwrite")
       var history = Vector(model.toSet) // history(v) = rows as of version v
+      var earliestReadable = 0L  // bumped by expireLogHistory
       var historyValid = true    // false once a non-retained rewrite/expire ran
       var retiredPresent = false // retain=true rewrites leave retired files on
                                  // disk: raw listings see them (documented) —
@@ -97,7 +98,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val ops = 10
       for (op <- 1 to ops) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 => // append
             val add = freshRows(1 + rnd.nextInt(15))
             writeOut(toDf(add).coalesce(1 + rnd.nextInt(2)), "append")
@@ -142,17 +143,33 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
               history :+= model.toSet // same rows, new snapshot
               if (retain) retiredPresent = true else historyValid = false
             }
+          case 6 => // checkpoint: derived state, transparent to every read
+            TrainingData.checkpointLog(spark, dir)
+          case 7 => // expire the log below the latest checkpoint (if any):
+            // pinned reads below it must fail LOUDLY from now on
+            val fsR = new org.apache.hadoop.fs.Path(dir)
+            val fsE = fsR.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (GraftCommitLog.checkpointVersions(fsE, fsR).isEmpty)
+              TrainingData.checkpointLog(spark, dir)
+            TrainingData.expireLogHistory(spark, dir)
+            earliestReadable = GraftCommitLog.versions(fsE, fsR).min
         }
         assert(exactRead() === model.toSet, s"seed=$seed op=$op read diverged")
       }
-      // retained histories: every version's pinned read equals the model's
-      // history at that version
+      // retained histories: every surviving version's pinned read equals
+      // the model's history at that version; expired versions fail loudly
       if (historyValid) {
         history.zipWithIndex.foreach { case (want, v) =>
-          val got = spark.read.format("graft-json").schema(schema)
+          def pin() = spark.read.format("graft-json").schema(schema)
             .option("versionAsOf", v.toString).load(dir)
             .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-          assert(got === want, s"seed=$seed versionAsOf=$v diverged")
+          if (v >= earliestReadable)
+            assert(pin() === want, s"seed=$seed versionAsOf=$v diverged")
+          else {
+            val e = intercept[Exception](pin())
+            assert(e.getMessage.contains("expired"),
+              s"seed=$seed versionAsOf=$v (< earliest $earliestReadable): ${e.getMessage}")
+          }
         }
       }
       // latest pinned read always equals the raw read

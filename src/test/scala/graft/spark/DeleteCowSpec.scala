@@ -360,4 +360,42 @@ class DeleteCowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === 30)
     assert(back.agg(min("id")).head.getLong(0) === 1L)
   }
+
+  test("legacy unescaped-comma paths refuse COW maintenance with a targeted error") {
+    // new writes %2C-escape commas, but a pre-v2 layout on disk may carry
+    // one — comma-joining such a path would split into garbage fragments
+    // and surface as a misleading 'vacuumed?' error downstream
+    val e = intercept[IllegalArgumentException] {
+      GraftSources.joinFileList(Seq("g=a,b/part-0.jsonl"), "restrictfiles")
+    }
+    assert(e.getMessage.contains("legacy partition directory"), e.getMessage)
+    assert(e.getMessage.contains("g=a,b/part-0.jsonl"), e.getMessage)
+    // clean lists pass through unchanged
+    assert(GraftSources.joinFileList(Seq("a.jsonl", "g=x/b.jsonl"), "x")
+      == "a.jsonl,g=x/b.jsonl")
+  }
+
+  test("streaming writes refuse commitremoves (never accepted-and-ignored)") {
+    val s = spark; import s.implicits._
+    val in = root.resolve("srcrm")
+    Files.createDirectories(in)
+    Files.write(in.resolve("a.jsonl"), "{\"id\": 1}\n".getBytes("UTF-8"))
+    Seq("graft-json", "graft-csv").foreach { fmt =>
+      val out = root.resolve(s"srm-out-$fmt").toString
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("graft-json").schema("id LONG")
+          .load(in.toString)
+          .writeStream.format(fmt)
+          .option("commitremoves", "old.jsonl")
+          .option("path", out)
+          .option("checkpointLocation", root.resolve(s"srm-ck-$fmt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("batch-only")), s"$fmt: ${msgs(e)}")
+    }
+  }
 }
