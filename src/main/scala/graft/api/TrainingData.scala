@@ -705,22 +705,27 @@ object TrainingData {
     }
   }
 
-  private def rewriteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
-      schema: String, predicate: String, format: String, retainHistory: Boolean)(
-      rewrite: (DataFrame, Column) => DataFrame): Seq[String] = {
+  /** Resolved COW-rewrite context: latest committed snapshot, layout
+    * partition columns, and the scan schemas both phases read with.
+    */
+  private final case class CowTable(
+      root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      latest: Long,
+      partCols: Seq[String],
+      fullSchema: org.apache.spark.sql.types.StructType,
+      phase1Schema: org.apache.spark.sql.types.StructType)
+
+  private def resolveCow(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String): CowTable = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logVersions = graft.spark.GraftCommitLog.versions(fs, root)
     require(logVersions.nonEmpty,
-      s"deleteWhere/updateWhere need a graft commit log under $dir " +
+      s"COW maintenance needs a graft commit log under $dir " +
         "(only graft batch sinks write .graft-log); for logless directories " +
         "rewrite to a new root instead")
-    // operate on the latest COMMITTED snapshot (the Delta discipline):
-    // retired files from earlier retainHistory rewrites, in-flight
-    // writers, and rogue uncommitted copies must not leak rows back into
-    // the rewrite
-    val latest = logVersions.max.toString
     val fileCol = graft.spark.GraftSources.FilePathCol
     // `schema` is the DATA schema; hive-style partition columns (typed
     // from the layout) and the synthetic provenance column ride on top —
@@ -728,7 +733,6 @@ object TrainingData {
     val listing = graft.spark.GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)))
-    val partCols = listing.partCols
     val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
     val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
       graft.spark.GraftSources.partitionSchema(listing)
@@ -736,35 +740,142 @@ object TrainingData {
     val phase1Schema = org.apache.spark.sql.types.StructType(fullSchema.fields :+
       org.apache.spark.sql.types.StructField(fileCol,
         org.apache.spark.sql.types.StringType))
-    // phase 1: exact candidate files (predicate pushdown prunes
-    // definitely-clean files before any byte is read; the collect is one
-    // file name per may-match file — the same driver-size class as the
-    // planning listing itself)
-    val candidates = spark.read.format(format).schema(phase1Schema)
-      .option("withfilepath", "true").option("versionasof", latest).load(dir)
-      .filter(expr(predicate))
-      .select(col(fileCol)).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    CowTable(root, fs, logVersions.max, listing.partCols, fullSchema, phase1Schema)
+  }
+
+  /** Phase-1 scan: the latest snapshot with each row's source file
+    * stamped — operate on the latest COMMITTED snapshot (the Delta
+    * discipline): retired files from earlier retainHistory rewrites,
+    * in-flight writers, and rogue uncommitted copies must not leak rows
+    * back into the rewrite.
+    */
+  private def cowPhase1(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String, tbl: CowTable): DataFrame =
+    spark.read.format(format).schema(tbl.phase1Schema)
+      .option("withfilepath", "true").option("versionasof", tbl.latest.toString)
+      .load(dir)
+
+  /** Phase-2 publish: re-read ONLY `candidates`, apply `rewrite`, and
+    * commit adds + `r` removes in one atomic v2 log entry; unless
+    * `retainHistory`, also physically reclaim the retired originals.
+    */
+  private def cowRewrite(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String, tbl: CowTable, candidates: Seq[String],
+      retainHistory: Boolean)(rewrite: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.hadoop.fs.Path
     if (candidates.isEmpty) return Nil
-    // phase 2: rewrite only the candidates; adds + removes publish in one
-    // atomic v2 log entry via the sink's commitremoves option
-    val source = spark.read.format(format).schema(fullSchema)
+    val source = spark.read.format(format).schema(tbl.fullSchema)
       .option("restrictfiles",
         graft.spark.GraftSources.joinFileList(candidates, "restrictfiles")).load(dir)
     // (restrictFiles pins the exact candidate set — all ⊆ the latest
     // snapshot by construction, so no versionAsOf needed here)
-    val w = rewrite(source, expr(predicate))
+    val w = rewrite(source)
       .write.format(format).mode("append")
       .option("commitremoves",
         graft.spark.GraftSources.joinFileList(candidates, "commitremoves"))
-    (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
+    (if (tbl.partCols.nonEmpty) w.option("partitionby", tbl.partCols.mkString(","))
      else w).save(dir)
     if (!retainHistory) candidates.foreach { rel =>
-      val p = new Path(root, rel)
-      fs.delete(graft.spark.FileStats.sidecarFor(p), false)
-      fs.delete(p, false)
+      val p = new Path(tbl.root, rel)
+      tbl.fs.delete(graft.spark.FileStats.sidecarFor(p), false)
+      tbl.fs.delete(p, false)
     }
     candidates
+  }
+
+  private def rewriteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, predicate: String, format: String, retainHistory: Boolean)(
+      rewrite: (DataFrame, Column) => DataFrame): Seq[String] = {
+    val tbl = resolveCow(spark, dir, schema)
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    // phase 1: exact candidate files (predicate pushdown prunes
+    // definitely-clean files before any byte is read; the collect is one
+    // file name per may-match file — the same driver-size class as the
+    // planning listing itself)
+    val candidates = cowPhase1(spark, dir, format, tbl)
+      .filter(expr(predicate))
+      .select(col(fileCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    cowRewrite(spark, dir, format, tbl, candidates, retainHistory)(
+      df => rewrite(df, expr(predicate)))
+  }
+
+  /** Copy-on-write DELETE of every row whose `keyCols` tuple appears in
+    * `keys` — the JOIN-SHAPED merge primitive: the key set stays a
+    * DataFrame end to end (no driver collect, no IN-list SQL), which is
+    * what makes a streaming upsert scale past toy trigger sizes. Same
+    * two-phase machinery, atomic v2 commit, and `retainHistory` contract
+    * as [[deleteWhere]].
+    *
+    *   1. CANDIDATES — one tiny aggregate derives per-key-column min/max
+    *      (driver traffic: 2 scalars per key column, never the keys), a
+    *      coarse BETWEEN prefilter from those bounds pushes into the scan
+    *      (stats sidecars / blooms / partition pruning drop
+    *      definitely-clean files at planning), and a left-semi join
+    *      against `keys` names the exact files to rewrite (broadcast when
+    *      the key count is modest, AQE's choice otherwise).
+    *   2. REWRITE — candidates anti-join `keys`; survivors republish with
+    *      the originals retired in one atomic entry.
+    *
+    * Rows with a NULL in any key column never match (SQL join
+    * discipline) — they always survive. Returns the rewritten files.
+    */
+  def deleteMatching(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, keys: DataFrame, keyCols: Seq[String],
+      format: String = "graft-json", retainHistory: Boolean = false): Seq[String] = {
+    require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    val tbl = resolveCow(spark, dir, schema)
+    val missing = keyCols.filterNot(c => tbl.fullSchema.fieldNames.contains(c))
+    require(missing.isEmpty,
+      s"deleteMatching key column(s) not in the table: ${missing.mkString(", ")}")
+    val missingK = keyCols.filterNot(keys.columns.contains)
+    require(missingK.isEmpty,
+      s"deleteMatching key column(s) not in the keys DataFrame: ${missingK.mkString(", ")}")
+    val k = keys.select(keyCols.map(col): _*).distinct()
+    // one small aggregate: key count + per-column bounds (2 scalars per
+    // key column to the driver — the keys themselves never leave the
+    // cluster)
+    val aggs = count(lit(1)) +: keyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val stats = k.agg(aggs.head, aggs.tail: _*).head()
+    if (stats.getLong(0) == 0L) return Nil
+    val rangePred: Option[Column] = keyCols.zipWithIndex.flatMap { case (c, i) =>
+      val (lo, hi) = (stats.get(1 + 2 * i), stats.get(2 + 2 * i))
+      if (lo == null || hi == null) None
+      // lit() rejects exotic key types (arrays…): skip the coarse bound
+      // for that column — correctness comes from the joins either way
+      else scala.util.Try(col(c) >= lit(lo) && col(c) <= lit(hi)).toOption
+    }.reduceOption(_ && _)
+    // modest key sets broadcast (a micro-batch's keys under admission
+    // control always are); past that, AQE plans the join
+    val kSide = if (stats.getLong(0) <= 1000000L) broadcast(k) else k
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    val base = cowPhase1(spark, dir, format, tbl)
+    val candidates = rangePred.map(base.filter).getOrElse(base)
+      .join(kSide, keyCols, "left_semi")
+      .select(col(fileCol)).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    cowRewrite(spark, dir, format, tbl, candidates, retainHistory)(
+      _.join(kSide, keyCols, "left_anti"))
+  }
+
+  /** UPSERT `batch` into a graft table by `keyCols` — the Delta
+    * streaming-merge shape (whenMatched replace, whenNotMatched insert),
+    * composed as [[deleteMatching]] (join-shaped, no driver key
+    * round-trip) + one append, each a single atomic commit. Replaying
+    * the same batch is idempotent in the final state: the delete makes
+    * the re-append converge. The natural foreachBatch body:
+    * {{{
+    *   .foreachBatch { (b, _) => TrainingData.upsert(spark, dir, schema, b, Seq("id")) }
+    * }}}
+    */
+  def upsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, batch: DataFrame, keyCols: Seq[String],
+      format: String = "graft-json", retainHistory: Boolean = false): Unit = {
+    deleteMatching(spark, dir, schema, batch, keyCols, format, retainHistory)
+    val tbl = resolveCow(spark, dir, schema)
+    val w = batch.write.format(format).mode("append")
+    (if (tbl.partCols.nonEmpty) w.option("partitionby", tbl.partCols.mkString(","))
+     else w).save(dir)
   }
 
   /** In-place OPTIMIZE — the Delta `OPTIMIZE [ZORDER BY]` analog the v2

@@ -1474,17 +1474,17 @@ object Sources {
 
   // ---------------------------------------------------------------- q179
   // Streaming UPSERT into a graft table — the Delta "streaming merge"
-  // pattern: each micro-batch applies foreachBatch{ COW delete of the
-  // batch's keys, then append } — idempotent under batch replay (the
-  // delete makes the re-append a no-op in effect), exactly-once in the
-  // final state. The delete's IN-list predicate prunes through the
-  // blooms/stats like any pushed filter, so each batch rewrites only the
-  // files that actually hold its keys; the IN-list is batch-key-sized
-  // (at corpus scale, swap for a join-shaped candidate phase). The feed
-  // drains with AvailableNow over byte-window micro-batches.
+  // pattern: each micro-batch runs TrainingData.upsert, whose delete
+  // phase is JOIN-SHAPED: the batch's keys stay a DataFrame end to end
+  // (no driver collect, no IN-list SQL — the r8 verdict's scale-killer).
+  // Candidate discovery pushes only the keys' min/max bounds into the
+  // scan (2 scalars of driver traffic) and left-semi joins the batch;
+  // the rewrite anti-joins it. Idempotent under batch replay (the delete
+  // makes the re-append converge), exactly-once in the final state. The
+  // feed drains with AvailableNow over byte-window micro-batches.
   private val q179 = GQuery(
     "q179_stream_merge_cow",
-    "foreachBatch streaming upsert (COW delete+append per micro-batch)",
+    "foreachBatch streaming upsert (join-shaped COW merge per micro-batch)",
     (s, d) => {
       import s.implicits._
       val table = "/tmp/graft_tt/supplier_merge"
@@ -1501,13 +1501,7 @@ object Sources {
         .load(feed)
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          val keys = b.select($"s_suppkey").distinct()
-            .collect().map(_.getLong(0)).sorted
-          if (keys.nonEmpty) {
-            graft.api.TrainingData.deleteWhere(s, table, schema,
-              s"s_suppkey IN (${keys.mkString(",")})")
-            b.write.format("graft-json").mode("append").save(table)
-          }
+          graft.api.TrainingData.upsert(s, table, schema, b, Seq("s_suppkey"))
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -862,9 +862,16 @@ final class GraftScan(
     }.toSet -- listing.partCols
   }
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (listing.partCols ++ statsEligibleCols.toSeq.sorted).distinct.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns the (pruned) scan still OUTPUTS: Spark resolves these
+    // against the scan relation, so advertising a projected-away
+    // partition column crashes DPP planning (seen under a semi join that
+    // needs no partition columns)
+    val out = readSchema().fieldNames.toSet
+    (listing.partCols.filter(out) ++ statsEligibleCols.toSeq.sorted.filter(out))
+      .distinct.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  }
 
   override def filter(fs: Array[Filter]): Unit =
     runtimeFilters = fs.filter(f =>
