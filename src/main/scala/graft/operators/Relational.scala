@@ -403,6 +403,44 @@ object Relational {
             WHERE rn = 1
             ORDER BY purchase_id"""))
 
+  // ---------------------------------------------------------------- q196
+  // Skew-robust NATIVE as-of: q45's hot-key concern solved inside the
+  // operator instead of by the union+window composition. saltBuckets=8
+  // appends a deterministic left-row bucket to the merge keys and
+  // replicates the (smaller) click history into each bucket — a hot
+  // user's purchases split across 8 merge tasks while every bucket still
+  // sees the user's full history, so the result is bit-identical (same
+  // oracle as q08/q45/q186 pins all four formulations to one answer).
+  // At 100 TB this is the dial: plain native merge for organic keys,
+  // salted native merge when one key dominates, the bucketed composition
+  // only if the RIGHT side is too big to replicate x8.
+  private val q196 = GQuery(
+    "q196_native_asof_salted",
+    "skew-robust native as-of (salt-bucketed merge, right side replicated)",
+    (s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      graft.plans.AsOfJoin.asofJoin(purchases, clicks,
+        on = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        rightTiebreakCols = Seq("event_id"), saltBuckets = 8)
+        .select($"event_id".as("purchase_id"),
+          coalesce($"right_event_id", lit(-1L)).as("last_click_id"))
+        .orderBy($"purchase_id")
+    },
+    Some("""SELECT purchase_id, coalesce(c_id, -1) AS last_click_id FROM (
+              SELECT p.event_id AS purchase_id, c.event_id AS c_id,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON c.user_id = p.user_id AND c.ts <= p.ts) t
+            WHERE rn = 1
+            ORDER BY purchase_id"""))
+
   // ---------------------------------------------------------------- q09
   private val q09 = GQuery(
     "q09_agg_distinct_stats",
@@ -2188,5 +2226,6 @@ object Relational {
     q94, q95, q96, q97, q98, q99, q100, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q120,
     q122, q123, q124, q127, q128, q129, q131, q132, q133, q134, q143,
-    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186, q187, q191)
+    q146, q147, q148, q149, q153, q155, q156, q158, q160, q186, q187, q191,
+    q196)
 }

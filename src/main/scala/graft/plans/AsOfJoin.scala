@@ -266,15 +266,42 @@ object AsOfJoin {
     * whose name collides with a left column comes back as
     * `right_<name>`. The right side gets fresh expression ids, so
     * self-as-of-joins are safe.
+    *
+    * `saltBuckets > 1` makes the merge SKEW-ROBUST: a pathologically hot
+    * key would otherwise serialize all its left rows into one merge task
+    * (ClusteredDistribution hashes whole keys). Salting appends a
+    * deterministic left-row bucket to the keys and replicates the RIGHT
+    * side into every bucket, so each bucket still sees the key's full
+    * history — bit-identical results, left work split ~`saltBuckets`
+    * ways, right side duplicated ×`saltBuckets` (size the buckets to the
+    * hot key's share, not the cluster: 8–32 is usually plenty).
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
       rightTiebreakCols: Seq[String] = Nil,
       toleranceMicros: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      saltBuckets: Int = 1): DataFrame = {
     require(on.nonEmpty, "asofJoin needs at least one equi-key column")
     require(direction == "backward" || direction == "forward",
       s"direction must be 'backward' or 'forward', got '$direction'")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    if (saltBuckets > 1) {
+      import org.apache.spark.sql.functions.{col, explode, lit, pmod, typedLit, xxhash64}
+      val salt = "_asof_salt"
+      require(!left.columns.contains(salt) && !right.columns.contains(salt),
+        s"asofJoin: salting reserves a '$salt' column")
+      // deterministic bucket from the whole left row (a hot key with many
+      // identical timestamps still spreads); right rows fan out to all
+      // buckets, preserving full per-key history in each
+      val lSalted = left.withColumn(salt,
+        pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)).cast("int"))
+      val rSalted = right.withColumn(salt,
+        explode(typedLit((0 until saltBuckets).toArray)))
+      return asofJoin(lSalted, rSalted, on :+ salt, leftTimeCol, rightTimeCol,
+        rightTiebreakCols, toleranceMicros, direction, saltBuckets = 1)
+        .drop(salt)
+    }
     val spark = left.sparkSession
     install(spark)
     val resolver = spark.sessionState.conf.resolver

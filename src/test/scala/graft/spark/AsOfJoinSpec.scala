@@ -194,6 +194,60 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m === Map(1L -> 42L, 7L -> -1L))
   }
 
+  test("salted merge: bit-identical to unsalted under single-hot-key skew") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(77)
+    // 90% of left rows on ONE key — the shape that serializes the plain
+    // merge into a single task
+    val ls = (1 to 400).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(4).toLong
+      (k, java.lang.Long.valueOf(rnd.nextInt(300).toLong), s"l$i")
+    }
+    val rs = (1 to 150).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(4).toLong
+      (k, java.lang.Long.valueOf(rnd.nextInt(300).toLong), rnd.nextInt(50) / 2.0)
+    }
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(40L))) {
+      def run(buckets: Int) =
+        AsOfJoin.asofJoin(leftDf(ls), rightDf(rs), Seq("k"), "t", "rt",
+          rightTiebreakCols = Seq("rv"), toleranceMicros = tol,
+          direction = dir, saltBuckets = buckets)
+          .select($"k", $"t", $"lv", $"rt", $"rv")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+          .sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(run(8) === run(1), s"dir=$dir tol=$tol: salted diverged")
+    }
+    // salting never leaks its working column
+    val out = AsOfJoin.asofJoin(leftDf(ls), rightDf(rs), Seq("k"), "t", "rt",
+      saltBuckets = 4)
+    assert(!out.columns.contains("_asof_salt"), out.columns.mkString(","))
+  }
+
+  test("salted merge still plans through AsOfJoinExec") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "lv").repartition(2)
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "rt", "rv").repartition(2)
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt", saltBuckets = 4)
+    out.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      Seq(p) ++ p.children.flatMap(flatten) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(q.plan)
+        case _ => Nil
+      })
+    val execs = flatten(out.queryExecution.executedPlan).collect {
+      case e: AsOfJoinExec => e
+    }
+    assert(execs.size === 1, out.queryExecution.executedPlan.toString)
+    // the salt rode the keys: 2 key expressions per side
+    assert(execs.head.leftKeys.size === 2)
+  }
+
   test("mismatched key or time column types fail loudly, never silently wrong") {
     // the merge comparator and hash partitioning come from LEFT types but
     // apply to both sides: INT-vs-BIGINT keys partition differently, and
