@@ -1921,5 +1921,47 @@ object Sources {
             GROUP BY n_regionkey
             ORDER BY src, n_regionkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195)
+  // ---------------------------------------------------------------- q197
+  // "Latest event per day" from MANIFESTS ALONE: events re-land
+  // day-partitioned, the grouped MIN/MAX/COUNT battery groups on the
+  // partition column (a per-file directory constant) and the temporal
+  // bounds come from the sidecar 't' lanes — so the gate POISONS every
+  // data file and the answers must still be exact, the zero-data-bytes
+  // proof. At 100 TB this is the ops dashboard query ("how fresh is each
+  // day's ingest?") answering from metadata instead of a full scan.
+  private val q197 = GQuery(
+    "q197_latest_event_per_day_metadata",
+    "partition-grouped temporal battery answered from sidecars (poisoned-file proof)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/events_daily_meta"
+      Tables(s, d, "events").select($"event_id", $"ts", $"value")
+        .withColumn("d", to_date($"ts"))
+        .repartition(2)
+        .write.format("graft-json").partitionBy("d").mode("overwrite").save(dir)
+      // poison every data file with same-length garbage: only the
+      // sidecar lanes + directory constants can answer the battery now
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+        .filter(_.endsWith(".jsonl")).foreach { f =>
+          val fp = java.nio.file.Paths.get(f)
+          val len = java.nio.file.Files.size(fp)
+          java.nio.file.Files.write(fp,
+            (("#" * (len.toInt - 1)) + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.deleteIfExists(
+            fp.getParent.resolve("." + fp.getFileName + ".crc"))
+        }
+      s.read.format("graft-json")
+        .schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE, d DATE")
+        .load(dir)
+        .groupBy($"d")
+        .agg(count(lit(1)).as("n"), max($"ts").as("last_ts"), min($"ts").as("first_ts"))
+        .orderBy($"d")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+                   max(ts) AS last_ts, min(ts) AS first_ts
+            FROM events
+            GROUP BY 1
+            ORDER BY d"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197)
 }

@@ -178,17 +178,33 @@ final class GraftAggReaderFactory(
     spec: GraftAgg.Spec,
     maxGroups: Int,
     conf: org.apache.spark.util.SerializableConfiguration = null,
-    metadataOk: Boolean = false) extends PartitionReaderFactory {
+    metadataOk: Boolean = false,
+    partSpec: Array[(Int, Int, DataType)] = Array.empty) extends PartitionReaderFactory {
+
+  // partition-served columns of the parse schema: name → (partValues
+  // index, target type) — the per-file constants grouped metadata
+  // answers key on
+  private val partByName: Map[String, (Int, DataType)] =
+    partSpec.map { case (ri, pi, dt) => (parseSchema(ri).name, (pi, dt)) }.toMap
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // whole-file partition + strict mode + sidecar coverage: answer the
     // battery from metadata, zero data bytes read
     partition match {
       case p: GraftInputPartition
           if metadataOk && conf != null && p.start == 0 && p.end == p.fileLen &&
-            GraftAggMeta.eligible(spec) =>
+            GraftAggMeta.eligible(spec, partByName.keySet) =>
+        // a conversion failure (unexpected directory rendering) falls back
+        // to the parsing reader rather than failing the scan
+        val lookup: String => Option[Any] = n => partByName.get(n).flatMap {
+          case (pi, dt) => scala.util.Try {
+            val raw = if (pi < p.partValues.length) p.partValues(pi) else null
+            if (raw == null) null else Conversions.fromString(dt, raw)
+          }.toOption
+        }
         val path = new org.apache.hadoop.fs.Path(p.path)
         FileStats.loadFor(path.getFileSystem(conf.value), path, p.fileLen)
-          .flatMap(st => GraftAggMeta.answer(spec, st)) match {
+          .flatMap(st => GraftAggMeta.answer(spec, st, lookup)) match {
           case Some(row) => return new GraftAggMeta.Reader(row)
           case None => ()
         }
@@ -445,21 +461,27 @@ final class GraftAggPartitionReader(
   override def close(): Unit = inner.close()
 }
 
-/** Metadata answers for pushed aggregates: an ungrouped MIN / MAX /
-  * COUNT(col) / COUNT(*) / SUM battery over a whole sink-written file is
-  * fully determined by its stats sidecar — one partial row, zero data
-  * bytes (the sidecar records each column's exact write-order sum; groups
-  * need per-group stats and fall back to the parsing reader, as do
-  * integral sums that left the Long range). Strict-mode only:
-  * drop/permissive counts depend on validating every record.
+/** Metadata answers for pushed aggregates: a MIN / MAX / COUNT(col) /
+  * COUNT(*) / SUM battery over a whole sink-written file is fully
+  * determined by its stats sidecar — one partial row, zero data bytes
+  * (the sidecar records each column's exact write-order sum). GROUPED
+  * batteries answer too WHEN every group column is a hive partition
+  * column: the key is then a per-file constant from the directory name,
+  * so "latest event per day" resolves from manifests alone. Group
+  * columns that live in the data need per-group stats and fall back to
+  * the parsing reader, as do integral sums that left the Long range.
+  * Strict-mode only: drop/permissive counts depend on validating every
+  * record.
   */
 private[spark] object GraftAggMeta {
   import GraftAgg._
 
   /** True when the spec COULD be metadata-answered (shape check only;
-    * answer() still refuses per-column when a sum/bound is unusable).
+    * answer() still refuses per-column when a sum/bound is unusable):
+    * every group column must be partition-served.
     */
-  def eligible(spec: Spec): Boolean = spec.groupCols.isEmpty
+  def eligible(spec: Spec, partCols: Set[String]): Boolean =
+    spec.groupCols.forall(g => partCols.contains(g._1))
 
   private def conv(kind: Char, v: Any, dt: DataType): Either[Unit, Any] =
     if (v == null) Right(null)
@@ -484,34 +506,57 @@ private[spark] object GraftAggMeta {
 
   /** The partial row [[GraftAggPartitionReader]] would produce for this
     * file, from stats alone; None when anything is uncovered (caller
-    * parses instead).
+    * parses instead). `partVal(c)` is the file's CONSTANT internal value
+    * for partition-served column `c` (Some(null) = the null partition),
+    * None when `c` is a data column — group keys come from it, and
+    * aggregate functions over partition columns answer from it directly
+    * (min = max = the constant; count = rows unless the value is null).
     */
-  def answer(spec: Spec, st: graft.spark.FileStats.Stats): Option[InternalRow] = {
-    if (!eligible(spec)) return None
+  def answer(spec: Spec, st: graft.spark.FileStats.Stats,
+      partVal: String => Option[Any] = _ => None): Option[InternalRow] = {
+    // a zero-row file must not INVENT its group: the unpushed plan would
+    // emit nothing for it (ungrouped zero-count rows stay — they merge)
+    if (spec.groupCols.nonEmpty && st.rows == 0L) return None
+    val groups = spec.groupCols.map { case (n, _) =>
+      partVal(n) match {
+        case Some(v) => v
+        case None => return None // data-column group: per-group stats needed
+      }
+    }
     val vals = new Array[Any](spec.funcs.length)
     var i = 0
     val it = spec.funcs.iterator
     while (it.hasNext) {
       it.next() match {
         case FCountStar => vals(i) = st.rows
-        case FCount(c) =>
-          val cs = st.cols.getOrElse(c, return None)
-          vals(i) = st.rows - cs.nulls
-        case FMin(c, dt) =>
-          val cs = st.cols.getOrElse(c, return None)
-          if (!cs.minExact) return None // truncated bound: prune-only, not an answer
-          conv(cs.kind, cs.min, dt) match {
-            case Right(v) => vals(i) = v
-            case Left(_) => return None
-          }
-        case FMax(c, dt) =>
-          val cs = st.cols.getOrElse(c, return None)
-          if (!cs.maxExact) return None
-          conv(cs.kind, cs.max, dt) match {
-            case Right(v) => vals(i) = v
-            case Left(_) => return None
-          }
+        case FCount(c) => partVal(c) match {
+          case Some(v) => vals(i) = if (v == null) 0L else st.rows
+          case None =>
+            val cs = st.cols.getOrElse(c, return None)
+            vals(i) = st.rows - cs.nulls
+        }
+        case FMin(c, dt) => partVal(c) match {
+          case Some(v) => vals(i) = v // per-file constant (null = all-null column)
+          case None =>
+            val cs = st.cols.getOrElse(c, return None)
+            if (!cs.minExact) return None // truncated bound: prune-only, not an answer
+            conv(cs.kind, cs.min, dt) match {
+              case Right(v) => vals(i) = v
+              case Left(_) => return None
+            }
+        }
+        case FMax(c, dt) => partVal(c) match {
+          case Some(v) => vals(i) = v
+          case None =>
+            val cs = st.cols.getOrElse(c, return None)
+            if (!cs.maxExact) return None
+            conv(cs.kind, cs.max, dt) match {
+              case Right(v) => vals(i) = v
+              case Left(_) => return None
+            }
+        }
         case f: FSum =>
+          if (partVal(f.col).isDefined) return None // constant × rows: parse instead
           val cs = st.cols.getOrElse(f.col, return None)
           if (st.rows - cs.nulls == 0L) vals(i) = null // all-null: SUM is null
           else if (cs.sum == null) return None // untracked / Long overflow: parse
@@ -521,6 +566,7 @@ private[spark] object GraftAggMeta {
             case _ => return None // sidecar kind does not match the lane
           }
         case f: FSumDec =>
+          if (partVal(f.col).isDefined) return None
           val cs = st.cols.getOrElse(f.col, return None)
           if (st.rows - cs.nulls == 0L) vals(i) = null
           else if (cs.sum == null || cs.kind != 'd') return None
@@ -533,7 +579,7 @@ private[spark] object GraftAggMeta {
       }
       i += 1
     }
-    Some(new GenericInternalRow(vals))
+    Some(new GenericInternalRow((groups ++ vals).toArray))
   }
 
   /** Single-row reader for a metadata-answered partition. */

@@ -1145,7 +1145,8 @@ final class GraftScan(
     // metadata without reading data bytes; sidecar-less files still split
     // for parse parallelism
     val metaAggCandidate =
-      (countStar || aggSpec.exists(GraftAggMeta.eligible)) &&
+      (countStar ||
+        aggSpec.exists(GraftAggMeta.eligible(_, listing.partCols.toSet))) &&
         options.getBoolean("dataskipping", true) &&
         "fail".equalsIgnoreCase(options.getOrDefault("badrecords", "fail"))
     // storage-partitioned reads: stamp each split's typed directory key
@@ -1226,7 +1227,8 @@ final class GraftScan(
           new GraftAggReaderFactory(rowFactory, rowSchema, spec,
             maxGroups = options.getInt("aggmaxgroups", 1 << 16),
             conf = conf,
-            metadataOk = !dropMalformed && options.getBoolean("dataskipping", true))
+            metadataOk = !dropMalformed && options.getBoolean("dataskipping", true),
+            partSpec = partSpec)
         case None =>
           if (offset > 0) new GraftOffsetReaderFactory(rowFactory, offset)
           else if (topN != null && topNLimit > 0)

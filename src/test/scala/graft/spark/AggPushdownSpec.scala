@@ -270,4 +270,45 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ours.collect().toSeq ==
       agg(spark.read.json(root.toString)).collect().toSeq)
   }
+
+  test("partition-grouped battery answers from metadata alone (poisoned, temporal)") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-aggmeta-grp").toString
+    // sink-written day-partitioned layout: sidecars carry the temporal
+    // 't' lanes; the group key d (DATE) is a per-file directory constant
+    val rows = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(i * 977L)),
+        i * 0.5)
+    }
+    rows.toDF("event_id", "ts", "value")
+      .withColumn("d", to_date($"ts"))
+      .repartition(2)
+      .write.format("graft-json").partitionBy("d").mode("overwrite").save(root)
+    val schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE, d DATE"
+    def battery() = spark.read.format("graft-json").schema(schema).load(root)
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n"), max($"ts").as("last_ts"), min($"ts").as("first_ts"),
+        count($"event_id").as("ne"))
+      .orderBy($"d")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getLong(4))).toSeq
+    val want = battery() // with readable data
+    // poison every data file with same-length garbage: only the sidecar
+    // lanes + directory constants can answer now
+    Files.walk(java.nio.file.Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".jsonl")).foreach { f =>
+        val fp = java.nio.file.Paths.get(f)
+        val len = Files.size(fp)
+        Files.write(fp, (("#" * (len.toInt - 1)) + "\n").getBytes(UTF_8))
+        Files.deleteIfExists(fp.getParent.resolve("." + fp.getFileName + ".crc"))
+      }
+    assert(battery() === want, "grouped metadata answer diverged (or read data bytes)")
+    // a data-column group key cannot be metadata-answered: the fallback
+    // parse must FAIL on the poisoned bytes rather than return garbage
+    intercept[Exception] {
+      spark.read.format("graft-json").schema(schema).load(root)
+        .groupBy($"event_id").agg(max($"ts")).collect()
+    }
+  }
 }
