@@ -7,7 +7,8 @@ unmanagedBase := file("/opt/spark/jars")
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
-  "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  "org.scalacheck" %% "scalacheck" % "1.18.0", // compile scope: graft.testkit (the publishable
+  // tectonic-test counterpart) ships ScalaCheck generators for Plate authors
 )
 Test / fork := true
 run / fork := true

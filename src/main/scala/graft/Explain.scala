@@ -22,15 +22,26 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val (flags, queryArgs) = args.toSeq.partition(_.startsWith("-"))
     val run = flags.contains("-run") // execute, then print the FINAL adaptive plan
+    val timed = flags.contains("-time") // best-of-3 wall seconds per query (A/B tool)
     val names = if (queryArgs.nonEmpty) queryArgs else Seq("q01_pricing_summary")
     names.foreach { name =>
       println(s"===== $name =====")
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (run) {
-        val n = df.collect().length
-        println(s"rows=$n")
-        println(df.queryExecution.executedPlan.toString)
-      } else df.explain("formatted")
+      if (timed) {
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"TIME $name best-of-3 = $best%.3f s")
+      } else {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (run) {
+          val n = df.collect().length
+          println(s"rows=$n")
+          println(df.queryExecution.executedPlan.toString)
+        } else df.explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -1,14 +1,26 @@
-package graft.core
+package graft.testkit
 
+import graft.core._
 import graft.core.json.JsonParser
 import graft.core.csv.CsvParser
 
-/** Shared helpers: run a parser over a fixture (optionally through a
-  * steering plate wrapper) and collect the full event stream.
+/** Publishable parser-testing harness — the graft counterpart of the
+  * reference's `tectonic-test` module (reference test/src/main:
+  * `parseRowAs` matchers + golden plates), re-expressed
+  * framework-agnostically so downstream Plate authors can use it from
+  * ScalaTest, munit, specs2, or plain asserts: golden matchers return
+  * `Either[String, Unit]` (Left = a rendered diff) and the exhaustive
+  * helpers throw with the first diverging split point.
+  *
+  * Ships in the main artifact under `graft.testkit` (this build publishes
+  * one artifact; see [[EventGens]]) and is consumed by this repo's own
+  * core specs exactly as a third party would.
   */
-object TestSupport {
+object ParserHarness {
 
   type EventPlate = Plate[List[Event]]
+
+  // ------------------------------------------------------------- JSON
 
   def jsonResult(
       input: String,
@@ -63,6 +75,8 @@ object TestSupport {
     }
   }
 
+  // ------------------------------------------------------------- CSV
+
   def csvResult(
       input: String,
       config: CsvParser.Config = CsvParser.Config(),
@@ -94,6 +108,60 @@ object TestSupport {
         sys.error(s"csv split at $i diverged:\n  merged=$merged\n  whole=$whole")
     }
   }
+
+  // ------------------------------------- golden matchers (parseRowAs)
+
+  /** The reference's `parseRowAs` matcher shape: parsing `input` must
+    * yield exactly `expected` (plus the implicit trailing `FinishRow` the
+    * row framings emit — pass it explicitly to pin it). Left carries a
+    * first-divergence diff.
+    */
+  def parsesAs(
+      input: String,
+      mode: JsonParser.Mode = JsonParser.ValueStream)(
+      expected: Event*): Either[String, Unit] =
+    jsonResult(input, mode) match {
+      case ParseResult.Failure(e) => Left(s"parse failed: $e")
+      case ParseResult.Complete(got) => diff(got, expected.toList)
+      case ParseResult.Partial(got, remaining) =>
+        Left(s"parse left $remaining unconsumed bytes after $got")
+    }
+
+  /** CSV flavor of [[parsesAs]]. */
+  def csvParsesAs(
+      input: String,
+      config: CsvParser.Config = CsvParser.Config())(
+      expected: Event*): Either[String, Unit] =
+    csvResult(input, config) match {
+      case ParseResult.Failure(e) => Left(s"parse failed: $e")
+      case ParseResult.Complete(got) => diff(got, expected.toList)
+      case ParseResult.Partial(got, remaining) =>
+        Left(s"parse left $remaining unconsumed bytes after $got")
+    }
+
+  /** Drive `events` through a fresh plate from `mkPlate` and compare the
+    * terminal batch — the law harness for custom Plate implementations
+    * (pair with [[EventGens.genStream]]).
+    */
+  def drivesTo[A](events: Seq[Event], mkPlate: () => Plate[A])(
+      expected: A): Either[String, Unit] = {
+    val got = Event.drive(events, mkPlate())
+    if (got == expected) Right(())
+    else Left(s"plate produced:\n  $got\nexpected:\n  $expected")
+  }
+
+  private def diff(got: List[Event], want: List[Event]): Either[String, Unit] =
+    if (got == want) Right(())
+    else {
+      val i = got.zip(want).indexWhere { case (a, b) => a != b }
+      val at = if (i >= 0) i else math.min(got.length, want.length)
+      Left(s"event streams diverge at index $at: " +
+        s"got ${got.lift(at).getOrElse("<end>")}, " +
+        s"expected ${want.lift(at).getOrElse("<end>")}\n" +
+        s"  full got:  $got\n  full want: $want")
+    }
+
+  // ------------------------------------------------- steering plates
 
   /** The reference specs' projection mask: keep only the given top-level
     * object key (or array index), SkipColumn everything else (semantics of

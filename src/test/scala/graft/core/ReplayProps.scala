@@ -14,43 +14,9 @@ object ReplayProps extends Properties("ReplayPlate") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10000)
 
-  private val genKey: Gen[String] = Gen.alphaNumStr.map(_.take(8))
-
-  private val genScalar: Gen[List[Event]] = Gen.frequency(
-    2 -> Gen.const(List(Nul)),
-    2 -> Gen.const(List(Fls)),
-    2 -> Gen.const(List(Tru)),
-    1 -> Gen.const(List(Map)),
-    1 -> Gen.const(List(Arr)),
-    3 -> Gen.choose(-1000000L, 1000000L).map(n => List(Num(n.toString, -1, -1))),
-    2 -> Gen.choose(0, 9999).map(n => List(Num(s"$n.5", n.toString.length, -1))),
-    3 -> Gen.asciiPrintableStr.map(s => List(Str(s.take(16)))),
-    1 -> Gen.choose(1, 500).map(n => List(Skipped(n))))
-
-  private def genValue(depth: Int): Gen[List[Event]] =
-    if (depth >= 3) genScalar
-    else Gen.frequency(
-      5 -> genScalar,
-      1 -> (for {
-        n <- Gen.choose(1, 3)
-        entries <- Gen.listOfN(n, for {
-          k <- genKey
-          v <- genValue(depth + 1)
-        } yield NestMap(k) :: v ::: List(Unnest))
-      } yield entries.flatten),
-      1 -> (for {
-        n <- Gen.choose(1, 3)
-        elems <- Gen.listOfN(n, genValue(depth + 1).map(v => NestArr :: v ::: List(Unnest)))
-      } yield elems.flatten),
-      1 -> (for {
-        k <- genKey
-        v <- genValue(depth + 1)
-      } yield NestMeta(k) :: v ::: List(Unnest)))
-
-  private val genRow: Gen[List[Event]] = genValue(0).map(_ :+ FinishRow)
-
-  private val genStream: Gen[List[Event]] =
-    Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, genRow).map(_.flatten))
+  // generators come from the published test kit, consumed here exactly
+  // as a downstream Plate author would (graft.testkit.EventGens)
+  private val genStream: Gen[List[Event]] = graft.testkit.EventGens.genStream()
 
   property("record/replay round-trips any event stream") = forAll(genStream) { events =>
     val cursor = Event.drive(events, new ReplayPlate(retainSkips = true)).get

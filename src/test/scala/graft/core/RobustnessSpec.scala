@@ -2,7 +2,7 @@ package graft.core
 
 import graft.core.json.JsonParser
 import graft.core.csv.CsvParser
-import graft.core.TestSupport._
+import graft.testkit.ParserHarness._
 import org.scalatest.funsuite.AnyFunSuite
 
 import Event._

@@ -1,7 +1,7 @@
 package graft.core.json
 
 import graft.core._
-import graft.core.TestSupport._
+import graft.testkit.ParserHarness._
 import org.scalatest.funsuite.AnyFunSuite
 
 import Event._
