@@ -970,9 +970,15 @@ object TrainingData {
     * that reach below the checkpoint fail LOUDLY with an
     * "expired" error (never a silently partial fold — snapshot
     * resolution refuses a fold that cannot reach version 0 or a readable
-    * checkpoint). Files retired before the checkpoint lose their last
-    * log reference and become reclaimable by [[vacuumOrphans]]. Returns
-    * the versions whose entries were deleted (empty in `dryRun`).
+    * checkpoint).
+    *
+    * Files referenced ONLY by the expired entries — retained-retired
+    * originals whose every snapshot just became unreadable — are
+    * physically reclaimed here too (fuzz-found: leaving them would drop
+    * them from [[expireRetired]]'s reference set while still shadowing
+    * RAW directory reads with pre-rewrite rows). Files in the
+    * checkpoint's live set or added by surviving entries are untouched.
+    * Returns the versions whose entries were deleted (empty in `dryRun`).
     */
   def expireLogHistory(spark: org.apache.spark.sql.SparkSession, dir: String,
       dryRun: Boolean = false): Seq[Long] = {
@@ -985,11 +991,25 @@ object TrainingData {
       s"expireLogHistory needs a checkpoint under $dir/.graft-log — " +
         "run checkpointLog first (the checkpoint replaces what this deletes)")
     val cv = cks.max
-    require(log.readCheckpoint(fs, root, cv).isDefined,
-      s"latest checkpoint $cv under $dir is unreadable — refusing to expire " +
-        "the raw entries it must replace")
-    val expire = log.versions(fs, root).filter(_ < cv)
+    val ckptSet = log.readCheckpoint(fs, root, cv).getOrElse(
+      throw new IllegalArgumentException(
+        s"latest checkpoint $cv under $dir is unreadable — refusing to expire " +
+          "the raw entries it must replace"))
+    val vs = log.versions(fs, root)
+    val expire = vs.filter(_ < cv)
+    val survivingAdds = vs.filter(_ >= cv)
+      .flatMap(v => log.entryActions(fs, root, v).filter(_.add).map(_.path)).toSet
+    val orphaned = expire
+      .flatMap(v => log.entryActions(fs, root, v).filter(_.add).map(_.path))
+      .toSet -- ckptSet -- survivingAdds
     if (!dryRun) {
+      // files before entries: a crash between the two leaves extra log
+      // entries (harmless) rather than unreferenced files
+      orphaned.toSeq.sorted.foreach { rel =>
+        val p = new Path(root, rel)
+        fs.delete(graft.spark.FileStats.sidecarFor(p), false)
+        fs.delete(p, false)
+      }
       expire.foreach(v => fs.delete(new Path(log.logDir(root), f"$v%020d"), false))
       cks.filter(_ < cv).foreach(v => fs.delete(log.checkpointFile(root, v), false))
     }

@@ -291,11 +291,21 @@ object AsOfJoin {
       val salt = "_asof_salt"
       require(!left.columns.contains(salt) && !right.columns.contains(salt),
         s"asofJoin: salting reserves a '$salt' column")
-      // deterministic bucket from the whole left row (a hot key with many
+      // deterministic bucket from the left row (a hot key with many
       // identical timestamps still spreads); right rows fan out to all
-      // buckets, preserving full per-key history in each
+      // buckets, preserving full per-key history in each. Map-typed
+      // columns are excluded from the hash input — xxhash64 refuses them
+      // — and a degenerate all-map row falls back to the time column.
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+      val hashIn = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+      val saltIn = if (hashIn.nonEmpty) hashIn.toSeq else Seq(col(leftTimeCol))
       val lSalted = left.withColumn(salt,
-        pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)).cast("int"))
+        pmod(xxhash64(saltIn: _*), lit(saltBuckets.toLong)).cast("int"))
       val rSalted = right.withColumn(salt,
         explode(typedLit((0 until saltBuckets).toArray)))
       return asofJoin(lSalted, rSalted, on :+ salt, leftTimeCol, rightTimeCol,

@@ -225,6 +225,17 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.columns.contains("_asof_salt"), out.columns.mkString(","))
   }
 
+  test("salted merge tolerates map-typed left columns (excluded from the salt hash)") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L, Map("a" -> 1)), (1L, 20L, Map("b" -> 2)))
+      .toDF("k", "t", "attrs").repartition(2)
+    val r = Seq((1L, 5L, 7L)).toDF("k", "rt", "rv").repartition(2)
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt", saltBuckets = 4)
+    val got = out.select($"t", $"rv").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((10L, 7L), (20L, 7L)))
+  }
+
   test("salted merge still plans through AsOfJoinExec") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "lv").repartition(2)

@@ -138,7 +138,7 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readAsOf(dir, 1).count() === 20)
   }
 
-  test("expireLogHistory: loud failures below the checkpoint, vacuum reclaims retired files") {
+  test("expireLogHistory: loud failures below the checkpoint, orphaned retirements reclaimed") {
     val dir = root.resolve("expire").toString
     df(0 until 10).write.format("graft-json").mode("overwrite").save(dir)          // v0
     TrainingData.deleteWhere(spark, dir, schema, "id < 3", retainHistory = true)   // v1
@@ -146,11 +146,19 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     TrainingData.checkpointLog(spark, dir)                                         // ckpt @ 2
     df(14 until 16).write.format("graft-json").mode("append").save(dir)            // v3
 
+    val diskBefore = new java.io.File(dir).listFiles
+      .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
     val expired = TrainingData.expireLogHistory(spark, dir)
     assert(expired === Seq(0L, 1L))
 
-    // at/after the checkpoint: exact (pinned — the retained retired file
-    // is still on disk, so raw listings are documented-stale until vacuum)
+    // the v1 rewrite's retained original was referenced ONLY by expired
+    // entries: expireLogHistory reclaims it (fuzz-found — leaving it
+    // would shadow raw reads with pre-rewrite rows while expireRetired
+    // no longer sees it), so the RAW read is exact again
+    val diskAfter = new java.io.File(dir).listFiles
+      .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(diskAfter === diskBefore - 1, s"$diskBefore -> $diskAfter")
+    assert(readLatest(dir).count() === 13)
     assert(readAsOf(dir, 2).count() === 11)
     assert(readAsOf(dir, 3).count() === 13)
     // below the checkpoint: loud, targeted
@@ -162,10 +170,8 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("expired"), e2.getMessage)
 
-    // the v1 rewrite's retired file lost its last log reference: vacuum
-    // reclaims it, but never the checkpoint-referenced live files
-    val removed = TrainingData.vacuumOrphans(spark, dir)
-    assert(removed.nonEmpty, "pre-checkpoint retired file should be vacuumable")
+    // nothing left for vacuum; live files untouched
+    assert(TrainingData.vacuumOrphans(spark, dir).isEmpty)
     assert(readLatest(dir).count() === 13)
     assert(readAsOf(dir, 2).count() === 11)
   }
