@@ -979,7 +979,11 @@ object Sources {
       n.select(($"n_nationkey" + 100).cast("long").as("k"),
           $"n_regionkey".cast("long").as("r"),
           struct(length($"n_name").cast("long").as("len")).as("meta"))
-        .write.format("graft-json").mode("append").save(q119sink)
+        .write.format("graft-json").mode("append")
+        // the batch adds columns the table has never seen: schema
+        // tracking requires the evolution to be explicit (q198 proves the
+        // recorded-schema read; this gate reads with an explicit schema)
+        .option("mergeschema", "true").save(q119sink)
       s.read.format("graft-json")
         .schema("k LONG, name STRING, r LONG, meta STRUCT<len: LONG>")
         .load(q119sink)
@@ -1490,8 +1494,11 @@ object Sources {
       val table = "/tmp/graft_tt/supplier_merge"
       val feed = "/tmp/graft_tt/supplier_merge_feed"
       val schema = "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE"
+      // cast to the DDL's types up front: schema tracking refuses an
+      // append whose types drift from what the base write recorded
       val sup = Tables(s, d, "supplier")
-        .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+        .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+          $"s_acctbal")
       sup.write.format("graft-json").mode("overwrite").save(table) // base state
       sup.filter($"s_suppkey" % 3 === 0)
         .withColumn("s_acctbal", $"s_acctbal" + 1000.0)
@@ -1874,8 +1881,10 @@ object Sources {
       import s.implicits._
       val dir = "/tmp/graft_tt/log_ckpt"
       val schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+      // cast to the DDL's types up front (schema tracking refuses drift)
       val nation = Tables(s, d, "nation")
-        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("long").as("n_regionkey"))
       val hconf = s.sparkContext.hadoopConfiguration
       val key = graft.spark.GraftCommitLog.CheckpointIntervalKey
       val prior = hconf.get(key)
@@ -1963,5 +1972,44 @@ object Sources {
             GROUP BY 1
             ORDER BY d"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197)
+  // ---------------------------------------------------------------- q198
+  // Schema evolution on a logged table (docs/TABLE_FORMAT.md "Schema
+  // tracking"): v0 writes (s_suppkey, s_name), v1 appends a third column
+  // behind option("mergeschema","true"), and BOTH reads are schemaless —
+  // the latest read's (3-column, exactly-typed) shape can only come from
+  // the commit log's recorded schema (sampling inference would type
+  // nothing better than the JSON text), old rows surface the new column
+  // as NULL, and the versionAsOf=0 pin still sees the ORIGINAL 2-column
+  // schema (v0_cols proves it). At 100 TB this is the "add a quality
+  // score to a year-old corpus without rewriting it" operation.
+  private val q198 = GQuery(
+    "q198_schema_evolution",
+    "mergeschema append: log-recorded schema read, old-row nulls, versioned schema",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/schema_evo"
+      val sup = Tables(s, d, "supplier")
+      sup.filter($"s_suppkey" % 2 === 0)
+        .select($"s_suppkey", $"s_name")
+        .write.format("graft-json").mode("overwrite").save(dir)
+      sup.filter($"s_suppkey" % 2 === 1)
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .write.format("graft-json").mode("append")
+        .option("mergeschema", "true").save(dir)
+      val v0 = s.read.format("graft-json").option("versionAsOf", "0").load(dir)
+      s.read.format("graft-json").load(dir)
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .withColumn("v0_cols", lit(v0.columns.length))
+        .withColumn("v0_rows", lit(v0.count()))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name,
+                   CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal,
+                   2 AS v0_cols,
+                   (SELECT CAST(count(*) AS BIGINT) FROM supplier
+                    WHERE s_suppkey % 2 = 0) AS v0_rows
+            FROM supplier
+            ORDER BY s_suppkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198)
 }

@@ -414,11 +414,15 @@ final class GraftAvroTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // these write options are honored by the json/csv sinks; silently
-    // dropping them here would void the guarantees they advertise
-    Seq("check", "commitremoves").foreach { opt =>
+    // dropping them here would void the guarantees they advertise.
+    // mergeschema: the avro read path resolves each file's embedded
+    // schema, not the log's merged one, so accepting the merge would
+    // record a schema the reader cannot yet serve — refuse.
+    Seq("check", "commitremoves", "mergeschema").foreach { opt =>
       require(info.options.get(opt) == null,
         s"graft-avro does not support option('$opt', ...) yet — " +
-          "use graft-json/graft-csv for CHECK constraints and COW rewrites")
+          "use graft-json/graft-csv for CHECK constraints, COW rewrites, " +
+          "and schema evolution")
     }
     new GraftAvroWriteBuilder(
       Option(info.options.get("path")).orElse(Option(properties.get("path")))
@@ -598,7 +602,8 @@ final class GraftAvroWriteBuilder(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String,
-    queryId: String)
+    queryId: String,
+    mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -606,7 +611,7 @@ final class GraftAvroWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId)
+      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId, mergeSchema)
   }
 }
 
@@ -616,10 +621,15 @@ final class GraftAvroBatchWrite(
     conf: SerializableConfiguration,
     codec: String,
     doTruncate: Boolean,
-    queryId: String)
+    queryId: String,
+    mergeSchema: Boolean = false)
     extends BatchWrite {
 
+  private var commitSchema: StructType = schema
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    commitSchema = GraftSink.resolveCommitSchema(
+      conf.value, path, schema, doTruncate, mergeSchema)
     if (doTruncate) {
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf.value)
@@ -637,7 +647,7 @@ final class GraftAvroBatchWrite(
   // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion
   // / vacuum safety for free through the shared listing
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitLog.append(conf.value, path, messages)
+    GraftCommitLog.append(conf.value, path, messages, schema = commitSchema)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

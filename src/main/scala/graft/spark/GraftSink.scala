@@ -198,6 +198,86 @@ object GraftSink {
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
       .getOrElse(Nil)
   }
+
+  /** Resolve the table schema a batch commit should record, enforcing the
+    * Delta-shaped evolution contract against the table's current recorded
+    * schema (docs/TABLE_FORMAT.md "Schema tracking"):
+    *
+    *  - overwrite / no log / no recorded schema → the incoming schema
+    *    (tracking starts with this commit);
+    *  - columns the incoming write shares with the table must keep their
+    *    exact types (ignoring nullability) — a type change is refused
+    *    loudly, never silently mixed into the directory;
+    *  - incoming-only columns require `option("mergeschema","true")` and
+    *    merge in as nullable columns AFTER the existing ones (rows already
+    *    on disk read them back as null — the JSON/CSV readers' natural
+    *    missing-key semantics);
+    *  - table columns the write omits are fine (the new rows read back
+    *    null there), and the recorded column ORDER stays the table's.
+    *
+    * Runs on the driver before any task launches, so a refused append
+    * writes nothing. Matching is by exact (case-sensitive) name — the
+    * JSON key dialect. Nested struct additions are refused as type
+    * changes (evolve top-level columns instead).
+    */
+  /** `dt` with every nesting level forced nullable — the comparison (and
+    * read-side) normalization: JSON/CSV reads are inherently nullable
+    * (missing keys, corrupt rows), exactly like spark.read.json.
+    */
+  def asNullableType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(asNullableType(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(asNullableType(m.keyType), asNullableType(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** Type equality ignoring nullability at every nesting level. */
+  def sameTypeIgnoreNullability(a: DataType, b: DataType): Boolean =
+    asNullableType(a) == asNullableType(b)
+
+  def resolveCommitSchema(conf: org.apache.hadoop.conf.Configuration,
+      path: String, incoming: StructType, truncate: Boolean,
+      mergeSchema: Boolean): StructType = {
+    if (truncate || path == null) return incoming
+    val existing: Option[StructType] = try {
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) None
+      else {
+        val vs = GraftCommitLog.versions(fs, root)
+        if (vs.isEmpty) None else GraftCommitLog.schemaAsOf(fs, root, vs.max)
+      }
+    } catch { case _: Exception => None }
+    existing match {
+      case None => incoming
+      case Some(cur) =>
+        val curByName = cur.fields.map(f => f.name -> f).toMap
+        val mismatched = incoming.fields.filter(f =>
+          curByName.get(f.name).exists(c =>
+            !sameTypeIgnoreNullability(c.dataType, f.dataType)))
+        if (mismatched.nonEmpty) {
+          val detail = mismatched.map(f =>
+            s"'${f.name}' ${curByName(f.name).dataType.simpleString} -> " +
+              f.dataType.simpleString).mkString(", ")
+          throw new IllegalArgumentException(
+            s"schema mismatch appending to $path: column type change(s) $detail — " +
+              "the graft table protocol refuses type changes (rewrite the table " +
+              "to a fresh root to retype columns)")
+        }
+        val added = incoming.fields.filterNot(f => curByName.contains(f.name))
+        if (added.isEmpty) cur
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            s"schema mismatch appending to $path: new column(s) " +
+              added.map(_.name).mkString("'", "', '", "'") +
+              " not in the table schema — pass option(\"mergeschema\",\"true\") " +
+              "to add them (existing rows read them back as null)")
+        else StructType(cur.fields ++ added.map(_.copy(nullable = true)))
+    }
+  }
 }
 
 /** DSv2 write path for `format("graft-json")`: each task streams its rows
@@ -223,7 +303,8 @@ final class GraftWriteBuilder(
     partCols: Seq[String] = Nil,
     queryId: String = "",
     removes: Seq[String] = Nil,
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -232,7 +313,7 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
-        GraftSink.batchNamePrefix(queryId), removes, check)
+        GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // a streaming epoch commit never touches the commit log, so removes
       // would be accepted-and-ignored — the one outcome a COW rewrite must
@@ -298,14 +379,21 @@ final class GraftBatchWrite(
     partCols: Seq[String] = Nil,
     namePrefix: String = "part",
     removes: Seq[String] = Nil,
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    mergeSchema: Boolean = false)
     extends BatchWrite {
 
   require(removes.isEmpty || !truncate,
     "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
       "the truncate wipes the commit log the removes would amend")
 
+  // the table schema this commit records: resolved (and the evolution
+  // contract enforced) on the driver BEFORE any task launches
+  private var commitSchema: StructType = schema
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    commitSchema =
+      GraftSink.resolveCommitSchema(conf.value, path, schema, truncate, mergeSchema)
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) {
@@ -318,7 +406,7 @@ final class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
-    GraftCommitLog.append(conf.value, path, messages, removes)
+    GraftCommitLog.append(conf.value, path, messages, removes, commitSchema)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -430,6 +518,21 @@ private object GraftManifest {
 private[graft] object GraftCommitLog {
   def logDir(root: Path): Path = new Path(root, ".graft-log")
 
+  // ---- schema tracking (`s` lines; docs/TABLE_FORMAT.md "Schema tracking")
+  // The schema JSON is base64-wrapped so exotic column names (tabs,
+  // newlines) can never corrupt the line-oriented entry format.
+  private def schemaLine(schema: StructType): String =
+    "s " + java.util.Base64.getEncoder.encodeToString(
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def parseSchemaLine(line: String): Option[StructType] = try {
+    val json = new String(java.util.Base64.getDecoder.decode(line.substring(2)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.types.DataType.fromJson(json) match {
+      case st: StructType => Some(st)
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
   /** Hadoop-conf key for the auto-checkpoint cadence (set via
     * `spark.hadoop.graft.commitlog.checkpoint.interval`); `0` disables.
     */
@@ -460,7 +563,8 @@ private[graft] object GraftCommitLog {
   }
 
   def append(conf: org.apache.hadoop.conf.Configuration, root: String,
-      messages: Array[WriterCommitMessage], removes: Seq[String] = Nil): Unit = {
+      messages: Array[WriterCommitMessage], removes: Seq[String] = Nil,
+      schema: StructType = null): Unit = {
     val files: Seq[String] = messages.toSeq.flatMap {
       case GraftCommit(f, _) => Seq(f)
       case GraftPartitionedCommit(es) => es.map(_._1)
@@ -468,7 +572,7 @@ private[graft] object GraftCommitLog {
     }
     if (files.isEmpty && removes.isEmpty) return
     try {
-      appendEntry(conf, root, files, removes)
+      appendEntry(conf, root, files, removes, schema)
     } catch {
       // a plain append's log write is best-effort (time travel degrades,
       // the write itself never fails); a rewrite's is NOT — see Scaladoc
@@ -481,14 +585,21 @@ private[graft] object GraftCommitLog {
     * root-relativized). Returns the committed version. Throws on failure.
     */
   def appendEntry(conf: org.apache.hadoop.conf.Configuration, root: String,
-      adds: Seq[String], removes: Seq[String] = Nil): Long = {
+      adds: Seq[String], removes: Seq[String] = Nil,
+      schema: StructType = null): Long = {
     require(adds.nonEmpty || removes.nonEmpty, "empty commit-log entry")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     val rootQ = fs.makeQualified(rootPath).toString
-    val header = if (removes.isEmpty) "graft-commit v1" else "graft-commit v2"
+    // v3 = v2 + an optional `s <base64 schema json>` line; entries without
+    // a schema keep the v1/v2 headers byte-identical to what older
+    // history holds (an append-only schemaless history stays pure v1)
+    val header =
+      if (schema != null) "graft-commit v3"
+      else if (removes.isEmpty) "graft-commit v1" else "graft-commit v2"
     val body = (header +:
-        (removes.map(f => "r " + relativize(fs, rootQ, f)) ++
+        ((if (schema != null) Seq(schemaLine(schema)) else Nil) ++
+          removes.map(f => "r " + relativize(fs, rootQ, f)) ++
           adds.map(f => "f " + relativize(fs, rootQ, f))))
       .mkString("", "\n", "\n")
     val dir = logDir(rootPath)
@@ -539,7 +650,12 @@ private[graft] object GraftCommitLog {
       root: Path, version: Long): Unit = {
     val fs = root.getFileSystem(conf)
     val live = liveFilesAsOf(fs, root, version).toSeq.sorted
-    val body = ("graft-checkpoint v1" +: live.map("f " + _)).mkString("", "\n", "\n")
+    // the checkpoint carries the schema as of its version so schema
+    // tracking survives expireLogHistory retiring the raw entries
+    val schema = schemaAsOf(fs, root, version)
+    val header = if (schema.isDefined) "graft-checkpoint v2" else "graft-checkpoint v1"
+    val body = (header +: (schema.map(schemaLine).toSeq ++ live.map("f " + _)))
+      .mkString("", "\n", "\n")
     val target = checkpointFile(root, version)
     val tmp = new Path(logDir(root), f".$version%020d.checkpoint.tmp")
     val out = fs.create(tmp, true)
@@ -579,9 +695,29 @@ private[graft] object GraftCommitLog {
       new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-    if (!lines.headOption.contains("graft-checkpoint v1")) return None
-    if (!lines.tail.forall(_.startsWith("f "))) return None
-    Some(lines.tail.map(_.substring(2)).toSet)
+    val v2 = lines.headOption.contains("graft-checkpoint v2")
+    if (!v2 && !lines.headOption.contains("graft-checkpoint v1")) return None
+    val tail = if (v2) lines.tail.filterNot(_.startsWith("s ")) else lines.tail
+    if (!tail.forall(_.startsWith("f "))) return None
+    Some(tail.map(_.substring(2)).toSet)
+  } catch { case _: Exception => None }
+
+  /** The schema line of a v2 checkpoint; None for v1 or unparsable. */
+  def readCheckpointSchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[StructType] = try {
+    val p = checkpointFile(root, version)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    if (!lines.headOption.contains("graft-checkpoint v2")) None
+    else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 
   /** Newest READABLE checkpoint at or before `version`, tried newest
@@ -719,11 +855,9 @@ private[graft] object GraftCommitLog {
     acts.map(_.path)
   }
 
-  /** One entry's actions, in committed order (v1 = adds only; v2 may
-    * interleave removes).
-    */
-  def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      version: Long): Seq[LogAction] = {
+  /** One entry's raw lines (header first). */
+  private def entryLines(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): (Path, Seq[String]) = {
     val p = new Path(logDir(root), f"$version%020d")
     val in = fs.open(p)
     val text = try {
@@ -733,16 +867,59 @@ private[graft] object GraftCommitLog {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-    val v2 = lines.headOption.contains("graft-commit v2")
+    (p, text.split('\n').toSeq.filter(_.nonEmpty))
+  }
+
+  /** One entry's actions, in committed order (v1 = adds only; v2 may
+    * interleave removes; v3 may additionally carry one schema line,
+    * which is not an action).
+    */
+  def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Seq[LogAction] = {
+    val (p, lines) = entryLines(fs, root, version)
+    val v3 = lines.headOption.contains("graft-commit v3")
+    val v2 = v3 || lines.headOption.contains("graft-commit v2")
     require(v2 || lines.headOption.contains("graft-commit v1"),
       s"malformed commit-log entry $p")
-    lines.tail.map { l =>
-      if (l.startsWith("f ")) LogAction(add = true, l.substring(2))
-      else if (v2 && l.startsWith("r ")) LogAction(add = false, l.substring(2))
+    lines.tail.flatMap { l =>
+      if (l.startsWith("f ")) Some(LogAction(add = true, l.substring(2)))
+      else if (v2 && l.startsWith("r ")) Some(LogAction(add = false, l.substring(2)))
+      else if (v3 && l.startsWith("s ")) None
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
   }
+
+  /** One entry's recorded table schema, if it carries one (v3). Lenient:
+    * schema lines are planning metadata, so an unparsable one degrades to
+    * None (sampling inference), never a failed read.
+    */
+  def entrySchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[StructType] = try {
+    val (_, lines) = entryLines(fs, root, version)
+    if (!lines.headOption.contains("graft-commit v3")) None
+    else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
+  } catch { case _: Exception => None }
+
+  /** The recorded table schema as of `version`: the newest `s` line at or
+    * below it. Every schema-tracking batch commit records one, so the scan
+    * normally stops at the first entry; it is bounded below by the newest
+    * checkpoint ≤ version (whose own schema line covers the prefix — a
+    * table with no schema lines in that suffix predates schema tracking).
+    * None = untracked (callers fall back to sampling inference).
+    */
+  def schemaAsOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[StructType] = try {
+    val vs = versions(fs, root).filter(_ <= version)
+    if (vs.isEmpty) return None
+    val ckptV = checkpointVersions(fs, root).filter(_ <= version)
+      .sorted(Ordering[Long].reverse).headOption
+    val floor = ckptV.getOrElse(Long.MinValue)
+    vs.sorted(Ordering[Long].reverse).iterator
+      .takeWhile(_ >= floor)
+      .flatMap(v => entrySchema(fs, root, v))
+      .nextOption()
+      .orElse(ckptV.flatMap(v => readCheckpointSchema(fs, root, v)))
+  } catch { case _: Exception => None }
 }
 
 final class GraftJsonWriterFactory(
@@ -1019,7 +1196,8 @@ final class GraftCsvWriteBuilder(
     partCols: Seq[String] = Nil,
     queryId: String = "",
     removes: Seq[String] = Nil,
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -1044,7 +1222,10 @@ final class GraftCsvWriteBuilder(
       "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
         "the truncate wipes the commit log the removes would amend")
     override def toBatch: BatchWrite = new BatchWrite {
+      private var commitSchema: StructType = schema
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        commitSchema = GraftSink.resolveCommitSchema(
+          conf.value, path, schema, doTruncate, mergeSchema)
         val dir = new Path(path)
         val fs = dir.getFileSystem(conf.value)
         if (doTruncate && fs.exists(dir))
@@ -1055,7 +1236,7 @@ final class GraftCsvWriteBuilder(
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
-        GraftCommitLog.append(conf.value, path, messages, removes)
+        GraftCommitLog.append(conf.value, path, messages, removes, commitSchema)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }

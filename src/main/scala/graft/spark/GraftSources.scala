@@ -347,6 +347,35 @@ object GraftSources {
     Option(options.get("commitremoves")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
+  /** The commit-log-recorded table schema for a schemaless read —
+    * authoritative when present (docs/TABLE_FORMAT.md "Schema tracking"):
+    * types the writer declared (dates stay dates, ints stay ints) with
+    * ZERO data bytes sampled, where inference reads a prefix of every
+    * file. Honors `versionAsOf` (the schema as of the pinned version —
+    * a column added later is absent from an older snapshot's reads);
+    * `changesSinceVersion` and plain reads use the latest. Returned
+    * nullable (missing keys read back as null, like spark.read.json).
+    * None — and never an error — when the directory has no log, no `s`
+    * lines, or `option("logschema","false")` opts back into sampling.
+    */
+  def logSchema(options: CaseInsensitiveStringMap): Option[StructType] = try {
+    if (!options.getBoolean("logschema", true)) return None
+    val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .orElse(Option(options.get("location"))).getOrElse(return None)
+    val roots = raw.split(",").map(_.trim).filter(_.nonEmpty)
+    if (roots.length != 1) return None
+    val root = new Path(roots.head
+      .stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+    val fs = root.getFileSystem(activeHadoopConf())
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return None
+    val vs = GraftCommitLog.versions(fs, root)
+    if (vs.isEmpty) return None
+    val upTo = Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).getOrElse(vs.max)
+    GraftCommitLog.schemaAsOf(fs, root, upTo)
+      .map(s => GraftSink.asNullableType(s).asInstanceOf[StructType])
+  } catch { case _: Exception => None }
+
   /** Infer partition column types the way the built-in sources do: all
     * values integral → LongType, else all numeric → DoubleType, else
     * StringType.
@@ -473,20 +502,25 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
       return StructType(Seq(org.apache.spark.sql.types.StructField(
         "value", org.apache.spark.sql.types.VariantType)))
     val listing = GraftSources.resolvePartitioned(options)
-    val conf = GraftSources.activeHadoopConf()
-    val sampleBytes = Option(options.get("samplebytes")).map(_.toLong).getOrElse(4L << 20)
-    val mode = GraftSources.jsonMode(options.asCaseSensitiveMap())
-    // sample a bounded prefix of each file on the driver
-    val merged = listing.files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
-      case (acc, GraftSources.ListedFile(p, len, _)) =>
-        val (buf, whole) = GraftSources.readPrefix(new Path(p), conf, len, sampleBytes)
-        val plate = new SchemaInference.InferencePlate
-        val parser = new JsonParser(plate, mode)
-        parser.absorb(buf)
-        if (whole) parser.finish()
-        SchemaInference.merge(acc, plate.finishBatch(true))
+    // a commit-log-recorded schema is authoritative: the writer's types
+    // (dates stay dates) with zero data bytes sampled — the piece that
+    // keeps schemaless planning O(log) instead of O(#files) prefix reads
+    val data0 = GraftSources.logSchema(options).getOrElse {
+      val conf = GraftSources.activeHadoopConf()
+      val sampleBytes = Option(options.get("samplebytes")).map(_.toLong).getOrElse(4L << 20)
+      val mode = GraftSources.jsonMode(options.asCaseSensitiveMap())
+      // sample a bounded prefix of each file on the driver
+      val merged = listing.files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
+        case (acc, GraftSources.ListedFile(p, len, _)) =>
+          val (buf, whole) = GraftSources.readPrefix(new Path(p), conf, len, sampleBytes)
+          val plate = new SchemaInference.InferencePlate
+          val parser = new JsonParser(plate, mode)
+          parser.absorb(buf)
+          if (whole) parser.finish()
+          SchemaInference.merge(acc, plate.finishBatch(true))
+      }
+      SchemaInference.toStructType(merged)
     }
-    val data0 = SchemaInference.toStructType(merged)
     // PERMISSIVE (badrecords=keep): the corrupt-record column is part of
     // the inferred schema (always appended — deterministic, all-null when
     // the data is clean; Spark only adds it when the sample has bad rows)
@@ -547,7 +581,8 @@ final class GraftJsonTable(
       // binds EVERY insert (the Delta table-constraint semantics); a
       // per-write option overrides
       check = GraftSink.checkFromOptions(
-        GraftSources.mergeTableProps(properties, info.options), info.schema()))
+        GraftSources.mergeTableProps(properties, info.options), info.schema()),
+      mergeSchema = info.options.getBoolean("mergeschema", false))
 }
 
 // ======================================================================= CSV
@@ -558,6 +593,13 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val listing = GraftSources.resolvePartitioned(options)
+    // commit-log-recorded schema wins (typed columns, not all-string
+    // header inference) — see the JSON provider's note
+    GraftSources.logSchema(options).foreach { data =>
+      val partExtra = GraftSources.partitionSchema(listing)
+        .filterNot(f => data.fieldNames.contains(f.name))
+      return StructType(data.fields ++ partExtra)
+    }
     val conf = GraftSources.activeHadoopConf()
     val config = GraftSources.csvConfig(options.asCaseSensitiveMap())
     val GraftSources.ListedFile(p, len, _) = listing.files.headOption.getOrElse(
@@ -640,7 +682,8 @@ final class GraftCsvTable(
       queryId = info.queryId(),
       removes = GraftSources.commitRemoves(info.options),
       check = GraftSink.checkFromOptions(
-        GraftSources.mergeTableProps(properties, info.options), info.schema()))
+        GraftSources.mergeTableProps(properties, info.options), info.schema()),
+      mergeSchema = info.options.getBoolean("mergeschema", false))
   }
 }
 

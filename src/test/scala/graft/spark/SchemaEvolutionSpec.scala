@@ -1,0 +1,227 @@
+package graft.spark
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+/** Schema tracking + evolution for the graft table protocol
+  * (docs/TABLE_FORMAT.md "Schema tracking"):
+  *
+  *  - every batch commit records the table schema in its log entry, and a
+  *    schemaless read uses it — typed (dates stay dates), zero data bytes
+  *    sampled, versionAsOf returns the schema AS OF that version;
+  *  - appends are ENFORCED against it: a type change refuses loudly, a
+  *    new column requires option("mergeschema","true") and merges in as a
+  *    nullable column (old rows read back null), a column the write omits
+  *    is fine (new rows read back null);
+  *  - the schema survives checkpoint + expireLogHistory, overwrite resets
+  *    it, logschema=false opts back into sampling inference, and a
+  *    user-provided read schema always wins.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-schema-evo")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("schema-evolution-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def dir(name: String): String = root.resolve(name).toString
+
+  private def v1(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+  }
+  private def v2(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((3L, "c", 0.5), (4L, "d", 1.5)).toDF("id", "name", "score")
+  }
+
+  test("schemaless read uses the recorded schema: typed, ordered, versioned") {
+    val d = dir("basic")
+    val s = spark
+    import s.implicits._
+    // a date column is the acid test: the JSON text serializes it as an
+    // ISO string, so sampling inference reads STRING — only the recorded
+    // schema can give the date back
+    val df = Seq((1L, java.sql.Date.valueOf("2026-01-02")), (2L, null))
+      .toDF("id", "d")
+      .select($"id", $"d".cast(DateType).as("d"))
+    df.write.format("graft-json").mode("overwrite").save(d)
+
+    val back = spark.read.format("graft-json").load(d)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("id", LongType), ("d", DateType)))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), Option(r.getDate(1)).map(_.toString))).toSeq ===
+      Seq((1L, Some("2026-01-02")), (2L, None)))
+
+    // sampling opt-out: the date column degrades to the string the file holds
+    val sampled = spark.read.format("graft-json").option("logschema", "false").load(d)
+    assert(sampled.schema("d").dataType === StringType)
+
+    // user-provided schema always wins over the log
+    val forced = spark.read.format("graft-json")
+      .schema("id INT, d STRING").load(d)
+    assert(forced.schema("id").dataType === IntegerType)
+  }
+
+  test("mergeschema append: new nullable column, old rows null, time travel keeps the old schema") {
+    val d = dir("merge")
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    v2(spark).write.format("graft-json").mode("append")
+      .option("mergeschema", "true").save(d)
+
+    val back = spark.read.format("graft-json").load(d)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    val rows = back.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, "a", null), (2L, "b", null), (3L, "c", 0.5), (4L, "d", 1.5)))
+
+    // schema AS OF version 0: the old two-column world
+    val v0 = spark.read.format("graft-json").option("versionAsOf", "0").load(d)
+    assert(v0.columns.toSeq === Seq("id", "name"))
+    assert(v0.count() === 2)
+  }
+
+  test("append with a new column and no mergeschema refuses loudly; nothing is written") {
+    val d = dir("refuse-new")
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    val e = intercept[Exception] {
+      v2(spark).write.format("graft-json").mode("append").save(d)
+    }
+    assert(e.getMessage.contains("mergeschema"), e.getMessage)
+    assert(spark.read.format("graft-json").load(d).count() === 2)
+  }
+
+  test("type change refuses even with mergeschema") {
+    val d = dir("refuse-type")
+    val s = spark
+    import s.implicits._
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    val retyped = Seq(("5", "e")).toDF("id", "name") // id STRING, was BIGINT
+    val e = intercept[Exception] {
+      retyped.write.format("graft-json").mode("append")
+        .option("mergeschema", "true").save(d)
+    }
+    assert(e.getMessage.contains("type change"), e.getMessage)
+  }
+
+  test("subset append is fine: omitted column reads back null; column order stays the table's") {
+    val d = dir("subset")
+    val s = spark
+    import s.implicits._
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    // missing 'name'
+    Seq(9L).toDF("id").write.format("graft-json").mode("append").save(d)
+    val back = spark.read.format("graft-json").load(d)
+    assert(back.columns.toSeq === Seq("id", "name"))
+    assert(back.filter($"id" === 9L).select($"name").collect().head.isNullAt(0))
+  }
+
+  test("overwrite resets the schema; avro records and enforces too") {
+    val d = dir("reset")
+    val s = spark
+    import s.implicits._
+    v2(spark).write.format("graft-json").mode("overwrite").save(d)
+    // overwrite with a DIFFERENT, incompatible schema is fine
+    Seq(("x", 1)).toDF("k", "v").write.format("graft-json").mode("overwrite").save(d)
+    assert(spark.read.format("graft-json").load(d).columns.toSeq === Seq("k", "v"))
+
+    val ad = dir("avro")
+    Seq((1L, "a")).toDF("id", "name").write.format("graft-avro").mode("overwrite").save(ad)
+    val e = intercept[Exception] {
+      Seq((2L, "b", 1.0)).toDF("id", "name", "score")
+        .write.format("graft-avro").mode("append").save(ad)
+    }
+    assert(e.getMessage.contains("mergeschema"), e.getMessage)
+  }
+
+  test("csv: recorded schema gives typed columns back; merge + old-row nulls") {
+    val d = dir("csv")
+    v1(spark).write.format("graft-csv").mode("overwrite").save(d)
+    v2(spark).write.format("graft-csv").mode("append")
+      .option("mergeschema", "true").save(d)
+    val back = spark.read.format("graft-csv").load(d)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("id", LongType), ("name", StringType), ("score", DoubleType)))
+    val rows = back.orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, null), (2L, null), (3L, 0.5), (4L, 1.5)))
+  }
+
+  test("schema survives checkpoint + expireLogHistory") {
+    val d = dir("ckpt")
+    val s = spark
+    import s.implicits._
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    v2(spark).write.format("graft-json").mode("append")
+      .option("mergeschema", "true").save(d)
+    (0 until 3).foreach { i =>
+      Seq((10L + i, s"r$i", 2.0)).toDF("id", "name", "score")
+        .write.format("graft-json").mode("append").save(d)
+    }
+    graft.api.TrainingData.checkpointLog(spark, d)
+    graft.api.TrainingData.expireLogHistory(spark, d)
+    val back = spark.read.format("graft-json").load(d)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    assert(back.schema("score").dataType === DoubleType)
+    // the raw pre-checkpoint entries are gone: the schema came from the
+    // checkpoint's own `s` line
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = GraftCommitLog.versions(fs, new Path(d))
+    assert(vs.min > 0L)
+    assert(GraftCommitLog.schemaAsOf(fs, new Path(d), vs.max).isDefined)
+  }
+
+  test("partitioned table: recorded schema keeps the logical column order and types") {
+    val d = dir("part")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "us", 0.1), (2L, "de", 0.2)).toDF("id", "region", "w")
+      .write.format("graft-json").option("partitionby", "region")
+      .mode("overwrite").save(d)
+    val back = spark.read.format("graft-json").load(d)
+    // logical order (id, region, w) — not the inference layout order
+    // (data cols then partition cols at the end)
+    assert(back.columns.toSeq === Seq("id", "region", "w"))
+    assert(back.schema("region").dataType === StringType)
+    assert(back.orderBy("id").select($"region").as[String].collect().toSeq === Seq("us", "de"))
+    // withFilePath still rides on top of the recorded schema
+    val wf = spark.read.format("graft-json").option("withfilepath", "true").load(d)
+    assert(wf.columns.toSeq === Seq("id", "region", "w", "_graft_file"))
+  }
+
+  test("COW maintenance on an evolved table keeps the merged schema") {
+    val d = dir("cow")
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    v2(spark).write.format("graft-json").mode("append")
+      .option("mergeschema", "true").save(d)
+    graft.api.TrainingData.deleteWhere(spark, d,
+      "id BIGINT, name STRING, score DOUBLE", "id = 3")
+    val back = spark.read.format("graft-json").load(d)
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    assert(back.count() === 3)
+    val s = spark
+    import s.implicits._
+    assert(!back.select($"id").as[Long].collect().contains(3L))
+  }
+}
