@@ -2011,5 +2011,64 @@ object Sources {
             FROM supplier
             ORDER BY s_suppkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198)
+  // ---------------------------------------------------------------- q199
+  // Intra-file BLOCK skipping (the parquet row-group analog, docs/
+  // TABLE_FORMAT.md "Stats sidecars"): events land SORTED in one file
+  // with 64 KiB blocks, every block the filter cannot select is POISONED
+  // with same-length garbage, and the filtered read must still be exact —
+  // the proof that planning turned the pushed filter into exact surviving
+  // byte ranges and the pruned ranges were never parsed. At 100 TB this
+  // is what makes a selective filter on a sorted/z-ordered corpus read
+  // MBs per file instead of the whole ~1 GB file.
+  private val q199 = GQuery(
+    "q199_block_skipping",
+    "intra-file block pruning on a sorted file (poisoned-block proof)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/block_skip"
+      val ev = Tables(s, d, "events").select($"event_id", $"event_type", $"value")
+      val maxId = ev.agg(max($"event_id")).head.getLong(0) // one scalar
+      val cut = maxId / 10 // the filter window, scale-relative
+      ev.repartition(1).sortWithinPartitions("event_id")
+        .write.format("graft-json").mode("overwrite")
+        .option("blockbytes", "4096").save(dir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dataFile = fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.endsWith(".jsonl") && !p.getName.startsWith("."))
+        .head
+      val len = fs.getFileStatus(dataFile).getLen
+      val blocks = graft.spark.FileStats.load(fs, dataFile).get.validBlocks(len)
+      require(blocks.length > 4, s"q199: expected many blocks, got ${blocks.length}")
+      // poison every block the `event_id < cut` filter can never select
+      // (margin of 2x so a block straddling the cut stays clean)
+      val p = java.nio.file.Paths.get(dataFile.toUri)
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      val victims = blocks.filter(_.cols("event_id").min.asInstanceOf[Long] >= 2 * cut)
+      require(victims.nonEmpty, "q199: poisoning proof would be vacuous")
+      victims.foreach { b =>
+        java.util.Arrays.fill(bytes, b.start.toInt, b.end.toInt, '#'.toByte)
+        bytes(b.end.toInt - 1) = '\n'.toByte
+      }
+      java.nio.file.Files.write(p, bytes)
+      java.nio.file.Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName + ".crc"))
+      s.read.format("graft-json")
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .load(dir)
+        .filter($"event_id" < cut)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("sum_id"),
+          min($"value").as("min_v"), max($"value").as("max_v"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   min(value) AS min_v, max(value) AS max_v
+            FROM events
+            WHERE event_id < (SELECT max(event_id) // 10 FROM events)
+            GROUP BY event_type
+            ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199)
 }

@@ -195,8 +195,41 @@ object FileStats {
       minExact: Boolean = true, maxExact: Boolean = true, sum: Any = null,
       bloom: Bloom = null, sorted: Boolean = false)
 
-  /** dataLen -1 = unknown (legacy sidecar without a `len` line). */
-  final case class Stats(rows: Long, cols: Map[String, ColStats], dataLen: Long = -1L)
+  /** One intra-file block: `[start, end)` BYTE range whose boundaries the
+    * writer guarantees to be exact row starts (so a reader may begin at
+    * `start` with no realignment and stop at `end` exactly), with the
+    * block's own (rows, per-column nulls/min/max) — the parquet row-group
+    * analog for the line formats. Blocks carry no sums/blooms/sorted
+    * flags: they exist for range pruning only.
+    */
+  final case class Block(start: Long, end: Long, rows: Long,
+      cols: Map[String, ColStats])
+
+  /** dataLen -1 = unknown (legacy sidecar without a `len` line).
+    * `blocks`: intra-file block stats (empty = none recorded); use
+    * [[validBlocks]] rather than reading this raw.
+    */
+  final case class Stats(rows: Long, cols: Map[String, ColStats],
+      dataLen: Long = -1L, blocks: Seq[Block] = Nil) {
+    /** Blocks, iff they provably tile the file: contiguous, ascending,
+      * starting at 0 and ending exactly at `expectedLen` (the LISTING's
+      * length). Anything else — a partial recording, a stale sidecar, a
+      * compressed member — yields Nil and planning treats the file as
+      * one opaque range, never a wrong subset.
+      */
+    def validBlocks(expectedLen: Long): Seq[Block] = {
+      if (blocks.isEmpty || expectedLen <= 0) return Nil
+      var prev = 0L
+      var i = 0
+      while (i < blocks.length) {
+        val b = blocks(i)
+        if (b.start != prev || b.end <= b.start) return Nil
+        prev = b.end
+        i += 1
+      }
+      if (prev != expectedLen) Nil else blocks
+    }
+  }
 
   def sidecarFor(dataFile: Path): Path =
     new Path(dataFile.getParent, "." + dataFile.getName + ".stats")
@@ -292,6 +325,19 @@ object FileStats {
           .append('\t').append(b64Bytes(longsToBytes(c.bloom.bits)))
           .append('\n')
     }
+    // intra-file blocks: a `blk` header then one `bcol` per tracked column
+    // (both tags are ignored by pre-block parsers — forward-compatible)
+    stats.blocks.foreach { b =>
+      sb.append("blk\t").append(b.start).append('\t').append(b.end)
+        .append('\t').append(b.rows).append('\n')
+      b.cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+        sb.append("bcol\t").append(b64(name)).append('\t').append(c.kind)
+          .append('\t').append(c.nulls)
+          .append('\t').append(encodeValue(c.kind, c.min, c.minExact))
+          .append('\t').append(encodeValue(c.kind, c.max, c.maxExact))
+          .append('\n')
+      }
+    }
   }
 
   def render(stats: Stats): String = {
@@ -333,8 +379,17 @@ object FileStats {
       var dlen = -1L
       var cols = Map.newBuilder[String, ColStats]
       var blooms = Map.newBuilder[String, Bloom]
+      var blocks = Seq.newBuilder[Block]
+      var bStart = -1L; var bEnd = -1L; var bRows = -1L
+      var bCols = Map.newBuilder[String, ColStats]
+      def flushBlk(): Unit = if (bRows >= 0) {
+        blocks += Block(bStart, bEnd, bRows, bCols.result())
+        bRows = -1L; bCols = Map.newBuilder[String, ColStats]
+      }
       def flush(): Unit = if (name != null && rows >= 0) {
-        out += name -> Stats(rows, withBlooms(cols.result(), blooms.result()), dlen)
+        flushBlk()
+        out += name -> Stats(rows, withBlooms(cols.result(), blooms.result()),
+          dlen, blocks.result())
       }
       lines.drop(1).foreach { line =>
         val p = line.split("\t", -1)
@@ -344,6 +399,8 @@ object FileStats {
             name = unb64(p(1)); rows = -1L; dlen = -1L
             cols = Map.newBuilder[String, ColStats]
             blooms = Map.newBuilder[String, Bloom]
+            blocks = Seq.newBuilder[Block]; bRows = -1L
+            bCols = Map.newBuilder[String, ColStats]
           case "rows" => rows = p(1).toLong
           case "len" => dlen = p(1).toLong
           case "col" =>
@@ -356,6 +413,15 @@ object FileStats {
           case "bloom" =>
             blooms += unb64(p(1)) -> Bloom(p(2).toInt,
               bytesToLongs(java.util.Base64.getDecoder.decode(p(3))))
+          case "blk" =>
+            flushBlk()
+            bStart = p(1).toLong; bEnd = p(2).toLong; bRows = p(3).toLong
+          case "bcol" => if (bRows >= 0) {
+            val kind = p(2).charAt(0)
+            bCols += unb64(p(1)) -> ColStats(
+              kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
+              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"))
+          }
           case _ => ()
         }
       }
@@ -396,6 +462,13 @@ object FileStats {
       var len = -1L
       val cols = Map.newBuilder[String, ColStats]
       val blooms = Map.newBuilder[String, Bloom]
+      val blocks = Seq.newBuilder[Block]
+      var bStart = -1L; var bEnd = -1L; var bRows = -1L
+      var bCols = Map.newBuilder[String, ColStats]
+      def flushBlk(): Unit = if (bRows >= 0) {
+        blocks += Block(bStart, bEnd, bRows, bCols.result())
+        bRows = -1L; bCols = Map.newBuilder[String, ColStats]
+      }
       lines.drop(1).foreach { line =>
         val p = line.split("\t", -1)
         p(0) match {
@@ -411,11 +484,22 @@ object FileStats {
           case "bloom" =>
             blooms += unb64(p(1)) -> Bloom(p(2).toInt,
               bytesToLongs(java.util.Base64.getDecoder.decode(p(3))))
+          case "blk" =>
+            flushBlk()
+            bStart = p(1).toLong; bEnd = p(2).toLong; bRows = p(3).toLong
+          case "bcol" => if (bRows >= 0) {
+            val kind = p(2).charAt(0)
+            bCols += unb64(p(1)) -> ColStats(
+              kind, p(3).toLong, decodeValue(kind, p(4)), decodeValue(kind, p(5)),
+              minExact = !p(4).startsWith("~"), maxExact = !p(5).startsWith("~"))
+          }
           case _ => () // forward-compatible: unknown lines ignored
         }
       }
+      flushBlk()
       if (rows < 0) None
-      else Some(Stats(rows, withBlooms(cols.result(), blooms.result()), len))
+      else Some(Stats(rows, withBlooms(cols.result(), blooms.result()), len,
+        blocks.result()))
     } catch { case _: Exception => None }
   }
 
@@ -484,7 +568,8 @@ object FileStats {
   */
 private[spark] final class FileStatsCollector(schema: StructType,
     nonFiniteAsNull: Boolean = false,
-    emptyStringsAsNull: Boolean = false) {
+    emptyStringsAsNull: Boolean = false,
+    blockBytes: Long = 0L) {
   import FileStats._
 
   // (field index, name, kind) for supported columns
@@ -528,6 +613,19 @@ private[spark] final class FileStatsCollector(schema: StructType,
   private val unsorted = new Array[Boolean](tracked.length)
   private var rows = 0L
 
+  // intra-file block accumulation (blockBytes > 0): per-block min/max/null
+  // lanes updated in the same observe pass; the WRITER calls noteBytes
+  // after each serialized row, and a block closes at the next row boundary
+  // past the byte budget — so every boundary is an exact row start
+  private val bmins = new Array[Any](tracked.length)
+  private val bmaxs = new Array[Any](tracked.length)
+  private val bnulls = new Array[Long](tracked.length)
+  private var bRows = 0L
+  private var blockStartByte = 0L
+  private var totalBytes = 0L
+  private val blockBuf =
+    if (blockBytes > 0) Seq.newBuilder[FileStats.Block] else null
+
   @inline private def bloomAdd(t: Int, h: (Long, Long)): Unit = {
     val arr = blooms(t)
     var i = 0
@@ -558,6 +656,7 @@ private[spark] final class FileStatsCollector(schema: StructType,
     */
   def observeProjected(row: InternalRow, proj: Array[Int]): Unit = {
     rows += 1
+    if (blockBuf != null) bRows += 1
     var t = 0
     while (t < tracked.length) {
       val (si, _, kind) = tracked(t)
@@ -576,6 +675,7 @@ private[spark] final class FileStatsCollector(schema: StructType,
         (emptyStringsAsNull && kind == 's' && row.getUTF8String(i).numBytes == 0)
       if (asNull) {
         nulls(t) += 1
+        if (blockBuf != null) bnulls(t) += 1
         // NULLS FIRST: a null after any non-null value breaks the order
         if (nonNull(t) > 0) unsorted(t) = true
       } else {
@@ -601,6 +701,10 @@ private[spark] final class FileStatsCollector(schema: StructType,
         }
         if (mins(t) == null || cmp(kind, v, mins(t)) < 0) mins(t) = v
         if (maxs(t) == null || cmp(kind, v, maxs(t)) > 0) maxs(t) = v
+        if (blockBuf != null) {
+          if (bmins(t) == null || cmp(kind, v, bmins(t)) < 0) bmins(t) = v
+          if (bmaxs(t) == null || cmp(kind, v, bmaxs(t)) > 0) bmaxs(t) = v
+        }
         if (!unsorted(t)) {
           if (prevs(t) != null && cmp(kind, v, prevs(t)) < 0) unsorted(t) = true
           else prevs(t) = v
@@ -626,6 +730,53 @@ private[spark] final class FileStatsCollector(schema: StructType,
       }
       t += 1
     }
+  }
+
+  /** WRITER hook: account `n` serialized bytes for the row just observed
+    * (header bytes count too — block 0 simply includes them). Closing
+    * happens here, at a row boundary, once the byte budget is crossed.
+    */
+  def noteBytes(n: Long): Unit = {
+    totalBytes += n
+    if (blockBuf != null && totalBytes - blockStartByte >= blockBytes) closeBlock()
+  }
+
+  private def closeBlock(): Unit = {
+    if (bRows <= 0) { blockStartByte = totalBytes; return }
+    val cols = tracked.zipWithIndex.map { case ((_, name, kind), t) =>
+      val (mn, mnExact) = (kind, bmins(t)) match {
+        case ('s', u: UTF8String) if u.numBytes > MaxStringStatBytes =>
+          (truncatePrefix(u, MaxStringStatBytes), false)
+        case (_, v) => (v, true)
+      }
+      val (mx, mxExact) = (kind, bmaxs(t)) match {
+        case ('s', u: UTF8String) if u.numBytes > MaxStringStatBytes =>
+          truncateUpperBound(u, MaxStringStatBytes) match {
+            case Some(ub) => (ub, false)
+            case None => (u, true)
+          }
+        case (_, v) => (v, true)
+      }
+      name -> ColStats(kind, bnulls(t), mn, mx, mnExact, mxExact)
+    }.toMap
+    blockBuf += FileStats.Block(blockStartByte, totalBytes, bRows, cols)
+    java.util.Arrays.fill(bmins.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(bmaxs.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(bnulls, 0L)
+    bRows = 0L
+    blockStartByte = totalBytes
+  }
+
+  /** The recorded blocks, iff ≥ 2 and the byte accounting matches the
+    * published file exactly (compressed sinks count uncompressed bytes,
+    * so their accounting can never match — blocks drop out by
+    * construction). A single block adds nothing over the file stats.
+    */
+  private def finishBlocks(dataLen: Long): Seq[FileStats.Block] = {
+    if (blockBuf == null) return Nil
+    closeBlock()
+    val bs = blockBuf.result()
+    if (bs.length >= 2 && dataLen == totalBytes) bs else Nil
   }
 
   def snapshot(dataLen: Long = -1L): Stats = Stats(rows,
@@ -663,5 +814,5 @@ private[spark] final class FileStatsCollector(schema: StructType,
         }
       name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum, bloom,
         sorted = !unsorted(t))
-    }.toMap, dataLen)
+    }.toMap, dataLen, finishBlocks(dataLen))
 }

@@ -199,6 +199,16 @@ object GraftSink {
       .getOrElse(Nil)
   }
 
+  /** Default intra-file block size for the stats sidecars (the parquet
+    * row-group analog; docs/TABLE_FORMAT.md "Stats sidecars"). Override
+    * per write with `option("blockbytes", n)`; 0 disables.
+    */
+  val DefaultBlockBytes: Long = 8L << 20
+
+  def blockBytesFrom(options: java.util.Map[String, String]): Long =
+    Option(options.get("blockbytes")).map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).getOrElse(DefaultBlockBytes)
+
   /** Resolve the table schema a batch commit should record, enforcing the
     * Delta-shaped evolution contract against the table's current recorded
     * schema (docs/TABLE_FORMAT.md "Schema tracking"):
@@ -304,7 +314,8 @@ final class GraftWriteBuilder(
     queryId: String = "",
     removes: Seq[String] = Nil,
     check: GraftSink.CheckSpec = null,
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -313,7 +324,7 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
-        GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema)
+        GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema, blockBytes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // a streaming epoch commit never touches the commit log, so removes
       // would be accepted-and-ignored — the one outcome a COW rewrite must
@@ -322,7 +333,7 @@ final class GraftWriteBuilder(
         "option(\"commitremoves\", ...) is batch-only: streaming epoch commits " +
           "do not write the commit log, so the removes would be silently lost — " +
           "route COW rewrites through foreachBatch + batch mode(\"append\")")
-      new GraftStreamingWrite(path, schema, conf, codec, partCols, check)
+      new GraftStreamingWrite(path, schema, conf, codec, partCols, check, blockBytes)
     }
   }
 }
@@ -341,14 +352,16 @@ final class GraftStreamingWrite(
     conf: SerializableConfiguration,
     codec: String = "none",
     partCols: Seq[String] = Nil,
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(path, schema, conf, codec, partCols, check)
+    new GraftStreamingWriterFactory(path, schema, conf, codec, partCols, check,
+      blockBytes)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -361,13 +374,14 @@ final class GraftStreamingWriterFactory(
     conf: SerializableConfiguration,
     codec: String = "none",
     partCols: Seq[String] = Nil,
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
       namePrefix = f"part-$epochId%05d", codec = codec, partCols = partCols,
-      check = check)
+      check = check, blockBytes = blockBytes)
 }
 
 final class GraftBatchWrite(
@@ -380,7 +394,8 @@ final class GraftBatchWrite(
     namePrefix: String = "part",
     removes: Seq[String] = Nil,
     check: GraftSink.CheckSpec = null,
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends BatchWrite {
 
   require(removes.isEmpty || !truncate,
@@ -401,7 +416,8 @@ final class GraftBatchWrite(
       fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf, codec, partCols, namePrefix, check)
+    new GraftJsonWriterFactory(path, schema, conf, codec, partCols, namePrefix,
+      check, blockBytes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -929,10 +945,12 @@ final class GraftJsonWriterFactory(
     codec: String = "none",
     partCols: Seq[String] = Nil,
     namePrefix: String = "part",
-    check: GraftSink.CheckSpec = null) extends DataWriterFactory {
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftJsonDataWriter(path, schema, conf, partitionId, taskId,
-      namePrefix = namePrefix, codec = codec, partCols = partCols, check = check)
+      namePrefix = namePrefix, codec = codec, partCols = partCols, check = check,
+      blockBytes = blockBytes)
 }
 
 final class GraftJsonDataWriter(
@@ -944,7 +962,8 @@ final class GraftJsonDataWriter(
     namePrefix: String = "part",
     codec: String = "none",
     partCols: Seq[String] = Nil,
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -983,8 +1002,12 @@ final class GraftJsonDataWriter(
       }
     }
     // nonFiniteAsNull: this writer serializes NaN/±Inf as JSON null —
-    // the stats must describe the file, not the in-memory rows
-    val stats = new FileStatsCollector(dataSchema, nonFiniteAsNull = true)
+    // the stats must describe the file, not the in-memory rows.
+    // blocks only make sense where byte offsets are file offsets
+    // (uncompressed) — the collector's length binding would drop them
+    // for compressed members anyway, so don't pay the accounting
+    val stats = new FileStatsCollector(dataSchema, nonFiniteAsNull = true,
+      blockBytes = if (codec == "none") blockBytes else 0L)
 
     /** Atomic publish + bound sidecar; returns (file, rendered stats). */
     def publish(): (String, String) = {
@@ -1059,8 +1082,10 @@ final class GraftJsonDataWriter(
     sb.setLength(0)
     GraftJsonDataWriter.writeStruct(sb, r, sch)
     sb.append('\n')
-    sink.out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    sink.out.write(bytes)
     sink.stats.observe(r)
+    sink.stats.noteBytes(bytes.length)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1197,7 +1222,8 @@ final class GraftCsvWriteBuilder(
     queryId: String = "",
     removes: Seq[String] = Nil,
     check: GraftSink.CheckSpec = null,
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -1232,7 +1258,7 @@ final class GraftCsvWriteBuilder(
           fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
         fs.mkdirs(dir)
         new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep,
-          partCols, GraftSink.batchNamePrefix(queryId), check)
+          partCols, GraftSink.batchNamePrefix(queryId), check, blockBytes)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
@@ -1248,7 +1274,8 @@ final class GraftCsvWriteBuilder(
         "option(\"commitremoves\", ...) is batch-only: streaming epoch commits " +
           "do not write the commit log, so the removes would be silently lost — " +
           "route COW rewrites through foreachBatch + batch mode(\"append\")")
-      new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep, partCols, check)
+      new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep,
+        partCols, check, blockBytes)
     }
   }
 }
@@ -1262,14 +1289,15 @@ final class GraftCsvStreamingWrite(
     delim: String,
     linesep: String,
     partCols: Seq[String],
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
     new GraftCsvStreamingWriterFactory(path, schema, conf, codec, header, delim, linesep,
-      partCols, check)
+      partCols, check, blockBytes)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -1284,13 +1312,14 @@ final class GraftCsvStreamingWriterFactory(
     delim: String,
     linesep: String,
     partCols: Seq[String],
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec,
       header, delim, linesep, partCols, namePrefix = f"part-$epochId%05d",
-      check = check)
+      check = check, blockBytes = blockBytes)
 }
 
 final class GraftCsvWriterFactory(
@@ -1303,10 +1332,11 @@ final class GraftCsvWriterFactory(
     linesep: String,
     partCols: Seq[String] = Nil,
     namePrefix: String = "part",
-    check: GraftSink.CheckSpec = null) extends DataWriterFactory {
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftCsvDataWriter(path, schema, conf, partitionId, taskId, codec, header,
-      delim, linesep, partCols, namePrefix, check)
+      delim, linesep, partCols, namePrefix, check, blockBytes)
 }
 
 final class GraftCsvDataWriter(
@@ -1321,7 +1351,8 @@ final class GraftCsvDataWriter(
     linesep: String,
     partCols: Seq[String] = Nil,
     namePrefix: String = "part",
-    check: GraftSink.CheckSpec = null)
+    check: GraftSink.CheckSpec = null,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -1359,7 +1390,8 @@ final class GraftCsvDataWriter(
     }
     // emptyStringsAsNull: this dialect's reader parses empty cells as
     // NULL, and empty strings write as empty cells — stats must agree
-    val stats = new FileStatsCollector(dataSchema, emptyStringsAsNull = true)
+    val stats = new FileStatsCollector(dataSchema, emptyStringsAsNull = true,
+      blockBytes = if (codec == "none") blockBytes else 0L)
     if (header) {
       sb.setLength(0)
       var i = 0
@@ -1369,7 +1401,9 @@ final class GraftCsvDataWriter(
         i += 1
       }
       sb.append(linesep)
-      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hb = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.write(hb)
+      stats.noteBytes(hb.length) // block 0 includes the header bytes
     }
 
     def publish(): (String, String) = {
@@ -1462,8 +1496,10 @@ final class GraftCsvDataWriter(
       k += 1
     }
     sb.append(linesep)
-    sink.out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    sink.out.write(bytes)
     sink.stats.observeProjected(row, dataFieldIdx)
+    sink.stats.noteBytes(bytes.length)
   }
 
   override def commit(): WriterCommitMessage = {

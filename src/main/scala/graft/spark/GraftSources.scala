@@ -483,7 +483,12 @@ final case class GraftInputPartition(
     // typed hive-partition key (partCols order) — set only when the scan
     // reports KeyGroupedPartitioning; Spark consults it to group co-
     // partitioned splits for storage-partitioned joins
-    partKey: InternalRow = null)
+    partKey: InternalRow = null,
+    // block-pruned range (sidecar `blk` lanes): the WRITER guaranteed
+    // [start, end) are exact row boundaries, so the feeder starts with no
+    // realignment and stops at `end` exactly — rows in skipped sibling
+    // ranges are never parsed
+    aligned: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -582,7 +587,9 @@ final class GraftJsonTable(
       // per-write option overrides
       check = GraftSink.checkFromOptions(
         GraftSources.mergeTableProps(properties, info.options), info.schema()),
-      mergeSchema = info.options.getBoolean("mergeschema", false))
+      mergeSchema = info.options.getBoolean("mergeschema", false),
+      blockBytes = GraftSink.blockBytesFrom(
+        GraftSources.mergeTableProps(properties, info.options)))
 }
 
 // ======================================================================= CSV
@@ -683,7 +690,9 @@ final class GraftCsvTable(
       removes = GraftSources.commitRemoves(info.options),
       check = GraftSink.checkFromOptions(
         GraftSources.mergeTableProps(properties, info.options), info.schema()),
-      mergeSchema = info.options.getBoolean("mergeschema", false))
+      mergeSchema = info.options.getBoolean("mergeschema", false),
+      blockBytes = GraftSink.blockBytesFrom(
+        GraftSources.mergeTableProps(properties, info.options)))
   }
 }
 
@@ -1195,21 +1204,76 @@ final class GraftScan(
     // storage-partitioned reads: stamp each split's typed directory key
     // so Spark can group co-partitioned splits (HasPartitionKey)
     val stampKeys = canReportPartitioning(pf)
-    pf.flatMap { case GraftSources.ListedFile(p, len, pv) =>
+
+    // Intra-file BLOCK skipping (sidecar `blk` lanes — the parquet
+    // row-group analog): with pushed data filters and writer-recorded
+    // blocks, plan only the byte ranges whose block stats may match. The
+    // writer guaranteed block boundaries are exact row starts, so the
+    // surviving ranges read with no realignment and stop exactly — rows
+    // in pruned blocks are never parsed. JSON engages in lines mode (the
+    // only mode the sink writes); CSV engages regardless of `splittable`
+    // (exact boundaries need no delimiter-in-value assumption).
+    val blockFilters: Array[Filter] =
+      if (!options.getBoolean("dataskipping", true)) Array.empty
+      else if (isJson &&
+          GraftSources.jsonMode(options.asCaseSensitiveMap()) != JsonParser.ValueStream)
+        Array.empty
+      else FilterEval.normalize((filters ++ runtimeFilters).filter(f =>
+        f.references.length == 1 && !listing.partCols.contains(f.references.head)))
+    var blocksPruned = 0
+    def blockRanges(p: String, len: Long): Option[Seq[(Long, Long)]] = {
+      if (blockFilters.isEmpty) return None
+      val blocks = sidecarStats(p, len).map(_.validBlocks(len)).getOrElse(Nil)
+      if (blocks.isEmpty) return None
+      val surviving = blocks.filterNot { b =>
+        blockFilters.exists { flt =>
+          b.cols.get(flt.references.head).exists(c =>
+            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, b.rows))
+        }
+      }
+      if (surviving.length == blocks.length) return None // nothing pruned
+      blocksPruned += blocks.length - surviving.length
+      // merge contiguous survivors into runs, chopped near maxSplit so a
+      // big surviving region still parallelizes across tasks
+      val runs = Seq.newBuilder[(Long, Long)]
+      var rs = -1L
+      var re = -1L
+      surviving.foreach { b =>
+        if (re == b.start && re - rs < maxSplit) re = b.end
+        else {
+          if (rs >= 0) runs += ((rs, re))
+          rs = b.start; re = b.end
+        }
+      }
+      if (rs >= 0) runs += ((rs, re))
+      Some(runs.result())
+    }
+
+    val parts: Array[InputPartition] = pf.flatMap[InputPartition] {
+      case GraftSources.ListedFile(p, len, pv) =>
       val key = if (stampKeys) typedPartKey(pv) else null
       // a pushed OFFSET requires one partition in file order (the builder
       // already guaranteed a single file; never split it); compressed
       // members are inherently unsplittable
       if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv).copy(partKey = key))
-      else if (!splittable || offset >= 0 || len <= maxSplit ||
-          (metaAggCandidate && sidecarStats(p, len).isDefined))
+      else if (offset >= 0 || (metaAggCandidate && sidecarStats(p, len).isDefined))
         Seq(GraftInputPartition(p, 0, len, len, pv, key))
-      else
-        (0L until len by maxSplit).map { start =>
-          GraftInputPartition(p, start, math.min(start + maxSplit, len), len, pv, key)
+      else blockRanges(p, len) match {
+        case Some(rs) => rs.map { case (s0, e0) =>
+          GraftInputPartition(p, s0, e0, len, pv, key, aligned = true)
         }
+        case None =>
+          if (!splittable || len <= maxSplit)
+            Seq(GraftInputPartition(p, 0, len, len, pv, key))
+          else
+            (0L until len by maxSplit).map { start =>
+              GraftInputPartition(p, start, math.min(start + maxSplit, len), len, pv, key)
+            }
+      }
     }.toArray
+    GraftScan.lastBlocksPruned.set(blocksPruned)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1298,6 +1362,11 @@ object GraftScan {
     * JVM — test/debug observability only.
     */
   val lastStatsPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Intra-file blocks dropped by the latest block-skipping partition
+    * planning in this JVM — test/debug observability only.
+    */
+  val lastBlocksPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 final class GraftJsonReaderFactory(
@@ -1646,7 +1715,7 @@ private[spark] final class JsonRangeFeeder[A](
   private val chunk = new Array[Byte](256 * 1024)
   private var parser = mkParser()
   private var pos = part.start
-  private var aligned = part.start == 0
+  private var aligned = part.start == 0 || part.aligned
   private var exhausted = false
   private var streamStartAbs = part.start // file offset of parser's byte 0
   private var dropped = 0L
@@ -1691,7 +1760,10 @@ private[spark] final class JsonRangeFeeder[A](
     if (onCorrupt != null)
       onCorrupt(captureLine(errAbs, if (sawNl) resume - 1 else resume))
     if (resume >= part.fileLen ||
-        (resume > part.end && part.end != part.fileLen)) {
+        (resume > part.end && part.end != part.fileLen) ||
+        // exact (block-pruned) ranges own nothing at/after `end` — the
+        // bytes there belong to a sibling block (possibly a skipped one)
+        (part.aligned && resume >= part.end)) {
       // the bad record ran past this range's end (or the file's): done —
       // the next range aligns to the same newline and owns what follows
       exhausted = true
@@ -1771,6 +1843,15 @@ private[spark] final class JsonRangeFeeder[A](
     if (chunkStartAbs + n <= part.end || part.end == part.fileLen) {
       raise(parser.absorb(chunk, off, n - off))
       resynced = false
+    } else if (part.aligned) {
+      // exact (block-pruned) range: `end` IS a row boundary, so absorb
+      // strictly up to it and finish — reading on would re-parse the next
+      // block's rows (another partition's, or a skipped block's)
+      val upto = (part.end - chunkStartAbs).toInt
+      if (upto > off) raise(parser.absorb(chunk, off, upto - off))
+      if (resynced) { resynced = false; return } // recovery restarted the stream
+      if (!exhausted) raise(parser.finish())
+      exhausted = true
     } else {
       // past the range end: stop after the first '\n' at/after `end`
       val fromRel = math.max(off, math.max(0L, part.end - chunkStartAbs).toInt)
@@ -2055,7 +2136,7 @@ private[spark] final class CsvRangeFeeder[A](
   private val in = new RangeInput(path, conf)
   private val chunk = new Array[Byte](256 * 1024)
   private var pos = part.start
-  private var aligned = part.start == 0
+  private var aligned = part.start == 0 || part.aligned
   private var exhausted = false
 
   if (part.start > 0) in.seek(part.start)
@@ -2097,6 +2178,13 @@ private[spark] final class CsvRangeFeeder[A](
     }
     if (chunkStart + n <= part.end || part.end == part.fileLen) {
       raise(parser.absorb(chunk, off, n - off))
+    } else if (part.aligned) {
+      // exact (block-pruned) range: `end` is a writer-guaranteed row
+      // boundary — absorb strictly up to it and finish
+      val upto = (part.end - chunkStart).toInt
+      if (upto > off) raise(parser.absorb(chunk, off, upto - off))
+      raise(parser.finish())
+      exhausted = true
     } else {
       val fromRel = math.max(off, math.max(0L, part.end - chunkStart).toInt)
       val nl = indexOf(alignByte, chunk, fromRel, n)

@@ -70,17 +70,18 @@ class SkippingFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def writeLayout(rng: scala.util.Random, df: DataFrame, out: String): Unit = {
     val s = spark; import s.implicits._
+    // random intra-file block granularity: off, or small enough that the
+    // tiny fuzz files split into many blocks — block-pruned aligned
+    // ranges then face every filter below (boundary-exactness hunting)
+    val bb = Seq("0", "512", "2048")(rng.nextInt(3))
+    def w(d: DataFrame) =
+      d.write.format("graft-json").option("blockbytes", bb).mode("overwrite")
     rng.nextInt(5) match {
-      case 0 => df.coalesce(1)
-        .write.format("graft-json").mode("overwrite").save(out)
-      case 1 => df.repartition(3, $"id")
-        .write.format("graft-json").mode("overwrite").save(out)
-      case 2 => df.repartitionByRange(3, $"id").sortWithinPartitions("id")
-        .write.format("graft-json").mode("overwrite").save(out)
-      case 3 => df.write.format("graft-json").partitionBy("g")
-        .mode("overwrite").save(out)
-      case 4 => graft.api.TrainingData.zorderBy(df, 3, Seq("id", "v"), bits = 5)
-        .write.format("graft-json").mode("overwrite").save(out)
+      case 0 => w(df.coalesce(1)).save(out)
+      case 1 => w(df.repartition(3, $"id")).save(out)
+      case 2 => w(df.repartitionByRange(3, $"id").sortWithinPartitions("id")).save(out)
+      case 3 => w(df).partitionBy("g").save(out)
+      case 4 => w(graft.api.TrainingData.zorderBy(df, 3, Seq("id", "v"), bits = 5)).save(out)
     }
   }
 
