@@ -734,6 +734,8 @@ object TrainingData {
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)))
     val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    requireCoversRecorded(fs, root, logVersions.max, dataSchema,
+      listing.partCols, dir)
     val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
       graft.spark.GraftSources.partitionSchema(listing)
         .filterNot(f => dataSchema.fieldNames.contains(f.name)))
@@ -741,6 +743,42 @@ object TrainingData {
       org.apache.spark.sql.types.StructField(fileCol,
         org.apache.spark.sql.types.StringType))
     CowTable(root, fs, logVersions.max, listing.partCols, fullSchema, phase1Schema)
+  }
+
+  /** SAFETY RAIL against silent column loss: a COW rewrite re-writes
+    * candidate files with exactly the columns it read, so a stale DDL
+    * that misses a column the table's RECORDED schema has (say, one a
+    * later mergeschema append added) would drop that column's values
+    * from every rewritten row — refuse loudly instead.
+    */
+  private def requireCoversRecorded(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, latest: Long,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String], dir: String): Unit =
+    graft.spark.GraftCommitLog.schemaAsOf(fs, root, latest).foreach { recorded =>
+      val missing = recorded.fieldNames
+        .filterNot(n => dataSchema.fieldNames.contains(n) || partCols.contains(n))
+      require(missing.isEmpty,
+        s"COW maintenance schema for $dir misses recorded table column(s) " +
+          missing.mkString("'", "', '", "'") +
+          " — a rewrite would silently drop their values; pass the full " +
+          "table schema (TrainingData.tableSchema(spark, dir) shows it)")
+    }
+
+  /** The table's commit-log-recorded logical schema (None when the
+    * directory predates schema tracking) — the authoritative answer to
+    * "what columns does this table have", including ones a later
+    * `mergeschema` append added that older files do not carry.
+    */
+  def tableSchema(spark: org.apache.spark.sql.SparkSession, dir: String,
+      versionAsOf: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = graft.spark.GraftCommitLog.versions(fs, root)
+    if (vs.isEmpty) None
+    else graft.spark.GraftCommitLog.schemaAsOf(fs, root,
+      versionAsOf.getOrElse(vs.max))
   }
 
   /** Phase-1 scan: the latest snapshot with each row's source file
@@ -910,6 +948,7 @@ object TrainingData {
         java.util.Map.of("path", dir, "versionasof", latest.toString)))
     val partCols = listing.partCols
     val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
+    requireCoversRecorded(fs, root, latest, dataSchema, partCols, dir)
     val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
       graft.spark.GraftSources.partitionSchema(listing)
         .filterNot(f => dataSchema.fieldNames.contains(f.name)))

@@ -71,8 +71,13 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // review-found relativize bug lived exactly in that blind spot
       val partitioned = seed % 2 == 0
       val cowSchema = if (partitioned) "id BIGINT, v DOUBLE" else schema
+      // a third of the seeds record TINY stats blocks, so the COW
+      // lifecycle's own reads (phase-1 predicate pushdown, restrictFiles
+      // rewrites, pinned snapshots) run over block-pruned aligned ranges
+      val blockBytes = Seq("0", "256", "1024")(seed % 3)
       def writeOut(df: org.apache.spark.sql.DataFrame, mode: String): Unit = {
         val w = df.write.format("graft-json").mode(mode)
+          .option("blockbytes", blockBytes)
         (if (partitioned) w.partitionBy("grp") else w).save(dir)
       }
       // model state + per-version history of RETAINED snapshots

@@ -210,6 +210,22 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wf.columns.toSeq === Seq("id", "region", "w", "_graft_file"))
   }
 
+  test("COW maintenance with a stale DDL refuses (silent column loss rail)") {
+    val d = dir("cow-stale")
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    v2(spark).write.format("graft-json").mode("append")
+      .option("mergeschema", "true").save(d)
+    assert(graft.api.TrainingData.tableSchema(spark, d).get.fieldNames.toSeq ===
+      Seq("id", "name", "score"))
+    val e = intercept[Exception] {
+      graft.api.TrainingData.deleteWhere(spark, d,
+        "id BIGINT, name STRING", "id = 3") // misses 'score'
+    }
+    assert(e.getMessage.contains("score"), e.getMessage)
+    // nothing was rewritten
+    assert(spark.read.format("graft-json").load(d).count() === 4)
+  }
+
   test("COW maintenance on an evolved table keeps the merged schema") {
     val d = dir("cow")
     v1(spark).write.format("graft-json").mode("overwrite").save(d)
