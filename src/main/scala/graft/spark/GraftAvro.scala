@@ -628,8 +628,10 @@ final class GraftAvroBatchWrite(
   private var commitSchema: StructType = schema
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // widen = false: avro is a BINARY format — int and long encode
+    // differently, so the text formats' widening lattice does not apply
     commitSchema = GraftSink.resolveCommitSchema(
-      conf.value, path, schema, doTruncate, mergeSchema)
+      conf.value, path, schema, doTruncate, mergeSchema, widen = false)
     if (doTruncate) {
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf.value)

@@ -248,9 +248,33 @@ object GraftSink {
   def sameTypeIgnoreNullability(a: DataType, b: DataType): Boolean =
     asNullableType(a) == asNullableType(b)
 
+  /** Numeric WIDENING lattice for the text formats (the Delta
+    * type-widening shape): byte < short < int < long and float < double.
+    * JSON/CSV values are text — "5" re-parses identically under the
+    * wider type — so an append in either direction is safe once the
+    * RECORDED type is the wider one. Returns the widened common type, or
+    * None when the pair is not a widening (a real type change). Binary
+    * formats (avro) must NOT use this: their physical encodings differ.
+    */
+  def widenedType(a: DataType, b: DataType): Option[DataType] = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra > 0 && rb > 0) Some(if (ra >= rb) a else b)
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
   def resolveCommitSchema(conf: org.apache.hadoop.conf.Configuration,
       path: String, incoming: StructType, truncate: Boolean,
-      mergeSchema: Boolean): StructType = {
+      mergeSchema: Boolean, widen: Boolean = true): StructType = {
     if (truncate || path == null) return incoming
     val existing: Option[StructType] = try {
       val root = new Path(path)
@@ -264,28 +288,42 @@ object GraftSink {
     existing match {
       case None => incoming
       case Some(cur) =>
-        val curByName = cur.fields.map(f => f.name -> f).toMap
-        val mismatched = incoming.fields.filter(f =>
-          curByName.get(f.name).exists(c =>
-            !sameTypeIgnoreNullability(c.dataType, f.dataType)))
-        if (mismatched.nonEmpty) {
-          val detail = mismatched.map(f =>
-            s"'${f.name}' ${curByName(f.name).dataType.simpleString} -> " +
-              f.dataType.simpleString).mkString(", ")
-          throw new IllegalArgumentException(
-            s"schema mismatch appending to $path: column type change(s) $detail — " +
-              "the graft table protocol refuses type changes (rewrite the table " +
-              "to a fresh root to retype columns)")
+        val incByName = incoming.fields.map(f => f.name -> f).toMap
+        // common columns: identical types pass; for the text formats a
+        // numeric widening pair passes too and the RECORDED type becomes
+        // the wider one (either append direction — values re-parse under
+        // the wider type); anything else is a refused type change
+        val mismatched = Seq.newBuilder[String]
+        val curWidened = cur.fields.map { c =>
+          incByName.get(c.name) match {
+            case Some(f) if !sameTypeIgnoreNullability(c.dataType, f.dataType) =>
+              (if (widen) widenedType(c.dataType, f.dataType) else None) match {
+                case Some(w) => c.copy(dataType = w)
+                case None =>
+                  mismatched +=
+                    s"'${c.name}' ${c.dataType.simpleString} -> ${f.dataType.simpleString}"
+                  c
+              }
+            case _ => c
+          }
         }
-        val added = incoming.fields.filterNot(f => curByName.contains(f.name))
-        if (added.isEmpty) cur
+        val bad = mismatched.result()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"schema mismatch appending to $path: column type change(s) " +
+              bad.mkString(", ") +
+              " — the graft table protocol refuses non-widening type changes " +
+              "(rewrite the table to a fresh root to retype columns)")
+        val added = incoming.fields.filterNot(f =>
+          cur.fields.exists(_.name == f.name))
+        if (added.isEmpty) StructType(curWidened)
         else if (!mergeSchema)
           throw new IllegalArgumentException(
             s"schema mismatch appending to $path: new column(s) " +
               added.map(_.name).mkString("'", "', '", "'") +
               " not in the table schema — pass option(\"mergeschema\",\"true\") " +
               "to add them (existing rows read them back as null)")
-        else StructType(cur.fields ++ added.map(_.copy(nullable = true)))
+        else StructType(curWidened ++ added.map(_.copy(nullable = true)))
     }
   }
 }

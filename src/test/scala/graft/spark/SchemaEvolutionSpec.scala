@@ -125,6 +125,39 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("type change"), e.getMessage)
   }
 
+  test("numeric widening: int/long appends widen the recorded type; avro refuses") {
+    val d = dir("widen")
+    val s = spark
+    import s.implicits._
+    // base table records INT
+    Seq((1, 1.5f)).toDF("k", "x").write.format("graft-json").mode("overwrite").save(d)
+    assert(spark.read.format("graft-json").load(d).schema("k").dataType === IntegerType)
+    // a LONG/DOUBLE append widens the recorded schema (no option needed)
+    Seq((2L, 2.5)).toDF("k", "x").write.format("graft-json").mode("append").save(d)
+    val widened = spark.read.format("graft-json").load(d)
+    assert(widened.schema("k").dataType === LongType)
+    assert(widened.schema("x").dataType === DoubleType)
+    assert(widened.orderBy("k").select($"k").as[Long].collect().toSeq === Seq(1L, 2L))
+    // and the NARROW direction still writes fine (values re-parse wider)
+    Seq((3, 3.5f)).toDF("k", "x").write.format("graft-json").mode("append").save(d)
+    assert(spark.read.format("graft-json").load(d).count() === 3)
+    assert(spark.read.format("graft-json").load(d).schema("k").dataType === LongType)
+    // long -> int is NOT a narrowing of the recorded type
+    // (recorded stays LONG above); a non-widening change still refuses
+    val e = intercept[Exception] {
+      Seq(("s", 1.0)).toDF("k", "x").write.format("graft-json").mode("append").save(d)
+    }
+    assert(e.getMessage.contains("type change"), e.getMessage)
+
+    // avro: binary encodings differ — widening refused
+    val ad = dir("widen-avro")
+    Seq((1, "a")).toDF("k", "v").write.format("graft-avro").mode("overwrite").save(ad)
+    val e2 = intercept[Exception] {
+      Seq((2L, "b")).toDF("k", "v").write.format("graft-avro").mode("append").save(ad)
+    }
+    assert(e2.getMessage.contains("type change"), e2.getMessage)
+  }
+
   test("subset append is fine: omitted column reads back null; column order stays the table's") {
     val d = dir("subset")
     val s = spark
