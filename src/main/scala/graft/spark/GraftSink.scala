@@ -670,6 +670,38 @@ private[graft] object GraftCommitLog {
         try fs.create(entry, false) // put-if-absent
         catch { case _: java.io.IOException => v += 1; attempts += 1; null }
       if (out != null) {
+        // COMMIT-TIME CONFLICT DETECTION for rewrites (Delta's optimistic-
+        // concurrency shape, simplified): two racing rewrites both pass
+        // phase-1 against the same snapshot; the one that wins the LATER
+        // slot would remove files the earlier one already removed — and a
+        // published entry like that fails EVERY later fold (the log is
+        // poisoned for all readers, forever). Having won slot v, every
+        // entry below v is final: validate the removes against that live
+        // set and ABORT LOUDLY on conflict instead of publishing.
+        if (removes.nonEmpty) {
+          def abort(): Unit = {
+            try out.close() catch { case _: Exception => () }
+            try fs.delete(entry, false) catch { case _: Exception => () }
+          }
+          val live =
+            try {
+              val prev = versions(fs, rootPath).filter(_ < v).lastOption
+              prev.map(liveFilesAsOf(fs, rootPath, _)).getOrElse(Set.empty[String])
+            } catch { case e: Exception =>
+              abort()
+              throw new java.io.IOException(
+                s"commit log under $root: could not validate rewrite " +
+                  s"preconditions for version $v — aborted without publishing", e)
+            }
+          removes.map(relativize(fs, rootQ, _)).find(!live.contains(_)).foreach { f =>
+            abort()
+            throw new java.util.ConcurrentModificationException(
+              s"commit log under $root: version $v would remove '$f', which is " +
+                "not live at the predecessor version — a concurrent rewrite " +
+                "retired it first; re-run the maintenance operation against " +
+                "the current snapshot")
+          }
+        }
         try {
           try out.write(body.getBytes("UTF-8")) finally out.close()
         } catch {

@@ -134,18 +134,42 @@ object GraftSources {
     val root = new Path(roots.head
       .stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
     val fs = root.getFileSystem(conf)
-    GraftCommitLog.versions(fs, root).flatMap { v =>
-      GraftCommitLog.entryFiles(fs, root, v).map { rel =>
-        val p = fs.makeQualified(new Path(root, rel))
-        val st =
-          try fs.getFileStatus(p)
-          catch { case _: java.io.FileNotFoundException =>
-            throw new IllegalStateException(
-              s"followLog: committed file $rel (version $v) is missing under $root " +
-                "— was the directory vacuumed out-of-band?") }
-        (p.toString, st.getLen)
+    val vs = GraftCommitLog.versions(fs, root)
+    // expired history (expireLogHistory retired the raw prefix): the
+    // entries carrying the early adds are GONE, so folding only the
+    // surviving entries would silently miss those files — the one outcome
+    // a stream must never have. Seed from the covering checkpoint's live
+    // set instead (the Delta initial-snapshot shape: snapshot at the
+    // checkpoint in deterministic sorted order, then follow the suffix in
+    // commit order), or refuse loudly when no checkpoint covers it.
+    val (seed, suffix) =
+      if (vs.isEmpty || vs.min == 0L) (Nil, vs)
+      else GraftCommitLog.checkpointAtOrBefore(fs, root, vs.min) match {
+        // the checkpoint must actually COVER the expired prefix: an older
+        // readable checkpoint (the newest one corrupt, say) still leaves
+        // a gap of expired entries whose adds are unrecoverable
+        case Some((cv, files)) if cv >= vs.min - 1 =>
+          (files.toSeq.sorted, vs.filter(_ > cv))
+        case _ => throw new IllegalStateException(
+          s"followLog: log history under $root starts at version ${vs.min} " +
+            "(expireLogHistory) with no readable checkpoint covering the " +
+            "expired prefix — a partial stream would silently miss files; " +
+            "restore the checkpoint or the expired entries")
       }
+    def stat(rel: String, src: String): (String, Long) = {
+      val p = fs.makeQualified(new Path(root, rel))
+      val st =
+        try fs.getFileStatus(p)
+        catch { case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"followLog: committed file $rel ($src) is missing under $root " +
+              "— was the directory vacuumed out-of-band?") }
+      (p.toString, st.getLen)
     }
+    seed.map(stat(_, "checkpoint live set")) ++
+      suffix.flatMap { v =>
+        GraftCommitLog.entryFiles(fs, root, v).map(stat(_, s"version $v"))
+      }
   }
 
   final case class ListedFile(path: String, len: Long, partValues: Array[String])

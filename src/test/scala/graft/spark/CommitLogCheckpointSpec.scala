@@ -56,6 +56,57 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     range.map(i => (i.toLong, s"name-$i")).toDF("id", "name")
   }
 
+  test("commit-time conflict detection: a stale rewrite aborts; the log stays clean") {
+    val d = root.resolve("conflict").toString
+    df(0 until 10).repartition(2)
+      .write.format("graft-json").mode("overwrite").save(d) // v0
+    val rootP = new Path(d)
+    val fs = rootP.getFileSystem(hconf)
+    val log = GraftCommitLog
+    val victim = log.liveFilesAsOf(fs, rootP, log.versions(fs, rootP).max).head
+    // v1: a legitimate rewrite retires `victim`
+    log.appendEntry(hconf, d, adds = Seq("rewrite-1.jsonl"), removes = Seq(victim))
+    // a RACING rewrite, phase-1'd against the OLD snapshot, tries to
+    // retire the same file — must abort loudly, publishing nothing
+    val e = intercept[java.util.ConcurrentModificationException] {
+      log.appendEntry(hconf, d, adds = Seq("rewrite-2.jsonl"), removes = Seq(victim))
+    }
+    assert(e.getMessage.contains("concurrent rewrite"), e.getMessage)
+    // the log is NOT poisoned: versions fold cleanly, the aborted entry
+    // left no file, and the next commit allocates the next slot
+    assert(log.versions(fs, rootP) === Seq(0L, 1L))
+    val live = log.liveFilesAsOf(fs, rootP, 1L)
+    assert(live.contains("rewrite-1.jsonl") && !live.contains(victim))
+    assert(log.appendEntry(hconf, d, adds = Seq("append-2.jsonl")) === 2L)
+  }
+
+  test("followLog on expired history seeds from the checkpoint live set") {
+    val d = root.resolve("follow-expired").toString
+    (0 until 7).foreach { i =>
+      df(i * 10 until i * 10 + 10).coalesce(1).write.format("graft-json")
+        .mode(if (i == 0) "overwrite" else "append").save(d)
+    }
+    TrainingData.checkpointLog(spark, d)
+    TrainingData.expireLogHistory(spark, d)
+    // the raw prefix is gone; new commits keep landing
+    df(100 until 110).coalesce(1).write.format("graft-json").mode("append").save(d)
+    val rootP = new Path(d)
+    val fs = rootP.getFileSystem(hconf)
+    assert(GraftCommitLog.versions(fs, rootP).min > 0L) // expiry really happened
+    val streamed = GraftSources.logOrderedFiles(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", d))).map(_._1).toSet
+    val onDisk = fs.listStatus(rootP).map(_.getPath)
+      .filter(p => p.getName.endsWith(".jsonl") && !p.getName.startsWith("."))
+      .map(p => fs.makeQualified(p).toString).toSet
+    // every committed file enters the stream exactly once — the expired
+    // prefix via the checkpoint live set, the suffix via its entries
+    assert(streamed === onDisk)
+    assert(GraftSources.logOrderedFiles(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", d))).size === onDisk.size)
+  }
+
   private def readAsOf(dir: String, v: Long) =
     spark.read.format("graft-json").schema(schema)
       .option("versionAsOf", v.toString).load(dir)

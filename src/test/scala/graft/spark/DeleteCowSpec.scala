@@ -278,9 +278,21 @@ class DeleteCowSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = mkTable("malformed")
     val fsRoot = new org.apache.hadoop.fs.Path(dir)
     val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
-      adds = Nil, removes = Seq("no-such-file.jsonl"))
+    // the WRITE path now refuses this at commit time (conflict detection)…
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
+        adds = Nil, removes = Seq("no-such-file.jsonl"))
+    }
+    // …so forge the entry by hand (a corrupt/byzantine writer) and prove
+    // the READ side still fails loudly rather than folding past it
+    val prior = GraftCommitLog.versions(fs, fsRoot).max
+    val forged = new org.apache.hadoop.fs.Path(
+      GraftCommitLog.logDir(fsRoot), f"${prior + 1}%020d")
+    val out = fs.create(forged, false)
+    try out.write("graft-commit v2\nr no-such-file.jsonl\n".getBytes("UTF-8"))
+    finally out.close()
     val latest = GraftCommitLog.versions(fs, fsRoot).max
+    assert(latest === prior + 1)
     intercept[IllegalArgumentException] {
       GraftCommitLog.liveFilesAsOf(fs, fsRoot, latest)
     }
