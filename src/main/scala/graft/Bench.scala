@@ -97,7 +97,7 @@ object BlockSkipBench {
     corpus.repartition(1).sortWithinPartitions("l_orderkey")
       .write.format("graft-json").mode("overwrite")
       .option("blockbytes", (1024 * 1024).toString).save(dir)
-    val maxKey = li.agg(max($"l_orderkey")).head.getLong(0)
+    val maxKey = li.agg(max($"l_orderkey")).head().getLong(0)
     val cut = math.max(1L, maxKey / 50)
     val schema =
       "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE"

@@ -2027,7 +2027,7 @@ object Sources {
       import s.implicits._
       val dir = "/tmp/graft_tt/block_skip"
       val ev = Tables(s, d, "events").select($"event_id", $"event_type", $"value")
-      val maxId = ev.agg(max($"event_id")).head.getLong(0) // one scalar
+      val maxId = ev.agg(max($"event_id")).head().getLong(0) // one scalar
       val cut = maxId / 10 // the filter window, scale-relative
       ev.repartition(1).sortWithinPartitions("event_id")
         .write.format("graft-json").mode("overwrite")

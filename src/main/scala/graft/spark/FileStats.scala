@@ -208,9 +208,13 @@ object FileStats {
   /** dataLen -1 = unknown (legacy sidecar without a `len` line).
     * `blocks`: intra-file block stats (empty = none recorded); use
     * [[validBlocks]] rather than reading this raw.
+    * `header`: the writer's DATA column order (`hdr` line) — what lets a
+    * mid-file CSV range prove the file's physical layout matches the
+    * table schema before mapping cells positionally.
     */
   final case class Stats(rows: Long, cols: Map[String, ColStats],
-      dataLen: Long = -1L, blocks: Seq[Block] = Nil) {
+      dataLen: Long = -1L, blocks: Seq[Block] = Nil,
+      header: Option[Seq[String]] = None) {
     /** Blocks, iff they provably tile the file: contiguous, ascending,
       * starting at 0 and ending exactly at `expectedLen` (the LISTING's
       * length). Anything else — a partial recording, a stale sidecar, a
@@ -325,6 +329,11 @@ object FileStats {
           .append('\t').append(b64Bytes(longsToBytes(c.bloom.bits)))
           .append('\n')
     }
+    stats.header.foreach { cols =>
+      sb.append("hdr")
+      cols.foreach(c => sb.append('\t').append(b64(c)))
+      sb.append('\n')
+    }
     // intra-file blocks: a `blk` header then one `bcol` per tracked column
     // (both tags are ignored by pre-block parsers — forward-compatible)
     stats.blocks.foreach { b =>
@@ -360,9 +369,15 @@ object FileStats {
     val sb = new StringBuilder("graft-manifest v1\n")
     entries.sortBy(_._1).foreach { case (name, rendered) =>
       sb.append("entry\t").append(b64(name)).append('\n')
-      // strip the per-file version line; keep body lines minus blooms
+      // strip the per-file version line; keep body lines minus blooms AND
+      // block lanes — both scale with file size/count and would defeat
+      // the "one small read per directory" invariant (a 1 GB file is
+      // ~128 blk lines × N bcol lines). Planning reads them lazily from
+      // the per-file sidecar, only for files the file-level stats kept.
       rendered.linesIterator.drop(1).foreach { line =>
-        if (!line.startsWith("bloom\t")) sb.append(line).append('\n')
+        if (!line.startsWith("bloom\t") && !line.startsWith("blk\t") &&
+            !line.startsWith("bcol\t"))
+          sb.append(line).append('\n')
       }
     }
     sb.toString
@@ -377,6 +392,7 @@ object FileStats {
       var name: String = null
       var rows = -1L
       var dlen = -1L
+      var header: Option[Seq[String]] = None
       var cols = Map.newBuilder[String, ColStats]
       var blooms = Map.newBuilder[String, Bloom]
       var blocks = Seq.newBuilder[Block]
@@ -389,20 +405,21 @@ object FileStats {
       def flush(): Unit = if (name != null && rows >= 0) {
         flushBlk()
         out += name -> Stats(rows, withBlooms(cols.result(), blooms.result()),
-          dlen, blocks.result())
+          dlen, blocks.result(), header)
       }
       lines.drop(1).foreach { line =>
         val p = line.split("\t", -1)
         p(0) match {
           case "entry" =>
             flush()
-            name = unb64(p(1)); rows = -1L; dlen = -1L
+            name = unb64(p(1)); rows = -1L; dlen = -1L; header = None
             cols = Map.newBuilder[String, ColStats]
             blooms = Map.newBuilder[String, Bloom]
             blocks = Seq.newBuilder[Block]; bRows = -1L
             bCols = Map.newBuilder[String, ColStats]
           case "rows" => rows = p(1).toLong
           case "len" => dlen = p(1).toLong
+          case "hdr" => header = Some(p.drop(1).toSeq.map(unb64))
           case "col" =>
             val kind = p(2).charAt(0)
             cols += unb64(p(1)) -> ColStats(
@@ -460,6 +477,7 @@ object FileStats {
     try {
       var rows = -1L
       var len = -1L
+      var header: Option[Seq[String]] = None
       val cols = Map.newBuilder[String, ColStats]
       val blooms = Map.newBuilder[String, Bloom]
       val blocks = Seq.newBuilder[Block]
@@ -474,6 +492,7 @@ object FileStats {
         p(0) match {
           case "rows" => rows = p(1).toLong
           case "len" => len = p(1).toLong
+          case "hdr" => header = Some(p.drop(1).toSeq.map(unb64))
           case "col" =>
             val kind = p(2).charAt(0)
             cols += unb64(p(1)) -> ColStats(
@@ -499,7 +518,7 @@ object FileStats {
       flushBlk()
       if (rows < 0) None
       else Some(Stats(rows, withBlooms(cols.result(), blooms.result()), len,
-        blocks.result()))
+        blocks.result(), header))
     } catch { case _: Exception => None }
   }
 
@@ -814,5 +833,6 @@ private[spark] final class FileStatsCollector(schema: StructType,
         }
       name -> ColStats(kind, nulls(t), mn, mx, mnExact, mxExact, sum, bloom,
         sorted = !unsorted(t))
-    }.toMap, dataLen, finishBlocks(dataLen))
+    }.toMap, dataLen, finishBlocks(dataLen),
+    header = Some(schema.fieldNames.toSeq))
 }

@@ -602,8 +602,7 @@ final class GraftAvroWriteBuilder(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String,
-    queryId: String,
-    mergeSchema: Boolean = false)
+    queryId: String)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -611,7 +610,7 @@ final class GraftAvroWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId, mergeSchema)
+      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId)
   }
 }
 
@@ -621,17 +620,18 @@ final class GraftAvroBatchWrite(
     conf: SerializableConfiguration,
     codec: String,
     doTruncate: Boolean,
-    queryId: String,
-    mergeSchema: Boolean = false)
+    queryId: String)
     extends BatchWrite {
 
   private var commitSchema: StructType = schema
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // widen = false: avro is a BINARY format — int and long encode
-    // differently, so the text formats' widening lattice does not apply
+    // mergeSchema hard-false (the provider refuses the option — the avro
+    // read path resolves per-file embedded schemas and cannot serve a
+    // merged one) and widen = false: avro is a BINARY format — int and
+    // long encode differently, so the text widening lattice cannot apply
     commitSchema = GraftSink.resolveCommitSchema(
-      conf.value, path, schema, doTruncate, mergeSchema, widen = false)
+      conf.value, path, schema, doTruncate, mergeSchema = false, widen = false)
     if (doTruncate) {
       val dir = new Path(path)
       val fs = dir.getFileSystem(conf.value)

@@ -67,7 +67,23 @@ private[spark] final class StreamFileRegistry(
   /** Re-list the input and append any newly landed files. */
   def discover(): Unit = synchronized {
     val fresh =
-      if (followLog) GraftSources.logOrderedFiles(options).filterNot(f => known(f._1))
+      if (followLog) {
+        val current = GraftSources.logOrderedFiles(options)
+        // a file this stream already delivered that the log no longer
+        // lists means a COW rewrite was absorbed into a checkpoint and
+        // its entries expired UNDER the stream. Pre-expiry the rewrite
+        // entry itself fails loudly ("streams cannot un-deliver");
+        // checkpoint seeding must not soften that into silently
+        // re-delivering the rewritten rows alongside the stale ones.
+        val gone = known -- current.map(_._1).toSet
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"followLog: ${gone.size} file(s) this stream already delivered are " +
+            s"no longer in the table's log (e.g. ${gone.take(3).mkString(", ")}) " +
+            "— the table was rewritten by DELETE/UPDATE/OPTIMIZE and the " +
+            "history expired; restart the stream from a fresh checkpoint to " +
+            "re-snapshot")
+        current.filterNot(f => known(f._1))
+      }
       else GraftSources.resolveFiles(options)
         .filterNot(f => known(f._1)).sortBy(_._1)
     if (fresh.nonEmpty) {

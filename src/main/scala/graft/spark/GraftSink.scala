@@ -276,8 +276,8 @@ object GraftSink {
       path: String, incoming: StructType, truncate: Boolean,
       mergeSchema: Boolean, widen: Boolean = true): StructType = {
     if (truncate || path == null) return incoming
+    val root = new Path(path)
     val existing: Option[StructType] = try {
-      val root = new Path(path)
       val fs = root.getFileSystem(conf)
       if (!fs.exists(root)) None
       else {
@@ -286,7 +286,21 @@ object GraftSink {
       }
     } catch { case _: Exception => None }
     existing match {
-      case None => incoming
+      case None =>
+        // tracking starts only where the record can be AUTHORITATIVE: an
+        // overwrite (handled above) or a fresh/empty directory. Appending
+        // to an EXISTING untracked directory must not start it — older
+        // files may carry columns this append omits, and a recorded
+        // subset would hide them from every schemaless read (sampling
+        // inference merges keys across all files; a record would not).
+        val freshDir = try {
+          val fs = root.getFileSystem(conf)
+          !fs.exists(root) || !fs.listStatus(root).exists { st =>
+            val n = st.getPath.getName
+            !n.startsWith(".") && !n.startsWith("_")
+          }
+        } catch { case _: Exception => false }
+        if (freshDir) incoming else null
       case Some(cur) =>
         val incByName = incoming.fields.map(f => f.name -> f).toMap
         // common columns: identical types pass; for the text formats a
@@ -645,65 +659,120 @@ private[graft] object GraftCommitLog {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     val rootQ = fs.makeQualified(rootPath).toString
-    // v3 = v2 + an optional `s <base64 schema json>` line; entries without
-    // a schema keep the v1/v2 headers byte-identical to what older
-    // history holds (an append-only schemaless history stays pure v1)
-    val header =
-      if (schema != null) "graft-commit v3"
-      else if (removes.isEmpty) "graft-commit v1" else "graft-commit v2"
-    val body = (header +:
-        ((if (schema != null) Seq(schemaLine(schema)) else Nil) ++
-          removes.map(f => "r " + relativize(fs, rootQ, f)) ++
-          adds.map(f => "f " + relativize(fs, rootQ, f))))
-      .mkString("", "\n", "\n")
     val dir = logDir(rootPath)
     fs.mkdirs(dir)
-    var v = versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(0L)
+    val relRemoves = removes.map(relativize(fs, rootQ, _))
+
+    // COMMIT-TIME CONFLICT DETECTION for rewrites (Delta's optimistic-
+    // concurrency shape, simplified): two racing rewrites both pass
+    // phase-1 against the same snapshot; the one that lands the LATER
+    // version would remove files the earlier one already removed — and a
+    // published entry like that fails EVERY later fold (the log is
+    // poisoned for all readers, forever). Validate the removes against
+    // the live set BEFORE taking a slot (so the unwritten-entry window
+    // stays the single create→write step it always was); on losing a
+    // slot race, fold only the DELTA entries and re-validate.
+    var base: Option[Long] = versions(fs, rootPath).lastOption
+    var live: Set[String] =
+      if (relRemoves.isEmpty) Set.empty
+      else try base.map(liveFilesAsOf(fs, rootPath, _)).getOrElse(Set.empty)
+      catch { case e: Exception =>
+        throw new java.io.IOException(
+          s"commit log under $root: could not validate rewrite preconditions " +
+            "— aborted without publishing", e)
+      }
+    def validate(): Unit =
+      relRemoves.find(!live.contains(_)).foreach { f =>
+        throw new java.util.ConcurrentModificationException(
+          s"commit log under $root: the commit would remove '$f', which is " +
+            "not live at the current version — a concurrent rewrite retired " +
+            "it first; re-run the maintenance operation against the current " +
+            "snapshot")
+      }
+    validate()
+
+    // COMMIT-TIME SCHEMA RE-MERGE (the lost-update guard): a concurrent
+    // append may have recorded columns/widenings OURS was resolved
+    // without — recording our line as-is would un-record them and the
+    // stale-DDL rail would then wave through a column-dropping rewrite.
+    // Merging is always safe here (add columns, widen types); a genuine
+    // conflict (incompatible retype) keeps our resolved schema — the
+    // same last-writer-wins the pre-merge behavior had.
+    def mergedSchema(prev: Option[Long]): StructType =
+      if (schema == null) null
+      else prev.flatMap(p => try schemaAsOf(fs, rootPath, p) catch {
+        case _: Exception => None
+      }) match {
+        case None => schema
+        case Some(cur) =>
+          try {
+            val curByName = cur.fields.map(f => f.name -> f).toMap
+            val widened = cur.fields.map { c =>
+              schema.fields.find(_.name == c.name) match {
+                case Some(f) if !GraftSink.sameTypeIgnoreNullability(c.dataType, f.dataType) =>
+                  GraftSink.widenedType(c.dataType, f.dataType)
+                    .map(w => c.copy(dataType = w)).getOrElse(c)
+                case _ => c
+              }
+            }
+            StructType(widened ++
+              schema.fields.filterNot(f => curByName.contains(f.name))
+                .map(_.copy(nullable = true)))
+          } catch { case _: Exception => schema }
+      }
+
+    def body(prev: Option[Long]): String = {
+      val sch = mergedSchema(prev)
+      // v3 = v2 + an optional `s <base64 schema json>` line; entries
+      // without a schema keep the v1/v2 headers byte-identical to what
+      // older history holds (an append-only schemaless history stays v1)
+      val header =
+        if (sch != null) "graft-commit v3"
+        else if (relRemoves.isEmpty) "graft-commit v1" else "graft-commit v2"
+      (header +:
+          ((if (sch != null) Seq(schemaLine(sch)) else Nil) ++
+            relRemoves.map("r " + _) ++
+            adds.map(f => "f " + relativize(fs, rootQ, f))))
+        .mkString("", "\n", "\n")
+    }
+
+    var v = base.map(_ + 1).getOrElse(0L)
     var attempts = 0
     while (attempts < 64) {
       val entry = new Path(dir, f"$v%020d")
-      // create-time IOException = lost the put-if-absent race: retry at
-      // v+1. A failure AFTER create is OURS (disk full, transient fault):
+      // create-time IOException = lost the put-if-absent race: fold the
+      // delta entries (base, newBase], re-validate, retry at newBase+1.
+      // A failure AFTER create is OURS (disk full, transient fault):
       // retrying would leave the truncated entry poisoning every later
       // log fold — delete it and rethrow instead.
       val out =
         try fs.create(entry, false) // put-if-absent
-        catch { case _: java.io.IOException => v += 1; attempts += 1; null }
-      if (out != null) {
-        // COMMIT-TIME CONFLICT DETECTION for rewrites (Delta's optimistic-
-        // concurrency shape, simplified): two racing rewrites both pass
-        // phase-1 against the same snapshot; the one that wins the LATER
-        // slot would remove files the earlier one already removed — and a
-        // published entry like that fails EVERY later fold (the log is
-        // poisoned for all readers, forever). Having won slot v, every
-        // entry below v is final: validate the removes against that live
-        // set and ABORT LOUDLY on conflict instead of publishing.
-        if (removes.nonEmpty) {
-          def abort(): Unit = {
-            try out.close() catch { case _: Exception => () }
-            try fs.delete(entry, false) catch { case _: Exception => () }
-          }
-          val live =
+        catch { case _: java.io.IOException =>
+          if (relRemoves.nonEmpty) {
+            val vs = versions(fs, rootPath)
+            val delta = vs.filter(x => x >= v)
             try {
-              val prev = versions(fs, rootPath).filter(_ < v).lastOption
-              prev.map(liveFilesAsOf(fs, rootPath, _)).getOrElse(Set.empty[String])
+              live = delta.foldLeft(live) { (l, dv) =>
+                entryActions(fs, rootPath, dv).foldLeft(l) { (s, a) =>
+                  if (a.add) s + a.path else s - a.path
+                }
+              }
             } catch { case e: Exception =>
-              abort()
               throw new java.io.IOException(
                 s"commit log under $root: could not validate rewrite " +
-                  s"preconditions for version $v — aborted without publishing", e)
+                  "preconditions after losing a version race — aborted " +
+                  "without publishing", e)
             }
-          removes.map(relativize(fs, rootQ, _)).find(!live.contains(_)).foreach { f =>
-            abort()
-            throw new java.util.ConcurrentModificationException(
-              s"commit log under $root: version $v would remove '$f', which is " +
-                "not live at the predecessor version — a concurrent rewrite " +
-                "retired it first; re-run the maintenance operation against " +
-                "the current snapshot")
-          }
+            validate()
+            v = vs.lastOption.map(_ + 1).getOrElse(v + 1)
+          } else v += 1
+          attempts += 1
+          null
         }
+      if (out != null) {
         try {
-          try out.write(body.getBytes("UTF-8")) finally out.close()
+          try out.write(body(Some(v - 1).filter(_ >= 0)).getBytes("UTF-8"))
+          finally out.close()
         } catch {
           case e: java.io.IOException =>
             try fs.delete(entry, false) catch { case _: Exception => () }
@@ -772,15 +841,7 @@ private[graft] object GraftCommitLog {
       version: Long): Option[Set[String]] = try {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    val lines = slurpLines(fs, p)
     val v2 = lines.headOption.contains("graft-checkpoint v2")
     if (!v2 && !lines.headOption.contains("graft-checkpoint v1")) return None
     val tail = if (v2) lines.tail.filterNot(_.startsWith("s ")) else lines.tail
@@ -793,15 +854,7 @@ private[graft] object GraftCommitLog {
       version: Long): Option[StructType] = try {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    val lines = slurpLines(fs, p)
     if (!lines.headOption.contains("graft-checkpoint v2")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
@@ -941,10 +994,11 @@ private[graft] object GraftCommitLog {
     acts.map(_.path)
   }
 
-  /** One entry's raw lines (header first). */
-  private def entryLines(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      version: Long): (Path, Seq[String]) = {
-    val p = new Path(logDir(root), f"$version%020d")
+  /** Slurp one log-dir file's non-empty lines (throws on I/O failure —
+    * callers decide strict vs lenient).
+    */
+  private def slurpLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
     val in = fs.open(p)
     val text = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -953,7 +1007,14 @@ private[graft] object GraftCommitLog {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    (p, text.split('\n').toSeq.filter(_.nonEmpty))
+    text.split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  /** One entry's raw lines (header first). */
+  private def entryLines(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): (Path, Seq[String]) = {
+    val p = new Path(logDir(root), f"$version%020d")
+    (p, slurpLines(fs, p))
   }
 
   /** One entry's actions, in committed order (v1 = adds only; v2 may
@@ -997,14 +1058,21 @@ private[graft] object GraftCommitLog {
       version: Long): Option[StructType] = try {
     val vs = versions(fs, root).filter(_ <= version)
     if (vs.isEmpty) return None
-    val ckptV = checkpointVersions(fs, root).filter(_ <= version)
-      .sorted(Ordering[Long].reverse).headOption
-    val floor = ckptV.getOrElse(Long.MinValue)
-    vs.sorted(Ordering[Long].reverse).iterator
-      .takeWhile(_ >= floor)
-      .flatMap(v => entrySchema(fs, root, v))
-      .nextOption()
-      .orElse(ckptV.flatMap(v => readCheckpointSchema(fs, root, v)))
+    val cks = checkpointVersions(fs, root).filter(_ <= version)
+      .sorted(Ordering[Long].reverse)
+    val floor = cks.headOption.getOrElse(Long.MinValue)
+    val descending = vs.sorted(Ordering[Long].reverse)
+    // 1) the suffix above the newest checkpoint (the common O(1) stop);
+    // 2) checkpoints newest-first (a corrupt/legacy one falls through to
+    //    the next, mirroring checkpointAtOrBefore);
+    // 3) the pre-checkpoint raw entries, if they still exist — a corrupt
+    //    checkpoint must not lose tracking while the `s` lines survive
+    descending.iterator.takeWhile(_ >= floor)
+      .flatMap(v => entrySchema(fs, root, v)).nextOption()
+      .orElse(cks.iterator.flatMap(v => readCheckpointSchema(fs, root, v))
+        .nextOption())
+      .orElse(descending.iterator.filter(_ < floor)
+        .flatMap(v => entrySchema(fs, root, v)).nextOption())
   } catch { case _: Exception => None }
 }
 

@@ -1245,9 +1245,27 @@ final class GraftScan(
       else FilterEval.normalize((filters ++ runtimeFilters).filter(f =>
         f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     var blocksPruned = 0
+    // a mid-file CSV range maps cells POSITIONALLY (it cannot re-read the
+    // file's header row), so block pruning is sound only when the file's
+    // recorded column order equals the table's — schema evolution legally
+    // admits appends that omit or reorder columns, and such a file must
+    // read whole (name-keyed), never range-split
+    lazy val expectedCsvOrder: Seq[String] =
+      fullSchema.fieldNames.toSeq.filterNot(listing.partCols.contains)
     def blockRanges(p: String, len: Long): Option[Seq[(Long, Long)]] = {
       if (blockFilters.isEmpty) return None
-      val blocks = sidecarStats(p, len).map(_.validBlocks(len)).getOrElse(Nil)
+      // manifests are BLOCK-LESS by design (the one-small-read-per-
+      // directory invariant) — blocks come from the per-file sidecar,
+      // read lazily only for files file-level pruning kept and only when
+      // filters push (the same deal the blooms get)
+      val st = statsCache.get(p).flatten.filter(_.blocks.nonEmpty)
+        .orElse {
+          val path = new Path(p)
+          fileSidecarCache.getOrElseUpdate(p,
+            FileStats.load(path.getFileSystem(GraftSources.activeHadoopConf()), path))
+        }
+      if (!isJson && !st.exists(_.header.contains(expectedCsvOrder))) return None
+      val blocks = st.map(_.validBlocks(len)).getOrElse(Nil)
       if (blocks.isEmpty) return None
       val surviving = blocks.filterNot { b =>
         blockFilters.exists { flt =>

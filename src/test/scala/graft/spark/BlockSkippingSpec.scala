@@ -81,9 +81,40 @@ class BlockSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     idRanges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
       assert(hi < lo2, s"block id ranges overlap: $idRanges")
     case _ => () }
-    // blocks survive the manifest round trip too
+    // the MANIFEST is block-less by design (the one-small-read-per-
+    // directory invariant): blocks live only in the per-file sidecar,
+    // read lazily for files file-level pruning kept
     val fromManifest = FileStats.loadManifest(fs, f.getParent).get(f.getName)
-    assert(fromManifest.validBlocks(len).length === blocks.length)
+    assert(fromManifest.blocks.isEmpty)
+    assert(fromManifest.rows === st.rows) // ranges/counts still compacted
+  }
+
+  test("csv: a reordered append never block-splits (hdr gate); reads stay name-keyed") {
+    val d = dir("csv-reorder")
+    val df = writeSorted(d, "graft-csv")
+    // a legal evolution append with the SAME columns in a different
+    // physical order — positional mid-file ranges would silently swap
+    // cells, so its file must refuse block pruning and read whole
+    val s = spark
+    import s.implicits._
+    (4000L until 4200L).map(i => (s"val_%06d".format(i), i)).toDF("v", "id")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-csv").mode("append").option("blockbytes", "512").save(d)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(d)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".csv") && !p.getName.startsWith("."))
+    assert(files.length === 2)
+    // both files DO carry blocks; only the table-ordered one may use them
+    files.foreach { f =>
+      val st = FileStats.load(fs, f).get
+      assert(st.validBlocks(fs.getFileStatus(f).getLen).nonEmpty)
+      assert(st.header.isDefined)
+    }
+    val expected = (3990L until 4200L).map(i => (i, s"val_%06d".format(i)))
+    val got = spark.read.format("graft-csv").load(d)
+      .filter(col("id") >= 3990L).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === expected)
   }
 
   test("filtered read equals the unpruned read while pruning most blocks (json)") {

@@ -107,6 +107,29 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
         java.util.Map.of("path", d))).size === onDisk.size)
   }
 
+  test("followLog detects files rewritten away under the stream (expired history)") {
+    val d = root.resolve("follow-rewrite").toString
+    (0 until 6).foreach { i =>
+      df(i * 20 until i * 20 + 20).coalesce(1).write.format("graft-json")
+        .mode(if (i == 0) "overwrite" else "append").save(d)
+    }
+    val ckp = root.resolve("follow-rewrite-ckpt").toString
+    def opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", d, "followlog", "true"))
+    val reg1 = new StreamFileRegistry(opts, ckp)
+    assert(reg1.fileCount === 6)
+    // a COW rewrite retires two delivered files, then the history expires
+    // behind a checkpoint — the rewrite entry itself is no longer there
+    // to fail the stream loudly
+    TrainingData.deleteWhere(spark, d, schema, "id < 40")
+    TrainingData.checkpointLog(spark, d)
+    TrainingData.expireLogHistory(spark, d)
+    val e = intercept[IllegalStateException] {
+      new StreamFileRegistry(opts, ckp) // restarted stream, same registry
+    }
+    assert(e.getMessage.contains("no longer in the table's log"), e.getMessage)
+  }
+
   private def readAsOf(dir: String, v: Long) =
     spark.read.format("graft-json").schema(schema)
       .option("versionAsOf", v.toString).load(dir)

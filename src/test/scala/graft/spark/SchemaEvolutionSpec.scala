@@ -243,6 +243,60 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wf.columns.toSeq === Seq("id", "region", "w", "_graft_file"))
   }
 
+  test("append to an existing UNTRACKED directory does not start tracking") {
+    val d = dir("legacy")
+    val s = spark
+    import s.implicits._
+    v2(spark).write.format("graft-json").mode("overwrite").save(d)
+    // simulate a legacy table: the log predates schema tracking
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(GraftCommitLog.logDir(new Path(d)), true)
+    // a SUBSET append must not record (a,b) as the table schema — the
+    // older files' third column would vanish from schemaless reads
+    Seq((9L, "z")).toDF("id", "name").write.format("graft-json").mode("append").save(d)
+    val back = spark.read.format("graft-json").load(d)
+    assert(back.columns.toSet === Set("id", "name", "score"))
+    assert(back.filter($"score".isNotNull).count() === 2)
+    assert(GraftCommitLog.schemaAsOf(fs, new Path(d),
+      GraftCommitLog.versions(fs, new Path(d)).max).isEmpty)
+  }
+
+  test("commit-time schema re-merge: a stale racer cannot un-record a merged column") {
+    val d = dir("lost-update")
+    v1(spark).write.format("graft-json").mode("overwrite").save(d)
+    v2(spark).write.format("graft-json").mode("append")
+      .option("mergeschema", "true").save(d) // records (id, name, score)
+    // a racer resolved its commit schema against the OLD snapshot and
+    // appends with only (id, name) as its recorded schema
+    val stale = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
+    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+      adds = Seq("racer.jsonl.phantom"), schema = stale)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded = GraftCommitLog.schemaAsOf(fs, new Path(d),
+      GraftCommitLog.versions(fs, new Path(d)).max).get
+    // the entry's schema line was re-merged against the predecessor:
+    // the mergeschema-added column survives
+    assert(recorded.fieldNames.toSeq === Seq("id", "name", "score"))
+  }
+
+  test("schemaAsOf survives a corrupt checkpoint (older s-lines still found)") {
+    val d = dir("ckpt-corrupt")
+    v2(spark).write.format("graft-json").mode("overwrite").save(d) // v0 has `s`
+    graft.api.TrainingData.checkpointLog(spark, d) // checkpoint at v0, with schema
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck = GraftCommitLog.checkpointFile(new Path(d), 0L)
+    val out = fs.create(ck, true)
+    try out.write("#### corrupt ####\n".getBytes("UTF-8")) finally out.close()
+    // schema-less raw commits on top (direct appendEntry records no `s`)
+    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+      adds = Seq("x.jsonl.phantom"))
+    // the suffix has no schema lines and the checkpoint is unreadable —
+    // the fallback walks the pre-checkpoint raw entries
+    val recorded = GraftCommitLog.schemaAsOf(fs, new Path(d),
+      GraftCommitLog.versions(fs, new Path(d)).max)
+    assert(recorded.exists(_.fieldNames.toSeq === Seq("id", "name", "score")))
+  }
+
   test("COW maintenance with a stale DDL refuses (silent column loss rail)") {
     val d = dir("cow-stale")
     v1(spark).write.format("graft-json").mode("overwrite").save(d)
