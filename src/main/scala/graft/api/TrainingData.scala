@@ -99,6 +99,23 @@ object TrainingData {
       conv(substring(keyHash(col(keyCol), salt), 1, 8), 16, 10)
         .cast("long") % 10000 < weightBp)
 
+  /** Per-group quota cap — the per-source/domain document cap every
+    * large corpus mix applies (a runaway crawl domain must not dominate
+    * the mixture): keep at most `k` rows per `groupCol`, preferring the
+    * highest `rankCol` with a deterministic `tieCol` tie-break (reruns
+    * and engines agree on the survivors). Plan shape: ONE hash exchange
+    * on the group key and bounded per-group state (the canonical window
+    * top-k) — scale-safe at any group count, no group ever collects.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, rankCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    require(k > 0, s"capPerGroup needs k > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(rankCol).desc, col(tieCol).asc)
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= k).drop("__cap_rn")
+  }
+
   /** Deterministic dataset split: appends `splitCol` assigning each row to
     * one of the named bands (weights sum to ~1; the last band absorbs
     * rounding). Use a different salt than any sampling pass so membership

@@ -2377,5 +2377,33 @@ object Pipeline {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181, q185, q192)
+  // ---------------------------------------------------------------- q201
+  // Per-SOURCE quota cap (the Gopher/FineWeb mixture-balancing step: a
+  // runaway crawl domain must not dominate the corpus): keep the top-50
+  // docs per source by length with a deterministic doc_id tie-break —
+  // TrainingData.capPerGroup, the canonical one-exchange window top-k.
+  private val q201 = GQuery(
+    "q201_per_source_quota",
+    "per-source document cap (top-k by length, deterministic tie-break)",
+    (s, d) => {
+      import s.implicits._
+      graft.api.TrainingData
+        .capPerGroup(T(s, d, "documents"), "source", "n_chars", "doc_id", 50)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"),
+          sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM (SELECT source, n_chars, doc_id,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 50
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[GQuery] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q46, q52, q53, q56, q60, q65, q73, q74, q75, q76, q79, q80, q82, q85, q89, q93, q101, q116, q117, q125, q126, q130, q135, q138, q140, q144, q152, q154, q157, q163, q164, q166, q168, q172, q173, q174, q175, q176, q177, q178, q180, q181, q185, q192, q201)
 }

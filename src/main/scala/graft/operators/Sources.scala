@@ -2070,5 +2070,37 @@ object Sources {
             GROUP BY event_type
             ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199)
+  // ---------------------------------------------------------------- q200
+  // Numeric type widening through the protocol (docs/TABLE_FORMAT.md
+  // "Schema tracking"): v0 writes s_nationkey as INT, v1 appends it as
+  // BIGINT — the recorded schema widens to the common wider type and the
+  // schemaless read returns LONG for BOTH halves (text values re-parse
+  // identically under the wider type; the oracle's CAST proves the
+  // values and the widened column type in one hash compare).
+  private val q200 = GQuery(
+    "q200_type_widening",
+    "int->long widening on append: recorded schema widens, reads stay exact",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/widen_gate"
+      val sup = Tables(s, d, "supplier")
+      sup.filter($"s_suppkey" % 2 === 0)
+        .select($"s_suppkey", $"s_nationkey")
+        .write.format("graft-json").mode("overwrite").save(dir)
+      sup.filter($"s_suppkey" % 2 === 1)
+        .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"))
+        .write.format("graft-json").mode("append").save(dir)
+      s.read.format("graft-json").load(dir)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"s_suppkey").as("key_sum"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+            FROM supplier
+            GROUP BY 1
+            ORDER BY s_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200)
 }
