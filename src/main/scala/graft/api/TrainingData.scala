@@ -782,6 +782,74 @@ object TrainingData {
           "table schema (TrainingData.tableSchema(spark, dir) shows it)")
     }
 
+  /** ALTER TABLE ... ADD COLUMN for a schema-tracked graft table: a
+    * SCHEMA-ONLY commit-log entry records the widened schema — no data
+    * moves, existing rows read the new column back as null (the text
+    * formats' natural missing-key semantics). `ddlType` is a DDL type
+    * string ("DOUBLE", "STRUCT<a: BIGINT>"). Refuses when the table is
+    * not schema-tracked or already has the column. Returns the version.
+    */
+  def alterTableAddColumn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, colName: String, ddlType: String): Long = {
+    val (fs, root, cur) = recordedSchemaOrRefuse(spark, dir, "alterTableAddColumn")
+    require(!cur.fieldNames.contains(colName),
+      s"alterTableAddColumn: '$colName' already exists in $dir")
+    val dt = org.apache.spark.sql.types.StructType.fromDDL(s"`$colName` $ddlType")
+      .fields.head.dataType
+    val next = org.apache.spark.sql.types.StructType(cur.fields :+
+      org.apache.spark.sql.types.StructField(colName, dt, nullable = true))
+    graft.spark.GraftCommitLog.appendEntry(
+      spark.sparkContext.hadoopConfiguration, dir, Nil, Nil, next,
+      schemaExact = true)
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — a LOGICAL drop (the text formats keep
+    * the key in the files on disk): a schema-only entry records the
+    * narrowed schema, so schemaless reads stop serving the column (its
+    * bytes now byte-skip — dropping a column makes reads FASTER, not a
+    * rewrite), while `versionAsOf` before the drop still reads it —
+    * time-travel-correct retention. Two documented deviations from
+    * Delta's column-mapping drop: re-ADDING the same name later
+    * RESURFACES the old values in pre-drop files (the data never left),
+    * and a COW rewrite materializes the current schema (rewritten files
+    * physically lose the column, so pre-drop pins over them read null).
+    * Refuses for partition columns (they are the directory layout).
+    */
+  def alterTableDropColumn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, colName: String): Long = {
+    val (fs, root, cur) = recordedSchemaOrRefuse(spark, dir, "alterTableDropColumn")
+    require(cur.fieldNames.contains(colName),
+      s"alterTableDropColumn: '$colName' is not in the recorded schema of $dir " +
+        s"(${cur.fieldNames.mkString(", ")})")
+    val listing = graft.spark.GraftSources.resolvePartitioned(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    require(!listing.partCols.contains(colName),
+      s"alterTableDropColumn: '$colName' is a partition column — the directory " +
+        "layout carries it; rewrite the table to a fresh root to de-partition")
+    require(cur.fields.length > 1,
+      s"alterTableDropColumn: cannot drop the only column of $dir")
+    val next = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == colName))
+    graft.spark.GraftCommitLog.appendEntry(
+      spark.sparkContext.hadoopConfiguration, dir, Nil, Nil, next,
+      schemaExact = true)
+  }
+
+  private def recordedSchemaOrRefuse(spark: org.apache.spark.sql.SparkSession,
+      dir: String, op: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, org.apache.spark.sql.types.StructType) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = graft.spark.GraftCommitLog.versions(fs, root)
+    require(vs.nonEmpty, s"$op needs a graft commit log under $dir")
+    val cur = graft.spark.GraftCommitLog.schemaAsOf(fs, root, vs.max)
+    require(cur.isDefined,
+      s"$op: $dir is not schema-tracked (its log predates schema tracking) — " +
+        "rewrite the table to a fresh root to start tracking")
+    (fs, root, cur.get)
+  }
+
   /** The table's commit-log-recorded logical schema (None when the
     * directory predates schema tracking) — the authoritative answer to
     * "what columns does this table have", including ones a later

@@ -2102,5 +2102,36 @@ object Sources {
             GROUP BY 1
             ORDER BY s_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200)
+  // ---------------------------------------------------------------- q202
+  // ALTER TABLE add/drop column as SCHEMA-ONLY commit-log entries: the
+  // drop is LOGICAL (no rewrite — the column's bytes now byte-skip, so
+  // dropping makes reads faster), versionAsOf before the drop still
+  // serves it (time-travel-correct), and the added column reads back
+  // null on existing rows. The v0-pinned balance sum proves the dropped
+  // column's DATA survived the metadata change.
+  private val q202 = GQuery(
+    "q202_alter_table",
+    "schema-only ALTER add/drop column; logical drop with time-travel retention",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/alter_gate"
+      Tables(s, d, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      graft.api.TrainingData.alterTableDropColumn(s, dir, "s_acctbal") // v1
+      graft.api.TrainingData.alterTableAddColumn(s, dir, "quality", "DOUBLE") // v2
+      val v0 = s.read.format("graft-json").option("versionAsOf", "0").load(dir)
+      val v0BalSum = math.round(
+        v0.agg(sum($"s_acctbal")).head().getDouble(0) * 100.0) / 100.0
+      s.read.format("graft-json").load(dir)
+        .select($"s_suppkey", $"s_name", $"quality")
+        .withColumn("v0_bal_sum", lit(v0BalSum))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS quality,
+                   (SELECT round(sum(s_acctbal), 2) FROM supplier) AS v0_bal_sum
+            FROM supplier
+            ORDER BY s_suppkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202)
 }

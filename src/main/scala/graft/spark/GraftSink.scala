@@ -654,8 +654,12 @@ private[graft] object GraftCommitLog {
     */
   def appendEntry(conf: org.apache.hadoop.conf.Configuration, root: String,
       adds: Seq[String], removes: Seq[String] = Nil,
-      schema: StructType = null): Long = {
-    require(adds.nonEmpty || removes.nonEmpty, "empty commit-log entry")
+      schema: StructType = null, schemaExact: Boolean = false): Long = {
+    // a SCHEMA-ONLY entry (no file actions) is how ALTER TABLE
+    // add/drop-column lands: the metadata changes at a version boundary
+    // with no data movement
+    require(adds.nonEmpty || removes.nonEmpty || schema != null,
+      "empty commit-log entry")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     val rootQ = fs.makeQualified(rootPath).toString
@@ -700,6 +704,9 @@ private[graft] object GraftCommitLog {
     // same last-writer-wins the pre-merge behavior had.
     def mergedSchema(prev: Option[Long]): StructType =
       if (schema == null) null
+      // schemaExact: ALTER drop-column MUST NOT re-merge — the merge
+      // would resurrect exactly the column being dropped
+      else if (schemaExact) schema
       else prev.flatMap(p => try schemaAsOf(fs, rootPath, p) catch {
         case _: Exception => None
       }) match {

@@ -243,6 +243,36 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wf.columns.toSeq === Seq("id", "region", "w", "_graft_file"))
   }
 
+  test("ALTER add/drop column: schema-only entries, time travel, resurfacing") {
+    val d = dir("alter")
+    val s = spark
+    import s.implicits._
+    v2(spark).write.format("graft-json").mode("overwrite").save(d) // v0: (id,name,score)
+    graft.api.TrainingData.alterTableDropColumn(spark, d, "score") // v1
+    assert(spark.read.format("graft-json").load(d).columns.toSeq === Seq("id", "name"))
+    // time travel BEFORE the drop still reads the column — logical drop
+    val v0 = spark.read.format("graft-json").option("versionAsOf", "0").load(d)
+    assert(v0.columns.contains("score"))
+    assert(v0.filter($"score".isNotNull).count() === 2)
+    graft.api.TrainingData.alterTableAddColumn(spark, d, "rank", "BIGINT") // v2
+    val withRank = spark.read.format("graft-json").load(d)
+    assert(withRank.columns.toSeq === Seq("id", "name", "rank"))
+    assert(withRank.filter($"rank".isNull).count() === 2)
+    // re-adding the dropped NAME resurfaces the old values — the
+    // documented text-format deviation from Delta's column-mapping drop
+    graft.api.TrainingData.alterTableAddColumn(spark, d, "score", "DOUBLE")
+    assert(spark.read.format("graft-json").load(d)
+      .filter($"score".isNotNull).count() === 2)
+    // refusals: duplicate add, unknown drop, append that still carries a
+    // dropped column needs mergeschema (it is a NEW column again)
+    intercept[Exception] {
+      graft.api.TrainingData.alterTableAddColumn(spark, d, "id", "BIGINT")
+    }
+    intercept[Exception] {
+      graft.api.TrainingData.alterTableDropColumn(spark, d, "nope")
+    }
+  }
+
   test("append to an existing UNTRACKED directory does not start tracking") {
     val d = dir("legacy")
     val s = spark
