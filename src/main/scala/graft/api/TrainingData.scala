@@ -792,15 +792,24 @@ object TrainingData {
   def alterTableAddColumn(spark: org.apache.spark.sql.SparkSession,
       dir: String, colName: String, ddlType: String): Long = {
     val (fs, root, cur) = recordedSchemaOrRefuse(spark, dir, "alterTableAddColumn")
-    require(!cur.fieldNames.contains(colName),
-      s"alterTableAddColumn: '$colName' already exists in $dir")
-    val dt = org.apache.spark.sql.types.StructType.fromDDL(s"`$colName` $ddlType")
-      .fields.head.dataType
+    require(!colName.contains('`') && colName.nonEmpty,
+      s"alterTableAddColumn: invalid column name '$colName'")
+    // case-INSENSITIVE duplicate check: the analyzer resolves names
+    // case-insensitively by default, so a case-variant duplicate would
+    // make every name-based access AMBIGUOUS_REFERENCE
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"alterTableAddColumn: '$colName' already exists in $dir " +
+        "(name resolution is case-insensitive)")
+    val parsed = org.apache.spark.sql.types.StructType.fromDDL(s"`$colName` $ddlType")
+    require(parsed.fields.length == 1,
+      s"alterTableAddColumn: '$ddlType' parses to ${parsed.fields.length} " +
+        "fields — pass one column's type (e.g. \"DOUBLE\")")
+    val dt = parsed.fields.head.dataType
     val next = org.apache.spark.sql.types.StructType(cur.fields :+
       org.apache.spark.sql.types.StructField(colName, dt, nullable = true))
     graft.spark.GraftCommitLog.appendEntry(
       spark.sparkContext.hadoopConfiguration, dir, Nil, Nil, next,
-      schemaExact = true)
+      schemaBase = cur)
   }
 
   /** ALTER TABLE ... DROP COLUMN — a LOGICAL drop (the text formats keep
@@ -818,22 +827,25 @@ object TrainingData {
   def alterTableDropColumn(spark: org.apache.spark.sql.SparkSession,
       dir: String, colName: String): Long = {
     val (fs, root, cur) = recordedSchemaOrRefuse(spark, dir, "alterTableDropColumn")
-    require(cur.fieldNames.contains(colName),
-      s"alterTableDropColumn: '$colName' is not in the recorded schema of $dir " +
-        s"(${cur.fieldNames.mkString(", ")})")
+    // resolve case-insensitively, like the analyzer would
+    val resolved = cur.fieldNames.filter(_.equalsIgnoreCase(colName))
+    require(resolved.length == 1,
+      s"alterTableDropColumn: '$colName' does not resolve to exactly one " +
+        s"recorded column of $dir (${cur.fieldNames.mkString(", ")})")
+    val colExact = resolved.head
     val listing = graft.spark.GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)))
-    require(!listing.partCols.contains(colName),
-      s"alterTableDropColumn: '$colName' is a partition column — the directory " +
+    require(!listing.partCols.exists(_.equalsIgnoreCase(colExact)),
+      s"alterTableDropColumn: '$colExact' is a partition column — the directory " +
         "layout carries it; rewrite the table to a fresh root to de-partition")
     require(cur.fields.length > 1,
       s"alterTableDropColumn: cannot drop the only column of $dir")
     val next = org.apache.spark.sql.types.StructType(
-      cur.fields.filterNot(_.name == colName))
+      cur.fields.filterNot(_.name == colExact))
     graft.spark.GraftCommitLog.appendEntry(
       spark.sparkContext.hadoopConfiguration, dir, Nil, Nil, next,
-      schemaExact = true)
+      schemaBase = cur)
   }
 
   private def recordedSchemaOrRefuse(spark: org.apache.spark.sql.SparkSession,

@@ -623,7 +623,8 @@ final class GraftAvroBatchWrite(
     queryId: String)
     extends BatchWrite {
 
-  private var commitSchema: StructType = schema
+  private var commitSchema: GraftSink.ResolvedSchema =
+    GraftSink.ResolvedSchema(schema, null)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // mergeSchema hard-false (the provider refuses the option — the avro
@@ -649,7 +650,8 @@ final class GraftAvroBatchWrite(
   // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion
   // / vacuum safety for free through the shared listing
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitLog.append(conf.value, path, messages, schema = commitSchema)
+    GraftCommitLog.append(conf.value, path, messages,
+      schema = commitSchema.record, schemaBase = commitSchema.base)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

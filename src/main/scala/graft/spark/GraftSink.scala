@@ -272,10 +272,16 @@ object GraftSink {
     }
   }
 
+  /** What a batch commit should record (`record`; null = record nothing)
+    * plus the recorded schema it RESOLVED against (`base`; null = none) —
+    * the commit-time conflict policy needs both (docs/TABLE_FORMAT.md).
+    */
+  final case class ResolvedSchema(record: StructType, base: StructType)
+
   def resolveCommitSchema(conf: org.apache.hadoop.conf.Configuration,
       path: String, incoming: StructType, truncate: Boolean,
-      mergeSchema: Boolean, widen: Boolean = true): StructType = {
-    if (truncate || path == null) return incoming
+      mergeSchema: Boolean, widen: Boolean = true): ResolvedSchema = {
+    if (truncate || path == null) return ResolvedSchema(incoming, null)
     val root = new Path(path)
     val existing: Option[StructType] = try {
       val fs = root.getFileSystem(conf)
@@ -300,7 +306,7 @@ object GraftSink {
             !n.startsWith(".") && !n.startsWith("_")
           }
         } catch { case _: Exception => false }
-        if (freshDir) incoming else null
+        ResolvedSchema(if (freshDir) incoming else null, null)
       case Some(cur) =>
         val incByName = incoming.fields.map(f => f.name -> f).toMap
         // common columns: identical types pass; for the text formats a
@@ -330,14 +336,16 @@ object GraftSink {
               "(rewrite the table to a fresh root to retype columns)")
         val added = incoming.fields.filterNot(f =>
           cur.fields.exists(_.name == f.name))
-        if (added.isEmpty) StructType(curWidened)
-        else if (!mergeSchema)
-          throw new IllegalArgumentException(
-            s"schema mismatch appending to $path: new column(s) " +
-              added.map(_.name).mkString("'", "', '", "'") +
-              " not in the table schema — pass option(\"mergeschema\",\"true\") " +
-              "to add them (existing rows read them back as null)")
-        else StructType(curWidened ++ added.map(_.copy(nullable = true)))
+        val record =
+          if (added.isEmpty) StructType(curWidened)
+          else if (!mergeSchema)
+            throw new IllegalArgumentException(
+              s"schema mismatch appending to $path: new column(s) " +
+                added.map(_.name).mkString("'", "', '", "'") +
+                " not in the table schema — pass option(\"mergeschema\",\"true\") " +
+                "to add them (existing rows read them back as null)")
+          else StructType(curWidened ++ added.map(_.copy(nullable = true)))
+        ResolvedSchema(record, cur)
     }
   }
 }
@@ -454,9 +462,10 @@ final class GraftBatchWrite(
     "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
       "the truncate wipes the commit log the removes would amend")
 
-  // the table schema this commit records: resolved (and the evolution
-  // contract enforced) on the driver BEFORE any task launches
-  private var commitSchema: StructType = schema
+  // the table schema this commit records + the recorded schema it
+  // resolved against: enforced on the driver BEFORE any task launches
+  private var commitSchema: GraftSink.ResolvedSchema =
+    GraftSink.ResolvedSchema(schema, null)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     commitSchema =
@@ -474,7 +483,8 @@ final class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
-    GraftCommitLog.append(conf.value, path, messages, removes, commitSchema)
+    GraftCommitLog.append(conf.value, path, messages, removes,
+      commitSchema.record, commitSchema.base)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -632,7 +642,7 @@ private[graft] object GraftCommitLog {
 
   def append(conf: org.apache.hadoop.conf.Configuration, root: String,
       messages: Array[WriterCommitMessage], removes: Seq[String] = Nil,
-      schema: StructType = null): Unit = {
+      schema: StructType = null, schemaBase: StructType = null): Unit = {
     val files: Seq[String] = messages.toSeq.flatMap {
       case GraftCommit(f, _) => Seq(f)
       case GraftPartitionedCommit(es) => es.map(_._1)
@@ -640,7 +650,7 @@ private[graft] object GraftCommitLog {
     }
     if (files.isEmpty && removes.isEmpty) return
     try {
-      appendEntry(conf, root, files, removes, schema)
+      appendEntry(conf, root, files, removes, schema, schemaBase)
     } catch {
       // a plain append's log write is best-effort (time travel degrades,
       // the write itself never fails); a rewrite's is NOT — see Scaladoc
@@ -654,7 +664,7 @@ private[graft] object GraftCommitLog {
     */
   def appendEntry(conf: org.apache.hadoop.conf.Configuration, root: String,
       adds: Seq[String], removes: Seq[String] = Nil,
-      schema: StructType = null, schemaExact: Boolean = false): Long = {
+      schema: StructType = null, schemaBase: StructType = null): Long = {
     // a SCHEMA-ONLY entry (no file actions) is how ALTER TABLE
     // add/drop-column lands: the metadata changes at a version boundary
     // with no data movement
@@ -695,41 +705,39 @@ private[graft] object GraftCommitLog {
       }
     validate()
 
-    // COMMIT-TIME SCHEMA RE-MERGE (the lost-update guard): a concurrent
-    // append may have recorded columns/widenings OURS was resolved
-    // without — recording our line as-is would un-record them and the
-    // stale-DDL rail would then wave through a column-dropping rewrite.
-    // Merging is always safe here (add columns, widen types); a genuine
-    // conflict (incompatible retype) keeps our resolved schema — the
-    // same last-writer-wins the pre-merge behavior had.
-    def mergedSchema(prev: Option[Long]): StructType =
-      if (schema == null) null
-      // schemaExact: ALTER drop-column MUST NOT re-merge — the merge
-      // would resurrect exactly the column being dropped
-      else if (schemaExact) schema
-      else prev.flatMap(p => try schemaAsOf(fs, rootPath, p) catch {
+    // COMMIT-TIME SCHEMA CONFLICT POLICY (the Delta metadata-conflict
+    // shape): `schemaBase` is the recorded schema this commit RESOLVED
+    // against (null = none existed). At commit time, against the actual
+    // predecessor's recorded schema `cur`:
+    //   - cur == base (metadata unchanged) or cur == ours (a racer landed
+    //     the same result): record ours;
+    //   - cur changed and ours == base (a plain append not trying to
+    //     change anything): write the entry WITHOUT a schema line — the
+    //     files are recorded, the schema record stays the racer's (never
+    //     regress, never merge — merging cannot distinguish a column the
+    //     racer ADDED from one an ALTER just DROPPED);
+    //   - cur changed and ours != base (a schema-CHANGING commit —
+    //     mergeschema, widening, ALTER — racing another metadata change):
+    //     ABORT loudly; re-run against the current schema.
+    def eqSchema(a: StructType, b: StructType): Boolean =
+      (a == null && b == null) ||
+        (a != null && b != null && GraftSink.sameTypeIgnoreNullability(a, b))
+    def schemaFor(prev: Option[Long]): StructType = {
+      if (schema == null) return null
+      val cur = prev.flatMap(p => try schemaAsOf(fs, rootPath, p) catch {
         case _: Exception => None
-      }) match {
-        case None => schema
-        case Some(cur) =>
-          try {
-            val curByName = cur.fields.map(f => f.name -> f).toMap
-            val widened = cur.fields.map { c =>
-              schema.fields.find(_.name == c.name) match {
-                case Some(f) if !GraftSink.sameTypeIgnoreNullability(c.dataType, f.dataType) =>
-                  GraftSink.widenedType(c.dataType, f.dataType)
-                    .map(w => c.copy(dataType = w)).getOrElse(c)
-                case _ => c
-              }
-            }
-            StructType(widened ++
-              schema.fields.filterNot(f => curByName.contains(f.name))
-                .map(_.copy(nullable = true)))
-          } catch { case _: Exception => schema }
-      }
+      }).orNull
+      if (eqSchema(cur, schemaBase) || eqSchema(cur, schema)) schema
+      else if (eqSchema(schema, schemaBase)) null // plain append: defer to the racer
+      else throw new java.util.ConcurrentModificationException(
+        s"commit log under $root: the table schema changed concurrently " +
+          "(the predecessor version records a different schema than this " +
+          "commit resolved against) — re-run the operation against the " +
+          "current schema")
+    }
 
     def body(prev: Option[Long]): String = {
-      val sch = mergedSchema(prev)
+      val sch = schemaFor(prev)
       // v3 = v2 + an optional `s <base64 schema json>` line; entries
       // without a schema keep the v1/v2 headers byte-identical to what
       // older history holds (an append-only schemaless history stays v1)
@@ -747,6 +755,9 @@ private[graft] object GraftCommitLog {
     var attempts = 0
     while (attempts < 64) {
       val entry = new Path(dir, f"$v%020d")
+      // resolve the body (and the schema-conflict policy) BEFORE taking
+      // the slot: an abort must never leave a created-but-empty entry
+      val bodyStr = body(Some(v - 1).filter(_ >= 0))
       // create-time IOException = lost the put-if-absent race: fold the
       // delta entries (base, newBase], re-validate, retry at newBase+1.
       // A failure AFTER create is OURS (disk full, transient fault):
@@ -778,7 +789,7 @@ private[graft] object GraftCommitLog {
         }
       if (out != null) {
         try {
-          try out.write(body(Some(v - 1).filter(_ >= 0)).getBytes("UTF-8"))
+          try out.write(bodyStr.getBytes("UTF-8"))
           finally out.close()
         } catch {
           case e: java.io.IOException =>
@@ -1063,23 +1074,22 @@ private[graft] object GraftCommitLog {
     */
   def schemaAsOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[StructType] = try {
-    val vs = versions(fs, root).filter(_ <= version)
-    if (vs.isEmpty) return None
-    val cks = checkpointVersions(fs, root).filter(_ <= version)
-      .sorted(Ordering[Long].reverse)
-    val floor = cks.headOption.getOrElse(Long.MinValue)
-    val descending = vs.sorted(Ordering[Long].reverse)
-    // 1) the suffix above the newest checkpoint (the common O(1) stop);
-    // 2) checkpoints newest-first (a corrupt/legacy one falls through to
-    //    the next, mirroring checkpointAtOrBefore);
-    // 3) the pre-checkpoint raw entries, if they still exist — a corrupt
-    //    checkpoint must not lose tracking while the `s` lines survive
-    descending.iterator.takeWhile(_ >= floor)
-      .flatMap(v => entrySchema(fs, root, v)).nextOption()
-      .orElse(cks.iterator.flatMap(v => readCheckpointSchema(fs, root, v))
-        .nextOption())
-      .orElse(descending.iterator.filter(_ < floor)
-        .flatMap(v => entrySchema(fs, root, v)).nextOption())
+    val rawVs = versions(fs, root).filter(_ <= version).toSet
+    if (rawVs.isEmpty) return None
+    val ckVs = checkpointVersions(fs, root).filter(_ <= version).toSet
+    // ONE descending walk over raw-entry AND checkpoint versions merged:
+    // the newest recorded schema wins regardless of which artifact holds
+    // it (a stale older checkpoint must never shadow a newer surviving
+    // `s` entry; a corrupt checkpoint falls through to whatever is next).
+    // The common case still stops at the newest entry — every schema-
+    // tracking batch commit records a line.
+    (rawVs ++ ckVs).toSeq.sorted(Ordering[Long].reverse).iterator
+      .flatMap { v =>
+        (if (rawVs.contains(v)) entrySchema(fs, root, v) else None)
+          .orElse(if (ckVs.contains(v)) readCheckpointSchema(fs, root, v)
+                  else None)
+      }
+      .nextOption()
   } catch { case _: Exception => None }
 }
 
@@ -1393,7 +1403,8 @@ final class GraftCsvWriteBuilder(
       "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
         "the truncate wipes the commit log the removes would amend")
     override def toBatch: BatchWrite = new BatchWrite {
-      private var commitSchema: StructType = schema
+      private var commitSchema: GraftSink.ResolvedSchema =
+        GraftSink.ResolvedSchema(schema, null)
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
         commitSchema = GraftSink.resolveCommitSchema(
           conf.value, path, schema, doTruncate, mergeSchema)
@@ -1407,7 +1418,8 @@ final class GraftCsvWriteBuilder(
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
-        GraftCommitLog.append(conf.value, path, messages, removes, commitSchema)
+        GraftCommitLog.append(conf.value, path, messages, removes,
+          commitSchema.record, commitSchema.base)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }

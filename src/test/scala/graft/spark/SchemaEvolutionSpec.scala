@@ -291,22 +291,40 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftCommitLog.versions(fs, new Path(d)).max).isEmpty)
   }
 
-  test("commit-time schema re-merge: a stale racer cannot un-record a merged column") {
+  test("schema conflict policy: plain appends defer, schema-changers abort") {
     val d = dir("lost-update")
     v1(spark).write.format("graft-json").mode("overwrite").save(d)
     v2(spark).write.format("graft-json").mode("append")
       .option("mergeschema", "true").save(d) // records (id, name, score)
-    // a racer resolved its commit schema against the OLD snapshot and
-    // appends with only (id, name) as its recorded schema
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def recorded = GraftCommitLog.schemaAsOf(fs, new Path(d),
+      GraftCommitLog.versions(fs, new Path(d)).max).get
+    // a PLAIN append that resolved before the merge (base == ours == the
+    // old 2-column schema): its entry lands WITHOUT a schema line — the
+    // mergeschema-added column survives, nothing regresses
     val stale = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING")
     GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
-      adds = Seq("racer.jsonl.phantom"), schema = stale)
-    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val recorded = GraftCommitLog.schemaAsOf(fs, new Path(d),
-      GraftCommitLog.versions(fs, new Path(d)).max).get
-    // the entry's schema line was re-merged against the predecessor:
-    // the mergeschema-added column survives
+      adds = Seq("racer.jsonl.phantom"), schema = stale, schemaBase = stale)
     assert(recorded.fieldNames.toSeq === Seq("id", "name", "score"))
+    // a SCHEMA-CHANGING commit resolved against the stale base (ours !=
+    // base != cur) must abort loudly instead of silently rewriting the
+    // record either way
+    val staleChanged = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, extra DOUBLE")
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+        adds = Seq("racer2.jsonl.phantom"), schema = staleChanged,
+        schemaBase = stale)
+    }
+    assert(recorded.fieldNames.toSeq === Seq("id", "name", "score"))
+    // ...and a racing ALTER DROP is equally protected: a plain append
+    // resolved pre-drop cannot resurrect the dropped column
+    graft.api.TrainingData.alterTableDropColumn(spark, d, "score")
+    val preDrop = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, score DOUBLE")
+    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+      adds = Seq("racer3.jsonl.phantom"), schema = preDrop, schemaBase = preDrop)
+    assert(recorded.fieldNames.toSeq === Seq("id", "name"))
   }
 
   test("schemaAsOf survives a corrupt checkpoint (older s-lines still found)") {
