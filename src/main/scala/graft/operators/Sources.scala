@@ -2133,5 +2133,45 @@ object Sources {
             FROM supplier
             ORDER BY s_suppkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202)
+  // ---------------------------------------------------------------- q203
+  // option("snapshot","true") — log-mediated LATEST-snapshot reads: the
+  // Delta-consistent mode without pinning a version number. The gate
+  // plants BOTH hazards a raw listing is documented to see — a retained-
+  // retired original (deleteWhere retainHistory=true) and a rogue
+  // uncommitted file — and the snapshot read must see neither. At 100 TB
+  // this is the read mode a training job uses against a corpus that
+  // ingests and compacts concurrently.
+  private val q203 = GQuery(
+    "q203_snapshot_read",
+    "log-mediated latest-snapshot read: rogue + retained-retired files invisible",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/snapshot_read"
+      val ddl = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+      Tables(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("long").as("n_regionkey"))
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      // v1: COW delete with retainHistory — the retired originals stay on
+      // disk, and a RAW listing read would still count their rows
+      graft.api.TrainingData.deleteWhere(s, dir, ddl,
+        "n_nationkey < 5", retainHistory = true)
+      // a rogue uncommitted file (an in-flight writer / stray copy)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-rogue-00000.jsonl"),
+        "{\"n_nationkey\":900,\"n_name\":\"ROGUE\",\"n_regionkey\":0}\n".getBytes("UTF-8"))
+      s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n"), sum($"n_nationkey").as("sk"))
+        .orderBy($"n_regionkey")
+    },
+    Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_nationkey) AS BIGINT) AS sk
+            FROM nation
+            WHERE n_nationkey >= 5
+            GROUP BY n_regionkey
+            ORDER BY n_regionkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203)
 }

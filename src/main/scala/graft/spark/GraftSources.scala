@@ -266,10 +266,28 @@ object GraftSources {
     // from the listing fails (snapshot unreadable), and extra files the
     // log never committed are excluded (in-flight writers stay invisible,
     // which is what makes concurrent append + read coherent).
-    val pinned = Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty)
+    var pinned = Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty)
     val since = Option(options.get("changessinceversion")).map(_.trim).filter(_.nonEmpty)
     require(pinned.isEmpty || since.isEmpty,
       "versionAsOf and changesSinceVersion are mutually exclusive")
+    // option("snapshot","true"): the LATEST COMMITTED snapshot without
+    // pinning a number — the Delta-consistent read mode. In-flight
+    // writers, rogue copies, and retained-retired files (which raw
+    // listings see, documented) are all invisible; resolves to
+    // versionAsOf=<latest> so every strictness rule applies.
+    if (options.getBoolean("snapshot", false)) {
+      require(pinned.isEmpty && since.isEmpty,
+        "option(\"snapshot\") is redundant with versionAsOf/changesSinceVersion")
+      require(roots.length == 1,
+        s"snapshot needs exactly one root directory, got ${roots.length}")
+      val rootPath = new Path(roots.head)
+      val fs = rootPath.getFileSystem(conf)
+      val vs = GraftCommitLog.versions(fs, rootPath)
+      require(vs.nonEmpty,
+        s"option(\"snapshot\"): no graft commit log under ${roots.head} " +
+          "(only graft batch sinks write .graft-log)")
+      pinned = Some(vs.max.toString)
+    }
     pinned.orElse(since).foreach { vstr =>
       val optName = if (pinned.isDefined) "versionAsOf" else "changesSinceVersion"
       require(roots.length == 1,
