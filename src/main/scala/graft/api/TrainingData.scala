@@ -827,8 +827,13 @@ object TrainingData {
   def alterTableDropColumn(spark: org.apache.spark.sql.SparkSession,
       dir: String, colName: String): Long = {
     val (fs, root, cur) = recordedSchemaOrRefuse(spark, dir, "alterTableDropColumn")
-    // resolve case-insensitively, like the analyzer would
-    val resolved = cur.fieldNames.filter(_.equalsIgnoreCase(colName))
+    // EXACT name first (a legacy schema holding case-variant duplicates
+    // must stay droppable by exact name), then case-insensitive like the
+    // analyzer's default resolution
+    val exact = cur.fieldNames.filter(_ == colName)
+    val resolved =
+      if (exact.length == 1) exact
+      else cur.fieldNames.filter(_.equalsIgnoreCase(colName))
     require(resolved.length == 1,
       s"alterTableDropColumn: '$colName' does not resolve to exactly one " +
         s"recorded column of $dir (${cur.fieldNames.mkString(", ")})")

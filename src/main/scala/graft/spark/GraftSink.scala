@@ -652,6 +652,16 @@ private[graft] object GraftCommitLog {
     try {
       appendEntry(conf, root, files, removes, schema, schemaBase)
     } catch {
+      // a schema CONFLICT must never be best-effort: swallowing it would
+      // report success while the commit's files stay unlogged — invisible
+      // to snapshot/pinned/followLog readers and vacuumOrphans food.
+      // Abort loudly; this attempt's published files are such orphans.
+      case e: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root aborted on a concurrent schema change — this " +
+            "attempt's data files are published but UNLOGGED (vacuumOrphans " +
+            "reclaims them); re-run the write against the current schema: " +
+            e.getMessage)
       // a plain append's log write is best-effort (time travel degrades,
       // the write itself never fails); a rewrite's is NOT — see Scaladoc
       case e: Exception => if (removes.nonEmpty) throw e

@@ -1168,21 +1168,22 @@ final class GraftScan(
     manifestCache.getOrElseUpdate(parent.toString,
       FileStats.loadManifest(
         parent.getFileSystem(GraftSources.activeHadoopConf()), parent))
-  // paths whose statsCache entry came from the PER-FILE sidecar (not the
-  // manifest): such an entry is complete — if it has no blocks, a second
-  // sidecar read cannot find any
-  private val sidecarSourced = scala.collection.mutable.HashSet.empty[String]
   private def sidecarStats(path: String, listedLen: Long): Option[FileStats.Stats] =
     statsCache.getOrElseUpdate(path, {
       val p = new Path(path)
       // manifest first (amortized one read per dir, validated against the
-      // LISTING length — no per-file RPC); per-file sidecar as fallback
+      // LISTING length — no per-file RPC); per-file sidecar as fallback.
+      // The fallback read is COMPLETE (blooms + blocks included), so it
+      // also populates fileSidecarCache — the bloom and block consumers
+      // must never pay a second read for the same sidecar
       manifestStats(p.getParent)
         .flatMap(_.get(p.getName))
         .filter(st => st.dataLen >= 0 && st.dataLen == listedLen)
         .orElse {
-          sidecarSourced += path
-          FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p)
+          val loaded =
+            FileStats.load(p.getFileSystem(GraftSources.activeHadoopConf()), p)
+          fileSidecarCache.put(path, loaded)
+          loaded
         }
     })
   // blooms live ONLY in per-file sidecars (the manifest strips them to
@@ -1282,17 +1283,16 @@ final class GraftScan(
       // manifests are BLOCK-LESS by design (the one-small-read-per-
       // directory invariant) — blocks come from the per-file sidecar,
       // read lazily only for files file-level pruning kept and only when
-      // filters push (the same deal the blooms get). A cached entry that
-      // came from a per-file sidecar is complete — block-less there means
-      // block-less, no second read.
-      val cached = statsCache.get(p).flatten
-      val st = cached.filter(_.blocks.nonEmpty)
-        .orElse(if (sidecarSourced.contains(p)) cached
-          else {
-            val path = new Path(p)
-            fileSidecarCache.getOrElseUpdate(p,
-              FileStats.load(path.getFileSystem(GraftSources.activeHadoopConf()), path))
-          })
+      // filters push (the same deal the blooms get). fileSidecarCache
+      // holds every per-file sidecar ever read this scan (including
+      // sidecarStats' manifest-miss fallback), so block-less there means
+      // block-less — never a second read
+      val st = statsCache.get(p).flatten.filter(_.blocks.nonEmpty)
+        .orElse {
+          val path = new Path(p)
+          fileSidecarCache.getOrElseUpdate(p,
+            FileStats.load(path.getFileSystem(GraftSources.activeHadoopConf()), path))
+        }
       if (!isJson && !st.exists(_.header.contains(expectedCsvOrder))) return None
       val blocks = st.map(_.validBlocks(len)).getOrElse(Nil)
       if (blocks.isEmpty) return None

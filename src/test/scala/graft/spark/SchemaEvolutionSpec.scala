@@ -273,6 +273,23 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a schema conflict on a plain batch append is LOUD, never silently unlogged") {
+    val d = dir("conflict-loud")
+    v1(spark).write.format("graft-json").mode("overwrite").save(d) // records (id,name)
+    // a schema-CHANGING commit (ours != base) whose base no longer
+    // matches the record: append() must rethrow — swallowing it would
+    // report success while the files stay unlogged (vacuumOrphans food)
+    val stale = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    val ours = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, extra DOUBLE")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftCommitLog.append(spark.sparkContext.hadoopConfiguration, d,
+        Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+          GraftCommit("phantom.jsonl")),
+        Nil, ours, stale)
+    }
+    assert(e.getMessage.contains("UNLOGGED"), e.getMessage)
+  }
+
   test("append to an existing UNTRACKED directory does not start tracking") {
     val d = dir("legacy")
     val s = spark
