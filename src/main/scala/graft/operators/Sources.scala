@@ -2173,5 +2173,34 @@ object Sources {
             GROUP BY n_regionkey
             ORDER BY n_regionkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203)
+  // ---------------------------------------------------------------- q204
+  // Exact row provenance: option("withrowindex","true") stamps each
+  // row's 0-based ordinal within its FILE — (file, index) addresses a
+  // row for as long as the file lives (the deletion-vector address
+  // space, and the "point at the exact bad record" ops primitive). The
+  // sorted single-file write makes the ordinal independently derivable,
+  // so the oracle pins the stamped values exactly.
+  private val q204 = GQuery(
+    "q204_row_provenance",
+    "per-file row ordinals (withRowIndex): every 100th row, exactly addressed",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/row_prov"
+      Tables(s, d, "documents").select($"doc_id", $"n_chars")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.format("graft-json").mode("overwrite").save(dir)
+      s.read.format("graft-json")
+        .option("withrowindex", "true").load(dir)
+        .filter($"_graft_row_index" % 100 === 0)
+        .select($"_graft_row_index".as("idx"), $"doc_id", $"n_chars")
+        .orderBy($"idx")
+    },
+    Some("""SELECT idx, doc_id, n_chars FROM (
+              SELECT (row_number() OVER (ORDER BY doc_id)) - 1 AS idx,
+                     doc_id, n_chars
+              FROM documents)
+            WHERE idx % 100 = 0
+            ORDER BY idx"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204)
 }

@@ -364,6 +364,19 @@ object GraftSources {
   /** Synthetic per-file provenance column surfaced by `withFilePath`. */
   final val FilePathCol = "_graft_file"
 
+  /** Synthetic per-row ordinal surfaced by `option("withrowindex","true")`:
+    * the row's 0-based position within its FILE, stamped by the row
+    * readers — (file, index) addresses a row for as long as the file
+    * lives (exact row provenance; the deletion-vector address space).
+    * Reads force whole-file partitions (an ordinal needs the whole file's
+    * order), refuse non-fail badrecords modes (dropped rows would shift
+    * ordinals), skip aggregate pushdown, and evaluate ALL filters as
+    * residuals (a plate-dropped row would shift every later ordinal) —
+    * provenance mode trades the byte-skip fast paths for exact
+    * addressing.
+    */
+  final val RowIndexCol = "_graft_row_index"
+
   /** Comma-join a root-relative file list for the `restrictfiles` /
     * `commitremoves` options. New writes %2C-escape ',' in partition
     * values, but a PRE-v2 layout already on disk may carry a literal
@@ -581,7 +594,13 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
     // hive-style partition columns ride at the end (data fields win ties)
     val partExtra = GraftSources.partitionSchema(listing)
       .filterNot(f => data.fieldNames.contains(f.name))
-    StructType(data.fields ++ partExtra)
+    val withIdx =
+      if (options.getBoolean("withrowindex", false) &&
+          !data.fieldNames.contains(GraftSources.RowIndexCol))
+        Seq(org.apache.spark.sql.types.StructField(
+          GraftSources.RowIndexCol, org.apache.spark.sql.types.LongType))
+      else Nil
+    StructType(data.fields ++ partExtra ++ withIdx)
   }
 
   override def getTable(
@@ -644,10 +663,16 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
     val listing = GraftSources.resolvePartitioned(options)
     // commit-log-recorded schema wins (typed columns, not all-string
     // header inference) — see the JSON provider's note
+    def withIdx(fields: Array[org.apache.spark.sql.types.StructField]) =
+      if (options.getBoolean("withrowindex", false) &&
+          !fields.exists(_.name == GraftSources.RowIndexCol))
+        fields :+ org.apache.spark.sql.types.StructField(
+          GraftSources.RowIndexCol, org.apache.spark.sql.types.LongType)
+      else fields
     GraftSources.logSchema(options).foreach { data =>
       val partExtra = GraftSources.partitionSchema(listing)
         .filterNot(f => data.fieldNames.contains(f.name))
-      return StructType(data.fields ++ partExtra)
+      return StructType(withIdx(data.fields ++ partExtra))
     }
     val conf = GraftSources.activeHadoopConf()
     val config = GraftSources.csvConfig(options.asCaseSensitiveMap())
@@ -685,7 +710,7 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
         org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
       val partExtra = GraftSources.partitionSchema(listing)
         .filterNot(f => data.fieldNames.contains(f.name))
-      StructType(data.fields ++ partExtra)
+      StructType(withIdx(data.fields ++ partExtra))
     }
   }
 
@@ -868,6 +893,9 @@ final class GraftScanBuilder(
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (pushed.nonEmpty) return false
+    // the row-index column is stamped by the ROW readers; the pruned
+    // aggregate parse would fold nulls in its place
+    if (options.getBoolean("withrowindex", false)) return false
     val fs = agg.aggregateExpressions
     if (agg.groupByExpressions.isEmpty && fs.length == 1 && fs(0).isInstanceOf[CountStar]) {
       countStar = true
@@ -1230,6 +1258,14 @@ final class GraftScan(
     kept
   }
 
+  // exact row provenance (option("withrowindex","true")): ordinals are
+  // stable only over whole files in strict mode
+  private val withRowIndex = options.getBoolean("withrowindex", false)
+  require(!withRowIndex ||
+      "fail".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
+    "withRowIndex requires badrecords=fail: dropped/captured corrupt rows " +
+      "would shift every later row's ordinal")
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val pf = prunedFiles
@@ -1328,7 +1364,9 @@ final class GraftScan(
       // members are inherently unsplittable
       if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv).copy(partKey = key))
-      else if (offset >= 0 || (metaAggCandidate && sidecarStats(p, len).isDefined))
+      else if (offset >= 0 || withRowIndex ||
+          (metaAggCandidate && sidecarStats(p, len).isDefined))
+        // withRowIndex: an ordinal needs the whole file's order
         Seq(GraftInputPartition(p, 0, len, len, pv, key))
       else blockRanges(p, len) match {
         case Some(rs) => rs.map { case (s0, e0) =>
@@ -1363,9 +1401,19 @@ final class GraftScan(
     // and by the residual; the row plate must not see them (the column is
     // null until the partition value is stamped in)
     val partNames = listing.partCols.toSet
+    // row-index mode: NO plate filters at all — a plate-dropped row
+    // would never reach the stamp and every later row's ordinal would
+    // shift (the ordinal must be the row's TRUE file position, filters
+    // or not). Spark re-applies every filter as residual post-stamp, so
+    // results stay exact; the cost is SkipRow's byte-skip, the
+    // documented price of provenance mode.
     val plateFilters =
-      if (partSpec.isEmpty) filters
+      if (withRowIndex) Array.empty[Filter]
+      else if (partSpec.isEmpty) filters
       else filters.filterNot(_.references.exists(partNames.contains))
+    val rowIdxSlot =
+      if (withRowIndex) rowSchema.fieldNames.indexOf(GraftSources.RowIndexCol)
+      else -1
     val badrecords = options.getOrDefault("badrecords", "fail")
     val keepMalformed = "keep".equalsIgnoreCase(badrecords) ||
       "permissive".equalsIgnoreCase(badrecords)
@@ -1391,14 +1439,15 @@ final class GraftScan(
             dropMalformed = dropMalformed,
             limit = limit, partSpec = partSpec,
             corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null,
-            saturate = saturate)
+            saturate = saturate, rowIdxSlot = rowIdxSlot)
         else {
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
           val dataCols = fullSchema.fieldNames.filterNot(partNames.contains)
           new GraftCsvReaderFactory(rowSchema, plateFilters, conf,
             GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
-            partSpec = partSpec, fullDataCols = dataCols)
+            partSpec = partSpec, fullDataCols = dataCols,
+            rowIdxSlot = rowIdxSlot)
         }
       aggSpec match {
         case Some(spec) =>
@@ -1449,18 +1498,20 @@ final class GraftJsonReaderFactory(
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     corruptCol: String = null,
-    saturate: Boolean = true)
+    saturate: Boolean = true,
+    rowIdxSlot: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec, corruptCol, saturate)
+      dropMalformed, limit, partSpec, corruptCol, saturate, rowIdxSlot)
 
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
   // partition columns become constant vectors per batch. PERMISSIVE mode
-  // stays row-based (corrupt-row emission is a row-queue concept).
+  // stays row-based (corrupt-row emission is a row-queue concept), and so
+  // does row-index stamping.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && corruptCol == null
+    ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
@@ -1475,16 +1526,18 @@ final class GraftCsvReaderFactory(
     config: CsvParser.Config,
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
-    fullDataCols: Array[String] = Array.empty)
+    fullDataCols: Array[String] = Array.empty,
+    rowIdxSlot: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, config,
-      limit, partSpec, fullDataCols)
+      limit, partSpec, fullDataCols, rowIdxSlot)
 
-  // byte-range splits vectorize too (CsvRangeFeeder + providedHeader)
+  // byte-range splits vectorize too (CsvRangeFeeder + providedHeader);
+  // row-index stamping is a row-path concept
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema)
+    ColumnarPlate.supports(schema) && rowIdxSlot < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
@@ -2096,7 +2149,8 @@ final class GraftJsonPartitionReader(
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     corruptCol: String = null,
-    saturate: Boolean = true)
+    saturate: Boolean = true,
+    rowIdxSlot: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -2107,11 +2161,18 @@ final class GraftJsonPartitionReader(
     val raw = part.partValues(pi)
     (ri, if (raw == null) null else Conversions.fromString(dt, raw))
   }
+  // row ordinal within the FILE (the scan planned one whole-file
+  // partition when rowIdxSlot >= 0, so the counter IS the file ordinal)
+  private var rowOrdinal = 0L
   @inline private def stamp(row: InternalRow): InternalRow = {
     var i = 0
     while (i < partTyped.length) {
       row.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
       i += 1
+    }
+    if (rowIdxSlot >= 0) {
+      row.asInstanceOf[GenericInternalRow].update(rowIdxSlot, rowOrdinal)
+      rowOrdinal += 1
     }
     row
   }
@@ -2282,7 +2343,8 @@ final class GraftCsvPartitionReader(
     config: CsvParser.Config,
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
-    fullDataCols: Array[String] = Array.empty)
+    fullDataCols: Array[String] = Array.empty,
+    rowIdxSlot: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -2291,11 +2353,16 @@ final class GraftCsvPartitionReader(
     val raw = part.partValues(pi)
     (ri, if (raw == null) null else Conversions.fromString(dt, raw))
   }
+  private var rowOrdinal = 0L // file ordinal (whole-file partition)
   private val plate = new RowPlate(schema, filters, { r =>
     var i = 0
     while (i < partTyped.length) {
       r.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
       i += 1
+    }
+    if (rowIdxSlot >= 0) {
+      r.asInstanceOf[GenericInternalRow].update(rowIdxSlot, rowOrdinal)
+      rowOrdinal += 1
     }
     queue.append(r)
   }, emptyCellsAsNull = true) // CSV: empty cell = NULL (Spark/DuckDB parity)
