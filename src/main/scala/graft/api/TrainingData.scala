@@ -722,6 +722,106 @@ object TrainingData {
     }
   }
 
+  /** Merge-on-read DELETE — the Delta deletion-vector shape: rows matching
+    * `predicate` are deleted WITHOUT rewriting any data file. Phase 1
+    * scans the latest snapshot with the predicate pushed down (stats /
+    * blooms / partition pruning drop definitely-clean files) and
+    * `withRowIndex` provenance on, so every match is an exact
+    * (file, ordinal) address; phase 2 writes one vector artifact per
+    * affected file EXECUTOR-SIDE (repartitioned by file, ordinals streamed
+    * in order, merged with the file's prior vector — each artifact is the
+    * file's full cumulative deleted set) and commits one atomic v4 entry
+    * attaching them. OCC: a concurrent rewrite retiring a target, or a
+    * concurrent DELETE replacing a vector this one merged from, aborts
+    * the commit loudly (orphan artifacts are hidden and harmless).
+    *
+    * Reads apply vectors on every log-mediated path (versionAsOf /
+    * snapshot / the COW maintenance reads) AND on raw-listing reads of
+    * the table root (latest-state masks); `versionAsOf` BEFORE the delete
+    * still shows the rows — exact time travel. The trade (the Delta
+    * trade): deleting is O(matches), but each vectored file loses its
+    * scan fast paths (whole-file read, no stats/TopN/offset answers)
+    * until [[materializeDeletes]] or [[optimizeTable]] rewrites it clean.
+    *
+    * Returns the root-relative files that received vectors (empty = no
+    * row matched, no version committed).
+    */
+  def deleteWhereDV(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, predicate: String,
+      format: String = "graft-json"): Seq[String] = {
+    val tbl = resolveCow(spark, dir, schema)
+    val log = graft.spark.GraftCommitLog
+    val state = log.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    val idxCol = graft.spark.GraftSources.RowIndexCol
+    val scanSchema = org.apache.spark.sql.types.StructType(
+      tbl.phase1Schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxCol, org.apache.spark.sql.types.LongType))
+    import spark.implicits._
+    val matches = spark.read.format(format).schema(scanSchema)
+      .option("withfilepath", "true").option("withrowindex", "true")
+      .option("versionasof", tbl.latest.toString).load(dir)
+      .filter(expr(predicate))
+      .select(col(fileCol).as("_f"), col(idxCol).as("_i")).as[(String, Long)]
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = dir
+    val stateB = spark.sparkContext.broadcast(state)
+    // one artifact per affected file, written where the matches are: each
+    // task owns whole files (repartition by file) and streams ordinals in
+    // ascending order (sortWithinPartitions) straight to its artifact —
+    // driver traffic is one (file, artifact) pair per affected file
+    val pairs: Array[(String, String)] = matches
+      .repartition(col("_f")).sortWithinPartitions(col("_f"), col("_i"))
+      .mapPartitions { it =>
+        val root = new org.apache.hadoop.fs.Path(rootStr)
+        val fs = root.getFileSystem(conf.value)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val bit = it.buffered
+        while (bit.hasNext) {
+          val f = bit.head._1
+          val ords = new Iterator[Long] {
+            def hasNext: Boolean = bit.hasNext && bit.head._1 == f
+            def next(): Long = bit.next()._2
+          }
+          val name = graft.spark.DeletionVectors.write(fs, root, f, ords,
+            Option(stateB.value.getOrElse(f, null)))
+          out += ((f, name))
+        }
+        out.iterator
+      }.collect()
+    if (pairs.isEmpty) return Nil
+    val dvBase: Map[String, String] =
+      pairs.map { case (f, _) => f -> state.getOrElse(f, null) }.toMap
+    log.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
+      adds = Nil, removes = Nil,
+      dvs = pairs.toSeq.map { case (f, n) => (n, f) }, dvBase = dvBase)
+    pairs.map(_._1).toSeq.sorted
+  }
+
+  /** Rewrite every file carrying a deletion vector WITHOUT its masked
+    * rows and retire the originals in one atomic entry — the `REORG TABLE
+    * ... APPLY (PURGE)` shape that restores the scan fast paths
+    * [[deleteWhereDV]] trades away. Same `retainHistory` contract as
+    * [[deleteWhere]]; replaced artifacts are reclaimed with the retired
+    * data files (kept for pinned reads under `retainHistory = true`).
+    * Returns the root-relative files rewritten.
+    */
+  def materializeDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, format: String = "graft-json",
+      retainHistory: Boolean = false): Seq[String] = {
+    val tbl = resolveCow(spark, dir, schema)
+    val state = graft.spark.GraftCommitLog.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
+    val candidates = state.collect { case (f, dv) if dv != null => f }.toSeq.sorted
+    val rewritten =
+      cowRewrite(spark, dir, format, tbl, candidates, retainHistory)(identity)
+    if (!retainHistory) candidates.foreach { f =>
+      tbl.fs.delete(
+        graft.spark.DeletionVectors.artifactPath(tbl.root, state(f)), false)
+    }
+    rewritten
+  }
+
   /** Resolved COW-rewrite context: latest committed snapshot, layout
     * partition columns, and the scan schemas both phases read with.
     */
@@ -906,9 +1006,11 @@ object TrainingData {
     if (candidates.isEmpty) return Nil
     val source = spark.read.format(format).schema(tbl.fullSchema)
       .option("restrictfiles",
-        graft.spark.GraftSources.joinFileList(candidates, "restrictfiles")).load(dir)
-    // (restrictFiles pins the exact candidate set — all ⊆ the latest
-    // snapshot by construction, so no versionAsOf needed here)
+        graft.spark.GraftSources.joinFileList(candidates, "restrictfiles"))
+      // pin the snapshot the candidates came from: a candidate carrying a
+      // deletion vector must rewrite only its LIVE rows — an unpinned
+      // restrict read would resurrect the masked ones
+      .option("versionasof", tbl.latest.toString).load(dir)
     val w = rewrite(source)
       .write.format(format).mode("append")
       .option("commitremoves",

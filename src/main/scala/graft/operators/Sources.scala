@@ -2202,5 +2202,83 @@ object Sources {
             WHERE idx % 100 = 0
             ORDER BY idx"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204)
+  // ---------------------------------------------------------------- q205
+  // Merge-on-read DELETE via deletion vectors (the Delta DV shape): two
+  // successive deletes write per-file ordinal MASKS — zero data files are
+  // rewritten (the gate asserts name+length+mtime fixed) — and the
+  // snapshot read applies the cumulative masks exactly. At 100 TB this is
+  // the difference between an O(matches) metadata commit and rewriting
+  // terabytes of clean rows to drop a few bad ones.
+  private val q205 = GQuery(
+    "q205_deletion_vectors",
+    "merge-on-read DELETE: cumulative per-file row masks, zero files rewritten",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/dv_gate"
+      val ddl = "s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE, s_nationkey BIGINT"
+      Tables(s, d, "supplier")
+        .select($"s_suppkey".cast("long").as("s_suppkey"), $"s_name",
+          $"s_acctbal", $"s_nationkey".cast("long").as("s_nationkey"))
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .sortBy(_._1).toSeq
+      val before = dataFiles()
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "s_suppkey % 10 < 3")
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "s_acctbal < 0")
+      require(dataFiles() == before,
+        "deletion-vector DELETE must not touch any data file")
+      s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"s_suppkey").as("key_sum"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+            FROM supplier
+            WHERE s_suppkey % 10 >= 3 AND s_acctbal >= 0
+            GROUP BY 1
+            ORDER BY s_nationkey"""))
+
+  // ---------------------------------------------------------------- q206
+  // REORG / APPLY (PURGE): materializeDeletes rewrites exactly the
+  // vectored files without their masked rows and drops the vectors in one
+  // atomic entry — restoring the scan fast paths (sidecar stats, whole-
+  // file reads) the masks disabled. The raw-listing read at the end
+  // proves the rows are PHYSICALLY gone, not just masked.
+  private val q206 = GQuery(
+    "q206_materialize_deletes",
+    "purge deletion vectors: vectored files rewritten clean, masks retired",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/dv_purge"
+      val ddl = "c_custkey BIGINT, c_mktsegment STRING, c_nationkey BIGINT"
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_mktsegment",
+          $"c_nationkey".cast("long").as("c_nationkey"))
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "c_custkey % 7 = 0")
+      val rewritten = graft.api.TrainingData.materializeDeletes(s, dir, ddl)
+      require(rewritten.nonEmpty, "materializeDeletes rewrote nothing")
+      // RAW listing (no snapshot/version option): the masked rows must be
+      // physically absent from the live files
+      s.read.format("graft-json").schema(ddl).load(dir)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"c_custkey").as("key_sum"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c_custkey) AS BIGINT) AS key_sum
+            FROM customer
+            WHERE c_custkey % 7 <> 0
+            GROUP BY 1
+            ORDER BY c_mktsegment"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206)
 }

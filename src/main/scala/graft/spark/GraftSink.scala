@@ -622,10 +622,21 @@ private[graft] object GraftCommitLog {
   private def lastCheckpointFile(root: Path): Path =
     new Path(logDir(root), "_last_checkpoint")
 
-  /** One commit-log action: `add = true` is an `f` line (file published),
-    * `add = false` an `r` line (file's rows retired by a COW rewrite).
+  /** One commit-log action: an `f` line (file published), an `r` line
+    * (file's rows retired by a COW rewrite), or a `d` line (a deletion
+    * vector attached to a live file — `dv` names the artifact under
+    * `.graft-dv/` holding the file's FULL deleted-ordinal set as of that
+    * commit; a later `d` on the same file REPLACES the mapping).
     */
-  final case class LogAction(add: Boolean, path: String)
+  final case class LogAction(kind: Char, path: String, dv: String = null) {
+    def add: Boolean = kind == 'f'
+    def isDv: Boolean = kind == 'd'
+  }
+  object LogAction {
+    // the historical two-arg shape (pre-deletion-vector call sites)
+    def apply(add: Boolean, path: String): LogAction =
+      LogAction(if (add) 'f' else 'r', path)
+  }
 
   private def relativize(fs: org.apache.hadoop.fs.FileSystem, rootQ: String,
       file: String): String = {
@@ -671,14 +682,23 @@ private[graft] object GraftCommitLog {
   /** Allocate the next version (put-if-absent) and write one entry with
     * the given adds and removes (paths may be absolute — they are
     * root-relativized). Returns the committed version. Throws on failure.
+    *
+    * `dvs` attaches deletion vectors: (artifact name under `.graft-dv/`,
+    * target file path) pairs — merge-on-read DELETE, no data movement.
+    * `dvBase` is, per target, the dv artifact the new vector MERGED from
+    * (null/absent = the file had none) — the OCC token: a racer landing a
+    * different vector or retiring the target first aborts this commit
+    * loudly (publishing it would silently drop the racer's deletes).
     */
   def appendEntry(conf: org.apache.hadoop.conf.Configuration, root: String,
       adds: Seq[String], removes: Seq[String] = Nil,
-      schema: StructType = null, schemaBase: StructType = null): Long = {
+      schema: StructType = null, schemaBase: StructType = null,
+      dvs: Seq[(String, String)] = Nil,
+      dvBase: Map[String, String] = Map.empty): Long = {
     // a SCHEMA-ONLY entry (no file actions) is how ALTER TABLE
     // add/drop-column lands: the metadata changes at a version boundary
     // with no data movement
-    require(adds.nonEmpty || removes.nonEmpty || schema != null,
+    require(adds.nonEmpty || removes.nonEmpty || schema != null || dvs.nonEmpty,
       "empty commit-log entry")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -686,6 +706,7 @@ private[graft] object GraftCommitLog {
     val dir = logDir(rootPath)
     fs.mkdirs(dir)
     val relRemoves = removes.map(relativize(fs, rootQ, _))
+    val relDvs = dvs.map { case (dvn, t) => (dvn, relativize(fs, rootQ, t)) }
 
     // COMMIT-TIME CONFLICT DETECTION for rewrites (Delta's optimistic-
     // concurrency shape, simplified): two racing rewrites both pass
@@ -697,15 +718,17 @@ private[graft] object GraftCommitLog {
     // stays the single create→write step it always was); on losing a
     // slot race, fold only the DELTA entries and re-validate.
     var base: Option[Long] = versions(fs, rootPath).lastOption
-    var live: Set[String] =
-      if (relRemoves.isEmpty) Set.empty
-      else try base.map(liveFilesAsOf(fs, rootPath, _)).getOrElse(Set.empty)
+    val needState = relRemoves.nonEmpty || relDvs.nonEmpty
+    // path -> dv-artifact name (null = live with no deletion vector)
+    var live: Map[String, String] =
+      if (!needState) Map.empty
+      else try base.map(liveStateAsOf(fs, rootPath, _)).getOrElse(Map.empty)
       catch { case e: Exception =>
         throw new java.io.IOException(
           s"commit log under $root: could not validate rewrite preconditions " +
             "— aborted without publishing", e)
       }
-    def validate(): Unit =
+    def validate(): Unit = {
       relRemoves.find(!live.contains(_)).foreach { f =>
         throw new java.util.ConcurrentModificationException(
           s"commit log under $root: the commit would remove '$f', which is " +
@@ -713,6 +736,23 @@ private[graft] object GraftCommitLog {
             "it first; re-run the maintenance operation against the current " +
             "snapshot")
       }
+      relDvs.foreach { case (_, t) =>
+        if (!live.contains(t))
+          throw new java.util.ConcurrentModificationException(
+            s"commit log under $root: the commit would attach a deletion " +
+              s"vector to '$t', which is not live at the current version — a " +
+              "concurrent rewrite retired it; re-run the delete against the " +
+              "current snapshot")
+        val cur = live(t)
+        val expected = dvBase.getOrElse(t, null)
+        if (cur != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"commit log under $root: '$t' carries deletion vector " +
+              s"'$cur' but this commit merged from '$expected' — a concurrent " +
+              "DELETE landed first; re-run against the current snapshot (a " +
+              "stale merge would silently drop the racer's deletes)")
+      }
+    }
     validate()
 
     // COMMIT-TIME SCHEMA CONFLICT POLICY (the Delta metadata-conflict
@@ -748,15 +788,18 @@ private[graft] object GraftCommitLog {
 
     def body(prev: Option[Long]): String = {
       val sch = schemaFor(prev)
-      // v3 = v2 + an optional `s <base64 schema json>` line; entries
-      // without a schema keep the v1/v2 headers byte-identical to what
-      // older history holds (an append-only schemaless history stays v1)
+      // v3 = v2 + an optional `s <base64 schema json>` line; v4 = v3 + `d
+      // <artifact> <path>` deletion-vector lines. Entries without the new
+      // line kinds keep the older headers byte-identical to what older
+      // history holds (an append-only schemaless history stays v1).
       val header =
-        if (sch != null) "graft-commit v3"
+        if (relDvs.nonEmpty) "graft-commit v4"
+        else if (sch != null) "graft-commit v3"
         else if (relRemoves.isEmpty) "graft-commit v1" else "graft-commit v2"
       (header +:
           ((if (sch != null) Seq(schemaLine(sch)) else Nil) ++
             relRemoves.map("r " + _) ++
+            relDvs.map { case (dvn, t) => s"d $dvn $t" } ++
             adds.map(f => "f " + relativize(fs, rootQ, f))))
         .mkString("", "\n", "\n")
     }
@@ -776,13 +819,17 @@ private[graft] object GraftCommitLog {
       val out =
         try fs.create(entry, false) // put-if-absent
         catch { case _: java.io.IOException =>
-          if (relRemoves.nonEmpty) {
+          if (needState) {
             val vs = versions(fs, rootPath)
             val delta = vs.filter(x => x >= v)
             try {
               live = delta.foldLeft(live) { (l, dv) =>
                 entryActions(fs, rootPath, dv).foldLeft(l) { (s, a) =>
-                  if (a.add) s + a.path else s - a.path
+                  a.kind match {
+                    case 'f' => s.updated(a.path, null)
+                    case 'r' => s - a.path
+                    case _   => if (s.contains(a.path)) s.updated(a.path, a.dv) else s
+                  }
                 }
               }
             } catch { case e: Exception =>
@@ -832,12 +879,20 @@ private[graft] object GraftCommitLog {
   def writeCheckpoint(conf: org.apache.hadoop.conf.Configuration,
       root: Path, version: Long): Unit = {
     val fs = root.getFileSystem(conf)
-    val live = liveFilesAsOf(fs, root, version).toSeq.sorted
+    val live = liveStateAsOf(fs, root, version).toSeq.sortBy(_._1)
     // the checkpoint carries the schema as of its version so schema
-    // tracking survives expireLogHistory retiring the raw entries
+    // tracking survives expireLogHistory retiring the raw entries; it
+    // carries deletion-vector attachments for the same reason (v3)
     val schema = schemaAsOf(fs, root, version)
-    val header = if (schema.isDefined) "graft-checkpoint v2" else "graft-checkpoint v1"
-    val body = (header +: (schema.map(schemaLine).toSeq ++ live.map("f " + _)))
+    val anyDv = live.exists(_._2 != null)
+    val header =
+      if (anyDv) "graft-checkpoint v3"
+      else if (schema.isDefined) "graft-checkpoint v2"
+      else "graft-checkpoint v1"
+    val lines = live.map { case (p, dv) =>
+      if (dv == null) "f " + p else s"d $dv $p"
+    }
+    val body = (header +: (schema.map(schemaLine).toSeq ++ lines))
       .mkString("", "\n", "\n")
     val target = checkpointFile(root, version)
     val tmp = new Path(logDir(root), f".$version%020d.checkpoint.tmp")
@@ -866,15 +921,34 @@ private[graft] object GraftCommitLog {
     * fallback fold, never correctness).
     */
   def readCheckpoint(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      version: Long): Option[Set[String]] = try {
+      version: Long): Option[Set[String]] =
+    readCheckpointState(fs, root, version).map(_.keySet)
+
+  /** Parse one checkpoint's live state — path -> deletion-vector artifact
+    * name (null = none); None on any read/parse failure (checkpoints are
+    * derived state — a bad one must only cost the fallback fold, never
+    * correctness).
+    */
+  def readCheckpointState(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[Map[String, String]] = try {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
-    val v2 = lines.headOption.contains("graft-checkpoint v2")
+    val v3 = lines.headOption.contains("graft-checkpoint v3")
+    val v2 = v3 || lines.headOption.contains("graft-checkpoint v2")
     if (!v2 && !lines.headOption.contains("graft-checkpoint v1")) return None
     val tail = if (v2) lines.tail.filterNot(_.startsWith("s ")) else lines.tail
-    if (!tail.forall(_.startsWith("f "))) return None
-    Some(tail.map(_.substring(2)).toSet)
+    val state = Map.newBuilder[String, String]
+    tail.foreach { l =>
+      if (l.startsWith("f ")) state += (l.substring(2) -> null)
+      else if (v3 && l.startsWith("d ")) {
+        val rest = l.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp <= 0) return None
+        state += (rest.substring(sp + 1) -> rest.substring(0, sp))
+      } else return None
+    }
+    Some(state.result())
   } catch { case _: Exception => None }
 
   /** The schema line of a v2 checkpoint; None for v1 or unparsable. */
@@ -883,7 +957,8 @@ private[graft] object GraftCommitLog {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
-    if (!lines.headOption.contains("graft-checkpoint v2")) None
+    if (!lines.headOption.exists(h =>
+        h == "graft-checkpoint v2" || h == "graft-checkpoint v3")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 
@@ -895,6 +970,13 @@ private[graft] object GraftCommitLog {
       version: Long): Option[(Long, Set[String])] =
     checkpointVersions(fs, root).filter(_ <= version).sorted(Ordering[Long].reverse)
       .iterator.flatMap(v => readCheckpoint(fs, root, v).map((v, _)))
+      .nextOption()
+
+  /** [[checkpointAtOrBefore]] with deletion-vector attachments. */
+  def checkpointStateAtOrBefore(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[(Long, Map[String, String])] =
+    checkpointVersions(fs, root).filter(_ <= version).sorted(Ordering[Long].reverse)
+      .iterator.flatMap(v => readCheckpointState(fs, root, v).map((v, _)))
       .nextOption()
 
   /** All committed versions under `root`, ascending; empty when unlogged. */
@@ -912,7 +994,17 @@ private[graft] object GraftCommitLog {
     * is there".
     */
   def liveFilesAsOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      version: Long): Set[String] = {
+      version: Long): Set[String] = liveStateAsOf(fs, root, version).keySet
+
+  /** Root-relative live state as of `version` — path -> deletion-vector
+    * artifact name (null = live with no deletion vector): entries ≤ v
+    * folded in version order (adds union in, removes drop out, `d` lines
+    * replace the target's vector). Fails loudly on an unknown version, a
+    * malformed entry, or a remove/attach against a file that was not live
+    * — a snapshot read must never silently degrade to "whatever is there".
+    */
+  def liveStateAsOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Map[String, String] = {
     val vs = versions(fs, root)
     require(vs.nonEmpty,
       s"versionAsOf=$version: no graft commit log under $root " +
@@ -928,8 +1020,8 @@ private[graft] object GraftCommitLog {
     }
     // seed from the newest readable checkpoint ≤ version and fold only the
     // suffix: O(suffix) entry reads instead of O(#commits)
-    val (seedV, seed) = checkpointAtOrBefore(fs, root, version)
-      .getOrElse((-1L, Set.empty[String]))
+    val (seedV, seed) = checkpointStateAtOrBefore(fs, root, version)
+      .getOrElse((-1L, Map.empty[String, String]))
     // rail: with no usable seed the full fold must actually start at the
     // log's beginning — if the prefix was expired and the checkpoint is
     // unreadable, a partial fold would return a silently WRONG file set
@@ -939,12 +1031,18 @@ private[graft] object GraftCommitLog {
         "partial fold; restore .graft-log/<v>.checkpoint or the expired entries")
     vs.filter(v => v > seedV && v <= version).foldLeft(seed) { (live, v) =>
       entryActions(fs, root, v).foldLeft(live) { (l, a) =>
-        if (a.add) l + a.path
-        else {
-          require(l.contains(a.path),
-            s"commit-log entry $v under $root removes '${a.path}', which is not " +
-              "live at that version — malformed rewrite entry")
-          l - a.path
+        a.kind match {
+          case 'f' => l.updated(a.path, null)
+          case 'r' =>
+            require(l.contains(a.path),
+              s"commit-log entry $v under $root removes '${a.path}', which is not " +
+                "live at that version — malformed rewrite entry")
+            l - a.path
+          case _ =>
+            require(l.contains(a.path),
+              s"commit-log entry $v under $root attaches a deletion vector to " +
+                s"'${a.path}', which is not live at that version — malformed entry")
+            l.updated(a.path, a.dv)
         }
       }
     }
@@ -996,7 +1094,16 @@ private[graft] object GraftCommitLog {
     // re-delivering rewritten rows alongside the stale ones.
     vs.filter(_ > sinceVersion).foldLeft(Set.empty[String]) { (acc, v) =>
       entryActions(fs, root, v).foldLeft(acc) { (a, act) =>
-        if (act.add) a + act.path
+        if (act.isDv)
+          // a deletion vector deletes rows in place — whether the target
+          // was consumed already or sits in this range, the raw file the
+          // consumer would read now over-delivers; incremental reading
+          // cannot express row-level deletes
+          throw new IllegalStateException(
+            s"changesSinceVersion=$sinceVersion: version $v under $root attaches " +
+              s"a deletion vector to '${act.path}' — rows were deleted in place; " +
+              "a full refresh is required")
+        else if (act.add) a + act.path
         else if (a.contains(act.path)) a - act.path
         else throw new IllegalStateException(
           s"changesSinceVersion=$sinceVersion: version $v under $root removes " +
@@ -1014,8 +1121,9 @@ private[graft] object GraftCommitLog {
       version: Long): Seq[String] = {
     val acts = entryActions(fs, root, version)
     acts.find(!_.add).foreach { a =>
+      val what = if (a.isDv) "attaches a deletion vector to" else "removes"
       throw new IllegalStateException(
-        s"commit-log entry $version under $root removes '${a.path}' — the table " +
+        s"commit-log entry $version under $root $what '${a.path}' — the table " +
           "was rewritten by DELETE/UPDATE; followLog tails append-only history " +
           "(restart the stream from a fresh checkpoint to re-snapshot)")
     }
@@ -1052,14 +1160,23 @@ private[graft] object GraftCommitLog {
   def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Seq[LogAction] = {
     val (p, lines) = entryLines(fs, root, version)
-    val v3 = lines.headOption.contains("graft-commit v3")
+    val v4 = lines.headOption.contains("graft-commit v4")
+    val v3 = v4 || lines.headOption.contains("graft-commit v3")
     val v2 = v3 || lines.headOption.contains("graft-commit v2")
     require(v2 || lines.headOption.contains("graft-commit v1"),
       s"malformed commit-log entry $p")
     lines.tail.flatMap { l =>
-      if (l.startsWith("f ")) Some(LogAction(add = true, l.substring(2)))
-      else if (v2 && l.startsWith("r ")) Some(LogAction(add = false, l.substring(2)))
-      else if (v3 && l.startsWith("s ")) None
+      if (l.startsWith("f ")) Some(LogAction('f', l.substring(2)))
+      else if (v2 && l.startsWith("r ")) Some(LogAction('r', l.substring(2)))
+      else if (v4 && l.startsWith("d ")) {
+        // `d <artifact> <path>`: artifact names are writer-generated and
+        // space-free; the path is everything after the first space
+        val rest = l.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp <= 0)
+          throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
+        Some(LogAction('d', rest.substring(sp + 1), rest.substring(0, sp)))
+      } else if (v3 && l.startsWith("s ")) None
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
   }
@@ -1071,7 +1188,8 @@ private[graft] object GraftCommitLog {
   def entrySchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[StructType] = try {
     val (_, lines) = entryLines(fs, root, version)
-    if (!lines.headOption.contains("graft-commit v3")) None
+    if (!lines.headOption.exists(h =>
+        h == "graft-commit v3" || h == "graft-commit v4")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 

@@ -144,12 +144,22 @@ object GraftSources {
     // commit order), or refuse loudly when no checkpoint covers it.
     val (seed, suffix) =
       if (vs.isEmpty || vs.min == 0L) (Nil, vs)
-      else GraftCommitLog.checkpointAtOrBefore(fs, root, vs.min) match {
+      else GraftCommitLog.checkpointStateAtOrBefore(fs, root, vs.min) match {
         // the checkpoint must actually COVER the expired prefix: an older
         // readable checkpoint (the newest one corrupt, say) still leaves
         // a gap of expired entries whose adds are unrecoverable
-        case Some((cv, files)) if cv >= vs.min - 1 =>
-          (files.toSeq.sorted, vs.filter(_ > cv))
+        case Some((cv, state)) if cv >= vs.min - 1 =>
+          // a deletion vector in the seed means rows were deleted in
+          // place — a stream reading the raw file would over-deliver;
+          // same refusal entryFiles gives a `d` entry in the suffix
+          state.find(_._2 != null).foreach { case (p, _) =>
+            throw new IllegalStateException(
+              s"followLog: checkpoint $cv under $root carries a deletion " +
+                s"vector for '$p' — a stream cannot apply row-level deletes; " +
+                "materialize the deletes (TrainingData.materializeDeletes) " +
+                "and restart the stream from a fresh checkpoint")
+          }
+          (state.keySet.toSeq.sorted, vs.filter(_ > cv))
         case _ => throw new IllegalStateException(
           s"followLog: log history under $root starts at version ${vs.min} " +
             "(expireLogHistory) with no readable checkpoint covering the " +
@@ -172,7 +182,13 @@ object GraftSources {
       }
   }
 
-  final case class ListedFile(path: String, len: Long, partValues: Array[String])
+  /** `dv`/`dvTarget`: when the file carries a deletion vector in the
+    * resolved snapshot — the artifact's ABSOLUTE path and the file's
+    * root-relative path (the artifact's recorded target, cross-checked at
+    * read time). null = no vector (the common case).
+    */
+  final case class ListedFile(path: String, len: Long, partValues: Array[String],
+      dv: String = null, dvTarget: String = null)
   /** `partCols` in first-seen directory order; each file's `partValues`
     * align to it (null = value absent for that file).
     */
@@ -288,6 +304,8 @@ object GraftSources {
           "(only graft batch sinks write .graft-log)")
       pinned = Some(vs.max.toString)
     }
+    // data-file abs path -> (deletion-vector artifact abs path, rel target)
+    var dvByPath = Map.empty[String, (String, String)]
     pinned.orElse(since).foreach { vstr =>
       val optName = if (pinned.isDefined) "versionAsOf" else "changesSinceVersion"
       require(roots.length == 1,
@@ -300,20 +318,61 @@ object GraftSources {
       val fs = rootPath.getFileSystem(conf)
       require(fs.getFileStatus(rootPath).isDirectory,
         s"$optName applies to a graft-sink-written directory, not a single file")
-      val wanted =
-        if (pinned.isDefined) GraftCommitLog.liveFilesAsOf(fs, rootPath, version)
+      // pinned reads carry the deletion-vector state AS OF the pinned
+      // version (versionAsOf before a DELETE shows the rows; after, the
+      // vector masks them); changesSinceVersion refuses dv history inside
+      // filesSince, so its file set is always vector-free
+      val state: Map[String, String] =
+        if (pinned.isDefined) GraftCommitLog.liveStateAsOf(fs, rootPath, version)
         else GraftCommitLog.filesSince(fs, rootPath, version)
+          .iterator.map(_ -> (null: String)).toMap
       val rootQ = fs.makeQualified(rootPath).toString
       def rel(p: String): String = {
         val q = fs.makeQualified(new Path(p)).toString
         if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
       }
-      val kept = listed.filter(f => wanted.contains(rel(f._1)))
-      val missing = wanted -- kept.map(f => rel(f._1))
+      val kept = listed.filter(f => state.contains(rel(f._1)))
+      val missing = state.keySet -- kept.map(f => rel(f._1))
       require(missing.isEmpty,
         s"$optName=$version: selection references ${missing.size} missing file(s), " +
           s"e.g. ${missing.take(3).mkString(", ")} — was the directory vacuumed?")
+      kept.foreach { f =>
+        val r = rel(f._1)
+        val dvn = state(r)
+        if (dvn != null)
+          dvByPath += (f._1 ->
+            (DeletionVectors.artifactPath(rootPath, dvn).toString, r))
+      }
       listed = kept
+    }
+    // Unpinned raw-listing reads still apply the LATEST deletion vectors:
+    // a deleted row must never resurface just because the reader didn't
+    // pin a version. Zero overhead for tables that never used DVs (gated
+    // on the hidden .graft-dv directory existing); rogue/retired files a
+    // raw listing sees carry no vector and read whole — the documented
+    // raw-listing caveat, same as retainHistory.
+    if (pinned.isEmpty && since.isEmpty) roots.foreach { rp =>
+      val rootPath = new Path(rp.stripPrefix("[\"").stripSuffix("\"]")
+        .stripPrefix("\"").stripSuffix("\""))
+      val fs = rootPath.getFileSystem(conf)
+      val isDir = try fs.getFileStatus(rootPath).isDirectory catch { case _: Exception => false }
+      if (isDir && fs.exists(new Path(rootPath, DeletionVectors.DirName))) {
+        val vs = GraftCommitLog.versions(fs, rootPath)
+        if (vs.nonEmpty) {
+          val state = GraftCommitLog.liveStateAsOf(fs, rootPath, vs.max)
+          val rootQ = fs.makeQualified(rootPath).toString
+          listed.foreach { f =>
+            val q = fs.makeQualified(new Path(f._1)).toString
+            if (q.startsWith(rootQ)) {
+              val r = q.substring(rootQ.length).stripPrefix("/")
+              state.get(r).filter(_ != null).foreach { dvn =>
+                dvByPath += (f._1 ->
+                  (DeletionVectors.artifactPath(rootPath, dvn).toString, r))
+              }
+            }
+          }
+        }
+      }
     }
 
     // COW-maintenance listing options (TrainingData.deleteWhere/updateWhere):
@@ -357,7 +416,8 @@ object GraftSources {
     }
 
     Listing(allCols, listed.map { case (p, l, m) =>
-      ListedFile(p, l, allCols.map(c => m.getOrElse(c, null)).toArray)
+      val (dv, dvTarget) = dvByPath.getOrElse(p, (null, null))
+      ListedFile(p, l, allCols.map(c => m.getOrElse(c, null)).toArray, dv, dvTarget)
     })
   }
 
@@ -543,7 +603,12 @@ final case class GraftInputPartition(
     // [start, end) are exact row boundaries, so the feeder starts with no
     // realignment and stops at `end` exactly — rows in skipped sibling
     // ranges are never parsed
-    aligned: Boolean = false)
+    aligned: Boolean = false,
+    // deletion vector: absolute artifact path + the file's root-relative
+    // path (the artifact's recorded target, cross-checked at open). Set
+    // only on whole-file partitions; the reader masks the listed ordinals.
+    dv: String = null,
+    dvTarget: String = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -571,7 +636,7 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
       val mode = GraftSources.jsonMode(options.asCaseSensitiveMap())
       // sample a bounded prefix of each file on the driver
       val merged = listing.files.foldLeft[SchemaInference.T](SchemaInference.TUnknown) {
-        case (acc, GraftSources.ListedFile(p, len, _)) =>
+        case (acc, GraftSources.ListedFile(p, len, _, _, _)) =>
           val (buf, whole) = GraftSources.readPrefix(new Path(p), conf, len, sampleBytes)
           val plate = new SchemaInference.InferencePlate
           val parser = new JsonParser(plate, mode)
@@ -676,7 +741,7 @@ class GraftCsvTableProvider extends TableProvider with DataSourceRegister {
     }
     val conf = GraftSources.activeHadoopConf()
     val config = GraftSources.csvConfig(options.asCaseSensitiveMap())
-    val GraftSources.ListedFile(p, len, _) = listing.files.headOption.getOrElse(
+    val GraftSources.ListedFile(p, len, _, _, _) = listing.files.headOption.getOrElse(
       throw new IllegalArgumentException("no input files"))
     val (buf, whole) = GraftSources.readPrefix(new Path(p), conf, len, 1L << 20)
     locally {
@@ -785,6 +850,13 @@ final class GraftScanBuilder(
   private var aggSpec: Option[GraftAgg.Spec] = None
   private var topN: Array[(String, Boolean, Boolean)] = null // (col, asc, nullsFirst)
   private var topNLimit = -1
+  // deletion vectors mask rows at read time: sidecar-stats answers
+  // (COUNT/MIN/MAX), per-file TopN heaps, and COMPLETE offsets would all
+  // count masked rows — refuse those pushdowns for dv-carrying snapshots
+  // (file-level skipping and partial LIMIT stay sound: masks only REMOVE
+  // rows, and the reader's limit counts post-mask emissions)
+  private lazy val anyDv =
+    GraftSources.resolvePartitioned(options).files.exists(_.dv != null)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -831,6 +903,7 @@ final class GraftScanBuilder(
     // but that soundness must hold locally — refuse if that ever changes.
     if (pushed.nonEmpty) return false
     if (GraftSources.resolvePartitioned(options).files.length != 1) return false
+    if (anyDv) return false
     offset = n
     true
   }
@@ -846,6 +919,7 @@ final class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (countStar || aggSpec.isDefined || offset >= 0) return false
     if (n <= 0 || n > (1 << 16)) return false // bounded per-task memory
+    if (anyDv) return false // the TopN reader has no mask path
     val spec = new Array[(String, Boolean, Boolean)](orders.length)
     var k = 0
     while (k < orders.length) {
@@ -896,6 +970,9 @@ final class GraftScanBuilder(
     // the row-index column is stamped by the ROW readers; the pruned
     // aggregate parse would fold nulls in its place
     if (options.getBoolean("withrowindex", false)) return false
+    // a deletion vector invalidates sidecar-stats answers and the pruned
+    // COUNT(*) parse alike (both would count masked rows)
+    if (anyDv) return false
     val fs = agg.aggregateExpressions
     if (agg.groupByExpressions.isEmpty && fs.length == 1 && fs(0).isInstanceOf[CountStar]) {
       countStar = true
@@ -1265,10 +1342,18 @@ final class GraftScan(
       "fail".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
     "withRowIndex requires badrecords=fail: dropped/captured corrupt rows " +
       "would shift every later row's ordinal")
+  // deletion vectors mask whole-file ordinals — the same strictness
+  // applies (a dropped corrupt row would shift the mask's addresses)
+  private lazy val anyDv = listing.files.exists(_.dv != null)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val pf = prunedFiles
+    require(!anyDv ||
+        "fail".equalsIgnoreCase(options.getOrDefault("badrecords", "fail")),
+      "this snapshot carries deletion vectors, which address exact row " +
+        "ordinals — badrecords=fail is required (dropped/captured corrupt " +
+        "rows would shift the mask)")
     if (runtimeFilters.nonEmpty) // observability for tests / debugging
       GraftScan.lastRuntimePruned.set(listing.files.length - pf.length)
     val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
@@ -1357,12 +1442,17 @@ final class GraftScan(
     }
 
     val parts: Array[InputPartition] = pf.flatMap[InputPartition] {
-      case GraftSources.ListedFile(p, len, pv) =>
+      case GraftSources.ListedFile(p, len, pv, dv, dvTarget) =>
       val key = if (stampKeys) typedPartKey(pv) else null
+      // a deletion vector masks whole-file ordinals: the file reads as ONE
+      // partition (compressed or not) and the reader drops masked rows
+      if (dv != null)
+        Seq(GraftSources.wholeFilePartition(p, len, pv)
+          .copy(partKey = key, dv = dv, dvTarget = dvTarget))
       // a pushed OFFSET requires one partition in file order (the builder
       // already guaranteed a single file; never split it); compressed
       // members are inherently unsplittable
-      if (GraftSources.isCompressed(p))
+      else if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv).copy(partKey = key))
       else if (offset >= 0 || withRowIndex ||
           (metaAggCandidate && sidecarStats(p, len).isDefined))
@@ -1439,7 +1529,7 @@ final class GraftScan(
             dropMalformed = dropMalformed,
             limit = limit, partSpec = partSpec,
             corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null,
-            saturate = saturate, rowIdxSlot = rowIdxSlot)
+            saturate = saturate, rowIdxSlot = rowIdxSlot, anyDv = anyDv)
         else {
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
@@ -1447,7 +1537,7 @@ final class GraftScan(
           new GraftCsvReaderFactory(rowSchema, plateFilters, conf,
             GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
             partSpec = partSpec, fullDataCols = dataCols,
-            rowIdxSlot = rowIdxSlot)
+            rowIdxSlot = rowIdxSlot, anyDv = anyDv)
         }
       aggSpec match {
         case Some(spec) =>
@@ -1499,7 +1589,8 @@ final class GraftJsonReaderFactory(
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     corruptCol: String = null,
     saturate: Boolean = true,
-    rowIdxSlot: Int = -1)
+    rowIdxSlot: Int = -1,
+    anyDv: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
@@ -1509,9 +1600,10 @@ final class GraftJsonReaderFactory(
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
   // partition columns become constant vectors per batch. PERMISSIVE mode
   // stays row-based (corrupt-row emission is a row-queue concept), and so
-  // does row-index stamping.
+  // do row-index stamping and deletion-vector masking (scan-wide: Spark
+  // refuses fleets that mix row and columnar partitions).
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0
+    ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0 && !anyDv
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
@@ -1527,7 +1619,8 @@ final class GraftCsvReaderFactory(
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     fullDataCols: Array[String] = Array.empty,
-    rowIdxSlot: Int = -1)
+    rowIdxSlot: Int = -1,
+    anyDv: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
@@ -1535,9 +1628,9 @@ final class GraftCsvReaderFactory(
       limit, partSpec, fullDataCols, rowIdxSlot)
 
   // byte-range splits vectorize too (CsvRangeFeeder + providedHeader);
-  // row-index stamping is a row-path concept
+  // row-index stamping and deletion-vector masking are row-path concepts
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && rowIdxSlot < 0
+    ColumnarPlate.supports(schema) && rowIdxSlot < 0 && !anyDv
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
@@ -2162,20 +2255,50 @@ final class GraftJsonPartitionReader(
     (ri, if (raw == null) null else Conversions.fromString(dt, raw))
   }
   // row ordinal within the FILE (the scan planned one whole-file
-  // partition when rowIdxSlot >= 0, so the counter IS the file ordinal)
+  // partition when rowIdxSlot >= 0 or a deletion vector rides, so the
+  // counter IS the file ordinal)
   private var rowOrdinal = 0L
+  // deletion vector: the file's deleted ordinals, ascending; rows arrive
+  // in file order, so one pointer walks the mask in O(1) amortized
+  private val dvDeleted: Array[Long] =
+    if (part.dv == null) null
+    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
+  private var dvPtr = 0
+  @inline private def masked(ord: Long): Boolean = {
+    if (dvDeleted == null) return false
+    while (dvPtr < dvDeleted.length && dvDeleted(dvPtr) < ord) dvPtr += 1
+    dvPtr < dvDeleted.length && dvDeleted(dvPtr) == ord
+  }
   @inline private def stamp(row: InternalRow): InternalRow = {
     var i = 0
     while (i < partTyped.length) {
       row.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
       i += 1
     }
-    if (rowIdxSlot >= 0) {
-      row.asInstanceOf[GenericInternalRow].update(rowIdxSlot, rowOrdinal)
-      rowOrdinal += 1
-    }
     row
   }
+  // single emission gate for schema-driven rows: count the TRUE file
+  // ordinal, drop masked rows (recycling them to the plate's row pool),
+  // stamp partition values + the provenance ordinal on survivors
+  private def emit(row: InternalRow): Unit = {
+    val ord = rowOrdinal; rowOrdinal += 1
+    if (masked(ord)) {
+      if (rowPlate != null) rowPlate.recycle(row)
+      return
+    }
+    val s = stamp(row)
+    if (rowIdxSlot >= 0)
+      s.asInstanceOf[GenericInternalRow].update(rowIdxSlot, ord)
+    queue.append(s)
+  }
+  // variant plates never stamped partition values — keep that, add the gate
+  private def emitRaw(row: InternalRow): Unit = {
+    val ord = rowOrdinal; rowOrdinal += 1
+    if (!masked(ord)) queue.append(row)
+  }
+  // plate filters must not run under a mask: a plate-dropped row would
+  // desync every later ordinal (all filters are residual upstream anyway)
+  private val plateFilters = if (dvDeleted == null) filters else Array.empty[Filter]
   // VARIANT columns select open-typed ingestion: shredded path-extraction
   // columns (pushed variant_get, metadata-tagged) parse only the requested
   // subtrees; a bare single VARIANT column captures whole rows; any other
@@ -2194,13 +2317,13 @@ final class GraftJsonPartitionReader(
   private def mkParser(): JsonParser[Long] = {
     val plate: graft.core.Plate[Long] = shreddedPaths match {
       case Some(paths) =>
-        pathPlate = new PathVariantPlate(paths, queue.append(_))
+        pathPlate = new PathVariantPlate(paths, emitRaw(_))
         pathPlate
-      case None if variantMode => new VariantRowPlate(queue.append(_))
+      case None if variantMode => new VariantRowPlate(emitRaw(_))
       case None =>
         // corrupt-capture / drop modes need full per-row validation, which
         // the saturation skip's error-check elision would subvert
-        rowPlate = new RowPlate(schema, filters, r => queue.append(stamp(r)),
+        rowPlate = new RowPlate(schema, plateFilters, r => emit(r),
           saturate = saturate && !dropMalformed && corruptCol == null)
         rowPlate
     }
@@ -2354,17 +2477,31 @@ final class GraftCsvPartitionReader(
     (ri, if (raw == null) null else Conversions.fromString(dt, raw))
   }
   private var rowOrdinal = 0L // file ordinal (whole-file partition)
-  private val plate = new RowPlate(schema, filters, { r =>
-    var i = 0
-    while (i < partTyped.length) {
-      r.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
-      i += 1
+  // deletion vector (see the JSON reader): ascending mask + one pointer;
+  // plate filters are disabled under a mask (residual upstream) so the
+  // ordinal is always the row's true file position
+  private val dvDeleted: Array[Long] =
+    if (part.dv == null) null
+    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
+  private var dvPtr = 0
+  private val plateFilters = if (dvDeleted == null) filters else Array.empty[Filter]
+  private val plate = new RowPlate(schema, plateFilters, { r =>
+    val ord = rowOrdinal; rowOrdinal += 1
+    var drop = false
+    if (dvDeleted != null) {
+      while (dvPtr < dvDeleted.length && dvDeleted(dvPtr) < ord) dvPtr += 1
+      drop = dvPtr < dvDeleted.length && dvDeleted(dvPtr) == ord
     }
-    if (rowIdxSlot >= 0) {
-      r.asInstanceOf[GenericInternalRow].update(rowIdxSlot, rowOrdinal)
-      rowOrdinal += 1
+    if (!drop) {
+      var i = 0
+      while (i < partTyped.length) {
+        r.asInstanceOf[GenericInternalRow].update(partTyped(i)._1, partTyped(i)._2)
+        i += 1
+      }
+      if (rowIdxSlot >= 0)
+        r.asInstanceOf[GenericInternalRow].update(rowIdxSlot, ord)
+      queue.append(r)
     }
-    queue.append(r)
   }, emptyCellsAsNull = true) // CSV: empty cell = NULL (Spark/DuckDB parity)
   // a mid-file range never sees the header row: hand it the column order
   private val effConfig =

@@ -1,0 +1,249 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+import graft.api.TrainingData
+
+/** Deletion vectors — merge-on-read DELETE (docs/TABLE_FORMAT.md):
+  * `TrainingData.deleteWhereDV` writes per-file ordinal masks instead of
+  * rewriting files; log-mediated AND raw-listing reads apply them; time
+  * travel before the delete still shows the rows; `materializeDeletes`
+  * rewrites the masks away.
+  */
+class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-dv")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("deletion-vector-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def dir(name: String): String = root.resolve(name).toString
+  private val schema = "id BIGINT, v STRING"
+
+  private def writeTable(d: String, n: Long = 100L, parts: Int = 3): Unit = {
+    val s = spark
+    import s.implicits._
+    (0L until n).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(parts)
+      .write.format("graft-json").mode("overwrite").save(d)
+  }
+
+  private def snap(d: String) =
+    spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").load(d)
+
+  test("lifecycle: delete masks rows without touching data files; cumulative; time travel exact") {
+    val d = dir("life")
+    writeTable(d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).sortBy(_._1)
+
+    val affected = TrainingData.deleteWhereDV(spark, d, schema, "id % 10 = 0")
+    assert(affected.nonEmpty)
+    // no data file was rewritten, moved, or resized
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).sortBy(_._1)
+    assert(after.toSeq === dataFiles.toSeq)
+
+    assert(snap(d).count() === 90L)
+    assert(snap(d).filter(col("id") % 10 === 0).count() === 0L)
+    // unpinned raw-listing reads apply the latest masks too
+    assert(spark.read.format("graft-json").schema(schema).load(d).count() === 90L)
+    // time travel BEFORE the delete still shows every row
+    assert(spark.read.format("graft-json").schema(schema)
+      .option("versionasof", "0").load(d).count() === 100L)
+
+    // second delete on overlapping files: vectors accumulate (prior ∪ new)
+    val affected2 = TrainingData.deleteWhereDV(spark, d, schema, "id % 7 = 0")
+    assert(affected2.nonEmpty)
+    val expected = (0L until 100L).count(i => i % 10 != 0 && i % 7 != 0)
+    assert(snap(d).count() === expected.toLong)
+    // residual filters over masked files stay exact
+    assert(snap(d).filter(col("id") >= 50L).count() ===
+      (50L until 100L).count(i => i % 10 != 0 && i % 7 != 0).toLong)
+    // aggregates can't answer from (now overcounting) sidecar stats
+    val ids = snap(d).agg(sum("id"), count(lit(1))).head()
+    assert(ids.getLong(0) ===
+      (0L until 100L).filter(i => i % 10 != 0 && i % 7 != 0).sum)
+  }
+
+  test("withRowIndex on a masked table: survivors keep their TRUE file ordinals") {
+    val d = dir("addr")
+    val s = spark
+    import s.implicits._
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite").save(d)
+    // sorted single file: ordinal == id before any delete
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 10")
+    val got = spark.read.format("graft-json").schema(
+        schema + ", _graft_row_index BIGINT")
+      .option("withrowindex", "true").option("snapshot", "true").load(d)
+      .select($"id", $"_graft_row_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // rows 10..49 survive AND keep addresses 10..49 (stability: a delete
+    // of other rows never renumbers the survivors)
+    assert(got.toSeq === (10L until 50L).map(i => (i, i)))
+  }
+
+  test("csv: masks apply through the csv reader too") {
+    val d = dir("csv")
+    val s = spark
+    import s.implicits._
+    (0L until 60L).map(i => (i, s"c$i")).toDF("id", "v")
+      .repartition(2)
+      .write.format("graft-csv").mode("overwrite").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id >= 40", format = "graft-csv")
+    val df = spark.read.format("graft-csv").schema(schema)
+      .option("snapshot", "true").load(d)
+    assert(df.count() === 40L)
+    assert(df.agg(max("id")).head().getLong(0) === 39L)
+  }
+
+  test("OCC: a racing delete aborts the stale commit loudly") {
+    val d = dir("occ")
+    writeTable(d, n = 20L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 1")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = GraftCommitLog.liveStateAsOf(
+      fs, new org.apache.hadoop.fs.Path(d), 1L)
+    val (file, dv1) = state.find(_._2 != null).get
+    // simulate a racer: attach a new vector claiming it merged from NO
+    // prior vector (stale base) — must abort, not silently drop dv1
+    val name = DeletionVectors.write(fs, new org.apache.hadoop.fs.Path(d),
+      file, Iterator(5L), None)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+        adds = Nil, dvs = Seq((name, file)), dvBase = Map(file -> null))
+    }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // and a remove-carrying rewrite racing the SAME file still validates
+    // (the dv target is live, so removes against it are legal)
+    assert(GraftCommitLog.liveStateAsOf(
+      fs, new org.apache.hadoop.fs.Path(d), 1L)(file) === dv1)
+  }
+
+  test("materializeDeletes: physically purges masked rows, restores raw reads, atomic") {
+    val d = dir("mat")
+    writeTable(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 30")
+    val rewritten = TrainingData.materializeDeletes(spark, d, schema)
+    assert(rewritten.nonEmpty)
+    assert(snap(d).count() === 70L)
+    // raw listing (no snapshot option) now also holds exactly 70 rows —
+    // and no deletion vectors remain in the live state
+    assert(spark.read.format("graft-json").schema(schema).load(d).count() === 70L)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = GraftCommitLog.versions(fs, new org.apache.hadoop.fs.Path(d))
+    val state = GraftCommitLog.liveStateAsOf(fs, new org.apache.hadoop.fs.Path(d), vs.max)
+    assert(state.values.forall(_ == null))
+    // count(*) may answer from sidecar stats again — still exact
+    assert(snap(d).count() === 70L)
+  }
+
+  test("COW deleteWhere on a masked table never resurrects masked rows") {
+    val d = dir("cowmix")
+    writeTable(d, n = 40L, parts = 2)
+    TrainingData.deleteWhereDV(spark, d, schema, "id >= 30") // mask 30..39
+    // classic COW delete of 0..9: rewrites candidate files — the rewrite
+    // must apply the masks or 30..39 would come back
+    TrainingData.deleteWhere(spark, d, schema, "id < 10")
+    val left = snap(d).select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq === (10L until 30L))
+    // raw listing agrees (rewritten files are physically clean)
+    assert(spark.read.format("graft-json").schema(schema).load(d).count() === 20L)
+  }
+
+  test("incremental consumers refuse deletion-vector history loudly") {
+    val d = dir("inc")
+    writeTable(d, n = 10L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 3")
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("changessinceversion", "0").load(d).count()
+    }
+    assert(e1.getMessage.contains("deletion vector"), e1.getMessage)
+  }
+
+  test("checkpoint carries the masks across expireLogHistory") {
+    val d = dir("ckpt")
+    writeTable(d, n = 30L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 3 = 0")
+    TrainingData.checkpointLog(spark, d)
+    TrainingData.expireLogHistory(spark, d)
+    assert(snap(d).count() === 20L)
+    // and version 0 is correctly refused as expired, not wrongly served
+    val e = intercept[Exception] {
+      spark.read.format("graft-json").schema(schema)
+        .option("versionasof", "0").load(d).count()
+    }
+    assert(e.getMessage.toLowerCase.contains("expired"), e.getMessage)
+  }
+
+  test("a missing or corrupt artifact fails the read loudly, never resurrects rows") {
+    val d = dir("corrupt")
+    writeTable(d, n = 10L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 5")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new org.apache.hadoop.fs.Path(d, DeletionVectors.DirName)
+    val art = fs.listStatus(dvDir).filter(_.getPath.getName.endsWith(".dv")).head.getPath
+    // truncate mid-payload: 8-byte alignment check must reject it
+    val bytes = {
+      val in = fs.open(art)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.toByteArray
+    }
+    val o = fs.create(art, true)
+    o.write(bytes, 0, bytes.length - 3)
+    o.close()
+    val e = intercept[Exception] { snap(d).count() }
+    assert(e.getMessage != null)
+    // restore and verify the table still reads exactly
+    val o2 = fs.create(art, true); o2.write(bytes); o2.close()
+    assert(snap(d).count() === 9L)
+  }
+
+  test("streaming followLog refuses a dv-carrying checkpoint seed") {
+    val d = dir("stream")
+    writeTable(d, n = 10L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 2")
+    TrainingData.checkpointLog(spark, d)
+    TrainingData.expireLogHistory(spark, d)
+    val e = intercept[Exception] {
+      GraftSources.logOrderedFiles(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", d)))
+    }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+  }
+}
