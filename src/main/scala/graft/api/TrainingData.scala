@@ -653,7 +653,11 @@ object TrainingData {
       if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
     }
     if (!dryRun) orphans.foreach(p => fs.delete(p, false))
-    rels.sorted
+    // deletion-vector debris rides the same sweep: artifacts no surviving
+    // entry or checkpoint references (replaced vectors, aborted commits)
+    val dvGone = graft.spark.DeletionVectors.reclaimUnreferenced(fs, root, dryRun)
+      .map(n => s"${graft.spark.DeletionVectors.DirName}/$n")
+    (rels ++ dvGone).sorted
   }
 
   /** Copy-on-write DELETE over a graft table (commit-log protocol v2,
@@ -749,6 +753,10 @@ object TrainingData {
   def deleteWhereDV(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, predicate: String,
       format: String = "graft-json"): Seq[String] = {
+    require(format == "graft-json" || format == "graft-csv",
+      s"deleteWhereDV supports graft-json/graft-csv, not $format — the " +
+        "row-ordinal address space (withRowIndex) and the read-time mask " +
+        "are text-reader concepts; use deleteWhere (copy-on-write) instead")
     val tbl = resolveCow(spark, dir, schema)
     val log = graft.spark.GraftCommitLog
     val state = log.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
@@ -1255,6 +1263,10 @@ object TrainingData {
       }
       expire.foreach(v => fs.delete(new Path(log.logDir(root), f"$v%020d"), false))
       cks.filter(_ < cv).foreach(v => fs.delete(log.checkpointFile(root, v), false))
+      // deletion-vector artifacts referenced ONLY by the just-expired
+      // entries are debris now (same rationale as the orphaned data
+      // files above — reclaim against the SURVIVING log)
+      graft.spark.DeletionVectors.reclaimUnreferenced(fs, root)
     }
     expire
   }

@@ -120,6 +120,41 @@ object DeletionVectors {
     } finally if (!ok) in.close()
   }
 
+  /** Artifact names referenced by ANY surviving log entry or checkpoint —
+    * the reference set for reclamation: everything else under
+    * `.graft-dv/` is debris (replaced vectors, vectors of files a rewrite
+    * retired, aborted commits' orphans).
+    */
+  def referencedArtifacts(fs: FileSystem, root: Path): Set[String] = {
+    val entries = GraftCommitLog.versions(fs, root).iterator.flatMap(v =>
+      GraftCommitLog.entryActions(fs, root, v).collect {
+        case a if a.isDv => a.dv
+      })
+    val ckpts = GraftCommitLog.checkpointVersions(fs, root).iterator.flatMap(v =>
+      GraftCommitLog.readCheckpointState(fs, root, v)
+        .map(_.values.filter(_ != null)).getOrElse(Nil))
+    (entries ++ ckpts).toSet
+  }
+
+  /** Delete `.dv` artifacts under `.graft-dv/` no surviving entry or checkpoint
+    * references (single-maintainer op, like the other reclamation APIs:
+    * a CONCURRENT deleteWhereDV's already-renamed-but-not-yet-committed
+    * artifact would be reclaimed and its commit's readers then fail
+    * loudly — never wrongly). Staged `.*.tmp` files are their writer's to
+    * clean. Returns the artifact names removed (empty in dryRun).
+    */
+  def reclaimUnreferenced(fs: FileSystem, root: Path,
+      dryRun: Boolean = false): Seq[String] = {
+    val dir = new Path(root, DirName)
+    if (!fs.exists(dir)) return Nil
+    val live = referencedArtifacts(fs, root)
+    val orphans = fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".dv") && !live.contains(p.getName))
+    if (!dryRun) orphans.foreach(p => fs.delete(p, false))
+    orphans.map(_.getName).sorted
+  }
+
   /** All deleted ordinals of the artifact at `p` (absolute), ascending.
     * `expectTarget` (root-relative; null skips the check) cross-checks the
     * artifact against the commit-log mapping that named it.

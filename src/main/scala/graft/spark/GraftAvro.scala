@@ -488,7 +488,17 @@ final class GraftAvroScan(
     Option(options.get("maxsplitbytes")).map(_.toLong).getOrElse(32L << 20)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftSources.resolveFiles(options)
+    val listed = GraftSources.resolvePartitioned(options).files
+    // defensive: deleteWhereDV refuses avro tables, so no legitimate log
+    // carries a `d` line for one — but the avro reader has no mask path,
+    // and silently resurrecting deleted rows is the one failure the
+    // deletion-vector contract forbids
+    listed.find(_.dv != null).foreach { f =>
+      throw new IllegalStateException(
+        s"graft-avro: '${f.path}' carries a deletion vector, which the avro " +
+          "reader cannot apply — materialize the deletes first")
+    }
+    val files = listed.map(f => (f.path, f.len))
     files.flatMap { case (p, len) =>
       // container files realign on sync markers, so ranges are safe; the
       // header (read by every task) is tiny relative to a split

@@ -84,8 +84,21 @@ private[spark] final class StreamFileRegistry(
             "re-snapshot")
         current.filterNot(f => known(f._1))
       }
-      else GraftSources.resolveFiles(options)
-        .filterNot(f => known(f._1)).sortBy(_._1)
+      else {
+        val listed = GraftSources.resolvePartitioned(options).files
+        // a deletion vector deletes rows IN PLACE — a byte-offset stream
+        // reading the raw file would deliver them; refuse loudly (same
+        // contract as followLog's `d`-entry refusal)
+        listed.find(_.dv != null).foreach { f =>
+          throw new IllegalStateException(
+            s"streaming read: '${f.path}' carries a deletion vector — a " +
+              "stream cannot apply row-level deletes; materialize the " +
+              "deletes (TrainingData.materializeDeletes) and restart the " +
+              "stream from a fresh checkpoint")
+        }
+        listed.map(f => (f.path, f.len))
+          .filterNot(f => known(f._1)).sortBy(_._1)
+      }
     if (fresh.nonEmpty) {
       list = list ++ fresh
       known = known ++ fresh.map(_._1)

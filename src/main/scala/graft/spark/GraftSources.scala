@@ -850,13 +850,16 @@ final class GraftScanBuilder(
   private var aggSpec: Option[GraftAgg.Spec] = None
   private var topN: Array[(String, Boolean, Boolean)] = null // (col, asc, nullsFirst)
   private var topNLimit = -1
+  // one listing resolution per builder (pushOffset + the dv gate both
+  // consult it; the final GraftScan resolves its own — planning stays at
+  // two log folds per query, not one per pushdown probe)
+  private lazy val builderListing = GraftSources.resolvePartitioned(options)
   // deletion vectors mask rows at read time: sidecar-stats answers
   // (COUNT/MIN/MAX), per-file TopN heaps, and COMPLETE offsets would all
   // count masked rows — refuse those pushdowns for dv-carrying snapshots
   // (file-level skipping and partial LIMIT stay sound: masks only REMOVE
   // rows, and the reader's limit counts post-mask emissions)
-  private lazy val anyDv =
-    GraftSources.resolvePartitioned(options).files.exists(_.dv != null)
+  private lazy val anyDv = builderListing.files.exists(_.dv != null)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -902,7 +905,7 @@ final class GraftScanBuilder(
     // every filter as residual (Spark's Filter node stays above the scan),
     // but that soundness must hold locally — refuse if that ever changes.
     if (pushed.nonEmpty) return false
-    if (GraftSources.resolvePartitioned(options).files.length != 1) return false
+    if (builderListing.files.length != 1) return false
     if (anyDv) return false
     offset = n
     true

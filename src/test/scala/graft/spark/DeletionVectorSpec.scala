@@ -233,6 +233,60 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(d).count() === 9L)
   }
 
+  test("raw-listing streaming discovery refuses a dv-carrying table loudly") {
+    val d = dir("rawstream")
+    writeTable(d, n = 10L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 4")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-json").schema(schema).load(d)
+        .writeStream.format("memory").queryName("dv_rawstream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("deletion vector")), msgs(e).mkString(" | "))
+  }
+
+  test("deleteWhereDV refuses non-text formats") {
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.deleteWhereDV(spark, dir("avro"), schema, "id = 1",
+        format = "graft-avro")
+    }
+    assert(e.getMessage.contains("graft-json/graft-csv"))
+  }
+
+  test("vacuum reclaims unreferenced artifacts, never referenced ones") {
+    val d = dir("gc")
+    writeTable(d, n = 30L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 5")  // artifact A
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 10") // B replaces A
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val dvDir = new org.apache.hadoop.fs.Path(d, DeletionVectors.DirName)
+    assert(fs.listStatus(dvDir).count(_.getPath.getName.endsWith(".dv")) === 2)
+    // A is still referenced by version 1's entry — vacuum keeps BOTH
+    assert(TrainingData.vacuumOrphans(spark, d).isEmpty)
+    // checkpoint + expire retires v1's entry; B (checkpoint + latest
+    // entry) survives, A becomes debris and the expiry reclaims it
+    TrainingData.checkpointLog(spark, d)
+    TrainingData.expireLogHistory(spark, d)
+    val left = fs.listStatus(dvDir).filter(_.getPath.getName.endsWith(".dv"))
+    assert(left.length === 1)
+    val vs = GraftCommitLog.versions(fs, rootP)
+    val state = GraftCommitLog.liveStateAsOf(fs, rootP, vs.max)
+    assert(state.values.toSet.filter(_ != null) === Set(left.head.getPath.getName))
+    assert(snap(d).count() === 20L)
+    // an orphan artifact nothing references (aborted commit debris) is
+    // vacuum food — and reads stay exact after the sweep
+    DeletionVectors.write(fs, rootP, "nonexistent.jsonl", Iterator(1L), None)
+    val swept = TrainingData.vacuumOrphans(spark, d)
+    assert(swept.exists(_.startsWith(DeletionVectors.DirName + "/")), swept)
+    assert(fs.listStatus(dvDir).count(_.getPath.getName.endsWith(".dv")) === 1)
+    assert(snap(d).count() === 20L)
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
