@@ -634,7 +634,7 @@ object TrainingData {
     // older snapshot must keep working after a vacuum — including files a
     // later DELETE/UPDATE retired (`r` actions), which older snapshots
     // still read
-    val live = graft.spark.GraftCommitLog.allReferencedFiles(fs, root)
+    val (live, liveDvs) = graft.spark.GraftCommitLog.allReferenced(fs, root)
     val rootQ = fs.makeQualified(root).toString
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -654,8 +654,10 @@ object TrainingData {
     }
     if (!dryRun) orphans.foreach(p => fs.delete(p, false))
     // deletion-vector debris rides the same sweep: artifacts no surviving
-    // entry or checkpoint references (replaced vectors, aborted commits)
-    val dvGone = graft.spark.DeletionVectors.reclaimUnreferenced(fs, root, dryRun)
+    // entry or checkpoint references (replaced vectors, aborted commits);
+    // the reference set came from the single fold above
+    val dvGone = graft.spark.DeletionVectors
+      .reclaimUnreferenced(fs, root, dryRun, referenced = liveDvs)
       .map(n => s"${graft.spark.DeletionVectors.DirName}/$n")
     (rels ++ dvGone).sorted
   }
@@ -1021,6 +1023,11 @@ object TrainingData {
       .option("versionasof", tbl.latest.toString).load(dir)
     val w = rewrite(source)
       .write.format(format).mode("append")
+      // rewrite-side deletion-vector OCC: the commit validates the
+      // candidates' dv state against the version this rewrite READ at —
+      // a concurrent deleteWhereDV landing in between aborts the rewrite
+      // (it would resurrect the concurrently deleted rows)
+      .option("commitremovesversion", tbl.latest.toString)
       .option("commitremoves",
         graft.spark.GraftSources.joinFileList(candidates, "commitremoves"))
     (if (tbl.partCols.nonEmpty) w.option("partitionby", tbl.partCols.mkString(","))
@@ -1174,6 +1181,9 @@ object TrainingData {
       case cs => zorderBy(df, nFiles, cs, zorderBits)
     }
     val w = shaped.write.format(format).mode("append")
+      // rewrite-side dv OCC (see cowRewrite): a delete racing the
+      // OPTIMIZE must abort one of the two, never silently lose rows
+      .option("commitremovesversion", latest.toString)
       .option("commitremoves",
         graft.spark.GraftSources.joinFileList(live, "commitremoves"))
     (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))

@@ -99,12 +99,18 @@ object DeletionVectors {
       new java.io.BufferedInputStream(fs.open(p), 1 << 16))
     var ok = false
     try {
+      // header lines are UTF-8 (targets may carry non-ASCII partition
+      // values — escapePathValue passes them through); decode the
+      // collected BYTES, never byte-as-char, and count the bytes
+      // actually consumed for the alignment check
+      var consumed = 0L
       def line(): String = {
-        val sb = new java.lang.StringBuilder
+        val buf = new java.io.ByteArrayOutputStream(64)
         var b = in.read()
-        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+        while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
         require(b == '\n', s"deletion vector $p: truncated header")
-        sb.toString
+        consumed += buf.size() + 1
+        new String(buf.toByteArray, "UTF-8")
       }
       val h = line()
       require(h == "graft-dv v1", s"deletion vector $p: bad header '$h'")
@@ -112,42 +118,42 @@ object DeletionVectors {
       require(expectTarget == null || target == expectTarget,
         s"deletion vector $p records target '$target', expected '$expectTarget' " +
           "— the commit log and the artifact disagree")
-      val headerBytes = "graft-dv v1\n".length + target.getBytes("UTF-8").length + 1
-      require((len - headerBytes) % 8 == 0,
+      require((len - consumed) % 8 == 0,
         s"deletion vector $p: payload not 8-byte aligned (len=$len)")
       ok = true
       in
     } finally if (!ok) in.close()
   }
 
-  /** Artifact names referenced by ANY surviving log entry or checkpoint —
-    * the reference set for reclamation: everything else under
-    * `.graft-dv/` is debris (replaced vectors, vectors of files a rewrite
-    * retired, aborted commits' orphans).
+  /** Refuse a listing that carries any deletion vector — for reader
+    * surfaces with no mask path (byte-offset streams, the avro reader):
+    * silently resurrecting deleted rows is the one failure the contract
+    * forbids, so they fail loudly instead.
     */
-  def referencedArtifacts(fs: FileSystem, root: Path): Set[String] = {
-    val entries = GraftCommitLog.versions(fs, root).iterator.flatMap(v =>
-      GraftCommitLog.entryActions(fs, root, v).collect {
-        case a if a.isDv => a.dv
-      })
-    val ckpts = GraftCommitLog.checkpointVersions(fs, root).iterator.flatMap(v =>
-      GraftCommitLog.readCheckpointState(fs, root, v)
-        .map(_.values.filter(_ != null)).getOrElse(Nil))
-    (entries ++ ckpts).toSet
-  }
+  def requireNone(files: Seq[GraftSources.ListedFile], surface: String): Unit =
+    files.find(_.dv != null).foreach { f =>
+      throw new IllegalStateException(
+        s"$surface: '${f.path}' carries a deletion vector, which this read " +
+          "path cannot apply — materialize the deletes " +
+          "(TrainingData.materializeDeletes) first")
+    }
 
   /** Delete `.dv` artifacts under `.graft-dv/` no surviving entry or checkpoint
     * references (single-maintainer op, like the other reclamation APIs:
     * a CONCURRENT deleteWhereDV's already-renamed-but-not-yet-committed
     * artifact would be reclaimed and its commit's readers then fail
     * loudly — never wrongly). Staged `.*.tmp` files are their writer's to
-    * clean. Returns the artifact names removed (empty in dryRun).
+    * clean. Returns the artifact names removed (in dryRun, the names that
+    * WOULD be — nothing is deleted). Pass `referenced` when the caller
+    * already folded the log (`GraftCommitLog.allReferenced`) to avoid a
+    * second full fold.
     */
   def reclaimUnreferenced(fs: FileSystem, root: Path,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false, referenced: Set[String] = null): Seq[String] = {
     val dir = new Path(root, DirName)
     if (!fs.exists(dir)) return Nil
-    val live = referencedArtifacts(fs, root)
+    val live = Option(referenced)
+      .getOrElse(GraftCommitLog.allReferenced(fs, root)._2)
     val orphans = fs.listStatus(dir).toSeq
       .map(_.getPath)
       .filter(p => p.getName.endsWith(".dv") && !live.contains(p.getName))

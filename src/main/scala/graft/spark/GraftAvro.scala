@@ -418,7 +418,7 @@ final class GraftAvroTable(
     // mergeschema: the avro read path resolves each file's embedded
     // schema, not the log's merged one, so accepting the merge would
     // record a schema the reader cannot yet serve — refuse.
-    Seq("check", "commitremoves", "mergeschema").foreach { opt =>
+    Seq("check", "commitremoves", "commitremovesversion", "mergeschema").foreach { opt =>
       require(info.options.get(opt) == null,
         s"graft-avro does not support option('$opt', ...) yet — " +
           "use graft-json/graft-csv for CHECK constraints, COW rewrites, " +
@@ -490,14 +490,8 @@ final class GraftAvroScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val listed = GraftSources.resolvePartitioned(options).files
     // defensive: deleteWhereDV refuses avro tables, so no legitimate log
-    // carries a `d` line for one — but the avro reader has no mask path,
-    // and silently resurrecting deleted rows is the one failure the
-    // deletion-vector contract forbids
-    listed.find(_.dv != null).foreach { f =>
-      throw new IllegalStateException(
-        s"graft-avro: '${f.path}' carries a deletion vector, which the avro " +
-          "reader cannot apply — materialize the deletes first")
-    }
+    // carries a `d` line for one — but the avro reader has no mask path
+    DeletionVectors.requireNone(listed, "graft-avro")
     val files = listed.map(f => (f.path, f.len))
     files.flatMap { case (p, len) =>
       // container files realign on sync markers, so ranges are safe; the

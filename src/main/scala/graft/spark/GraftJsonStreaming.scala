@@ -89,13 +89,7 @@ private[spark] final class StreamFileRegistry(
         // a deletion vector deletes rows IN PLACE — a byte-offset stream
         // reading the raw file would deliver them; refuse loudly (same
         // contract as followLog's `d`-entry refusal)
-        listed.find(_.dv != null).foreach { f =>
-          throw new IllegalStateException(
-            s"streaming read: '${f.path}' carries a deletion vector — a " +
-              "stream cannot apply row-level deletes; materialize the " +
-              "deletes (TrainingData.materializeDeletes) and restart the " +
-              "stream from a fresh checkpoint")
-        }
+        DeletionVectors.requireNone(listed, "streaming read")
         listed.map(f => (f.path, f.len))
           .filterNot(f => known(f._1)).sortBy(_._1)
       }

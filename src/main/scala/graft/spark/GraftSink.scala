@@ -375,7 +375,8 @@ final class GraftWriteBuilder(
     removes: Seq[String] = Nil,
     check: GraftSink.CheckSpec = null,
     mergeSchema: Boolean = false,
-    blockBytes: Long = GraftSink.DefaultBlockBytes)
+    blockBytes: Long = GraftSink.DefaultBlockBytes,
+    removesBase: Long = -1L)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -384,7 +385,8 @@ final class GraftWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
-        GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema, blockBytes)
+        GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema, blockBytes,
+        removesBase)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // a streaming epoch commit never touches the commit log, so removes
       // would be accepted-and-ignored — the one outcome a COW rewrite must
@@ -455,7 +457,8 @@ final class GraftBatchWrite(
     removes: Seq[String] = Nil,
     check: GraftSink.CheckSpec = null,
     mergeSchema: Boolean = false,
-    blockBytes: Long = GraftSink.DefaultBlockBytes)
+    blockBytes: Long = GraftSink.DefaultBlockBytes,
+    removesBase: Long = -1L)
     extends BatchWrite {
 
   require(removes.isEmpty || !truncate,
@@ -484,7 +487,7 @@ final class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
     GraftCommitLog.append(conf.value, path, messages, removes,
-      commitSchema.record, commitSchema.base)
+      commitSchema.record, commitSchema.base, removesBase)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -653,7 +656,8 @@ private[graft] object GraftCommitLog {
 
   def append(conf: org.apache.hadoop.conf.Configuration, root: String,
       messages: Array[WriterCommitMessage], removes: Seq[String] = Nil,
-      schema: StructType = null, schemaBase: StructType = null): Unit = {
+      schema: StructType = null, schemaBase: StructType = null,
+      removesBase: Long = -1L): Unit = {
     val files: Seq[String] = messages.toSeq.flatMap {
       case GraftCommit(f, _) => Seq(f)
       case GraftPartitionedCommit(es) => es.map(_._1)
@@ -661,7 +665,8 @@ private[graft] object GraftCommitLog {
     }
     if (files.isEmpty && removes.isEmpty) return
     try {
-      appendEntry(conf, root, files, removes, schema, schemaBase)
+      appendEntry(conf, root, files, removes, schema, schemaBase,
+        removesBase = removesBase)
     } catch {
       // a schema CONFLICT must never be best-effort: swallowing it would
       // report success while the commit's files stay unlogged — invisible
@@ -694,7 +699,8 @@ private[graft] object GraftCommitLog {
       adds: Seq[String], removes: Seq[String] = Nil,
       schema: StructType = null, schemaBase: StructType = null,
       dvs: Seq[(String, String)] = Nil,
-      dvBase: Map[String, String] = Map.empty): Long = {
+      dvBase: Map[String, String] = Map.empty,
+      removesBase: Long = -1L): Long = {
     // a SCHEMA-ONLY entry (no file actions) is how ALTER TABLE
     // add/drop-column lands: the metadata changes at a version boundary
     // with no data movement
@@ -728,7 +734,33 @@ private[graft] object GraftCommitLog {
           s"commit log under $root: could not validate rewrite preconditions " +
             "— aborted without publishing", e)
       }
+    // the rewrite side of the deletion-vector OCC: the snapshot the
+    // rewrite READ its candidates at. If a concurrent deleteWhereDV
+    // attached (or replaced) a vector on a removed file AFTER that read,
+    // committing the rewrite would publish files rebuilt from pre-delete
+    // rows — silent resurrection. Its dv state is fixed at the read
+    // version; only `live` refolds on lost slot races.
+    val removesBaseState: Map[String, String] =
+      if (removesBase < 0 || relRemoves.isEmpty) Map.empty
+      else try liveStateAsOf(fs, rootPath, removesBase)
+      catch { case e: Exception =>
+        throw new java.io.IOException(
+          s"commit log under $root: could not resolve the rewrite's read " +
+            s"version $removesBase to validate against concurrent deletes — " +
+            "aborted without publishing", e)
+      }
     def validate(): Unit = {
+      if (removesBase >= 0) relRemoves.foreach { f =>
+        val cur = live.getOrElse(f, null)
+        val base = removesBaseState.getOrElse(f, null)
+        if (live.contains(f) && cur != base)
+          throw new java.util.ConcurrentModificationException(
+            s"commit log under $root: '$f' carries deletion vector '$cur' but " +
+              s"the rewrite read it at version $removesBase with '$base' — a " +
+              "concurrent DELETE landed after the rewrite's read; re-run the " +
+              "maintenance operation against the current snapshot (committing " +
+              "would resurrect the concurrently deleted rows)")
+      }
       relRemoves.find(!live.contains(_)).foreach { f =>
         throw new java.util.ConcurrentModificationException(
           s"commit log under $root: the commit would remove '$f', which is " +
@@ -1055,11 +1087,29 @@ private[graft] object GraftCommitLog {
     * pre-checkpoint entries, the checkpoint is the only reference the
     * surviving files have.
     */
-  def allReferencedFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] = {
-    val fromCkpts = checkpointVersions(fs, root)
-      .flatMap(v => readCheckpoint(fs, root, v).getOrElse(Set.empty)).toSet
-    fromCkpts ++ versions(fs, root)
-      .flatMap(entryActions(fs, root, _)).filter(_.add).map(_.path)
+  def allReferencedFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path): Set[String] =
+    allReferenced(fs, root)._1
+
+  /** (data files, deletion-vector artifact names) referenced by ANY
+    * surviving entry or checkpoint — ONE pass over the log (vacuum and
+    * expiry consult both sets; folding twice would double the log I/O on
+    * a long streaming-upsert history).
+    */
+  def allReferenced(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): (Set[String], Set[String]) = {
+    val files = Set.newBuilder[String]
+    val dvs = Set.newBuilder[String]
+    checkpointVersions(fs, root).foreach { v =>
+      readCheckpointState(fs, root, v).foreach(_.foreach { case (p, dv) =>
+        files += p
+        if (dv != null) dvs += dv
+      })
+    }
+    versions(fs, root).foreach(v => entryActions(fs, root, v).foreach { a =>
+      if (a.add) files += a.path
+      else if (a.isDv) dvs += a.dv
+    })
+    (files.result(), dvs.result())
   }
 
   /** Root-relative file set committed STRICTLY AFTER `sinceVersion` — the
@@ -1506,7 +1556,8 @@ final class GraftCsvWriteBuilder(
     removes: Seq[String] = Nil,
     check: GraftSink.CheckSpec = null,
     mergeSchema: Boolean = false,
-    blockBytes: Long = GraftSink.DefaultBlockBytes)
+    blockBytes: Long = GraftSink.DefaultBlockBytes,
+    removesBase: Long = -1L)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -1547,7 +1598,7 @@ final class GraftCsvWriteBuilder(
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
         GraftCommitLog.append(conf.value, path, messages, removes,
-          commitSchema.record, commitSchema.base)
+          commitSchema.record, commitSchema.base, removesBase)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }

@@ -462,6 +462,17 @@ object GraftSources {
     Option(options.get("commitremoves")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
+  /** The snapshot version a COW rewrite READ its candidates at
+    * (`option("commitremovesversion", v)`) — the rewrite side of the
+    * deletion-vector OCC: at commit time the removed files' dv state is
+    * validated against this version, so a concurrent deleteWhereDV that
+    * attached a vector AFTER the rewrite's read aborts the rewrite
+    * (publishing it would resurrect the racer's deleted rows). -1 =
+    * unset (manual commitremoves callers keep liveness-only validation).
+    */
+  def commitRemovesBase(options: java.util.Map[String, String]): Long =
+    Option(options.get("commitremovesversion")).map(_.trim.toLong).getOrElse(-1L)
+
   /** The commit-log-recorded table schema for a schemaless read —
     * authoritative when present (docs/TABLE_FORMAT.md "Schema tracking"):
     * types the writer declared (dates stay dates, ints stay ints) with
@@ -715,7 +726,8 @@ final class GraftJsonTable(
         GraftSources.mergeTableProps(properties, info.options), info.schema()),
       mergeSchema = info.options.getBoolean("mergeschema", false),
       blockBytes = GraftSink.blockBytesFrom(
-        GraftSources.mergeTableProps(properties, info.options)))
+        GraftSources.mergeTableProps(properties, info.options)),
+      removesBase = GraftSources.commitRemovesBase(info.options))
 }
 
 // ======================================================================= CSV
@@ -824,7 +836,8 @@ final class GraftCsvTable(
         GraftSources.mergeTableProps(properties, info.options), info.schema()),
       mergeSchema = info.options.getBoolean("mergeschema", false),
       blockBytes = GraftSink.blockBytesFrom(
-        GraftSources.mergeTableProps(properties, info.options)))
+        GraftSources.mergeTableProps(properties, info.options)),
+      removesBase = GraftSources.commitRemovesBase(info.options))
   }
 }
 
@@ -1357,6 +1370,18 @@ final class GraftScan(
       "this snapshot carries deletion vectors, which address exact row " +
         "ordinals — badrecords=fail is required (dropped/captured corrupt " +
         "rows would shift the mask)")
+    // the builder refused these pushdowns when ITS listing carried a
+    // vector — but an unpinned/snapshot read re-resolves "latest" here,
+    // so a DELETE landing between pushdown and planning could pair an
+    // accepted fast path with a masked listing. The fast paths have no
+    // mask path (sidecar stats, pruned COUNT parses, TopN heaps, and
+    // COMPLETE offsets would all count masked rows): refuse loudly,
+    // never answer wrongly.
+    require(!anyDv ||
+        (aggSpec.isEmpty && !countStar && topN == null && offset < 0),
+      "a deletion vector landed on this table between query planning and " +
+        "scan planning — the pushed aggregate/TopN/offset cannot apply a " +
+        "row mask; re-run the query (or pin versionAsOf for stable plans)")
     if (runtimeFilters.nonEmpty) // observability for tests / debugging
       GraftScan.lastRuntimePruned.set(listing.files.length - pf.length)
     val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)

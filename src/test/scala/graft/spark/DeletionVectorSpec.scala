@@ -233,6 +233,69 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(d).count() === 9L)
   }
 
+  test("rewrite OCC: a DV delete landing after the rewrite's read aborts the rewrite") {
+    val d = dir("rewriteocc")
+    writeTable(d, n = 20L, parts = 1) // v0
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 7") // v1 attaches a dv
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val file = GraftCommitLog.liveStateAsOf(fs, rootP, 1L).keys.head
+    // a rewrite that READ at v0 (before the delete) must abort: its
+    // rewritten file was built from pre-delete rows
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+        adds = Seq("part-rewritten-00000.jsonl"), removes = Seq(file),
+        removesBase = 0L)
+    }
+    assert(e.getMessage.contains("after the rewrite's read"), e.getMessage)
+    // the same rewrite reading at v1 (mask applied) commits fine
+    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+      adds = Seq("part-rewritten-00000.jsonl"), removes = Seq(file),
+      removesBase = 1L)
+  }
+
+  test("deleteWhere racing deleteWhereDV end-to-end: one of the two loses loudly") {
+    // the API-level version of the rail: COW deleteWhere reads at latest
+    // and passes commitremovesversion — simulate the race by attaching a
+    // vector AFTER resolveCow would have pinned, via a direct interleave:
+    // run deleteWhereDV, then a deleteWhere whose predicate hits the same
+    // file. deleteWhere reads at the NEW latest (post-dv), so it applies
+    // the mask and commits — proving the legal interleaving still works
+    // and masked rows stay gone through a subsequent rewrite.
+    val d = dir("race")
+    writeTable(d, n = 30L, parts = 1)
+    TrainingData.deleteWhereDV(spark, d, schema, "id >= 20")
+    TrainingData.deleteWhere(spark, d, schema, "id < 5")
+    assert(snap(d).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (5L until 20L))
+  }
+
+  test("non-ASCII target paths survive the artifact header round-trip") {
+    // partition values pass through escapePathValue un-transliterated, so
+    // a target like nation=日本/part-x.jsonl is legal; the header must
+    // decode as UTF-8, not byte-as-char (the artifact NAME is an ASCII
+    // uuid — this container's jnu encoding can't create non-ASCII local
+    // paths, so the unit round-trip is the exercisable surface)
+    val d = dir("utf8")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    fs.mkdirs(rootP)
+    val target = "nation=日本/part-00000-España.jsonl"
+    val name = DeletionVectors.write(fs, rootP, target, Iterator(2L, 5L), None)
+    val got = DeletionVectors.readOrdinals(
+      spark.sparkContext.hadoopConfiguration,
+      DeletionVectors.artifactPath(rootP, name), target)
+    assert(got.toSeq === Seq(2L, 5L))
+    // and a WRONG expected target still fails the cross-check
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.readOrdinals(spark.sparkContext.hadoopConfiguration,
+        DeletionVectors.artifactPath(rootP, name), "nation=日本/other.jsonl")
+    }
+    assert(e.getMessage.contains("disagree"))
+  }
+
   test("raw-listing streaming discovery refuses a dv-carrying table loudly") {
     val d = dir("rawstream")
     writeTable(d, n = 10L, parts = 1)
