@@ -773,15 +773,31 @@ object TrainingData {
       .option("versionasof", tbl.latest.toString).load(dir)
       .filter(expr(predicate))
       .select(col(fileCol).as("_f"), col(idxCol).as("_i")).as[(String, Long)]
+    val pairs = writeVectors(spark, dir, matches, state)
+    if (pairs.isEmpty) return Nil
+    val dvBase: Map[String, String] =
+      pairs.map { case (f, _) => f -> state.getOrElse(f, null) }.toMap
+    log.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
+      adds = Nil, removes = Nil,
+      dvs = pairs.toSeq.map { case (f, n) => (n, f) }, dvBase = dvBase)
+    pairs.map(_._1).toSeq.sorted
+  }
+
+  /** One artifact per affected file, written where the matches are: each
+    * task owns whole files (repartition by file) and streams ordinals in
+    * ascending order (sortWithinPartitions) straight to its artifact,
+    * merging the file's prior vector — driver traffic is one
+    * (file, artifact-name) pair per affected file.
+    */
+  private def writeVectors(spark: org.apache.spark.sql.SparkSession,
+      dir: String, matches: org.apache.spark.sql.Dataset[(String, Long)],
+      state: Map[String, String]): Array[(String, String)] = {
+    import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rootStr = dir
     val stateB = spark.sparkContext.broadcast(state)
-    // one artifact per affected file, written where the matches are: each
-    // task owns whole files (repartition by file) and streams ordinals in
-    // ascending order (sortWithinPartitions) straight to its artifact —
-    // driver traffic is one (file, artifact) pair per affected file
-    val pairs: Array[(String, String)] = matches
+    matches
       .repartition(col("_f")).sortWithinPartitions(col("_f"), col("_i"))
       .mapPartitions { it =>
         val root = new org.apache.hadoop.fs.Path(rootStr)
@@ -800,13 +816,67 @@ object TrainingData {
         }
         out.iterator
       }.collect()
-    if (pairs.isEmpty) return Nil
-    val dvBase: Map[String, String] =
-      pairs.map { case (f, _) => f -> state.getOrElse(f, null) }.toMap
-    log.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
-      adds = Nil, removes = Nil,
-      dvs = pairs.toSeq.map { case (f, n) => (n, f) }, dvBase = dvBase)
-    pairs.map(_._1).toSeq.sorted
+  }
+
+  /** Merge-on-read UPDATE — the Delta DV-update shape: rows matching
+    * `predicate` get each column in `set` replaced by its SQL expression
+    * (evaluated against the OLD row), WITHOUT rewriting any untouched
+    * row: the old versions are masked by deletion vectors and the
+    * updated rows are appended as new files, both in ONE atomic v4
+    * entry (two entries would expose a duplicate- or missing-row window
+    * between them). Cost is O(matches), not O(candidate files) — the
+    * [[updateWhere]] trade for update-heavy tables; the same scan
+    * fast-path losses as [[deleteWhereDV]] apply until
+    * [[materializeDeletes]]. SET on a partition column works naturally:
+    * the new row lands in its new k=v directory, the old one is masked
+    * in place. Returns the root-relative files that received vectors.
+    */
+  def updateWhereDV(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, predicate: String, set: Map[String, String],
+      format: String = "graft-json"): Seq[String] = {
+    require(format == "graft-json" || format == "graft-csv",
+      s"updateWhereDV supports graft-json/graft-csv, not $format")
+    require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    val tbl = resolveCow(spark, dir, schema)
+    val state = graft.spark.GraftCommitLog.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    val idxCol = graft.spark.GraftSources.RowIndexCol
+    val scanSchema = org.apache.spark.sql.types.StructType(
+      tbl.phase1Schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxCol, org.apache.spark.sql.types.LongType))
+    val missing = set.keySet -- tbl.fullSchema.fieldNames.toSet
+    require(missing.isEmpty, s"updateWhereDV SET names unknown column(s): " +
+      missing.toSeq.sorted.mkString(", "))
+    import spark.implicits._
+    // matched twice (ordinals → artifacts, rows → appends): persist so
+    // the predicate scan runs once
+    val matched = spark.read.format(format).schema(scanSchema)
+      .option("withfilepath", "true").option("withrowindex", "true")
+      .option("versionasof", tbl.latest.toString).load(dir)
+      .filter(expr(predicate))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = writeVectors(spark, dir,
+        matched.select(col(fileCol).as("_f"), col(idxCol).as("_i"))
+          .as[(String, Long)], state)
+      if (pairs.isEmpty) return Nil
+      val dvBase: Map[String, String] =
+        pairs.map { case (f, _) => f -> state.getOrElse(f, null) }.toMap
+      // one select, so every SET expression sees the pre-update row
+      val updated = matched.select(tbl.fullSchema.fieldNames.toSeq.map { c =>
+        set.get(c).map(e => expr(e).cast(tbl.fullSchema(c).dataType).as(c))
+          .getOrElse(col(c))
+      }: _*)
+      val w = updated.write.format(format).mode("append")
+        .option("commitdvs", graft.spark.GraftSources.joinDvList(
+          pairs.toSeq.map { case (f, n) => (n, f) }, "commitdvs"))
+        .option("commitdvsbase",
+          graft.spark.GraftSources.joinDvBase(dvBase, "commitdvsbase"))
+      (if (tbl.partCols.nonEmpty)
+         w.option("partitionby", tbl.partCols.mkString(","))
+       else w).save(dir)
+      pairs.map(_._1).toSeq.sorted
+    } finally matched.unpersist()
   }
 
   /** Rewrite every file carrying a deletion vector WITHOUT its masked

@@ -418,7 +418,8 @@ final class GraftAvroTable(
     // mergeschema: the avro read path resolves each file's embedded
     // schema, not the log's merged one, so accepting the merge would
     // record a schema the reader cannot yet serve — refuse.
-    Seq("check", "commitremoves", "commitremovesversion", "mergeschema").foreach { opt =>
+    Seq("check", "commitremoves", "commitremovesversion", "commitdvs",
+        "commitdvsbase", "mergeschema").foreach { opt =>
       require(info.options.get(opt) == null,
         s"graft-avro does not support option('$opt', ...) yet — " +
           "use graft-json/graft-csv for CHECK constraints, COW rewrites, " +

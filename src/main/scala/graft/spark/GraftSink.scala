@@ -376,17 +376,22 @@ final class GraftWriteBuilder(
     check: GraftSink.CheckSpec = null,
     mergeSchema: Boolean = false,
     blockBytes: Long = GraftSink.DefaultBlockBytes,
-    removesBase: Long = -1L)
+    removesBase: Long = -1L,
+    dvs: Seq[(String, String)] = Nil,
+    dvBase: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
+    require(dvs.isEmpty || !doTruncate,
+      "option(\"commitdvs\", ...) is meaningless with mode(\"overwrite\") — " +
+        "the truncate wipes the files the vectors would mask")
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
         GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema, blockBytes,
-        removesBase)
+        removesBase, dvs, dvBase)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // a streaming epoch commit never touches the commit log, so removes
       // would be accepted-and-ignored — the one outcome a COW rewrite must
@@ -395,6 +400,9 @@ final class GraftWriteBuilder(
         "option(\"commitremoves\", ...) is batch-only: streaming epoch commits " +
           "do not write the commit log, so the removes would be silently lost — " +
           "route COW rewrites through foreachBatch + batch mode(\"append\")")
+      require(dvs.isEmpty,
+        "option(\"commitdvs\", ...) is batch-only: streaming epoch commits " +
+          "do not write the commit log, so the masks would be silently lost")
       new GraftStreamingWrite(path, schema, conf, codec, partCols, check, blockBytes)
     }
   }
@@ -458,7 +466,9 @@ final class GraftBatchWrite(
     check: GraftSink.CheckSpec = null,
     mergeSchema: Boolean = false,
     blockBytes: Long = GraftSink.DefaultBlockBytes,
-    removesBase: Long = -1L)
+    removesBase: Long = -1L,
+    dvs: Seq[(String, String)] = Nil,
+    dvBase: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   require(removes.isEmpty || !truncate,
@@ -487,7 +497,7 @@ final class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
     GraftCommitLog.append(conf.value, path, messages, removes,
-      commitSchema.record, commitSchema.base, removesBase)
+      commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -657,16 +667,17 @@ private[graft] object GraftCommitLog {
   def append(conf: org.apache.hadoop.conf.Configuration, root: String,
       messages: Array[WriterCommitMessage], removes: Seq[String] = Nil,
       schema: StructType = null, schemaBase: StructType = null,
-      removesBase: Long = -1L): Unit = {
+      removesBase: Long = -1L, dvs: Seq[(String, String)] = Nil,
+      dvBase: Map[String, String] = Map.empty): Unit = {
     val files: Seq[String] = messages.toSeq.flatMap {
       case GraftCommit(f, _) => Seq(f)
       case GraftPartitionedCommit(es) => es.map(_._1)
       case _ => Nil
     }
-    if (files.isEmpty && removes.isEmpty) return
+    if (files.isEmpty && removes.isEmpty && dvs.isEmpty) return
     try {
       appendEntry(conf, root, files, removes, schema, schemaBase,
-        removesBase = removesBase)
+        dvs, dvBase, removesBase)
     } catch {
       // a schema CONFLICT must never be best-effort: swallowing it would
       // report success while the commit's files stay unlogged — invisible
@@ -679,8 +690,10 @@ private[graft] object GraftCommitLog {
             "reclaims them); re-run the write against the current schema: " +
             e.getMessage)
       // a plain append's log write is best-effort (time travel degrades,
-      // the write itself never fails); a rewrite's is NOT — see Scaladoc
-      case e: Exception => if (removes.nonEmpty) throw e
+      // the write itself never fails); a rewrite's is NOT — and neither is
+      // a dv-carrying commit (losing the masks while the adds published
+      // would leave the updated rows' originals unmasked: duplicates)
+      case e: Exception => if (removes.nonEmpty || dvs.nonEmpty) throw e
     }
   }
 
@@ -1557,7 +1570,9 @@ final class GraftCsvWriteBuilder(
     check: GraftSink.CheckSpec = null,
     mergeSchema: Boolean = false,
     blockBytes: Long = GraftSink.DefaultBlockBytes,
-    removesBase: Long = -1L)
+    removesBase: Long = -1L,
+    dvs: Seq[(String, String)] = Nil,
+    dvBase: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -1581,6 +1596,9 @@ final class GraftCsvWriteBuilder(
     require(removes.isEmpty || !doTruncate,
       "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
         "the truncate wipes the commit log the removes would amend")
+    require(dvs.isEmpty || !doTruncate,
+      "option(\"commitdvs\", ...) is meaningless with mode(\"overwrite\") — " +
+        "the truncate wipes the files the vectors would mask")
     override def toBatch: BatchWrite = new BatchWrite {
       private var commitSchema: GraftSink.ResolvedSchema =
         GraftSink.ResolvedSchema(schema, null)
@@ -1598,7 +1616,7 @@ final class GraftCsvWriteBuilder(
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
         GraftCommitLog.append(conf.value, path, messages, removes,
-          commitSchema.record, commitSchema.base, removesBase)
+          commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -1610,6 +1628,9 @@ final class GraftCsvWriteBuilder(
         "option(\"commitremoves\", ...) is batch-only: streaming epoch commits " +
           "do not write the commit log, so the removes would be silently lost — " +
           "route COW rewrites through foreachBatch + batch mode(\"append\")")
+      require(dvs.isEmpty,
+        "option(\"commitdvs\", ...) is batch-only: streaming epoch commits " +
+          "do not write the commit log, so the masks would be silently lost")
       new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep,
         partCols, check, blockBytes)
     }

@@ -462,6 +462,56 @@ object GraftSources {
     Option(options.get("commitremoves")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
+  /** Deletion-vector attachments riding a batch write's commit entry
+    * (`option("commitdvs", "artifact>target,...")` +
+    * `option("commitdvsbase", "target>artifactOrEmpty,...")`) — the
+    * merge-on-read UPDATE shape: the appended files and the `d` masks
+    * land in ONE atomic entry (two entries would expose a
+    * duplicate-visibility window between them). Artifact names are
+    * writer-generated uuids (no ',' or '>'); target paths with either
+    * character are refused at join time (joinFileList + the '>' check
+    * here).
+    */
+  def joinDvList(pairs: Seq[(String, String)], optName: String): String = {
+    pairs.find(p => p._2.contains(',') || p._2.contains('>')).foreach { p =>
+      throw new IllegalArgumentException(
+        s"$optName: target path '${p._2}' contains ',' or '>' — COW " +
+          "maintenance cannot address it safely; rewrite the table to a " +
+          "fresh root so partition values re-render escaped, then retry")
+    }
+    pairs.map { case (a, t) => s"$a>$t" }.mkString(",")
+  }
+
+  /** Serialize the per-target merge-base map for `commitdvsbase`:
+    * (target, prior-artifact-or-null) pairs.
+    */
+  def joinDvBase(base: Map[String, String], optName: String): String = {
+    base.keys.find(t => t.contains(',') || t.contains('>')).foreach { t =>
+      throw new IllegalArgumentException(
+        s"$optName: target path '$t' contains ',' or '>' — see joinDvList")
+    }
+    base.toSeq.sortBy(_._1)
+      .map { case (t, a) => s"$t>${if (a == null) "" else a}" }.mkString(",")
+  }
+
+  def commitDvs(options: java.util.Map[String, String]): Seq[(String, String)] =
+    Option(options.get("commitdvs")).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map { s =>
+        val i = s.indexOf('>')
+        require(i > 0, s"commitdvs: malformed pair '$s'")
+        (s.substring(0, i), s.substring(i + 1))
+      }
+
+  def commitDvBase(options: java.util.Map[String, String]): Map[String, String] =
+    Option(options.get("commitdvsbase")).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map { s =>
+        val i = s.indexOf('>')
+        require(i > 0, s"commitdvsbase: malformed pair '$s'")
+        (s.substring(0, i), if (i == s.length - 1) null else s.substring(i + 1))
+      }.toMap
+
   /** The snapshot version a COW rewrite READ its candidates at
     * (`option("commitremovesversion", v)`) — the rewrite side of the
     * deletion-vector OCC: at commit time the removed files' dv state is
@@ -727,7 +777,9 @@ final class GraftJsonTable(
       mergeSchema = info.options.getBoolean("mergeschema", false),
       blockBytes = GraftSink.blockBytesFrom(
         GraftSources.mergeTableProps(properties, info.options)),
-      removesBase = GraftSources.commitRemovesBase(info.options))
+      removesBase = GraftSources.commitRemovesBase(info.options),
+      dvs = GraftSources.commitDvs(info.options),
+      dvBase = GraftSources.commitDvBase(info.options))
 }
 
 // ======================================================================= CSV
@@ -837,7 +889,9 @@ final class GraftCsvTable(
       mergeSchema = info.options.getBoolean("mergeschema", false),
       blockBytes = GraftSink.blockBytesFrom(
         GraftSources.mergeTableProps(properties, info.options)),
-      removesBase = GraftSources.commitRemovesBase(info.options))
+      removesBase = GraftSources.commitRemovesBase(info.options),
+      dvs = GraftSources.commitDvs(info.options),
+      dvBase = GraftSources.commitDvBase(info.options))
   }
 }
 
