@@ -110,6 +110,11 @@ object TrainingData {
   def capPerGroup(df: DataFrame, groupCol: String, rankCol: String,
       tieCol: String, k: Int): DataFrame = {
     require(k > 0, s"capPerGroup needs k > 0, got $k")
+    // same collision guard as asofJoin's '_asof_salt': a user column named
+    // like our scratch column would be silently overwritten then dropped
+    require(!df.columns.contains("__cap_rn"),
+      "capPerGroup: the input already carries a '__cap_rn' column, which " +
+        "this helper uses as scratch — rename it first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(rankCol).desc, col(tieCol).asc)
     df.withColumn("__cap_rn", row_number().over(w))

@@ -536,7 +536,11 @@ private[spark] object GraftAggMeta {
             vals(i) = st.rows - cs.nulls
         }
         case FMin(c, dt) => partVal(c) match {
-          case Some(v) => vals(i) = v // per-file constant (null = all-null column)
+          // a zero-row file has no values for ANY column: the partition-
+          // directory constant must not become a spurious non-null MIN
+          // (latent — the sinks create files lazily per row — but nothing
+          // at this layer enforces that)
+          case Some(v) => vals(i) = if (st.rows == 0L) null else v
           case None =>
             val cs = st.cols.getOrElse(c, return None)
             if (!cs.minExact) return None // truncated bound: prune-only, not an answer
@@ -546,7 +550,7 @@ private[spark] object GraftAggMeta {
             }
         }
         case FMax(c, dt) => partVal(c) match {
-          case Some(v) => vals(i) = v
+          case Some(v) => vals(i) = if (st.rows == 0L) null else v
           case None =>
             val cs = st.cols.getOrElse(c, return None)
             if (!cs.maxExact) return None

@@ -283,14 +283,21 @@ object GraftSink {
       mergeSchema: Boolean, widen: Boolean = true): ResolvedSchema = {
     if (truncate || path == null) return ResolvedSchema(incoming, null)
     val root = new Path(path)
-    val existing: Option[StructType] = try {
+    // fs errors and — once a commit log exists — failures reading the
+    // recorded schema PROPAGATE: degrading to None here would silently
+    // skip evolution enforcement AND record no schema line on an IO blip
+    // (a widening append would then land while later schemaless reads
+    // parse the wider values under the stale narrower type). The lenient
+    // None is reserved for the genuinely-no-log case.
+    val existing: Option[StructType] = {
       val fs = root.getFileSystem(conf)
       if (!fs.exists(root)) None
       else {
         val vs = GraftCommitLog.versions(fs, root)
-        if (vs.isEmpty) None else GraftCommitLog.schemaAsOf(fs, root, vs.max)
+        if (vs.isEmpty) None
+        else GraftCommitLog.schemaAsOfStrict(fs, root, vs.max)
       }
-    } catch { case _: Exception => None }
+    }
     existing match {
       case None =>
         // tracking starts only where the record can be AUTHORITATIVE: an
@@ -679,15 +686,23 @@ private[graft] object GraftCommitLog {
       appendEntry(conf, root, files, removes, schema, schemaBase,
         dvs, dvBase, removesBase)
     } catch {
-      // a schema CONFLICT must never be best-effort: swallowing it would
+      // an OCC CONFLICT must never be best-effort: swallowing it would
       // report success while the commit's files stay unlogged — invisible
       // to snapshot/pinned/followLog readers and vacuumOrphans food.
       // Abort loudly; this attempt's published files are such orphans.
+      // Diagnose by the INNER cause: appendEntry throws CME for schema
+      // conflicts AND for removes-liveness / dv-base / read-version OCC
+      // losses — rebranding them all as "schema change" would misdirect
+      // a sink-routed rewrite that lost a DELETE race.
       case e: java.util.ConcurrentModificationException =>
+        val cause =
+          if (e.getMessage != null && e.getMessage.contains("schema changed concurrently"))
+            "a concurrent schema change"
+          else "a concurrent table change (see cause)"
         throw new java.util.ConcurrentModificationException(
-          s"append to $root aborted on a concurrent schema change — this " +
+          s"append to $root aborted on $cause — this " +
             "attempt's data files are published but UNLOGGED (vacuumOrphans " +
-            "reclaims them); re-run the write against the current schema: " +
+            "reclaims them); re-run against the current snapshot: " +
             e.getMessage)
       // a plain append's log write is best-effort (time travel degrades,
       // the write itself never fails); a rewrite's is NOT — and neither is
@@ -1265,6 +1280,19 @@ private[graft] object GraftCommitLog {
     */
   def schemaAsOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[StructType] = try {
+    schemaAsOfStrict(fs, root, version)
+  } catch { case _: Exception => None }
+
+  /** [[schemaAsOf]] with IO failures PROPAGATED — the commit path's
+    * variant: schema-evolution enforcement must never silently degrade to
+    * "untracked" on a transient log-read blip (the append would land its
+    * data with no schema record, and later recorded-schema reads would
+    * parse the widened values under the stale narrower type). Unparsable
+    * schema LINES still degrade per-artifact (format leniency, not IO
+    * leniency); raw-entry read failures throw.
+    */
+  def schemaAsOfStrict(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[StructType] = {
     val rawVs = versions(fs, root).filter(_ <= version).toSet
     if (rawVs.isEmpty) return None
     val ckVs = checkpointVersions(fs, root).filter(_ <= version).toSet
@@ -1276,12 +1304,23 @@ private[graft] object GraftCommitLog {
     // tracking batch commit records a line.
     (rawVs ++ ckVs).toSeq.sorted(Ordering[Long].reverse).iterator
       .flatMap { v =>
-        (if (rawVs.contains(v)) entrySchema(fs, root, v) else None)
+        (if (rawVs.contains(v)) entrySchemaStrict(fs, root, v) else None)
           .orElse(if (ckVs.contains(v)) readCheckpointSchema(fs, root, v)
                   else None)
       }
       .nextOption()
-  } catch { case _: Exception => None }
+  }
+
+  /** [[entrySchema]] but propagating IO failures (strict read, lenient
+    * parse) — see [[schemaAsOfStrict]].
+    */
+  private def entrySchemaStrict(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, version: Long): Option[StructType] = {
+    val (_, lines) = entryLines(fs, root, version)
+    if (!lines.headOption.exists(h =>
+        h == "graft-commit v3" || h == "graft-commit v4")) None
+    else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
+  }
 }
 
 final class GraftJsonWriterFactory(
