@@ -2280,5 +2280,49 @@ object Sources {
             GROUP BY 1
             ORDER BY c_mktsegment"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206)
+  // ---------------------------------------------------------------- q207
+  // Merge-on-read WITHOUT the read-side cliff: a deletion-vector snapshot
+  // keeps the vectorized columnar path (masks drop inside the plate at
+  // finishRow), keeps min/max file pruning (a mask only shrinks a file's
+  // row set), and keeps the pushed COUNT(*) (sidecar base − mask
+  // cardinality). The gate asserts the plan stayed columnar and that a
+  // disjoint-range filter still pruned files — at 100 TB this is the
+  // difference between a delete-heavy corpus reading at full speed and
+  // falling to row-at-a-time whole-table scans until the next OPTIMIZE.
+  private val q207 = GQuery(
+    "q207_dv_vectorized_read",
+    "deletion-vector snapshot stays vectorized + file-pruned + count-pushed",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/dv_vec"
+      val ddl = "o_orderkey BIGINT, o_custkey BIGINT"
+      Tables(s, d, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"))
+        .repartitionByRange(4, $"o_orderkey").sortWithinPartitions("o_orderkey")
+        .write.format("graft-json").mode("overwrite").save(dir)
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "o_orderkey % 5 = 0")
+      val df = s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "deletion-vector snapshot fell off the vectorized path")
+      // masked files still prune on sidecar min/max: a range filter keeps
+      // only the files whose pre-mask range may match
+      graft.spark.GraftScan.lastStatsPruned.set(-1)
+      val hi = df.agg(max($"o_orderkey")).collect()(0).getLong(0)
+      val maxKey = df.filter($"o_orderkey" > hi / 2)
+        .agg(max($"o_orderkey")).collect()(0).getLong(0)
+      require(graft.spark.GraftScan.lastStatsPruned.get >= 1,
+        "masked files must still stats-prune on disjoint ranges")
+      require(maxKey % 5 != 0, "pruned read resurrected a masked row")
+      df.groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum($"o_custkey").as("ck_sum"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT o_orderkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+            FROM orders WHERE o_orderkey % 5 <> 0
+            GROUP BY 1 ORDER BY bucket"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207)
 }

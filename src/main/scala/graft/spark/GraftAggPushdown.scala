@@ -189,10 +189,14 @@ final class GraftAggReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // whole-file partition + strict mode + sidecar coverage: answer the
-    // battery from metadata, zero data bytes read
+    // battery from metadata, zero data bytes read. A deletion-vector-
+    // carrying partition must PARSE instead — its sidecar counts/extrema
+    // describe the pre-mask file (min/max stay sound for pruning, but a
+    // metadata ANSWER needs exact post-mask values).
     partition match {
       case p: GraftInputPartition
-          if metadataOk && conf != null && p.start == 0 && p.end == p.fileLen &&
+          if metadataOk && conf != null && p.dv == null &&
+            p.start == 0 && p.end == p.fileLen &&
             GraftAggMeta.eligible(spec, partByName.keySet) =>
         // a conversion failure (unexpected directory rendering) falls back
         // to the parsing reader rather than failing the scan

@@ -917,16 +917,13 @@ final class GraftScanBuilder(
   private var aggSpec: Option[GraftAgg.Spec] = None
   private var topN: Array[(String, Boolean, Boolean)] = null // (col, asc, nullsFirst)
   private var topNLimit = -1
-  // one listing resolution per builder (pushOffset + the dv gate both
-  // consult it; the final GraftScan resolves its own — planning stays at
-  // two log folds per query, not one per pushdown probe)
+  // one listing resolution per builder (pushOffset consults it; the final
+  // GraftScan resolves its own — planning stays at two log folds per
+  // query, not one per pushdown probe). Deletion vectors never refuse a
+  // pushdown here: every accepted path either wraps the mask-applying
+  // readers (TopN, offset, parse-folded aggregates) or gates its
+  // metadata-only answers on the PARTITION carrying no vector.
   private lazy val builderListing = GraftSources.resolvePartitioned(options)
-  // deletion vectors mask rows at read time: sidecar-stats answers
-  // (COUNT/MIN/MAX), per-file TopN heaps, and COMPLETE offsets would all
-  // count masked rows — refuse those pushdowns for dv-carrying snapshots
-  // (file-level skipping and partial LIMIT stay sound: masks only REMOVE
-  // rows, and the reader's limit counts post-mask emissions)
-  private lazy val anyDv = builderListing.files.exists(_.dv != null)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -973,7 +970,8 @@ final class GraftScanBuilder(
     // but that soundness must hold locally — refuse if that ever changes.
     if (pushed.nonEmpty) return false
     if (builderListing.files.length != 1) return false
-    if (anyDv) return false
+    // a deletion vector is fine: the wrapper trims the inner reader's
+    // POST-mask stream, which is exactly the table's row order
     offset = n
     true
   }
@@ -989,7 +987,8 @@ final class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (countStar || aggSpec.isDefined || offset >= 0) return false
     if (n <= 0 || n > (1 << 16)) return false // bounded per-task memory
-    if (anyDv) return false // the TopN reader has no mask path
+    // deletion vectors are fine: the TopN heaps drain the row readers,
+    // which emit post-mask rows
     val spec = new Array[(String, Boolean, Boolean)](orders.length)
     var k = 0
     while (k < orders.length) {
@@ -1040,9 +1039,9 @@ final class GraftScanBuilder(
     // the row-index column is stamped by the ROW readers; the pruned
     // aggregate parse would fold nulls in its place
     if (options.getBoolean("withrowindex", false)) return false
-    // a deletion vector invalidates sidecar-stats answers and the pruned
-    // COUNT(*) parse alike (both would count masked rows)
-    if (anyDv) return false
+    // deletion vectors are fine here: metadata-only answers gate on the
+    // partition carrying no vector (GraftAggReaderFactory / the count
+    // reader's mask subtraction); the parse paths fold post-mask rows
     val fs = agg.aggregateExpressions
     if (agg.groupByExpressions.isEmpty && fs.length == 1 && fs(0).isInstanceOf[CountStar]) {
       countStar = true
@@ -1424,18 +1423,10 @@ final class GraftScan(
       "this snapshot carries deletion vectors, which address exact row " +
         "ordinals — badrecords=fail is required (dropped/captured corrupt " +
         "rows would shift the mask)")
-    // the builder refused these pushdowns when ITS listing carried a
-    // vector — but an unpinned/snapshot read re-resolves "latest" here,
-    // so a DELETE landing between pushdown and planning could pair an
-    // accepted fast path with a masked listing. The fast paths have no
-    // mask path (sidecar stats, pruned COUNT parses, TopN heaps, and
-    // COMPLETE offsets would all count masked rows): refuse loudly,
-    // never answer wrongly.
-    require(!anyDv ||
-        (aggSpec.isEmpty && !countStar && topN == null && offset < 0),
-      "a deletion vector landed on this table between query planning and " +
-        "scan planning — the pushed aggregate/TopN/offset cannot apply a " +
-        "row mask; re-run the query (or pin versionAsOf for stable plans)")
+    // a DELETE landing between pushdown and planning is fine: every
+    // pushed fast path applies the mask per-partition (TopN/offset/agg
+    // wrap the masking readers; metadata-only answers and the pruned
+    // COUNT parse gate on part.dv == null / subtract the mask)
     if (runtimeFilters.nonEmpty) // observability for tests / debugging
       GraftScan.lastRuntimePruned.set(listing.files.length - pf.length)
     val maxSplit = Option(options.get("maxsplitbytes")).map(_.toLong)
@@ -1611,7 +1602,7 @@ final class GraftScan(
             dropMalformed = dropMalformed,
             limit = limit, partSpec = partSpec,
             corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null,
-            saturate = saturate, rowIdxSlot = rowIdxSlot, anyDv = anyDv)
+            saturate = saturate, rowIdxSlot = rowIdxSlot)
         else {
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
@@ -1619,7 +1610,7 @@ final class GraftScan(
           new GraftCsvReaderFactory(rowSchema, plateFilters, conf,
             GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
             partSpec = partSpec, fullDataCols = dataCols,
-            rowIdxSlot = rowIdxSlot, anyDv = anyDv)
+            rowIdxSlot = rowIdxSlot)
         }
       aggSpec match {
         case Some(spec) =>
@@ -1671,8 +1662,7 @@ final class GraftJsonReaderFactory(
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     corruptCol: String = null,
     saturate: Boolean = true,
-    rowIdxSlot: Int = -1,
-    anyDv: Boolean = false)
+    rowIdxSlot: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
@@ -1682,10 +1672,12 @@ final class GraftJsonReaderFactory(
   // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
   // partition columns become constant vectors per batch. PERMISSIVE mode
   // stays row-based (corrupt-row emission is a row-queue concept), and so
-  // do row-index stamping and deletion-vector masking (scan-wide: Spark
-  // refuses fleets that mix row and columnar partitions).
+  // does row-index stamping. Deletion-vector masking VECTORIZES: the
+  // plate drops masked ordinals at finishRow (whole-file partitions, no
+  // plate filters, badrecords=fail — all enforced upstream), so a
+  // merge-on-read table never falls off the vectorized cliff.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0 && !anyDv
+    ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
@@ -1701,8 +1693,7 @@ final class GraftCsvReaderFactory(
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     fullDataCols: Array[String] = Array.empty,
-    rowIdxSlot: Int = -1,
-    anyDv: Boolean = false)
+    rowIdxSlot: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
@@ -1710,9 +1701,10 @@ final class GraftCsvReaderFactory(
       limit, partSpec, fullDataCols, rowIdxSlot)
 
   // byte-range splits vectorize too (CsvRangeFeeder + providedHeader);
-  // row-index stamping and deletion-vector masking are row-path concepts
+  // row-index stamping is a row-path concept; deletion-vector masks drop
+  // inside the plate (see the JSON factory's twin comment)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && rowIdxSlot < 0 && !anyDv
+    ColumnarPlate.supports(schema) && rowIdxSlot < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(
@@ -1879,6 +1871,25 @@ final class GraftCountPartitionReader(
   private var jsonFeeder: JsonRangeFeeder[Long] = null
 
   private def count(): Long = {
+    // a deletion vector deletes EXACTLY its ordinal count from this file
+    // (each artifact is the full cumulative set of valid ordinals): the
+    // masked COUNT is base − |mask|, with the sidecar fast path intact.
+    // Cross-check the last ordinal against the base count — a mask
+    // addressing rows the file doesn't have must fail loudly, not skew.
+    val deleted: Array[Long] =
+      if (part.dv == null) null
+      else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
+    val base = baseCount()
+    if (deleted == null) base
+    else {
+      require(deleted.isEmpty || deleted.last < base,
+        s"deletion vector ${part.dv} addresses ordinal ${deleted.last} but " +
+          s"'${part.path}' has only $base rows — artifact/file mismatch")
+      base - deleted.length
+    }
+  }
+
+  private def baseCount(): Long = {
     // metadata-only count: a sink-written whole-file partition in strict
     // (fail) mode answers from the stats sidecar without reading a
     // single data byte — the JSON/CSV analog of counting from parquet
@@ -2235,6 +2246,14 @@ final class GraftJsonColumnarReader(
     saturate: Boolean = true)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
+  // deletion-vector mask (whole-file partition): the plate drops masked
+  // ordinals at finishRow — merge-on-read tables stay vectorized. Plate
+  // filters must not run under a mask (a dropped row would shift every
+  // later ordinal; all filters are residual upstream anyway), and the
+  // scan already pinned badrecords=fail for dv snapshots.
+  private val dvMask: Array[Long] =
+    if (part.dv == null) null
+    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
   // recovery keeps the SAME plate (its buffered batch holds completed
   // rows); only the parser restarts — the plate's row state resets via
   // the columnar plate's own finishRow bookkeeping being per-row
@@ -2242,7 +2261,9 @@ final class GraftJsonColumnarReader(
   private def mkParser(): JsonParser[Long] = {
     if (plate == null)
       // drop mode needs full per-row validation: no saturation elision
-      plate = new ColumnarPlate(schema, filters, saturate = saturate && !dropMalformed)
+      plate = new ColumnarPlate(schema,
+        if (dvMask == null) filters else Array.empty,
+        saturate = saturate && !dropMalformed, mask = dvMask)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -2281,8 +2302,14 @@ final class GraftCsvColumnarReader(
     fullDataCols: Array[String] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
+  // see GraftJsonColumnarReader's twin: masked ordinals drop in the plate
+  private val dvMask: Array[Long] =
+    if (part.dv == null) null
+    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
   private val plate =
-    new ColumnarPlate(schema, filters, emptyCellsAsNull = true) // CSV: empty cell = NULL
+    new ColumnarPlate(schema,
+      if (dvMask == null) filters else Array.empty,
+      emptyCellsAsNull = true, mask = dvMask) // CSV: empty cell = NULL
   // a mid-file range never sees the header row: hand it the column order
   private val effConfig =
     if (part.start > 0 && config.header && config.providedHeader.isEmpty)

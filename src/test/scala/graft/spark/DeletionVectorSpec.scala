@@ -350,6 +350,85 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(d).count() === 20L)
   }
 
+  // ---- round 10: mask-aware fast paths (the "vectorized cliff" closes) ----
+
+  test("masked reads stay VECTORIZED: columnar plan, exact post-mask rows") {
+    val d = dir("vec")
+    writeTable(d, n = 200L, parts = 2)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 3 = 0")
+    val df = snap(d)
+    // the scan must report columnar (Spark inserts ColumnarToRow above it)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a deletion-vector snapshot fell off the vectorized path:\n" +
+        df.queryExecution.executedPlan)
+    val got = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (0L until 200L).filter(_ % 3 != 0).map(i => (i, s"r$i"))
+    assert(got.toSeq === want)
+  }
+
+  test("pushdowns under masks: COUNT(*), min/max battery, TopN, OFFSET all exact") {
+    val d = dir("push")
+    val s = spark
+    import s.implicits._
+    // single sorted file so OFFSET is accepted (one-file listing)
+    (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 10 < 2") // drops 20 rows
+    // pushed COUNT(*): sidecar base − mask cardinality
+    assert(snap(d).count() === 80L)
+    // pushed grouped battery: masked files PARSE (metadata answers would
+    // count masked rows) and fold post-mask values
+    val agg = snap(d).agg(min("id"), max("id"), count("id")).collect()(0)
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) === ((2L, 99L, 80L)))
+    // pushed TopN: heaps drain post-mask rows
+    val top = snap(d).orderBy(col("id").asc).limit(3).collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(2L, 3L, 4L))
+    // pushed OFFSET over the post-mask stream
+    val page = snap(d).orderBy(col("id").asc).collect().map(_.getLong(0))
+      .slice(5, 8)
+    val viaOffset = snap(d).select("id").offset(5).limit(3).collect().map(_.getLong(0))
+    assert(viaOffset.toSeq === page.toSeq)
+  }
+
+  test("file pruning stays sound under masks: prunes clean ranges, never resurrects") {
+    val d = dir("prune")
+    val s = spark
+    import s.implicits._
+    // 4 files tiling id ranges (clustered write → disjoint sidecar min/max)
+    (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite").save(d)
+    // mask EVERY row of the first range and some of the second
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 120")
+    GraftScan.lastStatsPruned.set(-1)
+    // filter targeting the last range: earlier files prune by min/max even
+    // though they carry vectors (a mask only shrinks a file's row set)
+    val hits = snap(d).filter(col("id") >= 350L).count()
+    assert(hits === 50L)
+    assert(GraftScan.lastStatsPruned.get >= 2,
+      s"masked files should still stats-prune, pruned=${GraftScan.lastStatsPruned.get}")
+    // the fully-masked range answers empty, never resurrects
+    assert(snap(d).filter(col("id") < 100L).count() === 0L)
+    assert(snap(d).count() === 280L)
+  }
+
+  test("a mask addressing rows the file does not have fails COUNT loudly") {
+    val d = dir("badmask")
+    writeTable(d, n = 10L, parts = 1)
+    val root = new org.apache.hadoop.fs.Path(d)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).head
+    val art = DeletionVectors.write(fs, root, target, Iterator(999L), None)
+    GraftCommitLog.appendEntry(spark.sparkContext.hadoopConfiguration, d,
+      adds = Nil, removes = Nil, dvs = Seq((art, target)),
+      dvBase = Map(target -> null))
+    val e = intercept[Exception] { snap(d).count() }
+    assert(e.getMessage != null)
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
