@@ -816,7 +816,9 @@ object TrainingData {
             def next(): Long = bit.next()._2
           }
           val name = graft.spark.DeletionVectors.write(fs, root, f, ords,
-            Option(stateB.value.getOrElse(f, null)))
+            Option(stateB.value.getOrElse(f, null)),
+            formatVersion = conf.value.getInt(
+              graft.spark.DeletionVectors.FormatKey, 2))
           out += ((f, name))
         }
         out.iterator

@@ -27,13 +27,13 @@ final class ColumnarPlate(
     // CSV semantics: an empty cell is NULL (Spark's csv nullValue default
     // and DuckDB's read_csv behavior) — see RowPlate's twin flag
     emptyCellsAsNull: Boolean = false,
-    // deletion-vector mask: the file's deleted row ordinals, strictly
-    // ascending, in the whole-file address space (the plate must see every
-    // row of the file in order — whole-file partition, no plate filters,
-    // badrecords=fail; the scan enforces all three). A masked row's slot
-    // is simply reused by the next row: the vectorized path loses nothing
-    // to merge-on-read deletes except the masked rows themselves.
-    mask: Array[Long] = null) extends Plate[Long] with KeyProbe {
+    // deletion-vector mask in the whole-file ordinal address space (the
+    // plate must see every row of the file in order — whole-file
+    // partition, no plate filters, badrecords=fail; the scan enforces all
+    // three). A masked row's slot is simply reused by the next row: the
+    // vectorized path loses nothing to merge-on-read deletes except the
+    // masked rows themselves.
+    mask: DeletionVectors.Mask = null) extends Plate[Long] with KeyProbe {
   require(mask == null || filters.isEmpty,
     "ColumnarPlate: a deletion mask and plate filters cannot combine — a " +
       "filter-dropped row would shift every later row's mask address")
@@ -408,18 +408,15 @@ final class ColumnarPlate(
   }
 
   // file ordinal of the row being finished (EVERY parsed row counts, kept
-  // or not) and the one-pass pointer into the ascending mask
+  // or not); the mask's own pointer walks its runs one-pass
   private[this] var fileOrd = 0L
-  private[this] var maskPtr = 0
 
   def finishRow(): Unit = {
     ensureCapacity()
     var keep = true
     if (mask != null) {
-      val ord = fileOrd
+      keep = !mask.masked(fileOrd)
       fileOrd += 1
-      while (maskPtr < mask.length && mask(maskPtr) < ord) maskPtr += 1
-      if (maskPtr < mask.length && mask(maskPtr) == ord) keep = false
     }
     if (keep && hasNullFilters) {
       keep = filters.forall {

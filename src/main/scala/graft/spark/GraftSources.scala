@@ -1876,16 +1876,16 @@ final class GraftCountPartitionReader(
     // masked COUNT is base − |mask|, with the sidecar fast path intact.
     // Cross-check the last ordinal against the base count — a mask
     // addressing rows the file doesn't have must fail loudly, not skew.
-    val deleted: Array[Long] =
+    val deleted: DeletionVectors.Mask =
       if (part.dv == null) null
-      else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
+      else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
     val base = baseCount()
     if (deleted == null) base
     else {
-      require(deleted.isEmpty || deleted.last < base,
+      require(deleted.last < base,
         s"deletion vector ${part.dv} addresses ordinal ${deleted.last} but " +
           s"'${part.path}' has only $base rows — artifact/file mismatch")
-      base - deleted.length
+      base - deleted.cardinality
     }
   }
 
@@ -2251,9 +2251,9 @@ final class GraftJsonColumnarReader(
   // filters must not run under a mask (a dropped row would shift every
   // later ordinal; all filters are residual upstream anyway), and the
   // scan already pinned badrecords=fail for dv snapshots.
-  private val dvMask: Array[Long] =
+  private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
-    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
+    else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   // recovery keeps the SAME plate (its buffered batch holds completed
   // rows); only the parser restarts — the plate's row state resets via
   // the columnar plate's own finishRow bookkeeping being per-row
@@ -2303,9 +2303,9 @@ final class GraftCsvColumnarReader(
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // see GraftJsonColumnarReader's twin: masked ordinals drop in the plate
-  private val dvMask: Array[Long] =
+  private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
-    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
+    else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   private val plate =
     new ColumnarPlate(schema,
       if (dvMask == null) filters else Array.empty,
@@ -2367,17 +2367,14 @@ final class GraftJsonPartitionReader(
   // partition when rowIdxSlot >= 0 or a deletion vector rides, so the
   // counter IS the file ordinal)
   private var rowOrdinal = 0L
-  // deletion vector: the file's deleted ordinals, ascending; rows arrive
-  // in file order, so one pointer walks the mask in O(1) amortized
-  private val dvDeleted: Array[Long] =
+  // deletion vector: the file's deleted ordinals as validated runs —
+  // O(runs) memory however many rows are masked; rows arrive in file
+  // order, so the mask's pointer walk is O(1) amortized
+  private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
-    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
-  private var dvPtr = 0
-  @inline private def masked(ord: Long): Boolean = {
-    if (dvDeleted == null) return false
-    while (dvPtr < dvDeleted.length && dvDeleted(dvPtr) < ord) dvPtr += 1
-    dvPtr < dvDeleted.length && dvDeleted(dvPtr) == ord
-  }
+    else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
+  @inline private def masked(ord: Long): Boolean =
+    dvMask != null && dvMask.masked(ord)
   @inline private def stamp(row: InternalRow): InternalRow = {
     var i = 0
     while (i < partTyped.length) {
@@ -2407,7 +2404,7 @@ final class GraftJsonPartitionReader(
   }
   // plate filters must not run under a mask: a plate-dropped row would
   // desync every later ordinal (all filters are residual upstream anyway)
-  private val plateFilters = if (dvDeleted == null) filters else Array.empty[Filter]
+  private val plateFilters = if (dvMask == null) filters else Array.empty[Filter]
   // VARIANT columns select open-typed ingestion: shredded path-extraction
   // columns (pushed variant_get, metadata-tagged) parse only the requested
   // subtrees; a bare single VARIANT column captures whole rows; any other
@@ -2589,18 +2586,14 @@ final class GraftCsvPartitionReader(
   // deletion vector (see the JSON reader): ascending mask + one pointer;
   // plate filters are disabled under a mask (residual upstream) so the
   // ordinal is always the row's true file position
-  private val dvDeleted: Array[Long] =
+  private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
-    else DeletionVectors.readOrdinals(conf, new Path(part.dv), part.dvTarget)
-  private var dvPtr = 0
-  private val plateFilters = if (dvDeleted == null) filters else Array.empty[Filter]
+    else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
+  private val plateFilters = if (dvMask == null) filters else Array.empty[Filter]
   private val plate = new RowPlate(schema, plateFilters, { r =>
     val ord = rowOrdinal; rowOrdinal += 1
     var drop = false
-    if (dvDeleted != null) {
-      while (dvPtr < dvDeleted.length && dvDeleted(dvPtr) < ord) dvPtr += 1
-      drop = dvPtr < dvDeleted.length && dvDeleted(dvPtr) == ord
-    }
+    if (dvMask != null) drop = dvMask.masked(ord)
     if (!drop) {
       var i = 0
       while (i < partTyped.length) {

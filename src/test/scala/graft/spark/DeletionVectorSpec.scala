@@ -429,6 +429,82 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("artifact formats: v1 and v2 round-trip dense/sparse/run patterns identically") {
+    val d = dir("fmt")
+    writeTable(d, n = 5L, parts = 1) // just to have a root
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val patterns: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long],                          // empty
+      Seq(0L),                                  // single at origin
+      Seq(7L),                                  // single mid
+      (0L until 1000L),                         // one dense run
+      (0L until 1000L).filter(_ % 2 == 0),      // alternating (worst case)
+      Seq(0L, 1L, 2L, 50L, 51L, 900L),          // mixed runs + singletons
+      (0L until 100L) ++ (1000000L until 1000100L) // far-apart runs
+    ).map(_.toSeq)
+    for (pat <- patterns; ver <- Seq(1, 2)) {
+      val name = DeletionVectors.write(fs, rootP, "t.jsonl",
+        pat.iterator, None, formatVersion = ver)
+      val got = DeletionVectors.readOrdinals(conf,
+        DeletionVectors.artifactPath(rootP, name), "t.jsonl").toSeq
+      assert(got === pat, s"pattern round-trip failed (v$ver): $pat")
+      val mask = DeletionVectors.readMask(conf,
+        DeletionVectors.artifactPath(rootP, name), "t.jsonl")
+      assert(mask.cardinality === pat.length.toLong)
+      // membership walk over a superset of probes, ascending
+      val probeMax = (pat.lastOption.getOrElse(0L) + 2L).min(1100L)
+      val expected = pat.toSet
+      (0L to probeMax).foreach(o =>
+        assert(mask.masked(o) === expected.contains(o), s"v$ver ord $o"))
+    }
+    // cross-format cumulative merge: v1 prior ∪ new ordinals → v2
+    val v1 = DeletionVectors.write(fs, rootP, "m.jsonl",
+      Iterator(1L, 5L, 6L), None, formatVersion = 1)
+    val merged = DeletionVectors.write(fs, rootP, "m.jsonl",
+      Iterator(0L, 5L, 7L), Some(v1), formatVersion = 2)
+    assert(DeletionVectors.readOrdinals(conf,
+      DeletionVectors.artifactPath(rootP, merged), "m.jsonl").toSeq ===
+      Seq(0L, 1L, 5L, 6L, 7L))
+  }
+
+  test("v2 artifacts compress runs: contiguous delete >= 50x smaller than v1") {
+    val d = dir("fmtsize")
+    writeTable(d, n = 5L, parts = 1)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val contiguous = (0L until 1000000L)
+    val v1 = DeletionVectors.write(fs, rootP, "big.jsonl",
+      contiguous.iterator, None, formatVersion = 1)
+    val v2 = DeletionVectors.write(fs, rootP, "big.jsonl",
+      contiguous.iterator, None, formatVersion = 2)
+    val s1 = fs.getFileStatus(DeletionVectors.artifactPath(rootP, v1)).getLen
+    val s2 = fs.getFileStatus(DeletionVectors.artifactPath(rootP, v2)).getLen
+    assert(s1 >= 8L * 1000000L)
+    assert(s2 * 50 <= s1, s"v2=$s2 bytes vs v1=$s1 bytes — expected >= 50x smaller")
+    // and the run-encoded mask reads back in O(runs) with exact bounds
+    val mask = DeletionVectors.readMask(spark.sparkContext.hadoopConfiguration,
+      DeletionVectors.artifactPath(rootP, v2), "big.jsonl")
+    assert(mask.numRuns === 1)
+    assert(mask.cardinality === 1000000L)
+    assert(mask.last === 999999L)
+  }
+
+  test("legacy v1 artifacts keep reading end-to-end (mixed-format table)") {
+    val d = dir("fmtcompat")
+    writeTable(d, n = 60L, parts = 2)
+    // force the legacy write format through the conf dial
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setInt(DeletionVectors.FormatKey, 1)
+    try TrainingData.deleteWhereDV(spark, d, schema, "id % 4 = 0")
+    finally conf.unset(DeletionVectors.FormatKey)
+    // second delete writes v2, MERGING each file's v1 prior
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 4 = 1")
+    assert(snap(d).count() === 30L)
+    assert(snap(d).agg(min(col("id"))).collect()(0).getLong(0) === 2L)
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
