@@ -909,6 +909,132 @@ object TrainingData {
     rewritten
   }
 
+  /** Synthetic change-type column emitted by [[changeFeed]]. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Row-level CHANGE DATA FEED between two commit-log versions — the
+    * Delta CDF shape, net-effect semantics: the returned DataFrame is the
+    * exact row diff a consumer who processed `sinceVersion` must apply to
+    * reach the latest snapshot.
+    *
+    *   - `_change_type = 'insert'`: rows of files ADDED after
+    *     `sinceVersion` and still live, read under the LATEST masks (a
+    *     row both inserted and DV-deleted inside the range never
+    *     surfaces — the consumer never needed it).
+    *   - `_change_type = 'delete'`: rows the range's deletion vectors
+    *     masked on files the consumer already processed — each file's
+    *     mask DELTA (latest − as-of-since), materialized by reading the
+    *     pre-image at `sinceVersion` (true file ordinals) and keeping
+    *     exactly the delta ordinals. O(changed rows) + one O(runs)
+    *     driver-side artifact diff per changed file — never a table scan
+    *     of unchanged files.
+    *
+    * COW rewrites remain inexpressible (a rewrite moves rows it did not
+    * logically change; emitting them as delete+insert would flood
+    * consumers with false changes): a file the consumer processed that
+    * was RETIRED in the range fails loudly, exactly like
+    * `changesSinceVersion` — after OPTIMIZE / materializeDeletes /
+    * deleteWhere, a full refresh is required. DV history, the case that
+    * used to refuse, now flows.
+    */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: String, sinceVersion: Long,
+      format: String = "graft-json"): DataFrame = {
+    require(format == "graft-json" || format == "graft-csv",
+      s"changeFeed supports graft-json/graft-csv, not $format")
+    val tbl = resolveCow(spark, dir, schema)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(tbl.fs, tbl.root)
+    require(vs.contains(sinceVersion),
+      s"changeFeed sinceVersion=$sinceVersion: unknown version " +
+        s"(available: ${vs.min}..${vs.max})" +
+        (if (sinceVersion < vs.min) " — history expired (expireLogHistory); " +
+          "a full refresh is required" else ""))
+    require(!tbl.fullSchema.fieldNames.contains(ChangeTypeCol),
+      s"changeFeed: the table already has a column named $ChangeTypeCol")
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+    val outSchema = StructType(
+      tbl.fullSchema.fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
+    def empty: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (sinceVersion == tbl.latest) return empty
+
+    val s0 = log.liveStateAsOf(tbl.fs, tbl.root, sinceVersion)
+    val s1 = log.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
+    val retired = (s0.keySet -- s1.keySet).toSeq.sorted
+    if (retired.nonEmpty)
+      throw new IllegalStateException(
+        s"changeFeed sinceVersion=$sinceVersion: ${retired.size} file(s) the " +
+          s"consumer already processed were retired by a COW rewrite (e.g. " +
+          s"'${retired.head}') — a rewrite moves rows it did not logically " +
+          "change, which a row-level feed cannot express; a full refresh is " +
+          "required")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    def mask(name: String, target: String): graft.spark.DeletionVectors.Mask =
+      if (name == null) graft.spark.DeletionVectors.Mask.Empty
+      else graft.spark.DeletionVectors.readMask(conf,
+        graft.spark.DeletionVectors.artifactPath(tbl.root, name), target)
+
+    // per processed file: the delta runs the range's vectors added
+    val deltas: Map[String, Array[(Long, Long)]] =
+      s0.keysIterator.flatMap { f =>
+        val (d0, d1) = (s0(f), s1(f))
+        if (d0 == d1) None
+        else {
+          val (m0, m1) = (mask(d0, f), mask(d1, f))
+          val delta = m1.minus(m0)
+          val deltaCard = delta.iterator.map(r => r._2 - r._1).sum
+          // vectors are cumulative: the old mask must be contained in the
+          // new one, or the log was corrupted out-of-band — fail loudly
+          require(deltaCard == m1.cardinality - m0.cardinality,
+            s"changeFeed: deletion vector '$d1' for '$f' does not contain " +
+              s"its predecessor '$d0' — the artifacts disagree with the " +
+              "cumulative-merge contract")
+          if (deltaCard == 0L) None else Some(f -> delta)
+        }
+      }.toMap
+
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    val idxCol = graft.spark.GraftSources.RowIndexCol
+    val dataCols = tbl.fullSchema.fieldNames.toSeq
+
+    val deletes: Option[DataFrame] = if (deltas.isEmpty) None else {
+      val scanSchema = StructType(tbl.phase1Schema.fields :+
+        StructField(idxCol, LongType))
+      val deltaB = spark.sparkContext.broadcast(deltas)
+      val inDelta = udf { (f: String, ord: Long) =>
+        val runs = deltaB.value.getOrElse(f, Array.empty[(Long, Long)])
+        // runs are few per file; linear probe is fine map-side
+        runs.exists { case (s, e) => ord >= s && ord < e }
+      }
+      Some(spark.read.format(format).schema(scanSchema)
+        .option("withfilepath", "true").option("withrowindex", "true")
+        .option("versionasof", sinceVersion.toString)
+        .option("restrictfiles", deltas.keys.toSeq.sorted.mkString(","))
+        .load(dir)
+        .filter(inDelta(col(fileCol), col(idxCol)))
+        .select(dataCols.map(col): _*)
+        .withColumn(ChangeTypeCol, lit("delete")))
+    }
+
+    val added = (s1.keySet -- s0.keySet).toSeq.sorted
+    val inserts: Option[DataFrame] = if (added.isEmpty) None else
+      Some(spark.read.format(format).schema(tbl.fullSchema)
+        .option("versionasof", tbl.latest.toString)
+        .option("restrictfiles", added.mkString(","))
+        .load(dir)
+        .select(dataCols.map(col): _*)
+        .withColumn(ChangeTypeCol, lit("insert")))
+
+    (deletes, inserts) match {
+      case (Some(d), Some(i)) => d.unionByName(i)
+      case (Some(d), None) => d
+      case (None, Some(i)) => i
+      case (None, None) => empty
+    }
+  }
+
   /** Resolved COW-rewrite context: latest committed snapshot, layout
     * partition columns, and the scan schemas both phases read with.
     */

@@ -2324,5 +2324,42 @@ object Sources {
             FROM orders WHERE o_orderkey % 5 <> 0
             GROUP BY 1 ORDER BY bucket"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207)
+  // ---------------------------------------------------------------- q208
+  // Row-level CHANGE DATA FEED across deletion-vector history (the Delta
+  // CDF shape, net-effect semantics): a consumer that processed version
+  // v applies exactly the returned diff — 'insert' rows from in-range
+  // adds (under the latest masks) + 'delete' rows from the range's mask
+  // DELTAS (pre-image read at v, O(changed rows), never a scan of
+  // unchanged files). This is what used to be the loud `changesSince
+  // refuses dv history` wall; COW rewrites still refuse (a rewrite moves
+  // rows it didn't change — inexpressible without false changes).
+  private val q208 = GQuery(
+    "q208_dv_change_feed",
+    "CDF across DV history: mask deltas as 'delete' rows, net adds as 'insert'",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/dv_cdf"
+      val ddl = "n_nationkey BIGINT, n_name STRING"
+      val nation = Tables(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name")
+      // v0: the first 15 nations — the consumer's processed snapshot
+      nation.filter($"n_nationkey" < 15)
+        .write.format("graft-json").mode("overwrite").save(dir)
+      // v1: the rest arrive
+      nation.filter($"n_nationkey" >= 15)
+        .write.format("graft-json").mode("append").save(dir)
+      // v2: a DV delete hits BOTH vintages
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "n_nationkey % 4 = 1")
+      graft.api.TrainingData.changeFeed(s, dir, ddl, sinceVersion = 0L)
+        .orderBy($"_change_type", $"n_nationkey")
+    },
+    Some("""SELECT * FROM (
+              SELECT n_nationkey, n_name, 'delete' AS _change_type
+              FROM nation WHERE n_nationkey < 15 AND n_nationkey % 4 = 1
+              UNION ALL
+              SELECT n_nationkey, n_name, 'insert' AS _change_type
+              FROM nation WHERE n_nationkey >= 15 AND n_nationkey % 4 <> 1)
+            ORDER BY _change_type, n_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208)
 }

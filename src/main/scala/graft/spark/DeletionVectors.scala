@@ -84,6 +84,41 @@ object DeletionVectors {
       */
     def ordinals: Iterator[Long] =
       (0 until n).iterator.flatMap(i => (starts(i) until ends(i)).iterator)
+
+    /** Run-level set difference `this − other` as `[start, end)` pairs —
+      * O(runs), pure (no pointer state): the CDF path's per-file mask
+      * DELTA (ordinals deleted after `other` was recorded). The caller
+      * checks containment via cardinalities (vectors are cumulative, so
+      * `other ⊆ this` must hold — card(delta) = card(this) − card(other)).
+      */
+    def minus(other: Mask): Array[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var j = 0
+      var i = 0
+      while (i < n) {
+        var s = starts(i)
+        val e = ends(i)
+        while (s < e) {
+          // advance to the first other-run that could overlap [s, e)
+          while (j < other.numRuns && other.endAt(j) <= s) j += 1
+          if (j >= other.numRuns || other.startAt(j) >= e) {
+            out += ((s, e)); s = e
+          } else {
+            val os = other.startAt(j)
+            val oe = other.endAt(j)
+            if (s < os) out += ((s, os))
+            s = if (oe < e) oe else e
+            if (oe >= e) { /* run consumed; j may cover next run too */ }
+            else j += 1
+          }
+        }
+        i += 1
+      }
+      out.toArray
+    }
+
+    private def startAt(i: Int): Long = starts(i)
+    private def endAt(i: Int): Long = ends(i)
   }
 
   object Mask {

@@ -176,9 +176,23 @@ object GraftSources {
               "— was the directory vacuumed out-of-band?") }
       (p.toString, st.getLen)
     }
+    // option("skipchangecommits","true") — the Delta shape for streaming
+    // over a table that takes row-level deletes: commits carrying removes
+    // or deletion vectors are SKIPPED WHOLE (their adds are rewritten old
+    // rows — delivering them would duplicate; their deletes cannot be
+    // un-delivered). Explicit opt-in: the default remains the loud
+    // refusal, because skipping silently under-delivers updates. The
+    // checkpoint-seed refusal above stays either way — an initial
+    // snapshot with masks would OVER-deliver, which no option may allow.
+    val skipChanges =
+      "true".equalsIgnoreCase(Option(options.get("skipchangecommits")).getOrElse(""))
     seed.map(stat(_, "checkpoint live set")) ++
       suffix.flatMap { v =>
-        GraftCommitLog.entryFiles(fs, root, v).map(stat(_, s"version $v"))
+        if (skipChanges) {
+          val acts = GraftCommitLog.entryActions(fs, root, v)
+          if (acts.exists(!_.add)) Nil
+          else acts.map(a => stat(a.path, s"version $v"))
+        } else GraftCommitLog.entryFiles(fs, root, v).map(stat(_, s"version $v"))
       }
   }
 

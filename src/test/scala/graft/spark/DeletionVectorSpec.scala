@@ -505,6 +505,100 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(d).agg(min(col("id"))).collect()(0).getLong(0) === 2L)
   }
 
+  test("Mask.minus: run-level subtraction across overlap shapes") {
+    val d = dir("minus")
+    writeTable(d, n = 5L, parts = 1)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def mk(ords: Seq[Long]): DeletionVectors.Mask = {
+      val n = DeletionVectors.write(fs, rootP, "x.jsonl", ords.iterator, None)
+      DeletionVectors.readMask(conf, DeletionVectors.artifactPath(rootP, n), "x.jsonl")
+    }
+    def diff(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      mk(a).minus(mk(b)).toSeq.flatMap { case (s, e) => s until e }
+    assert(diff(Seq(1, 2, 3, 10, 11), Seq(2, 10)) === Seq(1L, 3L, 11L))
+    assert(diff(0L until 100L, 25L until 75L) === ((0L until 25L) ++ (75L until 100L)))
+    assert(diff(Seq(5, 6, 7), Seq(5, 6, 7)) === Seq.empty)
+    assert(diff(Seq(5, 6, 7), Seq.empty) === Seq(5L, 6L, 7L))
+    assert(diff(Seq(0, 2, 4, 6, 8), Seq(2, 6)) === Seq(0L, 4L, 8L))
+    // one other-run spanning multiple this-runs
+    assert(diff(Seq(1, 2, 5, 6, 9), 0L until 8L) === Seq(9L))
+  }
+
+  test("changeFeed: DV deletes flow as row-level 'delete', in-range adds as net 'insert'") {
+    val d = dir("cdf")
+    val s = spark
+    import s.implicits._
+    // v0: ids 0..59
+    (0L until 60L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(2).write.format("graft-json").mode("overwrite").save(d)
+    // v1: append ids 60..99
+    (60L until 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(2).write.format("graft-json").mode("append").save(d)
+    // v2: DV-delete across BOTH vintages
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 4 = 1")
+    val feed = TrainingData.changeFeed(spark, d, schema, sinceVersion = 0L)
+      .collect().map(r => (r.getString(2), r.getLong(0))).sorted
+    val wantDeletes = (0L until 60L).filter(_ % 4 == 1).map(("delete", _))
+    val wantInserts = (60L until 100L).filter(_ % 4 != 1).map(("insert", _))
+    assert(feed.toSeq === (wantDeletes ++ wantInserts).sorted)
+    // incremental hand-off: a consumer at v1 sees ONLY the deletes
+    val feed1 = TrainingData.changeFeed(spark, d, schema, sinceVersion = 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0))).sorted
+    assert(feed1.toSeq ===
+      (0L until 100L).filter(_ % 4 == 1).map(("delete", _)).sorted)
+    // feed at the latest version is empty, with the right schema
+    val feedLatest = TrainingData.changeFeed(spark, d, schema, sinceVersion = 2L)
+    assert(feedLatest.count() === 0L)
+    assert(feedLatest.columns.last === TrainingData.ChangeTypeCol)
+    // cumulative second delete: the delta excludes the already-reported rows
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 4 = 2")
+    val feed2 = TrainingData.changeFeed(spark, d, schema, sinceVersion = 2L)
+      .collect().map(r => (r.getString(2), r.getLong(0))).sorted
+    assert(feed2.toSeq ===
+      (0L until 100L).filter(_ % 4 == 2).map(("delete", _)).sorted)
+  }
+
+  test("changeFeed refuses COW-retired history loudly") {
+    val d = dir("cdfcow")
+    writeTable(d, n = 40L, parts = 2)
+    TrainingData.deleteWhere(spark, d, schema, "id < 5") // COW rewrite
+    val e = intercept[IllegalStateException] {
+      TrainingData.changeFeed(spark, d, schema, sinceVersion = 0L)
+    }
+    assert(e.getMessage.contains("full refresh"), e.getMessage)
+  }
+
+  test("followLog skipchangecommits: change commits skipped whole, appends flow") {
+    val d = dir("skipcc")
+    val s = spark
+    import s.implicits._
+    (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("overwrite").save(d) // v0
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 3")                 // v1 (d)
+    (10L until 15L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("append").save(d)   // v2
+    // retainHistory: the retired original stays on disk, as a live stream
+    // over rewritten history needs (vacuum breaks streams, documented)
+    TrainingData.deleteWhere(spark, d, schema, "id = 0", retainHistory = true) // v3 (r+f)
+    def opts(extra: (String, String)*) = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("path", d); m.put("followlog", "true")
+      extra.foreach { case (k, v) => m.put(k, v) }
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+    }
+    // default: loud refusal at the first change commit
+    val e = intercept[IllegalStateException] {
+      GraftSources.logOrderedFiles(opts())
+    }
+    assert(e.getMessage.contains("deletion vector") || e.getMessage.contains("removes"))
+    // opted in: v1 and v3 skip whole; v0's file and v2's file flow
+    val files = GraftSources.logOrderedFiles(opts("skipchangecommits" -> "true"))
+      .map(_._1.split('/').last)
+    assert(files.length === 2, files)
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
