@@ -749,21 +749,33 @@ object TrainingData {
     * Reads apply vectors on every log-mediated path (versionAsOf /
     * snapshot / the COW maintenance reads) AND on raw-listing reads of
     * the table root (latest-state masks); `versionAsOf` BEFORE the delete
-    * still shows the rows — exact time travel. The trade (the Delta
-    * trade): deleting is O(matches), but each vectored file loses its
-    * scan fast paths (whole-file read, no stats/TopN/offset answers)
-    * until [[materializeDeletes]] or [[optimizeTable]] rewrites it clean.
+    * still shows the rows — exact time travel. Masked reads stay
+    * vectorized/pruned/count-pushed (round 10); the residual trade is
+    * whole-file partitions and no metadata-only answers until
+    * [[materializeDeletes]] or [[optimizeTable]] rewrites clean.
     *
-    * Returns the root-relative files that received vectors (empty = no
-    * row matched, no version committed).
+    * `dvMaxRatio` is the auto-materialize dial (Delta's shape): a file
+    * whose cumulative mask density (prior vector ∪ this delete, over the
+    * sidecar row count) would exceed it ESCALATES to a COW rewrite of its
+    * post-delete survivors — committed in the SAME atomic entry as the
+    * light files' vectors. 1.0 (default) never escalates; files without
+    * a sidecar row count never escalate (the dial must not guess).
+    * `retainHistory` applies to escalated originals, as in [[deleteWhere]].
+    *
+    * Returns the root-relative files affected — vectored or escalated
+    * (empty = no row matched, no version committed).
     */
   def deleteWhereDV(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, predicate: String,
-      format: String = "graft-json"): Seq[String] = {
+      format: String = "graft-json",
+      dvMaxRatio: Double = 1.0,
+      retainHistory: Boolean = false): Seq[String] = {
     require(format == "graft-json" || format == "graft-csv",
       s"deleteWhereDV supports graft-json/graft-csv, not $format — the " +
         "row-ordinal address space (withRowIndex) and the read-time mask " +
         "are text-reader concepts; use deleteWhere (copy-on-write) instead")
+    require(dvMaxRatio > 0.0 && dvMaxRatio <= 1.0,
+      s"dvMaxRatio must be in (0, 1], got $dvMaxRatio")
     val tbl = resolveCow(spark, dir, schema)
     val log = graft.spark.GraftCommitLog
     val state = log.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
@@ -778,14 +790,83 @@ object TrainingData {
       .option("versionasof", tbl.latest.toString).load(dir)
       .filter(expr(predicate))
       .select(col(fileCol).as("_f"), col(idxCol).as("_i")).as[(String, Long)]
-    val pairs = writeVectors(spark, dir, matches, state)
-    if (pairs.isEmpty) return Nil
-    val dvBase: Map[String, String] =
-      pairs.map { case (f, _) => f -> state.getOrElse(f, null) }.toMap
-    log.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
-      adds = Nil, removes = Nil,
-      dvs = pairs.toSeq.map { case (f, n) => (n, f) }, dvBase = dvBase)
-    pairs.map(_._1).toSeq.sorted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-file match counts (driver traffic: one row per AFFECTED file,
+      // the same size class as the file listing)
+      val counts: Map[String, Long] = matches.groupBy($"_f").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return Nil
+      // AUTO-MATERIALIZE policy (the Delta dial): a file whose CUMULATIVE
+      // mask density (prior vector ∪ this delete, over the file's sidecar
+      // row count) would exceed dvMaxRatio escalates to a COW rewrite —
+      // past some density, dragging a near-dead file through every scan
+      // costs more than rewriting its few survivors once. Density needs
+      // the sidecar row count; files without one never escalate (can't
+      // assess — the dial must never guess).
+      val escalate: Set[String] =
+        if (dvMaxRatio >= 1.0) Set.empty
+        else counts.keySet.filter { f =>
+          val p = new org.apache.hadoop.fs.Path(tbl.root, f)
+          val rows = try graft.spark.FileStats.loadFor(
+              tbl.fs, p, tbl.fs.getFileStatus(p).getLen).map(_.rows)
+            catch { case _: Exception => None }
+          rows.exists { r =>
+            val prior = state.getOrElse(f, null) match {
+              case null => 0L
+              case dvn => graft.spark.DeletionVectors.readMask(
+                spark.sparkContext.hadoopConfiguration,
+                graft.spark.DeletionVectors.artifactPath(tbl.root, dvn), f)
+                .cardinality
+            }
+            r > 0L && (prior + counts(f)).toDouble / r > dvMaxRatio
+          }
+        }
+      val vectored = counts.keySet -- escalate
+      val pairs: Array[(String, String)] =
+        if (vectored.isEmpty) Array.empty
+        else {
+          val vecB = spark.sparkContext.broadcast(vectored)
+          val inVec = udf((f: String) => vecB.value.contains(f))
+          writeVectors(spark, dir, matches.filter(inVec($"_f")), state)
+        }
+      val dvBase: Map[String, String] =
+        pairs.map { case (f, _) => f -> state.getOrElse(f, null) }.toMap
+      if (escalate.isEmpty) {
+        log.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
+          adds = Nil, removes = Nil,
+          dvs = pairs.toSeq.map { case (f, n) => (n, f) }, dvBase = dvBase)
+      } else {
+        // ONE atomic entry: the escalated files' post-delete survivors
+        // republish with the originals retired, AND the light files'
+        // vectors attach — a reader never sees the delete half-applied
+        val escalated = escalate.toSeq.sorted
+        val source = spark.read.format(format).schema(tbl.fullSchema)
+          .option("restrictfiles",
+            graft.spark.GraftSources.joinFileList(escalated, "restrictfiles"))
+          // pinned: an escalated file's PRIOR mask must stay applied
+          .option("versionasof", tbl.latest.toString).load(dir)
+        var w = source.filter(!coalesce(expr(predicate), lit(false)))
+          .write.format(format).mode("append")
+          .option("commitremovesversion", tbl.latest.toString)
+          .option("commitremoves",
+            graft.spark.GraftSources.joinFileList(escalated, "commitremoves"))
+        if (pairs.nonEmpty)
+          w = w.option("commitdvs", graft.spark.GraftSources.joinDvList(
+              pairs.toSeq.map { case (f, n) => (n, f) }, "commitdvs"))
+            .option("commitdvsbase",
+              graft.spark.GraftSources.joinDvBase(dvBase, "commitdvsbase"))
+        (if (tbl.partCols.nonEmpty)
+           w.option("partitionby", tbl.partCols.mkString(","))
+         else w).save(dir)
+        if (!retainHistory) escalated.foreach { rel =>
+          val p = new org.apache.hadoop.fs.Path(tbl.root, rel)
+          tbl.fs.delete(graft.spark.FileStats.sidecarFor(p), false)
+          tbl.fs.delete(p, false)
+        }
+      }
+      (vectored ++ escalate).toSeq.sorted
+    } finally matches.unpersist()
   }
 
   /** One artifact per affected file, written where the matches are: each

@@ -103,7 +103,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val ops = 10
       for (op <- 1 to ops) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // append
             val add = freshRows(1 + rnd.nextInt(15))
             writeOut(toDf(add).coalesce(1 + rnd.nextInt(2)), "append")
@@ -158,6 +158,21 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
               TrainingData.checkpointLog(spark, dir)
             TrainingData.expireLogHistory(spark, dir)
             earliestReadable = GraftCommitLog.versions(fsE, fsR).min
+          case 8 => // merge-on-read delete, mixing the auto-materialize dial:
+            // whatever mix of vectors and escalated rewrites lands, the
+            // final state must equal the all-COW oracle (the model)
+            val cut = rnd.nextInt(5)
+            val ratio = Seq(1.0, 0.5, 0.2)(rnd.nextInt(3))
+            val affected = TrainingData.deleteWhereDV(spark, dir, cowSchema,
+              s"grp = $cut AND v < 0.0", dvMaxRatio = ratio, retainHistory = true)
+            val before = model
+            model = model.filterNot(r => r.grp == cut && r.v < 0.0)
+            if (model.size != before.size) {
+              history :+= model.toSet
+              // escalated originals stay on disk (retainHistory): raw
+              // listings may see them — exact reads pin from here on
+              if (ratio < 1.0) retiredPresent = true
+            } else assert(affected.isEmpty, "no-op DV delete must not commit")
         }
         assert(exactRead() === model.toSet, s"seed=$seed op=$op read diverged")
       }

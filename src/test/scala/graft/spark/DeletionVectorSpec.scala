@@ -599,6 +599,45 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.length === 2, files)
   }
 
+  test("dvMaxRatio: dense files escalate to COW in the SAME atomic entry, light files vector") {
+    val d = dir("escalate")
+    val s = spark
+    import s.implicits._
+    // two files with very different hit densities: file A = ids 0..9
+    // (90% hit), file B = ids 100..199 (5% hit)
+    (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-json").mode("overwrite").save(d)
+    (100L until 200L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-json").mode("append").save(d)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = GraftCommitLog.versions(fs, rootP).max
+    val affected = TrainingData.deleteWhereDV(spark, d, schema,
+      "id < 9 OR id % 20 = 19", dvMaxRatio = 0.5)
+    assert(affected.length === 2)
+    // exactly ONE version landed (atomic: removes + adds + dvs together)
+    assert(GraftCommitLog.versions(fs, rootP).max === v0 + 1)
+    val state = GraftCommitLog.liveStateAsOf(fs, rootP,
+      GraftCommitLog.versions(fs, rootP).max)
+    val dvCount = state.values.count(_ != null)
+    assert(dvCount === 1, s"expected exactly the light file vectored: $state")
+    // the dense file was rewritten: survivors live in a NEW file, no mask
+    val got = snap(d).collect().map(_.getLong(0)).sorted
+    val want = ((0L until 10L) ++ (100L until 200L))
+      .filterNot(i => i < 9 || i % 20 == 19).sorted
+    assert(got.toSeq === want)
+    // cumulative escalation: a second delete pushing the light file's
+    // cumulative density over the bar escalates IT too
+    TrainingData.deleteWhereDV(spark, d, schema,
+      "id >= 100 AND id < 155", dvMaxRatio = 0.5)
+    val state2 = GraftCommitLog.liveStateAsOf(fs, rootP,
+      GraftCommitLog.versions(fs, rootP).max)
+    assert(state2.values.forall(_ == null),
+      s"cumulative density crossed the bar — expected a clean rewrite: $state2")
+    val got2 = snap(d).collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq === want.filterNot(i => i >= 100 && i < 155))
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
