@@ -899,7 +899,8 @@ object TrainingData {
           val name = graft.spark.DeletionVectors.write(fs, root, f, ords,
             Option(stateB.value.getOrElse(f, null)),
             formatVersion = conf.value.getInt(
-              graft.spark.DeletionVectors.FormatKey, 2))
+              graft.spark.DeletionVectors.FormatKey, 2),
+            conf = conf.value)
           out += ((f, name))
         }
         out.iterator

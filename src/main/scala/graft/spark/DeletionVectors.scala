@@ -138,9 +138,12 @@ object DeletionVectors {
     */
   def write(fs: FileSystem, root: Path, target: String,
       ordinals: Iterator[Long], mergeFrom: Option[String],
-      formatVersion: Int = 2): String = {
+      formatVersion: Int = 2, conf: Configuration = null): String = {
     require(formatVersion == 1 || formatVersion == 2,
       s"unknown deletion-vector format version $formatVersion")
+    // seam resolution wants the CALLER's conf: the Hadoop FS cache can
+    // hand back an instance created with an older configuration object
+    val store = GraftLogStore.forConf(if (conf != null) conf else fs.getConf)
     val name = freshName()
     val dir = new Path(root, DirName)
     fs.mkdirs(dir)
@@ -187,9 +190,7 @@ object DeletionVectors {
       out.close()
       if (!ok) fs.delete(tmp, false)
     }
-    if (!fs.rename(tmp, artifactPath(root, name)))
-      throw new java.io.IOException(
-        s"could not publish deletion vector ${artifactPath(root, name)}")
+    store.publish(fs, tmp, artifactPath(root, name), overwrite = false)
     name
   }
 

@@ -717,8 +717,7 @@ final class GraftAvroDataWriter(
       new WriterCommitMessage {}
     } else {
       fs.delete(finalPath, false)
-      if (!fs.rename(tmpPath, finalPath))
-        throw new java.io.IOException(s"graft-avro: rename failed for $finalPath")
+      GraftLogStore.forConf(conf).publish(fs, tmpPath, finalPath, overwrite = false)
       GraftCommit(finalPath.toString)
     }
   }

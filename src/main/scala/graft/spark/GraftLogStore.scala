@@ -1,0 +1,82 @@
+package graft.spark
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The TWO storage primitives the graft table protocol's correctness
+  * rests on (docs/TABLE_FORMAT.md "Storage primitives") — extracted
+  * behind a seam so object stores without atomic rename / put-if-absent
+  * can plug a coordinated implementation (the Delta `LogStore` shape):
+  *
+  *   - [[createAtomic]] — PUT-IF-ABSENT: create `path`, failing with an
+  *     `IOException` when it already exists. Commit-log version
+  *     allocation serializes concurrent writers on exactly this
+  *     primitive; an implementation that silently overwrites loses
+  *     committed entries (the one unrecoverable failure).
+  *   - [[publish]] — ATOMIC VISIBILITY: move a fully-written staged file
+  *     to its final name such that readers see the whole file or no
+  *     file. Data files, checkpoints, manifests, and deletion-vector
+  *     artifacts all publish this way; a store where rename copies
+  *     non-atomically can surface torn artifacts (DV reads fail loudly
+  *     on them, stats sidecars degrade — but correctness-bearing
+  *     surfaces should not rely on luck).
+  *
+  * The default [[GraftLogStore.HadoopRename]] maps both to the
+  * filesystem's native operations — exactly right on local FS and HDFS,
+  * NOT on S3-class stores (S3 rename is copy+delete; S3 create has no
+  * if-absent). Deployments there set `graft.logstore.impl` (Hadoop conf,
+  * so it reaches executors via the serialized configuration) to a class
+  * name implementing this trait over a coordination service — the same
+  * deployment contract as Delta's `spark.delta.logStore.class`.
+  */
+trait GraftLogStore {
+  /** Create `path` exclusively (put-if-absent). MUST throw
+    * `java.io.IOException` when the path already exists — callers treat
+    * that as "lost the race" and retry at the next version.
+    */
+  def createAtomic(fs: FileSystem, path: Path): java.io.OutputStream
+
+  /** Make the fully-written `tmp` visible at `target` all-or-nothing.
+    * `overwrite = true` replaces an existing target (checkpoints,
+    * manifests — deterministic or merged content, so replacement under
+    * races is safe); `overwrite = false` expects `target` absent
+    * (uniquely-named data files and DV artifacts). Throws on failure —
+    * callers decide best-effort vs abort.
+    */
+  def publish(fs: FileSystem, tmp: Path, target: Path,
+      overwrite: Boolean): Unit
+}
+
+object GraftLogStore {
+  /** Hadoop-conf key naming the [[GraftLogStore]] implementation class
+    * (no-arg constructor); unset = [[HadoopRename]].
+    */
+  val ImplKey = "graft.logstore.impl"
+
+  /** Native-rename implementation — correct where `create(path, false)`
+    * is exclusive and `rename` is atomic (local FS, HDFS).
+    */
+  object HadoopRename extends GraftLogStore {
+    override def createAtomic(fs: FileSystem, path: Path): java.io.OutputStream =
+      fs.create(path, false)
+    override def publish(fs: FileSystem, tmp: Path, target: Path,
+        overwrite: Boolean): Unit = {
+      if (overwrite) fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"could not publish $tmp -> $target")
+    }
+  }
+
+  // one instance per implementation class per JVM (executors resolve
+  // through the serialized Hadoop conf)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftLogStore]()
+
+  def forConf(conf: Configuration): GraftLogStore = {
+    val cls = conf.get(ImplKey)
+    if (cls == null || cls.isEmpty) HadoopRename
+    else cache.computeIfAbsent(cls, c =>
+      Class.forName(c).getDeclaredConstructor().newInstance()
+        .asInstanceOf[GraftLogStore])
+  }
+}

@@ -556,8 +556,7 @@ private object GraftManifest {
         val out = fs.create(tmp, true)
         try out.write(FileStats.renderManifest(merged).getBytes("UTF-8"))
         finally out.close()
-        fs.delete(target, false)
-        fs.rename(tmp, target)
+        GraftLogStore.forConf(conf).publish(fs, tmp, target, overwrite = true)
     }
   } catch { case _: Exception => () }
 }
@@ -877,7 +876,10 @@ private[graft] object GraftCommitLog {
       // retrying would leave the truncated entry poisoning every later
       // log fold — delete it and rethrow instead.
       val out =
-        try fs.create(entry, false) // put-if-absent
+        // put-if-absent through the LogStore seam (docs/TABLE_FORMAT.md
+        // "Storage primitives"): the ONE primitive concurrent commit
+        // serialization rests on
+        try GraftLogStore.forConf(conf).createAtomic(fs, entry)
         catch { case _: java.io.IOException =>
           if (needState) {
             val vs = versions(fs, rootPath)
@@ -958,9 +960,7 @@ private[graft] object GraftCommitLog {
     val tmp = new Path(logDir(root), f".$version%020d.checkpoint.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"could not publish checkpoint $target")
+    GraftLogStore.forConf(conf).publish(fs, tmp, target, overwrite = true)
     // advisory pointer (one-read fast path); content is re-validated on read
     val ptr = fs.create(lastCheckpointFile(root), true)
     try ptr.write(version.toString.getBytes("UTF-8")) finally ptr.close()
@@ -1402,7 +1402,7 @@ final class GraftJsonDataWriter(
       // (pruning disabled) rather than wrong-stats (wrong results)
       fs.delete(FileStats.sidecarFor(finalFile), false)
       fs.delete(finalFile, false)
-      fs.rename(stageFile, finalFile)
+      GraftLogStore.forConf(conf.value).publish(fs, stageFile, finalFile, overwrite = false)
       val rendered = FileStats.render(
         stats.snapshot(fs.getFileStatus(finalFile).getLen))
       try {
@@ -1806,7 +1806,7 @@ final class GraftCsvDataWriter(
       out.close()
       fs.delete(FileStats.sidecarFor(finalFile), false)
       fs.delete(finalFile, false)
-      fs.rename(stageFile, finalFile)
+      GraftLogStore.forConf(conf.value).publish(fs, stageFile, finalFile, overwrite = false)
       val rendered = FileStats.render(
         stats.snapshot(fs.getFileStatus(finalFile).getLen))
       try {

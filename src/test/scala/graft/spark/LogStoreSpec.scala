@@ -1,0 +1,230 @@
+package graft.spark
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+/** Fault-injecting [[GraftLogStore]] — resolved by class name through the
+  * seam (`graft.logstore.impl`), driven by static knobs. Simulates the
+  * storage failures an object-store deployment actually hits: lost
+  * put-if-absent races (optionally with a REAL competing entry landing
+  * first), post-create write failures (truncated entries), and
+  * non-atomic publish failures.
+  */
+class FaultInjectingLogStore extends GraftLogStore {
+  import FaultInjectingLogStore._
+
+  override def createAtomic(fs: FileSystem, path: Path): java.io.OutputStream = {
+    val competing = competingBody.getAndSet(null)
+    if (competing != null) {
+      // a competitor wins the slot for real, then WE lose the race
+      val out = GraftLogStore.HadoopRename.createAtomic(fs, path)
+      try out.write(competing.getBytes("UTF-8")) finally out.close()
+      throw new java.io.IOException(s"injected: lost the race for $path")
+    }
+    if (failCreates.get() > 0) {
+      failCreates.decrementAndGet()
+      throw new java.io.IOException(s"injected: create failed for $path")
+    }
+    val out = GraftLogStore.HadoopRename.createAtomic(fs, path)
+    if (failWriteAfterCreate.getAndSet(false))
+      new java.io.OutputStream {
+        override def write(b: Int): Unit =
+          throw new java.io.IOException("injected: write failed after create")
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          throw new java.io.IOException("injected: write failed after create")
+        override def close(): Unit = out.close()
+      }
+    else out
+  }
+
+  override def publish(fs: FileSystem, tmp: Path, target: Path,
+      overwrite: Boolean): Unit = {
+    if (failPublishes.get() > 0) {
+      failPublishes.decrementAndGet()
+      throw new java.io.IOException(s"injected: publish failed for $target")
+    }
+    GraftLogStore.HadoopRename.publish(fs, tmp, target, overwrite)
+  }
+}
+
+object FaultInjectingLogStore {
+  val failCreates = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failWriteAfterCreate = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val failPublishes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val competingBody = new java.util.concurrent.atomic.AtomicReference[String](null)
+  def reset(): Unit = {
+    failCreates.set(0); failWriteAfterCreate.set(false)
+    failPublishes.set(0); competingBody.set(null)
+  }
+}
+
+/** The LogStore seam: every correctness-bearing publish routes through
+  * [[GraftLogStore]], and the commit protocol's OCC retry/abort paths
+  * hold under injected storage faults.
+  */
+class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-logstore")
+  private val schema = "id BIGINT, v STRING"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("logstore-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def dir(name: String): String = root.resolve(name).toString
+
+  private def withFaultStore[A](body: => A): A = {
+    FaultInjectingLogStore.reset()
+    conf.set(GraftLogStore.ImplKey, classOf[FaultInjectingLogStore].getName)
+    try body
+    finally {
+      conf.unset(GraftLogStore.ImplKey)
+      FaultInjectingLogStore.reset()
+    }
+  }
+
+  /** A two-file logged table; returns its root-relative data files. */
+  private def mkTable(d: String): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    (0L until 40L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(2).write.format("graft-json").mode("overwrite").save(d)
+    val p = new Path(d)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  test("transient create failures retry and commit at the right version") {
+    val d = dir("retry")
+    val files = mkTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    withFaultStore {
+      FaultInjectingLogStore.failCreates.set(2)
+      val v = GraftCommitLog.appendEntry(conf, d, adds = Nil,
+        removes = Seq(files.head), removesBase = 0L)
+      assert(v === 1L)
+    }
+    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 1L) === files.tail.toSet)
+  }
+
+  test("losing a real race to a compatible competitor: delta re-validation passes") {
+    val d = dir("race-ok")
+    val files = mkTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    withFaultStore {
+      // the competitor retires file(1); we retire file(0) — compatible
+      FaultInjectingLogStore.competingBody.set(
+        s"graft-commit v2\nr ${files(1)}\n")
+      val v = GraftCommitLog.appendEntry(conf, d, adds = Nil,
+        removes = Seq(files.head), removesBase = 0L)
+      assert(v === 2L, "the loser must land AFTER the competitor")
+    }
+    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 2L) === Set.empty[String])
+    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 1L) === Set(files.head))
+  }
+
+  test("losing a real race to a CONFLICTING competitor aborts loudly") {
+    val d = dir("race-bad")
+    val files = mkTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    withFaultStore {
+      // the competitor retires the SAME file we want to retire
+      FaultInjectingLogStore.competingBody.set(
+        s"graft-commit v2\nr ${files.head}\n")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        GraftCommitLog.appendEntry(conf, d, adds = Nil,
+          removes = Seq(files.head), removesBase = 0L)
+      }
+      assert(e.getMessage.contains("concurrent"), e.getMessage)
+    }
+    // the competitor's entry is the only one that landed
+    assert(GraftCommitLog.versions(fs, new Path(d)).max === 1L)
+    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 1L) === files.tail.toSet)
+  }
+
+  test("a write failure AFTER create deletes the truncated entry instead of poisoning the log") {
+    val d = dir("truncated")
+    val files = mkTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    withFaultStore {
+      FaultInjectingLogStore.failWriteAfterCreate.set(true)
+      val e = intercept[java.io.IOException] {
+        GraftCommitLog.appendEntry(conf, d, adds = Nil,
+          removes = Seq(files.head), removesBase = 0L)
+      }
+      assert(e.getMessage.contains("injected"), e.getMessage)
+    }
+    // no half-written entry: the log still folds, at the old version
+    assert(GraftCommitLog.versions(fs, new Path(d)) === Seq(0L))
+    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 0L) === files.toSet)
+    // and the next commit takes the slot cleanly
+    val v = GraftCommitLog.appendEntry(conf, d, adds = Nil,
+      removes = Seq(files.head), removesBase = 0L)
+    assert(v === 1L)
+  }
+
+  test("a failed artifact publish aborts the DV delete with nothing visible") {
+    val d = dir("dvpub")
+    mkTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    withFaultStore {
+      FaultInjectingLogStore.failPublishes.set(64) // every publish fails
+      val e = intercept[Exception] {
+        graft.api.TrainingData.deleteWhereDV(spark, d, schema, "id < 5")
+      }
+      assert(e.getMessage != null)
+    }
+    // no version committed, no visible artifact, reads unchanged
+    assert(GraftCommitLog.versions(fs, new Path(d)) === Seq(0L))
+    val arts = {
+      val dvDir = new Path(d, DeletionVectors.DirName)
+      if (!fs.exists(dvDir)) Array.empty[String]
+      else fs.listStatus(dvDir).map(_.getPath.getName).filter(_.endsWith(".dv"))
+    }
+    assert(arts.isEmpty, arts.mkString(", "))
+    assert(spark.read.format("graft-json").schema(schema).load(d).count() === 40L)
+  }
+
+  test("checkpoints and data files publish through the seam") {
+    val d = dir("routed")
+    withFaultStore {
+      // every publish fails -> the data write itself must fail (proof the
+      // task-commit rename routes through the store)
+      FaultInjectingLogStore.failPublishes.set(1024)
+      val s = spark
+      import s.implicits._
+      intercept[Exception] {
+        (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
+          .write.format("graft-json").mode("overwrite").save(dir("routed-w"))
+      }
+    }
+    // checkpoint publish: route + fault
+    mkTable(d)
+    withFaultStore {
+      FaultInjectingLogStore.failPublishes.set(1)
+      intercept[Exception] { graft.api.TrainingData.checkpointLog(spark, d) }
+    }
+    // clean retry works
+    graft.api.TrainingData.checkpointLog(spark, d)
+  }
+}
