@@ -2361,5 +2361,44 @@ object Sources {
               FROM nation WHERE n_nationkey >= 15 AND n_nationkey % 4 <> 1)
             ORDER BY _change_type, n_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208)
+  // ---------------------------------------------------------------- q209
+  // timestampAsOf time travel: v5 entries record a commit-time line
+  // (in-entry like Delta's InCommitTimestamps — file mtimes don't survive
+  // copies), readers clamp monotonically (a skewed writer clock can never
+  // reorder history) and resolve to the latest version at-or-before the
+  // timestamp — out-of-range and expired history fail loudly. The gate
+  // pins BETWEEN two shifted-clock commits: the later DV delete must be
+  // invisible.
+  private val q209 = GQuery(
+    "q209_timestamp_travel",
+    "timestampAsOf resolves between shifted-clock commits; later delete invisible",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/ts_travel"
+      val ddl = "p_partkey BIGINT, p_brand STRING"
+      val conf = s.sparkContext.hadoopConfiguration
+      def at[A](ts: Long)(body: => A): A = {
+        conf.setLong(graft.spark.GraftCommitLog.CommitTimestampKey, ts)
+        try body
+        finally conf.unset(graft.spark.GraftCommitLog.CommitTimestampKey)
+      }
+      at(1000000L) {
+        Tables(s, d, "part")
+          .select($"p_partkey".cast("long").as("p_partkey"), $"p_brand")
+          .write.format("graft-json").mode("overwrite").save(dir)
+      }
+      at(2000000L) {
+        graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "p_partkey % 3 = 0")
+      }
+      s.read.format("graft-json").schema(ddl)
+        .option("timestampasof", "1500000").load(dir)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), sum($"p_partkey").as("pk_sum"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p_partkey) AS BIGINT) AS pk_sum
+            FROM part GROUP BY 1 ORDER BY p_brand"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209)
 }

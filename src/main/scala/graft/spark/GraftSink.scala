@@ -636,6 +636,12 @@ private[graft] object GraftCommitLog {
   val CheckpointIntervalKey = "graft.commitlog.checkpoint.interval"
   val DefaultCheckpointInterval = 20
 
+  /** Hadoop-conf key overriding the commit-time (`t`) line's raw epoch
+    * millis (deterministic tests, backfills); unset = wall clock. Readers
+    * clamp monotonically regardless.
+    */
+  val CommitTimestampKey = "graft.commitlog.timestamp"
+
   def checkpointFile(root: Path, v: Long): Path =
     new Path(logDir(root), f"$v%020d.checkpoint")
   private def lastCheckpointFile(root: Path): Path =
@@ -848,15 +854,19 @@ private[graft] object GraftCommitLog {
     def body(prev: Option[Long]): String = {
       val sch = schemaFor(prev)
       // v3 = v2 + an optional `s <base64 schema json>` line; v4 = v3 + `d
-      // <artifact> <path>` deletion-vector lines. Entries without the new
-      // line kinds keep the older headers byte-identical to what older
-      // history holds (an append-only schemaless history stays v1).
-      val header =
-        if (relDvs.nonEmpty) "graft-commit v4"
-        else if (sch != null) "graft-commit v3"
-        else if (relRemoves.isEmpty) "graft-commit v1" else "graft-commit v2"
+      // <artifact> <path>` deletion-vector lines; v5 = v4 + a `t
+      // <epochMillis>` commit-time line (timestampAsOf resolution —
+      // in-entry like Delta's InCommitTimestamps, because file mtimes do
+      // not survive copies/object-store migrations). Every new entry
+      // records one; untouched older history keeps its original headers.
+      // The raw value may be overridden per-commit via the Hadoop conf
+      // key (deterministic tests / backfills); readers clamp
+      // monotonically, so a skewed writer clock can never reorder time.
+      val ts = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
+      val header = "graft-commit v5"
       (header +:
-          ((if (sch != null) Seq(schemaLine(sch)) else Nil) ++
+          (Seq(s"t $ts") ++
+            (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
             relRemoves.map("r " + _) ++
             relDvs.map { case (dvn, t) => s"d $dvn $t" } ++
             adds.map(f => "f " + relativize(fs, rootQ, f))))
@@ -946,15 +956,18 @@ private[graft] object GraftCommitLog {
     // tracking survives expireLogHistory retiring the raw entries; it
     // carries deletion-vector attachments for the same reason (v3)
     val schema = schemaAsOf(fs, root, version)
-    val anyDv = live.exists(_._2 != null)
-    val header =
-      if (anyDv) "graft-checkpoint v3"
-      else if (schema.isDefined) "graft-checkpoint v2"
-      else "graft-checkpoint v1"
+    // the checkpoint carries its version's RESOLVED (clamped) commit time
+    // so timestampAsOf keeps resolving after expireLogHistory retires the
+    // raw entries; best-effort like the schema line
+    val ts: Option[Long] =
+      try Some(resolvedTimestamps(fs, root).toMap.apply(version))
+      catch { case _: Exception => None }
+    val header = "graft-checkpoint v4" // v4 = v3 + optional `t` line
     val lines = live.map { case (p, dv) =>
       if (dv == null) "f " + p else s"d $dv $p"
     }
-    val body = (header +: (schema.map(schemaLine).toSeq ++ lines))
+    val body = (header +:
+        (ts.map(t => s"t $t").toSeq ++ schema.map(schemaLine).toSeq ++ lines))
       .mkString("", "\n", "\n")
     val target = checkpointFile(root, version)
     val tmp = new Path(logDir(root), f".$version%020d.checkpoint.tmp")
@@ -994,10 +1007,14 @@ private[graft] object GraftCommitLog {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
-    val v3 = lines.headOption.contains("graft-checkpoint v3")
+    val v4 = lines.headOption.contains("graft-checkpoint v4")
+    val v3 = v4 || lines.headOption.contains("graft-checkpoint v3")
     val v2 = v3 || lines.headOption.contains("graft-checkpoint v2")
     if (!v2 && !lines.headOption.contains("graft-checkpoint v1")) return None
-    val tail = if (v2) lines.tail.filterNot(_.startsWith("s ")) else lines.tail
+    val tail =
+      if (v2) lines.tail.filterNot(l =>
+        l.startsWith("s ") || (v4 && l.startsWith("t ")))
+      else lines.tail
     val state = Map.newBuilder[String, String]
     tail.foreach { l =>
       if (l.startsWith("f ")) state += (l.substring(2) -> null)
@@ -1011,6 +1028,17 @@ private[graft] object GraftCommitLog {
     Some(state.result())
   } catch { case _: Exception => None }
 
+  /** A v4 checkpoint's recorded (clamped) commit time; None otherwise. */
+  def readCheckpointTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[Long] = try {
+    val p = checkpointFile(root, version)
+    if (!fs.exists(p)) return None
+    val lines = slurpLines(fs, p)
+    if (!lines.headOption.contains("graft-checkpoint v4")) None
+    else lines.tail.find(_.startsWith("t "))
+      .flatMap(l => scala.util.Try(l.substring(2).trim.toLong).toOption)
+  } catch { case _: Exception => None }
+
   /** The schema line of a v2 checkpoint; None for v1 or unparsable. */
   def readCheckpointSchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[StructType] = try {
@@ -1018,7 +1046,8 @@ private[graft] object GraftCommitLog {
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
     if (!lines.headOption.exists(h =>
-        h == "graft-checkpoint v2" || h == "graft-checkpoint v3")) None
+        h == "graft-checkpoint v2" || h == "graft-checkpoint v3" ||
+          h == "graft-checkpoint v4")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 
@@ -1238,7 +1267,8 @@ private[graft] object GraftCommitLog {
   def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Seq[LogAction] = {
     val (p, lines) = entryLines(fs, root, version)
-    val v4 = lines.headOption.contains("graft-commit v4")
+    val v5 = lines.headOption.contains("graft-commit v5")
+    val v4 = v5 || lines.headOption.contains("graft-commit v4")
     val v3 = v4 || lines.headOption.contains("graft-commit v3")
     val v2 = v3 || lines.headOption.contains("graft-commit v2")
     require(v2 || lines.headOption.contains("graft-commit v1"),
@@ -1255,8 +1285,93 @@ private[graft] object GraftCommitLog {
           throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
         Some(LogAction('d', rest.substring(sp + 1), rest.substring(0, sp)))
       } else if (v3 && l.startsWith("s ")) None
+      else if (v5 && l.startsWith("t ")) None // commit-time line, not an action
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
+  }
+
+  /** One entry's RAW recorded commit-time millis (`t` line, v5); None for
+    * older entries — callers fall back to the entry file's mtime. Lenient
+    * like [[entrySchema]]: timestamps are resolution metadata.
+    */
+  def entryTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[Long] = try {
+    val (_, lines) = entryLines(fs, root, version)
+    if (!lines.headOption.contains("graft-commit v5")) None
+    else lines.tail.find(_.startsWith("t "))
+      .flatMap(l => scala.util.Try(l.substring(2).trim.toLong).toOption)
+  } catch { case _: Exception => None }
+
+  /** Every KNOWN version paired with its RESOLVED commit time, ascending:
+    * raw per-version times (v5 `t` lines; covering-checkpoint `t` for an
+    * expired prefix's boundary; entry-file mtime for pre-v5 legacy
+    * entries) clamped MONOTONIC — a later version never resolves earlier
+    * than its predecessor (the Delta InCommitTimestamp discipline), so a
+    * skewed writer clock can never reorder history. The expired prefix
+    * itself has no resolvable times (its entries are gone).
+    */
+  def resolvedTimestamps(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(Long, Long)] = {
+    val vs = versions(fs, root)
+    if (vs.isEmpty) return Nil
+    // the covering checkpoint (if the prefix was expired) anchors the walk
+    val anchor: Option[(Long, Long)] =
+      if (vs.min == 0L) None
+      else checkpointVersions(fs, root).filter(_ < vs.min)
+        .sorted(Ordering[Long].reverse).iterator
+        .flatMap(cv => readCheckpointTimestamp(fs, root, cv).map((cv, _)))
+        .nextOption()
+    val ckVs = checkpointVersions(fs, root).toSet
+    var prev = Long.MinValue
+    val out = Seq.newBuilder[(Long, Long)]
+    anchor.foreach { case (cv, t) => prev = t; out += ((cv, t)) }
+    vs.foreach { v =>
+      val raw = entryTimestamp(fs, root, v)
+        .orElse(if (ckVs.contains(v)) readCheckpointTimestamp(fs, root, v)
+                else None)
+        .getOrElse {
+          try fs.getFileStatus(new Path(logDir(root), f"$v%020d")).getModificationTime
+          catch { case _: Exception => prev.max(0L) }
+        }
+      val clamped = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+      out += ((v, clamped))
+      prev = clamped
+    }
+    out.result()
+  }
+
+  /** Resolve `option("timestampAsOf", millis)`: the LATEST version whose
+    * resolved commit time is ≤ `millis`. Loud on both out-of-range ends —
+    * before the earliest resolvable commit (distinguishing expired
+    * history from "before the table existed") and after the latest (the
+    * Delta contract: the caller's clock may simply be ahead; pin a
+    * version instead of guessing).
+    */
+  def versionForTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      millis: Long): Long = {
+    val ts = resolvedTimestamps(fs, root)
+    require(ts.nonEmpty,
+      s"timestampAsOf=$millis: no graft commit log under $root " +
+        "(only graft batch sinks write .graft-log)")
+    val (firstV, firstT) = ts.head
+    if (millis < firstT) {
+      val vs = versions(fs, root)
+      if (vs.min > 0L || firstV > 0L)
+        throw new IllegalArgumentException(
+          s"timestampAsOf=$millis: history before version $firstV " +
+            s"(commit time $firstT) has been expired (expireLogHistory) — " +
+            "earliest resolvable commit time is " + firstT)
+      throw new IllegalArgumentException(
+        s"timestampAsOf=$millis precedes the table's first commit " +
+          s"(commit time $firstT)")
+    }
+    val (lastV, lastT) = ts.last
+    if (millis > lastT)
+      throw new IllegalArgumentException(
+        s"timestampAsOf=$millis is after the latest commit (version $lastV, " +
+          s"commit time $lastT) — a commit landing later could change what " +
+          "that timestamp means; use versionAsOf/snapshot for 'latest'")
+    ts.takeWhile(_._2 <= millis).last._1
   }
 
   /** One entry's recorded table schema, if it carries one (v3). Lenient:
@@ -1267,7 +1382,8 @@ private[graft] object GraftCommitLog {
       version: Long): Option[StructType] = try {
     val (_, lines) = entryLines(fs, root, version)
     if (!lines.headOption.exists(h =>
-        h == "graft-commit v3" || h == "graft-commit v4")) None
+        h == "graft-commit v3" || h == "graft-commit v4" ||
+          h == "graft-commit v5")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 
@@ -1318,7 +1434,8 @@ private[graft] object GraftCommitLog {
       root: Path, version: Long): Option[StructType] = {
     val (_, lines) = entryLines(fs, root, version)
     if (!lines.headOption.exists(h =>
-        h == "graft-commit v3" || h == "graft-commit v4")) None
+        h == "graft-commit v3" || h == "graft-commit v4" ||
+          h == "graft-commit v5")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   }
 }

@@ -300,6 +300,25 @@ object GraftSources {
     val since = Option(options.get("changessinceversion")).map(_.trim).filter(_.nonEmpty)
     require(pinned.isEmpty || since.isEmpty,
       "versionAsOf and changesSinceVersion are mutually exclusive")
+    // option("timestampAsOf", epochMillis): resolve to the LATEST version
+    // whose (monotonic-clamped) commit time is ≤ the timestamp, then pin
+    // exactly like versionAsOf — out-of-range (before first / after
+    // latest / expired) fails loudly in versionForTimestamp
+    Option(options.get("timestampasof")).map(_.trim).filter(_.nonEmpty)
+      .foreach { tstr =>
+        require(pinned.isEmpty && since.isEmpty,
+          "timestampAsOf is mutually exclusive with versionAsOf/changesSinceVersion")
+        require(roots.length == 1,
+          s"timestampAsOf needs exactly one root directory, got ${roots.length}")
+        val millis =
+          try tstr.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"timestampAsOf must be epoch millis, got '$tstr'") }
+        val rootPath = new Path(roots.head)
+        pinned = Some(GraftCommitLog.versionForTimestamp(
+          rootPath.getFileSystem(conf), rootPath, millis).toString)
+      }
     // option("snapshot","true"): the LATEST COMMITTED snapshot without
     // pinning a number — the Delta-consistent read mode. In-flight
     // writers, rogue copies, and retained-retired files (which raw

@@ -231,6 +231,63 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outIds() === (0L until 9L), "second drain appends exactly v1's rows")
   }
 
+  private def writeAt(dir: String, r: Range, mode: String, ts: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong(GraftCommitLog.CommitTimestampKey, ts)
+    try df(r).write.format("graft-json").mode(mode).save(dir)
+    finally conf.unset(GraftCommitLog.CommitTimestampKey)
+  }
+
+  test("timestampAsOf: resolves between commits; loud on both out-of-range ends") {
+    val dir = root.resolve("tsof").toString
+    writeAt(dir, 0 until 5, "overwrite", 1000000L)  // v0 @ 1000000
+    writeAt(dir, 5 until 9, "append", 2000000L)     // v1 @ 2000000
+    writeAt(dir, 9 until 12, "append", 3000000L)    // v2 @ 3000000
+    def at(ts: Long) =
+      spark.read.format("graft-json").schema("id BIGINT, name STRING")
+        .option("timestampAsOf", ts.toString).load(dir).count()
+    assert(at(1000000L) === 5)   // exactly at v0
+    assert(at(1500000L) === 5)   // between v0 and v1
+    assert(at(2000000L) === 9)
+    assert(at(2999999L) === 9)
+    assert(at(3000000L) === 12)  // exactly at the latest
+    val early = intercept[Exception](at(999999L))
+    assert(early.getMessage.contains("precedes"), early.getMessage)
+    val late = intercept[Exception](at(3000001L))
+    assert(late.getMessage.contains("after the latest"), late.getMessage)
+  }
+
+  test("timestampAsOf: a skewed writer clock is clamped monotonic") {
+    val dir = root.resolve("tsclamp").toString
+    writeAt(dir, 0 until 3, "overwrite", 5000000L)  // v0 @ 5000000
+    writeAt(dir, 3 until 7, "append", 4000000L)     // v1 claims EARLIER
+    // v1 clamps to 5000001: the earlier raw time never reorders history
+    def at(ts: Long) =
+      spark.read.format("graft-json").schema("id BIGINT, name STRING")
+        .option("timestampAsOf", ts.toString).load(dir).count()
+    assert(at(5000000L) === 3)
+    assert(at(5000001L) === 7)
+    intercept[Exception](at(4000000L)) // before the FIRST resolved time
+  }
+
+  test("timestampAsOf survives expireLogHistory through the checkpoint") {
+    val dir = root.resolve("tsexpire").toString
+    writeAt(dir, 0 until 4, "overwrite", 1000000L)  // v0
+    writeAt(dir, 4 until 6, "append", 2000000L)     // v1
+    graft.api.TrainingData.checkpointLog(spark, dir) // checkpoint @ v1
+    writeAt(dir, 6 until 9, "append", 3000000L)     // v2
+    graft.api.TrainingData.expireLogHistory(spark, dir) // retires v0, v1
+    def at(ts: Long) =
+      spark.read.format("graft-json").schema("id BIGINT, name STRING")
+        .option("timestampAsOf", ts.toString).load(dir).count()
+    // the checkpoint carries v1's commit time: resolution at/after it works
+    assert(at(2500000L) === 6)
+    assert(at(3000000L) === 9)
+    // below the checkpoint's time: expired, loud
+    val e = intercept[Exception](at(1500000L))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("versions are contiguous and the log survives many appends") {
     val dir = root.resolve("many")
     df(0 until 1).write.format("graft-json").mode("overwrite").save(dir.toString)
