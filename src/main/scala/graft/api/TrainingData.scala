@@ -1200,8 +1200,73 @@ object TrainingData {
       s"alterTableAddColumn: '$ddlType' parses to ${parsed.fields.length} " +
         "fields — pass one column's type (e.g. \"DOUBLE\")")
     val dt = parsed.fields.head.dataType
+    // column-mapping injectivity: the new logical name must not collide
+    // with a RENAMED column's physical key (old files' keys under that
+    // name belong to the renamed column)
+    require(!cur.fields.exists(f =>
+        graft.spark.GraftSources.physicalName(f).equalsIgnoreCase(colName) &&
+          !f.name.equalsIgnoreCase(colName)),
+      s"alterTableAddColumn: '$colName' collides with the PHYSICAL name of " +
+        s"a renamed column of $dir — pick a different name")
     val next = org.apache.spark.sql.types.StructType(cur.fields :+
       org.apache.spark.sql.types.StructField(colName, dt, nullable = true))
+    graft.spark.GraftCommitLog.appendEntry(
+      spark.sparkContext.hadoopConfiguration, dir, Nil, Nil, next,
+      schemaBase = cur)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — COLUMN MAPPING (the Delta shape,
+    * name-based): the field keeps its PHYSICAL key (the name data files
+    * store it under, fixed forever once data exists) and only the
+    * LOGICAL name changes, recorded as field metadata in a schema-only
+    * commit. Zero data movement; old files keep reading; appends and COW
+    * rewrites serialize under the physical key; `versionAsOf` before the
+    * rename reads the old name. Refused for partition columns (the
+    * directory layout carries their names physically). Renaming BACK to
+    * the physical name dissolves the mapping. The trade (documented,
+    * also Delta's): filters/TopN/aggregate pushdown on a renamed column
+    * fall back to unaccelerated-but-exact plans (the plate and sidecar
+    * namespaces are physical). Returns the committed version.
+    */
+  def alterTableRenameColumn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, from: String, to: String): Long = {
+    val (fs, root, cur) = recordedSchemaOrRefuse(spark, dir, "alterTableRenameColumn")
+    require(to.nonEmpty && !to.contains('`'),
+      s"alterTableRenameColumn: invalid target name '$to'")
+    val exact = cur.fieldNames.filter(_ == from)
+    val resolved =
+      if (exact.length == 1) exact
+      else cur.fieldNames.filter(_.equalsIgnoreCase(from))
+    require(resolved.length == 1,
+      s"alterTableRenameColumn: '$from' does not resolve to exactly one " +
+        s"recorded column of $dir (${cur.fieldNames.mkString(", ")})")
+    val fromExact = resolved.head
+    require(!cur.fieldNames.exists(n => n != fromExact && n.equalsIgnoreCase(to)),
+      s"alterTableRenameColumn: '$to' already exists in $dir " +
+        "(name resolution is case-insensitive)")
+    val listing = graft.spark.GraftSources.resolvePartitioned(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    require(!listing.partCols.exists(_.equalsIgnoreCase(fromExact)),
+      s"alterTableRenameColumn: '$fromExact' is a partition column — the " +
+        "directory layout carries it physically; rewrite to a fresh root " +
+        "to rename it")
+    // injectivity: `to` must not equal any OTHER field's physical key
+    require(!cur.fields.exists(f => f.name != fromExact &&
+        graft.spark.GraftSources.physicalName(f).equalsIgnoreCase(to)),
+      s"alterTableRenameColumn: '$to' collides with the PHYSICAL name of " +
+        s"another (renamed) column of $dir — pick a different name")
+    val key = graft.spark.GraftSources.PhysicalNameKey
+    val next = org.apache.spark.sql.types.StructType(cur.fields.map { f =>
+      if (f.name != fromExact) f
+      else {
+        val phys = graft.spark.GraftSources.physicalName(f)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (phys == to) f.copy(name = to, metadata = mb.remove(key).build())
+        else f.copy(name = to, metadata = mb.putString(key, phys).build())
+      }
+    })
     graft.spark.GraftCommitLog.appendEntry(
       spark.sparkContext.hadoopConfiguration, dir, Nil, Nil, next,
       schemaBase = cur)

@@ -2400,5 +2400,45 @@ object Sources {
                    CAST(sum(p_partkey) AS BIGINT) AS pk_sum
             FROM part GROUP BY 1 ORDER BY p_brand"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209)
+  // ---------------------------------------------------------------- q210
+  // ALTER TABLE RENAME COLUMN via column mapping (the Delta shape,
+  // name-based): the rename is a SCHEMA-ONLY commit — the physical key in
+  // data files never changes — so zero data moves across a 100 TB
+  // corpus, files written before AND after keep reading, and versionAsOf
+  // pins each epoch's own names. The gate renames mid-history, appends
+  // under the new name, and reads both sides.
+  private val q210 = GQuery(
+    "q210_rename_column",
+    "column-mapping rename mid-history: both epochs read, zero data movement",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/col_rename"
+      val customer = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+      customer.filter($"c_custkey" < 500)
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      graft.api.TrainingData.alterTableRenameColumn(s, dir, "c_acctbal", "balance") // v1
+      customer.filter($"c_custkey" >= 500 && $"c_custkey" < 700)
+        .toDF("c_custkey", "balance")
+        .write.format("graft-json").mode("append").save(dir) // v2, new name
+      val latest = s.read.format("graft-json")
+        .schema("c_custkey BIGINT, balance DOUBLE").load(dir)
+        .select(lit("latest").as("epoch"), $"c_custkey",
+          round($"balance", 2).as("balance"))
+      val v0 = s.read.format("graft-json")
+        .schema("c_custkey BIGINT, c_acctbal DOUBLE")
+        .option("versionasof", "0").load(dir)
+        .select(lit("v0").as("epoch"), $"c_custkey",
+          round($"c_acctbal", 2).as("balance"))
+      latest.unionByName(v0).orderBy($"epoch", $"c_custkey")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'latest' AS epoch, c_custkey, round(c_acctbal, 2) AS balance
+              FROM customer WHERE c_custkey < 700
+              UNION ALL
+              SELECT 'v0' AS epoch, c_custkey, round(c_acctbal, 2) AS balance
+              FROM customer WHERE c_custkey < 500)
+            ORDER BY epoch, c_custkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }

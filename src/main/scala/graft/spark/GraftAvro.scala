@@ -504,9 +504,19 @@ final class GraftAvroScan(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftAvroReaderFactory(required, countStar,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping (ALTER RENAME): avro resolves reader fields BY NAME
+    // against the file's embedded schema, so the pruned reader schema
+    // must carry PHYSICAL names — output rows are positional, so Spark
+    // still sees the logical readSchema
+    val phys = GraftSources.resolvePartitioned(options).physMap
+    val parseRequired =
+      if (phys.isEmpty) required
+      else StructType(required.fields.map(f =>
+        phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    new GraftAvroReaderFactory(parseRequired, countStar,
       new SerializableConfiguration(GraftSources.activeHadoopConf()))
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = GraftSources.resolveFiles(options).map(_._2).sum
@@ -649,7 +659,11 @@ final class GraftAvroBatchWrite(
       val fs = dir.getFileSystem(conf.value)
       if (!fs.exists(dir)) fs.mkdirs(dir)
     }
-    new GraftAvroWriterFactory(path, schema, conf, codec, GraftSink.batchNamePrefix(queryId))
+    // column mapping: serialize under PHYSICAL field names (see
+    // GraftSink.toPhysicalSchema — avro resolves reader fields by name)
+    new GraftAvroWriterFactory(path,
+      GraftSink.toPhysicalSchema(schema, commitSchema.record), conf, codec,
+      GraftSink.batchNamePrefix(queryId))
   }
   // same put-if-absent commit log as the json/csv sinks (docs/
   // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion

@@ -272,11 +272,41 @@ object GraftSink {
     }
   }
 
+  /** [[toPhysicalSchema]] against the table's CURRENT recorded schema —
+    * the streaming-writer variant (epoch commits skip schema resolution).
+    * Strict: failing to read the record must fail the stream start, not
+    * silently write logical keys to a mapped table.
+    */
+  def streamingPhysicalSchema(conf: org.apache.hadoop.conf.Configuration,
+      path: String, schema: StructType): StructType = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val vs = GraftCommitLog.versions(fs, root)
+    if (vs.isEmpty) schema
+    else GraftCommitLog.schemaAsOfStrict(fs, root, vs.max)
+      .map(rec => toPhysicalSchema(schema, rec)).getOrElse(schema)
+  }
+
   /** What a batch commit should record (`record`; null = record nothing)
     * plus the recorded schema it RESOLVED against (`base`; null = none) —
     * the commit-time conflict policy needs both (docs/TABLE_FORMAT.md).
     */
   final case class ResolvedSchema(record: StructType, base: StructType)
+
+  /** The WRITE schema under column mapping: each incoming field renamed
+    * to its recorded PHYSICAL name (data files always store physical
+    * keys, so files written before and after a rename stay key-compatible
+    * — zero data movement). Positional: only names change, so rows keep
+    * lining up. Identity when the table is untracked (`record` null) or
+    * unmapped.
+    */
+  def toPhysicalSchema(incoming: StructType, record: StructType): StructType = {
+    if (record == null) return incoming
+    val phys = GraftSources.physicalMap(record)
+    if (phys.isEmpty) incoming
+    else StructType(incoming.fields.map(f =>
+      phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+  }
 
   def resolveCommitSchema(conf: org.apache.hadoop.conf.Configuration,
       path: String, incoming: StructType, truncate: Boolean,
@@ -343,6 +373,20 @@ object GraftSink {
               "(rewrite the table to a fresh root to retype columns)")
         val added = incoming.fields.filterNot(f =>
           cur.fields.exists(_.name == f.name))
+        // COLUMN-MAPPING injectivity rail: a new logical name must not
+        // collide with an existing field's PHYSICAL key (e.g. rename a->b
+        // then add a fresh 'a': old files' 'a' keys belong to b) — two
+        // logical columns reading one physical key is silent corruption
+        val physTaken = cur.fields.iterator
+          .map(f => GraftSources.physicalName(f))
+          .filter(p => !cur.fields.exists(_.name == p)).toSet
+        added.find(f => physTaken.contains(f.name)).foreach { f =>
+          throw new IllegalArgumentException(
+            s"schema mismatch appending to $path: new column '${f.name}' " +
+              "collides with the PHYSICAL name of a renamed column — pick " +
+              "a different name (physical keys of renamed columns stay " +
+              "reserved while their data files live)")
+        }
         val record =
           if (added.isEmpty) StructType(curWidened)
           else if (!mergeSchema)
@@ -437,8 +481,12 @@ final class GraftStreamingWrite(
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftStreamingWriterFactory(path, schema, conf, codec, partCols, check,
-      blockBytes)
+    // column mapping: a stream appending to a renamed table must write
+    // PHYSICAL keys or readers would see nulls — resolved STRICTLY at
+    // stream start (streaming epochs never touch the log otherwise)
+    new GraftStreamingWriterFactory(path,
+      GraftSink.streamingPhysicalSchema(conf.value, path, schema), conf,
+      codec, partCols, check, blockBytes)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -497,8 +545,11 @@ final class GraftBatchWrite(
       fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
     }
     fs.mkdirs(dir)
-    new GraftJsonWriterFactory(path, schema, conf, codec, partCols, namePrefix,
-      check, blockBytes)
+    // column mapping: tasks serialize under PHYSICAL keys (stats sidecars
+    // inherit them too, so pruning lookups stay consistent)
+    new GraftJsonWriterFactory(path,
+      GraftSink.toPhysicalSchema(schema, commitSchema.record), conf, codec,
+      partCols, namePrefix, check, blockBytes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -955,7 +1006,10 @@ private[graft] object GraftCommitLog {
     // the checkpoint carries the schema as of its version so schema
     // tracking survives expireLogHistory retiring the raw entries; it
     // carries deletion-vector attachments for the same reason (v3)
-    val schema = schemaAsOf(fs, root, version)
+    // STRICT schema read: a checkpoint written without a schema line on a
+    // transient IO blip would later be read as PROOF the table is
+    // untracked (the bounded-walk stop) — fail the checkpoint instead
+    val schema = schemaAsOfStrict(fs, root, version)
     // the checkpoint carries its version's RESOLVED (clamped) commit time
     // so timestampAsOf keeps resolving after expireLogHistory retires the
     // raw entries; best-effort like the schema line
@@ -1416,16 +1470,43 @@ private[graft] object GraftCommitLog {
     // the newest recorded schema wins regardless of which artifact holds
     // it (a stale older checkpoint must never shadow a newer surviving
     // `s` entry; a corrupt checkpoint falls through to whatever is next).
-    // The common case still stops at the newest entry — every schema-
-    // tracking batch commit records a line.
-    (rawVs ++ ckVs).toSeq.sorted(Ordering[Long].reverse).iterator
-      .flatMap { v =>
-        (if (rawVs.contains(v)) entrySchemaStrict(fs, root, v) else None)
-          .orElse(if (ckVs.contains(v)) readCheckpointSchema(fs, root, v)
-                  else None)
+    // The common case stops at the newest entry — every schema-tracking
+    // batch commit records a line — and the walk is BOUNDED by the newest
+    // readable v2+ checkpoint: writeCheckpoint records the schema as of
+    // its version STRICTLY, so a readable schema-capable checkpoint with
+    // no `s` line proves nothing older has one (an untracked 40k-commit
+    // streaming history must not cost 40k reads per planning pass).
+    val merged = (rawVs ++ ckVs).toSeq.sorted(Ordering[Long].reverse)
+    val it = merged.iterator
+    while (it.hasNext) {
+      val v = it.next()
+      if (rawVs.contains(v)) {
+        val s = entrySchemaStrict(fs, root, v)
+        if (s.isDefined) return s
       }
-      .nextOption()
+      if (ckVs.contains(v)) checkpointSchemaSignal(fs, root, v) match {
+        case Some(found) => return found // readable v2+: schema or PROOF of none
+        case None => () // v1 / unreadable: keep walking
+      }
+    }
+    None
   }
+
+  /** Three-state checkpoint schema probe: Some(Some(st)) = carries one;
+    * Some(None) = readable schema-capable (v2+) checkpoint WITHOUT one —
+    * proof no schema was recorded at or below its version; None =
+    * v1/unreadable (no information, keep walking).
+    */
+  private def checkpointSchemaSignal(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, version: Long): Option[Option[StructType]] = try {
+    val p = checkpointFile(root, version)
+    if (!fs.exists(p)) return None
+    val lines = slurpLines(fs, p)
+    if (!lines.headOption.exists(h =>
+        h == "graft-checkpoint v2" || h == "graft-checkpoint v3" ||
+          h == "graft-checkpoint v4")) None
+    else Some(lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine))
+  } catch { case _: Exception => None }
 
   /** [[entrySchema]] but propagating IO failures (strict read, lenient
     * parse) — see [[schemaAsOfStrict]].
@@ -1766,7 +1847,9 @@ final class GraftCsvWriteBuilder(
         if (doTruncate && fs.exists(dir))
           fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
         fs.mkdirs(dir)
-        new GraftCsvWriterFactory(path, schema, conf, codec, header, delim, linesep,
+        new GraftCsvWriterFactory(path,
+          GraftSink.toPhysicalSchema(schema, commitSchema.record), conf, codec,
+          header, delim, linesep,
           partCols, GraftSink.batchNamePrefix(queryId), check, blockBytes)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1809,7 +1892,9 @@ final class GraftCsvStreamingWrite(
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftCsvStreamingWriterFactory(path, schema, conf, codec, header, delim, linesep,
+    new GraftCsvStreamingWriterFactory(path,
+      GraftSink.streamingPhysicalSchema(conf.value, path, schema), conf,
+      codec, header, delim, linesep,
       partCols, check, blockBytes)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

@@ -204,9 +204,35 @@ object GraftSources {
   final case class ListedFile(path: String, len: Long, partValues: Array[String],
       dv: String = null, dvTarget: String = null)
   /** `partCols` in first-seen directory order; each file's `partValues`
-    * align to it (null = value absent for that file).
+    * align to it (null = value absent for that file). `physMap` is the
+    * COLUMN-MAPPING rename table (logical name -> physical key in data
+    * files, only where they differ) from the recorded schema as of the
+    * resolved version — empty for unmapped/untracked tables.
     */
-  final case class Listing(partCols: Seq[String], files: Seq[ListedFile])
+  final case class Listing(partCols: Seq[String], files: Seq[ListedFile],
+      physMap: Map[String, String] = Map.empty)
+
+  /** StructField-metadata key holding a column's PHYSICAL name (the key
+    * data files store it under). Assigned by ALTER RENAME COLUMN — the
+    * physical name never changes once data exists, so a rename is a
+    * schema-only commit and old files keep reading (the Delta
+    * column-mapping shape, name-based).
+    */
+  final val PhysicalNameKey = "graft.physical"
+
+  /** Extract the logical->physical rename map (differing entries only). */
+  def physicalMap(schema: StructType): Map[String, String] =
+    schema.fields.iterator.flatMap { f =>
+      if (f.metadata.contains(PhysicalNameKey)) {
+        val ph = f.metadata.getString(PhysicalNameKey)
+        if (ph != f.name) Some(f.name -> ph) else None
+      } else None
+    }.toMap
+
+  /** A field's physical name (identity when unmapped). */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
 
   private def hidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
@@ -448,10 +474,34 @@ object GraftSources {
       }
     }
 
+    // COLUMN MAPPING: the recorded schema AS OF the resolved version
+    // names each logical column's physical key. STRICT read (like the
+    // rest of the pinning machinery): silently losing the map would make
+    // renamed columns read as null. One small log read for tracked
+    // tables; zero extra I/O for unlogged directories.
+    val physMap: Map[String, String] =
+      if (roots.length != 1) Map.empty
+      else {
+        val rootPath = new Path(roots.head
+          .stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+        val fs = rootPath.getFileSystem(conf)
+        val isDir = try fs.getFileStatus(rootPath).isDirectory catch { case _: Exception => false }
+        if (!isDir) Map.empty
+        else {
+          val vs = GraftCommitLog.versions(fs, rootPath)
+          if (vs.isEmpty) Map.empty
+          else {
+            val v = pinned.map(_.toLong).getOrElse(vs.max)
+            GraftCommitLog.schemaAsOfStrict(fs, rootPath, v)
+              .map(physicalMap).getOrElse(Map.empty)
+          }
+        }
+      }
+
     Listing(allCols, listed.map { case (p, l, m) =>
       val (dv, dvTarget) = dvByPath.getOrElse(p, (null, null))
       ListedFile(p, l, allCols.map(c => m.getOrElse(c, null)).toArray, dv, dvTarget)
-    })
+    }, physMap)
   }
 
   /** Synthetic per-file provenance column surfaced by `withFilePath`. */
@@ -1039,6 +1089,10 @@ final class GraftScanBuilder(
       }
       k += 1
     }
+    // column mapping: the TopN heaps compare against the PHYSICAL parse
+    // schema — a renamed sort column stays unpushed (Spark's own global
+    // sort still runs; correct, just not accelerated)
+    if (spec.exists(t => builderListing.physMap.contains(t._1))) return false
     topN = spec
     topNLimit = n
     true
@@ -1083,7 +1137,13 @@ final class GraftScanBuilder(
     val bad = options.getOrDefault("badrecords", "fail")
     if ("keep".equalsIgnoreCase(bad) || "permissive".equalsIgnoreCase(bad)) return false
     GraftAgg.translate(agg, fullSchema) match {
-      case Some(s) => aggSpec = Some(s); true
+      case Some(s) =>
+        // column mapping: the pruned parse and sidecar lookups key on
+        // PHYSICAL names — a battery touching a renamed column stays
+        // unpushed (Spark aggregates the full scan; correct, unaccelerated)
+        if (s.parseSchema(fullSchema).fieldNames.exists(
+            builderListing.physMap.contains)) return false
+        aggSpec = Some(s); true
       case None => false
     }
   }
@@ -1291,19 +1351,27 @@ final class GraftScan(
       if (!covered) None
       else schema.fields.iterator.map(_.name)
         .filterNot(listing.partCols.contains)
-        .find(c => stats.forall(_.cols.get(c).exists(_.sorted)))
+        .find(c => stats.forall(_.cols.get(physName(c)).exists(_.sorted)))
     }
     (partOrd ++ dataOrd.toSeq).map(asc).toArray
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // column mapping: streaming readers parse PHYSICAL keys too (rows
+    // are positional); renamed-column filters stay residual-only
+    val streamSchema =
+      if (physMap.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        physMap.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
+    val streamFilters = filters.filterNot(_.references.exists(physMap.contains))
     if (isJson)
-      new GraftJsonMicroBatchStream(schema, filters, options,
+      new GraftJsonMicroBatchStream(streamSchema, streamFilters, options,
         GraftSources.jsonMode(options.asCaseSensitiveMap()), checkpointLocation)
     else
-      new GraftCsvMicroBatchStream(schema, filters, options,
+      new GraftCsvMicroBatchStream(streamSchema, streamFilters, options,
         GraftSources.csvConfig(options.asCaseSensitiveMap()), checkpointLocation)
+  }
   override def description(): String =
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +
       s" pushed=[${filters.mkString(", ")}]" +
@@ -1322,6 +1390,11 @@ final class GraftScan(
 
   // driver-side partition discovery, shared by planning and the factory
   private lazy val listing = GraftSources.resolvePartitioned(options)
+  // column mapping (ALTER RENAME): logical -> physical for sidecar-stats /
+  // bloom / block lookups and the parse-side schemas (data files and
+  // their stats carry PHYSICAL keys)
+  private lazy val physMap: Map[String, String] = listing.physMap
+  @inline private def physName(n: String): String = physMap.getOrElse(n, n)
   private lazy val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
     val inferred = GraftSources.partitionSchema(listing)
     // the required schema's type wins (user-supplied schemas may retype)
@@ -1423,7 +1496,7 @@ final class GraftScan(
     val kept = files.filterNot { f =>
       sidecarStats(f.path, f.len).exists { st =>
         dataFilters.exists { flt =>
-          val colName = flt.references.head
+          val colName = physName(flt.references.head)
           st.cols.get(colName).exists(c =>
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows)) ||
             // point lookups the ranges kept: one lazy per-file sidecar
@@ -1505,6 +1578,7 @@ final class GraftScan(
     // read whole (name-keyed), never range-split
     lazy val expectedCsvOrder: Seq[String] =
       fullSchema.fieldNames.toSeq.filterNot(listing.partCols.contains)
+        .map(physName)
     def blockRanges(p: String, len: Long): Option[Seq[(Long, Long)]] = {
       if (blockFilters.isEmpty) return None
       // manifests are BLOCK-LESS by design (the one-small-read-per-
@@ -1525,7 +1599,7 @@ final class GraftScan(
       if (blocks.isEmpty) return None
       val surviving = blocks.filterNot { b =>
         blockFilters.exists { flt =>
-          b.cols.get(flt.references.head).exists(c =>
+          b.cols.get(physName(flt.references.head)).exists(c =>
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, b.rows))
         }
       }
@@ -1603,13 +1677,24 @@ final class GraftScan(
     // or not). Spark re-applies every filter as residual post-stamp, so
     // results stay exact; the cost is SkipRow's byte-skip, the
     // documented price of provenance mode.
+    // filters referencing RENAMED columns are excluded from plate-level
+    // byte-skip (the plate matches PHYSICAL keys; Spark re-applies every
+    // filter as residual, so correctness is untouched — the renamed
+    // column just loses the skip fast path)
     val plateFilters =
-      if (withRowIndex) Array.empty[Filter]
-      else if (partSpec.isEmpty) filters
-      else filters.filterNot(_.references.exists(partNames.contains))
+      (if (withRowIndex) Array.empty[Filter]
+       else if (partSpec.isEmpty) filters
+       else filters.filterNot(_.references.exists(partNames.contains)))
+        .filterNot(_.references.exists(physMap.contains))
     val rowIdxSlot =
       if (withRowIndex) rowSchema.fieldNames.indexOf(GraftSources.RowIndexCol)
       else -1
+    // column mapping: plates and CSV headers match PHYSICAL keys; rows
+    // are positional, so Spark still sees the logical readSchema
+    val parseRowSchema =
+      if (physMap.isEmpty) rowSchema
+      else org.apache.spark.sql.types.StructType(rowSchema.fields.map(f =>
+        physMap.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
     val badrecords = options.getOrDefault("badrecords", "fail")
     val keepMalformed = "keep".equalsIgnoreCase(badrecords) ||
       "permissive".equalsIgnoreCase(badrecords)
@@ -1630,7 +1715,7 @@ final class GraftScan(
     else {
       val rowFactory: PartitionReaderFactory =
         if (isJson)
-          new GraftJsonReaderFactory(rowSchema, plateFilters, conf,
+          new GraftJsonReaderFactory(parseRowSchema, plateFilters, conf,
             GraftSources.jsonMode(options.asCaseSensitiveMap()),
             dropMalformed = dropMalformed,
             limit = limit, partSpec = partSpec,
@@ -1640,7 +1725,8 @@ final class GraftScan(
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
           val dataCols = fullSchema.fieldNames.filterNot(partNames.contains)
-          new GraftCsvReaderFactory(rowSchema, plateFilters, conf,
+            .map(physName)
+          new GraftCsvReaderFactory(parseRowSchema, plateFilters, conf,
             GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
             partSpec = partSpec, fullDataCols = dataCols,
             rowIdxSlot = rowIdxSlot)
