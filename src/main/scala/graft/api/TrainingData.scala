@@ -1093,7 +1093,8 @@ object TrainingData {
       Some(spark.read.format(format).schema(scanSchema)
         .option("withfilepath", "true").option("withrowindex", "true")
         .option("versionasof", sinceVersion.toString)
-        .option("restrictfiles", deltas.keys.toSeq.sorted.mkString(","))
+        .option("restrictfiles", graft.spark.GraftSources.joinFileList(
+          deltas.keys.toSeq.sorted, "restrictfiles"))
         .load(dir)
         .filter(inDelta(col(fileCol), col(idxCol)))
         .select(dataCols.map(col): _*)
@@ -1104,7 +1105,8 @@ object TrainingData {
     val inserts: Option[DataFrame] = if (added.isEmpty) None else
       Some(spark.read.format(format).schema(tbl.fullSchema)
         .option("versionasof", tbl.latest.toString)
-        .option("restrictfiles", added.mkString(","))
+        .option("restrictfiles",
+          graft.spark.GraftSources.joinFileList(added, "restrictfiles"))
         .load(dir)
         .select(dataCols.map(col): _*)
         .withColumn(ChangeTypeCol, lit("insert")))

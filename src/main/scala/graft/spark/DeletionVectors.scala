@@ -206,18 +206,30 @@ object DeletionVectors {
     out.writeByte(v.toInt)
   }
 
-  /** Read one LEB128 varint; -1 signals clean EOF BEFORE the first byte
-    * (the only legal stream end). Truncation mid-varint throws.
+  /** Read one LEB128 varint; when `first`, -1 signals clean EOF BEFORE
+    * the first byte (the only legal stream end — a `len` varint must
+    * follow its gap, so EOF there throws via the caller's `lenM1 >= 0`).
+    * Truncation mid-varint throws, and so does a 10-byte encoding whose
+    * 63rd-bit payload would flip the sign — a NEGATIVE decoded value
+    * could otherwise mask rows the artifact never named (silent
+    * deletion, the one failure the contract forbids).
     */
-  private def readVarintOrEof(in: java.io.InputStream, where: Path): Long = {
+  private def readVarintOrEofStrict(in: java.io.InputStream, where: Path,
+      first: Boolean): Long = {
     var b = in.read()
-    if (b < 0) return -1L
+    if (b < 0) {
+      require(first, s"deletion vector $where: truncated run")
+      return -1L
+    }
     var v = 0L
     var shift = 0
     while (true) {
       require(shift <= 63, s"deletion vector $where: varint overflow")
       v |= (b.toLong & 0x7F) << shift
-      if ((b & 0x80) == 0) return v
+      if ((b & 0x80) == 0) {
+        require(v >= 0, s"deletion vector $where: negative varint")
+        return v
+      }
       shift += 7
       b = in.read()
       require(b >= 0, s"deletion vector $where: truncated varint")
@@ -287,19 +299,20 @@ object DeletionVectors {
       if (o.version == 2) {
         var prevEnd = 0L
         var first = true
-        var gap = readVarintOrEof(o.in, p)
+        var gap = readVarintOrEofStrict(o.in, p, first = true)
         while (gap >= 0) {
           require(first || gap >= 1,
             s"deletion vector $p: non-maximal or overlapping runs")
           val start = prevEnd + gap
-          val lenM1 = readVarintOrEof(o.in, p)
+          require(start >= prevEnd, s"deletion vector $p: run start overflow")
+          val lenM1 = readVarintOrEofStrict(o.in, p, first = false)
           require(lenM1 >= 0, s"deletion vector $p: truncated run")
           val end = start + lenM1 + 1
           require(end > start, s"deletion vector $p: run length overflow")
           starts += start; ends += end
           prevEnd = end
           first = false
-          gap = readVarintOrEof(o.in, p)
+          gap = readVarintOrEofStrict(o.in, p, first = true)
         }
       } else {
         // v1: 8-byte ordinals, coalesced to runs on the fly
@@ -350,15 +363,17 @@ object DeletionVectors {
       private var first = true
       private var eof = false
       private def fill(): Unit = if (!eof && cur == curEnd) {
-        val gap = readVarintOrEof(o.in, p)
+        val gap = readVarintOrEofStrict(o.in, p, first = true)
         if (gap < 0) { eof = true; o.in.close() }
         else {
           require(first || gap >= 1,
             s"deletion vector $p: non-maximal or overlapping runs")
-          val lenM1 = readVarintOrEof(o.in, p)
+          val lenM1 = readVarintOrEofStrict(o.in, p, first = false)
           require(lenM1 >= 0, s"deletion vector $p: truncated run")
           cur = prevEnd + gap
+          require(cur >= prevEnd, s"deletion vector $p: run start overflow")
           curEnd = cur + lenM1 + 1
+          require(curEnd > cur, s"deletion vector $p: run length overflow")
           prevEnd = curEnd
           first = false
         }

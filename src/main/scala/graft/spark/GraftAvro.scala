@@ -509,7 +509,7 @@ final class GraftAvroScan(
     // against the file's embedded schema, so the pruned reader schema
     // must carry PHYSICAL names — output rows are positional, so Spark
     // still sees the logical readSchema
-    val phys = GraftSources.resolvePartitioned(options).physMap
+    val phys = GraftSources.physMapFor(options)
     val parseRequired =
       if (phys.isEmpty) required
       else StructType(required.fields.map(f =>

@@ -377,10 +377,13 @@ object GraftSink {
         // collide with an existing field's PHYSICAL key (e.g. rename a->b
         // then add a fresh 'a': old files' 'a' keys belong to b) — two
         // logical columns reading one physical key is silent corruption
+        // case-INSENSITIVE like the DDL rails: the analyzer resolves
+        // names case-insensitively, so a case-variant squatter is the
+        // same collision
         val physTaken = cur.fields.iterator
           .map(f => GraftSources.physicalName(f))
-          .filter(p => !cur.fields.exists(_.name == p)).toSet
-        added.find(f => physTaken.contains(f.name)).foreach { f =>
+          .filter(p => !cur.fields.exists(_.name.equalsIgnoreCase(p))).toSet
+        added.find(f => physTaken.exists(_.equalsIgnoreCase(f.name))).foreach { f =>
           throw new IllegalArgumentException(
             s"schema mismatch appending to $path: new column '${f.name}' " +
               "collides with the PHYSICAL name of a renamed column — pick " +
@@ -1014,7 +1017,7 @@ private[graft] object GraftCommitLog {
     // so timestampAsOf keeps resolving after expireLogHistory retires the
     // raw entries; best-effort like the schema line
     val ts: Option[Long] =
-      try Some(resolvedTimestamps(fs, root).toMap.apply(version))
+      try Some(resolvedTimestampAt(fs, root, version))
       catch { case _: Exception => None }
     val header = "graft-checkpoint v4" // v4 = v3 + optional `t` line
     val lines = live.map { case (p, dv) =>
@@ -1375,23 +1378,53 @@ private[graft] object GraftCommitLog {
         .sorted(Ordering[Long].reverse).iterator
         .flatMap(cv => readCheckpointTimestamp(fs, root, cv).map((cv, _)))
         .nextOption()
+    walkTimestamps(fs, root, vs, anchor, Long.MaxValue)
+  }
+
+  /** The clamped walk over `vs` entries in `(anchor.version, upTo]`,
+    * seeded at the anchor's resolved time. A `t`-carrying checkpoint's
+    * recorded value IS the full walk's resolved value at its version (it
+    * was computed by this same walk when written), so anchoring at one
+    * reproduces the suffix exactly — the piece that keeps timestamp
+    * resolution O(suffix since the last checkpoint), not O(#commits).
+    */
+  private def walkTimestamps(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      vs: Seq[Long], anchor: Option[(Long, Long)],
+      upTo: Long): Seq[(Long, Long)] = {
     val ckVs = checkpointVersions(fs, root).toSet
-    var prev = Long.MinValue
+    val afterV = anchor.map(_._1).getOrElse(Long.MinValue)
+    var prev = anchor.map(_._2).getOrElse(Long.MinValue)
     val out = Seq.newBuilder[(Long, Long)]
-    anchor.foreach { case (cv, t) => prev = t; out += ((cv, t)) }
+    anchor.foreach(out += _)
     vs.foreach { v =>
-      val raw = entryTimestamp(fs, root, v)
-        .orElse(if (ckVs.contains(v)) readCheckpointTimestamp(fs, root, v)
-                else None)
-        .getOrElse {
-          try fs.getFileStatus(new Path(logDir(root), f"$v%020d")).getModificationTime
-          catch { case _: Exception => prev.max(0L) }
-        }
-      val clamped = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
-      out += ((v, clamped))
-      prev = clamped
+      if (v > afterV && v <= upTo) {
+        val raw = entryTimestamp(fs, root, v)
+          .orElse(if (ckVs.contains(v)) readCheckpointTimestamp(fs, root, v)
+                  else None)
+          .getOrElse {
+            try fs.getFileStatus(new Path(logDir(root), f"$v%020d")).getModificationTime
+            catch { case _: Exception => prev.max(0L) }
+          }
+        val clamped = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+        out += ((v, clamped))
+        prev = clamped
+      }
     }
     out.result()
+  }
+
+  /** One version's resolved commit time, walking only the suffix since
+    * the newest `t`-carrying checkpoint at or below it — the
+    * checkpoint-write path (O(checkpoint interval), not O(#commits)).
+    */
+  def resolvedTimestampAt(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Long = {
+    val vs = versions(fs, root)
+    val anchor = checkpointVersions(fs, root).filter(_ < version)
+      .sorted(Ordering[Long].reverse).iterator
+      .flatMap(cv => readCheckpointTimestamp(fs, root, cv).map((cv, _)))
+      .nextOption()
+    walkTimestamps(fs, root, vs, anchor, version).toMap.apply(version)
   }
 
   /** Resolve `option("timestampAsOf", millis)`: the LATEST version whose
@@ -1403,7 +1436,21 @@ private[graft] object GraftCommitLog {
     */
   def versionForTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       millis: Long): Long = {
-    val ts = resolvedTimestamps(fs, root)
+    // BOUNDED resolution: anchor at the newest checkpoint whose recorded
+    // commit time is ≤ the target and walk only the suffix — O(suffix
+    // since that checkpoint) on the long-history tables this option will
+    // actually meet. Timestamps before every anchor (or anchor-less
+    // tables) fall back to the full walk.
+    val vsAll = versions(fs, root)
+    require(vsAll.nonEmpty,
+      s"timestampAsOf=$millis: no graft commit log under $root " +
+        "(only graft batch sinks write .graft-log)")
+    val anchored: Option[Seq[(Long, Long)]] =
+      checkpointVersions(fs, root).sorted(Ordering[Long].reverse).iterator
+        .flatMap(cv => readCheckpointTimestamp(fs, root, cv).map((cv, _)))
+        .find(_._2 <= millis)
+        .map(a => walkTimestamps(fs, root, vsAll, Some(a), Long.MaxValue))
+    val ts = anchored.getOrElse(resolvedTimestamps(fs, root))
     require(ts.nonEmpty,
       s"timestampAsOf=$millis: no graft commit log under $root " +
         "(only graft batch sinks write .graft-log)")
@@ -1493,19 +1540,25 @@ private[graft] object GraftCommitLog {
   }
 
   /** Three-state checkpoint schema probe: Some(Some(st)) = carries one;
-    * Some(None) = readable schema-capable (v2+) checkpoint WITHOUT one —
-    * proof no schema was recorded at or below its version; None =
-    * v1/unreadable (no information, keep walking).
+    * Some(None) = readable V4 checkpoint WITHOUT one — PROOF no schema
+    * was recorded at or below its version (only v4 checkpoints are
+    * written with the strict schema read; a legacy v2/v3 one could have
+    * silently dropped its `s` line on an IO blip, so its absence proves
+    * nothing); None = pre-v4 without a schema line, or unreadable — no
+    * information, keep walking.
     */
   private def checkpointSchemaSignal(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, version: Long): Option[Option[StructType]] = try {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
-    if (!lines.headOption.exists(h =>
-        h == "graft-checkpoint v2" || h == "graft-checkpoint v3" ||
-          h == "graft-checkpoint v4")) None
-    else Some(lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine))
+    val v4 = lines.headOption.contains("graft-checkpoint v4")
+    if (!v4 && !lines.headOption.exists(h =>
+        h == "graft-checkpoint v2" || h == "graft-checkpoint v3")) None
+    else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine) match {
+      case Some(st) => Some(Some(st))
+      case None => if (v4) Some(None) else None
+    }
   } catch { case _: Exception => None }
 
   /** [[entrySchema]] but propagating IO failures (strict read, lenient

@@ -234,6 +234,32 @@ object GraftSources {
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
+  /** The rename table for a single-root read WITHOUT a directory walk —
+    * one versions() listing + one bounded schema read — for scans that
+    * already resolved their listing separately (the avro reader factory).
+    * Resolves versionAsOf/timestampAsOf pinning like the main listing.
+    */
+  def physMapFor(options: CaseInsensitiveStringMap): Map[String, String] = {
+    val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .orElse(Option(options.get("location"))).getOrElse(return Map.empty)
+    val roots = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (roots.length != 1) return Map.empty
+    val rootPath = new Path(roots.head
+      .stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+    val conf = activeHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val isDir = try fs.getFileStatus(rootPath).isDirectory catch { case _: Exception => false }
+    if (!isDir) return Map.empty
+    val vs = GraftCommitLog.versions(fs, rootPath)
+    if (vs.isEmpty) return Map.empty
+    val pinned = Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong)
+      .orElse(Option(options.get("timestampasof")).map(_.trim).filter(_.nonEmpty)
+        .map(t => GraftCommitLog.versionForTimestamp(fs, rootPath, t.toLong)))
+    GraftCommitLog.schemaAsOfStrict(fs, rootPath, pinned.getOrElse(vs.max))
+      .map(physicalMap).getOrElse(Map.empty)
+  }
+
   private def hidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
