@@ -33,7 +33,9 @@ final class ColumnarPlate(
     // three). A masked row's slot is simply reused by the next row: the
     // vectorized path loses nothing to merge-on-read deletes except the
     // masked rows themselves.
-    mask: DeletionVectors.Mask = null) extends Plate[Long] with KeyProbe {
+    mask: DeletionVectors.Mask = null,
+    // first parsed row's whole-file ordinal (block-pruned aligned ranges)
+    maskStartOrd: Long = 0L) extends Plate[Long] with KeyProbe {
   require(mask == null || filters.isEmpty,
     "ColumnarPlate: a deletion mask and plate filters cannot combine — a " +
       "filter-dropped row would shift every later row's mask address")
@@ -409,7 +411,7 @@ final class ColumnarPlate(
 
   // file ordinal of the row being finished (EVERY parsed row counts, kept
   // or not); the mask's own pointer walks its runs one-pass
-  private[this] var fileOrd = 0L
+  private[this] var fileOrd = maskStartOrd
 
   def finishRow(): Unit = {
     ensureCapacity()

@@ -778,7 +778,11 @@ final case class GraftInputPartition(
     // path (the artifact's recorded target, cross-checked at open). Set
     // only on whole-file partitions; the reader masks the listed ordinals.
     dv: String = null,
-    dvTarget: String = null)
+    dvTarget: String = null,
+    // the range's first row's whole-file ORDINAL (derived from the
+    // sidecar's exact per-block row counts): lets deletion-vector masks
+    // and withRowIndex stamps stay exact over block-pruned ranges
+    startOrd: Long = 0L)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -1605,7 +1609,12 @@ final class GraftScan(
     lazy val expectedCsvOrder: Seq[String] =
       fullSchema.fieldNames.toSeq.filterNot(listing.partCols.contains)
         .map(physName)
-    def blockRanges(p: String, len: Long): Option[Seq[(Long, Long)]] = {
+    // `needOrdinals`: the caller will derive each range's STARTING ROW
+    // ORDINAL from the preceding blocks' exact row counts (deletion-vector
+    // masks and withRowIndex address whole-file ordinals) — engage only
+    // when the block row counts provably sum to the file's row count.
+    def blockRanges(p: String, len: Long,
+        needOrdinals: Boolean): Option[Seq[(Long, Long, Long)]] = {
       if (blockFilters.isEmpty) return None
       // manifests are BLOCK-LESS by design (the one-small-read-per-
       // directory invariant) — blocks come from the per-file sidecar,
@@ -1623,7 +1632,11 @@ final class GraftScan(
       if (!isJson && !st.exists(_.header.contains(expectedCsvOrder))) return None
       val blocks = st.map(_.validBlocks(len)).getOrElse(Nil)
       if (blocks.isEmpty) return None
-      val surviving = blocks.filterNot { b =>
+      if (needOrdinals && blocks.iterator.map(_.rows).sum != st.get.rows)
+        return None // inconsistent recording: ordinals would be wrong
+      // each block's starting ordinal = the exact rows before it
+      val startOrds = blocks.scanLeft(0L)(_ + _.rows)
+      val surviving = blocks.zip(startOrds).filterNot { case (b, _) =>
         blockFilters.exists { flt =>
           b.cols.get(physName(flt.references.head)).exists(c =>
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, b.rows))
@@ -1633,39 +1646,55 @@ final class GraftScan(
       blocksPruned += blocks.length - surviving.length
       // merge contiguous survivors into runs, chopped near maxSplit so a
       // big surviving region still parallelizes across tasks
-      val runs = Seq.newBuilder[(Long, Long)]
+      val runs = Seq.newBuilder[(Long, Long, Long)]
       var rs = -1L
       var re = -1L
-      surviving.foreach { b =>
+      var ro = 0L
+      surviving.foreach { case (b, ord) =>
         if (re == b.start && re - rs < maxSplit) re = b.end
         else {
-          if (rs >= 0) runs += ((rs, re))
-          rs = b.start; re = b.end
+          if (rs >= 0) runs += ((rs, re, ro))
+          rs = b.start; re = b.end; ro = ord
         }
       }
-      if (rs >= 0) runs += ((rs, re))
+      if (rs >= 0) runs += ((rs, re, ro))
       Some(runs.result())
     }
 
     val parts: Array[InputPartition] = pf.flatMap[InputPartition] {
       case GraftSources.ListedFile(p, len, pv, dv, dvTarget) =>
       val key = if (stampKeys) typedPartKey(pv) else null
-      // a deletion vector masks whole-file ordinals: the file reads as ONE
-      // partition (compressed or not) and the reader drops masked rows
-      if (dv != null)
-        Seq(GraftSources.wholeFilePartition(p, len, pv)
-          .copy(partKey = key, dv = dv, dvTarget = dvTarget))
+      // a deletion vector masks whole-file ordinals, and withRowIndex
+      // stamps them: both still BLOCK-SKIP when the sidecar's exact
+      // per-block row counts derive each surviving range's starting
+      // ordinal (blocks tile the file, counts sum to the file's rows —
+      // both provable from the recording). Without usable blocks — or
+      // under a pushed COMPLETE offset, which needs one in-order
+      // partition — the file reads whole.
+      if (dv != null || withRowIndex) {
+        val ranges =
+          if (offset >= 0 || GraftSources.isCompressed(p)) None
+          else blockRanges(p, len, needOrdinals = true)
+        ranges match {
+          case Some(rs) => rs.map { case (s0, e0, ord) =>
+            GraftInputPartition(p, s0, e0, len, pv, key, aligned = true,
+              dv = dv, dvTarget = dvTarget, startOrd = ord)
+          }
+          case None =>
+            Seq(GraftSources.wholeFilePartition(p, len, pv)
+              .copy(partKey = key, dv = dv, dvTarget = dvTarget))
+        }
+      }
       // a pushed OFFSET requires one partition in file order (the builder
       // already guaranteed a single file; never split it); compressed
       // members are inherently unsplittable
       else if (GraftSources.isCompressed(p))
         Seq(GraftSources.wholeFilePartition(p, len, pv).copy(partKey = key))
-      else if (offset >= 0 || withRowIndex ||
+      else if (offset >= 0 ||
           (metaAggCandidate && sidecarStats(p, len).isDefined))
-        // withRowIndex: an ordinal needs the whole file's order
         Seq(GraftInputPartition(p, 0, len, len, pv, key))
-      else blockRanges(p, len) match {
-        case Some(rs) => rs.map { case (s0, e0) =>
+      else blockRanges(p, len, needOrdinals = false) match {
+        case Some(rs) => rs.map { case (s0, e0, _) =>
           GraftInputPartition(p, s0, e0, len, pv, key, aligned = true)
         }
         case None =>
@@ -2027,6 +2056,11 @@ final class GraftCountPartitionReader(
     val base = baseCount()
     if (deleted == null) base
     else {
+      // the subtraction is whole-file arithmetic: a block-pruned range
+      // must never reach here (the planner keeps dv count scans whole)
+      require(part.start == 0 && part.end == part.fileLen,
+        s"pushed COUNT on a deletion-vector RANGE of '${part.path}' — " +
+          "mask cardinality only subtracts from whole-file counts")
       require(deleted.last < base,
         s"deletion vector ${part.dv} addresses ordinal ${deleted.last} but " +
           s"'${part.path}' has only $base rows — artifact/file mismatch")
@@ -2408,7 +2442,8 @@ final class GraftJsonColumnarReader(
       // drop mode needs full per-row validation: no saturation elision
       plate = new ColumnarPlate(schema,
         if (dvMask == null) filters else Array.empty,
-        saturate = saturate && !dropMalformed, mask = dvMask)
+        saturate = saturate && !dropMalformed, mask = dvMask,
+        maskStartOrd = part.startOrd)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -2454,7 +2489,8 @@ final class GraftCsvColumnarReader(
   private val plate =
     new ColumnarPlate(schema,
       if (dvMask == null) filters else Array.empty,
-      emptyCellsAsNull = true, mask = dvMask) // CSV: empty cell = NULL
+      emptyCellsAsNull = true, mask = dvMask,
+      maskStartOrd = part.startOrd) // CSV: empty cell = NULL
   // a mid-file range never sees the header row: hand it the column order
   private val effConfig =
     if (part.start > 0 && config.header && config.providedHeader.isEmpty)
@@ -2508,10 +2544,9 @@ final class GraftJsonPartitionReader(
     val raw = part.partValues(pi)
     (ri, if (raw == null) null else Conversions.fromString(dt, raw))
   }
-  // row ordinal within the FILE (the scan planned one whole-file
-  // partition when rowIdxSlot >= 0 or a deletion vector rides, so the
-  // counter IS the file ordinal)
-  private var rowOrdinal = 0L
+  // row ordinal within the FILE: whole-file partitions count from 0;
+  // block-pruned aligned ranges start at the planner-derived ordinal
+  private var rowOrdinal = part.startOrd
   // deletion vector: the file's deleted ordinals as validated runs —
   // O(runs) memory however many rows are masked; rows arrive in file
   // order, so the mask's pointer walk is O(1) amortized
@@ -2727,7 +2762,9 @@ final class GraftCsvPartitionReader(
     val raw = part.partValues(pi)
     (ri, if (raw == null) null else Conversions.fromString(dt, raw))
   }
-  private var rowOrdinal = 0L // file ordinal (whole-file partition)
+  // file ordinal: whole files count from 0, aligned block ranges from
+  // the planner-derived starting ordinal
+  private var rowOrdinal = part.startOrd
   // deletion vector (see the JSON reader): ascending mask + one pointer;
   // plate filters are disabled under a mask (residual upstream) so the
   // ordinal is always the row's true file position

@@ -638,6 +638,51 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.toSeq === want.filterNot(i => i >= 100 && i < 155))
   }
 
+  test("block skipping engages under masks: pruned ranges, ordinal-exact results") {
+    val d = dir("dvblocks")
+    val s = spark
+    import s.implicits._
+    (0L until 5000L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite")
+      .option("blockbytes", "2048").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 7 = 0")
+    GraftScan.lastBlocksPruned.set(-1)
+    val got = snap(d).filter(col("id") >= 4000L).orderBy("id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === (4000L until 5000L).filterNot(_ % 7 == 0))
+    assert(GraftScan.lastBlocksPruned.get > 0,
+      "a masked sorted file should still block-skip")
+    // withRowIndex over masked block ranges: survivors keep TRUE file
+    // ordinals even when their range starts mid-file (the sorted 0..N
+    // write makes ordinal == id independently derivable)
+    GraftScan.lastBlocksPruned.set(-1)
+    val prov = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, _graft_row_index BIGINT")
+      .option("snapshot", "true").option("withrowindex", "true").load(d)
+      .filter(col("id") >= 4000L)
+      .select("id", "_graft_row_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prov.nonEmpty)
+    assert(prov.forall { case (id, ord) => ord == id },
+      s"ordinal drift over block ranges: ${prov.find { case (id, o) => o != id }}")
+    assert(GraftScan.lastBlocksPruned.get > 0,
+      "withRowIndex should block-skip too when ordinals are derivable")
+    // csv: same, gated on the hdr order
+    val dc = dir("dvblocks-csv")
+    (0L until 3000L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-csv").mode("overwrite")
+      .option("blockbytes", "2048").save(dc)
+    TrainingData.deleteWhereDV(spark, dc, schema, "id % 5 = 0", format = "graft-csv")
+    GraftScan.lastBlocksPruned.set(-1)
+    val gotCsv = spark.read.format("graft-csv").schema(schema)
+      .option("snapshot", "true").load(dc)
+      .filter(col("id") >= 2500L).orderBy("id").collect().map(_.getLong(0))
+    assert(gotCsv.toSeq === (2500L until 3000L).filterNot(_ % 5 == 0))
+    assert(GraftScan.lastBlocksPruned.get > 0, "csv masked file should block-skip")
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
