@@ -2440,5 +2440,59 @@ object Sources {
               FROM customer WHERE c_custkey < 500)
             ORDER BY epoch, c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+  // ---------------------------------------------------------------- q211
+  // Auto-materialize dial (Delta's shape): deleteWhereDV(dvMaxRatio = x)
+  // escalates files whose CUMULATIVE mask density would exceed x to a
+  // COW rewrite of their post-delete survivors, committed in the SAME
+  // atomic entry as the light files' vectors. At 100 TB this is the
+  // policy that keeps near-dead files from dragging a mask through
+  // every scan while sparse deletes stay O(matches) metadata. The gate
+  // splits supplier into a dense-hit and a sparse-hit file and asserts
+  // the mixed outcome landed atomically and reads exactly.
+  private val q211 = GQuery(
+    "q211_dv_auto_materialize",
+    "dvMaxRatio: dense file escalates to COW, sparse file vectors, one atomic entry",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/dv_ratio"
+      val ddl = "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT"
+      Tables(s, d, "supplier")
+        .select($"s_suppkey".cast("long").as("s_suppkey"), $"s_name",
+          $"s_nationkey".cast("long").as("s_nationkey"))
+        .repartitionByRange(2, $"s_suppkey").sortWithinPartitions("s_suppkey")
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val rootP = new org.apache.hadoop.fs.Path(dir)
+      val v0 = graft.spark.GraftCommitLog.versions(fs, rootP).max
+      // dense over the LOW half (~80% of its file at ANY scale factor),
+      // sparse elsewhere — the half boundary is the range split point
+      val hi = Tables(s, d, "supplier")
+        .agg(max($"s_suppkey".cast("long"))).collect()(0).getLong(0)
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl,
+        s"s_suppkey % 5 < 4 AND s_suppkey <= ${hi / 2} OR s_suppkey % 17 = 0",
+        dvMaxRatio = 0.5)
+      require(graft.spark.GraftCommitLog.versions(fs, rootP).max == v0 + 1,
+        "escalation must land in ONE atomic entry")
+      val state = graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP, v0 + 1)
+      require(state.values.exists(_ != null), "expected the sparse file vectored")
+      require(state.values.exists(_ == null), "expected files without vectors")
+      s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"s_suppkey").as("key_sum"))
+        .orderBy($"s_nationkey")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+            FROM supplier
+            WHERE NOT (s_suppkey % 5 < 4 AND
+                       s_suppkey <= (SELECT CAST(max(s_suppkey) AS BIGINT) // 2
+                                     FROM supplier)
+                       OR s_suppkey % 17 = 0)
+            GROUP BY 1
+            ORDER BY s_nationkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }
