@@ -1613,9 +1613,13 @@ final class GraftScan(
     // ORDINAL from the preceding blocks' exact row counts (deletion-vector
     // masks and withRowIndex address whole-file ordinals) — engage only
     // when the block row counts provably sum to the file's row count.
-    def blockRanges(p: String, len: Long,
-        needOrdinals: Boolean): Option[Seq[(Long, Long, Long)]] = {
-      if (blockFilters.isEmpty) return None
+    // `splitOnly`: no pruning required — return block-aligned ranges
+    // covering the whole file, chopped at maxSplit, purely for task
+    // parallelism (how masked/row-indexed files split without byte-offset
+    // realignment, which would lose their ordinal base).
+    def blockRanges(p: String, len: Long, needOrdinals: Boolean,
+        splitOnly: Boolean = false): Option[Seq[(Long, Long, Long)]] = {
+      if (blockFilters.isEmpty && !splitOnly) return None
       // manifests are BLOCK-LESS by design (the one-small-read-per-
       // directory invariant) — blocks come from the per-file sidecar,
       // read lazily only for files file-level pruning kept and only when
@@ -1642,7 +1646,8 @@ final class GraftScan(
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, b.rows))
         }
       }
-      if (surviving.length == blocks.length) return None // nothing pruned
+      if (surviving.length == blocks.length && !splitOnly)
+        return None // nothing pruned
       blocksPruned += blocks.length - surviving.length
       // merge contiguous survivors into runs, chopped near maxSplit so a
       // big surviving region still parallelizes across tasks
@@ -1668,13 +1673,22 @@ final class GraftScan(
       // stamps them: both still BLOCK-SKIP when the sidecar's exact
       // per-block row counts derive each surviving range's starting
       // ordinal (blocks tile the file, counts sum to the file's rows —
-      // both provable from the recording). Without usable blocks — or
-      // under a pushed COMPLETE offset, which needs one in-order
-      // partition — the file reads whole.
+      // both provable from the recording), and both still SPLIT for task
+      // parallelism on those same block boundaries when nothing prunes —
+      // a big masked file must not serialize into one task. Pushed
+      // COUNT(*) stays whole (mask cardinality subtracts from whole-file
+      // counts only) and so do aggregate batteries (their per-partition
+      // fold contract is per-file). Without usable blocks — or under a
+      // pushed COMPLETE offset, which needs one in-order partition — the
+      // file reads whole.
       if (dv != null || withRowIndex) {
         val ranges =
           if (offset >= 0 || GraftSources.isCompressed(p)) None
-          else blockRanges(p, len, needOrdinals = true)
+          else blockRanges(p, len, needOrdinals = true).orElse {
+            if (len > maxSplit && !countStar && aggSpec.isEmpty)
+              blockRanges(p, len, needOrdinals = true, splitOnly = true)
+            else None
+          }
         ranges match {
           case Some(rs) => rs.map { case (s0, e0, ord) =>
             GraftInputPartition(p, s0, e0, len, pv, key, aligned = true,

@@ -683,6 +683,41 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftScan.lastBlocksPruned.get > 0, "csv masked file should block-skip")
   }
 
+  test("masked files split for parallelism on block boundaries (no filter needed)") {
+    val d = dir("dvsplit")
+    val s = spark
+    import s.implicits._
+    (0L until 6000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite")
+      .option("blockbytes", "2048").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 9 = 0")
+    // a plain full scan (no pushable filter) must still fan out: block
+    // boundaries give exact row starts AND each range's starting ordinal,
+    // so the mask applies per-range — the file must not serialize into
+    // one task
+    val df = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").option("maxsplitbytes", "16384").load(d)
+    assert(df.rdd.getNumPartitions > 1,
+      s"masked file read as ${df.rdd.getNumPartitions} partition(s) — " +
+        "the parallelism split did not engage")
+    val got = df.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 6000L).filterNot(_ % 9 == 0))
+    // row ordinals stay exact across the split ranges
+    val prov = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, _graft_row_index BIGINT")
+      .option("snapshot", "true").option("withrowindex", "true")
+      .option("maxsplitbytes", "16384").load(d)
+    assert(prov.rdd.getNumPartitions > 1)
+    val rows = prov.select("id", "_graft_row_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (id, ord) => ord == id },
+      s"ordinal drift: ${rows.find { case (id, o) => o != id }}")
+    // pushed COUNT(*) stays whole-file (mask subtraction is whole-file
+    // arithmetic) and still answers exactly
+    assert(df.count() === (0L until 6000L).count(_ % 9 != 0))
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
