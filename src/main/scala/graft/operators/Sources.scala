@@ -2469,14 +2469,28 @@ object Sources {
       // sparse elsewhere — the half boundary is the range split point
       val hi = Tables(s, d, "supplier")
         .agg(max($"s_suppkey".cast("long"))).collect()(0).getLong(0)
+      // pin WHICH file is the dense-hit one (the low key range) from its
+      // sidecar min, so the assertions below verify the dial's DIRECTION —
+      // "some file escalated" would also pass with the comparison inverted
+      val pre = graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP, v0).keySet
+      require(pre.size == 2, s"expected 2 files at v0, got ${pre.size}")
+      def minKey(n: String): Long =
+        graft.spark.FileStats.load(fs, new org.apache.hadoop.fs.Path(rootP, n))
+          .get.cols("s_suppkey").min.asInstanceOf[Number].longValue
+      val Seq(densePath, sparsePath) = pre.toSeq.sortBy(minKey)
       graft.api.TrainingData.deleteWhereDV(s, dir, ddl,
         s"s_suppkey % 5 < 4 AND s_suppkey <= ${hi / 2} OR s_suppkey % 17 = 0",
         dvMaxRatio = 0.5)
       require(graft.spark.GraftCommitLog.versions(fs, rootP).max == v0 + 1,
         "escalation must land in ONE atomic entry")
       val state = graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP, v0 + 1)
-      require(state.values.exists(_ != null), "expected the sparse file vectored")
-      require(state.values.exists(_ == null), "expected files without vectors")
+      require(!state.contains(densePath),
+        s"dense-hit file $densePath must escalate to COW (leave the live set)")
+      require(state.get(sparsePath).exists(_ != null),
+        s"sparse-hit file $sparsePath must stay live with a deletion vector")
+      val rewritten = state.keySet - sparsePath
+      require(rewritten.nonEmpty && rewritten.forall(state(_) == null),
+        "the COW rewrite's survivor file(s) must carry no vector")
       s.read.format("graft-json").schema(ddl)
         .option("snapshot", "true").load(dir)
         .groupBy($"s_nationkey")

@@ -1593,11 +1593,16 @@ final class GraftScan(
     // in pruned blocks are never parsed. JSON engages in lines mode (the
     // only mode the sink writes); CSV engages regardless of `splittable`
     // (exact boundaries need no delimiter-in-value assumption).
+    // one dial for EVERY consumer of recorded block boundaries — pruning
+    // AND the masked-file parallelism split below. dataskipping=false
+    // means "don't trust sidecars"; a split derived from a stale sidecar's
+    // boundaries is as wrong as a prune, so it honors the same opt-out.
+    val blockLanesUsable: Boolean =
+      options.getBoolean("dataskipping", true) &&
+        (!isJson ||
+          GraftSources.jsonMode(options.asCaseSensitiveMap()) == JsonParser.ValueStream)
     val blockFilters: Array[Filter] =
-      if (!options.getBoolean("dataskipping", true)) Array.empty
-      else if (isJson &&
-          GraftSources.jsonMode(options.asCaseSensitiveMap()) != JsonParser.ValueStream)
-        Array.empty
+      if (!blockLanesUsable) Array.empty
       else FilterEval.normalize((filters ++ runtimeFilters).filter(f =>
         f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     var blocksPruned = 0
@@ -1613,13 +1618,15 @@ final class GraftScan(
     // ORDINAL from the preceding blocks' exact row counts (deletion-vector
     // masks and withRowIndex address whole-file ordinals) — engage only
     // when the block row counts provably sum to the file's row count.
-    // `splitOnly`: no pruning required — return block-aligned ranges
-    // covering the whole file, chopped at maxSplit, purely for task
-    // parallelism (how masked/row-indexed files split without byte-offset
-    // realignment, which would lose their ordinal base).
+    // `splitWhenUnpruned`: when pruning keeps every block (or no filters
+    // pushed at all), still return block-aligned ranges covering the whole
+    // file, chopped at maxSplit, purely for task parallelism (how masked/
+    // row-indexed files split without byte-offset realignment, which would
+    // lose their ordinal base).
     def blockRanges(p: String, len: Long, needOrdinals: Boolean,
-        splitOnly: Boolean = false): Option[Seq[(Long, Long, Long)]] = {
-      if (blockFilters.isEmpty && !splitOnly) return None
+        splitWhenUnpruned: Boolean = false): Option[Seq[(Long, Long, Long)]] = {
+      if (!blockLanesUsable) return None
+      if (blockFilters.isEmpty && !splitWhenUnpruned) return None
       // manifests are BLOCK-LESS by design (the one-small-read-per-
       // directory invariant) — blocks come from the per-file sidecar,
       // read lazily only for files file-level pruning kept and only when
@@ -1646,7 +1653,7 @@ final class GraftScan(
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, b.rows))
         }
       }
-      if (surviving.length == blocks.length && !splitOnly)
+      if (surviving.length == blocks.length && !splitWhenUnpruned)
         return None // nothing pruned
       blocksPruned += blocks.length - surviving.length
       // merge contiguous survivors into runs, chopped near maxSplit so a
@@ -1684,11 +1691,8 @@ final class GraftScan(
       if (dv != null || withRowIndex) {
         val ranges =
           if (offset >= 0 || GraftSources.isCompressed(p)) None
-          else blockRanges(p, len, needOrdinals = true).orElse {
-            if (len > maxSplit && !countStar && aggSpec.isEmpty)
-              blockRanges(p, len, needOrdinals = true, splitOnly = true)
-            else None
-          }
+          else blockRanges(p, len, needOrdinals = true, splitWhenUnpruned =
+            len > maxSplit && !countStar && aggSpec.isEmpty)
         ranges match {
           case Some(rs) => rs.map { case (s0, e0, ord) =>
             GraftInputPartition(p, s0, e0, len, pv, key, aligned = true,

@@ -718,6 +718,27 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === (0L until 6000L).count(_ % 9 != 0))
   }
 
+  test("dataskipping=false disables the sidecar-derived split (file reads whole)") {
+    val d = dir("dvsplitoff")
+    val s = spark
+    import s.implicits._
+    (0L until 6000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite")
+      .option("blockbytes", "2048").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 9 = 0")
+    // the dial means "don't trust sidecars" — a split derived from a stale
+    // sidecar's block boundaries would shift mask ordinals, so the
+    // parallelism split must honor the opt-out exactly like pruning does
+    val df = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").option("maxsplitbytes", "16384")
+      .option("dataskipping", "false").load(d)
+    assert(df.rdd.getNumPartitions === 1,
+      "distrusted sidecars must not drive the parallelism split")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 6000L).filterNot(_ % 9 == 0))
+  }
+
   test("streaming followLog refuses a dv-carrying checkpoint seed") {
     val d = dir("stream")
     writeTable(d, n = 10L, parts = 1)
