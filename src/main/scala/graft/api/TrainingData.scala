@@ -1058,48 +1058,60 @@ object TrainingData {
       else graft.spark.DeletionVectors.readMask(conf,
         graft.spark.DeletionVectors.artifactPath(tbl.root, name), target)
 
-    // per processed file: the delta runs the range's vectors added
-    val deltas: Map[String, Array[(Long, Long)]] =
+    // per processed file, BOTH directions of the mask diff: ordinals
+    // deleted since (the cumulative-delete case) and ordinals UN-deleted
+    // since — a [[restoreTable]] re-attaching an older vector (or
+    // detaching one) legally SHRINKS a mask, and net-effect CDF expresses
+    // the resurfaced rows as inserts
+    val maskDiffs: Map[String, (Array[(Long, Long)], Array[(Long, Long)])] =
       s0.keysIterator.flatMap { f =>
         val (d0, d1) = (s0(f), s1(f))
         if (d0 == d1) None
         else {
           val (m0, m1) = (mask(d0, f), mask(d1, f))
-          val delta = m1.minus(m0)
-          val deltaCard = delta.iterator.map(r => r._2 - r._1).sum
-          // vectors are cumulative: the old mask must be contained in the
-          // new one, or the log was corrupted out-of-band — fail loudly
-          require(deltaCard == m1.cardinality - m0.cardinality,
-            s"changeFeed: deletion vector '$d1' for '$f' does not contain " +
-              s"its predecessor '$d0' — the artifacts disagree with the " +
-              "cumulative-merge contract")
-          if (deltaCard == 0L) None else Some(f -> delta)
+          val dels = m1.minus(m0)
+          val ins = m0.minus(m1)
+          if (dels.isEmpty && ins.isEmpty) None else Some(f -> (dels, ins))
         }
       }.toMap
+    val delDeltas = maskDiffs.collect { case (f, (d, _)) if d.nonEmpty => f -> d }
+    val insDeltas = maskDiffs.collect { case (f, (_, i)) if i.nonEmpty => f -> i }
 
     val fileCol = graft.spark.GraftSources.FilePathCol
     val idxCol = graft.spark.GraftSources.RowIndexCol
     val dataCols = tbl.fullSchema.fieldNames.toSeq
 
-    val deletes: Option[DataFrame] = if (deltas.isEmpty) None else {
-      val scanSchema = StructType(tbl.phase1Schema.fields :+
-        StructField(idxCol, LongType))
-      val deltaB = spark.sparkContext.broadcast(deltas)
-      val inDelta = udf { (f: String, ord: Long) =>
-        val runs = deltaB.value.getOrElse(f, Array.empty[(Long, Long)])
+    val scanSchema = StructType(tbl.phase1Schema.fields :+
+      StructField(idxCol, LongType))
+    // ordinal-filtered read of specific rows in specific files, pinned at
+    // the version where those ordinals are VISIBLE (not masked)
+    def ordinalRows(runsByFile: Map[String, Array[(Long, Long)]],
+        atVersion: Long, changeType: String): DataFrame = {
+      val runsB = spark.sparkContext.broadcast(runsByFile)
+      val inRuns = udf { (f: String, ord: Long) =>
+        val runs = runsB.value.getOrElse(f, Array.empty[(Long, Long)])
         // runs are few per file; linear probe is fine map-side
         runs.exists { case (s, e) => ord >= s && ord < e }
       }
-      Some(spark.read.format(format).schema(scanSchema)
+      spark.read.format(format).schema(scanSchema)
         .option("withfilepath", "true").option("withrowindex", "true")
-        .option("versionasof", sinceVersion.toString)
+        .option("versionasof", atVersion.toString)
         .option("restrictfiles", graft.spark.GraftSources.joinFileList(
-          deltas.keys.toSeq.sorted, "restrictfiles"))
+          runsByFile.keys.toSeq.sorted, "restrictfiles"))
         .load(dir)
-        .filter(inDelta(col(fileCol), col(idxCol)))
+        .filter(inRuns(col(fileCol), col(idxCol)))
         .select(dataCols.map(col): _*)
-        .withColumn(ChangeTypeCol, lit("delete")))
+        .withColumn(ChangeTypeCol, lit(changeType))
     }
+
+    // rows deleted since: visible at sinceVersion (they were masked later)
+    val deletes: Option[DataFrame] =
+      if (delDeltas.isEmpty) None
+      else Some(ordinalRows(delDeltas, sinceVersion, "delete"))
+    // rows a restore un-deleted since: visible at latest (mask came off)
+    val resurfaced: Option[DataFrame] =
+      if (insDeltas.isEmpty) None
+      else Some(ordinalRows(insDeltas, tbl.latest, "insert"))
 
     val added = (s1.keySet -- s0.keySet).toSeq.sorted
     val inserts: Option[DataFrame] = if (added.isEmpty) None else
@@ -1111,12 +1123,109 @@ object TrainingData {
         .select(dataCols.map(col): _*)
         .withColumn(ChangeTypeCol, lit("insert")))
 
-    (deletes, inserts) match {
-      case (Some(d), Some(i)) => d.unionByName(i)
-      case (Some(d), None) => d
-      case (None, Some(i)) => i
-      case (None, None) => empty
-    }
+    (deletes.toSeq ++ resurfaced.toSeq ++ inserts.toSeq)
+      .reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
+  /** RESTORE the table to `version` — Delta's RESTORE TABLE shape: ONE
+    * atomic commit makes the latest state (live files + deletion vectors
+    * + recorded schema) equal the state as of `version`, leaving every
+    * intermediate version readable: the restore is just another commit,
+    * nothing is erased, and time travel across it keeps working.
+    *
+    * METADATA-ONLY — zero data movement at any table size: files added
+    * since `version` are retired (`r`), files retired since are re-pinned
+    * (`f` — they must still exist physically), the target version's
+    * deletion vectors are re-attached (`d`, the artifact must survive;
+    * a vector may target a file re-pinned by the same entry), and a
+    * vector present now but absent at `version` is detached by retiring
+    * and re-pinning its file in the same entry. Files whose bytes were
+    * physically reclaimed (a rewrite with retainHistory=false,
+    * [[expireRetired]], [[vacuumOrphans]]) refuse LOUDLY — no metadata
+    * commit can resurrect deleted bytes.
+    *
+    * Schema: if the recorded schema changed since `version` (ALTER,
+    * mergeschema, widening), the target version's schema is re-recorded
+    * in the same entry — a restore across a RENAME restores the old
+    * logical name (the physical keys in the data files never moved). A
+    * table whose tracking started after `version` keeps its current
+    * recorded schema (there is no "un-record" line; name-keyed reads of
+    * the older files are unaffected).
+    *
+    * Concurrency: the same OCC class as the other maintenance ops — a
+    * racing DELETE/rewrite on any touched file aborts this commit loudly
+    * (removesBase/dvBase validation); a racing plain append survives the
+    * restore, exactly as it survives [[optimizeTable]].
+    *
+    * Incremental consumers: the restore entry carries removes/vectors, so
+    * `changesSinceVersion`/followLog refuse it loudly (or skip it whole
+    * under `skipchangecommits`), and [[changeFeed]] expresses it as
+    * net-effect row diffs — rows a restore un-deletes surface as
+    * `_change_type='insert'`.
+    *
+    * Returns the committed version, or -1 when the table is already in
+    * the target state (no commit written).
+    */
+  def restoreTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      version: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty, s"restoreTable needs a graft commit log under $dir")
+    val latest = vs.max
+    require(version <= latest,
+      s"restoreTable: version $version is ahead of the latest ($latest)")
+    // liveStateAsOf gives the targeted unknown-version / expired-history
+    // errors; STRICT schema reads — an IO blip must abort the restore,
+    // never silently skip its metadata half
+    val target = log.liveStateAsOf(fs, root, version)
+    val cur = log.liveStateAsOf(fs, root, latest)
+    val targetSchema = log.schemaAsOfStrict(fs, root, version)
+    val latestSchema = log.schemaAsOfStrict(fs, root, latest)
+    val schemaChange: Option[(org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType)] =
+      (targetSchema, latestSchema) match {
+        case (Some(t), Some(l))
+            if !graft.spark.GraftSink.sameTypeIgnoreNullability(t, l) =>
+          Some((t, l))
+        case _ => None
+      }
+    // detach = live in both but the vector must COME OFF (no `d <none>`
+    // line exists): retire + re-pin the path in one entry
+    val detach = target.keysIterator.filter(f =>
+      cur.getOrElse(f, null) != null && target(f) == null).toSeq
+    val removes = ((cur.keySet -- target.keySet) ++ detach).toSeq.sorted
+    val repins = (target.keySet -- cur.keySet).toSeq
+    val adds = (repins ++ detach).sorted
+    val dvs = target.iterator.collect {
+      case (f, d) if d != null && cur.getOrElse(f, null) != d => (d, f)
+    }.toSeq.sortBy(_._2)
+    val dvBase: Map[String, String] = dvs.collect {
+      case (_, f) if cur.contains(f) => f -> cur(f)
+    }.toMap
+    if (removes.isEmpty && adds.isEmpty && dvs.isEmpty && schemaChange.isEmpty)
+      return -1L
+    val missing = repins.filterNot(f => fs.exists(new Path(root, f))).sorted
+    require(missing.isEmpty,
+      s"restoreTable to version $version under $dir: ${missing.size} file(s) " +
+        s"retired since are physically gone (e.g. '${missing.headOption.getOrElse("")}') " +
+        "— a rewrite with retainHistory=false, expireRetired, or vacuum " +
+        "reclaimed them; restore is metadata-only and cannot resurrect " +
+        "deleted bytes")
+    val missingDv = dvs.collect { case (d, f) if !fs.exists(
+      graft.spark.DeletionVectors.artifactPath(root, d)) => (d, f) }
+    require(missingDv.isEmpty,
+      s"restoreTable to version $version under $dir: deletion-vector " +
+        s"artifact '${missingDv.headOption.map(_._1).getOrElse("")}' for " +
+        s"'${missingDv.headOption.map(_._2).getOrElse("")}' is physically " +
+        "gone — its masks cannot be re-attached")
+    log.appendEntry(spark.sparkContext.hadoopConfiguration, dir,
+      adds = adds, removes = removes,
+      schema = schemaChange.map(_._1).orNull,
+      schemaBase = schemaChange.map(_._2).orNull,
+      dvs = dvs, dvBase = dvBase, removesBase = latest)
   }
 
   /** Resolved COW-rewrite context: latest committed snapshot, layout

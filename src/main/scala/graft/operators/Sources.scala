@@ -2508,5 +2508,53 @@ object Sources {
             GROUP BY 1
             ORDER BY s_nationkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+  // ---------------------------------------------------------------- q212
+  // RESTORE TABLE (the Delta shape): one atomic METADATA-ONLY commit
+  // rolls the table back to a prior version — files added since are
+  // retired, deletion vectors detached (retire + re-pin in the same
+  // entry), retired files re-pinned — with ALL intermediate history
+  // still readable. At 100 TB this is the bad-ingest undo button: zero
+  // data movement, O(files-touched) log actions.
+  private val q212 = GQuery(
+    "q212_restore_table",
+    "restoreTable: post-restore snapshot equals the target version, history intact",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/restore"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE"
+      val customer = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+      customer.filter($"c_custkey" < 800)
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      customer.filter($"c_custkey" >= 800 && $"c_custkey" < 1000)
+        .write.format("graft-json").mode("append").save(dir) // v1
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl, "c_custkey % 7 = 0") // v2
+      customer.filter($"c_custkey" >= 1000 && $"c_custkey" < 1100)
+        .write.format("graft-json").mode("append").save(dir) // v3
+      val rootP = new org.apache.hadoop.fs.Path(dir)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val restored = graft.api.TrainingData.restoreTable(s, dir, 1L)
+      require(restored == 4L, s"expected the restore to commit version 4, got $restored")
+      require(graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP, 4L) ==
+        graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP, 1L),
+        "post-restore live state must equal the target version's")
+      // intermediate history stays readable: v2 still sees the masked rows
+      val v2n = s.read.format("graft-json").schema(ddl)
+        .option("versionasof", "2").load(dir).count()
+      val expectV2 = customer
+        .filter($"c_custkey" < 1000 && !($"c_custkey" % 7 === 0)).count()
+      require(v2n == expectV2, s"versionAsOf=2 after restore: $v2n rows, want $expectV2")
+      // restoring to the state the table is already in is a no-op
+      require(graft.api.TrainingData.restoreTable(s, dir, 1L) == -1L,
+        "second restore to the same state must be a no-op")
+      s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance
+            FROM customer WHERE c_custkey < 1000
+            ORDER BY c_custkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
 }

@@ -799,7 +799,9 @@ private[graft] object GraftCommitLog {
     val dir = logDir(rootPath)
     fs.mkdirs(dir)
     val relRemoves = removes.map(relativize(fs, rootQ, _))
+    val relAdds = adds.map(relativize(fs, rootQ, _))
     val relDvs = dvs.map { case (dvn, t) => (dvn, relativize(fs, rootQ, t)) }
+    val relAddSet = relAdds.toSet
 
     // COMMIT-TIME CONFLICT DETECTION for rewrites (Delta's optimistic-
     // concurrency shape, simplified): two racing rewrites both pass
@@ -856,20 +858,31 @@ private[graft] object GraftCommitLog {
             "snapshot")
       }
       relDvs.foreach { case (_, t) =>
-        if (!live.contains(t))
-          throw new java.util.ConcurrentModificationException(
-            s"commit log under $root: the commit would attach a deletion " +
-              s"vector to '$t', which is not live at the current version — a " +
-              "concurrent rewrite retired it; re-run the delete against the " +
-              "current snapshot")
-        val cur = live(t)
-        val expected = dvBase.getOrElse(t, null)
-        if (cur != expected)
-          throw new java.util.ConcurrentModificationException(
-            s"commit log under $root: '$t' carries deletion vector " +
-              s"'$cur' but this commit merged from '$expected' — a concurrent " +
-              "DELETE landed first; re-run against the current snapshot (a " +
-              "stale merge would silently drop the racer's deletes)")
+        if (relAddSet.contains(t)) {
+          // a vector may target a file ADDED by this same entry — the
+          // RESTORE re-pin shape (`f` precedes `d` in the body, so the
+          // fold sees the add first). No prior state exists to race
+          // against, so the merge base must be none.
+          require(dvBase.getOrElse(t, null) == null,
+            s"commit log under $root: the commit attaches a deletion vector " +
+              s"to '$t', a file it adds itself, but declares a merge base — " +
+              "malformed commit")
+        } else {
+          if (!live.contains(t))
+            throw new java.util.ConcurrentModificationException(
+              s"commit log under $root: the commit would attach a deletion " +
+                s"vector to '$t', which is not live at the current version — a " +
+                "concurrent rewrite retired it; re-run the delete against the " +
+                "current snapshot")
+          val cur = live(t)
+          val expected = dvBase.getOrElse(t, null)
+          if (cur != expected)
+            throw new java.util.ConcurrentModificationException(
+              s"commit log under $root: '$t' carries deletion vector " +
+                s"'$cur' but this commit merged from '$expected' — a concurrent " +
+                "DELETE landed first; re-run against the current snapshot (a " +
+                "stale merge would silently drop the racer's deletes)")
+        }
       }
     }
     validate()
@@ -918,12 +931,18 @@ private[graft] object GraftCommitLog {
       // monotonically, so a skewed writer clock can never reorder time.
       val ts = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
       val header = "graft-commit v5"
+      // line order is LOAD-BEARING for the in-order state fold: `r` before
+      // `f` (a RESTORE may retire-and-re-pin the same path to detach its
+      // vector) and `f` before `d` (a vector may target a file this entry
+      // adds). Every reader folds sequentially, so old entries with the
+      // historical d-before-f order keep folding correctly — they never
+      // target in-entry adds.
       (header +:
           (Seq(s"t $ts") ++
             (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
             relRemoves.map("r " + _) ++
-            relDvs.map { case (dvn, t) => s"d $dvn $t" } ++
-            adds.map(f => "f " + relativize(fs, rootQ, f))))
+            relAdds.map("f " + _) ++
+            relDvs.map { case (dvn, t) => s"d $dvn $t" }))
         .mkString("", "\n", "\n")
     }
 
