@@ -770,10 +770,9 @@ object TrainingData {
       format: String = "graft-json",
       dvMaxRatio: Double = 1.0,
       retainHistory: Boolean = false): Seq[String] = {
-    require(format == "graft-json" || format == "graft-csv",
-      s"deleteWhereDV supports graft-json/graft-csv, not $format — the " +
-        "row-ordinal address space (withRowIndex) and the read-time mask " +
-        "are text-reader concepts; use deleteWhere (copy-on-write) instead")
+    require(format == "graft-json" || format == "graft-csv" ||
+        format == "graft-avro",
+      s"deleteWhereDV supports graft-json/graft-csv/graft-avro, not $format")
     require(dvMaxRatio > 0.0 && dvMaxRatio <= 1.0,
       s"dvMaxRatio must be in (0, 1], got $dvMaxRatio")
     val tbl = resolveCow(spark, dir, schema)
@@ -808,9 +807,17 @@ object TrainingData {
         if (dvMaxRatio >= 1.0) Set.empty
         else counts.keySet.filter { f =>
           val p = new org.apache.hadoop.fs.Path(tbl.root, f)
-          val rows = try graft.spark.FileStats.loadFor(
+          // row counts: stats sidecar for the text formats; avro files
+          // carry none, but their block headers hold per-block object
+          // counts — a decode-free driver-side walk
+          val rows = try {
+            if (format == "graft-avro")
+              Some(graft.spark.GraftAvro.countRecords(
+                spark.sparkContext.hadoopConfiguration, p, 0L,
+                tbl.fs.getFileStatus(p).getLen))
+            else graft.spark.FileStats.loadFor(
               tbl.fs, p, tbl.fs.getFileStatus(p).getLen).map(_.rows)
-            catch { case _: Exception => None }
+          } catch { case _: Exception => None }
           rows.exists { r =>
             val prior = state.getOrElse(f, null) match {
               case null => 0L
@@ -923,8 +930,9 @@ object TrainingData {
   def updateWhereDV(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, predicate: String, set: Map[String, String],
       format: String = "graft-json"): Seq[String] = {
-    require(format == "graft-json" || format == "graft-csv",
-      s"updateWhereDV supports graft-json/graft-csv, not $format")
+    require(format == "graft-json" || format == "graft-csv" ||
+        format == "graft-avro",
+      s"updateWhereDV supports graft-json/graft-csv/graft-avro, not $format")
     require(set.nonEmpty, "updateWhereDV needs at least one SET column")
     val tbl = resolveCow(spark, dir, schema)
     val state = graft.spark.GraftCommitLog.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
@@ -1022,8 +1030,9 @@ object TrainingData {
   def changeFeed(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, sinceVersion: Long,
       format: String = "graft-json"): DataFrame = {
-    require(format == "graft-json" || format == "graft-csv",
-      s"changeFeed supports graft-json/graft-csv, not $format")
+    require(format == "graft-json" || format == "graft-csv" ||
+        format == "graft-avro",
+      s"changeFeed supports graft-json/graft-csv/graft-avro, not $format")
     val tbl = resolveCow(spark, dir, schema)
     val log = graft.spark.GraftCommitLog
     val vs = log.versions(tbl.fs, tbl.root)

@@ -2556,5 +2556,48 @@ object Sources {
             FROM customer WHERE c_custkey < 1000
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
+  // ---------------------------------------------------------------- q213
+  // Avro joins the merge-on-read surface: deletion vectors mask by
+  // whole-file record ordinal, updateWhereDV lands masks + updated rows
+  // in one atomic entry through the avro sink's commit riders, and
+  // pushed COUNT(*) answers block-header sums minus mask cardinality —
+  // zero datum decodes. The binary format gets the same row-level
+  // maintenance the text formats have.
+  private val q213 = GQuery(
+    "q213_avro_dv",
+    "avro deletion vectors: DV delete + DV update, snapshot read exact",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/avro_dv"
+      val ddl = "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT"
+      Tables(s, d, "supplier")
+        .select($"s_suppkey".cast("long").as("s_suppkey"), $"s_name",
+          $"s_nationkey".cast("long").as("s_nationkey"))
+        .repartitionByRange(2, $"s_suppkey").sortWithinPartitions("s_suppkey")
+        .write.format("graft-avro").mode("overwrite").save(dir) // v0
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl,
+        "s_suppkey % 3 = 0", format = "graft-avro") // v1
+      val rootP = new org.apache.hadoop.fs.Path(dir)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val v1 = graft.spark.GraftCommitLog.versions(fs, rootP).max
+      graft.api.TrainingData.updateWhereDV(s, dir, ddl, "s_suppkey % 5 = 1",
+        Map("s_name" -> "concat(s_name, '*')"), format = "graft-avro") // v2
+      require(graft.spark.GraftCommitLog.versions(fs, rootP).max == v1 + 1,
+        "DV update must land masks + new rows in ONE atomic entry")
+      val snap = s.read.format("graft-avro").schema(ddl)
+        .option("snapshot", "true").load(dir)
+      // pushed COUNT(*) under masks: block-header sums minus cardinality
+      val expect = snap.collect().length.toLong
+      require(snap.count() == expect,
+        s"pushed COUNT(*) disagrees with the row read: ${snap.count()} vs $expect")
+      snap.orderBy($"s_suppkey")
+    },
+    Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                   CASE WHEN s_suppkey % 5 = 1 THEN s_name || '*' ELSE s_name END
+                     AS s_name,
+                   CAST(s_nationkey AS BIGINT) AS s_nationkey
+            FROM supplier WHERE s_suppkey % 3 <> 0
+            ORDER BY s_suppkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 }

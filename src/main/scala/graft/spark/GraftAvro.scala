@@ -374,6 +374,32 @@ object GraftAvro {
     } finally in.close()
   }
 
+  /** Record count over `[start, end)` by walking BLOCK HEADERS — object
+    * counts are stored per block, so no datum decodes. `(0, fileLen)`
+    * counts the whole file: the pushed-COUNT(*) fast path, and the row
+    * count the dvMaxRatio escalation dial assesses mask density against
+    * (avro files carry no stats sidecar). `end` must be a real byte
+    * position ≤ the file length — `pastSync` misbehaves on sentinel
+    * values like Long.MaxValue.
+    */
+  def countRecords(conf: org.apache.hadoop.conf.Configuration, p: Path,
+      start: Long, end: Long): Long = {
+    val in = new FsInput(p, conf)
+    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    var total = 0L
+    try {
+      reader.sync(start)
+      var going = true
+      while (going && !reader.pastSync(end)) {
+        try {
+          reader.nextBlock()
+          total += reader.getBlockCount
+        } catch { case _: java.util.NoSuchElementException => going = false }
+      }
+    } finally reader.close()
+    total
+  }
+
   def codecFor(name: String): CodecFactory = name match {
     case null | "" | "none" | "null" => CodecFactory.nullCodec()
     case "deflate" => CodecFactory.deflateCodec(CodecFactory.DEFAULT_DEFLATE_LEVEL)
@@ -418,12 +444,10 @@ final class GraftAvroTable(
     // mergeschema: the avro read path resolves each file's embedded
     // schema, not the log's merged one, so accepting the merge would
     // record a schema the reader cannot yet serve — refuse.
-    Seq("check", "commitremoves", "commitremovesversion", "commitdvs",
-        "commitdvsbase", "mergeschema").foreach { opt =>
+    Seq("check", "mergeschema").foreach { opt =>
       require(info.options.get(opt) == null,
         s"graft-avro does not support option('$opt', ...) yet — " +
-          "use graft-json/graft-csv for CHECK constraints, COW rewrites, " +
-          "and schema evolution")
+          "use graft-json/graft-csv for CHECK constraints and schema evolution")
     }
     new GraftAvroWriteBuilder(
       Option(info.options.get("path")).orElse(Option(properties.get("path")))
@@ -433,7 +457,13 @@ final class GraftAvroTable(
       Option(info.options.get("codec"))
         .orElse(Option(properties.get("codec"))).getOrElse("none")
         .toLowerCase(java.util.Locale.ROOT),
-      info.queryId())
+      info.queryId(),
+      // COW rewrite / merge-on-read commit riders (same contract as the
+      // json/csv sinks: adds, removes, and dv attachments in ONE entry)
+      GraftSources.commitRemoves(info.options),
+      GraftSources.commitRemovesBase(info.options),
+      GraftSources.commitDvs(info.options),
+      GraftSources.commitDvBase(info.options))
   }
 }
 
@@ -487,19 +517,29 @@ final class GraftAvroScan(
 
   private val maxSplit =
     Option(options.get("maxsplitbytes")).map(_.toLong).getOrElse(32L << 20)
+  private val withRowIndex = options.getBoolean("withrowindex", false)
+
+  // one listing serves planInputPartitions AND createReaderFactory (the
+  // partCols carry withFilePath's synthetic provenance column)
+  private lazy val listing = GraftSources.resolvePartitioned(options)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val listed = GraftSources.resolvePartitioned(options).files
-    // defensive: deleteWhereDV refuses avro tables, so no legitimate log
-    // carries a `d` line for one — but the avro reader has no mask path
-    DeletionVectors.requireNone(listed, "graft-avro")
-    val files = listed.map(f => (f.path, f.len))
-    files.flatMap { case (p, len) =>
-      // container files realign on sync markers, so ranges are safe; the
-      // header (read by every task) is tiny relative to a split
-      val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
-      (0L until n).map { i =>
-        GraftInputPartition(p, i * maxSplit, math.min(len, (i + 1) * maxSplit), len)
+    listing.files.flatMap { lf =>
+      if (lf.dv != null || withRowIndex)
+        // a deletion vector masks WHOLE-FILE record ordinals and
+        // withRowIndex stamps them; avro carries no per-range ordinal
+        // base (a sync-realigned split cannot know how many records
+        // precede it), so such a file reads as one partition
+        Seq(GraftInputPartition(lf.path, 0, lf.len, lf.len, lf.partValues,
+          dv = lf.dv, dvTarget = lf.dvTarget))
+      else {
+        // container files realign on sync markers, so ranges are safe;
+        // the header (read by every task) is tiny relative to a split
+        val n = math.max(1L, (lf.len + maxSplit - 1) / maxSplit)
+        (0L until n).map { i =>
+          GraftInputPartition(lf.path, i * maxSplit,
+            math.min(lf.len, (i + 1) * maxSplit), lf.len, lf.partValues)
+        }
       }
     }.toArray
   }
@@ -508,13 +548,17 @@ final class GraftAvroScan(
     // column mapping (ALTER RENAME): avro resolves reader fields BY NAME
     // against the file's embedded schema, so the pruned reader schema
     // must carry PHYSICAL names — output rows are positional, so Spark
-    // still sees the logical readSchema
+    // still sees the logical readSchema. Synthetic/partition-served
+    // columns (withFilePath provenance, withRowIndex ordinals, hive k=v
+    // values) are never in the data files, so they keep logical names.
     val phys = GraftSources.physMapFor(options)
+    val synthetic = listing.partCols.toSet + GraftSources.RowIndexCol
     val parseRequired =
       if (phys.isEmpty) required
       else StructType(required.fields.map(f =>
-        phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
-    new GraftAvroReaderFactory(parseRequired, countStar,
+        if (synthetic.contains(f.name)) f
+        else phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    new GraftAvroReaderFactory(parseRequired, listing.partCols, countStar,
       new SerializableConfiguration(GraftSources.activeHadoopConf()))
   }
 
@@ -527,24 +571,39 @@ final class GraftAvroScan(
 
 final class GraftAvroReaderFactory(
     required: StructType,
+    partCols: Seq[String],
     countStar: Boolean,
     conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     if (countStar) new GraftAvroCountReader(p, conf.value)
-    else new GraftAvroPartitionReader(p, required, conf.value)
+    else new GraftAvroPartitionReader(p, required, partCols, conf.value)
   }
 }
 
 /** Range reader: sync to the first marker at/after `start`, stop once past
   * `end`. Projection rides the reader schema (decoder-level skip).
+  * Partition-served columns (hive k=v values and withFilePath's synthetic
+  * provenance) fill from the listing's per-file values; `withRowIndex`
+  * stamps whole-file record ordinals; a deletion vector drops masked
+  * ordinals before they surface (the planner guarantees such partitions
+  * cover the whole file, so ordinals are exact).
   */
 final class GraftAvroPartitionReader(
     part: GraftInputPartition,
     required: StructType,
+    partCols: Seq[String],
     conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
+
+  // slot plan: avro-decoded fields vs partition-served vs the ordinal
+  private val idxSlot = required.fieldNames.indexOf(GraftSources.RowIndexCol)
+  private val dataFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
+    required.fields.zipWithIndex.filterNot { case (f, i) =>
+      i == idxSlot || partCols.contains(f.name)
+    }
+  private val dataSchema = StructType(dataFields.map(_._1))
 
   private val in = new FsInput(new Path(part.path), conf)
   private val reader = {
@@ -552,33 +611,78 @@ final class GraftAvroPartitionReader(
     // schema is installed before any datum decodes (setExpected)
     val datumReader = new GenericDatumReader[GenericRecord]()
     val r = new DataFileReader[GenericRecord](in, datumReader)
-    datumReader.setExpected(GraftAvro.prunedReaderSchema(r.getSchema, required))
+    datumReader.setExpected(GraftAvro.prunedReaderSchema(r.getSchema, dataSchema))
     r.sync(part.start)
     r
   }
   private val convs: Array[GraftAvro.Conv] =
-    required.fields.map(f => GraftAvro.readerConv(f.dataType))
+    dataFields.map { case (f, _) => GraftAvro.readerConv(f.dataType) }
   private var reuse: GenericRecord = _
   private val row = new GenericInternalRow(required.length)
+  // partition-served slots are per-file constants: fill once
+  required.fields.zipWithIndex.foreach { case (f, i) =>
+    val pc = partCols.indexOf(f.name)
+    if (pc >= 0)
+      row.update(i, GraftAvroPartitionReader.typedPartValue(f,
+        if (pc < part.partValues.length) part.partValues(pc) else null))
+  }
+  private val mask =
+    if (part.dv == null) DeletionVectors.Mask.Empty
+    else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
+  private var ord = -1L
   private var done = false
 
   override def next(): Boolean = {
-    if (done) return false
-    if (!reader.hasNext || reader.pastSync(part.end)) { done = true; return false }
-    reuse = reader.next(reuse)
-    var i = 0
-    while (i < convs.length) {
-      val v = reuse.get(i)
-      row.update(i, if (v == null) null else convs(i)(v))
-      i += 1
+    while (!done) {
+      if (!reader.hasNext || reader.pastSync(part.end)) { done = true; return false }
+      reuse = reader.next(reuse)
+      ord += 1
+      if (!mask.masked(ord)) {
+        var j = 0
+        while (j < convs.length) {
+          val v = reuse.get(j)
+          row.update(dataFields(j)._2, if (v == null) null else convs(j)(v))
+          j += 1
+        }
+        if (idxSlot >= 0) row.update(idxSlot, ord)
+        return true
+      }
     }
-    true
+    false
   }
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
 }
 
-/** Decode-free COUNT(*): walk block headers in the range, sum counts. */
+object GraftAvroPartitionReader {
+  /** Partition-directory values are strings; serve them under the
+    * reader's declared type. The supported set mirrors what the sinks
+    * render into k=v paths (plus the synthetic string provenance column);
+    * anything else refuses loudly rather than guessing a parse.
+    */
+  private[spark] def typedPartValue(
+      f: org.apache.spark.sql.types.StructField, raw: String): Any = {
+    if (raw == null) return null
+    f.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case LongType => raw.toLong
+      case org.apache.spark.sql.types.IntegerType => raw.toInt
+      case org.apache.spark.sql.types.DoubleType => raw.toDouble
+      case org.apache.spark.sql.types.BooleanType => raw.toBoolean
+      case dt => throw new IllegalArgumentException(
+        s"graft-avro: partition column '${f.name}' declared as $dt — " +
+          "avro reads serve partition values as STRING/INT/BIGINT/DOUBLE/" +
+          "BOOLEAN only")
+    }
+  }
+}
+
+/** Decode-free COUNT(*): walk block headers in the range, sum counts. A
+  * deletion vector subtracts its cardinality (the planner guarantees a
+  * masked file arrives as ONE whole-file partition, so the block sum is
+  * the file's full record count).
+  */
 final class GraftAvroCountReader(
     part: GraftInputPartition,
     conf: org.apache.hadoop.conf.Configuration)
@@ -589,19 +693,15 @@ final class GraftAvroCountReader(
 
   override def next(): Boolean = {
     if (emitted) return false
-    val in = new FsInput(new Path(part.path), conf)
-    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    var total = 0L
-    try {
-      reader.sync(part.start)
-      var going = true
-      while (going && !reader.pastSync(part.end)) {
-        try {
-          reader.nextBlock()
-          total += reader.getBlockCount
-        } catch { case _: java.util.NoSuchElementException => going = false }
-      }
-    } finally reader.close()
+    var total = GraftAvro.countRecords(conf, new Path(part.path), part.start, part.end)
+    if (part.dv != null) {
+      val m = DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
+      require(m.cardinality <= total && m.last < total,
+        s"graft-avro count: deletion vector for '${part.dvTarget}' addresses " +
+          s"ordinal ${m.last} but the file holds $total records — artifact/" +
+          "file mismatch (out-of-band rewrite?)")
+      total -= m.cardinality
+    }
     row.setLong(0, total)
     emitted = true
     true
@@ -617,7 +717,11 @@ final class GraftAvroWriteBuilder(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String,
-    queryId: String)
+    queryId: String,
+    removes: Seq[String] = Nil,
+    removesBase: Long = -1L,
+    dvs: Seq[(String, String)] = Nil,
+    dvBase: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -625,7 +729,8 @@ final class GraftAvroWriteBuilder(
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId)
+      new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId,
+        removes, removesBase, dvs, dvBase)
   }
 }
 
@@ -635,8 +740,19 @@ final class GraftAvroBatchWrite(
     conf: SerializableConfiguration,
     codec: String,
     doTruncate: Boolean,
-    queryId: String)
+    queryId: String,
+    removes: Seq[String],
+    removesBase: Long,
+    dvs: Seq[(String, String)],
+    dvBase: Map[String, String])
     extends BatchWrite {
+
+  require(removes.isEmpty || !doTruncate,
+    "option(\"commitremoves\", ...) is meaningless with mode(\"overwrite\") — " +
+      "the truncate wipes the commit log the removes would amend")
+  require(dvs.isEmpty || !doTruncate,
+    "option(\"commitdvs\", ...) is meaningless with mode(\"overwrite\") — " +
+      "the truncate wipes the commit log the vectors would amend")
 
   private var commitSchema: GraftSink.ResolvedSchema =
     GraftSink.ResolvedSchema(schema, null)
@@ -667,10 +783,11 @@ final class GraftAvroBatchWrite(
   }
   // same put-if-absent commit log as the json/csv sinks (docs/
   // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion
-  // / vacuum safety for free through the shared listing
+  // / vacuum safety for free through the shared listing, and the
+  // removes/dv riders make COW rewrites and merge-on-read atomic
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitLog.append(conf.value, path, messages,
-      schema = commitSchema.record, schemaBase = commitSchema.base)
+    GraftCommitLog.append(conf.value, path, messages, removes,
+      commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

@@ -311,12 +311,12 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("deletion vector")), msgs(e).mkString(" | "))
   }
 
-  test("deleteWhereDV refuses non-text formats") {
+  test("deleteWhereDV refuses unknown formats (avro is supported — GraftAvroDvSpec)") {
     val e = intercept[IllegalArgumentException] {
-      TrainingData.deleteWhereDV(spark, dir("avro"), schema, "id = 1",
-        format = "graft-avro")
+      TrainingData.deleteWhereDV(spark, dir("parquetfmt"), schema, "id = 1",
+        format = "parquet")
     }
-    assert(e.getMessage.contains("graft-json/graft-csv"))
+    assert(e.getMessage.contains("graft-json/graft-csv/graft-avro"))
   }
 
   test("vacuum reclaims unreferenced artifacts, never referenced ones") {
