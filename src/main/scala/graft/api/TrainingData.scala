@@ -805,28 +805,48 @@ object TrainingData {
       // assess — the dial must never guess).
       val escalate: Set[String] =
         if (dvMaxRatio >= 1.0) Set.empty
-        else counts.keySet.filter { f =>
-          val p = new org.apache.hadoop.fs.Path(tbl.root, f)
-          // row counts: stats sidecar for the text formats; avro files
-          // carry none, but their block headers hold per-block object
-          // counts — a decode-free driver-side walk
-          val rows = try {
-            if (format == "graft-avro")
-              Some(graft.spark.GraftAvro.countRecords(
-                spark.sparkContext.hadoopConfiguration, p, 0L,
-                tbl.fs.getFileStatus(p).getLen))
-            else graft.spark.FileStats.loadFor(
-              tbl.fs, p, tbl.fs.getFileStatus(p).getLen).map(_.rows)
-          } catch { case _: Exception => None }
-          rows.exists { r =>
-            val prior = state.getOrElse(f, null) match {
-              case null => 0L
-              case dvn => graft.spark.DeletionVectors.readMask(
-                spark.sparkContext.hadoopConfiguration,
-                graft.spark.DeletionVectors.artifactPath(tbl.root, dvn), f)
-                .cardinality
+        else {
+          // row counts: stats sidecar for the text formats (a few-byte
+          // driver read per file); avro files carry none — their
+          // per-block object counts are walked DISTRIBUTED, one task per
+          // affected file (nextBlock reads the block bytes, decode-free
+          // but not IO-free, so a driver-side loop would stream every
+          // affected byte through one machine)
+          val avroRows: Map[String, Long] =
+            if (format != "graft-avro" || counts.isEmpty) Map.empty
+            else {
+              val conf = new org.apache.spark.util.SerializableConfiguration(
+                spark.sparkContext.hadoopConfiguration)
+              val rootStr = dir
+              spark.sparkContext
+                .parallelize(counts.keySet.toSeq.sorted,
+                  math.min(counts.size, 32))
+                .map { f =>
+                  val p = new org.apache.hadoop.fs.Path(
+                    new org.apache.hadoop.fs.Path(rootStr), f)
+                  val pfs = p.getFileSystem(conf.value)
+                  f -> (try Some(graft.spark.GraftAvro.countRecords(
+                      conf.value, p, 0L, pfs.getFileStatus(p).getLen))
+                    catch { case _: Exception => None })
+                }.collect().collect { case (f, Some(n)) => f -> n }.toMap
             }
-            r > 0L && (prior + counts(f)).toDouble / r > dvMaxRatio
+          counts.keySet.filter { f =>
+            val p = new org.apache.hadoop.fs.Path(tbl.root, f)
+            val rows =
+              if (format == "graft-avro") avroRows.get(f)
+              else try graft.spark.FileStats.loadFor(
+                  tbl.fs, p, tbl.fs.getFileStatus(p).getLen).map(_.rows)
+                catch { case _: Exception => None }
+            rows.exists { r =>
+              val prior = state.getOrElse(f, null) match {
+                case null => 0L
+                case dvn => graft.spark.DeletionVectors.readMask(
+                  spark.sparkContext.hadoopConfiguration,
+                  graft.spark.DeletionVectors.artifactPath(tbl.root, dvn), f)
+                  .cardinality
+              }
+              r > 0L && (prior + counts(f)).toDouble / r > dvMaxRatio
+            }
           }
         }
       val vectored = counts.keySet -- escalate
@@ -1085,6 +1105,24 @@ object TrainingData {
       }.toMap
     val delDeltas = maskDiffs.collect { case (f, (d, _)) if d.nonEmpty => f -> d }
     val insDeltas = maskDiffs.collect { case (f, (_, i)) if i.nonEmpty => f -> i }
+    // CORRUPTION RAIL, restore-aware: outside a RESTORE, vectors are
+    // cumulative — a successor mask missing ordinals its predecessor had
+    // means the artifacts disagree with the merge contract (out-of-band
+    // tamper / merge bug), and emitting those rows as inserts would
+    // resurrect deleted data. A shrink is legal only when a restore entry
+    // in the range touched the file (the v6 `o restore` tag).
+    if (insDeltas.nonEmpty) {
+      val restoreTouched: Set[String] = vs
+        .filter(v => v > sinceVersion && v <= tbl.latest)
+        .filter(v => log.entryOp(tbl.fs, tbl.root, v).exists(_.startsWith("restore")))
+        .flatMap(v => log.entryActions(tbl.fs, tbl.root, v).map(_.path)).toSet
+      val illegal = (insDeltas.keySet -- restoreTouched).toSeq.sorted
+      require(illegal.isEmpty,
+        s"changeFeed: the deletion vector for '${illegal.headOption.getOrElse("")}' " +
+          s"SHRANK between versions $sinceVersion and ${tbl.latest} with no " +
+          "RESTORE touching it in range — vectors are cumulative outside " +
+          "restores; the artifacts disagree with the merge contract")
+    }
 
     val fileCol = graft.spark.GraftSources.FilePathCol
     val idxCol = graft.spark.GraftSources.RowIndexCol
@@ -1234,7 +1272,11 @@ object TrainingData {
       adds = adds, removes = removes,
       schema = schemaChange.map(_._1).orNull,
       schemaBase = schemaChange.map(_._2).orNull,
-      dvs = dvs, dvBase = dvBase, removesBase = latest)
+      dvs = dvs, dvBase = dvBase, removesBase = latest,
+      // the v6 operation tag: a restore is the ONE operation that may
+      // legally SHRINK a file's deletion vector, and changeFeed's
+      // corruption rail keys shrink-legality on it
+      opTag = s"restore $version")
   }
 
   /** Resolved COW-rewrite context: latest committed snapshot, layout

@@ -385,7 +385,14 @@ object GraftAvro {
   def countRecords(conf: org.apache.hadoop.conf.Configuration, p: Path,
       start: Long, end: Long): Long = {
     val in = new FsInput(p, conf)
-    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    // a header-parse failure must not leak the input handle (the
+    // escalation caller swallows exceptions and keeps going)
+    val reader =
+      try new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      catch { case e: Throwable =>
+        try in.close() catch { case _: Exception => () }
+        throw e
+      }
     var total = 0L
     try {
       reader.sync(start)
@@ -444,10 +451,14 @@ final class GraftAvroTable(
     // mergeschema: the avro read path resolves each file's embedded
     // schema, not the log's merged one, so accepting the merge would
     // record a schema the reader cannot yet serve — refuse.
-    Seq("check", "mergeschema").foreach { opt =>
+    // partitionby included: the avro writer has no k=v layout path, and
+    // silently flattening a partitioned rewrite would null the partition
+    // column on read-back (the reader serves partCols from the listing)
+    Seq("check", "mergeschema", "partitionby").foreach { opt =>
       require(info.options.get(opt) == null,
         s"graft-avro does not support option('$opt', ...) yet — " +
-          "use graft-json/graft-csv for CHECK constraints and schema evolution")
+          "use graft-json/graft-csv for CHECK constraints, schema evolution, " +
+          "and partitioned layouts")
     }
     new GraftAvroWriteBuilder(
       Option(info.options.get("path")).orElse(Option(properties.get("path")))
@@ -656,26 +667,14 @@ final class GraftAvroPartitionReader(
 
 object GraftAvroPartitionReader {
   /** Partition-directory values are strings; serve them under the
-    * reader's declared type. The supported set mirrors what the sinks
-    * render into k=v paths (plus the synthetic string provenance column);
-    * anything else refuses loudly rather than guessing a parse.
+    * reader's declared type through the SAME parser the json/csv readers
+    * use (`Conversions.fromString` — full type lattice, permissive null
+    * on a malformed value), so a hive layout reads identically across
+    * formats.
     */
   private[spark] def typedPartValue(
-      f: org.apache.spark.sql.types.StructField, raw: String): Any = {
-    if (raw == null) return null
-    f.dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(raw)
-      case LongType => raw.toLong
-      case org.apache.spark.sql.types.IntegerType => raw.toInt
-      case org.apache.spark.sql.types.DoubleType => raw.toDouble
-      case org.apache.spark.sql.types.BooleanType => raw.toBoolean
-      case dt => throw new IllegalArgumentException(
-        s"graft-avro: partition column '${f.name}' declared as $dt — " +
-          "avro reads serve partition values as STRING/INT/BIGINT/DOUBLE/" +
-          "BOOLEAN only")
-    }
-  }
+      f: org.apache.spark.sql.types.StructField, raw: String): Any =
+    if (raw == null) null else Conversions.fromString(f.dataType, raw)
 }
 
 /** Decode-free COUNT(*): walk block headers in the range, sum counts. A

@@ -787,7 +787,8 @@ private[graft] object GraftCommitLog {
       schema: StructType = null, schemaBase: StructType = null,
       dvs: Seq[(String, String)] = Nil,
       dvBase: Map[String, String] = Map.empty,
-      removesBase: Long = -1L): Long = {
+      removesBase: Long = -1L,
+      opTag: String = null): Long = {
     // a SCHEMA-ONLY entry (no file actions) is how ALTER TABLE
     // add/drop-column lands: the metadata changes at a version boundary
     // with no data movement
@@ -930,7 +931,12 @@ private[graft] object GraftCommitLog {
       // key (deterministic tests / backfills); readers clamp
       // monotonically, so a skewed writer clock can never reorder time.
       val ts = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
-      val header = "graft-commit v5"
+      // v6 = v5 + an `o <tag>` OPERATION line (currently only RESTORE
+      // writes one — changeFeed's shrink-legality rail keys on it). The
+      // bump is PER-ENTRY: only tagged entries pay the compat break, and
+      // a pre-v6 reader fails on them loudly (unknown header), never by
+      // misreading.
+      val header = if (opTag != null) "graft-commit v6" else "graft-commit v5"
       // line order is LOAD-BEARING for the in-order state fold: `r` before
       // `f` (a RESTORE may retire-and-re-pin the same path to detach its
       // vector) and `f` before `d` (a vector may target a file this entry
@@ -939,6 +945,7 @@ private[graft] object GraftCommitLog {
       // target in-entry adds.
       (header +:
           (Seq(s"t $ts") ++
+            (if (opTag != null) Seq(s"o $opTag") else Nil) ++
             (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
             relRemoves.map("r " + _) ++
             relAdds.map("f " + _) ++
@@ -1343,7 +1350,8 @@ private[graft] object GraftCommitLog {
   def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Seq[LogAction] = {
     val (p, lines) = entryLines(fs, root, version)
-    val v5 = lines.headOption.contains("graft-commit v5")
+    val v6 = lines.headOption.contains("graft-commit v6")
+    val v5 = v6 || lines.headOption.contains("graft-commit v5")
     val v4 = v5 || lines.headOption.contains("graft-commit v4")
     val v3 = v4 || lines.headOption.contains("graft-commit v3")
     val v2 = v3 || lines.headOption.contains("graft-commit v2")
@@ -1362,9 +1370,22 @@ private[graft] object GraftCommitLog {
         Some(LogAction('d', rest.substring(sp + 1), rest.substring(0, sp)))
       } else if (v3 && l.startsWith("s ")) None
       else if (v5 && l.startsWith("t ")) None // commit-time line, not an action
+      else if (v6 && l.startsWith("o ")) None // operation tag, not an action
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
   }
+
+  /** The entry's OPERATION tag (`o` line, v6) — currently "restore
+    * <targetVersion>". None for untagged/older entries. Lenient like
+    * [[entrySchema]]: the tag informs change-feed legality rails, never
+    * the state fold itself.
+    */
+  def entryOp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Option[String] = try {
+    val (_, lines) = entryLines(fs, root, version)
+    if (!lines.headOption.contains("graft-commit v6")) None
+    else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
+  } catch { case _: Exception => None }
 
   /** One entry's RAW recorded commit-time millis (`t` line, v5); None for
     * older entries — callers fall back to the entry file's mtime. Lenient
@@ -1373,7 +1394,8 @@ private[graft] object GraftCommitLog {
   def entryTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[Long] = try {
     val (_, lines) = entryLines(fs, root, version)
-    if (!lines.headOption.contains("graft-commit v5")) None
+    if (!lines.headOption.exists(h =>
+        h == "graft-commit v5" || h == "graft-commit v6")) None
     else lines.tail.find(_.startsWith("t "))
       .flatMap(l => scala.util.Try(l.substring(2).trim.toLong).toOption)
   } catch { case _: Exception => None }
@@ -1503,7 +1525,7 @@ private[graft] object GraftCommitLog {
     val (_, lines) = entryLines(fs, root, version)
     if (!lines.headOption.exists(h =>
         h == "graft-commit v3" || h == "graft-commit v4" ||
-          h == "graft-commit v5")) None
+          h == "graft-commit v5" || h == "graft-commit v6")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 
@@ -1588,7 +1610,7 @@ private[graft] object GraftCommitLog {
     val (_, lines) = entryLines(fs, root, version)
     if (!lines.headOption.exists(h =>
         h == "graft-commit v3" || h == "graft-commit v4" ||
-          h == "graft-commit v5")) None
+          h == "graft-commit v5" || h == "graft-commit v6")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   }
 }

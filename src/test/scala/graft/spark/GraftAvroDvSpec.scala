@@ -181,6 +181,17 @@ class GraftAvroDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapIds(d) === (40L until 100L).filterNot(_ == 60L))
   }
 
+  test("avro sink refuses partitionby loudly (no k=v layout path)") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException] {
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v")
+        .write.format("graft-avro").option("partitionby", "id")
+        .mode("overwrite").save(dir("partby"))
+    }
+    assert(e.getMessage.contains("partitionby"))
+  }
+
   test("restoreTable detaches an avro deletion vector") {
     val d = dir("restore")
     writeTable(d)                                                    // v0

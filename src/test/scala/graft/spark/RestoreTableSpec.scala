@@ -178,6 +178,37 @@ class RestoreTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftCommitLog.filesSince(fs, rootP, 0L).isEmpty)
   }
 
+  test("restore entries carry the v6 operation tag; untagged shrinks refuse as corruption") {
+    val d = dir("railtag")
+    writeTable(d)                                                     // v0
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 10 = 0")       // v1
+    TrainingData.restoreTable(spark, d, 0L)                           // v2
+    val (fs, rootP) = fsRoot(d)
+    assert(GraftCommitLog.entryOp(fs, rootP, 2L) === Some("restore 0"))
+    assert(GraftCommitLog.entryOp(fs, rootP, 1L) === None)
+    // the restore-shaped shrink flows through changeFeed (rail keyed on
+    // the tag)...
+    assert(TrainingData.changeFeed(spark, d, schema, 1L).count() === 10L)
+
+    // ...but the SAME shrink with no restore tag is corruption: hand-craft
+    // an untagged entry re-attaching an older (smaller) artifact
+    val d2 = dir("railraw")
+    writeTable(d2, parts = 1)                                         // v0: ONE file
+    TrainingData.deleteWhereDV(spark, d2, schema, "id = 3")           // v1: artifact A
+    val (fs2, rootP2) = fsRoot(d2)
+    val (file, artA) = GraftCommitLog.liveStateAsOf(fs2, rootP2, 1L)
+      .find(_._2 != null).get
+    TrainingData.deleteWhereDV(spark, d2, schema, "id = 7")           // v2: A ∪ {7}
+    val rogue = new org.apache.hadoop.fs.Path(d2, f".graft-log/${3L}%020d")
+    val out = fs2.create(rogue, false)
+    out.write(s"graft-commit v4\nd $artA $file\n".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.changeFeed(spark, d2, schema, 2L).count()
+    }
+    assert(e.getMessage.contains("SHRANK"), e.getMessage)
+  }
+
   test("no-op restores return -1 and write nothing") {
     val d = dir("noop")
     writeTable(d)                                   // v0
