@@ -1659,11 +1659,27 @@ object TrainingData {
     * pinnable until [[expireRetired]]. Partitioned layouts rewrite
     * within their `k=v` directories (file sizing is then global, not
     * per-partition). Returns the root-relative files rewritten.
+    *
+    * SCOPING — what keeps OPTIMIZE from being a full-table rewrite at
+    * 100 TB (the Delta bin-packing shape):
+    *   - `smallFileBytes` ≥ 0: only files SMALLER than it are compacted
+    *     (plus vector-carrying files regardless of size — OPTIMIZE purges
+    *     masks it touches); already-right-sized files are never re-read
+    *     or re-written, so repeated OPTIMIZE over a growing table costs
+    *     O(new debris), not O(table).
+    *   - `where`: a predicate over PARTITION columns scopes the pass to
+    *     matching `k=v` directories (Delta's `OPTIMIZE ... WHERE`);
+    *     references to non-partition columns fail analysis loudly.
+    * With a dial engaged, a scope of fewer than two files with no vector
+    * to purge is a no-op (compacting one file buys nothing). Both dials
+    * compose with `clusterBy` — note a scoped clustering pass only
+    * clusters WITHIN the scope.
     */
   def optimizeTable(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, targetFileBytes: Long = 128L << 20,
       clusterBy: Seq[String] = Nil, zorderBits: Int = 8,
-      format: String = "graft-json", retainHistory: Boolean = false): Seq[String] = {
+      format: String = "graft-json", retainHistory: Boolean = false,
+      smallFileBytes: Long = -1L, where: String = null): Seq[String] = {
     import org.apache.hadoop.fs.Path
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val root = new Path(dir)
@@ -1672,8 +1688,7 @@ object TrainingData {
     val vs = log.versions(fs, root)
     require(vs.nonEmpty, s"optimizeTable needs a graft commit log under $dir")
     val latest = vs.max
-    val live = log.liveFilesAsOf(fs, root, latest).toSeq.sorted
-    if (live.isEmpty) return Nil
+    if (log.liveFilesAsOf(fs, root, latest).isEmpty) return Nil
     val listing = graft.spark.GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir, "versionasof", latest.toString)))
@@ -1683,10 +1698,52 @@ object TrainingData {
     val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
       graft.spark.GraftSources.partitionSchema(listing)
         .filterNot(f => dataSchema.fieldNames.contains(f.name)))
-    val totalBytes = listing.files.map(_.len).sum
+    // candidate scope: root-relative name -> listed file
+    val rootQ = fs.makeQualified(root).toString
+    def rel(p: String): String = {
+      val q = fs.makeQualified(new Path(p)).toString
+      if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
+    }
+    var scope: Seq[(String, graft.spark.GraftSources.ListedFile)] =
+      listing.files.map(lf => rel(lf.path) -> lf).sortBy(_._1)
+    if (where != null) {
+      require(partCols.nonEmpty,
+        s"optimizeTable(where = ...) scopes by PARTITION columns; the layout " +
+          s"under $dir has none")
+      // typed partition-value filter, driver-sized (one row per file —
+      // the same traffic class as the listing itself); a reference to a
+      // non-partition column fails analysis loudly
+      import org.apache.spark.sql.types.{StructField, StructType, StringType}
+      val raw = spark.createDataFrame(
+        java.util.Arrays.asList(scope.map { case (r, lf) =>
+          org.apache.spark.sql.Row.fromSeq(r +: partCols.indices.map(i =>
+            if (i < lf.partValues.length) lf.partValues(i) else null))
+        }: _*),
+        StructType(StructField("__graft_opt_file", StringType) +:
+          partCols.map(c => StructField(c, StringType)).toArray))
+      val typed = raw.select(col("__graft_opt_file") +:
+        graft.spark.GraftSources.partitionSchema(listing).map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      val kept = typed.filter(expr(where))
+        .select("__graft_opt_file").collect().map(_.getString(0)).toSet
+      scope = scope.filter(p => kept.contains(p._1))
+    }
+    if (smallFileBytes >= 0L)
+      scope = scope.filter { case (_, lf) => lf.len < smallFileBytes || lf.dv != null }
+    val scoped = where != null || smallFileBytes >= 0L
+    // compacting a single clean file buys nothing (scoped mode only — the
+    // unscoped call keeps its rewrite-everything contract, which
+    // clustering passes rely on)
+    if (scope.isEmpty ||
+        (scoped && scope.size < 2 && scope.forall(_._2.dv == null))) return Nil
+    val candidates = scope.map(_._1)
+    val totalBytes = scope.map(_._2.len).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.format(format).schema(fullSchema)
-      .option("versionasof", latest.toString).load(dir)
+    var r = spark.read.format(format).schema(fullSchema)
+      .option("versionasof", latest.toString)
+    if (scoped) r = r.option("restrictfiles",
+      graft.spark.GraftSources.joinFileList(candidates, "restrictfiles"))
+    val df = r.load(dir)
     val shaped = clusterBy match {
       case Nil => df.repartition(nFiles)
       case Seq(c) => clusterForSkipping(df, nFiles, c)
@@ -1697,10 +1754,10 @@ object TrainingData {
       // OPTIMIZE must abort one of the two, never silently lose rows
       .option("commitremovesversion", latest.toString)
       .option("commitremoves",
-        graft.spark.GraftSources.joinFileList(live, "commitremoves"))
+        graft.spark.GraftSources.joinFileList(candidates, "commitremoves"))
     (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
      else w).save(dir)
-    if (!retainHistory) live.foreach { rel =>
+    if (!retainHistory) candidates.foreach { rel =>
       val p = new Path(root, rel)
       fs.delete(graft.spark.FileStats.sidecarFor(p), false)
       fs.delete(p, false)
@@ -1708,7 +1765,7 @@ object TrainingData {
     // OPTIMIZE is the natural checkpoint moment: the live set was just
     // folded to its smallest. Best-effort, like the interval hook.
     try checkpointLog(spark, dir) catch { case _: Exception => () }
-    live
+    candidates
   }
 
   /** Write a commit-log checkpoint at the table's LATEST version — the

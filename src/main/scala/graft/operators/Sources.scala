@@ -2599,5 +2599,58 @@ object Sources {
             FROM supplier WHERE s_suppkey % 3 <> 0
             ORDER BY s_suppkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+  // ---------------------------------------------------------------- q214
+  // Scoped OPTIMIZE (the Delta bin-packing shape): smallFileBytes
+  // compacts ONLY the small-file debris — right-sized files are never
+  // re-read or re-written. At 100 TB this is the difference between
+  // maintenance costing O(new debris) per pass and a full-table rewrite
+  // every time. The gate lands one right-sized file plus small appends,
+  // scopes the pass, and asserts the big file survived untouched.
+  private val q214 = GQuery(
+    "q214_optimize_scoped",
+    "smallFileBytes bin-packing: debris compacts, right-sized files untouched",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/opt_scope"
+      val ddl = "o_orderkey BIGINT, o_custkey BIGINT"
+      val orders = Tables(s, d, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"))
+      orders.filter($"o_orderkey" <= 10000)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+        .write.format("graft-json").mode("overwrite").save(dir) // v0: big
+      val rootP = new org.apache.hadoop.fs.Path(dir)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bigFile = graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP, 0L).keys.head
+      val bigLen = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(rootP, bigFile)).getLen
+      orders.filter($"o_orderkey" > 10000 && $"o_orderkey" <= 11000)
+        .repartition(1)
+        .write.format("graft-json").mode("append").save(dir) // v1: debris
+      orders.filter($"o_orderkey" > 11000 && $"o_orderkey" <= 12000)
+        .repartition(1)
+        .write.format("graft-json").mode("append").save(dir) // v2: debris
+      val rewritten = graft.api.TrainingData.optimizeTable(s, dir, ddl,
+        smallFileBytes = bigLen)
+      require(rewritten.size == 2 && !rewritten.contains(bigFile),
+        s"expected exactly the 2 debris files rewritten, got $rewritten")
+      val after = graft.spark.GraftCommitLog.liveStateAsOf(fs, rootP,
+        graft.spark.GraftCommitLog.versions(fs, rootP).max)
+      require(after.contains(bigFile),
+        "the right-sized file must stay live untouched")
+      require(after.size == 2,
+        s"debris must compact into one file, got ${after.size} live files")
+      s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+        .groupBy(($"o_orderkey" % 7).as("g"))
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .orderBy($"g")
+    },
+    Some("""SELECT CAST(o_orderkey % 7 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders WHERE o_orderkey <= 12000
+            GROUP BY 1 ORDER BY g"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
 }
