@@ -1768,6 +1768,54 @@ object TrainingData {
     candidates
   }
 
+  /** DESCRIBE HISTORY — one row per READABLE commit-log version, newest
+    * first (expired history has no rows; [[expireLogHistory]] retired its
+    * entries): version, the resolved (monotonic-clamped) commit time in
+    * epoch millis, the operation (the v6 `o` tag when recorded — e.g.
+    * "restore 1" — else derived from the entry's action shape: append /
+    * rewrite / delete-vector / rewrite+delete-vector / remove / schema),
+    * action counts, and whether the entry records a schema. Driver-sized:
+    * one small entry read per version — the same traffic class as
+    * snapshot planning itself.
+    */
+  def tableHistory(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty, s"tableHistory needs a graft commit log under $dir")
+    val ts: Map[Long, Long] = log.resolvedTimestamps(fs, root).toMap
+    val rows = vs.sorted(Ordering[Long].reverse).map { v =>
+      val acts = log.entryActions(fs, root, v)
+      val nA = acts.count(_.kind == 'f').toLong
+      val nR = acts.count(_.kind == 'r').toLong
+      val nD = acts.count(_.kind == 'd').toLong
+      val op = log.entryOp(fs, root, v).getOrElse {
+        if (nD > 0 && nR > 0) "rewrite+delete-vector"
+        else if (nD > 0) "delete-vector"
+        else if (nR > 0 && nA > 0) "rewrite"
+        else if (nR > 0) "remove"
+        else if (nA > 0) "append"
+        else "schema"
+      }
+      val sch = if (log.entrySchema(fs, root, v).isDefined) 1L else 0L
+      org.apache.spark.sql.Row(v, ts.getOrElse(v, 0L), op, nA, nR, nD, sch)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Array(
+        StructField("version", LongType, nullable = false),
+        StructField("ts_millis", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("n_adds", LongType, nullable = false),
+        StructField("n_removes", LongType, nullable = false),
+        StructField("n_dvs", LongType, nullable = false),
+        StructField("schema_recorded", LongType, nullable = false))))
+  }
+
   /** Write a commit-log checkpoint at the table's LATEST version — the
     * folded live-file set as `.graft-log/<v>.checkpoint` plus the
     * `_last_checkpoint` pointer (the Delta shape). From then on snapshot

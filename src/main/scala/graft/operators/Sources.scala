@@ -2652,5 +2652,49 @@ object Sources {
             FROM orders WHERE o_orderkey <= 12000
             GROUP BY 1 ORDER BY g"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
+  // ---------------------------------------------------------------- q215
+  // DESCRIBE HISTORY (the Delta shape): one row per readable version —
+  // resolved commit time, the operation (v6 tag or derived from the
+  // entry's action shape), action counts. Driver-sized metadata reads
+  // only; deterministic here via the per-commit timestamp override the
+  // protocol provides for backfills.
+  private val q215 = GQuery(
+    "q215_table_history",
+    "tableHistory: per-version operation/timestamp/action-count rows",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/history"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE"
+      val customer = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+      val conf = s.sparkContext.hadoopConfiguration
+      val tsKey = graft.spark.GraftCommitLog.CommitTimestampKey
+      try {
+        conf.setLong(tsKey, 1000L)
+        customer.filter($"c_custkey" < 600).repartition(1)
+          .write.format("graft-json").mode("overwrite").save(dir) // v0
+        conf.setLong(tsKey, 2000L)
+        customer.filter($"c_custkey" >= 600 && $"c_custkey" < 700).repartition(1)
+          .write.format("graft-json").mode("append").save(dir) // v1
+        conf.setLong(tsKey, 3000L)
+        graft.api.TrainingData.deleteWhereDV(s, dir, ddl,
+          "c_custkey >= 650") // v2: one vector on v1's file
+        conf.setLong(tsKey, 4000L)
+        graft.api.TrainingData.restoreTable(s, dir, 1L) // v3: detach = r+f
+      } finally conf.unset(tsKey)
+      graft.api.TrainingData.tableHistory(s, dir)
+    },
+    Some("""SELECT * FROM (VALUES
+              (CAST(3 AS BIGINT), CAST(4000 AS BIGINT), 'restore 1',
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+              (CAST(2 AS BIGINT), CAST(3000 AS BIGINT), 'delete-vector',
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+              (CAST(1 AS BIGINT), CAST(2000 AS BIGINT), 'append',
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+              (CAST(0 AS BIGINT), CAST(1000 AS BIGINT), 'append',
+               CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+            ) AS t(version, ts_millis, operation, n_adds, n_removes, n_dvs, schema_recorded)
+            ORDER BY version DESC"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 }

@@ -103,7 +103,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val ops = 10
       for (op <- 1 to ops) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // append
             val add = freshRows(1 + rnd.nextInt(15))
             writeOut(toDf(add).coalesce(1 + rnd.nextInt(2)), "append")
@@ -173,6 +173,33 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
               // listings may see them — exact reads pin from here on
               if (ratio < 1.0) retiredPresent = true
             } else assert(affected.isEmpty, "no-op DV delete must not commit")
+          case 9 => // RESTORE to a random readable version: either ONE
+            // atomic commit rolls the model back to its history at that
+            // version, or (bytes physically reclaimed by a
+            // retain=false rewrite) it refuses LOUDLY with nothing
+            // committed — both outcomes verified
+            val fsR = new org.apache.hadoop.fs.Path(dir)
+            val fsE = fsR.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val latest = GraftCommitLog.versions(fsE, fsR).max
+            val target = earliestReadable +
+              rnd.nextInt((latest - earliestReadable + 1).toInt)
+            try {
+              val nv = TrainingData.restoreTable(spark, dir, target)
+              if (nv >= 0) {
+                assert(nv == latest + 1, s"restore must commit one version")
+                model = history(target.toInt).toSeq
+                history :+= model.toSet
+                // restore retires files without deleting bytes: raw
+                // listings may see them — exact reads pin from here on
+                retiredPresent = true
+              } else assert(model.toSet == history(target.toInt),
+                s"no-op restore but model differs from v$target")
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("physically gone") =>
+                assert(GraftCommitLog.versions(fsE, fsR).max == latest,
+                  "a refused restore must commit nothing")
+            }
         }
         assert(exactRead() === model.toSet, s"seed=$seed op=$op read diverged")
       }
