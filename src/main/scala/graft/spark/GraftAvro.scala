@@ -485,20 +485,35 @@ final class GraftAvroScanBuilder(
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var countStar = false
+  private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Filters are used ONLY to prune files against their stats sidecars —
+    * every filter is returned as residual, so Spark re-evaluates them
+    * all (zero correctness exposure; pruning is pure acceleration).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pruneFilters = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
   /** COUNT(*) with no grouping: block headers carry object counts, so the
     * answer never decodes a datum (complete push — Spark still sums the
-    * per-partition longs).
+    * per-partition longs). Refused when a filter pushed (the count must
+    * reflect the filtered rows, which blocks cannot know).
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions().nonEmpty) return false
+    if (agg.groupByExpressions().nonEmpty || pruneFilters.nonEmpty) return false
     val ok = agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar]
     if (ok) countStar = true
@@ -507,14 +522,15 @@ final class GraftAvroScanBuilder(
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
-    new GraftAvroScan(fullSchema, required, countStar, options)
+    new GraftAvroScan(fullSchema, required, countStar, options, pruneFilters)
 }
 
 final class GraftAvroScan(
     fullSchema: StructType,
     required: StructType,
     countStar: Boolean,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -534,8 +550,58 @@ final class GraftAvroScan(
   // partCols carry withFilePath's synthetic provenance column)
   private lazy val listing = GraftSources.resolvePartitioned(options)
 
+  /** File-level stats pruning (min/max/null/bloom against the sidecars
+    * the avro sink now writes): one manifest read per leaf directory,
+    * per-file sidecar fallback, length-bound (a stale recording degrades
+    * to a full read, never a wrong subset). Masks never matter here — a
+    * deletion vector only SHRINKS a file's row set, so "definitely
+    * empty" stays definitely empty.
+    */
+  private def statsPruned(files: Seq[GraftSources.ListedFile])
+      : Seq[GraftSources.ListedFile] = {
+    if (pruneFilters.isEmpty || !options.getBoolean("dataskipping", true))
+      return files
+    val dataFilters = FilterEval.normalize(pruneFilters.filter(f =>
+      f.references.length == 1 && !listing.partCols.contains(f.references.head)))
+    if (dataFilters.isEmpty) return files
+    val conf = GraftSources.activeHadoopConf()
+    def physName(c: String): String = listing.physMap.getOrElse(c, c)
+    val manifests = scala.collection.mutable.Map.empty[String, Option[Map[String, FileStats.Stats]]]
+    val sidecars = scala.collection.mutable.Map.empty[String, Option[FileStats.Stats]]
+    def fileStats(p: String, len: Long): Option[FileStats.Stats] = {
+      val path = new Path(p)
+      manifests.getOrElseUpdate(path.getParent.toString,
+          FileStats.loadManifest(path.getFileSystem(conf), path.getParent))
+        .flatMap(_.get(path.getName)).filter(_.dataLen == len)
+        .orElse(sidecars.getOrElseUpdate(p,
+          FileStats.loadFor(path.getFileSystem(conf), path, len)))
+    }
+    // blooms ride only the per-file sidecar (manifests are bloom-less by
+    // design) — read lazily, only for bloom-eligible point filters
+    def bloomStats(p: String, colName: String): Option[FileStats.ColStats] = {
+      val path = new Path(p)
+      sidecars.getOrElseUpdate(p,
+          FileStats.loadFor(path.getFileSystem(conf), path,
+            path.getFileSystem(conf).getFileStatus(path).getLen))
+        .flatMap(_.cols.get(colName)).filter(_.bloom != null)
+    }
+    val kept = files.filterNot { f =>
+      fileStats(f.path, f.len).exists { st =>
+        dataFilters.exists { flt =>
+          val colName = physName(flt.references.head)
+          st.cols.get(colName).exists(c =>
+            FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows)) ||
+            (FileStats.bloomEligible(flt) &&
+              bloomStats(f.path, colName).exists(FileStats.bloomExcludes(_, flt)))
+        }
+      }
+    }
+    GraftAvroScan.lastStatsPruned.set(files.length - kept.length)
+    kept
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    listing.files.flatMap { lf =>
+    statsPruned(listing.files).flatMap { lf =>
       if (lf.dv != null || withRowIndex)
         // a deletion vector masks WHOLE-FILE record ordinals and
         // withRowIndex stamps them; avro carries no per-range ordinal
@@ -578,6 +644,13 @@ final class GraftAvroScan(
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
+}
+
+object GraftAvroScan {
+  /** Files dropped by the latest stats-pruned avro planning in this JVM —
+    * test/debug observability only (the GraftScan.lastStatsPruned shape).
+    */
+  val lastStatsPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 final class GraftAvroReaderFactory(
@@ -783,10 +856,14 @@ final class GraftAvroBatchWrite(
   // same put-if-absent commit log as the json/csv sinks (docs/
   // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion
   // / vacuum safety for free through the shared listing, and the
-  // removes/dv riders make COW rewrites and merge-on-read atomic
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  // removes/dv riders make COW rewrites and merge-on-read atomic. The
+  // manifest compaction folds every task's rendered stats into one
+  // per-directory read, exactly like the text sinks.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    GraftManifest.write(conf.value, messages)
     GraftCommitLog.append(conf.value, path, messages, removes,
       commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -816,6 +893,12 @@ final class GraftAvroDataWriter(
     schema.fields.zipWithIndex.map { case (f, i) =>
       GraftAvro.writerConv(f.dataType, avroSchema.getFields.get(i).schema())
     }
+  // the SAME value-level stats the text sinks record (min/max/nulls/
+  // blooms — format-independent facts about the rows), so avro scans get
+  // file pruning and the manifest's one-read-per-directory planning.
+  // Intra-file blocks stay off: our byte accounting cannot track avro's
+  // binary encoding (avro's own block headers serve the COUNT lane).
+  private val stats = new FileStatsCollector(schema, blockBytes = 0L)
   // task-attempt-unique temp name, atomically renamed at commit — retried
   // tasks can never leave a half-written visible file
   private val finalPath = new Path(dir, f"$namePrefix-$partitionId%05d-$taskId.avro")
@@ -837,6 +920,7 @@ final class GraftAvroDataWriter(
       i += 1
     }
     writer.append(rec)
+    stats.observe(row)
     rows += 1
   }
 
@@ -846,9 +930,19 @@ final class GraftAvroDataWriter(
       fs.delete(tmpPath, false)
       new WriterCommitMessage {}
     } else {
+      // a prior file's sidecar must not outlive its data: drop it BEFORE
+      // the rename so a crash between the two steps leaves no-stats
+      // (pruning disabled) rather than wrong-stats (wrong results)
+      fs.delete(FileStats.sidecarFor(finalPath), false)
       fs.delete(finalPath, false)
       GraftLogStore.forConf(conf).publish(fs, tmpPath, finalPath, overwrite = false)
-      GraftCommit(finalPath.toString)
+      val rendered = FileStats.render(
+        stats.snapshot(fs.getFileStatus(finalPath).getLen))
+      try {
+        val sout = fs.create(FileStats.sidecarFor(finalPath), true)
+        try sout.write(rendered.getBytes("UTF-8")) finally sout.close()
+      } catch { case _: Exception => () } // stats are best-effort
+      GraftCommit(finalPath.toString, rendered)
     }
   }
   override def abort(): Unit = {

@@ -1,0 +1,122 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+import graft.api.TrainingData
+
+/** Avro stats lane: the avro sink writes the same value-level sidecars
+  * (min/max/nulls/blooms) + per-directory manifest as the text sinks,
+  * and the avro scan prunes whole files against them — every filter
+  * stays residual (pruning is pure acceleration, zero correctness
+  * exposure), stale recordings degrade to full reads, masks only shrink
+  * row sets so pruning stays sound under deletion vectors.
+  */
+class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-avro-stats")
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("avro-stats-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def dir(name: String): String = root.resolve(name).toString
+  private val schema = "id BIGINT, v STRING"
+
+  private def writeSorted(d: String, n: Long = 4000L, parts: Int = 4): Unit = {
+    val s = spark
+    import s.implicits._
+    (0L until n).map(i => (i, s"name-${i % 97}")).toDF("id", "v")
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite").save(d)
+  }
+
+  test("range filters prune whole avro files from sidecar min/max; results exact") {
+    val d = dir("prune")
+    writeSorted(d)
+    GraftAvroScan.lastStatsPruned.set(-1)
+    val got = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").load(d)
+      .filter("id < 500")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 500L))
+    assert(GraftAvroScan.lastStatsPruned.get >= 2,
+      s"expected most of the 4 range files pruned, got ${GraftAvroScan.lastStatsPruned.get}")
+  }
+
+  test("pruning stays sound under deletion vectors; dataskipping=false disables it") {
+    val d = dir("dvprune")
+    writeSorted(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 7 = 0", format = "graft-avro")
+    GraftAvroScan.lastStatsPruned.set(-1)
+    val got = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").load(d)
+      .filter("id >= 3000")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (3000L until 4000L).filterNot(_ % 7 == 0))
+    assert(GraftAvroScan.lastStatsPruned.get >= 2,
+      "masked tables must still prune definitely-clean files")
+    GraftAvroScan.lastStatsPruned.set(-1)
+    val off = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").option("dataskipping", "false").load(d)
+      .filter("id >= 3000")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(off === got)
+    assert(GraftAvroScan.lastStatsPruned.get <= 0,
+      "dataskipping=false must disable stats pruning")
+  }
+
+  test("string point lookups prune via blooms; a stale sidecar degrades to a full read") {
+    val d = dir("bloom")
+    val s = spark
+    import s.implicits._
+    // two files with disjoint name sets
+    (0L until 500L).map(i => (i, s"alpha-$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d)
+    (500L until 1000L).map(i => (i, s"beta-$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-avro").mode("append").save(d)
+    GraftAvroScan.lastStatsPruned.set(-1)
+    val got = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").load(d)
+      .filter("v = 'beta-777'").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(777L))
+    assert(GraftAvroScan.lastStatsPruned.get === 1,
+      "the alpha file must prune (min/max or bloom)")
+    // stale sidecar: replace a data file out-of-band with different bytes
+    // of a DIFFERENT length — the length binding must void its stats
+    val fsP = new org.apache.hadoop.fs.Path(d)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(fsP)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+    assert(files.length === 2)
+    // whichever file holds beta rows, its sidecar claims beta-only values;
+    // simulate an out-of-band replacement by swapping the two data files
+    val Array(a, b) = files.map(_.getPath)
+    val tmp = new org.apache.hadoop.fs.Path(d, "swap.tmp")
+    fs.rename(a, tmp); fs.rename(b, a); fs.rename(tmp, b)
+    // lengths changed under both sidecars (the two files differ in size)
+    // → stats void → no pruning, still-exact results
+    val swapped = spark.read.format("graft-avro").schema(schema).load(d)
+      .filter("v = 'alpha-123'").collect()
+    assert(swapped.map(_.getLong(0)).toSeq === Seq(123L),
+      "stale sidecars must degrade to full reads, never wrong subsets")
+  }
+}
