@@ -1711,22 +1711,25 @@ object TrainingData {
         s"optimizeTable(where = ...) scopes by PARTITION columns; the layout " +
           s"under $dir has none")
       // typed partition-value filter, driver-sized (one row per file —
-      // the same traffic class as the listing itself); a reference to a
-      // non-partition column fails analysis loudly
+      // the same traffic class as the listing itself). The frame holds
+      // ONLY the partition columns, so a reference to anything else —
+      // including internal names — fails analysis loudly; the predicate
+      // is selected as the frame's single (nameless) output and zipped
+      // back by row order, which a LocalRelation + narrow projection
+      // preserves.
       import org.apache.spark.sql.types.{StructField, StructType, StringType}
       val raw = spark.createDataFrame(
-        java.util.Arrays.asList(scope.map { case (r, lf) =>
-          org.apache.spark.sql.Row.fromSeq(r +: partCols.indices.map(i =>
+        java.util.Arrays.asList(scope.map { case (_, lf) =>
+          org.apache.spark.sql.Row.fromSeq(partCols.indices.map(i =>
             if (i < lf.partValues.length) lf.partValues(i) else null))
         }: _*),
-        StructType(StructField("__graft_opt_file", StringType) +:
-          partCols.map(c => StructField(c, StringType)).toArray))
-      val typed = raw.select(col("__graft_opt_file") +:
+        StructType(partCols.map(c => StructField(c, StringType)).toArray))
+      val typed = raw.select(
         graft.spark.GraftSources.partitionSchema(listing).map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-      val kept = typed.filter(expr(where))
-        .select("__graft_opt_file").collect().map(_.getString(0)).toSet
-      scope = scope.filter(p => kept.contains(p._1))
+      val keep = typed.select(expr(where).cast("boolean")).collect()
+        .map(r => !r.isNullAt(0) && r.getBoolean(0))
+      scope = scope.zip(keep).collect { case (pair, true) => pair }
     }
     if (smallFileBytes >= 0L)
       scope = scope.filter { case (_, lf) => lf.len < smallFileBytes || lf.dv != null }
@@ -1773,7 +1776,8 @@ object TrainingData {
     * entries): version, the resolved (monotonic-clamped) commit time in
     * epoch millis, the operation (the v6 `o` tag when recorded — e.g.
     * "restore 1" — else derived from the entry's action shape: append /
-    * rewrite / delete-vector / rewrite+delete-vector / remove / schema),
+    * rewrite / delete-vector / append+delete-vector (updateWhereDV) /
+    * rewrite+delete-vector / remove / schema),
     * action counts, and whether the entry records a schema. Driver-sized:
     * one small entry read per version — the same traffic class as
     * snapshot planning itself.
@@ -1789,19 +1793,22 @@ object TrainingData {
     require(vs.nonEmpty, s"tableHistory needs a graft commit log under $dir")
     val ts: Map[Long, Long] = log.resolvedTimestamps(fs, root).toMap
     val rows = vs.sorted(Ordering[Long].reverse).map { v =>
-      val acts = log.entryActions(fs, root, v)
+      // one slurp per entry (entrySummary) — actions, op tag, and the
+      // schema flag all come from the same read
+      val (acts, opTag, schemaRecorded) = log.entrySummary(fs, root, v)
       val nA = acts.count(_.kind == 'f').toLong
       val nR = acts.count(_.kind == 'r').toLong
       val nD = acts.count(_.kind == 'd').toLong
-      val op = log.entryOp(fs, root, v).getOrElse {
+      val op = opTag.getOrElse {
         if (nD > 0 && nR > 0) "rewrite+delete-vector"
+        else if (nD > 0 && nA > 0) "append+delete-vector" // updateWhereDV's shape
         else if (nD > 0) "delete-vector"
         else if (nR > 0 && nA > 0) "rewrite"
         else if (nR > 0) "remove"
         else if (nA > 0) "append"
         else "schema"
       }
-      val sch = if (log.entrySchema(fs, root, v).isDefined) 1L else 0L
+      val sch = if (schemaRecorded) 1L else 0L
       org.apache.spark.sql.Row(v, ts.getOrElse(v, 0L), op, nA, nR, nD, sch)
     }
     spark.createDataFrame(

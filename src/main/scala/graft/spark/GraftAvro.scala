@@ -550,12 +550,41 @@ final class GraftAvroScan(
   // partCols carry withFilePath's synthetic provenance column)
   private lazy val listing = GraftSources.resolvePartitioned(options)
 
+  /** Hive-partition pruning from the pushed filters (the text scan's
+    * partitionPruned shape): a filter on a partition column whose typed
+    * directory value definitely fails drops the file at planning time.
+    */
+  private def partitionPruned(files: Seq[GraftSources.ListedFile])
+      : Seq[GraftSources.ListedFile] = {
+    if (listing.partCols.isEmpty || pruneFilters.isEmpty) return files
+    val partIdx = listing.partCols.zipWithIndex.toMap
+    val partTypes: Map[String, DataType] =
+      GraftSources.partitionSchema(listing).map(f => f.name -> f.dataType).toMap
+    val relevant = FilterEval.normalize(pruneFilters.filter(f =>
+      f.references.length == 1 && partIdx.contains(f.references.head)))
+    if (relevant.isEmpty) return files
+    files.filterNot { f =>
+      relevant.exists { flt =>
+        val c = flt.references.head
+        val raw =
+          if (partIdx(c) < f.partValues.length) f.partValues(partIdx(c)) else null
+        val typed = if (raw == null) null else Conversions.fromString(partTypes(c), raw)
+        FilterEval.definitelyFails(flt, typed)
+      }
+    }
+  }
+
   /** File-level stats pruning (min/max/null/bloom against the sidecars
-    * the avro sink now writes): one manifest read per leaf directory,
-    * per-file sidecar fallback, length-bound (a stale recording degrades
-    * to a full read, never a wrong subset). Masks never matter here — a
-    * deletion vector only SHRINKS a file's row set, so "definitely
-    * empty" stays definitely empty.
+    * the avro sink now writes): one manifest read per leaf directory
+    * (entries trusted only with a matching recorded length — the same
+    * binding the text scan enforces), per-file sidecar fallback through
+    * ONE shared cache (never a second read for the same sidecar, and the
+    * fallback never re-opens the manifest the cache already parsed).
+    * Masks never matter here — a deletion vector only SHRINKS a file's
+    * row set, so "definitely empty" stays definitely empty.
+    * KEEP IN SYNC with the text scan's statsPruned
+    * (GraftSources.scala GraftScan) — same length binding, same
+    * definitelyEmpty/bloom probe rules.
     */
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
@@ -568,22 +597,20 @@ final class GraftAvroScan(
     def physName(c: String): String = listing.physMap.getOrElse(c, c)
     val manifests = scala.collection.mutable.Map.empty[String, Option[Map[String, FileStats.Stats]]]
     val sidecars = scala.collection.mutable.Map.empty[String, Option[FileStats.Stats]]
+    // complete per-file sidecar read (blooms included), cached — serves
+    // both the manifest-miss fallback and the bloom probes
+    def sidecarOnly(p: String): Option[FileStats.Stats] =
+      sidecars.getOrElseUpdate(p, {
+        val path = new Path(p)
+        FileStats.load(path.getFileSystem(conf), path)
+      })
     def fileStats(p: String, len: Long): Option[FileStats.Stats] = {
       val path = new Path(p)
       manifests.getOrElseUpdate(path.getParent.toString,
           FileStats.loadManifest(path.getFileSystem(conf), path.getParent))
-        .flatMap(_.get(path.getName)).filter(_.dataLen == len)
-        .orElse(sidecars.getOrElseUpdate(p,
-          FileStats.loadFor(path.getFileSystem(conf), path, len)))
-    }
-    // blooms ride only the per-file sidecar (manifests are bloom-less by
-    // design) — read lazily, only for bloom-eligible point filters
-    def bloomStats(p: String, colName: String): Option[FileStats.ColStats] = {
-      val path = new Path(p)
-      sidecars.getOrElseUpdate(p,
-          FileStats.loadFor(path.getFileSystem(conf), path,
-            path.getFileSystem(conf).getFileStatus(path).getLen))
-        .flatMap(_.cols.get(colName)).filter(_.bloom != null)
+        .flatMap(_.get(path.getName))
+        .filter(st => st.dataLen >= 0 && st.dataLen == len)
+        .orElse(sidecarOnly(p))
     }
     val kept = files.filterNot { f =>
       fileStats(f.path, f.len).exists { st =>
@@ -591,8 +618,12 @@ final class GraftAvroScan(
           val colName = physName(flt.references.head)
           st.cols.get(colName).exists(c =>
             FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, st.rows)) ||
+            // blooms ride only the per-file sidecar (manifests are
+            // bloom-less by design) — probed lazily, point filters only
             (FileStats.bloomEligible(flt) &&
-              bloomStats(f.path, colName).exists(FileStats.bloomExcludes(_, flt)))
+              sidecarOnly(f.path).flatMap(_.cols.get(colName))
+                .filter(_.bloom != null)
+                .exists(FileStats.bloomExcludes(_, flt)))
         }
       }
     }
@@ -601,7 +632,7 @@ final class GraftAvroScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    statsPruned(listing.files).flatMap { lf =>
+    statsPruned(partitionPruned(listing.files)).flatMap { lf =>
       if (lf.dv != null || withRowIndex)
         // a deletion vector masks WHOLE-FILE record ordinals and
         // withRowIndex stamps them; avro carries no per-range ordinal

@@ -1350,6 +1350,10 @@ private[graft] object GraftCommitLog {
   def entryActions(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Seq[LogAction] = {
     val (p, lines) = entryLines(fs, root, version)
+    parseActions(p, lines)
+  }
+
+  private def parseActions(p: Path, lines: Seq[String]): Seq[LogAction] = {
     val v6 = lines.headOption.contains("graft-commit v6")
     val v5 = v6 || lines.headOption.contains("graft-commit v5")
     val v4 = v5 || lines.headOption.contains("graft-commit v4")
@@ -1373,6 +1377,20 @@ private[graft] object GraftCommitLog {
       else if (v6 && l.startsWith("o ")) None // operation tag, not an action
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
+  }
+
+  /** One slurp serving DESCRIBE HISTORY: (actions, operation tag,
+    * schema-line present) — entryActions + entryOp + entrySchema would
+    * read the same entry three times, which matters on object stores
+    * where per-read latency dominates a long-history walk.
+    */
+  def entrySummary(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): (Seq[LogAction], Option[String], Boolean) = {
+    val (p, lines) = entryLines(fs, root, version)
+    val op =
+      if (!lines.headOption.contains("graft-commit v6")) None
+      else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
+    (parseActions(p, lines), op, lines.tail.exists(_.startsWith("s ")))
   }
 
   /** The entry's OPERATION tag (`o` line, v6) — currently "restore

@@ -1514,6 +1514,9 @@ final class GraftScan(
           .flatMap(_.cols.get(colName)).filter(_.bloom != null)
       }
   }
+  // KEEP IN SYNC with GraftAvroScan.statsPruned (GraftAvro.scala) — the
+  // avro lane mirrors the length binding and probe rules with its own
+  // scan-local caches
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
     if (!options.getBoolean("dataskipping", true)) return files

@@ -110,6 +110,11 @@ class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // whichever file holds beta rows, its sidecar claims beta-only values;
     // simulate an out-of-band replacement by swapping the two data files
     val Array(a, b) = files.map(_.getPath)
+    // the soundness of this test rests on the length binding actually
+    // firing — if an encoding change ever made the two files byte-equal,
+    // the swap would test nothing
+    assert(fs.getFileStatus(a).getLen !== fs.getFileStatus(b).getLen,
+      "test precondition: the swapped files must differ in length")
     val tmp = new org.apache.hadoop.fs.Path(d, "swap.tmp")
     fs.rename(a, tmp); fs.rename(b, a); fs.rename(tmp, b)
     // lengths changed under both sidecars (the two files differ in size)
