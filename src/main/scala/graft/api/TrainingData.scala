@@ -1046,21 +1046,34 @@ object TrainingData {
     * `changesSinceVersion` — after OPTIMIZE / materializeDeletes /
     * deleteWhere, a full refresh is required. DV history, the case that
     * used to refuse, now flows.
+    *
+    * `untilVersion` bounds the diff at a pinned version instead of the
+    * latest (Delta's endingVersion) — a consumer catching up through a
+    * long history in controlled steps; -1 = latest.
     */
   def changeFeed(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, sinceVersion: Long,
-      format: String = "graft-json"): DataFrame = {
+      format: String = "graft-json",
+      untilVersion: Long = -1L): DataFrame = {
     require(format == "graft-json" || format == "graft-csv" ||
         format == "graft-avro",
       s"changeFeed supports graft-json/graft-csv/graft-avro, not $format")
     val tbl = resolveCow(spark, dir, schema)
     val log = graft.spark.GraftCommitLog
     val vs = log.versions(tbl.fs, tbl.root)
+    // bounded CDF (Delta's endingVersion): diff up to `untilVersion`
+    // instead of the latest — a consumer catching up in controlled steps
+    val until = if (untilVersion < 0L) tbl.latest else untilVersion
     require(vs.contains(sinceVersion),
       s"changeFeed sinceVersion=$sinceVersion: unknown version " +
         s"(available: ${vs.min}..${vs.max})" +
         (if (sinceVersion < vs.min) " — history expired (expireLogHistory); " +
           "a full refresh is required" else ""))
+    require(untilVersion < 0L || vs.contains(until),
+      s"changeFeed untilVersion=$until: unknown version " +
+        s"(available: ${vs.min}..${vs.max})")
+    require(sinceVersion <= until,
+      s"changeFeed: sinceVersion=$sinceVersion is after untilVersion=$until")
     require(!tbl.fullSchema.fieldNames.contains(ChangeTypeCol),
       s"changeFeed: the table already has a column named $ChangeTypeCol")
     import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
@@ -1068,10 +1081,10 @@ object TrainingData {
       tbl.fullSchema.fields :+ StructField(ChangeTypeCol, StringType, nullable = false))
     def empty: DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    if (sinceVersion == tbl.latest) return empty
+    if (sinceVersion == until) return empty
 
     val s0 = log.liveStateAsOf(tbl.fs, tbl.root, sinceVersion)
-    val s1 = log.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
+    val s1 = log.liveStateAsOf(tbl.fs, tbl.root, until)
     val retired = (s0.keySet -- s1.keySet).toSeq.sorted
     if (retired.nonEmpty)
       throw new IllegalStateException(
@@ -1113,13 +1126,13 @@ object TrainingData {
     // in the range touched the file (the v6 `o restore` tag).
     if (insDeltas.nonEmpty) {
       val restoreTouched: Set[String] = vs
-        .filter(v => v > sinceVersion && v <= tbl.latest)
+        .filter(v => v > sinceVersion && v <= until)
         .filter(v => log.entryOp(tbl.fs, tbl.root, v).exists(_.startsWith("restore")))
         .flatMap(v => log.entryActions(tbl.fs, tbl.root, v).map(_.path)).toSet
       val illegal = (insDeltas.keySet -- restoreTouched).toSeq.sorted
       require(illegal.isEmpty,
         s"changeFeed: the deletion vector for '${illegal.headOption.getOrElse("")}' " +
-          s"SHRANK between versions $sinceVersion and ${tbl.latest} with no " +
+          s"SHRANK between versions $sinceVersion and $until with no " +
           "RESTORE touching it in range — vectors are cumulative outside " +
           "restores; the artifacts disagree with the merge contract")
     }
@@ -1155,15 +1168,15 @@ object TrainingData {
     val deletes: Option[DataFrame] =
       if (delDeltas.isEmpty) None
       else Some(ordinalRows(delDeltas, sinceVersion, "delete"))
-    // rows a restore un-deleted since: visible at latest (mask came off)
+    // rows a restore un-deleted in range: visible at `until` (mask off)
     val resurfaced: Option[DataFrame] =
       if (insDeltas.isEmpty) None
-      else Some(ordinalRows(insDeltas, tbl.latest, "insert"))
+      else Some(ordinalRows(insDeltas, until, "insert"))
 
     val added = (s1.keySet -- s0.keySet).toSeq.sorted
     val inserts: Option[DataFrame] = if (added.isEmpty) None else
       Some(spark.read.format(format).schema(tbl.fullSchema)
-        .option("versionasof", tbl.latest.toString)
+        .option("versionasof", until.toString)
         .option("restrictfiles",
           graft.spark.GraftSources.joinFileList(added, "restrictfiles"))
         .load(dir)

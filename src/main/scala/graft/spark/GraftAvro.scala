@@ -718,20 +718,24 @@ final class GraftAvroPartitionReader(
     required.fields.zipWithIndex.filterNot { case (f, i) =>
       i == idxSlot || partCols.contains(f.name)
     }
-  private val dataSchema = StructType(dataFields.map(_._1))
 
   private val in = new FsInput(new Path(part.path), conf)
-  private val reader = {
-    // single open: header gives the writer schema, then the pruned reader
-    // schema is installed before any datum decodes (setExpected)
-    val datumReader = new GenericDatumReader[GenericRecord]()
-    val r = new DataFileReader[GenericRecord](in, datumReader)
-    datumReader.setExpected(GraftAvro.prunedReaderSchema(r.getSchema, dataSchema))
-    r.sync(part.start)
-    r
-  }
+  private val datumReader = new GenericDatumReader[GenericRecord]()
+  private val reader = new DataFileReader[GenericRecord](in, datumReader)
+  // fields present in THIS file's writer schema decode; fields an ALTER
+  // added after the file was written read as null — the text formats'
+  // missing-key semantic, so schema evolution behaves identically across
+  // lanes (slots of a fresh GenericInternalRow are null and absent slots
+  // are never written)
+  private val presentFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
+    dataFields.filter { case (f, _) => reader.getSchema.getField(f.name) != null }
+  // single open: header gives the writer schema, then the pruned reader
+  // schema is installed before any datum decodes (setExpected)
+  datumReader.setExpected(
+    GraftAvro.prunedReaderSchema(reader.getSchema, StructType(presentFields.map(_._1))))
+  reader.sync(part.start)
   private val convs: Array[GraftAvro.Conv] =
-    dataFields.map { case (f, _) => GraftAvro.readerConv(f.dataType) }
+    presentFields.map { case (f, _) => GraftAvro.readerConv(f.dataType) }
   private var reuse: GenericRecord = _
   private val row = new GenericInternalRow(required.length)
   // partition-served slots are per-file constants: fill once
@@ -756,7 +760,7 @@ final class GraftAvroPartitionReader(
         var j = 0
         while (j < convs.length) {
           val v = reuse.get(j)
-          row.update(dataFields(j)._2, if (v == null) null else convs(j)(v))
+          row.update(presentFields(j)._2, if (v == null) null else convs(j)(v))
           j += 1
         }
         if (idxSlot >= 0) row.update(idxSlot, ord)

@@ -84,6 +84,26 @@ class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dataskipping=false must disable stats pruning")
   }
 
+  test("ALTER add column: old avro files read the new column as null") {
+    val d = dir("alter")
+    val s = spark
+    import s.implicits._
+    (0L until 50L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d) // v0: no 'extra'
+    TrainingData.alterTableAddColumn(spark, d, "extra", "DOUBLE") // v1
+    (50L until 60L).map(i => (i, s"r$i", i * 0.5)).toDF("id", "v", "extra")
+      .repartition(1)
+      .write.format("graft-avro").mode("append").save(d) // v2: has 'extra'
+    val got = spark.read.format("graft-avro")
+      .schema("id BIGINT, v STRING, extra DOUBLE")
+      .option("snapshot", "true").load(d)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got.take(50).forall(_._2 == null),
+      "pre-ALTER files must serve the new column as null (text-format parity)")
+    assert(got.drop(50) === (50L until 60L).map(i => (i, i * 0.5)))
+  }
+
   test("string point lookups prune via blooms; a stale sidecar degrades to a full read") {
     val d = dir("bloom")
     val s = spark

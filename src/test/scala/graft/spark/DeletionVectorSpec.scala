@@ -718,6 +718,25 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === (0L until 6000L).count(_ % 9 != 0))
   }
 
+  test("changeFeed untilVersion bounds the diff at a pinned version") {
+    val d = dir("cdfuntil")
+    writeTable(d, n = 100L, parts = 1)                          // v0
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 10 = 0") // v1
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 10 = 5") // v2
+    val first = TrainingData.changeFeed(spark, d, schema, 0L, untilVersion = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(first === (0L until 100L).filter(_ % 10 == 0).map(i => (i, "delete")),
+      "the bounded feed must stop at v1's masks")
+    assert(TrainingData.changeFeed(spark, d, schema, 1L, untilVersion = 1L)
+      .count() === 0L)
+    val all = TrainingData.changeFeed(spark, d, schema, 0L).count()
+    assert(all === 20L)
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.changeFeed(spark, d, schema, 2L, untilVersion = 1L)
+    }
+    assert(e.getMessage.contains("after untilVersion"))
+  }
+
   test("dataskipping=false disables the sidecar-derived split (file reads whole)") {
     val d = dir("dvsplitoff")
     val s = spark
