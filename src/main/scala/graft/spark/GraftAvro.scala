@@ -439,7 +439,8 @@ final class GraftAvroTable(
   override def name(): String = s"graft-avro:${properties.get("path")}"
   override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -541,6 +542,23 @@ final class GraftAvroScan(
     s"graft-avro ${if (countStar) "count-only" else required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(listing.partCols.isEmpty,
+      "graft-avro streaming serves unpartitioned layouts — whole-file " +
+        "admission carries no per-file partition values; read the k=v " +
+        "directories as separate streams or use graft-json/graft-csv")
+    // column mapping: the streaming reader resolves avro fields BY NAME,
+    // so renamed columns must stream under their PHYSICAL keys (rows are
+    // positional — Spark still sees the logical schema)
+    val phys = GraftSources.physMapFor(options)
+    val streamSchema =
+      if (phys.isEmpty) required
+      else StructType(required.fields.map(f =>
+        phys.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
+    new GraftAvroMicroBatchStream(streamSchema, options, checkpointLocation)
+  }
 
   private val maxSplit =
     Option(options.get("maxsplitbytes")).map(_.toLong).getOrElse(32L << 20)
@@ -682,6 +700,73 @@ object GraftAvroScan {
     * test/debug observability only (the GraftScan.lastStatsPruned shape).
     */
   val lastStatsPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
+}
+
+/** Micro-batch streaming over avro container files — the csv admission
+  * model: the offset is a FILE index into the (snapshot, name-ordered)
+  * list, each trigger admits up to `maxfilespertrigger` whole files.
+  * `followLog` tails the commit log (only committed files, in commit
+  * order — the Delta-streaming-source shape) through the SAME
+  * StreamFileRegistry the text lanes use, so dv-carrying and
+  * remove-carrying history refuses identically.
+  */
+final class GraftAvroMicroBatchStream(
+    required: StructType,
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val registry = new StreamFileRegistry(options, checkpointLocation)
+  private val maxFilesPerTrigger: Int =
+    Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
+  private var availableNowCap: Long = -1L
+  private val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.replaceAll("[^0-9]", "")
+    GraftStreamOffset(if (pos.isEmpty) 0L else pos.toLong)
+  }
+
+  private def availableFiles(): Long = {
+    registry.discover()
+    val t = registry.fileCount
+    if (availableNowCap >= 0) math.min(t, availableNowCap) else t
+  }
+
+  override def latestOffset(): Offset = GraftStreamOffset(availableFiles())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[GraftStreamOffset].pos
+    GraftStreamOffset(math.min(availableFiles(), start + maxFilesPerTrigger))
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(availableFiles())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    registry.discover()
+    availableNowCap = registry.fileCount
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].pos.toInt
+    val e = end.asInstanceOf[GraftStreamOffset].pos.toInt
+    registry.files.slice(s, e).map { case (p, len) =>
+      GraftSources.wholeFilePartition(p, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAvroReaderFactory(required, Nil, countStar = false, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class GraftAvroReaderFactory(
