@@ -545,20 +545,41 @@ final class GraftAvroScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!options.getBoolean("withfilepath", false),
+      "graft-avro streaming does not serve withFilePath provenance — " +
+        "whole-file admission carries no per-file synthetic values")
     require(listing.partCols.isEmpty,
-      "graft-avro streaming serves unpartitioned layouts — whole-file " +
-        "admission carries no per-file partition values; read the k=v " +
-        "directories as separate streams or use graft-json/graft-csv")
+      s"graft-avro streaming serves unpartitioned layouts — whole-file " +
+        s"admission carries no per-file partition values, and this " +
+        s"directory has k=v partition directories " +
+        s"(${listing.partCols.mkString(", ")}); read each k=v directory " +
+        "as its own stream")
     // column mapping: the streaming reader resolves avro fields BY NAME,
     // so renamed columns must stream under their PHYSICAL keys (rows are
-    // positional — Spark still sees the logical schema)
-    val phys = GraftSources.physMapFor(options)
+    // positional — Spark still sees the logical schema). listing.physMap
+    // is the already-resolved table — no second log read.
+    val phys = listing.physMap
     val streamSchema =
       if (phys.isEmpty) required
       else StructType(required.fields.map(f =>
         phys.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
-    new GraftAvroMicroBatchStream(streamSchema, options, checkpointLocation)
+    new GraftAvroMicroBatchStream(streamSchema, absentOkFields(phys),
+      options, checkpointLocation)
   }
+
+  /** Physical names of columns the table's RECORDED schema knows —
+    * the set a reader may serve as NULL when a file's writer schema
+    * lacks them (an ALTER added the column after the file was written).
+    * Anything else absent is a loud error: a typo'd user schema or a
+    * degraded column-mapping resolution must never silently read as
+    * all-NULL. Untracked tables have no record, so every absence is loud.
+    */
+  private def absentOkFields(phys: Map[String, String]): Set[String] =
+    GraftSources.logSchema(options) match {
+      case Some(recorded) =>
+        recorded.fieldNames.map(n => phys.getOrElse(n, n)).toSet
+      case None => Set.empty
+    }
 
   private val maxSplit =
     Option(options.get("maxsplitbytes")).map(_.toLong).getOrElse(32L << 20)
@@ -677,7 +698,8 @@ final class GraftAvroScan(
     // still sees the logical readSchema. Synthetic/partition-served
     // columns (withFilePath provenance, withRowIndex ordinals, hive k=v
     // values) are never in the data files, so they keep logical names.
-    val phys = GraftSources.physMapFor(options)
+    // listing.physMap is the already-resolved table — no second log read.
+    val phys = listing.physMap
     val synthetic = listing.partCols.toSet + GraftSources.RowIndexCol
     val parseRequired =
       if (phys.isEmpty) required
@@ -685,6 +707,7 @@ final class GraftAvroScan(
         if (synthetic.contains(f.name)) f
         else phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
     new GraftAvroReaderFactory(parseRequired, listing.partCols, countStar,
+      absentOkFields(phys),
       new SerializableConfiguration(GraftSources.activeHadoopConf()))
   }
 
@@ -702,83 +725,33 @@ object GraftAvroScan {
   val lastStatsPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
-/** Micro-batch streaming over avro container files — the csv admission
-  * model: the offset is a FILE index into the (snapshot, name-ordered)
-  * list, each trigger admits up to `maxfilespertrigger` whole files.
-  * `followLog` tails the commit log (only committed files, in commit
-  * order — the Delta-streaming-source shape) through the SAME
-  * StreamFileRegistry the text lanes use, so dv-carrying and
-  * remove-carrying history refuses identically.
+/** Avro micro-batch streaming — whole-file admission (binary blocks
+  * preclude mid-stream byte splits); `followLog` tails the commit log
+  * through the SAME StreamFileRegistry the text lanes use, so
+  * dv-carrying and remove-carrying history refuses identically.
   */
 final class GraftAvroMicroBatchStream(
     required: StructType,
+    absentOk: Set[String],
     options: CaseInsensitiveStringMap,
     checkpointLocation: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
-
-  private val registry = new StreamFileRegistry(options, checkpointLocation)
-  private val maxFilesPerTrigger: Int =
-    Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
-  private var availableNowCap: Long = -1L
-  private val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
-
-  override def initialOffset(): Offset = GraftStreamOffset(0L)
-
-  override def deserializeOffset(json: String): Offset = {
-    val pos = json.replaceAll("[^0-9]", "")
-    GraftStreamOffset(if (pos.isEmpty) 0L else pos.toLong)
-  }
-
-  private def availableFiles(): Long = {
-    registry.discover()
-    val t = registry.fileCount
-    if (availableNowCap >= 0) math.min(t, availableNowCap) else t
-  }
-
-  override def latestOffset(): Offset = GraftStreamOffset(availableFiles())
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-
-  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
-    val start = startOffset.asInstanceOf[GraftStreamOffset].pos
-    GraftStreamOffset(math.min(availableFiles(), start + maxFilesPerTrigger))
-  }
-
-  override def reportLatestOffset(): Offset = GraftStreamOffset(availableFiles())
-
-  override def prepareForTriggerAvailableNow(): Unit = {
-    registry.discover()
-    availableNowCap = registry.fileCount
-  }
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].pos.toInt
-    val e = end.asInstanceOf[GraftStreamOffset].pos.toInt
-    registry.files.slice(s, e).map { case (p, len) =>
-      GraftSources.wholeFilePartition(p, len): InputPartition
-    }.toArray
-  }
+    extends WholeFileMicroBatchStream(options, checkpointLocation) {
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftAvroReaderFactory(required, Nil, countStar = false, conf)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+    new GraftAvroReaderFactory(required, Nil, countStar = false, absentOk, conf)
 }
 
 final class GraftAvroReaderFactory(
     required: StructType,
     partCols: Seq[String],
     countStar: Boolean,
+    absentOk: Set[String],
     conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     if (countStar) new GraftAvroCountReader(p, conf.value)
-    else new GraftAvroPartitionReader(p, required, partCols, conf.value)
+    else new GraftAvroPartitionReader(p, required, partCols, absentOk, conf.value)
   }
 }
 
@@ -794,6 +767,7 @@ final class GraftAvroPartitionReader(
     part: GraftInputPartition,
     required: StructType,
     partCols: Seq[String],
+    absentOk: Set[String],
     conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -808,12 +782,22 @@ final class GraftAvroPartitionReader(
   private val datumReader = new GenericDatumReader[GenericRecord]()
   private val reader = new DataFileReader[GenericRecord](in, datumReader)
   // fields present in THIS file's writer schema decode; fields an ALTER
-  // added after the file was written read as null — the text formats'
-  // missing-key semantic, so schema evolution behaves identically across
-  // lanes (slots of a fresh GenericInternalRow are null and absent slots
-  // are never written)
+  // added after the file was written (absentOk = the recorded schema's
+  // physical names) read as null — the text formats' missing-key
+  // semantic (slots of a fresh GenericInternalRow are null and absent
+  // slots are never written). Anything ELSE absent is a loud error: a
+  // typo'd user schema or a degraded column-mapping resolution must
+  // never silently read as all-NULL.
   private val presentFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
-    dataFields.filter { case (f, _) => reader.getSchema.getField(f.name) != null }
+    dataFields.filter { case (f, _) =>
+      val present = reader.getSchema.getField(f.name) != null
+      require(present || absentOk.contains(f.name),
+        s"graft-avro: column '${f.name}' not in '${part.path}''s writer " +
+          "schema and not in the table's recorded schema — misspelled " +
+          "column, or a column-mapped read resolved without its rename " +
+          "table")
+      present
+    }
   // single open: header gives the writer schema, then the pruned reader
   // schema is installed before any datum decodes (setExpected)
   datumReader.setExpected(

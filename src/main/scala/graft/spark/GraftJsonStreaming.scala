@@ -232,16 +232,15 @@ final class GraftJsonMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Micro-batch streaming over CSV files: quoted row delimiters preclude
-  * byte-offset splits, so the offset is a FILE index into the (snapshot,
+/** Whole-file micro-batch admission, shared by every lane whose files
+  * cannot byte-offset split mid-stream (CSV's quoted row delimiters,
+  * avro's binary blocks): the offset is a FILE index into the (snapshot,
   * name-ordered) list — each trigger admits up to `maxfilespertrigger`
-  * whole files (the classic file-source admission model).
+  * whole files (the classic file-source admission model). Subclasses
+  * supply only the reader factory.
   */
-final class GraftCsvMicroBatchStream(
-    schema: StructType,
-    filters: Array[Filter],
+abstract class WholeFileMicroBatchStream(
     options: CaseInsensitiveStringMap,
-    config: graft.core.csv.CsvParser.Config,
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -250,7 +249,7 @@ final class GraftCsvMicroBatchStream(
     Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
   private var availableNowCap: Long = -1L
 
-  private val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+  protected val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
 
   override def initialOffset(): Offset = GraftStreamOffset(0L)
 
@@ -288,9 +287,21 @@ final class GraftCsvMicroBatchStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCsvReaderFactory(schema, filters, conf, config)
-
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** CSV micro-batch streaming — whole-file admission (quoted row
+  * delimiters preclude byte-offset splits).
+  */
+final class GraftCsvMicroBatchStream(
+    schema: StructType,
+    filters: Array[Filter],
+    options: CaseInsensitiveStringMap,
+    config: graft.core.csv.CsvParser.Config,
+    checkpointLocation: String)
+    extends WholeFileMicroBatchStream(options, checkpointLocation) {
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvReaderFactory(schema, filters, conf, config)
 }

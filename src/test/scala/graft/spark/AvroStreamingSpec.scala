@@ -62,22 +62,64 @@ class AvroStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === (0L until 80L))
   }
 
-  test("maxfilespertrigger paces whole-file admission") {
+  test("maxfilespertrigger paces whole-file admission in commit order") {
     val d = dir("paced")
-    writeRows(d, 0L, 40L, "overwrite") // 2 files
-    writeRows(d, 40L, 80L, "append")   // 2 more
+    writeRows(d, 0L, 40L, "overwrite") // v0: 2 files
+    writeRows(d, 40L, 80L, "append")   // v1: 2 more
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
     val q = spark.readStream.format("graft-avro").schema(schema)
       .option("followlog", "true").option("maxfilespertrigger", "1").load(d)
-      .writeStream.format("memory").queryName("avro_paced")
+      .writeStream
       .option("checkpointLocation", dir("paced_ckpt"))
       .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        byBatch.put(id, b.collect().map(_.getLong(0)).toSeq)
+        ()
+      }
       .start()
     q.awaitTermination()
-    assert(spark.sql("SELECT id FROM avro_paced").collect()
-      .map(_.getLong(0)).sorted.toSeq === (0L until 80L))
-    // 4 files at 1 file/trigger → at least 4 batches
-    assert(spark.sql("SELECT count(DISTINCT id) FROM avro_paced")
-      .collect()(0).getLong(0) === 80L)
+    import scala.jdk.CollectionConverters._
+    val batches = byBatch.asScala.toSeq.sortBy(_._1)
+    // 4 files at 1 file/trigger → exactly 4 non-empty batches
+    assert(batches.count(_._2.nonEmpty) === 4,
+      s"expected 4 single-file batches, got ${batches.map(_._2.size)}")
+    assert(batches.flatMap(_._2).sorted === (0L until 80L))
+    // COMMIT order: v0's rows (ids < 40) must be fully delivered before
+    // any of v1's (ids >= 40) — followLog admits files in commit order
+    val firstV1Batch = batches.collect {
+      case (id, rows) if rows.exists(_ >= 40L) => id }.min
+    assert(batches.forall { case (id, rows) =>
+      rows.forall(_ >= 40L) || id < firstV1Batch },
+      s"v0 rows delivered after v1 began: ${batches.map { case (i, r) => (i, r.take(3)) }}")
+  }
+
+  test("streaming rails: partitioned layouts and withfilepath refuse loudly") {
+    val d = dir("rails")
+    val s = spark
+    import s.implicits._
+    // hand-built k=v layout (the avro sink never writes one)
+    (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d + "/k=1")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-avro").schema(schema).load(d)
+        .writeStream.format("memory").queryName("avro_rail_part")
+        .option("checkpointLocation", dir("rails_ckpt1"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(msgs(e).exists(_.contains("unpartitioned")), msgs(e).mkString(" | "))
+    val d2 = dir("rails2")
+    writeRows(d2, 0L, 10L, "overwrite")
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-avro")
+        .schema("id BIGINT, v STRING, _graft_file STRING")
+        .option("withfilepath", "true").load(d2)
+        .writeStream.format("memory").queryName("avro_rail_fp")
+        .option("checkpointLocation", dir("rails_ckpt2"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(msgs(e2).exists(_.contains("withFilePath")), msgs(e2).mkString(" | "))
   }
 
   test("a dv-carrying table refuses streaming loudly (both discovery modes)") {
