@@ -2696,5 +2696,48 @@ object Sources {
             ) AS t(version, ts_millis, operation, n_adds, n_removes, n_dvs, schema_recorded)
             ORDER BY version DESC"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
+  // ---------------------------------------------------------------- q216
+  // Avro micro-batch streaming: followLog tails the commit log (only
+  // committed files enter the stream, in commit order) with whole-file
+  // admission — the ingest-bus tail for the binary interchange format.
+  // A rogue uncommitted file proves discovery is log-mediated.
+  private val q216 = GQuery(
+    "q216_avro_streaming",
+    "avro followLog stream: committed files only, all rows delivered",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/avro_stream"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE"
+      val customer = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+      customer.filter($"c_custkey" < 500).repartition(2)
+        .write.format("graft-avro").mode("overwrite").save(dir) // v0
+      customer.filter($"c_custkey" >= 500 && $"c_custkey" < 800).repartition(1)
+        .write.format("graft-avro").mode("append").save(dir) // v1
+      val rootP = new org.apache.hadoop.fs.Path(dir)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // rogue UNCOMMITTED avro file: raw listings would deliver it,
+      // followLog must not
+      val rogueSrc = fs.listStatus(rootP)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith(".")).head.getPath
+      org.apache.hadoop.fs.FileUtil.copy(fs, rogueSrc, fs,
+        new org.apache.hadoop.fs.Path(rootP, "rogue-copy.avro"), false, true,
+        s.sparkContext.hadoopConfiguration)
+      val ckpt = new org.apache.hadoop.fs.Path("/tmp/graft_tt/avro_stream_ckpt")
+      fs.delete(ckpt, true) // fresh checkpoint: the table history restarted
+      val q = s.readStream.format("graft-avro").schema(ddl)
+        .option("followlog", "true").load(dir)
+        .writeStream.format("memory").queryName("q216_avro_stream")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q216_avro_stream")
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
+            WHERE c_custkey < 800 ORDER BY c_custkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }
