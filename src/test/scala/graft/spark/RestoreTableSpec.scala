@@ -149,6 +149,29 @@ class RestoreTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .fieldNames.contains("extra"))
   }
 
+  test("restore across a RENAME re-records the old logical name (physical keys never moved)") {
+    val d = dir("rename")
+    writeTable(d)                                                   // v0: (id, v)
+    TrainingData.alterTableRenameColumn(spark, d, "v", "label")     // v1
+    // post-rename append uses the new logical name (physical key stays v)
+    val s = spark
+    import s.implicits._
+    (100L until 110L).map(i => (i, s"r$i")).toDF("id", "label").repartition(1)
+      .write.format("graft-json").mode("append").save(d)            // v2
+    assert(TrainingData.restoreTable(spark, d, 0L) === 3L)
+    val restored = TrainingData.tableSchema(spark, d).get
+    assert(restored.fieldNames.toSeq === Seq("id", "v"),
+      s"restore must re-record the pre-RENAME names, got $restored")
+    // data reads under the restored logical name; v2's file is retired
+    val got = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").load(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === (0L until 100L).map(i => (i, s"r$i")))
+    // the renamed epoch still time-travels under ITS names
+    assert(TrainingData.tableSchema(spark, d, Some(1L)).get
+      .fieldNames.contains("label"))
+  }
+
   test("changeFeed across a restore: un-deleted rows surface as inserts, net effect zero from the origin") {
     val d = dir("cdf")
     writeTable(d)                                   // v0
