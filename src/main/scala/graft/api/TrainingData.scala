@@ -1292,6 +1292,20 @@ object TrainingData {
       opTag = s"restore $version")
   }
 
+  /** [[restoreTable]] addressed by TIME instead of version (Delta's
+    * `RESTORE TABLE ... TO TIMESTAMP AS OF`): resolves to the LATEST
+    * version whose monotonic-clamped commit time is ≤ `epochMillis`
+    * (exactly the `timestampAsOf` read resolution — loud on before-first
+    * / expired), then restores to it.
+    */
+  def restoreTableToTimestamp(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epochMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    restoreTable(spark, dir,
+      graft.spark.GraftCommitLog.versionForTimestamp(fs, root, epochMillis))
+  }
+
   /** Resolved COW-rewrite context: latest committed snapshot, layout
     * partition columns, and the scan schemas both phases read with.
     */

@@ -232,6 +232,25 @@ class RestoreTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("SHRANK"), e.getMessage)
   }
 
+  test("restoreTableToTimestamp resolves through the monotonic commit times") {
+    val d = dir("bytime")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsKey = GraftCommitLog.CommitTimestampKey
+    try {
+      conf.setLong(tsKey, 1000L); writeTable(d)               // v0 @ t=1000
+      conf.setLong(tsKey, 2000L); appendRows(d, 100L, 120L)   // v1 @ t=2000
+      conf.setLong(tsKey, 3000L); appendRows(d, 120L, 140L)   // v2 @ t=3000
+      conf.setLong(tsKey, 4000L)
+      // 2500 resolves to v1 (latest commit time ≤ 2500)
+      assert(TrainingData.restoreTableToTimestamp(spark, d, 2500L) === 3L)
+      assert(snapIds(d) === (0L until 120L))
+      // before-first is loud, exactly like timestampAsOf reads
+      intercept[Exception] {
+        TrainingData.restoreTableToTimestamp(spark, d, 500L)
+      }
+    } finally conf.unset(tsKey)
+  }
+
   test("no-op restores return -1 and write nothing") {
     val d = dir("noop")
     writeTable(d)                                   // v0
