@@ -1294,16 +1294,27 @@ object TrainingData {
 
   /** [[restoreTable]] addressed by TIME instead of version (Delta's
     * `RESTORE TABLE ... TO TIMESTAMP AS OF`): resolves to the LATEST
-    * version whose monotonic-clamped commit time is ≤ `epochMillis`
-    * (exactly the `timestampAsOf` read resolution — loud on before-first
-    * / expired), then restores to it.
+    * version whose monotonic-clamped commit time is ≤ `epochMillis` —
+    * the `timestampAsOf` read resolution, loud on before-first /
+    * expired — EXCEPT that a timestamp after the latest commit resolves
+    * to the latest version (Delta's canReturnLastCommit: "restore to the
+    * state as of now" is the documented -1 no-op, not an error; the read
+    * path's after-latest refusal exists to steer readers to
+    * snapshot/versionAsOf, which restore has no analog of).
     */
   def restoreTableToTimestamp(spark: org.apache.spark.sql.SparkSession,
       dir: String, epochMillis: Long): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    restoreTable(spark, dir,
-      graft.spark.GraftCommitLog.versionForTimestamp(fs, root, epochMillis))
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty,
+      s"restoreTableToTimestamp needs a graft commit log under $dir")
+    val latestTs = log.resolvedTimestamps(fs, root).lastOption.map(_._2)
+    val target =
+      if (latestTs.exists(_ <= epochMillis)) vs.max
+      else log.versionForTimestamp(fs, root, epochMillis)
+    restoreTable(spark, dir, target)
   }
 
   /** Resolved COW-rewrite context: latest committed snapshot, layout

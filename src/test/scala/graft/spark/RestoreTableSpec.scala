@@ -248,6 +248,9 @@ class RestoreTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       intercept[Exception] {
         TrainingData.restoreTableToTimestamp(spark, d, 500L)
       }
+      // AFTER-latest clamps to the latest version (Delta's
+      // canReturnLastCommit): "restore to now" is the -1 no-op
+      assert(TrainingData.restoreTableToTimestamp(spark, d, 999999L) === -1L)
     } finally conf.unset(tsKey)
   }
 
