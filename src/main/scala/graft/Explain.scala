@@ -37,8 +37,10 @@ object Explain {
       } else {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (run) {
-          val n = df.collect().length
-          println(s"rows=$n")
+          // count() executes distributed; the rows never ship to the
+          // driver (this is a dev tool, but it should still model the
+          // discipline the library preaches)
+          println(s"rows=${df.count()}")
           println(df.queryExecution.executedPlan.toString)
         } else df.explain("formatted")
       }
