@@ -1388,6 +1388,18 @@ final class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // whole-file admission carries NO per-file partition values (the
+    // registry records paths and lengths only), so a streamed schema
+    // naming a partition-directory column — or withFilePath's synthetic
+    // provenance, which rides partCols — would read it as silent NULLs;
+    // refuse loudly instead (the avro lane has the same rail)
+    val streamedPartCols = listing.partCols.filter(schema.fieldNames.contains)
+    require(streamedPartCols.isEmpty,
+      s"streaming reads do not serve partition-directory values " +
+        s"(${streamedPartCols.mkString(", ")}): whole-file admission " +
+        "carries none, so those columns would read as silent NULLs — " +
+        "drop them from the stream's schema, or read each k=v directory " +
+        "as its own stream")
     // column mapping: streaming readers parse PHYSICAL keys too (rows
     // are positional); renamed-column filters stay residual-only
     val streamSchema =

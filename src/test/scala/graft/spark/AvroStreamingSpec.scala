@@ -120,6 +120,31 @@ class AvroStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
     assert(msgs(e2).exists(_.contains("withFilePath")), msgs(e2).mkString(" | "))
+    // the TEXT lanes have the same rail: a streamed schema naming a
+    // partition column (which whole-file admission cannot serve) refuses
+    // loudly instead of reading silent NULLs
+    val d3 = dir("rails3")
+    (0L until 20L).map(i => (i, s"r$i", i % 2)).toDF("id", "v", "k")
+      .repartition(1)
+      .write.format("graft-json").option("partitionby", "k")
+      .mode("overwrite").save(d3)
+    val e3 = intercept[Exception] {
+      spark.readStream.format("graft-json")
+        .schema("id BIGINT, v STRING, k BIGINT").load(d3)
+        .writeStream.format("memory").queryName("json_rail_part")
+        .option("checkpointLocation", dir("rails_ckpt3"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(msgs(e3).exists(_.contains("silent NULLs")), msgs(e3).mkString(" | "))
+    // a schema WITHOUT the partition column streams the same layout fine
+    val q = spark.readStream.format("graft-json").schema("id BIGINT, v STRING")
+      .load(d3)
+      .writeStream.format("memory").queryName("json_rail_ok")
+      .option("checkpointLocation", dir("rails_ckpt4"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT id FROM json_rail_ok").collect()
+      .map(_.getLong(0)).sorted.toSeq === (0L until 20L))
   }
 
   test("a dv-carrying table refuses streaming loudly (both discovery modes)") {
