@@ -36,9 +36,13 @@ final class ColumnarPlate(
     mask: DeletionVectors.Mask = null,
     // first parsed row's whole-file ordinal (block-pruned aligned ranges)
     maskStartOrd: Long = 0L) extends Plate[Long] with KeyProbe {
-  require(mask == null || filters.isEmpty,
-    "ColumnarPlate: a deletion mask and plate filters cannot combine — a " +
-      "filter-dropped row would shift every later row's mask address")
+  // Deletion masks and plate filters COMBINE (round 11): every row's
+  // ordinal is counted exactly once — at finishRow for parsed rows, and
+  // inside earlyFilter for rows the SkipRow pushdown abandons mid-parse
+  // (the parser suppresses their finishRow) — so filter-dropped rows
+  // never shift later rows' mask addresses. Both outcomes are "drop", so
+  // mask-vs-filter ordering is immaterial; heavily-masked tables keep
+  // parse-level byte skipping.
 
   private[this] val numCols = schema.length
   private[this] val types: Array[DataType] = schema.fields.map(_.dataType)
@@ -275,7 +279,10 @@ final class ColumnarPlate(
   private def earlyFilter(idx: Int, value: Any): Signal = {
     val fs = filterAt(idx)
     if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
-      // abandon the partial row: the parser suppresses its finishRow
+      // abandon the partial row: the parser suppresses its finishRow, so
+      // the skipped row's whole-file ordinal must be counted HERE or every
+      // later row's deletion-mask address would shift
+      if (mask != null) fileOrd += 1
       clearPartialNullBits()
       java.util.Arrays.fill(seen, false)
       seenCnt = 0

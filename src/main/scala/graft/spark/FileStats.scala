@@ -643,7 +643,8 @@ private[spark] final class FileStatsCollector(schema: StructType,
   private var blockStartByte = 0L
   private var totalBytes = 0L
   private val blockBuf =
-    if (blockBytes > 0) Seq.newBuilder[FileStats.Block] else null
+    if (blockBytes > 0) scala.collection.mutable.ArrayBuffer.empty[FileStats.Block]
+    else null
 
   @inline private def bloomAdd(t: Int, h: (Long, Long)): Unit = {
     val arr = blooms(t)
@@ -760,6 +761,25 @@ private[spark] final class FileStatsCollector(schema: StructType,
     if (blockBuf != null && totalBytes - blockStartByte >= blockBytes) closeBlock()
   }
 
+  /** WRITER hook for formats with native block framing (avro): close the
+    * current block at an EXACT boundary byte position supplied by the
+    * format's own writer — a sync-marker edge, so a reader realigning at
+    * the boundary starts on a record boundary with zero scan-over. The
+    * final call (the published file's length) may arrive with no rows
+    * since the previous boundary; the previous block is then EXTENDED to
+    * `endPos` — the trailing sync-marker bytes must still be tiled, or
+    * [[FileStats.Stats.validBlocks]] would refuse the whole recording.
+    */
+  def closeBlockAt(endPos: Long): Unit = {
+    if (blockBuf == null || endPos <= blockStartByte) return
+    totalBytes = endPos
+    if (bRows == 0L) {
+      if (blockBuf.nonEmpty)
+        blockBuf(blockBuf.length - 1) = blockBuf.last.copy(end = endPos)
+      blockStartByte = endPos
+    } else closeBlock()
+  }
+
   private def closeBlock(): Unit = {
     if (bRows <= 0) { blockStartByte = totalBytes; return }
     val cols = tracked.zipWithIndex.map { case ((_, name, kind), t) =>
@@ -794,7 +814,7 @@ private[spark] final class FileStatsCollector(schema: StructType,
   private def finishBlocks(dataLen: Long): Seq[FileStats.Block] = {
     if (blockBuf == null) return Nil
     closeBlock()
-    val bs = blockBuf.result()
+    val bs = blockBuf.toSeq
     if (bs.length >= 2 && dataLen == totalBytes) bs else Nil
   }
 

@@ -470,6 +470,7 @@ final class GraftAvroTable(
         .orElse(Option(properties.get("codec"))).getOrElse("none")
         .toLowerCase(java.util.Locale.ROOT),
       info.queryId(),
+      GraftSink.blockBytesFrom(info.options),
       // COW rewrite / merge-on-read commit riders (same contract as the
       // json/csv sinks: adds, removes, and dv attachments in ONE entry)
       GraftSources.commitRemoves(info.options),
@@ -613,44 +614,54 @@ final class GraftAvroScan(
     }
   }
 
+  // pushed single-column data filters, normalized once — shared by
+  // file-level stats pruning and the intra-file block lanes
+  private lazy val dataFilters: Array[org.apache.spark.sql.sources.Filter] =
+    if (pruneFilters.isEmpty || !options.getBoolean("dataskipping", true))
+      Array.empty
+    else FilterEval.normalize(pruneFilters.filter(f =>
+      f.references.length == 1 && !listing.partCols.contains(f.references.head)))
+
+  private def physName(c: String): String = listing.physMap.getOrElse(c, c)
+
+  // planning-time sidecar/manifest caches, shared by file-level pruning
+  // and the block lanes — never a second read for the same artifact
+  private val manifestCache =
+    scala.collection.mutable.Map.empty[String, Option[Map[String, FileStats.Stats]]]
+  private val sidecarCache =
+    scala.collection.mutable.Map.empty[String, Option[FileStats.Stats]]
+  /** Complete per-file sidecar read (blooms + blocks included), cached —
+    * serves the manifest-miss fallback, the bloom probes, and the block
+    * lanes (manifests strip both by design).
+    */
+  private def sidecarOnly(p: String): Option[FileStats.Stats] =
+    sidecarCache.getOrElseUpdate(p, {
+      val path = new Path(p)
+      FileStats.load(path.getFileSystem(GraftSources.activeHadoopConf()), path)
+    })
+  private def fileStats(p: String, len: Long): Option[FileStats.Stats] = {
+    val path = new Path(p)
+    manifestCache.getOrElseUpdate(path.getParent.toString,
+        FileStats.loadManifest(
+          path.getFileSystem(GraftSources.activeHadoopConf()), path.getParent))
+      .flatMap(_.get(path.getName))
+      .filter(st => st.dataLen >= 0 && st.dataLen == len)
+      .orElse(sidecarOnly(p))
+  }
+
   /** File-level stats pruning (min/max/null/bloom against the sidecars
-    * the avro sink now writes): one manifest read per leaf directory
-    * (entries trusted only with a matching recorded length — the same
-    * binding the text scan enforces), per-file sidecar fallback through
-    * ONE shared cache (never a second read for the same sidecar, and the
-    * fallback never re-opens the manifest the cache already parsed).
-    * Masks never matter here — a deletion vector only SHRINKS a file's
-    * row set, so "definitely empty" stays definitely empty.
+    * the avro sink writes): one manifest read per leaf directory (entries
+    * trusted only with a matching recorded length — the same binding the
+    * text scan enforces), per-file sidecar fallback through the shared
+    * cache. Masks never matter here — a deletion vector only SHRINKS a
+    * file's row set, so "definitely empty" stays definitely empty.
     * KEEP IN SYNC with the text scan's statsPruned
     * (GraftSources.scala GraftScan) — same length binding, same
     * definitelyEmpty/bloom probe rules.
     */
   private def statsPruned(files: Seq[GraftSources.ListedFile])
       : Seq[GraftSources.ListedFile] = {
-    if (pruneFilters.isEmpty || !options.getBoolean("dataskipping", true))
-      return files
-    val dataFilters = FilterEval.normalize(pruneFilters.filter(f =>
-      f.references.length == 1 && !listing.partCols.contains(f.references.head)))
     if (dataFilters.isEmpty) return files
-    val conf = GraftSources.activeHadoopConf()
-    def physName(c: String): String = listing.physMap.getOrElse(c, c)
-    val manifests = scala.collection.mutable.Map.empty[String, Option[Map[String, FileStats.Stats]]]
-    val sidecars = scala.collection.mutable.Map.empty[String, Option[FileStats.Stats]]
-    // complete per-file sidecar read (blooms included), cached — serves
-    // both the manifest-miss fallback and the bloom probes
-    def sidecarOnly(p: String): Option[FileStats.Stats] =
-      sidecars.getOrElseUpdate(p, {
-        val path = new Path(p)
-        FileStats.load(path.getFileSystem(conf), path)
-      })
-    def fileStats(p: String, len: Long): Option[FileStats.Stats] = {
-      val path = new Path(p)
-      manifests.getOrElseUpdate(path.getParent.toString,
-          FileStats.loadManifest(path.getFileSystem(conf), path.getParent))
-        .flatMap(_.get(path.getName))
-        .filter(st => st.dataLen >= 0 && st.dataLen == len)
-        .orElse(sidecarOnly(p))
-    }
     val kept = files.filterNot { f =>
       fileStats(f.path, f.len).exists { st =>
         dataFilters.exists { flt =>
@@ -670,25 +681,110 @@ final class GraftAvroScan(
     kept
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    statsPruned(partitionPruned(listing.files)).flatMap { lf =>
-      if (lf.dv != null || withRowIndex)
-        // a deletion vector masks WHOLE-FILE record ordinals and
-        // withRowIndex stamps them; avro carries no per-range ordinal
-        // base (a sync-realigned split cannot know how many records
-        // precede it), so such a file reads as one partition
-        Seq(GraftInputPartition(lf.path, 0, lf.len, lf.len, lf.partValues,
-          dv = lf.dv, dvTarget = lf.dvTarget))
-      else {
-        // container files realign on sync markers, so ranges are safe;
-        // the header (read by every task) is tiny relative to a split
-        val n = math.max(1L, (lf.len + maxSplit - 1) / maxSplit)
-        (0L until n).map { i =>
-          GraftInputPartition(lf.path, i * maxSplit,
-            math.min(lf.len, (i + 1) * maxSplit), lf.len, lf.partValues)
-        }
+  private var blocksPrunedCount = 0
+
+  /** Intra-file block lanes from the sidecar's `blk` recording (the q199
+    * lane for avro, round 11): boundaries are sync-marker EDGES the avro
+    * sink forced (pre-marker byte positions; block 0 starts at 0, the
+    * last block ends at the file length), so the reader's standard
+    * sync(start)/pastSync(end) range protocol starts exactly at block
+    * edges and per-range row counts are exact. Blocks must provably tile
+    * the listed length ([[FileStats.Stats.validBlocks]]); `needOrdinals`
+    * additionally demands the block row counts sum to the file's recorded
+    * rows (deletion-vector masks and withRowIndex address whole-file
+    * ordinals — an inconsistent recording would corrupt them).
+    * `splitWhenUnpruned` returns block-aligned maxSplit-chopped ranges
+    * covering the whole file even when nothing prunes — task parallelism
+    * for masked/row-indexed files, which cannot split on raw byte offsets
+    * (a sync-realigned split has no ordinal base). Returns None when no
+    * usable recording exists. KEEP IN SYNC with the text scan's
+    * blockRanges (GraftSources.scala GraftScan).
+    */
+  private def blockRanges(p: String, len: Long, needOrdinals: Boolean,
+      splitWhenUnpruned: Boolean): Option[Seq[(Long, Long, Long)]] = {
+    // dataskipping=false means "don't trust sidecars"; a split derived
+    // from a stale recording is as wrong as a prune, so it honors the
+    // same opt-out (the text lanes' rule)
+    if (!options.getBoolean("dataskipping", true)) return None
+    if (dataFilters.isEmpty && !splitWhenUnpruned) return None
+    val st = sidecarOnly(p)
+    val blocks = st.map(_.validBlocks(len)).getOrElse(Nil)
+    if (blocks.isEmpty) return None
+    if (needOrdinals && blocks.iterator.map(_.rows).sum != st.get.rows)
+      return None // inconsistent recording: ordinals would be wrong
+    val startOrds = blocks.scanLeft(0L)(_ + _.rows)
+    val surviving = blocks.zip(startOrds).filterNot { case (b, _) =>
+      dataFilters.exists { flt =>
+        b.cols.get(physName(flt.references.head)).exists(c =>
+          FilterEval.definitelyEmpty(flt, c.min, c.max, c.nulls, b.rows))
       }
-    }.toArray
+    }
+    if (surviving.length == blocks.length && !splitWhenUnpruned)
+      return None // nothing pruned
+    blocksPrunedCount += blocks.length - surviving.length
+    // merge contiguous survivors into runs, chopped near maxSplit so a
+    // big surviving region still parallelizes across tasks
+    val runs = Seq.newBuilder[(Long, Long, Long)]
+    var rs = -1L
+    var re = -1L
+    var ro = 0L
+    surviving.foreach { case (b, ord) =>
+      if (re == b.start && re - rs < maxSplit) re = b.end
+      else {
+        if (rs >= 0) runs += ((rs, re, ro))
+        rs = b.start; re = b.end; ro = ord
+      }
+    }
+    if (rs >= 0) runs += ((rs, re, ro))
+    Some(runs.result())
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    blocksPrunedCount = 0
+    val parts: Array[InputPartition] =
+      statsPruned(partitionPruned(listing.files)).flatMap[InputPartition] { lf =>
+        if (lf.dv != null || withRowIndex) {
+          // a deletion vector masks WHOLE-FILE record ordinals and
+          // withRowIndex stamps them. With a sidecar `blk` recording the
+          // file still block-skips AND splits for task parallelism —
+          // each range carries its exact starting ordinal (per-block row
+          // counts), so a big masked file no longer serializes into one
+          // task. Without a recording it reads as one partition (a sync-
+          // realigned byte split cannot know how many records precede
+          // it). Pushed COUNT(*) keeps the file whole: mask cardinality
+          // subtracts from whole-file block-header sums only.
+          val ranges =
+            if (countStar) None
+            else blockRanges(lf.path, lf.len, needOrdinals = true,
+              splitWhenUnpruned = lf.len > maxSplit)
+          ranges match {
+            case Some(rs) => rs.map { case (s0, e0, ord) =>
+              GraftInputPartition(lf.path, s0, e0, lf.len, lf.partValues,
+                aligned = true, dv = lf.dv, dvTarget = lf.dvTarget,
+                startOrd = ord)
+            }
+            case None =>
+              Seq(GraftInputPartition(lf.path, 0, lf.len, lf.len,
+                lf.partValues, dv = lf.dv, dvTarget = lf.dvTarget))
+          }
+        } else blockRanges(lf.path, lf.len, needOrdinals = false,
+            splitWhenUnpruned = false) match {
+          case Some(rs) => rs.map { case (s0, e0, _) =>
+            GraftInputPartition(lf.path, s0, e0, lf.len, lf.partValues,
+              aligned = true)
+          }
+          case None =>
+            // container files realign on sync markers, so ranges are safe;
+            // the header (read by every task) is tiny relative to a split
+            val n = math.max(1L, (lf.len + maxSplit - 1) / maxSplit)
+            (0L until n).map { i =>
+              GraftInputPartition(lf.path, i * maxSplit,
+                math.min(lf.len, (i + 1) * maxSplit), lf.len, lf.partValues)
+            }
+        }
+      }.toArray
+    GraftAvroScan.lastBlocksPruned.set(blocksPrunedCount)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -723,6 +819,10 @@ object GraftAvroScan {
     * test/debug observability only (the GraftScan.lastStatsPruned shape).
     */
   val lastStatsPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
+  /** Intra-file blocks dropped by the latest avro planning in this JVM —
+    * test/debug observability only (the GraftScan.lastBlocksPruned shape).
+    */
+  val lastBlocksPruned = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 /** Avro micro-batch streaming — whole-file admission (binary blocks
@@ -761,7 +861,8 @@ final class GraftAvroReaderFactory(
   * provenance) fill from the listing's per-file values; `withRowIndex`
   * stamps whole-file record ordinals; a deletion vector drops masked
   * ordinals before they surface (the planner guarantees such partitions
-  * cover the whole file, so ordinals are exact).
+  * either cover the whole file or are block-aligned ranges carrying an
+  * exact starting ordinal, so ordinals are exact either way).
   */
 final class GraftAvroPartitionReader(
     part: GraftInputPartition,
@@ -817,7 +918,10 @@ final class GraftAvroPartitionReader(
   private val mask =
     if (part.dv == null) DeletionVectors.Mask.Empty
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
-  private var ord = -1L
+  // whole-file record ordinal of the LAST returned record: whole-file
+  // partitions count from 0; block-aligned ranges start at the planner-
+  // derived base (exact per-block row counts from the sidecar recording)
+  private var ord = part.startOrd - 1L
   private var done = false
 
   override def next(): Boolean = {
@@ -894,6 +998,7 @@ final class GraftAvroWriteBuilder(
     conf: SerializableConfiguration,
     codec: String,
     queryId: String,
+    blockBytes: Long = GraftSink.DefaultBlockBytes,
     removes: Seq[String] = Nil,
     removesBase: Long = -1L,
     dvs: Seq[(String, String)] = Nil,
@@ -906,7 +1011,7 @@ final class GraftAvroWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId,
-        removes, removesBase, dvs, dvBase)
+        blockBytes, removes, removesBase, dvs, dvBase)
   }
 }
 
@@ -917,6 +1022,7 @@ final class GraftAvroBatchWrite(
     codec: String,
     doTruncate: Boolean,
     queryId: String,
+    blockBytes: Long,
     removes: Seq[String],
     removesBase: Long,
     dvs: Seq[(String, String)],
@@ -955,7 +1061,7 @@ final class GraftAvroBatchWrite(
     // GraftSink.toPhysicalSchema — avro resolves reader fields by name)
     new GraftAvroWriterFactory(path,
       GraftSink.toPhysicalSchema(schema, commitSchema.record), conf, codec,
-      GraftSink.batchNamePrefix(queryId))
+      GraftSink.batchNamePrefix(queryId), blockBytes)
   }
   // same put-if-absent commit log as the json/csv sinks (docs/
   // TABLE_FORMAT.md): avro tables get versionAsOf / changesSinceVersion
@@ -976,10 +1082,12 @@ final class GraftAvroWriterFactory(
     schema: StructType,
     conf: SerializableConfiguration,
     codec: String,
-    namePrefix: String)
+    namePrefix: String,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftAvroDataWriter(path, schema, conf.value, codec, namePrefix, partitionId, taskId)
+    new GraftAvroDataWriter(path, schema, conf.value, codec, namePrefix,
+      partitionId, taskId, blockBytes)
 }
 
 final class GraftAvroDataWriter(
@@ -989,7 +1097,8 @@ final class GraftAvroDataWriter(
     codec: String,
     namePrefix: String,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends DataWriter[InternalRow] {
 
   private val avroSchema = GraftAvro.toAvroSchema(schema)
@@ -1000,9 +1109,18 @@ final class GraftAvroDataWriter(
   // the SAME value-level stats the text sinks record (min/max/nulls/
   // blooms — format-independent facts about the rows), so avro scans get
   // file pruning and the manifest's one-read-per-directory planning.
-  // Intra-file blocks stay off: our byte accounting cannot track avro's
-  // binary encoding (avro's own block headers serve the COUNT lane).
-  private val stats = new FileStatsCollector(schema, blockBytes = 0L)
+  // Intra-file blocks (round 11) ride avro's OWN framing: the writer
+  // forces a container sync boundary about every `blockBytes` bytes and
+  // records each range's rows + per-column min/max/nulls as `blk` lanes.
+  // Boundaries are PRE-marker byte positions (`DataFileWriter.sync()`
+  // returns the post-marker position), so the reader's standard
+  // sync(start)/pastSync(end) range protocol realigns exactly at block
+  // edges: per-range ROW COUNTS are exact (splits over deletion-vector-
+  // masked / row-indexed files carry starting ordinals, the q213 fix) and
+  // selective scans prune blocks (the q199 lane for avro). Unlike the
+  // text lanes, compression keeps blocks usable — positions are real
+  // file offsets; avro compresses per container block.
+  private val stats = new FileStatsCollector(schema, blockBytes = blockBytes)
   // task-attempt-unique temp name, atomically renamed at commit — retried
   // tasks can never leave a half-written visible file
   private val finalPath = new Path(dir, f"$namePrefix-$partitionId%05d-$taskId.avro")
@@ -1012,9 +1130,21 @@ final class GraftAvroDataWriter(
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
     w.setCodec(GraftAvro.codecFor(codec))
+    // align avro's own block flush cadence with the recorded-block budget:
+    // the budget check reads the underlying stream position, which only
+    // advances when the writer flushes a container block — the default
+    // 64 KB sync interval would quantize small block budgets away
+    if (blockBytes > 0)
+      w.setSyncInterval(math.max(32L, math.min(blockBytes, 1L << 30)).toInt)
     w.create(avroSchema, out)
   }
   private var rows = 0L
+  // last recorded block boundary (pre-marker). The budget check reads the
+  // UNDERLYING stream position, which lags the logical position by at
+  // most the writer's in-memory block buffer (~64 KB) — boundaries land
+  // within a buffer of the budget, and the recorded positions themselves
+  // are exact (sync() returns the logical post-marker offset).
+  private var lastBoundary = 0L
 
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
@@ -1026,6 +1156,15 @@ final class GraftAvroDataWriter(
     writer.append(rec)
     stats.observe(row)
     rows += 1
+    if (blockBytes > 0 && out.getPos - lastBoundary >= blockBytes) {
+      // force the container boundary: flushes the pending block (+ its
+      // sync marker) and returns the post-marker position — even when the
+      // writer auto-flushed at this exact row, the position is still
+      // immediately after a marker, so the pre-marker edge is exact
+      val edge = writer.sync() - org.apache.avro.file.DataFileConstants.SYNC_SIZE
+      stats.closeBlockAt(edge)
+      lastBoundary = edge
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1040,8 +1179,12 @@ final class GraftAvroDataWriter(
       fs.delete(FileStats.sidecarFor(finalPath), false)
       fs.delete(finalPath, false)
       GraftLogStore.forConf(conf).publish(fs, tmpPath, finalPath, overwrite = false)
-      val rendered = FileStats.render(
-        stats.snapshot(fs.getFileStatus(finalPath).getLen))
+      val dataLen = fs.getFileStatus(finalPath).getLen
+      // final block: everything since the last forced boundary, ending at
+      // the published length (rows-less when close() flushed nothing new —
+      // the previous block then extends over the trailing marker bytes)
+      stats.closeBlockAt(dataLen)
+      val rendered = FileStats.render(stats.snapshot(dataLen))
       try {
         val sout = fs.create(FileStats.sidecarFor(finalPath), true)
         try sout.write(rendered.getBytes("UTF-8")) finally sout.close()

@@ -907,9 +907,20 @@ private[graft] object GraftCommitLog {
         (a != null && b != null && GraftSink.sameTypeIgnoreNullability(a, b))
     def schemaFor(prev: Option[Long]): StructType = {
       if (schema == null) return null
-      val cur = prev.flatMap(p => try schemaAsOf(fs, rootPath, p) catch {
-        case _: Exception => None
-      }).orNull
+      // STRICT read: this is the correctness-bearing conflict check — a
+      // transient failure reading the predecessor's recorded schema must
+      // abort the commit, never degrade to "no conflicting schema" (a
+      // racer's ALTER/widen could then be silently overwritten by ours)
+      val cur = prev.flatMap { p =>
+        try schemaAsOfStrict(fs, rootPath, p)
+        catch { case e: Exception =>
+          throw new java.io.IOException(
+            s"commit log under $root: could not read the predecessor " +
+              s"version $p's recorded schema while validating this commit's " +
+              "schema line — aborting without publishing (assuming no " +
+              "conflicting schema could drop a concurrent schema change)", e)
+        }
+      }.orNull
       if (eqSchema(cur, schemaBase) || eqSchema(cur, schema)) schema
       else if (eqSchema(schema, schemaBase)) null // plain append: defer to the racer
       else throw new java.util.ConcurrentModificationException(

@@ -2460,9 +2460,10 @@ final class GraftJsonColumnarReader(
 
   // deletion-vector mask (whole-file partition): the plate drops masked
   // ordinals at finishRow — merge-on-read tables stay vectorized. Plate
-  // filters must not run under a mask (a dropped row would shift every
-  // later ordinal; all filters are residual upstream anyway), and the
-  // scan already pinned badrecords=fail for dv snapshots.
+  // filters RUN under the mask too (round 11): the plate counts
+  // filter-skipped rows' ordinals itself, so SkipRow parse pushdown and
+  // merge-on-read deletes compose; the scan pinned badrecords=fail for
+  // dv snapshots (a malformed-row drop has no such accounting).
   private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
@@ -2473,8 +2474,7 @@ final class GraftJsonColumnarReader(
   private def mkParser(): JsonParser[Long] = {
     if (plate == null)
       // drop mode needs full per-row validation: no saturation elision
-      plate = new ColumnarPlate(schema,
-        if (dvMask == null) filters else Array.empty,
+      plate = new ColumnarPlate(schema, filters,
         saturate = saturate && !dropMalformed, mask = dvMask,
         maskStartOrd = part.startOrd)
     else plate.abandonPartialRow()
@@ -2515,13 +2515,14 @@ final class GraftCsvColumnarReader(
     fullDataCols: Array[String] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  // see GraftJsonColumnarReader's twin: masked ordinals drop in the plate
+  // see GraftJsonColumnarReader's twin: masked ordinals drop in the
+  // plate, and plate filters run under the mask (the plate counts
+  // filter-skipped rows' ordinals itself)
   private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   private val plate =
-    new ColumnarPlate(schema,
-      if (dvMask == null) filters else Array.empty,
+    new ColumnarPlate(schema, filters,
       emptyCellsAsNull = true, mask = dvMask,
       maskStartOrd = part.startOrd) // CSV: empty cell = NULL
   // a mid-file range never sees the header row: hand it the column order

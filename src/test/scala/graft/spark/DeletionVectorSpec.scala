@@ -718,6 +718,45 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === (0L until 6000L).count(_ % 9 != 0))
   }
 
+  test("pushed filters run under masks: plate counts filter-skipped ordinals") {
+    val d = dir("dvfilter")
+    val s = spark
+    import s.implicits._
+    // ONE file, sorted, default blockbytes (file < one block → no `blk`
+    // recording, no range pruning): the pushed filter must be evaluated by
+    // the PLATE itself, under the mask — before round 11 this combination
+    // silently dropped the parse-level filter; the regression this pins is
+    // ordinal drift (a filter-skipped row that is not counted shifts every
+    // later row's mask address, deleting the wrong rows)
+    (0L until 2000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 10 = 3")
+    // the filter skips ids < 1000 at parse level; masked ordinals ≥ 1000
+    // (1003, 1013, ...) must still be addressed exactly
+    val got = snap(d).filter(col("id") >= 1000L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (1000L until 2000L).filterNot(_ % 10 == 3))
+    // a mid-band predicate (drops rows on BOTH sides at parse level)
+    val band = snap(d).filter(col("id") >= 500L && col("id") < 1500L)
+      .collect().map(_.getLong(0)).sorted
+    assert(band.toSeq === (500L until 1500L).filterNot(_ % 10 == 3))
+    // string-typed filter through the same plate lane
+    val sv = snap(d).filter(col("v") === "row-1003").collect()
+    assert(sv.isEmpty, "row-1003 is deleted")
+    assert(snap(d).filter(col("v") === "row-1004").count() === 1L)
+    // csv twin (the CSV parser's SkipRow suppresses finishRow the same way)
+    val dc = dir("dvfilter-csv")
+    (0L until 2000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-csv").mode("overwrite").save(dc)
+    TrainingData.deleteWhereDV(spark, dc, schema, "id % 10 = 3", format = "graft-csv")
+    val gotCsv = spark.read.format("graft-csv").schema(schema)
+      .option("snapshot", "true").load(dc)
+      .filter(col("id") >= 1000L).collect().map(_.getLong(0)).sorted
+    assert(gotCsv.toSeq === (1000L until 2000L).filterNot(_ % 10 == 3))
+  }
+
   test("changeFeed untilVersion bounds the diff at a pinned version") {
     val d = dir("cdfuntil")
     writeTable(d, n = 100L, parts = 1)                          // v0

@@ -192,6 +192,103 @@ class GraftAvroDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("partitionby"))
   }
 
+  test("masked avro files split for parallelism on recorded block boundaries") {
+    val d = dir("dvsplit")
+    val s = spark
+    import s.implicits._
+    (0L until 6000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite")
+      .option("blockbytes", "2048").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 9 = 0", format = "graft-avro")
+    // a plain full scan must still fan out: the sidecar's sync-edge block
+    // recording gives each range an exact starting ordinal, so the mask
+    // applies per-range — the file must not serialize into one task
+    val df = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").option("maxsplitbytes", "16384").load(d)
+    assert(df.rdd.getNumPartitions > 1,
+      s"masked avro file read as ${df.rdd.getNumPartitions} partition(s) — " +
+        "the parallelism split did not engage")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 6000L).filterNot(_ % 9 == 0))
+    // row ordinals stay exact across the split ranges (the sorted 0..N
+    // write makes ordinal == id independently derivable)
+    val prov = spark.read.format("graft-avro")
+      .schema("id BIGINT, v STRING, _graft_row_index BIGINT")
+      .option("snapshot", "true").option("withrowindex", "true")
+      .option("maxsplitbytes", "16384").load(d)
+    assert(prov.rdd.getNumPartitions > 1)
+    val rows = prov.select("id", "_graft_row_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === (0L until 6000L).count(_ % 9 != 0))
+    assert(rows.forall { case (id, ord) => ord == id },
+      s"ordinal drift: ${rows.find { case (id, o) => o != id }}")
+    // pushed COUNT(*) stays whole-file (mask subtraction is whole-file
+    // block-header arithmetic) and still answers exactly
+    assert(df.count() === (0L until 6000L).count(_ % 9 != 0))
+    // dataskipping=false means "don't trust sidecars": the split derived
+    // from the recording must honor the opt-out (file reads whole)
+    val off = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").option("maxsplitbytes", "16384")
+      .option("dataskipping", "false").load(d)
+    assert(off.rdd.getNumPartitions === 1,
+      "distrusted sidecars must not drive the parallelism split")
+    assert(off.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 6000L).filterNot(_ % 9 == 0))
+  }
+
+  test("avro intra-file block skipping: selective filters prune sync-edge ranges") {
+    val d = dir("blockskip")
+    val s = spark
+    import s.implicits._
+    (0L until 6000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite")
+      .option("blockbytes", "2048").save(d)
+    GraftAvroScan.lastBlocksPruned.set(-1)
+    val got = spark.read.format("graft-avro").schema(schema).load(d)
+      .filter(org.apache.spark.sql.functions.col("id") >= 5000L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (5000L until 6000L))
+    assert(GraftAvroScan.lastBlocksPruned.get > 0,
+      "a selective filter over a sorted avro file should prune blocks")
+    // block skipping composes with a mask: pruned ranges carry exact
+    // starting ordinals, so survivors keep their addresses
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 7 = 0", format = "graft-avro")
+    GraftAvroScan.lastBlocksPruned.set(-1)
+    val masked = snap(d)
+      .filter(org.apache.spark.sql.functions.col("id") >= 5000L)
+      .collect().map(_.getLong(0)).sorted
+    assert(masked.toSeq === (5000L until 6000L).filterNot(_ % 7 == 0))
+    assert(GraftAvroScan.lastBlocksPruned.get > 0,
+      "a masked sorted avro file should still block-skip")
+  }
+
+  test("avro block lanes survive compression (positions are real file offsets)") {
+    val d = dir("blockzip")
+    val s = spark
+    import s.implicits._
+    (0L until 6000L).map(i => (i, s"row-$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite")
+      .option("codec", "deflate").option("blockbytes", "2048").save(d)
+    GraftAvroScan.lastBlocksPruned.set(-1)
+    val got = spark.read.format("graft-avro").schema(schema).load(d)
+      .filter(org.apache.spark.sql.functions.col("id") >= 5000L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (5000L until 6000L))
+    assert(GraftAvroScan.lastBlocksPruned.get > 0,
+      "compressed avro blocks are still sync-edge addressable — unlike " +
+        "the text lanes, compression must not void the recording")
+    // and the masked-parallelism split works on the compressed file too
+    TrainingData.deleteWhereDV(spark, d, schema, "id % 9 = 0", format = "graft-avro")
+    val df = spark.read.format("graft-avro").schema(schema)
+      .option("snapshot", "true").option("maxsplitbytes", "8192").load(d)
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 6000L).filterNot(_ % 9 == 0))
+  }
+
   test("restoreTable detaches an avro deletion vector") {
     val d = dir("restore")
     writeTable(d)                                                    // v0

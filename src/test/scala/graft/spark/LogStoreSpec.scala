@@ -205,6 +205,38 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft-json").schema(schema).load(d).count() === 40L)
   }
 
+  test("a failed schema read during commit validation aborts instead of assuming no conflict") {
+    val d = dir("schemaread")
+    mkTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    val rootP = new Path(d)
+    val recorded = GraftCommitLog.schemaAsOfStrict(fs, rootP, 0L).get
+    // make the predecessor entry UNREADABLE at the IO level (open fails):
+    // the commit's schema-conflict re-read must abort loudly — the lenient
+    // old behavior (treat the racer's schema as absent and defer) would
+    // land the entry while a genuinely conflicting schema sits unread
+    val entry = new Path(GraftCommitLog.logDir(rootP), f"${0L}%020d")
+    val bytes = {
+      val in = fs.open(entry)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    fs.delete(entry, false)
+    fs.mkdirs(entry) // fs.open(directory) throws IOException
+    val e = intercept[java.io.IOException] {
+      GraftCommitLog.appendEntry(conf, d, adds = Seq("late.json"),
+        schema = recorded, schemaBase = recorded)
+    }
+    assert(e.getMessage.contains("recorded schema"), e.getMessage)
+    // nothing landed
+    assert(GraftCommitLog.versions(fs, rootP).max === 0L)
+    // restore the entry: the same commit now lands cleanly
+    fs.delete(entry, true)
+    val out = fs.create(entry, false)
+    try out.write(bytes) finally out.close()
+    assert(GraftCommitLog.appendEntry(conf, d, adds = Seq("late.json"),
+      schema = recorded, schemaBase = recorded) === 1L)
+  }
+
   test("checkpoints and data files publish through the seam") {
     val d = dir("routed")
     withFaultStore {
