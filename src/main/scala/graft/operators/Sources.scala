@@ -2739,5 +2739,80 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 800 ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+  // ---------------------------------------------------------------- q217
+  // Streamed per-file partition values (round 11): whole-file admission
+  // knows each admitted file's path, so hive k=v values derive exactly
+  // like the batch walk and ride the registry into streamed rows — the
+  // loud refusal rail is gone. A user tailing a partitioned ingest
+  // layout gets the partition column typed and filled, not an error.
+  private val q217 = GQuery(
+    "q217_stream_partition_values",
+    "streaming a partitionBy layout serves the k=v column typed and exact",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/stream_partvals"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE, segment STRING"
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal",
+          $"c_mktsegment".as("segment"))
+        .filter($"c_custkey" < 400)
+        .repartition(2)
+        .write.format("graft-json").option("partitionby", "segment")
+        .mode("overwrite").save(dir)
+      val ckpt = new org.apache.hadoop.fs.Path("/tmp/graft_tt/stream_partvals_ckpt")
+      val fs = ckpt.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(ckpt, true) // fresh checkpoint each drive
+      val q = s.readStream.format("graft-json").schema(ddl).load(dir)
+        .writeStream.format("memory").queryName("q217_stream_pv")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q217_stream_pv")
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"), $"segment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance,
+                   c_mktsegment AS segment
+            FROM customer WHERE c_custkey < 400 ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q218
+  // Masked avro files fan out across tasks (round 11, the q213 scale
+  // cliff closed): the avro sink records sync-edge blocks in the stats
+  // sidecar, so byte-range splits over a DV-masked file carry exact
+  // starting ordinals — one 4 GB masked file reads on many cores, not
+  // one. The gate pins >1 input partitions AND exact post-mask results.
+  private val q218 = GQuery(
+    "q218_avro_block_split",
+    "DV-masked avro splits on recorded block edges with exact ordinals",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/avro_split"
+      val ddl = "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE"
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey".cast("long").as("l_orderkey"),
+          $"l_partkey".cast("long").as("l_partkey"), $"l_quantity")
+        .repartition(1)
+        .write.format("graft-avro").mode("overwrite")
+        .option("blockbytes", "65536").save(dir) // v0
+      graft.api.TrainingData.deleteWhereDV(s, dir, ddl,
+        "l_orderkey % 4 = 1", format = "graft-avro") // v1: mask
+      val snap = s.read.format("graft-avro").schema(ddl)
+        .option("snapshot", "true").option("maxsplitbytes", "262144").load(dir)
+      require(snap.rdd.getNumPartitions > 1,
+        s"masked avro file read as ${snap.rdd.getNumPartitions} partition(s) " +
+          "— the block-edge parallelism split did not engage")
+      snap.groupBy(($"l_orderkey" % 7).as("g"))
+        .agg(count(lit(1)).as("n"), sum($"l_partkey").as("pk_sum"),
+          round(sum($"l_quantity"), 2).as("qty_sum"))
+        .orderBy($"g")
+    },
+    Some("""SELECT CAST(l_orderkey % 7 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+                   round(sum(l_quantity), 2) AS qty_sum
+            FROM lineitem WHERE l_orderkey % 4 <> 1
+            GROUP BY 1 ORDER BY g"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }

@@ -546,26 +546,23 @@ final class GraftAvroScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!options.getBoolean("withfilepath", false),
-      "graft-avro streaming does not serve withFilePath provenance — " +
-        "whole-file admission carries no per-file synthetic values")
-    require(listing.partCols.isEmpty,
-      s"graft-avro streaming serves unpartitioned layouts — whole-file " +
-        s"admission carries no per-file partition values, and this " +
-        s"directory has k=v partition directories " +
-        s"(${listing.partCols.mkString(", ")}); read each k=v directory " +
-        "as its own stream")
+    // per-file partition values (hive k=v and withFilePath provenance)
+    // ride the stream: whole-file admission knows each file's path, so
+    // the values derive exactly like the batch walk (round 11; previously
+    // a loud refusal). Partition-served columns keep LOGICAL names.
     // column mapping: the streaming reader resolves avro fields BY NAME,
-    // so renamed columns must stream under their PHYSICAL keys (rows are
+    // so renamed DATA columns stream under their PHYSICAL keys (rows are
     // positional — Spark still sees the logical schema). listing.physMap
     // is the already-resolved table — no second log read.
     val phys = listing.physMap
+    val synthetic = listing.partCols.toSet
     val streamSchema =
       if (phys.isEmpty) required
       else StructType(required.fields.map(f =>
-        phys.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
+        if (synthetic.contains(f.name)) f
+        else phys.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
     new GraftAvroMicroBatchStream(streamSchema, absentOkFields(phys),
-      options, checkpointLocation)
+      options, checkpointLocation, listing.partCols)
   }
 
   /** Physical names of columns the table's RECORDED schema knows —
@@ -834,11 +831,12 @@ final class GraftAvroMicroBatchStream(
     required: StructType,
     absentOk: Set[String],
     options: CaseInsensitiveStringMap,
-    checkpointLocation: String)
-    extends WholeFileMicroBatchStream(options, checkpointLocation) {
+    checkpointLocation: String,
+    partCols: Seq[String] = Nil)
+    extends WholeFileMicroBatchStream(options, checkpointLocation, partCols) {
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftAvroReaderFactory(required, Nil, countStar = false, absentOk, conf)
+    new GraftAvroReaderFactory(required, partCols, countStar = false, absentOk, conf)
 }
 
 final class GraftAvroReaderFactory(

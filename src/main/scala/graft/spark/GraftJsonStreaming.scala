@@ -115,10 +115,17 @@ final class GraftJsonMicroBatchStream(
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
     mode: JsonParser.Mode,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    partCols: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val registry = new StreamFileRegistry(options, checkpointLocation)
+  // per-file partition values derive from each admitted path (round 11):
+  // the roots are resolved once; [[GraftSources.partValuesForFile]] does
+  // the same k=v parse as the batch walk
+  private lazy val rootsQ = GraftSources.qualifiedRoots(options)
+  private def pv(path: String): Array[String] =
+    GraftSources.partValuesForFile(path, rootsQ, partCols)
   private val maxBytesPerTrigger: Long =
     Option(options.get("maxbytespertrigger")).map(_.toLong).getOrElse(128L << 20)
   private val maxFilesPerTrigger: Long =
@@ -206,7 +213,7 @@ final class GraftJsonMicroBatchStream(
     val e = end.asInstanceOf[GraftStreamOffset].pos
     if (fileAdmission)
       return registry.files.slice(s.toInt, e.toInt).map { case (p, len) =>
-        GraftSources.wholeFilePartition(p, len): InputPartition
+        GraftSources.wholeFilePartition(p, len, pv(p)): InputPartition
       }.toArray
     // map the global byte window onto per-file segments (discovery order)
     val parts = Seq.newBuilder[InputPartition]
@@ -219,14 +226,20 @@ final class GraftJsonMicroBatchStream(
           "(set option(\"admission\", \"files\") for whole-file admission)")
       val fs = math.max(s - base, 0L)
       val fe = math.min(e - base, len)
-      if (fe > fs) parts += GraftInputPartition(path, fs, fe, len)
+      // partition values are per-FILE constants, so a mid-file segment
+      // carries the same values as the whole file would
+      if (fe > fs) parts += GraftInputPartition(path, fs, fe, len, pv(path))
       base += len
     }
     parts.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftJsonReaderFactory(schema, filters, conf, mode)
+    new GraftJsonReaderFactory(schema, filters, conf, mode,
+      partSpec = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        val pi = partCols.indexOf(f.name)
+        if (pi >= 0) Some((i, pi, f.dataType)) else None
+      })
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -241,10 +254,13 @@ final class GraftJsonMicroBatchStream(
   */
 abstract class WholeFileMicroBatchStream(
     options: CaseInsensitiveStringMap,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    partCols: Seq[String] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val registry = new StreamFileRegistry(options, checkpointLocation)
+  // per-file partition values derive from each admitted path (round 11)
+  private lazy val rootsQ = GraftSources.qualifiedRoots(options)
   private val maxFilesPerTrigger: Int =
     Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
   private var availableNowCap: Long = -1L
@@ -283,7 +299,8 @@ abstract class WholeFileMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset].pos.toInt
     val e = end.asInstanceOf[GraftStreamOffset].pos.toInt
     registry.files.slice(s, e).map { case (p, len) =>
-      GraftSources.wholeFilePartition(p, len): InputPartition
+      GraftSources.wholeFilePartition(p, len,
+        GraftSources.partValuesForFile(p, rootsQ, partCols)): InputPartition
     }.toArray
   }
 
@@ -299,9 +316,14 @@ final class GraftCsvMicroBatchStream(
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
     config: graft.core.csv.CsvParser.Config,
-    checkpointLocation: String)
-    extends WholeFileMicroBatchStream(options, checkpointLocation) {
+    checkpointLocation: String,
+    partCols: Seq[String] = Nil)
+    extends WholeFileMicroBatchStream(options, checkpointLocation, partCols) {
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCsvReaderFactory(schema, filters, conf, config)
+    new GraftCsvReaderFactory(schema, filters, conf, config,
+      partSpec = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        val pi = partCols.indexOf(f.name)
+        if (pi >= 0) Some((i, pi, f.dataType)) else None
+      })
 }

@@ -282,6 +282,59 @@ object GraftSources {
     sb.toString
   }
 
+  /** The read options' root paths, fs-qualified (the resolvePartitioned
+    * parse, without the directory walk) — streaming lanes use them to
+    * derive each admitted file's root-relative path.
+    */
+  def qualifiedRoots(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
+      .orElse(Option(options.get("location"))).getOrElse(return Nil)
+    val conf = activeHadoopConf()
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+      val path = new Path(p.stripPrefix("[\"").stripSuffix("\"]")
+        .stripPrefix("\"").stripSuffix("\""))
+      path.getFileSystem(conf).makeQualified(path).toString
+    }
+  }
+
+  /** Hive k=v partition values for ONE streamed file, aligned to
+    * `partCols` — parsed from the path's directory segments below its
+    * root (the same unescaping and null-partition convention as the
+    * directory walk), with the synthetic [[FilePathCol]] filled from the
+    * root-relative path. Whole-file/whole-segment streaming admission
+    * knows each file's path, so partition values ride into streamed rows
+    * exactly like the batch read (round 11; previously a loud refusal).
+    */
+  def partValuesForFile(qualifiedPath: String, rootsQ: Seq[String],
+      partCols: Seq[String]): Array[String] = {
+    if (partCols.isEmpty) return Array.empty
+    val rel = rootsQ.collectFirst {
+      case r if qualifiedPath == r =>
+        qualifiedPath.substring(qualifiedPath.lastIndexOf('/') + 1)
+      case r if qualifiedPath.startsWith(r + "/") =>
+        qualifiedPath.substring(r.length + 1)
+    }.getOrElse(throw new IllegalStateException(
+      s"streamed file $qualifiedPath is not under any read root " +
+        s"(${rootsQ.mkString(", ")}) — partition values cannot be derived"))
+    val kv = mutable.Map.empty[String, String]
+    val segs = rel.split('/')
+    var i = 0
+    while (i < segs.length - 1) { // directory segments only, never the file
+      val seg = segs(i)
+      val eq = seg.indexOf('=')
+      if (eq > 0) {
+        val k = seg.substring(0, eq)
+        val v = unescapePathValue(seg.substring(eq + 1))
+        kv(k) = if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+      }
+      i += 1
+    }
+    partCols.map {
+      case FilePathCol => rel
+      case c => kv.getOrElse(c, null)
+    }.toArray
+  }
+
   /** Recursively resolve the path option, deriving hive-style partition
     * columns (`k=v` directory segments) along the way — the 100 TB layout
     * (`date=2024-01-01/hour=03/part-*.json`) lists, prunes, and reads
@@ -1388,31 +1441,33 @@ final class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // whole-file admission carries NO per-file partition values (the
-    // registry records paths and lengths only), so a streamed schema
-    // naming a partition-directory column — or withFilePath's synthetic
-    // provenance, which rides partCols — would read it as silent NULLs;
-    // refuse loudly instead (the avro lane has the same rail)
-    val streamedPartCols = listing.partCols.filter(schema.fieldNames.contains)
-    require(streamedPartCols.isEmpty,
-      s"streaming reads do not serve partition-directory values " +
-        s"(${streamedPartCols.mkString(", ")}): whole-file admission " +
-        "carries none, so those columns would read as silent NULLs — " +
-        "drop them from the stream's schema, or read each k=v directory " +
-        "as its own stream")
+    // per-file PARTITION VALUES ride the stream (round 11): admission is
+    // whole-file (or whole-segment), so each admitted file's hive k=v
+    // values — and withFilePath's synthetic provenance — derive from its
+    // path exactly like the batch listing's walk; the readers stamp them
+    // through the same partSpec machinery. Partition columns keep
+    // LOGICAL names (they are synthetic, never in data files).
+    val streamPartCols = listing.partCols
     // column mapping: streaming readers parse PHYSICAL keys too (rows
-    // are positional); renamed-column filters stay residual-only
+    // are positional); renamed-column filters stay residual-only.
+    // Partition-column filters are planning/residual concerns — the
+    // plate must not see them (the column is null until stamped).
     val streamSchema =
       if (physMap.isEmpty) schema
       else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-        physMap.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
-    val streamFilters = filters.filterNot(_.references.exists(physMap.contains))
+        if (streamPartCols.contains(f.name)) f
+        else physMap.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
+    val streamFilters = filters
+      .filterNot(_.references.exists(physMap.contains))
+      .filterNot(_.references.exists(streamPartCols.contains))
     if (isJson)
       new GraftJsonMicroBatchStream(streamSchema, streamFilters, options,
-        GraftSources.jsonMode(options.asCaseSensitiveMap()), checkpointLocation)
+        GraftSources.jsonMode(options.asCaseSensitiveMap()), checkpointLocation,
+        streamPartCols)
     else
       new GraftCsvMicroBatchStream(streamSchema, streamFilters, options,
-        GraftSources.csvConfig(options.asCaseSensitiveMap()), checkpointLocation)
+        GraftSources.csvConfig(options.asCaseSensitiveMap()), checkpointLocation,
+        streamPartCols)
   }
   override def description(): String =
     s"GraftScan(${if (isJson) "json" else "csv"}, columns=${schema.fieldNames.mkString(",")}," +

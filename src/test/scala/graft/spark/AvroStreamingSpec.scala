@@ -11,8 +11,8 @@ import graft.api.TrainingData
 
 /** Avro micro-batch streaming: whole-file admission (the csv model),
   * followLog commit-order tailing through the shared registry, the same
-  * dv/remove refusals as the text lanes, and the unpartitioned-layout
-  * rail.
+  * dv/remove refusals as the text lanes, and per-file partition values
+  * (k=v and withFilePath) riding the stream.
   */
 class AvroStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -93,58 +93,93 @@ class AvroStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"v0 rows delivered after v1 began: ${batches.map { case (i, r) => (i, r.take(3)) }}")
   }
 
-  test("streaming rails: partitioned layouts and withfilepath refuse loudly") {
-    val d = dir("rails")
+  test("streamed schemas serve per-file partition values (k=v and withFilePath)") {
+    val d = dir("partvals")
     val s = spark
     import s.implicits._
-    // hand-built k=v layout (the avro sink never writes one)
+    // hand-built k=v layout (the avro sink never writes one): the streamed
+    // schema NAMES the partition column and the values ride the registry —
+    // round 11 replaced the loud refusal rail with the real thing
     (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
       .write.format("graft-avro").mode("overwrite").save(d + "/k=1")
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-avro").schema(schema).load(d)
-        .writeStream.format("memory").queryName("avro_rail_part")
-        .option("checkpointLocation", dir("rails_ckpt1"))
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    }
-    assert(msgs(e).exists(_.contains("unpartitioned")), msgs(e).mkString(" | "))
-    val d2 = dir("rails2")
+    (10L until 20L).map(i => (i, s"r$i")).toDF("id", "v").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d + "/k=2")
+    val q = spark.readStream.format("graft-avro")
+      .schema("id BIGINT, v STRING, k BIGINT").load(d)
+      .writeStream.format("memory").queryName("avro_part_vals")
+      .option("checkpointLocation", dir("partvals_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT id, k FROM avro_part_vals")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === (0L until 20L).map(i => (i, if (i < 10) 1L else 2L)),
+      "typed k=v directory values must ride the stream")
+    // withFilePath provenance streams too
+    val d2 = dir("partvals-fp")
     writeRows(d2, 0L, 10L, "overwrite")
-    val e2 = intercept[Exception] {
-      spark.readStream.format("graft-avro")
-        .schema("id BIGINT, v STRING, _graft_file STRING")
-        .option("withfilepath", "true").load(d2)
-        .writeStream.format("memory").queryName("avro_rail_fp")
-        .option("checkpointLocation", dir("rails_ckpt2"))
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    }
-    assert(msgs(e2).exists(_.contains("withFilePath")), msgs(e2).mkString(" | "))
-    // the TEXT lanes have the same rail: a streamed schema naming a
-    // partition column (which whole-file admission cannot serve) refuses
-    // loudly instead of reading silent NULLs
-    val d3 = dir("rails3")
+    val q2 = spark.readStream.format("graft-avro")
+      .schema("id BIGINT, v STRING, _graft_file STRING")
+      .option("withfilepath", "true").load(d2)
+      .writeStream.format("memory").queryName("avro_fp_vals")
+      .option("checkpointLocation", dir("partvals_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val fps = spark.sql("SELECT id, _graft_file FROM avro_fp_vals")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fps.length === 10)
+    assert(fps.forall { case (_, f) => f != null && f.endsWith(".avro") },
+      fps.take(3).mkString(", "))
+    // the TEXT lanes serve them too — a sink-partitioned json table
+    // streamed with the partition column in the schema
+    val d3 = dir("partvals-json")
     (0L until 20L).map(i => (i, s"r$i", i % 2)).toDF("id", "v", "k")
       .repartition(1)
       .write.format("graft-json").option("partitionby", "k")
       .mode("overwrite").save(d3)
-    val e3 = intercept[Exception] {
-      spark.readStream.format("graft-json")
-        .schema("id BIGINT, v STRING, k BIGINT").load(d3)
-        .writeStream.format("memory").queryName("json_rail_part")
-        .option("checkpointLocation", dir("rails_ckpt3"))
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    }
-    assert(msgs(e3).exists(_.contains("silent NULLs")), msgs(e3).mkString(" | "))
-    // a schema WITHOUT the partition column streams the same layout fine
-    val q = spark.readStream.format("graft-json").schema("id BIGINT, v STRING")
-      .load(d3)
-      .writeStream.format("memory").queryName("json_rail_ok")
-      .option("checkpointLocation", dir("rails_ckpt4"))
+    val q3 = spark.readStream.format("graft-json")
+      .schema("id BIGINT, v STRING, k BIGINT").load(d3)
+      .writeStream.format("memory").queryName("json_part_vals")
+      .option("checkpointLocation", dir("partvals_ckpt3"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    assert(spark.sql("SELECT id FROM json_rail_ok").collect()
+    q3.awaitTermination()
+    val gj = spark.sql("SELECT id, k FROM json_part_vals")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gj === (0L until 20L).map(i => (i, i % 2)),
+      "json streams must serve sink-partitioned k=v values")
+    // ... and in followLog commit-order tailing (registry paths are
+    // root-relative in the log; values still derive)
+    val q4 = spark.readStream.format("graft-json")
+      .schema("id BIGINT, v STRING, k BIGINT")
+      .option("followlog", "true").load(d3)
+      .writeStream.format("memory").queryName("json_part_vals_fl")
+      .option("checkpointLocation", dir("partvals_ckpt4"))
+      .trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    assert(spark.sql("SELECT id, k FROM json_part_vals_fl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === gj)
+    // a schema WITHOUT the partition column still streams fine
+    val q5 = spark.readStream.format("graft-json").schema("id BIGINT, v STRING")
+      .load(d3)
+      .writeStream.format("memory").queryName("json_part_ok")
+      .option("checkpointLocation", dir("partvals_ckpt5"))
+      .trigger(Trigger.AvailableNow()).start()
+    q5.awaitTermination()
+    assert(spark.sql("SELECT id FROM json_part_ok").collect()
       .map(_.getLong(0)).sorted.toSeq === (0L until 20L))
+    // csv twin: partitioned csv table streamed with the partition column
+    val d6 = dir("partvals-csv")
+    (0L until 20L).map(i => (i, s"r$i", i % 2)).toDF("id", "v", "k")
+      .repartition(1)
+      .write.format("graft-csv").option("partitionby", "k")
+      .mode("overwrite").save(d6)
+    val q6 = spark.readStream.format("graft-csv")
+      .schema("id BIGINT, v STRING, k BIGINT").load(d6)
+      .writeStream.format("memory").queryName("csv_part_vals")
+      .option("checkpointLocation", dir("partvals_ckpt6"))
+      .trigger(Trigger.AvailableNow()).start()
+    q6.awaitTermination()
+    assert(spark.sql("SELECT id, k FROM csv_part_vals")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === gj)
   }
 
   test("a dv-carrying table refuses streaming loudly (both discovery modes)") {
