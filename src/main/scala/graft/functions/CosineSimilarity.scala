@@ -166,5 +166,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.rollingHashInfo)
     ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL maintenance verbs (DESCRIBE HISTORY / RESTORE / OPTIMIZE /
+    // VACUUM / DELETE / UPDATE over graft-logged table paths) — see
+    // graft.spark.GraftMaintenanceSql; unrecognized SQL delegates
+    ext.injectParser((session, delegate) =>
+      new graft.spark.GraftSqlParser(session, delegate))
   }
 }

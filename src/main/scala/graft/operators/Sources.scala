@@ -2814,5 +2814,55 @@ object Sources {
             FROM lineitem WHERE l_orderkey % 4 <> 1
             GROUP BY 1 ORDER BY g"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+  // ---------------------------------------------------------------- q219
+  // SQL maintenance verbs (round 11, the Delta SQL shape): DESCRIBE
+  // HISTORY / RESTORE / OPTIMIZE / VACUUM / DELETE / UPDATE over a
+  // graft-logged table PATH, injected via SparkSessionExtensions
+  // (GraftSqlParser) and routed to the TrainingData machinery — schema
+  // and format resolve from the commit log, so a SQL-first user never
+  // writes DataFrame code. The gate drives the whole lifecycle in SQL
+  // and the oracle recomputes the surviving state relationally: the
+  // final hash proves DELETE applied, the first UPDATE was RESTOREd
+  // away, the second UPDATE applied, and OPTIMIZE/VACUUM changed nothing.
+  private val q219 = GQuery(
+    "q219_sql_maintenance",
+    "SQL DELETE/UPDATE/RESTORE/OPTIMIZE/VACUUM/DESCRIBE HISTORY over a logged path",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/sql_maint"
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        .filter($"c_custkey" < 800)
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)    // v0
+      s.sql(s"DELETE FROM '$dir' WHERE c_custkey % 5 = 0")          // v1
+      s.sql(s"UPDATE '$dir' SET c_acctbal = c_acctbal + 1000 " +
+        "WHERE c_custkey < 100")                                    // v2
+      val hist = s.sql(s"DESCRIBE HISTORY '$dir'").collect()
+      require(hist.map(_.getString(2)).toSeq ==
+        Seq("append+delete-vector", "delete-vector", "append"),
+        s"history ops: ${hist.map(_.getString(2)).mkString(", ")}")
+      val rv = s.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF 1")
+        .collect().head.getLong(0)                                  // v3
+      require(rv == 3L, s"restore committed $rv, expected 3")
+      s.sql(s"UPDATE '$dir' SET c_acctbal = c_acctbal + 500 " +
+        "WHERE c_custkey < 100")                                    // v4
+      val opt = s.sql(s"OPTIMIZE '$dir'").collect().head.getLong(0) // v5
+      require(opt > 0L, "OPTIMIZE must compact the masked files")
+      // nothing is orphaned: every file is referenced by some version
+      require(s.sql(s"VACUUM '$dir' DRY RUN").collect().isEmpty,
+        "VACUUM must find no orphans")
+      s.read.format("graft-json").schema("c_custkey BIGINT, c_acctbal DOUBLE")
+        .option("snapshot", "true").load(dir)
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+                   round(c_acctbal + CASE WHEN c_custkey < 100 THEN 500 ELSE 0 END, 2)
+                     AS balance
+            FROM customer
+            WHERE c_custkey < 800 AND c_custkey % 5 <> 0
+            ORDER BY c_custkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
 }

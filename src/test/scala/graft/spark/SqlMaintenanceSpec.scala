@@ -1,0 +1,203 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+import graft.api.TrainingData
+
+/** The maintenance-SQL front (GraftSqlParser via GraftSparkExtensions):
+  * DESCRIBE HISTORY / RESTORE / OPTIMIZE / VACUUM / DELETE / UPDATE over
+  * graft-logged table paths, routed to the TrainingData machinery —
+  * results must match the API row-for-row; everything else delegates.
+  */
+class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val root = Files.createTempDirectory("graft-sqlmaint")
+  private val schema = "id BIGINT, v STRING"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sql-maintenance-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private def dir(name: String): String = root.resolve(name).toString
+
+  private def writeTable(d: String, n: Long = 100L, parts: Int = 2,
+      format: String = "graft-json"): Unit = {
+    val s = spark
+    import s.implicits._
+    (0L until n).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(parts).write.format(format).mode("overwrite").save(d)
+  }
+
+  private def snapIds(d: String, format: String = "graft-json"): Seq[Long] =
+    spark.read.format(format).schema(schema).option("snapshot", "true")
+      .load(d).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("DELETE FROM '<path>' WHERE routes to deleteWhereDV (schema+format from the log)") {
+    val d = dir("del")
+    writeTable(d)
+    val out = spark.sql(s"DELETE FROM '$d' WHERE id % 10 = 0").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L), "both files get vectors")
+    assert(snapIds(d) === (0L until 100L).filterNot(_ % 10 == 0))
+    // the delete landed as vectors (merge-on-read), not a rewrite
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = GraftCommitLog.liveStateAsOf(fs,
+      new org.apache.hadoop.fs.Path(d), 1L)
+    assert(state.values.forall(_ != null))
+  }
+
+  test("UPDATE '<path>' SET ... WHERE routes to updateWhereDV; WHERE is mandatory") {
+    val d = dir("upd")
+    writeTable(d)
+    spark.sql(s"UPDATE '$d' SET v = concat(v, '!') WHERE id < 5")
+    val got = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").load(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === (0L until 100L).map(i => (i, if (i < 5) s"r$i!" else s"r$i")))
+    // multi-assignment with a function call containing commas and a
+    // quoted WHERE inside a string literal — the top-level splitter only
+    val d2 = dir("upd2")
+    writeTable(d2, n = 10L, parts = 1)
+    spark.sql(s"UPDATE '$d2' SET v = concat(v, ',', 'WHERE'), id = id + 100 WHERE id = 3")
+    val got2 = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").load(d2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got2.contains((103L, "r3,WHERE")), got2.mkString(", "))
+    val e = intercept[Exception] { spark.sql(s"UPDATE '$d2' SET v = 'x'") }
+    assert(e.getMessage.contains("WHERE"), e.getMessage)
+  }
+
+  test("DESCRIBE HISTORY matches tableHistory row-for-row") {
+    val d = dir("hist")
+    writeTable(d)
+    spark.sql(s"DELETE FROM '$d' WHERE id = 7")
+    val viaSql = spark.sql(s"DESCRIBE HISTORY '$d'").collect().toSeq
+    val viaApi = TrainingData.tableHistory(spark, d).collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.map(_.getString(2)) === Seq("delete-vector", "append"))
+  }
+
+  test("RESTORE TABLE TO VERSION/TIMESTAMP matches restoreTable semantics") {
+    val d = dir("restore")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsKey = GraftCommitLog.CommitTimestampKey
+    try {
+      conf.setLong(tsKey, 1000L); writeTable(d)                       // v0
+      conf.setLong(tsKey, 2000L)
+      spark.sql(s"DELETE FROM '$d' WHERE id >= 50")                   // v1
+      conf.setLong(tsKey, 3000L)
+      val v = spark.sql(s"RESTORE TABLE '$d' TO VERSION AS OF 0").collect()
+      assert(v.map(_.getLong(0)).toSeq === Seq(2L))
+      assert(snapIds(d) === (0L until 100L))
+      // timestamp form: at/after the latest commit clamps to a no-op (-1)
+      val noop = spark.sql(s"RESTORE TABLE '$d' TO TIMESTAMP AS OF 9000")
+        .collect()
+      assert(noop.map(_.getLong(0)).toSeq === Seq(-1L))
+      // and a mid-history timestamp restores the version it resolves to
+      conf.setLong(tsKey, 4000L)
+      val back = spark.sql(s"RESTORE TABLE '$d' TO TIMESTAMP AS OF 2500")
+        .collect()
+      assert(back.map(_.getLong(0)).toSeq === Seq(3L))
+      assert(snapIds(d) === (0L until 50L))
+    } finally conf.unset(tsKey)
+  }
+
+  test("OPTIMIZE compacts and purges vectors; VACUUM reports orphans") {
+    val d = dir("opt")
+    writeTable(d, parts = 3)
+    spark.sql(s"DELETE FROM '$d' WHERE id % 3 = 0")
+    val n = spark.sql(s"OPTIMIZE '$d'").collect()
+    assert(n.head.getLong(0) > 0L)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val state = GraftCommitLog.liveStateAsOf(fs, rootP,
+      GraftCommitLog.versions(fs, rootP).max)
+    assert(state.values.forall(_ == null), "OPTIMIZE must purge the masks")
+    assert(snapIds(d) === (0L until 100L).filterNot(_ % 3 == 0))
+    // plant an orphan; DRY RUN lists it without touching it, VACUUM removes
+    val orphan = new org.apache.hadoop.fs.Path(d, "rogue.json")
+    val out = fs.create(orphan, true)
+    try out.write("{\"id\": 999, \"v\": \"x\"}\n".getBytes("UTF-8"))
+    finally out.close()
+    val dry = spark.sql(s"VACUUM '$d' DRY RUN").collect().map(_.getString(0))
+    assert(dry.toSeq === Seq("rogue.json"))
+    assert(fs.exists(orphan), "DRY RUN must not delete")
+    val gone = spark.sql(s"VACUUM '$d'").collect().map(_.getString(0))
+    assert(gone.toSeq === Seq("rogue.json"))
+    assert(!fs.exists(orphan))
+  }
+
+  test("OPTIMIZE WHERE scopes to partitions; ZORDER BY clusters") {
+    val d = dir("optwhere")
+    val s = spark
+    import s.implicits._
+    (0L until 60L).map(i => (i, s"r$i", i % 3)).toDF("id", "v", "k")
+      .repartition(2)
+      .write.format("graft-json").option("partitionby", "k")
+      .mode("overwrite").save(d)
+    val viaSql = spark.sql(s"OPTIMIZE '$d' WHERE k = 1").collect()
+      .head.getLong(0)
+    assert(viaSql > 0L, "the k=1 partition must compact")
+    val got = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, k BIGINT").option("snapshot", "true")
+      .load(d).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 60L))
+    // zorder form parses and runs (clustering correctness is covered by
+    // OptimizeScopeSpec; here the SQL surface must route the columns)
+    val d2 = dir("optz")
+    writeTable(d2, parts = 3)
+    assert(spark.sql(s"OPTIMIZE '$d2' ZORDER BY (id)").collect()
+      .head.getLong(0) > 0L)
+    assert(snapIds(d2) === (0L until 100L))
+  }
+
+  test("format resolves from the live files: avro and csv tables route too") {
+    val d = dir("avro")
+    writeTable(d, format = "graft-avro")
+    spark.sql(s"DELETE FROM '$d' WHERE id % 4 = 1")
+    assert(snapIds(d, "graft-avro") === (0L until 100L).filterNot(_ % 4 == 1))
+    val dc = dir("csv")
+    writeTable(dc, format = "graft-csv")
+    spark.sql(s"UPDATE '$dc' SET v = upper(v) WHERE id < 3")
+    val got = spark.read.format("graft-csv").schema(schema)
+      .option("snapshot", "true").load(dc)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got.take(3) === Seq((0L, "R0"), (1L, "R1"), (2L, "R2")))
+  }
+
+  test("unrecognized SQL delegates verbatim; logless dirs refuse loudly") {
+    assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
+    // a DELETE against a real catalog table still parses through Spark
+    // (our grammar only claims single-quoted path targets)
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM '${dir("nolog")}' WHERE id = 1").collect()
+    }
+    assert(e.getMessage.contains("commit log"), e.getMessage)
+    // path escaping: a '' in the literal unquotes to one ' in the path
+    // (the error names the unescaped path — proof the unquote ran)
+    val e2 = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY '/tmp/graft o''clock'").collect()
+    }
+    assert(e2.getMessage.contains("/tmp/graft o'clock"), e2.getMessage)
+  }
+}
