@@ -420,25 +420,47 @@ object TrainingData {
     * instead of cache) or `spark.catalog.clearCache()` between calls;
     * the cache entry is keyed to this call's plan, so nothing else
     * releases it.
+    *
+    * `portableHash = true` swaps the xxhash64 family for the md5 32-bit-
+    * lane idiom (4 lanes per digest, seeds in the preimage) — the SAME
+    * candidate pairs and estimates are then reproducible in any engine
+    * with md5 (cross-engine dedup reruns agree, and the gate gets an
+    * exact DuckDB oracle). Default stays xxhash64: one 64-bit mix per
+    * (lane, shingle) vs an md5 digest per 4 lanes — the hash is the hot
+    * loop at corpus scale.
     */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minJaccardEst: Double = 0.25,
       signatureStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      portableHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol),
         wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    // lane hash h_i(t): md5 digests carry four 32-bit lanes (8 hex chars
+    // each), seed group i DIV 4 rides the preimage — portable to any
+    // md5-bearing engine; xxhash64 seeds directly (fast path)
+    val laneHash =
+      if (portableHash)
+        "CAST(conv(substring(md5(concat(CAST(i DIV 4 AS STRING), ':', t)), " +
+          "(i % 4) * 8 + 1, 8), 16, 10) AS BIGINT)"
+      else "xxhash64(i, t)"
     val mh = sh.select(col(idCol), expr(
       s"""transform(sequence(0, ${numHashes - 1}),
-            i -> array_min(transform(sh, t -> xxhash64(i, t))))""").as("mh"))
+            i -> array_min(transform(sh, t -> $laneHash)))""").as("mh"))
+    // band bucket: 60-bit md5 prefix of the comma-joined band signature
+    // (15 hex chars keep the unsigned value inside BIGINT) vs one xxhash64
+    val bandCols = (0 until rowsPerBand).map(j => s"mh[b*$rowsPerBand+$j]")
+    val bandHash =
+      if (portableHash)
+        s"CAST(conv(substring(md5(concat_ws(',', ${bandCols.mkString(", ")})), 1, 15), 16, 10) AS BIGINT)"
+      else s"xxhash64(${bandCols.mkString(", ")})"
     val banded = mh.select(col(idCol), col("mh"),
         posexplode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-                b -> xxhash64(${(0 until rowsPerBand)
-                  .map(j => s"mh[b*$rowsPerBand+$j]").mkString(", ")}))""")))
+          s"""transform(sequence(0, ${bands - 1}), b -> $bandHash)""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val sigs =
       if (signatureStorage == org.apache.spark.storage.StorageLevel.NONE) banded

@@ -77,22 +77,40 @@ object Extensions {
   // ---------------------------------------------------------------- q22
   // approx_count_distinct = HyperLogLog++ partial-mergeable sketch: the
   // 100 TB way to count distincts (no exact-distinct shuffle explosion).
-  // Sketch estimates are engine-specific -> rows-only gate; the exact
-  // distinct count rides along for eyeballing the error.
+  // The built-in sketch's ESTIMATE is engine-specific (xxhash64 + HLL++
+  // bias tables — no other engine can recompute it; q151's portable HLL
+  // is the digit-exact twin), but its ACCURACY contract is oracle-able:
+  // the gate emits the exact counts plus within-3σ flags for both
+  // requested precisions (rsd 5% default, 2%), which DuckDB reproduces
+  // as literal truths — a sketch regression past its own error bound now
+  // hash-fails instead of hiding in a rows-only gate (round 11).
   private val q22 = GQuery(
     "q22_approx_count_distinct",
-    "HyperLogLog approx_count_distinct vs exact (rows-only: sketches differ per engine)",
+    "HyperLogLog approx_count_distinct: exact counts + within-3-sigma accuracy flags",
     (s, d) => {
       import s.implicits._
       T(s, d, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
           count_distinct($"l_orderkey").as("exact_orders"),
-          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+          count_distinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_orderkey").as("ao"),
+          approx_count_distinct($"l_partkey", 0.02).as("ap"))
+        .select($"l_returnflag", $"exact_orders", $"exact_parts",
+          (abs($"ao" - $"exact_orders") <= $"exact_orders" * 0.15)
+            .cast("long").as("orders_within_3sd"),
+          (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.06)
+            .cast("long").as("parts_within_3sd"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                   CAST(1 AS BIGINT) AS orders_within_3sd,
+                   CAST(1 AS BIGINT) AS parts_within_3sd
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag"""))
 
   // ---------------------------------------------------------------- q41
   // UDAF surface: a typed Aggregator (geometric mean via log-space sums —

@@ -61,20 +61,55 @@ object Pipeline {
   // ---------------------------------------------------------------- q30
   // MinHash-LSH near-dup candidates: distinct word-3-shingles -> 16
   // minhashes -> 4 bands of 4 -> join docs sharing a band bucket (never
-  // all-pairs), then estimate Jaccard from minhash agreement. Rows-only
-  // oracle: xxhash64 is Spark-specific.
+  // all-pairs), then estimate Jaccard from minhash agreement. EXACT
+  // oracle (round 11): the portable md5-lane hash family makes the whole
+  // pipeline — lane minima, band buckets, the candidate-pair set, and
+  // the estimates — reproducible in DuckDB SQL to the digit (the q151
+  // discipline applied to LSH; production defaults keep xxhash64).
   private val q30 = GQuery(
     "q30_minhash_lsh_neardup",
-    "MinHash-LSH banded near-duplicate candidate join (bucketed, no crossJoin)",
+    "MinHash-LSH banded near-duplicate candidate join (bucketed, exact md5-lane oracle)",
     (s, d) => {
       import s.implicits._
       graft.api.TrainingData.minhashLshCandidates(
           T(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 16, bands = 4, minJaccardEst = 0.25)
+          shingleN = 3, numHashes = 16, bands = 4, minJaccardEst = 0.25,
+          portableHash = true)
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard_est")
         .orderBy($"doc_a", $"doc_b")
     },
-    None) // xxhash64 minhashes are engine-specific: rows-only gate
+    Some("""WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) s(i)),
+            mh AS (
+              SELECT doc_id, i,
+                     min(CAST(concat('0x', substring(md5(concat(CAST(i // 4 AS VARCHAR), ':', t)),
+                                                     (i % 4) * 8 + 1, 8)) AS BIGINT)) AS h
+              FROM sh, unnest(generate_series(0, 15)) s(i)
+              GROUP BY doc_id, i),
+            sig AS (SELECT doc_id, list(h ORDER BY i ASC) AS mh FROM mh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, mh, b,
+                     CAST(concat('0x', substring(md5(concat_ws(',',
+                       CAST(mh[b*4+1] AS VARCHAR), CAST(mh[b*4+2] AS VARCHAR),
+                       CAST(mh[b*4+3] AS VARCHAR), CAST(mh[b*4+4] AS VARCHAR))), 1, 15))
+                       AS BIGINT) AS bucket
+              FROM sig, unnest(generate_series(0, 3)) t(b)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                              x.mh AS mh_a, y.mh AS mh_b
+              FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+              WHERE x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b,
+                   round(CAST(len(list_filter(generate_series(1, 16),
+                                              i -> mh_a[i] = mh_b[i])) AS DOUBLE) / 16.0, 4)
+                     AS jaccard_est
+            FROM cand
+            WHERE CAST(len(list_filter(generate_series(1, 16),
+                                       i -> mh_a[i] = mh_b[i])) AS DOUBLE) / 16.0 >= 0.25
+            ORDER BY doc_a, doc_b"""))
 
   // ---------------------------------------------------------------- q31
   // SimHash (32-bit, md5 family): bit b votes +1/-1 per token occurrence by
@@ -175,8 +210,11 @@ object Pipeline {
   // ---------------------------------------------------------------- q34
   // LSH-bucketed ANN (the 100 TB path): 6 data vectors act as fixed random
   // hyperplanes; every vector gets a 6-bit sign bucket; queries probe ONLY
-  // their bucket (equi-join on bucket, not a scan). Approximate by design:
-  // rows-only gate.
+  // their bucket (equi-join on bucket, not a scan). Approximate RECALL by
+  // design — but every step is deterministic IEEE arithmetic (sequential
+  // dot products, sign tests, power-of-two bucket codes, 4-decimal cosine
+  // ranking), so the bucket assignment, the probed candidate set, and the
+  // final top-5 all rebuild exactly in DuckDB (round 11; was rows-only).
   private val q34 = GQuery(
     "q34_ann_lsh_bucketed",
     "random-hyperplane LSH bucketed ANN (equi-join on sign bucket)",
@@ -203,7 +241,30 @@ object Pipeline {
         .select($"qid", $"rank".cast("long").as("rank"), $"vec_id".as("neighbor"))
         .orderBy($"qid", $"rank")
     },
-    None) // approximate (bucket recall < 1): rows-only gate
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            p AS (SELECT vec_id AS pid, e AS pe FROM e WHERE vec_id IN (10, 20, 30, 40, 50, 60)),
+            bucketed AS (
+              SELECT e.vec_id, e.e,
+                     CAST(sum(CASE WHEN list_dot_product(e.e, p.pe) >= 0
+                                   THEN CAST(pow(2, pid / 10 - 1) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS bucket
+              FROM e, p
+              GROUP BY e.vec_id, e.e),
+            q AS (SELECT vec_id AS qid, e AS qe, bucket
+                  FROM bucketed WHERE vec_id IN (1, 2, 3)),
+            cand AS (
+              SELECT qid, b.vec_id,
+                     round(list_dot_product(qe, b.e)
+                       / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+              FROM q JOIN bucketed b USING (bucket)
+              WHERE b.vec_id <> qid),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+            SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor
+            FROM ranked WHERE rank <= 5
+            ORDER BY qid, rank"""))
 
   // ---------------------------------------------------------------- q52
   // IVF ANN (the trained-index scale path): a deterministic coarse
