@@ -56,6 +56,7 @@ object Bench {
     val (skip, csvMbps) = SkipBench.runIsolatedRounds(7)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead) = DvMaskBench.run(spark, sfDir)
+    val (avOn, avOff, avRatio) = AvroBlockSkipBench.run(spark, sfDir)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
@@ -69,7 +70,9 @@ object Bench {
       s""""block_skip_on_sec":$blkOn,"block_skip_off_sec":$blkOff,""" +
       s""""block_skip_ratio":$blkRatio,""" +
       s""""dv_masked_sec":$dvMasked,"dv_clean_sec":$dvClean,""" +
-      s""""dv_mask_overhead":$dvOverhead,"sf":"$sfDir"}"""
+      s""""dv_mask_overhead":$dvOverhead,""" +
+      s""""avro_block_skip_on_sec":$avOn,"avro_block_skip_off_sec":$avOff,""" +
+      s""""avro_block_skip_ratio":$avRatio,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
@@ -119,6 +122,49 @@ object BlockSkipBench {
     (on, off, if (on > 0) off / on else -1.0)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] block-skip lane failed: ${e.getMessage}")
+    (-1.0, -1.0, -1.0)
+  }
+}
+
+/** Avro intra-file block skipping, PAIRED like [[BlockSkipBench]] (round
+  * 11): lineitem ×4 lands SORTED in one avro container with 1 MiB forced
+  * sync-edge blocks, then the same 2%-selective filtered aggregate runs
+  * with data skipping on (planning reads only the surviving sync-edge
+  * ranges) vs off (the whole container decodes) — best of 3 each. The
+  * ratio proves avro's recorded block lanes buy the same selective-read
+  * win the text lanes get from q199's byte ranges.
+  */
+object AvroBlockSkipBench {
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = try {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_bench_avro_blocks"
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
+    val corpus = li.withColumn("r", explode(array((0 until 4).map(lit): _*)))
+      .drop("r")
+    corpus.repartition(1).sortWithinPartitions("l_orderkey")
+      .write.format("graft-avro").mode("overwrite")
+      .option("blockbytes", (1024 * 1024).toString).save(dir)
+    val maxKey = li.agg(max($"l_orderkey")).head().getLong(0)
+    val cut = math.max(1L, maxKey / 50)
+    val schema =
+      "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE"
+    def q(skipping: Boolean): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("graft-avro").schema(schema)
+        .option("dataskipping", skipping.toString).load(dir)
+        .filter($"l_orderkey" < cut)
+        .agg(sum($"l_quantity"), sum($"l_extendedprice"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q(skipping = true); q(skipping = false) // warmup
+    val on = (1 to 3).map(_ => q(skipping = true)).min
+    val off = (1 to 3).map(_ => q(skipping = false)).min
+    (on, off, if (on > 0) math.round(off / on * 100) / 100.0 else -1.0)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] avro block-skip lane failed: ${e.getMessage}")
     (-1.0, -1.0, -1.0)
   }
 }
