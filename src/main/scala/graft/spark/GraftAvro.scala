@@ -1128,12 +1128,15 @@ final class GraftAvroDataWriter(
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
     w.setCodec(GraftAvro.codecFor(codec))
-    // align avro's own block flush cadence with the recorded-block budget:
     // the budget check reads the underlying stream position, which only
-    // advances when the writer flushes a container block — the default
-    // 64 KB sync interval would quantize small block budgets away
-    if (blockBytes > 0)
-      w.setSyncInterval(math.max(32L, math.min(blockBytes, 1L << 30)).toInt)
+    // advances when the writer flushes a container block (default sync
+    // interval 64 KB) — a SMALLER block budget must lower the flush
+    // cadence or it would quantize away. The container framing is never
+    // COARSENED: recorded blocks are a multiple of ordinary 64 KB avro
+    // blocks, so split realignment (a byte scan for the next marker)
+    // stays ~64 KB-granular whatever the recorded-block budget.
+    if (blockBytes > 0 && blockBytes < 64000)
+      w.setSyncInterval(math.max(32L, blockBytes).toInt)
     w.create(avroSchema, out)
   }
   private var rows = 0L

@@ -591,11 +591,12 @@ object GraftSources {
     * readers — (file, index) addresses a row for as long as the file
     * lives (exact row provenance; the deletion-vector address space).
     * Reads force whole-file partitions (an ordinal needs the whole file's
-    * order), refuse non-fail badrecords modes (dropped rows would shift
-    * ordinals), skip aggregate pushdown, and evaluate ALL filters as
-    * residuals (a plate-dropped row would shift every later ordinal) —
-    * provenance mode trades the byte-skip fast paths for exact
-    * addressing.
+    * order; block-recorded files still split on range-exact ordinals),
+    * refuse non-fail badrecords modes (dropped rows would shift
+    * ordinals), and skip aggregate pushdown. SkipRow plate filters STAY
+    * ON (round 11): the plate counts the rows it drops and the readers
+    * fold the count into the ordinal — provenance mode keeps the
+    * byte-skip fast path and trades only the metadata-only answers.
     */
   final val RowIndexCol = "_graft_row_index"
 
@@ -1812,23 +1813,24 @@ final class GraftScan(
       }
     // partition-column filters are handled at planning time (file pruning)
     // and by the residual; the row plate must not see them (the column is
-    // null until the partition value is stamped in)
-    val partNames = listing.partCols.toSet
-    // row-index mode: NO plate filters at all — a plate-dropped row
-    // would never reach the stamp and every later row's ordinal would
-    // shift (the ordinal must be the row's TRUE file position, filters
-    // or not). Spark re-applies every filter as residual post-stamp, so
-    // results stay exact; the cost is SkipRow's byte-skip, the
-    // documented price of provenance mode.
+    // null until the partition value is stamped in). The same goes for
+    // filters on the synthetic row-index column — its value is stamped
+    // post-parse (a plate would read it as forever-null and a pushed
+    // IsNotNull would wrongly drop every row).
+    // Row-index / masked modes KEEP plate filters (round 11): the plate
+    // counts the rows it drops and the readers fold the count into their
+    // ordinal accounting, so SkipRow byte-skip composes with provenance
+    // and deletion masks — the "all filters residual" price is gone.
     // filters referencing RENAMED columns are excluded from plate-level
     // byte-skip (the plate matches PHYSICAL keys; Spark re-applies every
     // filter as residual, so correctness is untouched — the renamed
     // column just loses the skip fast path)
+    val partNames = listing.partCols.toSet
     val plateFilters =
-      (if (withRowIndex) Array.empty[Filter]
-       else if (partSpec.isEmpty) filters
+      (if (partSpec.isEmpty) filters
        else filters.filterNot(_.references.exists(partNames.contains)))
         .filterNot(_.references.exists(physMap.contains))
+        .filterNot(_.references.contains(GraftSources.RowIndexCol))
     val rowIdxSlot =
       if (withRowIndex) rowSchema.fieldNames.indexOf(GraftSources.RowIndexCol)
       else -1
@@ -2653,9 +2655,13 @@ final class GraftJsonPartitionReader(
     row
   }
   // single emission gate for schema-driven rows: count the TRUE file
-  // ordinal, drop masked rows (recycling them to the plate's row pool),
-  // stamp partition values + the provenance ordinal on survivors
+  // ordinal — folding in the rows the PLATE dropped before this one
+  // (SkipRow pushdown / null-demand checks; each occupied an ordinal),
+  // so parse-level filtering composes with masks and provenance — then
+  // drop masked rows (recycling them to the plate's row pool) and stamp
+  // partition values + the provenance ordinal on survivors
   private def emit(row: InternalRow): Unit = {
+    if (rowPlate != null) rowOrdinal += rowPlate.drainSkippedRows()
     val ord = rowOrdinal; rowOrdinal += 1
     if (masked(ord)) {
       if (rowPlate != null) rowPlate.recycle(row)
@@ -2667,13 +2673,11 @@ final class GraftJsonPartitionReader(
     queue.append(s)
   }
   // variant plates never stamped partition values — keep that, add the gate
+  // (they carry no plate filters, so there is nothing to drain)
   private def emitRaw(row: InternalRow): Unit = {
     val ord = rowOrdinal; rowOrdinal += 1
     if (!masked(ord)) queue.append(row)
   }
-  // plate filters must not run under a mask: a plate-dropped row would
-  // desync every later ordinal (all filters are residual upstream anyway)
-  private val plateFilters = if (dvMask == null) filters else Array.empty[Filter]
   // VARIANT columns select open-typed ingestion: shredded path-extraction
   // columns (pushed variant_get, metadata-tagged) parse only the requested
   // subtrees; a bare single VARIANT column captures whole rows; any other
@@ -2698,7 +2702,7 @@ final class GraftJsonPartitionReader(
       case None =>
         // corrupt-capture / drop modes need full per-row validation, which
         // the saturation skip's error-check elision would subvert
-        rowPlate = new RowPlate(schema, plateFilters, r => emit(r),
+        rowPlate = new RowPlate(schema, filters, r => emit(r),
           saturate = saturate && !dropMalformed && corruptCol == null)
         rowPlate
     }
@@ -2860,8 +2864,11 @@ final class GraftCsvPartitionReader(
   private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
-  private val plateFilters = if (dvMask == null) filters else Array.empty[Filter]
-  private val plate = new RowPlate(schema, plateFilters, { r =>
+  // plate filters run under masks/provenance too: the plate counts the
+  // rows it drops and the emission folds them into the ordinal (each
+  // dropped row still occupied a file ordinal)
+  private val plate: RowPlate = new RowPlate(schema, filters, { r =>
+    rowOrdinal += plate.drainSkippedRows()
     val ord = rowOrdinal; rowOrdinal += 1
     var drop = false
     if (dvMask != null) drop = dvMask.masked(ord)

@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   *   VACUUM '<path>' [DRY RUN]
   *   DELETE FROM '<path>' WHERE <predicate>
   *   UPDATE '<path>' SET c = <expr> [, ...] WHERE <predicate>
+  *   MERGE INTO '<path>' USING (<query>) ON (k [, ...])
+  *   ALTER TABLE '<path>' ADD COLUMN c <TYPE>
+  *   ALTER TABLE '<path>' RENAME COLUMN a TO b
+  *   ALTER TABLE '<path>' DROP COLUMN c
+  *   REORG TABLE '<path>' APPLY (PURGE)
   * }}}
   *
   * Tables are addressed by PATH (single-quoted, `''` escapes a quote):
@@ -62,6 +67,17 @@ object GraftMaintenanceSql {
     }).orElse(updateRe.findFirstMatchIn(t).map { m =>
       val (setPart, wherePart) = splitSetWhere(m.group(2))
       update(unquote(m.group(1)), parseAssignments(setPart), wherePart)
+    }).orElse(mergeRe.findFirstMatchIn(t).map { m =>
+      merge(unquote(m.group(1)), m.group(2).trim,
+        m.group(3).split(',').toSeq.map(c => stripTicks(c.trim)).filter(_.nonEmpty))
+    }).orElse(alterAddRe.findFirstMatchIn(t).map { m =>
+      alterAdd(unquote(m.group(1)), stripTicks(m.group(2)), m.group(3).trim)
+    }).orElse(alterRenameRe.findFirstMatchIn(t).map { m =>
+      alterRename(unquote(m.group(1)), stripTicks(m.group(2)), stripTicks(m.group(3)))
+    }).orElse(alterDropRe.findFirstMatchIn(t).map { m =>
+      alterDrop(unquote(m.group(1)), stripTicks(m.group(2)))
+    }).orElse(reorgRe.findFirstMatchIn(t).map { m =>
+      reorg(unquote(m.group(1)))
     })
   }
 
@@ -81,6 +97,19 @@ object GraftMaintenanceSql {
     s"""(?is)^\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+)$$""".r
   private val updateRe =
     s"""(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+)$$""".r
+  // upsert shape: whenMatched whole-row replace + whenNotMatched insert —
+  // the streaming-merge contract TrainingData.upsert implements; the
+  // richer clause grammar stays with the API
+  private val mergeRe =
+    s"""(?is)^\\s*MERGE\\s+INTO\\s+$P\\s+USING\\s+\\((.+)\\)\\s+ON\\s+\\(([^)]+)\\)\\s*$$""".r
+  private val alterAddRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+(.+)$$""".r
+  private val alterRenameRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*$$""".r
+  private val alterDropRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s*$$""".r
+  private val reorgRe =
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+$P\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
 
   private def unquote(s: String): String = s.replace("''", "'")
   private def stripTicks(s: String): String = s.stripPrefix("`").stripSuffix("`")
@@ -291,6 +320,53 @@ object GraftMaintenanceSql {
         val (ddl, format) = resolveTable(s, dir)
         Seq(Row(graft.api.TrainingData.updateWhereDV(
           s, dir, ddl, predicate, set, format = format).size.toLong))
+      })
+
+  /** Upsert merge (whenMatched replace ∪ whenNotMatched insert — the
+    * TrainingData.upsert contract): the USING query text is captured at
+    * parse and run against the session at execution, so CTEs/joins/
+    * views all work as the source.
+    */
+  private def merge(dir: String, sourceSql: String,
+      keyCols: Seq[String]): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("merged_rows", LongType, nullable = false)))),
+      s => {
+        val (ddl, format) = resolveTable(s, dir)
+        val src = s.sql(sourceSql)
+        graft.api.TrainingData.upsert(s, dir, ddl, src, keyCols, format = format)
+        Seq(Row(src.count()))
+      })
+
+  private def alterAdd(dir: String, colName: String, ddlType: String): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))),
+      s => Seq(Row(
+        graft.api.TrainingData.alterTableAddColumn(s, dir, colName, ddlType))))
+
+  private def alterRename(dir: String, from: String, to: String): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))),
+      s => Seq(Row(
+        graft.api.TrainingData.alterTableRenameColumn(s, dir, from, to))))
+
+  private def alterDrop(dir: String, colName: String): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))),
+      s => Seq(Row(
+        graft.api.TrainingData.alterTableDropColumn(s, dir, colName))))
+
+  /** Delta's REORG TABLE ... APPLY (PURGE): rewrite every vector-carrying
+    * file without its masked rows — restores the metadata/split fast
+    * paths merge-on-read deletes trade away.
+    */
+  private def reorg(dir: String): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("files_rewritten", LongType, nullable = false)))),
+      s => {
+        val (ddl, format) = resolveTable(s, dir)
+        Seq(Row(graft.api.TrainingData.materializeDeletes(
+          s, dir, ddl, format = format).size.toLong))
       })
 }
 

@@ -644,6 +644,7 @@ final class RowPlate(
       // definitive failure byte-skips the rest of the row
       if (node != null && node.filters.length > 0 &&
           node.filters.exists(FilterEval.definitelyFails(_, v))) {
+        skippedRowCount += 1
         resetRow()
         return Signal.SkipRow
       }
@@ -688,7 +689,7 @@ final class RowPlate(
       rowCount += 1
       rowWrapper = null // consumed: resetRow pulls the next from the pool
       push(row)
-    }
+    } else skippedRowCount += 1
     resetRow()
   }
 
@@ -709,10 +710,27 @@ final class RowPlate(
     if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
       // the parser honors SkipRow by suppressing this row's finishRow,
       // so resetting here cleanly abandons the partial row
+      skippedRowCount += 1
       resetRow()
       Signal.SkipRow
     } else Signal.Continue
     }
+
+  // rows this plate DROPPED before emission (SkipRow pushdown and the
+  // null-demand row-end check): every dropped row still occupied a file
+  // ordinal, so the readers fold the count into their ordinal accounting
+  // — that is what lets parse-level filtering compose with deletion
+  // masks and withRowIndex provenance instead of being forced residual
+  // (round 11). The emit callback fires synchronously in parse order, so
+  // draining at each emission sees exactly the drops that preceded it.
+  private var skippedRowCount = 0L
+
+  /** Dropped-row count since the last drain (reader-side ordinal fold). */
+  def drainSkippedRows(): Long = {
+    val n = skippedRowCount
+    skippedRowCount = 0L
+    n
+  }
 
   /** Null/missing-column semantics checked once the whole row is known. */
   private def passesRowEnd(row: InternalRow): Boolean = {

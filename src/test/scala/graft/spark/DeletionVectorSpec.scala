@@ -757,6 +757,38 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotCsv.toSeq === (1000L until 2000L).filterNot(_ % 10 == 3))
   }
 
+  test("row-path (nested schema) masked reads keep plate filters ordinal-exact") {
+    val d = dir("dvfilter-nested")
+    val s = spark
+    import s.implicits._
+    // a nested column forces the ROW path (no columnar support): the
+    // RowPlate counts its SkipRow drops and the reader folds them into
+    // the file ordinal, so masks address the right rows
+    (0L until 2000L).map(i => (i, (s"tag-$i", i * 2))).toDF("id", "meta")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-json").mode("overwrite").save(d)
+    val ddl = "id BIGINT, meta STRUCT<_1: STRING, _2: BIGINT>"
+    TrainingData.deleteWhereDV(spark, d, ddl, "id % 10 = 3")
+    val got = spark.read.format("graft-json").schema(ddl)
+      .option("snapshot", "true").load(d)
+      .filter(col("id") >= 1000L)
+      .select($"id", $"meta._2".as("m2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq ===
+      (1000L until 2000L).filterNot(_ % 10 == 3).map(i => (i, i * 2)))
+    // withRowIndex provenance + a pushed filter over the masked file:
+    // surviving rows keep TRUE ordinals (ordinal == id by construction)
+    val prov = spark.read.format("graft-json")
+      .schema(ddl + ", _graft_row_index BIGINT")
+      .option("snapshot", "true").option("withrowindex", "true").load(d)
+      .filter(col("id") >= 1500L)
+      .select($"id", $"_graft_row_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prov.length === (1500L until 2000L).count(_ % 10 != 3))
+    assert(prov.forall { case (id, ord) => ord == id },
+      s"ordinal drift: ${prov.find { case (id, o) => o != id }}")
+  }
+
   test("changeFeed untilVersion bounds the diff at a pinned version") {
     val d = dir("cdfuntil")
     writeTable(d, n = 100L, parts = 1)                          // v0

@@ -185,6 +185,65 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.take(3) === Seq((0L, "R0"), (1L, "R1"), (2L, "R2")))
   }
 
+  test("MERGE INTO upserts by key (whenMatched replace, whenNotMatched insert)") {
+    val d = dir("merge")
+    writeTable(d, n = 10L, parts = 1)
+    val n = spark.sql(
+      s"""MERGE INTO '$d'
+         |USING (SELECT id, concat('new-', CAST(id AS STRING)) AS v
+         |       FROM range(8, 12)) ON (id)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n === 4L)
+    val got = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").load(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === (0L until 12L).map(i =>
+      (i, if (i >= 8) s"new-$i" else s"r$i")))
+    // parity with the API on a fresh twin table
+    val d2 = dir("merge-api")
+    writeTable(d2, n = 10L, parts = 1)
+    TrainingData.upsert(spark, d2, schema,
+      spark.sql("SELECT id, concat('new-', CAST(id AS STRING)) AS v FROM range(8, 12)"),
+      Seq("id"))
+    assert(snapIds(d2) === snapIds(d))
+  }
+
+  test("ALTER TABLE path dialect: ADD / RENAME / DROP COLUMN route to the log") {
+    val d = dir("alter")
+    writeTable(d, n = 10L, parts = 1)
+    assert(spark.sql(s"ALTER TABLE '$d' ADD COLUMN score DOUBLE")
+      .collect().head.getLong(0) === 1L)
+    val withNew = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, score DOUBLE").option("snapshot", "true")
+      .load(d)
+    assert(withNew.count() === 10L)
+    assert(withNew.filter("score IS NULL").count() === 10L,
+      "pre-ALTER rows serve the added column as NULL")
+    assert(spark.sql(s"ALTER TABLE '$d' RENAME COLUMN v TO body")
+      .collect().head.getLong(0) === 2L)
+    val renamed = TrainingData.tableSchema(spark, d).get
+    assert(renamed.fieldNames.toSeq === Seq("id", "body", "score"))
+    assert(spark.sql(s"ALTER TABLE '$d' DROP COLUMN score")
+      .collect().head.getLong(0) === 3L)
+    assert(TrainingData.tableSchema(spark, d).get.fieldNames.toSeq ===
+      Seq("id", "body"))
+  }
+
+  test("REORG TABLE APPLY (PURGE) materializes deletion vectors") {
+    val d = dir("reorg")
+    writeTable(d, parts = 2)
+    spark.sql(s"DELETE FROM '$d' WHERE id % 10 = 0")
+    assert(spark.sql(s"REORG TABLE '$d' APPLY (PURGE)")
+      .collect().head.getLong(0) === 2L)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(d)
+    val state = GraftCommitLog.liveStateAsOf(fs, rootP,
+      GraftCommitLog.versions(fs, rootP).max)
+    assert(state.values.forall(_ == null), "masks must be gone after purge")
+    assert(snapIds(d) === (0L until 100L).filterNot(_ % 10 == 0))
+  }
+
   test("unrecognized SQL delegates verbatim; logless dirs refuse loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
     // a DELETE against a real catalog table still parses through Spark
