@@ -236,10 +236,7 @@ final class GraftJsonMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftJsonReaderFactory(schema, filters, conf, mode,
-      partSpec = schema.fields.zipWithIndex.flatMap { case (f, i) =>
-        val pi = partCols.indexOf(f.name)
-        if (pi >= 0) Some((i, pi, f.dataType)) else None
-      })
+      partSpec = GraftSources.partSpecFor(schema, partCols))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -322,8 +319,5 @@ final class GraftCsvMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCsvReaderFactory(schema, filters, conf, config,
-      partSpec = schema.fields.zipWithIndex.flatMap { case (f, i) =>
-        val pi = partCols.indexOf(f.name)
-        if (pi >= 0) Some((i, pi, f.dataType)) else None
-      })
+      partSpec = GraftSources.partSpecFor(schema, partCols))
 }

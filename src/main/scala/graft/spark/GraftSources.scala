@@ -282,6 +282,18 @@ object GraftSources {
     sb.toString
   }
 
+  /** Required-schema slots served from per-file hive partition values:
+    * (output index, index into the file's partValues, target type) — the
+    * shape the partition readers stamp with (one resolver for the batch
+    * scan and every streaming lane).
+    */
+  def partSpecFor(schema: StructType, partCols: Seq[String])
+      : Array[(Int, Int, org.apache.spark.sql.types.DataType)] =
+    schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val pi = partCols.indexOf(f.name)
+      if (pi >= 0) Some((i, pi, f.dataType)) else None
+    }
+
   /** The read options' root paths, fs-qualified (the resolvePartitioned
     * parse, without the directory walk) — streaming lanes use them to
     * derive each admitted file's root-relative path.
@@ -1804,13 +1816,8 @@ final class GraftScan(
     // with a pushed aggregate battery the row readers parse only the
     // referenced columns; the aggregating wrapper folds their rows
     val rowSchema = aggSpec.map(_.parseSchema(fullSchema)).getOrElse(schema)
-    // required-schema slots served from hive-style partition values:
-    // (output index, index into the file's partValues, target type)
-    val partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] =
-      rowSchema.fields.zipWithIndex.flatMap { case (f, i) =>
-        val pi = listing.partCols.indexOf(f.name)
-        if (pi >= 0) Some((i, pi, f.dataType)) else None
-      }
+    // required-schema slots served from hive-style partition values
+    val partSpec = GraftSources.partSpecFor(rowSchema, listing.partCols)
     // partition-column filters are handled at planning time (file pruning)
     // and by the residual; the row plate must not see them (the column is
     // null until the partition value is stamped in). The same goes for
@@ -2858,9 +2865,7 @@ final class GraftCsvPartitionReader(
   // file ordinal: whole files count from 0, aligned block ranges from
   // the planner-derived starting ordinal
   private var rowOrdinal = part.startOrd
-  // deletion vector (see the JSON reader): ascending mask + one pointer;
-  // plate filters are disabled under a mask (residual upstream) so the
-  // ordinal is always the row's true file position
+  // deletion vector (see the JSON reader): ascending mask + one pointer
   private val dvMask: DeletionVectors.Mask =
     if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)

@@ -185,8 +185,8 @@ object GraftMaintenanceSql {
     (rest.substring(0, w).trim, rest.substring(w + "WHERE".length).trim)
   }
 
-  private def parseAssignments(setPart: String): Map[String, String] =
-    splitTopLevel(setPart).map { a =>
+  private def parseAssignments(setPart: String): Map[String, String] = {
+    val pairs = splitTopLevel(setPart).map { a =>
       // locate the first top-level '=' (the assignment; the value side
       // may contain its own '=' inside CASE/parens/strings)
       val idx = {
@@ -214,7 +214,14 @@ object GraftMaintenanceSql {
       }
       require(idx > 0, s"malformed SET assignment: '$a'")
       (stripTicks(a.substring(0, idx).trim), a.substring(idx + 1).trim)
-    }.toMap
+    }
+    // standard SQL rejects duplicate assignment targets; .toMap would
+    // silently keep the last one
+    val dup = pairs.groupBy(_._1).collect { case (c, as) if as.length > 1 => c }
+    require(dup.isEmpty,
+      s"UPDATE SET assigns column(s) ${dup.mkString("'", "', '", "'")} more than once")
+    pairs.toMap
+  }
 
   // ------------------------------------------------------------ resolution
 
@@ -333,9 +340,17 @@ object GraftMaintenanceSql {
       StructField("merged_rows", LongType, nullable = false)))),
       s => {
         val (ddl, format) = resolveTable(s, dir)
+        // PIN the source before touching the target: a self-referencing
+        // or non-deterministic USING query must merge and report ONE
+        // consistent snapshot (upsert consumes it twice — delete-matching
+        // then append — and the count must be the pre-merge row count)
         val src = s.sql(sourceSql)
-        graft.api.TrainingData.upsert(s, dir, ddl, src, keyCols, format = format)
-        Seq(Row(src.count()))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = src.count()
+          graft.api.TrainingData.upsert(s, dir, ddl, src, keyCols, format = format)
+          Seq(Row(n))
+        } finally src.unpersist()
       })
 
   private def alterAdd(dir: String, colName: String, ddlType: String): LogicalPlan =

@@ -185,6 +185,36 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.take(3) === Seq((0L, "R0"), (1L, "R1"), (2L, "R2")))
   }
 
+  test("DELETE/UPDATE predicates on partition columns work (phase-1 serves k=v)") {
+    val d = dir("partpred")
+    val s = spark
+    import s.implicits._
+    (0L until 60L).map(i => (i, s"r$i", i % 3)).toDF("id", "v", "k")
+      .repartition(2)
+      .write.format("graft-json").option("partitionby", "k")
+      .mode("overwrite").save(d)
+    // the resolved DDL excludes k (it is a layout column), but the
+    // phase-1 scan serves it from the k=v directories — the most common
+    // maintenance predicate shape must resolve
+    spark.sql(s"DELETE FROM '$d' WHERE k = 1")
+    val after = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, k BIGINT").option("snapshot", "true")
+      .load(d).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === (0L until 60L).filterNot(_ % 3 == 1))
+    // mixed data + partition predicate, and SET against it
+    spark.sql(s"UPDATE '$d' SET v = concat(v, '+') WHERE k = 2 AND id < 10")
+    val got = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, k BIGINT").option("snapshot", "true")
+      .load(d).collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === (0L until 60L).filterNot(_ % 3 == 1).map(i =>
+      (i, if (i % 3 == 2 && i < 10) s"r$i+" else s"r$i")))
+    // duplicate SET targets are rejected, not silently last-wins
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE '$d' SET v = 'a', v = 'b' WHERE id = 0")
+    }
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+  }
+
   test("MERGE INTO upserts by key (whenMatched replace, whenNotMatched insert)") {
     val d = dir("merge")
     writeTable(d, n = 10L, parts = 1)
