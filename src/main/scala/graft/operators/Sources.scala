@@ -2864,5 +2864,59 @@ object Sources {
             WHERE c_custkey < 800 AND c_custkey % 5 <> 0
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219)
+  // ---------------------------------------------------------------- q220
+  // Avro aggregate pushdown (round 11): the binary lane joins the text
+  // lanes' parse-folded MIN/MAX/COUNT/SUM battery machinery — grouped
+  // batteries fold partial rows per partition (only the referenced
+  // columns decode), and whole files with sidecar coverage answer from
+  // METADATA (zero data bytes; AvroStatsSpec proves it on poisoned
+  // files). At 100 TB a daily "rows/extrema per source" health check
+  // over an avro ingest bus reads sidecars, not the bus.
+  private val q220 = GQuery(
+    "q220_avro_agg_pushdown",
+    "avro MIN/MAX/COUNT/SUM battery: parse-folded partials + sidecar metadata answers",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/avro_agg"
+      Tables(s, d, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_totalprice", $"o_orderpriority")
+        .repartition(3)
+        .write.format("graft-avro").mode("overwrite").save(dir)
+      val snap = s.read.format("graft-avro")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING")
+        .option("snapshot", "true").load(dir)
+      // ungrouped battery: whole files + sidecars → metadata-only answers
+      val total = snap.agg(
+        count(lit(1)).as("n"), min($"o_orderkey").as("lo"),
+        max($"o_orderkey").as("hi"), sum($"o_custkey").as("cust_sum"))
+        .collect().head
+      // grouped battery (data-column group key): parse-folded partials
+      snap.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), min($"o_orderkey").as("lo"),
+          max($"o_orderkey").as("hi"), sum($"o_custkey").as("cust_sum"),
+          round(sum($"o_totalprice"), 2).as("price_sum"))
+        .withColumn("grand_n", lit(total.getLong(0)))
+        .withColumn("grand_lo", lit(total.getLong(1)))
+        .withColumn("grand_hi", lit(total.getLong(2)))
+        .withColumn("grand_cust_sum", lit(total.getLong(3)))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(o_orderkey) AS BIGINT) AS lo,
+                   CAST(max(o_orderkey) AS BIGINT) AS hi,
+                   CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                   round(sum(o_totalprice), 2) AS price_sum,
+                   (SELECT CAST(count(*) AS BIGINT) FROM orders) AS grand_n,
+                   (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders) AS grand_lo,
+                   (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders) AS grand_hi,
+                   (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders) AS grand_cust_sum
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
 }

@@ -492,7 +492,10 @@ final class GraftAvroScanBuilder(
 
   private var required: StructType = fullSchema
   private var countStar = false
+  private var aggSpec: Option[GraftAgg.Spec] = None
   private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // build-time listing (column-mapping gate); the scan resolves its own
+  private lazy val builderListing = GraftSources.resolvePartitioned(options)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -509,22 +512,42 @@ final class GraftAvroScanBuilder(
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
-  /** COUNT(*) with no grouping: block headers carry object counts, so the
-    * answer never decodes a datum (complete push — Spark still sums the
-    * per-partition longs). Refused when a filter pushed (the count must
-    * reflect the filtered rows, which blocks cannot know).
+  /** Aggregate pushdown, refused when a filter pushed (the answer must
+    * reflect the filtered rows, which neither block headers nor sidecars
+    * can know). Ungrouped COUNT(*) keeps its decode-free BLOCK-HEADER
+    * lane (object counts live in the container framing — works with or
+    * without sidecars); every other supported battery (grouped/ungrouped
+    * MIN/MAX/COUNT/SUM — round 11) takes the same parse-folding wrapper
+    * as the text lanes, with whole-file sidecar metadata answers when
+    * the recording covers the battery.
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions().nonEmpty || pruneFilters.nonEmpty) return false
-    val ok = agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (ok) countStar = true
-    ok
+    if (pruneFilters.nonEmpty) return false
+    // the row-index column is stamped by the readers; a pruned aggregate
+    // decode would fold nulls in its place (the text builder's rule)
+    if (options.getBoolean("withrowindex", false)) return false
+    if (agg.groupByExpressions().isEmpty &&
+        agg.aggregateExpressions().length == 1 &&
+        agg.aggregateExpressions()(0).isInstanceOf[CountStar]) {
+      countStar = true
+      return true
+    }
+    GraftAgg.translate(agg, fullSchema) match {
+      case Some(spec) =>
+        // column mapping: sidecar metadata lookups key on PHYSICAL names —
+        // a battery touching a renamed column stays unpushed (Spark
+        // aggregates the full scan; correct, unaccelerated — text's rule)
+        if (spec.parseSchema(fullSchema).fieldNames.exists(
+            builderListing.physMap.contains)) return false
+        aggSpec = Some(spec); true
+      case None => false
+    }
   }
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan =
-    new GraftAvroScan(fullSchema, required, countStar, options, pruneFilters)
+    new GraftAvroScan(fullSchema, required, countStar, options, pruneFilters,
+      aggSpec)
 }
 
 final class GraftAvroScan(
@@ -532,15 +555,17 @@ final class GraftAvroScan(
     required: StructType,
     countStar: Boolean,
     options: CaseInsensitiveStringMap,
-    pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    aggSpec: Option[GraftAgg.Spec] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
     if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-    else required
+    else aggSpec.map(_.outputSchema).getOrElse(required)
 
   override def description(): String =
-    s"graft-avro ${if (countStar) "count-only" else required.fieldNames.mkString(",")}"
+    s"graft-avro ${if (countStar) "count-only" else required.fieldNames.mkString(",")}" +
+      aggSpec.map(s => s", pushedAgg=[$s]").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -736,6 +761,14 @@ final class GraftAvroScan(
     Some(runs.result())
   }
 
+  // a pushed aggregate battery keeps a file WHOLE when its sidecar can
+  // answer it from metadata (the GraftAggReaderFactory fast path needs a
+  // whole-file partition); sidecar-less files still split for parse-fold
+  // parallelism — the text scan's metaAggCandidate shape
+  private def metaAggCandidate: Boolean =
+    aggSpec.exists(GraftAggMeta.eligible(_, listing.partCols.toSet)) &&
+      options.getBoolean("dataskipping", true)
+
   override def planInputPartitions(): Array[InputPartition] = {
     blocksPrunedCount = 0
     val parts: Array[InputPartition] =
@@ -749,9 +782,10 @@ final class GraftAvroScan(
           // task. Without a recording it reads as one partition (a sync-
           // realigned byte split cannot know how many records precede
           // it). Pushed COUNT(*) keeps the file whole: mask cardinality
-          // subtracts from whole-file block-header sums only.
+          // subtracts from whole-file block-header sums only; so do
+          // aggregate batteries (the text lanes' per-file fold contract).
           val ranges =
-            if (countStar) None
+            if (countStar || aggSpec.isDefined) None
             else blockRanges(lf.path, lf.len, needOrdinals = true,
               splitWhenUnpruned = lf.len > maxSplit)
           ranges match {
@@ -764,7 +798,10 @@ final class GraftAvroScan(
               Seq(GraftInputPartition(lf.path, 0, lf.len, lf.len,
                 lf.partValues, dv = lf.dv, dvTarget = lf.dvTarget))
           }
-        } else blockRanges(lf.path, lf.len, needOrdinals = false,
+        }
+        else if (metaAggCandidate && sidecarOnly(lf.path).isDefined)
+          Seq(GraftInputPartition(lf.path, 0, lf.len, lf.len, lf.partValues))
+        else blockRanges(lf.path, lf.len, needOrdinals = false,
             splitWhenUnpruned = false) match {
           case Some(rs) => rs.map { case (s0, e0, _) =>
             GraftInputPartition(lf.path, s0, e0, lf.len, lf.partValues,
@@ -785,6 +822,9 @@ final class GraftAvroScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // with a pushed aggregate battery the reader decodes only the
+    // referenced columns; the aggregating wrapper folds their rows
+    val parseLogical = aggSpec.map(_.parseSchema(fullSchema)).getOrElse(required)
     // column mapping (ALTER RENAME): avro resolves reader fields BY NAME
     // against the file's embedded schema, so the pruned reader schema
     // must carry PHYSICAL names — output rows are positional, so Spark
@@ -795,13 +835,26 @@ final class GraftAvroScan(
     val phys = listing.physMap
     val synthetic = listing.partCols.toSet + GraftSources.RowIndexCol
     val parseRequired =
-      if (phys.isEmpty) required
-      else StructType(required.fields.map(f =>
+      if (phys.isEmpty) parseLogical
+      else StructType(parseLogical.fields.map(f =>
         if (synthetic.contains(f.name)) f
         else phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
-    new GraftAvroReaderFactory(parseRequired, listing.partCols, countStar,
-      absentOkFields(phys),
-      new SerializableConfiguration(GraftSources.activeHadoopConf()))
+    val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+    val rowFactory = new GraftAvroReaderFactory(parseRequired,
+      listing.partCols, countStar, absentOkFields(phys), conf)
+    aggSpec match {
+      case Some(spec) =>
+        // the SAME parse-folding wrapper the text lanes use: per-partition
+        // partial rows, whole-file sidecar metadata answers when the
+        // recording covers the battery (zero data bytes), mask-carrying
+        // partitions always parse
+        new GraftAggReaderFactory(rowFactory, parseLogical, spec,
+          maxGroups = options.getInt("aggmaxgroups", 1 << 16),
+          conf = conf,
+          metadataOk = options.getBoolean("dataskipping", true),
+          partSpec = GraftSources.partSpecFor(parseLogical, listing.partCols))
+      case None => rowFactory
+    }
   }
 
   override def estimateStatistics(): Statistics = new Statistics {

@@ -104,6 +104,73 @@ class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.drop(50) === (50L until 60L).map(i => (i, i * 0.5)))
   }
 
+  test("aggregate batteries push down: sidecar metadata answers, zero data bytes") {
+    val d = dir("aggpush")
+    val s = spark
+    import s.implicits._
+    // hand-built k=v layout (two writes) so a partition-grouped battery
+    // is metadata-eligible; values deterministic
+    (0L until 300L).map(i => (i, i * 2.5)).toDF("id", "score").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d + "/k=1")
+    (300L until 500L).map(i => (i, i * 2.5)).toDF("id", "score").repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d + "/k=2")
+    val ddl = "id BIGINT, score DOUBLE, k BIGINT"
+    def battery() = spark.read.format("graft-avro").schema(ddl).load(d)
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("id").as("lo"),
+        org.apache.spark.sql.functions.max("id").as("hi"),
+        org.apache.spark.sql.functions.sum("id").as("s"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = Seq(
+      (1L, 300L, 0L, 299L, (0L until 300L).sum),
+      (2L, 200L, 300L, 499L, (300L until 500L).sum))
+    assert(battery() === want)
+    // poison every data file with SAME-LENGTH garbage: only the sidecars
+    // can answer now — a single decoded byte would throw
+    val fsP = new org.apache.hadoop.fs.Path(d)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("k=1", "k=2").foreach { kdir =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d, kdir))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .foreach { st =>
+          val junk = Array.fill[Byte](st.getLen.toInt)('x'.toByte)
+          val out = fs.create(st.getPath, true)
+          try out.write(junk) finally out.close()
+        }
+    }
+    assert(battery() === want,
+      "grouped battery must answer from sidecar metadata alone")
+    // a DATA-column group key cannot be metadata-answered: the fallback
+    // decode must FAIL on the poisoned bytes rather than return garbage
+    intercept[Exception] {
+      spark.read.format("graft-avro").schema(ddl).load(d)
+        .groupBy("id").agg(org.apache.spark.sql.functions.sum("score"))
+        .collect()
+    }
+  }
+
+  test("aggregate batteries over masked avro parse post-mask rows (no metadata shortcut)") {
+    val d = dir("aggmask")
+    val s = spark
+    import s.implicits._
+    (0L until 1000L).map(i => (i, i * 3L)).toDF("id", "w").repartition(2)
+      .write.format("graft-avro").mode("overwrite").save(d)
+    val ddl = "id BIGINT, w BIGINT"
+    TrainingData.deleteWhereDV(spark, d, ddl, "id % 5 = 0", format = "graft-avro")
+    val got = spark.read.format("graft-avro").schema(ddl)
+      .option("snapshot", "true").load(d)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("w").as("sw"),
+        org.apache.spark.sql.functions.min("id").as("lo"))
+      .collect().head
+    val ids = (0L until 1000L).filterNot(_ % 5 == 0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((ids.size.toLong, ids.map(_ * 3L).sum, 1L)))
+  }
+
   test("string point lookups prune via blooms; a stale sidecar degrades to a full read") {
     val d = dir("bloom")
     val s = spark
