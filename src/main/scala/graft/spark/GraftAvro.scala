@@ -488,17 +488,78 @@ final class GraftAvroScanBuilder(
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownOffset
+    with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var countStar = false
   private var aggSpec: Option[GraftAgg.Spec] = None
   private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  // build-time listing (column-mapping gate); the scan resolves its own
+  private var limit = -1
+  private var offset = -1
+  private var topN: Array[(String, Boolean, Boolean)] = null // (col, asc, nullsFirst)
+  private var topNLimit = -1
+  // build-time listing (column-mapping / offset gates); the scan
+  // resolves its own
   private lazy val builderListing = GraftSources.resolvePartitioned(options)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT n stops each partition's decode once it has produced n rows —
+    * partial push, Spark applies the global limit on top (text parity).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** COMPLETE offset: sound only over one unsplit file in record order —
+    * the same single-file / no-filters / no-reorder gates as the text
+    * builder (deletion vectors are fine: the wrapper trims the POST-mask
+    * stream, which is the table's row order).
+    */
+  override def pushOffset(n: Int): Boolean = {
+    if (countStar || aggSpec.isDefined || topN != null) return false
+    if (pruneFilters.nonEmpty) return false
+    if (builderListing.files.length != 1) return false
+    offset = n
+    true
+  }
+
+  /** Partial TopN: each partition drains through a bounded heap and ships
+    * its local best n rows (text parity; single-column atomic keys).
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (countStar || aggSpec.isDefined || offset >= 0) return false
+    if (n <= 0 || n > (1 << 16)) return false // bounded per-task memory
+    val spec = new Array[(String, Boolean, Boolean)](orders.length)
+    var k = 0
+    while (k < orders.length) {
+      val o = orders(k)
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          val name = ref.fieldNames()(0)
+          val idx = fullSchema.fieldNames.indexOf(name)
+          if (idx < 0 || !GraftTopNReaderFactory.comparable(fullSchema(idx).dataType))
+            return false
+          spec(k) = (name,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST)
+        case _ => return false
+      }
+      k += 1
+    }
+    // column mapping: the heaps compare against the decoded (physical)
+    // rows — a renamed sort column stays unpushed (text's rule)
+    if (spec.exists(t => builderListing.physMap.contains(t._1))) return false
+    topN = spec
+    topNLimit = n
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Filters are used ONLY to prune files against their stats sidecars —
     * every filter is returned as residual, so Spark re-evaluates them
@@ -547,7 +608,7 @@ final class GraftAvroScanBuilder(
 
   override def build(): Scan =
     new GraftAvroScan(fullSchema, required, countStar, options, pruneFilters,
-      aggSpec)
+      aggSpec, limit, offset, topN, topNLimit)
 }
 
 final class GraftAvroScan(
@@ -556,7 +617,11 @@ final class GraftAvroScan(
     countStar: Boolean,
     options: CaseInsensitiveStringMap,
     pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    aggSpec: Option[GraftAgg.Spec] = None)
+    aggSpec: Option[GraftAgg.Spec] = None,
+    limit: Int = -1,
+    offset: Int = -1,
+    topN: Array[(String, Boolean, Boolean)] = null,
+    topNLimit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -565,7 +630,10 @@ final class GraftAvroScan(
 
   override def description(): String =
     s"graft-avro ${if (countStar) "count-only" else required.fieldNames.mkString(",")}" +
-      aggSpec.map(s => s", pushedAgg=[$s]").getOrElse("")
+      aggSpec.map(s => s", pushedAgg=[$s]").getOrElse("") +
+      (if (limit >= 0) s", limit=$limit" else "") +
+      (if (offset >= 0) s", offset=$offset" else "") +
+      (if (topN != null && topNLimit > 0) s", topN=$topNLimit" else "")
 
   override def toBatch: Batch = this
 
@@ -785,7 +853,7 @@ final class GraftAvroScan(
           // subtracts from whole-file block-header sums only; so do
           // aggregate batteries (the text lanes' per-file fold contract).
           val ranges =
-            if (countStar || aggSpec.isDefined) None
+            if (countStar || aggSpec.isDefined || offset >= 0) None
             else blockRanges(lf.path, lf.len, needOrdinals = true,
               splitWhenUnpruned = lf.len > maxSplit)
           ranges match {
@@ -808,12 +876,18 @@ final class GraftAvroScan(
               aligned = true)
           }
           case None =>
-            // container files realign on sync markers, so ranges are safe;
-            // the header (read by every task) is tiny relative to a split
-            val n = math.max(1L, (lf.len + maxSplit - 1) / maxSplit)
-            (0L until n).map { i =>
-              GraftInputPartition(lf.path, i * maxSplit,
-                math.min(lf.len, (i + 1) * maxSplit), lf.len, lf.partValues)
+            // a pushed COMPLETE offset needs ONE partition in record
+            // order (the builder already pinned a single-file listing)
+            if (offset >= 0)
+              Seq(GraftInputPartition(lf.path, 0, lf.len, lf.len, lf.partValues))
+            else {
+              // container files realign on sync markers, so ranges are
+              // safe; the header (read per task) is tiny next to a split
+              val n = math.max(1L, (lf.len + maxSplit - 1) / maxSplit)
+              (0L until n).map { i =>
+                GraftInputPartition(lf.path, i * maxSplit,
+                  math.min(lf.len, (i + 1) * maxSplit), lf.len, lf.partValues)
+              }
             }
         }
       }.toArray
@@ -840,8 +914,11 @@ final class GraftAvroScan(
         if (synthetic.contains(f.name)) f
         else phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
     val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+    // a pushed LIMIT stops each partition's decode early; when pushed
+    // alongside OFFSET, Spark pushes limit+offset, so the wrapped stream
+    // is exactly rows [offset, offset+limit) — the text lanes' contract
     val rowFactory = new GraftAvroReaderFactory(parseRequired,
-      listing.partCols, countStar, absentOkFields(phys), conf)
+      listing.partCols, countStar, absentOkFields(phys), conf, limit)
     aggSpec match {
       case Some(spec) =>
         // the SAME parse-folding wrapper the text lanes use: per-partition
@@ -853,7 +930,11 @@ final class GraftAvroScan(
           conf = conf,
           metadataOk = options.getBoolean("dataskipping", true),
           partSpec = GraftSources.partSpecFor(parseLogical, listing.partCols))
-      case None => rowFactory
+      case None =>
+        if (offset >= 0) new GraftOffsetReaderFactory(rowFactory, offset)
+        else if (topN != null && topNLimit > 0)
+          new GraftTopNReaderFactory(rowFactory, parseLogical, topN, topNLimit)
+        else rowFactory
     }
   }
 
@@ -897,12 +978,14 @@ final class GraftAvroReaderFactory(
     partCols: Seq[String],
     countStar: Boolean,
     absentOk: Set[String],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     if (countStar) new GraftAvroCountReader(p, conf.value)
-    else new GraftAvroPartitionReader(p, required, partCols, absentOk, conf.value)
+    else new GraftAvroPartitionReader(p, required, partCols, absentOk, conf.value,
+      limit)
   }
 }
 
@@ -920,7 +1003,8 @@ final class GraftAvroPartitionReader(
     required: StructType,
     partCols: Seq[String],
     absentOk: Set[String],
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   // slot plan: avro-decoded fields vs partition-served vs the ordinal
@@ -974,9 +1058,12 @@ final class GraftAvroPartitionReader(
   // derived base (exact per-block row counts from the sidecar recording)
   private var ord = part.startOrd - 1L
   private var done = false
+  private var emitted = 0
 
   override def next(): Boolean = {
     while (!done) {
+      // pushed LIMIT satisfied: stop decoding bytes entirely
+      if (limit >= 0 && emitted >= limit) { done = true; return false }
       if (!reader.hasNext || reader.pastSync(part.end)) { done = true; return false }
       reuse = reader.next(reuse)
       ord += 1
@@ -988,6 +1075,7 @@ final class GraftAvroPartitionReader(
           j += 1
         }
         if (idxSlot >= 0) row.update(idxSlot, ord)
+        emitted += 1
         return true
       }
     }

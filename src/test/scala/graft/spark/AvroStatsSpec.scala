@@ -152,6 +152,50 @@ class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("avro LIMIT / TopN / OFFSET push down (text-lane parity)") {
+    import org.apache.spark.sql.functions.col
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def scanDescr(df: org.apache.spark.sql.DataFrame): String =
+      flatten(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }.map(_.scan.description()).mkString("\n")
+    val d = dir("pushdowns")
+    val s = spark
+    import s.implicits._
+    (0L until 2000L).map(i => (i, s"r-${(i * 37) % 500}")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite").save(d)
+    val g = spark.read.format("graft-avro").schema(schema).load(d)
+    // LIMIT reaches the reader (decode stops early) and stays exact
+    val lim = g.limit(7)
+    assert(scanDescr(lim).contains("limit=7"), scanDescr(lim))
+    assert(lim.collect().length === 7)
+    // TopN: bounded per-partition heap, byte-identical to the full sort
+    val top = g.orderBy(col("v"), col("id")).limit(9)
+    assert(scanDescr(top).contains("topN=9"), scanDescr(top))
+    assert(top.collect().map(_.toString).toSeq ===
+      g.orderBy(col("v"), col("id")).collect().take(9).map(_.toString).toSeq)
+    // OFFSET: complete push over the single file, exact rows
+    val off = g.offset(1995)
+    assert(scanDescr(off).contains("offset=1995"), scanDescr(off))
+    assert(off.collect().map(_.getLong(0)).sorted.toSeq === (1995L until 2000L))
+    // multi-file listing refuses the offset (no global row order)
+    val d2 = dir("pushdowns2")
+    (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").repartition(2)
+      .write.format("graft-avro").mode("overwrite").save(d2)
+    val g2 = spark.read.format("graft-avro").schema(schema).load(d2)
+    val off2 = g2.offset(10)
+    assert(!scanDescr(off2).contains("offset="), scanDescr(off2))
+    assert(off2.count() === 90L)
+  }
+
   test("aggregate batteries over masked avro parse post-mask rows (no metadata shortcut)") {
     val d = dir("aggmask")
     val s = spark
