@@ -622,7 +622,8 @@ final class GraftAvroScan(
     offset: Int = -1,
     topN: Array[(String, Boolean, Boolean)] = null,
     topNLimit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType =
     if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
@@ -942,6 +943,48 @@ final class GraftAvroScan(
     private val bytes = GraftSources.resolveFiles(options).map(_._2).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  /** Reported per-partition ordering (the text scan's shape): partition
+    * columns are constant within every input partition, and a data
+    * column whose sidecars ALL carry the write-order `sorted` flag
+    * extends the lexicographic prefix — sorted avro sink output elides
+    * the local sorts merge-joins would insert. Conservative: any file
+    * without a trusted sidecar, or any unsorted column, drops the claim.
+    * Sound over splits and masks alike — every byte range of a sorted
+    * file is sorted, and a mask only removes rows.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    if (!options.getBoolean("reportordering", true)) return Array.empty
+    if (aggSpec.isDefined || countStar || topN != null) return Array.empty
+    val pf = statsPruned(partitionPruned(listing.files))
+    if (pf.isEmpty) return Array.empty
+    def asc(c: String) = Expressions.sort(
+      Expressions.column(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+    val partOrd: Seq[String] =
+      if (listing.partCols.nonEmpty &&
+          listing.partCols.forall(c => required.fieldNames.contains(c)) &&
+          pf.forall(_.partValues.length == listing.partCols.length))
+        listing.partCols
+      else Nil
+    val dataOrd: Option[String] = {
+      var stats = List.empty[FileStats.Stats]
+      var covered = true
+      val it = pf.iterator
+      while (covered && it.hasNext) {
+        val f = it.next()
+        fileStats(f.path, f.len) match {
+          case Some(s) => stats ::= s
+          case None => covered = false
+        }
+      }
+      if (!covered) None
+      else required.fields.iterator.map(_.name)
+        .filterNot(listing.partCols.contains)
+        .find(c => stats.forall(_.cols.get(physName(c)).exists(_.sorted)))
+    }
+    (partOrd ++ dataOrd.toSeq).map(asc).toArray
   }
 }
 

@@ -196,6 +196,29 @@ class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off2.count() === 90L)
   }
 
+  test("sidecar sorted flag: sorted avro output reports ordering, unsorted does not") {
+    val s = spark
+    import s.implicits._
+    def scanOrd(d: String) = spark.read.format("graft-avro").schema(schema)
+      .load(d).queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.ordering
+      }.flatten
+    val ds = dir("ordered")
+    (0L until 900L).map(i => (i, s"t-$i")).toDF("id", "v")
+      .repartitionByRange(3, org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite").save(ds)
+    assert(scanOrd(ds).exists(_.nonEmpty),
+      "sorted avro files must surface an output ordering on the scan")
+    val du = dir("unordered")
+    (0L until 900L).map(i => ((i * 37) % 900, s"t-$i")).toDF("id", "v")
+      .coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(du)
+    assert(!scanOrd(du).exists(_.nonEmpty),
+      "unsorted avro files must claim no ordering")
+  }
+
   test("aggregate batteries over masked avro parse post-mask rows (no metadata shortcut)") {
     val d = dir("aggmask")
     val s = spark
