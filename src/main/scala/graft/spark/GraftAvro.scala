@@ -41,6 +41,12 @@ import scala.jdk.CollectionConverters._
   *  - COUNT(*) with no filters is answered from block headers alone
   *    (`nextBlock()` + `getBlockCount()`): object counts are stored per
   *    block, so the count never decompresses or decodes a single datum.
+  *  - the full text-lane acceleration surface rides along (round 11):
+  *    file-level stats/bloom pruning, sync-edge BLOCK recording (split
+  *    parallelism with exact ordinals for masked/row-indexed files +
+  *    intra-file block skipping), parse-folded aggregate batteries with
+  *    sidecar metadata answers, LIMIT/TopN/OFFSET pushdown, and
+  *    reported per-partition ordering from the sorted sidecar flag.
   *  - the writer emits one container file per task with a deterministic
   *    task-unique name; `codec` option selects null/deflate/snappy/zstd
   *    block compression.
