@@ -441,9 +441,24 @@ class GraftAvroTableProvider extends TableProvider with DataSourceRegister {
 final class GraftAvroTable(
     tblSchema: StructType,
     properties: java.util.Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-avro:${properties.get("path")}"
   override def schema(): StructType = tblSchema
+  // `DELETE FROM <catalog table> WHERE ...` → merge-on-read vectors
+  private def tablePath: String =
+    Option(properties.get("path")).orElse(Option(properties.get("location"))).orNull
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    GraftDeleteSupport.canDelete(filters)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GraftDeleteSupport.deleteWhere(tablePath, tblSchema, "graft-avro", filters)
+  // see the json table: the V2 hooks must bypass the narrowing defaults
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    GraftDeleteSupport.canDeleteV2(predicates)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GraftDeleteSupport.deleteWhereV2(tablePath, tblSchema, "graft-avro", predicates)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,

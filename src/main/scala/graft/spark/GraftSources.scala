@@ -920,9 +920,27 @@ final class GraftJsonTable(
     partTransforms: Array[Transform],
     properties: java.util.Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-json:${properties.get("path")}"
   override def schema(): StructType = schema
+  // `DELETE FROM <catalog table> WHERE ...` → merge-on-read vectors
+  private def tablePath: String =
+    Option(properties.get("path")).orElse(Option(properties.get("location"))).orNull
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    GraftDeleteSupport.canDelete(filters)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GraftDeleteSupport.deleteWhere(tablePath, schema, "graft-json", filters)
+  // the V2-level hooks MUST be overridden: the SupportsDelete defaults
+  // convert V2 predicates to v1 filters with a conversion that can
+  // silently NARROW a partially-convertible condition (an under-delete);
+  // the V2 renderer is also strictly more expressive (arithmetic, CASE)
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    GraftDeleteSupport.canDeleteV2(predicates)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GraftDeleteSupport.deleteWhereV2(tablePath, schema, "graft-json", predicates)
   // reporting the user's partitionBy transforms back is what admits a
   // partitioned write (Spark checks provided == table partitioning)
   override def partitioning(): Array[Transform] = partTransforms
@@ -1034,9 +1052,27 @@ final class GraftCsvTable(
     partTransforms: Array[Transform],
     properties: java.util.Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-csv:${properties.get("path")}"
   override def schema(): StructType = schema
+  // `DELETE FROM <catalog table> WHERE ...` → merge-on-read vectors
+  private def tablePath: String =
+    Option(properties.get("path")).orElse(Option(properties.get("location"))).orNull
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    GraftDeleteSupport.canDelete(filters)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GraftDeleteSupport.deleteWhere(tablePath, schema, "graft-csv", filters)
+  // the V2-level hooks MUST be overridden: the SupportsDelete defaults
+  // convert V2 predicates to v1 filters with a conversion that can
+  // silently NARROW a partially-convertible condition (an under-delete);
+  // the V2 renderer is also strictly more expressive (arithmetic, CASE)
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    GraftDeleteSupport.canDeleteV2(predicates)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GraftDeleteSupport.deleteWhereV2(tablePath, schema, "graft-csv", predicates)
   override def partitioning(): Array[Transform] = partTransforms
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

@@ -274,6 +274,64 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snapIds(d) === (0L until 100L).filterNot(_ % 10 == 0))
   }
 
+  test("DELETE FROM a CATALOG graft table routes through SupportsDelete") {
+    val d = dir("catalog-del")
+    writeTable(d)
+    spark.sql("DROP TABLE IF EXISTS graft_del_t")
+    spark.sql(s"""CREATE TABLE graft_del_t (id BIGINT, v STRING)
+                 |USING `graft-json` LOCATION '$d'""".stripMargin)
+    try {
+      // the standard SQL form — no path dialect, no API
+      spark.sql("DELETE FROM graft_del_t WHERE id % 10 = 0 OR v = 'r7'")
+      assert(snapIds(d) ===
+        (0L until 100L).filterNot(i => i % 10 == 0 || i == 7))
+      // it landed as merge-on-read vectors, not a rewrite
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootP = new org.apache.hadoop.fs.Path(d)
+      val state = GraftCommitLog.liveStateAsOf(fs, rootP,
+        GraftCommitLog.versions(fs, rootP).max)
+      assert(state.values.exists(_ != null))
+      // string ops and IN render too
+      spark.sql("DELETE FROM graft_del_t WHERE v LIKE 'r1%' AND id IN (11, 12)")
+      assert(!snapIds(d).contains(11L) && !snapIds(d).contains(12L))
+      assert(snapIds(d).contains(13L))
+      // an unconditioned DELETE empties the table (truncate semantics)
+      spark.sql("DELETE FROM graft_del_t")
+      assert(snapIds(d).isEmpty)
+    } finally spark.sql("DROP TABLE graft_del_t")
+    // avro twin through the same hook
+    val da = dir("catalog-del-avro")
+    writeTable(da, format = "graft-avro")
+    spark.sql("DROP TABLE IF EXISTS graft_del_a")
+    spark.sql(s"""CREATE TABLE graft_del_a (id BIGINT, v STRING)
+                 |USING `graft-avro` LOCATION '$da'""".stripMargin)
+    try {
+      spark.sql("DELETE FROM graft_del_a WHERE id >= 90")
+      assert(snapIds(da, "graft-avro") === (0L until 90L))
+    } finally spark.sql("DROP TABLE graft_del_a")
+  }
+
+  test("catalog DELETE literal rendering round-trips quotes and backslashes") {
+    val d = dir("catalog-esc")
+    val s = spark
+    import s.implicits._
+    Seq((1L, """a\b"""), (2L, "o'clock"), (3L, "plain"))
+      .toDF("id", "v").repartition(1)
+      .write.format("graft-json").mode("overwrite").save(d)
+    spark.sql("DROP TABLE IF EXISTS graft_esc_t")
+    spark.sql(s"""CREATE TABLE graft_esc_t (id BIGINT, v STRING)
+                 |USING `graft-json` LOCATION '$d'""".stripMargin)
+    try {
+      // the condition's literals contain a backslash and a quote: the
+      // V2→SQL rendering must re-escape them for Spark's lexer or the
+      // delete would miss (or throw) — and startswith routes through the
+      // function form, not LIKE-ESCAPE
+      spark.sql("""DELETE FROM graft_esc_t WHERE v = 'a\\b' OR v LIKE 'o\'%'""")
+      assert(snapIds(d) === Seq(3L))
+    } finally spark.sql("DROP TABLE graft_esc_t")
+  }
+
   test("unrecognized SQL delegates verbatim; logless dirs refuse loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
     // a DELETE against a real catalog table still parses through Spark
