@@ -299,6 +299,10 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // an unconditioned DELETE empties the table (truncate semantics)
       spark.sql("DELETE FROM graft_del_t")
       assert(snapIds(d).isEmpty)
+      // TRUNCATE TABLE rides the same hook (TruncatableTable default)
+      writeTable(d)
+      spark.sql("TRUNCATE TABLE graft_del_t")
+      assert(snapIds(d).isEmpty)
     } finally spark.sql("DROP TABLE graft_del_t")
     // avro twin through the same hook
     val da = dir("catalog-del-avro")
