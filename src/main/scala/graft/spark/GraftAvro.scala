@@ -442,23 +442,13 @@ final class GraftAvroTable(
     tblSchema: StructType,
     properties: java.util.Map[String, String])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with GraftDeletableTable {
   override def name(): String = s"graft-avro:${properties.get("path")}"
   override def schema(): StructType = tblSchema
-  // `DELETE FROM <catalog table> WHERE ...` → merge-on-read vectors
-  private def tablePath: String =
-    Option(properties.get("path")).orElse(Option(properties.get("location"))).orNull
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    GraftDeleteSupport.canDelete(filters)
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    GraftDeleteSupport.deleteWhere(tablePath, tblSchema, "graft-avro", filters)
-  // see the json table: the V2 hooks must bypass the narrowing defaults
-  override def canDeleteWhere(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    GraftDeleteSupport.canDeleteV2(predicates)
-  override def deleteWhere(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    GraftDeleteSupport.deleteWhereV2(tablePath, tblSchema, "graft-avro", predicates)
+  // `DELETE FROM <catalog table>` / TRUNCATE → merge-on-read vectors
+  override protected def deleteFormat: String = "graft-avro"
+  override protected def deleteProperties: java.util.Map[String, String] = properties
+  override protected def declaredSchema: StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
@@ -548,36 +538,23 @@ final class GraftAvroScanBuilder(
   }
 
   /** Partial TopN: each partition drains through a bounded heap and ships
-    * its local best n rows (text parity; single-column atomic keys).
+    * its local best n rows (the text builder's shape — one shared order
+    * translator, same bounds and column-mapping gate).
     */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (countStar || aggSpec.isDefined || offset >= 0) return false
     if (n <= 0 || n > (1 << 16)) return false // bounded per-task memory
-    val spec = new Array[(String, Boolean, Boolean)](orders.length)
-    var k = 0
-    while (k < orders.length) {
-      val o = orders(k)
-      o.expression() match {
-        case ref: NamedReference if ref.fieldNames().length == 1 =>
-          val name = ref.fieldNames()(0)
-          val idx = fullSchema.fieldNames.indexOf(name)
-          if (idx < 0 || !GraftTopNReaderFactory.comparable(fullSchema(idx).dataType))
-            return false
-          spec(k) = (name,
-            o.direction() == SortDirection.ASCENDING,
-            o.nullOrdering() == NullOrdering.NULLS_FIRST)
-        case _ => return false
-      }
-      k += 1
+    GraftTopNReaderFactory.translateOrders(orders, fullSchema) match {
+      case Some(spec)
+          // renamed sort columns stay unpushed (the heaps compare against
+          // decoded physical rows; Spark's global sort still runs)
+          if !spec.exists(t => builderListing.physMap.contains(t._1)) =>
+        topN = spec
+        topNLimit = n
+        true
+      case _ => false
     }
-    // column mapping: the heaps compare against the decoded (physical)
-    // rows — a renamed sort column stays unpushed (text's rule)
-    if (spec.exists(t => builderListing.physMap.contains(t._1))) return false
-    topN = spec
-    topNLimit = n
-    true
   }
 
   override def isPartiallyPushed(): Boolean = true

@@ -20,6 +20,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * (A v1-filter lane rides along for SupportsDelete's abstract member
   * and direct v1 callers, with the same refuse-on-doubt rules.)
   */
+/** Mixin for the three catalog table classes: `DELETE FROM t [WHERE]` /
+  * `TRUNCATE TABLE t` via the DSv2 hook. The V2-level overrides are
+  * LOAD-BEARING — Spark's SupportsDelete defaults convert V2 predicates
+  * to v1 filters with a conversion that can silently NARROW a
+  * partially-convertible condition (an under-delete); the strict
+  * renderer also expresses general scalar conditions (arithmetic, CASE)
+  * that v1 filters cannot.
+  */
+trait GraftDeletableTable
+    extends org.apache.spark.sql.connector.catalog.SupportsDelete {
+  /** The graft format name routed to deleteWhereDV. */
+  protected def deleteFormat: String
+  /** The table's property map (path/location resolution). */
+  protected def deleteProperties: java.util.Map[String, String]
+  /** The declared catalog schema (k=v columns included; resolveCow
+    * dedups them against its own listing).
+    */
+  protected def declaredSchema: StructType
+
+  private def tablePath: String =
+    Option(deleteProperties.get("path"))
+      .orElse(Option(deleteProperties.get("location"))).orNull
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftDeleteSupport.canDelete(filters)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftDeleteSupport.deleteWhere(tablePath, declaredSchema, deleteFormat, filters)
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    GraftDeleteSupport.canDeleteV2(predicates)
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GraftDeleteSupport.deleteWhereV2(tablePath, declaredSchema, deleteFormat, predicates)
+}
+
 object GraftDeleteSupport {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -45,23 +80,32 @@ object GraftDeleteSupport {
     // (days/micros) that would re-parse as integers — render them as
     // typed literals/constructors; everything else refuses.
     override protected def visitLiteral(l: V2Literal[_]): String = l.dataType match {
-      case StringType =>
-        // Spark's default lexer processes C-style escapes inside string
-        // literals, so backslashes must double (the JDBC-targeted default
-        // only doubles quotes — 'a\b' would re-parse as a backspace)
-        "'" + String.valueOf(l.value).replace("\\", "\\\\")
-          .replace("'", "''") + "'"
-      case BooleanType | ByteType | ShortType | IntegerType |
-           LongType | _: DecimalType =>
+      case StringType => escapeString(String.valueOf(l.value))
+      case BooleanType | ByteType | ShortType | IntegerType | LongType =>
         super.visitLiteral(l)
-      case DoubleType | FloatType =>
-        // scientific or plain form both re-parse exactly (a plain form
+      case DoubleType =>
+        // plain or scientific form both re-parse exactly (a plain form
         // parses as decimal, whose double value is the same shortest-
         // round-trip result); NaN/Inf have no literal form
         val d = l.value.asInstanceOf[Number].doubleValue()
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
           throw new IllegalArgumentException(s"non-finite literal $l")
         super.visitLiteral(l)
+      case FloatType =>
+        // a bare float repr would re-parse as decimal and the comparison
+        // would promote float-vs-decimal to DOUBLE, where the widened
+        // float no longer equals the literal — the explicit cast keeps
+        // the comparison in float space
+        val f = l.value.asInstanceOf[Number].floatValue()
+        if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+          throw new IllegalArgumentException(s"non-finite literal $l")
+        s"CAST('$f' AS FLOAT)"
+      case dt: DecimalType =>
+        // a small-magnitude decimal stringifies scientifically and would
+        // re-parse as a lossy DOUBLE literal — cast pins the exact type
+        val bd = l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal
+        s"CAST('${bd.toPlainString}' AS DECIMAL(${dt.precision}, ${dt.scale}))"
       case DateType =>
         s"DATE '${java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'"
       case TimestampType =>
@@ -108,21 +152,22 @@ object GraftDeleteSupport {
     val rendered = predicates.map(p => renderV2(p).getOrElse(
       throw new UnsupportedOperationException(
         s"graft DELETE cannot express predicate $p exactly")))
+    // each conjunct wraps in parens: a top-level OR renders WITHOUT
+    // outer parentheses, and a bare " AND " join would misparse the
+    // precedence ((a OR b) AND c -> a OR (b AND c): an over-delete)
     deleteRendered(path, declared, format,
-      if (rendered.isEmpty) "true" else rendered.mkString(" AND "))
+      if (rendered.isEmpty) "true" else rendered.map(r => s"($r)").mkString(" AND "))
   }
 
   private def deleteRendered(path: String, declared: StructType,
       format: String, predicate: String): Unit = {
     require(path != null, s"graft DELETE needs the table's path/location")
-    val spark = SparkSession.active
-    val listing = GraftSources.resolvePartitioned(
-      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Map.of("path", path)))
-    val ddl = StructType(declared.fields.filterNot(f =>
-      listing.partCols.contains(f.name))).toDDL
-    graft.api.TrainingData.deleteWhereDV(spark, path, ddl, predicate,
-      format = format)
+    // the FULL declared schema goes through as the DDL: resolveCow
+    // dedups hive k=v columns against its own listing (its documented
+    // "name every column the scan serves" contract), so no second
+    // directory walk happens here
+    graft.api.TrainingData.deleteWhereDV(SparkSession.active, path,
+      declared.toDDL, predicate, format = format)
     ()
   }
 
@@ -141,7 +186,7 @@ object GraftDeleteSupport {
       throw new UnsupportedOperationException(
         s"graft DELETE cannot express filter $f exactly")))
     deleteRendered(path, declared, format,
-      if (rendered.isEmpty) "true" else rendered.mkString(" AND "))
+      if (rendered.isEmpty) "true" else rendered.map(r => s"($r)").mkString(" AND "))
   }
 
   // nested references refuse: a dotted name cannot be re-quoted without
@@ -157,8 +202,7 @@ object GraftDeleteSupport {
     */
   private def lit(v: Any): Option[String] = v match {
     case null => None
-    case s: String =>
-      Some("'" + s.replace("\\", "\\\\").replace("'", "''") + "'")
+    case s: String => Some(escapeString(s))
     case u: UTF8String => lit(u.toString)
     case b: java.lang.Boolean => Some(b.toString)
     case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
@@ -170,6 +214,22 @@ object GraftDeleteSupport {
     case d: java.math.BigDecimal =>
       Some(s"CAST('${d.toPlainString}' AS DECIMAL(${d.precision}, ${d.scale}))")
     case _ => None
+  }
+
+  /** Quote a string literal for the SESSION's lexer: the default one
+    * processes C-style escapes (backslashes must double — the
+    * JDBC-targeted default only doubles quotes, so 'a\b' would re-parse
+    * as a backspace), while the legacy
+    * spark.sql.parser.escapedStringLiterals=true lexer takes backslashes
+    * literally (doubling them would corrupt the value).
+    */
+  private def escapeString(s: String): String = {
+    val legacy =
+      try SparkSession.active.conf
+        .get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
+      catch { case _: Exception => false }
+    val b = if (legacy) s else s.replace("\\", "\\\\")
+    "'" + b.replace("'", "''") + "'"
   }
 
   private def bin(c: String, op: String, v: Any): Option[String] =

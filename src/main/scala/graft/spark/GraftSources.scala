@@ -921,26 +921,13 @@ final class GraftJsonTable(
     properties: java.util.Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with GraftDeletableTable {
   override def name(): String = s"graft-json:${properties.get("path")}"
   override def schema(): StructType = schema
-  // `DELETE FROM <catalog table> WHERE ...` → merge-on-read vectors
-  private def tablePath: String =
-    Option(properties.get("path")).orElse(Option(properties.get("location"))).orNull
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    GraftDeleteSupport.canDelete(filters)
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    GraftDeleteSupport.deleteWhere(tablePath, schema, "graft-json", filters)
-  // the V2-level hooks MUST be overridden: the SupportsDelete defaults
-  // convert V2 predicates to v1 filters with a conversion that can
-  // silently NARROW a partially-convertible condition (an under-delete);
-  // the V2 renderer is also strictly more expressive (arithmetic, CASE)
-  override def canDeleteWhere(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    GraftDeleteSupport.canDeleteV2(predicates)
-  override def deleteWhere(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    GraftDeleteSupport.deleteWhereV2(tablePath, schema, "graft-json", predicates)
+  // `DELETE FROM <catalog table>` / TRUNCATE → merge-on-read vectors
+  override protected def deleteFormat: String = "graft-json"
+  override protected def deleteProperties: java.util.Map[String, String] = properties
+  override protected def declaredSchema: StructType = schema
   // reporting the user's partitionBy transforms back is what admits a
   // partitioned write (Spark checks provided == table partitioning)
   override def partitioning(): Array[Transform] = partTransforms
@@ -1053,26 +1040,13 @@ final class GraftCsvTable(
     properties: java.util.Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with GraftDeletableTable {
   override def name(): String = s"graft-csv:${properties.get("path")}"
   override def schema(): StructType = schema
-  // `DELETE FROM <catalog table> WHERE ...` → merge-on-read vectors
-  private def tablePath: String =
-    Option(properties.get("path")).orElse(Option(properties.get("location"))).orNull
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    GraftDeleteSupport.canDelete(filters)
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    GraftDeleteSupport.deleteWhere(tablePath, schema, "graft-csv", filters)
-  // the V2-level hooks MUST be overridden: the SupportsDelete defaults
-  // convert V2 predicates to v1 filters with a conversion that can
-  // silently NARROW a partially-convertible condition (an under-delete);
-  // the V2 renderer is also strictly more expressive (arithmetic, CASE)
-  override def canDeleteWhere(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    GraftDeleteSupport.canDeleteV2(predicates)
-  override def deleteWhere(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    GraftDeleteSupport.deleteWhereV2(tablePath, schema, "graft-csv", predicates)
+  // `DELETE FROM <catalog table>` / TRUNCATE → merge-on-read vectors
+  override protected def deleteFormat: String = "graft-csv"
+  override protected def deleteProperties: java.util.Map[String, String] = properties
+  override protected def declaredSchema: StructType = schema
   override def partitioning(): Array[Transform] = partTransforms
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -1199,35 +1173,21 @@ final class GraftScanBuilder(
     */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (countStar || aggSpec.isDefined || offset >= 0) return false
     if (n <= 0 || n > (1 << 16)) return false // bounded per-task memory
     // deletion vectors are fine: the TopN heaps drain the row readers,
     // which emit post-mask rows
-    val spec = new Array[(String, Boolean, Boolean)](orders.length)
-    var k = 0
-    while (k < orders.length) {
-      val o = orders(k)
-      o.expression() match {
-        case ref: NamedReference if ref.fieldNames().length == 1 =>
-          val name = ref.fieldNames()(0)
-          val idx = fullSchema.fieldNames.indexOf(name)
-          if (idx < 0 || !GraftTopNReaderFactory.comparable(fullSchema(idx).dataType))
-            return false
-          spec(k) = (name,
-            o.direction() == SortDirection.ASCENDING,
-            o.nullOrdering() == NullOrdering.NULLS_FIRST)
-        case _ => return false
-      }
-      k += 1
+    GraftTopNReaderFactory.translateOrders(orders, fullSchema) match {
+      case Some(spec)
+          // column mapping: the TopN heaps compare against the PHYSICAL
+          // parse schema — a renamed sort column stays unpushed (Spark's
+          // own global sort still runs; correct, just not accelerated)
+          if !spec.exists(t => builderListing.physMap.contains(t._1)) =>
+        topN = spec
+        topNLimit = n
+        true
+      case _ => false
     }
-    // column mapping: the TopN heaps compare against the PHYSICAL parse
-    // schema — a renamed sort column stays unpushed (Spark's own global
-    // sort still runs; correct, just not accelerated)
-    if (spec.exists(t => builderListing.physMap.contains(t._1))) return false
-    topN = spec
-    topNLimit = n
-    true
   }
 
   override def isPartiallyPushed(): Boolean = true
@@ -2141,6 +2101,34 @@ object GraftTopNReaderFactory {
          BooleanType | StringType | TimestampType | TimestampNTZType | DateType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** Translate pushed V2 sort orders into (col, asc, nullsFirst) specs —
+    * ONE translator for every builder offering TopN (json/csv and avro):
+    * single-column atomic references over comparable types only; None
+    * refuses the whole pushdown.
+    */
+  def translateOrders(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      fullSchema: StructType): Option[Array[(String, Boolean, Boolean)]] = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    val spec = new Array[(String, Boolean, Boolean)](orders.length)
+    var k = 0
+    while (k < orders.length) {
+      val o = orders(k)
+      o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          val name = ref.fieldNames()(0)
+          val idx = fullSchema.fieldNames.indexOf(name)
+          if (idx < 0 || !comparable(fullSchema(idx).dataType)) return None
+          spec(k) = (name,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST)
+        case _ => return None
+      }
+      k += 1
+    }
+    Some(spec)
   }
 
   /** Bounded-heap readers created in this JVM — test/debug observability. */

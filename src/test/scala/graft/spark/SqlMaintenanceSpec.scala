@@ -336,6 +336,33 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE graft_esc_t")
   }
 
+  test("catalog DELETE precedence and typed literals render exactly") {
+    val d = dir("catalog-prec")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "x", 1.1f), (1L, "y", 2.5f), (2L, "x", 1.1f), (3L, "x", 1.1f))
+      .toDF("id", "v", "f").repartition(1)
+      .write.format("graft-json").mode("overwrite").save(d)
+    spark.sql("DROP TABLE IF EXISTS graft_prec_t")
+    spark.sql(s"""CREATE TABLE graft_prec_t (id BIGINT, v STRING, f FLOAT)
+                 |USING `graft-json` LOCATION '$d'""".stripMargin)
+    def rows() = spark.read.format("graft-json")
+      .schema("id BIGINT, v STRING, f FLOAT").option("snapshot", "true")
+      .load(d).collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    try {
+      // an OR conjunct next to an AND conjunct: the rendered conjuncts
+      // must parenthesize or precedence misparses as
+      // id=1 OR (id=2 AND v='x') and over-deletes (1,'y')
+      spark.sql("DELETE FROM graft_prec_t WHERE (id = 1 OR id = 2) AND v = 'x'")
+      assert(rows() === Seq((1L, "y"), (3L, "x")))
+      // a FLOAT literal must compare in float space: a bare '1.1' would
+      // re-parse as decimal, promote the comparison to double, and the
+      // widened float (1.100000023...) would never match — an under-delete
+      spark.sql("DELETE FROM graft_prec_t WHERE f = CAST('1.1' AS FLOAT)")
+      assert(rows() === Seq((1L, "y")))
+    } finally spark.sql("DROP TABLE graft_prec_t")
+  }
+
   test("unrecognized SQL delegates verbatim; logless dirs refuse loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) === 2)
     // a DELETE against a real catalog table still parses through Spark
