@@ -2918,5 +2918,50 @@ object Sources {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
+  // ---------------------------------------------------------------- q221
+  // DELETE FROM a CATALOG graft table — the STANDARD SQL form, planned
+  // through Spark's DSv2 SupportsDelete hook (no path dialect, no API)
+  // and landing as a merge-on-read deletion-vector commit. The condition
+  // deliberately mixes a general scalar expression (modulo), an OR next
+  // to an AND (precedence must survive the render→re-parse round trip),
+  // and a string function — the exact shapes where Spark's own V2→V1
+  // fallback was observed silently narrowing conditions; the strict V2
+  // renderer handles them or refuses loudly.
+  private val q221 = GQuery(
+    "q221_sql_catalog_delete",
+    "DELETE FROM catalog table (DSv2 SupportsDelete → deletion vectors)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/cat_del"
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal",
+          $"c_mktsegment")
+        .filter($"c_custkey" < 900)
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)
+      s.sql("DROP TABLE IF EXISTS graft_cat_del")
+      s.sql(s"""CREATE TABLE graft_cat_del
+               |  (c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING)
+               |USING `graft-json` LOCATION '$dir'""".stripMargin)
+      s.sql("""DELETE FROM graft_cat_del
+              |WHERE (c_custkey % 7 = 0 OR c_acctbal < 0)
+              |  AND startswith(c_mktsegment, 'BUILD')""".stripMargin)
+      val out = s.read.format("graft-json")
+        .schema("c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING")
+        .option("snapshot", "true").load(dir)
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"),
+          $"c_mktsegment")
+        .orderBy($"c_custkey")
+      out.collect() // materialize before dropping the catalog entry
+      s.sql("DROP TABLE graft_cat_del")
+      out
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance, c_mktsegment
+            FROM customer
+            WHERE c_custkey < 900
+              AND NOT ((c_custkey % 7 = 0 OR c_acctbal < 0)
+                       AND c_mktsegment LIKE 'BUILD%')
+            ORDER BY c_custkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221)
 }
