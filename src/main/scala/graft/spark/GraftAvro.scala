@@ -452,7 +452,7 @@ final class GraftAvroTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftAvroScanBuilder(tblSchema, GraftSources.mergeTableProps(properties, options))
@@ -1192,7 +1192,62 @@ final class GraftAvroWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId,
         blockBytes, removes, removesBase, dvs, dvBase)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // commit riders are batch COW/merge concepts; a stream never
+      // carries them — refuse loudly rather than silently dropping
+      require(removes.isEmpty && dvs.isEmpty,
+        "commitremoves/commitdvs are batch rewrite riders — " +
+          "meaningless on a streaming write")
+      new GraftAvroStreamingWrite(path, schema, conf, codec, blockBytes)
+    }
   }
+}
+
+/** Avro streaming sink (text-sink parity): one container file per
+  * (epoch, partition) with a DETERMINISTIC name, so replayed epochs
+  * overwrite their own output (the delete-then-publish in the data
+  * writer's commit makes the replay idempotent). Streaming epochs stay
+  * OUT of the commit log, exactly like the text sinks — followLog
+  * tails batch commits only; raw/whole-file streams discover epoch
+  * files by listing.
+  */
+final class GraftAvroStreamingWrite(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    dir.getFileSystem(conf.value).mkdirs(dir)
+    // column mapping: a stream appending to a renamed table must write
+    // PHYSICAL keys or readers would see nulls — resolved STRICTLY at
+    // stream start (the text sinks' rule)
+    new GraftAvroStreamingWriterFactory(path,
+      GraftSink.streamingPhysicalSchema(conf.value, path, schema), conf,
+      codec, blockBytes)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftAvroStreamingWriterFactory(
+    path: String,
+    schema: StructType,
+    conf: SerializableConfiguration,
+    codec: String,
+    blockBytes: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftAvroDataWriter(path, schema, conf.value, codec,
+      f"part-$epochId%05d", partitionId, taskId, blockBytes,
+      includeTaskId = false)
 }
 
 final class GraftAvroBatchWrite(
@@ -1278,7 +1333,11 @@ final class GraftAvroDataWriter(
     namePrefix: String,
     partitionId: Int,
     taskId: Long,
-    blockBytes: Long = GraftSink.DefaultBlockBytes)
+    blockBytes: Long = GraftSink.DefaultBlockBytes,
+    // streaming epochs need DETERMINISTIC final names (epoch+partition)
+    // so a replayed epoch overwrites its own files instead of duplicating
+    // rows; batch names stay task-unique under the query-scoped prefix
+    includeTaskId: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val avroSchema = GraftAvro.toAvroSchema(schema)
@@ -1303,8 +1362,10 @@ final class GraftAvroDataWriter(
   private val stats = new FileStatsCollector(schema, blockBytes = blockBytes)
   // task-attempt-unique temp name, atomically renamed at commit — retried
   // tasks can never leave a half-written visible file
-  private val finalPath = new Path(dir, f"$namePrefix-$partitionId%05d-$taskId.avro")
-  private val tmpPath = new Path(dir, s".${finalPath.getName}.inprogress")
+  private val finalPath = new Path(dir,
+    if (includeTaskId) f"$namePrefix-$partitionId%05d-$taskId.avro"
+    else f"$namePrefix-$partitionId%05d.avro")
+  private val tmpPath = new Path(dir, f".$namePrefix-$partitionId%05d-$taskId.avro.inprogress")
   private val fs = finalPath.getFileSystem(conf)
   private val out = fs.create(tmpPath, true)
   private val writer = {

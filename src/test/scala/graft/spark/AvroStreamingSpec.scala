@@ -182,6 +182,34 @@ class AvroStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === gj)
   }
 
+  test("streaming WRITE to graft-avro: epoch-deterministic files, exact round trip") {
+    val src = dir("wsink-src")
+    writeRows(src, 0L, 60L, "overwrite")
+    val out = dir("wsink-out")
+    val q = spark.readStream.format("graft-avro").schema(schema)
+      .option("maxfilespertrigger", "1").load(src)
+      .writeStream.format("graft-avro")
+      .option("path", out)
+      .option("checkpointLocation", dir("wsink-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.format("graft-avro").schema(schema).load(out)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L until 60L))
+    // deterministic epoch names (no task id): a replayed epoch overwrites
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    assert(names.forall(_.matches("part-\\d{5}-\\d{5}\\.avro")),
+      names.mkString(", "))
+    // per-file stats sidecars ride along (epoch files prune like batch)
+    assert(names.forall(n => fs.exists(
+      new org.apache.hadoop.fs.Path(out, s".$n.stats"))))
+  }
+
   test("a dv-carrying table refuses streaming loudly (both discovery modes)") {
     val d = dir("dvref")
     writeRows(d, 0L, 30L, "overwrite")
