@@ -152,6 +152,34 @@ class AvroStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("avro agg battery folds over byte-range splits (no metadata shortcut)") {
+    val d = dir("aggsplit")
+    val s = spark
+    import s.implicits._
+    (0L until 60000L).map(i => (i, s"pri-${i % 5}")).toDF("id", "p")
+      .repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(d)
+    // dataskipping=false voids the sidecar shortcut AND the whole-file
+    // metaAgg pin, so the battery parse-folds over sync-realigned ranges
+    // — partial rows per range must merge to the exact answer
+    val got = spark.read.format("graft-avro").schema("id BIGINT, p STRING")
+      .option("dataskipping", "false").option("maxsplitbytes", "131072")
+      .load(d)
+      .groupBy("p")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("id").as("lo"),
+        org.apache.spark.sql.functions.max("id").as("hi"),
+        org.apache.spark.sql.functions.sum("id").as("sm"))
+      .orderBy("p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = (0L until 5L).map { k =>
+      val ids = (0L until 60000L).filter(_ % 5 == k)
+      (s"pri-$k", ids.size.toLong, ids.min, ids.max, ids.sum)
+    }
+    assert(got === want)
+  }
+
   test("avro LIMIT / TopN / OFFSET push down (text-lane parity)") {
     import org.apache.spark.sql.functions.col
     def flatten(p: org.apache.spark.sql.execution.SparkPlan)
