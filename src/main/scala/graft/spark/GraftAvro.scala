@@ -1199,6 +1199,13 @@ final class GraftAvroWriteBuilder(
       require(removes.isEmpty && dvs.isEmpty,
         "commitremoves/commitdvs are batch rewrite riders — " +
           "meaningless on a streaming write")
+      // complete output mode truncates the builder; the epoch files
+      // APPEND, so honoring it silently would stack every epoch's full
+      // result — refuse (aggregate streams upsert via foreachBatch)
+      require(!doTruncate,
+        "graft-avro streaming appends epoch files; Complete output mode " +
+          "(per-epoch truncation) is not supported — use update/append, " +
+          "or foreachBatch + TrainingData.upsert for full-result refresh")
       new GraftAvroStreamingWrite(path, schema, conf, codec, blockBytes)
     }
   }
@@ -1220,17 +1227,20 @@ final class GraftAvroStreamingWrite(
     blockBytes: Long)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+  // column mapping: a stream appending to a renamed table must write
+  // PHYSICAL keys or readers would see nulls — resolved ONCE at stream
+  // start (this class is constructed per query; the factory method below
+  // runs PER EPOCH, where a log read would be wasted I/O and a mid-stream
+  // ALTER RENAME could silently flip later epochs' keys)
+  private val physSchema: StructType = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    // column mapping: a stream appending to a renamed table must write
-    // PHYSICAL keys or readers would see nulls — resolved STRICTLY at
-    // stream start (the text sinks' rule)
-    new GraftAvroStreamingWriterFactory(path,
-      GraftSink.streamingPhysicalSchema(conf.value, path, schema), conf,
-      codec, blockBytes)
+    GraftSink.streamingPhysicalSchema(conf.value, path, schema)
   }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftAvroStreamingWriterFactory(path, physSchema, conf, codec, blockBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -1415,6 +1425,14 @@ final class GraftAvroDataWriter(
     writer.close()
     if (rows == 0L) {
       fs.delete(tmpPath, false)
+      // deterministic (streaming-epoch) names: a replayed epoch that now
+      // routes ZERO rows to this partition must remove the prior
+      // attempt's file — leaving it would resurrect its rows. Sidecar
+      // drops first (no-stats beats stale-stats on a crash between).
+      if (!includeTaskId) {
+        fs.delete(FileStats.sidecarFor(finalPath), false)
+        fs.delete(finalPath, false)
+      }
       new WriterCommitMessage {}
     } else {
       // a prior file's sidecar must not outlive its data: drop it BEFORE

@@ -457,6 +457,12 @@ final class GraftWriteBuilder(
       require(dvs.isEmpty,
         "option(\"commitdvs\", ...) is batch-only: streaming epoch commits " +
           "do not write the commit log, so the masks would be silently lost")
+      // complete output mode truncates the builder; epoch files APPEND,
+      // so honoring it silently would stack every epoch's full result
+      require(!doTruncate,
+        "graft streaming sinks append epoch files; Complete output mode " +
+          "(per-epoch truncation) is not supported — use update/append, " +
+          "or foreachBatch + TrainingData.upsert for full-result refresh")
       new GraftStreamingWrite(path, schema, conf, codec, partCols, check, blockBytes)
     }
   }
@@ -480,17 +486,21 @@ final class GraftStreamingWrite(
     blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+  // column mapping: a stream appending to a renamed table must write
+  // PHYSICAL keys or readers would see nulls — resolved ONCE at stream
+  // start (this class is constructed per query; the factory method runs
+  // PER EPOCH, where the log read would be wasted I/O and a mid-stream
+  // ALTER RENAME could silently flip later epochs' keys)
+  private val physSchema: StructType = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    // column mapping: a stream appending to a renamed table must write
-    // PHYSICAL keys or readers would see nulls — resolved STRICTLY at
-    // stream start (streaming epochs never touch the log otherwise)
-    new GraftStreamingWriterFactory(path,
-      GraftSink.streamingPhysicalSchema(conf.value, path, schema), conf,
-      codec, partCols, check, blockBytes)
+    GraftSink.streamingPhysicalSchema(conf.value, path, schema)
   }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(path, physSchema, conf,
+      codec, partCols, check, blockBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -1993,6 +2003,11 @@ final class GraftCsvWriteBuilder(
       require(dvs.isEmpty,
         "option(\"commitdvs\", ...) is batch-only: streaming epoch commits " +
           "do not write the commit log, so the masks would be silently lost")
+      // complete output mode truncates the builder; epoch files APPEND
+      require(!doTruncate,
+        "graft streaming sinks append epoch files; Complete output mode " +
+          "(per-epoch truncation) is not supported — use update/append, " +
+          "or foreachBatch + TrainingData.upsert for full-result refresh")
       new GraftCsvStreamingWrite(path, schema, conf, codec, header, delim, linesep,
         partCols, check, blockBytes)
     }
@@ -2011,15 +2026,17 @@ final class GraftCsvStreamingWrite(
     check: GraftSink.CheckSpec = null,
     blockBytes: Long = GraftSink.DefaultBlockBytes)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+  // resolved ONCE at stream start — see GraftStreamingWrite's twin note
+  private val physSchema: StructType = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new GraftCsvStreamingWriterFactory(path,
-      GraftSink.streamingPhysicalSchema(conf.value, path, schema), conf,
+    GraftSink.streamingPhysicalSchema(conf.value, path, schema)
+  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftCsvStreamingWriterFactory(path, physSchema, conf,
       codec, header, delim, linesep,
       partCols, check, blockBytes)
-  }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
