@@ -69,6 +69,25 @@ class SqlDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.sql("DROP TABLE graft_ddl_ins")
   }
 
+  test("INSERT OVERWRITE a graft catalog table truncates then writes") {
+    val s = spark
+    val dir = "/tmp/graft_ddl_spec/ovr"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    s.sql("DROP TABLE IF EXISTS graft_ddl_ovr")
+    s.sql(
+      s"""CREATE TABLE graft_ddl_ovr (id BIGINT, name STRING)
+         |USING `graft-json` LOCATION '$dir'""".stripMargin)
+    s.sql("INSERT INTO graft_ddl_ovr VALUES (1, 'x'), (2, 'y')")
+    // full-table overwrite routes through SupportsTruncate: the prior
+    // rows (and their commit history) are replaced, not appended to
+    s.sql("INSERT OVERWRITE graft_ddl_ovr VALUES (7, 'q'), (8, 'r')")
+    val rows = s.sql("SELECT id, name FROM graft_ddl_ovr ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((7L, "q"), (8L, "r")))
+    s.sql("DROP TABLE graft_ddl_ovr")
+  }
+
   test("CTAS: CREATE TABLE USING graft-json AS SELECT") {
     val s = spark
     val dir = "/tmp/graft_ddl_spec/ctas"
