@@ -470,7 +470,7 @@ object TrainingData {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr(s"round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / $numHashes.0, 4)")
+        expr(s"round(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) / CAST($numHashes AS DOUBLE), 4)")
           .as("jaccard_est"))
       .distinct()
       .filter(col("jaccard_est") >= minJaccardEst)

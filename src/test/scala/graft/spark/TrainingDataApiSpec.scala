@@ -109,6 +109,36 @@ class TrainingDataApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1L, 2L)), s"expected only the planted near-dup pair, got ${got.toSeq}")
   }
 
+  test("similarity scores are DOUBLE, not DECIMAL — every hash mode") {
+    // A decimal literal inside expr(...) silently turns int/decimal
+    // division into DECIMAL(p,s): values render with trailing zeros
+    // ('1.0000' vs '1.0') and an exact cross-engine compare fails even
+    // though the numbers are equal. Pin the result dtypes of every
+    // score-bearing public API.
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words nothing shared with any other entry here at all")
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val sch = TrainingData.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, portableHash = portable).schema
+      assert(sch("jaccard_est").dataType == DoubleType,
+        s"portableHash=$portable jaccard_est must be DOUBLE, got ${sch("jaccard_est").dataType}")
+    }
+    // sibling score APIs: cosine similarity is double, n-gram jaccard is
+    // deliberately integer basis points (engine-exact by design)
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "e")
+    val qs = Seq((10L, Seq(1.0f, 0.0f))).toDF("qid", "qe")
+    val ct = TrainingData.cosineTopK(vecs, qs, k = 1).schema
+    assert(ct("cos").dataType == DoubleType, s"cos must be DOUBLE, got ${ct("cos").dataType}")
+    val nj = TrainingData.ngramJaccardPairs(docs, "doc_id", "text", n = 3).schema
+    assert(nj("jaccard_bp").dataType == LongType,
+      s"jaccard_bp stays integral basis points, got ${nj("jaccard_bp").dataType}")
+  }
+
   test("signLshBucket is map-only and separates opposite-sign vectors") {
     val s = spark; import s.implicits._
     val vecs = Seq(

@@ -64,6 +64,23 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+def type_class(t):
+    """Collapse a DuckDB type name to the class the driver's exact hash
+    renders distinctly: decimal values render with trailing zeros
+    ('1.0000'), floats don't ('1.0'), ints have no point at all."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    return None  # other classes: pandas value compare is authoritative
+
+def result_types(con, query):
+    return {r[0]: r[1] for r in con.sql(f"DESCRIBE {query}").fetchall()}
+
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
@@ -75,8 +92,25 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{files[0]}'").df()
         exp = con.sql(sql).df()
+        got_t = result_types(con, f"SELECT * FROM '{files[0]}'")
+        exp_t = result_types(con, f"({sql})")
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1; continue
+    # the driver hashes RENDERED values, so a numeric-class divergence
+    # (decimal '1.0000' vs double '1.0', int '1' vs double '1.0') fails
+    # there even when the values compare equal here — flag it pre-values
+    tmis = [(c, got_t[c], exp_t[c]) for c in sorted(set(got_t) & set(exp_t))
+            if type_class(got_t[c]) is not None
+            and type_class(exp_t[c]) is not None
+            and type_class(got_t[c]) != type_class(exp_t[c])
+            # HUGEINT-vs-BIGINT style width drift inside one class is fine;
+            # int-vs-int only differs in width
+            ]
+    if tmis:
+        for c, gt, et in tmis:
+            print(f"FAIL {name}: col {c} dtype class {gt} vs oracle {et} "
+                  f"(driver hashes rendered values — would mismatch)")
+        fail += 1; continue
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
     if list(got.columns) != list(exp.columns):
