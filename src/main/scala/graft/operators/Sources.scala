@@ -2963,5 +2963,69 @@ object Sources {
                        AND c_mktsegment LIKE 'BUILD%')
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221)
+  // ---------------------------------------------------------------- q222
+  // Maintenance verbs by CATALOG NAME (round 12): the q219 lifecycle,
+  // addressed through the session catalog instead of the path dialect —
+  // the parser resolves a graft-provider table name to its LOCATION and
+  // recorded schema (the Delta dual dialect), so a SQL-first user who
+  // registered the table once via DDL never handles a path again. DELETE
+  // stays on Spark's own DSv2 SupportsDelete plan (never shadowed by the
+  // parser); UPDATE/MERGE/RESTORE/OPTIMIZE/VACUUM/HISTORY resolve by
+  // name; the TBLPROPERTIES snapshot dial makes plain by-name SELECTs
+  // read the latest committed snapshot (masks applied). The oracle
+  // recomputes the surviving state relationally.
+  private val q222 = GQuery(
+    "q222_sql_catalog_maintenance",
+    "maintenance verbs by catalog NAME (location+schema resolve from the session catalog)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/sql_maint_nm"
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        .filter($"c_custkey" < 700)
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)      // v0
+      s.sql("DROP TABLE IF EXISTS graft_maint_nm")
+      s.sql(s"""CREATE TABLE graft_maint_nm (c_custkey BIGINT, c_acctbal DOUBLE)
+               |USING `graft-json` LOCATION '$dir'
+               |TBLPROPERTIES ('snapshot'='true')""".stripMargin)
+      s.sql("DELETE FROM graft_maint_nm WHERE c_custkey % 4 = 0")    // v1 (SupportsDelete)
+      s.sql("UPDATE graft_maint_nm SET c_acctbal = c_acctbal * 2 " +
+        "WHERE c_custkey < 50")                                      // v2 (parser, by name)
+      val hist = s.sql("DESCRIBE HISTORY graft_maint_nm").collect()
+      require(hist.map(_.getString(2)).toSeq ==
+        Seq("append+delete-vector", "delete-vector", "append"),
+        s"history ops: ${hist.map(_.getString(2)).mkString(", ")}")
+      val rv = s.sql("RESTORE TABLE graft_maint_nm TO VERSION AS OF 1")
+        .collect().head.getLong(0)                                   // v3
+      require(rv == 3L, s"restore committed $rv, expected 3")
+      s.sql("UPDATE graft_maint_nm SET c_acctbal = c_acctbal + 100 " +
+        "WHERE c_custkey < 50")                                      // v4
+      val merged = s.sql("MERGE INTO graft_maint_nm USING " +
+        "(SELECT CAST(9999 AS BIGINT) AS c_custkey, " +
+        "CAST(1.5 AS DOUBLE) AS c_acctbal) ON (c_custkey)")          // v5
+        .collect().head.getLong(0)
+      require(merged == 1L, s"merged $merged rows, expected 1")
+      require(s.sql("OPTIMIZE graft_maint_nm").collect().head.getLong(0) > 0L,
+        "OPTIMIZE by name must compact the masked files")            // v6
+      require(s.sql("VACUUM graft_maint_nm DRY RUN").collect().isEmpty,
+        "VACUUM by name must find no orphans")
+      val out = s.sql(
+        """SELECT c_custkey, round(c_acctbal, 2) AS balance
+          |FROM graft_maint_nm
+          |ORDER BY c_custkey""".stripMargin)
+      out.collect() // materialize before dropping the catalog entry
+      s.sql("DROP TABLE graft_maint_nm")
+      out
+    },
+    Some("""SELECT c_custkey,
+                   round(c_acctbal + CASE WHEN c_custkey < 50 THEN 100 ELSE 0 END, 2)
+                     AS balance
+            FROM customer
+            WHERE c_custkey < 700 AND c_custkey % 4 <> 0
+            UNION ALL
+            SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
+            ORDER BY c_custkey"""))
+
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }

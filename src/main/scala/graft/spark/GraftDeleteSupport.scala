@@ -176,8 +176,9 @@ object GraftDeleteSupport {
 
   /** The v1-filter delete (SupportsDelete's abstract member — direct v1
     * callers only; SQL DELETE arrives through the V2 overrides): the
-    * declared catalog schema minus the layout's k=v columns is the data
-    * DDL; zero filters = an unconditioned `DELETE FROM t` (and the
+    * FULL declared catalog schema goes through deleteRendered, which
+    * dedups the layout's k=v columns downstream in resolveCow; zero
+    * filters = an unconditioned `DELETE FROM t` (and the
     * TruncatableTable default), which deletes every row.
     */
   def deleteWhere(path: String, declared: StructType, format: String,

@@ -294,6 +294,20 @@ object GraftSources {
       if (pi >= 0) Some((i, pi, f.dataType)) else None
     }
 
+  /** The raw multi-path option split into root paths — the ONE
+    * implementation behind both the batch directory walk
+    * (resolvePartitioned) and streaming root resolution
+    * (qualifiedRoots), so the two can never diverge. Paths are
+    * comma-separated (Spark's own multi-path reader convention — a root
+    * containing a literal comma is unsupported, as in Spark); JSON-array
+    * remnants from `DataFrameReader.load(paths*)` are unwrapped.
+    */
+  private def splitRootPaths(raw: String): Seq[Path] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
+      new Path(p.stripPrefix("[\"").stripSuffix("\"]")
+        .stripPrefix("\"").stripSuffix("\""))
+    }
+
   /** The read options' root paths, fs-qualified (the resolvePartitioned
     * parse, without the directory walk) — streaming lanes use them to
     * derive each admitted file's root-relative path.
@@ -302,11 +316,8 @@ object GraftSources {
     val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
       .orElse(Option(options.get("location"))).getOrElse(return Nil)
     val conf = activeHadoopConf()
-    raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { p =>
-      val path = new Path(p.stripPrefix("[\"").stripSuffix("\"]")
-        .stripPrefix("\"").stripSuffix("\""))
-      path.getFileSystem(conf).makeQualified(path).toString
-    }
+    splitRootPaths(raw).map(path =>
+      path.getFileSystem(conf).makeQualified(path).toString)
   }
 
   /** Hive k=v partition values for ONE streamed file, aligned to
@@ -397,9 +408,9 @@ object GraftSources {
         }
       }
 
-    val roots = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    roots.foreach { p =>
-      val path = new Path(p.stripPrefix("[\"").stripSuffix("\"]").stripPrefix("\"").stripSuffix("\""))
+    val rootPaths = splitRootPaths(raw)
+    val roots = rootPaths.map(_.toString)
+    rootPaths.foreach { path =>
       val fs = path.getFileSystem(conf)
       val status = fs.getFileStatus(path)
       if (status.isDirectory) walk(fs, path, mutable.LinkedHashMap.empty)

@@ -13,29 +13,45 @@ import org.apache.spark.sql.types._
   * any DataFrame API:
   *
   * {{{
-  *   DESCRIBE HISTORY '<path>'
-  *   RESTORE TABLE '<path>' TO VERSION AS OF <n>
-  *   RESTORE TABLE '<path>' TO TIMESTAMP AS OF <epochMillis>
-  *   OPTIMIZE '<path>' [WHERE <partition predicate>] [ZORDER BY (c, ...)]
-  *   VACUUM '<path>' [DRY RUN]
+  *   DESCRIBE HISTORY <table>
+  *   RESTORE TABLE <table> TO VERSION AS OF <n>
+  *   RESTORE TABLE <table> TO TIMESTAMP AS OF <epochMillis>
+  *   OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (c, ...)]
+  *   VACUUM <table> [DRY RUN]
   *   DELETE FROM '<path>' WHERE <predicate>
-  *   UPDATE '<path>' SET c = <expr> [, ...] WHERE <predicate>
-  *   MERGE INTO '<path>' USING (<query>) ON (k [, ...])
-  *   ALTER TABLE '<path>' ADD COLUMN c <TYPE>
-  *   ALTER TABLE '<path>' RENAME COLUMN a TO b
-  *   ALTER TABLE '<path>' DROP COLUMN c
-  *   REORG TABLE '<path>' APPLY (PURGE)
+  *   UPDATE <table> SET c = <expr> [, ...] WHERE <predicate>
+  *   MERGE INTO <table> USING (<query>) ON (k [, ...])
+  *   ALTER TABLE <table> ADD COLUMN c <TYPE>
+  *   ALTER TABLE <table> RENAME COLUMN a TO b
+  *   ALTER TABLE <table> DROP COLUMN c
+  *   REORG TABLE <table> APPLY (PURGE)
   * }}}
   *
-  * Tables are addressed by PATH (single-quoted, `''` escapes a quote):
-  * the table's schema resolves from its commit log's recorded schema and
-  * its data format from the live files — exactly the tables maintenance
-  * applies to (only graft batch sinks write the log). Everything routes
+  * where `<table>` is `'<path>'` or a session-catalog table name.
+  *
+  * Tables are addressed by PATH (single-quoted, `''` escapes a quote) or
+  * — everywhere but DELETE — by session-catalog NAME (`t`, `db.t`,
+  * optionally `spark_catalog`-qualified, parts bare or backticked), the
+  * Delta dual dialect. A name resolves through the session catalog to a
+  * graft-provider table's LOCATION; the table's schema then resolves
+  * from its commit log's recorded schema and its data format from the
+  * live files (or, for an emptied table, from the log's write history) —
+  * exactly the tables maintenance applies to (only graft batch sinks
+  * write the log). Name-addressed statements with a graft-only verb
+  * (DESCRIBE HISTORY, RESTORE, OPTIMIZE, VACUUM, REORG) fail loudly when
+  * the name is not a graft catalog table; verbs Spark itself parses
+  * (UPDATE, MERGE, ALTER) delegate instead, so non-graft tables keep
+  * Spark's own behavior. `DELETE FROM name` is deliberately NOT
+  * intercepted: it already plans through Spark's DSv2 `SupportsDelete`
+  * hook (GraftDeleteSupport) — shadowing a native path with a parser
+  * rewrite would hide that surface. Everything routes
   * to the [[graft.api.TrainingData]] machinery, so SQL and Scala callers
   * share one implementation: DELETE/UPDATE are merge-on-read (deletion
   * vectors; `materializeDeletes`/`OPTIMIZE` restores the fast paths),
   * OPTIMIZE is the bin-packing/cluster pass, VACUUM removes unreferenced
-  * orphans, RESTORE is one metadata-only commit.
+  * orphans, RESTORE is one metadata-only commit. Name-addressed ALTERs
+  * additionally sync the session catalog's recorded schema, so by-name
+  * SELECTs keep seeing the evolved table.
   *
   * Installed through [[graft.functions.GraftSparkExtensions]]
   * (`injectParser`); unrecognized statements delegate verbatim, so the
@@ -45,71 +61,167 @@ import org.apache.spark.sql.types._
   */
 object GraftMaintenanceSql {
 
-  /** Try `sqlText` as a graft maintenance statement; None = not ours,
-    * hand it to the delegate parser.
+  /** A maintenance target: the resolved storage root, plus the catalog
+    * identifier when the statement addressed it by name (ALTERs use it
+    * to keep the catalog's recorded schema in sync).
     */
-  def parse(sqlText: String): Option[LogicalPlan] = {
+  private[spark] case class Target(dir: String, ident: Option[TableIdentifier])
+
+  /** Try `sqlText` as a graft maintenance statement; None = not ours,
+    * hand it to the delegate parser. Path-only overload (tests, tools).
+    */
+  def parse(sqlText: String): Option[LogicalPlan] = parse(sqlText, _ => None)
+
+  /** `resolveCatalog` maps a name-form table operand (identifier parts)
+    * to (storage dir, catalog identifier); None = not a graft catalog
+    * table, so the statement is either refused (graft-only verbs) or
+    * delegated (verbs Spark itself can parse).
+    */
+  def parse(sqlText: String,
+      resolveCatalog: Seq[String] => Option[(String, TableIdentifier)])
+      : Option[LogicalPlan] = {
     val t = sqlText.trim.stripSuffix(";").trim
-    describeHistoryRe.findFirstMatchIn(t).map { m =>
-      history(unquote(m.group(1)))
-    }.orElse(restoreVersionRe.findFirstMatchIn(t).map { m =>
-      restore(unquote(m.group(1)), Left(m.group(2).toLong))
-    }).orElse(restoreTimestampRe.findFirstMatchIn(t).map { m =>
-      restore(unquote(m.group(1)), Right(m.group(2).toLong))
-    }).orElse(vacuumRe.findFirstMatchIn(t).map { m =>
-      vacuum(unquote(m.group(1)), dryRun = m.group(2) != null)
-    }).orElse(optimizeRe.findFirstMatchIn(t).map { m =>
-      optimize(unquote(m.group(1)), Option(m.group(2)).map(_.trim),
-        Option(m.group(3)).map(_.split(',').toSeq
-          .map(c => stripTicks(c.trim)).filter(_.nonEmpty)).getOrElse(Nil))
+    def ref(raw: String, verb: String, graftOnly: Boolean): Option[Target] =
+      if (raw.startsWith("'"))
+        Some(Target(unquote(raw.substring(1, raw.length - 1)), None))
+      else resolveCatalog(identParts(raw)) match {
+        case Some((dir, id)) => Some(Target(dir, Some(id)))
+        case None if graftOnly => throw new IllegalArgumentException(
+          s"$verb: $raw is not a graft-provider table in the session catalog " +
+            "(CREATE TABLE ... USING graft-json/graft-csv/graft-avro) — " +
+            s"address an unregistered table by path: $verb '<dir>' ...")
+        case None => None
+      }
+    describeHistoryRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "DESCRIBE HISTORY", graftOnly = true)
+        .map(tg => history(tg.dir))
+    }.orElse(restoreVersionRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "RESTORE TABLE", graftOnly = true)
+        .map(tg => restore(tg.dir, Left(m.group(2).toLong)))
+    }).orElse(restoreTimestampRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "RESTORE TABLE", graftOnly = true)
+        .map(tg => restore(tg.dir, Right(m.group(2).toLong)))
+    }).orElse(vacuumRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "VACUUM", graftOnly = true)
+        .map(tg => vacuum(tg.dir, dryRun = m.group(2) != null))
+    }).orElse(optimizeRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "OPTIMIZE", graftOnly = true).map(tg =>
+        optimize(tg.dir, Option(m.group(2)).map(_.trim),
+          Option(m.group(3)).map(_.split(',').toSeq
+            .map(c => stripTicks(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)))
     }).orElse(deleteRe.findFirstMatchIn(t).map { m =>
       delete(unquote(m.group(1)), m.group(2).trim)
-    }).orElse(updateRe.findFirstMatchIn(t).map { m =>
-      val (setPart, wherePart) = splitSetWhere(m.group(2))
-      update(unquote(m.group(1)), parseAssignments(setPart), wherePart)
-    }).orElse(mergeRe.findFirstMatchIn(t).map { m =>
-      merge(unquote(m.group(1)), m.group(2).trim,
-        m.group(3).split(',').toSeq.map(c => stripTicks(c.trim)).filter(_.nonEmpty))
-    }).orElse(alterAddRe.findFirstMatchIn(t).map { m =>
-      alterAdd(unquote(m.group(1)), stripTicks(m.group(2)), m.group(3).trim)
-    }).orElse(alterRenameRe.findFirstMatchIn(t).map { m =>
-      alterRename(unquote(m.group(1)), stripTicks(m.group(2)), stripTicks(m.group(3)))
-    }).orElse(alterDropRe.findFirstMatchIn(t).map { m =>
-      alterDrop(unquote(m.group(1)), stripTicks(m.group(2)))
-    }).orElse(reorgRe.findFirstMatchIn(t).map { m =>
-      reorg(unquote(m.group(1)))
+    }).orElse(updateRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "UPDATE", graftOnly = false).map { tg =>
+        val (setPart, wherePart) = splitSetWhere(m.group(2))
+        update(tg.dir, parseAssignments(setPart), wherePart)
+      }
+    }).orElse(mergeRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "MERGE INTO", graftOnly = false).map(tg =>
+        merge(tg.dir, m.group(2).trim,
+          m.group(3).split(',').toSeq.map(c => stripTicks(c.trim)).filter(_.nonEmpty)))
+    }).orElse(alterAddRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "ALTER TABLE", graftOnly = false).map(tg =>
+        alterAdd(tg, stripTicks(m.group(2)), m.group(3).trim))
+    }).orElse(alterRenameRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "ALTER TABLE", graftOnly = false).map(tg =>
+        alterRename(tg, stripTicks(m.group(2)), stripTicks(m.group(3))))
+    }).orElse(alterDropRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "ALTER TABLE", graftOnly = false).map(tg =>
+        alterDrop(tg, stripTicks(m.group(2))))
+    }).orElse(reorgRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "REORG TABLE", graftOnly = true).map(tg => reorg(tg.dir))
     })
+  }
+
+  /** Session-catalog resolver for name-form operands: a 1–2 part
+    * (optionally `spark_catalog`-qualified) identifier naming a
+    * graft-provider table resolves to its storage location. Temp views,
+    * missing tables, tables without a location, and non-graft providers
+    * all resolve to None.
+    */
+  def catalogResolver(session: SparkSession)(
+      parts0: Seq[String]): Option[(String, TableIdentifier)] = {
+    val parts =
+      if (parts0.length == 3 && parts0.head.equalsIgnoreCase("spark_catalog"))
+        parts0.tail
+      else parts0
+    val ident = parts match {
+      case Seq(t1) => TableIdentifier(t1)
+      case Seq(db, t1) => TableIdentifier(t1, Some(db))
+      case _ => return None
+    }
+    val cat = session.sessionState.catalog
+    // a temp view shadowing the name is never a maintenance target
+    if (cat.getLocalOrGlobalTempView(parts).isDefined) return None
+    if (!cat.tableExists(ident)) return None
+    val meta = cat.getTableMetadata(ident)
+    val isGraft = meta.provider.exists(p =>
+      stripTicks(p.trim).toLowerCase(java.util.Locale.ROOT).startsWith("graft-"))
+    if (!isGraft) None
+    else meta.storage.locationUri.map { loc =>
+      val dir =
+        if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+        else loc.toString
+      (dir, ident)
+    }
+  }
+
+  /** Split a (validated-by-regex) dotted identifier into parts, honoring
+    * backticks.
+    */
+  private def identParts(raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < raw.length) {
+      if (raw.charAt(i) == '`') {
+        val j = raw.indexOf('`', i + 1)
+        out += raw.substring(i + 1, j)
+        i = j + 1
+        if (i < raw.length && raw.charAt(i) == '.') i += 1
+      } else {
+        val j = raw.indexOf('.', i)
+        if (j < 0) { out += raw.substring(i); i = raw.length }
+        else { out += raw.substring(i, j); i = j + 1 }
+      }
+    }
+    out.result()
   }
 
   // path literal: single-quoted, '' escapes a quote
   private val P = """'((?:[^']|'')+)'"""
+  // table operand: quoted path OR catalog identifier (1–3 dotted parts,
+  // each bare or backticked) — ONE capture group either way, so verb
+  // regexes keep their group numbering
+  private val IPART = """(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"""
+  private val R = s"""('(?:[^']|'')+'|$IPART(?:\\.$IPART){0,2})"""
   private val describeHistoryRe =
-    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$P\\s*$$""".r
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$R\\s*$$""".r
   private val restoreVersionRe =
-    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$R\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
   private val restoreTimestampRe =
-    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$R\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
   private val vacuumRe =
-    s"""(?is)^\\s*VACUUM\\s+$P(\\s+DRY\\s+RUN)?\\s*$$""".r
+    s"""(?is)^\\s*VACUUM\\s+$R(\\s+DRY\\s+RUN)?\\s*$$""".r
   private val optimizeRe =
-    s"""(?is)^\\s*OPTIMIZE\\s+$P(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+$R(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*$$""".r
   private val deleteRe =
     s"""(?is)^\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+)$$""".r
   private val updateRe =
-    s"""(?is)^\\s*UPDATE\\s+$P\\s+SET\\s+(.+)$$""".r
+    s"""(?is)^\\s*UPDATE\\s+$R\\s+SET\\s+(.+)$$""".r
   // upsert shape: whenMatched whole-row replace + whenNotMatched insert —
   // the streaming-merge contract TrainingData.upsert implements; the
   // richer clause grammar stays with the API
   private val mergeRe =
-    s"""(?is)^\\s*MERGE\\s+INTO\\s+$P\\s+USING\\s+\\((.+)\\)\\s+ON\\s+\\(([^)]+)\\)\\s*$$""".r
+    s"""(?is)^\\s*MERGE\\s+INTO\\s+$R\\s+USING\\s+\\((.+)\\)\\s+ON\\s+\\(([^)]+)\\)\\s*$$""".r
   private val alterAddRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+(.+)$$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$R\\s+ADD\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+(.+)$$""".r
   private val alterRenameRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*$$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$R\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*$$""".r
   private val alterDropRe =
-    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s*$$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$R\\s+DROP\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s*$$""".r
   private val reorgRe =
-    s"""(?is)^\\s*REORG\\s+TABLE\\s+$P\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+$R\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*$$""".r
 
   private def unquote(s: String): String = s.replace("''", "'")
   private def stripTicks(s: String): String = s.stripPrefix("`").stripSuffix("`")
@@ -225,13 +337,15 @@ object GraftMaintenanceSql {
 
   // ------------------------------------------------------------ resolution
 
-  /** Resolve (data DDL, graft format, partition columns) for a logged
-    * table root: the recorded schema minus the layout's k=v columns, the
-    * format from the live files' extensions. Loud on untracked/logless
-    * directories — maintenance SQL must never guess a schema.
+  /** Resolve (data DDL, graft format) for a logged table root: the
+    * recorded schema minus the layout's k=v columns, the format from the
+    * live files' extensions (falling back to the log's write history for
+    * an emptied table; None = the log never added a data file). Loud on
+    * untracked/logless directories — maintenance SQL must never guess a
+    * schema.
     */
   private def resolveTable(spark: SparkSession, dir: String)
-      : (String, String) = {
+      : (String, Option[String]) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = GraftCommitLog.versions(fs, root)
@@ -252,20 +366,30 @@ object GraftMaintenanceSql {
       val n = n0.toLowerCase(java.util.Locale.ROOT)
       Seq(".gz", ".gzip", ".zst", ".zstd").foldLeft(n)((a, s) => a.stripSuffix(s))
     }
-    val fmts = live.map(stripCodec).flatMap { n =>
+    def fmtOf(n0: String): Option[String] = {
+      val n = stripCodec(n0)
       if (n.endsWith(".json") || n.endsWith(".jsonl")) Some("graft-json")
       else if (n.endsWith(".csv") || n.endsWith(".tsv")) Some("graft-csv")
       else if (n.endsWith(".avro")) Some("graft-avro")
       else None
     }
-    val format =
-      if (fmts.isEmpty) "graft-json" // empty table: no rows to touch anyway
-      else {
-        require(fmts.size == 1,
-          s"mixed data formats under $dir (${fmts.mkString(", ")}) — " +
-            "maintenance SQL needs one; use the TrainingData API per format")
-        fmts.head
-      }
+    // an emptied table (every row deleted) has no live files but still a
+    // format lane: fall back to every file the log EVER added, so the
+    // committed maintenance entry lands under the table's real format
+    val fmts: Set[String] = {
+      val fromLive = live.flatMap(fmtOf)
+      if (fromLive.nonEmpty) fromLive
+      else vs.iterator.flatMap(v =>
+        GraftCommitLog.entryActions(fs, root, v).iterator
+          .filter(_.add).map(_.path).flatMap(fmtOf)).toSet
+    }
+    val format: Option[String] = fmts.toList match {
+      case Nil => None // the log never recorded a data file
+      case f :: Nil => Some(f)
+      case many => throw new IllegalArgumentException(
+        s"mixed data formats under $dir (${many.sorted.mkString(", ")}) — " +
+          "maintenance SQL needs one; use the TrainingData API per format")
+    }
     (ddl, format)
   }
 
@@ -305,9 +429,10 @@ object GraftMaintenanceSql {
       StructField("files_rewritten", LongType, nullable = false)))),
       s => {
         val (ddl, format) = resolveTable(s, dir)
-        Seq(Row(graft.api.TrainingData.optimizeTable(s, dir, ddl,
-          clusterBy = zorderBy, format = format,
-          where = where.orNull).size.toLong))
+        Seq(Row(format.fold(0L)(f => // formatless table holds no files
+          graft.api.TrainingData.optimizeTable(s, dir, ddl,
+            clusterBy = zorderBy, format = f,
+            where = where.orNull).size.toLong)))
       })
 
   private def delete(dir: String, predicate: String): LogicalPlan =
@@ -315,8 +440,9 @@ object GraftMaintenanceSql {
       StructField("files_changed", LongType, nullable = false)))),
       s => {
         val (ddl, format) = resolveTable(s, dir)
-        Seq(Row(graft.api.TrainingData.deleteWhereDV(
-          s, dir, ddl, predicate, format = format).size.toLong))
+        Seq(Row(format.fold(0L)(f => // formatless table holds no rows
+          graft.api.TrainingData.deleteWhereDV(
+            s, dir, ddl, predicate, format = f).size.toLong)))
       })
 
   private def update(dir: String, set: Map[String, String],
@@ -325,8 +451,9 @@ object GraftMaintenanceSql {
       StructField("files_changed", LongType, nullable = false)))),
       s => {
         val (ddl, format) = resolveTable(s, dir)
-        Seq(Row(graft.api.TrainingData.updateWhereDV(
-          s, dir, ddl, predicate, set, format = format).size.toLong))
+        Seq(Row(format.fold(0L)(f => // formatless table holds no rows
+          graft.api.TrainingData.updateWhereDV(
+            s, dir, ddl, predicate, set, format = f).size.toLong)))
       })
 
   /** Upsert merge (whenMatched replace ∪ whenNotMatched insert — the
@@ -339,7 +466,13 @@ object GraftMaintenanceSql {
     GraftMaintenanceCommand(attrs(StructType(Seq(
       StructField("merged_rows", LongType, nullable = false)))),
       s => {
-        val (ddl, format) = resolveTable(s, dir)
+        val (ddl, format0) = resolveTable(s, dir)
+        // MERGE must APPEND the not-matched rows, so an empty table with
+        // no write history has no lane to land them in — refuse loudly
+        val format = format0.getOrElse(throw new IllegalArgumentException(
+          s"MERGE INTO $dir: the table's log never recorded a data file, " +
+            "so no format lane exists to write into — use " +
+            "TrainingData.upsert with an explicit format"))
         // PIN the source before touching the target: a self-referencing
         // or non-deterministic USING query must merge and report ONE
         // consistent snapshot (upsert consumes it twice — delete-matching
@@ -353,23 +486,50 @@ object GraftMaintenanceSql {
         } finally src.unpersist()
       })
 
-  private def alterAdd(dir: String, colName: String, ddlType: String): LogicalPlan =
-    GraftMaintenanceCommand(attrs(StructType(Seq(
-      StructField("committed_version", LongType, nullable = false)))),
-      s => Seq(Row(
-        graft.api.TrainingData.alterTableAddColumn(s, dir, colName, ddlType))))
+  /** After a name-addressed ALTER, mirror the log's recorded schema into
+    * the catalog entry (data columns only; the partition schema is the
+    * catalog's own) so by-name SELECTs resolve the evolved shape.
+    * Path-addressed ALTERs leave the catalog alone — there may be no
+    * entry at all, and if there is, its declared schema is the
+    * registrant's contract.
+    */
+  private def syncCatalog(s: SparkSession, tg: Target): Unit = tg.ident.foreach { id =>
+    graft.api.TrainingData.tableSchema(s, tg.dir).foreach { recorded =>
+      val cat = s.sessionState.catalog
+      val meta = cat.getTableMetadata(id)
+      val partCols = meta.partitionColumnNames.toSet
+      val dataFields = recorded.fields.filterNot(f => partCols.contains(f.name))
+      cat.alterTable(meta.copy(
+        schema = StructType(dataFields ++ meta.partitionSchema.fields)))
+    }
+  }
 
-  private def alterRename(dir: String, from: String, to: String): LogicalPlan =
+  private def alterAdd(tg: Target, colName: String, ddlType: String): LogicalPlan =
     GraftMaintenanceCommand(attrs(StructType(Seq(
       StructField("committed_version", LongType, nullable = false)))),
-      s => Seq(Row(
-        graft.api.TrainingData.alterTableRenameColumn(s, dir, from, to))))
+      s => {
+        val v = graft.api.TrainingData.alterTableAddColumn(s, tg.dir, colName, ddlType)
+        syncCatalog(s, tg)
+        Seq(Row(v))
+      })
 
-  private def alterDrop(dir: String, colName: String): LogicalPlan =
+  private def alterRename(tg: Target, from: String, to: String): LogicalPlan =
     GraftMaintenanceCommand(attrs(StructType(Seq(
       StructField("committed_version", LongType, nullable = false)))),
-      s => Seq(Row(
-        graft.api.TrainingData.alterTableDropColumn(s, dir, colName))))
+      s => {
+        val v = graft.api.TrainingData.alterTableRenameColumn(s, tg.dir, from, to)
+        syncCatalog(s, tg)
+        Seq(Row(v))
+      })
+
+  private def alterDrop(tg: Target, colName: String): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))),
+      s => {
+        val v = graft.api.TrainingData.alterTableDropColumn(s, tg.dir, colName)
+        syncCatalog(s, tg)
+        Seq(Row(v))
+      })
 
   /** Delta's REORG TABLE ... APPLY (PURGE): rewrite every vector-carrying
     * file without its masked rows — restores the metadata/split fast
@@ -380,8 +540,9 @@ object GraftMaintenanceSql {
       StructField("files_rewritten", LongType, nullable = false)))),
       s => {
         val (ddl, format) = resolveTable(s, dir)
-        Seq(Row(graft.api.TrainingData.materializeDeletes(
-          s, dir, ddl, format = format).size.toLong))
+        Seq(Row(format.fold(0L)(f => // formatless table holds no files
+          graft.api.TrainingData.materializeDeletes(
+            s, dir, ddl, format = f).size.toLong)))
       })
 }
 
@@ -405,7 +566,9 @@ case class GraftMaintenanceCommand(
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftMaintenanceSql.parse(sqlText,
+        GraftMaintenanceSql.catalogResolver(session))
+      .getOrElse(delegate.parsePlan(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

@@ -378,4 +378,108 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e2.getMessage.contains("/tmp/graft o'clock"), e2.getMessage)
   }
+
+  // ------------------------------------------------- catalog-name dialect
+
+  private def createCatalogTable(name: String, d: String,
+      format: String = "graft-json"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"""CREATE TABLE $name (id BIGINT, v STRING)
+                 |USING `$format` LOCATION '$d'""".stripMargin)
+  }
+
+  test("catalog-name addressing: every verb resolves the table's location") {
+    val d = dir("byname")
+    writeTable(d)                                                   // v0
+    createCatalogTable("graft_nm", d)
+    try {
+      // UPDATE by name (Spark parses UPDATE but cannot execute it on
+      // this table; our claim routes it to updateWhereDV)
+      spark.sql("UPDATE graft_nm SET v = 'upd' WHERE id < 10")       // v1
+      assert(spark.read.format("graft-json").schema(schema)
+        .option("snapshot", "true").load(d)
+        .filter("v = 'upd'").count() === 10L)
+      // DESCRIBE HISTORY by name matches the path dialect row-for-row
+      val byName = spark.sql("DESCRIBE HISTORY graft_nm").collect().toSeq
+      val byPath = spark.sql(s"DESCRIBE HISTORY '$d'").collect().toSeq
+      assert(byName === byPath)
+      // RESTORE by (db-qualified, backticked) name
+      val rv = spark.sql(
+        "RESTORE TABLE spark_catalog.default.`graft_nm` TO VERSION AS OF 0")
+        .collect().head.getLong(0)
+      assert(rv === 2L)
+      assert(snapIds(d) === (0L until 100L))
+      // MERGE by name (not valid Spark grammar — ours claims it)
+      spark.sql("MERGE INTO graft_nm USING " +
+        "(SELECT CAST(200 AS BIGINT) AS id, 'new' AS v) ON (id)")    // v3
+      assert(snapIds(d).contains(200L))
+      // OPTIMIZE / VACUUM / REORG by name
+      assert(spark.sql("OPTIMIZE default.graft_nm").collect().head.getLong(0) >= 0L)
+      assert(spark.sql("VACUUM graft_nm DRY RUN").collect() !== null)
+      assert(spark.sql("REORG TABLE graft_nm APPLY (PURGE)")
+        .collect().head.getLong(0) >= 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_nm")
+  }
+
+  test("name-addressed ALTER evolves the log AND the catalog entry") {
+    val d = dir("byname_alter")
+    writeTable(d)
+    createCatalogTable("graft_nma", d)
+    try {
+      spark.sql("ALTER TABLE graft_nma ADD COLUMN score DOUBLE")
+      assert(spark.table("graft_nma").schema.fieldNames.toSeq ===
+        Seq("id", "v", "score"),
+        "catalog entry must learn the added column")
+      assert(TrainingData.tableSchema(spark, d).get.fieldNames.contains("score"),
+        "commit log must record the added column")
+      spark.sql("ALTER TABLE graft_nma RENAME COLUMN score TO quality")
+      assert(spark.table("graft_nma").schema.fieldNames.contains("quality"))
+      // by-name read resolves renamed columns through column mapping
+      assert(spark.sql("SELECT id, quality FROM graft_nma WHERE id < 3")
+        .count() === 3L)
+      spark.sql("ALTER TABLE graft_nma DROP COLUMN quality")
+      assert(spark.table("graft_nma").schema.fieldNames.toSeq === Seq("id", "v"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_nma")
+  }
+
+  test("graft-only verbs refuse non-graft names; Spark verbs delegate") {
+    spark.sql("DROP TABLE IF EXISTS plain_pq")
+    spark.sql(s"CREATE TABLE plain_pq (id BIGINT) USING parquet " +
+      s"LOCATION '${dir("plain_pq")}'")
+    try {
+      // graft-only verb on a non-graft table: loud refusal at parse
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("DESCRIBE HISTORY plain_pq").collect()
+      }
+      assert(e.getMessage.contains("graft-provider"), e.getMessage)
+      // ... and on a missing table
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql("OPTIMIZE no_such_table_xyz").collect()
+      }
+      assert(e2.getMessage.contains("graft-provider"), e2.getMessage)
+      // Spark-parseable verb on a non-graft table: delegates (Spark's own
+      // error, not our refusal)
+      val e3 = intercept[Exception] {
+        spark.sql("UPDATE plain_pq SET id = 1 WHERE id = 2").collect()
+      }
+      assert(!e3.getMessage.contains("graft-provider"), e3.getMessage)
+      // a temp view shadowing a name is never a maintenance target
+      spark.range(3).createOrReplaceTempView("shadow_v")
+      val e4 = intercept[IllegalArgumentException] {
+        spark.sql("VACUUM shadow_v").collect()
+      }
+      assert(e4.getMessage.contains("graft-provider"), e4.getMessage)
+      spark.catalog.dropTempView("shadow_v")
+    } finally spark.sql("DROP TABLE IF EXISTS plain_pq")
+  }
+
+  test("emptied table keeps its format lane (log write history)") {
+    val d = dir("emptied_avro")
+    writeTable(d, n = 20L, format = "graft-avro")                    // v0
+    spark.sql(s"DELETE FROM '$d' WHERE true")                        // v1: all rows
+    // live set is empty; the format must still resolve from the history
+    // so OPTIMIZE commits under the avro lane (and compacts nothing)
+    assert(spark.sql(s"OPTIMIZE '$d'").collect().head.getLong(0) >= 0L)
+    assert(snapIds(d, "graft-avro").isEmpty)
+  }
 }
