@@ -2963,6 +2963,65 @@ object Sources {
                        AND c_mktsegment LIKE 'BUILD%')
             ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q223
+  // followLog streaming ACROSS a deletion-vector curation cycle (round
+  // 12): the operational path a 100 TB curation pipeline actually runs —
+  // a downstream consumer tails the corpus while the curator row-level
+  // deletes (deleteWhereDV) and then purges (materializeDeletes). With
+  // skipChangeCommits (the Delta dial), both change commits are skipped
+  // WHOLE — the purge rewrite's adds are old rows and would double-
+  // deliver — while appends before, between, and after flow exactly
+  // once. The memory sink must equal the union of the appends; the
+  // batch snapshot must show the curated (deleted) state.
+  private val q223 = GQuery(
+    "q223_stream_dv_curation_cycle",
+    "followLog stream across deleteWhereDV → materializeDeletes: appends once, changes skipped",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/stream_dvcycle"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE"
+      val customer = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+      customer.filter($"c_custkey" < 300).repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)      // v0
+      val ckpt = new org.apache.hadoop.fs.Path("/tmp/graft_tt/stream_dvcycle_ckpt")
+      val fs = ckpt.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(ckpt, true) // fresh checkpoint each drive
+      val q = s.readStream.format("graft-json").schema(ddl)
+        .option("followlog", "true").option("skipchangecommits", "true")
+        .load(dir)
+        .writeStream.format("memory").queryName("q223_stream_dvcycle")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable() // v0 delivered
+        customer.filter($"c_custkey" >= 300 && $"c_custkey" < 400)
+          .repartition(1)
+          .write.format("graft-json").mode("append").save(dir)       // v1
+        q.processAllAvailable() // v1 delivered
+        graft.api.TrainingData.deleteWhereDV(s, dir, ddl,
+          "c_custkey % 3 = 0")                                       // v2: DV masks
+        q.processAllAvailable() // change commit skipped whole
+        graft.api.TrainingData.materializeDeletes(s, dir, ddl)       // v3: purge rewrite
+        q.processAllAvailable() // adds are rewritten OLD rows: skipped whole
+        customer.filter($"c_custkey" >= 400 && $"c_custkey" < 450)
+          .repartition(1)
+          .write.format("graft-json").mode("append").save(dir)       // v4
+        q.processAllAvailable() // post-cycle append still flows
+      } finally q.stop()
+      // the batch snapshot sees the CURATED table...
+      val curated = s.read.format("graft-json").schema(ddl)
+        .option("snapshot", "true").load(dir)
+      require(curated.filter($"c_custkey" % 3 === 0 && $"c_custkey" < 400)
+        .count() == 0L, "snapshot must show the curation applied")
+      // ...while the stream delivered every appended row exactly once
+      s.table("q223_stream_dvcycle")
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
+            WHERE c_custkey < 450 ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- q222
   // Maintenance verbs by CATALOG NAME (round 12): the q219 lifecycle,
   // addressed through the session catalog instead of the path dialect —
@@ -3027,5 +3086,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
 }

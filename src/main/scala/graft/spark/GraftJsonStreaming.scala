@@ -68,7 +68,11 @@ private[spark] final class StreamFileRegistry(
   def discover(): Unit = synchronized {
     val fresh =
       if (followLog) {
-        val current = GraftSources.logOrderedFiles(options)
+        // already-admitted lengths come from the registry: only NEW files
+        // are stat'd, and a purged retired original the stream already
+        // delivered cannot fail the poll (or a checkpoint restart)
+        val lenOf = list.toMap
+        val current = GraftSources.logOrderedFiles(options, lenOf.get)
         // a file this stream already delivered that the log no longer
         // lists means a COW rewrite was absorbed into a checkpoint and
         // its entries expired UNDER the stream. Pre-expiry the rewrite

@@ -625,6 +625,17 @@ private object GraftManifest {
   } catch { case _: Exception => () }
 }
 
+/** A commit-log entry whose body is detectably not-yet-complete: an
+  * empty claimed slot, or a v7+ entry without its terminating `e`
+  * footer. Distinct from malformed/corrupt — this is the normal
+  * transient state a TAILING reader can observe between a writer's
+  * put-if-absent claim and its body write (entryActionsTailing retries
+  * it); a batch fold hitting one reports it exactly (in-flight commit or
+  * crashed writer, not garbage).
+  */
+final class IncompleteCommitException(msg: String)
+    extends IllegalStateException(msg)
+
 /** Versioned snapshot log for graft batch sinks — the Delta-shaped piece
   * that turns an append-only directory into a table with readable history.
   *
@@ -953,24 +964,31 @@ private[graft] object GraftCommitLog {
       // monotonically, so a skewed writer clock can never reorder time.
       val ts = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
       // v6 = v5 + an `o <tag>` OPERATION line (currently only RESTORE
-      // writes one — changeFeed's shrink-legality rail keys on it). The
-      // bump is PER-ENTRY: only tagged entries pay the compat break, and
-      // a pre-v6 reader fails on them loudly (unknown header), never by
-      // misreading.
-      val header = if (opTag != null) "graft-commit v6" else "graft-commit v5"
+      // writes one — changeFeed's shrink-legality rail keys on it).
+      // v7 = v6 + a TERMINATING `e <actionCount>` footer on EVERY entry:
+      // the footer is what makes an entry's content tear-detectable for
+      // concurrent readers (a followLog tail polling between the
+      // put-if-absent claim and the body write, or after a writer crash)
+      // — a prefix torn at a line boundary would otherwise parse as a
+      // valid smaller commit and silently drop files. Unlike v6 this
+      // bump is global, because the guarantee is only worth having if
+      // every entry carries it.
+      val header = "graft-commit v7"
       // line order is LOAD-BEARING for the in-order state fold: `r` before
       // `f` (a RESTORE may retire-and-re-pin the same path to detach its
       // vector) and `f` before `d` (a vector may target a file this entry
       // adds). Every reader folds sequentially, so old entries with the
       // historical d-before-f order keep folding correctly — they never
-      // target in-entry adds.
+      // target in-entry adds. The `e` footer is strictly LAST.
+      val nActions = relRemoves.size + relAdds.size + relDvs.size
       (header +:
           (Seq(s"t $ts") ++
             (if (opTag != null) Seq(s"o $opTag") else Nil) ++
             (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
             relRemoves.map("r " + _) ++
             relAdds.map("f " + _) ++
-            relDvs.map { case (dvn, t) => s"d $dvn $t" }))
+            relDvs.map { case (dvn, t) => s"d $dvn $t" } ++
+            Seq(s"e $nActions")))
         .mkString("", "\n", "\n")
     }
 
@@ -1329,8 +1347,14 @@ private[graft] object GraftCommitLog {
     * carrying removes fails loudly — a stream cannot un-deliver rows.
     */
   def entryFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Seq[String] =
+    appendOnlyFiles(entryActions(fs, root, version), root, version)
+
+  /** The entry's added files, refusing loudly when the entry carries any
+    * non-add action — the followLog append-only contract.
+    */
+  def appendOnlyFiles(acts: Seq[LogAction], root: Path,
       version: Long): Seq[String] = {
-    val acts = entryActions(fs, root, version)
     acts.find(!_.add).foreach { a =>
       val what = if (a.isDv) "attaches a deletion vector to" else "removes"
       throw new IllegalStateException(
@@ -1374,18 +1398,71 @@ private[graft] object GraftCommitLog {
     parseActions(p, lines)
   }
 
+  /** [[entryActions]] for a TAILING reader (followLog admission): a
+    * continuously-polling stream can list a version whose entry is
+    * claimed but whose body has not landed — on a plain filesystem the
+    * put-if-absent create and the body write are two steps (an
+    * object-store conditional put publishes both at once). Re-read with
+    * backoff until the entry parses completely or `graceMs` expires; a
+    * commit is one buffered write from complete, so an entry that stays
+    * unreadable past the grace is a crashed writer or corruption and the
+    * last error rethrows. Also rides out the claim-cleanup window (a
+    * failed writer deletes its claimed slot; the next committer re-claims
+    * the same version number).
+    */
+  def entryActionsTailing(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long, graceMs: Long = 5000L): Seq[LogAction] = {
+    val deadline = System.nanoTime() + graceMs * 1000000L
+    while (true) {
+      try return entryActions(fs, root, version)
+      catch {
+        case e: Exception if scala.util.control.NonFatal(e) &&
+            System.nanoTime() < deadline =>
+          Thread.sleep(20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** A commit-entry header's protocol version; 0 = not a known
+    * graft-commit header (unknown versions stay 0 on purpose — a reader
+    * must fail loudly on a protocol it does not speak, never misread it).
+    */
+  private def headerVersion(lines: Seq[String]): Int = lines.headOption match {
+    case Some(h) if h.startsWith("graft-commit v") =>
+      val v = try h.substring("graft-commit v".length).toInt
+        catch { case _: NumberFormatException => 0 }
+      if (v >= 1 && v <= 7) v else 0
+    case _ => 0
+  }
+
   private def parseActions(p: Path, lines: Seq[String]): Seq[LogAction] = {
-    val v6 = lines.headOption.contains("graft-commit v6")
-    val v5 = v6 || lines.headOption.contains("graft-commit v5")
-    val v4 = v5 || lines.headOption.contains("graft-commit v4")
-    val v3 = v4 || lines.headOption.contains("graft-commit v3")
-    val v2 = v3 || lines.headOption.contains("graft-commit v2")
-    require(v2 || lines.headOption.contains("graft-commit v1"),
-      s"malformed commit-log entry $p")
-    lines.tail.flatMap { l =>
+    // an EMPTY entry file is the put-if-absent claim of an in-flight (or
+    // crashed) commit — the body write has not landed yet. Distinct from
+    // malformed: tailing readers retry it, batch folds report it exactly.
+    if (lines.isEmpty) throw new IncompleteCommitException(
+      s"commit-log entry $p is empty — an in-flight commit's claimed slot " +
+        "(or a crashed writer's remainder)")
+    val hv = headerVersion(lines)
+    require(hv >= 1, s"malformed commit-log entry $p")
+    // v7 entries TERMINATE with `e <actionCount>`: a torn prefix (a
+    // tailing reader racing the body write, or a crashed writer) is
+    // detectably incomplete — without the footer, a tear at a line
+    // boundary would parse as a valid smaller commit and silently drop
+    // files from the version
+    val body =
+      if (hv < 7) lines.tail
+      else lines.last match {
+        case f if f.startsWith("e ") => lines.tail.init
+        case _ => throw new IncompleteCommitException(
+          s"commit-log entry $p has no terminating footer — an in-flight " +
+            "commit (the body write has not completed) or a crashed " +
+            "writer's torn remainder")
+      }
+    val acts = body.flatMap { l =>
       if (l.startsWith("f ")) Some(LogAction('f', l.substring(2)))
-      else if (v2 && l.startsWith("r ")) Some(LogAction('r', l.substring(2)))
-      else if (v4 && l.startsWith("d ")) {
+      else if (hv >= 2 && l.startsWith("r ")) Some(LogAction('r', l.substring(2)))
+      else if (hv >= 4 && l.startsWith("d ")) {
         // `d <artifact> <path>`: artifact names are writer-generated and
         // space-free; the path is everything after the first space
         val rest = l.substring(2)
@@ -1393,11 +1470,22 @@ private[graft] object GraftCommitLog {
         if (sp <= 0)
           throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
         Some(LogAction('d', rest.substring(sp + 1), rest.substring(0, sp)))
-      } else if (v3 && l.startsWith("s ")) None
-      else if (v5 && l.startsWith("t ")) None // commit-time line, not an action
-      else if (v6 && l.startsWith("o ")) None // operation tag, not an action
+      } else if (hv >= 3 && l.startsWith("s ")) None
+      else if (hv >= 5 && l.startsWith("t ")) None // commit-time line, not an action
+      else if (hv >= 6 && l.startsWith("o ")) None // operation tag, not an action
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
+    if (hv >= 7) {
+      // footer present but wrong: NOT a tear (the footer is written last,
+      // so its presence proves the whole body landed) — real corruption
+      val declared = try lines.last.substring(2).trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"malformed commit-log footer in $p: ${lines.last}") }
+      require(declared == acts.length,
+        s"commit-log entry $p declares $declared actions but carries " +
+          s"${acts.length} — corrupt entry")
+    }
+    acts
   }
 
   /** One slurp serving DESCRIBE HISTORY: (actions, operation tag,
@@ -1409,7 +1497,7 @@ private[graft] object GraftCommitLog {
       version: Long): (Seq[LogAction], Option[String], Boolean) = {
     val (p, lines) = entryLines(fs, root, version)
     val op =
-      if (!lines.headOption.contains("graft-commit v6")) None
+      if (headerVersion(lines) < 6) None
       else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
     (parseActions(p, lines), op, lines.tail.exists(_.startsWith("s ")))
   }
@@ -1422,7 +1510,7 @@ private[graft] object GraftCommitLog {
   def entryOp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[String] = try {
     val (_, lines) = entryLines(fs, root, version)
-    if (!lines.headOption.contains("graft-commit v6")) None
+    if (headerVersion(lines) < 6) None
     else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
   } catch { case _: Exception => None }
 
@@ -1433,8 +1521,7 @@ private[graft] object GraftCommitLog {
   def entryTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[Long] = try {
     val (_, lines) = entryLines(fs, root, version)
-    if (!lines.headOption.exists(h =>
-        h == "graft-commit v5" || h == "graft-commit v6")) None
+    if (headerVersion(lines) < 5) None
     else lines.tail.find(_.startsWith("t "))
       .flatMap(l => scala.util.Try(l.substring(2).trim.toLong).toOption)
   } catch { case _: Exception => None }
@@ -1562,9 +1649,7 @@ private[graft] object GraftCommitLog {
   def entrySchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long): Option[StructType] = try {
     val (_, lines) = entryLines(fs, root, version)
-    if (!lines.headOption.exists(h =>
-        h == "graft-commit v3" || h == "graft-commit v4" ||
-          h == "graft-commit v5" || h == "graft-commit v6")) None
+    if (headerVersion(lines) < 3) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   } catch { case _: Exception => None }
 
@@ -1647,9 +1732,7 @@ private[graft] object GraftCommitLog {
   private def entrySchemaStrict(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, version: Long): Option[StructType] = {
     val (_, lines) = entryLines(fs, root, version)
-    if (!lines.headOption.exists(h =>
-        h == "graft-commit v3" || h == "graft-commit v4" ||
-          h == "graft-commit v5" || h == "graft-commit v6")) None
+    if (headerVersion(lines) < 3) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   }
 }

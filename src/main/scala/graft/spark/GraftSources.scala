@@ -123,7 +123,16 @@ object GraftSources {
     * A logged file that has vanished fails loudly — committed data is
     * not allowed to silently skip.
     */
-  def logOrderedFiles(options: CaseInsensitiveStringMap): Seq[(String, Long)] = {
+  /** `knownLen`: lengths the CALLER already admitted (the stream
+    * registry's persisted path→len map). A known file resolves without
+    * touching the filesystem, so (a) a poll stats only NEW files —
+    * O(new) per poll, not O(history) — and (b) a retired original that
+    * materializeDeletes/VACUUM physically reclaimed after the stream
+    * delivered it cannot kill the live stream or its restart (the
+    * registry remembers the length; only never-seen files must exist).
+    */
+  def logOrderedFiles(options: CaseInsensitiveStringMap,
+      knownLen: String => Option[Long] = _ => None): Seq[(String, Long)] = {
     val conf = activeHadoopConf()
     val raw = Option(options.get("path")).orElse(Option(options.get("paths")))
       .orElse(Option(options.get("location")))
@@ -168,13 +177,17 @@ object GraftSources {
       }
     def stat(rel: String, src: String): (String, Long) = {
       val p = fs.makeQualified(new Path(root, rel))
-      val st =
-        try fs.getFileStatus(p)
-        catch { case _: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
-            s"followLog: committed file $rel ($src) is missing under $root " +
-              "— was the directory vacuumed out-of-band?") }
-      (p.toString, st.getLen)
+      knownLen(p.toString) match {
+        case Some(len) => (p.toString, len) // already admitted: no fs hit
+        case None =>
+          val st =
+            try fs.getFileStatus(p)
+            catch { case _: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"followLog: committed file $rel ($src) is missing under $root " +
+                  "— was the directory vacuumed out-of-band?") }
+          (p.toString, st.getLen)
+      }
     }
     // option("skipchangecommits","true") — the Delta shape for streaming
     // over a table that takes row-level deletes: commits carrying removes
@@ -188,11 +201,15 @@ object GraftSources {
       "true".equalsIgnoreCase(Option(options.get("skipchangecommits")).getOrElse(""))
     seed.map(stat(_, "checkpoint live set")) ++
       suffix.flatMap { v =>
+        // TAILING read: this poll can list a version whose entry body is
+        // still being written — re-read within the grace window instead
+        // of failing the stream on a torn prefix (entryActionsTailing)
+        val acts = GraftCommitLog.entryActionsTailing(fs, root, v)
         if (skipChanges) {
-          val acts = GraftCommitLog.entryActions(fs, root, v)
           if (acts.exists(!_.add)) Nil
           else acts.map(a => stat(a.path, s"version $v"))
-        } else GraftCommitLog.entryFiles(fs, root, v).map(stat(_, s"version $v"))
+        } else GraftCommitLog.appendOnlyFiles(acts, root, v)
+          .map(stat(_, s"version $v"))
       }
   }
 

@@ -599,6 +599,48 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.length === 2, files)
   }
 
+  test("a LIVE stream tails through deleteWhereDV -> materializeDeletes, appends once") {
+    // the operational curation cycle end-to-end: a running memory-sink
+    // stream polls WHILE the curator deletes and purges — appends before,
+    // between, and after the cycle deliver exactly once; both change
+    // commits (DV attach; purge rewrite whose adds are old rows) skip
+    // whole; the concurrent poller never trips on an in-flight commit
+    // (the v7 footer + tailing grace)
+    val d = dir("stream_cycle")
+    val s = spark
+    import s.implicits._
+    (0L until 20L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("overwrite").save(d) // v0
+    val ckpt = Files.createTempDirectory("graft-dvstream-ckpt")
+    val q = s.readStream.format("graft-json").schema(schema)
+      .option("followlog", "true").option("skipchangecommits", "true")
+      .load(d)
+      .writeStream.format("memory").queryName("dv_cycle_stream")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      (20L until 30L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartition(1).write.format("graft-json").mode("append").save(d)  // v1
+      q.processAllAvailable()
+      TrainingData.deleteWhereDV(spark, d, schema, "id % 5 = 0")           // v2
+      q.processAllAvailable()
+      TrainingData.materializeDeletes(spark, d, schema)                    // v3
+      q.processAllAvailable()
+      (30L until 35L).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartition(1).write.format("graft-json").mode("append").save(d)  // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    val delivered = s.table("dv_cycle_stream").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(delivered === (0L until 35L), s"delivered: $delivered")
+    // while the batch snapshot shows the curated state
+    val snap = spark.read.format("graft-json").schema(schema)
+      .option("snapshot", "true").load(d).collect().map(_.getLong(0)).toSet
+    assert((0L until 30L).filter(_ % 5 == 0).forall(!snap.contains(_)))
+    assert(snap.contains(31L))
+  }
+
   test("dvMaxRatio: dense files escalate to COW in the SAME atomic entry, light files vector") {
     val d = dir("escalate")
     val s = spark

@@ -259,4 +259,91 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // clean retry works
     graft.api.TrainingData.checkpointLog(spark, d)
   }
+
+  // ----------------------------------------- v7 footer / tailing reads
+
+  private def entryPath(d: String): Path =
+    new Path(new Path(d), ".graft-log/00000000000000000000")
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  private def writeBytes(fs: FileSystem, p: Path, b: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(b) finally out.close()
+  }
+
+  test("v7 entries end with a footer; a torn prefix is INCOMPLETE, never a smaller commit") {
+    val d = dir("footer")
+    mkTable(d)
+    val p = entryPath(d)
+    val fs = p.getFileSystem(conf)
+    val full = new String(readBytes(fs, p), "UTF-8")
+    assert(full.startsWith("graft-commit v7\n"), full.takeWhile(_ != '\n'))
+    val lines = full.split('\n')
+    assert(lines.last.matches("e \\d+"), s"footer line: ${lines.last}")
+    val rootP = new Path(d)
+    // tear at a LINE BOUNDARY before the footer: without the footer this
+    // would parse as a valid one-file commit and silently drop the rest
+    try {
+      writeBytes(fs, p, lines.init.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val e = intercept[IncompleteCommitException] {
+        GraftCommitLog.entryActions(fs, rootP, 0L)
+      }
+      assert(e.getMessage.contains("footer"), e.getMessage)
+      // torn mid-line: also incomplete (no footer yet), not malformed
+      writeBytes(fs, p, full.substring(0, full.length - 10).getBytes("UTF-8"))
+      intercept[IncompleteCommitException] {
+        GraftCommitLog.entryActions(fs, rootP, 0L)
+      }
+      // EMPTY entry = the put-if-absent claim window
+      writeBytes(fs, p, Array.emptyByteArray)
+      val e2 = intercept[IncompleteCommitException] {
+        GraftCommitLog.entryActions(fs, rootP, 0L)
+      }
+      assert(e2.getMessage.contains("in-flight"), e2.getMessage)
+      // footer present but count wrong = corruption (footer is last, so
+      // its presence proves the body landed): loud, NOT incomplete
+      val corrupted = (lines.init :+ "e 99").mkString("", "\n", "\n")
+      writeBytes(fs, p, corrupted.getBytes("UTF-8"))
+      val e3 = intercept[IllegalArgumentException] {
+        GraftCommitLog.entryActions(fs, rootP, 0L)
+      }
+      assert(e3.getMessage.contains("corrupt"), e3.getMessage)
+    } finally writeBytes(fs, p, full.getBytes("UTF-8"))
+    // restored: parses, and the footer is not an action
+    assert(GraftCommitLog.entryActions(fs, rootP, 0L).forall(_.add))
+  }
+
+  test("entryActionsTailing rides out an in-flight body write; expires to the real error") {
+    val d = dir("tailing")
+    mkTable(d)
+    val p = entryPath(d)
+    val fs = p.getFileSystem(conf)
+    val full = readBytes(fs, p)
+    val rootP = new Path(d)
+    try {
+      // simulate the claim window: entry exists, body not yet written
+      writeBytes(fs, p, Array.emptyByteArray)
+      val t = new Thread(() => { Thread.sleep(300L); writeBytes(fs, p, full) })
+      t.start()
+      // a tailing reader polls through the window and gets the commit
+      val acts = GraftCommitLog.entryActionsTailing(fs, rootP, 0L, graceMs = 10000L)
+      t.join()
+      assert(acts.nonEmpty && acts.forall(_.add))
+      // grace expiry: an entry that STAYS incomplete rethrows the truth
+      writeBytes(fs, p, Array.emptyByteArray)
+      intercept[IncompleteCommitException] {
+        GraftCommitLog.entryActionsTailing(fs, rootP, 0L, graceMs = 200L)
+      }
+    } finally writeBytes(fs, p, full)
+  }
 }
