@@ -58,7 +58,22 @@ object GraftLogStore {
     */
   object HadoopRename extends GraftLogStore {
     override def createAtomic(fs: FileSystem, path: Path): java.io.OutputStream =
-      fs.create(path, false)
+      if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+        // Hadoop's local filesystems implement create(path, false) as a
+        // NON-ATOMIC exists()+create — two racing version claims can both
+        // succeed, the later truncating the earlier's committed entry
+        // (silent loss of a committed write, the one unrecoverable
+        // failure; found by CommitLogContentionSpec). POSIX O_EXCL via
+        // File.createNewFile IS atomic: claim the slot there, then write
+        // through the filesystem layer (checksums included) into the
+        // claimed file.
+        val f = new java.io.File(path.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        if (!f.createNewFile())
+          throw new java.io.IOException(
+            s"already exists (lost the claim race): $path")
+        fs.create(path, true)
+      } else fs.create(path, false)
     override def publish(fs: FileSystem, tmp: Path, target: Path,
         overwrite: Boolean): Unit = {
       if (overwrite) fs.delete(target, false)

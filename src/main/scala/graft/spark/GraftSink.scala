@@ -1015,7 +1015,8 @@ private[graft] object GraftCommitLog {
             val delta = vs.filter(x => x >= v)
             try {
               live = delta.foldLeft(live) { (l, dv) =>
-                entryActions(fs, rootPath, dv).foldLeft(l) { (s, a) =>
+                // the racer we just lost to may still be writing its body
+                entryActionsAwait(fs, rootPath, dv).foldLeft(l) { (s, a) =>
                   a.kind match {
                     case 'f' => s.updated(a.path, null)
                     case 'r' => s - a.path
@@ -1241,7 +1242,10 @@ private[graft] object GraftCommitLog {
         "but no readable checkpoint covers the missing prefix — refusing a " +
         "partial fold; restore .graft-log/<v>.checkpoint or the expired entries")
     vs.filter(v => v > seedV && v <= version).foldLeft(seed) { (live, v) =>
-      entryActions(fs, root, v).foldLeft(live) { (l, a) =>
+      // await-variant: a fold racing a concurrent committer can list its
+      // claimed-but-unwritten entry — wait out the transient, never
+      // abort a snapshot read (or a commit validation) on it
+      entryActionsAwait(fs, root, v).foldLeft(live) { (l, a) =>
         a.kind match {
           case 'f' => l.updated(a.path, null)
           case 'r' =>
@@ -1398,31 +1402,51 @@ private[graft] object GraftCommitLog {
     parseActions(p, lines)
   }
 
-  /** [[entryActions]] for a TAILING reader (followLog admission): a
-    * continuously-polling stream can list a version whose entry is
-    * claimed but whose body has not landed — on a plain filesystem the
-    * put-if-absent create and the body write are two steps (an
-    * object-store conditional put publishes both at once). Re-read with
-    * backoff until the entry parses completely or `graceMs` expires; a
-    * commit is one buffered write from complete, so an entry that stays
-    * unreadable past the grace is a crashed writer or corruption and the
-    * last error rethrows. Also rides out the claim-cleanup window (a
-    * failed writer deletes its claimed slot; the next committer re-claims
-    * the same version number).
+  /** Retry `read` while it trips on a state a CONCURRENT writer exposes
+    * transiently (selected by `retriable`), up to `graceMs`; past the
+    * grace the truth rethrows. A commit is one buffered write from
+    * complete, so anything that stays broken is a crashed writer or real
+    * corruption — loud is right there.
     */
-  def entryActionsTailing(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      version: Long, graceMs: Long = 5000L): Seq[LogAction] = {
+  private def retryInFlight[A](graceMs: Long)(retriable: Throwable => Boolean)(
+      read: => A): A = {
     val deadline = System.nanoTime() + graceMs * 1000000L
     while (true) {
-      try return entryActions(fs, root, version)
+      try return read
       catch {
-        case e: Exception if scala.util.control.NonFatal(e) &&
-            System.nanoTime() < deadline =>
+        case e: Throwable if retriable(e) && System.nanoTime() < deadline =>
           Thread.sleep(20L)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** [[entryActions]] waiting out an IN-FLIGHT competitor's entry
+    * (detectably incomplete: empty claim, torn header, missing v7
+    * footer): the state a commit-time validation fold or a snapshot read
+    * racing a writer observes. Malformed/corrupt entries stay
+    * instantly loud.
+    */
+  def entryActionsAwait(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long, graceMs: Long = 5000L): Seq[LogAction] =
+    retryInFlight(graceMs)(_.isInstanceOf[IncompleteCommitException])(
+      entryActions(fs, root, version))
+
+  /** [[entryActions]] for a TAILING reader (followLog admission): a
+    * continuously-polling stream can list a version whose entry is
+    * claimed but whose body has not landed — on a plain filesystem the
+    * put-if-absent create and the body write are two steps (an
+    * object-store conditional put publishes both at once). Besides the
+    * in-flight states [[entryActionsAwait]] rides out, a tail also
+    * retries torn-IO reads (checksum lag on a file being written, EOF
+    * mid-slurp) and the claim-cleanup window (a failed writer deletes
+    * its claimed slot; the next committer re-claims the same number).
+    */
+  def entryActionsTailing(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long, graceMs: Long = 5000L): Seq[LogAction] =
+    retryInFlight(graceMs)(e => e.isInstanceOf[IncompleteCommitException] ||
+        e.isInstanceOf[java.io.IOException])(
+      entryActions(fs, root, version))
 
   /** A commit-entry header's protocol version; 0 = not a known
     * graft-commit header (unknown versions stay 0 on purpose — a reader
@@ -1444,6 +1468,13 @@ private[graft] object GraftCommitLog {
       s"commit-log entry $p is empty — an in-flight commit's claimed slot " +
         "(or a crashed writer's remainder)")
     val hv = headerVersion(lines)
+    // a first line that is a strict PREFIX of the current header is a
+    // read torn mid-header (the writer's first buffered bytes), not a
+    // foreign format — transient, like the empty-claim state above
+    if (hv == 0 && "graft-commit v7".startsWith(lines.head))
+      throw new IncompleteCommitException(
+        s"commit-log entry $p is torn mid-header — an in-flight commit or " +
+          "a crashed writer's remainder")
     require(hv >= 1, s"malformed commit-log entry $p")
     // v7 entries TERMINATE with `e <actionCount>`: a torn prefix (a
     // tailing reader racing the body write, or a crashed writer) is
@@ -1693,7 +1724,11 @@ private[graft] object GraftCommitLog {
     while (it.hasNext) {
       val v = it.next()
       if (rawVs.contains(v)) {
-        val s = entrySchemaStrict(fs, root, v)
+        // wait out an in-flight competitor's entry instead of aborting
+        // the commit that is validating against it
+        val s = retryInFlight(5000L)(
+          _.isInstanceOf[IncompleteCommitException])(
+          entrySchemaStrict(fs, root, v))
         if (s.isDefined) return s
       }
       if (ckVs.contains(v)) checkpointSchemaSignal(fs, root, v) match {
@@ -1727,11 +1762,22 @@ private[graft] object GraftCommitLog {
   } catch { case _: Exception => None }
 
   /** [[entrySchema]] but propagating IO failures (strict read, lenient
-    * parse) — see [[schemaAsOfStrict]].
+    * parse) — see [[schemaAsOfStrict]]. Also strict about COMPLETENESS:
+    * an in-flight v7 entry (no footer yet) must raise, not read as "no
+    * schema line here" — the walk would silently take an OLDER schema
+    * and the commit-time conflict policy would compare against a stale
+    * base.
     */
   private def entrySchemaStrict(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, version: Long): Option[StructType] = {
-    val (_, lines) = entryLines(fs, root, version)
+    val (p, lines) = entryLines(fs, root, version)
+    if (lines.isEmpty || (headerVersion(lines) == 0 &&
+        "graft-commit v7".startsWith(lines.head)))
+      throw new IncompleteCommitException(
+        s"commit-log entry $p is in-flight (empty or torn header)")
+    if (headerVersion(lines) >= 7 && !lines.last.startsWith("e "))
+      throw new IncompleteCommitException(
+        s"commit-log entry $p is in-flight (no terminating footer yet)")
     if (headerVersion(lines) < 3) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
   }
