@@ -1525,13 +1525,16 @@ private[graft] object GraftCommitLog {
     * where per-read latency dominates a long-history walk.
     */
   def entrySummary(fs: org.apache.hadoop.fs.FileSystem, root: Path,
-      version: Long): (Seq[LogAction], Option[String], Boolean) = {
-    val (p, lines) = entryLines(fs, root, version)
-    val op =
-      if (headerVersion(lines) < 6) None
-      else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
-    (parseActions(p, lines), op, lines.tail.exists(_.startsWith("s ")))
-  }
+      version: Long): (Seq[LogAction], Option[String], Boolean) =
+    // await-variant read: DESCRIBE HISTORY racing a committer can list
+    // its in-flight entry — wait the transient out like the folds do
+    retryInFlight(5000L)(_.isInstanceOf[IncompleteCommitException]) {
+      val (p, lines) = entryLines(fs, root, version)
+      val op =
+        if (headerVersion(lines) < 6) None
+        else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
+      (parseActions(p, lines), op, lines.tail.exists(_.startsWith("s ")))
+    }
 
   /** The entry's OPERATION tag (`o` line, v6) — currently "restore
     * <targetVersion>". None for untagged/older entries. Lenient like

@@ -157,4 +157,81 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ck = GraftCommitLog.checkpointStateAtOrBefore(fs, rootP, cv)
     assert(ck.map(_._2) === Some(GraftCommitLog.liveStateAsOf(fs, rootP, cv)))
   }
+
+  test("a LIVE followLog stream tails the table WHILE writers race it") {
+    // the torn-entry window is only reachable from a concurrent poller —
+    // this is the soak that exercises entryActionsTailing for real. The
+    // maintenance thread uses retainHistory=true (the documented
+    // stream-safe mode: retired originals stay on disk until the
+    // retention pass, exactly Delta's posture that VACUUM must respect
+    // reader horizons).
+    val d = root.resolve("soak_stream").toString
+    val s = spark
+    import s.implicits._
+    (0L until 500L).map(i => (i, s"seed$i")).toDF("id", "v")
+      .repartition(2).write.format("graft-json").mode("overwrite").save(d)
+
+    val ckptDir = Files.createTempDirectory("graft-contention-ckpt")
+    val q = s.readStream.format("graft-json").schema(schema)
+      .option("followlog", "true").option("skipchangecommits", "true")
+      .load(d)
+      .writeStream.format("memory").queryName("contention_stream")
+      .option("checkpointLocation", ckptDir.toString)
+      .start()
+
+    val committedAppends = new ConcurrentLinkedQueue[Long]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    def appender(t: Int): Runnable = () => try {
+      for (b <- 0 until 3) {
+        val base = 20000L + (t * 3 + b) * 50L
+        val ids = base until (base + 50L)
+        ids.map(i => (i, s"s$t-$b")).toDF("id", "v")
+          .repartition(1).write.format("graft-json").mode("append").save(d)
+        ids.foreach(committedAppends.add)
+      }
+    } catch { case e: Throwable => failures.add(e) }
+    def deleter(t: Int): Runnable = () => try {
+      for (k <- 0 until 3) {
+        val id = t + k * 100L
+        retryingOcc(s"sdel id=$id") {
+          TrainingData.deleteWhereDV(spark, d, schema, s"id = $id",
+            retainHistory = true)
+        }
+      }
+    } catch { case e: Throwable => failures.add(e) }
+    val maintenance: Runnable = () => try {
+      for (_ <- 0 until 2) {
+        retryingOcc("s-optimize") {
+          TrainingData.optimizeTable(spark, d, schema,
+            targetFileBytes = 1L << 20, retainHistory = true)
+        }
+        Thread.sleep(30L)
+      }
+    } catch { case e: Throwable => failures.add(e) }
+
+    val threads =
+      (0 until 6).map(t => new Thread(appender(t), s"s-appender-$t")) ++
+        (0 until 2).map(t => new Thread(deleter(t), s"s-deleter-$t")) :+
+        new Thread(maintenance, "s-maintenance")
+    try {
+      threads.foreach(_.start())
+      threads.foreach(_.join(600000L))
+      assert(failures.isEmpty, {
+        failures.forEach(_.printStackTrace())
+        s"writer failures: ${java.util.List.copyOf(failures)}"
+      })
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+
+    // every appended row delivered EXACTLY once (appends flow, change
+    // commits skip whole, the concurrent poller never double-admits)
+    val delivered = s.table("contention_stream").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val expected = ((0L until 500L) ++
+      java.util.List.copyOf(committedAppends).toArray.map(_.asInstanceOf[Long])).sorted
+    assert(delivered === expected,
+      s"delivered ${delivered.size}, expected ${expected.size}; " +
+        s"missing=${expected.diff(delivered).take(5)} dup/extra=${delivered.diff(expected).take(5)}")
+  }
 }
