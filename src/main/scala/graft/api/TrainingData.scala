@@ -710,7 +710,14 @@ object TrainingData {
     * `retainHistory = false` (default) also physically deletes the
     * retired files, so un-pinned raw-listing reads are immediately
     * correct; older snapshots then fail loudly (protocol strictness)
-    * rather than read deleted rows. `retainHistory = true` keeps every
+    * rather than read deleted rows. Immediate reclaim has NO READER
+    * HORIZON: a concurrent snapshot-pinned scan (another session's
+    * read, a racing deleteWhereDV's phase-1, a stream that admitted the
+    * file but has not read it) can lose its file mid-scan. Maintenance
+    * that runs while readers are live belongs on `retainHistory = true`
+    * with an age-based [[expireRetired]] pass — the Delta
+    * VACUUM-retention posture (CommitLogContentionSpec soaks exactly
+    * this mode). `retainHistory = true` keeps every
     * snapshot readable — un-pinned readers must then pin
     * `versionAsOf` latest (raw listings still see retired files); run
     * [[expireRetired]] later to reclaim them.

@@ -72,7 +72,15 @@ object GraftLogStore {
         if (!f.createNewFile())
           throw new java.io.IOException(
             s"already exists (lost the claim race): $path")
-        fs.create(path, true)
+        try fs.create(path, true)
+        catch { case e: Throwable =>
+          // the claim is OURS — failing to open the content stream must
+          // not leave a 0-byte entry poisoning every later fold (the
+          // commit loop reads a create-time IOException as a lost race
+          // and would walk away from it)
+          try f.delete() catch { case _: Throwable => () }
+          throw e
+        }
       } else fs.create(path, false)
     override def publish(fs: FileSystem, tmp: Path, target: Path,
         overwrite: Boolean): Unit = {

@@ -1421,16 +1421,24 @@ private[graft] object GraftCommitLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** [[entryActions]] waiting out an IN-FLIGHT competitor's entry
-    * (detectably incomplete: empty claim, torn header, missing v7
-    * footer): the state a commit-time validation fold or a snapshot read
-    * racing a writer observes. Malformed/corrupt entries stay
-    * instantly loud.
+  /** The transient read states a CONCURRENT writer exposes: a detectably
+    * incomplete entry (empty claim, torn header/footer), or torn IO on a
+    * file mid-write (ChecksumException from a lagging crc stream, EOF
+    * mid-slurp — IOExceptions). Malformed entries (unknown lines under a
+    * complete footer) stay instantly loud.
+    */
+  private def inFlightState(e: Throwable): Boolean =
+    e.isInstanceOf[IncompleteCommitException] ||
+      e.isInstanceOf[java.io.IOException]
+
+  /** [[entryActions]] waiting out an IN-FLIGHT competitor's entry: the
+    * state a commit-time validation fold or a snapshot read racing a
+    * writer observes. A state that persists past the grace (crashed
+    * writer, real corruption, a genuinely missing entry) rethrows.
     */
   def entryActionsAwait(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long, graceMs: Long = 5000L): Seq[LogAction] =
-    retryInFlight(graceMs)(_.isInstanceOf[IncompleteCommitException])(
-      entryActions(fs, root, version))
+    retryInFlight(graceMs)(inFlightState)(entryActions(fs, root, version))
 
   /** [[entryActions]] for a TAILING reader (followLog admission): a
     * continuously-polling stream can list a version whose entry is
@@ -1444,9 +1452,7 @@ private[graft] object GraftCommitLog {
     */
   def entryActionsTailing(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long, graceMs: Long = 5000L): Seq[LogAction] =
-    retryInFlight(graceMs)(e => e.isInstanceOf[IncompleteCommitException] ||
-        e.isInstanceOf[java.io.IOException])(
-      entryActions(fs, root, version))
+    retryInFlight(graceMs)(inFlightState)(entryActions(fs, root, version))
 
   /** A commit-entry header's protocol version; 0 = not a known
     * graft-commit header (unknown versions stay 0 on purpose — a reader
@@ -1507,14 +1513,19 @@ private[graft] object GraftCommitLog {
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
     if (hv >= 7) {
-      // footer present but wrong: NOT a tear (the footer is written last,
-      // so its presence proves the whole body landed) — real corruption
+      // an unparsable or wrong-count footer is indistinguishable from a
+      // read torn INSIDE the footer line itself ('e 12' seen as 'e 1'),
+      // so it classifies as incomplete — retriable within the grace;
+      // genuine corruption still fails loudly once the grace expires
       val declared = try lines.last.substring(2).trim.toLong
         catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"malformed commit-log footer in $p: ${lines.last}") }
-      require(declared == acts.length,
-        s"commit-log entry $p declares $declared actions but carries " +
-          s"${acts.length} — corrupt entry")
+          throw new IncompleteCommitException(
+            s"commit-log entry $p has an unparsable footer " +
+              s"'${lines.last}' — a read torn mid-footer, or corruption") }
+      if (declared != acts.length)
+        throw new IncompleteCommitException(
+          s"commit-log entry $p declares $declared actions but carries " +
+            s"${acts.length} — a read torn mid-footer, or corruption")
     }
     acts
   }
@@ -1528,7 +1539,7 @@ private[graft] object GraftCommitLog {
       version: Long): (Seq[LogAction], Option[String], Boolean) =
     // await-variant read: DESCRIBE HISTORY racing a committer can list
     // its in-flight entry — wait the transient out like the folds do
-    retryInFlight(5000L)(_.isInstanceOf[IncompleteCommitException]) {
+    retryInFlight(5000L)(inFlightState) {
       val (p, lines) = entryLines(fs, root, version)
       val op =
         if (headerVersion(lines) < 6) None
@@ -1729,8 +1740,7 @@ private[graft] object GraftCommitLog {
       if (rawVs.contains(v)) {
         // wait out an in-flight competitor's entry instead of aborting
         // the commit that is validating against it
-        val s = retryInFlight(5000L)(
-          _.isInstanceOf[IncompleteCommitException])(
+        val s = retryInFlight(5000L)(inFlightState)(
           entrySchemaStrict(fs, root, v))
         if (s.isDefined) return s
       }

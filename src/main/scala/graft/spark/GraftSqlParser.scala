@@ -37,11 +37,14 @@ import org.apache.spark.sql.types._
   * from its commit log's recorded schema and its data format from the
   * live files (or, for an emptied table, from the log's write history) —
   * exactly the tables maintenance applies to (only graft batch sinks
-  * write the log). Name-addressed statements with a graft-only verb
-  * (DESCRIBE HISTORY, RESTORE, OPTIMIZE, VACUUM, REORG) fail loudly when
-  * the name is not a graft catalog table; verbs Spark itself parses
-  * (UPDATE, MERGE, ALTER) delegate instead, so non-graft tables keep
-  * Spark's own behavior. `DELETE FROM name` is deliberately NOT
+  * write the log). A name that resolves to a NON-graft table (another
+  * provider, a temp view) always delegates — another installed parser
+  * extension, or Spark itself, gets to handle its own table; a name
+  * that resolves to NOTHING makes the graft-only verbs (DESCRIBE
+  * HISTORY, RESTORE, OPTIMIZE, VACUUM, REORG) refuse with a targeted
+  * message (a typo should not surface as a bare Spark syntax error),
+  * while verbs Spark parses (UPDATE, MERGE, ALTER) delegate to Spark's
+  * own resolution errors. `DELETE FROM name` is deliberately NOT
   * intercepted: it already plans through Spark's DSv2 `SupportsDelete`
   * hook (GraftDeleteSupport) — shadowing a native path with a parser
   * rewrite would hide that surface. Everything routes
@@ -67,30 +70,51 @@ object GraftMaintenanceSql {
     */
   private[spark] case class Target(dir: String, ident: Option[TableIdentifier])
 
+  /** How a name-form operand resolved against the session catalog. */
+  sealed trait CatalogLookup
+  object CatalogLookup {
+    /** A graft-provider table with a location — ours. */
+    final case class Graft(dir: String, ident: TableIdentifier) extends CatalogLookup
+    /** The name EXISTS but is not a graft table (another provider, a
+      * temp view, a location-less table): DELEGATE even for graft-only
+      * verbs, so another installed parser extension (or Spark's own
+      * error) gets to handle its table — never pre-empt someone else's
+      * valid statement.
+      */
+    case object NotGraft extends CatalogLookup
+    /** Nothing by that name: graft-only verbs refuse with a targeted
+      * message (a typo'd DESCRIBE HISTORY should not surface as a
+      * bare Spark syntax error).
+      */
+    case object Missing extends CatalogLookup
+  }
+
   /** Try `sqlText` as a graft maintenance statement; None = not ours,
     * hand it to the delegate parser. Path-only overload (tests, tools).
     */
-  def parse(sqlText: String): Option[LogicalPlan] = parse(sqlText, _ => None)
+  def parse(sqlText: String): Option[LogicalPlan] =
+    parse(sqlText, _ => CatalogLookup.Missing)
 
-  /** `resolveCatalog` maps a name-form table operand (identifier parts)
-    * to (storage dir, catalog identifier); None = not a graft catalog
-    * table, so the statement is either refused (graft-only verbs) or
-    * delegated (verbs Spark itself can parse).
+  /** `resolveCatalog` classifies a name-form table operand (identifier
+    * parts) — see [[CatalogLookup]] for how each outcome routes.
     */
   def parse(sqlText: String,
-      resolveCatalog: Seq[String] => Option[(String, TableIdentifier)])
+      resolveCatalog: Seq[String] => CatalogLookup)
       : Option[LogicalPlan] = {
     val t = sqlText.trim.stripSuffix(";").trim
     def ref(raw: String, verb: String, graftOnly: Boolean): Option[Target] =
       if (raw.startsWith("'"))
         Some(Target(unquote(raw.substring(1, raw.length - 1)), None))
       else resolveCatalog(identParts(raw)) match {
-        case Some((dir, id)) => Some(Target(dir, Some(id)))
-        case None if graftOnly => throw new IllegalArgumentException(
-          s"$verb: $raw is not a graft-provider table in the session catalog " +
-            "(CREATE TABLE ... USING graft-json/graft-csv/graft-avro) — " +
-            s"address an unregistered table by path: $verb '<dir>' ...")
-        case None => None
+        case CatalogLookup.Graft(dir, id) => Some(Target(dir, Some(id)))
+        case CatalogLookup.NotGraft => None // someone else's table: delegate
+        case CatalogLookup.Missing if graftOnly =>
+          throw new IllegalArgumentException(
+            s"$verb: $raw does not name a table in the session catalog " +
+              "(graft tables register via CREATE TABLE ... USING " +
+              "graft-json/graft-csv/graft-avro) — address an unregistered " +
+              s"table by path: $verb '<dir>' ...")
+        case CatalogLookup.Missing => None
       }
     describeHistoryRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "DESCRIBE HISTORY", graftOnly = true)
@@ -137,11 +161,11 @@ object GraftMaintenanceSql {
   /** Session-catalog resolver for name-form operands: a 1–2 part
     * (optionally `spark_catalog`-qualified) identifier naming a
     * graft-provider table resolves to its storage location. Temp views,
-    * missing tables, tables without a location, and non-graft providers
-    * all resolve to None.
+    * non-graft providers, and location-less tables classify NotGraft
+    * (delegate); an unresolvable name classifies Missing.
     */
   def catalogResolver(session: SparkSession)(
-      parts0: Seq[String]): Option[(String, TableIdentifier)] = {
+      parts0: Seq[String]): CatalogLookup = {
     val parts =
       if (parts0.length == 3 && parts0.head.equalsIgnoreCase("spark_catalog"))
         parts0.tail
@@ -149,21 +173,23 @@ object GraftMaintenanceSql {
     val ident = parts match {
       case Seq(t1) => TableIdentifier(t1)
       case Seq(db, t1) => TableIdentifier(t1, Some(db))
-      case _ => return None
+      case _ => return CatalogLookup.Missing
     }
     val cat = session.sessionState.catalog
     // a temp view shadowing the name is never a maintenance target
-    if (cat.getLocalOrGlobalTempView(parts).isDefined) return None
-    if (!cat.tableExists(ident)) return None
+    if (cat.getLocalOrGlobalTempView(parts).isDefined) return CatalogLookup.NotGraft
+    if (!cat.tableExists(ident)) return CatalogLookup.Missing
     val meta = cat.getTableMetadata(ident)
     val isGraft = meta.provider.exists(p =>
       stripTicks(p.trim).toLowerCase(java.util.Locale.ROOT).startsWith("graft-"))
-    if (!isGraft) None
-    else meta.storage.locationUri.map { loc =>
-      val dir =
-        if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
-        else loc.toString
-      (dir, ident)
+    if (!isGraft) CatalogLookup.NotGraft
+    else meta.storage.locationUri match {
+      case Some(loc) =>
+        val dir =
+          if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+          else loc.toString
+        CatalogLookup.Graft(dir, ident)
+      case None => CatalogLookup.NotGraft
     }
   }
 
@@ -380,7 +406,7 @@ object GraftMaintenanceSql {
       val fromLive = live.flatMap(fmtOf)
       if (fromLive.nonEmpty) fromLive
       else vs.iterator.flatMap(v =>
-        GraftCommitLog.entryActions(fs, root, v).iterator
+        GraftCommitLog.entryActionsAwait(fs, root, v).iterator
           .filter(_.add).map(_.path).flatMap(fmtOf)).toSet
     }
     val format: Option[String] = fmts.toList match {
@@ -497,8 +523,12 @@ object GraftMaintenanceSql {
     graft.api.TrainingData.tableSchema(s, tg.dir).foreach { recorded =>
       val cat = s.sessionState.catalog
       val meta = cat.getTableMetadata(id)
-      val partCols = meta.partitionColumnNames.toSet
-      val dataFields = recorded.fields.filterNot(f => partCols.contains(f.name))
+      // Spark resolves identifiers case-insensitively: match likewise, or
+      // a case-drifted layout column would land in the schema twice
+      val partCols = meta.partitionColumnNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val dataFields = recorded.fields.filterNot(f =>
+        partCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
       cat.alterTable(meta.copy(
         schema = StructType(dataFields ++ meta.partitionSchema.fields)))
     }

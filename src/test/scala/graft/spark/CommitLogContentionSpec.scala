@@ -96,14 +96,21 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     } catch { case e: Throwable => failures.add(e) }
 
     // maintenance thread: compaction + purge rewrites racing everyone —
-    // row-preserving, so the model ignores them; the protocol must too
+    // row-preserving, so the model ignores them; the protocol must too.
+    // retainHistory=true is the ONLINE maintenance mode: immediate
+    // physical reclaim (retainHistory=false) has no reader horizon, so a
+    // concurrent snapshot-pinned read can lose its file mid-scan — the
+    // retention pass (expireRetired) ages retired files out later,
+    // exactly Delta's VACUUM-retention posture
     val maintenance: Runnable = () => try {
       for (_ <- 0 until 2) {
         retryingOcc("optimize") {
-          TrainingData.optimizeTable(spark, d, schema, targetFileBytes = 1L << 20)
+          TrainingData.optimizeTable(spark, d, schema,
+            targetFileBytes = 1L << 20, retainHistory = true)
         }
         retryingOcc("purge") {
-          TrainingData.materializeDeletes(spark, d, schema)
+          TrainingData.materializeDeletes(spark, d, schema,
+            retainHistory = true)
         }
         Thread.sleep(50L)
       }

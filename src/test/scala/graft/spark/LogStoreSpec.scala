@@ -310,14 +310,15 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         GraftCommitLog.entryActions(fs, rootP, 0L)
       }
       assert(e2.getMessage.contains("in-flight"), e2.getMessage)
-      // footer present but count wrong = corruption (footer is last, so
-      // its presence proves the body landed): loud, NOT incomplete
+      // footer with a wrong count: indistinguishable from a read torn
+      // INSIDE the footer digits ('e 12' seen as 'e 1'), so it classifies
+      // incomplete — retriable within the grace, loud once it persists
       val corrupted = (lines.init :+ "e 99").mkString("", "\n", "\n")
       writeBytes(fs, p, corrupted.getBytes("UTF-8"))
-      val e3 = intercept[IllegalArgumentException] {
+      val e3 = intercept[IncompleteCommitException] {
         GraftCommitLog.entryActions(fs, rootP, 0L)
       }
-      assert(e3.getMessage.contains("corrupt"), e3.getMessage)
+      assert(e3.getMessage.contains("torn mid-footer"), e3.getMessage)
     } finally writeBytes(fs, p, full.getBytes("UTF-8"))
     // restored: parses, and the footer is not an action
     assert(GraftCommitLog.entryActions(fs, rootP, 0L).forall(_.add))

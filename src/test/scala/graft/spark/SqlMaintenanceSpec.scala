@@ -442,33 +442,37 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE IF EXISTS graft_nma")
   }
 
-  test("graft-only verbs refuse non-graft names; Spark verbs delegate") {
+  test("existing non-graft names delegate; missing names refuse targeted") {
     spark.sql("DROP TABLE IF EXISTS plain_pq")
     spark.sql(s"CREATE TABLE plain_pq (id BIGINT) USING parquet " +
       s"LOCATION '${dir("plain_pq")}'")
     try {
-      // graft-only verb on a non-graft table: loud refusal at parse
-      val e = intercept[IllegalArgumentException] {
+      // a name that EXISTS as someone else's table delegates — another
+      // parser extension (Delta, say) must get to handle its own tables;
+      // here the delegate is Spark, whose parser rejects the verb
+      val e = intercept[Exception] {
         spark.sql("DESCRIBE HISTORY plain_pq").collect()
       }
-      assert(e.getMessage.contains("graft-provider"), e.getMessage)
-      // ... and on a missing table
+      assert(!e.getMessage.contains("graft"), e.getMessage)
+      // a MISSING name refuses with the targeted message (a typo must
+      // not surface as a bare syntax error)
       val e2 = intercept[IllegalArgumentException] {
         spark.sql("OPTIMIZE no_such_table_xyz").collect()
       }
-      assert(e2.getMessage.contains("graft-provider"), e2.getMessage)
+      assert(e2.getMessage.contains("does not name a table"), e2.getMessage)
       // Spark-parseable verb on a non-graft table: delegates (Spark's own
       // error, not our refusal)
       val e3 = intercept[Exception] {
         spark.sql("UPDATE plain_pq SET id = 1 WHERE id = 2").collect()
       }
-      assert(!e3.getMessage.contains("graft-provider"), e3.getMessage)
-      // a temp view shadowing a name is never a maintenance target
+      assert(!e3.getMessage.contains("graft"), e3.getMessage)
+      // a temp view shadowing a name is never a maintenance target:
+      // delegates like any other non-graft name
       spark.range(3).createOrReplaceTempView("shadow_v")
-      val e4 = intercept[IllegalArgumentException] {
+      val e4 = intercept[Exception] {
         spark.sql("VACUUM shadow_v").collect()
       }
-      assert(e4.getMessage.contains("graft-provider"), e4.getMessage)
+      assert(!e4.getMessage.contains("graft"), e4.getMessage)
       spark.catalog.dropTempView("shadow_v")
     } finally spark.sql("DROP TABLE IF EXISTS plain_pq")
   }
