@@ -994,6 +994,7 @@ private[graft] object GraftCommitLog {
 
     var v = base.map(_ + 1).getOrElse(0L)
     var attempts = 0
+    var lastCreateFailure: Throwable = null
     while (attempts < 64) {
       val entry = new Path(dir, f"$v%020d")
       // resolve the body (and the schema-conflict policy) BEFORE taking
@@ -1009,7 +1010,8 @@ private[graft] object GraftCommitLog {
         // "Storage primitives"): the ONE primitive concurrent commit
         // serialization rests on
         try GraftLogStore.forConf(conf).createAtomic(fs, entry)
-        catch { case _: java.io.IOException =>
+        catch { case ce: java.io.IOException =>
+          lastCreateFailure = ce
           if (needState) {
             val vs = versions(fs, rootPath)
             val delta = vs.filter(x => x >= v)
@@ -1032,7 +1034,14 @@ private[graft] object GraftCommitLog {
             }
             validate()
             v = vs.lastOption.map(_ + 1).getOrElse(v + 1)
-          } else v += 1
+          } else {
+            // recompute from the LISTING, never a blind bump: if our own
+            // claim failed and was cleaned up (nothing exists at v), the
+            // retry must reuse v — a blind v+1 would leave a silent
+            // version hole, and a hole at 0 makes the table unreadable
+            // to followLog forever (history "starts at 1, no checkpoint")
+            v = versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(0L)
+          }
           attempts += 1
           null
         }
@@ -1050,7 +1059,9 @@ private[graft] object GraftCommitLog {
       }
     }
     throw new java.io.IOException(
-      s"commit log under $root: could not allocate a version after 64 attempts")
+      s"commit log under $root: could not allocate a version after 64 " +
+        "attempts (last failure attached — a persistent create failure " +
+        "looks like an endless lost race)", lastCreateFailure)
   }
 
   /** Auto-checkpoint hook on the commit path: every `interval` commits,
@@ -1421,20 +1432,22 @@ private[graft] object GraftCommitLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** The transient read states a CONCURRENT writer exposes: a detectably
-    * incomplete entry (empty claim, torn header/footer), or torn IO on a
-    * file mid-write (ChecksumException from a lagging crc stream, EOF
-    * mid-slurp — IOExceptions). Malformed entries (unknown lines under a
-    * complete footer) stay instantly loud.
+  /** The transient read states a CONCURRENT writer's body write exposes:
+    * a detectably incomplete entry (empty claim, torn header/footer), or
+    * torn IO on the file mid-write (ChecksumException from a lagging crc
+    * stream, EOF mid-slurp). Deliberately NOT generic IOException:
+    * a genuinely missing entry or an auth/connection failure should
+    * surface immediately on these paths, not after the grace.
     */
   private def inFlightState(e: Throwable): Boolean =
     e.isInstanceOf[IncompleteCommitException] ||
-      e.isInstanceOf[java.io.IOException]
+      e.isInstanceOf[org.apache.hadoop.fs.ChecksumException] ||
+      e.isInstanceOf[java.io.EOFException]
 
   /** [[entryActions]] waiting out an IN-FLIGHT competitor's entry: the
     * state a commit-time validation fold or a snapshot read racing a
     * writer observes. A state that persists past the grace (crashed
-    * writer, real corruption, a genuinely missing entry) rethrows.
+    * writer, real corruption) rethrows.
     */
   def entryActionsAwait(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long, graceMs: Long = 5000L): Seq[LogAction] =
@@ -1446,13 +1459,16 @@ private[graft] object GraftCommitLog {
     * put-if-absent create and the body write are two steps (an
     * object-store conditional put publishes both at once). Besides the
     * in-flight states [[entryActionsAwait]] rides out, a tail also
-    * retries torn-IO reads (checksum lag on a file being written, EOF
-    * mid-slurp) and the claim-cleanup window (a failed writer deletes
-    * its claimed slot; the next committer re-claims the same number).
+    * retries generic IOExceptions: the claim-cleanup window (a failed
+    * writer deletes its claimed slot and the next committer re-claims
+    * the same number — a FileNotFound the poll simply outwaits) and
+    * whatever a store surfaces for reads racing its own publishes.
     */
   def entryActionsTailing(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       version: Long, graceMs: Long = 5000L): Seq[LogAction] =
-    retryInFlight(graceMs)(inFlightState)(entryActions(fs, root, version))
+    retryInFlight(graceMs)(e =>
+      inFlightState(e) || e.isInstanceOf[java.io.IOException])(
+      entryActions(fs, root, version))
 
   /** A commit-entry header's protocol version; 0 = not a known
     * graft-commit header (unknown versions stay 0 on purpose — a reader
@@ -1513,19 +1529,23 @@ private[graft] object GraftCommitLog {
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
     if (hv >= 7) {
-      // an unparsable or wrong-count footer is indistinguishable from a
-      // read torn INSIDE the footer line itself ('e 12' seen as 'e 1'),
-      // so it classifies as incomplete — retriable within the grace;
-      // genuine corruption still fails loudly once the grace expires
+      // a tear INSIDE the footer line truncates its digits, so the seen
+      // count is a decimal prefix of the true one — always SMALLER (or
+      // unparsable). declared < acts therefore classifies incomplete
+      // (retriable within the grace; persists -> loud); declared > acts
+      // cannot come from a tear and is instant corruption.
       val declared = try lines.last.substring(2).trim.toLong
         catch { case _: NumberFormatException =>
           throw new IncompleteCommitException(
             s"commit-log entry $p has an unparsable footer " +
-              s"'${lines.last}' — a read torn mid-footer, or corruption") }
-      if (declared != acts.length)
+              s"'${lines.last}' — a read torn mid-footer") }
+      if (declared < acts.length)
         throw new IncompleteCommitException(
           s"commit-log entry $p declares $declared actions but carries " +
-            s"${acts.length} — a read torn mid-footer, or corruption")
+            s"${acts.length} — a read torn mid-footer")
+      require(declared == acts.length,
+        s"commit-log entry $p declares $declared actions but carries " +
+          s"${acts.length} — corrupt entry")
     }
     acts
   }

@@ -173,7 +173,9 @@ object GraftMaintenanceSql {
     val ident = parts match {
       case Seq(t1) => TableIdentifier(t1)
       case Seq(db, t1) => TableIdentifier(t1, Some(db))
-      case _ => return CatalogLookup.Missing
+      // a 3-part name under a DIFFERENT catalog is someone else's table
+      // — delegate, never pre-empt another extension's valid statement
+      case _ => return CatalogLookup.NotGraft
     }
     val cat = session.sessionState.catalog
     // a temp view shadowing the name is never a maintenance target
@@ -385,8 +387,12 @@ object GraftMaintenanceSql {
     val listing = GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)))
+    // the session resolver, so a case-drifted layout column never lands
+    // in the data DDL twice (nor gets dropped under caseSensitive=true)
+    val resolver = spark.sessionState.conf.resolver
     val ddl = StructType(
-      recorded.fields.filterNot(f => listing.partCols.contains(f.name))).toDDL
+      recorded.fields.filterNot(f =>
+        listing.partCols.exists(resolver(_, f.name)))).toDDL
     val live = GraftCommitLog.liveFilesAsOf(fs, root, vs.max)
     def stripCodec(n0: String): String = {
       val n = n0.toLowerCase(java.util.Locale.ROOT)
@@ -523,12 +529,12 @@ object GraftMaintenanceSql {
     graft.api.TrainingData.tableSchema(s, tg.dir).foreach { recorded =>
       val cat = s.sessionState.catalog
       val meta = cat.getTableMetadata(id)
-      // Spark resolves identifiers case-insensitively: match likewise, or
-      // a case-drifted layout column would land in the schema twice
-      val partCols = meta.partitionColumnNames
-        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      // the session resolver (case-insensitive by default, exact under
+      // spark.sql.caseSensitive=true), or a case-drifted layout column
+      // would duplicate — or a legitimately distinct one vanish
+      val resolver = s.sessionState.conf.resolver
       val dataFields = recorded.fields.filterNot(f =>
-        partCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+        meta.partitionColumnNames.exists(resolver(_, f.name)))
       cat.alterTable(meta.copy(
         schema = StructType(dataFields ++ meta.partitionSchema.fields)))
     }

@@ -310,15 +310,23 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         GraftCommitLog.entryActions(fs, rootP, 0L)
       }
       assert(e2.getMessage.contains("in-flight"), e2.getMessage)
-      // footer with a wrong count: indistinguishable from a read torn
-      // INSIDE the footer digits ('e 12' seen as 'e 1'), so it classifies
-      // incomplete — retriable within the grace, loud once it persists
-      val corrupted = (lines.init :+ "e 99").mkString("", "\n", "\n")
-      writeBytes(fs, p, corrupted.getBytes("UTF-8"))
+      // a footer declaring FEWER actions than the body carries is what a
+      // read torn inside the footer digits looks like ('e 12' seen as
+      // 'e 1'): incomplete, retriable within the grace
+      val tornFooter = (lines.init :+ "e 1").mkString("", "\n", "\n")
+      writeBytes(fs, p, tornFooter.getBytes("UTF-8"))
       val e3 = intercept[IncompleteCommitException] {
         GraftCommitLog.entryActions(fs, rootP, 0L)
       }
       assert(e3.getMessage.contains("torn mid-footer"), e3.getMessage)
+      // declaring MORE than the body carries cannot come from a tear
+      // (digits truncate to a smaller prefix): instant corruption
+      val corrupted = (lines.init :+ "e 99").mkString("", "\n", "\n")
+      writeBytes(fs, p, corrupted.getBytes("UTF-8"))
+      val e4 = intercept[IllegalArgumentException] {
+        GraftCommitLog.entryActions(fs, rootP, 0L)
+      }
+      assert(e4.getMessage.contains("corrupt"), e4.getMessage)
     } finally writeBytes(fs, p, full.getBytes("UTF-8"))
     // restored: parses, and the footer is not an action
     assert(GraftCommitLog.entryActions(fs, rootP, 0L).forall(_.add))
