@@ -3022,6 +3022,44 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 450 ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q224
+  // DESCRIBE DETAIL (round 12): the Delta table-metadata verb — one row
+  // of format / latest version / live files / attached deletion vectors
+  // / partition columns / recorded data DDL, answered METADATA-ONLY
+  // (the live set folds from the log; byte sizes ride the directory
+  // walk planning already does — no data file opens). At 100 TB this is
+  // the first command an operator runs against an unfamiliar table; it
+  // must not cost a scan. Size_bytes and location are host/run-specific,
+  // so the gate pins the deterministic columns and asserts the rest's
+  // invariants inline.
+  private val q224 = GQuery(
+    "q224_sql_describe_detail",
+    "DESCRIBE DETAIL: metadata-only table facts (format/version/files/dvs/partitions/DDL)",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/sql_detail"
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal",
+          $"c_mktsegment".as("segment"))
+        .filter($"c_custkey" < 400)
+        .repartition(2)
+        .write.format("graft-json").option("partitionby", "segment")
+        .mode("overwrite").save(dir)                                  // v0
+      graft.api.TrainingData.deleteWhereDV(s, dir,
+        "c_custkey BIGINT, c_acctbal DOUBLE", "c_custkey = 11")       // v1
+      val row = s.sql(s"DESCRIBE DETAIL '$dir'").collect().head
+      require(row.getString(1) == dir, "location echoes the path")
+      require(row.getLong(5) > 0L, "live bytes > 0")
+      s.sql(s"DESCRIBE DETAIL '$dir'")
+        .select($"format", $"version", $"num_files",
+          $"num_deletion_vectors", $"partition_columns", $"schema_ddl")
+    },
+    Some("""SELECT 'graft-json' AS format, CAST(1 AS BIGINT) AS version,
+                   CAST(10 AS BIGINT) AS num_files,
+                   CAST(1 AS BIGINT) AS num_deletion_vectors,
+                   'segment' AS partition_columns,
+                   'c_custkey BIGINT,c_acctbal DOUBLE' AS schema_ddl"""))
+
   // ---------------------------------------------------------------- q222
   // Maintenance verbs by CATALOG NAME (round 12): the q219 lifecycle,
   // addressed through the session catalog instead of the path dialect —
@@ -3086,5 +3124,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
   *
   * {{{
   *   DESCRIBE HISTORY <table>
+  *   DESCRIBE DETAIL <table>
   *   RESTORE TABLE <table> TO VERSION AS OF <n>
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF <epochMillis>
   *   OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (c, ...)]
@@ -119,7 +120,10 @@ object GraftMaintenanceSql {
     describeHistoryRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "DESCRIBE HISTORY", graftOnly = true)
         .map(tg => history(tg.dir))
-    }.orElse(restoreVersionRe.findFirstMatchIn(t).flatMap { m =>
+    }.orElse(describeDetailRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "DESCRIBE DETAIL", graftOnly = true)
+        .map(tg => detail(tg.dir))
+    }).orElse(restoreVersionRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "RESTORE TABLE", graftOnly = true)
         .map(tg => restore(tg.dir, Left(m.group(2).toLong)))
     }).orElse(restoreTimestampRe.findFirstMatchIn(t).flatMap { m =>
@@ -225,6 +229,8 @@ object GraftMaintenanceSql {
   private val R = s"""('(?:[^']|'')+'|$IPART(?:\\.$IPART){0,2})"""
   private val describeHistoryRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$R\\s*$$""".r
+  private val describeDetailRe =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$R\\s*$$""".r
   private val restoreVersionRe =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$R\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
   private val restoreTimestampRe =
@@ -440,6 +446,46 @@ object GraftMaintenanceSql {
       StructField("n_dvs", LongType, nullable = false),
       StructField("schema_recorded", LongType, nullable = false)))),
       s => graft.api.TrainingData.tableHistory(s, dir).collect().toSeq)
+
+  /** `DESCRIBE DETAIL` — the Delta table-metadata verb: one row of
+    * format / location / latest version / live-file count / attached
+    * deletion vectors / live bytes / partition columns / recorded data
+    * DDL. Metadata-only: the live set folds from the log and byte sizes
+    * come from the SAME directory walk planning already does — no data
+    * file is opened.
+    */
+  private def detail(dir: String): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_deletion_vectors", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("partition_columns", StringType, nullable = false),
+      StructField("schema_ddl", StringType, nullable = false)))),
+      s => {
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val vs = GraftCommitLog.versions(fs, root)
+        require(vs.nonEmpty,
+          s"DESCRIBE DETAIL addresses graft-logged tables; no commit log under $dir")
+        val state = GraftCommitLog.liveStateAsOf(fs, root, vs.max)
+        val (ddl, format) = resolveTable(s, dir)
+        val listing = GraftSources.resolvePartitioned(
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Map.of("path", dir)))
+        val rootQ = fs.makeQualified(root).toString
+        val live = state.keySet
+        val size = listing.files.iterator
+          .filter { f =>
+            val rel = f.path.stripPrefix(rootQ).stripPrefix("/")
+            live.contains(rel)
+          }.map(_.len).sum
+        Seq(Row(format.getOrElse("none"), dir, vs.max, state.size.toLong,
+          state.valuesIterator.count(_ != null).toLong, size,
+          listing.partCols.mkString(","), ddl))
+      })
 
   private def restore(dir: String, target: Either[Long, Long]): LogicalPlan =
     GraftMaintenanceCommand(attrs(StructType(Seq(

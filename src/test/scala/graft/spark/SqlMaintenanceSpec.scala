@@ -477,6 +477,37 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE IF EXISTS plain_pq")
   }
 
+  test("DESCRIBE DETAIL: format/version/files/dvs/bytes/partitions, by path and by name") {
+    val d = dir("detail")
+    writeTable(d, n = 60L, parts = 3)                               // v0
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 7")          // v1: 1 dv
+    val row = spark.sql(s"DESCRIBE DETAIL '$d'").collect().head
+    assert(row.getString(0) === "graft-json")
+    assert(row.getLong(2) === 1L, "latest version")
+    assert(row.getLong(3) === 3L, "live files")
+    assert(row.getLong(4) === 1L, "one attached deletion vector")
+    assert(row.getLong(5) > 0L, "live bytes")
+    assert(row.getString(6) === "", "unpartitioned")
+    assert(row.getString(7).contains("id BIGINT"))
+    // by catalog name: same row, location resolved from the catalog
+    createCatalogTable("graft_detail_nm", d)
+    try {
+      val byName = spark.sql("DESCRIBE DETAIL graft_detail_nm").collect().head
+      assert(byName === row)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_detail_nm")
+    // partitioned layout reports its k=v columns
+    val dp = dir("detail_part")
+    val s = spark
+    import s.implicits._
+    (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "seg")
+      .write.format("graft-json").option("partitionby", "seg")
+      .mode("overwrite").save(dp)
+    val prow = spark.sql(s"DESCRIBE DETAIL '$dp'").collect().head
+    assert(prow.getString(6) === "seg")
+    assert(!prow.getString(7).contains("seg"),
+      "layout k=v columns stay out of the data DDL")
+  }
+
   test("emptied table keeps its format lane (log write history)") {
     val d = dir("emptied_avro")
     writeTable(d, n = 20L, format = "graft-avro")                    // v0
