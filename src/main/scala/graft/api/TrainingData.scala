@@ -1406,6 +1406,80 @@ object TrainingData {
           "table schema (TrainingData.tableSchema(spark, dir) shows it)")
     }
 
+  /** DEEP CLONE: copy the PINNED snapshot of `src` to `dst` — the live
+    * data files (relative layout preserved, hive k=v directories
+    * included), their deletion-vector artifacts, and their stats
+    * sidecars — then commit ONE fresh version-0 entry at `dst` carrying
+    * the recorded schema, the adds, and the mask attachments (the
+    * RESTORE re-pin shape: `f` precedes `d`). The fork is fully
+    * independent afterwards — own log, own files, own history — which
+    * is the corpus-forking operation a training pipeline runs to pin an
+    * experiment's input while the source keeps ingesting (Delta's
+    * CLONE, deep form; a SHALLOW clone is impossible by design here —
+    * the log stores root-relative paths only, so a table directory
+    * stays self-contained and movable).
+    *
+    * File bytes copy ON EXECUTORS (one Spark task per slice of the copy
+    * list) — the driver moves names, never bytes; at 100 TB the copy is
+    * a cluster job, not a driver loop. Sidecars ride along when present
+    * (attempted per file on the executor; absence is not an error), so
+    * the clone keeps its stats/bloom/block acceleration without a
+    * rebuild. The per-directory manifests are NOT copied — they are a
+    * derived cache the first maintenance pass at `dst` regenerates.
+    *
+    * `versionAsOf` pins an older snapshot (default: latest). `dst` must
+    * not exist or be empty. Returns the version committed at `dst` (0).
+    */
+  def cloneTable(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, versionAsOf: Option[Long] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new Path(src)
+    val fs = srcRoot.getFileSystem(hconf)
+    val vs = graft.spark.GraftCommitLog.versions(fs, srcRoot)
+    require(vs.nonEmpty, s"cloneTable: no graft commit log under $src")
+    val v = versionAsOf.getOrElse(vs.max)
+    val state = graft.spark.GraftCommitLog.liveStateAsOf(fs, srcRoot, v)
+    val schema = graft.spark.GraftCommitLog.schemaAsOf(fs, srcRoot, v)
+    val dstRoot = new Path(dst)
+    val dfs = dstRoot.getFileSystem(hconf)
+    require(!dfs.exists(dstRoot) || dfs.listStatus(dstRoot).isEmpty,
+      s"cloneTable: target $dst must not exist (or be an empty directory) " +
+        "— a clone never merges into existing data")
+    val files = state.keySet.toSeq.sorted
+    val dvPairs = state.collect { case (t, dvn) if dvn != null => (dvn, t) }
+      .toSeq.sortBy(_._1)
+    // copy units, root-relative: every data file (sidecar attempted
+    // alongside on the executor) + every referenced dv artifact
+    val units: Seq[(String, Boolean)] = // (relPath, trySidecar)
+      files.map((_, true)) ++
+        dvPairs.map { case (n, _) =>
+          (graft.spark.DeletionVectors.DirName + "/" + n, false) }
+    val sconf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val srcQ = fs.makeQualified(srcRoot).toString
+    val dstQ = dfs.makeQualified(dstRoot).toString
+    val slices = math.max(1, math.min(units.size, 64))
+    spark.sparkContext.parallelize(units, slices).foreach {
+      case (rel, trySidecar) =>
+        val c = sconf.value
+        val sp = new Path(s"$srcQ/$rel")
+        val dp = new Path(s"$dstQ/$rel")
+        val sfs = sp.getFileSystem(c)
+        val tfs = dp.getFileSystem(c)
+        org.apache.hadoop.fs.FileUtil.copy(sfs, sp, tfs, dp, false, true, c)
+        if (trySidecar) {
+          val ssc = graft.spark.FileStats.sidecarFor(sp)
+          if (sfs.exists(ssc))
+            org.apache.hadoop.fs.FileUtil.copy(sfs, ssc, tfs,
+              graft.spark.FileStats.sidecarFor(dp), false, true, c)
+        }
+    }
+    graft.spark.GraftCommitLog.appendEntry(hconf, dst,
+      adds = files, dvs = dvPairs,
+      schema = schema.orNull,
+      opTag = s"clone ${fs.makeQualified(srcRoot)}@$v")
+  }
+
   /** ALTER TABLE ... ADD COLUMN for a schema-tracked graft table: a
     * SCHEMA-ONLY commit-log entry records the widened schema — no data
     * moves, existing rows read the new column back as null (the text

@@ -3022,6 +3022,47 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 450 ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q225
+  // CLONE TABLE (round 12): the corpus FORK — a training pipeline pins
+  // an experiment's input by deep-cloning the table at a version while
+  // the source keeps ingesting/curating. Bytes copy on EXECUTORS (the
+  // driver moves names), the hive layout / deletion-vector masks /
+  // stats sidecars ride along, and one fresh version-0 commit starts
+  // the clone's own history. The gate clones at a pinned version, then
+  // mutates the SOURCE — the clone's snapshot must still equal the
+  // pinned image (full independence), proven against the oracle.
+  private val q225 = GQuery(
+    "q225_sql_clone_table",
+    "CLONE TABLE: deep corpus fork at a pinned version (executor copy, fresh log, masks ride)",
+    (s, d) => {
+      import s.implicits._
+      val src = "/tmp/graft_tt/clone_src"
+      val dst = "/tmp/graft_tt/clone_dst"
+      val fs = new org.apache.hadoop.fs.Path(dst)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true) // fresh target
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal",
+          $"c_mktsegment".as("segment"))
+        .filter($"c_custkey" < 600)
+        .repartition(2)
+        .write.format("graft-json").option("partitionby", "segment")
+        .mode("overwrite").save(src)                                  // v0
+      s.sql(s"DELETE FROM '$src' WHERE c_custkey % 6 = 0")            // v1 (DV)
+      s.sql(s"CLONE TABLE '$src' TO '$dst' VERSION AS OF 1")
+      s.sql(s"DELETE FROM '$src' WHERE c_custkey < 100")              // v2: source moves on
+      s.read.format("graft-json")
+        .schema("c_custkey BIGINT, c_acctbal DOUBLE, segment STRING")
+        .option("snapshot", "true").load(dst)
+        .select($"c_custkey", round($"c_acctbal", 2).as("balance"), $"segment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance,
+                   c_mktsegment AS segment
+            FROM customer
+            WHERE c_custkey < 600 AND c_custkey % 6 <> 0
+            ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- q224
   // DESCRIBE DETAIL (round 12): the Delta table-metadata verb — one row
   // of format / latest version / live files / attached deletion vectors
@@ -3124,5 +3165,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
+  *   CLONE TABLE <table> TO '<dst path>' [VERSION AS OF <n>]
   *   RESTORE TABLE <table> TO VERSION AS OF <n>
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF <epochMillis>
   *   OPTIMIZE <table> [WHERE <partition predicate>] [ZORDER BY (c, ...)]
@@ -123,6 +124,10 @@ object GraftMaintenanceSql {
     }.orElse(describeDetailRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "DESCRIBE DETAIL", graftOnly = true)
         .map(tg => detail(tg.dir))
+    }).orElse(cloneRe.findFirstMatchIn(t).flatMap { m =>
+      ref(m.group(1), "CLONE TABLE", graftOnly = true).map(tg =>
+        clone(tg.dir, unquote(m.group(2)),
+          Option(m.group(3)).map(_.toLong)))
     }).orElse(restoreVersionRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "RESTORE TABLE", graftOnly = true)
         .map(tg => restore(tg.dir, Left(m.group(2).toLong)))
@@ -231,6 +236,10 @@ object GraftMaintenanceSql {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$R\\s*$$""".r
   private val describeDetailRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$R\\s*$$""".r
+  // deep clone: source by path or name; target is a PATH literal (a
+  // fresh directory — a name would need a managed location to invent)
+  private val cloneRe =
+    s"""(?is)^\\s*CLONE\\s+TABLE\\s+$R\\s+TO\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$$""".r
   private val restoreVersionRe =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$R\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
   private val restoreTimestampRe =
@@ -486,6 +495,17 @@ object GraftMaintenanceSql {
           state.valuesIterator.count(_ != null).toLong, size,
           listing.partCols.mkString(","), ddl))
       })
+
+  /** `CLONE TABLE <src> TO '<dst>' [VERSION AS OF n]` — the deep-clone
+    * corpus fork ([[graft.api.TrainingData.cloneTable]]): bytes copy on
+    * executors, one fresh version-0 commit lands at the target.
+    */
+  private def clone(src: String, dst: String,
+      versionAsOf: Option[Long]): LogicalPlan =
+    GraftMaintenanceCommand(attrs(StructType(Seq(
+      StructField("committed_version", LongType, nullable = false)))),
+      s => Seq(Row(
+        graft.api.TrainingData.cloneTable(s, src, dst, versionAsOf))))
 
   private def restore(dir: String, target: Either[Long, Long]): LogicalPlan =
     GraftMaintenanceCommand(attrs(StructType(Seq(

@@ -508,6 +508,52 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "layout k=v columns stay out of the data DDL")
   }
 
+  test("CLONE TABLE: deep fork at a pinned version, fully independent") {
+    val d = dir("clone_src")
+    val d2 = dir("clone_dst")
+    val d3 = dir("clone_dst_v1")
+    writeTable(d, n = 60L, parts = 2)                                // v0
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 10")          // v1
+    val s = spark
+    import s.implicits._
+    (60L until 80L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("append").save(d) // v2
+    // clone LATEST: masks and the appended batch both ride along
+    assert(spark.sql(s"CLONE TABLE '$d' TO '$d2'").collect().head.getLong(0) === 0L)
+    assert(snapIds(d2) === (10L until 80L), "clone = source latest snapshot")
+    // clone an OLDER pinned version
+    spark.sql(s"CLONE TABLE '$d' TO '$d3' VERSION AS OF 1")
+    assert(snapIds(d3) === (10L until 60L), "pinned clone = snapshot at v1")
+    // fresh history: one clone-tagged entry
+    val hist = spark.sql(s"DESCRIBE HISTORY '$d2'").collect()
+    assert(hist.length === 1 && hist.head.getString(2).startsWith("clone"),
+      hist.map(_.getString(2)).mkString(","))
+    // stats sidecars rode along (acceleration without a rebuild)
+    val fs = new org.apache.hadoop.fs.Path(d2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val copied = fs.listStatus(new org.apache.hadoop.fs.Path(d2))
+      .map(_.getPath.getName).filter(_.endsWith(".stats"))
+    assert(copied.nonEmpty, "sidecars must ride along")
+    // independence both ways
+    spark.sql(s"DELETE FROM '$d2' WHERE id >= 70")
+    assert(snapIds(d2) === (10L until 70L))
+    assert(snapIds(d) === (10L until 80L), "source untouched by clone-side delete")
+    TrainingData.deleteWhereDV(spark, d, schema, "id = 15")
+    assert(snapIds(d2) === (10L until 70L), "clone untouched by source-side delete")
+    // a non-empty target refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CLONE TABLE '$d' TO '$d2'").collect()
+    }
+    assert(e.getMessage.contains("must not exist"), e.getMessage)
+    // by-name source works like any other verb
+    createCatalogTable("graft_clone_nm", d)
+    try {
+      val d4 = dir("clone_dst_nm")
+      spark.sql(s"CLONE TABLE graft_clone_nm TO '$d4'")
+      assert(snapIds(d4) === snapIds(d))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_clone_nm")
+  }
+
   test("emptied table keeps its format lane (log write history)") {
     val d = dir("emptied_avro")
     writeTable(d, n = 20L, format = "graft-avro")                    // v0
