@@ -1458,7 +1458,11 @@ object TrainingData {
     val sconf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val srcQ = fs.makeQualified(srcRoot).toString
     val dstQ = dfs.makeQualified(dstRoot).toString
-    val slices = math.max(1, math.min(units.size, 64))
+    // one task per ~16 files, capped by the unit count and floored at the
+    // cluster's parallelism: a 1M-file clone on a 1000-executor cluster
+    // must fan out to every core, not serialize through 64 slices
+    val slices = math.max(1, math.min(units.size,
+      math.max(spark.sparkContext.defaultParallelism, units.size / 16)))
     spark.sparkContext.parallelize(units, slices).foreach {
       case (rel, trySidecar) =>
         val c = sconf.value

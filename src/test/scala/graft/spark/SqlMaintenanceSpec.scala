@@ -554,6 +554,26 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE IF EXISTS graft_clone_nm")
   }
 
+  test("CLONE is format-agnostic and carries column mapping") {
+    // avro: the binary lane clones byte-for-byte like the text lanes
+    val a = dir("clone_avro_src"); val a2 = dir("clone_avro_dst")
+    writeTable(a, n = 30L, parts = 2, format = "graft-avro")
+    TrainingData.deleteWhereDV(spark, a, schema, "id = 3", format = "graft-avro")
+    spark.sql(s"CLONE TABLE '$a' TO '$a2'")
+    assert(snapIds(a2, "graft-avro") === (0L until 30L).filterNot(_ == 3L))
+    // column mapping: a RENAMEd column's physical name metadata rides the
+    // copied schema line, so the clone reads old files under the new name
+    val m = dir("clone_map_src"); val m2 = dir("clone_map_dst")
+    writeTable(m, n = 10L, parts = 1)
+    TrainingData.alterTableRenameColumn(spark, m, "v", "label")
+    spark.sql(s"CLONE TABLE '$m' TO '$m2'")
+    val got = spark.read.format("graft-json").option("snapshot", "true")
+      .load(m2) // schemaless: the clone's RECORDED schema resolves it
+      .selectExpr("id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === (0L until 10L).map(i => (i, s"r$i")))
+  }
+
   test("emptied table keeps its format lane (log write history)") {
     val d = dir("emptied_avro")
     writeTable(d, n = 20L, format = "graft-avro")                    // v0
