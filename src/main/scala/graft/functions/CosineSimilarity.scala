@@ -146,6 +146,10 @@ object GraftFunctions {
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
+    locally {
+      val (id, info, builder) = graft.spark.GraftTableFunctions.tableChangesInfo
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
     // optimizer rules for sessions not built through GraftSparkExtensions
     if (!spark.experimental.extraOptimizations.contains(BoundedLevenshteinRule))
       spark.experimental.extraOptimizations =
@@ -165,6 +169,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.jaroWinklerInfo)
     ext.injectFunction(GraftFunctions.rollingHashInfo)
     ext.injectOptimizerRule(_ => BoundedLevenshteinRule)
+    // change-data-feed as a SQL TVF (the Delta table_changes shape)
+    ext.injectTableFunction(graft.spark.GraftTableFunctions.tableChangesInfo)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL maintenance verbs (DESCRIBE HISTORY / RESTORE / OPTIMIZE /
     // VACUUM / DELETE / UPDATE over graft-logged table paths) — see

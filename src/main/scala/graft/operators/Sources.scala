@@ -3022,6 +3022,41 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 450 ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q226
+  // table_changes TVF (round 12): the change-data-feed from pure SQL —
+  // the Delta shape, injected via injectTableFunction so the feed's
+  // logical plan composes under any outer SQL. A downstream consumer at
+  // 100 TB reads "what changed since my last sync" as a query, not an
+  // API call: deletion-vector deltas arrive row-level ('delete'),
+  // appended rows as net 'insert'; schema and format resolve from the
+  // commit log like every maintenance verb.
+  private val q226 = GQuery(
+    "q226_sql_table_changes",
+    "table_changes('<path>', from[, to]): CDF as a composable SQL TVF",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/tvf_cdf_gate"
+      val customer = Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+      customer.filter($"c_custkey" < 500).repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)      // v0
+      s.sql(s"DELETE FROM '$dir' WHERE c_custkey % 9 = 0")           // v1 (DV)
+      customer.filter($"c_custkey" >= 500 && $"c_custkey" < 550)
+        .repartition(1)
+        .write.format("graft-json").mode("append").save(dir)         // v2
+      s.sql(
+        s"""SELECT c_custkey, round(c_acctbal, 2) AS balance, _change_type
+           |FROM table_changes('$dir', 0)
+           |ORDER BY _change_type, c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance,
+                   'delete' AS _change_type
+            FROM customer WHERE c_custkey < 500 AND c_custkey % 9 = 0
+            UNION ALL
+            SELECT c_custkey, round(c_acctbal, 2), 'insert'
+            FROM customer WHERE c_custkey >= 500 AND c_custkey < 550
+            ORDER BY _change_type, c_custkey"""))
+
   // ---------------------------------------------------------------- q225
   // CLONE TABLE (round 12): the corpus FORK — a training pipeline pins
   // an experiment's input by deep-cloning the table at a version while
@@ -3165,5 +3200,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
 }

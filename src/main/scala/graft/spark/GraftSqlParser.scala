@@ -387,7 +387,7 @@ object GraftMaintenanceSql {
     * untracked/logless directories — maintenance SQL must never guess a
     * schema.
     */
-  private def resolveTable(spark: SparkSession, dir: String)
+  private[spark] def resolveTable(spark: SparkSession, dir: String)
       : (String, Option[String]) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

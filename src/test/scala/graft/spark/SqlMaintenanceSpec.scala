@@ -574,6 +574,41 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === (0L until 10L).map(i => (i, s"r$i")))
   }
 
+  test("table_changes TVF: the change feed from pure SQL, composable") {
+    val d = dir("tvf_cdf")
+    writeTable(d, n = 20L, parts = 1)                                 // v0
+    spark.sql(s"DELETE FROM '$d' WHERE id < 3")                       // v1 (DV)
+    val s = spark
+    import s.implicits._
+    (20L until 25L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("append").save(d) // v2
+    // matches the API row-for-row
+    val viaSql = spark.sql(s"SELECT * FROM table_changes('$d', 0)")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    val viaApi = TrainingData.changeFeed(spark, d, schema, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.filter(_._2 == "delete").map(_._1) === Seq(0L, 1L, 2L))
+    assert(viaSql.filter(_._2 == "insert").map(_._1) === (20L until 25L))
+    // bounded form + composes under ordinary SQL
+    val bounded = spark.sql(
+      s"""SELECT count(*) AS n FROM table_changes('$d', 0, 1)
+         |WHERE _change_type = 'delete'""".stripMargin)
+      .collect().head.getLong(0)
+    assert(bounded === 3L)
+    // by catalog name
+    createCatalogTable("graft_tvf_nm", d)
+    try {
+      assert(spark.sql("SELECT count(*) FROM table_changes('graft_tvf_nm', 1)")
+        .collect().head.getLong(0) === 5L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tvf_nm")
+    // non-graft name refuses with the targeted message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('no_such_tbl_xyz', 0)").collect()
+    }
+    assert(e.getMessage.contains("not a graft-provider"), e.getMessage)
+  }
+
   test("emptied table keeps its format lane (log write history)") {
     val d = dir("emptied_avro")
     writeTable(d, n = 20L, format = "graft-avro")                    // v0
