@@ -1440,7 +1440,11 @@ object TrainingData {
     require(vs.nonEmpty, s"cloneTable: no graft commit log under $src")
     val v = versionAsOf.getOrElse(vs.max)
     val state = graft.spark.GraftCommitLog.liveStateAsOf(fs, srcRoot, v)
-    val schema = graft.spark.GraftCommitLog.schemaAsOf(fs, srcRoot, v)
+    // STRICT schema read — a clone is a commit path: a transient IO blip
+    // degrading to "no schema" would fork the table WITHOUT schema
+    // tracking (and silently revert column mapping in the copy); abort
+    // instead. Genuinely untracked sources still clone schemaless.
+    val schema = graft.spark.GraftCommitLog.schemaAsOfStrict(fs, srcRoot, v)
     val dstRoot = new Path(dst)
     val dfs = dstRoot.getFileSystem(hconf)
     require(!dfs.exists(dstRoot) || dfs.listStatus(dstRoot).isEmpty,

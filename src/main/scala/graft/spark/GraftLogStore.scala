@@ -72,12 +72,14 @@ object GraftLogStore {
         if (!f.createNewFile())
           throw new java.io.IOException(
             s"already exists (lost the claim race): $path")
-        try fs.create(path, true)
+        // write through java.io on the file the claim just created: one
+        // failure domain (no second filesystem-layer create that could
+        // fail and orphan the claim). Entries get no .crc sidecar this
+        // way — ChecksumFileSystem reads crc-less files fine.
+        try new java.io.FileOutputStream(f)
         catch { case e: Throwable =>
-          // the claim is OURS — failing to open the content stream must
-          // not leave a 0-byte entry poisoning every later fold (the
-          // commit loop reads a create-time IOException as a lost race
-          // and would walk away from it)
+          // pathological (permissions flipped between the two syscalls):
+          // release the claim rather than leave a 0-byte entry
           try f.delete() catch { case _: Throwable => () }
           throw e
         }

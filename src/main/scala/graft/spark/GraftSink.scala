@@ -992,7 +992,13 @@ private[graft] object GraftCommitLog {
         .mkString("", "\n", "\n")
     }
 
-    var v = base.map(_ + 1).getOrElse(0L)
+    // the protocol FLOOR: recomputed versions never go below the first
+    // successor this commit observed — a transiently-empty listing (or a
+    // fresh-target DV commit losing its first race) must never send the
+    // retry to slot 0 of an expired-history table, where the entry would
+    // land below the covering checkpoint and its rows become invisible
+    val floorV = base.map(_ + 1).getOrElse(0L)
+    var v = floorV
     var attempts = 0
     var lastCreateFailure: Throwable = null
     while (attempts < 64) {
@@ -1033,14 +1039,15 @@ private[graft] object GraftCommitLog {
                   "without publishing", e)
             }
             validate()
-            v = vs.lastOption.map(_ + 1).getOrElse(v + 1)
+            v = math.max(floorV, vs.lastOption.map(_ + 1).getOrElse(floorV))
           } else {
-            // recompute from the LISTING, never a blind bump: if our own
-            // claim failed and was cleaned up (nothing exists at v), the
-            // retry must reuse v — a blind v+1 would leave a silent
-            // version hole, and a hole at 0 makes the table unreadable
-            // to followLog forever (history "starts at 1, no checkpoint")
-            v = versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(0L)
+            // recompute from the LISTING (floored), never a blind bump:
+            // if our own claim failed and was cleaned up (nothing exists
+            // at v), the retry must reuse v — a blind v+1 would leave a
+            // silent version hole, and a hole at 0 makes the table
+            // unreadable to followLog forever
+            v = math.max(floorV,
+              versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(floorV))
           }
           attempts += 1
           null
@@ -1051,7 +1058,21 @@ private[graft] object GraftCommitLog {
           finally out.close()
         } catch {
           case e: java.io.IOException =>
-            try fs.delete(entry, false) catch { case _: Exception => () }
+            // replace the torn claim with a valid NO-OP commit (tagged,
+            // zero actions): the log stays contiguous and readable for
+            // everyone — DELETING the slot instead leaves a version hole
+            // whenever a competitor already claimed past us (and a hole
+            // at 0 bricks the table). Deletion remains only as the
+            // fallback when even the tombstone cannot land (disk full).
+            val ts2 = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
+            val tomb = Seq("graft-commit v7", s"t $ts2", "o aborted-commit",
+              "e 0").mkString("", "\n", "\n").getBytes("UTF-8")
+            try {
+              val o2 = fs.create(entry, true)
+              try o2.write(tomb) finally o2.close()
+            } catch { case _: Exception =>
+              try fs.delete(entry, false) catch { case _: Exception => () }
+            }
             throw e
         }
         maybeCheckpoint(conf, rootPath, v)

@@ -409,6 +409,21 @@ object GraftMaintenanceSql {
       recorded.fields.filterNot(f =>
         listing.partCols.exists(resolver(_, f.name)))).toDDL
     val live = GraftCommitLog.liveFilesAsOf(fs, root, vs.max)
+    val format = resolveFormat(dir, live,
+      () => vs.iterator.flatMap(v =>
+        GraftCommitLog.entryActionsAwait(fs, root, v).iterator
+          .filter(_.add).map(_.path)))
+    (ddl, format)
+  }
+
+  /** The table's graft format from the live files' extensions, falling
+    * back to every file the log EVER added (lazily — an emptied table
+    * has no live files but still a format lane, so a committed
+    * maintenance entry lands under the real one). None = the log never
+    * recorded a data file; mixed formats refuse loudly.
+    */
+  private def resolveFormat(dir: String, live: Iterable[String],
+      everAdded: () => Iterator[String]): Option[String] = {
     def stripCodec(n0: String): String = {
       val n = n0.toLowerCase(java.util.Locale.ROOT)
       Seq(".gz", ".gzip", ".zst", ".zstd").foldLeft(n)((a, s) => a.stripSuffix(s))
@@ -420,24 +435,18 @@ object GraftMaintenanceSql {
       else if (n.endsWith(".avro")) Some("graft-avro")
       else None
     }
-    // an emptied table (every row deleted) has no live files but still a
-    // format lane: fall back to every file the log EVER added, so the
-    // committed maintenance entry lands under the table's real format
     val fmts: Set[String] = {
-      val fromLive = live.flatMap(fmtOf)
+      val fromLive = live.iterator.flatMap(fmtOf).toSet
       if (fromLive.nonEmpty) fromLive
-      else vs.iterator.flatMap(v =>
-        GraftCommitLog.entryActionsAwait(fs, root, v).iterator
-          .filter(_.add).map(_.path).flatMap(fmtOf)).toSet
+      else everAdded().flatMap(fmtOf).toSet
     }
-    val format: Option[String] = fmts.toList match {
+    fmts.toList match {
       case Nil => None // the log never recorded a data file
       case f :: Nil => Some(f)
       case many => throw new IllegalArgumentException(
         s"mixed data formats under $dir (${many.sorted.mkString(", ")}) — " +
           "maintenance SQL needs one; use the TrainingData API per format")
     }
-    (ddl, format)
   }
 
   private def attrs(st: StructType): Seq[Attribute] =
@@ -476,16 +485,29 @@ object GraftMaintenanceSql {
       s => {
         val root = new org.apache.hadoop.fs.Path(dir)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // ONE version listing, ONE log fold, ONE directory walk — the
+        // whole point of this verb is to be cheap on a huge table, so
+        // the DDL/format derive from the same resolution (not a second
+        // resolveTable pass repeating all three)
         val vs = GraftCommitLog.versions(fs, root)
         require(vs.nonEmpty,
           s"DESCRIBE DETAIL addresses graft-logged tables; no commit log under $dir")
         val state = GraftCommitLog.liveStateAsOf(fs, root, vs.max)
-        val (ddl, format) = resolveTable(s, dir)
+        val recorded = GraftCommitLog.schemaAsOfStrict(fs, root, vs.max)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$dir is not schema-tracked (its log predates schema tracking)"))
         val listing = GraftSources.resolvePartitioned(
           new org.apache.spark.sql.util.CaseInsensitiveStringMap(
             java.util.Map.of("path", dir)))
-        val rootQ = fs.makeQualified(root).toString
+        val resolver = s.sessionState.conf.resolver
+        val ddl = StructType(recorded.fields.filterNot(f =>
+          listing.partCols.exists(resolver(_, f.name)))).toDDL
         val live = state.keySet
+        val format = resolveFormat(dir, live,
+          () => vs.iterator.flatMap(v =>
+            GraftCommitLog.entryActionsAwait(fs, root, v).iterator
+              .filter(_.add).map(_.path)))
+        val rootQ = fs.makeQualified(root).toString
         val size = listing.files.iterator
           .filter { f =>
             val rel = f.path.stripPrefix(rootQ).stripPrefix("/")

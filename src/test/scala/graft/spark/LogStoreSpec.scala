@@ -162,7 +162,7 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 1L) === files.tail.toSet)
   }
 
-  test("a write failure AFTER create deletes the truncated entry instead of poisoning the log") {
+  test("a write failure AFTER create tombstones the slot: no torn entry, no version hole") {
     val d = dir("truncated")
     val files = mkTable(d)
     val fs = new Path(d).getFileSystem(conf)
@@ -174,13 +174,17 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(e.getMessage.contains("injected"), e.getMessage)
     }
-    // no half-written entry: the log still folds, at the old version
-    assert(GraftCommitLog.versions(fs, new Path(d)) === Seq(0L))
-    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 0L) === files.toSet)
-    // and the next commit takes the slot cleanly
+    // the claimed slot holds a valid NO-OP commit (deleting it instead
+    // would leave a version hole whenever a competitor claimed past us)
+    assert(GraftCommitLog.versions(fs, new Path(d)) === Seq(0L, 1L))
+    assert(GraftCommitLog.entryActions(fs, new Path(d), 1L).isEmpty)
+    assert(GraftCommitLog.entryOp(fs, new Path(d), 1L) === Some("aborted-commit"))
+    // the fold is unchanged by the tombstone
+    assert(GraftCommitLog.liveFilesAsOf(fs, new Path(d), 1L) === files.toSet)
+    // and the next commit lands after it
     val v = GraftCommitLog.appendEntry(conf, d, adds = Nil,
       removes = Seq(files.head), removesBase = 0L)
-    assert(v === 1L)
+    assert(v === 2L)
   }
 
   test("a failed artifact publish aborts the DV delete with nothing visible") {
