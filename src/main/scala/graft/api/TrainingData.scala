@@ -2059,25 +2059,58 @@ object TrainingData {
     * rewrites (and the cleanup half of a crashed `retainHistory = false`
     * one). After this, snapshots that included those files fail loudly;
     * the latest snapshot and raw listings are exactly the live file set.
-    * The log itself is never touched (history stays auditable). Returns
+    * The log itself is never touched (history stays auditable).
+    * `retainMillis > 0` keeps files retired more recently than the
+    * horizon (the Delta `VACUUM ... RETAIN` discipline — the age that
+    * makes online maintenance safe under pinned readers and streams;
+    * SQL: `VACUUM <table> RETAIN <n> HOURS`). Returns
     * the root-relative paths deleted.
     */
   def expireRetired(spark: org.apache.spark.sql.SparkSession, dir: String,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false, retainMillis: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(hconf)
     val log = graft.spark.GraftCommitLog
     val vs = log.versions(fs, root)
     require(vs.nonEmpty, s"expireRetired needs a graft commit log under $dir")
     val retired =
-      (log.allReferencedFiles(fs, root) -- log.liveFilesAsOf(fs, root, vs.max)).toSeq.sorted
-    if (!dryRun) retired.foreach { rel =>
+      (log.allReferencedFiles(fs, root) -- log.liveFilesAsOf(fs, root, vs.max))
+        .toSeq.sorted
+        // a retiree an earlier pass already reclaimed stays referenced by
+        // the log forever — report only what is actually still on disk,
+        // or every later pass re-lists ghosts
+        .filter(rel => fs.exists(new Path(root, rel)))
+    // retention horizon (the Delta VACUUM RETAIN discipline): a file
+    // retired more recently than `retainMillis` may still be mid-scan
+    // under a pinned reader, admitted-but-unread in a live stream, or
+    // the restore target of an operator who just fat-fingered a rewrite
+    // — reclaim only past the horizon. Retirement time = the RESOLVED
+    // (monotonic) commit time of the newest entry removing the file;
+    // `now` honors the commit-timestamp override for deterministic tests.
+    val eligible =
+      if (retainMillis <= 0L) retired
+      else {
+        val ts: Map[Long, Long] = log.resolvedTimestamps(fs, root).toMap
+        val retiredAt: Map[String, Long] = vs.iterator.flatMap(v =>
+          log.entryActions(fs, root, v).iterator
+            .filter(a => !a.add && !a.isDv).map(a => (a.path, v))).toMap
+        val now = hconf.getLong(graft.spark.GraftCommitLog.CommitTimestampKey,
+          System.currentTimeMillis())
+        retired.filter { rel =>
+          retiredAt.get(rel) match {
+            case Some(v) => ts.get(v).forall(t => now - t >= retainMillis)
+            case None => true // referenced but never `r`-removed: stray
+          }
+        }
+      }
+    if (!dryRun) eligible.foreach { rel =>
       val p = new Path(root, rel)
       fs.delete(graft.spark.FileStats.sidecarFor(p), false)
       fs.delete(p, false)
     }
-    retired
+    eligible
   }
 
   /** Single-column clustering for data skipping: range-partition into

@@ -135,8 +135,9 @@ object GraftMaintenanceSql {
       ref(m.group(1), "RESTORE TABLE", graftOnly = true)
         .map(tg => restore(tg.dir, Right(m.group(2).toLong)))
     }).orElse(vacuumRe.findFirstMatchIn(t).flatMap { m =>
-      ref(m.group(1), "VACUUM", graftOnly = true)
-        .map(tg => vacuum(tg.dir, dryRun = m.group(2) != null))
+      ref(m.group(1), "VACUUM", graftOnly = true).map(tg =>
+        vacuum(tg.dir, dryRun = m.group(3) != null,
+          retainHours = Option(m.group(2)).map(_.toLong)))
     }).orElse(optimizeRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "OPTIMIZE", graftOnly = true).map(tg =>
         optimize(tg.dir, Option(m.group(2)).map(_.trim),
@@ -245,7 +246,7 @@ object GraftMaintenanceSql {
   private val restoreTimestampRe =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$R\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)\\s*$$""".r
   private val vacuumRe =
-    s"""(?is)^\\s*VACUUM\\s+$R(\\s+DRY\\s+RUN)?\\s*$$""".r
+    s"""(?is)^\\s*VACUUM\\s+$R(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*$$""".r
   private val optimizeRe =
     s"""(?is)^\\s*OPTIMIZE\\s+$R(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*$$""".r
   private val deleteRe =
@@ -537,11 +538,20 @@ object GraftMaintenanceSql {
         case Right(ts) => graft.api.TrainingData.restoreTableToTimestamp(s, dir, ts)
       })))
 
-  private def vacuum(dir: String, dryRun: Boolean): LogicalPlan =
+  /** Plain VACUUM = uncommitted-orphan cleanup; `RETAIN n HOURS` = the
+    * retention reclaim of RETIRED files older than the horizon
+    * (expireRetired — the age gate that makes online maintenance safe
+    * under pinned readers and streams; Delta's VACUUM RETAIN shape).
+    */
+  private def vacuum(dir: String, dryRun: Boolean,
+      retainHours: Option[Long]): LogicalPlan =
     GraftMaintenanceCommand(attrs(StructType(Seq(
       StructField("path", StringType, nullable = false)))),
-      s => graft.api.TrainingData.vacuumOrphans(s, dir, dryRun = dryRun)
-        .map(Row(_)))
+      s => (retainHours match {
+        case Some(h) => graft.api.TrainingData.expireRetired(s, dir,
+          dryRun = dryRun, retainMillis = h * 3600000L)
+        case None => graft.api.TrainingData.vacuumOrphans(s, dir, dryRun = dryRun)
+      }).map(Row(_)))
 
   private def optimize(dir: String, where: Option[String],
       zorderBy: Seq[String]): LogicalPlan =

@@ -609,6 +609,40 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a graft-provider"), e.getMessage)
   }
 
+  test("VACUUM RETAIN n HOURS: retention-gated reclaim of retired files") {
+    val d = dir("vac_retain")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsKey = GraftCommitLog.CommitTimestampKey
+    try {
+      conf.setLong(tsKey, 0L)
+      writeTable(d, n = 20L, parts = 1)                                // v0: file A
+      conf.setLong(tsKey, 1000L)
+      TrainingData.deleteWhere(spark, d, schema, "id < 5",
+        retainHistory = true)                                          // v1: retires A
+      conf.setLong(tsKey, 2L * 3600000L + 2000L)
+      TrainingData.deleteWhere(spark, d, schema, "id >= 15",
+        retainHistory = true)                                          // v2: retires A'
+      conf.setLong(tsKey, 3L * 3600000L) // "now" for the reclaim pass
+      // horizon 2h: only A (retired ~3h ago) is eligible; A' is ~1h old
+      val dry = spark.sql(s"VACUUM '$d' RETAIN 2 HOURS DRY RUN")
+        .collect().map(_.getString(0))
+      assert(dry.length === 1, dry.mkString(","))
+      val gone = spark.sql(s"VACUUM '$d' RETAIN 2 HOURS")
+        .collect().map(_.getString(0))
+      assert(gone.toSeq === dry.toSeq)
+      // the recent retiree survives: v1-pinned reads still work, v0 fails
+      assert(spark.read.format("graft-json").schema(schema)
+        .option("versionasof", "1").load(d).count() === 15L)
+      intercept[Exception] {
+        spark.read.format("graft-json").schema(schema)
+          .option("versionasof", "0").load(d).count()
+      }
+      // horizon 0 = reclaim everything retired (the old immediate mode)
+      assert(spark.sql(s"VACUUM '$d' RETAIN 0 HOURS").collect().length === 1)
+      assert(snapIds(d) === (5L until 15L))
+    } finally conf.unset(tsKey)
+  }
+
   test("emptied table keeps its format lane (log write history)") {
     val d = dir("emptied_avro")
     writeTable(d, n = 20L, format = "graft-avro")                    // v0
