@@ -3022,6 +3022,54 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 450 ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q227
+  // VACUUM RETAIN n HOURS (round 12): retention-gated reclaim of retired
+  // files — the Delta discipline that makes physical cleanup safe while
+  // readers and streams are live. Files retired more recently than the
+  // horizon survive (a pinned scan may still hold them); older retirees
+  // reclaim. The gate retires two generations at controlled commit
+  // times, reclaims past a 2-hour horizon, proves the recent retiree's
+  // pinned version still reads, and hashes the surviving snapshot.
+  private val q227 = GQuery(
+    "q227_sql_vacuum_retain",
+    "VACUUM RETAIN n HOURS: horizon-gated reclaim; recent retirees stay pinnable",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/vac_retain"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE"
+      val conf = s.sparkContext.hadoopConfiguration
+      val tsKey = graft.spark.GraftCommitLog.CommitTimestampKey
+      try {
+        conf.setLong(tsKey, 0L)
+        Tables(s, d, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+          .filter($"c_custkey" < 300).repartition(1)
+          .write.format("graft-json").mode("overwrite").save(dir)     // v0 t=0
+        conf.setLong(tsKey, 1000L)
+        graft.api.TrainingData.deleteWhere(s, dir, ddl,
+          "c_custkey % 2 = 0", retainHistory = true)                  // v1: retires gen0
+        conf.setLong(tsKey, 2L * 3600000L)
+        graft.api.TrainingData.deleteWhere(s, dir, ddl,
+          "c_custkey % 3 = 0", retainHistory = true)                  // v2: retires gen1
+        conf.setLong(tsKey, 3L * 3600000L) // "now" for the reclaim
+        val dry = s.sql(s"VACUUM '$dir' RETAIN 2 HOURS DRY RUN").collect()
+        require(dry.length == 1, s"1 eligible retiree, got ${dry.length}")
+        require(s.sql(s"VACUUM '$dir' RETAIN 2 HOURS").collect().length == 1)
+        // the recent retiree survives the horizon: v1 stays pinnable
+        require(s.read.format("graft-json").schema(ddl)
+          .option("versionasof", "1").load(dir).count() ==
+          (0 until 300).count(_ % 2 != 0), "v1 must still read")
+        s.read.format("graft-json").schema(ddl)
+          .option("snapshot", "true").load(dir)
+          .select($"c_custkey", round($"c_acctbal", 2).as("balance"))
+          .orderBy($"c_custkey")
+      } finally conf.unset(tsKey)
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance
+            FROM customer
+            WHERE c_custkey < 300 AND c_custkey % 2 <> 0 AND c_custkey % 3 <> 0
+            ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- q226
   // table_changes TVF (round 12): the change-data-feed from pure SQL —
   // the Delta shape, injected via injectTableFunction so the feed's
@@ -3200,5 +3248,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
 }
