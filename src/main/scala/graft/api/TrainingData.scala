@@ -2078,10 +2078,6 @@ object TrainingData {
     val retired =
       (log.allReferencedFiles(fs, root) -- log.liveFilesAsOf(fs, root, vs.max))
         .toSeq.sorted
-        // a retiree an earlier pass already reclaimed stays referenced by
-        // the log forever — report only what is actually still on disk,
-        // or every later pass re-lists ghosts
-        .filter(rel => fs.exists(new Path(root, rel)))
     // retention horizon (the Delta VACUUM RETAIN discipline): a file
     // retired more recently than `retainMillis` may still be mid-scan
     // under a pinned reader, admitted-but-unread in a live stream, or
@@ -2105,12 +2101,17 @@ object TrainingData {
           }
         }
       }
-    if (!dryRun) eligible.foreach { rel =>
+    // ghost filter LAST (after the horizon discarded recent retirees):
+    // a retiree an earlier pass already reclaimed stays referenced by the
+    // log forever — report only what is actually still on disk, and pay
+    // the per-file exists() only for horizon-eligible candidates
+    val present = eligible.filter(rel => fs.exists(new Path(root, rel)))
+    if (!dryRun) present.foreach { rel =>
       val p = new Path(root, rel)
       fs.delete(graft.spark.FileStats.sidecarFor(p), false)
       fs.delete(p, false)
     }
-    eligible
+    present
   }
 
   /** Single-column clustering for data skipping: range-partition into

@@ -981,15 +981,19 @@ private[graft] object GraftCommitLog {
       // historical d-before-f order keep folding correctly — they never
       // target in-entry adds. The `e` footer is strictly LAST.
       val nActions = relRemoves.size + relAdds.size + relDvs.size
-      (header +:
-          (Seq(s"t $ts") ++
-            (if (opTag != null) Seq(s"o $opTag") else Nil) ++
-            (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
-            relRemoves.map("r " + _) ++
-            relAdds.map("f " + _) ++
-            relDvs.map { case (dvn, t) => s"d $dvn $t" } ++
-            Seq(s"e $nActions")))
-        .mkString("", "\n", "\n")
+      val bodyLines = header +:
+        (Seq(s"t $ts") ++
+          (if (opTag != null) Seq(s"o $opTag") else Nil) ++
+          (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
+          relRemoves.map("r " + _) ++
+          relAdds.map("f " + _) ++
+          relDvs.map { case (dvn, t) => s"d $dvn $t" })
+      // the footer's third token is a CRC32 of everything before it:
+      // integrity that travels WITH the entry to any store (a filesystem
+      // .crc sidecar would not), so in-line bit rot fails the read
+      // loudly instead of folding a corrupted path into the live set
+      bodyLines.mkString("", "\n", "\n") +
+        GraftCommitLog.footerFor(bodyLines, nActions) + "\n"
     }
 
     // the protocol FLOOR: recomputed versions never go below the first
@@ -1058,18 +1062,34 @@ private[graft] object GraftCommitLog {
           finally out.close()
         } catch {
           case e: java.io.IOException =>
-            // replace the torn claim with a valid NO-OP commit (tagged,
-            // zero actions): the log stays contiguous and readable for
-            // everyone — DELETING the slot instead leaves a version hole
-            // whenever a competitor already claimed past us (and a hole
-            // at 0 bricks the table). Deletion remains only as the
+            // an unbuffered stream can make the entry FULLY visible before
+            // a close()-time failure: retracting a commit a concurrent
+            // reader may already have served is worse than accepting it —
+            // verify, and accept when the entry parses complete
+            val published =
+              try { entryActions(fs, rootPath, v); true }
+              catch { case _: Exception => false }
+            if (published) {
+              maybeCheckpoint(conf, rootPath, v)
+              return v
+            }
+            // torn: replace the claim with a valid NO-OP commit (tagged,
+            // zero actions) THROUGH THE SEAM (staged write + atomic
+            // publish — a raw overwrite-create is exactly the primitive
+            // object stores lack). The log stays contiguous and readable
+            // for everyone — DELETING the slot instead leaves a version
+            // hole whenever a competitor already claimed past us (and a
+            // hole at 0 bricks the table). Deletion remains only as the
             // fallback when even the tombstone cannot land (disk full).
             val ts2 = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
-            val tomb = Seq("graft-commit v7", s"t $ts2", "o aborted-commit",
-              "e 0").mkString("", "\n", "\n").getBytes("UTF-8")
+            val tombLines = Seq("graft-commit v7", s"t $ts2", "o aborted-commit")
+            val tomb = (tombLines.mkString("", "\n", "\n") +
+              footerFor(tombLines, 0L) + "\n").getBytes("UTF-8")
             try {
-              val o2 = fs.create(entry, true)
+              val tmp = new Path(dir, f".$v%020d.abort.tmp")
+              val o2 = fs.create(tmp, true)
               try o2.write(tomb) finally o2.close()
+              GraftLogStore.forConf(conf).publish(fs, tmp, entry, overwrite = true)
             } catch { case _: Exception =>
               try fs.delete(entry, false) catch { case _: Exception => () }
             }
@@ -1555,8 +1575,8 @@ private[graft] object GraftCommitLog {
       // unparsable). declared < acts therefore classifies incomplete
       // (retriable within the grace; persists -> loud); declared > acts
       // cannot come from a tear and is instant corruption.
-      val declared = try lines.last.substring(2).trim.toLong
-        catch { case _: NumberFormatException =>
+      val declared = try lines.last.split(' ')(1).toLong
+        catch { case _: NumberFormatException | _: ArrayIndexOutOfBoundsException =>
           throw new IncompleteCommitException(
             s"commit-log entry $p has an unparsable footer " +
               s"'${lines.last}' — a read torn mid-footer") }
@@ -1567,8 +1587,40 @@ private[graft] object GraftCommitLog {
       require(declared == acts.length,
         s"commit-log entry $p declares $declared actions but carries " +
           s"${acts.length} — corrupt entry")
+      // footer token 3 (MANDATORY on v7): CRC32 of the body bytes — the
+      // in-line bit-rot check (count equality proves nothing about the
+      // bytes inside an intact-length line). A missing or shortened crc
+      // token is a tear (the token is last on the last line).
+      val toks = lines.last.split(' ')
+      if (toks.length < 3)
+        throw new IncompleteCommitException(
+          s"commit-log entry $p has no footer checksum — a read torn " +
+            "mid-footer")
+      val expect = footerFor(lines.init, declared)
+      if (lines.last != expect) {
+        // a tear INSIDE the crc token reads as a strict prefix of the
+        // true footer — incomplete, not corrupt
+        if (expect.startsWith(lines.last))
+          throw new IncompleteCommitException(
+            s"commit-log entry $p has a truncated footer checksum — " +
+              "a read torn mid-footer")
+        throw new IllegalArgumentException(
+          s"commit-log entry $p fails its footer checksum " +
+            s"('${lines.last}' vs recomputed '$expect') — corrupt entry")
+      }
     }
     acts
+  }
+
+  /** The v7 terminating footer for `bodyLines` (header + metadata +
+    * action lines, no trailing newline semantics — the footer hashes the
+    * exact newline-joined body bytes the writer emits).
+    */
+  private[spark] def footerFor(bodyLines: Seq[String], nActions: Long): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(bodyLines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"e $nActions%d ${crc.getValue}%08x"
   }
 
   /** One slurp serving DESCRIBE HISTORY: (actions, operation tag,

@@ -135,9 +135,14 @@ object GraftMaintenanceSql {
       ref(m.group(1), "RESTORE TABLE", graftOnly = true)
         .map(tg => restore(tg.dir, Right(m.group(2).toLong)))
     }).orElse(vacuumRe.findFirstMatchIn(t).flatMap { m =>
-      ref(m.group(1), "VACUUM", graftOnly = true).map(tg =>
-        vacuum(tg.dir, dryRun = m.group(3) != null,
-          retainHours = Option(m.group(2)).map(_.toLong)))
+      ref(m.group(1), "VACUUM", graftOnly = true).map { tg =>
+        val retain = Option(m.group(2)).map(_.toLong)
+        // bound far above any sane retention so hours-to-millis can
+        // never overflow into "negative = immediate reclaim"
+        retain.foreach(h => require(h <= 1000000L,
+          s"VACUUM RETAIN: $h hours is not a plausible retention (max 1000000)"))
+        vacuum(tg.dir, dryRun = m.group(3) != null, retainHours = retain)
+      }
     }).orElse(optimizeRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "OPTIMIZE", graftOnly = true).map(tg =>
         optimize(tg.dir, Option(m.group(2)).map(_.trim),
@@ -395,26 +400,35 @@ object GraftMaintenanceSql {
     val vs = GraftCommitLog.versions(fs, root)
     require(vs.nonEmpty,
       s"maintenance SQL addresses graft-logged tables; no commit log under $dir")
-    val recorded = GraftCommitLog.schemaAsOfStrict(fs, root, vs.max).getOrElse(
-      throw new IllegalArgumentException(
-        s"$dir is not schema-tracked (its log predates schema tracking) — " +
-          "maintenance SQL resolves the table schema from the commit log; " +
-          "use the TrainingData API with an explicit schema instead"))
     val listing = GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)))
-    // the session resolver, so a case-drifted layout column never lands
-    // in the data DDL twice (nor gets dropped under caseSensitive=true)
-    val resolver = spark.sessionState.conf.resolver
-    val ddl = StructType(
-      recorded.fields.filterNot(f =>
-        listing.partCols.exists(resolver(_, f.name)))).toDDL
+    val ddl = recordedDataDdl(spark, fs, root, vs.max, listing, dir)
     val live = GraftCommitLog.liveFilesAsOf(fs, root, vs.max)
     val format = resolveFormat(dir, live,
       () => vs.iterator.flatMap(v =>
         GraftCommitLog.entryActionsAwait(fs, root, v).iterator
           .filter(_.add).map(_.path)))
     (ddl, format)
+  }
+
+  /** The recorded DATA DDL: the schema-tracked log schema as of
+    * `version` minus the layout's k=v columns (matched with the session
+    * resolver, so a case-drifted layout column neither duplicates nor —
+    * under caseSensitive=true — drops a legitimately distinct field).
+    * Loud on untracked tables: maintenance SQL never guesses a schema.
+    */
+  private def recordedDataDdl(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      version: Long, listing: GraftSources.Listing, dir: String): String = {
+    val recorded = GraftCommitLog.schemaAsOfStrict(fs, root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir is not schema-tracked (its log predates schema tracking) — " +
+          "maintenance SQL resolves the table schema from the commit log; " +
+          "use the TrainingData API with an explicit schema instead"))
+    val resolver = spark.sessionState.conf.resolver
+    StructType(recorded.fields.filterNot(f =>
+      listing.partCols.exists(resolver(_, f.name)))).toDDL
   }
 
   /** The table's graft format from the live files' extensions, falling
@@ -494,15 +508,10 @@ object GraftMaintenanceSql {
         require(vs.nonEmpty,
           s"DESCRIBE DETAIL addresses graft-logged tables; no commit log under $dir")
         val state = GraftCommitLog.liveStateAsOf(fs, root, vs.max)
-        val recorded = GraftCommitLog.schemaAsOfStrict(fs, root, vs.max)
-          .getOrElse(throw new IllegalArgumentException(
-            s"$dir is not schema-tracked (its log predates schema tracking)"))
         val listing = GraftSources.resolvePartitioned(
           new org.apache.spark.sql.util.CaseInsensitiveStringMap(
             java.util.Map.of("path", dir)))
-        val resolver = s.sessionState.conf.resolver
-        val ddl = StructType(recorded.fields.filterNot(f =>
-          listing.partCols.exists(resolver(_, f.name)))).toDDL
+        val ddl = recordedDataDdl(s, fs, root, vs.max, listing, dir)
         val live = state.keySet
         val format = resolveFormat(dir, live,
           () => vs.iterator.flatMap(v =>

@@ -293,7 +293,7 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = new String(readBytes(fs, p), "UTF-8")
     assert(full.startsWith("graft-commit v7\n"), full.takeWhile(_ != '\n'))
     val lines = full.split('\n')
-    assert(lines.last.matches("e \\d+"), s"footer line: ${lines.last}")
+    assert(lines.last.matches("e \\d+ [0-9a-f]{8}"), s"footer line: ${lines.last}")
     val rootP = new Path(d)
     // tear at a LINE BOUNDARY before the footer: without the footer this
     // would parse as a valid one-file commit and silently drop the rest
@@ -325,12 +325,20 @@ class LogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e3.getMessage.contains("torn mid-footer"), e3.getMessage)
       // declaring MORE than the body carries cannot come from a tear
       // (digits truncate to a smaller prefix): instant corruption
-      val corrupted = (lines.init :+ "e 99").mkString("", "\n", "\n")
+      val corrupted = (lines.init :+ "e 99 deadbeef").mkString("", "\n", "\n")
       writeBytes(fs, p, corrupted.getBytes("UTF-8"))
       val e4 = intercept[IllegalArgumentException] {
         GraftCommitLog.entryActions(fs, rootP, 0L)
       }
       assert(e4.getMessage.contains("corrupt"), e4.getMessage)
+      // a FLIPPED crc with an intact count is in-line bit rot: corrupt
+      val rotten = (lines.init :+ (lines.last.dropRight(8) + "00000000"))
+        .mkString("", "\n", "\n")
+      writeBytes(fs, p, rotten.getBytes("UTF-8"))
+      val e5 = intercept[IllegalArgumentException] {
+        GraftCommitLog.entryActions(fs, rootP, 0L)
+      }
+      assert(e5.getMessage.contains("checksum"), e5.getMessage)
     } finally writeBytes(fs, p, full.getBytes("UTF-8"))
     // restored: parses, and the footer is not an action
     assert(GraftCommitLog.entryActions(fs, rootP, 0L).forall(_.add))
