@@ -1065,33 +1065,42 @@ private[graft] object GraftCommitLog {
             // an unbuffered stream can make the entry FULLY visible before
             // a close()-time failure: retracting a commit a concurrent
             // reader may already have served is worse than accepting it —
-            // verify, and accept when the entry parses complete
-            val published =
-              try { entryActions(fs, rootPath, v); true }
-              catch { case _: Exception => false }
-            if (published) {
+            // verify, and accept when the entry parses complete. Only a
+            // CONFIRMED tear (incomplete/corrupt parse) may be replaced;
+            // an unreadable verify (transient IO) proves nothing, so the
+            // entry stays as-is — readers classify it themselves.
+            val verdict =
+              try { entryActions(fs, rootPath, v); 0 } // published
+              catch {
+                case _: IncompleteCommitException | _: IllegalArgumentException => 1 // torn
+                case _: Exception => 2 // unknown
+              }
+            if (verdict == 0) {
               maybeCheckpoint(conf, rootPath, v)
               return v
             }
-            // torn: replace the claim with a valid NO-OP commit (tagged,
-            // zero actions) THROUGH THE SEAM (staged write + atomic
-            // publish — a raw overwrite-create is exactly the primitive
-            // object stores lack). The log stays contiguous and readable
-            // for everyone — DELETING the slot instead leaves a version
-            // hole whenever a competitor already claimed past us (and a
-            // hole at 0 bricks the table). Deletion remains only as the
-            // fallback when even the tombstone cannot land (disk full).
-            val ts2 = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
-            val tombLines = Seq("graft-commit v7", s"t $ts2", "o aborted-commit")
-            val tomb = (tombLines.mkString("", "\n", "\n") +
-              footerFor(tombLines, 0L) + "\n").getBytes("UTF-8")
-            try {
-              val tmp = new Path(dir, f".$v%020d.abort.tmp")
-              val o2 = fs.create(tmp, true)
-              try o2.write(tomb) finally o2.close()
-              GraftLogStore.forConf(conf).publish(fs, tmp, entry, overwrite = true)
-            } catch { case _: Exception =>
-              try fs.delete(entry, false) catch { case _: Exception => () }
+            if (verdict == 1) {
+              // replace the torn claim IN PLACE with a valid NO-OP commit
+              // (tagged, zero actions): the log stays contiguous and
+              // readable for everyone — DELETING the slot instead leaves
+              // a version hole whenever a competitor already claimed past
+              // us (and a hole at 0 bricks the table). In-place overwrite
+              // is the right primitive on every store: an object-store
+              // PUT is atomically visible, and a filesystem truncate's
+              // torn window reads as in-flight (the footer), never as a
+              // missing version the way a delete+rename swap would.
+              // Deletion remains only as the fallback when even the
+              // tombstone cannot land (disk full).
+              val ts2 = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
+              val tombLines = Seq("graft-commit v7", s"t $ts2", "o aborted-commit")
+              val tomb = (tombLines.mkString("", "\n", "\n") +
+                footerFor(tombLines, 0L) + "\n").getBytes("UTF-8")
+              try {
+                val o2 = fs.create(entry, true)
+                try o2.write(tomb) finally o2.close()
+              } catch { case _: Exception =>
+                try fs.delete(entry, false) catch { case _: Exception => () }
+              }
             }
             throw e
         }

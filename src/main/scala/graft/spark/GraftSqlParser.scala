@@ -136,11 +136,13 @@ object GraftMaintenanceSql {
         .map(tg => restore(tg.dir, Right(m.group(2).toLong)))
     }).orElse(vacuumRe.findFirstMatchIn(t).flatMap { m =>
       ref(m.group(1), "VACUUM", graftOnly = true).map { tg =>
-        val retain = Option(m.group(2)).map(_.toLong)
         // bound far above any sane retention so hours-to-millis can
-        // never overflow into "negative = immediate reclaim"
+        // never overflow into "negative = immediate reclaim" (parse
+        // overflow clamps to the same friendly refusal)
+        val retain = Option(m.group(2)).map(g =>
+          try g.toLong catch { case _: NumberFormatException => Long.MaxValue })
         retain.foreach(h => require(h <= 1000000L,
-          s"VACUUM RETAIN: $h hours is not a plausible retention (max 1000000)"))
+          s"VACUUM RETAIN: ${m.group(2)} hours is not a plausible retention (max 1000000)"))
         vacuum(tg.dir, dryRun = m.group(3) != null, retainHours = retain)
       }
     }).orElse(optimizeRe.findFirstMatchIn(t).flatMap { m =>
