@@ -651,10 +651,11 @@ object TrainingData {
     * itself; at 100 TB this runs per-partition-directory.
     */
   def vacuumOrphans(spark: org.apache.spark.sql.SparkSession, dir: String,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false, retainMillis: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
     val vs = graft.spark.GraftCommitLog.versions(fs, root)
     require(vs.nonEmpty, s"vacuum needs a graft commit log under $dir")
     // referenced by ANY version, not just the latest: time travel to an
@@ -663,12 +664,22 @@ object TrainingData {
     // still read
     val (live, liveDvs) = graft.spark.GraftCommitLog.allReferenced(fs, root)
     val rootQ = fs.makeQualified(root).toString
+    // age horizon (VACUUM RETAIN): an unreferenced file younger than the
+    // horizon may be an in-flight writer's published-but-unlogged data —
+    // reclaim only files not modified since `horizon` (Delta's VACUUM
+    // modification-time discipline). `now` honors the commit-timestamp
+    // override so retention gates are deterministic under test.
+    val horizon =
+      if (retainMillis <= 0L) Long.MaxValue
+      else hconf.getLong(graft.spark.GraftCommitLog.CommitTimestampKey,
+        System.currentTimeMillis()) - retainMillis
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith(".") || n.startsWith("_")) Nil
         else if (st.isDirectory) walk(st.getPath)
-        else Seq(st.getPath)
+        else if (st.getModificationTime <= horizon) Seq(st.getPath)
+        else Nil
       }
     val orphans = walk(root).filter { p =>
       val q = fs.makeQualified(p).toString
@@ -684,7 +695,8 @@ object TrainingData {
     // entry or checkpoint references (replaced vectors, aborted commits);
     // the reference set came from the single fold above
     val dvGone = graft.spark.DeletionVectors
-      .reclaimUnreferenced(fs, root, dryRun, referenced = liveDvs)
+      .reclaimUnreferenced(fs, root, dryRun, referenced = liveDvs,
+        notModifiedSince = horizon)
       .map(n => s"${graft.spark.DeletionVectors.DirName}/$n")
     (rels ++ dvGone).sorted
   }
@@ -2089,8 +2101,10 @@ object TrainingData {
       if (retainMillis <= 0L) retired
       else {
         val ts: Map[Long, Long] = log.resolvedTimestamps(fs, root).toMap
+        // entryActionsAwait: ride out a claimed-but-unwritten entry from
+        // an in-flight committer, like every other maintenance fold
         val retiredAt: Map[String, Long] = vs.iterator.flatMap(v =>
-          log.entryActions(fs, root, v).iterator
+          log.entryActionsAwait(fs, root, v).iterator
             .filter(a => !a.add && !a.isDv).map(a => (a.path, v))).toMap
         val now = hconf.getLong(graft.spark.GraftCommitLog.CommitTimestampKey,
           System.currentTimeMillis())

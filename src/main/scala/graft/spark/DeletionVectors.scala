@@ -42,6 +42,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object DeletionVectors {
   val DirName = ".graft-dv"
 
+  /** Well-formed-but-newer header shape for the min-reader diagnostic. */
+  private val DeclaredDvRe = """^graft-dv v(\d{1,9})$""".r
+
   def artifactPath(root: Path, name: String): Path =
     new Path(new Path(root, DirName), name)
 
@@ -270,6 +273,13 @@ object DeletionVectors {
       val version = h match {
         case "graft-dv v1" => 1
         case "graft-dv v2" => 2
+        // a well-formed header declaring a NEWER format is "reader too
+        // old" (upgrade graft), not corruption — say which
+        case DeclaredDvRe(d) if d.toInt > GraftCommitLog.MaxDvVersion =>
+          throw new ProtocolTooNewException(
+            s"deletion vector $p uses format v$d > max supported " +
+              s"v${GraftCommitLog.MaxDvVersion} — this reader is too old " +
+              "for the table; upgrade graft (the artifact is not corrupt)")
         case other => throw new IllegalArgumentException(
           s"deletion vector $p: bad header '$other'")
       }
@@ -414,14 +424,19 @@ object DeletionVectors {
     * second full fold.
     */
   def reclaimUnreferenced(fs: FileSystem, root: Path,
-      dryRun: Boolean = false, referenced: Set[String] = null): Seq[String] = {
+      dryRun: Boolean = false, referenced: Set[String] = null,
+      notModifiedSince: Long = Long.MaxValue): Seq[String] = {
     val dir = new Path(root, DirName)
     if (!fs.exists(dir)) return Nil
     val live = Option(referenced)
       .getOrElse(GraftCommitLog.allReferenced(fs, root)._2)
     val orphans = fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.endsWith(".dv") &&
+        !live.contains(st.getPath.getName) &&
+        // age gate (VACUUM RETAIN): a young unreferenced artifact may be
+        // an in-flight writer's about-to-be-committed vector
+        st.getModificationTime <= notModifiedSince)
       .map(_.getPath)
-      .filter(p => p.getName.endsWith(".dv") && !live.contains(p.getName))
     if (!dryRun) orphans.foreach(p => fs.delete(p, false))
     orphans.map(_.getName).sorted
   }

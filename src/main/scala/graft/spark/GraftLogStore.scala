@@ -65,8 +65,8 @@ object GraftLogStore {
         // (silent loss of a committed write, the one unrecoverable
         // failure; found by CommitLogContentionSpec). POSIX O_EXCL via
         // File.createNewFile IS atomic: claim the slot there, then write
-        // through the filesystem layer (checksums included) into the
-        // claimed file.
+        // via java.io into the claimed file (no .crc sidecar — entry
+        // integrity comes from the v7 CRC32 footer, not ChecksumFileSystem).
         val f = new java.io.File(path.toUri.getPath)
         Option(f.getParentFile).foreach(_.mkdirs())
         if (!f.createNewFile())

@@ -636,6 +636,15 @@ private object GraftManifest {
 final class IncompleteCommitException(msg: String)
     extends IllegalStateException(msg)
 
+/** A log/artifact header declares a protocol version NEWER than this
+  * reader speaks (the Delta min-reader-version shape): the table is not
+  * corrupt — the READER is too old. Distinct from malformed so operators
+  * know the fix is "upgrade graft", not "restore the table". Never
+  * retried: the state is permanent until the reader is upgraded.
+  */
+final class ProtocolTooNewException(msg: String)
+    extends IllegalArgumentException(msg)
+
 /** Versioned snapshot log for graft batch sinks — the Delta-shaped piece
   * that turns an append-only directory into a table with readable history.
   *
@@ -1089,17 +1098,27 @@ private[graft] object GraftCommitLog {
               // PUT is atomically visible, and a filesystem truncate's
               // torn window reads as in-flight (the footer), never as a
               // missing version the way a delete+rename swap would.
-              // Deletion remains only as the fallback when even the
-              // tombstone cannot land (disk full).
+              // If even the tombstone cannot land (disk full), the torn
+              // entry STAYS in place: readers already classify it as
+              // in-flight/crashed and fail loudly, whereas deleting the
+              // slot leaves a permanent hole whenever a competitor has
+              // already claimed past us — versions() silently skips holes
+              // in batch folds, and a tailing followLog only outwaits a
+              // missing entry for the 5s grace before failing the stream.
+              // Loud-and-present beats silently-absent.
               val ts2 = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
               val tombLines = Seq("graft-commit v7", s"t $ts2", "o aborted-commit")
               val tomb = (tombLines.mkString("", "\n", "\n") +
                 footerFor(tombLines, 0L) + "\n").getBytes("UTF-8")
-              try {
-                val o2 = fs.create(entry, true)
-                try o2.write(tomb) finally o2.close()
-              } catch { case _: Exception =>
-                try fs.delete(entry, false) catch { case _: Exception => () }
+              var tombTries = 0
+              var tombDone = false
+              while (!tombDone && tombTries < 3) {
+                tombTries += 1
+                try {
+                  val o2 = fs.create(entry, true)
+                  try o2.write(tomb) finally o2.close()
+                  tombDone = true
+                } catch { case _: Exception => () }
               }
             }
             throw e
@@ -1181,6 +1200,23 @@ private[graft] object GraftCommitLog {
       version: Long): Option[Set[String]] =
     readCheckpointState(fs, root, version).map(_.keySet)
 
+  /** Min-reader gate for checkpoints: a well-formed header declaring a
+    * NEWER checkpoint protocol throws the upgrade-shaped error instead of
+    * degrading to the entry fold — after expireLogHistory the checkpoint
+    * is the ONLY reference the surviving files have, so "silently ignore
+    * what I can't parse" could fold an incomplete live set.
+    */
+  private val declaredCkptRe = """^graft-checkpoint v(\d{1,9})$""".r
+  private def checkCheckpointCeiling(p: Path, lines: Seq[String]): Unit =
+    lines.headOption.foreach {
+      case declaredCkptRe(d) if d.toInt > MaxCheckpointVersion =>
+        throw new ProtocolTooNewException(
+          s"checkpoint $p uses protocol v$d > max supported " +
+            s"v$MaxCheckpointVersion — this reader is too old for the " +
+            "table; upgrade graft to read it (the checkpoint is not corrupt)")
+      case _ => ()
+    }
+
   /** Parse one checkpoint's live state — path -> deletion-vector artifact
     * name (null = none); None on any read/parse failure (checkpoints are
     * derived state — a bad one must only cost the fallback fold, never
@@ -1191,6 +1227,7 @@ private[graft] object GraftCommitLog {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
+    checkCheckpointCeiling(p, lines)
     val v4 = lines.headOption.contains("graft-checkpoint v4")
     val v3 = v4 || lines.headOption.contains("graft-checkpoint v3")
     val v2 = v3 || lines.headOption.contains("graft-checkpoint v2")
@@ -1210,7 +1247,10 @@ private[graft] object GraftCommitLog {
       } else return None
     }
     Some(state.result())
-  } catch { case _: Exception => None }
+  } catch {
+    case e: ProtocolTooNewException => throw e // upgrade-shaped, never masked
+    case _: Exception => None
+  }
 
   /** A v4 checkpoint's recorded (clamped) commit time; None otherwise. */
   def readCheckpointTimestamp(fs: org.apache.hadoop.fs.FileSystem, root: Path,
@@ -1218,10 +1258,14 @@ private[graft] object GraftCommitLog {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
+    checkCheckpointCeiling(p, lines)
     if (!lines.headOption.contains("graft-checkpoint v4")) None
     else lines.tail.find(_.startsWith("t "))
       .flatMap(l => scala.util.Try(l.substring(2).trim.toLong).toOption)
-  } catch { case _: Exception => None }
+  } catch {
+    case e: ProtocolTooNewException => throw e
+    case _: Exception => None
+  }
 
   /** The schema line of a v2 checkpoint; None for v1 or unparsable. */
   def readCheckpointSchema(fs: org.apache.hadoop.fs.FileSystem, root: Path,
@@ -1229,11 +1273,15 @@ private[graft] object GraftCommitLog {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
+    checkCheckpointCeiling(p, lines)
     if (!lines.headOption.exists(h =>
         h == "graft-checkpoint v2" || h == "graft-checkpoint v3" ||
           h == "graft-checkpoint v4")) None
     else lines.tail.find(_.startsWith("s ")).flatMap(parseSchemaLine)
-  } catch { case _: Exception => None }
+  } catch {
+    case e: ProtocolTooNewException => throw e
+    case _: Exception => None
+  }
 
   /** Newest READABLE checkpoint at or before `version`, tried newest
     * first (`_last_checkpoint` is only a hint — the listing is the
@@ -1349,7 +1397,9 @@ private[graft] object GraftCommitLog {
         if (dv != null) dvs += dv
       })
     }
-    versions(fs, root).foreach(v => entryActions(fs, root, v).foreach { a =>
+    // entryActionsAwait: a vacuum racing an in-flight committer can list
+    // a claimed-but-unwritten entry — ride it out like every other fold
+    versions(fs, root).foreach(v => entryActionsAwait(fs, root, v).foreach { a =>
       if (a.add) files += a.path
       else if (a.isDv) dvs += a.dv
     })
@@ -1520,6 +1570,13 @@ private[graft] object GraftCommitLog {
       inFlightState(e) || e.isInstanceOf[java.io.IOException])(
       entryActions(fs, root, version))
 
+  /** Newest commit-entry protocol this reader writes AND the newest it
+    * can read; `graft-checkpoint` and `graft-dv` carry their own ceilings.
+    */
+  val MaxProtocolVersion = 7
+  val MaxCheckpointVersion = 4
+  val MaxDvVersion = 2
+
   /** A commit-entry header's protocol version; 0 = not a known
     * graft-commit header (unknown versions stay 0 on purpose — a reader
     * must fail loudly on a protocol it does not speak, never misread it).
@@ -1528,8 +1585,19 @@ private[graft] object GraftCommitLog {
     case Some(h) if h.startsWith("graft-commit v") =>
       val v = try h.substring("graft-commit v".length).toInt
         catch { case _: NumberFormatException => 0 }
-      if (v >= 1 && v <= 7) v else 0
+      if (v >= 1 && v <= MaxProtocolVersion) v else 0
     case _ => 0
+  }
+
+  /** The version a well-formed `graft-commit v<digits>` header DECLARES,
+    * supported or not — the min-reader diagnostic's input ([[headerVersion]]
+    * deliberately folds unsupported to 0; this distinguishes "protocol
+    * newer than this reader" from "corrupt file").
+    */
+  private val declaredHeaderRe = """^graft-commit v(\d{1,9})$""".r
+  private def declaredVersion(first: String): Option[Int] = first match {
+    case declaredHeaderRe(d) => Some(d.toInt)
+    case _ => None
   }
 
   private def parseActions(p: Path, lines: Seq[String]): Seq[LogAction] = {
@@ -1547,6 +1615,16 @@ private[graft] object GraftCommitLog {
       throw new IncompleteCommitException(
         s"commit-log entry $p is torn mid-header — an in-flight commit or " +
           "a crashed writer's remainder")
+    // a WELL-FORMED header declaring a NEWER protocol is not corruption —
+    // the reader is too old (Delta min-reader shape): say so, so the fix
+    // ("upgrade graft") is legible and nobody "restores" a healthy table
+    if (hv == 0) declaredVersion(lines.head).filter(_ > MaxProtocolVersion)
+      .foreach { dv =>
+        throw new ProtocolTooNewException(
+          s"commit-log entry $p uses protocol v$dv > max supported " +
+            s"v$MaxProtocolVersion — this reader is too old for the table; " +
+            "upgrade graft to read it (the entry is not corrupt)")
+      }
     require(hv >= 1, s"malformed commit-log entry $p")
     // v7 entries TERMINATE with `e <actionCount>`: a torn prefix (a
     // tailing reader racing the body write, or a crashed writer) is
@@ -1867,6 +1945,7 @@ private[graft] object GraftCommitLog {
     val p = checkpointFile(root, version)
     if (!fs.exists(p)) return None
     val lines = slurpLines(fs, p)
+    checkCheckpointCeiling(p, lines)
     val v4 = lines.headOption.contains("graft-checkpoint v4")
     if (!v4 && !lines.headOption.exists(h =>
         h == "graft-checkpoint v2" || h == "graft-checkpoint v3")) None
@@ -1874,7 +1953,10 @@ private[graft] object GraftCommitLog {
       case Some(st) => Some(Some(st))
       case None => if (v4) Some(None) else None
     }
-  } catch { case _: Exception => None }
+  } catch {
+    case e: ProtocolTooNewException => throw e
+    case _: Exception => None
+  }
 
   /** [[entrySchema]] but propagating IO failures (strict read, lenient
     * parse) — see [[schemaAsOfStrict]]. Also strict about COMPLETENESS:
@@ -1890,6 +1972,16 @@ private[graft] object GraftCommitLog {
         "graft-commit v7".startsWith(lines.head)))
       throw new IncompleteCommitException(
         s"commit-log entry $p is in-flight (empty or torn header)")
+    // strict = writer-side conflict detection: silently treating a
+    // newer-protocol entry as "no schema" would compare against a stale
+    // base — raise the upgrade-shaped error instead
+    if (headerVersion(lines) == 0)
+      declaredVersion(lines.head).filter(_ > MaxProtocolVersion).foreach { dv =>
+        throw new ProtocolTooNewException(
+          s"commit-log entry $p uses protocol v$dv > max supported " +
+            s"v$MaxProtocolVersion — this writer is too old for the table; " +
+            "upgrade graft (the entry is not corrupt)")
+      }
     if (headerVersion(lines) >= 7 && !lines.last.startsWith("e "))
       throw new IncompleteCommitException(
         s"commit-log entry $p is in-flight (no terminating footer yet)")

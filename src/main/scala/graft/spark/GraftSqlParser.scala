@@ -110,12 +110,16 @@ object GraftMaintenanceSql {
       else resolveCatalog(identParts(raw)) match {
         case CatalogLookup.Graft(dir, id) => Some(Target(dir, Some(id)))
         case CatalogLookup.NotGraft => None // someone else's table: delegate
-        case CatalogLookup.Missing if graftOnly =>
+        case CatalogLookup.Missing if graftOnly && plainName(raw) =>
           throw new IllegalArgumentException(
             s"$verb: $raw does not name a table in the session catalog " +
               "(graft tables register via CREATE TABLE ... USING " +
               "graft-json/graft-csv/graft-avro) — address an unregistered " +
               s"table by path: $verb '<dir>' ...")
+        // Missing but NOT a plain 1–2 part name (backticked parts, path
+        // separators, 3-part other-catalog shapes): another extension's
+        // identifier convention (e.g. delta.`/path`) — delegate rather
+        // than pre-empt its valid statement with a graft error.
         case CatalogLookup.Missing => None
       }
     describeHistoryRe.findFirstMatchIn(t).flatMap { m =>
@@ -211,6 +215,18 @@ object GraftMaintenanceSql {
       case None => CatalogLookup.NotGraft
     }
   }
+
+  /** A "plain" catalog name — 1–2 bare dotted parts, no backticks, no
+    * path separators. Only these earn the targeted typo refusal on a
+    * Missing lookup; anything fancier (delta.`/path` and friends) is
+    * plausibly another extension's convention and must delegate.
+    */
+  private def plainName(raw: String): Boolean =
+    !raw.contains('`') && {
+      val parts = identParts(raw)
+      parts.length <= 2 && parts.forall(p =>
+        !p.contains('/') && !p.contains('\\'))
+    }
 
   /** Split a (validated-by-regex) dotted identifier into parts, honoring
     * backticks.
@@ -549,18 +565,24 @@ object GraftMaintenanceSql {
         case Right(ts) => graft.api.TrainingData.restoreTableToTimestamp(s, dir, ts)
       })))
 
-  /** Plain VACUUM = uncommitted-orphan cleanup; `RETAIN n HOURS` = the
-    * retention reclaim of RETIRED files older than the horizon
-    * (expireRetired — the age gate that makes online maintenance safe
-    * under pinned readers and streams; Delta's VACUUM RETAIN shape).
+  /** Plain VACUUM = uncommitted-orphan cleanup; `RETAIN n HOURS` runs
+    * BOTH sweeps behind the same age horizon — the retention reclaim of
+    * RETIRED files (expireRetired) plus the orphan sweep gated on file
+    * modification time, so aborted-write debris does not accumulate for
+    * users who only ever run the RETAIN form (Delta's VACUUM semantics:
+    * one verb, both classes, one retention horizon).
     */
   private def vacuum(dir: String, dryRun: Boolean,
       retainHours: Option[Long]): LogicalPlan =
     GraftMaintenanceCommand(attrs(StructType(Seq(
       StructField("path", StringType, nullable = false)))),
       s => (retainHours match {
-        case Some(h) => graft.api.TrainingData.expireRetired(s, dir,
-          dryRun = dryRun, retainMillis = h * 3600000L)
+        case Some(h) =>
+          val ms = h * 3600000L
+          (graft.api.TrainingData.expireRetired(s, dir,
+            dryRun = dryRun, retainMillis = ms) ++
+            graft.api.TrainingData.vacuumOrphans(s, dir,
+              dryRun = dryRun, retainMillis = ms)).distinct.sorted
         case None => graft.api.TrainingData.vacuumOrphans(s, dir, dryRun = dryRun)
       }).map(Row(_)))
 

@@ -183,6 +183,9 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("corrupt checkpoint falls back to the full fold, never a wrong set") {
+    // genuinely CORRUPT (unrecognizable header) — a well-formed header
+    // declaring a NEWER protocol is a different class and fails loudly
+    // with the upgrade-shaped message (ProtocolCeilingSpec)
     val dir = root.resolve("corrupt").toString
     df(0 until 3).write.format("graft-json").mode("overwrite").save(dir) // v0
     df(3 until 7).write.format("graft-json").mode("append").save(dir)   // v1
@@ -190,7 +193,7 @@ class CommitLogCheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fs = fsOf(dir)
     val ck = GraftCommitLog.checkpointFile(new Path(dir), 1L)
     val out = fs.create(ck, true)
-    try out.write("graft-checkpoint v999\ngarbage\n".getBytes("UTF-8")) finally out.close()
+    try out.write("not-a-checkpoint-at-all\ngarbage\n".getBytes("UTF-8")) finally out.close()
     assert(readLatest(dir).count() === 7)
     assert(readAsOf(dir, 1).agg(sum("id")).head.getLong(0) === (0 until 7).sum)
   }

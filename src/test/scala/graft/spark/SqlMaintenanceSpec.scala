@@ -643,6 +643,53 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conf.unset(tsKey)
   }
 
+  test("VACUUM RETAIN also sweeps aborted-write orphans past the horizon") {
+    // a user who only ever runs the RETAIN form must not accumulate
+    // uncommitted debris forever — the orphan sweep rides the same verb,
+    // age-gated on modification time so an in-flight writer's
+    // published-but-unlogged file survives
+    val d = dir("vac_retain_orphan")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tsKey = GraftCommitLog.CommitTimestampKey
+    try {
+      writeTable(d, n = 20L, parts = 1)
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(conf)
+      val oldOrphan = new org.apache.hadoop.fs.Path(root, "aborted-old.jsonl")
+      val newOrphan = new org.apache.hadoop.fs.Path(root, "aborted-new.jsonl")
+      Seq(oldOrphan, newOrphan).foreach { p =>
+        val o = fs.create(p, true)
+        try o.write("{\"id\":999}\n".getBytes("UTF-8")) finally o.close()
+      }
+      val now = System.currentTimeMillis()
+      fs.setTimes(oldOrphan, now - 10L * 3600000L, -1L) // 10h old
+      fs.setTimes(newOrphan, now - 10L * 60000L, -1L)   // 10min old
+      val gone = spark.sql(s"VACUUM '$d' RETAIN 2 HOURS")
+        .collect().map(_.getString(0)).toSeq
+      assert(gone === Seq("aborted-old.jsonl"), gone.mkString(","))
+      assert(!fs.exists(oldOrphan))
+      assert(fs.exists(newOrphan), "young orphan must survive the horizon")
+      // the live table is untouched
+      assert(snapIds(d) === (0L until 20L))
+    } finally conf.unset(tsKey)
+  }
+
+  test("graft-only verbs DELEGATE on path-style identifiers they cannot resolve") {
+    // delta.`/path` is another extension's convention: with graft
+    // installed in front, its statements must reach the delegate (here
+    // Spark, whose parser rejects the verb) — never a graft refusal
+    val e = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY delta.`/tmp/not/ours`").collect()
+    }
+    assert(!e.getMessage.contains("does not name a table"), e.getMessage)
+    assert(!e.getMessage.contains("graft"), e.getMessage)
+    // plain missing 1–2 part names still get the targeted message
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("DESCRIBE HISTORY nope_xyz").collect()
+    }
+    assert(e2.getMessage.contains("does not name a table"), e2.getMessage)
+  }
+
   test("emptied table keeps its format lane (log write history)") {
     val d = dir("emptied_avro")
     writeTable(d, n = 20L, format = "graft-avro")                    // v0
