@@ -216,6 +216,23 @@ object GraftMaintenanceSql {
     }
   }
 
+  /** THE name-or-path resolution seam for string table refs (TVFs, APIs
+    * taking one argument that may be either): a ref carrying a path
+    * separator is a storage root verbatim; anything else resolves through
+    * the session catalog with full identifier splitting (backticks,
+    * `spark_catalog` qualification — everything [[catalogResolver]]
+    * gives the SQL verbs). New surfaces route here so catalog-name
+    * support is inherited, never re-implemented.
+    */
+  def resolveRef(spark: SparkSession, ref: String, surface: String): String =
+    if (ref.contains('/') || ref.contains('\\')) ref
+    else catalogResolver(spark)(identParts(ref)) match {
+      case CatalogLookup.Graft(d, _) => d
+      case _ => throw new IllegalArgumentException(
+        s"$surface: '$ref' is not a graft-provider table in the session " +
+          "catalog — pass the table path instead")
+    }
+
   /** A "plain" catalog name — 1–2 bare dotted parts, no backticks, no
     * path separators. Only these earn the targeted typo refusal on a
     * Missing lookup; anything fancier (delta.`/path` and friends) is

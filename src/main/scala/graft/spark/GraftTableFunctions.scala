@@ -64,15 +64,9 @@ object GraftTableFunctions {
       if (args.size == 3) asLong(literal(args(2), "toVersion"), "toVersion")
       else -1L
     val spark = SparkSession.active
-    // a path carries a separator; anything else resolves as a catalog name
-    val dir =
-      if (ref.contains("/")) ref
-      else GraftMaintenanceSql.catalogResolver(spark)(ref.split('.').toSeq) match {
-        case GraftMaintenanceSql.CatalogLookup.Graft(d, _) => d
-        case _ => throw new IllegalArgumentException(
-          s"table_changes: '$ref' is not a graft-provider table in the " +
-            "session catalog — pass the table path instead")
-      }
+    // ONE resolution seam with the SQL verbs (backticks, qualification —
+    // catalog-name support is inherited, not re-implemented here)
+    val dir = GraftMaintenanceSql.resolveRef(spark, ref, "table_changes")
     val (ddl, format) = GraftMaintenanceSql.resolveTable(spark, dir)
     val f = format.getOrElse(throw new IllegalArgumentException(
       s"table_changes: the log under $dir never recorded a data file"))

@@ -596,10 +596,17 @@ class SqlMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
          |WHERE _change_type = 'delete'""".stripMargin)
       .collect().head.getLong(0)
     assert(bounded === 3L)
-    // by catalog name
+    // by catalog name — including qualified and backticked forms, which
+    // ride the SAME resolution seam as the SQL verbs (resolveRef)
     createCatalogTable("graft_tvf_nm", d)
     try {
       assert(spark.sql("SELECT count(*) FROM table_changes('graft_tvf_nm', 1)")
+        .collect().head.getLong(0) === 5L)
+      assert(spark.sql(
+        "SELECT count(*) FROM table_changes('spark_catalog.default.graft_tvf_nm', 1)")
+        .collect().head.getLong(0) === 5L)
+      assert(spark.sql(
+        "SELECT count(*) FROM table_changes('default.`graft_tvf_nm`', 1)")
         .collect().head.getLong(0) === 5L)
     } finally spark.sql("DROP TABLE IF EXISTS graft_tvf_nm")
     // non-graft name refuses with the targeted message
