@@ -639,6 +639,46 @@ object TrainingData {
       .drop("__qid_n")
   }
 
+  /** CONVERT-in-place for a PARTIAL log (the Delta `CONVERT TO DELTA`
+    * shape): adopt every visible data file the log does not reference
+    * into one commit, then clear the `_partial` marker so option-free
+    * reads become log-mediated (snapshot-consistent, no recursive
+    * listing). A log goes partial when an append CREATED it over a
+    * pre-log legacy directory — the pre-existing files are real data the
+    * log never covered. LIKE DELTA'S CONVERT, THE CALLER ASSERTS NO
+    * WRITER IS IN FLIGHT: a racing writer's published-but-uncommitted
+    * files are indistinguishable from legacy data and would be adopted.
+    * Files any log entry already references (including RETIRED
+    * originals, which are history, not data) are never adopted. Returns
+    * the adopted root-relative paths.
+    */
+  def adoptUnlogged(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val log = graft.spark.GraftCommitLog
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty, s"adoptUnlogged needs a graft commit log under $dir")
+    val (referenced, _) = log.allReferenced(fs, root)
+    val found = Seq.newBuilder[String]
+    def walk(p: Path, prefix: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith(".") && !n.startsWith("_")) {
+          if (st.isDirectory) walk(st.getPath, prefix + n + "/")
+          else found += (prefix + n)
+        }
+      }
+    walk(root, "")
+    val adopt = found.result().filterNot(referenced.contains).sorted
+    if (adopt.nonEmpty)
+      log.appendEntry(conf, dir, adds = adopt, opTag = "adopt-unlogged")
+    fs.delete(new Path(log.logDir(root), log.PartialLogMarker), false)
+    adopt
+  }
+
   /** VACUUM for graft-sink directories: delete data files that the
     * commit log's LATEST snapshot does not reference — the debris of
     * failed/abandoned jobs and out-of-band copies that would otherwise be
@@ -1383,9 +1423,12 @@ object TrainingData {
     // `schema` is the DATA schema; hive-style partition columns (typed
     // from the layout) and the synthetic provenance column ride on top —
     // a user-specified schema must name every column the scan serves
+    // rawlisting: only the PARTITION LAYOUT is wanted here (no row reads,
+    // no state fold) — the raw walk keeps working even when the log holds
+    // a racer's not-yet-landed file the log-first lane would check
     val listing = graft.spark.GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Map.of("path", dir)))
+        java.util.Map.of("path", dir, "rawlisting", "true")))
     val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
     requireCoversRecorded(fs, root, logVersions.max, dataSchema,
       listing.partCols, dir)
@@ -1567,9 +1610,12 @@ object TrainingData {
     require(!cur.fieldNames.exists(n => n != fromExact && n.equalsIgnoreCase(to)),
       s"alterTableRenameColumn: '$to' already exists in $dir " +
         "(name resolution is case-insensitive)")
+    // rawlisting: only the PARTITION LAYOUT is wanted here (no row reads,
+    // no state fold) — the raw walk keeps working even when the log holds
+    // a racer's not-yet-landed file the log-first lane would check
     val listing = graft.spark.GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Map.of("path", dir)))
+        java.util.Map.of("path", dir, "rawlisting", "true")))
     require(!listing.partCols.exists(_.equalsIgnoreCase(fromExact)),
       s"alterTableRenameColumn: '$fromExact' is a partition column — the " +
         "directory layout carries it physically; rewrite to a fresh root " +
@@ -1621,9 +1667,12 @@ object TrainingData {
       s"alterTableDropColumn: '$colName' does not resolve to exactly one " +
         s"recorded column of $dir (${cur.fieldNames.mkString(", ")})")
     val colExact = resolved.head
+    // rawlisting: only the PARTITION LAYOUT is wanted here (no row reads,
+    // no state fold) — the raw walk keeps working even when the log holds
+    // a racer's not-yet-landed file the log-first lane would check
     val listing = graft.spark.GraftSources.resolvePartitioned(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-        java.util.Map.of("path", dir)))
+        java.util.Map.of("path", dir, "rawlisting", "true")))
     require(!listing.partCols.exists(_.equalsIgnoreCase(colExact)),
       s"alterTableDropColumn: '$colExact' is a partition column — the directory " +
         "layout carries it; rewrite the table to a fresh root to de-partition")

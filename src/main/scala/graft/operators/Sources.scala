@@ -1680,9 +1680,14 @@ object Sources {
         java.nio.file.Paths.get(feed, "garbage.jsonl"),
         garbage.mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // rawlisting: the FEED is a producer drop-directory, not a curated
+      // table — ingest must read whatever landed on disk (the planted
+      // garbage arrives out-of-band, exactly like a dirty producer), not
+      // the committed snapshot (round-13 log-first default)
       val read = s.read.format("graft-json")
         .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt_record STRING")
         .option("badrecords", "keep")
+        .option("rawlisting", "true")
         .load(feed)
       read.filter($"_corrupt_record".isNull)
         .drop("_corrupt_record")
@@ -3022,6 +3027,51 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 450 ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q228
+  // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
+  // read of a logged table is its latest committed snapshot. The gate
+  // retires originals with retained history (they stay on disk) AND
+  // drops a rogue out-of-band copy into the directory — a raw recursive
+  // listing would read every surviving row twice plus the rogue rows;
+  // the default read must match the oracle exactly. At 100 TB this is
+  // also the planning-cost story: enumeration is checkpoint + suffix +
+  // one non-recursive listStatus per live directory, never a recursive
+  // tree walk (LogFirstListingSpec's counting-fs witness pins that).
+  private val q228 = GQuery(
+    "q228_log_first_default_read",
+    "Option-free logged-table reads are log-mediated: retirees and rogue files invisible",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/log_first_gate"
+      val ddl = "c_custkey BIGINT, c_acctbal DOUBLE"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables(s, d, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        .filter($"c_custkey" < 400).repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)       // v0
+      graft.api.TrainingData.deleteWhere(s, dir, ddl,
+        "c_custkey % 7 = 0", retainHistory = true)                    // v1: originals retained
+      val rogue = new org.apache.hadoop.fs.Path(dir, "rogue-copy.jsonl")
+      val out = fs.create(rogue, true)
+      try out.write("{\"c_custkey\":999999,\"c_acctbal\":1.0}\n".getBytes("UTF-8"))
+      finally out.close()
+      val df = s.read.format("graft-json").schema(ddl).load(dir)      // OPTION-FREE
+      // the raw lane still exists, opt-in, and sees everything
+      val rawN = s.read.format("graft-json").schema(ddl)
+        .option("rawlisting", "true").load(dir).count()
+      val liveN = (0 until 400).count(_ % 7 != 0)
+      require(rawN == 400L + liveN + 1L,
+        s"raw listing must see retirees + rewrites + rogue, got $rawN")
+      df.select($"c_custkey", round($"c_acctbal", 2).as("balance"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance
+            FROM customer
+            WHERE c_custkey < 400 AND c_custkey % 7 <> 0
+            ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- q227
   // VACUUM RETAIN n HOURS (round 12): retention-gated reclaim of retired
   // files — the Delta discipline that makes physical cleanup safe while
@@ -3248,5 +3298,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 }

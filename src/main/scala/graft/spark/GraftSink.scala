@@ -717,6 +717,14 @@ private[graft] object GraftCommitLog {
   /** Hadoop-conf key for the auto-checkpoint cadence (set via
     * `spark.hadoop.graft.commitlog.checkpoint.interval`); `0` disables.
     */
+  /** Marker file under `.graft-log/`: this log does NOT cover every
+    * visible data file in the directory (it was started by an append to
+    * a pre-log legacy table). The log-first read default falls back to
+    * the raw walk while it exists; [[graft.api.TrainingData.adoptUnlogged]]
+    * clears it by committing the uncovered files.
+    */
+  val PartialLogMarker = "_partial"
+
   val CheckpointIntervalKey = "graft.commitlog.checkpoint.interval"
   val DefaultCheckpointInterval = 20
 
@@ -844,6 +852,35 @@ private[graft] object GraftCommitLog {
     // stays the single create→write step it always was); on losing a
     // slot race, fold only the DELTA entries and re-validate.
     var base: Option[Long] = versions(fs, rootPath).lastOption
+    // LEGACY-DIRECTORY MARKER: the FIRST commit over a directory that
+    // already holds visible data files this commit is not publishing
+    // (an append to a pre-log legacy table) stamps `.graft-log/_partial`
+    // — the log does NOT cover the whole directory, so the log-first
+    // read default must keep walking the tree for it (the pre-existing
+    // files would otherwise vanish from option-free reads). Auto-adopting
+    // them instead would break in-flight invisibility: a racing writer's
+    // published-but-uncommitted files are indistinguishable from legacy
+    // data, and adopting a crasher's partial output enrolls garbage
+    // forever. Explicit adoption is TrainingData.adoptUnlogged (the Delta
+    // CONVERT shape: the caller asserts no writer is in flight). The
+    // marker write is STRICT — committing without it would silently
+    // shrink default reads.
+    if (base.isEmpty) {
+      var foreign = false
+      def scan(p: Path, prefix: String): Unit =
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (!foreign && !n.startsWith(".") && !n.startsWith("_")) {
+            if (st.isDirectory) scan(st.getPath, prefix + n + "/")
+            else if (!relAddSet.contains(prefix + n)) foreign = true
+          }
+        }
+      try scan(rootPath, "")
+      catch { case _: java.io.FileNotFoundException => () }
+      // content-less: existence IS the signal, so a plain overwrite-create
+      // is race-safe (two first-committers both stamping it converge)
+      if (foreign) fs.create(new Path(dir, PartialLogMarker), true).close()
+    }
     val needState = relRemoves.nonEmpty || relDvs.nonEmpty
     // path -> dv-artifact name (null = live with no deletion vector)
     var live: Map[String, String] =

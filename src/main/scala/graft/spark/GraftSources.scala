@@ -427,20 +427,9 @@ object GraftSources {
 
     val rootPaths = splitRootPaths(raw)
     val roots = rootPaths.map(_.toString)
-    rootPaths.foreach { path =>
-      val fs = path.getFileSystem(conf)
-      val status = fs.getFileStatus(path)
-      if (status.isDirectory) walk(fs, path, mutable.LinkedHashMap.empty)
-      else files += ((status.getPath.toString, status.getLen, mutable.LinkedHashMap.empty))
-    }
-    val cols = partCols.toSeq
-    var listed = files.result()
 
-    // Snapshot pinning (time travel): keep only the files live as of the
-    // requested commit-log version. Strict both ways — a live file missing
-    // from the listing fails (snapshot unreadable), and extra files the
-    // log never committed are excluded (in-flight writers stay invisible,
-    // which is what makes concurrent append + read coherent).
+    // ---- resolve the read MODE before any data-tree I/O: log-mediated
+    // lanes never walk the directory tree at all ----
     var pinned = Option(options.get("versionasof")).map(_.trim).filter(_.nonEmpty)
     val since = Option(options.get("changessinceversion")).map(_.trim).filter(_.nonEmpty)
     require(pinned.isEmpty || since.isEmpty,
@@ -465,10 +454,9 @@ object GraftSources {
           rootPath.getFileSystem(conf), rootPath, millis).toString)
       }
     // option("snapshot","true"): the LATEST COMMITTED snapshot without
-    // pinning a number — the Delta-consistent read mode. In-flight
-    // writers, rogue copies, and retained-retired files (which raw
-    // listings see, documented) are all invisible; resolves to
-    // versionAsOf=<latest> so every strictness rule applies.
+    // pinning a number. Since round 13 this is also the DEFAULT for
+    // logged tables (below); the explicit option remains for callers who
+    // want the loud no-log refusal.
     if (options.getBoolean("snapshot", false)) {
       require(pinned.isEmpty && since.isEmpty,
         "option(\"snapshot\") is redundant with versionAsOf/changesSinceVersion")
@@ -482,17 +470,58 @@ object GraftSources {
           "(only graft batch sinks write .graft-log)")
       pinned = Some(vs.max.toString)
     }
+    val rawListing = options.getBoolean("rawlisting", false)
+    require(!rawListing || (pinned.isEmpty && since.isEmpty),
+      "option(\"rawlisting\") contradicts versionAsOf/timestampAsOf/" +
+        "snapshot/changesSinceVersion — pick one read mode")
+    val restrict = Option(options.get("restrictfiles")).map(_.trim).filter(_.nonEmpty)
+    val withFile = options.getBoolean("withfilepath", false)
+    // LOG-FIRST DEFAULT (Delta semantics, round 13): an option-free read
+    // of a table that HAS a commit log reads its latest committed
+    // snapshot — in-flight writers, rogue out-of-band copies, and
+    // retained-retired originals are invisible, and planning never
+    // recursively lists the tree (at 1M files the recursive list is the
+    // FS-metadata bottleneck, and raw semantics differ from every other
+    // logged format). Raw directory semantics stay available behind
+    // option("rawlisting","true"). restrictFiles keeps its explicit
+    // file-set contract (the COW rewrite lane) and never auto-pins.
+    if (pinned.isEmpty && since.isEmpty && !rawListing && restrict.isEmpty &&
+        roots.length == 1) {
+      val rootPath = rootPaths.head
+      val fs = rootPath.getFileSystem(conf)
+      val isDir = try fs.getFileStatus(rootPath).isDirectory catch { case _: Exception => false }
+      if (isDir) {
+        val vs = GraftCommitLog.versions(fs, rootPath)
+        // a PARTIAL log (started by an append over a pre-log legacy
+        // directory) does not cover every visible file: keep the raw walk
+        // for it — TrainingData.adoptUnlogged upgrades the table
+        if (vs.nonEmpty && !fs.exists(new Path(
+            GraftCommitLog.logDir(rootPath), GraftCommitLog.PartialLogMarker)))
+          pinned = Some(vs.max.toString)
+      }
+    }
+
     // data-file abs path -> (deletion-vector artifact abs path, rel target)
     var dvByPath = Map.empty[String, (String, String)]
-    pinned.orElse(since).foreach { vstr =>
+
+    if (pinned.nonEmpty || since.nonEmpty) {
+      // LOG-MEDIATED ENUMERATION (time travel / snapshot / the log-first
+      // default): the file set comes from the log fold (checkpoint +
+      // suffix), and the filesystem is consulted with ONE non-recursive
+      // listStatus per directory that holds live files — for lengths and
+      // the vacuumed-out-of-band check — so planning cost scales with the
+      // LIVE set, never the tree. Strict both ways, as before: a live
+      // file missing from its directory fails; files the log never
+      // committed are simply never looked at.
       val optName = if (pinned.isDefined) "versionAsOf" else "changesSinceVersion"
       require(roots.length == 1,
         s"$optName needs exactly one root directory, got ${roots.length}")
+      val vstr = pinned.orElse(since).get
       val version =
         try vstr.toLong
         catch { case _: NumberFormatException =>
           throw new IllegalArgumentException(s"$optName must be an integer, got '$vstr'") }
-      val rootPath = new Path(roots.head)
+      val rootPath = rootPaths.head
       val fs = rootPath.getFileSystem(conf)
       require(fs.getFileStatus(rootPath).isDirectory,
         s"$optName applies to a graft-sink-written directory, not a single file")
@@ -504,25 +533,59 @@ object GraftSources {
         if (pinned.isDefined) GraftCommitLog.liveStateAsOf(fs, rootPath, version)
         else GraftCommitLog.filesSince(fs, rootPath, version)
           .iterator.map(_ -> (null: String)).toMap
-      val rootQ = fs.makeQualified(rootPath).toString
-      def rel(p: String): String = {
-        val q = fs.makeQualified(new Path(p)).toString
-        if (q.startsWith(rootQ)) q.substring(rootQ.length).stripPrefix("/") else q
+      val missing = Seq.newBuilder[String]
+      state.keySet.toSeq.sorted
+        .groupBy { r =>
+          val i = r.lastIndexOf('/'); if (i < 0) "" else r.substring(0, i)
+        }.toSeq.sortBy(_._1).foreach { case (d, inDir) =>
+          val dirPath = if (d.isEmpty) rootPath else new Path(rootPath, d)
+          val present: Map[String, (String, Long)] =
+            try fs.listStatus(dirPath).iterator.filter(_.isFile)
+              .map(st => st.getPath.getName -> (st.getPath.toString, st.getLen))
+              .toMap
+            catch { case _: java.io.FileNotFoundException => Map.empty }
+          // hive partition values from the relative directory segments —
+          // the same unescaping and null convention as the walk
+          val parts = mutable.LinkedHashMap.empty[String, String]
+          if (d.nonEmpty) d.split('/').foreach { seg =>
+            val eq = seg.indexOf('=')
+            if (eq > 0) {
+              val k = seg.substring(0, eq)
+              val v = unescapePathValue(seg.substring(eq + 1))
+              partCols += k
+              parts.addOne(k ->
+                (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+            }
+          }
+          inDir.foreach { r =>
+            val name = r.substring(r.lastIndexOf('/') + 1)
+            present.get(name) match {
+              case Some((abs, len)) =>
+                files += ((abs, len, parts))
+                val dvn = state(r)
+                if (dvn != null)
+                  dvByPath += (abs ->
+                    (DeletionVectors.artifactPath(rootPath, dvn).toString, r))
+              case None => missing += r
+            }
+          }
+        }
+      val miss = missing.result()
+      require(miss.isEmpty,
+        s"$optName=$version: selection references ${miss.size} missing file(s), " +
+          s"e.g. ${miss.take(3).mkString(", ")} — was the directory vacuumed?")
+    } else {
+      // RAW LISTING (logless directories, multi-root reads, explicit
+      // rawlisting, the restrictFiles maintenance lane): recursive walk
+      rootPaths.foreach { path =>
+        val fs = path.getFileSystem(conf)
+        val status = fs.getFileStatus(path)
+        if (status.isDirectory) walk(fs, path, mutable.LinkedHashMap.empty)
+        else files += ((status.getPath.toString, status.getLen, mutable.LinkedHashMap.empty))
       }
-      val kept = listed.filter(f => state.contains(rel(f._1)))
-      val missing = state.keySet -- kept.map(f => rel(f._1))
-      require(missing.isEmpty,
-        s"$optName=$version: selection references ${missing.size} missing file(s), " +
-          s"e.g. ${missing.take(3).mkString(", ")} — was the directory vacuumed?")
-      kept.foreach { f =>
-        val r = rel(f._1)
-        val dvn = state(r)
-        if (dvn != null)
-          dvByPath += (f._1 ->
-            (DeletionVectors.artifactPath(rootPath, dvn).toString, r))
-      }
-      listed = kept
     }
+    val cols = partCols.toSeq
+    var listed = files.result()
     // Unpinned raw-listing reads still apply the LATEST deletion vectors:
     // a deleted row must never resurface just because the reader didn't
     // pin a version. Zero overhead for tables that never used DVs (gated
@@ -561,8 +624,6 @@ object GraftSources {
     // it projects, prunes, and constant-vectorizes like any partition column
     // (also a provenance column users can select directly).
     var allCols = cols
-    val restrict = Option(options.get("restrictfiles")).map(_.trim).filter(_.nonEmpty)
-    val withFile = options.getBoolean("withfilepath", false)
     if (restrict.isDefined || withFile) {
       require(roots.length == 1,
         s"restrictFiles/withFilePath need exactly one root directory, got ${roots.length}")

@@ -130,7 +130,11 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an in-flight/foreign file lands without a commit
     Files.write(dir.resolve("rogue.json"), "{\"id\":999,\"name\":\"zz\"}\n".getBytes)
     assert(readAsOf(dir.toString, 0).count() === 5)       // pinned: invisible
-    assert(readLatest(dir.toString).count() === 6)         // unpinned: listed
+    // round 13: the DEFAULT read of a logged table is log-first — the
+    // rogue file is invisible there too; raw listing is the opt-in
+    assert(readLatest(dir.toString).count() === 5)
+    assert(spark.read.format("graft-json").schema("id BIGINT, name STRING")
+      .option("rawlisting", "true").load(dir.toString).count() === 6)
   }
 
   test("changesSinceVersion reads only newer commits") {
