@@ -101,9 +101,9 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             .collect().map(r => CowFuzzRow(r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         }
 
-      val ops = 10
+      val ops = 12
       for (op <- 1 to ops) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(13) match {
           case 0 => // append
             val add = freshRows(1 + rnd.nextInt(15))
             writeOut(toDf(add).coalesce(1 + rnd.nextInt(2)), "append")
@@ -199,6 +199,66 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
                   if e.getMessage.contains("physically gone") =>
                 assert(GraftCommitLog.versions(fsE, fsR).max == latest,
                   "a refused restore must commit nothing")
+            }
+          case 10 => // CLONE at the latest version: the fork reads the
+            // pinned image, then DIVERGES independently — mutations on
+            // the clone never leak into the source (and vice versa)
+            val cdir = root.resolve(s"t$seed-clone$op").toString
+            TrainingData.cloneTable(spark, dir, cdir)
+            assert(readAll(cdir) === model.toSet, s"seed=$seed op=$op clone diverged")
+            val extra = freshRows(3)
+            val cw = toDf(extra).coalesce(1).write.format("graft-json")
+              .mode("append")
+            (if (partitioned) cw.partitionBy("grp") else cw).save(cdir)
+            assert(readAll(cdir) === (model ++ extra).toSet,
+              s"seed=$seed op=$op clone append diverged")
+            // the SOURCE is untouched by the clone's own history
+            assert(exactRead() === model.toSet,
+              s"seed=$seed op=$op source leaked clone rows")
+          case 11 => // VACUUM RETAIN: a huge horizon reclaims NOTHING
+            // (retirees are seconds old); horizon 0 reclaims every retiree
+            // like expireRetired — either way the READABLE latest state
+            // never changes
+            // the API pair the SQL verb routes to (the verb itself is
+            // SqlMaintenanceSpec's; this session has no injected parser)
+            val h = if (rnd.nextBoolean()) 1000000L else 0L
+            val ms = h * 3600000L
+            val out = TrainingData.expireRetired(spark, dir, retainMillis = ms) ++
+              TrainingData.vacuumOrphans(spark, dir, retainMillis = ms)
+            val reclaimedData = out.filterNot(_.startsWith(".graft-dv/"))
+            if (h == 1000000L) assert(reclaimedData.isEmpty,
+              s"seed=$seed op=$op: a huge retention horizon reclaimed $reclaimedData")
+            else if (reclaimedData.nonEmpty) {
+              historyValid = false
+              retiredPresent = false
+            }
+          case 12 => // table_changes: a span with no rewrite-retired files
+            // yields the EXACT set-diff of the model history; a span
+            // crossing a rewrite/restore refuses LOUDLY (a row feed
+            // cannot express moved rows) — both lanes verified
+            val fsR = new org.apache.hadoop.fs.Path(dir)
+            val fsE = fsR.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val latest = GraftCommitLog.versions(fsE, fsR).max
+            assert(latest.toInt == history.size - 1,
+              s"seed=$seed op=$op: version/history misalignment")
+            val from = earliestReadable +
+              rnd.nextInt((latest - earliestReadable + 1).toInt)
+            try {
+              val feed = TrainingData.changeFeed(spark, dir, cowSchema,
+                from, untilVersion = latest)
+              val got = feed.collect().map(r => (CowFuzzRow(
+                r.getAs[Long]("id"), r.getAs[Long]("grp"), r.getAs[Double]("v")),
+                r.getAs[String]("_change_type"))).toSet
+              val want =
+                (history(from.toInt) -- model.toSet).map((_, "delete")) ++
+                  (model.toSet -- history(from.toInt)).map((_, "insert"))
+              assert(got === want, s"seed=$seed op=$op feed($from..$latest) diverged")
+            } catch {
+              case e: IllegalStateException =>
+                assert(e.getMessage.contains("retired") ||
+                  e.getMessage.contains("RESTORE") ||
+                  e.getMessage.contains("restore"),
+                  s"seed=$seed op=$op unexpected feed refusal: ${e.getMessage}")
             }
         }
         assert(exactRead() === model.toSet, s"seed=$seed op=$op read diverged")
