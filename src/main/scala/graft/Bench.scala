@@ -54,6 +54,7 @@ object Bench {
     }
 
     val (skip, csvMbps) = SkipBench.runIsolatedRounds(7)
+    val (nestVec, nestRow, nestRatio) = NestedColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -74,11 +75,60 @@ object Bench {
       s""""dv_mask_overhead":$dvOverhead,""" +
       s""""dv_mask_filtered_overhead":$dvFilteredOverhead,""" +
       s""""avro_block_skip_on_sec":$avOn,"avro_block_skip_off_sec":$avOff,""" +
-      s""""avro_block_skip_ratio":$avRatio,"sf":"$sfDir"}"""
+      s""""avro_block_skip_ratio":$avRatio,""" +
+      s""""nested_columnar_sec":$nestVec,"nested_row_sec":$nestRow,""" +
+      s""""nested_columnar_speedup":$nestRatio,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
     spark.stop()
+  }
+}
+
+/** Nested (struct-lane) columnar vs row path, end to end and PAIRED
+  * (round 13): a wide one-level-struct corpus — the reference's ugh10k
+  * headline shape — reads through the SAME scan twice, vectorized
+  * (struct child lanes into ColumnarBatch) vs `option("vectorized",
+  * "false")` (InternalRow assembly), best of 5 each. Nested schema
+  * pruning applies to both sides, so the ratio isolates exactly what the
+  * struct lanes buy: no per-row InternalRow/GenericInternalRow
+  * allocation and whole-stage codegen consuming vectors.
+  */
+object NestedColumnarBench {
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = try {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_bench_nested"
+    val corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+      struct($"l_partkey".as("partkey"), $"l_suppkey".as("suppkey"),
+        $"l_quantity".as("quantity"), $"l_extendedprice".as("price"),
+        $"l_discount".as("discount"), $"l_tax".as("tax"),
+        $"l_returnflag".as("returnflag"), $"l_linestatus".as("linestatus")).as("n"))
+    corpus.repartition(4).write.format("graft-json").mode("overwrite").save(dir)
+    val schema = "l_orderkey BIGINT, n STRUCT<partkey: BIGINT, suppkey: BIGINT, " +
+      "quantity: DOUBLE, price: DOUBLE, discount: DOUBLE, tax: DOUBLE, " +
+      "returnflag: STRING, linestatus: STRING>"
+    def q(vectorized: Boolean): Double = {
+      val t0 = System.nanoTime()
+      // q1-shaped: grouped aggregation over SIX struct children — the
+      // downstream hash agg consumes the child lanes inside whole-stage
+      // codegen, which is where vectors beat per-row struct assembly
+      spark.read.format("graft-json").schema(schema)
+        .option("vectorized", vectorized.toString).load(dir)
+        .groupBy($"n.returnflag", $"n.linestatus")
+        .agg(sum($"n.quantity"), sum($"n.price"),
+          sum($"n.price" * ($"n.discount" - lit(1.0)) * ($"n.tax" + lit(1.0))),
+          avg($"n.discount"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q(vectorized = true); q(vectorized = false) // warmup
+    val vec = (1 to 5).map(_ => q(vectorized = true)).min
+    val row = (1 to 5).map(_ => q(vectorized = false)).min
+    (vec, row, if (vec > 0) math.round(row / vec * 100) / 100.0 else -1.0)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] nested-columnar lane failed: ${e.getMessage}")
+    (-1.0, -1.0, -1.0)
   }
 }
 

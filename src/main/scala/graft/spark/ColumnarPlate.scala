@@ -2,20 +2,28 @@ package graft.spark
 
 import graft.core.{ByteSliceCharSeq, KeyProbe, Plate, Signal}
 
-import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
-/** Vectorized sibling of [[RowPlate]] for FLAT schemas (top-level atomic
-  * columns only): parse events write straight into `OnHeapColumnVector`s
-  * and the scan hands Spark whole `ColumnarBatch`es — no per-row
-  * `InternalRow` allocation, and downstream whole-stage codegen consumes
-  * vectors exactly as it does from the built-in parquet reader.
+/** Vectorized sibling of [[RowPlate]] for flat atomic schemas PLUS
+  * one-level structs with atomic children (round 13): parse events write
+  * straight into `OnHeapColumnVector`s — struct children into the parent
+  * vector's child lanes — and the scan hands Spark whole
+  * `ColumnarBatch`es: no per-row `InternalRow` allocation, and downstream
+  * whole-stage codegen consumes vectors exactly as it does from the
+  * built-in parquet reader (struct access compiles to a child-vector
+  * read under the parent's validity, the same shape parquet serves).
   *
   * Pushdown is identical to the row path: absent keys → SkipColumn,
   * container values under an atomic column → per-entry SkipColumn
   * (reads as null), definitively failing filtered rows → SkipRow.
+  * Struct semantics match RowPlate exactly (fuzzed in
+  * JsonSourceFuzzSpec): `{}` is a PRESENT struct with null children,
+  * null/scalar/array under a struct column is a null struct, children
+  * the row omits are null, deeper nesting under a child reads null, and
+  * duplicate struct keys replace (last-wins).
   */
 final class ColumnarPlate(
     schema: StructType,
@@ -47,9 +55,28 @@ final class ColumnarPlate(
   private[this] val numCols = schema.length
   private[this] val types: Array[DataType] = schema.fields.map(_.dataType)
   private[this] val names: Array[String] = schema.fieldNames
+  // one-level struct lanes: child names/types per struct column (null for
+  // atomic columns)
+  private[this] val childNames: Array[Array[String]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fieldNames
+      case _ => null
+    }).toArray
+  private[this] val childTypes: Array[Array[DataType]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType)
+      case _ => null
+    }).toArray
+  // per-row child presence, the struct twin of `seen` (persists across
+  // takeBatch for an in-flight row, like `seen`)
+  private[this] val childSeen: Array[Array[Boolean]] =
+    childNames.map(cn => if (cn == null) null else new Array[Boolean](cn.length))
+  private[this] val hasStructs = childNames.exists(_ != null)
 
   private[this] var capacity = 4096
-  private[this] var vectors: Array[OnHeapColumnVector] = allocate()
+  private[this] var vectors: Array[OnHeapColumnVector] = _
+  private[this] var childVecs: Array[Array[WritableColumnVector]] = _
+  allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
   // count of distinct top-level columns filled this row; when it reaches
@@ -60,12 +87,16 @@ final class ColumnarPlate(
 
   // Key-cruise probe (Mison-style, [[graft.core.KeyProbe]]), the twin of
   // RowPlate's: unknown row-depth keys skip with no plate notification.
-  // Gated on `saturate` (the cruise elides per-value validation).
+  // Gated on `saturate` (the cruise elides per-value validation). Child
+  // names are admitted too — the cruise must never swallow a key a
+  // struct lane wants (cheap false-admissions of a child-named row key
+  // just take the normal nestMap path).
   private[this] val probeWanted: Array[Array[Byte]] =
     if (!saturate) null
-    else (names ++ filters.flatMap(_.references))
+    else (names ++ childNames.filter(_ != null).flatten ++
+        filters.flatMap(_.references))
       .distinct
-      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   private[this] val probePacked: Array[Long] =
     if (probeWanted == null) null
     else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
@@ -97,9 +128,38 @@ final class ColumnarPlate(
     }
   }
 
-  // nesting state: depth inside the current row; the open column index
+  @inline private[this] def markChildSeen(i: Int, j: Int): Unit = {
+    if (!childSeen(i)(j)) childSeen(i)(j) = true
+    else childVecs(i)(j).putNotNull(rows) // duplicate child key: last-wins
+  }
+
+  /** Last-wins replace of a struct binding: the first binding's children
+    * reset to unseen AND their explicit null bits scrub, so the new
+    * binding's value writes (which never touch validity) read back.
+    */
+  private[this] def scrubChildNulls(i: Int): Unit = {
+    val cs = childSeen(i)
+    var j = 0
+    while (j < cs.length) {
+      if (cs(j)) childVecs(i)(j).putNotNull(rows)
+      j += 1
+    }
+    java.util.Arrays.fill(cs, false)
+  }
+
+  private[this] def resetChildSeen(): Unit = if (hasStructs) {
+    var i = 0
+    while (i < numCols) {
+      if (childSeen(i) != null) java.util.Arrays.fill(childSeen(i), false)
+      i += 1
+    }
+  }
+
+  // nesting state: depth inside the current row; the open column index;
+  // the open struct child index (depth 2)
   private[this] var depth = 0
   private[this] var curIdx = -1
+  private[this] var curChild = -1
   private[this] var skipPending = false
   private[this] var rowCount = 0L
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
@@ -118,41 +178,80 @@ final class ColumnarPlate(
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
 
-  private def allocate(): Array[OnHeapColumnVector] =
-    OnHeapColumnVector.allocateColumns(capacity, schema).asInstanceOf[Array[OnHeapColumnVector]]
+  private def kidsOf(vs: Array[OnHeapColumnVector]): Array[Array[WritableColumnVector]] = {
+    val out = new Array[Array[WritableColumnVector]](numCols)
+    var i = 0
+    while (i < numCols) {
+      if (childNames(i) != null)
+        out(i) = Array.tabulate(childNames(i).length)(j =>
+          vs(i).getChild(j).asInstanceOf[WritableColumnVector])
+      i += 1
+    }
+    out
+  }
+
+  // fresh vectors per batch (NOT ping-pong reuse): an A/B measured reuse
+  // at zero gain on aggregate shapes — parse cost dominates — and reuse
+  // breaks any consumer that holds a previous batch; allocation here is
+  // one OnHeap array set per 256 KB chunk, GC-trivial
+  private def allocate(): Unit = {
+    vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+      .asInstanceOf[Array[OnHeapColumnVector]]
+    childVecs = kidsOf(vectors)
+  }
 
   /** Rows currently buffered in the open batch. */
   def pendingRows: Int = rows
+
+  /** Copy one atomic cell between vectors (batch-boundary carryover). */
+  private def copyAtomic(src: WritableColumnVector, dst: WritableColumnVector,
+      dt: DataType, from: Int): Unit = {
+    if (src.isNullAt(from)) dst.putNull(0)
+    else dt match {
+      case BooleanType => dst.putBoolean(0, src.getBoolean(from))
+      case IntegerType | DateType => dst.putInt(0, src.getInt(from))
+      case LongType | TimestampType => dst.putLong(0, src.getLong(from))
+      case FloatType   => dst.putFloat(0, src.getFloat(from))
+      case DoubleType  => dst.putDouble(0, src.getDouble(from))
+      case StringType  =>
+        val s = src.getUTF8String(from)
+        dst.putByteArray(0, s.getBytes)
+      case _           => dst.putNull(0)
+    }
+  }
 
   /** Hand the buffered rows out as a batch and start a fresh one.
     *
     * A chunk boundary can split a row, so takeBatch() may be called with a
     * row in flight: its already-written cells live in the OLD vectors at
-    * index `rows` (with `seen` flags set) and must be carried over to the
-    * new vectors at index 0, or the completed row would silently read
-    * stale defaults for those columns in the next batch.
+    * index `rows` (with `seen`/`childSeen` flags set) and must be carried
+    * over to the new vectors at index 0, or the completed row would
+    * silently read stale defaults for those columns in the next batch.
     */
   def takeBatch(): ColumnarBatch = {
     val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], rows)
     val old = vectors
+    val oldKids = childVecs
     val partialAt = rows
-    vectors = allocate()
+    allocate()
     rows = 0
     var i = 0
     while (i < numCols) {
       if (seen(i)) {
         val src = old(i)
-        if (src.isNullAt(partialAt)) vectors(i).putNull(0)
-        else types(i) match {
-          case BooleanType => vectors(i).putBoolean(0, src.getBoolean(partialAt))
-          case IntegerType => vectors(i).putInt(0, src.getInt(partialAt))
-          case LongType    => vectors(i).putLong(0, src.getLong(partialAt))
-          case FloatType   => vectors(i).putFloat(0, src.getFloat(partialAt))
-          case DoubleType  => vectors(i).putDouble(0, src.getDouble(partialAt))
-          case StringType  =>
-            val s = src.getUTF8String(partialAt)
-            vectors(i).putByteArray(0, s.getBytes)
-          case _           => vectors(i).putNull(0)
+        types(i) match {
+          case _: StructType =>
+            if (src.isNullAt(partialAt)) vectors(i).putNull(0)
+            else {
+              val cs = childSeen(i)
+              var j = 0
+              while (j < cs.length) {
+                if (cs(j))
+                  copyAtomic(oldKids(i)(j), childVecs(i)(j), childTypes(i)(j), partialAt)
+                j += 1
+              }
+            }
+          case dt => copyAtomic(src, vectors(i), dt, partialAt)
         }
       }
       i += 1
@@ -164,7 +263,17 @@ final class ColumnarPlate(
     if (rows >= capacity) {
       capacity = capacity << 1
       var i = 0
-      while (i < numCols) { vectors(i).reserve(capacity); i += 1 }
+      while (i < numCols) {
+        vectors(i).reserve(capacity)
+        // struct children are independent vectors: reserve them explicitly
+        // (the parent's reserve only grows its own validity lane)
+        val kids = childVecs(i)
+        if (kids != null) {
+          var j = 0
+          while (j < kids.length) { kids(j).reserve(capacity); j += 1 }
+        }
+        i += 1
+      }
     }
 
   // ------------------------------------------------------------- events
@@ -217,22 +326,61 @@ final class ColumnarPlate(
         depth = 1
         Signal.Continue
       }
+    } else if (depth == 1 && curIdx >= 0 && childNames(curIdx) != null) {
+      // a key under a STRUCT column: resolve the child lane. The struct is
+      // marked present here (validity = the object appeared); a duplicate
+      // struct binding replaces (last-wins): its prior children reset to
+      // unseen so unwritten lanes null-fill at finishRow.
+      if (!seen(curIdx)) {
+        markSeen(curIdx)
+        ensureCapacity()
+      } else if (curChild < 0 && !structOpenThisBinding) {
+        // re-opened by a duplicate key: replace the first binding —
+        // including its explicit null BITS (putX value writes never clear
+        // them, so a lane null in binding 1 would shadow binding 2's value)
+        vectors(curIdx).putNotNull(rows)
+        scrubChildNulls(curIdx)
+      }
+      structOpenThisBinding = true
+      val cn = childNames(curIdx)
+      var j = 0
+      var kid = -1
+      while (kid < 0 && j < cn.length) {
+        if (cn(j).contentEquals(pathComponent)) kid = j
+        j += 1
+      }
+      if (kid < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curChild = kid
+        depth = 2
+        Signal.Continue
+      }
     } else {
-      // container value under an atomic column: prune entry by entry
+      // container value under an atomic column (or under a struct child):
+      // the LANE reads null — stamped explicitly so a duplicate binding
+      // overwrites an earlier value (RowPlate's last-wins discard) — and
+      // the entries prune without plate traffic
+      if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
       skipPending = true
       Signal.SkipColumn
     }
   }
 
-  def nestArr(): Signal =
-    if (depth == 0) {
-      // top-level array row cannot fill a flat schema: drop its elements
-      skipPending = true
-      Signal.SkipColumn
-    } else {
-      skipPending = true
-      Signal.SkipColumn
-    }
+  // true while inside the CURRENT binding of an open struct — lets a
+  // second `"s": {...}` binding in the same row be told apart from the
+  // second child of the same binding
+  private[this] var structOpenThisBinding = false
+
+  def nestArr(): Signal = {
+    // arrays fill no lane at any depth: the open lane (if any) reads
+    // null — stamped explicitly for duplicate-binding last-wins, like
+    // nestMap's container-under-lane branch — and elements drop
+    if (depth > 0 && resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
+    skipPending = true
+    Signal.SkipColumn
+  }
 
   def nestMeta(pathComponent: CharSequence): Signal = {
     skipPending = true
@@ -243,8 +391,10 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
+      if (depth == 1) curChild = -1
       if (depth == 0) {
         curIdx = -1
+        structOpenThisBinding = false
         // row saturated: every schema column present — skip the rest
         if (canSaturate && seenCnt == numCols) return Signal.FinishRow
       }
@@ -252,15 +402,25 @@ final class ColumnarPlate(
     Signal.Continue
   }
 
-  /** The column the next scalar event feeds: an open top-level column, or
-    * the "value" column for bare scalar rows; -1 = not interested.
-    */
-  @inline private def targetIdx: Int =
-    if (depth == 1 && curIdx >= 0) curIdx // duplicates overwrite: last-wins
-    else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) valueColIdx
-    else -1
+  // resolved scalar target: tIdx = top column, tKid = child lane (-1 =
+  // the column itself); false = the event feeds nothing
+  private[this] var tIdx = -1
+  private[this] var tKid = -1
+  @inline private def resolveTarget(): Boolean =
+    if (depth == 2 && curIdx >= 0 && curChild >= 0) {
+      tIdx = curIdx; tKid = curChild; true
+    } else if (depth == 1 && curIdx >= 0) {
+      tIdx = curIdx; tKid = -1; true // duplicates overwrite: last-wins
+    } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
+      tIdx = valueColIdx; tKid = -1; true
+    } else false
 
-  @inline private def writing: Boolean = targetIdx >= 0
+  @inline private def tVec: WritableColumnVector =
+    if (tKid < 0) vectors(tIdx) else childVecs(tIdx)(tKid)
+  @inline private def tType: DataType =
+    if (tKid < 0) types(tIdx) else childTypes(tIdx)(tKid)
+  @inline private def tMark(): Unit =
+    if (tKid < 0) markSeen(tIdx) else markChildSeen(tIdx, tKid)
 
   /** putX value writes never reset the validity bit, so a slot reused
     * after an abandoned row must have the partial row's null bits cleared
@@ -271,7 +431,17 @@ final class ColumnarPlate(
   private def clearPartialNullBits(): Unit = {
     var i = 0
     while (i < numCols) {
-      if (seen(i)) vectors(i).putNotNull(rows)
+      if (seen(i)) {
+        vectors(i).putNotNull(rows)
+        val cs = childSeen(i)
+        if (cs != null) {
+          var j = 0
+          while (j < cs.length) {
+            if (cs(j)) childVecs(i)(j).putNotNull(rows)
+            j += 1
+          }
+        }
+      }
       i += 1
     }
   }
@@ -285,8 +455,10 @@ final class ColumnarPlate(
       if (mask != null) fileOrd += 1
       clearPartialNullBits()
       java.util.Arrays.fill(seen, false)
+      resetChildSeen()
       seenCnt = 0
-      depth = 0; curIdx = -1; skipPending = false; fieldPos = 0
+      depth = 0; curIdx = -1; curChild = -1; skipPending = false; fieldPos = 0
+      structOpenThisBinding = false
       Signal.SkipRow
     } else Signal.Continue
   }
@@ -297,23 +469,22 @@ final class ColumnarPlate(
     if (filterAt(idx) != null) earlyFilter(idx, v) else Signal.Continue
 
   def nul(): Signal = {
-    val idx = targetIdx
-    if (idx >= 0) { markSeen(idx); ensureCapacity(); vectors(idx).putNull(rows) }
+    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
     Signal.Continue
   }
 
   private def putBoolean(b: Boolean): Signal = {
-    val idx = targetIdx
-    if (idx >= 0) {
+    if (resolveTarget()) {
       ensureCapacity()
-      types(idx) match {
-        case BooleanType => vectors(idx).putBoolean(rows, b); markSeen(idx)
+      tType match {
+        case BooleanType => tVec.putBoolean(rows, b); tMark()
         case StringType =>
-          vectors(idx).putByteArray(rows, (if (b) "true" else "false").getBytes)
-          markSeen(idx)
-        case _ => vectors(idx).putNull(rows); markSeen(idx)
+          tVec.putByteArray(rows, (if (b) "true" else "false").getBytes)
+          tMark()
+        case _ => tVec.putNull(rows); tMark()
       }
-      checkFilterAny(idx, java.lang.Boolean.valueOf(b))
+      if (tKid < 0) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))
+      else Signal.Continue
     } else Signal.Continue
   }
 
@@ -321,32 +492,45 @@ final class ColumnarPlate(
   def tru(): Signal = putBoolean(true)
 
   def map(): Signal = {
-    val idx = targetIdx
-    if (idx >= 0) { markSeen(idx); ensureCapacity(); vectors(idx).putNull(rows) }
+    // an EMPTY object: under a struct column it is a PRESENT struct with
+    // all-null children (RowPlate parity — `{}` is not null); anywhere
+    // else it reads null like any container under an atomic lane
+    if (resolveTarget()) {
+      ensureCapacity()
+      if (tKid < 0 && childNames(tIdx) != null) {
+        markSeen(tIdx)
+        vectors(tIdx).putNotNull(rows) // clear a first binding's null bit
+        scrubChildNulls(tIdx)          // last-wins replace
+      } else { tMark(); tVec.putNull(rows) }
+    }
     Signal.Continue
   }
-  def arr(): Signal = map()
+  def arr(): Signal = {
+    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
+    Signal.Continue
+  }
 
   def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal = {
-    val idx = targetIdx
-    if (idx >= 0) {
+    if (resolveTarget()) {
       ensureCapacity()
-      markSeen(idx)
-      try types(idx) match {
+      tMark()
+      val vec = tVec
+      try tType match {
         case LongType if decIdx < 0 && expIdx < 0 =>
           val v = s match {
             case b: ByteSliceCharSeq => // byte loop, no charAt dispatch
               val boxed = Conversions.parseLongBoxed(b.bytes, b.offset, b.length)
-              if (boxed == null) { vectors(idx).putNull(rows); return Signal.Continue }
+              if (boxed == null) { vec.putNull(rows); return Signal.Continue }
               boxed.longValue
             case _ => java.lang.Long.parseLong(s, 0, s.length, 10)
           }
-          vectors(idx).putLong(rows, v)
-          return checkFilterLong(idx, v)
+          vec.putLong(rows, v)
+          return if (tKid < 0) checkFilterLong(tIdx, v) else Signal.Continue
         case IntegerType if decIdx < 0 && expIdx < 0 =>
           val v = java.lang.Integer.parseInt(s, 0, s.length, 10)
-          vectors(idx).putInt(rows, v)
-          return checkFilterAny(idx, java.lang.Integer.valueOf(v))
+          vec.putInt(rows, v)
+          return if (tKid < 0) checkFilterAny(tIdx, java.lang.Integer.valueOf(v))
+            else Signal.Continue
         case DoubleType =>
           // exactly-rounded conversion off the zero-copy view (FastDouble:
           // Clinger/Eisel-Lemire; parseDouble only on the rare hard cases)
@@ -355,63 +539,64 @@ final class ColumnarPlate(
               graft.core.FastDouble.parse(b.bytes, b.offset, b.length, decIdx, expIdx)
             case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
           }
-          vectors(idx).putDouble(rows, v)
-          return checkFilterAny(idx, java.lang.Double.valueOf(v))
+          vec.putDouble(rows, v)
+          return if (tKid < 0) checkFilterAny(tIdx, java.lang.Double.valueOf(v))
+            else Signal.Continue
         case FloatType =>
-          vectors(idx).putFloat(rows, java.lang.Float.parseFloat(s.toString))
+          vec.putFloat(rows, java.lang.Float.parseFloat(s.toString))
         case StringType =>
-          vectors(idx).putByteArray(rows, s.toString.getBytes("UTF-8"))
+          vec.putByteArray(rows, s.toString.getBytes("UTF-8"))
         case _ =>
-          vectors(idx).putNull(rows)
-      } catch { case _: NumberFormatException => vectors(idx).putNull(rows) }
+          vec.putNull(rows)
+      } catch { case _: NumberFormatException => vec.putNull(rows) }
       Signal.Continue
     } else Signal.Continue
   }
 
   def str(s: CharSequence): Signal = {
     if (emptyCellsAsNull && s.length == 0) return nul()
-    val idx = targetIdx
-    if (idx >= 0) {
+    if (resolveTarget()) {
       ensureCapacity()
-      markSeen(idx)
-      try types(idx) match {
+      tMark()
+      val vec = tVec
+      try tType match {
         case StringType => s match {
           case v: ByteSliceCharSeq =>
-            vectors(idx).putByteArray(rows, v.bytes, v.offset, v.length)
-            if (filterAt(idx) != null)
-              return earlyFilter(idx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            vec.putByteArray(rows, v.bytes, v.offset, v.length)
+            if (tKid < 0 && filterAt(tIdx) != null)
+              return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
           case _ =>
             val bytes = s.toString.getBytes("UTF-8")
-            vectors(idx).putByteArray(rows, bytes)
-            if (filterAt(idx) != null)
-              return earlyFilter(idx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+            vec.putByteArray(rows, bytes)
+            if (tKid < 0 && filterAt(tIdx) != null)
+              return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
         }
         case LongType =>
           val v = java.lang.Long.parseLong(s.toString.trim)
-          vectors(idx).putLong(rows, v)
-          return checkFilterLong(idx, v)
+          vec.putLong(rows, v)
+          return if (tKid < 0) checkFilterLong(tIdx, v) else Signal.Continue
         case TimestampType => // same strict ISO form as the row path
           val inst = java.time.Instant.parse(s.toString.trim)
           val v = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-          vectors(idx).putLong(rows, v)
-          return checkFilterLong(idx, v)
+          vec.putLong(rows, v)
+          return if (tKid < 0) checkFilterLong(tIdx, v) else Signal.Continue
         case DateType =>
-          vectors(idx).putInt(rows,
+          vec.putInt(rows,
             java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt)
         case IntegerType =>
-          vectors(idx).putInt(rows, java.lang.Integer.parseInt(s.toString.trim))
+          vec.putInt(rows, java.lang.Integer.parseInt(s.toString.trim))
         case DoubleType =>
-          vectors(idx).putDouble(rows, java.lang.Double.parseDouble(s.toString.trim))
+          vec.putDouble(rows, java.lang.Double.parseDouble(s.toString.trim))
         case FloatType =>
-          vectors(idx).putFloat(rows, java.lang.Float.parseFloat(s.toString.trim))
+          vec.putFloat(rows, java.lang.Float.parseFloat(s.toString.trim))
         case BooleanType => s.toString.trim.toLowerCase match {
-          case "true" | "t" | "1"   => vectors(idx).putBoolean(rows, true)
-          case "false" | "f" | "0"  => vectors(idx).putBoolean(rows, false)
-          case _ => vectors(idx).putNull(rows)
+          case "true" | "t" | "1"   => vec.putBoolean(rows, true)
+          case "false" | "f" | "0"  => vec.putBoolean(rows, false)
+          case _ => vec.putNull(rows)
         }
-        case _ => vectors(idx).putNull(rows)
-      } catch { case _: RuntimeException => vectors(idx).putNull(rows) }
+        case _ => vec.putNull(rows)
+      } catch { case _: RuntimeException => vec.putNull(rows) }
       Signal.Continue
     } else Signal.Continue
   }
@@ -440,6 +625,15 @@ final class ColumnarPlate(
       var i = 0
       while (i < numCols) {
         if (!seen(i)) vectors(i).putNull(rows)
+        else if (childSeen(i) != null && !vectors(i).isNullAt(rows)) {
+          // present struct: lanes the row omitted read null
+          val cs = childSeen(i)
+          var j = 0
+          while (j < cs.length) {
+            if (!cs(j)) childVecs(i)(j).putNull(rows)
+            j += 1
+          }
+        }
         i += 1
       }
       rows += 1
@@ -450,10 +644,13 @@ final class ColumnarPlate(
       clearPartialNullBits()
     }
     java.util.Arrays.fill(seen, false)
+    resetChildSeen()
     seenCnt = 0
     depth = 0
     curIdx = -1
+    curChild = -1
     skipPending = false
+    structOpenThisBinding = false
     fieldPos = 0
   }
 
@@ -468,21 +665,33 @@ final class ColumnarPlate(
     clearPartialNullBits()
     seenCnt = 0
     java.util.Arrays.fill(seen, false)
+    resetChildSeen()
     depth = 0
     curIdx = -1
+    curChild = -1
     skipPending = false
+    structOpenThisBinding = false
     fieldPos = 0
   }
 }
 
 object ColumnarPlate {
-  /** Columnar reads apply to flat all-atomic schemas (temporal columns
-    * vectorize too: micros/days are just long/int lanes — round 11).
+  private def atomic(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | TimestampType | DateType => true
+    case _ => false
+  }
+
+  /** Columnar reads apply to flat atomic schemas (temporal columns
+    * vectorize too: micros/days are just long/int lanes — round 11) and,
+    * since round 13, ONE-LEVEL structs whose children are all atomic —
+    * the wide nested-corpus shape (ugh10k-like) that used to fall off the
+    * ColumnarBatch path. Deeper nesting / arrays / maps stay on the row
+    * path.
     */
   def supports(schema: StructType): Boolean =
-    schema.fields.forall(_.dataType match {
-      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-           StringType | TimestampType | DateType => true
+    schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
+      case st: StructType => st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
       case _ => false
-    })
+    }))
 }

@@ -1957,7 +1957,8 @@ final class GraftScan(
             dropMalformed = dropMalformed,
             limit = limit, partSpec = partSpec,
             corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null,
-            saturate = saturate, rowIdxSlot = rowIdxSlot)
+            saturate = saturate, rowIdxSlot = rowIdxSlot,
+            vectorized = options.getBoolean("vectorized", true))
         else {
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
@@ -1966,7 +1967,8 @@ final class GraftScan(
           new GraftCsvReaderFactory(parseRowSchema, plateFilters, conf,
             GraftSources.csvConfig(options.asCaseSensitiveMap()), limit = limit,
             partSpec = partSpec, fullDataCols = dataCols,
-            rowIdxSlot = rowIdxSlot)
+            rowIdxSlot = rowIdxSlot,
+            vectorized = options.getBoolean("vectorized", true))
         }
       aggSpec match {
         case Some(spec) =>
@@ -2018,7 +2020,10 @@ final class GraftJsonReaderFactory(
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     corruptCol: String = null,
     saturate: Boolean = true,
-    rowIdxSlot: Int = -1)
+    rowIdxSlot: Int = -1,
+    // option("vectorized","false"): row-path force for A/B benches and
+    // debugging — identical semantics, InternalRow delivery
+    vectorized: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
@@ -2033,7 +2038,7 @@ final class GraftJsonReaderFactory(
   // plate filters, badrecords=fail — all enforced upstream), so a
   // merge-on-read table never falls off the vectorized cliff.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0
+    vectorized && ColumnarPlate.supports(schema) && corruptCol == null && rowIdxSlot < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
@@ -2049,7 +2054,8 @@ final class GraftCsvReaderFactory(
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     fullDataCols: Array[String] = Array.empty,
-    rowIdxSlot: Int = -1)
+    rowIdxSlot: Int = -1,
+    vectorized: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(
@@ -2060,7 +2066,7 @@ final class GraftCsvReaderFactory(
   // row-index stamping is a row-path concept; deletion-vector masks drop
   // inside the plate (see the JSON factory's twin comment)
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnarPlate.supports(schema) && rowIdxSlot < 0
+    vectorized && ColumnarPlate.supports(schema) && rowIdxSlot < 0
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(

@@ -80,6 +80,62 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of a struct-lane input yields identical batches") {
+    val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
+    val input =
+      """{"id": 1, "n": {"x": 10, "y": "a"}}""" + "\n" +
+      """{"id": 2, "n": {"y": "b"}}""" + "\n" +
+      """{"id": 3}""" + "\n" +
+      """{"id": 4, "n": {}}""" + "\n" +
+      """{"id": 5, "n": null}"""
+    val bytes = input.getBytes("UTF-8")
+    def structOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int) =
+      if (b.column(1).isNullAt(r)) null
+      else (if (b.column(1).getChild(0).isNullAt(r)) null
+            else java.lang.Long.valueOf(b.column(1).getChild(0).getLong(r)),
+        if (b.column(1).getChild(1).isNullAt(r)) null
+        else b.column(1).getChild(1).getUTF8String(r).toString)
+    val want = Seq(
+      (1L, (java.lang.Long.valueOf(10L), "a")),
+      (2L, (null, "b")),
+      (3L, null),
+      (4L, (null, null)), // {} = PRESENT struct with null children
+      (5L, null))
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), structOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("takeBatch mid-struct carries the partial struct's children over") {
+    val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // chunk 1 ends INSIDE row 2's struct: x already written, y pending
+    raise(p.absorb("""{"id": 1, "n": {"x": 5, "y": "a"}}""" + "\n" +
+      """{"id": 2, "n": {"x": 6, """))
+    assert(plate.pendingRows == 1)
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    raise(p.absorb(""""y": "late"}}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    assert(b2.column(0).getLong(0) == 2L)
+    assert(!b2.column(1).isNullAt(0))
+    assert(b2.column(1).getChild(0).getLong(0) == 6L)
+    assert(b2.column(1).getChild(1).getUTF8String(0).toString == "late")
+  }
+
   // putX value writes never reset a vector's validity bit, so a slot
   // reused after an abandoned row must have its null bits scrubbed —
   // minimal cases found by JsonSourceFuzzSpec (stale nulls leaked into

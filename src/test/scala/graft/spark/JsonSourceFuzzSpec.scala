@@ -218,4 +218,134 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
     }
   }
+
+  /** Struct-pathology corpus for the COLUMNAR struct lanes (round 13):
+    * every shape a one-level struct column can take — present, missing,
+    * null, `{}`, scalar/array mismatch, missing/extra/duplicate children,
+    * deeper nesting under a child, duplicate whole-struct bindings.
+    *
+    * `dupBindings` gates duplicate ROW-LEVEL keys: saturation (the
+    * headline skip optimization, row AND columnar paths alike) stops
+    * reading a row once every schema column is filled, so a duplicate
+    * binding AFTER the row saturates is unobservable — spark.read.json's
+    * last-wins applies only to duplicates it still reads. The
+    * spark-parity test therefore excludes them; the row-vs-columnar
+    * parity test includes them (both graft paths must agree with each
+    * other on the degenerate input).
+    */
+  private def nestedCorpus(rng: scala.util.Random, rows: Int,
+      dupBindings: Boolean): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      if (rng.nextInt(10) > 1)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      def structVal(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"${rng.nextInt(100)}"              // scalar mismatch
+        case 3 => "[1, 2]"                            // array mismatch
+        case 4 => s"""{"x": ${rng.nextInt(100)}}"""   // missing child
+        case 5 => s"""{"y": ${esc(strPool(rng.nextInt(strPool.length)))}, "x": ${rng.nextInt(100)}}"""
+        case 6 => s"""{"x": null, "y": null}"""
+        case 7 => s"""{"x": ${rng.nextInt(100)}, "extra": {"deep": [1]}, "y": "e"}"""
+        case 8 => s"""{"x": {"tooDeep": 1}, "y": "d"}""" // object under child
+        case 9 => s"""{"x": ${rng.nextInt(100)}, "x": ${rng.nextInt(100)}, "y": "dup"}"""
+        case _ => s"""{"x": ${rng.nextInt(1000) - 500}, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
+      }
+      // duplicate whole-struct bindings (last-wins replace — see scaladoc):
+      // BOTH bindings stay WELL-TYPED OBJECTS (the shuffle can order either
+      // one last): spark.read.json overwrites a duplicate only with a
+      // non-null converted value (a null or type-mismatch last binding
+      // keeps Jackson on the first), while graft (both paths,
+      // consistently) is strict last-wins — a degenerate divergence the
+      // row==columnar assertion still covers
+      def objVal(): String = rng.nextInt(4) match {
+        case 0 => "{}"
+        case 1 => s"""{"x": ${rng.nextInt(100)}}"""
+        case 2 => s"""{"x": null, "y": null}"""
+        case _ => s"""{"x": ${rng.nextInt(1000) - 500}, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
+      }
+      val dup = dupBindings && rng.nextInt(8) == 0
+      if (dup) {
+        fields += s""""n": ${objVal()}"""
+        fields += s""""n": ${objVal()}"""
+      } else if (rng.nextInt(10) > 2) fields += s""""n": ${structVal()}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": {"deep": [1, "two", {"three": 3.0}]}"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("nested (struct-lane) corpora go COLUMNAR and read identically to spark.read.json") {
+    val rng = new scala.util.Random(0x57A7C7)
+    val nestedSchema = "id LONG, s STRING, n STRUCT<x: LONG, y: STRING>"
+    val projections = Seq(
+      Seq("id", "s", "n"), Seq("n", "id"), Seq("n.x", "id"), Seq("n.y", "n.x"), Seq("id"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"nested$trial.jsonl")
+      Files.write(p, nestedCorpus(rng, 150, dupBindings = false).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(nestedSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(nestedSchema).json(p.toString)
+      // the plan MUST be columnar: a struct schema no longer falls off
+      // the ColumnarBatch path
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: nested schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(4) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case 2 => (g0.filter(col("n").isNotNull), j0.filter(col("n").isNotNull))
+        case _ => (g0.filter(col("n.x") > 0), j0.filter(col("n.x") > 0))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+    }
+  }
+
+  test("saturation=false: columnar, row, and spark.read.json agree on duplicate bindings") {
+    // duplicate ROW-LEVEL bindings after the row saturates are skipped by
+    // design (documented first-wins caveat, both engines); with
+    // option("saturation","false") the full parse restores exact
+    // last-wins parity — asserted here across the COLUMNAR struct lanes,
+    // the ROW path (withrowindex forces it; its extra never-filled column
+    // disables saturation anyway), and spark.read.json
+    val rng = new scala.util.Random(0xD0B1E5)
+    val nestedSchema = "id LONG, s STRING, n STRUCT<x: LONG, y: STRING>"
+    for (trial <- 1 to 6 * SoakX.x) {
+      val p = dir.resolve(s"dup$trial.jsonl")
+      Files.write(p, nestedCorpus(rng, 120, dupBindings = true).getBytes(UTF_8))
+      val colPath = spark.read.format("graft-json").schema(nestedSchema)
+        .option("saturation", "false").load(p.toString)
+      assert(colPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      // the row index must stay in the projection or pruning drops it and
+      // the scan re-admits the columnar path
+      val rowPath = spark.read.format("graft-json")
+        .schema(s"$nestedSchema, ${GraftSources.RowIndexCol} LONG")
+        .option("withrowindex", "true").load(p.toString)
+        .select(col("id"), col("s"), col("n"), col(GraftSources.RowIndexCol))
+      assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val a = colPath.collect().map(_.toString).sorted.toSeq
+      val b = rowPath.collect()
+        .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)).toString)
+        .sorted.toSeq
+      val c = spark.read.schema(nestedSchema).json(p.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"trial $trial: columnar vs row diverged\n" +
+        a.zip(b).find { case (x, y) => x != y }.map { case (x, y) =>
+          s"first diff:\n  columnar: $x\n  row: $y" }.getOrElse(""))
+      assert(a == c, s"trial $trial: columnar vs spark.read.json diverged\n" +
+        a.zip(c).find { case (x, y) => x != y }.map { case (x, y) =>
+          s"first diff:\n  columnar: $x\n  spark: $y" }.getOrElse(""))
+    }
+  }
 }
