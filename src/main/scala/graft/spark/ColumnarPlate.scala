@@ -287,6 +287,14 @@ final class ColumnarPlate(
   private[this] val orderBytes = new Array[Array[Byte]](orderCap)
   private[this] val orderCols = new Array[Int](orderCap)
   private[this] var fieldPos = 0
+  // per-struct child key-order caches (see the struct branch of nestMap)
+  private[this] val childOrderNames: Array[Array[String]] =
+    childNames.map(cn => if (cn == null) null else new Array[String](orderCap))
+  private[this] val childOrderBytes: Array[Array[Array[Byte]]] =
+    childNames.map(cn => if (cn == null) null else new Array[Array[Byte]](orderCap))
+  private[this] val childOrderCols: Array[Array[Int]] =
+    childNames.map(cn => if (cn == null) null else new Array[Int](orderCap))
+  private[this] var childFieldPos = 0
 
   def nestMap(pathComponent: CharSequence): Signal = {
     if (depth == 0) {
@@ -331,6 +339,7 @@ final class ColumnarPlate(
       // marked present here (validity = the object appeared); a duplicate
       // struct binding replaces (last-wins): its prior children reset to
       // unseen so unwritten lanes null-fill at finishRow.
+      if (!structOpenThisBinding) childFieldPos = 0
       if (!seen(curIdx)) {
         markSeen(curIdx)
         ensureCapacity()
@@ -342,12 +351,39 @@ final class ColumnarPlate(
         scrubChildNulls(curIdx)
       }
       structOpenThisBinding = true
-      val cn = childNames(curIdx)
-      var j = 0
-      var kid = -1
-      while (kid < 0 && j < cn.length) {
-        if (cn(j).contentEquals(pathComponent)) kid = j
-        j += 1
+      // child key-order cache, the struct twin of the top-level one:
+      // bindings almost always repeat the same child order, so remember
+      // (key bytes, lane) per field position and hit with one vectorized
+      // byte compare — the linear name scan was a measured 30% of the
+      // nested columnar read
+      val i = curIdx
+      val pos = childFieldPos
+      childFieldPos += 1
+      var kid = -2
+      if (pos < orderCap && childOrderNames(i)(pos) != null && {
+            pathComponent match {
+              case v: ByteSliceCharSeq =>
+                val ob = childOrderBytes(i)(pos)
+                java.util.Arrays.equals(ob, 0, ob.length,
+                  v.bytes, v.offset, v.offset + v.length)
+              case _ => childOrderNames(i)(pos).contentEquals(pathComponent)
+            }
+          }) {
+        kid = childOrderCols(i)(pos)
+      } else {
+        val cn = childNames(i)
+        var j = 0
+        kid = -1
+        while (kid < 0 && j < cn.length) {
+          if (cn(j).contentEquals(pathComponent)) kid = j
+          j += 1
+        }
+        if (pos < orderCap) {
+          val s = pathComponent.toString // copy: views are reused
+          childOrderNames(i)(pos) = s
+          childOrderBytes(i)(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          childOrderCols(i)(pos) = kid
+        }
       }
       if (kid < 0) {
         skipPending = true
