@@ -55,6 +55,7 @@ object Bench {
 
     val (skip, csvMbps) = SkipBench.runIsolatedRounds(7)
     val (nestVec, nestRow, nestRatio) = NestedColumnarBench.run(spark, sfDir)
+    val (arrVec, arrRow, arrRatio) = ArrayColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -77,7 +78,9 @@ object Bench {
       s""""avro_block_skip_on_sec":$avOn,"avro_block_skip_off_sec":$avOff,""" +
       s""""avro_block_skip_ratio":$avRatio,""" +
       s""""nested_columnar_sec":$nestVec,"nested_row_sec":$nestRow,""" +
-      s""""nested_columnar_speedup":$nestRatio,"sf":"$sfDir"}"""
+      s""""nested_columnar_speedup":$nestRatio,""" +
+      s""""array_columnar_sec":$arrVec,"array_row_sec":$arrRow,""" +
+      s""""array_columnar_speedup":$arrRatio,"sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
@@ -125,6 +128,45 @@ object NestedColumnarBench {
     (vec, row, if (vec > 0) math.round(row / vec * 100) / 100.0 else -1.0)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] nested-columnar lane failed: ${e.getMessage}")
+    (-1.0, -1.0, -1.0)
+  }
+}
+
+/** Array-lane columnar vs row path, end to end and PAIRED (round 13):
+  * an embedding-shaped corpus — one BIGINT key plus an 8-element
+  * ARRAY<DOUBLE> per row, the ANN/embedding-column shape — reads through
+  * the SAME scan twice, vectorized (elements streamed into the parent
+  * vector's child at a running offset) vs `option("vectorized","false")`
+  * (per-row GenericArrayData assembly), best of 5 each, consumed by a
+  * higher-order element sum (the dot-product access pattern).
+  */
+object ArrayColumnarBench {
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = try {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_bench_array"
+    val corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+      array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+        $"l_partkey".cast("double"), $"l_suppkey".cast("double"),
+        $"l_linenumber".cast("double"), ($"l_orderkey" % 97).cast("double"))
+        .as("emb"))
+    corpus.repartition(4).write.format("graft-json").mode("overwrite").save(dir)
+    val schema = "l_orderkey BIGINT, emb ARRAY<DOUBLE>"
+    def q(vectorized: Boolean): Double = {
+      val t0 = System.nanoTime()
+      spark.read.format("graft-json").schema(schema)
+        .option("vectorized", vectorized.toString).load(dir)
+        .select($"l_orderkey",
+          aggregate($"emb", lit(0.0d), (a, x) => a + x).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    q(vectorized = true); q(vectorized = false) // warmup
+    val vec = (1 to 5).map(_ => q(vectorized = true)).min
+    val row = (1 to 5).map(_ => q(vectorized = false)).min
+    (vec, row, if (vec > 0) math.round(row / vec * 100) / 100.0 else -1.0)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] array-columnar lane failed: ${e.getMessage}")
     (-1.0, -1.0, -1.0)
   }
 }

@@ -3027,6 +3027,66 @@ object Sources {
     Some("""SELECT c_custkey, round(c_acctbal, 2) AS balance FROM customer
             WHERE c_custkey < 450 ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q229
+  // Array-of-atomic COLUMNAR lanes (round 13): an embedding/tags-shaped
+  // corpus (ARRAY<LONG> + ARRAY<STRING> columns with empty arrays, null
+  // arrays, and null elements) reads through the vectorized path —
+  // elements stream into the parent vector's child at a running offset,
+  // the parquet ColumnarArray shape — and must match DuckDB's read_json
+  // over the same file. The gate asserts the plan actually went columnar.
+  private val q229 = GQuery(
+    "q229_json_array_columnar_scan",
+    "graft-json ARRAY lanes go columnar: higher-order agg over array columns vs DuckDB",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val path = s"$fixtureDir/q229_arrays.jsonl"
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation, not a data path
+      val content = nation.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1)
+        val reg = r.getAs[Number](2).longValue
+        val votes = k % 5 match {
+          case 0 => "null"                         // null array
+          case 1 => "[]"                           // present, empty
+          case 2 => s"[$k, null, ${k * 7 % 11}]"   // null element kept
+          case _ => s"[$k, $reg, ${k * 3 % 13}, ${name.length}]"
+        }
+        val tags = k % 4 match {
+          case 0 => "[]"
+          case 1 => "null"
+          case _ => s"""["$name", "r$reg"]"""
+        }
+        s"""{"n_nationkey": $k, "votes": $votes, "tags": $tags}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path), content.getBytes(UTF_8))
+      val df = s.read.format("graft-json")
+        .schema("n_nationkey LONG, votes ARRAY<LONG>, tags ARRAY<STRING>")
+        .load(path)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "array-of-atomic schema must ride the ColumnarBatch path")
+      df.select(
+          col("n_nationkey"),
+          aggregate(col("votes"), lit(0L),
+            (acc, x) => acc + coalesce(x, lit(0L))).as("vote_sum"),
+          when(col("votes").isNull, lit(null))
+            .otherwise(size(col("votes"))).cast("long").as("n_votes"),
+          array_join(col("tags"), "|").as("tag_cat"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey,
+                    CASE WHEN votes IS NULL THEN NULL
+                         ELSE COALESCE(CAST(list_sum(votes) AS BIGINT), 0) END AS vote_sum,
+                    CAST(len(votes) AS BIGINT) AS n_votes,
+                    CASE WHEN tags IS NULL THEN NULL
+                         ELSE COALESCE(array_to_string(tags, '|'), '') END AS tag_cat
+             FROM read_json('$fixtureDir/q229_arrays.jsonl',
+                            format='newline_delimited',
+                            columns={n_nationkey: 'BIGINT', votes: 'BIGINT[]', tags: 'VARCHAR[]'})
+             ORDER BY n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3298,5 +3358,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 }

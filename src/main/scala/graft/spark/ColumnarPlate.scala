@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Vectorized sibling of [[RowPlate]] for flat atomic schemas PLUS
-  * one-level structs with atomic children (round 13): parse events write
-  * straight into `OnHeapColumnVector`s — struct children into the parent
-  * vector's child lanes — and the scan hands Spark whole
-  * `ColumnarBatch`es: no per-row `InternalRow` allocation, and downstream
-  * whole-stage codegen consumes vectors exactly as it does from the
-  * built-in parquet reader (struct access compiles to a child-vector
-  * read under the parent's validity, the same shape parquet serves).
+  * one-level structs with atomic children PLUS one-level arrays of
+  * atomics (round 13): parse events write straight into
+  * `OnHeapColumnVector`s — struct children into the parent vector's
+  * child lanes, array elements into the parent's single child at a
+  * running offset with a final `putArray(row, start, count)` stamp — and
+  * the scan hands Spark whole `ColumnarBatch`es: no per-row
+  * `InternalRow` allocation, and downstream whole-stage codegen consumes
+  * vectors exactly as it does from the built-in parquet reader (struct
+  * access compiles to a child-vector read under the parent's validity;
+  * arrays surface as `ColumnarArray` views over the shared child, the
+  * same shape parquet serves).
   *
   * Pushdown is identical to the row path: absent keys → SkipColumn,
   * container values under an atomic column → per-entry SkipColumn
@@ -23,7 +27,13 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * JsonSourceFuzzSpec): `{}` is a PRESENT struct with null children,
   * null/scalar/array under a struct column is a null struct, children
   * the row omits are null, deeper nesting under a child reads null, and
-  * duplicate struct keys replace (last-wins).
+  * duplicate struct keys replace (last-wins). Array semantics likewise:
+  * `[]` is a PRESENT empty array, null/scalar/object under an array
+  * column is a null array, a DISCARDED element (container where an
+  * atomic was expected, or a failed conversion) poisons the WHOLE array
+  * to null (spark.read.json partial-results parity — arrays have no
+  * per-element partials; JSON `null` elements are kept), and duplicate
+  * array bindings replace (last-wins).
   */
 final class ColumnarPlate(
     schema: StructType,
@@ -72,10 +82,26 @@ final class ColumnarPlate(
   private[this] val childSeen: Array[Array[Boolean]] =
     childNames.map(cn => if (cn == null) null else new Array[Boolean](cn.length))
   private[this] val hasStructs = childNames.exists(_ != null)
+  // one-level ARRAY lanes (round 13): element type per array-of-atomic
+  // column (null for everything else). Elements write into the parent
+  // vector's single child at a per-column running offset; the column's
+  // closing unnest stamps putArray(row, start, count).
+  private[this] val elemTypes: Array[DataType] =
+    schema.fields.map(_.dataType match {
+      case at: ArrayType => at.elementType
+      case _ => null
+    }).toArray
+  private[this] val arrCols: Array[Int] =
+    elemTypes.indices.filter(elemTypes(_) != null).toArray
+  // next free element slot / row-start snapshot per array column (rewound
+  // when a row is rejected so heavy filtering can't balloon the child)
+  private[this] val elemPos: Array[Int] = new Array[Int](numCols)
+  private[this] val rowStartElem: Array[Int] = new Array[Int](numCols)
 
   private[this] var capacity = 4096
   private[this] var vectors: Array[OnHeapColumnVector] = _
   private[this] var childVecs: Array[Array[WritableColumnVector]] = _
+  private[this] var arrChild: Array[WritableColumnVector] = _
   allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
@@ -161,6 +187,19 @@ final class ColumnarPlate(
   private[this] var curIdx = -1
   private[this] var curChild = -1
   private[this] var skipPending = false
+  // array-lane state: an array binding is open on curIdx (elements span
+  // [arrStart, elemPos(curIdx)) in the child); inside one element's value
+  // scope; that element already wrote (containers emit several events —
+  // only the first fills the slot, matching the row path's null element)
+  private[this] var arrOpen = false
+  private[this] var arrStart = 0
+  private[this] var elemScope = false
+  private[this] var elemFilled = false
+  // a DISCARDED element (container where an atomic was expected, or a
+  // failed conversion) nulls the WHOLE array — spark.read.json
+  // partial-results parity (arrays have no per-element partials); the
+  // close drops the garbage run
+  private[this] var arrPoison = false
   private[this] var rowCount = 0L
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
 
@@ -190,6 +229,17 @@ final class ColumnarPlate(
     out
   }
 
+  private def arrKidsOf(vs: Array[OnHeapColumnVector]): Array[WritableColumnVector] = {
+    val out = new Array[WritableColumnVector](numCols)
+    var k = 0
+    while (k < arrCols.length) {
+      val i = arrCols(k)
+      out(i) = vs(i).getChild(0).asInstanceOf[WritableColumnVector]
+      k += 1
+    }
+    out
+  }
+
   // fresh vectors per batch (NOT ping-pong reuse): an A/B measured reuse
   // at zero gain on aggregate shapes — parse cost dominates — and reuse
   // breaks any consumer that holds a previous batch; allocation here is
@@ -198,6 +248,7 @@ final class ColumnarPlate(
     vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
       .asInstanceOf[Array[OnHeapColumnVector]]
     childVecs = kidsOf(vectors)
+    arrChild = arrKidsOf(vectors)
   }
 
   /** Rows currently buffered in the open batch. */
@@ -232,6 +283,7 @@ final class ColumnarPlate(
     val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], rows)
     val old = vectors
     val oldKids = childVecs
+    val oldArr = arrChild
     val partialAt = rows
     allocate()
     rows = 0
@@ -251,12 +303,61 @@ final class ColumnarPlate(
                 j += 1
               }
             }
+          case _: ArrayType if elemTypes(i) != null =>
+            if (arrOpen && curIdx == i) {
+              // split mid-array: move the open element run to the fresh
+              // child; the close stamps putArray against row 0. A poisoned
+              // run is garbage — drop it (the close writes null).
+              if (arrPoison) { elemPos(i) = 0; arrStart = 0 }
+              else {
+                val k = elemPos(i) - arrStart
+                copyElemRange(oldArr(i), arrChild(i), elemTypes(i), arrStart, k)
+                elemPos(i) = k
+                arrStart = 0
+              }
+            } else if (src.isNullAt(partialAt)) {
+              vectors(i).putNull(0)
+              elemPos(i) = 0
+            } else {
+              // closed cell of the in-flight row: move its element run
+              val off = src.getArrayOffset(partialAt)
+              val n = src.getArrayLength(partialAt)
+              copyElemRange(oldArr(i), arrChild(i), elemTypes(i), off, n)
+              vectors(i).putArray(0, 0, n)
+              elemPos(i) = n
+            }
           case dt => copyAtomic(src, vectors(i), dt, partialAt)
         }
-      }
+      } else if (elemTypes(i) != null) elemPos(i) = 0
       i += 1
     }
+    // the in-flight row starts the fresh child vectors
+    var k = 0
+    while (k < arrCols.length) { rowStartElem(arrCols(k)) = 0; k += 1 }
     batch
+  }
+
+  /** Copy `n` elements between array children (batch-boundary carryover). */
+  private def copyElemRange(src: WritableColumnVector, dst: WritableColumnVector,
+      dt: DataType, srcFrom: Int, n: Int): Unit = {
+    dst.reserve(n)
+    var j = 0
+    while (j < n) {
+      val sj = srcFrom + j
+      if (src.isNullAt(sj)) dst.putNull(j)
+      else dt match {
+        case BooleanType => dst.putBoolean(j, src.getBoolean(sj))
+        case IntegerType | DateType => dst.putInt(j, src.getInt(sj))
+        case LongType | TimestampType => dst.putLong(j, src.getLong(sj))
+        case FloatType   => dst.putFloat(j, src.getFloat(sj))
+        case DoubleType  => dst.putDouble(j, src.getDouble(sj))
+        case StringType  =>
+          val s = src.getUTF8String(sj)
+          dst.putByteArray(j, s.getBytes)
+        case _           => dst.putNull(j)
+      }
+      j += 1
+    }
   }
 
   @inline private def ensureCapacity(): Unit =
@@ -394,11 +495,12 @@ final class ColumnarPlate(
         Signal.Continue
       }
     } else {
-      // container value under an atomic column (or under a struct child):
-      // the LANE reads null — stamped explicitly so a duplicate binding
-      // overwrites an earlier value (RowPlate's last-wins discard) — and
-      // the entries prune without plate traffic
-      if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
+      // container value under an atomic column (or under a struct child,
+      // or an OBJECT ELEMENT inside an array of atomics — the element
+      // reads null, once): the LANE reads null — stamped explicitly so a
+      // duplicate binding overwrites an earlier value (RowPlate's
+      // last-wins discard) — and the entries prune without plate traffic
+      if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(tRow); tDone(); tDiscard() }
       skipPending = true
       Signal.SkipColumn
     }
@@ -410,12 +512,43 @@ final class ColumnarPlate(
   private[this] var structOpenThisBinding = false
 
   def nestArr(): Signal = {
-    // arrays fill no lane at any depth: the open lane (if any) reads
-    // null — stamped explicitly for duplicate-binding last-wins, like
-    // nestMap's container-under-lane branch — and elements drop
-    if (depth > 0 && resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
-    skipPending = true
-    Signal.SkipColumn
+    // ELEMENT ENTRY on an array-lane column: the parser emits one
+    // nestArr/unnest pair per element. The first entry opens the binding
+    // (marks the column present; dup bindings last-wins like structs).
+    if (depth == 1 && curIdx >= 0 && elemTypes(curIdx) != null) {
+      if (!arrOpen) {
+        markSeen(curIdx)
+        ensureCapacity()
+        arrOpen = true
+        arrStart = elemPos(curIdx)
+      }
+      elemScope = true
+      elemFilled = false
+      depth = 2
+      Signal.Continue
+    } else if (depth == 0 && valueColIdx >= 0 && elemTypes(valueColIdx) != null &&
+        !seen(valueColIdx)) {
+      // array ROW in a schemaless stream: elements land in the "value"
+      // array column (RowPlate parity); the binding has no enclosing
+      // nest, so finishRow finalizes the open array
+      curIdx = valueColIdx
+      markSeen(curIdx)
+      ensureCapacity()
+      arrOpen = true
+      arrStart = elemPos(curIdx)
+      elemScope = true
+      elemFilled = false
+      depth = 2
+      Signal.Continue
+    } else {
+      // arrays fill no OTHER lane at any depth: the open lane (if any)
+      // reads null — stamped explicitly for duplicate-binding last-wins,
+      // like nestMap's container-under-lane branch — and elements drop.
+      // In element scope this is a nested array: it poisons the array.
+      if (depth > 0 && resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(tRow); tDone(); tDiscard() }
+      skipPending = true
+      Signal.SkipColumn
+    }
   }
 
   def nestMeta(pathComponent: CharSequence): Signal = {
@@ -427,8 +560,20 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
-      if (depth == 1) curChild = -1
+      if (depth == 1) { curChild = -1; elemScope = false; elemFilled = false }
       if (depth == 0) {
+        // array binding closes: stamp the (offset, count) cell — or null
+        // the cell and drop the garbage run if an element poisoned it
+        if (arrOpen) {
+          if (arrPoison) {
+            vectors(curIdx).putNull(rows)
+            scrubElems(curIdx, arrStart, elemPos(curIdx))
+            elemPos(curIdx) = arrStart
+          }
+          else vectors(curIdx).putArray(rows, arrStart, elemPos(curIdx) - arrStart)
+          arrOpen = false
+          arrPoison = false
+        }
         curIdx = -1
         structOpenThisBinding = false
         // row saturated: every schema column present — skip the rest
@@ -439,24 +584,43 @@ final class ColumnarPlate(
   }
 
   // resolved scalar target: tIdx = top column, tKid = child lane (-1 =
-  // the column itself); false = the event feeds nothing
+  // the column itself), tElem = the open array element; false = the
+  // event feeds nothing (including an element slot already filled —
+  // containers emit several events per element, only the first lands)
   private[this] var tIdx = -1
   private[this] var tKid = -1
+  private[this] var tElem = false
   @inline private def resolveTarget(): Boolean =
-    if (depth == 2 && curIdx >= 0 && curChild >= 0) {
-      tIdx = curIdx; tKid = curChild; true
+    if (elemScope) {
+      if (elemFilled) false
+      else { tIdx = curIdx; tKid = -1; tElem = true; true }
+    } else if (depth == 2 && curIdx >= 0 && curChild >= 0) {
+      tIdx = curIdx; tKid = curChild; tElem = false; true
     } else if (depth == 1 && curIdx >= 0) {
-      tIdx = curIdx; tKid = -1; true // duplicates overwrite: last-wins
+      tIdx = curIdx; tKid = -1; tElem = false; true // duplicates overwrite: last-wins
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
-      tIdx = valueColIdx; tKid = -1; true
+      tIdx = valueColIdx; tKid = -1; tElem = false; true
     } else false
 
   @inline private def tVec: WritableColumnVector =
-    if (tKid < 0) vectors(tIdx) else childVecs(tIdx)(tKid)
+    if (tElem) { val c = arrChild(tIdx); c.reserve(elemPos(tIdx) + 1); c }
+    else if (tKid < 0) vectors(tIdx) else childVecs(tIdx)(tKid)
   @inline private def tType: DataType =
-    if (tKid < 0) types(tIdx) else childTypes(tIdx)(tKid)
+    if (tElem) elemTypes(tIdx)
+    else if (tKid < 0) types(tIdx) else childTypes(tIdx)(tKid)
   @inline private def tMark(): Unit =
-    if (tKid < 0) markSeen(tIdx) else markChildSeen(tIdx, tKid)
+    if (tElem) () // presence marked at array open
+    else if (tKid < 0) markSeen(tIdx) else markChildSeen(tIdx, tKid)
+  // the write position: elements go at the running child offset, lanes at
+  // the open row
+  @inline private def tRow: Int = if (tElem) elemPos(tIdx) else rows
+  // element write epilogue: advance the offset, close the slot
+  @inline private def tDone(): Unit =
+    if (tElem) { elemPos(tIdx) += 1; elemFilled = true }
+  // element write epilogue for a DISCARD: the value failed to convert (or
+  // was a container) — poison the open array (reads back null)
+  @inline private def tDiscard(): Unit =
+    if (tElem) arrPoison = true
 
   /** putX value writes never reset the validity bit, so a slot reused
     * after an abandoned row must have the partial row's null bits cleared
@@ -482,6 +646,33 @@ final class ColumnarPlate(
     }
   }
 
+  /** putX element writes never reset the child's validity bit, so slots
+    * reused after a rewind must have the dropped run's null bits scrubbed
+    * — the element twin of [[clearPartialNullBits]].
+    */
+  private def scrubElems(i: Int, from: Int, to: Int): Unit = {
+    val c = arrChild(i)
+    var j = from
+    while (j < to) { c.putNotNull(j); j += 1 }
+  }
+
+  /** Rewind the row's element writes (rejected/abandoned rows must not
+    * balloon the array children) and close any open array state.
+    */
+  private def resetArrayState(): Unit = {
+    var k = 0
+    while (k < arrCols.length) {
+      val i = arrCols(k)
+      scrubElems(i, rowStartElem(i), elemPos(i))
+      elemPos(i) = rowStartElem(i)
+      k += 1
+    }
+    arrOpen = false
+    arrPoison = false
+    elemScope = false
+    elemFilled = false
+  }
+
   private def earlyFilter(idx: Int, value: Any): Signal = {
     val fs = filterAt(idx)
     if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
@@ -492,6 +683,7 @@ final class ColumnarPlate(
       clearPartialNullBits()
       java.util.Arrays.fill(seen, false)
       resetChildSeen()
+      resetArrayState()
       seenCnt = 0
       depth = 0; curIdx = -1; curChild = -1; skipPending = false; fieldPos = 0
       structOpenThisBinding = false
@@ -505,7 +697,7 @@ final class ColumnarPlate(
     if (filterAt(idx) != null) earlyFilter(idx, v) else Signal.Continue
 
   def nul(): Signal = {
-    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
+    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(tRow); tDone() }
     Signal.Continue
   }
 
@@ -513,13 +705,14 @@ final class ColumnarPlate(
     if (resolveTarget()) {
       ensureCapacity()
       tType match {
-        case BooleanType => tVec.putBoolean(rows, b); tMark()
+        case BooleanType => tVec.putBoolean(tRow, b); tMark()
         case StringType =>
-          tVec.putByteArray(rows, (if (b) "true" else "false").getBytes)
+          tVec.putByteArray(tRow, (if (b) "true" else "false").getBytes)
           tMark()
-        case _ => tVec.putNull(rows); tMark()
+        case _ => tVec.putNull(tRow); tMark(); tDiscard()
       }
-      if (tKid < 0) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))
+      tDone()
+      if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))
       else Signal.Continue
     } else Signal.Continue
   }
@@ -533,16 +726,24 @@ final class ColumnarPlate(
     // else it reads null like any container under an atomic lane
     if (resolveTarget()) {
       ensureCapacity()
-      if (tKid < 0 && childNames(tIdx) != null) {
+      if (!tElem && tKid < 0 && childNames(tIdx) != null) {
         markSeen(tIdx)
         vectors(tIdx).putNotNull(rows) // clear a first binding's null bit
         scrubChildNulls(tIdx)          // last-wins replace
-      } else { tMark(); tVec.putNull(rows) }
+      } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
     }
     Signal.Continue
   }
   def arr(): Signal = {
-    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(rows) }
+    // an EMPTY array: on an array-lane column it is PRESENT with zero
+    // elements (RowPlate parity — `[]` is not null); anywhere else null
+    if (resolveTarget()) {
+      ensureCapacity()
+      if (!tElem && tKid < 0 && elemTypes(tIdx) != null) {
+        tMark() // dup binding: putNotNull clears a first binding's null
+        vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
+      } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
+    }
     Signal.Continue
   }
 
@@ -551,21 +752,24 @@ final class ColumnarPlate(
       ensureCapacity()
       tMark()
       val vec = tVec
+      val at = tRow
       try tType match {
         case LongType if decIdx < 0 && expIdx < 0 =>
           val v = s match {
             case b: ByteSliceCharSeq => // byte loop, no charAt dispatch
               val boxed = Conversions.parseLongBoxed(b.bytes, b.offset, b.length)
-              if (boxed == null) { vec.putNull(rows); return Signal.Continue }
+              if (boxed == null) { vec.putNull(at); tDone(); tDiscard(); return Signal.Continue }
               boxed.longValue
             case _ => java.lang.Long.parseLong(s, 0, s.length, 10)
           }
-          vec.putLong(rows, v)
-          return if (tKid < 0) checkFilterLong(tIdx, v) else Signal.Continue
+          vec.putLong(at, v)
+          tDone()
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
         case IntegerType if decIdx < 0 && expIdx < 0 =>
           val v = java.lang.Integer.parseInt(s, 0, s.length, 10)
-          vec.putInt(rows, v)
-          return if (tKid < 0) checkFilterAny(tIdx, java.lang.Integer.valueOf(v))
+          vec.putInt(at, v)
+          tDone()
+          return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Integer.valueOf(v))
             else Signal.Continue
         case DoubleType =>
           // exactly-rounded conversion off the zero-copy view (FastDouble:
@@ -575,16 +779,18 @@ final class ColumnarPlate(
               graft.core.FastDouble.parse(b.bytes, b.offset, b.length, decIdx, expIdx)
             case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
           }
-          vec.putDouble(rows, v)
-          return if (tKid < 0) checkFilterAny(tIdx, java.lang.Double.valueOf(v))
+          vec.putDouble(at, v)
+          tDone()
+          return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Double.valueOf(v))
             else Signal.Continue
         case FloatType =>
-          vec.putFloat(rows, java.lang.Float.parseFloat(s.toString))
+          vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
         case StringType =>
-          vec.putByteArray(rows, s.toString.getBytes("UTF-8"))
+          vec.putByteArray(at, s.toString.getBytes("UTF-8"))
         case _ =>
-          vec.putNull(rows)
-      } catch { case _: NumberFormatException => vec.putNull(rows) }
+          vec.putNull(at); tDiscard()
+      } catch { case _: NumberFormatException => vec.putNull(at); tDiscard() }
+      tDone()
       Signal.Continue
     } else Signal.Continue
   }
@@ -595,44 +801,52 @@ final class ColumnarPlate(
       ensureCapacity()
       tMark()
       val vec = tVec
+      val at = tRow
       try tType match {
         case StringType => s match {
           case v: ByteSliceCharSeq =>
-            vec.putByteArray(rows, v.bytes, v.offset, v.length)
-            if (tKid < 0 && filterAt(tIdx) != null)
+            vec.putByteArray(at, v.bytes, v.offset, v.length)
+            tDone()
+            if (tKid < 0 && !tElem && filterAt(tIdx) != null)
               return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
+            return Signal.Continue
           case _ =>
             val bytes = s.toString.getBytes("UTF-8")
-            vec.putByteArray(rows, bytes)
-            if (tKid < 0 && filterAt(tIdx) != null)
+            vec.putByteArray(at, bytes)
+            tDone()
+            if (tKid < 0 && !tElem && filterAt(tIdx) != null)
               return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+            return Signal.Continue
         }
         case LongType =>
           val v = java.lang.Long.parseLong(s.toString.trim)
-          vec.putLong(rows, v)
-          return if (tKid < 0) checkFilterLong(tIdx, v) else Signal.Continue
+          vec.putLong(at, v)
+          tDone()
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
         case TimestampType => // same strict ISO form as the row path
           val inst = java.time.Instant.parse(s.toString.trim)
           val v = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-          vec.putLong(rows, v)
-          return if (tKid < 0) checkFilterLong(tIdx, v) else Signal.Continue
+          vec.putLong(at, v)
+          tDone()
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
         case DateType =>
-          vec.putInt(rows,
+          vec.putInt(at,
             java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt)
         case IntegerType =>
-          vec.putInt(rows, java.lang.Integer.parseInt(s.toString.trim))
+          vec.putInt(at, java.lang.Integer.parseInt(s.toString.trim))
         case DoubleType =>
-          vec.putDouble(rows, java.lang.Double.parseDouble(s.toString.trim))
+          vec.putDouble(at, java.lang.Double.parseDouble(s.toString.trim))
         case FloatType =>
-          vec.putFloat(rows, java.lang.Float.parseFloat(s.toString.trim))
+          vec.putFloat(at, java.lang.Float.parseFloat(s.toString.trim))
         case BooleanType => s.toString.trim.toLowerCase match {
-          case "true" | "t" | "1"   => vec.putBoolean(rows, true)
-          case "false" | "f" | "0"  => vec.putBoolean(rows, false)
-          case _ => vec.putNull(rows)
+          case "true" | "t" | "1"   => vec.putBoolean(at, true)
+          case "false" | "f" | "0"  => vec.putBoolean(at, false)
+          case _ => vec.putNull(at); tDiscard()
         }
-        case _ => vec.putNull(rows)
-      } catch { case _: RuntimeException => vec.putNull(rows) }
+        case _ => vec.putNull(at); tDiscard()
+      } catch { case _: RuntimeException => vec.putNull(at); tDiscard() }
+      tDone()
       Signal.Continue
     } else Signal.Continue
   }
@@ -643,6 +857,18 @@ final class ColumnarPlate(
 
   def finishRow(): Unit = {
     ensureCapacity()
+    // an array VALUE row (schemaless stream) has no enclosing nest: the
+    // open array finalizes here instead of at an unnest
+    if (arrOpen) {
+      if (arrPoison) {
+        vectors(curIdx).putNull(rows)
+        scrubElems(curIdx, arrStart, elemPos(curIdx))
+        elemPos(curIdx) = arrStart
+      }
+      else vectors(curIdx).putArray(rows, arrStart, elemPos(curIdx) - arrStart)
+      arrOpen = false
+      arrPoison = false
+    }
     var keep = true
     if (mask != null) {
       keep = !mask.masked(fileOrd)
@@ -672,12 +898,21 @@ final class ColumnarPlate(
         }
         i += 1
       }
+      // the kept row's elements are now permanent: advance the row-start
+      // snapshots so a later rejected row rewinds only ITS writes
+      var k = 0
+      while (k < arrCols.length) {
+        val c = arrCols(k)
+        rowStartElem(c) = elemPos(c)
+        k += 1
+      }
       rows += 1
       rowCount += 1
     } else {
       // rejected row (null-demand filters): its slot is reused — scrub
       // the null bits its explicit nulls stamped (see clearPartialNullBits)
       clearPartialNullBits()
+      resetArrayState()
     }
     java.util.Arrays.fill(seen, false)
     resetChildSeen()
@@ -702,6 +937,7 @@ final class ColumnarPlate(
     seenCnt = 0
     java.util.Arrays.fill(seen, false)
     resetChildSeen()
+    resetArrayState()
     depth = 0
     curIdx = -1
     curChild = -1
@@ -719,15 +955,18 @@ object ColumnarPlate {
   }
 
   /** Columnar reads apply to flat atomic schemas (temporal columns
-    * vectorize too: micros/days are just long/int lanes — round 11) and,
-    * since round 13, ONE-LEVEL structs whose children are all atomic —
-    * the wide nested-corpus shape (ugh10k-like) that used to fall off the
-    * ColumnarBatch path. Deeper nesting / arrays / maps stay on the row
-    * path.
+    * vectorize too: micros/days are just long/int lanes — round 11),
+    * ONE-LEVEL structs whose children are all atomic — the wide
+    * nested-corpus shape (ugh10k-like) that used to fall off the
+    * ColumnarBatch path — and, since round 13, ONE-LEVEL arrays of
+    * atomics (the embedding-column shape: elements stream into the
+    * parent vector's child at a running offset, Arrow-style). Deeper
+    * nesting / maps / arrays-under-structs stay on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
       case st: StructType => st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
+      case at: ArrayType => atomic(at.elementType)
       case _ => false
     }))
 }

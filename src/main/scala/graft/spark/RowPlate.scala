@@ -528,6 +528,12 @@ final class RowPlate(
     if (f.kind == KEmpty) {
       f.kind = KScalar
       f.value = scalarValue(f.expected, f.conv, kind, s, decIdx, expIdx)
+      // a non-null token that FAILED to convert (type mismatch, overflow,
+      // parse error) is a discard, not a null: as an array element it
+      // poisons the whole array to null (spark.read.json partial-results
+      // parity — arrays have no per-element partial semantics), while as
+      // a struct field it still reads null (per-field partials)
+      if (f.value == null && kind != 0) f.kind = KDiscard
       Signal.Continue
     } else if (f eq rowFrame) {
       // scalar row in a schemaless stream: the "value" column when present
@@ -662,7 +668,13 @@ final class RowPlate(
               else Signal.Continue
             }
           } else Signal.Continue
-        case KArray => parent.appendElem(v); Signal.Continue
+        case KArray =>
+          // a discarded element (container where an atomic was expected,
+          // or a failed conversion) nulls the WHOLE array — spark parity;
+          // the KDiscard morph also byte-skips the remaining elements
+          if (f.kind == KDiscard) parent.kind = KDiscard
+          else parent.appendElem(v)
+          Signal.Continue
         case KMap   => parent.appendVal(v); Signal.Continue
         case _      => Signal.Continue
       }
@@ -679,7 +691,9 @@ final class RowPlate(
       val parent = top
       parent.kind match {
         case KStruct => if (f.childIdx >= 0) parent.values(f.childIdx) = v
-        case KArray  => parent.appendElem(v)
+        case KArray  =>
+          if (f.kind == KDiscard) parent.kind = KDiscard // poison: see unnest
+          else parent.appendElem(v)
         case KMap    => parent.appendVal(v)
         case _       => ()
       }

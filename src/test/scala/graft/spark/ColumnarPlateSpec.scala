@@ -116,6 +116,138 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of an array-lane input yields identical batches") {
+    val schema = StructType.fromDDL("id LONG, a ARRAY<LONG>")
+    // every shape a one-level array column can take: present, null
+    // elements, empty, null, missing, scalar/object mismatch, container
+    // elements (read as ONE null element), duplicate bindings (last-wins)
+    val input =
+      """{"id": 1, "a": [10, 20, 30]}""" + "\n" +
+      """{"id": 2, "a": [null, 7]}""" + "\n" +
+      """{"id": 3, "a": []}""" + "\n" +
+      """{"id": 4, "a": null}""" + "\n" +
+      """{"id": 5}""" + "\n" +
+      """{"id": 6, "a": 42}""" + "\n" +
+      """{"id": 7, "a": {"x": 1}}""" + "\n" +
+      """{"id": 8, "a": [1, [2, 3], {"y": 4}, 5]}""" + "\n" +
+      """{"id": 9, "a": [1], "a": [8, 9]}""" + "\n" +
+      """{"id": 10, "a": [6, "noparse", 7]}""" + "\n" +
+      """{"id": 11, "a": [12, 13]}"""
+    val bytes = input.getBytes("UTF-8")
+    def arrOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Seq[Any] =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val ad = b.column(1).getArray(r)
+        (0 until ad.numElements).map(j =>
+          if (ad.isNullAt(j)) null else ad.getLong(j))
+      }
+    val want = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(null, 7L)),
+      (3L, Seq.empty),
+      (4L, null),
+      (5L, null),
+      (6L, null),               // scalar under an array column
+      (7L, null),               // object under an array column
+      // container elements POISON the array (spark partial-results parity)
+      (8L, null),
+      // duplicate binding AFTER the row saturates keeps the FIRST value
+      // (the documented saturation caveat, row-path parity); the
+      // saturation=false plate below restores last-wins
+      (9L, Seq(1L)),
+      (10L, null), // conversion-failure element poisons too
+      (11L, Seq(12L, 13L))) // ...and the next row's array is unaffected
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), arrOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("saturation=false: duplicate array bindings replace (last-wins)") {
+    val schema = StructType.fromDDL("id LONG, a ARRAY<LONG>")
+    val plate = new ColumnarPlate(schema, Array.empty, saturate = false)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "a": [1], "a": [8, 9]}""" + "\n" +
+      """{"id": 2, "a": [4], "a": null}""" + "\n" +
+      """{"id": 3, "a": null, "a": [6]}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 3)
+    val a1 = b.column(1).getArray(0)
+    assert((0 until a1.numElements).map(a1.getLong(_)) == Seq(8L, 9L))
+    assert(b.column(1).isNullAt(1), "last-wins null must shadow the array")
+    val a3 = b.column(1).getArray(2)
+    assert(a3.numElements == 1 && a3.getLong(0) == 6L,
+      "last-wins array must shadow the explicit null")
+  }
+
+  test("takeBatch mid-array carries the open element run over") {
+    val schema = StructType.fromDDL("id LONG, a ARRAY<STRING>")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // chunk 1 ends INSIDE row 2's array: two elements already appended
+    raise(p.absorb("""{"id": 1, "a": ["x"]}""" + "\n" +
+      """{"id": 2, "a": ["p", "q", """))
+    assert(plate.pendingRows == 1)
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    assert(b1.column(1).getArray(0).getUTF8String(0).toString == "x")
+    raise(p.absorb(""""r"]}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    assert(b2.column(0).getLong(0) == 2L)
+    val ad = b2.column(1).getArray(0)
+    assert(ad.numElements == 3)
+    assert((0 until 3).map(ad.getUTF8String(_).toString) == Seq("p", "q", "r"))
+  }
+
+  test("takeBatch after a CLOSED array cell of an in-flight row carries it over") {
+    val schema = StructType.fromDDL("a ARRAY<DOUBLE>, id LONG")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // chunk 1 ends AFTER row 2's array closed but before the row ends
+    raise(p.absorb("""{"a": [0.5], "id": 1}""" + "\n" +
+      """{"a": [1.5, 2.5], """))
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    raise(p.absorb(""""id": 2}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    assert(b2.column(1).getLong(0) == 2L)
+    val ad = b2.column(0).getArray(0)
+    assert(ad.numElements == 2 && ad.getDouble(0) == 1.5 && ad.getDouble(1) == 2.5)
+  }
+
+  test("a filter-rejected row rewinds its element writes") {
+    import org.apache.spark.sql.sources.IsNotNull
+    val schema = StructType.fromDDL("id LONG, s STRING, a ARRAY<LONG>")
+    val plate = new ColumnarPlate(schema, Array(IsNotNull("s")))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // row 1 is rejected at finishRow (s missing) AFTER its array wrote
+    // two elements; the kept row's array must not shift
+    raise(p.absorb(
+      """{"id": 1, "a": [111, 222]}""" + "\n" +
+      """{"id": 2, "s": "k", "a": [5]}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 1)
+    val ad = b.column(2).getArray(0)
+    assert(ad.numElements == 1 && ad.getLong(0) == 5L,
+      "rejected row's elements leaked into the kept row's array")
+  }
+
   test("takeBatch mid-struct carries the partial struct's children over") {
     val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
     val plate = new ColumnarPlate(schema, Array.empty)

@@ -444,11 +444,27 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.json(p).selectExpr("id", "name", "score").orderBy("id")
         .collect().map(_.toString).toSeq)
 
-    val nested = spark.read.format("graft-json").load(p) // inferred: has struct/array
+    // one-level struct + array-of-atomic columns ride the columnar path
+    // too (round 13 struct/array lanes) — the inferred fixture schema
+    // (tags ARRAY<STRING>, meta STRUCT<flag,grp>) no longer falls off
+    val nested = spark.read.format("graft-json").load(p)
     val nestedScans = nested.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }
-    assert(!nestedScans.head.supportsColumnar, "nested schema stays on the row path")
+    assert(nestedScans.head.supportsColumnar,
+      "one-level struct/array schema should take the vectorized path")
+    assert(nested.orderBy("id").collect().map(_.toString).toSeq ==
+      spark.read.json(p).select(nested.columns.map(col).toSeq: _*).orderBy("id")
+        .collect().map(_.toString).toSeq)
+
+    // genuinely deep nesting still falls back to rows
+    val deepP = write("colmnr_deep.json",
+      """{"id": 1, "n": {"inner": {"x": 1}}}""" + "\n")
+    val deep = spark.read.format("graft-json").load(deepP)
+    val deepScans = deep.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(!deepScans.head.supportsColumnar, "two-level nesting stays on the row path")
   }
 
   test("columnar path honors filters and null semantics") {

@@ -312,6 +312,76 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Array-pathology corpus for the COLUMNAR array lanes (round 13):
+    * every shape a one-level array-of-atomic column can take — present,
+    * missing, null, `[]`, scalar/object mismatch, null elements,
+    * container elements (one null element each), conversion-failure
+    * elements, long arrays. Same dupBindings caveat as nestedCorpus.
+    */
+  private def arrayCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def longArr(): String =
+        Seq.fill(rng.nextInt(6))(rng.nextInt(2000) - 1000).mkString("[", ", ", "]")
+      if (rng.nextInt(10) > 1)
+        fields += s""""v": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "[]"
+          case 2 => s"${rng.nextInt(100)}"               // scalar mismatch
+          case 3 => s"""{"x": ${rng.nextInt(100)}}"""    // object mismatch
+          case 4 => s"[${rng.nextInt(100)}, null, ${rng.nextInt(100)}]"
+          case 5 => s"""[1, [2, 3], {"y": 4}, 5]"""      // container elements
+          case 6 => s"""[${rng.nextInt(100)}, "notanumber", ${rng.nextInt(100)}]"""
+          case 7 => Seq.fill(40)(rng.nextInt(100)).mkString("[", ", ", "]")
+          case _ => longArr()
+        }}"""
+      if (rng.nextInt(10) > 2)
+        fields += s""""t": [${Seq.fill(rng.nextInt(4))(
+          esc(strPool(rng.nextInt(strPool.length)))).mkString(", ")}]"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [1, {"deep": [2]}, "three"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("array-lane corpora go COLUMNAR and read identically to spark.read.json") {
+    val rng = new scala.util.Random(0xA77A7)
+    val arraySchema = "id LONG, v ARRAY<LONG>, t ARRAY<STRING>, s STRING"
+    val projections = Seq(
+      Seq("id", "v", "t", "s"), Seq("v", "id"), Seq("t"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"arr$trial.jsonl")
+      Files.write(p, arrayCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(arraySchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(arraySchema).json(p.toString)
+      // the plan MUST be columnar: an array-of-atomic schema no longer
+      // falls off the ColumnarBatch path
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: array schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(4) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case 2 => (g0.filter(col("v").isNotNull), j0.filter(col("v").isNotNull))
+        case _ => (g0.filter(col("s").isNotNull), j0.filter(col("s").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+    }
+  }
+
   test("saturation=false: columnar, row, and spark.read.json agree on duplicate bindings") {
     // duplicate ROW-LEVEL bindings after the row saturates are skipped by
     // design (documented first-wins caveat, both engines); with
