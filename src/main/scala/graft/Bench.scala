@@ -137,8 +137,11 @@ object NestedColumnarBench {
   * ARRAY<DOUBLE> per row, the ANN/embedding-column shape — reads through
   * the SAME scan twice, vectorized (elements streamed into the parent
   * vector's child at a running offset) vs `option("vectorized","false")`
-  * (per-row GenericArrayData assembly), best of 5 each, consumed by a
-  * higher-order element sum (the dot-product access pattern).
+  * (per-row GenericArrayData assembly), best of 5 each, on the DELIVERY
+  * shape (select the array column into the noop sink). Like the nested
+  * lane, delivery is where vectors win; lambda-consuming shapes
+  * (aggregate element sums) measure ~1.0 — the higher-order eval
+  * dominates both sides (isolation series recorded in COVERAGE.md).
   */
 object ArrayColumnarBench {
   def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = try {
@@ -156,8 +159,7 @@ object ArrayColumnarBench {
       val t0 = System.nanoTime()
       spark.read.format("graft-json").schema(schema)
         .option("vectorized", vectorized.toString).load(dir)
-        .select($"l_orderkey",
-          aggregate($"emb", lit(0.0d), (a, x) => a + x).as("s"))
+        .select($"emb")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

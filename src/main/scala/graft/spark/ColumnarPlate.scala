@@ -583,37 +583,52 @@ final class ColumnarPlate(
     Signal.Continue
   }
 
-  // resolved scalar target: tIdx = top column, tKid = child lane (-1 =
-  // the column itself), tElem = the open array element; false = the
-  // event feeds nothing (including an element slot already filled —
-  // containers emit several events per element, only the first lands)
+  // resolved scalar target, computed ONCE per event (the accessors below
+  // are plain field reads — the hot flat/struct write path must not
+  // re-branch on the array-element case per access): tIdx = top column,
+  // tKid = child lane (-1 = the column itself), tElem = the open array
+  // element; false = the event feeds nothing (including an element slot
+  // already filled — containers emit several events per element, only
+  // the first lands)
   private[this] var tIdx = -1
   private[this] var tKid = -1
   private[this] var tElem = false
+  private[this] var tV: WritableColumnVector = _
+  private[this] var tT: DataType = _
+  private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
-    if (elemScope) {
+    if (depth == 1 && curIdx >= 0 && !elemScope) {
+      tIdx = curIdx; tKid = -1; tElem = false // duplicates overwrite: last-wins
+      tV = vectors(tIdx); tT = types(tIdx); tR = rows
+      true
+    } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
+      tIdx = curIdx; tKid = curChild; tElem = false
+      tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
+      true
+    } else if (elemScope) {
       if (elemFilled) false
-      else { tIdx = curIdx; tKid = -1; tElem = true; true }
-    } else if (depth == 2 && curIdx >= 0 && curChild >= 0) {
-      tIdx = curIdx; tKid = curChild; tElem = false; true
-    } else if (depth == 1 && curIdx >= 0) {
-      tIdx = curIdx; tKid = -1; tElem = false; true // duplicates overwrite: last-wins
+      else {
+        tIdx = curIdx; tKid = -1; tElem = true
+        tR = elemPos(tIdx)
+        val c = arrChild(tIdx)
+        c.reserve(tR + 1)
+        tV = c; tT = elemTypes(tIdx)
+        true
+      }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
-      tIdx = valueColIdx; tKid = -1; tElem = false; true
+      tIdx = valueColIdx; tKid = -1; tElem = false
+      tV = vectors(tIdx); tT = types(tIdx); tR = rows
+      true
     } else false
 
-  @inline private def tVec: WritableColumnVector =
-    if (tElem) { val c = arrChild(tIdx); c.reserve(elemPos(tIdx) + 1); c }
-    else if (tKid < 0) vectors(tIdx) else childVecs(tIdx)(tKid)
-  @inline private def tType: DataType =
-    if (tElem) elemTypes(tIdx)
-    else if (tKid < 0) types(tIdx) else childTypes(tIdx)(tKid)
+  @inline private def tVec: WritableColumnVector = tV
+  @inline private def tType: DataType = tT
   @inline private def tMark(): Unit =
     if (tElem) () // presence marked at array open
     else if (tKid < 0) markSeen(tIdx) else markChildSeen(tIdx, tKid)
   // the write position: elements go at the running child offset, lanes at
   // the open row
-  @inline private def tRow: Int = if (tElem) elemPos(tIdx) else rows
+  @inline private def tRow: Int = tR
   // element write epilogue: advance the offset, close the slot
   @inline private def tDone(): Unit =
     if (tElem) { elemPos(tIdx) += 1; elemFilled = true }
