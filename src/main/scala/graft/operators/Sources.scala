@@ -3087,6 +3087,63 @@ object Sources {
                             columns={n_nationkey: 'BIGINT', votes: 'BIGINT[]', tags: 'VARCHAR[]'})
              ORDER BY n_nationkey"""))
 
+  // ---------------------------------------------------------------- q230
+  // MAP<STRING, atomic> COLUMNAR lanes (round 13): a map-shaped corpus
+  // (per-row string-keyed attribute bags with empty maps, null maps, and
+  // null values) reads through the vectorized path — keys stream into the
+  // map vector's keys child, values into its values child, at a shared
+  // running offset — and must match DuckDB's read_json with a
+  // MAP(VARCHAR, BIGINT) column. The gate asserts the plan went columnar.
+  private val q230 = GQuery(
+    "q230_json_map_columnar_scan",
+    "graft-json MAP lanes go columnar: per-key lookups + key sets vs DuckDB",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val path = s"$fixtureDir/q230_maps.jsonl"
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation, not a data path
+      val content = nation.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1)
+        val reg = r.getAs[Number](2).longValue
+        val m = k % 5 match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"""{"reg": $reg, "len": null}"""   // null value kept
+          case 3 => s"""{"reg": $reg}"""
+          case _ => s"""{"reg": $reg, "len": ${name.length}, "k7": ${k * 7 % 11}}"""
+        }
+        s"""{"n_nationkey": $k, "attrs": $m}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path), content.getBytes(UTF_8))
+      val df = s.read.format("graft-json")
+        .schema("n_nationkey LONG, attrs MAP<STRING, LONG>")
+        .load(path)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "MAP<STRING, atomic> schema must ride the ColumnarBatch path")
+      df.select(
+          col("n_nationkey"),
+          element_at(col("attrs"), "reg").as("reg"),
+          element_at(col("attrs"), "len").as("len"),
+          when(col("attrs").isNull, lit(null))
+            .otherwise(array_join(sort_array(map_keys(col("attrs"))), ",")).as("mk"),
+          when(col("attrs").isNull, lit(null))
+            .otherwise(size(col("attrs"))).cast("long").as("n_attrs"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey,
+                    (attrs['reg'])[1] AS reg,
+                    (attrs['len'])[1] AS len,
+                    CASE WHEN attrs IS NULL THEN NULL
+                         ELSE COALESCE(array_to_string(list_sort(map_keys(attrs)), ','), '') END AS mk,
+                    CAST(cardinality(attrs) AS BIGINT) AS n_attrs
+             FROM read_json('$fixtureDir/q230_maps.jsonl',
+                            format='newline_delimited',
+                            columns={n_nationkey: 'BIGINT', attrs: 'MAP(VARCHAR, BIGINT)'})
+             ORDER BY n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3358,5 +3415,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
 }

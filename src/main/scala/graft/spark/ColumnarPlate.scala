@@ -9,15 +9,16 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Vectorized sibling of [[RowPlate]] for flat atomic schemas PLUS
   * one-level structs with atomic children PLUS one-level arrays of
-  * atomics (round 13): parse events write straight into
-  * `OnHeapColumnVector`s — struct children into the parent vector's
-  * child lanes, array elements into the parent's single child at a
-  * running offset with a final `putArray(row, start, count)` stamp — and
-  * the scan hands Spark whole `ColumnarBatch`es: no per-row
-  * `InternalRow` allocation, and downstream whole-stage codegen consumes
-  * vectors exactly as it does from the built-in parquet reader (struct
-  * access compiles to a child-vector read under the parent's validity;
-  * arrays surface as `ColumnarArray` views over the shared child, the
+  * atomics PLUS one-level MAP<STRING, atomic> (round 13): parse events
+  * write straight into `OnHeapColumnVector`s — struct children into the
+  * parent vector's child lanes; array elements (and map keys/values)
+  * into the parent's children at a running offset with a final
+  * `putArray(row, start, count)` stamp — and the scan hands Spark whole
+  * `ColumnarBatch`es: no per-row `InternalRow` allocation, and
+  * downstream whole-stage codegen consumes vectors exactly as it does
+  * from the built-in parquet reader (struct access compiles to a
+  * child-vector read under the parent's validity; arrays/maps surface
+  * as `ColumnarArray`/`ColumnarMap` views over the shared children, the
   * same shape parquet serves).
   *
   * Pushdown is identical to the row path: absent keys → SkipColumn,
@@ -33,7 +34,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * atomic was expected, or a failed conversion) poisons the WHOLE array
   * to null (spark.read.json partial-results parity — arrays have no
   * per-element partials; JSON `null` elements are kept), and duplicate
-  * array bindings replace (last-wins).
+  * array bindings replace (last-wins). Map semantics: `{}` is a PRESENT
+  * empty map, null/scalar/array under a map column is a null map, a
+  * discarded VALUE poisons the whole map, and duplicate keys BOTH
+  * append (spark keeps duplicates; element_at returns the first).
   */
 final class ColumnarPlate(
     schema: StructType,
@@ -91,10 +95,22 @@ final class ColumnarPlate(
       case at: ArrayType => at.elementType
       case _ => null
     }).toArray
+  // one-level MAP lanes (round 13): value type per MAP<STRING, atomic>
+  // column. Entries share the array machinery — keys stream into
+  // childColumns(0) (a string vector), values into childColumns(1), at
+  // the same running offset; the closing unnest stamps putArray (map
+  // vectors use the array offset storage). Duplicate keys BOTH append
+  // (spark.read.json keeps duplicates in its ArrayBasedMapData).
+  private[this] val mapValTypes: Array[DataType] =
+    schema.fields.map(_.dataType match {
+      case mt: MapType => mt.valueType
+      case _ => null
+    }).toArray
   private[this] val arrCols: Array[Int] =
-    elemTypes.indices.filter(elemTypes(_) != null).toArray
-  // next free element slot / row-start snapshot per array column (rewound
-  // when a row is rejected so heavy filtering can't balloon the child)
+    elemTypes.indices.filter(i => elemTypes(i) != null || mapValTypes(i) != null).toArray
+  // next free element slot / row-start snapshot per array/map column
+  // (rewound when a row is rejected so heavy filtering can't balloon the
+  // children)
   private[this] val elemPos: Array[Int] = new Array[Int](numCols)
   private[this] val rowStartElem: Array[Int] = new Array[Int](numCols)
 
@@ -102,6 +118,7 @@ final class ColumnarPlate(
   private[this] var vectors: Array[OnHeapColumnVector] = _
   private[this] var childVecs: Array[Array[WritableColumnVector]] = _
   private[this] var arrChild: Array[WritableColumnVector] = _
+  private[this] var mapKeyChild: Array[WritableColumnVector] = _
   allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
@@ -195,6 +212,9 @@ final class ColumnarPlate(
   private[this] var arrStart = 0
   private[this] var elemScope = false
   private[this] var elemFilled = false
+  // the open entry's write slot in the value-bearing child (for maps the
+  // key is already written there when the value event arrives)
+  private[this] var entrySlot = 0
   // a DISCARDED element (container where an atomic was expected, or a
   // failed conversion) nulls the WHOLE array — spark.read.json
   // partial-results parity (arrays have no per-element partials); the
@@ -229,12 +249,27 @@ final class ColumnarPlate(
     out
   }
 
+  // the VALUE-BEARING child per array/map column: elements for arrays,
+  // the values lane for maps (keys live in mapKeyChild, never null)
   private def arrKidsOf(vs: Array[OnHeapColumnVector]): Array[WritableColumnVector] = {
     val out = new Array[WritableColumnVector](numCols)
     var k = 0
     while (k < arrCols.length) {
       val i = arrCols(k)
-      out(i) = vs(i).getChild(0).asInstanceOf[WritableColumnVector]
+      out(i) = vs(i).getChild(if (mapValTypes(i) != null) 1 else 0)
+        .asInstanceOf[WritableColumnVector]
+      k += 1
+    }
+    out
+  }
+
+  private def mapKeyKidsOf(vs: Array[OnHeapColumnVector]): Array[WritableColumnVector] = {
+    val out = new Array[WritableColumnVector](numCols)
+    var k = 0
+    while (k < arrCols.length) {
+      val i = arrCols(k)
+      if (mapValTypes(i) != null)
+        out(i) = vs(i).getChild(0).asInstanceOf[WritableColumnVector]
       k += 1
     }
     out
@@ -249,6 +284,7 @@ final class ColumnarPlate(
       .asInstanceOf[Array[OnHeapColumnVector]]
     childVecs = kidsOf(vectors)
     arrChild = arrKidsOf(vectors)
+    mapKeyChild = mapKeyKidsOf(vectors)
   }
 
   /** Rows currently buffered in the open batch. */
@@ -284,6 +320,7 @@ final class ColumnarPlate(
     val old = vectors
     val oldKids = childVecs
     val oldArr = arrChild
+    val oldMapKeys = mapKeyChild
     val partialAt = rows
     allocate()
     rows = 0
@@ -303,15 +340,24 @@ final class ColumnarPlate(
                 j += 1
               }
             }
-          case _: ArrayType if elemTypes(i) != null =>
+          case t if elemTypes(i) != null || mapValTypes(i) != null =>
+            val vt = if (elemTypes(i) != null) elemTypes(i) else mapValTypes(i)
             if (arrOpen && curIdx == i) {
-              // split mid-array: move the open element run to the fresh
-              // child; the close stamps putArray against row 0. A poisoned
-              // run is garbage — drop it (the close writes null).
-              if (arrPoison) { elemPos(i) = 0; arrStart = 0 }
+              // split mid-container: move the open entry run (elements,
+              // or a map's keys+values) to the fresh children; the close
+              // stamps putArray against row 0. A poisoned run is
+              // garbage — drop it (the close writes null).
+              if (arrPoison) { entrySlot -= arrStart; elemPos(i) = 0; arrStart = 0 }
               else {
                 val k = elemPos(i) - arrStart
-                copyElemRange(oldArr(i), arrChild(i), elemTypes(i), arrStart, k)
+                copyElemRange(oldArr(i), arrChild(i), vt, arrStart, k)
+                if (mapValTypes(i) != null) {
+                  // a PENDING entry (key written, value still in flight)
+                  // lives one slot past the run: carry its key too
+                  val kk = if (elemScope && !elemFilled) k + 1 else k
+                  copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, arrStart, kk)
+                }
+                entrySlot -= arrStart
                 elemPos(i) = k
                 arrStart = 0
               }
@@ -319,10 +365,12 @@ final class ColumnarPlate(
               vectors(i).putNull(0)
               elemPos(i) = 0
             } else {
-              // closed cell of the in-flight row: move its element run
+              // closed cell of the in-flight row: move its entry run
               val off = src.getArrayOffset(partialAt)
               val n = src.getArrayLength(partialAt)
-              copyElemRange(oldArr(i), arrChild(i), elemTypes(i), off, n)
+              copyElemRange(oldArr(i), arrChild(i), vt, off, n)
+              if (mapValTypes(i) != null)
+                copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, off, n)
               vectors(i).putArray(0, 0, n)
               elemPos(i) = n
             }
@@ -494,6 +542,30 @@ final class ColumnarPlate(
         depth = 2
         Signal.Continue
       }
+    } else if (depth == 1 && curIdx >= 0 && mapValTypes(curIdx) != null) {
+      // a key under a MAP column: one ENTRY — the first entry opens the
+      // binding. Duplicate keys BOTH append (spark.read.json keeps
+      // duplicate map keys in its ArrayBasedMapData; element_at returns
+      // the first — verified empirically, round 13).
+      val i = curIdx
+      if (!arrOpen) {
+        markSeen(i)
+        ensureCapacity()
+        arrOpen = true
+        arrStart = elemPos(i)
+      }
+      entrySlot = elemPos(i)
+      val kc = mapKeyChild(i)
+      kc.reserve(entrySlot + 1)
+      pathComponent match {
+        case v: ByteSliceCharSeq => kc.putByteArray(entrySlot, v.bytes, v.offset, v.length)
+        case _ => kc.putByteArray(entrySlot,
+          pathComponent.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      elemScope = true
+      elemFilled = false
+      depth = 2
+      Signal.Continue
     } else {
       // container value under an atomic column (or under a struct child,
       // or an OBJECT ELEMENT inside an array of atomics — the element
@@ -522,6 +594,7 @@ final class ColumnarPlate(
         arrOpen = true
         arrStart = elemPos(curIdx)
       }
+      entrySlot = elemPos(curIdx)
       elemScope = true
       elemFilled = false
       depth = 2
@@ -536,6 +609,7 @@ final class ColumnarPlate(
       ensureCapacity()
       arrOpen = true
       arrStart = elemPos(curIdx)
+      entrySlot = elemPos(curIdx)
       elemScope = true
       elemFilled = false
       depth = 2
@@ -609,10 +683,11 @@ final class ColumnarPlate(
       if (elemFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = true
-        tR = elemPos(tIdx)
-        val c = arrChild(tIdx)
+        tR = entrySlot
+        val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
-        tV = c; tT = elemTypes(tIdx)
+        tV = c
+        tT = if (elemTypes(tIdx) != null) elemTypes(tIdx) else mapValTypes(tIdx)
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
@@ -745,6 +820,9 @@ final class ColumnarPlate(
         markSeen(tIdx)
         vectors(tIdx).putNotNull(rows) // clear a first binding's null bit
         scrubChildNulls(tIdx)          // last-wins replace
+      } else if (!tElem && tKid < 0 && mapValTypes(tIdx) != null) {
+        tMark() // `{}` on a map column: PRESENT with zero entries
+        vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
       } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
     }
     Signal.Continue
@@ -982,6 +1060,7 @@ object ColumnarPlate {
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
       case st: StructType => st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
       case at: ArrayType => atomic(at.elementType)
+      case mt: MapType => mt.keyType == StringType && atomic(mt.valueType)
       case _ => false
     }))
 }

@@ -2030,7 +2030,9 @@ final class GraftJsonReaderFactory(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
       dropMalformed, limit, partSpec, corruptCol, saturate, rowIdxSlot)
 
-  // flat all-atomic schemas take the vectorized path (ColumnarBatch out);
+  // flat atomic schemas — plus one-level structs, arrays of atomics, and
+  // MAP<STRING, atomic> (ColumnarPlate.supports) — take the vectorized
+  // path (ColumnarBatch out);
   // partition columns become constant vectors per batch. PERMISSIVE mode
   // stays row-based (corrupt-row emission is a row-queue concept), and so
   // does row-index stamping. Deletion-vector masking VECTORIZES: the

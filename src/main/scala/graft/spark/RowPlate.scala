@@ -103,6 +103,9 @@ final class RowPlate(
           .asInstanceOf[Array[Any]]
       abuf(alen) = v; alen += 1
     }
+    // KMap: duplicate keys BOTH append — spark.read.json keeps duplicate
+    // map keys in its ArrayBasedMapData (element_at returns the first;
+    // map_keys shows both) — verified empirically, round 13
     def appendKey(v: Any): Unit = {
       if (klen == kbuf.length)
         kbuf = java.util.Arrays.copyOf(kbuf.asInstanceOf[Array[AnyRef]], klen << 1)
@@ -675,7 +678,12 @@ final class RowPlate(
           if (f.kind == KDiscard) parent.kind = KDiscard
           else parent.appendElem(v)
           Signal.Continue
-        case KMap   => parent.appendVal(v); Signal.Continue
+        case KMap   =>
+          // same poison rule for map VALUES (spark partial-results nulls
+          // the whole map)
+          if (f.kind == KDiscard) parent.kind = KDiscard
+          else parent.appendVal(v)
+          Signal.Continue
         case _      => Signal.Continue
       }
     }
@@ -694,7 +702,9 @@ final class RowPlate(
         case KArray  =>
           if (f.kind == KDiscard) parent.kind = KDiscard // poison: see unnest
           else parent.appendElem(v)
-        case KMap    => parent.appendVal(v)
+        case KMap    =>
+          if (f.kind == KDiscard) parent.kind = KDiscard
+          else parent.appendVal(v)
         case _       => ()
       }
     }

@@ -248,6 +248,88 @@ class ColumnarPlateSpec extends AnyFunSuite {
       "rejected row's elements leaked into the kept row's array")
   }
 
+  test("every split point of a map-lane input yields identical batches") {
+    val schema = StructType.fromDDL("id LONG, m MAP<STRING, LONG>")
+    // every shape a one-level map column can take: present, null values,
+    // empty, null, missing, scalar/array mismatch, container values
+    // (poison), conversion failure (poison), duplicate keys (both kept)
+    val input =
+      """{"id": 1, "m": {"a": 1, "b": 2}}""" + "\n" +
+      """{"id": 2, "m": {"a": null, "b": 3}}""" + "\n" +
+      """{"id": 3, "m": {}}""" + "\n" +
+      """{"id": 4, "m": null}""" + "\n" +
+      """{"id": 5}""" + "\n" +
+      """{"id": 6, "m": 42}""" + "\n" +
+      """{"id": 7, "m": [1, 2]}""" + "\n" +
+      """{"id": 8, "m": {"a": {"deep": 1}, "b": 4}}""" + "\n" +
+      """{"id": 9, "m": {"a": [1], "b": 5}}""" + "\n" +
+      """{"id": 10, "m": {"a": "noparse"}}""" + "\n" +
+      """{"id": 11, "m": {"a": 1, "b": 9, "a": 2}}""" + "\n" +
+      """{"id": 12, "m": {"a": null, "a": 7}}""" + "\n" +
+      """{"id": 13, "m": {"x": 12, "y": 13}}"""
+    val bytes = input.getBytes("UTF-8")
+    def mapOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Seq[(String, Any)] =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val md = b.column(1).getMap(r)
+        (0 until md.numElements).map { j =>
+          val k = md.keyArray.getUTF8String(j).toString
+          val v = if (md.valueArray.isNullAt(j)) null else md.valueArray.getLong(j)
+          k -> v
+        }
+      }
+    val want = Seq(
+      (1L, Seq("a" -> 1L, "b" -> 2L)),
+      (2L, Seq("a" -> null, "b" -> 3L)),
+      (3L, Seq.empty),
+      (4L, null),
+      (5L, null),
+      (6L, null),                    // scalar under a map column
+      (7L, null),                    // array under a map column
+      (8L, null),                    // container VALUE poisons the map
+      (9L, null),
+      (10L, null),                   // conversion failure poisons
+      // duplicate keys BOTH append (spark.read.json keeps duplicates in
+      // its internal map data; element_at returns the first)
+      (11L, Seq("a" -> 1L, "b" -> 9L, "a" -> 2L)),
+      (12L, Seq("a" -> null, "a" -> 7L)),
+      (13L, Seq("x" -> 12L, "y" -> 13L))) // ...and later rows unaffected
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), mapOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("takeBatch mid-map carries the open entry run over") {
+    val schema = StructType.fromDDL("id LONG, m MAP<STRING, STRING>")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // chunk 1 ends INSIDE row 2's map: two entries already appended
+    raise(p.absorb("""{"id": 1, "m": {"k": "x"}}""" + "\n" +
+      """{"id": 2, "m": {"p": "1", "q": "2", """))
+    assert(plate.pendingRows == 1)
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    assert(b1.column(1).getMap(0).valueArray.getUTF8String(0).toString == "x")
+    raise(p.absorb(""""r": "3"}}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    val md = b2.column(1).getMap(0)
+    assert(md.numElements == 3)
+    assert((0 until 3).map(j => md.keyArray.getUTF8String(j).toString) == Seq("p", "q", "r"))
+    assert((0 until 3).map(j => md.valueArray.getUTF8String(j).toString) == Seq("1", "2", "3"))
+  }
+
   test("takeBatch mid-struct carries the partial struct's children over") {
     val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
     val plate = new ColumnarPlate(schema, Array.empty)

@@ -382,6 +382,88 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Map-pathology corpus for the COLUMNAR map lanes (round 13): every
+    * shape a one-level MAP<STRING, atomic> column can take — present,
+    * missing, null, `{}`, scalar/array mismatch, null values, container
+    * values (poison), conversion-failure values (poison), duplicate keys
+    * (dedup last-wins). LONG-map values avoid COERCIBLE strings ("7"):
+    * graft's string→number coercion succeeds where spark fails — the
+    * documented deviation, shared with the atomic columns.
+    */
+  private def mapCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    val keys = Seq("ka", "kb", "kc", "kd", "ke", "kf")
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def entries(n: Int, v: () => String): String =
+        rng.shuffle(keys).take(n).map(k => s""""$k": ${v()}""").mkString("{", ", ", "}")
+      if (rng.nextInt(10) > 1)
+        fields += s""""m": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"${rng.nextInt(100)}"               // scalar mismatch
+          case 3 => "[1, 2]"                             // array mismatch
+          case 4 => entries(1 + rng.nextInt(5),
+            () => if (rng.nextInt(4) == 0) "null" else (rng.nextInt(2000) - 1000).toString)
+          case 5 => s"""{"ka": {"deep": 1}, "kb": 2}"""  // container value
+          case 6 => s"""{"ka": 1, "kb": "notanumber"}""" // failure value
+          case 7 => s"""{"ka": 1, "kb": 9, "ka": 2}"""   // dup key last-wins
+          case 8 => s"""{"ka": null, "ka": 7}"""         // dup over null
+          case _ => entries(1 + rng.nextInt(6),
+            () => (rng.nextInt(2000) - 1000).toString)
+        }}"""
+      if (rng.nextInt(10) > 3)
+        fields += s""""tagm": ${entries(rng.nextInt(3) + 1,
+          () => esc(strPool(rng.nextInt(strPool.length))))}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": {"deep": [1, {"x": 2}]}"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("map-lane corpora go COLUMNAR and read identically to spark.read.json") {
+    val rng = new scala.util.Random(0x3A93A9)
+    val mapSchema = "id LONG, m MAP<STRING, LONG>, tagm MAP<STRING, STRING>, s STRING"
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"map$trial.jsonl")
+      Files.write(p, mapCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(mapSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(mapSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: map schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      // order-insensitive map projection: sorted keys + per-key lookups
+      def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("id"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("mk"),
+        element_at(col("m"), "ka").as("va"),
+        element_at(col("m"), "kd").as("vd"),
+        array_join(sort_array(map_keys(col("tagm"))), ",").as("tk"),
+        element_at(col("tagm"), "ka").as("ta"),
+        col("s"))
+      val got = shape(g0).collect().map(_.toString).sorted.toSeq
+      val want = shape(j0).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(mapSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = shape(rowSide).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == got, s"trial $trial: row vs columnar diverged\n" +
+        rowGot.zip(got).find { case (a, b) => a != b }.map { case (a, b) =>
+          s"first diff:\n  row: $a\n  columnar: $b" }.getOrElse(""))
+    }
+  }
+
   test("saturation=false: columnar, row, and spark.read.json agree on duplicate bindings") {
     // duplicate ROW-LEVEL bindings after the row saturates are skipped by
     // design (documented first-wins caveat, both engines); with
