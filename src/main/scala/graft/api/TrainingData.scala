@@ -707,12 +707,15 @@ object TrainingData {
     // age horizon (VACUUM RETAIN): an unreferenced file younger than the
     // horizon may be an in-flight writer's published-but-unlogged data —
     // reclaim only files not modified since `horizon` (Delta's VACUUM
-    // modification-time discipline). `now` honors the commit-timestamp
-    // override so retention gates are deterministic under test.
+    // modification-time discipline). The horizon is PHYSICAL clock, never
+    // the logical commit-timestamp override: it compares against real
+    // file mtimes, and a logical `now` behind the wall clock silently
+    // no-ops the sweep while one ahead reclaims younger-than-retention
+    // files, including an in-flight writer's. (expireRetired stays on the
+    // logical clock — it compares against logical commit timestamps.)
     val horizon =
       if (retainMillis <= 0L) Long.MaxValue
-      else hconf.getLong(graft.spark.GraftCommitLog.CommitTimestampKey,
-        System.currentTimeMillis()) - retainMillis
+      else System.currentTimeMillis() - retainMillis
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName

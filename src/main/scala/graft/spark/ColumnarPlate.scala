@@ -290,22 +290,13 @@ final class ColumnarPlate(
   /** Rows currently buffered in the open batch. */
   def pendingRows: Int = rows
 
-  /** Copy one atomic cell between vectors (batch-boundary carryover). */
+  /** Copy one atomic cell between vectors (batch-boundary carryover):
+    * the n=1 case of [[copyElemRange]] — one per-type switch to keep in
+    * sync, not two.
+    */
   private def copyAtomic(src: WritableColumnVector, dst: WritableColumnVector,
-      dt: DataType, from: Int): Unit = {
-    if (src.isNullAt(from)) dst.putNull(0)
-    else dt match {
-      case BooleanType => dst.putBoolean(0, src.getBoolean(from))
-      case IntegerType | DateType => dst.putInt(0, src.getInt(from))
-      case LongType | TimestampType => dst.putLong(0, src.getLong(from))
-      case FloatType   => dst.putFloat(0, src.getFloat(from))
-      case DoubleType  => dst.putDouble(0, src.getDouble(from))
-      case StringType  =>
-        val s = src.getUTF8String(from)
-        dst.putByteArray(0, s.getBytes)
-      case _           => dst.putNull(0)
-    }
-  }
+      dt: DataType, from: Int): Unit =
+    copyElemRange(src, dst, dt, from, 1)
 
   /** Hand the buffered rows out as a batch and start a fresh one.
     *
@@ -347,7 +338,7 @@ final class ColumnarPlate(
               // or a map's keys+values) to the fresh children; the close
               // stamps putArray against row 0. A poisoned run is
               // garbage — drop it (the close writes null).
-              if (arrPoison) { entrySlot -= arrStart; elemPos(i) = 0; arrStart = 0 }
+              if (arrPoison) { entrySlot = 0; elemPos(i) = 0; arrStart = 0 }
               else {
                 val k = elemPos(i) - arrStart
                 copyElemRange(oldArr(i), arrChild(i), vt, arrStart, k)
@@ -376,7 +367,7 @@ final class ColumnarPlate(
             }
           case dt => copyAtomic(src, vectors(i), dt, partialAt)
         }
-      } else if (elemTypes(i) != null) elemPos(i) = 0
+      } else if (elemTypes(i) != null || mapValTypes(i) != null) elemPos(i) = 0
       i += 1
     }
     // the in-flight row starts the fresh child vectors
@@ -794,12 +785,13 @@ final class ColumnarPlate(
   private def putBoolean(b: Boolean): Signal = {
     if (resolveTarget()) {
       ensureCapacity()
+      tMark() // BEFORE the write: a dup key's putNotNull must not
+               // un-null the mismatch branch's explicit null
       tType match {
-        case BooleanType => tVec.putBoolean(tRow, b); tMark()
+        case BooleanType => tVec.putBoolean(tRow, b)
         case StringType =>
           tVec.putByteArray(tRow, (if (b) "true" else "false").getBytes)
-          tMark()
-        case _ => tVec.putNull(tRow); tMark(); tDiscard()
+        case _ => tVec.putNull(tRow); tDiscard()
       }
       tDone()
       if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))

@@ -865,21 +865,40 @@ private[graft] object GraftCommitLog {
     // CONVERT shape: the caller asserts no writer is in flight). The
     // marker write is STRICT — committing without it would silently
     // shrink default reads.
-    if (base.isEmpty) {
+    def scanForeign(covered: String => Boolean): Boolean = {
       var foreign = false
       def scan(p: Path, prefix: String): Unit =
         fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName
           if (!foreign && !n.startsWith(".") && !n.startsWith("_")) {
             if (st.isDirectory) scan(st.getPath, prefix + n + "/")
-            else if (!relAddSet.contains(prefix + n)) foreign = true
+            else if (!covered(prefix + n)) foreign = true
           }
         }
       try scan(rootPath, "")
       catch { case _: java.io.FileNotFoundException => () }
+      foreign
+    }
+    if (base.isEmpty) {
       // content-less: existence IS the signal, so a plain overwrite-create
       // is race-safe (two first-committers both stamping it converge)
-      if (foreign) fs.create(new Path(dir, PartialLogMarker), true).close()
+      if (scanForeign(relAddSet.contains))
+        fs.create(new Path(dir, PartialLogMarker), true).close()
+    } else if (fs.exists(new Path(dir, PartialLogMarker))) {
+      // HEAL a stamped marker: two racing FIRST commits each see the
+      // other's published-but-uncommitted files as foreign and both stamp
+      // `_partial` — yet once both land, the log covers the whole
+      // directory and the marker would silently pin default reads to the
+      // raw walk forever (after a retainHistory delete that walk would
+      // even serve retired originals). Every later commit re-checks: if
+      // each visible file is referenced by SOME version (live or retired)
+      // or added by THIS commit, the marker lifts. A genuine legacy file
+      // — or a racing writer's in-flight output — keeps it.
+      try {
+        val (allRef, _) = GraftCommitLog.allReferenced(fs, rootPath)
+        if (!scanForeign(rel => allRef.contains(rel) || relAddSet.contains(rel)))
+          fs.delete(new Path(dir, PartialLogMarker), false)
+      } catch { case _: Exception => () } // healing is best-effort
     }
     val needState = relRemoves.nonEmpty || relDvs.nonEmpty
     // path -> dv-artifact name (null = live with no deletion vector)

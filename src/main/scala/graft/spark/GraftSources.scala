@@ -283,6 +283,21 @@ object GraftSources {
   /** Hive path unescaping: only %xx sequences decode ('+' stays literal —
     * URLDecoder semantics would corrupt it).
     */
+  /** One hive `k=v` path segment → (column, value) under the shared
+    * unescaping and `__HIVE_DEFAULT_PARTITION__` → null convention; null
+    * for a non-partition segment. Every enumeration path (raw walk,
+    * per-file partition values, log-mediated listing) parses through
+    * here, so they can never disagree on the same directory.
+    */
+  private def hiveSegment(seg: String): (String, String) = {
+    val eq = seg.indexOf('=')
+    if (eq <= 0) null
+    else {
+      val v = unescapePathValue(seg.substring(eq + 1))
+      (seg.substring(0, eq), if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+    }
+  }
+
   private def unescapePathValue(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
@@ -360,13 +375,8 @@ object GraftSources {
     val segs = rel.split('/')
     var i = 0
     while (i < segs.length - 1) { // directory segments only, never the file
-      val seg = segs(i)
-      val eq = seg.indexOf('=')
-      if (eq > 0) {
-        val k = seg.substring(0, eq)
-        val v = unescapePathValue(seg.substring(eq + 1))
-        kv(k) = if (v == "__HIVE_DEFAULT_PARTITION__") null else v
-      }
+      val kvp = hiveSegment(segs(i))
+      if (kvp != null) kv(kvp._1) = kvp._2
       i += 1
     }
     partCols.map {
@@ -411,14 +421,11 @@ object GraftSources {
         if (!hidden(name)) {
           if (s.isFile) files += ((s.getPath.toString, s.getLen, parts))
           else {
-            val i = name.indexOf('=')
+            val kvp = hiveSegment(name)
             val next =
-              if (i > 0) {
-                val k = name.substring(0, i)
-                val v = unescapePathValue(name.substring(i + 1))
-                partCols += k
-                parts.clone().addOne(k ->
-                  (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+              if (kvp != null) {
+                partCols += kvp._1
+                parts.clone().addOne(kvp)
               } else parts
             walk(fs, s.getPath, next)
           }
@@ -548,13 +555,10 @@ object GraftSources {
           // the same unescaping and null convention as the walk
           val parts = mutable.LinkedHashMap.empty[String, String]
           if (d.nonEmpty) d.split('/').foreach { seg =>
-            val eq = seg.indexOf('=')
-            if (eq > 0) {
-              val k = seg.substring(0, eq)
-              val v = unescapePathValue(seg.substring(eq + 1))
-              partCols += k
-              parts.addOne(k ->
-                (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+            val kvp = hiveSegment(seg)
+            if (kvp != null) {
+              partCols += kvp._1
+              parts.addOne(kvp)
             }
           }
           inDir.foreach { r =>

@@ -330,6 +330,82 @@ class ColumnarPlateSpec extends AnyFunSuite {
     assert((0 until 3).map(j => md.valueArray.getUTF8String(j).toString) == Seq("1", "2", "3"))
   }
 
+  test("unseen map/array columns rebase their element offset at takeBatch") {
+    // review finding (round 13): elemPos reset only covered ARRAY columns,
+    // so a MAP column's running offset carried into every fresh batch's
+    // children — quadratic allocation on multi-batch scans
+    val schema = StructType.fromDDL("id LONG, m MAP<STRING, LONG>, a ARRAY<LONG>")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb("""{"id": 1, "m": {"x": 1, "y": 2}, "a": [7, 8, 9]}""" + "\n"))
+    val b1 = plate.takeBatch() // clean row boundary: nothing in flight
+    assert(b1.numRows == 1)
+    raise(p.absorb("""{"id": 2, "m": {"z": 3}, "a": [4]}""" + "\n"))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    def offset0(c: Int) = b2.column(c)
+      .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+      .getArrayOffset(0)
+    assert(offset0(1) == 0, s"map offsets must rebase per batch, got ${offset0(1)}")
+    assert(offset0(2) == 0, s"array offsets must rebase per batch, got ${offset0(2)}")
+    assert(b2.column(1).getMap(0).valueArray.getLong(0) == 3L)
+    assert(b2.column(2).getArray(0).getLong(0) == 4L)
+  }
+
+  test("a poisoned run split mid-element leaves no stale slots for later rows") {
+    // review finding (round 13): the poisoned-split branch rebased
+    // entrySlot past the fresh child's origin, so the in-flight element's
+    // explicit null landed outside the close's scrub range and shadowed a
+    // later row's element at that slot
+    val schema = StructType.fromDDL("id LONG, a ARRAY<LONG>")
+    val input =
+      """{"id": 1, "a": [[9], null, 7]}""" + "\n" +
+      """{"id": 2, "a": [5, 6]}"""
+    val bytes = input.getBytes("UTF-8")
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map { r =>
+          val a =
+            if (b.column(1).isNullAt(r)) null
+            else {
+              val ad = b.column(1).getArray(r)
+              (0 until ad.numElements).map(j =>
+                if (ad.isNullAt(j)) null else ad.getLong(j))
+            }
+          (b.column(0).getLong(r), a)
+        }
+      }
+      assert(rows == Seq((1L, null), (2L, Seq(5L, 6L))), s"split $i: $rows")
+    }
+  }
+
+  test("saturation=false: a duplicate key's boolean mismatch reads null (last-wins)") {
+    // review finding (round 13): putBoolean stamped its mismatch null
+    // BEFORE tMark, so the dup-key putNotNull un-nulled the cell and the
+    // FIRST binding's value survived — row-path divergence
+    val schema = StructType.fromDDL("id LONG, x LONG")
+    val plate = new ColumnarPlate(schema, Array.empty, saturate = false)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "x": 7, "x": true}""" + "\n" +
+      """{"id": 2, "x": null, "x": false}""" + "\n" +
+      """{"id": 3, "x": 5}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 3)
+    assert(b.column(1).isNullAt(0), "bool-into-long dup must read null, not the first value")
+    assert(b.column(1).isNullAt(1))
+    assert(b.column(1).getLong(2) == 5L)
+  }
+
   test("takeBatch mid-struct carries the partial struct's children over") {
     val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
     val plate = new ColumnarPlate(schema, Array.empty)

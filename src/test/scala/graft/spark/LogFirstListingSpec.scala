@@ -187,6 +187,43 @@ class LogFirstListingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft-json").schema(schema).load(d).count() === 5L)
   }
 
+  test("a later commit HEALS a stamped _partial once the log covers the tree") {
+    val s = spark
+    import s.implicits._
+    // two racing FIRST commits each see the other's published-but-
+    // uncommitted files as foreign and both stamp _partial — yet once
+    // both land, the log covers every visible file. Simulate the
+    // post-race state: a covered table whose marker is stamped.
+    val d = dir("partial_heal")
+    writeTable(d)
+    val fs = new Path(d).getFileSystem(conf)
+    val marker = new Path(GraftCommitLog.logDir(new Path(d)),
+      GraftCommitLog.PartialLogMarker)
+    fs.create(marker, true).close()
+    // marker respected while present: a rogue-free tree still reads raw
+    assert(fs.exists(marker))
+    // the next commit re-checks coverage and lifts the marker
+    Seq((900L, "x")).toDF("id", "v").coalesce(1)
+      .write.format("graft-json").mode("append").save(d)
+    assert(!fs.exists(marker), "covered tree must heal the race-stamped marker")
+    // and default reads are log-first again: a rogue file is invisible
+    rogue(d, "rogue-post-heal.jsonl", Seq(999L))
+    assert(spark.read.format("graft-json").schema(schema).load(d).count() === 41L)
+    // ...but a GENUINELY uncovered file keeps the marker on later commits
+    val d2 = dir("partial_keep")
+    writeTable(d2)
+    val fs2 = new Path(d2).getFileSystem(conf)
+    val marker2 = new Path(GraftCommitLog.logDir(new Path(d2)),
+      GraftCommitLog.PartialLogMarker)
+    fs2.create(marker2, true).close()
+    rogue(d2, "legacy-real.jsonl", Seq(700L))
+    Seq((901L, "y")).toDF("id", "v").coalesce(1)
+      .write.format("graft-json").mode("append").save(d2)
+    assert(fs2.exists(marker2), "uncovered legacy file must keep the marker")
+    assert(spark.read.format("graft-json").schema(schema).load(d2).count() === 42L,
+      "partial table reads stay raw (legacy row included)")
+  }
+
   test("a fresh sink-written table never marks partial (own files are covered)") {
     val d = dir("fresh_no_marker")
     writeTable(d)
