@@ -236,6 +236,34 @@ final class ColumnarPlate(
   }
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
+  // STRUCT-CHILD filter anchors (dotted refs like `n.x`): the row path's
+  // nested-filter SkipRow trie, restricted to the one nesting level the
+  // columnar plate supports — without this, vectorizing structs would
+  // silently trade away the byte-skip a selective nested filter buys.
+  // Evaluated on explicitly-written child values only (missing children
+  // stay for Spark's residual filter, like the row path's trie).
+  private[this] val childFilterAt: Array[Array[Array[Filter]]] = {
+    val out = new Array[Array[Array[Filter]]](numCols)
+    FilterEval.normalize(filters.filter(f => f.references.length == 1 &&
+        f.references.head.contains(".") &&
+        !names.contains(f.references.head))).foreach { f =>
+      val ref = f.references.head
+      val dot = ref.indexOf('.')
+      if (ref.indexOf('.', dot + 1) < 0) { // one-level only
+        val i = names.indexOf(ref.substring(0, dot))
+        if (i >= 0 && childNames(i) != null) {
+          val j = childNames(i).indexOf(ref.substring(dot + 1))
+          if (j >= 0) {
+            if (out(i) == null)
+              out(i) = new Array[Array[Filter]](childNames(i).length)
+            out(i)(j) = if (out(i)(j) == null) Array(f) else out(i)(j) :+ f
+          }
+        }
+      }
+    }
+    out
+  }
+  private[this] val hasChildFilters = childFilterAt.exists(_ != null)
 
   private def kidsOf(vs: Array[OnHeapColumnVector]): Array[Array[WritableColumnVector]] = {
     val out = new Array[Array[WritableColumnVector]](numCols)
@@ -754,31 +782,51 @@ final class ColumnarPlate(
     elemFilled = false
   }
 
+  /** Abandon the partial row on a definitive filter failure: the parser
+    * suppresses its finishRow, so the skipped row's whole-file ordinal
+    * must be counted HERE or every later row's deletion-mask address
+    * would shift.
+    */
+  private def abandonForFilter(): Signal = {
+    if (mask != null) fileOrd += 1
+    clearPartialNullBits()
+    java.util.Arrays.fill(seen, false)
+    resetChildSeen()
+    resetArrayState()
+    seenCnt = 0
+    depth = 0; curIdx = -1; curChild = -1; skipPending = false; fieldPos = 0
+    structOpenThisBinding = false
+    Signal.SkipRow
+  }
+
   private def earlyFilter(idx: Int, value: Any): Signal = {
     val fs = filterAt(idx)
-    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
-      // abandon the partial row: the parser suppresses its finishRow, so
-      // the skipped row's whole-file ordinal must be counted HERE or every
-      // later row's deletion-mask address would shift
-      if (mask != null) fileOrd += 1
-      clearPartialNullBits()
-      java.util.Arrays.fill(seen, false)
-      resetChildSeen()
-      resetArrayState()
-      seenCnt = 0
-      depth = 0; curIdx = -1; curChild = -1; skipPending = false; fieldPos = 0
-      structOpenThisBinding = false
-      Signal.SkipRow
-    } else Signal.Continue
+    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value)))
+      abandonForFilter()
+    else Signal.Continue
   }
 
   private def checkFilterLong(idx: Int, v: Long): Signal =
     if (filterAt(idx) != null) earlyFilter(idx, java.lang.Long.valueOf(v)) else Signal.Continue
   private def checkFilterAny(idx: Int, v: Any): Signal =
     if (filterAt(idx) != null) earlyFilter(idx, v) else Signal.Continue
+  // struct-child anchored filters, evaluated as the child value writes
+  @inline private def childFilters(i: Int, j: Int): Array[Filter] = {
+    val fa = childFilterAt(i)
+    if (fa == null) null else fa(j)
+  }
+  private def checkChildFilter(i: Int, j: Int, value: Any): Signal = {
+    val fs = childFilters(i, j)
+    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value)))
+      abandonForFilter()
+    else Signal.Continue
+  }
 
   def nul(): Signal = {
-    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(tRow); tDone() }
+    if (resolveTarget()) {
+      tMark(); ensureCapacity(); tVec.putNull(tRow); tDone()
+      if (tKid >= 0 && hasChildFilters) return checkChildFilter(tIdx, tKid, null)
+    }
     Signal.Continue
   }
 
@@ -795,6 +843,8 @@ final class ColumnarPlate(
       }
       tDone()
       if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))
+      else if (tKid >= 0 && hasChildFilters)
+        checkChildFilter(tIdx, tKid, java.lang.Boolean.valueOf(b))
       else Signal.Continue
     } else Signal.Continue
   }
@@ -849,12 +899,17 @@ final class ColumnarPlate(
           }
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v)
+            else if (tKid >= 0 && hasChildFilters)
+              checkChildFilter(tIdx, tKid, java.lang.Long.valueOf(v))
+            else Signal.Continue
         case IntegerType if decIdx < 0 && expIdx < 0 =>
           val v = java.lang.Integer.parseInt(s, 0, s.length, 10)
           vec.putInt(at, v)
           tDone()
           return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Integer.valueOf(v))
+            else if (tKid >= 0 && hasChildFilters)
+              checkChildFilter(tIdx, tKid, java.lang.Integer.valueOf(v))
             else Signal.Continue
         case DoubleType =>
           // exactly-rounded conversion off the zero-copy view (FastDouble:
@@ -867,6 +922,8 @@ final class ColumnarPlate(
           vec.putDouble(at, v)
           tDone()
           return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Double.valueOf(v))
+            else if (tKid >= 0 && hasChildFilters)
+              checkChildFilter(tIdx, tKid, java.lang.Double.valueOf(v))
             else Signal.Continue
         case FloatType =>
           vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
@@ -895,6 +952,10 @@ final class ColumnarPlate(
             if (tKid < 0 && !tElem && filterAt(tIdx) != null)
               return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
+            if (tKid >= 0 && hasChildFilters && childFilters(tIdx, tKid) != null)
+              return checkChildFilter(tIdx, tKid,
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                  java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
             return Signal.Continue
           case _ =>
             val bytes = s.toString.getBytes("UTF-8")
@@ -902,19 +963,28 @@ final class ColumnarPlate(
             tDone()
             if (tKid < 0 && !tElem && filterAt(tIdx) != null)
               return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+            if (tKid >= 0 && hasChildFilters && childFilters(tIdx, tKid) != null)
+              return checkChildFilter(tIdx, tKid,
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
             return Signal.Continue
         }
         case LongType =>
           val v = java.lang.Long.parseLong(s.toString.trim)
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v)
+            else if (tKid >= 0 && hasChildFilters)
+              checkChildFilter(tIdx, tKid, java.lang.Long.valueOf(v))
+            else Signal.Continue
         case TimestampType => // same strict ISO form as the row path
           val inst = java.time.Instant.parse(s.toString.trim)
           val v = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v)
+            else if (tKid >= 0 && hasChildFilters)
+              checkChildFilter(tIdx, tKid, java.lang.Long.valueOf(v))
+            else Signal.Continue
         case DateType =>
           vec.putInt(at,
             java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt)

@@ -430,6 +430,37 @@ class ColumnarPlateSpec extends AnyFunSuite {
   // reused after an abandoned row must have its null bits scrubbed —
   // minimal cases found by JsonSourceFuzzSpec (stale nulls leaked into
   // the NEXT row's present values)
+  test("struct-child filters byte-skip at the plate (the row path's nested trie)") {
+    import org.apache.spark.sql.sources.{GreaterThan, IsNotNull}
+    val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
+    // plate-level drop is observable directly: residual filtering hasn't
+    // run, so any row in the batch survived the PLATE's check
+    val plate = new ColumnarPlate(schema,
+      Array(GreaterThan("n.x", java.lang.Long.valueOf(10L))))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "n": {"x": 5, "y": "drop"}}""" + "\n" +
+      """{"id": 2, "n": {"x": 50, "y": "keep"}}""" + "\n" +
+      """{"id": 3, "n": {"x": 3}, "zz": "tail never parsed"}""" + "\n" +
+      """{"id": 4}""" + "\n" + // missing struct: residual's problem, kept
+      """{"id": 5, "n": {"x": 99, "y": "keep2"}}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert((0 until b.numRows).map(b.column(0).getLong(_)) == Seq(2L, 4L, 5L))
+
+    // anchored IsNotNull does NOT early-drop (definitelyFails has no
+    // IsNotNull case — unknown filters never drop at the plate; Spark's
+    // residual handles it). Row-path trie parity: both keep the row.
+    val plate2 = new ColumnarPlate(schema, Array(IsNotNull("n.x")))
+    val p2 = new JsonParser[Long](plate2, JsonParser.ValueStream)
+    raise(p2.absorb(
+      """{"id": 1, "n": {"x": null, "y": "residual-drops-me"}}""" + "\n" +
+      """{"id": 2, "n": {"x": 1, "y": "keep"}}""" + "\n"))
+    raise(p2.finish())
+    val b2 = plate2.takeBatch()
+    assert((0 until b2.numRows).map(b2.column(0).getLong(_)) == Seq(1L, 2L))
+  }
+
   test("a filter-abandoned row's explicit nulls do not leak into the next row") {
     import org.apache.spark.sql.sources.LessThan
     val schema = StructType.fromDDL("id LONG, d DOUBLE, b BOOLEAN")
