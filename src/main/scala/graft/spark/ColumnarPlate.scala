@@ -667,6 +667,12 @@ final class ColumnarPlate(
           arrOpen = false
           arrPoison = false
         }
+        // struct binding closes: anchored child filters check its FINAL
+        // values (duplicate children are last-wins by now)
+        if (hasChildFilters && curIdx >= 0 && childNames(curIdx) != null) {
+          val sig = checkStructClose(curIdx)
+          if (sig ne Signal.Continue) return sig
+        }
         curIdx = -1
         structOpenThisBinding = false
         // row saturated: every schema column present — skip the rest
@@ -810,23 +816,42 @@ final class ColumnarPlate(
     if (filterAt(idx) != null) earlyFilter(idx, java.lang.Long.valueOf(v)) else Signal.Continue
   private def checkFilterAny(idx: Int, v: Any): Signal =
     if (filterAt(idx) != null) earlyFilter(idx, v) else Signal.Continue
-  // struct-child anchored filters, evaluated as the child value writes
-  @inline private def childFilters(i: Int, j: Int): Array[Filter] = {
+  /** Struct-child anchored filters, evaluated at the STRUCT'S CLOSE over
+    * its FINAL child values — never per child binding: duplicate child
+    * keys replace (last-wins), so the first binding of {"x":0,"x":14}
+    * must not fail a `x > 0` filter the final value passes (found by the
+    * x16 nested fuzz, round 13; the row path's trie had the same bug).
+    * Unwritten children evaluate as null (conservative — kept for the
+    * residual, like the row trie's missing children).
+    */
+  private def checkStructClose(i: Int): Signal = {
     val fa = childFilterAt(i)
-    if (fa == null) null else fa(j)
-  }
-  private def checkChildFilter(i: Int, j: Int, value: Any): Signal = {
-    val fs = childFilters(i, j)
-    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value)))
-      abandonForFilter()
-    else Signal.Continue
+    if (fa == null || !seen(i) || vectors(i).isNullAt(rows)) return Signal.Continue
+    var j = 0
+    while (j < fa.length) {
+      val fs = fa(j)
+      if (fs != null) {
+        val cv = childVecs(i)(j)
+        val v: Any =
+          if (!childSeen(i)(j) || cv.isNullAt(rows)) null
+          else childTypes(i)(j) match {
+            case BooleanType => java.lang.Boolean.valueOf(cv.getBoolean(rows))
+            case IntegerType | DateType => java.lang.Integer.valueOf(cv.getInt(rows))
+            case LongType | TimestampType => java.lang.Long.valueOf(cv.getLong(rows))
+            case FloatType => java.lang.Float.valueOf(cv.getFloat(rows))
+            case DoubleType => java.lang.Double.valueOf(cv.getDouble(rows))
+            case StringType => cv.getUTF8String(rows)
+            case _ => null
+          }
+        if (fs.exists(FilterEval.definitelyFails(_, v))) return abandonForFilter()
+      }
+      j += 1
+    }
+    Signal.Continue
   }
 
   def nul(): Signal = {
-    if (resolveTarget()) {
-      tMark(); ensureCapacity(); tVec.putNull(tRow); tDone()
-      if (tKid >= 0 && hasChildFilters) return checkChildFilter(tIdx, tKid, null)
-    }
+    if (resolveTarget()) { tMark(); ensureCapacity(); tVec.putNull(tRow); tDone() }
     Signal.Continue
   }
 
@@ -843,8 +868,6 @@ final class ColumnarPlate(
       }
       tDone()
       if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))
-      else if (tKid >= 0 && hasChildFilters)
-        checkChildFilter(tIdx, tKid, java.lang.Boolean.valueOf(b))
       else Signal.Continue
     } else Signal.Continue
   }
@@ -899,17 +922,12 @@ final class ColumnarPlate(
           }
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v)
-            else if (tKid >= 0 && hasChildFilters)
-              checkChildFilter(tIdx, tKid, java.lang.Long.valueOf(v))
-            else Signal.Continue
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
         case IntegerType if decIdx < 0 && expIdx < 0 =>
           val v = java.lang.Integer.parseInt(s, 0, s.length, 10)
           vec.putInt(at, v)
           tDone()
           return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Integer.valueOf(v))
-            else if (tKid >= 0 && hasChildFilters)
-              checkChildFilter(tIdx, tKid, java.lang.Integer.valueOf(v))
             else Signal.Continue
         case DoubleType =>
           // exactly-rounded conversion off the zero-copy view (FastDouble:
@@ -922,8 +940,6 @@ final class ColumnarPlate(
           vec.putDouble(at, v)
           tDone()
           return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Double.valueOf(v))
-            else if (tKid >= 0 && hasChildFilters)
-              checkChildFilter(tIdx, tKid, java.lang.Double.valueOf(v))
             else Signal.Continue
         case FloatType =>
           vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
@@ -952,10 +968,6 @@ final class ColumnarPlate(
             if (tKid < 0 && !tElem && filterAt(tIdx) != null)
               return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
-            if (tKid >= 0 && hasChildFilters && childFilters(tIdx, tKid) != null)
-              return checkChildFilter(tIdx, tKid,
-                org.apache.spark.unsafe.types.UTF8String.fromBytes(
-                  java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
             return Signal.Continue
           case _ =>
             val bytes = s.toString.getBytes("UTF-8")
@@ -963,28 +975,19 @@ final class ColumnarPlate(
             tDone()
             if (tKid < 0 && !tElem && filterAt(tIdx) != null)
               return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
-            if (tKid >= 0 && hasChildFilters && childFilters(tIdx, tKid) != null)
-              return checkChildFilter(tIdx, tKid,
-                org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
             return Signal.Continue
         }
         case LongType =>
           val v = java.lang.Long.parseLong(s.toString.trim)
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v)
-            else if (tKid >= 0 && hasChildFilters)
-              checkChildFilter(tIdx, tKid, java.lang.Long.valueOf(v))
-            else Signal.Continue
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
         case TimestampType => // same strict ISO form as the row path
           val inst = java.time.Instant.parse(s.toString.trim)
           val v = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v)
-            else if (tKid >= 0 && hasChildFilters)
-              checkChildFilter(tIdx, tKid, java.lang.Long.valueOf(v))
-            else Signal.Continue
+          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
         case DateType =>
           vec.putInt(at,
             java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt)

@@ -649,13 +649,23 @@ final class RowPlate(
       val node = nodeStack(sp)
       sp -= 1
       val v = f.finalValue()
-      // a nested value with anchored pushed filters just completed: a
-      // definitive failure byte-skips the rest of the row
-      if (node != null && node.filters.length > 0 &&
-          node.filters.exists(FilterEval.definitelyFails(_, v))) {
-        skippedRowCount += 1
-        resetRow()
-        return Signal.SkipRow
+      // a STRUCT with child-anchored pushed filters just completed: a
+      // definitive failure on its FINAL values byte-skips the rest of the
+      // row. Evaluated at the ENCLOSING struct's close — never per child
+      // binding — because duplicate child keys replace (last-wins): the
+      // first binding of {"x": 0, "x": 14} must not fail a `x > 0` filter
+      // the final value passes (found by the x16 nested fuzz, round 13)
+      if (node != null && f.kind == KStruct && node.children.nonEmpty) {
+        val it = node.children.iterator
+        while (it.hasNext) {
+          val (idx, c) = it.next()
+          if (c.filters.length > 0 &&
+              c.filters.exists(FilterEval.definitelyFails(_, f.values(idx)))) {
+            skippedRowCount += 1
+            resetRow()
+            return Signal.SkipRow
+          }
+        }
       }
       val parent = top
       parent.kind match {

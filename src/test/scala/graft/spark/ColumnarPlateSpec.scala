@@ -443,10 +443,14 @@ class ColumnarPlateSpec extends AnyFunSuite {
       """{"id": 2, "n": {"x": 50, "y": "keep"}}""" + "\n" +
       """{"id": 3, "n": {"x": 3}, "zz": "tail never parsed"}""" + "\n" +
       """{"id": 4}""" + "\n" + // missing struct: residual's problem, kept
-      """{"id": 5, "n": {"x": 99, "y": "keep2"}}""" + "\n"))
+      """{"id": 5, "n": {"x": 99, "y": "keep2"}}""" + "\n" +
+      // DUPLICATE child keys are last-wins: the filter sees the FINAL
+      // value, never the first binding's (x16 fuzz regression)
+      """{"id": 6, "n": {"x": 0, "x": 44, "y": "dupkeep"}}""" + "\n" +
+      """{"id": 7, "n": {"x": 44, "x": 0, "y": "dupdrop"}}""" + "\n"))
     raise(p.finish())
     val b = plate.takeBatch()
-    assert((0 until b.numRows).map(b.column(0).getLong(_)) == Seq(2L, 4L, 5L))
+    assert((0 until b.numRows).map(b.column(0).getLong(_)) == Seq(2L, 4L, 5L, 6L))
 
     // anchored IsNotNull does NOT early-drop (definitelyFails has no
     // IsNotNull case — unknown filters never drop at the plate; Spark's
