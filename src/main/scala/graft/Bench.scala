@@ -98,27 +98,40 @@ object Bench {
   * allocation and whole-stage codegen consuming vectors.
   */
 object NestedColumnarBench {
-  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = try {
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val dir = "/tmp/graft_bench_nested"
-    val corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
-      struct($"l_partkey".as("partkey"), $"l_suppkey".as("suppkey"),
-        $"l_quantity".as("quantity"), $"l_extendedprice".as("price"),
-        $"l_discount".as("discount"), $"l_tax".as("tax"),
-        $"l_returnflag".as("returnflag"), $"l_linestatus".as("linestatus")).as("n"))
-    corpus.repartition(4).write.format("graft-json").mode("overwrite").save(dir)
-    val schema = "l_orderkey BIGINT, n STRUCT<partkey: BIGINT, suppkey: BIGINT, " +
-      "quantity: DOUBLE, price: DOUBLE, discount: DOUBLE, tax: DOUBLE, " +
-      "returnflag: STRING, linestatus: STRING>"
-    def q(vectorized: Boolean): Double = {
-      val t0 = System.nanoTime()
+    VectorizedAbBench.run(spark, "nested-columnar", "/tmp/graft_bench_nested",
+      schema = "l_orderkey BIGINT, n STRUCT<partkey: BIGINT, suppkey: BIGINT, " +
+        "quantity: DOUBLE, price: DOUBLE, discount: DOUBLE, tax: DOUBLE, " +
+        "returnflag: STRING, linestatus: STRING>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        struct($"l_partkey".as("partkey"), $"l_suppkey".as("suppkey"),
+          $"l_quantity".as("quantity"), $"l_extendedprice".as("price"),
+          $"l_discount".as("discount"), $"l_tax".as("tax"),
+          $"l_returnflag".as("returnflag"), $"l_linestatus".as("linestatus")).as("n")),
       // nested PROJECTION: child-lane extraction is where vectors beat
       // per-row struct assembly (aggregate shapes measure ~1.0 — the
       // hash agg consumes rows either way; recorded in COVERAGE.md)
-      spark.read.format("graft-json").schema(schema)
-        .option("vectorized", vectorized.toString).load(dir)
-        .select($"n.partkey", $"n.quantity", $"n.price")
+      shape = _.select($"n.partkey", $"n.quantity", $"n.price"))
+  }
+}
+
+/** Shared harness for the paired vectorized-vs-row lanes: write the
+  * corpus once, run the SAME scan + shape through both paths (the
+  * `vectorized` dial is the only difference), best of 5 per side after
+  * one warmup each — host noise largely cancels inside the pair.
+  */
+object VectorizedAbBench {
+  def run(spark: SparkSession, label: String, dir: String, schema: String,
+      corpus: => org.apache.spark.sql.DataFrame,
+      shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Double, Double, Double) = try {
+    corpus.repartition(4).write.format("graft-json").mode("overwrite").save(dir)
+    def q(vectorized: Boolean): Double = {
+      val t0 = System.nanoTime()
+      shape(spark.read.format("graft-json").schema(schema)
+        .option("vectorized", vectorized.toString).load(dir))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -127,7 +140,7 @@ object NestedColumnarBench {
     val row = (1 to 5).map(_ => q(vectorized = false)).min
     (vec, row, if (vec > 0) math.round(row / vec * 100) / 100.0 else -1.0)
   } catch { case e: Throwable =>
-    System.err.println(s"[bench] nested-columnar lane failed: ${e.getMessage}")
+    System.err.println(s"[bench] $label lane failed: ${e.getMessage}")
     (-1.0, -1.0, -1.0)
   }
 }
@@ -144,32 +157,17 @@ object NestedColumnarBench {
   * dominates both sides (isolation series recorded in COVERAGE.md).
   */
 object ArrayColumnarBench {
-  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = try {
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val dir = "/tmp/graft_bench_array"
-    val corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
-      array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
-        $"l_partkey".cast("double"), $"l_suppkey".cast("double"),
-        $"l_linenumber".cast("double"), ($"l_orderkey" % 97).cast("double"))
-        .as("emb"))
-    corpus.repartition(4).write.format("graft-json").mode("overwrite").save(dir)
-    val schema = "l_orderkey BIGINT, emb ARRAY<DOUBLE>"
-    def q(vectorized: Boolean): Double = {
-      val t0 = System.nanoTime()
-      spark.read.format("graft-json").schema(schema)
-        .option("vectorized", vectorized.toString).load(dir)
-        .select($"emb")
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    q(vectorized = true); q(vectorized = false) // warmup
-    val vec = (1 to 5).map(_ => q(vectorized = true)).min
-    val row = (1 to 5).map(_ => q(vectorized = false)).min
-    (vec, row, if (vec > 0) math.round(row / vec * 100) / 100.0 else -1.0)
-  } catch { case e: Throwable =>
-    System.err.println(s"[bench] array-columnar lane failed: ${e.getMessage}")
-    (-1.0, -1.0, -1.0)
+    VectorizedAbBench.run(spark, "array-columnar", "/tmp/graft_bench_array",
+      schema = "l_orderkey BIGINT, emb ARRAY<DOUBLE>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+          $"l_partkey".cast("double"), $"l_suppkey".cast("double"),
+          $"l_linenumber".cast("double"), ($"l_orderkey" % 97).cast("double"))
+          .as("emb")),
+      shape = _.select($"emb"))
   }
 }
 

@@ -106,8 +106,14 @@ final class ColumnarPlate(
       case mt: MapType => mt.valueType
       case _ => null
     }).toArray
+  // the value-bearing type per CONTAINER column (array element type, or
+  // map value type); null = not a container lane — the one predicate the
+  // shared array/map machinery branches on
+  private[this] val contValType: Array[DataType] =
+    elemTypes.indices.map(i =>
+      if (elemTypes(i) != null) elemTypes(i) else mapValTypes(i)).toArray
   private[this] val arrCols: Array[Int] =
-    elemTypes.indices.filter(i => elemTypes(i) != null || mapValTypes(i) != null).toArray
+    contValType.indices.filter(contValType(_) != null).toArray
   // next free element slot / row-start snapshot per array/map column
   // (rewound when a row is rejected so heavy filtering can't balloon the
   // children)
@@ -359,8 +365,8 @@ final class ColumnarPlate(
                 j += 1
               }
             }
-          case t if elemTypes(i) != null || mapValTypes(i) != null =>
-            val vt = if (elemTypes(i) != null) elemTypes(i) else mapValTypes(i)
+          case _ if contValType(i) != null =>
+            val vt = contValType(i)
             if (arrOpen && curIdx == i) {
               // split mid-container: move the open entry run (elements,
               // or a map's keys+values) to the fresh children; the close
@@ -395,7 +401,7 @@ final class ColumnarPlate(
             }
           case dt => copyAtomic(src, vectors(i), dt, partialAt)
         }
-      } else if (elemTypes(i) != null || mapValTypes(i) != null) elemPos(i) = 0
+      } else if (contValType(i) != null) elemPos(i) = 0
       i += 1
     }
     // the in-flight row starts the fresh child vectors
@@ -712,7 +718,7 @@ final class ColumnarPlate(
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
         tV = c
-        tT = if (elemTypes(tIdx) != null) elemTypes(tIdx) else mapValTypes(tIdx)
+        tT = contValType(tIdx)
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {

@@ -280,9 +280,6 @@ object GraftSources {
   private def hidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
-  /** Hive path unescaping: only %xx sequences decode ('+' stays literal —
-    * URLDecoder semantics would corrupt it).
-    */
   /** One hive `k=v` path segment → (column, value) under the shared
     * unescaping and `__HIVE_DEFAULT_PARTITION__` → null convention; null
     * for a non-partition segment. Every enumeration path (raw walk,
@@ -298,6 +295,9 @@ object GraftSources {
     }
   }
 
+  /** Hive path unescaping: only %xx sequences decode ('+' stays literal —
+    * URLDecoder semantics would corrupt it).
+    */
   private def unescapePathValue(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
