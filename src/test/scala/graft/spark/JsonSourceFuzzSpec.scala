@@ -335,6 +335,12 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 5 => s"""[1, [2, 3], {"y": 4}, 5]"""      // container elements
           case 6 => s"""[${rng.nextInt(100)}, "notanumber", ${rng.nextInt(100)}]"""
           case 7 => Seq.fill(40)(rng.nextInt(100)).mkString("[", ", ", "]")
+          // NUMERIC conversion-failure elements vs a LONG target: fraction,
+          // exponent, and overflow tokens are lexically-valid numbers that
+          // fail LONG conversion — the whole-array poison must match spark
+          // (VALUE_NUMBER_FLOAT→LONG partial-results parity, round 14)
+          case 8 => s"""[${rng.nextInt(100)}, ${Seq("0.4", "9e3", "-2.5E-2",
+            "9223372036854775809", "1.0e300")(rng.nextInt(5))}]"""
           case _ => longArr()
         }}"""
       if (rng.nextInt(10) > 2)
@@ -386,7 +392,8 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * shape a one-level MAP<STRING, atomic> column can take — present,
     * missing, null, `{}`, scalar/array mismatch, null values, container
     * values (poison), conversion-failure values (poison), duplicate keys
-    * (dedup last-wins). LONG-map values avoid COERCIBLE strings ("7"):
+    * (BOTH append — spark keeps duplicates; element_at returns the first).
+    * LONG-map values avoid COERCIBLE strings ("7"):
     * graft's string→number coercion succeeds where spark fails — the
     * documented deviation, shared with the atomic columns.
     */
@@ -407,9 +414,14 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 4 => entries(1 + rng.nextInt(5),
             () => if (rng.nextInt(4) == 0) "null" else (rng.nextInt(2000) - 1000).toString)
           case 5 => s"""{"ka": {"deep": 1}, "kb": 2}"""  // container value
-          case 6 => s"""{"ka": 1, "kb": "notanumber"}""" // failure value
-          case 7 => s"""{"ka": 1, "kb": 9, "ka": 2}"""   // dup key last-wins
-          case 8 => s"""{"ka": null, "ka": 7}"""         // dup over null
+          // failure values: a non-coercible string, or a NUMERIC token that
+          // fails LONG conversion (fraction/exponent/overflow) — both must
+          // poison the whole map like spark (VALUE_NUMBER_FLOAT→LONG
+          // partial-results parity, round 14)
+          case 6 => s"""{"ka": 1, "kb": ${Seq("\"notanumber\"", "0.4", "9e3",
+            "-2.5E-2", "9223372036854775809")(rng.nextInt(5))}}"""
+          case 7 => s"""{"ka": 1, "kb": 9, "ka": 2}"""   // dup key: BOTH append
+          case 8 => s"""{"ka": null, "ka": 7}"""         // dup key over null: both append
           case _ => entries(1 + rng.nextInt(6),
             () => (rng.nextInt(2000) - 1000).toString)
         }}"""
@@ -462,6 +474,48 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         rowGot.zip(got).find { case (a, b) => a != b }.map { case (a, b) =>
           s"first diff:\n  row: $a\n  columnar: $b" }.getOrElse(""))
     }
+  }
+
+  test("VALUE_NUMBER_FLOAT→LONG failures match spark in every context (probe)") {
+    // fraction/exponent/overflow tokens are lexically-valid JSON numbers
+    // that FAIL LONG conversion. The empirical spark.read.json rule —
+    // probed three ways here, not inferred: as a top-level LONG field the
+    // FIELD reads null (per-field partial results); as an ARRAY<LONG>
+    // element or MAP<STRING,LONG> value the WHOLE cell reads null
+    // (containers have no per-element partial semantics). This is the
+    // exact shape the stale pre-r13 RowPlateConvProps property tripped on.
+    val lines =
+      """{"id": 1, "v": 0.4, "a": [1, 0.4], "m": {"k": 9e3}}""" + "\n" +
+      """{"id": 2, "v": 9e3, "a": [2.5E-2], "m": {"k": 0.4, "j": 1}}""" + "\n" +
+      """{"id": 3, "v": 9223372036854775809, "a": [9223372036854775809], "m": {"k": -1.0e300}}""" + "\n" +
+      """{"id": 4, "v": 7, "a": [7, 8], "m": {"k": 7}}"""
+    val p = dir.resolve("floatlong_probe.jsonl")
+    Files.write(p, lines.getBytes(UTF_8))
+    val schema = "id LONG, v LONG, a ARRAY<LONG>, m MAP<STRING, LONG>"
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"), col("v"), col("a"),
+      array_join(sort_array(map_keys(col("m"))), ",").as("mk"),
+      element_at(col("m"), "k").as("vk"))
+      .collect().map(_.toString).sorted.toSeq
+    val colPath = spark.read.format("graft-json").schema(schema).load(p.toString)
+    val rowPath = spark.read.format("graft-json").schema(schema)
+      .option("vectorized", "false").load(p.toString)
+    val sparkRef = spark.read.schema(schema).json(p.toString)
+    val want = shape(sparkRef)
+    assert(shape(colPath) == want, "columnar path diverged from spark.read.json")
+    assert(shape(rowPath) == want, "row path diverged from spark.read.json")
+    // pin the VALUES explicitly so this stays a probe even if spark drifts
+    val byId = colPath.orderBy("id").collect()
+    assert(byId(0).isNullAt(1) && byId(0).isNullAt(2) && byId(0).isNullAt(3),
+      "row 1: field null, array poisoned, map poisoned")
+    assert(byId(1).isNullAt(1) && byId(1).isNullAt(2) && byId(1).isNullAt(3),
+      "row 2: one bad value among good ones still poisons the map")
+    assert(byId(2).isNullAt(1) && byId(2).isNullAt(2) && byId(2).isNullAt(3),
+      "row 3: overflow behaves like fraction/exponent")
+    assert(byId(3).getLong(1) == 7L &&
+      byId(3).getSeq[Long](2) == Seq(7L, 8L) &&
+      byId(3).getMap[String, Long](3) == Map("k" -> 7L),
+      "row 4: clean integers are unaffected")
   }
 
   test("saturation=false: columnar, row, and spark.read.json agree on duplicate bindings") {
