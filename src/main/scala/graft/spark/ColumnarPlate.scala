@@ -673,12 +673,6 @@ final class ColumnarPlate(
           arrOpen = false
           arrPoison = false
         }
-        // struct binding closes: anchored child filters check its FINAL
-        // values (duplicate children are last-wins by now)
-        if (hasChildFilters && curIdx >= 0 && childNames(curIdx) != null) {
-          val sig = checkStructClose(curIdx)
-          if (sig ne Signal.Continue) return sig
-        }
         curIdx = -1
         structOpenThisBinding = false
         // row saturated: every schema column present — skip the rest
@@ -794,66 +788,66 @@ final class ColumnarPlate(
     elemFilled = false
   }
 
-  /** Abandon the partial row on a definitive filter failure: the parser
-    * suppresses its finishRow, so the skipped row's whole-file ordinal
-    * must be counted HERE or every later row's deletion-mask address
-    * would shift.
-    */
-  private def abandonForFilter(): Signal = {
-    if (mask != null) fileOrd += 1
-    clearPartialNullBits()
-    java.util.Arrays.fill(seen, false)
-    resetChildSeen()
-    resetArrayState()
-    seenCnt = 0
-    depth = 0; curIdx = -1; curChild = -1; skipPending = false; fieldPos = 0
-    structOpenThisBinding = false
-    Signal.SkipRow
-  }
+  private[this] val hasValueFilters = filterAt.exists(_ != null)
 
-  private def earlyFilter(idx: Int, value: Any): Signal = {
-    val fs = filterAt(idx)
-    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value)))
-      abandonForFilter()
-    else Signal.Continue
-  }
-
-  private def checkFilterLong(idx: Int, v: Long): Signal =
-    if (filterAt(idx) != null) earlyFilter(idx, java.lang.Long.valueOf(v)) else Signal.Continue
-  private def checkFilterAny(idx: Int, v: Any): Signal =
-    if (filterAt(idx) != null) earlyFilter(idx, v) else Signal.Continue
-  /** Struct-child anchored filters, evaluated at the STRUCT'S CLOSE over
-    * its FINAL child values — never per child binding: duplicate child
-    * keys replace (last-wins), so the first binding of {"x":0,"x":14}
-    * must not fail a `x > 0` filter the final value passes (found by the
-    * x16 nested fuzz, round 13; the row path's trie had the same bug).
-    * Unwritten children evaluate as null (conservative — kept for the
-    * residual, like the row trie's missing children).
-    */
-  private def checkStructClose(i: Int): Signal = {
-    val fa = childFilterAt(i)
-    if (fa == null || !seen(i) || vectors(i).isNullAt(rows)) return Signal.Continue
-    var j = 0
-    while (j < fa.length) {
-      val fs = fa(j)
-      if (fs != null) {
-        val cv = childVecs(i)(j)
-        val v: Any =
-          if (!childSeen(i)(j) || cv.isNullAt(rows)) null
-          else childTypes(i)(j) match {
-            case BooleanType => java.lang.Boolean.valueOf(cv.getBoolean(rows))
-            case IntegerType | DateType => java.lang.Integer.valueOf(cv.getInt(rows))
-            case LongType | TimestampType => java.lang.Long.valueOf(cv.getLong(rows))
-            case FloatType => java.lang.Float.valueOf(cv.getFloat(rows))
-            case DoubleType => java.lang.Double.valueOf(cv.getDouble(rows))
-            case StringType => cv.getUTF8String(rows)
-            case _ => null
-          }
-        if (fs.exists(FilterEval.definitelyFails(_, v))) return abandonForFilter()
-      }
-      j += 1
+  /** Read back a written cell as the boxed value [[FilterEval]] compares. */
+  private def vecValue(vec: WritableColumnVector, dt: DataType, r: Int): Any =
+    dt match {
+      case BooleanType => java.lang.Boolean.valueOf(vec.getBoolean(r))
+      case IntegerType | DateType => java.lang.Integer.valueOf(vec.getInt(r))
+      case LongType | TimestampType => java.lang.Long.valueOf(vec.getLong(r))
+      case FloatType => java.lang.Float.valueOf(vec.getFloat(r))
+      case DoubleType => java.lang.Double.valueOf(vec.getDouble(r))
+      case StringType => vec.getUTF8String(r)
+      case _ => null
     }
-    Signal.Continue
+
+  /** Pushed value filters (top-level AND struct-child anchored), decided
+    * at finishRow over the row's FINAL written cells — never per binding
+    * and never per struct close: duplicate keys rebind last-wins (e.g.
+    * {"n":{"x":0},"n":{"x":44},"id":1} with pushed `n.x > 10` keeps the
+    * row), and pushdown must never change what an unpushed read returns
+    * (round 14; round 13 fixed duplicate CHILD keys, this extends it to
+    * duplicate STRUCT/scalar bindings). Unwritten/null cells evaluate as
+    * null — conservative: definitelyFails(_, null) is false for
+    * comparisons, so the row stays for Spark's residual filter.
+    */
+  private def passesValueFilters(): Boolean = {
+    if (hasValueFilters) {
+      var i = 0
+      while (i < numCols) {
+        val fs = filterAt(i)
+        if (fs != null) {
+          val v: Any =
+            if (!seen(i) || vectors(i).isNullAt(rows)) null
+            else vecValue(vectors(i), types(i), rows)
+          if (fs.exists(FilterEval.definitelyFails(_, v))) return false
+        }
+        i += 1
+      }
+    }
+    if (hasChildFilters) {
+      var i = 0
+      while (i < numCols) {
+        val fa = childFilterAt(i)
+        if (fa != null && seen(i) && !vectors(i).isNullAt(rows)) {
+          var j = 0
+          while (j < fa.length) {
+            val fs = fa(j)
+            if (fs != null) {
+              val cv = childVecs(i)(j)
+              val v: Any =
+                if (!childSeen(i)(j) || cv.isNullAt(rows)) null
+                else vecValue(cv, childTypes(i)(j), rows)
+              if (fs.exists(FilterEval.definitelyFails(_, v))) return false
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    true
   }
 
   def nul(): Signal = {
@@ -873,8 +867,7 @@ final class ColumnarPlate(
         case _ => tVec.putNull(tRow); tDiscard()
       }
       tDone()
-      if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Boolean.valueOf(b))
-      else Signal.Continue
+      Signal.Continue
     } else Signal.Continue
   }
 
@@ -928,13 +921,11 @@ final class ColumnarPlate(
           }
           vec.putLong(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
+          return Signal.Continue
         case IntegerType if decIdx < 0 && expIdx < 0 =>
-          val v = java.lang.Integer.parseInt(s, 0, s.length, 10)
-          vec.putInt(at, v)
+          vec.putInt(at, java.lang.Integer.parseInt(s, 0, s.length, 10))
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Integer.valueOf(v))
-            else Signal.Continue
+          return Signal.Continue
         case DoubleType =>
           // exactly-rounded conversion off the zero-copy view (FastDouble:
           // Clinger/Eisel-Lemire; parseDouble only on the rare hard cases)
@@ -945,8 +936,7 @@ final class ColumnarPlate(
           }
           vec.putDouble(at, v)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterAny(tIdx, java.lang.Double.valueOf(v))
-            else Signal.Continue
+          return Signal.Continue
         case FloatType =>
           vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
         case StringType =>
@@ -971,29 +961,21 @@ final class ColumnarPlate(
           case v: ByteSliceCharSeq =>
             vec.putByteArray(at, v.bytes, v.offset, v.length)
             tDone()
-            if (tKid < 0 && !tElem && filterAt(tIdx) != null)
-              return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(
-                java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length)))
             return Signal.Continue
           case _ =>
-            val bytes = s.toString.getBytes("UTF-8")
-            vec.putByteArray(at, bytes)
+            vec.putByteArray(at, s.toString.getBytes("UTF-8"))
             tDone()
-            if (tKid < 0 && !tElem && filterAt(tIdx) != null)
-              return earlyFilter(tIdx, org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
             return Signal.Continue
         }
         case LongType =>
-          val v = java.lang.Long.parseLong(s.toString.trim)
-          vec.putLong(at, v)
+          vec.putLong(at, java.lang.Long.parseLong(s.toString.trim))
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
+          return Signal.Continue
         case TimestampType => // same strict ISO form as the row path
           val inst = java.time.Instant.parse(s.toString.trim)
-          val v = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-          vec.putLong(at, v)
+          vec.putLong(at, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
           tDone()
-          return if (tKid < 0 && !tElem) checkFilterLong(tIdx, v) else Signal.Continue
+          return Signal.Continue
         case DateType =>
           vec.putInt(at,
             java.time.LocalDate.parse(s.toString.trim).toEpochDay.toInt)
@@ -1039,14 +1021,20 @@ final class ColumnarPlate(
       fileOrd += 1
     }
     if (keep && hasNullFilters) {
+      // value-based like the row path's passesRowEnd: an EXPLICIT null
+      // binding ({"x": null}) satisfies IsNull and fails IsNotNull — the
+      // seen bit alone conflated it with a present value (round 14)
       keep = filters.forall {
         case IsNotNull(col) =>
-          val idx = names.indexOf(col); idx < 0 || seen(idx)
+          val idx = names.indexOf(col)
+          idx < 0 || (seen(idx) && !vectors(idx).isNullAt(rows))
         case IsNull(col) =>
-          val idx = names.indexOf(col); idx < 0 || !seen(idx)
+          val idx = names.indexOf(col)
+          idx < 0 || !seen(idx) || vectors(idx).isNullAt(rows)
         case _ => true
       }
     }
+    if (keep) keep = passesValueFilters()
     if (keep) {
       var i = 0
       while (i < numCols) {
@@ -1122,10 +1110,12 @@ object ColumnarPlate {
     * vectorize too: micros/days are just long/int lanes — round 11),
     * ONE-LEVEL structs whose children are all atomic — the wide
     * nested-corpus shape (ugh10k-like) that used to fall off the
-    * ColumnarBatch path — and, since round 13, ONE-LEVEL arrays of
-    * atomics (the embedding-column shape: elements stream into the
-    * parent vector's child at a running offset, Arrow-style). Deeper
-    * nesting / maps / arrays-under-structs stay on the row path.
+    * ColumnarBatch path — and, since round 13, ONE-LEVEL containers of
+    * atomics: ARRAY<atomic> (the embedding-column shape: elements stream
+    * into the parent vector's child at a running offset, Arrow-style)
+    * and MAP<STRING, atomic> (keys + values lanes under the map column).
+    * Deeper nesting (struct-of-struct, containers under structs,
+    * ARRAY<STRUCT>, non-string map keys) stays on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {

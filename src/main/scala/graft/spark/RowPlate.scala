@@ -157,14 +157,8 @@ final class RowPlate(
       var i = frames.length
       while (i < next.length) { next(i) = new VFrame; i += 1 }
       frames = next
-      nodeStack = java.util.Arrays.copyOf(nodeStack, next.length)
     }
     frames(sp).reset(e, c, if (cv == RowPlate.CvUnset) RowPlate.convOf(e) else cv)
-    // descend the nested-filter trie alongside the frame stack
-    val parent = nodeStack(sp - 1)
-    nodeStack(sp) =
-      if (parent == null || c < 0) null
-      else parent.children.getOrElse(c, null)
   }
 
   /** The parser emits one unnest for a value it skipped (no frame pushed). */
@@ -296,10 +290,8 @@ final class RowPlate(
   }
 
   /** Trie over nested filter paths (dotted references like `meta.len`),
-    * keyed by struct field index per level. A node stack parallel to the
-    * frame stack descends as frames push, so when a nested value's frame
-    * unnests, its node (if any) holds exactly the filters anchored there —
-    * evaluated immediately for an early SkipRow.
+    * keyed by struct field index per level. Walked once per row at
+    * finishRow over the row's FINAL values (see [[nestedPasses]]).
     */
   private final class NestedNode {
     var filters: Array[Filter] = Array.empty
@@ -328,7 +320,6 @@ final class RowPlate(
     }
     root
   }
-  private[this] var nodeStack = new Array[NestedNode](frames.length)
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
 
@@ -463,7 +454,6 @@ final class RowPlate(
       java.util.Arrays.fill(rowWrapper.values, null)
     }
     frames(0).morphStructWith(schema, rootLookup, rowWrapper.values)
-    nodeStack(0) = nestedRoot
     skipPending = false
     seenMask = 0L
     probePos = 0
@@ -540,11 +530,11 @@ final class RowPlate(
       Signal.Continue
     } else if (f eq rowFrame) {
       // scalar row in a schemaless stream: the "value" column when present
-      if (valueColIdx >= 0) {
+      // (pushed filters on it are decided at finishRow like every column)
+      if (valueColIdx >= 0)
         f.values(valueColIdx) = scalarValue(schema(valueColIdx).dataType,
           RowPlate.CvOther, kind, s, decIdx, expIdx)
-        earlyFilter(valueColIdx, f.values(valueColIdx))
-      } else Signal.Continue
+      Signal.Continue
     } else Signal.Continue // discard / malformed: ignore
   }
 
@@ -646,40 +636,27 @@ final class RowPlate(
       Signal.Continue // defensive: never pop the row frame
     } else {
       val f = frames(sp)
-      val node = nodeStack(sp)
       sp -= 1
       val v = f.finalValue()
-      // a STRUCT with child-anchored pushed filters just completed: a
-      // definitive failure on its FINAL values byte-skips the rest of the
-      // row. Evaluated at the ENCLOSING struct's close — never per child
-      // binding — because duplicate child keys replace (last-wins): the
-      // first binding of {"x": 0, "x": 14} must not fail a `x > 0` filter
-      // the final value passes (found by the x16 nested fuzz, round 13)
-      if (node != null && f.kind == KStruct && node.children.nonEmpty) {
-        val it = node.children.iterator
-        while (it.hasNext) {
-          val (idx, c) = it.next()
-          if (c.filters.length > 0 &&
-              c.filters.exists(FilterEval.definitelyFails(_, f.values(idx)))) {
-            skippedRowCount += 1
-            resetRow()
-            return Signal.SkipRow
-          }
-        }
-      }
+      // Pushed value filters (top-level AND nested-anchored) are decided
+      // at finishRow over the row's FINAL values — never per binding:
+      // duplicate keys replace (last-wins), so the first binding of
+      // {"n": {"x": 0}, "n": {"x": 44}} must not fail an `n.x > 10`
+      // filter the final value passes. Pushdown must never change what an
+      // unpushed read returns (round 14; round 13 fixed duplicate CHILD
+      // keys, this extends it to duplicate STRUCT/scalar bindings). The
+      // saturation FinishRow below still byte-skips row tails, so the
+      // common skip perf survives; only pre-saturation definitive
+      // failures now parse to the row's saturation point.
       val parent = top
       parent.kind match {
         case KStruct =>
           if (f.childIdx >= 0) parent.values(f.childIdx) = v
           if (parent eq rowFrame) {
-            val s = earlyFilter(f.childIdx, v)
-            if (s ne Signal.Continue) s
-            else {
-              if (f.childIdx >= 0) seenMask |= 1L << f.childIdx
-              // row saturated: every schema column present — skip the rest
-              if (fullMask != 0L && seenMask == fullMask) Signal.FinishRow
-              else Signal.Continue
-            }
+            if (f.childIdx >= 0) seenMask |= 1L << f.childIdx
+            // row saturated: every schema column present — skip the rest
+            if (fullMask != 0L && seenMask == fullMask) Signal.FinishRow
+            else Signal.Continue
           } else Signal.Continue
         case KArray =>
           // a discarded element (container where an atomic was expected,
@@ -736,18 +713,21 @@ final class RowPlate(
 
   // ------------------------------------------------------------ filters
 
-  /** Evaluate pushed filters on a completed top-level column value; a
-    * definitive failure skips the rest of the row.
+  private[this] val hasValueFilters = filterAt.exists(_ != null)
+
+  /** Walk the nested-filter trie over the row's FINAL values. Missing,
+    * null, or non-struct values along a path evaluate the leaf as null —
+    * conservative: definitelyFails(_, null) is false for comparisons, so
+    * the row survives for Spark's residual filter (exactly like the
+    * per-close evaluation this replaces treated unwritten children).
     */
-  private def earlyFilter(idx: Int, value: Any): Signal = {
-    val fs = if (idx >= 0 && idx < filterAt.length) filterAt(idx) else null
-    if (fs != null && fs.exists(FilterEval.definitelyFails(_, value))) {
-      // the parser honors SkipRow by suppressing this row's finishRow,
-      // so resetting here cleanly abandons the partial row
-      skippedRowCount += 1
-      resetRow()
-      Signal.SkipRow
-    } else Signal.Continue
+  private def nestedPasses(node: NestedNode, parent: Any): Boolean =
+    node.children.forall { case (idx, c) =>
+      val v: Any = parent match {
+        case r: GenericInternalRow if idx < r.numFields => r.values(idx)
+        case _ => null
+      }
+      !c.filters.exists(FilterEval.definitelyFails(_, v)) && nestedPasses(c, v)
     }
 
   // rows this plate DROPPED before emission (SkipRow pushdown and the
@@ -766,8 +746,24 @@ final class RowPlate(
     n
   }
 
-  /** Null/missing-column semantics checked once the whole row is known. */
-  private def passesRowEnd(row: InternalRow): Boolean = {
+  /** ALL pushed-filter semantics, checked once the whole row is known —
+    * the single point where a pushed filter may drop a row. Evaluating
+    * any earlier (per binding / per struct close) is unsound: a later
+    * duplicate key rebinds the column last-wins, and pushdown must never
+    * change what an unpushed read returns (round 14). Saturation still
+    * byte-skips row tails — it calls finishRow, which lands here.
+    */
+  private def passesRowEnd(row: GenericInternalRow): Boolean = {
+    if (hasValueFilters) {
+      var i = 0
+      while (i < filterAt.length) {
+        val fs = filterAt(i)
+        if (fs != null && fs.exists(FilterEval.definitelyFails(_, row.values(i))))
+          return false
+        i += 1
+      }
+    }
+    if (nestedRoot != null && !nestedPasses(nestedRoot, row)) return false
     if (!hasNullFilters) return true
     filters.forall { f =>
       f match {

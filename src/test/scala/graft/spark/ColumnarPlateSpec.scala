@@ -430,7 +430,7 @@ class ColumnarPlateSpec extends AnyFunSuite {
   // reused after an abandoned row must have its null bits scrubbed —
   // minimal cases found by JsonSourceFuzzSpec (stale nulls leaked into
   // the NEXT row's present values)
-  test("struct-child filters byte-skip at the plate (the row path's nested trie)") {
+  test("struct-child filters drop at the plate (decided at finishRow over final values)") {
     import org.apache.spark.sql.sources.{GreaterThan, IsNotNull}
     val schema = StructType.fromDDL("id LONG, n STRUCT<x: LONG, y: STRING>")
     // plate-level drop is observable directly: residual filtering hasn't
@@ -463,6 +463,64 @@ class ColumnarPlateSpec extends AnyFunSuite {
     raise(p2.finish())
     val b2 = plate2.takeBatch()
     assert((0 until b2.numRows).map(b2.column(0).getLong(_)) == Seq(1L, 2L))
+  }
+
+  test("duplicate bindings rebind filters: only the row's FINAL values decide") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    // round 14: a pushed filter must never change what an unpushed read
+    // returns. A duplicate STRUCT key (or scalar key) rebinds last-wins,
+    // so a definitive failure on an EARLIER binding must not drop a row
+    // whose FINAL value passes. saturate=false so the rebind is always
+    // read (with saturation on, a rebind after the row saturates is
+    // never read — first-wins — and the filter agrees with that value).
+    val schema = StructType.fromDDL("id LONG, s STRING, n STRUCT<x: LONG, y: STRING>")
+    val plate = new ColumnarPlate(schema,
+      Array(GreaterThan("n.x", java.lang.Long.valueOf(10L))), saturate = false)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "n": {"x": 0}, "n": {"x": 44, "y": "rebind-save"}, "s": "a"}""" + "\n" +
+      """{"id": 2, "n": {"x": 44}, "n": {"x": 0}, "s": "b"}""" + "\n" +
+      """{"id": 3, "n": {"x": 7}, "s": "c"}""" + "\n" +
+      """{"id": 4, "n": {"x": 70}, "s": "d"}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert((0 until b.numRows).map(b.column(0).getLong(_)) == Seq(1L, 4L),
+      "the rebind-saved row must survive; the rebind-doomed row must drop")
+    assert(b.column(2).getChild(0).getLong(0) == 44L)
+
+    // same for a TOP-LEVEL scalar duplicate
+    val plate2 = new ColumnarPlate(schema,
+      Array(LessThan("id", java.lang.Long.valueOf(100L))), saturate = false)
+    val p2 = new JsonParser[Long](plate2, JsonParser.ValueStream)
+    raise(p2.absorb(
+      """{"id": 500, "id": 50, "s": "rebind-save"}""" + "\n" +
+      """{"id": 50, "id": 500, "s": "rebind-doom"}""" + "\n"))
+    raise(p2.finish())
+    val b2 = plate2.takeBatch()
+    assert(b2.numRows == 1 && b2.column(0).getLong(0) == 50L)
+  }
+
+  test("explicit null bindings satisfy IsNull and fail IsNotNull at the plate") {
+    import org.apache.spark.sql.sources.{IsNull, IsNotNull}
+    val schema = StructType.fromDDL("id LONG, s STRING")
+    // value-based null demands (round 14): {"s": null} is an explicit
+    // null — IsNull keeps it, IsNotNull drops it; a MISSING s also reads
+    // null (row-path passesRowEnd parity)
+    val input =
+      """{"id": 1, "s": null}""" + "\n" +
+      """{"id": 2, "s": "present"}""" + "\n" +
+      """{"id": 3}""" + "\n"
+    val plate = new ColumnarPlate(schema, Array(IsNull("s")))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(input)); raise(p.finish())
+    val b = plate.takeBatch()
+    assert((0 until b.numRows).map(b.column(0).getLong(_)) == Seq(1L, 3L))
+
+    val plate2 = new ColumnarPlate(schema, Array(IsNotNull("s")))
+    val p2 = new JsonParser[Long](plate2, JsonParser.ValueStream)
+    raise(p2.absorb(input)); raise(p2.finish())
+    val b2 = plate2.takeBatch()
+    assert((0 until b2.numRows).map(b2.column(0).getLong(_)) == Seq(2L))
   }
 
   test("a filter-abandoned row's explicit nulls do not leak into the next row") {

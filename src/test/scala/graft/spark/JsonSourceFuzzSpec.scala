@@ -552,6 +552,25 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a == c, s"trial $trial: columnar vs spark.read.json diverged\n" +
         a.zip(c).find { case (x, y) => x != y }.map { case (x, y) =>
           s"first diff:\n  columnar: $x\n  spark: $y" }.getOrElse(""))
+
+      // PUSHED filters on duplicate-binding corpora (round 14): filter
+      // verdicts are decided at finishRow over FINAL values, so pushdown
+      // must match spark exactly even when an early binding definitively
+      // fails and a later duplicate rebinds the column to a passing value
+      val fi = trial % 3
+      def filt(df: org.apache.spark.sql.DataFrame) = fi match {
+        case 0 => df.filter(col("n.x") > 40)
+        case 1 => df.filter(col("id") < 60)
+        case _ => df.filter(col("s") === "za")
+      }
+      val af = filt(spark.read.format("graft-json").schema(nestedSchema)
+        .option("saturation", "false").load(p.toString))
+        .collect().map(_.toString).sorted.toSeq
+      val cf = filt(spark.read.schema(nestedSchema).json(p.toString))
+        .collect().map(_.toString).sorted.toSeq
+      assert(af == cf, s"trial $trial filter $fi: pushed-filter dup-binding divergence\n" +
+        af.zip(cf).find { case (x, y) => x != y }.map { case (x, y) =>
+          s"first diff:\n  graft: $x\n  spark: $y" }.getOrElse(""))
     }
   }
 }

@@ -98,6 +98,33 @@ class RowPlateSpec extends AnyFunSuite {
     assert(plate.totalSkippedBytes > 30, s"skipped=${plate.totalSkippedBytes}")
   }
 
+  test("duplicate bindings rebind filters: only the row's FINAL values decide") {
+    // round 14: pushed filters are decided at finishRow over final
+    // values — a duplicate struct/scalar key rebinds last-wins, so an
+    // earlier binding's definitive failure must not drop a row whose
+    // final value passes (the unpushed read keeps it). The duplicates
+    // sit BEFORE the last schema column so saturation can't hide them.
+    val schema = StructType.fromDDL("id LONG, s STRING, n STRUCT<x: LONG>")
+    val json =
+      """{"id": 1, "n": {"x": 0}, "n": {"x": 44}, "s": "rebind-save"}
+        |{"id": 2, "n": {"x": 44}, "n": {"x": 0}, "s": "rebind-doom"}
+        |{"id": 3, "n": {"x": 7}, "s": "plain-drop"}
+        |{"id": 4, "n": {"x": 70}, "s": "plain-keep"}
+        |""".stripMargin
+    val (rows, _) = parse(schema, json,
+      Array(GreaterThan("n.x", java.lang.Long.valueOf(10L))))
+    assert(rows.map(_.getLong(0)) == Seq(1L, 4L))
+    assert(rows.head.getStruct(2, 1).getLong(0) == 44L)
+
+    val json2 =
+      """{"id": 500, "id": 50, "s": "rebind-save"}
+        |{"id": 50, "id": 500, "s": "rebind-doom"}
+        |""".stripMargin
+    val (rows2, _) = parse(schema, json2,
+      Array(LessThan("id", java.lang.Long.valueOf(100L))))
+    assert(rows2.map(_.getLong(0)) == Seq(50L))
+  }
+
   test("duplicate keys: saturation keeps the first, open rows take the last") {
     // schema saturated by the first `a`: the duplicate is byte-skipped
     // with the rest of the row (Signal.FinishRow) — first value wins
