@@ -890,15 +890,42 @@ private[graft] object GraftCommitLog {
       // `_partial` — yet once both land, the log covers the whole
       // directory and the marker would silently pin default reads to the
       // raw walk forever (after a retainHistory delete that walk would
-      // even serve retired originals). Every later commit re-checks: if
-      // each visible file is referenced by SOME version (live or retired)
-      // or added by THIS commit, the marker lifts. A genuine legacy file
-      // — or a racing writer's in-flight output — keeps it.
-      try {
-        val (allRef, _) = GraftCommitLog.allReferenced(fs, rootPath)
-        if (!scanForeign(rel => allRef.contains(rel) || relAddSet.contains(rel)))
-          fs.delete(new Path(dir, PartialLogMarker), false)
-      } catch { case _: Exception => () } // healing is best-effort
+      // even serve retired originals). A later commit re-checks: if each
+      // visible file is referenced by SOME version (live or retired) or
+      // added by THIS commit, the marker lifts. A genuine legacy file —
+      // or a racing writer's in-flight output — keeps it.
+      //
+      // THROTTLED (round 14): the check folds the whole log and walks the
+      // whole tree, and a genuine legacy table keeps the marker forever —
+      // left unthrottled, EVERY append to such a table pays
+      // O(history + tree). A failed check stamps the log version it ran
+      // at into the marker (readers only test existence; adoption deletes
+      // it regardless of content), and later commits skip the re-check
+      // until the log advances one checkpoint interval. The racing-first-
+      // commit happy path is untouched: a fresh marker is content-less,
+      // so the very next commit still attempts the heal.
+      val markerPath = new Path(dir, PartialLogMarker)
+      val lastChecked: Long = try {
+        val in = fs.open(markerPath)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          if (n <= 0) -1L else new String(buf, 0, n, "UTF-8").trim.toLong
+        } finally in.close()
+      } catch { case _: Exception => -1L }
+      val interval = conf.getInt(CheckpointIntervalKey, DefaultCheckpointInterval)
+      val baseV = base.getOrElse(0L)
+      if (lastChecked < 0 || baseV >= lastChecked + interval) {
+        try {
+          val (allRef, _) = GraftCommitLog.allReferenced(fs, rootPath)
+          if (!scanForeign(rel => allRef.contains(rel) || relAddSet.contains(rel)))
+            fs.delete(markerPath, false)
+          else {
+            val out = fs.create(markerPath, true) // still foreign: remember the attempt
+            try out.write(baseV.toString.getBytes("UTF-8")) finally out.close()
+          }
+        } catch { case _: Exception => () } // healing is best-effort
+      }
     }
     val needState = relRemoves.nonEmpty || relDvs.nonEmpty
     // path -> dv-artifact name (null = live with no deletion vector)

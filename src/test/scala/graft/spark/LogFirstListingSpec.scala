@@ -222,6 +222,32 @@ class LogFirstListingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs2.exists(marker2), "uncovered legacy file must keep the marker")
     assert(spark.read.format("graft-json").schema(schema).load(d2).count() === 42L,
       "partial table reads stay raw (legacy row included)")
+
+    // THROTTLE (round 14): the failed heal stamps its fold version into
+    // the marker (readers only test existence), and commits within one
+    // checkpoint interval skip the O(history + tree) re-check — even one
+    // that would now succeed
+    val content = {
+      val in = fs2.open(marker2)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(content.trim.nonEmpty && content.trim.forall(_.isDigit),
+      s"failed heal must stamp the checked version, got '$content'")
+    fs2.delete(new Path(d2, "legacy-real.jsonl"), false) // tree is now covered
+    Seq((902L, "z")).toDF("id", "v").coalesce(1)
+      .write.format("graft-json").mode("append").save(d2)
+    assert(fs2.exists(marker2), "heal re-check inside the interval must be skipped")
+    // once the log advances past the interval, the re-check runs and heals
+    val prior = conf.get(GraftCommitLog.CheckpointIntervalKey)
+    conf.setInt(GraftCommitLog.CheckpointIntervalKey, 1)
+    try {
+      Seq((903L, "w")).toDF("id", "v").coalesce(1)
+        .write.format("graft-json").mode("append").save(d2)
+      assert(!fs2.exists(marker2), "past the interval the heal must run and lift")
+    } finally {
+      if (prior == null) conf.unset(GraftCommitLog.CheckpointIntervalKey)
+      else conf.set(GraftCommitLog.CheckpointIntervalKey, prior)
+    }
   }
 
   test("a fresh sink-written table never marks partial (own files are covered)") {
