@@ -56,10 +56,42 @@ object Bench {
     val (skip, csvMbps) = SkipBench.runIsolatedRounds(7)
     val (nestVec, nestRow, nestRatio) = NestedColumnarBench.run(spark, sfDir)
     val (arrVec, arrRow, arrRatio) = ArrayColumnarBench.run(spark, sfDir)
+    val (asVec, asRow, asRatio) = ArrayStructColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
     val (avOn, avOff, avRatio) = AvroBlockSkipBench.run(spark, sfDir)
+
+    // ---- sf1 rung (round 14, verdict item 7): the 10x blow-up catches
+    // superlinear driver-side overheads that sf0.1's fixed planning floor
+    // hides, and it is the ONLY rung where the container-lane ratios are
+    // meaningful (the ~40 MB sf0.1 corpora are floor-dominated). Emitted
+    // as an "sf1" sub-object so BENCH_r* history captures scaling round
+    // over round. Self-materializing (idempotent 10x explode of sf0.1);
+    // disable with SPARK_GRAFT_SF1=0.
+    val sf1Json: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") ""
+      else try {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+        Sf1Rung.ensure(spark, sfDir, sf1Dir)
+        bench.foreach(q => timeIn(spark, q, sf1Dir)) // warmup
+        val p1 = (1 to 2).map(_ => bench.map(q => q.name -> timeIn(spark, q, sf1Dir)))
+        val r1 = bench.map { q =>
+          val ts = p1.map(_.find(_._1 == q.name).get._2)
+          q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+        }
+        val q1 = r1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val t1 = if (r1.exists(_._2 < 0)) -1.0 else r1.map(_._2).sum
+        val (_, _, nest1) = NestedColumnarBench.run(spark, sf1Dir, passes = 3)
+        val (_, _, arr1) = ArrayColumnarBench.run(spark, sf1Dir, passes = 3)
+        val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir, passes = 3)
+        s""""sf1":{"total":$t1,"queries":$q1,""" +
+          s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
+          s""""arraystruct_columnar_speedup":$as1,"dir":"$sf1Dir"},"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
+        ""
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
@@ -80,11 +112,50 @@ object Bench {
       s""""nested_columnar_sec":$nestVec,"nested_row_sec":$nestRow,""" +
       s""""nested_columnar_speedup":$nestRatio,""" +
       s""""array_columnar_sec":$arrVec,"array_row_sec":$arrRow,""" +
-      s""""array_columnar_speedup":$arrRatio,"sf":"$sfDir"}"""
+      s""""array_columnar_speedup":$arrRatio,""" +
+      s""""arraystruct_columnar_sec":$asVec,"arraystruct_row_sec":$asRow,""" +
+      s""""arraystruct_columnar_speedup":$asRatio,""" +
+      sf1Json +
+      s""""sf":"$sfDir"}"""
     println(line)
     System.err.println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
     spark.stop()
+  }
+
+  /** time() against an explicit data dir (the sf1 rung). */
+  private def timeIn(spark: SparkSession, q: GQuery, dir: String): Double = {
+    val t0 = System.nanoTime()
+    try q.build(spark, dir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ${q.name}@$dir failed: ${e.getMessage}")
+      return -1.0
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+}
+
+/** Idempotent sf1 materialization: a 10x row blow-up of the sf0.1 parquet
+  * tables (tools/make_sf1.py's shape, spark-native so the bench is
+  * self-contained). Skips tables that already exist.
+  */
+object Sf1Rung {
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+  def ensure(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // blow up from sf0.1 regardless of the bench's own rung
+    val src = if (srcDir.contains("sf0.1")) srcDir else "/root/testdata/sf0.1"
+    tables.foreach { t =>
+      val dst = new java.io.File(s"$dstDir/$t.parquet")
+      if (!dst.exists()) {
+        spark.read.parquet(s"$src/$t.parquet")
+          .withColumn("__r", explode(array((0 until 10).map(lit): _*)))
+          .drop("__r")
+          .orderBy(rand(42))
+          .write.mode("overwrite").parquet(dst.getPath)
+      }
+    }
   }
 }
 
@@ -98,10 +169,10 @@ object Bench {
   * allocation and whole-stage codegen consuming vectors.
   */
 object NestedColumnarBench {
-  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    VectorizedAbBench.run(spark, "nested-columnar", "/tmp/graft_bench_nested",
+    VectorizedAbBench.run(spark, "nested-columnar", "/tmp/graft_bench_nested", passes,
       schema = "l_orderkey BIGINT, n STRUCT<partkey: BIGINT, suppkey: BIGINT, " +
         "quantity: DOUBLE, price: DOUBLE, discount: DOUBLE, tax: DOUBLE, " +
         "returnflag: STRING, linestatus: STRING>",
@@ -123,7 +194,8 @@ object NestedColumnarBench {
   * one warmup each — host noise largely cancels inside the pair.
   */
 object VectorizedAbBench {
-  def run(spark: SparkSession, label: String, dir: String, schema: String,
+  def run(spark: SparkSession, label: String, dir: String, passes: Int,
+      schema: String,
       corpus: => org.apache.spark.sql.DataFrame,
       shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (Double, Double, Double) = try {
@@ -136,8 +208,8 @@ object VectorizedAbBench {
       (System.nanoTime() - t0) / 1e9
     }
     q(vectorized = true); q(vectorized = false) // warmup
-    val vec = (1 to 5).map(_ => q(vectorized = true)).min
-    val row = (1 to 5).map(_ => q(vectorized = false)).min
+    val vec = (1 to passes).map(_ => q(vectorized = true)).min
+    val row = (1 to passes).map(_ => q(vectorized = false)).min
     (vec, row, if (vec > 0) math.round(row / vec * 100) / 100.0 else -1.0)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] $label lane failed: ${e.getMessage}")
@@ -157,10 +229,10 @@ object VectorizedAbBench {
   * dominates both sides (isolation series recorded in COVERAGE.md).
   */
 object ArrayColumnarBench {
-  def run(spark: SparkSession, sfDir: String): (Double, Double, Double) = {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    VectorizedAbBench.run(spark, "array-columnar", "/tmp/graft_bench_array",
+    VectorizedAbBench.run(spark, "array-columnar", "/tmp/graft_bench_array", passes,
       schema = "l_orderkey BIGINT, emb ARRAY<DOUBLE>",
       corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
         array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
@@ -168,6 +240,31 @@ object ArrayColumnarBench {
           $"l_linenumber".cast("double"), ($"l_orderkey" % 97).cast("double"))
           .as("emb")),
       shape = _.select($"emb"))
+  }
+}
+
+/** ARRAY<STRUCT> (element-struct) columnar vs row path, end to end and
+  * PAIRED (round 14): a delivery/log-record-shaped corpus — one BIGINT
+  * key plus a 3-element array of tagged records per row, the most common
+  * real corpus shape that used to fall to the row path — reads through
+  * the SAME scan twice, vectorized (elements as rows of the array's
+  * struct child) vs `option("vectorized","false")` (per-row
+  * GenericArrayData-of-GenericInternalRow assembly), best of `passes`
+  * each, on the DELIVERY shape.
+  */
+object ArrayStructColumnarBench {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    VectorizedAbBench.run(spark, "arraystruct-columnar", "/tmp/graft_bench_arrstruct", passes,
+      schema = "l_orderkey BIGINT, recs ARRAY<STRUCT<k: BIGINT, q: DOUBLE, tag: STRING>>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        array(
+          struct($"l_partkey".as("k"), $"l_quantity".as("q"), $"l_returnflag".as("tag")),
+          struct($"l_suppkey".as("k"), $"l_extendedprice".as("q"), $"l_linestatus".as("tag")),
+          struct($"l_linenumber".cast("bigint").as("k"), $"l_discount".as("q"),
+            $"l_shipdate".cast("string").as("tag"))).as("recs")),
+      shape = _.select($"recs"))
   }
 }
 

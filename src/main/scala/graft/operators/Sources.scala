@@ -3144,6 +3144,70 @@ object Sources {
                             columns={n_nationkey: 'BIGINT', attrs: 'MAP(VARCHAR, BIGINT)'})
              ORDER BY n_nationkey"""))
 
+  // ---------------------------------------------------------------- q231
+  // ARRAY<STRUCT<atomic…>> COLUMNAR lanes (round 14): the delivery/
+  // log-record shape — a list of tagged records per row, with null
+  // arrays, empty arrays, null elements, missing/null fields, and
+  // shuffled field order — reads through the vectorized path (elements
+  // are rows of the array's struct child; fields write at element
+  // offsets) and must match DuckDB's read_json with a STRUCT(...)[]
+  // column. The gate asserts the plan actually went columnar; the
+  // pathology matrix (poison, dup keys, conversion failures) is pinned
+  // by ColumnarPlateSpec and the three-way fuzz.
+  private val q231 = GQuery(
+    "q231_json_array_struct_columnar_scan",
+    "graft-json ARRAY<STRUCT> lanes go columnar: element-field aggs vs DuckDB",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val path = s"$fixtureDir/q231_arraystruct.jsonl"
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation, not a data path
+      val content = nation.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1)
+        val reg = r.getAs[Number](2).longValue
+        val recs = k % 6 match {
+          case 0 => "null"
+          case 1 => "[]"
+          case 2 => s"""[{"x": $k, "y": "$name"}, null]"""        // null element kept
+          case 3 => s"""[{"y": "r$reg", "x": $reg}, {"x": null}]""" // shuffled order, null field
+          case 4 => s"""[{"x": $k}]"""                             // missing field
+          case _ => s"""[{"x": $k, "y": "$name"}, {"x": ${k * 3 % 13}, "y": "r$reg"}, {}]"""
+        }
+        s"""{"n_nationkey": $k, "recs": $recs}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path), content.getBytes(UTF_8))
+      val df = s.read.format("graft-json")
+        .schema("n_nationkey LONG, recs ARRAY<STRUCT<x: LONG, y: STRING>>")
+        .load(path)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "ARRAY<STRUCT<atomic>> schema must ride the ColumnarBatch path")
+      df.select(
+          col("n_nationkey"),
+          when(col("recs").isNull, lit(null))
+            .otherwise(size(col("recs"))).cast("long").as("n_recs"),
+          get(col("recs"), lit(0))("x").as("first_x"),
+          aggregate(col("recs"), lit(0L),
+            (acc, e) => acc + coalesce(e("x"), lit(0L))).as("x_sum"),
+          when(col("recs").isNull, lit(null)).otherwise(
+            array_join(transform(col("recs"),
+              e => coalesce(e("y"), lit("-"))), "|")).as("ys"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey,
+                    CAST(len(recs) AS BIGINT) AS n_recs,
+                    recs[1].x AS first_x,
+                    CASE WHEN recs IS NULL THEN NULL
+                         ELSE COALESCE(CAST(list_sum(list_transform(recs, e -> COALESCE(e.x, 0))) AS BIGINT), 0) END AS x_sum,
+                    CASE WHEN recs IS NULL THEN NULL
+                         ELSE COALESCE(array_to_string(list_transform(recs, e -> COALESCE(e.y, '-')), '|'), '') END AS ys
+             FROM read_json('$fixtureDir/q231_arraystruct.jsonl',
+                            format='newline_delimited',
+                            columns={n_nationkey: 'BIGINT', recs: 'STRUCT(x BIGINT, y VARCHAR)[]'})
+             ORDER BY n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3415,5 +3479,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }

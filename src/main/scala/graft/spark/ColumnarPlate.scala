@@ -9,7 +9,8 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Vectorized sibling of [[RowPlate]] for flat atomic schemas PLUS
   * one-level structs with atomic children PLUS one-level arrays of
-  * atomics PLUS one-level MAP<STRING, atomic> (round 13): parse events
+  * atomics PLUS one-level MAP<STRING, atomic> (round 13) PLUS
+  * ARRAY<STRUCT<atomic…>> (round 14): parse events
   * write straight into `OnHeapColumnVector`s — struct children into the
   * parent vector's child lanes; array elements (and map keys/values)
   * into the parent's children at a running offset with a final
@@ -112,6 +113,32 @@ final class ColumnarPlate(
   private[this] val contValType: Array[DataType] =
     elemTypes.indices.map(i =>
       if (elemTypes(i) != null) elemTypes(i) else mapValTypes(i)).toArray
+  // ARRAY<STRUCT<atomic…>> lanes (round 14): field names/types of the
+  // element struct per column (null otherwise). Elements are rows of the
+  // array's single STRUCT child — each field writes into that struct
+  // vector's own child at the running element offset; the element's
+  // close stamps unwritten fields null; the binding's close stamps
+  // putArray like every container. Element semantics match the row path
+  // and spark.read.json (probed empirically, round 14): a struct element
+  // keeps PER-FIELD partials (a field that fails conversion or holds a
+  // container reads null, the element and array survive), while an
+  // element-level mismatch (scalar/array where the struct was expected)
+  // poisons the whole array; `{}` is a present element with all-null
+  // fields; null elements are kept; duplicate field keys replace.
+  private[this] val elemKidNames: Array[Array[String]] =
+    schema.fields.map(_.dataType match {
+      case ArrayType(st: StructType, _) => st.fieldNames
+      case _ => null
+    }).toArray
+  private[this] val elemKidTypes: Array[Array[DataType]] =
+    schema.fields.map(_.dataType match {
+      case ArrayType(st: StructType, _) => st.fields.map(_.dataType)
+      case _ => null
+    }).toArray
+  // which fields of the OPEN object element have been written (valid only
+  // while elemObjOpen; cleared at each element's first field key)
+  private[this] val elemKidSeen: Array[Array[Boolean]] =
+    elemKidNames.map(en => if (en == null) null else new Array[Boolean](en.length))
   private[this] val arrCols: Array[Int] =
     contValType.indices.filter(contValType(_) != null).toArray
   // next free element slot / row-start snapshot per array/map column
@@ -125,6 +152,7 @@ final class ColumnarPlate(
   private[this] var childVecs: Array[Array[WritableColumnVector]] = _
   private[this] var arrChild: Array[WritableColumnVector] = _
   private[this] var mapKeyChild: Array[WritableColumnVector] = _
+  private[this] var elemKidVecs: Array[Array[WritableColumnVector]] = _
   allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
@@ -143,6 +171,7 @@ final class ColumnarPlate(
   private[this] val probeWanted: Array[Array[Byte]] =
     if (!saturate) null
     else (names ++ childNames.filter(_ != null).flatten ++
+        elemKidNames.filter(_ != null).flatten ++
         filters.flatMap(_.references))
       .distinct
       .map(b => b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -226,6 +255,11 @@ final class ColumnarPlate(
   // partial-results parity (arrays have no per-element partials); the
   // close drops the garbage run
   private[this] var arrPoison = false
+  // ARRAY<STRUCT> element state: the open element is an OBJECT being
+  // filled (its close stamps unwritten fields null and advances the
+  // run); the open FIELD lane inside it (depth 3; -1 = none)
+  private[this] var elemObjOpen = false
+  private[this] var curKid = -1
   private[this] var rowCount = 0L
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
 
@@ -297,6 +331,21 @@ final class ColumnarPlate(
     out
   }
 
+  // field vectors of the element struct per ARRAY<STRUCT> column: the
+  // children of the array's struct child (element offsets, not row ones)
+  private def elemKidsOf(arrKids: Array[WritableColumnVector]): Array[Array[WritableColumnVector]] = {
+    val out = new Array[Array[WritableColumnVector]](numCols)
+    var k = 0
+    while (k < arrCols.length) {
+      val i = arrCols(k)
+      if (elemKidNames(i) != null)
+        out(i) = Array.tabulate(elemKidNames(i).length)(j =>
+          arrKids(i).getChild(j).asInstanceOf[WritableColumnVector])
+      k += 1
+    }
+    out
+  }
+
   private def mapKeyKidsOf(vs: Array[OnHeapColumnVector]): Array[WritableColumnVector] = {
     val out = new Array[WritableColumnVector](numCols)
     var k = 0
@@ -319,6 +368,7 @@ final class ColumnarPlate(
     childVecs = kidsOf(vectors)
     arrChild = arrKidsOf(vectors)
     mapKeyChild = mapKeyKidsOf(vectors)
+    elemKidVecs = elemKidsOf(arrChild)
   }
 
   /** Rows currently buffered in the open batch. */
@@ -346,6 +396,7 @@ final class ColumnarPlate(
     val oldKids = childVecs
     val oldArr = arrChild
     val oldMapKeys = mapKeyChild
+    val oldElemKids = elemKidVecs
     val partialAt = rows
     allocate()
     rows = 0
@@ -372,7 +423,10 @@ final class ColumnarPlate(
               // or a map's keys+values) to the fresh children; the close
               // stamps putArray against row 0. A poisoned run is
               // garbage — drop it (the close writes null).
-              if (arrPoison) { entrySlot = 0; elemPos(i) = 0; arrStart = 0 }
+              if (arrPoison) {
+                entrySlot = 0; elemPos(i) = 0; arrStart = 0
+                elemObjOpen = false // the open object element's fields are garbage too
+              }
               else {
                 val k = elemPos(i) - arrStart
                 copyElemRange(oldArr(i), arrChild(i), vt, arrStart, k)
@@ -381,6 +435,23 @@ final class ColumnarPlate(
                   // lives one slot past the run: carry its key too
                   val kk = if (elemScope && !elemFilled) k + 1 else k
                   copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, arrStart, kk)
+                }
+                // an OPEN OBJECT ELEMENT (struct element mid-fields) lives
+                // one slot past the run: carry its written fields to slot k
+                if (elemObjOpen && oldElemKids(i) != null) {
+                  arrChild(i).reserve(k + 1)
+                  val ks = elemKidSeen(i)
+                  var j = 0
+                  while (j < ks.length) {
+                    if (ks(j)) {
+                      val sk = oldElemKids(i)(j)
+                      val dk = elemKidVecs(i)(j)
+                      dk.reserve(k + 1)
+                      if (sk.isNullAt(entrySlot)) dk.putNull(k)
+                      else copyScalarAt(sk, dk, elemKidTypes(i)(j), entrySlot, k)
+                    }
+                    j += 1
+                  }
                 }
                 entrySlot -= arrStart
                 elemPos(i) = k
@@ -410,7 +481,24 @@ final class ColumnarPlate(
     batch
   }
 
-  /** Copy `n` elements between array children (batch-boundary carryover). */
+  /** Copy one scalar cell between vectors (carryover primitive). */
+  private def copyScalarAt(src: WritableColumnVector, dst: WritableColumnVector,
+      dt: DataType, sj: Int, dj: Int): Unit = dt match {
+    case BooleanType => dst.putBoolean(dj, src.getBoolean(sj))
+    case IntegerType | DateType => dst.putInt(dj, src.getInt(sj))
+    case LongType | TimestampType => dst.putLong(dj, src.getLong(sj))
+    case FloatType   => dst.putFloat(dj, src.getFloat(sj))
+    case DoubleType  => dst.putDouble(dj, src.getDouble(sj))
+    case StringType  =>
+      val s = src.getUTF8String(sj)
+      dst.putByteArray(dj, s.getBytes)
+    case _           => dst.putNull(dj)
+  }
+
+  /** Copy `n` elements between array children (batch-boundary carryover).
+    * STRUCT elements copy field-wise: a null element's field slots were
+    * never reserved, so fields are touched only under a present element.
+    */
   private def copyElemRange(src: WritableColumnVector, dst: WritableColumnVector,
       dt: DataType, srcFrom: Int, n: Int): Unit = {
     dst.reserve(n)
@@ -419,15 +507,17 @@ final class ColumnarPlate(
       val sj = srcFrom + j
       if (src.isNullAt(sj)) dst.putNull(j)
       else dt match {
-        case BooleanType => dst.putBoolean(j, src.getBoolean(sj))
-        case IntegerType | DateType => dst.putInt(j, src.getInt(sj))
-        case LongType | TimestampType => dst.putLong(j, src.getLong(sj))
-        case FloatType   => dst.putFloat(j, src.getFloat(sj))
-        case DoubleType  => dst.putDouble(j, src.getDouble(sj))
-        case StringType  =>
-          val s = src.getUTF8String(sj)
-          dst.putByteArray(j, s.getBytes)
-        case _           => dst.putNull(j)
+        case st: StructType =>
+          var f = 0
+          while (f < st.length) {
+            val sk = src.getChild(f).asInstanceOf[WritableColumnVector]
+            val dk = dst.getChild(f).asInstanceOf[WritableColumnVector]
+            dk.reserve(j + 1)
+            if (sk.isNullAt(sj)) dk.putNull(j)
+            else copyScalarAt(sk, dk, st(f).dataType, sj, j)
+            f += 1
+          }
+        case _ => copyScalarAt(src, dst, dt, sj, j)
       }
       j += 1
     }
@@ -469,6 +559,15 @@ final class ColumnarPlate(
   private[this] val childOrderCols: Array[Array[Int]] =
     childNames.map(cn => if (cn == null) null else new Array[Int](orderCap))
   private[this] var childFieldPos = 0
+  // per-ARRAY<STRUCT>-column element field key-order caches (elements
+  // repeat the same field order even more reliably than rows do)
+  private[this] val elemOrderNames: Array[Array[String]] =
+    elemKidNames.map(en => if (en == null) null else new Array[String](orderCap))
+  private[this] val elemOrderBytes: Array[Array[Array[Byte]]] =
+    elemKidNames.map(en => if (en == null) null else new Array[Array[Byte]](orderCap))
+  private[this] val elemOrderCols: Array[Array[Int]] =
+    elemKidNames.map(en => if (en == null) null else new Array[Int](orderCap))
+  private[this] var elemFieldPos = 0
 
   def nestMap(pathComponent: CharSequence): Signal = {
     if (depth == 0) {
@@ -591,6 +690,53 @@ final class ColumnarPlate(
       elemFilled = false
       depth = 2
       Signal.Continue
+    } else if (depth == 2 && elemScope && curIdx >= 0 && !elemFilled &&
+        elemKidNames(curIdx) != null) {
+      // a FIELD key inside a STRUCT ELEMENT (round 14): the first key
+      // turns the open element into an object element; duplicate field
+      // keys replace (last-wins), unknown keys prune
+      val i = curIdx
+      if (!elemObjOpen) {
+        elemObjOpen = true
+        elemFieldPos = 0
+        java.util.Arrays.fill(elemKidSeen(i), false)
+      }
+      val pos = elemFieldPos
+      elemFieldPos += 1
+      var kid = -2
+      if (pos < orderCap && elemOrderNames(i)(pos) != null && {
+            pathComponent match {
+              case v: ByteSliceCharSeq =>
+                val ob = elemOrderBytes(i)(pos)
+                java.util.Arrays.equals(ob, 0, ob.length,
+                  v.bytes, v.offset, v.offset + v.length)
+              case _ => elemOrderNames(i)(pos).contentEquals(pathComponent)
+            }
+          }) {
+        kid = elemOrderCols(i)(pos)
+      } else {
+        val en = elemKidNames(i)
+        var j = 0
+        kid = -1
+        while (kid < 0 && j < en.length) {
+          if (en(j).contentEquals(pathComponent)) kid = j
+          j += 1
+        }
+        if (pos < orderCap) {
+          val s = pathComponent.toString // copy: views are reused
+          elemOrderNames(i)(pos) = s
+          elemOrderBytes(i)(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          elemOrderCols(i)(pos) = kid
+        }
+      }
+      if (kid < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curKid = kid
+        depth = 3
+        Signal.Continue
+      }
     } else {
       // container value under an atomic column (or under a struct child,
       // or an OBJECT ELEMENT inside an array of atomics — the element
@@ -620,6 +766,10 @@ final class ColumnarPlate(
         arrStart = elemPos(curIdx)
       }
       entrySlot = elemPos(curIdx)
+      // STRUCT elements may fill only field vectors (the struct child's
+      // own validity lane is read untouched for object elements): make
+      // sure it covers this slot
+      if (elemKidNames(curIdx) != null) arrChild(curIdx).reserve(entrySlot + 1)
       elemScope = true
       elemFilled = false
       depth = 2
@@ -635,6 +785,7 @@ final class ColumnarPlate(
       arrOpen = true
       arrStart = elemPos(curIdx)
       entrySlot = elemPos(curIdx)
+      if (elemKidNames(curIdx) != null) arrChild(curIdx).reserve(entrySlot + 1)
       elemScope = true
       elemFilled = false
       depth = 2
@@ -659,7 +810,23 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
-      if (depth == 1) { curChild = -1; elemScope = false; elemFilled = false }
+      if (depth == 2) curKid = -1 // element FIELD closed
+      if (depth == 1) {
+        // an OBJECT element closes: stamp its unwritten fields null at
+        // the element slot and advance the run (round 14)
+        if (elemObjOpen) {
+          val kids = elemKidVecs(curIdx)
+          val ks = elemKidSeen(curIdx)
+          var j = 0
+          while (j < ks.length) {
+            if (!ks(j)) { kids(j).reserve(entrySlot + 1); kids(j).putNull(entrySlot) }
+            j += 1
+          }
+          elemPos(curIdx) += 1
+          elemObjOpen = false
+        }
+        curChild = -1; elemScope = false; elemFilled = false
+      }
       if (depth == 0) {
         // array binding closes: stamp the (offset, count) cell — or null
         // the cell and drop the garbage run if an element poisoned it
@@ -692,22 +859,36 @@ final class ColumnarPlate(
   private[this] var tIdx = -1
   private[this] var tKid = -1
   private[this] var tElem = false
+  private[this] var tEK = false // open FIELD of a struct element
   private[this] var tV: WritableColumnVector = _
   private[this] var tT: DataType = _
   private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
     if (depth == 1 && curIdx >= 0 && !elemScope) {
-      tIdx = curIdx; tKid = -1; tElem = false // duplicates overwrite: last-wins
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = false // duplicates overwrite: last-wins
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
-      tIdx = curIdx; tKid = curChild; tElem = false
+      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false
       tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
+      true
+    } else if (elemScope && curKid >= 0) {
+      // open FIELD of a STRUCT ELEMENT: writes land at the element offset
+      // in the struct child's field vector. A conversion failure (or a
+      // container under the field) nulls the FIELD only — struct
+      // per-field partials, never array poison (tElem=false keeps
+      // tDiscard inert; spark parity probed in round 14)
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = true
+      tR = entrySlot
+      val c = elemKidVecs(tIdx)(curKid)
+      c.reserve(tR + 1)
+      tV = c
+      tT = elemKidTypes(tIdx)(curKid)
       true
     } else if (elemScope) {
       if (elemFilled) false
       else {
-        tIdx = curIdx; tKid = -1; tElem = true
+        tIdx = curIdx; tKid = -1; tElem = true; tEK = false
         tR = entrySlot
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
@@ -716,7 +897,7 @@ final class ColumnarPlate(
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
-      tIdx = valueColIdx; tKid = -1; tElem = false
+      tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else false
@@ -724,7 +905,13 @@ final class ColumnarPlate(
   @inline private def tVec: WritableColumnVector = tV
   @inline private def tType: DataType = tT
   @inline private def tMark(): Unit =
-    if (tElem) () // presence marked at array open
+    if (tEK) {
+      // duplicate field key within the element: last-wins (clear a prior
+      // explicit-null bit so the new value reads back)
+      if (!elemKidSeen(tIdx)(curKid)) elemKidSeen(tIdx)(curKid) = true
+      else tV.putNotNull(tR)
+    }
+    else if (tElem) () // presence marked at array open
     else if (tKid < 0) markSeen(tIdx) else markChildSeen(tIdx, tKid)
   // the write position: elements go at the running child offset, lanes at
   // the open row
@@ -763,12 +950,25 @@ final class ColumnarPlate(
 
   /** putX element writes never reset the child's validity bit, so slots
     * reused after a rewind must have the dropped run's null bits scrubbed
-    * — the element twin of [[clearPartialNullBits]].
+    * — the element twin of [[clearPartialNullBits]]. Struct elements also
+    * scrub their FIELD vectors (explicit field nulls at dropped slots
+    * would shadow a later run's values).
     */
   private def scrubElems(i: Int, from: Int, to: Int): Unit = {
     val c = arrChild(i)
+    val kids = elemKidVecs(i)
     var j = from
-    while (j < to) { c.putNotNull(j); j += 1 }
+    while (j < to) {
+      c.putNotNull(j)
+      if (kids != null) {
+        var f = 0
+        while (f < kids.length) {
+          // an abandoned open element may have unreserved field slots
+          kids(f).reserve(j + 1); kids(f).putNotNull(j); f += 1
+        }
+      }
+      j += 1
+    }
   }
 
   /** Rewind the row's element writes (rejected/abandoned rows must not
@@ -778,7 +978,10 @@ final class ColumnarPlate(
     var k = 0
     while (k < arrCols.length) {
       val i = arrCols(k)
-      scrubElems(i, rowStartElem(i), elemPos(i))
+      // an abandoned OPEN object element wrote fields one slot past the
+      // run (elemPos not yet advanced): scrub that slot too
+      val to = if (elemObjOpen && curIdx == i) elemPos(i) + 1 else elemPos(i)
+      scrubElems(i, rowStartElem(i), to)
       elemPos(i) = rowStartElem(i)
       k += 1
     }
@@ -786,6 +989,8 @@ final class ColumnarPlate(
     arrPoison = false
     elemScope = false
     elemFilled = false
+    elemObjOpen = false
+    curKid = -1
   }
 
   private[this] val hasValueFilters = filterAt.exists(_ != null)
@@ -887,6 +1092,15 @@ final class ColumnarPlate(
       } else if (!tElem && tKid < 0 && mapValTypes(tIdx) != null) {
         tMark() // `{}` on a map column: PRESENT with zero entries
         vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
+      } else if (tElem && elemKidNames(tIdx) != null) {
+        // `{}` ELEMENT of an ARRAY<STRUCT> column: a PRESENT element with
+        // all-null fields (spark parity: [{}] reads [Row(null,…)])
+        val kids = elemKidVecs(tIdx)
+        var j = 0
+        while (j < kids.length) {
+          kids(j).reserve(tRow + 1); kids(j).putNull(tRow); j += 1
+        }
+        tDone()
       } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
     }
     Signal.Continue
@@ -1110,16 +1324,21 @@ object ColumnarPlate {
     * vectorize too: micros/days are just long/int lanes — round 11),
     * ONE-LEVEL structs whose children are all atomic — the wide
     * nested-corpus shape (ugh10k-like) that used to fall off the
-    * ColumnarBatch path — and, since round 13, ONE-LEVEL containers of
-    * atomics: ARRAY<atomic> (the embedding-column shape: elements stream
-    * into the parent vector's child at a running offset, Arrow-style)
-    * and MAP<STRING, atomic> (keys + values lanes under the map column).
-    * Deeper nesting (struct-of-struct, containers under structs,
-    * ARRAY<STRUCT>, non-string map keys) stays on the row path.
+    * ColumnarBatch path — ONE-LEVEL containers of atomics (round 13):
+    * ARRAY<atomic> (the embedding-column shape: elements stream into the
+    * parent vector's child at a running offset, Arrow-style) and
+    * MAP<STRING, atomic> (keys + values lanes under the map column) —
+    * and, since round 14, ARRAY<STRUCT<atomic…>> (the delivery/log-record
+    * shape: elements are rows of the array's struct child, fields write
+    * at element offsets). Anything deeper (struct-of-struct, containers
+    * under structs or under element structs, non-string map keys,
+    * MAP<_, container>) stays on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
       case st: StructType => st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
+      case ArrayType(st: StructType, _) =>
+        st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
       case at: ArrayType => atomic(at.elementType)
       case mt: MapType => mt.keyType == StringType && atomic(mt.valueType)
       case _ => false

@@ -172,6 +172,87 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of an ARRAY<STRUCT> input yields identical batches") {
+    val schema = StructType.fromDDL("id LONG, xs ARRAY<STRUCT<x: LONG, y: STRING>>")
+    // the full pathology matrix, pinned against spark.read.json by the
+    // round-14 probe: struct elements keep PER-FIELD partials (conversion
+    // failure / container under a field nulls the FIELD, the element and
+    // array survive); element-level mismatches (scalar/array element)
+    // poison the whole array; {} is a present all-null element; null
+    // elements are kept; duplicate field keys and bindings are last-wins
+    val input =
+      """{"id": 1, "xs": [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]}""" + "\n" +
+      """{"id": 2, "xs": [{"x": 3}, {"y": "c"}]}""" + "\n" +
+      """{"id": 3, "xs": [{"x": null, "y": "d"}]}""" + "\n" +
+      """{"id": 4, "xs": [{}]}""" + "\n" +
+      """{"id": 5, "xs": [{"x": 9}, null]}""" + "\n" +
+      """{"id": 6, "xs": [{"x": 9}, 7]}""" + "\n" +
+      """{"id": 7, "xs": [{"x": 9}, [1]]}""" + "\n" +
+      """{"id": 8, "xs": [{"x": "noparse", "y": "e"}]}""" + "\n" +
+      """{"id": 9, "xs": [{"x": 0.5, "y": "f"}]}""" + "\n" +
+      """{"id": 10, "xs": [{"x": {"deep": 1}, "y": "g"}]}""" + "\n" +
+      """{"id": 11, "xs": [{"x": [1], "y": "h"}]}""" + "\n" +
+      """{"id": 12, "xs": [{"x": 1, "x": 44, "y": "i"}]}""" + "\n" +
+      """{"id": 13, "xs": [{"x": 1}], "xs": [{"x": 2}], "z": 0}""" + "\n" +
+      """{"id": 14, "xs": []}""" + "\n" +
+      """{"id": 15, "xs": null}""" + "\n" +
+      """{"id": 16, "xs": 42}""" + "\n" +
+      """{"id": 17, "xs": {"x": 1}}""" + "\n" +
+      """{"id": 18, "xs": [{"x": 1, "zz": "ignored", "y": "j"}]}""" + "\n" +
+      """{"id": 19, "xs": [{"y": "tail", "x": 5}]}"""
+    val bytes = input.getBytes("UTF-8")
+    def elemsOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Seq[Any] =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val ad = b.column(1).getArray(r)
+        (0 until ad.numElements).map { j =>
+          if (ad.isNullAt(j)) null
+          else {
+            val st = ad.getStruct(j, 2)
+            (if (st.isNullAt(0)) null else java.lang.Long.valueOf(st.getLong(0)),
+             if (st.isNullAt(1)) null else st.getUTF8String(1).toString)
+          }
+        }
+      }
+    val L = (v: Long) => java.lang.Long.valueOf(v)
+    val want = Seq(
+      (1L, Seq((L(1), "a"), (L(2), "b"))),
+      (2L, Seq((L(3), null), (null, "c"))),
+      (3L, Seq((null, "d"))),
+      (4L, Seq((null, null))),          // {} = present element, all-null fields
+      (5L, Seq((L(9), null), null)),    // null element kept
+      (6L, null),                       // scalar element poisons
+      (7L, null),                       // array element poisons
+      (8L, Seq((null, "e"))),           // field conversion failure: FIELD null only
+      (9L, Seq((null, "f"))),           // float→long failure: field null only
+      (10L, Seq((null, "g"))),          // object under a field: field null only
+      (11L, Seq((null, "h"))),          // array under a field: field null only
+      (12L, Seq((L(44), "i"))),         // dup field key: last-wins
+      // dup binding AFTER the row saturates (id+xs = all schema columns):
+      // byte-skipped, first-wins — the documented saturation caveat; the
+      // saturation=false test below restores last-wins
+      (13L, Seq((L(1), null))),
+      (14L, Seq.empty),
+      (15L, null),
+      (16L, null),
+      (17L, null),
+      (18L, Seq((L(1), "j"))),          // unknown field keys prune
+      (19L, Seq((L(5), "tail"))))       // field order immaterial
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), elemsOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
   test("saturation=false: duplicate array bindings replace (last-wins)") {
     val schema = StructType.fromDDL("id LONG, a ARRAY<LONG>")
     val plate = new ColumnarPlate(schema, Array.empty, saturate = false)
@@ -189,6 +270,17 @@ class ColumnarPlateSpec extends AnyFunSuite {
     val a3 = b.column(1).getArray(2)
     assert(a3.numElements == 1 && a3.getLong(0) == 6L,
       "last-wins array must shadow the explicit null")
+
+    // ARRAY<STRUCT> twin: a duplicate binding replaces the whole array
+    val schema2 = StructType.fromDDL("id LONG, xs ARRAY<STRUCT<x: LONG>>")
+    val plate2 = new ColumnarPlate(schema2, Array.empty, saturate = false)
+    val p2 = new JsonParser[Long](plate2, JsonParser.ValueStream)
+    raise(p2.absorb("""{"id": 1, "xs": [{"x": 1}], "xs": [{"x": 2}, {"x": 3}]}""" + "\n"))
+    raise(p2.finish())
+    val b2 = plate2.takeBatch()
+    val xs = b2.column(1).getArray(0)
+    assert(xs.numElements == 2 && xs.getStruct(0, 1).getLong(0) == 2L &&
+      xs.getStruct(1, 1).getLong(0) == 3L, "dup ARRAY<STRUCT> binding must be last-wins")
   }
 
   test("takeBatch mid-array carries the open element run over") {

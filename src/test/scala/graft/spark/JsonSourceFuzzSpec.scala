@@ -388,6 +388,89 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** ARRAY<STRUCT>-pathology corpus for the COLUMNAR element-struct lanes
+    * (round 14): every shape the delivery/log-record column can take —
+    * present, missing, null, `[]`, scalar/object mismatch (poison), null
+    * elements, `{}` elements, scalar/array/nested-object elements
+    * (poison), per-FIELD pathologies (missing, null, conversion failure,
+    * container — field null, element survives), duplicate field keys,
+    * unknown field keys, long element runs.
+    */
+  private def arrayStructCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def elem(): String = rng.nextInt(10) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"""{"x": ${rng.nextInt(1000)}}"""
+        case 3 => s"""{"y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
+        case 4 => s"""{"x": null, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
+        case 5 => s"""{"x": ${Seq("\"noparse\"", "0.5", "9e3")(rng.nextInt(3))}, "y": "p"}"""
+        case 6 => s"""{"x": ${Seq("{\"deep\": 1}", "[1, 2]")(rng.nextInt(2))}, "y": "c"}"""
+        case 7 => s"""{"x": ${rng.nextInt(100)}, "x": ${rng.nextInt(100)}, "y": "dup"}"""
+        case 8 => s"""{"zz${rng.nextInt(3)}": 1, "x": ${rng.nextInt(100)}}"""
+        case _ => s"""{"y": ${esc(strPool(rng.nextInt(strPool.length)))}, "x": ${rng.nextInt(1000)}}"""
+      }
+      if (rng.nextInt(10) > 1)
+        fields += s""""xs": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "[]"
+          case 2 => s"${rng.nextInt(100)}"                 // scalar mismatch
+          case 3 => s"""{"x": ${rng.nextInt(100)}}"""      // object mismatch
+          case 4 => s"[${elem()}, ${rng.nextInt(100)}]"    // scalar ELEMENT: poison
+          case 5 => s"[${elem()}, [1]]"                    // array ELEMENT: poison
+          case 6 => Seq.fill(12)(elem()).mkString("[", ", ", "]")
+          case _ => Seq.fill(rng.nextInt(5))(elem()).mkString("[", ", ", "]")
+        }}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [{"deep": [1]}, "two"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("ARRAY<STRUCT> corpora go COLUMNAR and read identically to spark.read.json") {
+    val rng = new scala.util.Random(0xA55A57)
+    val asSchema = "id LONG, xs ARRAY<STRUCT<x: LONG, y: STRING>>, s STRING"
+    val projections = Seq(
+      Seq("id", "xs", "s"), Seq("xs", "id"), Seq("xs"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"arrstruct$trial.jsonl")
+      Files.write(p, arrayStructCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(asSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(asSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: ARRAY<STRUCT> schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(4) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case 2 => (g0.filter(col("xs").isNotNull), j0.filter(col("xs").isNotNull))
+        case _ => (g0.filter(col("s").isNotNull), j0.filter(col("s").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(asSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == (g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq),
+        s"trial $trial: row vs columnar diverged")
+    }
+  }
+
   /** Map-pathology corpus for the COLUMNAR map lanes (round 13): every
     * shape a one-level MAP<STRING, atomic> column can take — present,
     * missing, null, `{}`, scalar/array mismatch, null values, container
