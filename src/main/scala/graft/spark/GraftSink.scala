@@ -1097,58 +1097,64 @@ private[graft] object GraftCommitLog {
     var v = floorV
     var attempts = 0
     var lastCreateFailure: Throwable = null
+    // lost the version race (at CREATE on rename stores, at CLOSE on
+    // conditional-put stores): fold the delta entries (base, newBase],
+    // re-validate, retry at newBase+1
+    def onLostRace(cause: java.io.IOException): Unit = {
+      lastCreateFailure = cause
+      if (needState) {
+        val vs = versions(fs, rootPath)
+        val delta = vs.filter(x => x >= v)
+        try {
+          live = delta.foldLeft(live) { (l, dv) =>
+            // the racer we just lost to may still be writing its body
+            entryActionsAwait(fs, rootPath, dv).foldLeft(l) { (s, a) =>
+              a.kind match {
+                case 'f' => s.updated(a.path, null)
+                case 'r' => s - a.path
+                case _   => if (s.contains(a.path)) s.updated(a.path, a.dv) else s
+              }
+            }
+          }
+        } catch { case e: Exception =>
+          throw new java.io.IOException(
+            s"commit log under $root: could not validate rewrite " +
+              "preconditions after losing a version race — aborted " +
+              "without publishing", e)
+        }
+        validate()
+        v = math.max(floorV, vs.lastOption.map(_ + 1).getOrElse(floorV))
+      } else {
+        // recompute from the LISTING (floored), never a blind bump:
+        // if our own claim failed and was cleaned up (nothing exists
+        // at v), the retry must reuse v — a blind v+1 would leave a
+        // silent version hole, and a hole at 0 makes the table
+        // unreadable to followLog forever
+        v = math.max(floorV,
+          versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(floorV))
+      }
+      attempts += 1
+    }
     while (attempts < 64) {
       val entry = new Path(dir, f"$v%020d")
       // resolve the body (and the schema-conflict policy) BEFORE taking
       // the slot: an abort must never leave a created-but-empty entry
       val bodyStr = body(Some(v - 1).filter(_ >= 0))
-      // create-time IOException = lost the put-if-absent race: fold the
-      // delta entries (base, newBase], re-validate, retry at newBase+1.
-      // A failure AFTER create is OURS (disk full, transient fault):
-      // retrying would leave the truncated entry poisoning every later
-      // log fold — delete it and rethrow instead.
+      // create-time IOException = lost the put-if-absent race. A failure
+      // AFTER create is OURS on a rename store (disk full, transient
+      // fault) but AMBIGUOUS on a conditional-put store, where the CAS is
+      // decided at close — the close-time catch below disambiguates.
       val out =
         // put-if-absent through the LogStore seam (docs/TABLE_FORMAT.md
         // "Storage primitives"): the ONE primitive concurrent commit
         // serialization rests on
         try GraftLogStore.forConf(conf).createAtomic(fs, entry)
         catch { case ce: java.io.IOException =>
-          lastCreateFailure = ce
-          if (needState) {
-            val vs = versions(fs, rootPath)
-            val delta = vs.filter(x => x >= v)
-            try {
-              live = delta.foldLeft(live) { (l, dv) =>
-                // the racer we just lost to may still be writing its body
-                entryActionsAwait(fs, rootPath, dv).foldLeft(l) { (s, a) =>
-                  a.kind match {
-                    case 'f' => s.updated(a.path, null)
-                    case 'r' => s - a.path
-                    case _   => if (s.contains(a.path)) s.updated(a.path, a.dv) else s
-                  }
-                }
-              }
-            } catch { case e: Exception =>
-              throw new java.io.IOException(
-                s"commit log under $root: could not validate rewrite " +
-                  "preconditions after losing a version race — aborted " +
-                  "without publishing", e)
-            }
-            validate()
-            v = math.max(floorV, vs.lastOption.map(_ + 1).getOrElse(floorV))
-          } else {
-            // recompute from the LISTING (floored), never a blind bump:
-            // if our own claim failed and was cleaned up (nothing exists
-            // at v), the retry must reuse v — a blind v+1 would leave a
-            // silent version hole, and a hole at 0 makes the table
-            // unreadable to followLog forever
-            v = math.max(floorV,
-              versions(fs, rootPath).lastOption.map(_ + 1).getOrElse(floorV))
-          }
-          attempts += 1
+          onLostRace(ce)
           null
         }
       if (out != null) {
+        var lostAtClose = false
         try {
           try out.write(bodyStr.getBytes("UTF-8"))
           finally out.close()
@@ -1157,12 +1163,35 @@ private[graft] object GraftCommitLog {
             // an unbuffered stream can make the entry FULLY visible before
             // a close()-time failure: retracting a commit a concurrent
             // reader may already have served is worse than accepting it —
-            // verify, and accept when the entry parses complete. Only a
-            // CONFIRMED tear (incomplete/corrupt parse) may be replaced;
-            // an unreadable verify (transient IO) proves nothing, so the
-            // entry stays as-is — readers classify it themselves.
+            // verify, and accept when the entry parses complete AND is
+            // OURS. The byte-equality check matters on conditional-put
+            // stores (the S3 LogStore shape), where the put-if-absent CAS
+            // is decided at CLOSE: a close-time IOException there can mean
+            // we LOST the slot to a competitor whose complete entry is
+            // already visible — claiming its version as our success would
+            // silently drop THIS commit's actions from the log (found by
+            // the S3-semantics soak, round 14). A complete-but-foreign
+            // entry is a lost race: fold the delta and retry at the next
+            // version. Only a CONFIRMED tear (incomplete/corrupt parse)
+            // may be replaced; an unreadable verify (transient IO) proves
+            // nothing, so the entry stays as-is — readers classify it
+            // themselves.
             val verdict =
-              try { entryActions(fs, rootPath, v); 0 } // published
+              try {
+                entryActions(fs, rootPath, v) // parses complete — whose?
+                val mine = bodyStr.getBytes("UTF-8")
+                val in = fs.open(entry)
+                val visible =
+                  try {
+                    val buf = new java.io.ByteArrayOutputStream()
+                    val chunk = new Array[Byte](8192)
+                    var n = in.read(chunk)
+                    while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+                    buf.toByteArray
+                  } finally in.close()
+                if (java.util.Arrays.equals(visible, mine)) 0 // published (ours)
+                else 3 // a competitor's complete entry: we lost the slot
+              }
               catch {
                 case _: IncompleteCommitException | _: IllegalArgumentException => 1 // torn
                 case _: Exception => 2 // unknown
@@ -1171,6 +1200,10 @@ private[graft] object GraftCommitLog {
               maybeCheckpoint(conf, rootPath, v)
               return v
             }
+            if (verdict == 3) {
+              onLostRace(e)
+              lostAtClose = true
+            } else {
             if (verdict == 1) {
               // replace the torn claim IN PLACE with a valid NO-OP commit
               // (tagged, zero actions): the log stays contiguous and
@@ -1205,9 +1238,12 @@ private[graft] object GraftCommitLog {
               }
             }
             throw e
+            }
         }
-        maybeCheckpoint(conf, rootPath, v)
-        return v
+        if (!lostAtClose) {
+          maybeCheckpoint(conf, rootPath, v)
+          return v
+        }
       }
     }
     throw new java.io.IOException(

@@ -26,6 +26,11 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val root = Files.createTempDirectory("graft-contention")
   private val schema = "id BIGINT, v STRING"
 
+  /** Subclasses rerun the whole soak through an alternate [[GraftLogStore]]
+    * (e.g. the S3-semantics fake) by overriding this with its class name.
+    */
+  protected def logStoreImpl: Option[String] = None
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[8]")
@@ -35,10 +40,16 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    logStoreImpl.foreach(c =>
+      spark.sparkContext.hadoopConfiguration.set(GraftLogStore.ImplKey, c))
   }
 
   override def afterAll(): Unit = {
-    if (spark != null) spark.stop()
+    if (spark != null) {
+      if (logStoreImpl.isDefined)
+        spark.sparkContext.hadoopConfiguration.unset(GraftLogStore.ImplKey)
+      spark.stop()
+    }
     Files.walk(root).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
   }
