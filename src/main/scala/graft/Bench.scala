@@ -57,6 +57,7 @@ object Bench {
     val (nestVec, nestRow, nestRatio) = NestedColumnarBench.run(spark, sfDir)
     val (arrVec, arrRow, arrRatio) = ArrayColumnarBench.run(spark, sfDir)
     val (asVec, asRow, asRatio) = ArrayStructColumnarBench.run(spark, sfDir)
+    val (tlVec, tlRow, tlRatio) = TwoLevelColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -85,9 +86,11 @@ object Bench {
         val (_, _, nest1) = NestedColumnarBench.run(spark, sf1Dir, passes = 3)
         val (_, _, arr1) = ArrayColumnarBench.run(spark, sf1Dir, passes = 3)
         val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir, passes = 3)
+        val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir, passes = 3)
         s""""sf1":{"total":$t1,"queries":$q1,""" +
           s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
-          s""""arraystruct_columnar_speedup":$as1,"dir":"$sf1Dir"},"""
+          s""""arraystruct_columnar_speedup":$as1,""" +
+          s""""twolevel_columnar_speedup":$tl1,"dir":"$sf1Dir"},"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
         ""
@@ -115,6 +118,8 @@ object Bench {
       s""""array_columnar_speedup":$arrRatio,""" +
       s""""arraystruct_columnar_sec":$asVec,"arraystruct_row_sec":$asRow,""" +
       s""""arraystruct_columnar_speedup":$asRatio,""" +
+      s""""twolevel_columnar_sec":$tlVec,"twolevel_row_sec":$tlRow,""" +
+      s""""twolevel_columnar_speedup":$tlRatio,""" +
       sf1Json +
       s""""sf":"$sfDir"}"""
     println(line)
@@ -240,6 +245,28 @@ object ArrayColumnarBench {
           $"l_linenumber".cast("double"), ($"l_orderkey" % 97).cast("double"))
           .as("emb")),
       shape = _.select($"emb"))
+  }
+}
+
+/** Two-level struct columnar vs row path, end to end and PAIRED
+  * (round 14): a user.geo.lat-shaped corpus — metadata object with a
+  * nested coordinate/source struct per row — reads through the SAME
+  * scan twice on the grand-lane projection shape (extract two
+  * grandchildren and one child).
+  */
+object TwoLevelColumnarBench {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    VectorizedAbBench.run(spark, "twolevel-columnar", "/tmp/graft_bench_twolevel", passes,
+      schema = "l_orderkey BIGINT, meta STRUCT<geo: STRUCT<lat: DOUBLE, lon: DOUBLE, " +
+        "src: STRING>, score: DOUBLE, tag: STRING>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        struct(
+          struct($"l_quantity".as("lat"), $"l_extendedprice".as("lon"),
+            $"l_returnflag".as("src")).as("geo"),
+          $"l_discount".as("score"), $"l_linestatus".as("tag")).as("meta")),
+      shape = _.select($"meta.geo.lat", $"meta.geo.src", $"meta.score"))
   }
 }
 

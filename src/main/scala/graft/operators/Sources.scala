@@ -3208,6 +3208,72 @@ object Sources {
                             columns={n_nationkey: 'BIGINT', recs: 'STRUCT(x BIGINT, y VARCHAR)[]'})
              ORDER BY n_nationkey"""))
 
+  // ---------------------------------------------------------------- q232
+  // TWO-LEVEL struct COLUMNAR lanes (round 14): the user.geo.lat /
+  // metadata.source.id shape — a struct column whose children include a
+  // nested STRUCT<atomic…> — reads through the vectorized path (grand
+  // lanes are row-offset vectors under the inner struct's child vector)
+  // and must match DuckDB's read_json with a nested STRUCT column. The
+  // gate asserts the plan actually went columnar; the pathology matrix
+  // (mismatches, per-field partials, duplicate bindings at every level)
+  // is pinned by ColumnarPlateSpec and the three-way fuzz.
+  private val q232 = GQuery(
+    "q232_json_two_level_struct_columnar_scan",
+    "graft-json two-level struct lanes go columnar: nested projections vs DuckDB",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val path = s"$fixtureDir/q232_twolevel.jsonl"
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation, not a data path
+      val content = nation.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1)
+        val reg = r.getAs[Number](2).longValue
+        val geo = k % 5 match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"""{"lat": ${k * 3 % 17}, "src": null}"""
+          case 3 => s"""{"src": "s$reg", "lat": $k}"""   // shuffled order
+          case _ => s"""{"lat": ${k % 11}, "src": "s$reg"}"""
+        }
+        val meta = k % 4 match {
+          case 0 => s"""{"geo": $geo}"""
+          case 1 => s"""{"geo": $geo, "score": ${k * 7 % 23}}"""
+          case 2 => "null"
+          case _ => s"""{"score": ${k % 9}, "geo": $geo}"""
+        }
+        s"""{"n_nationkey": $k, "nm": "$name", "meta": $meta}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path), content.getBytes(UTF_8))
+      val df = s.read.format("graft-json")
+        .schema("n_nationkey LONG, nm STRING, " +
+          "meta STRUCT<geo: STRUCT<lat: LONG, src: STRING>, score: LONG>")
+        .load(path)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "two-level struct schema must ride the ColumnarBatch path")
+      df.select(
+          col("n_nationkey"),
+          col("meta.geo.lat").as("lat"),
+          col("meta.geo.src").as("src"),
+          col("meta.score").as("score"),
+          when(col("meta").isNull, lit(null))
+            .otherwise(col("meta.geo").isNotNull).cast("boolean").as("has_geo"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey,
+                    meta.geo.lat AS lat,
+                    meta.geo.src AS src,
+                    meta.score AS score,
+                    CASE WHEN meta IS NULL THEN NULL
+                         ELSE meta.geo IS NOT NULL END AS has_geo
+             FROM read_json('$fixtureDir/q232_twolevel.jsonl',
+                            format='newline_delimited',
+                            columns={n_nationkey: 'BIGINT', nm: 'VARCHAR',
+                                     meta: 'STRUCT(geo STRUCT(lat BIGINT, src VARCHAR), score BIGINT)'})
+             ORDER BY n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3479,5 +3545,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
 }

@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Vectorized sibling of [[RowPlate]] for flat atomic schemas PLUS
-  * one-level structs with atomic children PLUS one-level arrays of
-  * atomics PLUS one-level MAP<STRING, atomic> (round 13) PLUS
-  * ARRAY<STRUCT<atomic…>> (round 14): parse events
+  * structs with atomic or STRUCT<atomic…> children (two levels,
+  * round 14) PLUS one-level arrays of atomics PLUS one-level
+  * MAP<STRING, atomic> (round 13) PLUS ARRAY<STRUCT<atomic…>>
+  * (round 14): parse events
   * write straight into `OnHeapColumnVector`s — struct children into the
   * parent vector's child lanes; array elements (and map keys/values)
   * into the parent's children at a running offset with a final
@@ -87,6 +88,34 @@ final class ColumnarPlate(
   private[this] val childSeen: Array[Array[Boolean]] =
     childNames.map(cn => if (cn == null) null else new Array[Boolean](cn.length))
   private[this] val hasStructs = childNames.exists(_ != null)
+  // TWO-LEVEL struct lanes (round 14): grandchild names/types per
+  // (column, child) where the child is itself a STRUCT<atomic…> — the
+  // user.geo.lat / metadata.source.id shape. Grand lanes write at ROW
+  // offsets like child lanes (no element-offset machinery), so the
+  // whole top-level struct discipline mirrors one level down: presence
+  // via gSeen, dup bindings scrub-and-replace, unwritten grandchildren
+  // null-stamped at finishRow under a present inner struct.
+  private[this] val gNames: Array[Array[Array[String]]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case g: StructType => g.fieldNames
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val gTypes: Array[Array[Array[DataType]]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case g: StructType => g.fields.map(_.dataType)
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val gSeen: Array[Array[Array[Boolean]]] =
+    gNames.map(gn => if (gn == null) null
+      else gn.map(g => if (g == null) null else new Array[Boolean](g.length)))
+  private[this] val hasGrand =
+    gNames.exists(gn => gn != null && gn.exists(_ != null))
   // one-level ARRAY lanes (round 13): element type per array-of-atomic
   // column (null for everything else). Elements write into the parent
   // vector's single child at a per-column running offset; the column's
@@ -153,6 +182,7 @@ final class ColumnarPlate(
   private[this] var arrChild: Array[WritableColumnVector] = _
   private[this] var mapKeyChild: Array[WritableColumnVector] = _
   private[this] var elemKidVecs: Array[Array[WritableColumnVector]] = _
+  private[this] var gVecs: Array[Array[Array[WritableColumnVector]]] = _
   allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
@@ -172,6 +202,7 @@ final class ColumnarPlate(
     if (!saturate) null
     else (names ++ childNames.filter(_ != null).flatten ++
         elemKidNames.filter(_ != null).flatten ++
+        gNames.filter(_ != null).flatten.filter(_ != null).flatten ++
         filters.flatMap(_.references))
       .distinct
       .map(b => b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -211,15 +242,33 @@ final class ColumnarPlate(
     else childVecs(i)(j).putNotNull(rows) // duplicate child key: last-wins
   }
 
+  /** Last-wins replace of an INNER struct binding: its grandchildren
+    * reset to unseen and their explicit null bits scrub (the two-level
+    * twin of [[scrubChildNulls]]).
+    */
+  private[this] def scrubGrandNulls(i: Int, j: Int): Unit = {
+    val gs = gSeen(i)(j)
+    var k = 0
+    while (k < gs.length) {
+      if (gs(k)) gVecs(i)(j)(k).putNotNull(rows)
+      k += 1
+    }
+    java.util.Arrays.fill(gs, false)
+  }
+
   /** Last-wins replace of a struct binding: the first binding's children
     * reset to unseen AND their explicit null bits scrub, so the new
     * binding's value writes (which never touch validity) read back.
+    * Inner-struct children scrub their grand lanes too.
     */
   private[this] def scrubChildNulls(i: Int): Unit = {
     val cs = childSeen(i)
     var j = 0
     while (j < cs.length) {
-      if (cs(j)) childVecs(i)(j).putNotNull(rows)
+      if (cs(j)) {
+        childVecs(i)(j).putNotNull(rows)
+        if (gNames(i)(j) != null) scrubGrandNulls(i, j)
+      }
       j += 1
     }
     java.util.Arrays.fill(cs, false)
@@ -228,7 +277,17 @@ final class ColumnarPlate(
   private[this] def resetChildSeen(): Unit = if (hasStructs) {
     var i = 0
     while (i < numCols) {
-      if (childSeen(i) != null) java.util.Arrays.fill(childSeen(i), false)
+      if (childSeen(i) != null) {
+        java.util.Arrays.fill(childSeen(i), false)
+        if (hasGrand) {
+          val gn = gNames(i)
+          var j = 0
+          while (j < gn.length) {
+            if (gn(j) != null) java.util.Arrays.fill(gSeen(i)(j), false)
+            j += 1
+          }
+        }
+      }
       i += 1
     }
   }
@@ -255,11 +314,22 @@ final class ColumnarPlate(
   // partial-results parity (arrays have no per-element partials); the
   // close drops the garbage run
   private[this] var arrPoison = false
+  // pre-open state of the container binding's CELL: a poisoned DUP
+  // binding must not overwrite the previous binding's stamped value
+  // (spark parity, round 14) — the close consults these
+  private[this] var arrSeenAtOpen = false
+  private[this] var arrNullAtOpen = false
   // ARRAY<STRUCT> element state: the open element is an OBJECT being
   // filled (its close stamps unwritten fields null and advances the
   // run); the open FIELD lane inside it (depth 3; -1 = none)
   private[this] var elemObjOpen = false
   private[this] var curKid = -1
+  // TWO-LEVEL struct state: the open GRANDCHILD lane (depth 3 under a
+  // non-element inner struct; -1 = none) and the inner-struct twin of
+  // structOpenThisBinding (distinguishes a duplicate inner binding from
+  // the next grandchild of the same binding)
+  private[this] var curGrand = -1
+  private[this] var innerOpenThisBinding = false
   private[this] var rowCount = 0L
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
 
@@ -304,6 +374,24 @@ final class ColumnarPlate(
     out
   }
   private[this] val hasChildFilters = childFilterAt.exists(_ != null)
+
+  // grandchild vectors: the children of inner-struct child vectors
+  private def grandsOf(kids: Array[Array[WritableColumnVector]])
+      : Array[Array[Array[WritableColumnVector]]] = {
+    if (!hasGrand) return null
+    val out = new Array[Array[Array[WritableColumnVector]]](numCols)
+    var i = 0
+    while (i < numCols) {
+      if (childNames(i) != null && gNames(i).exists(_ != null)) {
+        out(i) = Array.tabulate(childNames(i).length)(j =>
+          if (gNames(i)(j) == null) null
+          else Array.tabulate(gNames(i)(j).length)(k =>
+            kids(i)(j).getChild(k).asInstanceOf[WritableColumnVector]))
+      }
+      i += 1
+    }
+    out
+  }
 
   private def kidsOf(vs: Array[OnHeapColumnVector]): Array[Array[WritableColumnVector]] = {
     val out = new Array[Array[WritableColumnVector]](numCols)
@@ -369,6 +457,7 @@ final class ColumnarPlate(
     arrChild = arrKidsOf(vectors)
     mapKeyChild = mapKeyKidsOf(vectors)
     elemKidVecs = elemKidsOf(arrChild)
+    gVecs = grandsOf(childVecs)
   }
 
   /** Rows currently buffered in the open batch. */
@@ -397,6 +486,7 @@ final class ColumnarPlate(
     val oldArr = arrChild
     val oldMapKeys = mapKeyChild
     val oldElemKids = elemKidVecs
+    val oldGrands = gVecs
     val partialAt = rows
     allocate()
     rows = 0
@@ -411,8 +501,32 @@ final class ColumnarPlate(
               val cs = childSeen(i)
               var j = 0
               while (j < cs.length) {
-                if (cs(j))
-                  copyAtomic(oldKids(i)(j), childVecs(i)(j), childTypes(i)(j), partialAt)
+                if (cs(j)) {
+                  if (gNames(i)(j) != null) {
+                    // inner-struct child: copy only the WRITTEN grand
+                    // cells (unwritten slots hold garbage not-nulls the
+                    // finishRow stamping will replace — reading them as
+                    // values could walk garbage string offsets)
+                    val sk = oldKids(i)(j)
+                    val dk = childVecs(i)(j)
+                    if (sk.isNullAt(partialAt)) dk.putNull(0)
+                    else {
+                      val gs = gSeen(i)(j)
+                      var k = 0
+                      while (k < gs.length) {
+                        if (gs(k)) {
+                          val sg = oldGrands(i)(j)(k)
+                          val dg = gVecs(i)(j)(k)
+                          if (sg.isNullAt(partialAt)) dg.putNull(0)
+                          else copyScalarAt(sg, dg, gTypes(i)(j)(k), partialAt, 0)
+                        }
+                        k += 1
+                      }
+                    }
+                  } else {
+                    copyAtomic(oldKids(i)(j), childVecs(i)(j), childTypes(i)(j), partialAt)
+                  }
+                }
                 j += 1
               }
             }
@@ -424,7 +538,20 @@ final class ColumnarPlate(
               // stamps putArray against row 0. A poisoned run is
               // garbage — drop it (the close writes null).
               if (arrPoison) {
-                entrySlot = 0; elemPos(i) = 0; arrStart = 0
+                if (arrSeenAtOpen && !arrNullAtOpen) {
+                  // the poisoned DUP binding will be dropped at its close
+                  // and the PREVIOUS binding's value must stand: carry
+                  // the previous stamped run over and re-stamp it
+                  val off = src.getArrayOffset(partialAt)
+                  val n = src.getArrayLength(partialAt)
+                  copyElemRange(oldArr(i), arrChild(i), vt, off, n)
+                  if (mapValTypes(i) != null)
+                    copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, off, n)
+                  vectors(i).putArray(0, 0, n)
+                  entrySlot = n; elemPos(i) = n; arrStart = n
+                } else {
+                  entrySlot = 0; elemPos(i) = 0; arrStart = 0
+                }
                 elemObjOpen = false // the open object element's fields are garbage too
               }
               else {
@@ -530,11 +657,20 @@ final class ColumnarPlate(
       while (i < numCols) {
         vectors(i).reserve(capacity)
         // struct children are independent vectors: reserve them explicitly
-        // (the parent's reserve only grows its own validity lane)
+        // (the parent's reserve only grows its own validity lane) — and
+        // grandchildren likewise (row-offset lanes, so capacity-sized)
         val kids = childVecs(i)
         if (kids != null) {
           var j = 0
-          while (j < kids.length) { kids(j).reserve(capacity); j += 1 }
+          while (j < kids.length) {
+            kids(j).reserve(capacity)
+            if (gVecs != null && gVecs(i) != null && gVecs(i)(j) != null) {
+              val gs = gVecs(i)(j)
+              var k = 0
+              while (k < gs.length) { gs(k).reserve(capacity); k += 1 }
+            }
+            j += 1
+          }
         }
         i += 1
       }
@@ -568,6 +704,17 @@ final class ColumnarPlate(
   private[this] val elemOrderCols: Array[Array[Int]] =
     elemKidNames.map(en => if (en == null) null else new Array[Int](orderCap))
   private[this] var elemFieldPos = 0
+  // per-(column, child) grandchild key-order caches (two-level structs)
+  private[this] val gOrderNames: Array[Array[Array[String]]] =
+    gNames.map(gn => if (gn == null) null
+      else gn.map(g => if (g == null) null else new Array[String](orderCap)))
+  private[this] val gOrderBytes: Array[Array[Array[Array[Byte]]]] =
+    gNames.map(gn => if (gn == null) null
+      else gn.map(g => if (g == null) null else new Array[Array[Byte]](orderCap)))
+  private[this] val gOrderCols: Array[Array[Array[Int]]] =
+    gNames.map(gn => if (gn == null) null
+      else gn.map(g => if (g == null) null else new Array[Int](orderCap)))
+  private[this] var gFieldPos = 0
 
   def nestMap(pathComponent: CharSequence): Signal = {
     if (depth == 0) {
@@ -673,6 +820,8 @@ final class ColumnarPlate(
       // the first — verified empirically, round 13).
       val i = curIdx
       if (!arrOpen) {
+        arrSeenAtOpen = seen(i)
+        arrNullAtOpen = arrSeenAtOpen && vectors(i).isNullAt(rows)
         markSeen(i)
         ensureCapacity()
         arrOpen = true
@@ -690,6 +839,61 @@ final class ColumnarPlate(
       elemFilled = false
       depth = 2
       Signal.Continue
+    } else if (depth == 2 && !elemScope && curIdx >= 0 && curChild >= 0 &&
+        gNames(curIdx)(curChild) != null) {
+      // a key under an INNER STRUCT child (two-level lanes, round 14):
+      // resolve the grandchild. The inner struct is marked present here;
+      // a duplicate inner binding replaces (last-wins): its prior
+      // grandchildren reset to unseen so unwritten lanes null-fill at
+      // finishRow — the exact top-level struct discipline one level down.
+      val i = curIdx
+      val j = curChild
+      if (!innerOpenThisBinding) gFieldPos = 0
+      if (!childSeen(i)(j)) {
+        childSeen(i)(j) = true
+      } else if (curGrand < 0 && !innerOpenThisBinding) {
+        // re-opened by a duplicate key: replace the first binding —
+        // including its explicit null BITS
+        childVecs(i)(j).putNotNull(rows)
+        scrubGrandNulls(i, j)
+      }
+      innerOpenThisBinding = true
+      val pos = gFieldPos
+      gFieldPos += 1
+      var kid = -2
+      if (pos < orderCap && gOrderNames(i)(j)(pos) != null && {
+            pathComponent match {
+              case v: ByteSliceCharSeq =>
+                val ob = gOrderBytes(i)(j)(pos)
+                java.util.Arrays.equals(ob, 0, ob.length,
+                  v.bytes, v.offset, v.offset + v.length)
+              case _ => gOrderNames(i)(j)(pos).contentEquals(pathComponent)
+            }
+          }) {
+        kid = gOrderCols(i)(j)(pos)
+      } else {
+        val gn = gNames(i)(j)
+        var k = 0
+        kid = -1
+        while (kid < 0 && k < gn.length) {
+          if (gn(k).contentEquals(pathComponent)) kid = k
+          k += 1
+        }
+        if (pos < orderCap) {
+          val s = pathComponent.toString // copy: views are reused
+          gOrderNames(i)(j)(pos) = s
+          gOrderBytes(i)(j)(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          gOrderCols(i)(j)(pos) = kid
+        }
+      }
+      if (kid < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curGrand = kid
+        depth = 3
+        Signal.Continue
+      }
     } else if (depth == 2 && elemScope && curIdx >= 0 && !elemFilled &&
         elemKidNames(curIdx) != null) {
       // a FIELD key inside a STRUCT ELEMENT (round 14): the first key
@@ -760,6 +964,8 @@ final class ColumnarPlate(
     // (marks the column present; dup bindings last-wins like structs).
     if (depth == 1 && curIdx >= 0 && elemTypes(curIdx) != null) {
       if (!arrOpen) {
+        arrSeenAtOpen = seen(curIdx)
+        arrNullAtOpen = arrSeenAtOpen && vectors(curIdx).isNullAt(rows)
         markSeen(curIdx)
         ensureCapacity()
         arrOpen = true
@@ -780,6 +986,8 @@ final class ColumnarPlate(
       // array column (RowPlate parity); the binding has no enclosing
       // nest, so finishRow finalizes the open array
       curIdx = valueColIdx
+      arrSeenAtOpen = false
+      arrNullAtOpen = false
       markSeen(curIdx)
       ensureCapacity()
       arrOpen = true
@@ -810,7 +1018,7 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
-      if (depth == 2) curKid = -1 // element FIELD closed
+      if (depth == 2) { curKid = -1; curGrand = -1 } // field/grandchild closed
       if (depth == 1) {
         // an OBJECT element closes: stamp its unwritten fields null at
         // the element slot and advance the run (round 14)
@@ -826,13 +1034,17 @@ final class ColumnarPlate(
           elemObjOpen = false
         }
         curChild = -1; elemScope = false; elemFilled = false
+        innerOpenThisBinding = false
       }
       if (depth == 0) {
         // array binding closes: stamp the (offset, count) cell — or null
         // the cell and drop the garbage run if an element poisoned it
         if (arrOpen) {
           if (arrPoison) {
-            vectors(curIdx).putNull(rows)
+            // a poisoned binding never overwrites (spark parity): only a
+            // FIRST binding (or one over an explicit null) nulls the
+            // cell; a dup over a valid stamp leaves it standing
+            if (!arrSeenAtOpen || arrNullAtOpen) vectors(curIdx).putNull(rows)
             scrubElems(curIdx, arrStart, elemPos(curIdx))
             elemPos(curIdx) = arrStart
           }
@@ -860,17 +1072,26 @@ final class ColumnarPlate(
   private[this] var tKid = -1
   private[this] var tElem = false
   private[this] var tEK = false // open FIELD of a struct element
+  private[this] var tGr = false // open GRANDCHILD of a two-level struct
   private[this] var tV: WritableColumnVector = _
   private[this] var tT: DataType = _
   private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
     if (depth == 1 && curIdx >= 0 && !elemScope) {
-      tIdx = curIdx; tKid = -1; tElem = false; tEK = false // duplicates overwrite: last-wins
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false // duplicates overwrite: last-wins
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
-      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false
+      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false
       tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
+      true
+    } else if (depth == 3 && !elemScope && curIdx >= 0 && curChild >= 0 &&
+        curGrand >= 0) {
+      // open GRANDCHILD of a two-level struct: a row-offset lane like
+      // any child; duplicates overwrite last-wins via tMark
+      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = true
+      tV = gVecs(tIdx)(tKid)(curGrand); tT = gTypes(tIdx)(tKid)(curGrand)
+      tR = rows
       true
     } else if (elemScope && curKid >= 0) {
       // open FIELD of a STRUCT ELEMENT: writes land at the element offset
@@ -878,7 +1099,7 @@ final class ColumnarPlate(
       // container under the field) nulls the FIELD only — struct
       // per-field partials, never array poison (tElem=false keeps
       // tDiscard inert; spark parity probed in round 14)
-      tIdx = curIdx; tKid = -1; tElem = false; tEK = true
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = true; tGr = false
       tR = entrySlot
       val c = elemKidVecs(tIdx)(curKid)
       c.reserve(tR + 1)
@@ -888,7 +1109,7 @@ final class ColumnarPlate(
     } else if (elemScope) {
       if (elemFilled) false
       else {
-        tIdx = curIdx; tKid = -1; tElem = true; tEK = false
+        tIdx = curIdx; tKid = -1; tElem = true; tEK = false; tGr = false
         tR = entrySlot
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
@@ -897,32 +1118,60 @@ final class ColumnarPlate(
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
-      tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false
+      tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false; tGr = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else false
 
   @inline private def tVec: WritableColumnVector = tV
   @inline private def tType: DataType = tT
+  // pre-write state of the resolved lane, captured by tMark so a DISCARD
+  // can restore it: spark.read.json parity (probed, round 14) — a FAILED
+  // binding (conversion failure, type mismatch, poisoned container)
+  // never overwrites an earlier value, while valid values (including
+  // explicit null) stay last-wins.
+  private[this] var tWasSeen = false
+  private[this] var tWasNull = false
   @inline private def tMark(): Unit =
-    if (tEK) {
+    if (tGr) {
+      // duplicate grandchild key: last-wins (clear a prior explicit-null)
+      tWasSeen = gSeen(tIdx)(tKid)(curGrand)
+      if (!tWasSeen) gSeen(tIdx)(tKid)(curGrand) = true
+      else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
+    }
+    else if (tEK) {
       // duplicate field key within the element: last-wins (clear a prior
       // explicit-null bit so the new value reads back)
-      if (!elemKidSeen(tIdx)(curKid)) elemKidSeen(tIdx)(curKid) = true
-      else tV.putNotNull(tR)
+      tWasSeen = elemKidSeen(tIdx)(curKid)
+      if (!tWasSeen) elemKidSeen(tIdx)(curKid) = true
+      else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
     }
     else if (tElem) () // presence marked at array open
-    else if (tKid < 0) markSeen(tIdx) else markChildSeen(tIdx, tKid)
+    else if (tKid < 0) {
+      tWasSeen = seen(tIdx)
+      if (tWasSeen) tWasNull = tV.isNullAt(tR)
+      markSeen(tIdx)
+    } else {
+      tWasSeen = childSeen(tIdx)(tKid)
+      if (tWasSeen) tWasNull = tV.isNullAt(tR)
+      markChildSeen(tIdx, tKid)
+    }
   // the write position: elements go at the running child offset, lanes at
   // the open row
   @inline private def tRow: Int = tR
   // element write epilogue: advance the offset, close the slot
   @inline private def tDone(): Unit =
     if (tElem) { elemPos(tIdx) += 1; elemFilled = true }
-  // element write epilogue for a DISCARD: the value failed to convert (or
-  // was a container) — poison the open array (reads back null)
+  // write epilogue for a DISCARD: the value failed to convert (or was a
+  // container where an atomic was expected). Elements poison the open
+  // array (the close applies the binding-level rule); LANES restore the
+  // pre-write state — a failed binding never overwrites (spark parity,
+  // round 14): the call site's putNull stands only for a first binding.
   @inline private def tDiscard(): Unit =
     if (tElem) arrPoison = true
+    else if (tWasSeen) {
+      if (tWasNull) tV.putNull(tR) else tV.putNotNull(tR)
+    }
 
   /** putX value writes never reset the validity bit, so a slot reused
     * after an abandoned row must have the partial row's null bits cleared
@@ -939,7 +1188,17 @@ final class ColumnarPlate(
         if (cs != null) {
           var j = 0
           while (j < cs.length) {
-            if (cs(j)) childVecs(i)(j).putNotNull(rows)
+            if (cs(j)) {
+              childVecs(i)(j).putNotNull(rows)
+              if (gNames(i)(j) != null) {
+                val gs = gSeen(i)(j)
+                var k = 0
+                while (k < gs.length) {
+                  if (gs(k)) gVecs(i)(j)(k).putNotNull(rows)
+                  k += 1
+                }
+              }
+            }
             j += 1
           }
         }
@@ -1092,6 +1351,13 @@ final class ColumnarPlate(
       } else if (!tElem && tKid < 0 && mapValTypes(tIdx) != null) {
         tMark() // `{}` on a map column: PRESENT with zero entries
         vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
+      } else if (!tElem && tKid >= 0 && gNames(tIdx)(tKid) != null) {
+        // `{}` under an INNER-STRUCT child: a PRESENT inner struct with
+        // all-null grandchildren (finishRow stamps them; a duplicate
+        // binding's prior grands scrub here — last-wins)
+        if (!childSeen(tIdx)(tKid)) childSeen(tIdx)(tKid) = true
+        else tVec.putNotNull(tRow)
+        scrubGrandNulls(tIdx, tKid)
       } else if (tElem && elemKidNames(tIdx) != null) {
         // `{}` ELEMENT of an ARRAY<STRUCT> column: a PRESENT element with
         // all-null fields (spark parity: [{}] reads [Row(null,…)])
@@ -1221,7 +1487,7 @@ final class ColumnarPlate(
     // open array finalizes here instead of at an unnest
     if (arrOpen) {
       if (arrPoison) {
-        vectors(curIdx).putNull(rows)
+        if (!arrSeenAtOpen || arrNullAtOpen) vectors(curIdx).putNull(rows)
         scrubElems(curIdx, arrStart, elemPos(curIdx))
         elemPos(curIdx) = arrStart
       }
@@ -1254,11 +1520,20 @@ final class ColumnarPlate(
       while (i < numCols) {
         if (!seen(i)) vectors(i).putNull(rows)
         else if (childSeen(i) != null && !vectors(i).isNullAt(rows)) {
-          // present struct: lanes the row omitted read null
+          // present struct: lanes the row omitted read null; under a
+          // PRESENT inner struct, grandchild lanes it omitted likewise
           val cs = childSeen(i)
           var j = 0
           while (j < cs.length) {
             if (!cs(j)) childVecs(i)(j).putNull(rows)
+            else if (gNames(i)(j) != null && !childVecs(i)(j).isNullAt(rows)) {
+              val gs = gSeen(i)(j)
+              var k = 0
+              while (k < gs.length) {
+                if (!gs(k)) gVecs(i)(j)(k).putNull(rows)
+                k += 1
+              }
+            }
             j += 1
           }
         }
@@ -1330,13 +1605,22 @@ object ColumnarPlate {
     * MAP<STRING, atomic> (keys + values lanes under the map column) —
     * and, since round 14, ARRAY<STRUCT<atomic…>> (the delivery/log-record
     * shape: elements are rows of the array's struct child, fields write
-    * at element offsets). Anything deeper (struct-of-struct, containers
-    * under structs or under element structs, non-string map keys,
+    * at element offsets) plus TWO-LEVEL structs — STRUCT children may
+    * themselves be STRUCT<atomic…> (the user.geo.lat shape; grand lanes
+    * are row-offset vectors like child lanes). Anything deeper (three
+    * struct levels, containers under structs or under element structs,
+    * struct fields inside array elements, non-string map keys,
     * MAP<_, container>) stays on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
-      case st: StructType => st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
+      // structs may nest ONE more struct level (round 14): children are
+      // atomic or STRUCT<atomic…> — the user.geo.lat shape
+      case st: StructType => st.nonEmpty && st.fields.forall(c =>
+        atomic(c.dataType) || (c.dataType match {
+          case g: StructType => g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
+          case _ => false
+        }))
       case ArrayType(st: StructType, _) =>
         st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
       case at: ArrayType => atomic(at.elementType)

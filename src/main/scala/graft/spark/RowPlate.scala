@@ -651,7 +651,13 @@ final class RowPlate(
       val parent = top
       parent.kind match {
         case KStruct =>
-          if (f.childIdx >= 0) parent.values(f.childIdx) = v
+          // a DISCARDED binding (conversion failure, container/scalar
+          // mismatch, poisoned container) never overwrites — spark.read
+          // .json parity, probed in round 14: {"a": 5, "a": "xx"} keeps
+          // 5, {"n": {"x":1}, "n": 7} keeps the struct. Valid values —
+          // including explicit null — stay last-wins.
+          if (f.childIdx >= 0 && f.kind != KDiscard)
+            parent.values(f.childIdx) = v
           if (parent eq rowFrame) {
             if (f.childIdx >= 0) seenMask |= 1L << f.childIdx
             // row saturated: every schema column present — skip the rest
@@ -685,7 +691,8 @@ final class RowPlate(
       val v = f.finalValue()
       val parent = top
       parent.kind match {
-        case KStruct => if (f.childIdx >= 0) parent.values(f.childIdx) = v
+        case KStruct => // discards never overwrite (see unnest)
+          if (f.childIdx >= 0 && f.kind != KDiscard) parent.values(f.childIdx) = v
         case KArray  =>
           if (f.kind == KDiscard) parent.kind = KDiscard // poison: see unnest
           else parent.appendElem(v)

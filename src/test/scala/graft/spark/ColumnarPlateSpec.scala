@@ -172,6 +172,75 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of a TWO-LEVEL struct input yields identical batches") {
+    val schema = StructType.fromDDL(
+      "id LONG, n STRUCT<g: STRUCT<x: LONG, z: STRING>, y: LONG>")
+    // the full two-level pathology matrix, pinned against spark.read.json
+    // by the round-14 probe: scalar/array/null/missing under the inner
+    // struct → inner null (outer survives); `{}` → present all-null;
+    // grandchild failures are PER-FIELD partials; duplicate inner
+    // bindings and duplicate grandchild keys replace last-wins; unknown
+    // grandchild keys prune
+    val input =
+      """{"id": 1, "n": {"g": {"x": 1, "z": "a"}, "y": 2}}""" + "\n" +
+      """{"id": 2, "n": {"g": 7, "y": 3}}""" + "\n" +
+      """{"id": 3, "n": {"g": {}, "y": 4}}""" + "\n" +
+      """{"id": 4, "n": {"g": null, "y": 5}}""" + "\n" +
+      """{"id": 5, "n": {"y": 6}}""" + "\n" +
+      """{"id": 6, "n": {"g": {"x": "noparse", "z": "b"}}}""" + "\n" +
+      """{"id": 7, "n": {"g": {"x": {"deep": 1}, "z": "c"}}}""" + "\n" +
+      """{"id": 8, "n": {"g": [1], "y": 7}}""" + "\n" +
+      """{"id": 9, "n": {"g": {"x": 1}, "g": {"z": "d"}, "y": 8}}""" + "\n" +
+      """{"id": 10, "n": {"g": {"x": 1, "x": 44, "z": "e"}}}""" + "\n" +
+      """{"id": 11, "n": {"g": {"qq": 9, "x": 2}}}""" + "\n" +
+      """{"id": 12, "n": null}""" + "\n" +
+      """{"id": 13, "n": 5}""" + "\n" +
+      """{"id": 14, "n": {"g": {"x": 0.5, "z": "f"}}}""" + "\n" +
+      """{"id": 15, "n": {"z0": {"deep": 1}, "g": {"z": "g", "x": 9}, "y": 9}}"""
+    val bytes = input.getBytes("UTF-8")
+    val L = (v: Long) => java.lang.Long.valueOf(v)
+    def rowOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Any =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val n = b.column(1)
+        val g = n.getChild(0)
+        val inner =
+          if (g.isNullAt(r)) null
+          else (if (g.getChild(0).isNullAt(r)) null else L(g.getChild(0).getLong(r)),
+                if (g.getChild(1).isNullAt(r)) null else g.getChild(1).getUTF8String(r).toString)
+        (inner, if (n.getChild(1).isNullAt(r)) null else L(n.getChild(1).getLong(r)))
+      }
+    val want = Seq(
+      (1L, ((L(1), "a"), L(2))),
+      (2L, (null, L(3))),              // scalar under the inner struct
+      (3L, ((null, null), L(4))),      // {} = present all-null grands
+      (4L, (null, L(5))),
+      (5L, (null, L(6))),
+      (6L, ((null, "b"), null)),       // grand conversion failure: field null
+      (7L, ((null, "c"), null)),       // container under a grandchild: field null
+      (8L, (null, L(7))),              // array under the inner struct
+      (9L, ((null, "d"), L(8))),       // dup inner binding: last-wins
+      (10L, ((L(44), "e"), null)),     // dup grandchild key: last-wins
+      (11L, ((L(2), null), null)),     // unknown grandchild pruned
+      (12L, null),
+      (13L, null),
+      (14L, ((null, "f"), null)),      // float→long grand failure: field null
+      (15L, ((L(9), "g"), L(9))))      // unknown child w/ deep value pruned
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), rowOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
   test("every split point of an ARRAY<STRUCT> input yields identical batches") {
     val schema = StructType.fromDDL("id LONG, xs ARRAY<STRUCT<x: LONG, y: STRING>>")
     // the full pathology matrix, pinned against spark.read.json by the
@@ -479,23 +548,33 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
-  test("saturation=false: a duplicate key's boolean mismatch reads null (last-wins)") {
-    // review finding (round 13): putBoolean stamped its mismatch null
-    // BEFORE tMark, so the dup-key putNotNull un-nulled the cell and the
-    // FIRST binding's value survived — row-path divergence
+  test("saturation=false: a duplicate key's mismatch NEVER overwrites (spark parity)") {
+    // round 14, probed against spark.read.json: a FAILED binding
+    // (conversion failure / type mismatch) never overwrites an earlier
+    // value — {"x": 7, "x": true} keeps 7; explicit null then a failed
+    // binding stays null; a failed binding then a valid one takes the
+    // valid value. (The r13 version of this pin asserted the failed
+    // binding nulls the cell — both graft paths agreed with each other
+    // but diverged from spark.)
     val schema = StructType.fromDDL("id LONG, x LONG")
     val plate = new ColumnarPlate(schema, Array.empty, saturate = false)
     val p = new JsonParser[Long](plate, JsonParser.ValueStream)
     raise(p.absorb(
       """{"id": 1, "x": 7, "x": true}""" + "\n" +
       """{"id": 2, "x": null, "x": false}""" + "\n" +
-      """{"id": 3, "x": 5}""" + "\n"))
+      """{"id": 3, "x": 5}""" + "\n" +
+      """{"id": 4, "x": true}""" + "\n" +
+      """{"id": 5, "x": true, "x": 8}""" + "\n" +
+      """{"id": 6, "x": 5, "x": "xx", "x": 9}""" + "\n"))
     raise(p.finish())
     val b = plate.takeBatch()
-    assert(b.numRows == 3)
-    assert(b.column(1).isNullAt(0), "bool-into-long dup must read null, not the first value")
-    assert(b.column(1).isNullAt(1))
+    assert(b.numRows == 6)
+    assert(b.column(1).getLong(0) == 7L, "a failed dup binding must not clobber 7")
+    assert(b.column(1).isNullAt(1), "explicit null survives a later failed binding")
     assert(b.column(1).getLong(2) == 5L)
+    assert(b.column(1).isNullAt(3), "a lone failed binding reads null")
+    assert(b.column(1).getLong(4) == 8L, "a valid binding after a failed one wins")
+    assert(b.column(1).getLong(5) == 9L)
   }
 
   test("takeBatch mid-struct carries the partial struct's children over") {

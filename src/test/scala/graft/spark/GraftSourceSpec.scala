@@ -457,14 +457,24 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.json(p).select(nested.columns.map(col).toSeq: _*).orderBy("id")
         .collect().map(_.toString).toSeq)
 
-    // genuinely deep nesting still falls back to rows
+    // TWO-level nesting vectorizes since round 14 (grand lanes) — the
+    // correct values are covered by the three-way fuzz; THREE levels
+    // still fall back to rows
     val deepP = write("colmnr_deep.json",
       """{"id": 1, "n": {"inner": {"x": 1}}}""" + "\n")
     val deep = spark.read.format("graft-json").load(deepP)
     val deepScans = deep.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }
-    assert(!deepScans.head.supportsColumnar, "two-level nesting stays on the row path")
+    assert(deepScans.head.supportsColumnar, "two-level nesting vectorizes (round 14)")
+    assert(deep.collect().head.getStruct(1).getStruct(0).getLong(0) == 1L)
+    val deep3P = write("colmnr_deep3.json",
+      """{"id": 1, "n": {"inner": {"g": {"x": 1}}}}""" + "\n")
+    val deep3 = spark.read.format("graft-json").load(deep3P)
+    val deep3Scans = deep3.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(!deep3Scans.head.supportsColumnar, "three-level nesting stays on the row path")
   }
 
   test("columnar path honors filters and null semantics") {

@@ -254,23 +254,18 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 9 => s"""{"x": ${rng.nextInt(100)}, "x": ${rng.nextInt(100)}, "y": "dup"}"""
         case _ => s"""{"x": ${rng.nextInt(1000) - 500}, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
       }
-      // duplicate whole-struct bindings (last-wins replace — see scaladoc):
-      // BOTH bindings stay WELL-TYPED OBJECTS (the shuffle can order either
-      // one last): spark.read.json overwrites a duplicate only with a
-      // non-null converted value (a null or type-mismatch last binding
-      // keeps Jackson on the first), while graft (both paths,
-      // consistently) is strict last-wins — a degenerate divergence the
-      // row==columnar assertion still covers
-      def objVal(): String = rng.nextInt(4) match {
-        case 0 => "{}"
-        case 1 => s"""{"x": ${rng.nextInt(100)}}"""
-        case 2 => s"""{"x": null, "y": null}"""
-        case _ => s"""{"x": ${rng.nextInt(1000) - 500}, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
-      }
+      // duplicate whole-struct bindings over the FULL pathology set
+      // (round 14): spark's rule — probed and now implemented by both
+      // graft paths — is that a FAILED binding (scalar/array mismatch,
+      // conversion failure) never overwrites, while valid values
+      // including explicit null replace last-wins. The r13 version of
+      // this corpus kept dup bindings well-typed because graft's strict
+      // last-wins diverged on failed dups; that divergence is fixed, so
+      // the dups now draw from every shape.
       val dup = dupBindings && rng.nextInt(8) == 0
       if (dup) {
-        fields += s""""n": ${objVal()}"""
-        fields += s""""n": ${objVal()}"""
+        fields += s""""n": ${structVal()}"""
+        fields += s""""n": ${structVal()}"""
       } else if (rng.nextInt(10) > 2) fields += s""""n": ${structVal()}"""
       if (rng.nextInt(3) == 0)
         fields += s""""junk${rng.nextInt(5)}": {"deep": [1, "two", {"three": 3.0}]}"""
@@ -385,6 +380,93 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
           got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
             s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+    }
+  }
+
+  /** Two-level-struct pathology corpus for the COLUMNAR grand lanes
+    * (round 14): every shape a STRUCT<STRUCT<atomic…>, atomic> column can
+    * take — missing/null/scalar/array under the inner struct, `{}`,
+    * per-grandchild pathologies (missing, null, conversion failure,
+    * container), duplicate inner bindings, duplicate grandchild keys,
+    * unknown keys at both levels. No duplicate TOP-level bindings
+    * (saturation first-wins caveat — the dup-binding test covers those).
+    */
+  private def twoLevelCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def inner(): String = rng.nextInt(10) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"${rng.nextInt(100)}"                       // scalar mismatch
+        case 3 => "[1, 2]"                                     // array mismatch
+        case 4 => s"""{"x": ${rng.nextInt(1000)}}"""
+        case 5 => s"""{"z": ${esc(strPool(rng.nextInt(strPool.length)))}, "x": null}"""
+        case 6 => s"""{"x": ${Seq("\"noparse\"", "0.5", "9e3")(rng.nextInt(3))}, "z": "p"}"""
+        case 7 => s"""{"x": ${Seq("{\"deep\": 1}", "[1]")(rng.nextInt(2))}, "z": "c"}"""
+        case 8 => s"""{"x": ${rng.nextInt(100)}, "x": ${rng.nextInt(100)}, "z": "dup"}"""
+        case _ => s"""{"qq${rng.nextInt(3)}": 1, "x": ${rng.nextInt(100)}, "z": ${esc(
+          strPool(rng.nextInt(strPool.length)))}}"""
+      }
+      if (rng.nextInt(10) > 1) {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (rng.nextInt(10) > 2) parts += s""""g": ${inner()}"""
+        if (rng.nextInt(4) == 0) parts += s""""g": ${inner()}"""  // dup inner binding
+        if (rng.nextInt(10) > 3) parts += s""""y": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "\"notanumber\""
+          case _ => (rng.nextInt(2000) - 1000).toString
+        }}"""
+        if (rng.nextInt(4) == 0) parts += s""""junkc": {"deep": [1, 2]}"""
+        fields += s""""n": ${
+          if (rng.nextInt(12) == 0) Seq("null", "42", "[1]")(rng.nextInt(3))
+          else rng.shuffle(parts.toSeq).mkString("{", ", ", "}")}"""
+      }
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": {"deep": {"deeper": [1]}}"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("two-level struct corpora go COLUMNAR and read identically to spark.read.json") {
+    val rng = new scala.util.Random(0x2CEA6E1)
+    val tlSchema = "id LONG, n STRUCT<g: STRUCT<x: LONG, z: STRING>, y: LONG>, s STRING"
+    val projections = Seq(
+      Seq("id", "n", "s"), Seq("n", "id"), Seq("n.g", "id"), Seq("n.g.x", "n.y"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"twolevel$trial.jsonl")
+      Files.write(p, twoLevelCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(tlSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(tlSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: two-level struct schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(4) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case 2 => (g0.filter(col("n").isNotNull), j0.filter(col("n").isNotNull))
+        case _ => (g0.filter(col("n.g.x") > 0), j0.filter(col("n.g.x") > 0))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(tlSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val colAll = g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == colAll, s"trial $trial: row vs columnar diverged")
     }
   }
 
