@@ -25,7 +25,9 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *
   * Pushdown is identical to the row path: absent keys → SkipColumn,
   * container values under an atomic column → per-entry SkipColumn
-  * (reads as null), definitively failing filtered rows → SkipRow.
+  * (reads as null), definitively failing filtered rows rejected at
+  * finishRow over FINAL values (round 14 — duplicate keys rebind, so
+  * no verdict is final before the row ends or saturates).
   * Struct semantics match RowPlate exactly (fuzzed in
   * JsonSourceFuzzSpec): `{}` is a PRESENT struct with null children,
   * null/scalar/array under a struct column is a null struct, children
@@ -61,10 +63,9 @@ final class ColumnarPlate(
     // first parsed row's whole-file ordinal (block-pruned aligned ranges)
     maskStartOrd: Long = 0L) extends Plate[Long] with KeyProbe {
   // Deletion masks and plate filters COMBINE (round 11): every row's
-  // ordinal is counted exactly once — at finishRow for parsed rows, and
-  // inside earlyFilter for rows the SkipRow pushdown abandons mid-parse
-  // (the parser suppresses their finishRow) — so filter-dropped rows
-  // never shift later rows' mask addresses. Both outcomes are "drop", so
+  // ordinal is counted exactly once, at finishRow — filter rejection
+  // also happens there (round 14), so filter-dropped rows never shift
+  // later rows' mask addresses. Both outcomes are "drop", so
   // mask-vs-filter ordering is immaterial; heavily-masked tables keep
   // parse-level byte skipping.
 
@@ -346,12 +347,12 @@ final class ColumnarPlate(
   }
   private[this] val hasNullFilters =
     filters.exists(f => f.isInstanceOf[IsNotNull] || f.isInstanceOf[IsNull])
-  // STRUCT-CHILD filter anchors (dotted refs like `n.x`): the row path's
-  // nested-filter SkipRow trie, restricted to the one nesting level the
-  // columnar plate supports — without this, vectorizing structs would
-  // silently trade away the byte-skip a selective nested filter buys.
-  // Evaluated on explicitly-written child values only (missing children
-  // stay for Spark's residual filter, like the row path's trie).
+  // STRUCT-CHILD filter anchors (dotted refs like `n.x`), the columnar
+  // twin of the row path's nested-filter trie, restricted to one
+  // nesting level — without this, vectorizing structs would silently
+  // trade away the row-drop a selective nested filter buys. Decided at
+  // finishRow over final written values (round 14); unwritten children
+  // evaluate null, staying for Spark's residual filter.
   private[this] val childFilterAt: Array[Array[Array[Filter]]] = {
     val out = new Array[Array[Array[Filter]]](numCols)
     FilterEval.normalize(filters.filter(f => f.references.length == 1 &&

@@ -24,11 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    projection pushdown at EVERY nesting depth;
   *  - a value whose shape contradicts the schema reads as null; its inner
   *    entries are byte-skipped one by one (discard frames);
-  *  - pushed single-column filters are evaluated the moment the column's
-  *    top-level value completes; a definitive failure returns
-  *    [[Signal.SkipRow]] → the parser byte-skips the rest of the row.
-  *    Rows are dropped only on DEFINITE failure (null/missing semantics
-  *    re-checked at row end), so Spark's residual filter stays correct.
+  *  - pushed single-column filters (top-level and nested-anchored) are
+  *    decided at finishRow over the row's FINAL values — never per
+  *    binding, because duplicate keys rebind (round 14); a saturated
+  *    row still byte-skips its tail (FinishRow lands in finishRow,
+  *    which rejects there). Rows are dropped only on DEFINITE failure,
+  *    so Spark's residual filter stays correct.
   *
   * The same plate serves the CSV source: cells arrive as `str` events and
   * are coerced to the schema type.
@@ -737,8 +738,8 @@ final class RowPlate(
       !c.filters.exists(FilterEval.definitelyFails(_, v)) && nestedPasses(c, v)
     }
 
-  // rows this plate DROPPED before emission (SkipRow pushdown and the
-  // null-demand row-end check): every dropped row still occupied a file
+  // rows this plate DROPPED before emission (the finishRow filter and
+  // null-demand checks): every dropped row still occupied a file
   // ordinal, so the readers fold the count into their ordinal accounting
   // — that is what lets parse-level filtering compose with deletion
   // masks and withRowIndex provenance instead of being forced residual
