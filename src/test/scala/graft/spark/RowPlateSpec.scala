@@ -125,6 +125,55 @@ class RowPlateSpec extends AnyFunSuite {
     assert(rows2.map(_.getLong(0)) == Seq(50L))
   }
 
+  test("a FAILED duplicate binding never overwrites (spark parity, round 14)") {
+    // probed against spark.read.json: a DISCARDED binding — conversion
+    // failure, scalar/array/object mismatch, poisoned container — never
+    // overwrites an earlier value; valid values INCLUDING explicit null
+    // replace last-wins. `z` pads the schema so no row saturates early.
+    val schema = StructType.fromDDL(
+      "a LONG, n STRUCT<x: LONG>, v ARRAY<LONG>, z LONG")
+    val json =
+      """{"a": 5, "a": "xx"}
+        |{"a": 5, "a": null}
+        |{"a": "xx", "a": 7}
+        |{"a": 5, "a": {"q": 1}}
+        |{"a": 5, "a": "xx", "a": 9}
+        |{"n": {"x": 1}, "n": 7}
+        |{"n": {"x": 1}, "n": [1]}
+        |{"n": 7, "n": {"x": 3}}
+        |{"n": {"x": 1}, "n": {"x": "xx"}}
+        |{"n": {"x": 1, "x": "xx"}}
+        |{"v": [1], "v": [2, "xx"]}
+        |{"v": [1, "xx"], "v": [2]}
+        |{"v": [1], "v": 7}
+        |{"v": [1], "v": null}
+        |""".stripMargin
+    val (rows, _) = parse(schema, json)
+    def a(r: InternalRow) = if (r.isNullAt(0)) null else r.getLong(0)
+    def nx(r: InternalRow) =
+      if (r.isNullAt(1)) null
+      else if (r.getStruct(1, 1).isNullAt(0)) "x-null"
+      else r.getStruct(1, 1).getLong(0)
+    def v(r: InternalRow) =
+      if (r.isNullAt(2)) null
+      else (0 until r.getArray(2).numElements).map(j =>
+        if (r.getArray(2).isNullAt(j)) null else r.getArray(2).getLong(j))
+    assert(a(rows(0)) == 5L, "conv-fail dup must not clobber 5")
+    assert(a(rows(1)) == null, "explicit null overwrites")
+    assert(a(rows(2)) == 7L, "valid after failed wins")
+    assert(a(rows(3)) == 5L, "object mismatch must not clobber 5")
+    assert(a(rows(4)) == 9L, "failed middle binding is skipped")
+    assert(nx(rows(5)) == 1L, "scalar under struct must not clobber the struct")
+    assert(nx(rows(6)) == 1L, "array under struct must not clobber the struct")
+    assert(nx(rows(7)) == 3L, "valid struct after a failed binding wins")
+    assert(nx(rows(8)) == "x-null", "valid dup struct replaces (per-field partials)")
+    assert(nx(rows(9)) == 1L, "failed dup FIELD must not clobber 1")
+    assert(v(rows(10)) == Seq(1L), "poisoned dup array must not clobber [1]")
+    assert(v(rows(11)) == Seq(2L), "valid array after a poisoned binding wins")
+    assert(v(rows(12)) == Seq(1L), "scalar under array must not clobber [1]")
+    assert(v(rows(13)) == null, "explicit null overwrites the array")
+  }
+
   test("duplicate keys: saturation keeps the first, open rows take the last") {
     // schema saturated by the first `a`: the duplicate is byte-skipped
     // with the rest of the row (Signal.FinishRow) — first value wins
