@@ -83,10 +83,12 @@ object Bench {
         }
         val q1 = r1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         val t1 = if (r1.exists(_._2 < 0)) -1.0 else r1.map(_._2).sum
-        val (_, _, nest1) = NestedColumnarBench.run(spark, sf1Dir, passes = 3)
-        val (_, _, arr1) = ArrayColumnarBench.run(spark, sf1Dir, passes = 3)
-        val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir, passes = 3)
-        val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir, passes = 3)
+        // best-of-5 per side: the act thresholds are defined on best-of-5
+        // paired ratios, so the OFFICIAL record must measure the same way
+        val (_, _, nest1) = NestedColumnarBench.run(spark, sf1Dir)
+        val (_, _, arr1) = ArrayColumnarBench.run(spark, sf1Dir)
+        val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir)
+        val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir)
         s""""sf1":{"total":$t1,"queries":$q1,""" +
           s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
           s""""arraystruct_columnar_speedup":$as1,""" +
