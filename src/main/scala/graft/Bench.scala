@@ -76,12 +76,27 @@ object Bench {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
         Sf1Rung.ensure(spark, sfDir, sf1Dir)
         bench.foreach(q => timeIn(spark, q, sf1Dir)) // warmup
-        val p1 = (1 to 2).map(_ => bench.map(q => q.name -> timeIn(spark, q, sf1Dir)))
-        val r1 = bench.map { q =>
+        // best-of-3 with per-query DISPERSION (round 15): the r14 record
+        // landed in a slow host slot (q02 19.38 s vs the same-day session
+        // band 4.9-6.0 s) and carried nothing to show it — min alone makes
+        // slot noise read as phantom regressions in round-over-round
+        // history. queries_max is the worst timed pass; scale_vs_sf01 is
+        // the same-run per-query sf1/sf0.1 min ratio (a calibration
+        // number: ~10 means linear scaling on THIS host slot, so a future
+        // reader can separate host speed from plan drift).
+        val p1 = (1 to 3).map(_ => bench.map(q => q.name -> timeIn(spark, q, sf1Dir)))
+        def stat(f: Seq[Double] => Double) = bench.map { q =>
           val ts = p1.map(_.find(_._1 == q.name).get._2)
-          q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+          q.name -> (if (ts.exists(_ < 0)) -1.0 else f(ts))
         }
-        val q1 = r1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val r1 = stat(_.min)
+        val r1max = stat(_.max)
+        def js(m: Seq[(String, Double)]) =
+          m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val scale = r1.map { case (k, v) =>
+          val sf01 = results.find(_._1 == k).map(_._2).getOrElse(-1.0)
+          k -> (if (v > 0 && sf01 > 0) math.round(v / sf01 * 100) / 100.0 else -1.0)
+        }
         val t1 = if (r1.exists(_._2 < 0)) -1.0 else r1.map(_._2).sum
         // best-of-5 per side: the act thresholds are defined on best-of-5
         // paired ratios, so the OFFICIAL record must measure the same way
@@ -89,7 +104,8 @@ object Bench {
         val (_, _, arr1) = ArrayColumnarBench.run(spark, sf1Dir)
         val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir)
         val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir)
-        s""""sf1":{"total":$t1,"queries":$q1,""" +
+        s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
+          s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
           s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
           s""""arraystruct_columnar_speedup":$as1,""" +
           s""""twolevel_columnar_speedup":$tl1,"dir":"$sf1Dir"},"""

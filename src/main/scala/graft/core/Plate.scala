@@ -32,6 +32,26 @@ trait KeyProbe {
   def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean
 }
 
+/** Optional plate capability — verbatim raw-text capture of container
+  * values bound for STRING lanes (spark.read.json parity, probed round 15:
+  * an object/array value whose schema target is StringType reads back as
+  * its exact source text, whitespace included, at every nesting level —
+  * top-level column, struct child, array element, map value). A producer
+  * that sees this on its plate asks `wantsRawValue()` at each container
+  * value start; on true it byte-skips the value (the same scanner as
+  * SkipColumn — string boundaries and bracket depth only, so internal
+  * structural errors are best-effort, the skip scanner's documented
+  * elision) and delivers the exact byte span via `rawValue` IN PLACE OF
+  * the container's event stream. The matching `unnest()` still fires
+  * (the value closes its nest like any scalar).
+  */
+trait RawValueCapture {
+  /** Would a container value starting now land in a verbatim-text lane? */
+  def wantsRawValue(): Boolean
+  /** The captured value's exact UTF-8 bytes (valid only for this call). */
+  def rawValue(bytes: Array[Byte], off: Int, len: Int): Signal
+}
+
 abstract class Plate[A] { self =>
   def nul(): Signal
   def fls(): Signal

@@ -69,6 +69,19 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   // emit unnest (the plate never saw a nestMap for this key)
   private[this] var cruiseSkipping = false
 
+  // Raw-text capture ([[RawValueCapture]]): a container value bound for a
+  // STRING lane is byte-skipped like a column skip but its exact span is
+  // delivered to the plate as the value (spark.read.json parity — objects/
+  // arrays under a string target read as verbatim source text).
+  private[this] val rawCap: RawValueCapture = plate0 match {
+    case r: RawValueCapture => r
+    case _                  => null
+  }
+  private[this] var capturing = false
+  private[this] var captureStart = 0   // segment start in `data`
+  private[this] var capBuf: Array[Byte] = null // multi-chunk accumulation
+  private[this] var capLen = 0
+
   // ========================================================= base contract
 
   protected def endOk: Boolean =
@@ -290,8 +303,12 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   }
 
   private[this] def parseValue(b: Byte): Unit = (b: @switch) match {
-    case '{' => curr += 1; pushContainer(isObject = true); phase = PhKeyFirst
-    case '[' => curr += 1; pushContainer(isObject = false); phase = PhArrFirst
+    case '{' =>
+      if (rawCap != null && rawCap.wantsRawValue()) beginRawCapture()
+      else { curr += 1; pushContainer(isObject = true); phase = PhKeyFirst }
+    case '[' =>
+      if (rawCap != null && rawCap.wantsRawValue()) beginRawCapture()
+      else { curr += 1; pushContainer(isObject = false); phase = PhArrFirst }
     case '"' =>
       val s = parseValueStringToken()
       val sig = plate.str(s)
@@ -747,10 +764,45 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     * mismatched brackets inside skipped values are deliberately not errors.
     * State persists across chunks; `skipped(n)` is reported per churn.
     */
+  /** Begin a raw-text capture at `curr` (which points at the container's
+    * opening bracket): the skip scanner consumes the value; finishColumnSkip
+    * assembles and delivers the exact span.
+    */
+  private[this] def beginRawCapture(): Unit = {
+    capturing = true
+    capLen = 0
+    skipMode = SkipColumnMode
+    skipPhase = SkAwait
+    skipRel = 0
+  }
+
+  /** Stash the current capture segment (chunk boundary / final assembly):
+    * the buffer may be compacted or swapped between churns, so consumed
+    * capture bytes must be copied out before the parser yields.
+    */
+  private[this] def stashCapture(): Unit = {
+    val n = curr - captureStart
+    if (n > 0) {
+      if (capBuf == null)
+        capBuf = new Array[Byte](math.max(256, java.lang.Integer.highestOneBit(n) << 1))
+      else if (capLen + n > capBuf.length) {
+        var size = capBuf.length
+        while (size < capLen + n) size <<= 1
+        capBuf = java.util.Arrays.copyOf(capBuf, size)
+      }
+      System.arraycopy(data, captureStart, capBuf, capLen, n)
+      capLen += n
+    }
+    captureStart = curr
+  }
+
   private[this] def runSkip(): Unit = {
     val chunkStart = curr
+    // every entry is either a fresh capture (captureStart == curr trivially)
+    // or a resume after a chunk-boundary stash (the new segment starts here)
+    if (capturing) captureStart = curr
     @inline def report(): Unit =
-      if (curr > chunkStart) plate.skipped(curr - chunkStart)
+      if (!capturing && curr > chunkStart) plate.skipped(curr - chunkStart)
 
     // hot loop: keep all state in locals (registers), commit to fields
     // only when pausing for input; one byte never touches object fields
@@ -780,6 +832,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
             if (i >= limit) {
               { curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc }; report()
               if (done && columnMode) { finishColumnSkip(); return }
+              if (capturing) stashCapture()
               tokenStart = curr
               throw NeedsInput
             }
@@ -956,12 +1009,25 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       finishColumnSkip()
       return
     }
+    if (capturing) stashCapture()
     tokenStart = curr // skipped bytes are consumed for good: nothing to rewind
     throw NeedsInput  // at EOF this becomes IncompleteParseException
   }
 
   private[this] def finishColumnSkip(): Unit = {
     skipMode = SkipNone
+    if (capturing) {
+      // raw-text capture complete: deliver the exact span as the value and
+      // close it like any scalar (the plate said Continue at the nest, so
+      // the ordinary unnest/finishRow protocol applies — NOT the skip's)
+      capturing = false
+      val sig =
+        if (capLen == 0) rawCap.rawValue(data, captureStart, curr - captureStart)
+        else { stashCapture(); rawCap.rawValue(capBuf, 0, capLen) }
+      handleRowSignals(sig)
+      scalarDone()
+      return
+    }
     if (cruiseSkipping) {
       // cruise skip: the plate never saw this key — no unnest to emit
       cruiseSkipping = false

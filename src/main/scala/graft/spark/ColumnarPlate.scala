@@ -61,7 +61,8 @@ final class ColumnarPlate(
     // masked rows themselves.
     mask: DeletionVectors.Mask = null,
     // first parsed row's whole-file ordinal (block-pruned aligned ranges)
-    maskStartOrd: Long = 0L) extends Plate[Long] with KeyProbe {
+    maskStartOrd: Long = 0L) extends Plate[Long] with KeyProbe
+    with graft.core.RawValueCapture {
   // Deletion masks and plate filters COMBINE (round 11): every row's
   // ordinal is counted exactly once, at finishRow — filter rejection
   // also happens there (round 14), so filter-dropped rows never shift
@@ -1428,6 +1429,26 @@ final class ColumnarPlate(
       tDone()
       Signal.Continue
     } else Signal.Continue
+  }
+
+  /** Raw-text capture (spark.read.json parity, probed round 15): a
+    * container value whose resolved lane is STRING reads back as its
+    * verbatim source text at every level — top column, struct child,
+    * grandchild, array element, map value, element-struct field. The
+    * depth>0 guard keeps top-level container ROWS out of the schemaless
+    * "value" column (spark maps only object keys there).
+    */
+  override def wantsRawValue(): Boolean =
+    depth > 0 && resolveTarget() && (tT eq StringType)
+
+  override def rawValue(bytes: Array[Byte], off: Int, len: Int): Signal = {
+    if (resolveTarget()) {
+      ensureCapacity()
+      tMark()
+      tV.putByteArray(tR, bytes, off, len)
+      tDone()
+    }
+    Signal.Continue
   }
 
   def str(s: CharSequence): Signal = {

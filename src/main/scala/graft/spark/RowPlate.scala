@@ -46,7 +46,8 @@ final class RowPlate(
     // CSV semantics: an empty cell is NULL (Spark's csv nullValue default
     // and DuckDB's read_csv behavior), unlike JSON where "" is a real
     // string value. Set by the CSV reader only.
-    emptyCellsAsNull: Boolean = false) extends Plate[Long] with KeyProbe {
+    emptyCellsAsNull: Boolean = false) extends Plate[Long] with KeyProbe
+    with graft.core.RawValueCapture {
 
   // frame kinds
   private final val KEmpty = 0
@@ -548,6 +549,26 @@ final class RowPlate(
   def str(s: CharSequence): Signal =
     if (emptyCellsAsNull && s.length == 0) fillScalar(0, null, -1, -1)
     else fillScalar(6, s, -1, -1)
+
+  /** Raw-text capture (spark.read.json parity, probed round 15): a
+    * container value whose open slot expects STRING reads back as its
+    * verbatim source text — at any depth (struct field, array element, map
+    * value, arbitrarily nested). Excludes the row frame: a container ROW
+    * does not stringify into the schemaless "value" column (spark maps
+    * only object keys there).
+    */
+  override def wantsRawValue(): Boolean = {
+    val f = top
+    f.kind == KEmpty && !(f eq rowFrame) && (f.expected eq StringType)
+  }
+
+  override def rawValue(bytes: Array[Byte], off: Int, len: Int): Signal = {
+    val f = top
+    f.kind = KScalar
+    f.value = UTF8String.fromBytes(
+      java.util.Arrays.copyOfRange(bytes, off, off + len))
+    Signal.Continue
+  }
 
   def nestMap(pathComponent: CharSequence): Signal = {
     val f = top

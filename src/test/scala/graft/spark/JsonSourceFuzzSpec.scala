@@ -57,14 +57,24 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val strPool = Seq("", "a", "tab\there", "line\nbreak", "q\"uote",
     "back\\slash", "π😀", "za", "x" * 90, "ctl")
 
+  // container values bound for STRING lanes: spark.read.json keeps them as
+  // VERBATIM source text (round 15, RawCaptureSpec) — the fuzz corpora
+  // must exercise the capture path in the three-way compare
+  private val containerPool = Seq(
+    """{"k": 1}""", """[1, "two"]""", "{}", "[]",
+    """{ "w" : [1,  {"d": "}"}] }""", """[{"e": "\""}]""")
+
   private def corpus(rng: scala.util.Random, rows: Int): String = {
     val sb = new StringBuilder
     (1 to rows).foreach { i =>
       val fields = scala.collection.mutable.ArrayBuffer.empty[String]
       fields += s""""id": ${if (rng.nextInt(10) == 0) Long.MaxValue - rng.nextInt(5) else i}"""
       if (rng.nextInt(10) > 1)
-        fields += s""""s": ${if (rng.nextInt(8) == 0) "null"
-          else esc(strPool(rng.nextInt(strPool.length)))}"""
+        fields += s""""s": ${rng.nextInt(8) match {
+          case 0 => "null"
+          case 1 | 2 => containerPool(rng.nextInt(containerPool.length))
+          case _ => esc(strPool(rng.nextInt(strPool.length)))
+        }}"""
       if (rng.nextInt(10) > 1)
         fields += s""""d": ${rng.nextInt(6) match {
           case 0 => "null"
@@ -74,7 +84,9 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (rng.nextInt(10) > 2)
         fields += s""""b": ${Seq("true", "false", "null")(rng.nextInt(3))}"""
       if (rng.nextInt(10) > 3)
-        fields += s""""n": {"x": ${rng.nextInt(100)}, "y": ${esc(strPool(rng.nextInt(strPool.length)))}}"""
+        fields += s""""n": {"x": ${rng.nextInt(100)}, "y": ${if (rng.nextInt(5) == 0)
+          containerPool(rng.nextInt(containerPool.length))
+          else esc(strPool(rng.nextInt(strPool.length)))}}"""
       if (rng.nextInt(10) > 4)
         fields += s""""a": [${Seq.fill(rng.nextInt(4))(rng.nextInt(1000)).mkString(", ")}]"""
       // unknown keys the schema prunes (the cruise/skip path)
@@ -339,10 +351,16 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case _ => longArr()
         }}"""
       if (rng.nextInt(10) > 2)
-        fields += s""""t": [${Seq.fill(rng.nextInt(4))(
-          esc(strPool(rng.nextInt(strPool.length)))).mkString(", ")}]"""
+        fields += s""""t": [${Seq.fill(rng.nextInt(4))(rng.nextInt(4) match {
+          // container elements into ARRAY<STRING> read as verbatim source
+          // text, not poison (RawCaptureSpec, round 15)
+          case 0 => containerPool(rng.nextInt(containerPool.length))
+          case _ => esc(strPool(rng.nextInt(strPool.length)))
+        }).mkString(", ")}]"""
       if (rng.nextInt(10) > 4)
-        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+        fields += s""""s": ${if (rng.nextInt(5) == 0)
+          containerPool(rng.nextInt(containerPool.length))
+          else esc(strPool(rng.nextInt(strPool.length)))}"""
       if (rng.nextInt(3) == 0)
         fields += s""""junk${rng.nextInt(5)}": [1, {"deep": [2]}, "three"]"""
       sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
@@ -592,9 +610,14 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         }}"""
       if (rng.nextInt(10) > 3)
         fields += s""""tagm": ${entries(rng.nextInt(3) + 1,
-          () => esc(strPool(rng.nextInt(strPool.length))))}"""
+          // container VALUES into MAP<STRING,STRING> read as verbatim
+          // source text, not poison (RawCaptureSpec, round 15)
+          () => if (rng.nextInt(4) == 0) containerPool(rng.nextInt(containerPool.length))
+                else esc(strPool(rng.nextInt(strPool.length))))}"""
       if (rng.nextInt(10) > 4)
-        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+        fields += s""""s": ${if (rng.nextInt(5) == 0)
+          containerPool(rng.nextInt(containerPool.length))
+          else esc(strPool(rng.nextInt(strPool.length)))}"""
       if (rng.nextInt(3) == 0)
         fields += s""""junk${rng.nextInt(5)}": {"deep": [1, {"x": 2}]}"""
       sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')

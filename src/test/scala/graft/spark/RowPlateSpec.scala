@@ -45,12 +45,14 @@ class RowPlateSpec extends AnyFunSuite {
   }
 
   test("schema mismatches read as null, never as errors") {
+    // container-under-STRING is NOT a mismatch: it captures the verbatim
+    // source text (spark.read.json parity, round 15 — see RawCaptureSpec)
     val schema = StructType.fromDDL("a LONG, b STRING, c STRUCT<x: LONG>")
     val (rows, _) = parse(schema,
       """{"a": "not-a-number", "b": {"an": "object"}, "c": 5}""")
     val r = rows.head
     assert(r.isNullAt(0))
-    assert(r.isNullAt(1))
+    assert(r.getUTF8String(1).toString == """{"an": "object"}""")
     assert(r.isNullAt(2))
   }
 
