@@ -58,6 +58,7 @@ object Bench {
     val (arrVec, arrRow, arrRatio) = ArrayColumnarBench.run(spark, sfDir)
     val (asVec, asRow, asRatio) = ArrayStructColumnarBench.run(spark, sfDir)
     val (tlVec, tlRow, tlRatio) = TwoLevelColumnarBench.run(spark, sfDir)
+    val (saVec, saRow, saRatio) = StructArrayColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -104,11 +105,13 @@ object Bench {
         val (_, _, arr1) = ArrayColumnarBench.run(spark, sf1Dir)
         val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir)
         val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir)
+        val (_, _, sa1) = StructArrayColumnarBench.run(spark, sf1Dir)
         s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
           s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
           s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
           s""""arraystruct_columnar_speedup":$as1,""" +
-          s""""twolevel_columnar_speedup":$tl1,"dir":"$sf1Dir"},"""
+          s""""twolevel_columnar_speedup":$tl1,""" +
+          s""""structarray_columnar_speedup":$sa1,"dir":"$sf1Dir"},"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
         ""
@@ -138,6 +141,8 @@ object Bench {
       s""""arraystruct_columnar_speedup":$asRatio,""" +
       s""""twolevel_columnar_sec":$tlVec,"twolevel_row_sec":$tlRow,""" +
       s""""twolevel_columnar_speedup":$tlRatio,""" +
+      s""""structarray_columnar_sec":$saVec,"structarray_row_sec":$saRow,""" +
+      s""""structarray_columnar_speedup":$saRatio,""" +
       sf1Json +
       s""""sf":"$sfDir"}"""
     println(line)
@@ -310,6 +315,30 @@ object ArrayStructColumnarBench {
           struct($"l_linenumber".cast("bigint").as("k"), $"l_discount".as("q"),
             $"l_shipdate".cast("string").as("tag"))).as("recs")),
       shape = _.select($"recs"))
+  }
+}
+
+/** STRUCT<…, ARRAY<atomic>> (struct-child array) columnar vs row path,
+  * end to end and PAIRED (round 15): a user.tags-shaped corpus — a
+  * metadata struct holding one scalar plus a numeric array child and a
+  * string tag-list child per row — reads through the SAME scan twice on
+  * the delivery shape (extract the scalar and both array children).
+  */
+object StructArrayColumnarBench {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    VectorizedAbBench.run(spark, "structarray-columnar", "/tmp/graft_bench_structarr", passes,
+      schema = "l_orderkey BIGINT, meta STRUCT<score: DOUBLE, " +
+        "tags: ARRAY<BIGINT>, lbl: ARRAY<STRING>>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        struct(
+          $"l_discount".as("score"),
+          array($"l_partkey", $"l_suppkey",
+            $"l_linenumber".cast("bigint"), ($"l_orderkey" % 97)).as("tags"),
+          array($"l_returnflag", $"l_linestatus",
+            $"l_shipmode").as("lbl")).as("meta")),
+      shape = _.select($"meta.score", $"meta.tags", $"meta.lbl"))
   }
 }
 

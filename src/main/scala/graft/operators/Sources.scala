@@ -3274,6 +3274,79 @@ object Sources {
                                      meta: 'STRUCT(geo STRUCT(lat BIGINT, src VARCHAR), score BIGINT)'})
              ORDER BY n_nationkey"""))
 
+  // ---------------------------------------------------------------- q233
+  // STRUCT<…, ARRAY<atomic>> COLUMNAR lanes (round 15): the user.tags /
+  // metadata.labels shape — a struct column with array-of-atomic children
+  // — reads through the vectorized path (elements stream into the child
+  // array vector's element child at a per-(col,child) running offset) and
+  // must match DuckDB's read_json with a STRUCT(... BIGINT[] ...) column.
+  // The gate asserts the plan actually went columnar; the pathology
+  // matrix (poison, failed-dup bindings, capture of string elements) is
+  // pinned by ColumnarPlateSpec and the three-way fuzz.
+  private val q233 = GQuery(
+    "q233_json_struct_array_child_columnar_scan",
+    "graft-json STRUCT<…,ARRAY<atomic>> lanes go columnar: child-array aggs vs DuckDB",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val path = s"$fixtureDir/q233_structarray.jsonl"
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation, not a data path
+      val content = nation.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1)
+        val reg = r.getAs[Number](2).longValue
+        val tags = k % 6 match {
+          case 0 => "null"
+          case 1 => "[]"
+          case 2 => s"""[$k, null, ${k * 3 % 13}]""" // null element kept
+          case 3 => s"""[$reg]"""
+          case 4 => null                             // child missing
+          case _ => s"""[${k % 7}, ${k % 11}]"""
+        }
+        val lbl = k % 4 match {
+          case 0 => "null"
+          case 1 => s"""["$name", "r$reg"]"""
+          case 2 => null
+          case _ => s"""["x$k"]"""
+        }
+        val inner = (Seq(s""""a": ${k * 7 % 23}""") ++
+          Option(tags).map(t => s""""tags": $t""") ++
+          Option(lbl).map(l => s""""lbl": $l""")).mkString("{", ", ", "}")
+        val sCell = if (k % 9 == 8) "null" else inner
+        s"""{"n_nationkey": $k, "s": $sCell}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path), content.getBytes(UTF_8))
+      val df = s.read.format("graft-json")
+        .schema("n_nationkey LONG, s STRUCT<a: LONG, tags: ARRAY<LONG>, lbl: ARRAY<STRING>>")
+        .load(path)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "STRUCT<…,ARRAY<atomic>> schema must ride the ColumnarBatch path")
+      df.select(
+          col("n_nationkey"),
+          col("s.a").as("a"),
+          when(col("s.tags").isNull, lit(null))
+            .otherwise(size(col("s.tags"))).cast("long").as("n_tags"),
+          aggregate(col("s.tags"), lit(0L),
+            (acc, e) => acc + coalesce(e, lit(0L))).as("tag_sum"),
+          when(col("s.lbl").isNull, lit(null)).otherwise(
+            array_join(col("s.lbl"), "|")).as("lbls"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey,
+                    s.a AS a,
+                    CAST(len(s.tags) AS BIGINT) AS n_tags,
+                    CASE WHEN s.tags IS NULL THEN NULL
+                         ELSE COALESCE(CAST(list_sum(list_transform(s.tags, e -> COALESCE(e, 0))) AS BIGINT), 0) END AS tag_sum,
+                    CASE WHEN s.lbl IS NULL THEN NULL
+                         ELSE COALESCE(array_to_string(s.lbl, '|'), '') END AS lbls
+             FROM read_json('$fixtureDir/q233_structarray.jsonl',
+                            format='newline_delimited',
+                            columns={n_nationkey: 'BIGINT',
+                                     s: 'STRUCT(a BIGINT, tags BIGINT[], lbl VARCHAR[])'})
+             ORDER BY n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3545,5 +3618,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
 }

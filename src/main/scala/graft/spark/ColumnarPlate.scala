@@ -170,6 +170,43 @@ final class ColumnarPlate(
   // while elemObjOpen; cleared at each element's first field key)
   private[this] val elemKidSeen: Array[Array[Boolean]] =
     elemKidNames.map(en => if (en == null) null else new Array[Boolean](en.length))
+  // ARRAY<atomic> STRUCT-CHILD lanes (round 15): element type per
+  // (column, child) where a struct child is ARRAY<atomic> — the
+  // user.tags / metadata.labels shape, the most common real shape that
+  // used to fall to the row path. Elements write into the child array
+  // vector's single element child at a per-(col,child) running offset;
+  // the child's closing unnest stamps putArray at the ROW offset — the
+  // round-13 element-offset machinery anchored one level down.
+  private[this] val childArrElem: Array[Array[DataType]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case at: ArrayType => at.elementType
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val hasChildArrays =
+    childArrElem.exists(ca => ca != null && ca.exists(_ != null))
+  // flat (col, child) pair list for per-row iteration, packed i<<16|j
+  private[this] val childArrPairs: Array[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < numCols) {
+      val ca = childArrElem(i)
+      if (ca != null) {
+        var j = 0
+        while (j < ca.length) { if (ca(j) != null) buf += (i << 16) | j; j += 1 }
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+  // next free element slot / row-start snapshot per (col, child)
+  private[this] val childElemPos: Array[Array[Int]] =
+    childArrElem.map(ca => if (ca == null) null else new Array[Int](ca.length))
+  private[this] val childRowStartElem: Array[Array[Int]] =
+    childArrElem.map(ca => if (ca == null) null else new Array[Int](ca.length))
+
   private[this] val arrCols: Array[Int] =
     contValType.indices.filter(contValType(_) != null).toArray
   // next free element slot / row-start snapshot per array/map column
@@ -185,6 +222,7 @@ final class ColumnarPlate(
   private[this] var mapKeyChild: Array[WritableColumnVector] = _
   private[this] var elemKidVecs: Array[Array[WritableColumnVector]] = _
   private[this] var gVecs: Array[Array[Array[WritableColumnVector]]] = _
+  private[this] var childArrVecs: Array[Array[WritableColumnVector]] = _
   allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
@@ -332,6 +370,20 @@ final class ColumnarPlate(
   // the next grandchild of the same binding)
   private[this] var curGrand = -1
   private[this] var innerOpenThisBinding = false
+  // STRUCT-CHILD ARRAY state (round 15), the (curIdx, curChild)-anchored
+  // twin of the top-level arrOpen machinery: a child-array binding is
+  // open (elements span [cArrStart, childElemPos(i)(j))); inside one
+  // element's value scope; that element already wrote; the open element's
+  // write slot; a discarded element poisons the binding; pre-open cell
+  // state for failed-dup-never-overwrites parity
+  private[this] var cArrOpen = false
+  private[this] var cArrStart = 0
+  private[this] var cSlot = 0
+  private[this] var cScope = false
+  private[this] var cFilled = false
+  private[this] var cPoison = false
+  private[this] var cSeenAtOpen = false
+  private[this] var cNullAtOpen = false
   private[this] var rowCount = 0L
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
 
@@ -460,6 +512,25 @@ final class ColumnarPlate(
     mapKeyChild = mapKeyKidsOf(vectors)
     elemKidVecs = elemKidsOf(arrChild)
     gVecs = grandsOf(childVecs)
+    childArrVecs = childArrKidsOf(childVecs)
+  }
+
+  // element vectors of ARRAY<atomic> struct children: the single child of
+  // the array-typed child vector (element offsets)
+  private def childArrKidsOf(kids: Array[Array[WritableColumnVector]])
+      : Array[Array[WritableColumnVector]] = {
+    if (!hasChildArrays) return null
+    val out = new Array[Array[WritableColumnVector]](numCols)
+    var i = 0
+    while (i < numCols) {
+      val ca = childArrElem(i)
+      if (ca != null && ca.exists(_ != null))
+        out(i) = Array.tabulate(ca.length)(j =>
+          if (ca(j) == null) null
+          else kids(i)(j).getChild(0).asInstanceOf[WritableColumnVector])
+      i += 1
+    }
+    out
   }
 
   /** Rows currently buffered in the open batch. */
@@ -489,9 +560,22 @@ final class ColumnarPlate(
     val oldMapKeys = mapKeyChild
     val oldElemKids = elemKidVecs
     val oldGrands = gVecs
+    val oldChildArr = childArrVecs
     val partialAt = rows
+    // snapshot the OPEN child-array run's end before the rebase below
+    // zeroes the position table (only one binding can be open)
+    val openChildPos =
+      if (cArrOpen) childElemPos(curIdx)(curChild) else 0
     allocate()
     rows = 0
+    // struct-child array offsets rebase per batch (carried runs set them)
+    var kc = 0
+    while (kc < childArrPairs.length) {
+      val pr = childArrPairs(kc)
+      childElemPos(pr >>> 16)(pr & 0xFFFF) = 0
+      childRowStartElem(pr >>> 16)(pr & 0xFFFF) = 0
+      kc += 1
+    }
     var i = 0
     while (i < numCols) {
       if (seen(i)) {
@@ -524,6 +608,43 @@ final class ColumnarPlate(
                         }
                         k += 1
                       }
+                    }
+                  } else if (childArrElem(i) != null && childArrElem(i)(j) != null) {
+                    // ARRAY<atomic> child of the in-flight row: move its
+                    // element run to the fresh element vector (closed cell
+                    // re-stamps against row 0; an OPEN binding rebases its
+                    // run and write cursors like the top-level mid-split)
+                    val vt = childArrElem(i)(j)
+                    val src2 = oldKids(i)(j)
+                    val dst2 = childVecs(i)(j)
+                    if (cArrOpen && curIdx == i && curChild == j) {
+                      if (cPoison) {
+                        if (cSeenAtOpen && !cNullAtOpen) {
+                          // poisoned DUP: the previous stamped run must
+                          // survive the split — carry it and re-stamp
+                          val off = src2.getArrayOffset(partialAt)
+                          val n = src2.getArrayLength(partialAt)
+                          copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off, n)
+                          dst2.putArray(0, 0, n)
+                          cSlot = n; childElemPos(i)(j) = n; cArrStart = n
+                        } else {
+                          cSlot = 0; childElemPos(i)(j) = 0; cArrStart = 0
+                        }
+                      } else {
+                        val k2 = openChildPos - cArrStart
+                        copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, cArrStart, k2)
+                        cSlot -= cArrStart
+                        childElemPos(i)(j) = k2
+                        cArrStart = 0
+                      }
+                    } else if (src2.isNullAt(partialAt)) {
+                      dst2.putNull(0)
+                    } else {
+                      val off = src2.getArrayOffset(partialAt)
+                      val n = src2.getArrayLength(partialAt)
+                      copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off, n)
+                      dst2.putArray(0, 0, n)
+                      childElemPos(i)(j) = n
                     }
                   } else {
                     copyAtomic(oldKids(i)(j), childVecs(i)(j), childTypes(i)(j), partialAt)
@@ -982,6 +1103,27 @@ final class ColumnarPlate(
       elemFilled = false
       depth = 2
       Signal.Continue
+    } else if (depth == 2 && !elemScope && !cScope && curIdx >= 0 &&
+        curChild >= 0 && childArrElem(curIdx) != null &&
+        childArrElem(curIdx)(curChild) != null) {
+      // ELEMENT ENTRY on an ARRAY<atomic> STRUCT CHILD (round 15): one
+      // nestArr/unnest pair per element; the first entry opens the
+      // binding (marks the child present; dup bindings last-wins, failed
+      // dups never overwrite — the close consults the pre-open state)
+      val i = curIdx
+      val j = curChild
+      if (!cArrOpen) {
+        cSeenAtOpen = childSeen(i)(j)
+        cNullAtOpen = cSeenAtOpen && childVecs(i)(j).isNullAt(rows)
+        markChildSeen(i, j)
+        cArrOpen = true
+        cArrStart = childElemPos(i)(j)
+      }
+      cSlot = childElemPos(i)(j)
+      cScope = true
+      cFilled = false
+      depth = 3
+      Signal.Continue
     } else if (depth == 0 && valueColIdx >= 0 && elemTypes(valueColIdx) != null &&
         !seen(valueColIdx)) {
       // array ROW in a schemaless stream: elements land in the "value"
@@ -1020,8 +1162,28 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
-      if (depth == 2) { curKid = -1; curGrand = -1 } // field/grandchild closed
+      if (depth == 2) {
+        curKid = -1; curGrand = -1 // field/grandchild closed
+        if (cScope) { cScope = false; cFilled = false } // child-array element closed
+      }
       if (depth == 1) {
+        // a STRUCT-CHILD ARRAY binding closes: stamp the (offset, count)
+        // cell at the ROW offset — or apply the poison rule (a poisoned
+        // binding never overwrites a valid earlier one; only a first
+        // binding or one over an explicit null nulls the cell)
+        if (cArrOpen) {
+          val i = curIdx
+          val j = curChild
+          if (cPoison) {
+            if (!cSeenAtOpen || cNullAtOpen) childVecs(i)(j).putNull(rows)
+            scrubChildArrElems(i, j, cArrStart, childElemPos(i)(j))
+            childElemPos(i)(j) = cArrStart
+          } else {
+            childVecs(i)(j).putArray(rows, cArrStart, childElemPos(i)(j) - cArrStart)
+          }
+          cArrOpen = false
+          cPoison = false
+        }
         // an OBJECT element closes: stamp its unwritten fields null at
         // the element slot and advance the run (round 14)
         if (elemObjOpen) {
@@ -1075,33 +1237,48 @@ final class ColumnarPlate(
   private[this] var tElem = false
   private[this] var tEK = false // open FIELD of a struct element
   private[this] var tGr = false // open GRANDCHILD of a two-level struct
+  private[this] var tCA = false // open ELEMENT of a struct-child array
   private[this] var tV: WritableColumnVector = _
   private[this] var tT: DataType = _
   private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
     if (depth == 1 && curIdx >= 0 && !elemScope) {
-      tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false // duplicates overwrite: last-wins
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false // duplicates overwrite: last-wins
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
-      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false
+      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false; tCA = false
       tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
       true
-    } else if (depth == 3 && !elemScope && curIdx >= 0 && curChild >= 0 &&
-        curGrand >= 0) {
+    } else if (depth == 3 && !elemScope && !cScope && curIdx >= 0 &&
+        curChild >= 0 && curGrand >= 0) {
       // open GRANDCHILD of a two-level struct: a row-offset lane like
       // any child; duplicates overwrite last-wins via tMark
-      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = true
+      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = true; tCA = false
       tV = gVecs(tIdx)(tKid)(curGrand); tT = gTypes(tIdx)(tKid)(curGrand)
       tR = rows
       true
+    } else if (cScope) {
+      // open ELEMENT of an ARRAY<atomic> STRUCT CHILD: writes land at the
+      // running element offset in the child array's element vector; a
+      // discard poisons the BINDING (tDiscard), never the struct
+      if (cFilled) false
+      else {
+        tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = true
+        tR = cSlot
+        val c = childArrVecs(tIdx)(curChild)
+        c.reserve(tR + 1)
+        tV = c
+        tT = childArrElem(tIdx)(curChild)
+        true
+      }
     } else if (elemScope && curKid >= 0) {
       // open FIELD of a STRUCT ELEMENT: writes land at the element offset
       // in the struct child's field vector. A conversion failure (or a
       // container under the field) nulls the FIELD only — struct
       // per-field partials, never array poison (tElem=false keeps
       // tDiscard inert; spark parity probed in round 14)
-      tIdx = curIdx; tKid = -1; tElem = false; tEK = true; tGr = false
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = true; tGr = false; tCA = false
       tR = entrySlot
       val c = elemKidVecs(tIdx)(curKid)
       c.reserve(tR + 1)
@@ -1111,7 +1288,7 @@ final class ColumnarPlate(
     } else if (elemScope) {
       if (elemFilled) false
       else {
-        tIdx = curIdx; tKid = -1; tElem = true; tEK = false; tGr = false
+        tIdx = curIdx; tKid = -1; tElem = true; tEK = false; tGr = false; tCA = false
         tR = entrySlot
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
@@ -1120,7 +1297,7 @@ final class ColumnarPlate(
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
-      tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false; tGr = false
+      tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else false
@@ -1148,7 +1325,7 @@ final class ColumnarPlate(
       if (!tWasSeen) elemKidSeen(tIdx)(curKid) = true
       else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
     }
-    else if (tElem) () // presence marked at array open
+    else if (tElem || tCA) () // presence marked at array open
     else if (tKid < 0) {
       tWasSeen = seen(tIdx)
       if (tWasSeen) tWasNull = tV.isNullAt(tR)
@@ -1164,6 +1341,7 @@ final class ColumnarPlate(
   // element write epilogue: advance the offset, close the slot
   @inline private def tDone(): Unit =
     if (tElem) { elemPos(tIdx) += 1; elemFilled = true }
+    else if (tCA) { childElemPos(tIdx)(curChild) += 1; cFilled = true }
   // write epilogue for a DISCARD: the value failed to convert (or was a
   // container where an atomic was expected). Elements poison the open
   // array (the close applies the binding-level rule); LANES restore the
@@ -1171,6 +1349,7 @@ final class ColumnarPlate(
   // round 14): the call site's putNull stands only for a first binding.
   @inline private def tDiscard(): Unit =
     if (tElem) arrPoison = true
+    else if (tCA) cPoison = true
     else if (tWasSeen) {
       if (tWasNull) tV.putNull(tR) else tV.putNotNull(tR)
     }
@@ -1232,6 +1411,16 @@ final class ColumnarPlate(
     }
   }
 
+  /** Scrub a dropped element run of a STRUCT-CHILD array: putX element
+    * writes never reset the element vector's validity bit (the child
+    * twin of [[scrubElems]], atomic elements only).
+    */
+  private def scrubChildArrElems(i: Int, j: Int, from: Int, to: Int): Unit = {
+    val c = childArrVecs(i)(j)
+    var k = from
+    while (k < to) { c.putNotNull(k); k += 1 }
+  }
+
   /** Rewind the row's element writes (rejected/abandoned rows must not
     * balloon the array children) and close any open array state.
     */
@@ -1252,6 +1441,20 @@ final class ColumnarPlate(
     elemFilled = false
     elemObjOpen = false
     curKid = -1
+    // struct-child array runs rewind likewise
+    var k2 = 0
+    while (k2 < childArrPairs.length) {
+      val pr = childArrPairs(k2)
+      val i = pr >>> 16
+      val j = pr & 0xFFFF
+      scrubChildArrElems(i, j, childRowStartElem(i)(j), childElemPos(i)(j))
+      childElemPos(i)(j) = childRowStartElem(i)(j)
+      k2 += 1
+    }
+    cArrOpen = false
+    cScope = false
+    cFilled = false
+    cPoison = false
   }
 
   private[this] val hasValueFilters = filterAt.exists(_ != null)
@@ -1346,7 +1549,7 @@ final class ColumnarPlate(
     // else it reads null like any container under an atomic lane
     if (resolveTarget()) {
       ensureCapacity()
-      if (!tElem && tKid < 0 && childNames(tIdx) != null) {
+      if (!tElem && !tCA && tKid < 0 && childNames(tIdx) != null) {
         markSeen(tIdx)
         vectors(tIdx).putNotNull(rows) // clear a first binding's null bit
         scrubChildNulls(tIdx)          // last-wins replace
@@ -1381,6 +1584,11 @@ final class ColumnarPlate(
       if (!tElem && tKid < 0 && elemTypes(tIdx) != null) {
         tMark() // dup binding: putNotNull clears a first binding's null
         vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
+      } else if (!tElem && !tCA && tKid >= 0 && childArrElem(tIdx) != null &&
+          childArrElem(tIdx)(tKid) != null) {
+        // `[]` on an ARRAY<atomic> struct child: PRESENT with zero elements
+        tMark()
+        tVec.putArray(tRow, childElemPos(tIdx)(tKid), 0)
       } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
     }
     Signal.Continue
@@ -1569,6 +1777,12 @@ final class ColumnarPlate(
         rowStartElem(c) = elemPos(c)
         k += 1
       }
+      var k2 = 0
+      while (k2 < childArrPairs.length) {
+        val pr = childArrPairs(k2)
+        childRowStartElem(pr >>> 16)(pr & 0xFFFF) = childElemPos(pr >>> 16)(pr & 0xFFFF)
+        k2 += 1
+      }
       rows += 1
       rowCount += 1
     } else {
@@ -1629,18 +1843,23 @@ object ColumnarPlate {
     * shape: elements are rows of the array's struct child, fields write
     * at element offsets) plus TWO-LEVEL structs — STRUCT children may
     * themselves be STRUCT<atomic…> (the user.geo.lat shape; grand lanes
-    * are row-offset vectors like child lanes). Anything deeper (three
-    * struct levels, containers under structs or under element structs,
-    * struct fields inside array elements, non-string map keys,
-    * MAP<_, container>) stays on the row path.
+    * are row-offset vectors like child lanes) — and, since round 15,
+    * ARRAY<atomic> STRUCT CHILDREN (the user.tags / metadata.labels
+    * shape: elements stream into the child array vector's element child
+    * at a per-(col,child) running offset). Anything deeper (three struct
+    * levels, ARRAY<STRUCT> or MAP under struct children, containers under
+    * element structs, struct fields inside array elements, non-string map
+    * keys, MAP<_, container>) stays on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
-      // structs may nest ONE more struct level (round 14): children are
-      // atomic or STRUCT<atomic…> — the user.geo.lat shape
+      // structs may nest ONE more struct level (round 14) or an
+      // ARRAY<atomic> child (round 15): children are atomic,
+      // STRUCT<atomic…>, or ARRAY<atomic>
       case st: StructType => st.nonEmpty && st.fields.forall(c =>
         atomic(c.dataType) || (c.dataType match {
           case g: StructType => g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
+          case at: ArrayType => atomic(at.elementType)
           case _ => false
         }))
       case ArrayType(st: StructType, _) =>

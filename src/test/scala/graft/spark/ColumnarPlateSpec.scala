@@ -322,6 +322,148 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of a STRUCT<…, ARRAY<atomic>> input yields identical batches") {
+    // round 15 (user.tags shape): the full pathology matrix, pinned
+    // against spark.read.json by the round-15 probe — elements stream
+    // into the child array vector's element child; null elements kept;
+    // scalar/object under the array child nulls the FIELD only (failed
+    // binding, struct survives); a conversion-failure or container
+    // element poisons the ARRAY CELL only; `[]` is present-empty;
+    // duplicate child bindings are last-wins with failed-dup-never-
+    // overwrites; a duplicate STRUCT binding replaces wholesale
+    val schema = StructType.fromDDL(
+      "id LONG, s STRUCT<a: LONG, tags: ARRAY<LONG>>, z LONG")
+    val input =
+      """{"id": 1, "s": {"a": 5, "tags": [10, 20]}}""" + "\n" +
+      """{"id": 2, "s": {"a": 6, "tags": []}}""" + "\n" +
+      """{"id": 3, "s": {"a": 7, "tags": null}}""" + "\n" +
+      """{"id": 4, "s": {"a": 8}}""" + "\n" +
+      """{"id": 5, "s": {"tags": [30]}}""" + "\n" +
+      """{"id": 6, "s": {"a": 9, "tags": 42}}""" + "\n" +
+      """{"id": 7, "s": {"a": 10, "tags": {"k": 1}}}""" + "\n" +
+      """{"id": 8, "s": {"a": 11, "tags": [null, 40]}}""" + "\n" +
+      """{"id": 9, "s": {"a": 12, "tags": [50, [60]]}}""" + "\n" +
+      """{"id": 10, "s": {"a": 13, "tags": [70, {"x": 1}]}}""" + "\n" +
+      """{"id": 11, "s": {"a": 14, "tags": [80, "noparse"]}}""" + "\n" +
+      """{"id": 12, "s": {"a": 15, "tags": [90, 0.5]}}""" + "\n" +
+      """{"id": 13, "s": {"a": 16, "tags": [1], "tags": [2, 3]}}""" + "\n" +
+      """{"id": 14, "s": {"a": 17, "tags": [4], "tags": 7}}""" + "\n" +
+      """{"id": 15, "s": {"a": 18, "tags": null, "tags": [5]}}""" + "\n" +
+      """{"id": 16, "s": {"a": 19, "tags": [6], "tags": null}}""" + "\n" +
+      """{"id": 17, "s": null}""" + "\n" +
+      """{"id": 18}""" + "\n" +
+      """{"id": 19, "s": {"tags": [7], "a": 20}}""" + "\n" +
+      """{"id": 20, "s": {"a": 1, "tags": [8]}, "s": {"tags": [9]}}""" + "\n" +
+      """{"id": 21, "s": {"a": 21, "tags": [100, 200], "junk": 1}}"""
+    val bytes = input.getBytes("UTF-8")
+    val L = (v: Long) => java.lang.Long.valueOf(v)
+    def rowOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Any =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val s = b.column(1)
+        val a = if (s.getChild(0).isNullAt(r)) null else L(s.getChild(0).getLong(r))
+        val tags =
+          if (s.getChild(1).isNullAt(r)) null
+          else {
+            val ad = s.getChild(1).getArray(r)
+            (0 until ad.numElements).map(j =>
+              if (ad.isNullAt(j)) null else ad.getLong(j))
+          }
+        (a, tags)
+      }
+    val want = Seq(
+      (1L, (L(5), Seq(10L, 20L))),
+      (2L, (L(6), Seq.empty)),
+      (3L, (L(7), null)),
+      (4L, (L(8), null)),
+      (5L, (null, Seq(30L))),
+      (6L, (L(9), null)),               // scalar under the array child
+      (7L, (L(10), null)),              // object under the array child
+      (8L, (L(11), Seq(null, 40L))),    // null element kept
+      (9L, (L(12), null)),              // container element poisons the cell
+      (10L, (L(13), null)),
+      (11L, (L(14), null)),             // conversion-failure element poisons
+      (12L, (L(15), null)),             // float→long element poisons
+      (13L, (L(16), Seq(2L, 3L))),      // dup child binding: last-wins
+      (14L, (L(17), Seq(4L))),          // failed dup never overwrites
+      (15L, (L(18), Seq(5L))),          // valid over explicit null wins
+      (16L, (L(19), null)),             // explicit null over valid wins
+      (17L, null),
+      (18L, null),
+      (19L, (L(20), Seq(7L))),          // field order immaterial
+      (20L, (null, Seq(9L))),           // dup STRUCT binding replaces wholesale
+      (21L, (L(21), Seq(100L, 200L))))  // unknown sibling keys prune
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), rowOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("a filter-rejected row rewinds its struct-child array writes") {
+    import org.apache.spark.sql.sources.IsNotNull
+    val schema = StructType.fromDDL(
+      "id LONG, k STRING, s STRUCT<tags: ARRAY<LONG>>")
+    val plate = new ColumnarPlate(schema, Array(IsNotNull("k")))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "s": {"tags": [111, 222]}}""" + "\n" +
+      """{"id": 2, "k": "x", "s": {"tags": [5]}}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 1)
+    val ad = b.column(2).getChild(0).getArray(0)
+    assert(ad.numElements == 1 && ad.getLong(0) == 5L,
+      "rejected row's child-array elements leaked into the kept row")
+  }
+
+  test("takeBatch mid-struct-child-array carries the open run over") {
+    val schema = StructType.fromDDL("id LONG, s STRUCT<a: LONG, tags: ARRAY<STRING>>")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    // chunk 1 ends INSIDE row 2's child array: two elements appended
+    raise(p.absorb("""{"id": 1, "s": {"tags": ["x"], "a": 1}}""" + "\n" +
+      """{"id": 2, "s": {"a": 2, "tags": ["p", "q", """))
+    assert(plate.pendingRows == 1)
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    assert(b1.column(1).getChild(1).getArray(0).getUTF8String(0).toString == "x")
+    raise(p.absorb(""""r"]}}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    assert(b2.column(0).getLong(0) == 2L)
+    assert(b2.column(1).getChild(0).getLong(0) == 2L)
+    val ad = b2.column(1).getChild(1).getArray(0)
+    assert(ad.numElements == 3)
+    assert((0 until 3).map(ad.getUTF8String(_).toString) == Seq("p", "q", "r"))
+  }
+
+  test("takeBatch after a CLOSED struct-child array cell of an in-flight row carries it") {
+    val schema = StructType.fromDDL("id LONG, s STRUCT<tags: ARRAY<DOUBLE>, a: LONG>")
+    val plate = new ColumnarPlate(schema, Array.empty)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb("""{"id": 1, "s": {"tags": [0.5], "a": 1}}""" + "\n" +
+      """{"id": 2, "s": {"tags": [1.5, 2.5], """))
+    val b1 = plate.takeBatch()
+    assert(b1.numRows == 1)
+    raise(p.absorb(""""a": 2}}"""))
+    raise(p.finish())
+    val b2 = plate.takeBatch()
+    assert(b2.numRows == 1)
+    assert(b2.column(1).getChild(1).getLong(0) == 2L)
+    val ad = b2.column(1).getChild(0).getArray(0)
+    assert(ad.numElements == 2 && ad.getDouble(0) == 1.5 && ad.getDouble(1) == 2.5)
+  }
+
   test("saturation=false: duplicate array bindings replace (last-wins)") {
     val schema = StructType.fromDDL("id LONG, a ARRAY<LONG>")
     val plate = new ColumnarPlate(schema, Array.empty, saturate = false)

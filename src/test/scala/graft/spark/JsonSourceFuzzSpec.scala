@@ -488,6 +488,108 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** STRUCT<…, ARRAY<atomic>>-pathology corpus for the COLUMNAR
+    * struct-child array lanes (round 15, the user.tags shape): every
+    * shape an ARRAY<atomic> child can take — present, missing, null,
+    * `[]`, scalar/object mismatch (failed binding: field null, struct
+    * survives), null elements, conversion-failure elements (poison the
+    * CELL), container elements (poison for LONG, verbatim capture for
+    * STRING), duplicate child bindings (last-wins / failed-never-
+    * overwrites), duplicate inner keys, long runs. No duplicate
+    * TOP-level bindings (saturation first-wins caveat).
+    */
+  private def structArrayCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def longArr(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "[]"
+        case 2 => s"${rng.nextInt(100)}"                 // scalar mismatch
+        case 3 => s"""{"x": 1}"""                         // object mismatch
+        case 4 => s"[${rng.nextInt(100)}, null]"
+        case 5 => s"""[1, [2], {"y": 3}]"""               // container elements: poison
+        case 6 => s"""[${rng.nextInt(100)}, ${Seq("\"noparse\"", "0.4", "9e3",
+          "9223372036854775809")(rng.nextInt(4))}]"""     // conv failure: poison
+        case _ => Seq.fill(rng.nextInt(6))(rng.nextInt(2000) - 1000)
+          .mkString("[", ", ", "]")
+      }
+      def strArr(): String = rng.nextInt(8) match {
+        case 0 => "null"
+        case 1 => "[]"
+        case 2 => s"${rng.nextInt(100)}"                  // scalar mismatch
+        case _ => Seq.fill(rng.nextInt(4))(rng.nextInt(4) match {
+          // containers into ARRAY<STRING> elements CAPTURE as text
+          case 0 => containerPool(rng.nextInt(containerPool.length))
+          case 1 => rng.nextInt(1000).toString            // numbers coerce
+          case _ => esc(strPool(rng.nextInt(strPool.length)))
+        }).mkString("[", ", ", "]")
+      }
+      if (rng.nextInt(10) > 1) {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (rng.nextInt(10) > 2) parts += s""""tags": ${longArr()}"""
+        if (rng.nextInt(4) == 0) parts += s""""tags": ${longArr()}"""  // dup child binding
+        if (rng.nextInt(10) > 3) parts += s""""lbl": ${strArr()}"""
+        if (rng.nextInt(10) > 3) parts += s""""a": ${rng.nextInt(10) match {
+          case 0 => "null"
+          case 1 => "\"notanumber\""
+          case _ => (rng.nextInt(2000) - 1000).toString
+        }}"""
+        if (rng.nextInt(4) == 0) parts += s""""junkc": {"deep": [1, 2]}"""
+        fields += s""""s": ${
+          if (rng.nextInt(12) == 0) Seq("null", "42", "[1]")(rng.nextInt(3))
+          else rng.shuffle(parts.toSeq).mkString("{", ", ", "}")}"""
+      }
+      if (rng.nextInt(10) > 4)
+        fields += s""""z": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [1, {"deep": [2]}, "three"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("struct-child array corpora go COLUMNAR and read identically to spark.read.json") {
+    val rng = new scala.util.Random(0x57A6C7)
+    val saSchema =
+      "id LONG, s STRUCT<a: LONG, tags: ARRAY<LONG>, lbl: ARRAY<STRING>>, z STRING"
+    val projections = Seq(
+      Seq("id", "s", "z"), Seq("s", "id"), Seq("s.tags", "id"),
+      Seq("s.a", "s.lbl"), Seq("id", "z"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"structarr$trial.jsonl")
+      Files.write(p, structArrayCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(saSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(saSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: struct-child array schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(4) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case 2 => (g0.filter(col("s").isNotNull), j0.filter(col("s").isNotNull))
+        case _ => (g0.filter(col("s.a") > 0), j0.filter(col("s.a") > 0))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(saSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val colAll = g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == colAll, s"trial $trial: row vs columnar diverged")
+    }
+  }
+
   /** ARRAY<STRUCT>-pathology corpus for the COLUMNAR element-struct lanes
     * (round 14): every shape the delivery/log-record column can take —
     * present, missing, null, `[]`, scalar/object mismatch (poison), null
