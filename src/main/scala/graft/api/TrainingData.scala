@@ -1103,8 +1103,10 @@ object TrainingData {
     rewritten
   }
 
-  /** Synthetic change-type column emitted by [[changeFeed]]. */
-  val ChangeTypeCol = "_change_type"
+  /** Synthetic change-type column emitted by [[changeFeed]] and the
+    * `readchangefeed` streaming read (one shared name, Delta's).
+    */
+  val ChangeTypeCol: String = graft.spark.GraftSources.ChangeTypeCol
 
   /** Row-level CHANGE DATA FEED between two commit-log versions — the
     * Delta CDF shape, net-effect semantics: the returned DataFrame is the

@@ -3347,6 +3347,56 @@ object Sources {
                                      s: 'STRUCT(a BIGINT, tags BIGINT[], lbl VARCHAR[])'})
              ORDER BY n_nationkey"""))
 
+  // ---------------------------------------------------------------- q234
+  // STREAMING CHANGE DATA FEED (round 15, Delta CDF streaming-read
+  // shape): `readStream.option("readchangefeed", true)` tails row-level
+  // changes from the commit log — commit-version offsets, adds as
+  // `_change_type='insert'`, per-commit deletion-vector deltas as
+  // 'delete' (pre-image rows via an inverse-selection mask, O(changed
+  // rows)). The gate streams a table's full history (two appends + a
+  // merge-on-read DELETE), APPLIES the feed (net insert−delete per row),
+  // and must reproduce the final snapshot the oracle recomputes from
+  // scratch. Restart/replay, COW refusals, skipchangecommits, and batch-
+  // verb parity are pinned by StreamingChangeFeedSpec.
+  private val q234 = GQuery(
+    "q234_stream_change_feed",
+    "streaming CDF: applied insert/delete feed reproduces the final snapshot",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/cdf_stream_gate"
+      val ckpt = "/tmp/graft_tt/cdf_stream_gate_ckpt"
+      val fsp = new org.apache.hadoop.fs.Path(dir)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val cust = Tables(s, d, "customer").select($"c_custkey", $"c_name")
+      cust.filter($"c_custkey" % 3 =!= 0)
+        .write.format("graft-json").mode("overwrite").save(dir) // v0
+      cust.filter($"c_custkey" % 3 === 0)
+        .write.format("graft-json").mode("append").save(dir)    // v1
+      graft.api.TrainingData.deleteWhereDV(s, dir,
+        "c_custkey BIGINT, c_name STRING", "c_custkey % 7 = 0") // v2: DV delete
+      val q = s.readStream.format("graft-json")
+        .schema("c_custkey BIGINT, c_name STRING, _change_type STRING")
+        .option("readchangefeed", "true")
+        .option("sinceversion", "-1") // full history
+        .load(dir)
+        .writeStream.format("memory").queryName("q234_cdf")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q234_cdf")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+        .filter($"net" === 1)
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey % 7 <> 0
+            ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3618,5 +3668,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
 }

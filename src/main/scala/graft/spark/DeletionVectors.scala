@@ -126,6 +126,31 @@ object DeletionVectors {
 
   object Mask {
     val Empty = new Mask(Array.empty, Array.empty)
+
+    /** Inverse-selection mask (the CDF streaming read): DROP every ordinal
+      * OUTSIDE the given keep-runs (flattened `[s0,e0,s1,e1,…]`,
+      * ascending, disjoint, end-exclusive) — a reader with this mask
+      * keeps exactly the runs' rows. The final drop-run extends to
+      * Long.MaxValue, so files of any length prune everything past the
+      * last kept run.
+      */
+    def keepOnly(flat: Array[Long]): Mask = {
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var prev = 0L
+      var i = 0
+      while (i < flat.length) {
+        val s = flat(i)
+        val e = flat(i + 1)
+        require(s >= prev && e > s, "keepOnly: runs must be ascending and disjoint")
+        if (s > prev) { starts += prev; ends += s }
+        prev = e
+        i += 2
+      }
+      starts += prev
+      ends += Long.MaxValue
+      new Mask(starts.toArray, ends.toArray)
+    }
   }
 
   /** Hadoop-conf key forcing the legacy v1 write format (tests and

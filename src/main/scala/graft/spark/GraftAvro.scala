@@ -428,8 +428,16 @@ class GraftAvroTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftAvro.toSparkSchema(GraftAvro.headerSchema(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val data = GraftAvro.toSparkSchema(GraftAvro.headerSchema(options))
+    // CDF reads append the synthetic change-type column (Delta's shape)
+    if (GraftSources.readChangeFeed(options) &&
+        !data.fieldNames.contains(GraftSources.ChangeTypeCol))
+      StructType(data.fields :+ org.apache.spark.sql.types.StructField(
+        GraftSources.ChangeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = false))
+    else data
+  }
 
   override def getTable(
       schema: StructType,
@@ -653,6 +661,20 @@ final class GraftAvroScan(
       else StructType(required.fields.map(f =>
         if (synthetic.contains(f.name)) f
         else phys.get(f.name).map(ph => f.copy(name = ph)).getOrElse(f)))
+    if (GraftSources.readChangeFeed(options)) {
+      // CDF streaming (round 15): the change-type column rides the
+      // partition-value machinery — see GraftCdfMicroBatchStream
+      require(streamSchema.fieldNames.contains(GraftSources.ChangeTypeCol),
+        s"readChangeFeed: the schema must include the synthetic " +
+          s"'${GraftSources.ChangeTypeCol} STRING' column (or omit the " +
+          "schema to take the table's recorded one)")
+      val cdfPartCols = listing.partCols :+ GraftSources.ChangeTypeCol
+      return new GraftCdfMicroBatchStream(options, checkpointLocation,
+        new GraftAvroReaderFactory(streamSchema, cdfPartCols,
+          countStar = false, absentOkFields(phys),
+          new SerializableConfiguration(GraftSources.activeHadoopConf())),
+        listing.partCols)
+    }
     new GraftAvroMicroBatchStream(streamSchema, absentOkFields(phys),
       options, checkpointLocation, listing.partCols)
   }
@@ -1092,7 +1114,8 @@ final class GraftAvroPartitionReader(
         if (pc < part.partValues.length) part.partValues(pc) else null))
   }
   private val mask =
-    if (part.dv == null) DeletionVectors.Mask.Empty
+    if (part.dvKeepRuns != null) DeletionVectors.Mask.keepOnly(part.dvKeepRuns)
+    else if (part.dv == null) DeletionVectors.Mask.Empty
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   // whole-file record ordinal of the LAST returned record: whole-file
   // partitions count from 0; block-aligned ranges start at the planner-

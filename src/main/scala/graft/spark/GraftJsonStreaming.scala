@@ -309,6 +309,176 @@ abstract class WholeFileMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/** Row-level CHANGE-DATA-FEED micro-batch streaming over a logged graft
+  * table (round 15 — `readStream.option("readchangefeed", true)`, the
+  * Delta CDF streaming-read shape). Offsets are COMMIT-LOG VERSIONS;
+  * each trigger admits whole commits in commit order and emits their
+  * row-level changes with a `_change_type` column stamped through the
+  * partition-value machinery:
+  *
+  *   - `f` add actions → the added files' rows as `insert` (plain
+  *     whole-file reads — a file is clean at its add commit);
+  *   - `d` deletion-vector attachments → the file's mask DELTA vs its
+  *     previous vector as `delete`, read from the immutable pre-image
+  *     keeping exactly the delta ordinals (an inverse-selection mask —
+  *     O(changed rows), unchanged files never scanned);
+  *   - commits carrying `r` removes (COW rewrites, OPTIMIZE, RESTORE)
+  *     are inexpressible as row-level changes and REFUSE loudly, exactly
+  *     like the batch verb ([[graft.api.TrainingData.changeFeed]]);
+  *     `option("skipchangecommits", "true")` skips them whole (Delta's
+  *     dial, explicit opt-in);
+  *   - schema-only commits contribute no rows.
+  *
+  * Replay-idempotent by construction: the partitions for a version
+  * window (start, end] are a pure function of the log, so a restarted
+  * query re-plans the identical batch. A start version that expired
+  * (expireLogHistory) refuses loudly through liveStateAsOf's rail — a
+  * full refresh from a fresh checkpoint is required. Vectors are
+  * cumulative outside restores: a mask that SHRANK at a non-restore
+  * commit fails the corruption rail (batch-verb parity).
+  *
+  * `option("sinceversion", v)` starts the feed after version v
+  * (exclusive, batch-verb parity); `-1` streams the full history from
+  * the table's creation (every add since version 0 surfaces as inserts);
+  * default = the latest version at stream start (only new commits).
+  */
+final class GraftCdfMicroBatchStream(
+    options: CaseInsensitiveStringMap,
+    checkpointLocation: String,
+    factory: PartitionReaderFactory,
+    partCols: Seq[String]) // REAL partition columns; change type is appended
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val rootsQ = GraftSources.qualifiedRoots(options)
+  require(rootsQ.length == 1,
+    s"readChangeFeed needs exactly one root directory, got ${rootsQ.length}")
+  private val root = new org.apache.hadoop.fs.Path(rootsQ.head)
+  private val fs = root.getFileSystem(GraftSources.activeHadoopConf())
+  private val log = GraftCommitLog
+  private val skipChange =
+    "true".equalsIgnoreCase(Option(options.get("skipchangecommits")).getOrElse(""))
+  private val maxCommits: Int =
+    Option(options.get("maxcommitspertrigger")).map(_.toInt).getOrElse(Int.MaxValue)
+  private var availableNowCap: Long = Long.MinValue
+
+  private def pvFor(absPath: String, changeType: String): Array[String] =
+    GraftSources.partValuesForFile(absPath, rootsQ, partCols) :+ changeType
+
+  override def initialOffset(): Offset = {
+    val vs = log.versions(fs, root)
+    require(vs.nonEmpty,
+      s"readChangeFeed: no graft commit log under $root " +
+        "(only graft batch sinks write .graft-log)")
+    val since = Option(options.get("sinceversion")).map(_.toLong).getOrElse(vs.max)
+    require(since == -1L || vs.contains(since),
+      s"readChangeFeed sinceversion=$since: unknown version " +
+        s"(available: ${vs.min}..${vs.max}, or -1 for the full history)" +
+        (if (since < vs.min && since >= 0) " — history expired " +
+          "(expireLogHistory); a full refresh is required" else ""))
+    GraftStreamOffset(since)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // sign-preserving: -1 (full history) is a legal checkpointed offset
+    val pos = json.replaceAll("[^0-9-]", "")
+    GraftStreamOffset(if (pos.isEmpty || pos == "-") 0L else pos.toLong)
+  }
+
+  private def latestVersion(): Long = {
+    val vs = log.versions(fs, root)
+    val t = if (vs.isEmpty) Long.MinValue else vs.max
+    if (availableNowCap != Long.MinValue) math.min(t, availableNowCap) else t
+  }
+
+  override def latestOffset(): Offset = GraftStreamOffset(latestVersion())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[GraftStreamOffset].pos
+    val avail = latestVersion()
+    if (avail <= start) return GraftStreamOffset(start)
+    val pending = log.versions(fs, root).filter(v => v > start && v <= avail)
+    val admitted = pending.take(maxCommits)
+    GraftStreamOffset(if (admitted.isEmpty) start else admitted.max)
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(latestVersion())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val vs = log.versions(fs, root)
+    availableNowCap = if (vs.isEmpty) Long.MinValue else vs.max
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].pos
+    val e = end.asInstanceOf[GraftStreamOffset].pos
+    if (e <= s) return Array.empty
+    val conf = GraftSources.activeHadoopConf()
+    val vs = log.versions(fs, root)
+    // the fold base: live state at the last processed version — expired
+    // history refuses loudly through liveStateAsOf's rail (batch parity)
+    var state: Map[String, String] =
+      if (s < 0) Map.empty else log.liveStateAsOf(fs, root, s)
+    def maskOf(name: String, target: String): DeletionVectors.Mask =
+      if (name == null) DeletionVectors.Mask.Empty
+      else DeletionVectors.readMask(conf,
+        DeletionVectors.artifactPath(root, name), target)
+    val parts = Array.newBuilder[InputPartition]
+    vs.filter(v => v > s && v <= e).foreach { v =>
+      val acts = log.entryActionsAwait(fs, root, v)
+      val removes = acts.filter(_.kind == 'r')
+      if (removes.nonEmpty && !skipChange)
+        throw new IllegalStateException(
+          s"readChangeFeed: commit $v under $root retires ${removes.size} " +
+            s"file(s) (COW rewrite / OPTIMIZE / RESTORE, e.g. " +
+            s"'${removes.head.path}') — a rewrite moves rows it did not " +
+            "logically change, which a row-level feed cannot express; " +
+            "restart from a fresh checkpoint for a full refresh, or set " +
+            "option(\"skipchangecommits\", \"true\") to skip such commits whole")
+      if (removes.isEmpty) acts.foreach { a =>
+        a.kind match {
+          case 'f' =>
+            val p = fs.makeQualified(new org.apache.hadoop.fs.Path(root, a.path))
+            val len = fs.getFileStatus(p).getLen
+            parts += GraftSources.wholeFilePartition(
+              p.toString, len, pvFor(p.toString, "insert"))
+          case 'd' =>
+            val prevMask = maskOf(state.getOrElse(a.path, null), a.path)
+            val newMask = maskOf(a.dv, a.path)
+            require(prevMask.minus(newMask).isEmpty,
+              s"readChangeFeed: the deletion vector for '${a.path}' SHRANK " +
+                s"at commit $v with no restore — vectors are cumulative " +
+                "outside restores; the artifacts disagree with the merge contract")
+            val delta = newMask.minus(prevMask)
+            if (delta.nonEmpty) {
+              val p = fs.makeQualified(new org.apache.hadoop.fs.Path(root, a.path))
+              val len = fs.getFileStatus(p).getLen
+              parts += GraftSources.wholeFilePartition(
+                  p.toString, len, pvFor(p.toString, "delete"))
+                .copy(dvKeepRuns = delta.flatMap(r => Seq(r._1, r._2)).toArray)
+            }
+          case _ => ()
+        }
+      }
+      // roll the live state forward through this commit (skipped change
+      // commits still advance it, so later deltas diff the right base)
+      acts.foreach { a =>
+        a.kind match {
+          case 'f' => state = state.updated(a.path, null)
+          case 'r' => state = state - a.path
+          case 'd' => state = state.updated(a.path, a.dv)
+          case _   => ()
+        }
+      }
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 /** CSV micro-batch streaming — whole-file admission (quoted row
   * delimiters preclude byte-offset splits).
   */

@@ -705,6 +705,17 @@ object GraftSources {
     */
   final val RowIndexCol = "_graft_row_index"
 
+  /** Synthetic change-type column of CDF reads (batch changeFeed and the
+    * readchangefeed stream) — Delta's `_change_type` name.
+    */
+  final val ChangeTypeCol = "_change_type"
+
+  /** `option("readchangefeed", "true")`: the streaming scan tails
+    * row-level changes from the commit log instead of reading snapshots.
+    */
+  def readChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("readchangefeed", false)
+
   /** Comma-join a root-relative file list for the `restrictfiles` /
     * `commitremoves` options. New writes %2C-escape ',' in partition
     * values, but a PRE-v2 layout already on disk may carry a literal
@@ -941,7 +952,11 @@ final case class GraftInputPartition(
     // the range's first row's whole-file ORDINAL (derived from the
     // sidecar's exact per-block row counts): lets deletion-vector masks
     // and withRowIndex stamps stay exact over block-pruned ranges
-    startOrd: Long = 0L)
+    startOrd: Long = 0L,
+    // inverse selection (the CDF streaming read): when set, the reader
+    // KEEPS exactly the flattened [s,e) ordinal runs and drops everything
+    // else (a Mask.keepOnly drop-complement); mutually exclusive with dv
+    dvKeepRuns: Array[Long] = null)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -998,7 +1013,16 @@ class GraftJsonTableProvider extends TableProvider with DataSourceRegister {
         Seq(org.apache.spark.sql.types.StructField(
           GraftSources.RowIndexCol, org.apache.spark.sql.types.LongType))
       else Nil
-    StructType(data.fields ++ partExtra ++ withIdx)
+    // CDF reads append the synthetic change-type column (Delta's shape);
+    // schemaless readStream over a logged table gets writer types + it
+    val withCdf =
+      if (GraftSources.readChangeFeed(options) &&
+          !data.fieldNames.contains(GraftSources.ChangeTypeCol))
+        Seq(org.apache.spark.sql.types.StructField(
+          GraftSources.ChangeTypeCol, org.apache.spark.sql.types.StringType,
+          nullable = false))
+      else Nil
+    StructType(data.fields ++ partExtra ++ withIdx ++ withCdf)
   }
 
   override def getTable(
@@ -1549,7 +1573,9 @@ final class GraftScan(
     // path exactly like the batch listing's walk; the readers stamp them
     // through the same partSpec machinery. Partition columns keep
     // LOGICAL names (they are synthetic, never in data files).
-    val streamPartCols = listing.partCols
+    val cdf = GraftSources.readChangeFeed(options)
+    val streamPartCols = listing.partCols ++
+      (if (cdf) Seq(GraftSources.ChangeTypeCol) else Nil)
     // column mapping: streaming readers parse PHYSICAL keys too (rows
     // are positional); renamed-column filters stay residual-only.
     // Partition-column filters are planning/residual concerns — the
@@ -1562,6 +1588,23 @@ final class GraftScan(
     val streamFilters = filters
       .filterNot(_.references.exists(physMap.contains))
       .filterNot(_.references.exists(streamPartCols.contains))
+    if (cdf) {
+      // the change-type column rides the partition-value machinery: the
+      // CDF stream appends 'insert'/'delete' to each partition's values
+      require(streamSchema.fieldNames.contains(GraftSources.ChangeTypeCol),
+        s"readChangeFeed: the schema must include the synthetic " +
+          s"'${GraftSources.ChangeTypeCol} STRING' column (or omit the " +
+          "schema to take the table's recorded one)")
+      val partSpec = GraftSources.partSpecFor(streamSchema, streamPartCols)
+      val conf = new SerializableConfiguration(GraftSources.activeHadoopConf())
+      val factory: PartitionReaderFactory =
+        if (isJson) new GraftJsonReaderFactory(streamSchema, streamFilters, conf,
+          GraftSources.jsonMode(options.asCaseSensitiveMap()), partSpec = partSpec)
+        else new GraftCsvReaderFactory(streamSchema, streamFilters, conf,
+          GraftSources.csvConfig(options.asCaseSensitiveMap()), partSpec = partSpec)
+      return new GraftCdfMicroBatchStream(options, checkpointLocation, factory,
+        listing.partCols)
+    }
     if (isJson)
       new GraftJsonMicroBatchStream(streamSchema, streamFilters, options,
         GraftSources.jsonMode(options.asCaseSensitiveMap()), checkpointLocation,
@@ -2654,7 +2697,8 @@ final class GraftJsonColumnarReader(
   // merge-on-read deletes compose; the scan pinned badrecords=fail for
   // dv snapshots (a malformed-row drop has no such accounting).
   private val dvMask: DeletionVectors.Mask =
-    if (part.dv == null) null
+    if (part.dvKeepRuns != null) DeletionVectors.Mask.keepOnly(part.dvKeepRuns)
+    else if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   // recovery keeps the SAME plate (its buffered batch holds completed
   // rows); only the parser restarts — the plate's row state resets via
@@ -2708,7 +2752,8 @@ final class GraftCsvColumnarReader(
   // plate, and plate filters run under the mask (the plate counts
   // filter-skipped rows' ordinals itself)
   private val dvMask: DeletionVectors.Mask =
-    if (part.dv == null) null
+    if (part.dvKeepRuns != null) DeletionVectors.Mask.keepOnly(part.dvKeepRuns)
+    else if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   private val plate =
     new ColumnarPlate(schema, filters,
@@ -2774,7 +2819,8 @@ final class GraftJsonPartitionReader(
   // O(runs) memory however many rows are masked; rows arrive in file
   // order, so the mask's pointer walk is O(1) amortized
   private val dvMask: DeletionVectors.Mask =
-    if (part.dv == null) null
+    if (part.dvKeepRuns != null) DeletionVectors.Mask.keepOnly(part.dvKeepRuns)
+    else if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   @inline private def masked(ord: Long): Boolean =
     dvMask != null && dvMask.masked(ord)
@@ -2992,7 +3038,8 @@ final class GraftCsvPartitionReader(
   private var rowOrdinal = part.startOrd
   // deletion vector (see the JSON reader): ascending mask + one pointer
   private val dvMask: DeletionVectors.Mask =
-    if (part.dv == null) null
+    if (part.dvKeepRuns != null) DeletionVectors.Mask.keepOnly(part.dvKeepRuns)
+    else if (part.dv == null) null
     else DeletionVectors.readMask(conf, new Path(part.dv), part.dvTarget)
   // plate filters run under masks/provenance too: the plate counts the
   // rows it drops and the emission folds them into the ordinal (each
