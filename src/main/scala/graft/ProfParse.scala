@@ -38,6 +38,14 @@ object ProfParse {
       println(f"skip off ${r.offMbps}%.1f MB/s, on ${r.onMbps}%.1f MB/s, speedup ${r.speedup}%.2f")
       return
     }
+    if (args.contains("skip7")) {
+      // the BENCH's own statistic: median paired ratio over 7 isolated
+      // classloader rounds (JIT-luck cancels within a round)
+      val (r, csv) = SkipBench.runIsolatedRounds(7)
+      println(f"skip7 off ${r.offMbps}%.1f MB/s, on ${r.onMbps}%.1f MB/s, " +
+        f"median speedup ${r.speedup}%.2f (csv $csv%.1f)")
+      return
+    }
     if (args.contains("bound")) {
       // skip-machinery ceiling: SkipAllCountPlate byte-skips every value of
       // the skip corpus (no schema, no emit) — the max the scanner can do

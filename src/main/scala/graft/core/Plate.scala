@@ -30,6 +30,16 @@ package graft.core
   */
 trait KeyProbe {
   def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean
+
+  /** Opt back into the pre-round-15 BLIND saturation tail skip
+    * (`option("saturation", "fast")`): once a row saturates, its tail is
+    * byte-skipped in one aggregate scan without key inspection — maximum
+    * projection-skip throughput, at the documented cost that duplicate
+    * keys after saturation keep the FIRST value (spark.read.json is
+    * last-wins). Default false: the tail is consumed by the chained key
+    * cruise, which re-parses schema-key duplicates (exact parity).
+    */
+  def fastSaturationTail: Boolean = false
 }
 
 /** Optional plate capability — verbatim raw-text capture of container

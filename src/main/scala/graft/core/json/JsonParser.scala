@@ -223,12 +223,24 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       die(curr, "parse terminated by consumer (Signal.Terminate)")
 
   /** Saturation pushdown: the plate has every value it needs from this
-    * row — byte-skip the remaining fields in one scan (same machinery as
-    * SkipRow) and then KEEP the row (finishRow fires after the skip).
+    * row. At ROW depth with a key probe available (the production
+    * plates), the tail is consumed by the CHAINED KEY CRUISE instead of
+    * a blind row skip (round 15): unwanted keys take the same inline
+    * skip path as pre-saturation fields, while a DUPLICATE of a schema
+    * key falls out of the cruise into the ordinary parse — so late
+    * rebindings stay last-wins, exactly like `spark.read.json` (this
+    * retired the "post-saturation duplicate keys keep the FIRST value"
+    * divergence; tail validation remains best-effort — container values
+    * under unwanted keys still skip structurally unvalidated). Deeper
+    * saturation points (inside an open container) keep the one-scan
+    * byte skip — duplicates cannot rebind mid-container at row depth
+    * until the container closes, and the cruise resumes from PhAfter.
     */
   private[this] var finishAfterRowSkip = false
   private[this] def beginFinishRowSkip(): Unit =
-    if (depth > 0) { // at depth 0 the row is already complete: nothing to do
+    if (depth == 1 && cruiseProbe != null && !cruiseProbe.fastSaturationTail) {
+      () // phase machine continues: PhAfter → ',' → chained cruise
+    } else if (depth > 0) { // at depth 0 the row is already complete
       finishAfterRowSkip = true
       skipMode = SkipRowMode
       skipPhase = SkContainer

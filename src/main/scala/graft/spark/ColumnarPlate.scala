@@ -61,8 +61,12 @@ final class ColumnarPlate(
     // masked rows themselves.
     mask: DeletionVectors.Mask = null,
     // first parsed row's whole-file ordinal (block-pruned aligned ranges)
-    maskStartOrd: Long = 0L) extends Plate[Long] with KeyProbe
+    maskStartOrd: Long = 0L,
+    // option("saturation","fast"): blind tail skip, first-wins dup caveat
+    fastSatTail: Boolean = false) extends Plate[Long] with KeyProbe
     with graft.core.RawValueCapture {
+  override def fastSaturationTail: Boolean = fastSatTail
+
   // Deletion masks and plate filters COMBINE (round 11): every row's
   // ordinal is counted exactly once, at finishRow — filter rejection
   // also happens there (round 14), so filter-dropped rows never shift

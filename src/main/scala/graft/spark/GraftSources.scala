@@ -1983,13 +1983,20 @@ final class GraftScan(
     val keepMalformed = "keep".equalsIgnoreCase(badrecords) ||
       "permissive".equalsIgnoreCase(badrecords)
     val dropMalformed = "drop".equalsIgnoreCase(badrecords) || keepMalformed
-    // saturation pushdown (byte-skip the row tail once every schema column
-    // is bound) trades two parity points for speed: duplicate keys after
-    // saturation keep the FIRST value (unsaturated rows keep last-wins,
-    // matching spark.read.json), and in badrecords=fail mode structural
-    // errors in the skipped tail go undetected. option("saturation","false")
-    // restores exact parity/strict validation at full-parse cost.
-    val saturate = options.getBoolean("saturation", true)
+    // saturation pushdown (skip the row tail once every schema column is
+    // bound). Since round 15 the DEFAULT tail is consumed by the chained
+    // key cruise — duplicate keys stay last-wins (spark parity) and
+    // key-position structure is validated; container values under
+    // unwanted keys still byte-skip unvalidated (SkipColumn's documented
+    // elision). option("saturation","fast") restores the pre-round-15
+    // BLIND one-scan tail (max skip throughput; dup keys after saturation
+    // keep the FIRST value — measured ~12% on the paired skip ratio);
+    // option("saturation","false") disables the pushdown entirely
+    // (strict tail validation at full-parse cost).
+    val satOpt = Option(options.get("saturation"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("true")
+    val saturate = satOpt != "false"
+    val fastSatTail = satOpt == "fast"
     if (countStar)
       new GraftCountReaderFactory(conf,
         if (isJson) Some(GraftSources.jsonMode(options.asCaseSensitiveMap())) else None,
@@ -2005,7 +2012,8 @@ final class GraftScan(
             limit = limit, partSpec = partSpec,
             corruptCol = if (keepMalformed) GraftSources.corruptColumn(options) else null,
             saturate = saturate, rowIdxSlot = rowIdxSlot,
-            vectorized = options.getBoolean("vectorized", true))
+            vectorized = options.getBoolean("vectorized", true),
+            fastSatTail = fastSatTail)
         else {
           // byte-range splits past 0 cannot re-read the file's header row:
           // hand them the column order (the data part of the table schema)
@@ -2070,12 +2078,14 @@ final class GraftJsonReaderFactory(
     rowIdxSlot: Int = -1,
     // option("vectorized","false"): row-path force for A/B benches and
     // debugging — identical semantics, InternalRow delivery
-    vectorized: Boolean = true)
+    vectorized: Boolean = true,
+    fastSatTail: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec, corruptCol, saturate, rowIdxSlot)
+      dropMalformed, limit, partSpec, corruptCol, saturate, rowIdxSlot,
+      fastSatTail = fastSatTail)
 
   // flat atomic schemas — plus one-level structs, arrays of atomics, and
   // MAP<STRING, atomic> (ColumnarPlate.supports) — take the vectorized
@@ -2092,7 +2102,7 @@ final class GraftJsonReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec, saturate)
+      dropMalformed, limit, partSpec, saturate, fastSatTail = fastSatTail)
 }
 
 final class GraftCsvReaderFactory(
@@ -2687,7 +2697,8 @@ final class GraftJsonColumnarReader(
     dropMalformed: Boolean = false,
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
-    saturate: Boolean = true)
+    saturate: Boolean = true,
+    fastSatTail: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // deletion-vector mask (whole-file partition): the plate drops masked
@@ -2709,7 +2720,7 @@ final class GraftJsonColumnarReader(
       // drop mode needs full per-row validation: no saturation elision
       plate = new ColumnarPlate(schema, filters,
         saturate = saturate && !dropMalformed, mask = dvMask,
-        maskStartOrd = part.startOrd)
+        maskStartOrd = part.startOrd, fastSatTail = fastSatTail)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -2801,7 +2812,8 @@ final class GraftJsonPartitionReader(
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     corruptCol: String = null,
     saturate: Boolean = true,
-    rowIdxSlot: Int = -1)
+    rowIdxSlot: Int = -1,
+    fastSatTail: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -2881,7 +2893,8 @@ final class GraftJsonPartitionReader(
         // corrupt-capture / drop modes need full per-row validation, which
         // the saturation skip's error-check elision would subvert
         rowPlate = new RowPlate(schema, filters, r => emit(r),
-          saturate = saturate && !dropMalformed && corruptCol == null)
+          saturate = saturate && !dropMalformed && corruptCol == null,
+          fastSatTail = fastSatTail)
         rowPlate
     }
     new JsonParser(plate, mode)

@@ -46,8 +46,12 @@ final class RowPlate(
     // CSV semantics: an empty cell is NULL (Spark's csv nullValue default
     // and DuckDB's read_csv behavior), unlike JSON where "" is a real
     // string value. Set by the CSV reader only.
-    emptyCellsAsNull: Boolean = false) extends Plate[Long] with KeyProbe
+    emptyCellsAsNull: Boolean = false,
+    // option("saturation","fast"): blind tail skip, first-wins dup caveat
+    fastSatTail: Boolean = false) extends Plate[Long] with KeyProbe
     with graft.core.RawValueCapture {
+  override def fastSaturationTail: Boolean = fastSatTail
+
 
   // frame kinds
   private final val KEmpty = 0

@@ -151,10 +151,9 @@ class ColumnarPlateSpec extends AnyFunSuite {
       (7L, null),               // object under an array column
       // container elements POISON the array (spark partial-results parity)
       (8L, null),
-      // duplicate binding AFTER the row saturates keeps the FIRST value
-      // (the documented saturation caveat, row-path parity); the
-      // saturation=false plate below restores last-wins
-      (9L, Seq(1L)),
+      // duplicate bindings are last-wins even past saturation (round 15:
+      // the cruise-consumed tail re-parses schema-key duplicates)
+      (9L, Seq(8L, 9L)),
       (10L, null), // conversion-failure element poisons too
       (11L, Seq(12L, 13L))) // ...and the next row's array is unaffected
     (0 to bytes.length).foreach { i =>
@@ -297,10 +296,9 @@ class ColumnarPlateSpec extends AnyFunSuite {
       (10L, Seq((null, "g"))),          // object under a field: field null only
       (11L, Seq((null, "h"))),          // array under a field: field null only
       (12L, Seq((L(44), "i"))),         // dup field key: last-wins
-      // dup binding AFTER the row saturates (id+xs = all schema columns):
-      // byte-skipped, first-wins — the documented saturation caveat; the
-      // saturation=false test below restores last-wins
-      (13L, Seq((L(1), null))),
+      // dup binding past saturation: last-wins (round 15 — the tail
+      // cruise re-parses schema-key duplicates; `z` is an unknown key)
+      (13L, Seq((L(2), null))),
       (14L, Seq.empty),
       (15L, null),
       (16L, null),

@@ -759,29 +759,44 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.recentProgress.length >= 4, "expected one micro-batch per file")
   }
 
-  test("option saturation=false restores last-wins duplicates and strict tails") {
-    // duplicate key AFTER the schema saturates: default keeps the first
-    // binding (the tail is byte-skipped); saturation=false parses the
-    // whole row and keeps Spark's last-wins
+  test("duplicate keys past saturation are last-wins in BOTH modes (round 15)") {
+    // the saturated tail is consumed by the chained key cruise, so a
+    // duplicate of a schema key re-enters the ordinary parse — last-wins
+    // like spark.read.json in default mode too (the old first-wins
+    // divergence is retired); saturation=false remains the strict-tail
+    // validation dial
     val p = write("satopt.json", """{"a": 1, "b": 2, "a": 9}""" + "\n")
     def readA(opts: Map[String, String]): Long = {
       var r = spark.read.format("graft-json").schema("a LONG, b LONG")
       opts.foreach { case (k, v) => r = r.option(k, v) }
       r.load(p).collect().head.getLong(0)
     }
-    assert(readA(Map.empty) == 1L)
+    assert(readA(Map.empty) == 9L)
     assert(readA(Map("saturation" -> "false")) == 9L)
-    // structural garbage after saturation: default (fail mode) is
-    // best-effort on the skipped tail; saturation=false reports it
+    // the documented opt-in: "fast" restores the pre-round-15 blind tail
+    // skip (max skip throughput; first value wins past saturation)
+    assert(readA(Map("saturation" -> "fast")) == 1L)
+    // KEY-structure garbage in the tail is now reported in default mode
+    // too (the cruise walks keys); garbage INSIDE an unwanted key's
+    // container value stays best-effort (the value byte-skips) — the
+    // remaining, narrower tail-validation elision
     val bad = write("satopt_bad.json", """{"a": 1, "b": 2, zzz}""" + "\n")
-    def rows(opts: Map[String, String]): Int = {
+    def rows(path: String, opts: Map[String, String]): Int = {
       var r = spark.read.format("graft-json").schema("a LONG, b LONG")
       opts.foreach { case (k, v) => r = r.option(k, v) }
-      r.load(bad).collect().length
+      r.load(path).collect().length
     }
-    assert(rows(Map.empty) == 1) // tolerated: tail was byte-skipped
-    val e = intercept[Exception] { rows(Map("saturation" -> "false")) }
-    assert(e.getMessage != null)
+    assert(intercept[Exception] { rows(bad, Map.empty) }.getMessage != null)
+    assert(intercept[Exception] {
+      rows(bad, Map("saturation" -> "false")) }.getMessage != null)
+    // garbage INSIDE an unknown key's value is byte-skipped by PROJECTION
+    // pushdown in both modes (SkipColumn elides validation by design —
+    // the reference's error-check elision); only key-position structure
+    // is validated by the cruise/parse
+    val badInner = write("satopt_bad_inner.json",
+      """{"a": 1, "b": 2, "zz": {"q" 5 "w"}}""" + "\n")
+    assert(rows(badInner, Map.empty) == 1)
+    assert(rows(badInner, Map("saturation" -> "false")) == 1)
   }
 
   test("temporal round-trip: timestamps/dates survive both sinks and spark.read") {

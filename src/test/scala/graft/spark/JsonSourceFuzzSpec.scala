@@ -28,6 +28,12 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // the ORACLE's own json filter pushdown crashes on duplicate keys
+      // (JsonFilters.skipRow: "Predicate reference counter cannot be
+      // negative" — its refcount assumes each key binds once); disable it
+      // so spark evaluates filters post-parse. Our source ignores this
+      // conf, so the graft-side pushdown stays fully exercised.
+      .config("spark.sql.json.filterPushdown.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -92,6 +98,12 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       // unknown keys the schema prunes (the cruise/skip path)
       if (rng.nextInt(3) == 0)
         fields += s""""junk${rng.nextInt(5)}": {"deep": [1, "two", {"three": 3.0}]}"""
+      // duplicate ROW-LEVEL bindings (round 15): last-wins holds in
+      // default mode — the saturated tail cruises and re-parses them
+      if (rng.nextInt(8) == 0)
+        fields += s""""s": ${esc("dup" + rng.nextInt(10))}"""
+      if (rng.nextInt(10) == 0)
+        fields += s""""d": ${(rng.nextDouble() * 10).toString}"""
       sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
     }
     sb.toString
@@ -236,14 +248,11 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * null, `{}`, scalar/array mismatch, missing/extra/duplicate children,
     * deeper nesting under a child, duplicate whole-struct bindings.
     *
-    * `dupBindings` gates duplicate ROW-LEVEL keys: saturation (the
-    * headline skip optimization, row AND columnar paths alike) stops
-    * reading a row once every schema column is filled, so a duplicate
-    * binding AFTER the row saturates is unobservable — spark.read.json's
-    * last-wins applies only to duplicates it still reads. The
-    * spark-parity test therefore excludes them; the row-vs-columnar
-    * parity test includes them (both graft paths must agree with each
-    * other on the degenerate input).
+    * `dupBindings` draws duplicate ROW-LEVEL keys. Since round 15 the
+    * saturated row tail is consumed by the chained key cruise — a
+    * duplicate of a schema key re-enters the ordinary parse, so
+    * last-wins holds in DEFAULT mode and the spark-parity tests include
+    * duplicates (the old first-wins caveat is retired).
     */
   private def nestedCorpus(rng: scala.util.Random, rows: Int,
       dupBindings: Boolean): String = {
@@ -293,7 +302,7 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("id", "s", "n"), Seq("n", "id"), Seq("n.x", "id"), Seq("n.y", "n.x"), Seq("id"))
     for (trial <- 1 to 10 * SoakX.x) {
       val p = dir.resolve(s"nested$trial.jsonl")
-      Files.write(p, nestedCorpus(rng, 150, dupBindings = false).getBytes(UTF_8))
+      Files.write(p, nestedCorpus(rng, 150, dupBindings = true).getBytes(UTF_8))
       val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
       val g0 = spark.read.format("graft-json").schema(nestedSchema)
         .option("maxsplitbytes", split).load(p.toString)
@@ -406,8 +415,8 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * take — missing/null/scalar/array under the inner struct, `{}`,
     * per-grandchild pathologies (missing, null, conversion failure,
     * container), duplicate inner bindings, duplicate grandchild keys,
-    * unknown keys at both levels. No duplicate TOP-level bindings
-    * (saturation first-wins caveat — the dup-binding test covers those).
+    * unknown keys at both levels. Top-level duplicates are covered by
+    * the flat corpus and the dup-binding test (last-wins, round 15).
     */
   private def twoLevelCorpus(rng: scala.util.Random, rows: Int): String = {
     val sb = new StringBuilder
@@ -495,8 +504,7 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * survives), null elements, conversion-failure elements (poison the
     * CELL), container elements (poison for LONG, verbatim capture for
     * STRING), duplicate child bindings (last-wins / failed-never-
-    * overwrites), duplicate inner keys, long runs. No duplicate
-    * TOP-level bindings (saturation first-wins caveat).
+    * overwrites), duplicate inner keys, long runs.
     */
   private def structArrayCorpus(rng: scala.util.Random, rows: Int): String = {
     val sb = new StringBuilder
@@ -808,13 +816,12 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       "row 4: clean integers are unaffected")
   }
 
-  test("saturation=false: columnar, row, and spark.read.json agree on duplicate bindings") {
-    // duplicate ROW-LEVEL bindings after the row saturates are skipped by
-    // design (documented first-wins caveat, both engines); with
-    // option("saturation","false") the full parse restores exact
-    // last-wins parity — asserted here across the COLUMNAR struct lanes,
-    // the ROW path (withrowindex forces it; its extra never-filled column
-    // disables saturation anyway), and spark.read.json
+  test("duplicate bindings: columnar, row, and spark.read.json agree (both modes)") {
+    // round 15: duplicate ROW-LEVEL bindings are last-wins in DEFAULT
+    // mode too (the saturated tail cruises and re-parses schema-key
+    // duplicates) — asserted across the COLUMNAR struct lanes, the ROW
+    // path (withrowindex forces it), spark.read.json, and both
+    // saturation settings
     val rng = new scala.util.Random(0xD0B1E5)
     val nestedSchema = "id LONG, s STRING, n STRUCT<x: LONG, y: STRING>"
     for (trial <- 1 to 6 * SoakX.x) {
@@ -823,6 +830,10 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val colPath = spark.read.format("graft-json").schema(nestedSchema)
         .option("saturation", "false").load(p.toString)
       assert(colPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      // round 15: DEFAULT mode (saturation ON) keeps last-wins too — the
+      // cruise-consumed tail re-parses schema-key duplicates
+      val colDefault = spark.read.format("graft-json").schema(nestedSchema)
+        .load(p.toString)
       // the row index must stay in the projection or pruning drops it and
       // the scan re-admits the columnar path
       val rowPath = spark.read.format("graft-json")
@@ -842,6 +853,10 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a == c, s"trial $trial: columnar vs spark.read.json diverged\n" +
         a.zip(c).find { case (x, y) => x != y }.map { case (x, y) =>
           s"first diff:\n  columnar: $x\n  spark: $y" }.getOrElse(""))
+      val aDef = colDefault.collect().map(_.toString).sorted.toSeq
+      assert(aDef == c, s"trial $trial: DEFAULT-mode dup bindings diverged from spark\n" +
+        aDef.zip(c).find { case (x, y) => x != y }.map { case (x, y) =>
+          s"first diff:\n  default: $x\n  spark: $y" }.getOrElse(""))
 
       // PUSHED filters on duplicate-binding corpora (round 14): filter
       // verdicts are decided at finishRow over FINAL values, so pushdown

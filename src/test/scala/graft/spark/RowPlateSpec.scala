@@ -176,14 +176,23 @@ class RowPlateSpec extends AnyFunSuite {
     assert(v(rows(13)) == null, "explicit null overwrites the array")
   }
 
-  test("duplicate keys: saturation keeps the first, open rows take the last") {
-    // schema saturated by the first `a`: the duplicate is byte-skipped
-    // with the rest of the row (Signal.FinishRow) — first value wins
+  test("duplicate keys are last-wins even past saturation (round 15)") {
+    // the schema saturates at the first `a`, but the tail is consumed by
+    // the chained key cruise — a duplicate of a schema key falls back
+    // into the ordinary parse, so the LAST binding wins exactly like
+    // spark.read.json (the old behavior byte-skipped the tail and kept
+    // the first value — the last default-mode divergence on legal input)
     val schema = StructType.fromDDL("a LONG")
     val (rows, _) = parse(schema, """{"a": 1, "a": 2}""")
-    assert(rows.head.getLong(0) == 1L)
-    // an unsaturated row (b never arrives) still parses every binding:
-    // the second write to the slot wins
+    assert(rows.head.getLong(0) == 2L)
+    // interleaved with unknown tail keys (the cruise path between dups)
+    val (rows1, _) = parse(schema,
+      """{"a": 1, "zz": {"deep": [1, "x"]}, "a": 3, "tail": "s"}""")
+    assert(rows1.head.getLong(0) == 3L)
+    // a FAILED tail duplicate still never overwrites (spark parity)
+    val (rowsF, _) = parse(schema, """{"a": 1, "a": "noparse"}""")
+    assert(rowsF.head.getLong(0) == 1L)
+    // unsaturated rows were always last-wins
     val schema2 = StructType.fromDDL("a LONG, b LONG")
     val (rows2, _) = parse(schema2, """{"a": 1, "a": 2}""")
     assert(rows2.head.getLong(0) == 2L)
