@@ -1301,14 +1301,35 @@ private[graft] object GraftCommitLog {
     try ptr.write(version.toString.getBytes("UTF-8")) finally ptr.close()
   }
 
-  /** All checkpoint versions present under `root`, ascending. */
+  /** All checkpoint versions present under `root`, ascending. The
+    * advisory `_last_checkpoint` pointer (Delta's shape) is consulted by
+    * EXACT path too — object stores with lagging prefix listings can hide
+    * a just-written checkpoint from the listing while point reads stay
+    * consistent (round 15, the lag-listing fake); the pointed-at version
+    * is admitted only when its checkpoint file actually exists.
+    */
   def checkpointVersions(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] = try {
     val d = logDir(root)
     if (!fs.exists(d)) Nil
-    else fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".checkpoint"))
-      .map(_.stripSuffix(".checkpoint"))
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+    else {
+      val listed = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint"))
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      val pointed: Seq[Long] = try {
+        val p = lastCheckpointFile(root)
+        if (!fs.exists(p)) Nil
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (txt.nonEmpty && txt.length <= 19 && txt.forall(_.isDigit) &&
+              fs.exists(checkpointFile(root, txt.toLong))) Seq(txt.toLong)
+          else Nil
+        }
+      } catch { case _: Exception => Nil }
+      (listed ++ pointed).distinct.sorted
+    }
   } catch { case _: Exception => Nil }
 
   /** Parse one checkpoint's live-file set; None on any read/parse failure
@@ -1423,8 +1444,33 @@ private[graft] object GraftCommitLog {
   def versions(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] = try {
     val d = logDir(root)
     if (!fs.exists(d)) Nil
-    else fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+    else {
+      val listed = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+      // eventual-LISTING rail (round 15, lag-listing fake): object stores
+      // with lagging prefix listings can omit just-PUT entries while point
+      // reads stay consistent. Version numbers are contiguous from the
+      // earliest readable entry (claims that lose a race write nothing;
+      // expiry removes only a prefix), so (a) fill interior gaps and
+      // (b) extend the tail by exists()-probes — a reader must never
+      // resolve a STALE latest when the entry is already readable, and an
+      // all-lagged listing must not read as "no log".
+      val set = scala.collection.mutable.SortedSet(listed: _*)
+      def entryAt(v: Long): Boolean = fs.exists(new Path(d, f"$v%020d"))
+      if (set.isEmpty) {
+        var v = 0L
+        while (entryAt(v)) { set += v; v += 1 }
+      } else {
+        var v = set.min
+        while (v < set.max) {
+          if (!set.contains(v) && entryAt(v)) set += v
+          v += 1
+        }
+        v = set.max + 1
+        while (entryAt(v)) { set += v; v += 1 }
+      }
+      set.toSeq
+    }
   } catch { case _: Exception => Nil }
 
   /** Root-relative live-file set as of `version`: entries ≤ v folded in

@@ -570,7 +570,24 @@ object GraftSources {
                 if (dvn != null)
                   dvByPath += (abs ->
                     (DeletionVectors.artifactPath(rootPath, dvn).toString, r))
-              case None => missing += r
+              case None =>
+                // eventual-LISTING rail (round 15, lag-listing fake): a
+                // log-referenced file absent from the prefix listing may
+                // just not be listed YET — object stores with lagging
+                // LIST still serve consistent point reads. Probe before
+                // declaring the snapshot torn.
+                val p = new Path(dirPath, name)
+                val st = try Some(fs.getFileStatus(p))
+                  catch { case _: java.io.FileNotFoundException => None }
+                st match {
+                  case Some(f) =>
+                    files += ((f.getPath.toString, f.getLen, parts))
+                    val dvn = state(r)
+                    if (dvn != null)
+                      dvByPath += (f.getPath.toString ->
+                        (DeletionVectors.artifactPath(rootPath, dvn).toString, r))
+                  case None => missing += r
+                }
             }
           }
         }

@@ -31,6 +31,14 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   protected def logStoreImpl: Option[String] = None
 
+  /** Subclasses route all table paths through a custom filesystem scheme
+    * (e.g. the lag-listing fake) by overriding this.
+    */
+  protected def fsScheme: Option[String] = None
+  protected def extraHadoopConf: Map[String, String] = Map.empty
+  protected final def tablePath(p: java.nio.file.Path): String =
+    fsScheme.map(sch => s"$sch://$p").getOrElse(p.toString)
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[8]")
@@ -42,6 +50,8 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("ERROR")
     logStoreImpl.foreach(c =>
       spark.sparkContext.hadoopConfiguration.set(GraftLogStore.ImplKey, c))
+    extraHadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
   }
 
   override def afterAll(): Unit = {
@@ -71,7 +81,7 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("8 appenders + 4 deleters + maintenance race one table; history replays exactly") {
-    val d = root.resolve("soak").toString
+    val d = tablePath(root.resolve("soak"))
     val s = spark
     import s.implicits._
 
@@ -170,10 +180,20 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rows diverged: got ${got.size}, expected ${expected.size}; " +
         s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
 
-    // 4. a checkpoint written now folds to the same state (replay == fold)
+    // 4. a checkpoint written now folds to the same state (replay == fold).
+    // Under LAGGING listings the just-written checkpoint may not be
+    // discoverable yet and an OLDER one legitimately surfaces (discovery
+    // is acceleration; folds re-converge through the entry suffix) — so
+    // the equality is anchored at the returned checkpoint's OWN version.
     val cv = TrainingData.checkpointLog(spark, d)
     val ck = GraftCommitLog.checkpointStateAtOrBefore(fs, rootP, cv)
-    assert(ck.map(_._2) === Some(GraftCommitLog.liveStateAsOf(fs, rootP, cv)))
+    assert(ck.isDefined, "a checkpoint at or before cv must be readable")
+    val (ckv, ckState) = ck.get
+    assert(ckv <= cv)
+    assert(ckState === GraftCommitLog.liveStateAsOf(fs, rootP, ckv))
+    // and the full fold (now possibly seeding from the new checkpoint)
+    // still equals the pre-checkpoint fold
+    assert(GraftCommitLog.liveStateAsOf(fs, rootP, cv) === live)
   }
 
   test("a LIVE followLog stream tails the table WHILE writers race it") {
@@ -183,7 +203,7 @@ class CommitLogContentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stream-safe mode: retired originals stay on disk until the
     // retention pass, exactly Delta's posture that VACUUM must respect
     // reader horizons).
-    val d = root.resolve("soak_stream").toString
+    val d = tablePath(root.resolve("soak_stream"))
     val s = spark
     import s.implicits._
     (0L until 500L).map(i => (i, s"seed$i")).toDF("id", "v")

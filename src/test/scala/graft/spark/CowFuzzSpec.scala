@@ -32,6 +32,14 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   protected def logStoreImpl: Option[String] = None
 
+  /** Subclasses route all table paths through a custom filesystem scheme
+    * (e.g. the lag-listing fake) by overriding this.
+    */
+  protected def fsScheme: Option[String] = None
+  protected def extraHadoopConf: Map[String, String] = Map.empty
+  protected final def tablePath(p: java.nio.file.Path): String =
+    fsScheme.map(sch => s"$sch://$p").getOrElse(p.toString)
+
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[2]")
@@ -43,6 +51,8 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("ERROR")
     logStoreImpl.foreach(c =>
       spark.sparkContext.hadoopConfiguration.set(GraftLogStore.ImplKey, c))
+    extraHadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
   }
 
   override def afterAll(): Unit = {
@@ -69,7 +79,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("random append/delete/update/expire/vacuum sequences match the model") {
     for (seed <- 1 to 4 * SoakX.x) {
       val rnd = new Random(seed)
-      val dir = root.resolve(s"t$seed").toString
+      val dir = tablePath(root.resolve(s"t$seed"))
       var nextId = 0L
       def freshRows(n: Int): Seq[CowFuzzRow] = {
         val out = (0 until n).map { i =>
@@ -214,7 +224,7 @@ class CowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 10 => // CLONE at the latest version: the fork reads the
             // pinned image, then DIVERGES independently — mutations on
             // the clone never leak into the source (and vice versa)
-            val cdir = root.resolve(s"t$seed-clone$op").toString
+            val cdir = tablePath(root.resolve(s"t$seed-clone$op"))
             TrainingData.cloneTable(spark, dir, cdir)
             assert(readAll(cdir) === model.toSet, s"seed=$seed op=$op clone diverged")
             val extra = freshRows(3)

@@ -77,6 +77,18 @@ object S3SemanticsLogStore {
   val casLosses = new java.util.concurrent.atomic.AtomicLong(0)
   val copyPublishes = new java.util.concurrent.atomic.AtomicLong(0)
   val dropStageDeleteOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // round 15 (deepened fake): LIST-AFTER-WRITE LAG — when > 0, every PUT
+  // object stays INVISIBLE to prefix listings (LagListingFileSystem) for
+  // that many subsequent list inclusions, while exists()/open() stay
+  // read-after-write consistent (the eventual-listing window of
+  // pre-2020 S3 / several S3-compatible stores)
+  val listLagCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  // round 15: MULTIPART-ABORT DEBRIS — when > 0, every Nth PUT leaves an
+  // orphaned `.s3mpu-*` part object next to the target (the visible-
+  // debris analog of abandoned multipart uploads / GCS compose parts);
+  // the protocol must ignore it everywhere and vacuum can reclaim it
+  val multipartDebrisEvery = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val putCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def putObject(fs: FileSystem, path: Path, bytes: Array[Byte],
       ifNoneMatch: Boolean): Unit = lock.synchronized {
@@ -92,7 +104,43 @@ object S3SemanticsLogStore {
     Files.write(stage, bytes)
     Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    val n = putCount.incrementAndGet()
+    val lag = listLagCalls.get()
+    if (lag > 0) LagListingFileSystem.register(path.toUri.getPath, lag)
+    val debris = multipartDebrisEvery.get()
+    if (debris > 0 && n % debris == 0)
+      Files.write(target.resolveSibling(
+        s".s3mpu-${java.util.UUID.randomUUID().toString.take(8)}-part"),
+        "abandoned multipart part".getBytes("UTF-8"))
   }
+}
+
+/** Local filesystem whose LISTINGS lag recently-PUT objects: paths the
+  * [[S3SemanticsLogStore]] registers stay out of `listStatus` results for
+  * N subsequent inclusions while `exists`/`open`/`getFileStatus` serve
+  * them immediately (read-after-write consistent, list-after-write
+  * eventually consistent). Registered under the `lags3` scheme.
+  */
+class LagListingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "lags3"
+  override def getUri: java.net.URI = java.net.URI.create("lags3:///")
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(p).filter(st =>
+      LagListingFileSystem.visibleInListing(st.getPath.toUri.getPath))
+}
+
+object LagListingFileSystem {
+  private val lag =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  def register(rawPath: String, calls: Int): Unit =
+    lag.put(rawPath, new java.util.concurrent.atomic.AtomicInteger(calls))
+  def visibleInListing(rawPath: String): Boolean = {
+    val c = lag.get(rawPath)
+    if (c == null) true
+    else if (c.getAndDecrement() > 0) false
+    else { lag.remove(rawPath); true }
+  }
+  def reset(): Unit = lag.clear()
 }
 
 /** Direct unit pins of the fake's semantics (the soaks below are the
@@ -170,4 +218,55 @@ class S3CommitLogContentionSpec extends CommitLogContentionSpec {
 class S3CowFuzzSpec extends CowFuzzSpec {
   override protected def logStoreImpl: Option[String] =
     Some(classOf[S3SemanticsLogStore].getName)
+}
+
+/** Round 15: the contention soak with LIST-AFTER-WRITE LAG and
+  * MULTIPART-ABORT DEBRIS injected on top of the S3 semantics — just-PUT
+  * commit entries, data files, checkpoints, and DV artifacts stay out of
+  * prefix listings for several subsequent list calls (reads stay
+  * consistent), and orphaned `.s3mpu-*` part objects accumulate next to
+  * real objects. The serializable-history postconditions are inherited
+  * unchanged: version allocation must converge through claim losses on
+  * unlisted entries (createAtomic failure + entry await, never a
+  * truncation or a livelock), snapshot folds must never silently drop an
+  * unlisted-but-committed entry they already discovered, and debris must
+  * be invisible to every protocol surface.
+  */
+class S3LagListingContentionSpec extends CommitLogContentionSpec {
+  override protected def logStoreImpl: Option[String] =
+    Some(classOf[S3SemanticsLogStore].getName)
+  override protected def fsScheme: Option[String] = Some("lags3")
+  override protected def extraHadoopConf: Map[String, String] =
+    Map("fs.lags3.impl" -> classOf[LagListingFileSystem].getName)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    S3SemanticsLogStore.listLagCalls.set(3)
+    S3SemanticsLogStore.multipartDebrisEvery.set(5)
+  }
+  override def afterAll(): Unit = {
+    S3SemanticsLogStore.listLagCalls.set(0)
+    S3SemanticsLogStore.multipartDebrisEvery.set(0)
+    LagListingFileSystem.reset()
+    super.afterAll()
+  }
+}
+
+/** Round 15: the COW lifecycle fuzz under the same lag + debris faults. */
+class S3LagListingCowFuzzSpec extends CowFuzzSpec {
+  override protected def logStoreImpl: Option[String] =
+    Some(classOf[S3SemanticsLogStore].getName)
+  override protected def fsScheme: Option[String] = Some("lags3")
+  override protected def extraHadoopConf: Map[String, String] =
+    Map("fs.lags3.impl" -> classOf[LagListingFileSystem].getName)
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    S3SemanticsLogStore.listLagCalls.set(3)
+    S3SemanticsLogStore.multipartDebrisEvery.set(5)
+  }
+  override def afterAll(): Unit = {
+    S3SemanticsLogStore.listLagCalls.set(0)
+    S3SemanticsLogStore.multipartDebrisEvery.set(0)
+    LagListingFileSystem.reset()
+    super.afterAll()
+  }
 }
