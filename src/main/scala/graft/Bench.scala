@@ -337,7 +337,7 @@ object StructArrayColumnarBench {
           array($"l_partkey", $"l_suppkey",
             $"l_linenumber".cast("bigint"), ($"l_orderkey" % 97)).as("tags"),
           array($"l_returnflag", $"l_linestatus",
-            $"l_shipmode").as("lbl")).as("meta")),
+            $"l_shipdate".cast("string")).as("lbl")).as("meta")),
       shape = _.select($"meta.score", $"meta.tags", $"meta.lbl"))
   }
 }
