@@ -63,9 +63,16 @@ final class ColumnarPlate(
     // first parsed row's whole-file ordinal (block-pruned aligned ranges)
     maskStartOrd: Long = 0L,
     // option("saturation","fast"): blind tail skip, first-wins dup caveat
-    fastSatTail: Boolean = false) extends Plate[Long] with KeyProbe
+    fastSatTail: Boolean = false,
+    // JSON strict token typing (spark parity, round 20): quoted numbers/
+    // booleans never coerce into numeric/boolean lanes; temporals parse
+    // through spark's DateTimeUtils; CSV keeps the lenient cell coercions
+    strictTokens: Boolean = false,
+    timeZoneId: String = "UTC") extends Plate[Long] with KeyProbe
     with graft.core.RawValueCapture {
   override def fastSaturationTail: Boolean = fastSatTail
+  private[this] val zoneId: java.time.ZoneId =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(timeZoneId)
 
   // Deletion masks and plate filters COMBINE (round 11): every row's
   // ordinal is counted exactly once, at finishRow — filter rejection
@@ -1635,6 +1642,17 @@ final class ColumnarPlate(
           vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
         case StringType =>
           vec.putByteArray(at, s.toString.getBytes("UTF-8"))
+        case TimestampType if decIdx < 0 && expIdx < 0 =>
+          // spark parity (round 20): an integral token is epoch SECONDS
+          val secs = s match {
+            case b: ByteSliceCharSeq =>
+              Conversions.parseLongBoxed(b.bytes, b.offset, b.length)
+            case _ =>
+              java.lang.Long.valueOf(java.lang.Long.parseLong(s, 0, s.length, 10))
+          }
+          if (secs == null) { vec.putNull(at); tDiscard() }
+          else try vec.putLong(at, java.lang.Math.multiplyExact(secs.longValue, 1000000L))
+          catch { case _: ArithmeticException => vec.putNull(at); tDiscard() }
         case _ =>
           vec.putNull(at); tDiscard()
       } catch { case _: NumberFormatException => vec.putNull(at); tDiscard() }
@@ -1681,6 +1699,23 @@ final class ColumnarPlate(
             tDone()
             return Signal.Continue
         }
+        // JSON strict token typing (spark parity, round 20): quoted
+        // numbers/booleans never coerce; temporals parse via spark's own
+        // DateTimeUtils (zone-less/space forms, padding, date prefixes)
+        case TimestampType if strictTokens =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s.toString),
+              zoneId) match {
+            case Some(us) => vec.putLong(at, us)
+            case None => vec.putNull(at); tDiscard()
+          }
+        case DateType if strictTokens =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToDate(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s.toString)) match {
+            case Some(d) => vec.putInt(at, d)
+            case None => vec.putNull(at); tDiscard()
+          }
+        case _ if strictTokens => vec.putNull(at); tDiscard()
         case LongType =>
           vec.putLong(at, java.lang.Long.parseLong(s.toString.trim))
           tDone()

@@ -2096,13 +2096,16 @@ final class GraftJsonReaderFactory(
     // option("vectorized","false"): row-path force for A/B benches and
     // debugging — identical semantics, InternalRow delivery
     vectorized: Boolean = true,
-    fastSatTail: Boolean = false)
+    fastSatTail: Boolean = false,
+    // session time zone for spark-parity temporal parsing, captured at
+    // DRIVER-side factory construction (default args evaluate there)
+    tz: String = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftJsonPartitionReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
       dropMalformed, limit, partSpec, corruptCol, saturate, rowIdxSlot,
-      fastSatTail = fastSatTail)
+      fastSatTail = fastSatTail, tz = tz)
 
   // flat atomic schemas — plus one-level structs, arrays of atomics, and
   // MAP<STRING, atomic> (ColumnarPlate.supports) — take the vectorized
@@ -2119,7 +2122,7 @@ final class GraftJsonReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftJsonColumnarReader(
       partition.asInstanceOf[GraftInputPartition], schema, filters, conf.value, mode,
-      dropMalformed, limit, partSpec, saturate, fastSatTail = fastSatTail)
+      dropMalformed, limit, partSpec, saturate, fastSatTail = fastSatTail, tz = tz)
 }
 
 final class GraftCsvReaderFactory(
@@ -2715,7 +2718,8 @@ final class GraftJsonColumnarReader(
     limit: Int = -1,
     partSpec: Array[(Int, Int, org.apache.spark.sql.types.DataType)] = Array.empty,
     saturate: Boolean = true,
-    fastSatTail: Boolean = false)
+    fastSatTail: Boolean = false,
+    tz: String = "UTC")
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   // deletion-vector mask (whole-file partition): the plate drops masked
@@ -2737,7 +2741,8 @@ final class GraftJsonColumnarReader(
       // drop mode needs full per-row validation: no saturation elision
       plate = new ColumnarPlate(schema, filters,
         saturate = saturate && !dropMalformed, mask = dvMask,
-        maskStartOrd = part.startOrd, fastSatTail = fastSatTail)
+        maskStartOrd = part.startOrd, fastSatTail = fastSatTail,
+        strictTokens = true, timeZoneId = tz)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -2830,7 +2835,8 @@ final class GraftJsonPartitionReader(
     corruptCol: String = null,
     saturate: Boolean = true,
     rowIdxSlot: Int = -1,
-    fastSatTail: Boolean = false)
+    fastSatTail: Boolean = false,
+    tz: String = "UTC")
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -2911,7 +2917,7 @@ final class GraftJsonPartitionReader(
         // the saturation skip's error-check elision would subvert
         rowPlate = new RowPlate(schema, filters, r => emit(r),
           saturate = saturate && !dropMalformed && corruptCol == null,
-          fastSatTail = fastSatTail)
+          fastSatTail = fastSatTail, strictTokens = true, timeZoneId = tz)
         rowPlate
     }
     new JsonParser(plate, mode)

@@ -48,9 +48,17 @@ final class RowPlate(
     // string value. Set by the CSV reader only.
     emptyCellsAsNull: Boolean = false,
     // option("saturation","fast"): blind tail skip, first-wins dup caveat
-    fastSatTail: Boolean = false) extends Plate[Long] with KeyProbe
+    fastSatTail: Boolean = false,
+    // JSON strict token typing (spark.read.json parity, round 20): quoted
+    // numbers/booleans never coerce into numeric/boolean lanes; temporals
+    // parse through spark's DateTimeUtils; CSV keeps the lenient cell
+    // coercions (every CSV cell is a string)
+    strictTokens: Boolean = false,
+    timeZoneId: String = "UTC") extends Plate[Long] with KeyProbe
     with graft.core.RawValueCapture {
   override def fastSaturationTail: Boolean = fastSatTail
+  private[this] val zoneId: java.time.ZoneId =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(timeZoneId)
 
 
   // frame kinds
@@ -518,7 +526,9 @@ final class RowPlate(
             java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
         case _ => UTF8String.fromString(s.toString)
       }
-      case _ => Conversions.fromString(dt, s)
+      case _ =>
+        if (strictTokens) Conversions.fromStringJson(dt, s, zoneId)
+        else Conversions.fromString(dt, s)
     }
   }
 
@@ -937,8 +947,60 @@ object Conversions {
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(text.toString))
         if (dec.changePrecision(d.precision, d.scale)) dec else null
+      case TimestampType =>
+        // spark parity (probed round 20): an INTEGRAL number token is
+        // epoch SECONDS (incl. negative); fractional/exponent tokens null
+        if (decIdx < 0 && expIdx < 0) {
+          val secs = text match {
+            case v: graft.core.ByteSliceCharSeq => parseLongBoxed(v.bytes, v.offset, v.length)
+            case _ => java.lang.Long.valueOf(java.lang.Long.parseLong(text, 0, text.length, 10))
+          }
+          if (secs == null) null
+          else try java.lang.Long.valueOf(java.lang.Math.multiplyExact(secs.longValue, 1000000L))
+          catch { case _: ArithmeticException => null }
+        } else null
       case _           => null
     } catch { case _: NumberFormatException => null }
+  }
+
+  /** String-token conversions under spark.read.json's STRICT token typing
+    * (probed round 20): strings convert ONLY to STRING, DECIMAL (no
+    * trimming — " 12.34 " is null), DATE / TIMESTAMP / TIMESTAMP_NTZ
+    * (spark's own lenient DateTimeUtils parsers: zone-less and
+    * space-separated forms, single-digit fields, date prefixes, padding
+    * trimmed; NTZ REJECTS zoned text), and BINARY (base64). Numeric and
+    * boolean targets never parse from strings — a quoted "5" into a LONG
+    * lane is a failed binding, exactly like spark.
+    */
+  def fromStringJson(dt: DataType, text: CharSequence,
+      zone: java.time.ZoneId): Any = {
+    text match {
+      case v: graft.core.ByteSliceCharSeq if dt == StringType =>
+        return UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(v.bytes, v.offset, v.offset + v.length))
+      case _ => ()
+    }
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val s = text.toString
+    try dt match {
+      case StringType => UTF8String.fromString(s)
+      case d: DecimalType =>
+        val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) dec else null
+      case DateType =>
+        DateTimeUtils.stringToDate(UTF8String.fromString(s))
+          .map(java.lang.Integer.valueOf).orNull
+      case TimestampType =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(s), zone)
+          .map(java.lang.Long.valueOf).orNull
+      case TimestampNTZType =>
+        DateTimeUtils.stringToTimestampWithoutTimeZone(
+            UTF8String.fromString(s), false)
+          .map(java.lang.Long.valueOf).orNull
+      case BinaryType =>
+        java.util.Base64.getDecoder.decode(s)
+      case _ => null // numerics/booleans: strict token typing
+    } catch { case _: RuntimeException => null }
   }
 
   def fromString(dt: DataType, text: CharSequence): Any = {

@@ -82,15 +82,19 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case _ => esc(strPool(rng.nextInt(strPool.length)))
         }}"""
       if (rng.nextInt(10) > 1)
-        fields += s""""d": ${rng.nextInt(6) match {
+        fields += s""""d": ${rng.nextInt(8) match {
           case 0 => "null"
           case 1 => s"${rng.nextLong() % 1000000}.${math.abs(rng.nextInt(10000))}e${rng.nextInt(30) - 15}"
+          // QUOTED numbers never coerce into numeric lanes (strict token
+          // typing, spark parity round 20): the field reads null
+          case 2 => s""""${rng.nextInt(1000)}.5""""
           case _ => (rng.nextDouble() * 2000 - 1000).toString
         }}"""
       if (rng.nextInt(10) > 2)
-        fields += s""""b": ${Seq("true", "false", "null")(rng.nextInt(3))}"""
+        fields += s""""b": ${Seq("true", "false", "null", "\"true\"", "1")(rng.nextInt(5))}"""
       if (rng.nextInt(10) > 3)
-        fields += s""""n": {"x": ${rng.nextInt(100)}, "y": ${if (rng.nextInt(5) == 0)
+        fields += s""""n": {"x": ${if (rng.nextInt(8) == 0) s""""${rng.nextInt(100)}""""
+          else rng.nextInt(100).toString}, "y": ${if (rng.nextInt(5) == 0)
           containerPool(rng.nextInt(containerPool.length))
           else esc(strPool(rng.nextInt(strPool.length)))}}"""
       if (rng.nextInt(10) > 4)
@@ -349,7 +353,7 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 3 => s"""{"x": ${rng.nextInt(100)}}"""    // object mismatch
           case 4 => s"[${rng.nextInt(100)}, null, ${rng.nextInt(100)}]"
           case 5 => s"""[1, [2, 3], {"y": 4}, 5]"""      // container elements
-          case 6 => s"""[${rng.nextInt(100)}, "notanumber", ${rng.nextInt(100)}]"""
+          case 6 => s"""[${rng.nextInt(100)}, ${Seq("\"notanumber\"", "\"7\"")(rng.nextInt(2))}, ${rng.nextInt(100)}]"""
           case 7 => Seq.fill(40)(rng.nextInt(100)).mkString("[", ", ", "]")
           // NUMERIC conversion-failure elements vs a LONG target: fraction,
           // exponent, and overflow tokens are lexically-valid numbers that
@@ -814,6 +818,51 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       byId(3).getSeq[Long](2) == Seq(7L, 8L) &&
       byId(3).getMap[String, Long](3) == Map("k" -> 7L),
       "row 4: clean integers are unaffected")
+  }
+
+  /** Temporal-token corpus (round 20): every string/number form the
+    * spark.read.json temporal parsers accept or reject — zone-less and
+    * space-separated timestamps, offsets, fractional seconds, padding,
+    * date prefixes, single-digit fields, epoch-second integer tokens
+    * (incl. negative), fractional/exponent epoch rejects, quoted
+    * numbers, and garbage.
+    */
+  test("temporal tokens read identically to spark.read.json (strict typing)") {
+    val rng = new scala.util.Random(0x7E3901A)
+    val schema = "id LONG, ts TIMESTAMP, dt DATE, z LONG"
+    val tsPool = Seq(
+      "\"2024-01-02T03:04:05Z\"", "\"2024-01-02T03:04:05\"",
+      "\"2024-01-02 03:04:05\"", "\"2024-01-02 03:04:05.5\"",
+      "\"2024-01-02T03:04:05.123456+01:00\"", "\"2024-01-02T03:04:05+0100\"",
+      "\" 2024-01-02T03:04:05Z \"", "\"2024-1-2T3:4:5\"",
+      "1700000000", "-1000", "0", "1700000000.5", "1.5e9",
+      "\"garbage\"", "\"2024\"", "null", "true", "\"1700000000\"")
+    val dtPool = Seq(
+      "\"2024-01-02\"", "\"2024-1-2\"", "\" 2024-01-02 \"",
+      "\"2024-01-02T00:00:00\"", "\"2024/01/02\"", "19723", "19723.0",
+      "\"garbage\"", "null")
+    for (trial <- 1 to 4 * SoakX.x) {
+      val sb = new StringBuilder
+      (1 to 120).foreach { i =>
+        val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+        fields += s""""id": $i"""
+        if (rng.nextInt(10) > 1) fields += s""""ts": ${tsPool(rng.nextInt(tsPool.length))}"""
+        if (rng.nextInt(10) > 1) fields += s""""dt": ${dtPool(rng.nextInt(dtPool.length))}"""
+        sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+      }
+      val p = dir.resolve(s"temporal$trial.jsonl")
+      Files.write(p, sb.toString.getBytes(UTF_8))
+      for (vec <- Seq(true, false)) {
+        val g = spark.read.format("graft-json").schema(schema)
+          .option("vectorized", vec.toString).load(p.toString)
+          .collect().map(_.toString).sorted.toSeq
+        val j = spark.read.schema(schema).json(p.toString)
+          .collect().map(_.toString).sorted.toSeq
+        assert(g == j, s"trial $trial vectorized=$vec: temporal divergence\n" +
+          g.zip(j).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      }
+    }
   }
 
   test("duplicate bindings: columnar, row, and spark.read.json agree (both modes)") {
