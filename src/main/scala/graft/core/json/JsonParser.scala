@@ -73,6 +73,27 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   // STRING lane is byte-skipped like a column skip but its exact span is
   // delivered to the plate as the value (spark.read.json parity — objects/
   // arrays under a string target read as verbatim source text).
+  // absolute offset of the current row's first value byte (corrupt-line
+  // reconstruction for the PERMISSIVE reader; -1 before the first row)
+  private[this] var rowStartAbs: Long = -1L
+
+  /** The current row's source LINE, clamped to the bytes still buffered —
+    * valid only DURING a `finishRow` callback (the row's value has just
+    * been consumed; `curr` sits right after it). Extends the value span
+    * to the enclosing newline boundaries, matching spark's line-based
+    * `_corrupt_record` text for newline-framed streams; a row whose line
+    * starts before the compaction window or ends in the next chunk clamps
+    * to what the buffer holds.
+    */
+  private[graft] def currentRowLine: (Array[Byte], Int, Int) = {
+    val rel = rowStartAbs - consumedBase
+    var from = if (rowStartAbs < 0 || rel < 0) 0 else math.min(rel, curr.toLong).toInt
+    var to = curr
+    while (from > 0 && data(from - 1) != '\n') from -= 1
+    while (to < len && data(to) != '\n') to += 1
+    (data, from, to)
+  }
+
   private[this] val rawCap: RawValueCapture = plate0 match {
     case r: RawValueCapture => r
     case _                  => null
@@ -104,14 +125,14 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
         tokenStart = curr
         val b = data(curr)
         (phase: @switch) match {
-          case PhTop          => parseValue(b)
-          case PhValue        => parseValue(b)
+          case PhTop          => rowStartAbs = consumedBase + curr; parseValue(b)
+          case PhValue        => rowStartAbs = consumedBase + curr; parseValue(b)
           case PhUnwrapStart  =>
             if (b == '[') { curr += 1; phase = PhUnwrapFirst }
             else die(curr, s"expected '[' at start of UnwrapArray stream, got '${b.toChar}'")
           case PhUnwrapFirst  =>
             if (b == ']') { curr += 1; phase = PhTopEnd }
-            else parseValue(b)
+            else { rowStartAbs = consumedBase + curr; parseValue(b) }
           case PhTopSep       =>
             if (b == ',') { curr += 1; phase = PhValue }
             else if (b == ']') { curr += 1; phase = PhTopEnd }
@@ -330,9 +351,29 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     case 'f' => expectWord("false"); emitScalar(KFalse)
     case 'n' => expectWord("null"); emitScalar(KNull)
     case '-' => parseNumToken()
+    // non-numeric number tokens (spark's allowNonNumericNumbers default,
+    // probed round 20): NaN / Infinity / +Infinity / -Infinity parse as
+    // number events with the decIdx = -2 sentinel — double/float lanes
+    // read the special value, integral/decimal lanes read a failed
+    // binding (null), exactly like spark
+    case 'N' => parseNonNumeric("NaN")
+    case 'I' => parseNonNumeric("Infinity")
+    case '+' => parseNonNumeric("+Infinity")
     case _   =>
       if (b >= '0' && b <= '9') parseNumToken()
       else die(curr, s"expected JSON value, got '${b.toChar}'")
+  }
+
+  /** Consume one non-numeric number word and emit it as a `num` event
+    * with `decIdx = -2` (the NON-NUMERIC sentinel; `expIdx = -1`).
+    */
+  private[this] def parseNonNumeric(w: String): Unit = {
+    val start = curr
+    expectWord(w)
+    numView.set(data, start, w.length)
+    val sig = plate.num(numView, -2, -1)
+    handleRowSignals(sig)
+    scalarDone()
   }
 
   // Reusable zero-copy views handed to nestMap (keys) and str (values) for
@@ -720,7 +761,10 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
       if (j < limit) buf(j) else -1 // -1 = end of available input
 
     var b = byteAt(i)
-    if (b == '-') { i += 1; b = byteAt(i) }
+    if (b == '-') {
+      i += 1; b = byteAt(i)
+      if (b == 'I') { parseNonNumeric("-Infinity"); return }
+    }
     // integer part: 0 | [1-9][0-9]*
     if (b == '0') { i += 1; b = byteAt(i) }
     else if (b >= '1' && b <= '9') {

@@ -68,7 +68,10 @@ final class ColumnarPlate(
     // booleans never coerce into numeric/boolean lanes; temporals parse
     // through spark's DateTimeUtils; CSV keeps the lenient cell coercions
     strictTokens: Boolean = false,
-    timeZoneId: String = "UTC") extends Plate[Long] with KeyProbe
+    timeZoneId: String = "UTC",
+    // badrecords=drop (spark DROPMALFORMED parity, round 20): a row with
+    // ANY discarded binding drops whole at finishRow
+    dropDiscarded: Boolean = false) extends Plate[Long] with KeyProbe
     with graft.core.RawValueCapture {
   override def fastSaturationTail: Boolean = fastSatTail
   private[this] val zoneId: java.time.ZoneId =
@@ -1358,12 +1361,17 @@ final class ColumnarPlate(
   // array (the close applies the binding-level rule); LANES restore the
   // pre-write state — a failed binding never overwrites (spark parity,
   // round 14): the call site's putNull stands only for a first binding.
-  @inline private def tDiscard(): Unit =
+  @inline private def tDiscard(): Unit = {
+    rowDiscarded = true
     if (tElem) arrPoison = true
     else if (tCA) cPoison = true
     else if (tWasSeen) {
       if (tWasNull) tV.putNull(tR) else tV.putNotNull(tR)
     }
+  }
+  // any binding of the CURRENT row was discarded (malformed under
+  // spark's PERMISSIVE/DROPMALFORMED modes)
+  private[this] var rowDiscarded = false
 
   /** putX value writes never reset the validity bit, so a slot reused
     * after an abandoned row must have the partial row's null bits cleared
@@ -1628,18 +1636,22 @@ final class ColumnarPlate(
           tDone()
           return Signal.Continue
         case DoubleType =>
-          // exactly-rounded conversion off the zero-copy view (FastDouble:
-          // Clinger/Eisel-Lemire; parseDouble only on the rare hard cases)
-          val v = s match {
-            case b: ByteSliceCharSeq =>
-              graft.core.FastDouble.parse(b.bytes, b.offset, b.length, decIdx, expIdx)
-            case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
+          if (decIdx == -2) vec.putDouble(at, Conversions.specialDouble(s))
+          else {
+            // exactly-rounded conversion off the zero-copy view (FastDouble:
+            // Clinger/Eisel-Lemire; parseDouble only on the rare hard cases)
+            val v = s match {
+              case b: ByteSliceCharSeq =>
+                graft.core.FastDouble.parse(b.bytes, b.offset, b.length, decIdx, expIdx)
+              case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
+            }
+            vec.putDouble(at, v)
           }
-          vec.putDouble(at, v)
           tDone()
           return Signal.Continue
         case FloatType =>
-          vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
+          if (decIdx == -2) vec.putFloat(at, Conversions.specialFloat(s))
+          else vec.putFloat(at, java.lang.Float.parseFloat(s.toString))
         case StringType =>
           vec.putByteArray(at, s.toString.getBytes("UTF-8"))
         case TimestampType if decIdx < 0 && expIdx < 0 =>
@@ -1715,6 +1727,22 @@ final class ColumnarPlate(
             case Some(d) => vec.putInt(at, d)
             case None => vec.putNull(at); tDiscard()
           }
+        case DoubleType if strictTokens => s.toString match {
+          case "NaN" => vec.putDouble(at, Double.NaN)
+          case "+INF" | "+Infinity" | "Infinity" =>
+            vec.putDouble(at, Double.PositiveInfinity)
+          case "-INF" | "-Infinity" =>
+            vec.putDouble(at, Double.NegativeInfinity)
+          case _ => vec.putNull(at); tDiscard()
+        }
+        case FloatType if strictTokens => s.toString match {
+          case "NaN" => vec.putFloat(at, Float.NaN)
+          case "+INF" | "+Infinity" | "Infinity" =>
+            vec.putFloat(at, Float.PositiveInfinity)
+          case "-INF" | "-Infinity" =>
+            vec.putFloat(at, Float.NegativeInfinity)
+          case _ => vec.putNull(at); tDiscard()
+        }
         case _ if strictTokens => vec.putNull(at); tDiscard()
         case LongType =>
           vec.putLong(at, java.lang.Long.parseLong(s.toString.trim))
@@ -1769,6 +1797,7 @@ final class ColumnarPlate(
       keep = !mask.masked(fileOrd)
       fileOrd += 1
     }
+    if (keep && dropDiscarded && rowDiscarded) keep = false
     if (keep && hasNullFilters) {
       // value-based like the row path's passesRowEnd: an EXPLICIT null
       // binding ({"x": null}) satisfies IsNull and fails IsNotNull — the
@@ -1839,6 +1868,7 @@ final class ColumnarPlate(
     skipPending = false
     structOpenThisBinding = false
     fieldPos = 0
+    rowDiscarded = false
   }
 
   def finishBatch(terminal: Boolean): Long = rowCount
@@ -1849,6 +1879,7 @@ final class ColumnarPlate(
     * the next row at the same index.
     */
   def abandonPartialRow(): Unit = {
+    rowDiscarded = false
     clearPartialNullBits()
     seenCnt = 0
     java.util.Arrays.fill(seen, false)

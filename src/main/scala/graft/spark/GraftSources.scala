@@ -1356,11 +1356,14 @@ final class GraftScanBuilder(
     // partition carrying no vector (GraftAggReaderFactory / the count
     // reader's mask subtraction); the parse paths fold post-mask rows
     val fs = agg.aggregateExpressions
+    val bad = options.getOrDefault("badrecords", "fail")
+    // DROPMALFORMED (round 20): rows with conversion failures drop at the
+    // full parse — a count-only or pruned-parse battery cannot see them
+    if ("drop".equalsIgnoreCase(bad)) return false
     if (agg.groupByExpressions.isEmpty && fs.length == 1 && fs(0).isInstanceOf[CountStar]) {
       countStar = true
       return true
     }
-    val bad = options.getOrDefault("badrecords", "fail")
     if ("keep".equalsIgnoreCase(bad) || "permissive".equalsIgnoreCase(bad)) return false
     GraftAgg.translate(agg, fullSchema) match {
       case Some(s) =>
@@ -2742,7 +2745,8 @@ final class GraftJsonColumnarReader(
       plate = new ColumnarPlate(schema, filters,
         saturate = saturate && !dropMalformed, mask = dvMask,
         maskStartOrd = part.startOrd, fastSatTail = fastSatTail,
-        strictTokens = true, timeZoneId = tz)
+        strictTokens = true, timeZoneId = tz,
+        dropDiscarded = dropMalformed)
     else plate.abandonPartialRow()
     new JsonParser(plate, mode)
   }
@@ -2906,6 +2910,7 @@ final class GraftJsonPartitionReader(
   // recovery replaces parser AND plate; completed rows already sit in queue
   private var rowPlate: RowPlate = null
   private var pathPlate: PathVariantPlate = null
+  private var parserRef: JsonParser[Long] = null
   private def mkParser(): JsonParser[Long] = {
     val plate: graft.core.Plate[Long] = shreddedPaths match {
       case Some(paths) =>
@@ -2914,13 +2919,29 @@ final class GraftJsonPartitionReader(
       case None if variantMode => new VariantRowPlate(emitRaw(_))
       case None =>
         // corrupt-capture / drop modes need full per-row validation, which
-        // the saturation skip's error-check elision would subvert
-        rowPlate = new RowPlate(schema, filters, r => emit(r),
+        // the saturation skip's error-check elision would subvert.
+        // PERMISSIVE (spark parity, round 20): a row with any DISCARDED
+        // binding (conversion failure / type mismatch / poison) keeps its
+        // partial values AND carries the raw source line in the corrupt
+        // column; DROPMALFORMED drops such rows whole (plate-side).
+        val emitFn: InternalRow => Unit =
+          if (corruptIdx >= 0) { r =>
+            if (rowPlate.lastRowDiscarded && parserRef != null) {
+              val (buf, from, until) = parserRef.currentRowLine
+              r.update(corruptIdx, org.apache.spark.unsafe.types.UTF8String
+                .fromBytes(java.util.Arrays.copyOfRange(buf, from, until)))
+            }
+            emit(r)
+          } else r => emit(r)
+        rowPlate = new RowPlate(schema, filters, emitFn,
           saturate = saturate && !dropMalformed && corruptCol == null,
-          fastSatTail = fastSatTail, strictTokens = true, timeZoneId = tz)
+          fastSatTail = fastSatTail, strictTokens = true, timeZoneId = tz,
+          dropDiscarded = dropMalformed && corruptCol == null)
         rowPlate
     }
-    new JsonParser(plate, mode)
+    val p = new JsonParser(plate, mode)
+    parserRef = p
+    p
   }
   // PERMISSIVE (badrecords=keep): each corrupt line becomes a row of nulls
   // carrying the raw line in the corrupt-record column (when the required

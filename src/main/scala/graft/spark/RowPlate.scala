@@ -54,7 +54,11 @@ final class RowPlate(
     // parse through spark's DateTimeUtils; CSV keeps the lenient cell
     // coercions (every CSV cell is a string)
     strictTokens: Boolean = false,
-    timeZoneId: String = "UTC") extends Plate[Long] with KeyProbe
+    timeZoneId: String = "UTC",
+    // badrecords=drop (spark DROPMALFORMED parity, round 20): a row with
+    // ANY discarded binding (conversion failure, type mismatch, poisoned
+    // container) is dropped whole, not kept with nulls
+    dropDiscarded: Boolean = false) extends Plate[Long] with KeyProbe
     with graft.core.RawValueCapture {
   override def fastSaturationTail: Boolean = fastSatTail
   private[this] val zoneId: java.time.ZoneId =
@@ -177,6 +181,11 @@ final class RowPlate(
 
   /** The parser emits one unnest for a value it skipped (no frame pushed). */
   private[this] var skipPending = false
+  // any binding of the CURRENT row was discarded (spark calls the row
+  // malformed: PERMISSIVE fills the corrupt column, DROPMALFORMED drops it)
+  private[this] var rowDiscarded = false
+  /** Valid during the push callback: did this row have a discarded binding? */
+  def lastRowDiscarded: Boolean = rowDiscarded
   private[this] var skippedBytes = 0L
   private[this] var rowCount = 0L
 
@@ -471,6 +480,7 @@ final class RowPlate(
     skipPending = false
     seenMask = 0L
     probePos = 0
+    rowDiscarded = false
   }
 
   @inline private def top: VFrame = frames(sp)
@@ -500,7 +510,9 @@ final class RowPlate(
       case _            => null
     }
     case 5 => (conv: @scala.annotation.switch) match {
-      case RowPlate.CvDouble => try java.lang.Double.valueOf(s match {
+      case RowPlate.CvDouble =>
+        if (decIdx == -2) Conversions.specialDouble(s) // NaN/Infinity tokens
+        else try java.lang.Double.valueOf(s match {
         case v: graft.core.ByteSliceCharSeq =>
           graft.core.FastDouble.parse(v.bytes, v.offset, v.length, decIdx, expIdx)
         case _ => graft.core.FastDouble.parse(s, decIdx, expIdx)
@@ -542,7 +554,7 @@ final class RowPlate(
       // poisons the whole array to null (spark.read.json partial-results
       // parity — arrays have no per-element partial semantics), while as
       // a struct field it still reads null (per-field partials)
-      if (f.value == null && kind != 0) f.kind = KDiscard
+      if (f.value == null && kind != 0) { f.kind = KDiscard; rowDiscarded = true }
       Signal.Continue
     } else if (f eq rowFrame) {
       // scalar row in a schemaless stream: the "value" column when present
@@ -591,7 +603,7 @@ final class RowPlate(
       f.expected match {
         case s: StructType => f.morphStruct(s)
         case m: MapType    => f.morphMap()
-        case _             => f.kind = KDiscard
+        case _             => f.kind = KDiscard; rowDiscarded = true
       }
     }
     f.kind match {
@@ -639,7 +651,7 @@ final class RowPlate(
     if (f.kind == KEmpty) {
       f.expected match {
         case _: ArrayType => f.morphArray()
-        case _            => f.kind = KDiscard
+        case _            => f.kind = KDiscard; rowDiscarded = true
       }
     }
     f.kind match {
@@ -739,6 +751,13 @@ final class RowPlate(
       }
     }
     val row = rowWrapper // owns rowFrame.values (see resetRow)
+    if (dropDiscarded && rowDiscarded) {
+      // spark DROPMALFORMED parity: the malformed row vanishes; it still
+      // occupied a file ordinal (same accounting as a filter reject)
+      skippedRowCount += 1
+      resetRow()
+      return
+    }
     if (passesRowEnd(row)) {
       rowCount += 1
       rowWrapper = null // consumed: resetRow pulls the next from the pool
@@ -907,6 +926,16 @@ object Conversions {
     // path): inferred JSON schemas type numbers as DOUBLE or LONG, and
     // mixed arrays coerce numbers to STRING a lot; the narrow/exotic
     // targets (int/short/byte/float/decimal) trail
+    if (decIdx == -2) {
+      // non-numeric number tokens (NaN / ±Infinity): double/float lanes
+      // take the special value; every other target is a failed binding
+      return dt match {
+        case DoubleType => specialDouble(text)
+        case FloatType  => specialFloat(text)
+        case StringType => UTF8String.fromString(text.toString)
+        case _ => null
+      }
+    }
     try dt match {
       case DoubleType  =>
         // Eisel-Lemire exactly-rounded conversion off the zero-copy view
@@ -963,6 +992,20 @@ object Conversions {
     } catch { case _: NumberFormatException => null }
   }
 
+  /** Non-numeric number token → Double (first byte disambiguates: the
+    * parser emits exactly NaN / Infinity / +Infinity / -Infinity).
+    */
+  def specialDouble(text: CharSequence): java.lang.Double = text.charAt(0) match {
+    case 'N' => java.lang.Double.valueOf(Double.NaN)
+    case '-' => java.lang.Double.valueOf(Double.NegativeInfinity)
+    case _   => java.lang.Double.valueOf(Double.PositiveInfinity)
+  }
+  def specialFloat(text: CharSequence): java.lang.Float = text.charAt(0) match {
+    case 'N' => java.lang.Float.valueOf(Float.NaN)
+    case '-' => java.lang.Float.valueOf(Float.NegativeInfinity)
+    case _   => java.lang.Float.valueOf(Float.PositiveInfinity)
+  }
+
   /** String-token conversions under spark.read.json's STRICT token typing
     * (probed round 20): strings convert ONLY to STRING, DECIMAL (no
     * trimming — " 12.34 " is null), DATE / TIMESTAMP / TIMESTAMP_NTZ
@@ -984,6 +1027,24 @@ object Conversions {
     val s = text.toString
     try dt match {
       case StringType => UTF8String.fromString(s)
+      // quoted special float strings — spark's exact accept set (probed:
+      // "nan"/"inf" etc. stay null; the match is case-sensitive)
+      case DoubleType => s match {
+        case "NaN" => java.lang.Double.valueOf(Double.NaN)
+        case "+INF" | "+Infinity" | "Infinity" =>
+          java.lang.Double.valueOf(Double.PositiveInfinity)
+        case "-INF" | "-Infinity" =>
+          java.lang.Double.valueOf(Double.NegativeInfinity)
+        case _ => null
+      }
+      case FloatType => s match {
+        case "NaN" => java.lang.Float.valueOf(Float.NaN)
+        case "+INF" | "+Infinity" | "Infinity" =>
+          java.lang.Float.valueOf(Float.PositiveInfinity)
+        case "-INF" | "-Infinity" =>
+          java.lang.Float.valueOf(Float.NegativeInfinity)
+        case _ => null
+      }
       case d: DecimalType =>
         val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))
         if (dec.changePrecision(d.precision, d.scale)) dec else null

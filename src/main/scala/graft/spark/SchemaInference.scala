@@ -83,7 +83,8 @@ object SchemaInference {
     def map(): Signal = scalar(TStruct(mutable.LinkedHashMap.empty))
     def arr(): Signal = scalar(TArray(TUnknown))
     def num(s: CharSequence, decIdx: Int, expIdx: Int): Signal =
-      scalar(if (decIdx < 0 && expIdx < 0) TLong else TDouble)
+      scalar(if (decIdx == -2) TDouble // NaN / ±Infinity tokens
+        else if (decIdx < 0 && expIdx < 0) TLong else TDouble)
     def str(s: CharSequence): Signal = scalar(TString)
 
     def nestMap(pathComponent: CharSequence): Signal = {

@@ -86,7 +86,11 @@ private[spark] final class VariantCapture {
 
   def num(s: CharSequence, decIdx: Int, expIdx: Int): Unit = {
     val text = s.toString
-    if (decIdx < 0 && expIdx < 0) {
+    if (decIdx == -2) {
+      // non-numeric number tokens (NaN / ±Infinity) land as doubles —
+      // the only variant type that can hold them
+      builder.appendDouble(graft.spark.Conversions.specialDouble(text))
+    } else if (decIdx < 0 && expIdx < 0) {
       try builder.appendLong(java.lang.Long.parseLong(text))
       catch { case _: NumberFormatException =>
         builder.appendDecimal(new java.math.BigDecimal(text))

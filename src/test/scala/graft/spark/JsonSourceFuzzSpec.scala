@@ -82,12 +82,16 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           case _ => esc(strPool(rng.nextInt(strPool.length)))
         }}"""
       if (rng.nextInt(10) > 1)
-        fields += s""""d": ${rng.nextInt(8) match {
+        fields += s""""d": ${rng.nextInt(10) match {
           case 0 => "null"
           case 1 => s"${rng.nextLong() % 1000000}.${math.abs(rng.nextInt(10000))}e${rng.nextInt(30) - 15}"
           // QUOTED numbers never coerce into numeric lanes (strict token
           // typing, spark parity round 20): the field reads null
           case 2 => s""""${rng.nextInt(1000)}.5""""
+          // non-numeric number tokens + spark's quoted special strings
+          case 3 => Seq("NaN", "Infinity", "-Infinity", "+Infinity")(rng.nextInt(4))
+          case 4 => Seq("\"NaN\"", "\"Infinity\"", "\"-INF\"", "\"+INF\"",
+            "\"nan\"", "\"-Infinity\"")(rng.nextInt(6))
           case _ => (rng.nextDouble() * 2000 - 1000).toString
         }}"""
       if (rng.nextInt(10) > 2)
@@ -861,6 +865,77 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(g == j, s"trial $trial vectorized=$vec: temporal divergence\n" +
           g.zip(j).find { case (a, b) => a != b }.map { case (a, b) =>
             s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      }
+    }
+  }
+
+  /** Malformed-row modes (round 20, probed): a row with ANY discarded
+    * binding (conversion failure, type mismatch, poisoned container) is
+    * MALFORMED to spark — PERMISSIVE keeps its partial values and fills
+    * the corrupt column with the raw source line; DROPMALFORMED drops it
+    * whole. Parse-error lines behave the same. Three-wayed on corpora
+    * drawing quoted-number/boolean mismatches, container mismatches, and
+    * occasional raw syntax errors.
+    */
+  test("PERMISSIVE and DROPMALFORMED match spark on conversion failures") {
+    val rng = new scala.util.Random(0xBADF00D)
+    val dataSchema = "id LONG, l LONG, d DOUBLE, a ARRAY<LONG>, s STRING"
+    for (trial <- 1 to 6 * SoakX.x) {
+      val sb = new StringBuilder
+      (1 to 100).foreach { i =>
+        if (rng.nextInt(12) == 0) sb.append("{\"id\": ").append(i).append(", bad json}\n")
+        else {
+          val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+          fields += s""""id": $i"""
+          if (rng.nextInt(10) > 1) fields += s""""l": ${rng.nextInt(6) match {
+            case 0 => s""""${rng.nextInt(100)}""""   // quoted: discard
+            case 1 => s"${rng.nextInt(100)}.5"        // float token: discard
+            case 2 => s"""{"x": 1}"""                 // container: discard
+            case _ => rng.nextInt(1000).toString
+          }}"""
+          if (rng.nextInt(10) > 2) fields += s""""d": ${rng.nextInt(5) match {
+            case 0 => s""""${rng.nextInt(100)}.5"""" // quoted: discard
+            case _ => (rng.nextDouble() * 100).toString
+          }}"""
+          if (rng.nextInt(10) > 3) fields += s""""a": ${rng.nextInt(5) match {
+            case 0 => s"""[1, "x"]"""                 // poisons the cell AND the row
+            case 1 => "7"                             // scalar mismatch
+            case _ => s"[${rng.nextInt(100)}, ${rng.nextInt(100)}]"
+          }}"""
+          if (rng.nextInt(10) > 4) fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+          sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+        }
+      }
+      val p = dir.resolve(s"malformed$trial.jsonl")
+      Files.write(p, sb.toString.getBytes(UTF_8))
+
+      // PERMISSIVE with the corrupt column
+      val permSchema = s"$dataSchema, _corrupt_record STRING"
+      val gp = spark.read.format("graft-json").schema(permSchema)
+        .option("badrecords", "keep").load(p.toString)
+        .collect().map(_.toString).sorted.toSeq
+      val jp = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(permSchema))
+        .option("mode", "PERMISSIVE").json(p.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(gp == jp, s"trial $trial PERMISSIVE diverged\n" +
+        gp.zip(jp).find { case (a, b) => a != b }.map { case (a, b) =>
+          s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(
+            s"sizes ${gp.size} vs ${jp.size}"))
+
+      // DROPMALFORMED (row and columnar paths)
+      for (vec <- Seq(true, false)) {
+        val gd = spark.read.format("graft-json").schema(dataSchema)
+          .option("badrecords", "drop").option("vectorized", vec.toString)
+          .load(p.toString).collect().map(_.toString).sorted.toSeq
+        val jd = spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(dataSchema))
+          .option("mode", "DROPMALFORMED").json(p.toString)
+          .collect().map(_.toString).sorted.toSeq
+        assert(gd == jd, s"trial $trial DROPMALFORMED vec=$vec diverged\n" +
+          gd.zip(jd).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(
+              s"sizes ${gd.size} vs ${jd.size}"))
       }
     }
   }
