@@ -1437,9 +1437,19 @@ object TrainingData {
     val dataSchema = org.apache.spark.sql.types.StructType.fromDDL(schema)
     requireCoversRecorded(fs, root, logVersions.max, dataSchema,
       listing.partCols, dir)
+    // partition-column types: the RECORDED table schema is authoritative
+    // (round 20, found by the lag-listing soak) — layout inference reads
+    // directory VALUES, and an eventually-consistent listing that shows a
+    // partition directory before its files degrades the inferred type to
+    // STRING, which the rewrite would then try to commit as a type change
+    // (loud refusal, but a livelock under lag). Inference remains the
+    // fallback for untracked tables.
+    val recorded = graft.spark.GraftCommitLog.schemaAsOf(fs, root, logVersions.max)
     val fullSchema = org.apache.spark.sql.types.StructType(dataSchema.fields ++
       graft.spark.GraftSources.partitionSchema(listing)
-        .filterNot(f => dataSchema.fieldNames.contains(f.name)))
+        .filterNot(f => dataSchema.fieldNames.contains(f.name))
+        .map(f => recorded.flatMap(_.fields.find(_.name == f.name))
+          .map(r => f.copy(dataType = r.dataType)).getOrElse(f)))
     val phase1Schema = org.apache.spark.sql.types.StructType(fullSchema.fields :+
       org.apache.spark.sql.types.StructField(fileCol,
         org.apache.spark.sql.types.StringType))

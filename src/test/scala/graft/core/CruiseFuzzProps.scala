@@ -9,9 +9,10 @@ import org.scalacheck.Prop.forAll
 /** Differential fuzz for the key-cruise + saturation fast paths: for
   * random rows, a random schema subset, and a random chunk size, the
   * optimized parse (cruise + saturation ON) must produce exactly the rows
-  * of the strict parse (both OFF) — modulo the one documented divergence
-  * (duplicate keys after saturation), which the generator avoids by
-  * keeping keys unique per object.
+  * of the strict parse (both OFF) — INCLUDING duplicate row-level keys
+  * since round 20 (the saturated tail cruises and re-parses schema-key
+  * duplicates, so last-wins holds in both modes; the old first-wins
+  * divergence is retired to option("saturation","fast")).
   */
 object CruiseFuzzProps extends Properties("KeyCruise") {
 
@@ -49,6 +50,22 @@ object CruiseFuzzProps extends Properties("KeyCruise") {
     vals <- Gen.listOfN(n, genValue(2))
   } yield keys.zip(vals).map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
 
+  // WITH-replacement keys: duplicate row-level bindings (incl. rebinds of
+  // schema keys before AND after the saturation point)
+  private val genDupRow: Gen[String] = for {
+    n    <- Gen.choose(2, 8)
+    keys <- Gen.listOfN(n, Gen.oneOf(keyPool))
+    vals <- Gen.listOfN(n, genValue(2))
+  } yield keys.zip(vals).map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+
+  private val genDupCase = for {
+    rows   <- Gen.choose(1, 8).flatMap(Gen.listOfN(_, genDupRow))
+    nCols  <- Gen.choose(1, 4)
+    cols   <- Gen.pick(nCols, keyPool)
+    chunk  <- Gen.choose(1, 64)
+  } yield (rows.mkString("", "\n", "\n"),
+           StructType(cols.map(c => StructField(c, StringType)).toArray), chunk)
+
   private val genCase = for {
     rows   <- Gen.choose(1, 8).flatMap(Gen.listOfN(_, genRow))
     nCols  <- Gen.choose(1, 4)
@@ -81,6 +98,11 @@ object CruiseFuzzProps extends Properties("KeyCruise") {
 
   property("cruise+saturation equals the strict parse on unique-key rows") =
     forAll(genCase) { case (input, schema, chunk) =>
+      run(input, schema, chunk, fast = true) == run(input, schema, chunk, fast = false)
+    }
+
+  property("cruise+saturation equals the strict parse on DUPLICATE-key rows") =
+    forAll(genDupCase) { case (input, schema, chunk) =>
       run(input, schema, chunk, fast = true) == run(input, schema, chunk, fast = false)
     }
 

@@ -208,6 +208,37 @@ class StreamingChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CDF streams hive-partitioned tables: partition values + change type ride together") {
+    val s = spark
+    import s.implicits._
+    val d = dir("parted")
+    (0L until 20L).map(i => (i, s"r$i", if (i % 2 == 0) "eu" else "us"))
+      .toDF("id", "v", "region")
+      .write.format("graft-json").partitionBy("region").mode("overwrite").save(d)
+    TrainingData.deleteWhereDV(spark, d, schema, "id < 4") // masks both regions
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = spark.readStream.format("graft-json")
+      .schema(s"$schema, region STRING, ${TrainingData.ChangeTypeCol} STRING")
+      .option("readchangefeed", "true").option("sinceversion", "-1")
+      .load(d).writeStream
+      .option("checkpointLocation", dir("parted_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= b.collect().map(x => (x.getLong(0), x.getString(2), x.getString(3)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val inserts = rows.filter(_._3 == "insert")
+    val deletes = rows.filter(_._3 == "delete")
+    assert(inserts.size == 20 && deletes.map(_._1).sorted == (0L until 4L))
+    // the partition value is stamped per file for BOTH event kinds
+    assert(inserts.forall(r => r._2 == (if (r._1 % 2 == 0) "eu" else "us")))
+    assert(deletes.forall(r => r._2 == (if (r._1 % 2 == 0) "eu" else "us")))
+  }
+
   test("schemaless CDF stream takes the recorded schema plus _change_type") {
     val d = dir("schemaless")
     writeRows(d, 0L, 5L, "overwrite")
