@@ -1272,20 +1272,6 @@ final class ColumnarPlate(
       tV = gVecs(tIdx)(tKid)(curGrand); tT = gTypes(tIdx)(tKid)(curGrand)
       tR = rows
       true
-    } else if (cScope) {
-      // open ELEMENT of an ARRAY<atomic> STRUCT CHILD: writes land at the
-      // running element offset in the child array's element vector; a
-      // discard poisons the BINDING (tDiscard), never the struct
-      if (cFilled) false
-      else {
-        tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = true
-        tR = cSlot
-        val c = childArrVecs(tIdx)(curChild)
-        c.reserve(tR + 1)
-        tV = c
-        tT = childArrElem(tIdx)(curChild)
-        true
-      }
     } else if (elemScope && curKid >= 0) {
       // open FIELD of a STRUCT ELEMENT: writes land at the element offset
       // in the struct child's field vector. A conversion failure (or a
@@ -1308,6 +1294,21 @@ final class ColumnarPlate(
         c.reserve(tR + 1)
         tV = c
         tT = contValType(tIdx)
+        true
+      }
+    } else if (cScope) {
+      // open ELEMENT of an ARRAY<atomic> STRUCT CHILD (checked after the
+      // hotter elemScope lanes): writes land at the running element
+      // offset in the child array's element vector; a discard poisons
+      // the BINDING (tDiscard), never the struct
+      if (cFilled) false
+      else {
+        tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = true
+        tR = cSlot
+        val c = childArrVecs(tIdx)(curChild)
+        c.reserve(tR + 1)
+        tV = c
+        tT = childArrElem(tIdx)(curChild)
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
