@@ -126,7 +126,11 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
         val b = data(curr)
         (phase: @switch) match {
           case PhTop          => rowStartAbs = consumedBase + curr; parseValue(b)
-          case PhValue        => rowStartAbs = consumedBase + curr; parseValue(b)
+          case PhValue        =>
+            // PhValue also dispatches NESTED field values (PhColon sets it)
+            // and element resumes — only a depth-0 dispatch starts a row
+            if (depth == 0) rowStartAbs = consumedBase + curr
+            parseValue(b)
           case PhUnwrapStart  =>
             if (b == '[') { curr += 1; phase = PhUnwrapFirst }
             else die(curr, s"expected '[' at start of UnwrapArray stream, got '${b.toChar}'")
