@@ -71,8 +71,9 @@ object Bench {
     // as an "sf1" sub-object so BENCH_r* history captures scaling round
     // over round. Self-materializing (idempotent 10x explode of sf0.1);
     // disable with SPARK_GRAFT_SF1=0.
-    val sf1Json: String =
-      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") ""
+    // (sf1 detail sub-object json, sf1 total, sf1 container-lane ratios)
+    val (sf1Json, sf1Total, sf1Lanes): (String, Double, Seq[Double]) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") ("", -1.0, Nil)
       else try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
         Sf1Rung.ensure(spark, sfDir, sf1Dir)
@@ -106,48 +107,90 @@ object Bench {
         val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir)
         val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir)
         val (_, _, sa1) = StructArrayColumnarBench.run(spark, sf1Dir)
-        s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
-          s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
-          s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
-          s""""arraystruct_columnar_speedup":$as1,""" +
-          s""""twolevel_columnar_speedup":$tl1,""" +
-          s""""structarray_columnar_speedup":$sa1,"dir":"$sf1Dir"},"""
+        val sub =
+          s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
+            s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
+            s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
+            s""""arraystruct_columnar_speedup":$as1,""" +
+            s""""twolevel_columnar_speedup":$tl1,""" +
+            s""""structarray_columnar_speedup":$sa1,"dir":"$sf1Dir"},"""
+        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
-        ""
+        ("", -1.0, Nil)
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision is plenty for wall timings and keeps the
+    // headline line small (see the tail-capture budget note below)
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
     val totalMean = if (failed > 0) -1.0 else means.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""total_mean":$totalMean,""" +
-      s""""failed":$failed,"skip_off_mbps":${skip.offMbps},"skip_on_mbps":${skip.onMbps},""" +
-      s""""skip_speedup":${skip.speedup},"csv_count_mbps":$csvMbps,""" +
+    // slot_score (round-16, verdict item 6): this run's sf0.1 total vs the
+    // repo's recorded quiet-slot closing total from the previous round's
+    // close (COVERAGE.md). ~1.0 = the driver landed on a slot comparable
+    // to the calibration run; >>1 = hot/contended slot, discount the walls
+    // (the ratios are paired and remain meaningful). Update the constant
+    // at each round close alongside COVERAGE.md's closing-total line.
+    val calibratedSf01Total = 2.48 // round-15 closing, COVERAGE.md
+    val slotScore =
+      if (total > 0) r2(total / calibratedSf01Total) else -1.0
+
+    // DRIVER CONTRACT (round 16, verdict item 1): the driver keeps only
+    // the LAST ~2000 chars of stdout and parses the final JSON line out of
+    // that tail (sbt appends a ~70-char [success] line after us). The
+    // r15 record went parsed:null because the single line grew past the
+    // window. So: a COMPACT headline line is printed LAST (~900 chars —
+    // totals, per-query best, paired ratios, slot_score), and the full
+    // detail record (raw secs, means, sf1 queries/max/scale dispersion)
+    // goes on a separate line BEFORE it. Both land in /tmp/bench.json.
+    val detailLine =
+      s"""{"record":"detail","total_mean":$totalMean,""" +
+      s""""skip_off_mbps":${skip.offMbps},"skip_on_mbps":${skip.onMbps},""" +
       s""""block_skip_on_sec":$blkOn,"block_skip_off_sec":$blkOff,""" +
-      s""""block_skip_ratio":$blkRatio,""" +
       s""""dv_masked_sec":$dvMasked,"dv_clean_sec":$dvClean,""" +
-      s""""dv_mask_overhead":$dvOverhead,""" +
-      s""""dv_mask_filtered_overhead":$dvFilteredOverhead,""" +
       s""""avro_block_skip_on_sec":$avOn,"avro_block_skip_off_sec":$avOff,""" +
-      s""""avro_block_skip_ratio":$avRatio,""" +
       s""""nested_columnar_sec":$nestVec,"nested_row_sec":$nestRow,""" +
-      s""""nested_columnar_speedup":$nestRatio,""" +
       s""""array_columnar_sec":$arrVec,"array_row_sec":$arrRow,""" +
-      s""""array_columnar_speedup":$arrRatio,""" +
       s""""arraystruct_columnar_sec":$asVec,"arraystruct_row_sec":$asRow,""" +
-      s""""arraystruct_columnar_speedup":$asRatio,""" +
       s""""twolevel_columnar_sec":$tlVec,"twolevel_row_sec":$tlRow,""" +
-      s""""twolevel_columnar_speedup":$tlRatio,""" +
       s""""structarray_columnar_sec":$saVec,"structarray_row_sec":$saRow,""" +
-      s""""structarray_columnar_speedup":$saRatio,""" +
       sf1Json +
       s""""sf":"$sfDir"}"""
+    val sf1LaneJson =
+      if (sf1Lanes.isEmpty) ""
+      else {
+        val Seq(n1, a1, as1, tl1, sa1) = sf1Lanes
+        s""""sf1_total":${r3(sf1Total)},"sf1_nested":$n1,"sf1_array":$a1,""" +
+        s""""sf1_arraystruct":$as1,"sf1_twolevel":$tl1,"sf1_structarray":$sa1,"""
+      }
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,""" +
+      s""""skip_speedup":${skip.speedup},"csv_count_mbps":$csvMbps,""" +
+      s""""block_skip_ratio":${r2(blkRatio)},""" +
+      s""""dv_mask_overhead":$dvOverhead,""" +
+      s""""dv_mask_filtered_overhead":$dvFilteredOverhead,""" +
+      s""""avro_block_skip_ratio":$avRatio,""" +
+      s""""nested_columnar_speedup":$nestRatio,""" +
+      s""""array_columnar_speedup":$arrRatio,""" +
+      s""""arraystruct_columnar_speedup":$asRatio,""" +
+      s""""twolevel_columnar_speedup":$tlRatio,""" +
+      s""""structarray_columnar_speedup":$saRatio,""" +
+      sf1LaneJson +
+      s""""slot_score":$slotScore,""" +
+      s""""sf":"$sfDir"}"""
+    if (line.length > 1500)
+      System.err.println(s"[bench] WARNING headline line ${line.length} chars " +
+        "exceeds the 1500-char safety budget (driver tail window ~1900)")
+    println(detailLine)
     println(line)
+    System.err.println(detailLine)
     System.err.println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"),
+      detailLine + "\n" + line + "\n")
     spark.stop()
   }
 
