@@ -612,7 +612,10 @@ object SkipBench {
     // (row objects handed back once the consumer advances)
     var plateRef: RowPlate = null
     val plate = new RowPlate(schema, Array.empty,
-      r => { rows += 1; plateRef.recycle(r) })
+      r => { rows += 1; plateRef.recycle(r) },
+      // A/B dial for paired tail-policy measurements (ProfParse skip7
+      // with -Dgraft.bench.fastsat=true measures the blind ceiling)
+      fastSatTail = sys.props.get("graft.bench.fastsat").contains("true"))
     plateRef = plate
     val p = new JsonParser(plate, JsonParser.ValueStream)
     p.absorb(data) match {

@@ -36,10 +36,48 @@ trait KeyProbe {
     * byte-skipped in one aggregate scan without key inspection — maximum
     * projection-skip throughput, at the documented cost that duplicate
     * keys after saturation keep the FIRST value (spark.read.json is
-    * last-wins). Default false: the tail is consumed by the chained key
-    * cruise, which re-parses schema-key duplicates (exact parity).
+    * last-wins). Default false: the tail is scanned by the OPTIMISTIC
+    * skip (round 16) — full-speed blind scan that falls back to exact
+    * re-parsing only at candidate duplicates of wanted keys — or, when
+    * [[cruiseKeyFirstBytes]] is unavailable, by the chained key cruise.
+    * Both default paths re-parse wanted-key duplicates (exact parity).
     */
   def fastSaturationTail: Boolean = false
+
+  /** 256-bit bitmap (4 longs, bit = first UTF-8 byte) over every key this
+    * probe could act on (the keys [[cruisableKey]] answers false for),
+    * plus '\\' (any wanted key may arrive \u-escaped) and '"' when an
+    * empty-string key is wanted. Enables the parser's OPTIMISTIC
+    * saturated-tail scan: the blind SWAR skip watches quote-follower
+    * bytes against this bitmap and only falls back to exact key
+    * confirmation on a hit. null (the default) disables the optimistic
+    * path — the chained key cruise consumes saturated tails instead.
+    */
+  def cruiseKeyFirstBytes: Array[Long] = null
+
+  /** Raw byte length of the longest wanted key (0 when unavailable);
+    * bounds the optimistic confirmation scan — a row-depth key longer
+    * than 6x this (the worst \u-escape inflation) cannot be wanted.
+    */
+  def cruiseMaxKeyLen: Int = 0
+}
+
+object KeyProbe {
+  /** Build [[KeyProbe.cruiseKeyFirstBytes]] from a wanted-key set. */
+  def firstByteBitmap(wanted: Array[Array[Byte]]): Array[Long] =
+    if (wanted == null) null
+    else {
+      val bm = new Array[Long](4)
+      def set(b: Int): Unit = bm((b & 0xFF) >>> 6) |= 1L << (b & 63)
+      wanted.foreach(w => if (w.length == 0) set('"') else set(w(0)))
+      set('\\')
+      bm
+    }
+
+  /** Build [[KeyProbe.cruiseMaxKeyLen]] from a wanted-key set. */
+  def maxKeyLen(wanted: Array[Array[Byte]]): Int =
+    if (wanted == null) 0
+    else wanted.foldLeft(0)((m, w) => math.max(m, w.length))
 }
 
 /** Optional plate capability — verbatim raw-text capture of container

@@ -69,6 +69,52 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   // emit unnest (the plate never saw a nestMap for this key)
   private[this] var cruiseSkipping = false
 
+  // Optimistic saturated tail (round 16): the blind SWAR row skip runs at
+  // full speed but watches quote-follower bytes against the probe's
+  // wanted-key first-byte bitmap; only a candidate hit drops to exact
+  // byte-stepping, and only a CONFIRMED duplicate of a wanted key hands
+  // the tail back to the phase machine for an exact last-wins re-parse.
+  private[this] var optimisticTail = false
+  private[this] val cruiseFirstBytes: Array[Long] =
+    if (cruiseProbe == null) null else cruiseProbe.cruiseKeyFirstBytes
+  // longest escaped form a wanted key can take (\uXXXX inflates a raw
+  // byte at most 6x) — a longer row-depth key cannot be wanted
+  private[this] val cruiseConfirmBound: Int =
+    if (cruiseProbe == null) 0 else 6 * cruiseProbe.cruiseMaxKeyLen + 8
+  // Broadcast constants for the in-word follower compare: with <= 3
+  // distinct wanted first bytes (the common pruned-schema case) the
+  // candidate test is pure SWAR — shift, xor, zeros, and — with no loads
+  // and no per-lane loop; >3 falls back to the per-lane bitmap walk.
+  // '\\' is excluded here: a backslash-bearing word exits the fast loop
+  // before the check (the byte-step path consults the full bitmap).
+  private[this] val optBcN: Int = {
+    var n = 0
+    if (cruiseFirstBytes != null) {
+      var b = 0
+      while (b < 256) {
+        if (b != '\\' && (cruiseFirstBytes(b >>> 6) & (1L << (b & 63))) != 0L) n += 1
+        b += 1
+      }
+    }
+    n
+  }
+  private[this] val (optBc0, optBc1, optBc2): (Long, Long, Long) =
+    if (cruiseFirstBytes == null || optBcN == 0 || optBcN > 3) (0L, 0L, 0L)
+    else {
+      val bs = new Array[Long](3)
+      var k = 0
+      var b = 0
+      while (b < 256) {
+        if (b != '\\' && (cruiseFirstBytes(b >>> 6) & (1L << (b & 63))) != 0L) {
+          bs(k) = 0x0101010101010101L * b
+          k += 1
+        }
+        b += 1
+      }
+      while (k < 3) { bs(k) = bs(0); k += 1 } // pad with duplicates
+      (bs(0), bs(1), bs(2))
+    }
+
   // Raw-text capture ([[RawValueCapture]]): a container value bound for a
   // STRING lane is byte-skipped like a column skip but its exact span is
   // delivered to the plate as the value (spark.read.json parity — objects/
@@ -264,7 +310,18 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   private[this] var finishAfterRowSkip = false
   private[this] def beginFinishRowSkip(): Unit =
     if (depth == 1 && cruiseProbe != null && !cruiseProbe.fastSaturationTail) {
-      () // phase machine continues: PhAfter → ',' → chained cruise
+      if (cruiseFirstBytes != null && inObject) {
+        // OPTIMISTIC blind tail (round 16): one SWAR scan to the row's
+        // close, watching quote followers for candidate wanted-key
+        // duplicates; exact parity preserved by the fallback in runSkip
+        finishAfterRowSkip = true
+        optimisticTail = true
+        skipMode = SkipRowMode
+        skipPhase = SkContainer
+        skipRel = 0
+        skipRelTarget = -1
+      }
+      // else: phase machine continues: PhAfter → ',' → chained cruise
     } else if (depth > 0) { // at depth 0 the row is already complete
       finishAfterRowSkip = true
       skipMode = SkipRowMode
@@ -857,6 +914,7 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   }
 
   private[this] def runSkip(): Unit = {
+    if (optimisticTail) { runOptTail(); return }
     val chunkStart = curr
     // every entry is either a fresh capture (captureStart == curr trivially)
     // or a resume after a chunk-boundary stash (the new segment starts here)
@@ -874,8 +932,6 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     var esc = skipEscape
     val columnMode = skipMode == SkipColumnMode
     val relTarget = skipRelTarget
-
-
     while (i < limit) {
       (phase: @switch) match {
         case SkAwait =>
@@ -924,8 +980,8 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
           } else {
             // inside a skipped container: aggregate SWAR word loop
             // (simdjson-style, one word = 8 bytes). Per word: exact '"'
-            // marks (unfolded) → inclusive prefix-XOR gives per-lane quote
-            // parity → brackets at in-string lanes are masked out of the
+            // marks (unfolded) -> inclusive prefix-XOR gives per-lane quote
+            // parity -> brackets at in-string lanes are masked out of the
             // (OR-folded, exact) bracket tests. Depth then advances by
             // popcounts. Words bearing backslashes, a pending escape, or a
             // possible depth exit fall to the byte loop below for exact
@@ -1074,6 +1130,219 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
     throw NeedsInput  // at EOF this becomes IncompleteParseException
   }
 
+
+  /** Optimistic saturated-tail scan (round 16) — the row-skip flavor of
+    * [[runSkip]] in its OWN method: the generic scanner keeps its r14-size
+    * compile (a bigger body and a confirm call site measurably slowed
+    * column skips that never run this code), and this loop gets its own
+    * register allocation. Entered only from runSkip when [[optimisticTail]]
+    * is set (saturation at row depth with a first-byte bitmap available):
+    * phase is SkContainer/SkString mid-tail or SkOptQuote at a suspended
+    * candidate quote; SkAwait/SkScalar cannot occur, capturing is never
+    * active, and the mode is always a row skip (target -1).
+    *
+    * The scan is the same aggregate SWAR word loop as the generic
+    * container scanner plus an inline candidate watch: per quote-bearing
+    * word that could touch row level, compare each quote's FOLLOWER byte
+    * against <= 3 broadcast wanted-first-byte constants (pure SWAR, no
+    * loads); a hit byte-steps that word exactly, and a row-level string
+    * open resolves through [[optimisticConfirm]] — so a duplicate of a
+    * wanted key hands off for an exact last-wins re-parse while the
+    * no-duplicate common case never leaves this method. With > 3 distinct
+    * wanted first bytes every gate-passing quote word byte-steps (rare
+    * schema shape; still exact, just slower).
+    */
+  private[this] def runOptTail(): Unit = {
+    val chunkStart = curr
+    @inline def report(): Unit =
+      if (curr > chunkStart) plate.skipped(curr - chunkStart)
+    val buf = data
+    val limit = len
+    var i = curr
+    var phase = skipPhase
+    var rel = skipRel
+    var esc = skipEscape
+    val relTarget = skipRelTarget
+    val optBm = cruiseFirstBytes
+    val obN = optBcN
+    val ob0 = optBc0
+    val ob1 = optBc1
+    val ob2 = optBc2
+    if (phase == SkOptQuote) {
+      // resumed at an unconsumed row-level '"' pending confirmation
+      val r = optimisticConfirm(i, chunkStart)
+      if (r < 0L) return // handoff committed: skip state is dead
+      i = (r >>> 2).toInt
+      val code = (r & 3L).toInt
+      phase = if (code == 0) SkContainer else SkString
+      esc = code == 2
+    }
+    {
+      {
+        {
+          {
+            val target = relTarget
+            var inStr = phase == SkString
+            while (i < limit) {
+              if (!esc) {
+                var go = true
+                while (go && i + 8 <= limit) {
+                  val w = JsonParser.readLongLE(buf, i)
+                  if (JsonParser.swarZeros(w ^ JsonParser.BcBackslash) != 0L) go = false
+                  else {
+                    val q = JsonParser.swarZeros(w ^ JsonParser.BcQuote)
+                    if (q == 0L) {
+                      // quote-free word: no key can open here
+                      if (inStr) i += 8
+                      else {
+                        val wf = w | JsonParser.BcFold
+                        val close = JsonParser.swarZeros(wf ^ JsonParser.BcClose)
+                        val nc = java.lang.Long.bitCount(close)
+                        val open = JsonParser.swarZeros(wf ^ JsonParser.BcOpen)
+                        if (nc > 0 && rel - nc <= target) {
+                          var events = close | open
+                          var exitAt = -1
+                          while (exitAt < 0 && events != 0L) {
+                            val lane = java.lang.Long.numberOfTrailingZeros(events) >>> 3
+                            if (((close >>> (lane << 3)) & 0x80L) != 0L) {
+                              rel -= 1
+                              if (rel == target) exitAt = lane
+                            } else rel += 1
+                            events &= events - 1L
+                          }
+                          if (exitAt >= 0) {
+                            i += exitAt + 1
+                            phase = SkContainer
+                            esc = false
+                            curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
+                            report()
+                            finishRowSkip()
+                            return
+                          }
+                          i += 8
+                        } else {
+                          rel += java.lang.Long.bitCount(open) - nc
+                          i += 8
+                        }
+                      }
+                    } else {
+                      val wf = w | JsonParser.BcFold
+                      val anyClose = JsonParser.swarZeros(wf ^ JsonParser.BcClose)
+                      val anyOpen = JsonParser.swarZeros(wf ^ JsonParser.BcOpen)
+                      // candidate watch: only words that could reach row
+                      // level (conservative: in-string closes counted)
+                      var cand = false
+                      if (rel - java.lang.Long.bitCount(anyClose) <= 0) {
+                        if (obN <= 3) {
+                          val w2 = w >>> 8
+                          var zz = JsonParser.swarZeros(w2 ^ ob0)
+                          if (obN > 1) zz |= JsonParser.swarZeros(w2 ^ ob1)
+                          if (obN > 2) zz |= JsonParser.swarZeros(w2 ^ ob2)
+                          cand = (zz & q) != 0L
+                        } else cand = true
+                        if (!cand && (q & 0x8000000000000000L) != 0L) {
+                          // lane-7 quote: follower is the next word's byte
+                          cand = i + 8 >= limit || {
+                            val b = buf(i + 8) & 0xFF
+                            (optBm(b >>> 6) & (1L << (b & 63))) != 0L
+                          }
+                        }
+                      }
+                      if (cand) {
+                        // byte-step this word exactly (entry state intact)
+                        go = false
+                      } else if ((anyClose | anyOpen) == 0L) {
+                        inStr ^= (java.lang.Long.bitCount(q) & 1) == 1
+                        i += 8
+                      } else {
+                      var p = q
+                      p ^= p << 8; p ^= p << 16; p ^= p << 32
+                      val outside = ~((p << 8) ^ (if (inStr) JsonParser.BcHigh else 0L))
+                      val close = anyClose & outside
+                      val nc = java.lang.Long.bitCount(close)
+                      val open = anyOpen & outside
+                      if (nc > 0 && rel - nc <= target) {
+                        var events = close | open
+                        var exitAt = -1
+                        while (exitAt < 0 && events != 0L) {
+                          val lane = java.lang.Long.numberOfTrailingZeros(events) >>> 3
+                          if (((close >>> (lane << 3)) & 0x80L) != 0L) {
+                            rel -= 1
+                            if (rel == target) exitAt = lane
+                          } else rel += 1
+                          events &= events - 1L
+                        }
+                        if (exitAt >= 0) {
+                          i += exitAt + 1
+                          phase = SkContainer
+                          esc = false
+                          curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc
+                          report()
+                          finishRowSkip()
+                          return
+                        }
+                        inStr ^= p < 0
+                        i += 8
+                      } else {
+                        rel += java.lang.Long.bitCount(open) - nc
+                        inStr ^= p < 0
+                        i += 8
+                      }
+                      }
+                    }
+                  }
+                }
+              }
+              phase = if (inStr) SkString else SkContainer
+              // exact byte-step (escape words, candidate words, buffer tail)
+              val stop = if (i + 8 <= limit) i + 8 else limit
+              while (i < stop) {
+                if (phase == SkString) {
+                  val b = buf(i)
+                  i += 1
+                  if (esc) esc = false
+                  else if (b == '\\') esc = true
+                  else if (b == '"') phase = SkContainer
+                } else {
+                  val b = buf(i)
+                  i += 1
+                  if (b == '"') {
+                    if (rel == 0) {
+                      // possible row-level key opening: confirm exactly
+                      val r = optimisticConfirm(i - 1, chunkStart)
+                      if (r < 0L) return // handoff committed
+                      i = (r >>> 2).toInt
+                      val code = (r & 3L).toInt
+                      if (code != 0) { phase = SkString; esc = code == 2 }
+                    } else { phase = SkString; esc = false }
+                  }
+                  else if (b == '{' || b == '[') rel += 1
+                  else if (b == '}' || b == ']') {
+                    rel -= 1
+                    if (rel == target) {
+                      { curr = i; skipPhase = phase; skipRel = rel; skipEscape = esc }; report()
+                      finishRowSkip()
+                      return
+                    }
+                  }
+                }
+              }
+              inStr = phase == SkString
+            }
+          }
+        }
+      }
+    }
+    curr = i
+    skipPhase = phase
+    skipRel = rel
+    skipEscape = esc
+    // out of input mid-tail: report what we consumed; state is checkpointed
+    report()
+    tokenStart = curr
+    throw NeedsInput
+  }
+
   private[this] def finishColumnSkip(): Unit = {
     skipMode = SkipNone
     if (capturing) {
@@ -1132,8 +1401,78 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
 
   private[this] def finishRowSkip(): Unit = {
     skipMode = SkipNone
+    optimisticTail = false
     if (finishAfterRowSkip) { finishAfterRowSkip = false; plate.finishRow() }
     rowDoneAfterSkip()
+  }
+
+  /** Optimistic-tail candidate confirmation: `qpos` is an unconsumed '"'
+    * at ROW level (skip rel 0) whose follower byte hit the wanted-key
+    * first-byte bitmap. Resolve it exactly: scan to the string's close
+    * (bounded — longer than any escaped wanted key means not actionable),
+    * look for ':' to decide key vs value string, and compare a plain key
+    * against the probe. A duplicate of a wanted key (or an escaped /
+    * non-ASCII key the fast compare cannot rule out) HANDS OFF to the
+    * phase machine at the quote — parseKey / the cruise re-parse it and
+    * the plate rebinds last-wins, exactly like `spark.read.json`.
+    *
+    * Returns packed `(newI << 2) | code` — code 0: resume the structural
+    * scan at newI (string consumed); 1: resume IN-string at newI; 2: as 1
+    * with a pending escape; negative: handoff committed (caller must
+    * return from runSkip without touching skip state). Throws NeedsInput
+    * (state committed, curr rewound to the quote) when the decision needs
+    * bytes beyond the buffer — the re-scan on resume is bounded by the
+    * confirm bound, and a cleared candidate never re-enters this path.
+    */
+  private[this] def optimisticConfirm(qpos: Int, chunkStart: Int): Long = {
+    val buf = data
+    val limit = len
+    def suspend(): Nothing = {
+      curr = qpos
+      skipPhase = SkOptQuote
+      skipRel = 0
+      skipEscape = false
+      if (curr > chunkStart) plate.skipped(curr - chunkStart)
+      tokenStart = curr
+      throw NeedsInput
+    }
+    var k = qpos + 1
+    if (k >= limit) suspend()
+    val fb = buf(k) & 0xFF
+    if ((cruiseFirstBytes(fb >>> 6) & (1L << (fb & 63))) == 0L)
+      return (k.toLong << 2) | 1L // follower cleared the bitmap: plain string
+    var sawHard = false // escape / ctrl / UTF-8: the fast compare can't rule it out
+    var esc = false
+    var end = -1
+    val bound = qpos + 1 + cruiseConfirmBound
+    while (end < 0 && k < limit && k <= bound) {
+      val b = buf(k)
+      if (esc) { esc = false; k += 1 }
+      else if (b == '\\') { esc = true; sawHard = true; k += 1 }
+      else if (b == '"') end = k
+      else { if (b < 0x20) sawHard = true; k += 1 } // signed: ctrl OR >= 0x80
+    }
+    if (end < 0) {
+      if (k > bound) // longer than any wanted key, even fully escaped
+        return (k.toLong << 2) | (if (esc) 2L else 1L)
+      suspend() // close not in buffer (bounded re-scan on resume)
+    }
+    var p = end + 1
+    while (p < limit && {
+      val b = buf(p); b == ' ' || b == '\n' || b == '\t' || b == '\r' }) p += 1
+    if (p >= limit) suspend()
+    if (buf(p) != ':')
+      return ((end + 1).toLong << 2) | 0L // a VALUE string: skip onward
+    if (!sawHard && cruiseProbe.cruisableKey(buf, qpos + 1, end - qpos - 1))
+      return ((end + 1).toLong << 2) | 0L // unwanted key: ':' + value skip structurally
+    // confirmed candidate: hand the key to the phase machine
+    curr = qpos
+    if (curr > chunkStart) plate.skipped(curr - chunkStart)
+    skipMode = SkipNone
+    optimisticTail = false
+    finishAfterRowSkip = false
+    phase = PhKey
+    -1L
   }
 }
 
@@ -1192,6 +1531,9 @@ object JsonParser {
   private final val SkScalar = 1
   private final val SkString = 2
   private final val SkContainer = 3
+  // optimistic tail: suspended AT an unconsumed row-level '"' pending
+  // candidate confirmation (the decision needed bytes beyond the buffer)
+  private final val SkOptQuote = 4
 
   /** Convenience: parse a complete input in one call (absorb, drain all
     * Partial batches, finish), merging batch values with `merge`.

@@ -56,6 +56,10 @@ final class PathVariantPlate(
     if (probeWanted == null) null
     else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
 
+  // Optimistic saturated-tail support (round 16), twin of RowPlate's
+  override val cruiseKeyFirstBytes: Array[Long] = KeyProbe.firstByteBitmap(probeWanted)
+  override val cruiseMaxKeyLen: Int = KeyProbe.maxKeyLen(probeWanted)
+
   override def cruisableKey(bytes: Array[Byte], off: Int, len: Int): Boolean = {
     if (probeWanted == null) return false
     var i = 0

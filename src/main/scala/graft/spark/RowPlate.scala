@@ -375,6 +375,12 @@ final class RowPlate(
     if (probeWanted == null) null
     else probeWanted.map(b => graft.core.Swar.packPrefix(b, 0, b.length))
 
+  // Optimistic saturated-tail support (round 16): first bytes of every
+  // wanted key, so the parser's blind tail scan only drops to exact key
+  // confirmation at a candidate duplicate.
+  override val cruiseKeyFirstBytes: Array[Long] = KeyProbe.firstByteBitmap(probeWanted)
+  override val cruiseMaxKeyLen: Int = KeyProbe.maxKeyLen(probeWanted)
+
   // Probe order cache: rows almost always repeat the same key order, so
   // remember (key bytes, verdict) by ARRIVAL POSITION within the row and
   // answer the steady state with one packed-long compare instead of a

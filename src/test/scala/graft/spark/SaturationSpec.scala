@@ -92,6 +92,74 @@ class SaturationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- optimistic saturated tail (round 16): the blind tail scan must
+  // fall back to exact re-parsing at every duplicate of a wanted key —
+  // plain, escaped, whitespace-separated — while value strings that merely
+  // share a wanted key's first byte, over-long keys, and unwanted keys
+  // stay on the fast path. All checked at EVERY chunk split (the confirm
+  // scan suspends and resumes mid-key).
+  private val optCorpus =
+    // dup after saturation, scalar: last-wins
+    """{"a": 1, "junkazz": "aaa", "a": 7}
+      |""".stripMargin +
+    // dup after saturation, container value under LONG target: DISCARDED
+    // binding never overwrites (spark parity)
+    """{"a": 2, "zz": [1, {"q": "x"}], "a": {"x": 1}}
+      |""".stripMargin +
+    // \u-escaped duplicate key decodes to "a": must rebind (handoff path);
+    // the JSON bytes are `"a": 30` (built char-wise to dodge Scala's
+    // own unicode-escape processing in literals)
+    "{\"a\": 3, \"pad\": \"pppp\", \"" + '\\' + "u0061\": 30}\n" +
+    // value strings sharing the wanted first byte (false-positive
+    // candidates), incl. one with an escape; then a real dup with
+    // whitespace between the key close and ':'
+    """{"a": 4, "w1": "abcdef", "w2": "a\\b", "a"  :  40}
+      |""".stripMargin +
+    // an over-long key sharing the first byte (exceeds the confirm bound)
+    // is not actionable; the later short dup still rebinds
+    """{"a": 5, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa": 0, "a": 50}
+      |""".stripMargin +
+    // unwanted key whose first byte matches (confirm resolves via the
+    // probe and stays skipping); dup at the very end of the row
+    """{"a": 6, "ax": 1, "ay": {"a": 99}, "a": 60}
+      |""".stripMargin +
+    // no duplicates at all: pure fast path
+    """{"a": 8, "tail": "t", "deep": {"a": [1, 2], "b": "x"}}
+      |""".stripMargin
+
+  test("optimistic tail rebinds exactly the wanted-key duplicates at every split") {
+    val want = Seq(7L, 2L, 30L, 40L, 50L, 60L, 8L)
+    for (chunk <- 1 to optCorpus.length) {
+      val got = rowPlateRows(optCorpus, chunk)
+      assert(got.forall(!_._1) && got.map(_._2) == want, s"chunk=$chunk got=$got")
+    }
+  }
+
+  test("optimistic tail matches the columnar plate too, at every split") {
+    val schema = StructType.fromDDL("a LONG")
+    val want = Seq(7L, 2L, 30L, 40L, 50L, 60L, 8L)
+    val bytes = optCorpus.getBytes("UTF-8")
+    for (chunk <- 1 to bytes.length) {
+      val plate = new ColumnarPlate(schema, Array.empty, saturate = true)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def drain(): Unit = while (plate.pendingRows > 0) {
+        val b = plate.takeBatch()
+        for (i <- 0 until b.numRows()) got += b.column(0).getLong(i)
+      }
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(chunk, bytes.length - off)
+        p.absorb(bytes, off, n) match { case ParseResult.Failure(e) => throw e; case _ => () }
+        drain()
+        off += n
+      }
+      p.finish() match { case ParseResult.Failure(e) => throw e; case _ => () }
+      drain()
+      assert(got.toSeq == want, s"chunk=$chunk")
+    }
+  }
+
   test("ColumnarPlate duplicate keys overwrite (last-wins), strings and nulls included") {
     // pre-saturation duplicates must match RowPlate/spark.read.json:
     // later binding wins, including string re-pointing and null-bit
