@@ -788,8 +788,13 @@ object TrainingData {
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, predicate: String, format: String = "graft-json",
-      retainHistory: Boolean = false): Seq[String] =
-    rewriteWhere(spark, dir, schema, predicate, format, retainHistory) {
+      retainHistory: Boolean = false,
+      changeDataFeed: Boolean = false): Seq[String] =
+    rewriteWhere(spark, dir, schema, predicate, format, retainHistory,
+      changeRows =
+        if (!cdfOn(spark, changeDataFeed)) null
+        else (df, cond) =>
+          Seq("delete" -> df.filter(coalesce(cond, lit(false))))) {
       (df, cond) => df.filter(!coalesce(cond, lit(false)))
     }
 
@@ -802,9 +807,21 @@ object TrainingData {
     */
   def updateWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, predicate: String, set: Map[String, String],
-      format: String = "graft-json", retainHistory: Boolean = false): Seq[String] = {
+      format: String = "graft-json", retainHistory: Boolean = false,
+      changeDataFeed: Boolean = false): Seq[String] = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    rewriteWhere(spark, dir, schema, predicate, format, retainHistory) { (df, cond) =>
+    rewriteWhere(spark, dir, schema, predicate, format, retainHistory,
+      changeRows =
+        if (!cdfOn(spark, changeDataFeed)) null
+        else (df, cond) => {
+          // Delta's UPDATE change types: the matched rows before and
+          // after the SET (every expression sees the pre-update row)
+          val matched = df.filter(coalesce(cond, lit(false)))
+          val post = matched.select(df.columns.toSeq.map { c =>
+            set.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
+          }: _*)
+          Seq("update_preimage" -> matched, "update_postimage" -> post)
+        }) { (df, cond) =>
       val missing = set.keySet -- df.columns.toSet
       require(missing.isEmpty, s"updateWhere SET names unknown column(s): " +
         missing.toSeq.sorted.mkString(", "))
@@ -1094,8 +1111,12 @@ object TrainingData {
     val tbl = resolveCow(spark, dir, schema)
     val state = graft.spark.GraftCommitLog.liveStateAsOf(tbl.fs, tbl.root, tbl.latest)
     val candidates = state.collect { case (f, dv) if dv != null => f }.toSeq.sorted
+    // `materialize` is a NO-LOGICAL-CHANGE rewrite for the feed: the
+    // masked rows' deletes were already emitted by the DV commits that
+    // masked them — this pass only folds the masks into bytes
     val rewritten =
-      cowRewrite(spark, dir, format, tbl, candidates, retainHistory)(identity)
+      cowRewrite(spark, dir, format, tbl, candidates, retainHistory,
+        opTag = "materialize")(identity)
     if (!retainHistory) candidates.foreach { f =>
       tbl.fs.delete(
         graft.spark.DeletionVectors.artifactPath(tbl.root, state(f)), false)
@@ -1171,14 +1192,22 @@ object TrainingData {
 
     val s0 = log.liveStateAsOf(tbl.fs, tbl.root, sinceVersion)
     val s1 = log.liveStateAsOf(tbl.fs, tbl.root, until)
-    val retired = (s0.keySet -- s1.keySet).toSeq.sorted
-    if (retired.nonEmpty)
-      throw new IllegalStateException(
-        s"changeFeed sinceVersion=$sinceVersion: ${retired.size} file(s) the " +
-          s"consumer already processed were retired by a COW rewrite (e.g. " +
-          s"'${retired.head}') — a rewrite moves rows it did not logically " +
-          "change, which a row-level feed cannot express; a full refresh is " +
-          "required")
+    // A COW rewrite of files the CONSUMER ALREADY PROCESSED moves rows
+    // it did not logically change, so the ENDPOINT diff below cannot
+    // express it. Since round 16 the PER-COMMIT walk takes over for such
+    // ranges, provided every rewrite in range is either CDC-recorded
+    // (`c` change-data files, the Delta shape), tagged no-logical-change
+    // (OPTIMIZE / materializeDeletes), or a RESTORE; only an unrecorded,
+    // untagged rewrite still demands a full refresh. The walk adds a
+    // `_commit_version` column (Delta CDF's): its output is a SEQUENCE
+    // of per-commit changes whose bag-union nets to the endpoint diff,
+    // but per-commit replay needs the ordering column. Ranges without
+    // processed-file retirements — including restores that only shrink
+    // masks, and rewrites of files ADDED inside the range — keep the
+    // endpoint diff's leaner schema and stronger net-effect contract.
+    if ((s0.keySet -- s1.keySet).nonEmpty)
+      return changeFeedAcrossRewrites(spark, dir, format, tbl,
+        sinceVersion, until, vs)
 
     val conf = spark.sparkContext.hadoopConfiguration
     def mask(name: String, target: String): graft.spark.DeletionVectors.Mask =
@@ -1271,6 +1300,174 @@ object TrainingData {
 
     (deletes.toSeq ++ resurfaced.toSeq ++ inserts.toSeq)
       .reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
+  /** Synthetic commit-version column emitted by the per-commit change
+    * feed (Delta CDF's `_commit_version`): present only when the range
+    * crosses a COW rewrite and [[changeFeed]] switches to per-commit
+    * output — per-commit replay needs the ordering.
+    */
+  val CommitVersionCol: String = "_commit_version"
+
+  /** PER-COMMIT change feed for ranges the endpoint diff cannot express
+    * (a COW rewrite retired files the consumer already processed): walk
+    * every version in (since, until], folding the live state
+    * incrementally, and emit each commit's row-level changes —
+    *
+    *   - a CDC-recorded rewrite (v8 `c` lines): its `.graft-cdc/` files
+    *     ARE the commit's changes (delete / update_preimage /
+    *     update_postimage), written by the rewrite itself; the physical
+    *     add/remove movement contributes nothing;
+    *   - OPTIMIZE / materializeDeletes (the `o` tag): no logical change,
+    *     no rows (Delta's CDF skips compaction the same way);
+    *   - appends: the added files' visible rows at that version as
+    *     inserts;
+    *   - DV commits: the mask DELTA's rows (read at the pre-delete
+    *     version, exact ordinals) as deletes; a mask SHRINK outside a
+    *     restore is the same corruption it is on the endpoint path;
+    *   - RESTORE: the state flip itself — retired files' visible rows as
+    *     deletes, re-added files' visible rows as inserts, mask deltas
+    *     both ways;
+    *   - an unrecorded, untagged rewrite: refuse — full refresh, as
+    *     before round 16.
+    *
+    * The bag-union of the per-commit changes nets to the endpoint diff
+    * (delete/insert multisets compose), and `_commit_version` orders them
+    * for consumers that replay sequentially. Reading a mask delta or a
+    * restore-retired file needs its PRE-state bytes: a rewrite that
+    * physically reclaimed them (retainHistory=false + vacuum) fails the
+    * pinned read loudly — record CDC or retain history on tables that
+    * feed consumers.
+    */
+  private def changeFeedAcrossRewrites(spark: org.apache.spark.sql.SparkSession,
+      dir: String, format: String, tbl: CowTable,
+      sinceVersion: Long, until: Long, vs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+    val log = graft.spark.GraftCommitLog
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!tbl.fullSchema.fieldNames.contains(CommitVersionCol),
+      s"changeFeed: the table already has a column named $CommitVersionCol")
+    val dataCols = tbl.fullSchema.fieldNames.toSeq
+    val outSchema = StructType(tbl.fullSchema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+    val fileCol = graft.spark.GraftSources.FilePathCol
+    val idxCol = graft.spark.GraftSources.RowIndexCol
+    val scanSchema = StructType(tbl.phase1Schema.fields :+
+      StructField(idxCol, LongType))
+
+    def mask(name: String, target: String): graft.spark.DeletionVectors.Mask =
+      if (name == null) graft.spark.DeletionVectors.Mask.Empty
+      else graft.spark.DeletionVectors.readMask(conf,
+        graft.spark.DeletionVectors.artifactPath(tbl.root, name), target)
+
+    // exact-ordinal read of specific rows in specific files, pinned where
+    // those ordinals are visible (the endpoint path's ordinalRows twin)
+    def ordinalRows(runsByFile: Map[String, Array[(Long, Long)]],
+        atVersion: Long, changeType: String, commitV: Long): DataFrame = {
+      val runsB = spark.sparkContext.broadcast(runsByFile)
+      val inRuns = udf { (f: String, ord: Long) =>
+        val runs = runsB.value.getOrElse(f, Array.empty[(Long, Long)])
+        runs.exists { case (st, en) => ord >= st && ord < en }
+      }
+      spark.read.format(format).schema(scanSchema)
+        .option("withfilepath", "true").option("withrowindex", "true")
+        .option("versionasof", atVersion.toString)
+        .option("restrictfiles", graft.spark.GraftSources.joinFileList(
+          runsByFile.keys.toSeq.sorted, "restrictfiles"))
+        .load(dir)
+        .filter(inRuns(col(fileCol), col(idxCol)))
+        .select(dataCols.map(col): _*)
+        .withColumn(ChangeTypeCol, lit(changeType))
+        .withColumn(CommitVersionCol, lit(commitV))
+    }
+
+    // all VISIBLE rows of `files` at `atVersion` (that version's masks
+    // apply through the pinned read)
+    def fileRows(files: Seq[String], atVersion: Long, changeType: String,
+        commitV: Long): DataFrame =
+      spark.read.format(format).schema(tbl.fullSchema)
+        .option("versionasof", atVersion.toString)
+        .option("restrictfiles",
+          graft.spark.GraftSources.joinFileList(files.sorted, "restrictfiles"))
+        .load(dir)
+        .select(dataCols.map(col): _*)
+        .withColumn(ChangeTypeCol, lit(changeType))
+        .withColumn(CommitVersionCol, lit(commitV))
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prev: Map[String, String] = log.liveStateAsOf(tbl.fs, tbl.root, sinceVersion)
+    var prevV = sinceVersion
+    vs.filter(v => v > sinceVersion && v <= until).sorted.foreach { v =>
+      val acts = log.entryActions(tbl.fs, tbl.root, v)
+      val cur = acts.foldLeft(prev) { (st, a) =>
+        a.kind match {
+          case 'f' => st.updated(a.path, null)
+          case 'r' => st - a.path
+          case _   => if (st.contains(a.path)) st.updated(a.path, a.dv) else st
+        }
+      }
+      val op = log.entryOp(tbl.fs, tbl.root, v).getOrElse("")
+      val cdc = log.entryChangeFiles(tbl.fs, tbl.root, v)
+      val removed = (prev.keySet -- cur.keySet).toSeq.sorted
+      val added = (cur.keySet -- prev.keySet).toSeq.sorted
+      val isRestore = op.startsWith("restore")
+      if (cdc.nonEmpty) {
+        // the rewrite recorded its own row-level changes; the add/remove
+        // movement is physical only. A dv rider on the same entry has no
+        // writer today — refuse rather than guess at combined semantics.
+        require(!acts.exists(_.isDv),
+          s"changeFeed: version $v carries both change-data files and " +
+            "deletion-vector attachments — no writer emits this shape; " +
+            "refusing rather than guessing its semantics")
+        cdc.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (ct, pairs) =>
+          parts += spark.read.format(format).schema(tbl.fullSchema)
+            .option("restrictfiles", graft.spark.GraftSources.joinFileList(
+              pairs.map(_._2).sorted, "restrictfiles"))
+            .load(graft.spark.GraftCommitLog.cdcDir(tbl.root).toString)
+            .select(dataCols.map(col): _*)
+            .withColumn(ChangeTypeCol, lit(ct))
+            .withColumn(CommitVersionCol, lit(v))
+        }
+      } else if (op == "optimize" || op == "materialize") {
+        () // rows moved, none changed
+      } else {
+        if (removed.nonEmpty && !isRestore)
+          throw new IllegalStateException(
+            s"changeFeed sinceVersion=$sinceVersion: version $v retired " +
+              s"${removed.size} file(s) the consumer already processed " +
+              s"(e.g. '${removed.head}') without recording change-data " +
+              "files — a rewrite moves rows it did not logically change, " +
+              "which a row-level feed cannot express; re-run the rewrite " +
+              "with changeDataFeed=true (or spark.hadoop.graft.cdf." +
+              "enabled) or do a full refresh")
+        if (removed.nonEmpty) parts += fileRows(removed, prevV, "delete", v)
+        if (added.nonEmpty) parts += fileRows(added, v, "insert", v)
+        // mask deltas on files present on both sides
+        val changedMask = cur.keysIterator
+          .filter(f => prev.contains(f) && prev(f) != cur(f)).toSeq.sorted
+        if (changedMask.nonEmpty) {
+          val diffs = changedMask.map { f =>
+            val (m0, m1) = (mask(prev(f), f), mask(cur(f), f))
+            f -> (m1.minus(m0), m0.minus(m1))
+          }.toMap
+          val grown = diffs.collect { case (f, (d, _)) if d.nonEmpty => f -> d }
+          val shrunk = diffs.collect { case (f, (_, i)) if i.nonEmpty => f -> i }
+          require(shrunk.isEmpty || isRestore,
+            s"changeFeed: the deletion vector for " +
+              s"'${shrunk.keys.toSeq.sorted.headOption.getOrElse("")}' SHRANK " +
+              s"at version $v with no RESTORE tag — vectors are cumulative " +
+              "outside restores; the artifacts disagree with the merge contract")
+          if (grown.nonEmpty) parts += ordinalRows(grown, prevV, "delete", v)
+          if (shrunk.nonEmpty) parts += ordinalRows(shrunk, v, "insert", v)
+        }
+      }
+      prev = cur
+      prevV = v
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
   }
 
   /** RESTORE the table to `version` — Delta's RESTORE TABLE shape: ONE
@@ -1748,7 +1945,9 @@ object TrainingData {
     */
   private def cowRewrite(spark: org.apache.spark.sql.SparkSession, dir: String,
       format: String, tbl: CowTable, candidates: Seq[String],
-      retainHistory: Boolean)(rewrite: DataFrame => DataFrame): Seq[String] = {
+      retainHistory: Boolean,
+      changeRows: DataFrame => Seq[(String, DataFrame)] = null,
+      opTag: String = null)(rewrite: DataFrame => DataFrame): Seq[String] = {
     import org.apache.hadoop.fs.Path
     if (candidates.isEmpty) return Nil
     val source = spark.read.format(format).schema(tbl.fullSchema)
@@ -1758,7 +1957,15 @@ object TrainingData {
       // deletion vector must rewrite only its LIVE rows — an unpinned
       // restrict read would resurrect the masked ones
       .option("versionasof", tbl.latest.toString).load(dir)
-    val w = rewrite(source)
+    // CHANGE DATA FEED (round 16, Delta's CDC-file shape): record the
+    // rewrite's row-level pre/post images under `.graft-cdc/` BEFORE the
+    // rewrite publishes, and attach them to the SAME atomic entry via
+    // the `commitchangefiles` rider — an aborted rewrite leaves only
+    // invisible dot-dir debris. O(changed files) extra read.
+    val cdcNames: Seq[(String, String)] =
+      if (changeRows == null) Nil
+      else writeChangeData(spark, tbl, format, changeRows(source))
+    var w = rewrite(source)
       .write.format(format).mode("append")
       // rewrite-side deletion-vector OCC: the commit validates the
       // candidates' dv state against the version this rewrite READ at —
@@ -1767,6 +1974,10 @@ object TrainingData {
       .option("commitremovesversion", tbl.latest.toString)
       .option("commitremoves",
         graft.spark.GraftSources.joinFileList(candidates, "commitremoves"))
+    if (cdcNames.nonEmpty)
+      w = w.option("commitchangefiles",
+        cdcNames.map { case (ct, n) => s"$ct>$n" }.mkString(","))
+    if (opTag != null) w = w.option("committag", opTag)
     (if (tbl.partCols.nonEmpty) w.option("partitionby", tbl.partCols.mkString(","))
      else w).save(dir)
     if (!retainHistory) candidates.foreach { rel =>
@@ -1778,7 +1989,8 @@ object TrainingData {
   }
 
   private def rewriteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
-      schema: String, predicate: String, format: String, retainHistory: Boolean)(
+      schema: String, predicate: String, format: String, retainHistory: Boolean,
+      changeRows: (DataFrame, Column) => Seq[(String, DataFrame)] = null)(
       rewrite: (DataFrame, Column) => DataFrame): Seq[String] = {
     val tbl = resolveCow(spark, dir, schema)
     val fileCol = graft.spark.GraftSources.FilePathCol
@@ -1790,8 +2002,68 @@ object TrainingData {
       .filter(expr(predicate))
       .select(col(fileCol)).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    cowRewrite(spark, dir, format, tbl, candidates, retainHistory)(
+    cowRewrite(spark, dir, format, tbl, candidates, retainHistory,
+      changeRows =
+        if (changeRows == null) null
+        else df => changeRows(df, expr(predicate)))(
       df => rewrite(df, expr(predicate)))
+  }
+
+  /** Is CHANGE DATA FEED recording requested — the per-call flag, or the
+    * session-wide default (`spark.hadoop.graft.cdf.enabled=true`, the
+    * Delta `delta.enableChangeDataFeed` analog at session scope: the
+    * graft log has no table-property store, so the always-on posture
+    * rides the Hadoop conf instead).
+    */
+  private def cdfOn(spark: org.apache.spark.sql.SparkSession,
+      flag: Boolean): Boolean =
+    flag || spark.sparkContext.hadoopConfiguration
+      .getBoolean("graft.cdf.enabled", false)
+
+  /** Write a rewrite's change rows (one DataFrame of TABLE columns per
+    * change type) as change-data files under `.graft-cdc/` and return
+    * (change type, name) pairs for the commit's `c` lines. Every file
+    * carries exactly one change type, so batch and streaming readers
+    * stamp the type as a per-file constant instead of parsing it per
+    * row. The rows land via the table's own format writer in a
+    * dot-prefixed temp dir (its private commit log and sidecars vanish
+    * with the dir), then the part files move out and the temp dir dies —
+    * a crash leaves only invisible dot-dir debris.
+    *
+    * Partitioned tables refuse for now: the streaming CDF reader derives
+    * partition values from data-file paths, and a flat change-data file
+    * cannot carry them there — feed such tables by full refresh (or run
+    * the rewrite without CDC), as before round 16.
+    */
+  private def writeChangeData(spark: org.apache.spark.sql.SparkSession,
+      tbl: CowTable, format: String,
+      typed: Seq[(String, DataFrame)]): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    require(tbl.partCols.isEmpty,
+      "changeDataFeed: change-data recording on a PARTITIONED table is " +
+        "not supported yet (the streaming reader derives partition values " +
+        "from data-file paths) — run the rewrite without CDC and feed " +
+        "consumers by full refresh")
+    val uuid = java.util.UUID.randomUUID().toString
+    val cdc = graft.spark.GraftCommitLog.cdcDir(tbl.root)
+    tbl.fs.mkdirs(cdc)
+    val pairs = typed.flatMap { case (ct, rows) =>
+      val tmp = new Path(cdc, s"_tmp-$uuid-$ct")
+      rows.write.format(format).mode("overwrite").save(tmp.toString)
+      val parts = tbl.fs.listStatus(tmp)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(_.getPath).sortBy(_.getName)
+      val moved = parts.zipWithIndex.map { case (part, k) =>
+        val name = s"cdc-$uuid-$ct-$k-${part.getName}"
+        require(tbl.fs.rename(part, new Path(cdc, name)),
+          s"writeChangeData: rename of '$part' into '$cdc' failed")
+        (ct, name)
+      }.toSeq
+      tbl.fs.delete(tmp, true)
+      moved
+    }
+    pairs
   }
 
   /** Copy-on-write DELETE of every row whose `keyCols` tuple appears in
@@ -1816,7 +2088,8 @@ object TrainingData {
     */
   def deleteMatching(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: String, keys: DataFrame, keyCols: Seq[String],
-      format: String = "graft-json", retainHistory: Boolean = false): Seq[String] = {
+      format: String = "graft-json", retainHistory: Boolean = false,
+      changeDataFeed: Boolean = false): Seq[String] = {
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
     val tbl = resolveCow(spark, dir, schema)
     val missing = keyCols.filterNot(c => tbl.fullSchema.fieldNames.contains(c))
@@ -1848,7 +2121,10 @@ object TrainingData {
       .join(kSide, keyCols, "left_semi")
       .select(col(fileCol)).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    cowRewrite(spark, dir, format, tbl, candidates, retainHistory)(
+    cowRewrite(spark, dir, format, tbl, candidates, retainHistory,
+      changeRows =
+        if (!cdfOn(spark, changeDataFeed)) null
+        else df => Seq("delete" -> df.join(kSide, keyCols, "left_semi")))(
       _.join(kSide, keyCols, "left_anti"))
   }
 
@@ -1983,6 +2259,11 @@ object TrainingData {
       .option("commitremovesversion", latest.toString)
       .option("commitremoves",
         graft.spark.GraftSources.joinFileList(candidates, "commitremoves"))
+      // NO-LOGICAL-CHANGE tag (round 16): compaction moves rows without
+      // changing any — changeFeed / streaming CDF skip this commit
+      // instead of demanding a full refresh (Delta's CDF does the same
+      // for OPTIMIZE)
+      .option("committag", "optimize")
     (if (partCols.nonEmpty) w.option("partitionby", partCols.mkString(","))
      else w).save(dir)
     if (!retainHistory) candidates.foreach { rel =>

@@ -3397,6 +3397,54 @@ object Sources {
             WHERE c_custkey % 7 <> 0
             ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q236
+  // CHANGE DATA FEED ACROSS COW REWRITES (round 16, the Delta CDC-file
+  // shape): updateWhere/deleteWhere with changeDataFeed=true record the
+  // rewrite's row-level pre/post images under `.graft-cdc/` in the SAME
+  // atomic commit entry (v8 `c` lines), and changeFeed switches to a
+  // per-commit walk — with Delta's `_commit_version` column — instead of
+  // demanding a full refresh. The gate runs update-then-delete over a
+  // consumer's processed snapshot and pins the exact feed; the bag-apply
+  // identity (since-snapshot − deletes/preimages + inserts/postimages =
+  // until-snapshot), OPTIMIZE skipping, restores, orphan debris, OCC,
+  // and the streaming reader are pinned by ChangeFeedCowSpec.
+  private val q236 = GQuery(
+    "q236_cow_change_feed",
+    "CDF across COW rewrites: update pre/post images + composed delete, per-commit versions",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/cow_cdf"
+      val ddl = "n_nationkey BIGINT, n_name STRING"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name")
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(dir)        // v0
+      graft.api.TrainingData.updateWhere(s, dir, ddl,
+        "n_nationkey % 5 = 2", Map("n_name" -> "concat(n_name, '_X')"),
+        retainHistory = true, changeDataFeed = true)                   // v1
+      graft.api.TrainingData.deleteWhere(s, dir, ddl,
+        "n_nationkey >= 20",
+        retainHistory = true, changeDataFeed = true)                   // v2
+      graft.api.TrainingData.changeFeed(s, dir, ddl, sinceVersion = 0L)
+        .orderBy($"_commit_version", $"_change_type", $"n_nationkey")
+    },
+    Some("""SELECT * FROM (
+              SELECT n_nationkey, n_name, 'update_preimage' AS _change_type,
+                     CAST(1 AS BIGINT) AS _commit_version
+              FROM nation WHERE n_nationkey % 5 = 2
+              UNION ALL
+              SELECT n_nationkey, n_name || '_X', 'update_postimage', CAST(1 AS BIGINT)
+              FROM nation WHERE n_nationkey % 5 = 2
+              UNION ALL
+              SELECT n_nationkey,
+                     CASE WHEN n_nationkey % 5 = 2 THEN n_name || '_X' ELSE n_name END,
+                     'delete', CAST(2 AS BIGINT)
+              FROM nation WHERE n_nationkey >= 20)
+            ORDER BY _commit_version, _change_type, n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3668,5 +3716,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q236)
 }

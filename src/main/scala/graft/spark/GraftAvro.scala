@@ -495,7 +495,9 @@ final class GraftAvroTable(
       GraftSources.commitRemoves(info.options),
       GraftSources.commitRemovesBase(info.options),
       GraftSources.commitDvs(info.options),
-      GraftSources.commitDvBase(info.options))
+      GraftSources.commitDvBase(info.options),
+      GraftSources.commitChangeFiles(info.options),
+      GraftSources.commitOpTag(info.options))
   }
 }
 
@@ -1205,7 +1207,9 @@ final class GraftAvroWriteBuilder(
     removes: Seq[String] = Nil,
     removesBase: Long = -1L,
     dvs: Seq[(String, String)] = Nil,
-    dvBase: Map[String, String] = Map.empty)
+    dvBase: Map[String, String] = Map.empty,
+    changeFiles: Seq[(String, String)] = Nil,
+    opTag: String = null)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -1214,7 +1218,7 @@ final class GraftAvroWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftAvroBatchWrite(path, schema, conf, codec, doTruncate, queryId,
-        blockBytes, removes, removesBase, dvs, dvBase)
+        blockBytes, removes, removesBase, dvs, dvBase, changeFiles, opTag)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // commit riders are batch COW/merge concepts; a stream never
@@ -1294,7 +1298,9 @@ final class GraftAvroBatchWrite(
     removes: Seq[String],
     removesBase: Long,
     dvs: Seq[(String, String)],
-    dvBase: Map[String, String])
+    dvBase: Map[String, String],
+    changeFiles: Seq[(String, String)] = Nil,
+    opTag: String = null)
     extends BatchWrite {
 
   require(removes.isEmpty || !doTruncate,
@@ -1340,7 +1346,8 @@ final class GraftAvroBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
     GraftCommitLog.append(conf.value, path, messages, removes,
-      commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
+      commitSchema.record, commitSchema.base, removesBase, dvs, dvBase,
+      changeFiles, opTag)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -427,15 +427,38 @@ final class GraftCdfMicroBatchStream(
     vs.filter(v => v > s && v <= e).foreach { v =>
       val acts = log.entryActionsAwait(fs, root, v)
       val removes = acts.filter(_.kind == 'r')
-      if (removes.nonEmpty && !skipChange)
+      val cdc = log.entryChangeFiles(fs, root, v)
+      val op = log.entryOp(fs, root, v).getOrElse("")
+      val noChangeOp = op == "optimize" || op == "materialize"
+      if (cdc.nonEmpty) {
+        // CDC-RECORDED rewrite (round 16, v8 `c` lines): the commit's
+        // row-level changes are its `.graft-cdc/` files — one change
+        // type per file (the writer partitions by it), so each admits as
+        // a whole-file partition with the type stamped like a partition
+        // value. The physical add/remove movement contributes nothing.
+        require(!acts.exists(_.isDv),
+          s"readChangeFeed: commit $v carries both change-data files and " +
+            "deletion-vector attachments — no writer emits this shape; " +
+            "refusing rather than guessing its semantics")
+        cdc.foreach { case (ct, name) =>
+          val p = fs.makeQualified(new org.apache.hadoop.fs.Path(
+            GraftCommitLog.cdcDir(root), name))
+          val len = fs.getFileStatus(p).getLen
+          parts += GraftSources.wholeFilePartition(
+            p.toString, len, pvFor(p.toString, ct))
+        }
+      }
+      else if (removes.nonEmpty && !noChangeOp && !skipChange)
         throw new IllegalStateException(
           s"readChangeFeed: commit $v under $root retires ${removes.size} " +
-            s"file(s) (COW rewrite / OPTIMIZE / RESTORE, e.g. " +
-            s"'${removes.head.path}') — a rewrite moves rows it did not " +
-            "logically change, which a row-level feed cannot express; " +
+            s"file(s) (COW rewrite / RESTORE, e.g. " +
+            s"'${removes.head.path}') without recording change-data files " +
+            "— a rewrite moves rows it did not logically change, which a " +
+            "row-level feed cannot express; re-run the rewrite with " +
+            "changeDataFeed=true (or spark.hadoop.graft.cdf.enabled), " +
             "restart from a fresh checkpoint for a full refresh, or set " +
             "option(\"skipchangecommits\", \"true\") to skip such commits whole")
-      if (removes.isEmpty) acts.foreach { a =>
+      else if (removes.isEmpty) acts.foreach { a =>
         a.kind match {
           case 'f' =>
             val p = fs.makeQualified(new org.apache.hadoop.fs.Path(root, a.path))

@@ -432,7 +432,9 @@ final class GraftWriteBuilder(
     blockBytes: Long = GraftSink.DefaultBlockBytes,
     removesBase: Long = -1L,
     dvs: Seq[(String, String)] = Nil,
-    dvBase: Map[String, String] = Map.empty)
+    dvBase: Map[String, String] = Map.empty,
+    changeFiles: Seq[(String, String)] = Nil,
+    opTag: String = null)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -445,7 +447,7 @@ final class GraftWriteBuilder(
     override def toBatch: BatchWrite =
       new GraftBatchWrite(path, schema, conf, doTruncate, codec, partCols,
         GraftSink.batchNamePrefix(queryId), removes, check, mergeSchema, blockBytes,
-        removesBase, dvs, dvBase)
+        removesBase, dvs, dvBase, changeFiles, opTag)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       // a streaming epoch commit never touches the commit log, so removes
       // would be accepted-and-ignored — the one outcome a COW rewrite must
@@ -536,7 +538,9 @@ final class GraftBatchWrite(
     blockBytes: Long = GraftSink.DefaultBlockBytes,
     removesBase: Long = -1L,
     dvs: Seq[(String, String)] = Nil,
-    dvBase: Map[String, String] = Map.empty)
+    dvBase: Map[String, String] = Map.empty,
+    changeFiles: Seq[(String, String)] = Nil,
+    opTag: String = null)
     extends BatchWrite {
 
   require(removes.isEmpty || !truncate,
@@ -568,7 +572,8 @@ final class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftManifest.write(conf.value, messages)
     GraftCommitLog.append(conf.value, path, messages, removes,
-      commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
+      commitSchema.record, commitSchema.base, removesBase, dvs, dvBase,
+      changeFiles, opTag)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -772,7 +777,8 @@ private[graft] object GraftCommitLog {
       messages: Array[WriterCommitMessage], removes: Seq[String] = Nil,
       schema: StructType = null, schemaBase: StructType = null,
       removesBase: Long = -1L, dvs: Seq[(String, String)] = Nil,
-      dvBase: Map[String, String] = Map.empty): Unit = {
+      dvBase: Map[String, String] = Map.empty,
+      changeFiles: Seq[(String, String)] = Nil, opTag: String = null): Unit = {
     val files: Seq[String] = messages.toSeq.flatMap {
       case GraftCommit(f, _) => Seq(f)
       case GraftPartitionedCommit(es) => es.map(_._1)
@@ -781,7 +787,7 @@ private[graft] object GraftCommitLog {
     if (files.isEmpty && removes.isEmpty && dvs.isEmpty) return
     try {
       appendEntry(conf, root, files, removes, schema, schemaBase,
-        dvs, dvBase, removesBase)
+        dvs, dvBase, removesBase, opTag = opTag, changeFiles = changeFiles)
     } catch {
       // an OCC CONFLICT must never be best-effort: swallowing it would
       // report success while the commit's files stay unlogged — invisible
@@ -826,7 +832,8 @@ private[graft] object GraftCommitLog {
       dvs: Seq[(String, String)] = Nil,
       dvBase: Map[String, String] = Map.empty,
       removesBase: Long = -1L,
-      opTag: String = null): Long = {
+      opTag: String = null,
+      changeFiles: Seq[(String, String)] = Nil): Long = {
     // a SCHEMA-ONLY entry (no file actions) is how ALTER TABLE
     // add/drop-column lands: the metadata changes at a version boundary
     // with no data movement
@@ -1055,17 +1062,24 @@ private[graft] object GraftCommitLog {
       // key (deterministic tests / backfills); readers clamp
       // monotonically, so a skewed writer clock can never reorder time.
       val ts = conf.getLong(CommitTimestampKey, System.currentTimeMillis())
-      // v6 = v5 + an `o <tag>` OPERATION line (currently only RESTORE
-      // writes one — changeFeed's shrink-legality rail keys on it).
-      // v7 = v6 + a TERMINATING `e <actionCount>` footer on EVERY entry:
-      // the footer is what makes an entry's content tear-detectable for
-      // concurrent readers (a followLog tail polling between the
+      // v6 = v5 + an `o <tag>` OPERATION line (RESTORE and, since round
+      // 16, OPTIMIZE / materializeDeletes / adopt / clone write one —
+      // changeFeed's shrink-legality and no-logical-change rails key on
+      // them). v7 = v6 + a TERMINATING `e <actionCount>` footer on EVERY
+      // entry: the footer is what makes an entry's content tear-detectable
+      // for concurrent readers (a followLog tail polling between the
       // put-if-absent claim and the body write, or after a writer crash)
       // — a prefix torn at a line boundary would otherwise parse as a
       // valid smaller commit and silently drop files. Unlike v6 this
       // bump is global, because the guarantee is only worth having if
-      // every entry carries it.
-      val header = "graft-commit v7"
+      // every entry carries it. v8 = v7 + `c <file>` CHANGE-DATA lines
+      // (Delta CDC-file shape): row-level pre/post images a COW rewrite
+      // recorded under `.graft-cdc/`, consumed by changeFeed / streaming
+      // CDF instead of refusing on the rewrite. Not an action — state
+      // folds ignore them. Only entries that carry them declare v8, so
+      // untouched tables stay readable by older v7 readers.
+      val header =
+        if (changeFiles.nonEmpty) "graft-commit v8" else "graft-commit v7"
       // line order is LOAD-BEARING for the in-order state fold: `r` before
       // `f` (a RESTORE may retire-and-re-pin the same path to detach its
       // vector) and `f` before `d` (a vector may target a file this entry
@@ -1079,7 +1093,8 @@ private[graft] object GraftCommitLog {
           (if (sch != null) Seq(schemaLine(sch)) else Nil) ++
           relRemoves.map("r " + _) ++
           relAdds.map("f " + _) ++
-          relDvs.map { case (dvn, t) => s"d $dvn $t" })
+          relDvs.map { case (dvn, t) => s"d $dvn $t" } ++
+          changeFiles.map { case (ct, n) => s"c $ct $n" })
       // the footer's third token is a CRC32 of everything before it:
       // integrity that travels WITH the entry to any store (a filesystem
       // .crc sidecar would not), so in-line bit rot fails the read
@@ -1738,7 +1753,7 @@ private[graft] object GraftCommitLog {
   /** Newest commit-entry protocol this reader writes AND the newest it
     * can read; `graft-checkpoint` and `graft-dv` carry their own ceilings.
     */
-  val MaxProtocolVersion = 7
+  val MaxProtocolVersion = 8
   val MaxCheckpointVersion = 4
   val MaxDvVersion = 2
 
@@ -1819,6 +1834,7 @@ private[graft] object GraftCommitLog {
       } else if (hv >= 3 && l.startsWith("s ")) None
       else if (hv >= 5 && l.startsWith("t ")) None // commit-time line, not an action
       else if (hv >= 6 && l.startsWith("o ")) None // operation tag, not an action
+      else if (hv >= 8 && l.startsWith("c ")) None // change-data file, not an action
       else throw new IllegalArgumentException(s"malformed commit-log line in $p: $l")
     }
     if (hv >= 7) {
@@ -1891,6 +1907,33 @@ private[graft] object GraftCommitLog {
         else lines.tail.find(_.startsWith("o ")).map(_.substring(2).trim)
       (parseActions(p, lines), op, lines.tail.exists(_.startsWith("s ")))
     }
+
+  /** Directory holding change-data files (Delta's `_change_data` shape):
+    * dot-prefixed, so raw listings and vacuum walks never see them as
+    * data.
+    */
+  def cdcDir(root: Path): Path = new Path(root, ".graft-cdc")
+
+  /** The entry's recorded CHANGE-DATA files (`c <changeType> <name>`
+    * lines, v8) — (change type, file name under `.graft-cdc/`) pairs
+    * holding the commit's row-level pre/post images; each file carries
+    * ONE change type (the writer partitions by it), so batch and
+    * streaming readers stamp the type as a constant. STRICT read (unlike
+    * [[entryOp]]): a change-feed reader substitutes these for the
+    * refused COW rewrite, so failing to read them must be loud, never an
+    * empty feed.
+    */
+  def entryChangeFiles(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      version: Long): Seq[(String, String)] = {
+    val (p, lines) = entryLines(fs, root, version)
+    if (headerVersion(lines) < 8) Nil
+    else lines.tail.filter(_.startsWith("c ")).map { l =>
+      val rest = l.substring(2)
+      val sp = rest.indexOf(' ')
+      require(sp > 0, s"malformed change-data line in $p: $l")
+      (rest.substring(0, sp), rest.substring(sp + 1))
+    }
+  }
 
   /** The entry's OPERATION tag (`o` line, v6) — currently "restore
     * <targetVersion>". None for untagged/older entries. Lenient like
@@ -2443,7 +2486,9 @@ final class GraftCsvWriteBuilder(
     blockBytes: Long = GraftSink.DefaultBlockBytes,
     removesBase: Long = -1L,
     dvs: Seq[(String, String)] = Nil,
-    dvBase: Map[String, String] = Map.empty)
+    dvBase: Map[String, String] = Map.empty,
+    changeFiles: Seq[(String, String)] = Nil,
+    opTag: String = null)
     extends WriteBuilder with SupportsTruncate {
 
   schema.fields.foreach { f =>
@@ -2489,7 +2534,8 @@ final class GraftCsvWriteBuilder(
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         GraftManifest.write(conf.value, messages)
         GraftCommitLog.append(conf.value, path, messages, removes,
-          commitSchema.record, commitSchema.base, removesBase, dvs, dvBase)
+          commitSchema.record, commitSchema.base, removesBase, dvs, dvBase,
+          changeFiles, opTag)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }

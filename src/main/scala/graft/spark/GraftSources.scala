@@ -819,6 +819,31 @@ object GraftSources {
   def commitRemovesBase(options: java.util.Map[String, String]): Long =
     Option(options.get("commitremovesversion")).map(_.trim.toLong).getOrElse(-1L)
 
+  /** Change-data files riding a batch write's commit entry
+    * (`option("commitchangefiles", "delete>a.jsonl,update_preimage>b.jsonl")`,
+    * (change type, name under `.graft-cdc/`) pairs): the Delta CDC-file
+    * shape — a COW rewrite's row-level pre/post images, published in the
+    * SAME atomic entry as the rewrite so changeFeed / streaming CDF can
+    * express the commit instead of refusing. Joining is safe: both
+    * halves are writer-generated (type enum + uuid names).
+    */
+  def commitChangeFiles(options: java.util.Map[String, String]): Seq[(String, String)] =
+    Option(options.get("commitchangefiles")).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map { s =>
+        val i = s.indexOf('>')
+        require(i > 0, s"commitchangefiles: malformed pair '$s'")
+        (s.substring(0, i), s.substring(i + 1))
+      }
+
+  /** Operation tag for the commit entry (`option("committag", "optimize")`,
+    * the v6 `o` line): names the maintenance verb so changeFeed's
+    * no-logical-change rail can skip OPTIMIZE / materializeDeletes
+    * rewrites instead of demanding a full refresh.
+    */
+  def commitOpTag(options: java.util.Map[String, String]): String =
+    Option(options.get("committag")).map(_.trim).filter(_.nonEmpty).orNull
+
   /** The commit-log-recorded table schema for a schemaless read —
     * authoritative when present (docs/TABLE_FORMAT.md "Schema tracking"):
     * types the writer declared (dates stay dates, ints stay ints) with
@@ -1097,7 +1122,9 @@ final class GraftJsonTable(
         GraftSources.mergeTableProps(properties, info.options)),
       removesBase = GraftSources.commitRemovesBase(info.options),
       dvs = GraftSources.commitDvs(info.options),
-      dvBase = GraftSources.commitDvBase(info.options))
+      dvBase = GraftSources.commitDvBase(info.options),
+      changeFiles = GraftSources.commitChangeFiles(info.options),
+      opTag = GraftSources.commitOpTag(info.options))
 }
 
 // ======================================================================= CSV
@@ -1214,7 +1241,9 @@ final class GraftCsvTable(
         GraftSources.mergeTableProps(properties, info.options)),
       removesBase = GraftSources.commitRemovesBase(info.options),
       dvs = GraftSources.commitDvs(info.options),
-      dvBase = GraftSources.commitDvBase(info.options))
+      dvBase = GraftSources.commitDvBase(info.options),
+      changeFiles = GraftSources.commitChangeFiles(info.options),
+      opTag = GraftSources.commitOpTag(info.options))
   }
 }
 
