@@ -59,6 +59,7 @@ object Bench {
     val (asVec, asRow, asRatio) = ArrayStructColumnarBench.run(spark, sfDir)
     val (tlVec, tlRow, tlRatio) = TwoLevelColumnarBench.run(spark, sfDir)
     val (saVec, saRow, saRatio) = StructArrayColumnarBench.run(spark, sfDir)
+    val (ecVec, ecRow, ecRatio) = ElemContainersColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -107,14 +108,16 @@ object Bench {
         val (_, _, as1) = ArrayStructColumnarBench.run(spark, sf1Dir)
         val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir)
         val (_, _, sa1) = StructArrayColumnarBench.run(spark, sf1Dir)
+        val (_, _, ec1) = ElemContainersColumnarBench.run(spark, sf1Dir)
         val sub =
           s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
             s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
             s""""nested_columnar_speedup":$nest1,"array_columnar_speedup":$arr1,""" +
             s""""arraystruct_columnar_speedup":$as1,""" +
             s""""twolevel_columnar_speedup":$tl1,""" +
-            s""""structarray_columnar_speedup":$sa1,"dir":"$sf1Dir"},"""
-        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1))
+            s""""structarray_columnar_speedup":$sa1,""" +
+            s""""elemcontainers_columnar_speedup":$ec1,"dir":"$sf1Dir"},"""
+        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1, ec1))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
         ("", -1.0, Nil)
@@ -157,14 +160,16 @@ object Bench {
       s""""arraystruct_columnar_sec":$asVec,"arraystruct_row_sec":$asRow,""" +
       s""""twolevel_columnar_sec":$tlVec,"twolevel_row_sec":$tlRow,""" +
       s""""structarray_columnar_sec":$saVec,"structarray_row_sec":$saRow,""" +
+      s""""elemcontainers_columnar_sec":$ecVec,"elemcontainers_row_sec":$ecRow,""" +
       sf1Json +
       s""""sf":"$sfDir"}"""
     val sf1LaneJson =
       if (sf1Lanes.isEmpty) ""
       else {
-        val Seq(n1, a1, as1, tl1, sa1) = sf1Lanes
+        val Seq(n1, a1, as1, tl1, sa1, ec1) = sf1Lanes
         s""""sf1_total":${r3(sf1Total)},"sf1_nested":$n1,"sf1_array":$a1,""" +
-        s""""sf1_arraystruct":$as1,"sf1_twolevel":$tl1,"sf1_structarray":$sa1,"""
+        s""""sf1_arraystruct":$as1,"sf1_twolevel":$tl1,"sf1_structarray":$sa1,""" +
+        s""""sf1_elemcontainers":$ec1,"""
       }
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
@@ -179,6 +184,7 @@ object Bench {
       s""""arraystruct_columnar_speedup":$asRatio,""" +
       s""""twolevel_columnar_speedup":$tlRatio,""" +
       s""""structarray_columnar_speedup":$saRatio,""" +
+      s""""elemcontainers_columnar_speedup":$ecRatio,""" +
       sf1LaneJson +
       s""""slot_score":$slotScore,""" +
       s""""sf":"$sfDir"}"""
@@ -382,6 +388,32 @@ object StructArrayColumnarBench {
           array($"l_returnflag", $"l_linestatus",
             $"l_shipdate".cast("string")).as("lbl")).as("meta")),
       shape = _.select($"meta.score", $"meta.tags", $"meta.lbl"))
+  }
+}
+
+/** ARRAY<STRUCT<…, ARRAY<atomic>, STRUCT<atomic>>> (element-container)
+  * columnar vs row path, end to end and PAIRED (round 16): an
+  * order.items[].sku-shaped corpus — each row an array of item records
+  * carrying a scalar, a numeric array, and a coordinate struct — reads
+  * through the SAME scan twice on the delivery shape.
+  */
+object ElemContainersColumnarBench {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    VectorizedAbBench.run(spark, "elemcontainers-columnar", "/tmp/graft_bench_elemcont", passes,
+      schema = "l_orderkey BIGINT, items ARRAY<STRUCT<sku: BIGINT, " +
+        "qtys: ARRAY<BIGINT>, geo: STRUCT<lat: DOUBLE, src: STRING>>>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        array(
+          struct($"l_partkey".as("sku"),
+            array($"l_linenumber".cast("bigint"), ($"l_orderkey" % 97)).as("qtys"),
+            struct($"l_quantity".as("lat"), $"l_returnflag".as("src")).as("geo")),
+          struct($"l_suppkey".as("sku"),
+            array(($"l_orderkey" % 13)).as("qtys"),
+            struct($"l_extendedprice".as("lat"), $"l_linestatus".as("src")).as("geo")))
+          .as("items")),
+      shape = _.select($"items"))
   }
 }
 

@@ -3397,6 +3397,62 @@ object Sources {
             WHERE c_custkey % 7 <> 0
             ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q235
+  // CONTAINERS INSIDE ARRAY<STRUCT> ELEMENTS vectorize (round 16) — the
+  // order.items[].sku / items[].tags shape, the last high-frequency real
+  // corpus shape that fell to the row path: element-struct fields that
+  // are ARRAY<atomic> write inner elements at per-(col,field) running
+  // offsets; STRUCT<atomic> fields write grand lanes at element offsets.
+  // The gate writes a delivery-records corpus through the graft sink,
+  // ASSERTS the plan is columnar, and explodes/flattens both container
+  // fields; the every-split plate matrix and the probe-pinned pathology
+  // semantics live in ColumnarPlateSpec + JsonSourceFuzzSpec.
+  private val q235 = GQuery(
+    "q235_json_elem_container_columnar_scan",
+    "ARRAY<STRUCT> element fields with ARRAY/STRUCT types vectorize (plan-asserted)",
+    (s, d) => {
+      import s.implicits._
+      val path = s"$fixtureDir/q235_elemcontainers.jsonl"
+      val ddl = "o_orderkey BIGINT, items ARRAY<STRUCT<sku: BIGINT, " +
+        "qtys: ARRAY<BIGINT>, geo: STRUCT<lat: DOUBLE, src: STRING>>>"
+      Tables(s, d, "orders")
+        .select($"o_orderkey",
+          array(
+            struct($"o_custkey".as("sku"),
+              array($"o_orderkey" % 7, $"o_orderkey" % 11).as("qtys"),
+              struct($"o_totalprice".as("lat"),
+                $"o_orderpriority".as("src")).as("geo")),
+            struct(($"o_custkey" + 1).as("sku"),
+              array($"o_orderkey" % 13).as("qtys"),
+              struct(lit(null).cast("double").as("lat"),
+                $"o_orderstatus".as("src")).as("geo"))).as("items"))
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(path)
+      val df = s.read.format("graft-json").schema(ddl).load(path)
+      // the scan must be COLUMNAR (ColumnarToRow present = vectors flow)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "q235: element-container schema fell off the columnar path:\n" +
+          df.queryExecution.executedPlan)
+      df.select($"o_orderkey", explode($"items").as("it"))
+        .select($"o_orderkey", $"it.sku".as("sku"),
+          expr("aggregate(it.qtys, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qty_sum"),
+          $"it.geo.lat".as("lat"), $"it.geo.src".as("src"))
+        .orderBy($"o_orderkey", $"sku")
+    },
+    Some("""SELECT o_orderkey, sku, qty_sum, lat, src FROM (
+              SELECT o_orderkey, o_custkey AS sku,
+                     (o_orderkey % 7) + (o_orderkey % 11) AS qty_sum,
+                     o_totalprice AS lat,
+                     o_orderpriority AS src
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey + 1,
+                     o_orderkey % 13,
+                     CAST(NULL AS DOUBLE),
+                     o_orderstatus
+              FROM orders)
+            ORDER BY o_orderkey, sku"""))
+
   // ---------------------------------------------------------------- q236
   // CHANGE DATA FEED ACROSS COW REWRITES (round 16, the Delta CDC-file
   // shape): updateWhere/deleteWhere with changeDataFeed=true record the
@@ -3716,5 +3772,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q236)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236)
 }

@@ -184,6 +184,68 @@ final class ColumnarPlate(
   // while elemObjOpen; cleared at each element's first field key)
   private[this] val elemKidSeen: Array[Array[Boolean]] =
     elemKidNames.map(en => if (en == null) null else new Array[Boolean](en.length))
+  // CONTAINERS INSIDE ELEMENT STRUCTS (round 16) — the order.items[].sku
+  // / items[].tags shape, the last high-frequency real-data shape on the
+  // row path: an ARRAY<STRUCT<…>> column's element-struct fields may be
+  //   - ARRAY<atomic>: elements stream into the field vector's single
+  //     child at a per-(col,field) running offset; the field's closing
+  //     unnest stamps putArray at the ELEMENT offset (the round-15
+  //     child-array machinery anchored one level down), and
+  //   - STRUCT<atomic…>: grand lanes at ELEMENT offsets (the round-14
+  //     grand machinery re-anchored from rows to element slots).
+  // Element type per (column, element-field) when the field is an array:
+  private[this] val ekArrElem: Array[Array[DataType]] =
+    schema.fields.map(_.dataType match {
+      case ArrayType(st: StructType, _) => st.fields.map(_.dataType match {
+        case at: ArrayType => at.elementType
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val hasEkArrays =
+    ekArrElem.exists(ea => ea != null && ea.exists(_ != null))
+  // flat (col, field) pair list for the array-typed element fields
+  private[this] val ekPairs: Array[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < numCols) {
+      val ea = ekArrElem(i)
+      if (ea != null) {
+        var j = 0
+        while (j < ea.length) { if (ea(j) != null) buf += (i << 16) | j; j += 1 }
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+  // next free inner-element slot / row-start snapshot per (col, field)
+  private[this] val ekElemPos: Array[Array[Int]] =
+    ekArrElem.map(ea => if (ea == null) null else new Array[Int](ea.length))
+  private[this] val ekRowStartPos: Array[Array[Int]] =
+    ekArrElem.map(ea => if (ea == null) null else new Array[Int](ea.length))
+  // grandfield names/types per (column, element-field) when the field is
+  // itself a STRUCT<atomic…>
+  private[this] val ekGNames: Array[Array[Array[String]]] =
+    schema.fields.map(_.dataType match {
+      case ArrayType(st: StructType, _) => st.fields.map(_.dataType match {
+        case g: StructType => g.fieldNames
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val ekGTypes: Array[Array[Array[DataType]]] =
+    schema.fields.map(_.dataType match {
+      case ArrayType(st: StructType, _) => st.fields.map(_.dataType match {
+        case g: StructType => g.fields.map(_.dataType)
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val ekGSeen: Array[Array[Array[Boolean]]] =
+    ekGNames.map(gn => if (gn == null) null
+      else gn.map(g => if (g == null) null else new Array[Boolean](g.length)))
+  private[this] val hasEkGrand =
+    ekGNames.exists(gn => gn != null && gn.exists(_ != null))
   // ARRAY<atomic> STRUCT-CHILD lanes (round 15): element type per
   // (column, child) where a struct child is ARRAY<atomic> — the
   // user.tags / metadata.labels shape, the most common real shape that
@@ -237,6 +299,8 @@ final class ColumnarPlate(
   private[this] var elemKidVecs: Array[Array[WritableColumnVector]] = _
   private[this] var gVecs: Array[Array[Array[WritableColumnVector]]] = _
   private[this] var childArrVecs: Array[Array[WritableColumnVector]] = _
+  private[this] var ekArrVecs: Array[Array[WritableColumnVector]] = _
+  private[this] var ekGVecs: Array[Array[Array[WritableColumnVector]]] = _
   allocate()
   private[this] var rows = 0
   private[this] val seen = new Array[Boolean](numCols)
@@ -257,6 +321,7 @@ final class ColumnarPlate(
     else (names ++ childNames.filter(_ != null).flatten ++
         elemKidNames.filter(_ != null).flatten ++
         gNames.filter(_ != null).flatten.filter(_ != null).flatten ++
+        ekGNames.filter(_ != null).flatten.filter(_ != null).flatten ++
         filters.flatMap(_.references))
       .distinct
       .map(b => b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -402,6 +467,27 @@ final class ColumnarPlate(
   private[this] var cPoison = false
   private[this] var cSeenAtOpen = false
   private[this] var cNullAtOpen = false
+  // ELEMENT-FIELD ARRAY state (round 16), the (curIdx, ekKid)-anchored
+  // twin of the cArr machinery one level down: an array-typed element
+  // FIELD binding is open (inner elements span [ekArrStart,
+  // ekElemPos(i)(ekKid))); inside one inner element's value scope; the
+  // open inner element already wrote; its write slot; a discarded inner
+  // element poisons the FIELD binding; pre-open cell state for
+  // failed-dup-never-overwrites parity
+  private[this] var ekArrOpen = false
+  private[this] var ekArrStart = 0
+  private[this] var ekSlot = 0
+  private[this] var ekScope = false
+  private[this] var ekFilled = false
+  private[this] var ekPoison = false
+  private[this] var ekWasSeen = false
+  private[this] var ekWasNull = false
+  private[this] var ekKid = -1
+  // ELEMENT-FIELD STRUCT state: the open grandfield lane (depth 4 under
+  // a struct-typed element field; -1 = none) and the per-binding flag
+  // distinguishing a duplicate field binding from its next grandfield
+  private[this] var curEkGrand = -1
+  private[this] var ekInnerOpen = false
   private[this] var rowCount = 0L
   private[this] val valueColIdx = names.indexOf("value") // scalar rows land here
 
@@ -531,6 +617,44 @@ final class ColumnarPlate(
     elemKidVecs = elemKidsOf(arrChild)
     gVecs = grandsOf(childVecs)
     childArrVecs = childArrKidsOf(childVecs)
+    ekArrVecs = ekArrKidsOf(elemKidVecs)
+    ekGVecs = ekGrandsOf(elemKidVecs)
+  }
+
+  // element vectors of ARRAY<atomic> element-struct fields: the single
+  // child of the array-typed field vector (inner-element offsets)
+  private def ekArrKidsOf(ek: Array[Array[WritableColumnVector]])
+      : Array[Array[WritableColumnVector]] = {
+    if (!hasEkArrays) return null
+    val out = new Array[Array[WritableColumnVector]](numCols)
+    var i = 0
+    while (i < numCols) {
+      val ea = ekArrElem(i)
+      if (ea != null && ea.exists(_ != null))
+        out(i) = Array.tabulate(ea.length)(j =>
+          if (ea(j) == null) null
+          else ek(i)(j).getChild(0).asInstanceOf[WritableColumnVector])
+      i += 1
+    }
+    out
+  }
+
+  // grandfield vectors of STRUCT element-struct fields (element offsets)
+  private def ekGrandsOf(ek: Array[Array[WritableColumnVector]])
+      : Array[Array[Array[WritableColumnVector]]] = {
+    if (!hasEkGrand) return null
+    val out = new Array[Array[Array[WritableColumnVector]]](numCols)
+    var i = 0
+    while (i < numCols) {
+      val gn = ekGNames(i)
+      if (gn != null && gn.exists(_ != null))
+        out(i) = Array.tabulate(gn.length)(j =>
+          if (gn(j) == null) null
+          else Array.tabulate(gn(j).length)(g =>
+            ek(i)(j).getChild(g).asInstanceOf[WritableColumnVector]))
+      i += 1
+    }
+    out
   }
 
   // element vectors of ARRAY<atomic> struct children: the single child of
@@ -579,11 +703,15 @@ final class ColumnarPlate(
     val oldElemKids = elemKidVecs
     val oldGrands = gVecs
     val oldChildArr = childArrVecs
+    val oldEkArr = ekArrVecs
     val partialAt = rows
     // snapshot the OPEN child-array run's end before the rebase below
     // zeroes the position table (only one binding can be open)
     val openChildPos =
       if (cArrOpen) childElemPos(curIdx)(curChild) else 0
+    // likewise for an open element-field array run
+    val openEkPos =
+      if (ekArrOpen) ekElemPos(curIdx)(ekKid) else 0
     allocate()
     rows = 0
     // struct-child array offsets rebase per batch (carried runs set them)
@@ -593,6 +721,14 @@ final class ColumnarPlate(
       childElemPos(pr >>> 16)(pr & 0xFFFF) = 0
       childRowStartElem(pr >>> 16)(pr & 0xFFFF) = 0
       kc += 1
+    }
+    // element-field array offsets likewise (carryElemRun advances them)
+    var ke = 0
+    while (ke < ekPairs.length) {
+      val pr = ekPairs(ke)
+      ekElemPos(pr >>> 16)(pr & 0xFFFF) = 0
+      ekRowStartPos(pr >>> 16)(pr & 0xFFFF) = 0
+      ke += 1
     }
     var i = 0
     while (i < numCols) {
@@ -649,11 +785,23 @@ final class ColumnarPlate(
                           cSlot = 0; childElemPos(i)(j) = 0; cArrStart = 0
                         }
                       } else {
+                        // a DUP child binding's split preserves the
+                        // PREVIOUS binding's stamped run too — a later
+                        // poison leaves it standing (round-16 fix; the
+                        // element-field twin had the same latent hole)
+                        var pos = 0
+                        if (cSeenAtOpen && !cNullAtOpen) {
+                          val off0 = src2.getArrayOffset(partialAt)
+                          val n0 = src2.getArrayLength(partialAt)
+                          copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off0, n0)
+                          dst2.putArray(0, 0, n0)
+                          pos = n0
+                        }
                         val k2 = openChildPos - cArrStart
-                        copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, cArrStart, k2)
-                        cSlot -= cArrStart
-                        childElemPos(i)(j) = k2
-                        cArrStart = 0
+                        copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, cArrStart, k2, pos)
+                        cSlot = pos + (cSlot - cArrStart)
+                        childElemPos(i)(j) = pos + k2
+                        cArrStart = pos
                       }
                     } else if (src2.isNullAt(partialAt)) {
                       dst2.putNull(0)
@@ -685,7 +833,10 @@ final class ColumnarPlate(
                   // the previous stamped run over and re-stamp it
                   val off = src.getArrayOffset(partialAt)
                   val n = src.getArrayLength(partialAt)
-                  copyElemRange(oldArr(i), arrChild(i), vt, off, n)
+                  if (elemKidNames(i) != null)
+                    carryElemRun(i, oldArr(i), oldElemKids(i),
+                      if (oldEkArr == null) null else oldEkArr(i), off, n)
+                  else copyElemRange(oldArr(i), arrChild(i), vt, off, n)
                   if (mapValTypes(i) != null)
                     copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, off, n)
                   vectors(i).putArray(0, 0, n)
@@ -694,36 +845,133 @@ final class ColumnarPlate(
                   entrySlot = 0; elemPos(i) = 0; arrStart = 0
                 }
                 elemObjOpen = false // the open object element's fields are garbage too
+                ekArrOpen = false; ekScope = false; ekInnerOpen = false
+                ekPoison = false; curEkGrand = -1
               }
               else {
+                // a DUP binding's split must also preserve the PREVIOUS
+                // binding's stamped run: if this open binding later
+                // POISONS, its close leaves the previous stamp standing —
+                // which would point into the dropped old vectors
+                var base = 0
+                if (arrSeenAtOpen && !arrNullAtOpen) {
+                  val off0 = src.getArrayOffset(partialAt)
+                  val n0 = src.getArrayLength(partialAt)
+                  if (elemKidNames(i) != null)
+                    carryElemRun(i, oldArr(i), oldElemKids(i),
+                      if (oldEkArr == null) null else oldEkArr(i), off0, n0)
+                  else copyElemRange(oldArr(i), arrChild(i), vt, off0, n0)
+                  if (mapValTypes(i) != null)
+                    copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, off0, n0)
+                  vectors(i).putArray(0, 0, n0)
+                  base = n0
+                }
                 val k = elemPos(i) - arrStart
-                copyElemRange(oldArr(i), arrChild(i), vt, arrStart, k)
+                if (elemKidNames(i) != null)
+                  carryElemRun(i, oldArr(i), oldElemKids(i),
+                    if (oldEkArr == null) null else oldEkArr(i), arrStart, k, base)
+                else copyElemRange(oldArr(i), arrChild(i), vt, arrStart, k, base)
                 if (mapValTypes(i) != null) {
                   // a PENDING entry (key written, value still in flight)
                   // lives one slot past the run: carry its key too
                   val kk = if (elemScope && !elemFilled) k + 1 else k
-                  copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, arrStart, kk)
+                  copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, arrStart, kk, base)
                 }
                 // an OPEN OBJECT ELEMENT (struct element mid-fields) lives
-                // one slot past the run: carry its written fields to slot k
+                // one slot past the run: carry its written fields there
+                val kSlot = base + k
                 if (elemObjOpen && oldElemKids(i) != null) {
-                  arrChild(i).reserve(k + 1)
+                  arrChild(i).reserve(kSlot + 1)
                   val ks = elemKidSeen(i)
                   var j = 0
                   while (j < ks.length) {
                     if (ks(j)) {
                       val sk = oldElemKids(i)(j)
                       val dk = elemKidVecs(i)(j)
-                      dk.reserve(k + 1)
-                      if (sk.isNullAt(entrySlot)) dk.putNull(k)
-                      else copyScalarAt(sk, dk, elemKidTypes(i)(j), entrySlot, k)
+                      dk.reserve(kSlot + 1)
+                      if (ekArrOpen && ekKid == j) {
+                        // split mid-INNER-ARRAY: move the open inner run
+                        // (or, for a poisoned dup, the previous stamped
+                        // cell) and rebase the inner cursors
+                        val vt2 = ekArrElem(i)(j).asInstanceOf[DataType]
+                        if (ekPoison) {
+                          if (ekWasSeen && !ekWasNull) {
+                            val off2 = sk.getArrayOffset(entrySlot)
+                            val n2 = sk.getArrayLength(entrySlot)
+                            val pos = ekElemPos(i)(j)
+                            copyElemRange(oldEkArr(i)(j), ekArrVecs(i)(j), vt2, off2, n2, pos)
+                            dk.putArray(kSlot, pos, n2)
+                            ekSlot = pos + n2; ekElemPos(i)(j) = pos + n2; ekArrStart = pos + n2
+                          } else {
+                            val pos = ekElemPos(i)(j)
+                            ekSlot = pos; ekArrStart = pos
+                          }
+                        } else {
+                          // a DUP field binding's split preserves the
+                          // PREVIOUS binding's stamped run too — a later
+                          // poison leaves it standing
+                          var pos = ekElemPos(i)(j)
+                          if (ekWasSeen && !ekWasNull) {
+                            val off0 = sk.getArrayOffset(entrySlot)
+                            val n0 = sk.getArrayLength(entrySlot)
+                            copyElemRange(oldEkArr(i)(j), ekArrVecs(i)(j), vt2, off0, n0, pos)
+                            dk.putArray(kSlot, pos, n0)
+                            pos += n0
+                          }
+                          val m = openEkPos - ekArrStart
+                          copyElemRange(oldEkArr(i)(j), ekArrVecs(i)(j), vt2, ekArrStart, m, pos)
+                          ekSlot = pos + (ekSlot - ekArrStart)
+                          ekElemPos(i)(j) = pos + m
+                          ekArrStart = pos
+                        }
+                      } else if (sk.isNullAt(entrySlot)) dk.putNull(kSlot)
+                      else elemKidTypes(i)(j) match {
+                        case at: ArrayType =>
+                          // a CLOSED container cell of the open element
+                          val off2 = sk.getArrayOffset(entrySlot)
+                          val n2 = sk.getArrayLength(entrySlot)
+                          val pos = ekElemPos(i)(j)
+                          copyElemRange(oldEkArr(i)(j), ekArrVecs(i)(j),
+                            at.elementType, off2, n2, pos)
+                          dk.putArray(kSlot, pos, n2)
+                          ekElemPos(i)(j) = pos + n2
+                        case gt: StructType =>
+                          if (ekInnerOpen && curKid == j) {
+                            // the OPEN inner struct: only its written
+                            // grandfields are valid (unwritten slots hold
+                            // garbage until the binding's close stamps)
+                            val gs = ekGSeen(i)(j)
+                            var g = 0
+                            while (g < gs.length) {
+                              if (gs(g)) {
+                                val sg = sk.getChild(g).asInstanceOf[WritableColumnVector]
+                                val dg = ekGVecs(i)(j)(g)
+                                dg.reserve(kSlot + 1)
+                                if (sg.isNullAt(entrySlot)) dg.putNull(kSlot)
+                                else copyScalarAt(sg, dg, gt(g).dataType, entrySlot, kSlot)
+                              }
+                              g += 1
+                            }
+                          } else {
+                            var g = 0
+                            while (g < gt.length) {
+                              val sg = sk.getChild(g).asInstanceOf[WritableColumnVector]
+                              val dg = ekGVecs(i)(j)(g)
+                              dg.reserve(kSlot + 1)
+                              if (sg.isNullAt(entrySlot)) dg.putNull(kSlot)
+                              else copyScalarAt(sg, dg, gt(g).dataType, entrySlot, kSlot)
+                              g += 1
+                            }
+                          }
+                        case dt2 => copyScalarAt(sk, dk, dt2, entrySlot, kSlot)
+                      }
                     }
                     j += 1
                   }
                 }
-                entrySlot -= arrStart
-                elemPos(i) = k
-                arrStart = 0
+                entrySlot = base + (entrySlot - arrStart)
+                elemPos(i) = base + k
+                arrStart = base
               }
             } else if (src.isNullAt(partialAt)) {
               vectors(i).putNull(0)
@@ -732,7 +980,10 @@ final class ColumnarPlate(
               // closed cell of the in-flight row: move its entry run
               val off = src.getArrayOffset(partialAt)
               val n = src.getArrayLength(partialAt)
-              copyElemRange(oldArr(i), arrChild(i), vt, off, n)
+              if (elemKidNames(i) != null)
+                carryElemRun(i, oldArr(i), oldElemKids(i),
+                  if (oldEkArr == null) null else oldEkArr(i), off, n)
+              else copyElemRange(oldArr(i), arrChild(i), vt, off, n)
               if (mapValTypes(i) != null)
                 copyElemRange(oldMapKeys(i), mapKeyChild(i), StringType, off, n)
               vectors(i).putArray(0, 0, n)
@@ -763,31 +1014,76 @@ final class ColumnarPlate(
     case _           => dst.putNull(dj)
   }
 
-  /** Copy `n` elements between array children (batch-boundary carryover).
-    * STRUCT elements copy field-wise: a null element's field slots were
-    * never reserved, so fields are touched only under a present element.
+  /** Copy `n` ATOMIC elements between array children (batch-boundary
+    * carryover), landing at `dstFrom` (0 for whole-run moves; the
+    * running write position for appends). STRUCT element runs take
+    * [[carryElemRun]] instead — their fields may hold container cells
+    * whose inner runs must re-pack.
     */
   private def copyElemRange(src: WritableColumnVector, dst: WritableColumnVector,
-      dt: DataType, srcFrom: Int, n: Int): Unit = {
-    dst.reserve(n)
+      dt: DataType, srcFrom: Int, n: Int, dstFrom: Int = 0): Unit = {
+    dst.reserve(dstFrom + n)
     var j = 0
     while (j < n) {
       val sj = srcFrom + j
-      if (src.isNullAt(sj)) dst.putNull(j)
-      else dt match {
-        case st: StructType =>
-          var f = 0
-          while (f < st.length) {
-            val sk = src.getChild(f).asInstanceOf[WritableColumnVector]
-            val dk = dst.getChild(f).asInstanceOf[WritableColumnVector]
-            dk.reserve(j + 1)
-            if (sk.isNullAt(sj)) dk.putNull(j)
-            else copyScalarAt(sk, dk, st(f).dataType, sj, j)
-            f += 1
-          }
-        case _ => copyScalarAt(src, dst, dt, sj, j)
-      }
+      val dj = dstFrom + j
+      if (src.isNullAt(sj)) dst.putNull(dj)
+      else copyScalarAt(src, dst, dt, sj, dj)
       j += 1
+    }
+  }
+
+  /** Carry elements [srcFrom, srcFrom+n) of ARRAY<STRUCT> column `i`
+    * into the FRESH vectors at [0, n): fields copy per element, and a
+    * container field's inner run re-packs into the fresh inner child at
+    * the running [[ekElemPos]] cursor (which this advances). Null
+    * elements' field slots were never reserved — touched only under a
+    * present element.
+    */
+  private def carryElemRun(i: Int,
+      srcArr: WritableColumnVector, srcKids: Array[WritableColumnVector],
+      oldEkArr: Array[WritableColumnVector],
+      srcFrom: Int, n: Int, dstFrom: Int = 0): Unit = {
+    val dstArr = arrChild(i)
+    val dstKids = elemKidVecs(i)
+    val kts = elemKidTypes(i)
+    dstArr.reserve(dstFrom + n)
+    var e = 0
+    while (e < n) {
+      val se = srcFrom + e
+      val de = dstFrom + e
+      if (srcArr.isNullAt(se)) dstArr.putNull(de)
+      else {
+        var j = 0
+        while (j < kts.length) {
+          val sk = srcKids(j)
+          val dk = dstKids(j)
+          dk.reserve(de + 1)
+          if (sk.isNullAt(se)) dk.putNull(de)
+          else kts(j) match {
+            case at: ArrayType =>
+              val off = sk.getArrayOffset(se)
+              val len = sk.getArrayLength(se)
+              val pos = ekElemPos(i)(j)
+              copyElemRange(oldEkArr(j), ekArrVecs(i)(j), at.elementType, off, len, pos)
+              dk.putArray(de, pos, len)
+              ekElemPos(i)(j) = pos + len
+            case gt: StructType =>
+              var g = 0
+              while (g < gt.length) {
+                val sg = sk.getChild(g).asInstanceOf[WritableColumnVector]
+                val dg = ekGVecs(i)(j)(g)
+                dg.reserve(de + 1)
+                if (sg.isNullAt(se)) dg.putNull(de)
+                else copyScalarAt(sg, dg, gt(g).dataType, se, de)
+                g += 1
+              }
+            case dt => copyScalarAt(sk, dk, dt, se, de)
+          }
+          j += 1
+        }
+      }
+      e += 1
     }
   }
 
@@ -1082,6 +1378,43 @@ final class ColumnarPlate(
         depth = 3
         Signal.Continue
       }
+    } else if (depth == 3 && elemScope && !ekScope && curIdx >= 0 &&
+        curKid >= 0 && ekGNames(curIdx) != null &&
+        ekGNames(curIdx)(curKid) != null) {
+      // a GRANDFIELD key inside a struct-typed ELEMENT FIELD (round 16):
+      // the first key of a binding marks the field present (duplicate
+      // field bindings replace — prior grand writes scrub); unknown
+      // grandfields prune
+      val i = curIdx
+      if (!ekInnerOpen) {
+        ekInnerOpen = true
+        val v = elemKidVecs(i)(curKid)
+        v.reserve(entrySlot + 1)
+        if (!elemKidSeen(i)(curKid)) elemKidSeen(i)(curKid) = true
+        else v.putNotNull(entrySlot)
+        val gs = ekGSeen(i)(curKid)
+        java.util.Arrays.fill(gs, false)
+        val gv = ekGVecs(i)(curKid)
+        var g = 0
+        while (g < gv.length) {
+          gv(g).reserve(entrySlot + 1); gv(g).putNotNull(entrySlot); g += 1
+        }
+      }
+      val gn = ekGNames(i)(curKid)
+      var kid = -1
+      var g = 0
+      while (kid < 0 && g < gn.length) {
+        if (gn(g).contentEquals(pathComponent)) kid = g
+        g += 1
+      }
+      if (kid < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curEkGrand = kid
+        depth = 4
+        Signal.Continue
+      }
     } else {
       // container value under an atomic column (or under a struct child,
       // or an OBJECT ELEMENT inside an array of atomics — the element
@@ -1142,6 +1475,30 @@ final class ColumnarPlate(
       cFilled = false
       depth = 3
       Signal.Continue
+    } else if (depth == 3 && elemScope && !ekScope && curIdx >= 0 &&
+        curKid >= 0 && ekArrElem(curIdx) != null &&
+        ekArrElem(curIdx)(curKid) != null) {
+      // INNER ELEMENT ENTRY on an array-typed ELEMENT FIELD (round 16):
+      // one nestArr/unnest pair per inner element; the first entry opens
+      // the field binding (marks it present; dup bindings last-wins,
+      // failed dups never overwrite — the close consults pre-open state)
+      val i = curIdx
+      if (!ekArrOpen) {
+        val v = elemKidVecs(i)(curKid)
+        v.reserve(entrySlot + 1)
+        ekWasSeen = elemKidSeen(i)(curKid)
+        ekWasNull = ekWasSeen && v.isNullAt(entrySlot)
+        if (!ekWasSeen) elemKidSeen(i)(curKid) = true
+        else v.putNotNull(entrySlot)
+        ekArrOpen = true
+        ekKid = curKid
+        ekArrStart = ekElemPos(i)(curKid)
+      }
+      ekSlot = ekElemPos(i)(ekKid)
+      ekScope = true
+      ekFilled = false
+      depth = 4
+      Signal.Continue
     } else if (depth == 0 && valueColIdx >= 0 && elemTypes(valueColIdx) != null &&
         !seen(valueColIdx)) {
       // array ROW in a schemaless stream: elements land in the "value"
@@ -1180,7 +1537,42 @@ final class ColumnarPlate(
     if (skipPending) skipPending = false
     else if (depth > 0) {
       depth -= 1
+      if (depth == 3) {
+        curEkGrand = -1 // grandfield of an element field closed
+        if (ekScope) { ekScope = false; ekFilled = false } // inner element closed
+      }
       if (depth == 2) {
+        // an array-typed ELEMENT FIELD binding closes: stamp the
+        // (offset, count) cell at the ELEMENT offset — or apply the
+        // poison rule (a poisoned binding never overwrites a valid
+        // earlier one)
+        if (ekArrOpen) {
+          val i = curIdx
+          val j = ekKid
+          val v = elemKidVecs(i)(j)
+          if (ekPoison) {
+            if (!ekWasSeen || ekWasNull) { v.reserve(entrySlot + 1); v.putNull(entrySlot) }
+            scrubEkElems(i, j, ekArrStart, ekElemPos(i)(j))
+            ekElemPos(i)(j) = ekArrStart
+          } else {
+            v.reserve(entrySlot + 1)
+            v.putArray(entrySlot, ekArrStart, ekElemPos(i)(j) - ekArrStart)
+          }
+          ekArrOpen = false
+          ekPoison = false
+        }
+        // a struct-typed ELEMENT FIELD binding closes: unwritten
+        // grandfields of the present inner struct read null
+        if (ekInnerOpen) {
+          val gs = ekGSeen(curIdx)(curKid)
+          val gv = ekGVecs(curIdx)(curKid)
+          var g = 0
+          while (g < gs.length) {
+            if (!gs(g)) { gv(g).reserve(entrySlot + 1); gv(g).putNull(entrySlot) }
+            g += 1
+          }
+          ekInnerOpen = false
+        }
         curKid = -1; curGrand = -1 // field/grandchild closed
         if (cScope) { cScope = false; cFilled = false } // child-array element closed
       }
@@ -1256,16 +1648,20 @@ final class ColumnarPlate(
   private[this] var tEK = false // open FIELD of a struct element
   private[this] var tGr = false // open GRANDCHILD of a two-level struct
   private[this] var tCA = false // open ELEMENT of a struct-child array
+  private[this] var tEKA = false // open INNER ELEMENT of an array-typed element field
+  private[this] var tEKG = false // open GRANDFIELD of a struct-typed element field
   private[this] var tV: WritableColumnVector = _
   private[this] var tT: DataType = _
   private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
     if (depth == 1 && curIdx >= 0 && !elemScope) {
       tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false // duplicates overwrite: last-wins
+      tEKA = false; tEKG = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
       tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false; tCA = false
+      tEKA = false; tEKG = false
       tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
       true
     } else if (depth == 3 && !elemScope && !cScope && curIdx >= 0 &&
@@ -1273,8 +1669,37 @@ final class ColumnarPlate(
       // open GRANDCHILD of a two-level struct: a row-offset lane like
       // any child; duplicates overwrite last-wins via tMark
       tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = true; tCA = false
+      tEKA = false; tEKG = false
       tV = gVecs(tIdx)(tKid)(curGrand); tT = gTypes(tIdx)(tKid)(curGrand)
       tR = rows
+      true
+    } else if (elemScope && curKid >= 0 && ekScope) {
+      // open INNER ELEMENT of an array-typed element FIELD (round 16):
+      // writes land at the running inner offset in the field vector's
+      // element child; a discard poisons the FIELD binding (never the
+      // outer element or array)
+      if (ekFilled) false
+      else {
+        tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
+        tEKA = true; tEKG = false
+        tR = ekSlot
+        val c = ekArrVecs(tIdx)(ekKid)
+        c.reserve(tR + 1)
+        tV = c
+        tT = ekArrElem(tIdx)(ekKid)
+        true
+      }
+    } else if (elemScope && curKid >= 0 && curEkGrand >= 0) {
+      // open GRANDFIELD of a struct-typed element FIELD (round 16): an
+      // element-offset lane; duplicates overwrite last-wins via tMark,
+      // failures null the grandfield only (per-field struct partials)
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
+      tEKA = false; tEKG = true
+      tR = entrySlot
+      val c = ekGVecs(tIdx)(curKid)(curEkGrand)
+      c.reserve(tR + 1)
+      tV = c
+      tT = ekGTypes(tIdx)(curKid)(curEkGrand)
       true
     } else if (elemScope && curKid >= 0) {
       // open FIELD of a STRUCT ELEMENT: writes land at the element offset
@@ -1283,6 +1708,7 @@ final class ColumnarPlate(
       // per-field partials, never array poison (tElem=false keeps
       // tDiscard inert; spark parity probed in round 14)
       tIdx = curIdx; tKid = -1; tElem = false; tEK = true; tGr = false; tCA = false
+      tEKA = false; tEKG = false
       tR = entrySlot
       val c = elemKidVecs(tIdx)(curKid)
       c.reserve(tR + 1)
@@ -1293,6 +1719,7 @@ final class ColumnarPlate(
       if (elemFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = true; tEK = false; tGr = false; tCA = false
+        tEKA = false; tEKG = false
         tR = entrySlot
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
@@ -1308,6 +1735,7 @@ final class ColumnarPlate(
       if (cFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = true
+        tEKA = false; tEKG = false
         tR = cSlot
         val c = childArrVecs(tIdx)(curChild)
         c.reserve(tR + 1)
@@ -1317,6 +1745,7 @@ final class ColumnarPlate(
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
       tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
+      tEKA = false; tEKG = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else false
@@ -1331,7 +1760,13 @@ final class ColumnarPlate(
   private[this] var tWasSeen = false
   private[this] var tWasNull = false
   @inline private def tMark(): Unit =
-    if (tGr) {
+    if (tEKG) {
+      // duplicate grandfield key within the element field: last-wins
+      tWasSeen = ekGSeen(tIdx)(curKid)(curEkGrand)
+      if (!tWasSeen) ekGSeen(tIdx)(curKid)(curEkGrand) = true
+      else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
+    }
+    else if (tGr) {
       // duplicate grandchild key: last-wins (clear a prior explicit-null)
       tWasSeen = gSeen(tIdx)(tKid)(curGrand)
       if (!tWasSeen) gSeen(tIdx)(tKid)(curGrand) = true
@@ -1344,7 +1779,7 @@ final class ColumnarPlate(
       if (!tWasSeen) elemKidSeen(tIdx)(curKid) = true
       else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
     }
-    else if (tElem || tCA) () // presence marked at array open
+    else if (tElem || tCA || tEKA) () // presence marked at array open
     else if (tKid < 0) {
       tWasSeen = seen(tIdx)
       if (tWasSeen) tWasNull = tV.isNullAt(tR)
@@ -1361,6 +1796,7 @@ final class ColumnarPlate(
   @inline private def tDone(): Unit =
     if (tElem) { elemPos(tIdx) += 1; elemFilled = true }
     else if (tCA) { childElemPos(tIdx)(curChild) += 1; cFilled = true }
+    else if (tEKA) { ekElemPos(tIdx)(ekKid) += 1; ekFilled = true }
   // write epilogue for a DISCARD: the value failed to convert (or was a
   // container where an atomic was expected). Elements poison the open
   // array (the close applies the binding-level rule); LANES restore the
@@ -1370,6 +1806,7 @@ final class ColumnarPlate(
     rowDiscarded = true
     if (tElem) arrPoison = true
     else if (tCA) cPoison = true
+    else if (tEKA) ekPoison = true
     else if (tWasSeen) {
       if (tWasNull) tV.putNull(tR) else tV.putNotNull(tR)
     }
@@ -1428,11 +1865,28 @@ final class ColumnarPlate(
         var f = 0
         while (f < kids.length) {
           // an abandoned open element may have unreserved field slots
-          kids(f).reserve(j + 1); kids(f).putNotNull(j); f += 1
+          kids(f).reserve(j + 1); kids(f).putNotNull(j)
+          // struct-typed fields: their grand lanes at reused slots may
+          // hold stale explicit nulls that would shadow later writes
+          if (ekGNames(i) != null && ekGNames(i)(f) != null) {
+            val gv = ekGVecs(i)(f)
+            var g = 0
+            while (g < gv.length) { gv(g).reserve(j + 1); gv(g).putNotNull(j); g += 1 }
+          }
+          f += 1
         }
       }
       j += 1
     }
+  }
+
+  /** Scrub a dropped inner-element run of an array-typed element field
+    * (the element twin of [[scrubChildArrElems]]).
+    */
+  private def scrubEkElems(i: Int, j: Int, from: Int, to: Int): Unit = {
+    val c = ekArrVecs(i)(j)
+    var k = from
+    while (k < to) { c.putNotNull(k); k += 1 }
   }
 
   /** Scrub a dropped element run of a STRUCT-CHILD array: putX element
@@ -1479,6 +1933,23 @@ final class ColumnarPlate(
     cScope = false
     cFilled = false
     cPoison = false
+    // inner-element runs of array-typed element fields rewind likewise
+    var k3 = 0
+    while (k3 < ekPairs.length) {
+      val pr = ekPairs(k3)
+      val i = pr >>> 16
+      val j = pr & 0xFFFF
+      scrubEkElems(i, j, ekRowStartPos(i)(j), ekElemPos(i)(j))
+      ekElemPos(i)(j) = ekRowStartPos(i)(j)
+      k3 += 1
+    }
+    ekArrOpen = false
+    ekScope = false
+    ekFilled = false
+    ekPoison = false
+    ekInnerOpen = false
+    curEkGrand = -1
+    ekKid = -1
   }
 
   private[this] val hasValueFilters = filterAt.exists(_ != null)
@@ -1587,6 +2058,13 @@ final class ColumnarPlate(
         if (!childSeen(tIdx)(tKid)) childSeen(tIdx)(tKid) = true
         else tVec.putNotNull(tRow)
         scrubGrandNulls(tIdx, tKid)
+      } else if (tEK && ekGNames(tIdx) != null && ekGNames(tIdx)(curKid) != null) {
+        // `{}` on a STRUCT element field: a PRESENT inner struct with
+        // all-null grandfields (stamped now — no binding ever opens)
+        tMark()
+        val gv = ekGVecs(tIdx)(curKid)
+        var g = 0
+        while (g < gv.length) { gv(g).reserve(tR + 1); gv(g).putNull(tR); g += 1 }
       } else if (tElem && elemKidNames(tIdx) != null) {
         // `{}` ELEMENT of an ARRAY<STRUCT> column: a PRESENT element with
         // all-null fields (spark parity: [{}] reads [Row(null,…)])
@@ -1605,7 +2083,12 @@ final class ColumnarPlate(
     // elements (RowPlate parity — `[]` is not null); anywhere else null
     if (resolveTarget()) {
       ensureCapacity()
-      if (!tElem && tKid < 0 && elemTypes(tIdx) != null) {
+      // the first branch stamps the COLUMN cell — it must fire only when
+      // the resolved target IS the column (round-16 fix: a `[]` bound to
+      // an element-field of an ARRAY<STRUCT> column resolved tEK/tEKA
+      // with tKid<0 and stamped vectors(i) at the ELEMENT slot, silently
+      // zeroing whichever earlier ROW shared that index)
+      if (!tElem && !tEK && !tEKA && !tEKG && tKid < 0 && elemTypes(tIdx) != null) {
         tMark() // dup binding: putNotNull clears a first binding's null
         vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
       } else if (!tElem && !tCA && tKid >= 0 && childArrElem(tIdx) != null &&
@@ -1613,6 +2096,10 @@ final class ColumnarPlate(
         // `[]` on an ARRAY<atomic> struct child: PRESENT with zero elements
         tMark()
         tVec.putArray(tRow, childElemPos(tIdx)(tKid), 0)
+      } else if (tEK && ekArrElem(tIdx) != null && ekArrElem(tIdx)(curKid) != null) {
+        // `[]` on an array-typed ELEMENT FIELD: PRESENT with zero elements
+        tMark()
+        tVec.putArray(tRow, ekElemPos(tIdx)(curKid), 0)
       } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
     }
     Signal.Continue
@@ -1856,6 +2343,12 @@ final class ColumnarPlate(
         childRowStartElem(pr >>> 16)(pr & 0xFFFF) = childElemPos(pr >>> 16)(pr & 0xFFFF)
         k2 += 1
       }
+      var k3 = 0
+      while (k3 < ekPairs.length) {
+        val pr = ekPairs(k3)
+        ekRowStartPos(pr >>> 16)(pr & 0xFFFF) = ekElemPos(pr >>> 16)(pr & 0xFFFF)
+        k3 += 1
+      }
       rows += 1
       rowCount += 1
     } else {
@@ -1938,7 +2431,14 @@ object ColumnarPlate {
           case _ => false
         }))
       case ArrayType(st: StructType, _) =>
-        st.nonEmpty && st.fields.forall(c => atomic(c.dataType))
+        // element-struct fields may be atomic, ARRAY<atomic>, or
+        // STRUCT<atomic…> (round 16 — the order.items[].sku shape)
+        st.nonEmpty && st.fields.forall(c =>
+          atomic(c.dataType) || (c.dataType match {
+            case g: StructType => g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
+            case at: ArrayType => atomic(at.elementType)
+            case _ => false
+          }))
       case at: ArrayType => atomic(at.elementType)
       case mt: MapType => mt.keyType == StringType && atomic(mt.valueType)
       case _ => false

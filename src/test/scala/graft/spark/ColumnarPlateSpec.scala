@@ -320,6 +320,114 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of an ARRAY<STRUCT> with CONTAINER fields yields identical batches") {
+    // round 16 (order.items[].sku / items[].tags shape): element-struct
+    // fields may be ARRAY<atomic> (inner elements at per-(col,field)
+    // running offsets) or STRUCT<atomic> (grand lanes at element
+    // offsets). The full pathology matrix is pinned against
+    // spark.read.json by the round-16 probe: a failed/container inner
+    // element poisons the INNER array cell only; scalar/object where the
+    // inner array (or struct) was expected nulls the FIELD only; null
+    // inner elements are kept; [] is present-empty; {} and unknown-key
+    // objects are present inner structs with all-null grandfields; dup
+    // inner bindings are last-wins with failed-dup-never-overwrites; dup
+    // grandfield keys are last-wins; a scalar OUTER element still
+    // poisons the whole outer array.
+    val schema = StructType.fromDDL(
+      "id LONG, xs ARRAY<STRUCT<sku: LONG, tags: ARRAY<LONG>, " +
+        "geo: STRUCT<lat: DOUBLE, src: STRING>>>")
+    val input = Seq(
+      """{"id": 1, "xs": [{"sku": 1, "tags": [1, 2], "geo": {"lat": 0.5, "src": "a"}}]}""",
+      """{"id": 2, "xs": [{"tags": [1, "x"]}]}""",
+      """{"id": 3, "xs": [{"tags": 5}]}""",
+      """{"id": 4, "xs": [{"tags": {"k": 1}}]}""",
+      """{"id": 5, "xs": [{"tags": [[1]]}]}""",
+      """{"id": 6, "xs": [{"tags": [1, null, 2]}]}""",
+      """{"id": 7, "xs": [{"tags": []}]}""",
+      """{"id": 8, "xs": [{"tags": null}]}""",
+      """{"id": 9, "xs": [{"geo": {"lat": "bad", "src": "s"}}]}""",
+      """{"id": 10, "xs": [{"geo": [1]}]}""",
+      """{"id": 11, "xs": [{"geo": 7}]}""",
+      """{"id": 12, "xs": [{"geo": {}}]}""",
+      """{"id": 13, "xs": [{"geo": {"zz": 1}}]}""",
+      """{"id": 14, "xs": [{"tags": [1], "tags": [2, 3]}]}""",
+      """{"id": 15, "xs": [{"tags": [1], "tags": ["bad"]}]}""",
+      """{"id": 16, "xs": [{"geo": {"lat": 1.0}, "geo": {"src": "x"}}]}""",
+      """{"id": 17, "xs": [{"tags": [1], "tags": 9}]}""",
+      """{"id": 18, "xs": [{"sku": 2, "tags": [7, 8]}, {"tags": [9]}, null, {}]}""",
+      """{"id": 19, "xs": [{"tags": [1]}, 5]}""",
+      """{"id": 20, "xs": [{"geo": {"lat": 2.5, "lat": 3.5}}]}""",
+      """{"id": 21, "xs": [{"sku": [], "tags": [1]}]}""",
+      """{"id": 22, "xs": [{"tags": [[], 1]}]}""").mkString("\n")
+    val bytes = input.getBytes("UTF-8")
+    val L = (v: Long) => java.lang.Long.valueOf(v)
+    val D = (v: Double) => java.lang.Double.valueOf(v)
+    def elemsOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Seq[Any] =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val ad = b.column(1).getArray(r)
+        (0 until ad.numElements).map { j =>
+          if (ad.isNullAt(j)) null
+          else {
+            val st = ad.getStruct(j, 3)
+            val sku = if (st.isNullAt(0)) null else L(st.getLong(0))
+            val tags =
+              if (st.isNullAt(1)) null
+              else {
+                val td = st.getArray(1)
+                (0 until td.numElements).map(k =>
+                  if (td.isNullAt(k)) null else L(td.getLong(k)))
+              }
+            val geo =
+              if (st.isNullAt(2)) null
+              else {
+                val g = st.getStruct(2, 2)
+                ((if (g.isNullAt(0)) null else D(g.getDouble(0))),
+                 (if (g.isNullAt(1)) null else g.getUTF8String(1).toString))
+              }
+            (sku, tags, geo)
+          }
+        }
+      }
+    val want = Seq[(Long, Any)](
+      (1L, Seq((L(1), Seq(L(1), L(2)), (D(0.5), "a")))),
+      (2L, Seq((null, null, null))),            // mixed inner: inner cell null
+      (3L, Seq((null, null, null))),            // scalar where array: field null
+      (4L, Seq((null, null, null))),            // object where array: field null
+      (5L, Seq((null, null, null))),            // array-in-inner poisons inner cell
+      (6L, Seq((null, Seq(L(1), null, L(2)), null))), // null inner elements kept
+      (7L, Seq((null, Seq.empty, null))),       // [] present-empty
+      (8L, Seq((null, null, null))),
+      (9L, Seq((null, null, (null, "s")))),     // grand conv failure: grand null
+      (10L, Seq((null, null, null))),           // array where struct: field null
+      (11L, Seq((null, null, null))),           // scalar where struct: field null
+      (12L, Seq((null, null, (null, null)))),   // {} present, all-null grands
+      (13L, Seq((null, null, (null, null)))),   // unknown grand keys prune
+      (14L, Seq((null, Seq(L(2), L(3)), null))),// dup inner array: last-wins
+      (15L, Seq((null, Seq(L(1)), null))),      // failed dup never overwrites
+      (16L, Seq((null, null, (null, "x")))),    // dup inner struct replaces
+      (17L, Seq((null, Seq(L(1)), null))),      // scalar dup over valid array
+      (18L, Seq((L(2), Seq(L(7), L(8)), null), (null, Seq(L(9)), null),
+        null, (null, null, null))),
+      (19L, null),                              // scalar OUTER element poisons
+      (20L, Seq((null, null, (D(3.5), null)))), // dup grand key: last-wins
+      (21L, Seq((null, Seq(L(1)), null))),      // [] under scalar field: field null
+      (22L, Seq((null, null, null))))           // [] inner element poisons inner cell
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), elemsOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
   test("every split point of a STRUCT<…, ARRAY<atomic>> input yields identical batches") {
     // round 15 (user.tags shape): the full pathology matrix, pinned
     // against spark.read.json by the round-15 probe — elements stream

@@ -689,6 +689,111 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Container-field pathology corpus for the round-16 element-struct
+    * lanes (order.items[].sku shape): element-struct fields that are
+    * themselves ARRAY<atomic> or STRUCT<atomic>, with every probed
+    * pathology — failed/container inner elements (inner-cell poison),
+    * scalar/object-for-array and scalar/array-for-struct mismatches
+    * (field null), null/[] inner cells, {}/unknown-key inner structs,
+    * grandfield conversion failures, duplicate inner bindings (incl.
+    * failed dups), plus the outer element/array pathologies.
+    */
+  private def elemContainerCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def tags(): String = rng.nextInt(10) match {
+        case 0 => "null"
+        case 1 => "[]"
+        case 2 => s"${rng.nextInt(100)}"                      // scalar for array
+        case 3 => """{"k": 1}"""                              // object for array
+        case 4 => s"[${rng.nextInt(9)}, \"np\"]"              // failed inner elem
+        case 5 => s"[${rng.nextInt(9)}, [1]]"                 // container inner elem
+        case 6 => s"[${rng.nextInt(9)}, null, ${rng.nextInt(9)}]"
+        case _ => Seq.fill(rng.nextInt(4))(rng.nextInt(1000).toString)
+          .mkString("[", ", ", "]")
+      }
+      def geo(): String = rng.nextInt(10) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"${rng.nextInt(100)}"                      // scalar for struct
+        case 3 => "[1]"                                       // array for struct
+        case 4 => """{"lat": "bad", "src": "s"}"""            // grand conv failure
+        case 5 => s"""{"zz": ${rng.nextInt(9)}}"""            // unknown grand key
+        case 6 => s"""{"lat": ${rng.nextInt(9)}.5, "lat": ${rng.nextInt(9)}.25}"""
+        case 7 => s"""{"src": {"deep": 1}}"""                 // container grandfield
+        case _ => s"""{"lat": ${rng.nextInt(90)}.5, "src": "g${rng.nextInt(5)}"}"""
+      }
+      def elem(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"""{"sku": ${rng.nextInt(1000)}}"""
+        case 3 => s"""{"tags": ${tags()}}"""
+        case 4 => s"""{"geo": ${geo()}}"""
+        case 5 => s"""{"sku": ${rng.nextInt(99)}, "tags": ${tags()}, "geo": ${geo()}}"""
+        case 6 => s"""{"tags": ${tags()}, "tags": ${tags()}}"""   // dup inner binding
+        case 7 => s"""{"geo": ${geo()}, "geo": ${geo()}}"""
+        case 8 => s"""{"zz": [1], "sku": ${rng.nextInt(99)}}"""   // unknown field
+        case _ => s"""{"geo": ${geo()}, "sku": ${rng.nextInt(99)}, "tags": ${tags()}}"""
+      }
+      if (rng.nextInt(10) > 1)
+        fields += s""""xs": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "[]"
+          case 2 => s"${rng.nextInt(100)}"
+          case 3 => s"[${elem()}, ${rng.nextInt(100)}]"    // scalar ELEMENT: poison
+          case 4 => s"[${elem()}, [1]]"                    // array ELEMENT: poison
+          case 5 => Seq.fill(8)(elem()).mkString("[", ", ", "]")
+          case _ => Seq.fill(rng.nextInt(4))(elem()).mkString("[", ", ", "]")
+        }}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [{"deep": [1]}, "two"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("element-struct CONTAINER-field corpora go COLUMNAR and match spark.read.json") {
+    val rng = new scala.util.Random(0xEC16EC16L)
+    val ecSchema = "id LONG, xs ARRAY<STRUCT<sku: LONG, tags: ARRAY<LONG>, " +
+      "geo: STRUCT<lat: DOUBLE, src: STRING>>>, s STRING"
+    val projections = Seq(
+      Seq("id", "xs", "s"), Seq("xs", "id"), Seq("xs"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"elemcont$trial.jsonl")
+      Files.write(p, elemContainerCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(ecSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(ecSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: container-field schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(3) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case _ => (g0.filter(col("xs").isNotNull), j0.filter(col("xs").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(ecSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == (g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq),
+        s"trial $trial: row vs columnar diverged")
+    }
+  }
+
   /** Map-pathology corpus for the COLUMNAR map lanes (round 13): every
     * shape a one-level MAP<STRING, atomic> column can take — present,
     * missing, null, `{}`, scalar/array mismatch, null values, container
