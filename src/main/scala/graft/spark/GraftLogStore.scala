@@ -92,6 +92,61 @@ object GraftLogStore {
     }
   }
 
+  /** HDFS-contract implementation (`graft.logstore.impl=hdfs`) — the
+    * 100-TB-cluster deployment story: the version CLAIM happens at CLOSE
+    * via rename-WITHOUT-overwrite, so a commit-log entry is NEVER
+    * observable half-written — readers see the whole entry or no entry,
+    * and the torn-entry grace machinery ([[GraftCommitLog]]'s
+    * IncompleteCommitException retries) never has to engage.
+    * [[createAtomic]] streams the body into a dot-prefixed unique temp
+    * sibling; close() renames it onto the version slot — HDFS's rename
+    * is atomic at the NameNode and REFUSES an existing destination, so a
+    * lost race surfaces as the close-time `IOException` the commit
+    * loop's onLostRace path already expects (the "at CLOSE on
+    * conditional-put stores" leg). [[publish]] is the same staged
+    * create-then-rename as the default.
+    *
+    * Correctness envelope: any HCFS whose rename-without-overwrite is
+    * atomic and refuses an existing destination — HDFS, viewfs, HA
+    * proxies over them. NOT `file://` (RawLocalFileSystem renames
+    * through POSIX rename(2), which silently REPLACES an existing
+    * target — local dev keeps the default store's O_EXCL claim) and NOT
+    * S3-class stores (rename is copy+delete; plug a conditional-put
+    * implementation there). HdfsLogStoreSpec exercises the mechanics
+    * locally through a contract-enforcing test filesystem.
+    */
+  object HdfsRenameClaim extends GraftLogStore {
+    override def createAtomic(fs: FileSystem, path: Path): java.io.OutputStream = {
+      // cheap early loss detection — the RENAME still decides the race
+      if (fs.exists(path))
+        throw new java.io.IOException(
+          s"already exists (lost the claim race): $path")
+      val tmp = new Path(path.getParent,
+        s".${path.getName}.${java.util.UUID.randomUUID().toString}.claim")
+      val out = fs.create(tmp, false)
+      new java.io.FilterOutputStream(out) {
+        private[this] var done = false
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          out.write(b, off, len)
+        override def close(): Unit = if (!done) {
+          done = true
+          super.close() // flush + close the fully-written temp
+          val won =
+            try fs.rename(tmp, path)
+            catch { case _: java.io.IOException => false }
+          if (!won) {
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            throw new java.io.IOException(
+              s"already exists (lost the claim race at close): $path")
+          }
+        }
+      }
+    }
+    override def publish(fs: FileSystem, tmp: Path, target: Path,
+        overwrite: Boolean): Unit =
+      HadoopRename.publish(fs, tmp, target, overwrite)
+  }
+
   // one instance per implementation class per JVM (executors resolve
   // through the serialized Hadoop conf)
   private val cache =
@@ -100,6 +155,9 @@ object GraftLogStore {
   def forConf(conf: Configuration): GraftLogStore = {
     val cls = conf.get(ImplKey)
     if (cls == null || cls.isEmpty) HadoopRename
+    // short deployment aliases (the class-name form stays for custom impls)
+    else if (cls == "hdfs") HdfsRenameClaim
+    else if (cls == "default" || cls == "rename") HadoopRename
     else cache.computeIfAbsent(cls, c =>
       Class.forName(c).getDeclaredConstructor().newInstance()
         .asInstanceOf[GraftLogStore])
