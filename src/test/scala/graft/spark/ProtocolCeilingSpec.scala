@@ -73,15 +73,15 @@ class ProtocolCeilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"misclassified as corruption: $msgs")
   }
 
-  test("a v8 entry fails as 'reader too old', not 'malformed'") {
-    val d = dir("v8_entry")
+  test("a v9 entry fails as 'reader too old', not 'malformed'") {
+    val d = dir("v9_entry")
     mkTable(d)
     val fs = new Path(d).getFileSystem(conf)
-    writeEntry(d, 1L, "graft-commit v8\nt 1\nf future.jsonl\ne 1 00000000\n")
+    writeEntry(d, 1L, "graft-commit v9\nt 1\nf future.jsonl\ne 1 00000000\n")
     val e = intercept[ProtocolTooNewException] {
       GraftCommitLog.entryActions(fs, new Path(d), 1L)
     }
-    assertUpgradeShaped(e, "v8", "v7")
+    assertUpgradeShaped(e, "v9", "v8")
   }
 
   test("a v99 entry names its declared version in the diagnostic") {
@@ -92,7 +92,7 @@ class ProtocolCeilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[ProtocolTooNewException] {
       GraftCommitLog.entryActions(fs, new Path(d), 1L)
     }
-    assertUpgradeShaped(e, "v99", "v7")
+    assertUpgradeShaped(e, "v99", "v8")
   }
 
   test("a genuinely foreign header stays 'malformed' — the classes are distinct") {
@@ -107,8 +107,8 @@ class ProtocolCeilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("malformed commit-log entry"), e.getMessage)
   }
 
-  test("a torn v8 header prefix still classifies in-flight (prefix of the current header)") {
-    // "graft-commit v" is a strict prefix of BOTH v7 and v8 headers — a
+  test("a torn v9 header prefix still classifies in-flight (prefix of the current header)") {
+    // "graft-commit v" is a strict prefix of BOTH v8 and v9 headers — a
     // tear there is transient in-flight state, never an upgrade demand
     val d = dir("torn_header")
     mkTable(d)
@@ -120,33 +120,33 @@ class ProtocolCeilingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("batch versionAsOf read surfaces the upgrade message") {
-    val d = dir("v8_batch")
+    val d = dir("v9_batch")
     mkTable(d)
-    writeEntry(d, 1L, "graft-commit v8\nt 1\nf future.jsonl\ne 1 00000000\n")
+    writeEntry(d, 1L, "graft-commit v9\nt 1\nf future.jsonl\ne 1 00000000\n")
     val e = intercept[Throwable] {
       spark.read.format("graft-json").schema(schema)
         .option("versionAsOf", "1").load(d).count()
     }
-    assertUpgradeShaped(e, "v8", "v7")
+    assertUpgradeShaped(e, "v9", "v8")
   }
 
   test("the tailing read fails FAST on a newer protocol (no grace-period stall)") {
-    val d = dir("v8_tailing")
+    val d = dir("v9_tailing")
     mkTable(d)
     val fs = new Path(d).getFileSystem(conf)
-    writeEntry(d, 1L, "graft-commit v8\nf future.jsonl\n")
+    writeEntry(d, 1L, "graft-commit v9\nf future.jsonl\n")
     val t0 = System.nanoTime()
     val e = intercept[ProtocolTooNewException] {
       GraftCommitLog.entryActionsTailing(fs, new Path(d), 1L, graceMs = 5000L)
     }
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
-    assertUpgradeShaped(e, "v8", "v7")
+    assertUpgradeShaped(e, "v9", "v8")
     // permanent state: must NOT be retried like an in-flight commit
     assert(elapsedMs < 3000L, s"tailing read stalled ${elapsedMs}ms on a permanent state")
   }
 
-  test("a LIVE followLog stream dies with the upgrade message when a v8 entry lands") {
-    val d = dir("v8_stream")
+  test("a LIVE followLog stream dies with the upgrade message when a v9 entry lands") {
+    val d = dir("v9_stream")
     mkTable(d, 50L)
     val ckpt = Files.createTempDirectory("graft-ceiling-ckpt")
     val q = spark.readStream.format("graft-json").schema(schema)
@@ -156,9 +156,9 @@ class ProtocolCeilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
     try {
       q.processAllAvailable() // seed batch delivered
-      writeEntry(d, 1L, "graft-commit v8\nt 1\nf future.jsonl\ne 1 00000000\n")
+      writeEntry(d, 1L, "graft-commit v9\nt 1\nf future.jsonl\ne 1 00000000\n")
       val e = intercept[Throwable] { q.processAllAvailable() }
-      assertUpgradeShaped(e, "v8", "v7")
+      assertUpgradeShaped(e, "v9", "v8")
     } finally q.stop()
   }
 
