@@ -702,7 +702,8 @@ object TrainingData {
     // older snapshot must keep working after a vacuum — including files a
     // later DELETE/UPDATE retired (`r` actions), which older snapshots
     // still read
-    val (live, liveDvs) = graft.spark.GraftCommitLog.allReferenced(fs, root)
+    val (live, liveDvs, liveCdc) =
+      graft.spark.GraftCommitLog.allReferencedWithCdc(fs, root)
     val rootQ = fs.makeQualified(root).toString
     // age horizon (VACUUM RETAIN): an unreferenced file younger than the
     // horizon may be an in-flight writer's published-but-unlogged data —
@@ -741,7 +742,33 @@ object TrainingData {
       .reclaimUnreferenced(fs, root, dryRun, referenced = liveDvs,
         notModifiedSince = horizon)
       .map(n => s"${graft.spark.DeletionVectors.DirName}/$n")
-    (rels ++ dvGone).sorted
+    // change-data debris likewise (round 16): cdc files of aborted
+    // rewrites (written, commit never landed) and of EXPIRED entries
+    // (expireLogHistory dropped the `c` lines that referenced them),
+    // plus abandoned `_tmp-*` staging dirs, all under the same age gate
+    val cdcGone = {
+      val cdcDir = graft.spark.GraftCommitLog.cdcDir(root)
+      if (!fs.exists(cdcDir)) Nil
+      else {
+        val entries = fs.listStatus(cdcDir).toSeq
+        val orphanFiles = entries
+          .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_") &&
+            !liveCdc.contains(st.getPath.getName) &&
+            st.getModificationTime <= horizon)
+          .map(_.getPath)
+        val tmpDirs = entries
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp-") &&
+            st.getModificationTime <= horizon)
+          .map(_.getPath)
+        if (!dryRun) {
+          orphanFiles.foreach(p => fs.delete(p, false))
+          tmpDirs.foreach(p => fs.delete(p, true))
+        }
+        (orphanFiles ++ tmpDirs).map(p => s".graft-cdc/${p.getName}")
+      }
+    }
+    (rels ++ dvGone ++ cdcGone).sorted
   }
 
   /** Copy-on-write DELETE over a graft table (commit-log protocol v2,

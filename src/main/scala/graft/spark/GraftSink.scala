@@ -1563,27 +1563,52 @@ private[graft] object GraftCommitLog {
     allReferenced(fs, root)._1
 
   /** (data files, deletion-vector artifact names) referenced by ANY
-    * surviving entry or checkpoint — ONE pass over the log (vacuum and
-    * expiry consult both sets; folding twice would double the log I/O on
-    * a long streaming-upsert history).
+    * surviving entry or checkpoint — see [[allReferencedWithCdc]].
     */
   def allReferenced(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): (Set[String], Set[String]) = {
+    val (f, d, _) = allReferencedWithCdc(fs, root)
+    (f, d)
+  }
+
+  /** (data files, deletion-vector artifact names, change-data file
+    * names) referenced by ANY surviving entry or checkpoint — ONE pass
+    * over the log (vacuum and expiry consult all three sets; folding
+    * multiple times would multiply the log I/O on a long
+    * streaming-upsert history). Change-data files live only on v8+
+    * entries (never in checkpoints), so expiring an entry's history
+    * makes its cdc files unreferenced — the next vacuum's food.
+    */
+  def allReferencedWithCdc(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): (Set[String], Set[String], Set[String]) = {
     val files = Set.newBuilder[String]
     val dvs = Set.newBuilder[String]
+    val cdc = Set.newBuilder[String]
     checkpointVersions(fs, root).foreach { v =>
       readCheckpointState(fs, root, v).foreach(_.foreach { case (p, dv) =>
         files += p
         if (dv != null) dvs += dv
       })
     }
-    // entryActionsAwait: a vacuum racing an in-flight committer can list
-    // a claimed-but-unwritten entry — ride it out like every other fold
-    versions(fs, root).foreach(v => entryActionsAwait(fs, root, v).foreach { a =>
-      if (a.add) files += a.path
-      else if (a.isDv) dvs += a.dv
-    })
-    (files.result(), dvs.result())
+    // a vacuum racing an in-flight committer can list a claimed-but-
+    // unwritten entry — ride it out like every other fold; one slurp per
+    // entry serves both the actions and the `c` lines
+    versions(fs, root).foreach { v =>
+      retryInFlight(5000L)(inFlightState) {
+        val (p, lines) = entryLines(fs, root, v)
+        parseActions(p, lines).foreach { a =>
+          if (a.add) files += a.path
+          else if (a.isDv) dvs += a.dv
+        }
+        if (headerVersion(lines) >= 8)
+          lines.tail.filter(_.startsWith("c ")).foreach { l =>
+            val rest = l.substring(2)
+            val sp = rest.indexOf(' ')
+            if (sp > 0) cdc += rest.substring(sp + 1)
+          }
+      }
+    }
+    (files.result(), dvs.result(), cdc.result())
   }
 
   /** Root-relative file set committed STRICTLY AFTER `sinceVersion` — the

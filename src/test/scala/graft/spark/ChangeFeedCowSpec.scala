@@ -201,6 +201,39 @@ class ChangeFeedCowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(applyFeed(s0, feed) == snap(d))
   }
 
+  test("vacuum reclaims orphan/expired cdc debris, retains referenced artifacts") {
+    val d = dir("vac")
+    writeTable(d) // v0
+    TrainingData.updateWhere(spark, d, schema, "id = 2",
+      Map("v" -> "'two'"), retainHistory = true, changeDataFeed = true) // v1
+    val cdcDir = root.resolve("vac").resolve(".graft-cdc")
+    val referenced = java.nio.file.Files.list(cdcDir).toArray.map(_.toString)
+    assert(referenced.nonEmpty)
+    // debris: an orphan cdc file (aborted rewrite) and an abandoned stage
+    java.nio.file.Files.write(cdcDir.resolve("cdc-orphan-delete-0-part.jsonl"),
+      "{\"id\": 1, \"v\": \"x\"}\n".getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(cdcDir.resolve("_tmp-dead"))
+    java.nio.file.Files.write(cdcDir.resolve("_tmp-dead").resolve("part-0.jsonl"),
+      "{}\n".getBytes("UTF-8"))
+    val dry = TrainingData.vacuumOrphans(spark, d, dryRun = true)
+    assert(dry.contains(".graft-cdc/cdc-orphan-delete-0-part.jsonl"), dry.toString)
+    assert(dry.contains(".graft-cdc/_tmp-dead"))
+    val gone = TrainingData.vacuumOrphans(spark, d)
+    assert(gone.contains(".graft-cdc/cdc-orphan-delete-0-part.jsonl"))
+    assert(!java.nio.file.Files.exists(cdcDir.resolve("cdc-orphan-delete-0-part.jsonl")))
+    assert(!java.nio.file.Files.exists(cdcDir.resolve("_tmp-dead")))
+    // the REFERENCED artifacts survive, and the feed still reads exactly
+    referenced.foreach(f => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    val feed = TrainingData.changeFeed(spark, d, schema, sinceVersion = 0L)
+    assert(feed.count() == 2L) // pre + post image
+    // a young orphan is retained under VACUUM RETAIN (mtime age gate)
+    java.nio.file.Files.write(cdcDir.resolve("cdc-young-delete-0-part.jsonl"),
+      "{}\n".getBytes("UTF-8"))
+    val kept = TrainingData.vacuumOrphans(spark, d, retainMillis = 3600000L)
+    assert(!kept.exists(_.contains("cdc-young")))
+    assert(java.nio.file.Files.exists(cdcDir.resolve("cdc-young-delete-0-part.jsonl")))
+  }
+
   test("CDC on a partitioned table refuses loudly (streaming path cannot carry part values)") {
     val d = dir("part")
     val s = spark; import s.implicits._
