@@ -750,22 +750,34 @@ object TrainingData {
       val cdcDir = graft.spark.GraftCommitLog.cdcDir(root)
       if (!fs.exists(cdcDir)) Nil
       else {
-        val entries = fs.listStatus(cdcDir).toSeq
-        val orphanFiles = entries
-          .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
-            !st.getPath.getName.startsWith("_") &&
-            !liveCdc.contains(st.getPath.getName) &&
-            st.getModificationTime <= horizon)
-          .map(_.getPath)
-        val tmpDirs = entries
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp-") &&
-            st.getModificationTime <= horizon)
-          .map(_.getPath)
-        if (!dryRun) {
-          orphanFiles.foreach(p => fs.delete(p, false))
-          tmpDirs.foreach(p => fs.delete(p, true))
+        val cdcQ = fs.makeQualified(cdcDir).toString
+        def relOf(p: Path): String = {
+          val q = fs.makeQualified(p).toString
+          if (q.startsWith(cdcQ)) q.substring(cdcQ.length).stripPrefix("/") else q
         }
-        (orphanFiles ++ tmpDirs).map(p => s".graft-cdc/${p.getName}")
+        // partitioned tables nest cdc files under k=v dirs: recurse, and
+        // match referenced names by cdc-RELATIVE path
+        val orphanFiles = Seq.newBuilder[Path]
+        val tmpDirs = Seq.newBuilder[Path]
+        def sweep(p: Path): Unit = fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory) {
+            if (n.startsWith("_tmp-")) {
+              if (st.getModificationTime <= horizon) tmpDirs += st.getPath
+            } else if (!n.startsWith(".")) sweep(st.getPath)
+          } else if (!n.startsWith(".") && !n.startsWith("_") &&
+              !liveCdc.contains(relOf(st.getPath)) &&
+              st.getModificationTime <= horizon)
+            orphanFiles += st.getPath
+        }
+        sweep(cdcDir)
+        val of = orphanFiles.result()
+        val td = tmpDirs.result()
+        if (!dryRun) {
+          of.foreach(p => fs.delete(p, false))
+          td.foreach(p => fs.delete(p, true))
+        }
+        (of ++ td).map(p => s".graft-cdc/${relOf(p)}")
       }
     }
     (rels ++ dvGone ++ cdcGone).sorted
@@ -2057,34 +2069,55 @@ object TrainingData {
     * with the dir), then the part files move out and the temp dir dies —
     * a crash leaves only invisible dot-dir debris.
     *
-    * Partitioned tables refuse for now: the streaming CDF reader derives
-    * partition values from data-file paths, and a flat change-data file
-    * cannot carry them there — feed such tables by full refresh (or run
-    * the rewrite without CDC), as before round 16.
+    * PARTITIONED tables (round 16): the change rows write partitioned by
+    * the table's own partition columns and keep their `k=v` directory
+    * structure under `.graft-cdc/<uuid>-<type>/…` — so both the batch
+    * walk (a partitioned raw read of the cdc dir) and the streaming
+    * reader (partition values parse from the file PATH, exactly as for
+    * data files) serve partition columns without the files carrying
+    * them inline. The recorded name is the cdc-relative PATH (slashes
+    * and spaces are legal — the `c` line's name is everything after the
+    * type token); a '>' inside a partition value would break the
+    * commitchangefiles option join and refuses loudly, like every COW
+    * rider (see joinDvList).
     */
   private def writeChangeData(spark: org.apache.spark.sql.SparkSession,
       tbl: CowTable, format: String,
       typed: Seq[(String, DataFrame)]): Seq[(String, String)] = {
     import org.apache.hadoop.fs.Path
-    require(tbl.partCols.isEmpty,
-      "changeDataFeed: change-data recording on a PARTITIONED table is " +
-        "not supported yet (the streaming reader derives partition values " +
-        "from data-file paths) — run the rewrite without CDC and feed " +
-        "consumers by full refresh")
     val uuid = java.util.UUID.randomUUID().toString
     val cdc = graft.spark.GraftCommitLog.cdcDir(tbl.root)
     tbl.fs.mkdirs(cdc)
     val pairs = typed.flatMap { case (ct, rows) =>
       val tmp = new Path(cdc, s"_tmp-$uuid-$ct")
-      rows.write.format(format).mode("overwrite").save(tmp.toString)
-      val parts = tbl.fs.listStatus(tmp)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
-          !st.getPath.getName.startsWith("_"))
-        .map(_.getPath).sortBy(_.getName)
+      val w = rows.write.format(format).mode("overwrite")
+      (if (tbl.partCols.nonEmpty)
+         w.option("partitionby", tbl.partCols.mkString(","))
+       else w).save(tmp.toString)
+      val tmpQ = tbl.fs.makeQualified(tmp).toString
+      def collect(p: Path): Seq[Path] =
+        tbl.fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(".") || n.startsWith("_")) Nil
+          else if (st.isDirectory) collect(st.getPath)
+          else Seq(st.getPath)
+        }
+      val parts = collect(tmp).sortBy(_.toString)
       val moved = parts.zipWithIndex.map { case (part, k) =>
-        val name = s"cdc-$uuid-$ct-$k-${part.getName}"
-        require(tbl.fs.rename(part, new Path(cdc, name)),
-          s"writeChangeData: rename of '$part' into '$cdc' failed")
+        val q = tbl.fs.makeQualified(part).toString
+        val sub = q.substring(tmpQ.length).stripPrefix("/")
+        val parent = // the k=v segments, if any
+          if (sub.contains('/')) sub.substring(0, sub.lastIndexOf('/')) else ""
+        val name = (if (parent.isEmpty) "" else parent + "/") +
+          s"cdc-$uuid-$ct-$k-${part.getName}"
+        require(!name.contains('>'),
+          s"changeDataFeed: partition value in '$name' contains '>' — the " +
+            "commitchangefiles rider cannot address it safely; rewrite the " +
+            "table to a fresh root so values re-render escaped, then retry")
+        val dest = new Path(cdc, name)
+        tbl.fs.mkdirs(dest.getParent)
+        require(tbl.fs.rename(part, dest),
+          s"writeChangeData: rename of '$part' to '$dest' failed")
         (ct, name)
       }.toSeq
       tbl.fs.delete(tmp, true)

@@ -234,17 +234,63 @@ class ChangeFeedCowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.nio.file.Files.exists(cdcDir.resolve("cdc-young-delete-0-part.jsonl")))
   }
 
-  test("CDC on a partitioned table refuses loudly (streaming path cannot carry part values)") {
+  test("PARTITIONED tables record and replay CDC: k=v paths carry the values") {
     val d = dir("part")
+    val pschema = "id BIGINT, v STRING, p STRING"
     val s = spark; import s.implicits._
     (0L until 20L).map(i => (i, s"r$i", s"p${i % 2}")).toDF("id", "v", "p")
       .write.format("graft-json").option("partitionby", "p")
-      .mode("overwrite").save(d)
-    val e = intercept[IllegalArgumentException] {
-      TrainingData.deleteWhere(spark, d, "id BIGINT, v STRING, p STRING",
-        "id = 1", retainHistory = true, changeDataFeed = true)
+      .mode("overwrite").save(d)                                        // v0
+    def psnap(v: Long = -1L): Set[(Long, String, String)] = {
+      var r = spark.read.format("graft-json").schema(pschema)
+      r = if (v >= 0) r.option("versionasof", v.toString)
+          else r.option("snapshot", "true")
+      r.load(d).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
     }
-    assert(e.getMessage.contains("PARTITIONED"))
+    val s0 = psnap(0)
+    TrainingData.updateWhere(spark, d, pschema, "id % 4 = 1",
+      Map("v" -> "upper(v)"), retainHistory = true, changeDataFeed = true) // v1
+    TrainingData.deleteWhere(spark, d, pschema, "id >= 16",
+      retainHistory = true, changeDataFeed = true)                         // v2
+    val feed = TrainingData.changeFeed(spark, d, pschema, sinceVersion = 0L)
+    val rows = feed.collect().map { r =>
+      (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("v")),
+        r.getString(r.fieldIndex("p")),
+        r.getString(r.fieldIndex(TrainingData.ChangeTypeCol)))
+    }
+    // partition values came back from the k=v paths, exact per row
+    assert(rows.forall { case (id, _, p, _) => p == s"p${id % 2}" }, rows.toSeq.toString)
+    // per-commit replay (the _commit_version ordering the column exists
+    // for): the same row can be inserted by one commit and deleted by a
+    // later one, so set-at-once application would cancel wrongly
+    val byV = feed.collect().groupBy(_.getLong(feed.schema.fieldIndex(
+      TrainingData.CommitVersionCol))).toSeq.sortBy(_._1)
+    var state = s0
+    byV.foreach { case (_, rs) =>
+      val d0 = rs.filter(r => Set("delete", "update_preimage")(r.getString(3)))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val i0 = rs.filter(r => Set("insert", "update_postimage")(r.getString(3)))
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      state = state -- d0 ++ i0
+    }
+    assert(state == psnap())
+    // streaming consumes the partitioned artifacts too
+    val q = spark.readStream.format("graft-json")
+      .schema(pschema + ", _change_type STRING")
+      .option("readchangefeed", "true").option("sinceversion", "0")
+      .load(d)
+      .writeStream.format("memory").queryName("cdf_part_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cdf_part_stream").collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)) }.toSet
+    assert(got.contains((1L, "r1", "p1", "update_preimage")))
+    assert(got.contains((1L, "R1", "p1", "update_postimage")))
+    assert(got.contains((16L, "r16", "p0", "delete")))
+    assert(got.forall { case (id, _, p, _) => p == s"p${id % 2}" })
   }
 
   test("avro tables record and replay CDC the same way") {
