@@ -909,7 +909,8 @@ object TrainingData {
       schema: String, predicate: String,
       format: String = "graft-json",
       dvMaxRatio: Double = 1.0,
-      retainHistory: Boolean = false): Seq[String] = {
+      retainHistory: Boolean = false,
+      changeDataFeed: Boolean = false): Seq[String] = {
     require(format == "graft-json" || format == "graft-csv" ||
         format == "graft-avro",
       s"deleteWhereDV supports graft-json/graft-csv/graft-avro, not $format")
@@ -1013,11 +1014,22 @@ object TrainingData {
             graft.spark.GraftSources.joinFileList(escalated, "restrictfiles"))
           // pinned: an escalated file's PRIOR mask must stay applied
           .option("versionasof", tbl.latest.toString).load(dir)
+        // CHANGE DATA FEED (round 16): the ESCALATED files' deletes are a
+        // COW retirement the feed cannot derive — record them as delete
+        // artifacts in the same atomic entry; the light files' deltas stay
+        // expressed by their `d` lines (readers compose both)
+        val cdcNames: Seq[(String, String)] =
+          if (!cdfOn(spark, changeDataFeed)) Nil
+          else writeChangeData(spark, tbl, format,
+            Seq("delete" -> source.filter(coalesce(expr(predicate), lit(false)))))
         var w = source.filter(!coalesce(expr(predicate), lit(false)))
           .write.format(format).mode("append")
           .option("commitremovesversion", tbl.latest.toString)
           .option("commitremoves",
             graft.spark.GraftSources.joinFileList(escalated, "commitremoves"))
+        if (cdcNames.nonEmpty)
+          w = w.option("commitchangefiles",
+            cdcNames.map { case (ct, n) => s"$ct>$n" }.mkString(","))
         if (pairs.nonEmpty)
           w = w.option("commitdvs", graft.spark.GraftSources.joinDvList(
               pairs.toSeq.map { case (f, n) => (n, f) }, "commitdvs"))
@@ -1452,21 +1464,27 @@ object TrainingData {
       val added = (cur.keySet -- prev.keySet).toSeq.sorted
       val isRestore = op.startsWith("restore")
       if (cdc.nonEmpty) {
-        // the rewrite recorded its own row-level changes; the add/remove
-        // movement is physical only. A dv rider on the same entry has no
-        // writer today — refuse rather than guess at combined semantics.
-        require(!acts.exists(_.isDv),
-          s"changeFeed: version $v carries both change-data files and " +
-            "deletion-vector attachments — no writer emits this shape; " +
-            "refusing rather than guessing its semantics")
-        cdc.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (ct, pairs) =>
+        // the rewrite recorded its own row-level changes for the files it
+        // RETIRED; the add/remove movement is physical only. A dv rider
+        // on the SAME entry (the deleteWhereDV escalation shape: light
+        // files mask, heavy files rewrite) expresses the PERSISTING
+        // files' deltas — composed additively below with the artifacts.
+        cdc.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (ct, prs) =>
           parts += spark.read.format(format).schema(tbl.fullSchema)
             .option("restrictfiles", graft.spark.GraftSources.joinFileList(
-              pairs.map(_._2).sorted, "restrictfiles"))
+              prs.map(_._2).sorted, "restrictfiles"))
             .load(graft.spark.GraftCommitLog.cdcDir(tbl.root).toString)
             .select(dataCols.map(col): _*)
             .withColumn(ChangeTypeCol, lit(ct))
             .withColumn(CommitVersionCol, lit(v))
+        }
+        val changedMask = cur.keysIterator
+          .filter(f => prev.contains(f) && prev(f) != cur(f)).toSeq.sorted
+        if (changedMask.nonEmpty) {
+          val diffs = changedMask.map { f =>
+            f -> mask(cur(f), f).minus(mask(prev(f), f))
+          }.toMap.filter(_._2.nonEmpty)
+          if (diffs.nonEmpty) parts += ordinalRows(diffs, prevV, "delete", v)
         }
       } else if (op == "optimize" || op == "materialize") {
         () // rows moved, none changed

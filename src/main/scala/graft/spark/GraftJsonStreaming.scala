@@ -432,20 +432,33 @@ final class GraftCdfMicroBatchStream(
       val noChangeOp = op == "optimize" || op == "materialize"
       if (cdc.nonEmpty) {
         // CDC-RECORDED rewrite (round 16, v8 `c` lines): the commit's
-        // row-level changes are its `.graft-cdc/` files — one change
-        // type per file (the writer partitions by it), so each admits as
-        // a whole-file partition with the type stamped like a partition
-        // value. The physical add/remove movement contributes nothing.
-        require(!acts.exists(_.isDv),
-          s"readChangeFeed: commit $v carries both change-data files and " +
-            "deletion-vector attachments — no writer emits this shape; " +
-            "refusing rather than guessing its semantics")
+        // row-level changes for the files it RETIRED are its
+        // `.graft-cdc/` files — one change type per file (the writer
+        // partitions by it), so each admits as a whole-file partition
+        // with the type stamped like a partition value. The physical
+        // add/remove movement contributes nothing. A dv rider on the
+        // SAME entry (the deleteWhereDV escalation shape) expresses the
+        // PERSISTING light files' deltas — composed additively below.
         cdc.foreach { case (ct, name) =>
           val p = fs.makeQualified(new org.apache.hadoop.fs.Path(
             GraftCommitLog.cdcDir(root), name))
           val len = fs.getFileStatus(p).getLen
           parts += GraftSources.wholeFilePartition(
             p.toString, len, pvFor(p.toString, ct))
+        }
+        acts.foreach { a =>
+          if (a.isDv && state.contains(a.path)) {
+            val prevMask = maskOf(state.getOrElse(a.path, null), a.path)
+            val newMask = maskOf(a.dv, a.path)
+            val delta = newMask.minus(prevMask)
+            if (delta.nonEmpty) {
+              val p = fs.makeQualified(new org.apache.hadoop.fs.Path(root, a.path))
+              val len = fs.getFileStatus(p).getLen
+              parts += GraftSources.wholeFilePartition(
+                  p.toString, len, pvFor(p.toString, "delete"))
+                .copy(dvKeepRuns = delta.flatMap(r => Seq(r._1, r._2)).toArray)
+            }
+          }
         }
       }
       else if (removes.nonEmpty && !noChangeOp && !skipChange)

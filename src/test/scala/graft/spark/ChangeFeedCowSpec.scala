@@ -293,6 +293,42 @@ class ChangeFeedCowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall { case (id, _, p, _) => p == s"p${id % 2}" })
   }
 
+  test("deleteWhereDV ESCALATION with CDC: artifacts + light-file deltas compose") {
+    val d = dir("esc")
+    val s = spark; import s.implicits._
+    // two files: one HEAVY-hit (escalates under the density dial), one
+    // lightly hit (stays on a vector)
+    (0L until 10L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("overwrite").save(d)
+    (100L until 140L).map(i => (i, s"b$i")).toDF("id", "v")
+      .repartition(1).write.format("graft-json").mode("append").save(d) // v1
+    val s0 = snap(d)
+    // deletes 8/10 rows of file A (escalates at 0.5), 1/40 of file B
+    val touched = TrainingData.deleteWhereDV(spark, d, schema,
+      "(id < 8) OR (id = 100)", dvMaxRatio = 0.5,
+      retainHistory = true, changeDataFeed = true) // v2 (combined entry)
+    assert(touched.size == 2)
+    val feed = TrainingData.changeFeed(spark, d, schema, sinceVersion = 1L)
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(r.fieldIndex(TrainingData.ChangeTypeCol))))
+    assert(rows.forall(_._3 == "delete"))
+    assert(rows.map(_._1).toSet == ((0L until 8L).toSet + 100L), rows.toSeq.toString)
+    assert(applyFeed(s0, feed) == snap(d))
+    // streaming composes the same entry
+    val q = spark.readStream.format("graft-json")
+      .schema(schema + ", _change_type STRING")
+      .option("readchangefeed", "true").option("sinceversion", "1")
+      .load(d)
+      .writeStream.format("memory").queryName("cdf_esc_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cdf_esc_stream").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == ((0L until 8L).map((_, "delete")).toSet + ((100L, "delete"))))
+  }
+
   test("avro tables record and replay CDC the same way") {
     val d = dir("avro")
     writeTable(d, format = "graft-avro")
