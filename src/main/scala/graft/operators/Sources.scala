@@ -3501,6 +3501,54 @@ object Sources {
               FROM nation WHERE n_nationkey >= 20)
             ORDER BY _commit_version, _change_type, n_nationkey"""))
 
+  // ---------------------------------------------------------------- q237
+  // PARTITIONED COW CDF (round 16): change-data artifacts keep their
+  // k=v structure under `.graft-cdc/`, so the feed serves partition
+  // values from the artifact PATHS — no inline duplication, and the
+  // streaming reader's path-derived partition values work unchanged
+  // (ChangeFeedCowSpec pins that side). The gate partitions nation by
+  // region, updates then deletes with CDC on, and pins the exact
+  // per-commit feed — partition column included — against the oracle.
+  private val q237 = GQuery(
+    "q237_partitioned_cow_change_feed",
+    "CDF on a partitioned table: k=v artifact paths carry the partition values",
+    (s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_tt/cow_cdf_part"
+      val ddl = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      Tables(s, d, "nation")
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("long").as("n_regionkey"))
+        .write.format("graft-json").option("partitionby", "n_regionkey")
+        .mode("overwrite").save(dir)                                    // v0
+      graft.api.TrainingData.updateWhere(s, dir, ddl,
+        "n_nationkey % 6 = 1", Map("n_name" -> "concat(n_name, '_Y')"),
+        retainHistory = true, changeDataFeed = true)                    // v1
+      graft.api.TrainingData.deleteWhere(s, dir, ddl,
+        "n_nationkey < 4",
+        retainHistory = true, changeDataFeed = true)                    // v2
+      graft.api.TrainingData.changeFeed(s, dir, ddl, sinceVersion = 0L)
+        .orderBy($"_commit_version", $"_change_type", $"n_nationkey")
+    },
+    Some("""SELECT * FROM (
+              SELECT n_nationkey, n_name, n_regionkey,
+                     'update_preimage' AS _change_type,
+                     CAST(1 AS BIGINT) AS _commit_version
+              FROM nation WHERE n_nationkey % 6 = 1
+              UNION ALL
+              SELECT n_nationkey, n_name || '_Y', n_regionkey,
+                     'update_postimage', CAST(1 AS BIGINT)
+              FROM nation WHERE n_nationkey % 6 = 1
+              UNION ALL
+              SELECT n_nationkey,
+                     CASE WHEN n_nationkey % 6 = 1 THEN n_name || '_Y' ELSE n_name END,
+                     n_regionkey, 'delete', CAST(2 AS BIGINT)
+              FROM nation WHERE n_nationkey < 4)
+            ORDER BY _commit_version, _change_type, n_nationkey"""))
+
   // ---------------------------------------------------------------- q228
   // Log-first default reads (round 13, Delta semantics): an OPTION-FREE
   // read of a logged table is its latest committed snapshot. The gate
@@ -3772,5 +3820,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237)
 }
