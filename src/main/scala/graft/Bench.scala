@@ -60,6 +60,7 @@ object Bench {
     val (tlVec, tlRow, tlRatio) = TwoLevelColumnarBench.run(spark, sfDir)
     val (saVec, saRow, saRatio) = StructArrayColumnarBench.run(spark, sfDir)
     val (ecVec, ecRow, ecRatio) = ElemContainersColumnarBench.run(spark, sfDir)
+    val (csVec, csRow, csRatio) = ChildStructArrColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -109,6 +110,7 @@ object Bench {
         val (_, _, tl1) = TwoLevelColumnarBench.run(spark, sf1Dir)
         val (_, _, sa1) = StructArrayColumnarBench.run(spark, sf1Dir)
         val (_, _, ec1) = ElemContainersColumnarBench.run(spark, sf1Dir)
+        val (_, _, cs1) = ChildStructArrColumnarBench.run(spark, sf1Dir)
         val sub =
           s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
             s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
@@ -116,8 +118,9 @@ object Bench {
             s""""arraystruct_columnar_speedup":$as1,""" +
             s""""twolevel_columnar_speedup":$tl1,""" +
             s""""structarray_columnar_speedup":$sa1,""" +
-            s""""elemcontainers_columnar_speedup":$ec1,"dir":"$sf1Dir"},"""
-        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1, ec1))
+            s""""elemcontainers_columnar_speedup":$ec1,""" +
+            s""""childstructarr_columnar_speedup":$cs1,"dir":"$sf1Dir"},"""
+        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1, ec1, cs1))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
         ("", -1.0, Nil)
@@ -161,15 +164,16 @@ object Bench {
       s""""twolevel_columnar_sec":$tlVec,"twolevel_row_sec":$tlRow,""" +
       s""""structarray_columnar_sec":$saVec,"structarray_row_sec":$saRow,""" +
       s""""elemcontainers_columnar_sec":$ecVec,"elemcontainers_row_sec":$ecRow,""" +
+      s""""childstructarr_columnar_sec":$csVec,"childstructarr_row_sec":$csRow,""" +
       sf1Json +
       s""""sf":"$sfDir"}"""
     val sf1LaneJson =
       if (sf1Lanes.isEmpty) ""
       else {
-        val Seq(n1, a1, as1, tl1, sa1, ec1) = sf1Lanes
+        val Seq(n1, a1, as1, tl1, sa1, ec1, cs1) = sf1Lanes
         s""""sf1_total":${r3(sf1Total)},"sf1_nested":$n1,"sf1_array":$a1,""" +
         s""""sf1_arraystruct":$as1,"sf1_twolevel":$tl1,"sf1_structarray":$sa1,""" +
-        s""""sf1_elemcontainers":$ec1,"""
+        s""""sf1_elemcontainers":$ec1,"sf1_childstructarr":$cs1,"""
       }
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
@@ -185,6 +189,7 @@ object Bench {
       s""""twolevel_columnar_speedup":$tlRatio,""" +
       s""""structarray_columnar_speedup":$saRatio,""" +
       s""""elemcontainers_columnar_speedup":$ecRatio,""" +
+      s""""childstructarr_columnar_speedup":$csRatio,""" +
       sf1LaneJson +
       s""""slot_score":$slotScore,""" +
       s""""sf":"$sfDir"}"""
@@ -414,6 +419,30 @@ object ElemContainersColumnarBench {
             struct($"l_extendedprice".as("lat"), $"l_linestatus".as("src")).as("geo")))
           .as("items")),
       shape = _.select($"items"))
+  }
+}
+
+/** STRUCT<…, ARRAY<STRUCT<atomic…>>> (struct-child struct-array)
+  * columnar vs row path, end to end and PAIRED (round 17): a
+  * user.addresses[].city-shaped corpus — a user struct holding a scalar
+  * plus an array of address records — reads through the SAME scan twice
+  * on the delivery shape.
+  */
+object ChildStructArrColumnarBench {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    VectorizedAbBench.run(spark, "childstructarr-columnar", "/tmp/graft_bench_childstructarr", passes,
+      schema = "l_orderkey BIGINT, user STRUCT<name: STRING, " +
+        "addresses: ARRAY<STRUCT<city: STRING, zip: BIGINT>>>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        struct(
+          $"l_returnflag".as("name"),
+          array(
+            struct($"l_shipdate".cast("string").as("city"), $"l_partkey".as("zip")),
+            struct($"l_linestatus".as("city"), $"l_suppkey".as("zip")))
+            .as("addresses")).as("user")),
+      shape = _.select($"user"))
   }
 }
 

@@ -11,7 +11,8 @@ object LaneAb {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val lanes = if (args.length > 1) args.tail.toSet
-      else Set("nested", "array", "arraystruct", "twolevel", "structarray", "elemcontainers")
+      else Set("nested", "array", "arraystruct", "twolevel", "structarray",
+        "elemcontainers", "childstructarr")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-lane-ab")
@@ -30,6 +31,7 @@ object LaneAb {
     show("twolevel")(TwoLevelColumnarBench.run(spark, dir))
     show("structarray")(StructArrayColumnarBench.run(spark, dir))
     show("elemcontainers")(ElemContainersColumnarBench.run(spark, dir))
+    show("childstructarr")(ChildStructArrColumnarBench.run(spark, dir))
     spark.stop()
   }
 }

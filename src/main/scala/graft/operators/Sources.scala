@@ -3453,6 +3453,59 @@ object Sources {
               FROM orders)
             ORDER BY o_orderkey, sku"""))
 
+  // ---------------------------------------------------------------- q238
+  // ARRAY<STRUCT> STRUCT CHILDREN vectorize (round 17) — the
+  // user.addresses[].city shape, the next real-corpus shape that fell to
+  // the row path after round 16 closed the element-container ones:
+  // elements are rows of the child array's struct element vector, fields
+  // write at the per-(col,child) running element offset, the element's
+  // close stamps unwritten fields null, the binding's close stamps
+  // putArray at the row offset. The gate writes a user-records corpus
+  // through the graft sink, ASSERTS the plan is columnar, and
+  // explodes/flattens the child array; the every-split plate matrix and
+  // the probe-pinned pathology semantics (23 shapes) live in
+  // ColumnarPlateSpec + JsonSourceFuzzSpec.
+  private val q238 = GQuery(
+    "q238_json_struct_child_struct_array_columnar_scan",
+    "ARRAY<STRUCT> children of STRUCT columns vectorize (plan-asserted)",
+    (s, d) => {
+      import s.implicits._
+      val path = s"$fixtureDir/q238_childstructarr.jsonl"
+      val ddl = "o_orderkey BIGINT, user STRUCT<name: STRING, " +
+        "addresses: ARRAY<STRUCT<city: STRING, zip: BIGINT>>>"
+      Tables(s, d, "orders")
+        .select($"o_orderkey",
+          struct($"o_orderpriority".as("name"),
+            array(
+              struct($"o_orderpriority".as("city"),
+                ($"o_orderkey" % 97).as("zip")),
+              struct($"o_orderstatus".as("city"),
+                ($"o_custkey" % 89).as("zip"))).as("addresses")).as("user"))
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(path)
+      val df = s.read.format("graft-json").schema(ddl).load(path)
+      // the scan must be COLUMNAR (ColumnarToRow present = vectors flow)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "q238: struct-child ARRAY<STRUCT> schema fell off the columnar path:\n" +
+          df.queryExecution.executedPlan)
+      df.select($"o_orderkey", $"user.name".as("name"),
+          explode($"user.addresses").as("a"))
+        .select($"o_orderkey", $"name",
+          $"a.city".as("city"), $"a.zip".as("zip"))
+        .orderBy($"o_orderkey", $"city", $"zip")
+    },
+    Some("""SELECT o_orderkey, name, city, zip FROM (
+              SELECT o_orderkey, o_orderpriority AS name,
+                     o_orderpriority AS city,
+                     o_orderkey % 97 AS zip
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_orderpriority,
+                     o_orderstatus,
+                     o_custkey % 89
+              FROM orders)
+            ORDER BY o_orderkey, city, zip"""))
+
   // ---------------------------------------------------------------- q236
   // CHANGE DATA FEED ACROSS COW REWRITES (round 16, the Delta CDC-file
   // shape): updateWhere/deleteWhere with changeDataFeed=true record the
@@ -3820,5 +3873,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
 }

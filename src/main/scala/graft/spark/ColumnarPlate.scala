@@ -256,14 +256,69 @@ final class ColumnarPlate(
   private[this] val childArrElem: Array[Array[DataType]] =
     schema.fields.map(_.dataType match {
       case st: StructType => st.fields.map(_.dataType match {
-        case at: ArrayType => at.elementType
+        // ATOMIC elements only: ARRAY<STRUCT> children take the ck
+        // lanes (round 17) below
+        case ArrayType(et, _) if !et.isInstanceOf[StructType] => et
         case _ => null
       }).toArray
       case _ => null
     }).toArray
   private[this] val hasChildArrays =
     childArrElem.exists(ca => ca != null && ca.exists(_ != null))
-  // flat (col, child) pair list for per-row iteration, packed i<<16|j
+  // next free element slot / row-start snapshot per (col, child)
+  private[this] val childElemPos: Array[Array[Int]] =
+    childArrElem.map(ca => if (ca == null) null else new Array[Int](ca.length))
+  private[this] val childRowStartElem: Array[Array[Int]] =
+    childArrElem.map(ca => if (ca == null) null else new Array[Int](ca.length))
+  // ARRAY<STRUCT<atomic…>> STRUCT-CHILD lanes (round 17): field names/
+  // types of the element struct per (column, child) where a struct child
+  // is an array of structs — the user.addresses[].city shape. Elements
+  // are rows of the child array's single STRUCT element vector: fields
+  // write at the per-(col,child) running element offset (the shared
+  // childElemPos machinery), the element's close stamps unwritten fields
+  // null, the binding's close stamps putArray at the ROW offset. Element
+  // semantics match the top-level ARRAY<STRUCT> rules one level down
+  // (pinned by pyspark probe, 23 shapes): scalar/array elements poison
+  // the whole cell, {}/unknown-key elements are present-all-null, field
+  // failures null the FIELD only, dup bindings last-wins with
+  // failed-dup-never-overwrites, raw-text capture for string fields.
+  private[this] val ckNames: Array[Array[Array[String]]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case ArrayType(g: StructType, _) => g.fieldNames
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val ckTypes: Array[Array[Array[DataType]]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case ArrayType(g: StructType, _) => g.fields.map(_.dataType)
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  // the element STRUCT type per ck (col, child): the plain-element target
+  // type for scalar/null element events (null element kept; anything
+  // else discards → poison)
+  private[this] val ckElemStruct: Array[Array[DataType]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case ArrayType(g: StructType, _) => (g: DataType)
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  // which fields of the OPEN element have been written (valid only while
+  // ckObjOpen; cleared at each element's first field key)
+  private[this] val ckSeen: Array[Array[Array[Boolean]]] =
+    ckNames.map(cn => if (cn == null) null
+      else cn.map(c => if (c == null) null else new Array[Boolean](c.length)))
+  private[this] val hasCk =
+    ckNames.exists(cn => cn != null && cn.exists(_ != null))
+  // flat (col, child) pair list for per-row iteration, packed i<<16|j —
+  // EVERY vectorized child array: atomic elements (round 15) and struct
+  // elements (round 17) share the offset/rewind/carry machinery
   private[this] val childArrPairs: Array[Int] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
@@ -271,17 +326,15 @@ final class ColumnarPlate(
       val ca = childArrElem(i)
       if (ca != null) {
         var j = 0
-        while (j < ca.length) { if (ca(j) != null) buf += (i << 16) | j; j += 1 }
+        while (j < ca.length) {
+          if (ca(j) != null || ckNames(i)(j) != null) buf += (i << 16) | j
+          j += 1
+        }
       }
       i += 1
     }
     buf.toArray
   }
-  // next free element slot / row-start snapshot per (col, child)
-  private[this] val childElemPos: Array[Array[Int]] =
-    childArrElem.map(ca => if (ca == null) null else new Array[Int](ca.length))
-  private[this] val childRowStartElem: Array[Array[Int]] =
-    childArrElem.map(ca => if (ca == null) null else new Array[Int](ca.length))
 
   private[this] val arrCols: Array[Int] =
     contValType.indices.filter(contValType(_) != null).toArray
@@ -299,6 +352,7 @@ final class ColumnarPlate(
   private[this] var elemKidVecs: Array[Array[WritableColumnVector]] = _
   private[this] var gVecs: Array[Array[Array[WritableColumnVector]]] = _
   private[this] var childArrVecs: Array[Array[WritableColumnVector]] = _
+  private[this] var ckVecs: Array[Array[Array[WritableColumnVector]]] = _
   private[this] var ekArrVecs: Array[Array[WritableColumnVector]] = _
   private[this] var ekGVecs: Array[Array[Array[WritableColumnVector]]] = _
   allocate()
@@ -322,6 +376,7 @@ final class ColumnarPlate(
         elemKidNames.filter(_ != null).flatten ++
         gNames.filter(_ != null).flatten.filter(_ != null).flatten ++
         ekGNames.filter(_ != null).flatten.filter(_ != null).flatten ++
+        ckNames.filter(_ != null).flatten.filter(_ != null).flatten ++
         filters.flatMap(_.references))
       .distinct
       .map(b => b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -467,6 +522,11 @@ final class ColumnarPlate(
   private[this] var cPoison = false
   private[this] var cSeenAtOpen = false
   private[this] var cNullAtOpen = false
+  // ck ELEMENT state (round 17): the open child-array element is an
+  // OBJECT being filled (its close stamps unwritten fields null and
+  // advances the run); the open FIELD lane inside it (depth 4; -1 = none)
+  private[this] var ckObjOpen = false
+  private[this] var curCk = -1
   // ELEMENT-FIELD ARRAY state (round 16), the (curIdx, ekKid)-anchored
   // twin of the cArr machinery one level down: an array-typed element
   // FIELD binding is open (inner elements span [ekArrStart,
@@ -617,6 +677,7 @@ final class ColumnarPlate(
     elemKidVecs = elemKidsOf(arrChild)
     gVecs = grandsOf(childVecs)
     childArrVecs = childArrKidsOf(childVecs)
+    ckVecs = ckKidsOf(childArrVecs)
     ekArrVecs = ekArrKidsOf(elemKidVecs)
     ekGVecs = ekGrandsOf(elemKidVecs)
   }
@@ -657,19 +718,39 @@ final class ColumnarPlate(
     out
   }
 
-  // element vectors of ARRAY<atomic> struct children: the single child of
-  // the array-typed child vector (element offsets)
+  // element vectors of vectorized struct children: the single child of
+  // the array-typed child vector (element offsets) — atomic elements
+  // (round 15) and struct elements (round 17) alike
   private def childArrKidsOf(kids: Array[Array[WritableColumnVector]])
       : Array[Array[WritableColumnVector]] = {
-    if (!hasChildArrays) return null
+    if (!hasChildArrays && !hasCk) return null
     val out = new Array[Array[WritableColumnVector]](numCols)
     var i = 0
     while (i < numCols) {
       val ca = childArrElem(i)
-      if (ca != null && ca.exists(_ != null))
+      if (ca != null && (ca.exists(_ != null) || ckNames(i).exists(_ != null)))
         out(i) = Array.tabulate(ca.length)(j =>
-          if (ca(j) == null) null
+          if (ca(j) == null && ckNames(i)(j) == null) null
           else kids(i)(j).getChild(0).asInstanceOf[WritableColumnVector])
+      i += 1
+    }
+    out
+  }
+
+  // field vectors of ARRAY<STRUCT> struct children (element offsets):
+  // the children of the child array's struct element vector
+  private def ckKidsOf(childArr: Array[Array[WritableColumnVector]])
+      : Array[Array[Array[WritableColumnVector]]] = {
+    if (!hasCk) return null
+    val out = new Array[Array[Array[WritableColumnVector]]](numCols)
+    var i = 0
+    while (i < numCols) {
+      val cn = ckNames(i)
+      if (cn != null && cn.exists(_ != null))
+        out(i) = Array.tabulate(cn.length)(j =>
+          if (cn(j) == null) null
+          else Array.tabulate(cn(j).length)(f =>
+            childArr(i)(j).getChild(f).asInstanceOf[WritableColumnVector]))
       i += 1
     }
     out
@@ -703,6 +784,7 @@ final class ColumnarPlate(
     val oldElemKids = elemKidVecs
     val oldGrands = gVecs
     val oldChildArr = childArrVecs
+    val oldCk = ckVecs
     val oldEkArr = ekArrVecs
     val partialAt = rows
     // snapshot the OPEN child-array run's end before the rebase below
@@ -809,6 +891,77 @@ final class ColumnarPlate(
                       val off = src2.getArrayOffset(partialAt)
                       val n = src2.getArrayLength(partialAt)
                       copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off, n)
+                      dst2.putArray(0, 0, n)
+                      childElemPos(i)(j) = n
+                    }
+                  } else if (ckNames(i)(j) != null) {
+                    // ARRAY<STRUCT> child of the in-flight row (round 17):
+                    // move its element run — field vectors per element —
+                    // to the fresh vectors; an OPEN binding rebases its
+                    // run and cursors like the atomic mid-split, and an
+                    // OPEN OBJECT ELEMENT carries its written fields one
+                    // slot past the run
+                    val src2 = oldKids(i)(j)
+                    val dst2 = childVecs(i)(j)
+                    if (cArrOpen && curIdx == i && curChild == j) {
+                      if (cPoison) {
+                        if (cSeenAtOpen && !cNullAtOpen) {
+                          // poisoned DUP: the previous stamped run must
+                          // survive the split — carry it and re-stamp
+                          val off = src2.getArrayOffset(partialAt)
+                          val n = src2.getArrayLength(partialAt)
+                          ckCarryRun(i, j, oldChildArr(i)(j), oldCk(i)(j), off, n, 0)
+                          dst2.putArray(0, 0, n)
+                          cSlot = n; childElemPos(i)(j) = n; cArrStart = n
+                        } else {
+                          cSlot = 0; childElemPos(i)(j) = 0; cArrStart = 0
+                        }
+                        // the open object element's fields are garbage too
+                        ckObjOpen = false
+                        curCk = -1
+                      } else {
+                        var pos = 0
+                        if (cSeenAtOpen && !cNullAtOpen) {
+                          // a DUP binding's split preserves the PREVIOUS
+                          // binding's stamped run — a later poison leaves
+                          // it standing
+                          val off0 = src2.getArrayOffset(partialAt)
+                          val n0 = src2.getArrayLength(partialAt)
+                          ckCarryRun(i, j, oldChildArr(i)(j), oldCk(i)(j), off0, n0, 0)
+                          dst2.putArray(0, 0, n0)
+                          pos = n0
+                        }
+                        val k2 = openChildPos - cArrStart
+                        ckCarryRun(i, j, oldChildArr(i)(j), oldCk(i)(j), cArrStart, k2, pos)
+                        val newSlot = pos + (cSlot - cArrStart)
+                        if (ckObjOpen) {
+                          // the OPEN object element lives one slot past
+                          // the run: carry its WRITTEN fields there
+                          childArrVecs(i)(j).reserve(newSlot + 1)
+                          val ks = ckSeen(i)(j)
+                          val kts = ckTypes(i)(j)
+                          var f = 0
+                          while (f < ks.length) {
+                            if (ks(f)) {
+                              val sf = oldCk(i)(j)(f)
+                              val df = ckVecs(i)(j)(f)
+                              df.reserve(newSlot + 1)
+                              if (sf.isNullAt(cSlot)) df.putNull(newSlot)
+                              else copyScalarAt(sf, df, kts(f), cSlot, newSlot)
+                            }
+                            f += 1
+                          }
+                        }
+                        cSlot = newSlot
+                        childElemPos(i)(j) = pos + k2
+                        cArrStart = pos
+                      }
+                    } else if (src2.isNullAt(partialAt)) {
+                      dst2.putNull(0)
+                    } else {
+                      val off = src2.getArrayOffset(partialAt)
+                      val n = src2.getArrayLength(partialAt)
+                      ckCarryRun(i, j, oldChildArr(i)(j), oldCk(i)(j), off, n, 0)
                       dst2.putArray(0, 0, n)
                       childElemPos(i)(j) = n
                     }
@@ -1087,6 +1240,39 @@ final class ColumnarPlate(
     }
   }
 
+  /** Carry elements [srcFrom, srcFrom+n) of the ARRAY<STRUCT> struct
+    * child (i,j) into the fresh element/field vectors at [dstFrom,
+    * dstFrom+n) (batch-boundary carryover). Fields are atomic by
+    * [[ColumnarPlate.supports]]; null elements' field slots were never
+    * reserved — touched only under a present element.
+    */
+  private def ckCarryRun(i: Int, j: Int,
+      srcElems: WritableColumnVector, srcKids: Array[WritableColumnVector],
+      srcFrom: Int, n: Int, dstFrom: Int): Unit = {
+    val dstElems = childArrVecs(i)(j)
+    val dstKids = ckVecs(i)(j)
+    val kts = ckTypes(i)(j)
+    dstElems.reserve(dstFrom + n)
+    var e = 0
+    while (e < n) {
+      val se = srcFrom + e
+      val de = dstFrom + e
+      if (srcElems.isNullAt(se)) dstElems.putNull(de)
+      else {
+        var f = 0
+        while (f < kts.length) {
+          val sk = srcKids(f)
+          val dk = dstKids(f)
+          dk.reserve(de + 1)
+          if (sk.isNullAt(se)) dk.putNull(de)
+          else copyScalarAt(sk, dk, kts(f), se, de)
+          f += 1
+        }
+      }
+      e += 1
+    }
+  }
+
   @inline private def ensureCapacity(): Unit =
     if (rows >= capacity) {
       capacity = capacity << 1
@@ -1152,6 +1338,18 @@ final class ColumnarPlate(
     gNames.map(gn => if (gn == null) null
       else gn.map(g => if (g == null) null else new Array[Int](orderCap)))
   private[this] var gFieldPos = 0
+  // per-(column, child) element-field key-order caches for ARRAY<STRUCT>
+  // struct children (elements repeat the same field order per row)
+  private[this] val ckOrderNames: Array[Array[Array[String]]] =
+    ckNames.map(cn => if (cn == null) null
+      else cn.map(c => if (c == null) null else new Array[String](orderCap)))
+  private[this] val ckOrderBytes: Array[Array[Array[Array[Byte]]]] =
+    ckNames.map(cn => if (cn == null) null
+      else cn.map(c => if (c == null) null else new Array[Array[Byte]](orderCap)))
+  private[this] val ckOrderCols: Array[Array[Array[Int]]] =
+    ckNames.map(cn => if (cn == null) null
+      else cn.map(c => if (c == null) null else new Array[Int](orderCap)))
+  private[this] var ckFieldPos = 0
 
   def nestMap(pathComponent: CharSequence): Signal = {
     if (depth == 0) {
@@ -1415,6 +1613,55 @@ final class ColumnarPlate(
         depth = 4
         Signal.Continue
       }
+    } else if (depth == 3 && cScope && !cFilled && curIdx >= 0 &&
+        curChild >= 0 && ckNames(curIdx) != null &&
+        ckNames(curIdx)(curChild) != null) {
+      // a FIELD key inside a CHILD-ARRAY STRUCT ELEMENT (round 17): the
+      // first key turns the open element into an object element;
+      // duplicate field keys replace (last-wins), unknown keys prune
+      val i = curIdx
+      val j = curChild
+      if (!ckObjOpen) {
+        ckObjOpen = true
+        ckFieldPos = 0
+        java.util.Arrays.fill(ckSeen(i)(j), false)
+      }
+      val pos = ckFieldPos
+      ckFieldPos += 1
+      var kid = -2
+      if (pos < orderCap && ckOrderNames(i)(j)(pos) != null && {
+            pathComponent match {
+              case v: ByteSliceCharSeq =>
+                val ob = ckOrderBytes(i)(j)(pos)
+                java.util.Arrays.equals(ob, 0, ob.length,
+                  v.bytes, v.offset, v.offset + v.length)
+              case _ => ckOrderNames(i)(j)(pos).contentEquals(pathComponent)
+            }
+          }) {
+        kid = ckOrderCols(i)(j)(pos)
+      } else {
+        val cn = ckNames(i)(j)
+        var f = 0
+        kid = -1
+        while (kid < 0 && f < cn.length) {
+          if (cn(f).contentEquals(pathComponent)) kid = f
+          f += 1
+        }
+        if (pos < orderCap) {
+          val s = pathComponent.toString // copy: views are reused
+          ckOrderNames(i)(j)(pos) = s
+          ckOrderBytes(i)(j)(pos) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ckOrderCols(i)(j)(pos) = kid
+        }
+      }
+      if (kid < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curCk = kid
+        depth = 4
+        Signal.Continue
+      }
     } else {
       // container value under an atomic column (or under a struct child,
       // or an OBJECT ELEMENT inside an array of atomics — the element
@@ -1456,8 +1703,10 @@ final class ColumnarPlate(
       Signal.Continue
     } else if (depth == 2 && !elemScope && !cScope && curIdx >= 0 &&
         curChild >= 0 && childArrElem(curIdx) != null &&
-        childArrElem(curIdx)(curChild) != null) {
-      // ELEMENT ENTRY on an ARRAY<atomic> STRUCT CHILD (round 15): one
+        (childArrElem(curIdx)(curChild) != null ||
+         ckNames(curIdx)(curChild) != null)) {
+      // ELEMENT ENTRY on a vectorized STRUCT CHILD array — atomic
+      // elements (round 15) or struct elements (round 17): one
       // nestArr/unnest pair per element; the first entry opens the
       // binding (marks the child present; dup bindings last-wins, failed
       // dups never overwrite — the close consults the pre-open state)
@@ -1471,6 +1720,10 @@ final class ColumnarPlate(
         cArrStart = childElemPos(i)(j)
       }
       cSlot = childElemPos(i)(j)
+      // STRUCT elements may fill only field vectors (the element vector's
+      // validity lane is read untouched for object elements): make sure
+      // it covers this slot
+      if (ckNames(i)(j) != null) childArrVecs(i)(j).reserve(cSlot + 1)
       cScope = true
       cFilled = false
       depth = 3
@@ -1539,6 +1792,7 @@ final class ColumnarPlate(
       depth -= 1
       if (depth == 3) {
         curEkGrand = -1 // grandfield of an element field closed
+        curCk = -1 // field of a child-array struct element closed
         if (ekScope) { ekScope = false; ekFilled = false } // inner element closed
       }
       if (depth == 2) {
@@ -1574,6 +1828,19 @@ final class ColumnarPlate(
           ekInnerOpen = false
         }
         curKid = -1; curGrand = -1 // field/grandchild closed
+        // a ck OBJECT element closes: stamp its unwritten fields null at
+        // the element slot and advance the run (round 17)
+        if (ckObjOpen) {
+          val kids = ckVecs(curIdx)(curChild)
+          val ks = ckSeen(curIdx)(curChild)
+          var f = 0
+          while (f < ks.length) {
+            if (!ks(f)) { kids(f).reserve(cSlot + 1); kids(f).putNull(cSlot) }
+            f += 1
+          }
+          childElemPos(curIdx)(curChild) += 1
+          ckObjOpen = false
+        }
         if (cScope) { cScope = false; cFilled = false } // child-array element closed
       }
       if (depth == 1) {
@@ -1650,18 +1917,19 @@ final class ColumnarPlate(
   private[this] var tCA = false // open ELEMENT of a struct-child array
   private[this] var tEKA = false // open INNER ELEMENT of an array-typed element field
   private[this] var tEKG = false // open GRANDFIELD of a struct-typed element field
+  private[this] var tCK = false // open FIELD of a child-array struct element
   private[this] var tV: WritableColumnVector = _
   private[this] var tT: DataType = _
   private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
     if (depth == 1 && curIdx >= 0 && !elemScope) {
       tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false // duplicates overwrite: last-wins
-      tEKA = false; tEKG = false
+      tEKA = false; tEKG = false; tCK = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
       tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false; tCA = false
-      tEKA = false; tEKG = false
+      tEKA = false; tEKG = false; tCK = false
       tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
       true
     } else if (depth == 3 && !elemScope && !cScope && curIdx >= 0 &&
@@ -1669,7 +1937,7 @@ final class ColumnarPlate(
       // open GRANDCHILD of a two-level struct: a row-offset lane like
       // any child; duplicates overwrite last-wins via tMark
       tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = true; tCA = false
-      tEKA = false; tEKG = false
+      tEKA = false; tEKG = false; tCK = false
       tV = gVecs(tIdx)(tKid)(curGrand); tT = gTypes(tIdx)(tKid)(curGrand)
       tR = rows
       true
@@ -1681,7 +1949,7 @@ final class ColumnarPlate(
       if (ekFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
-        tEKA = true; tEKG = false
+        tEKA = true; tEKG = false; tCK = false
         tR = ekSlot
         val c = ekArrVecs(tIdx)(ekKid)
         c.reserve(tR + 1)
@@ -1694,7 +1962,7 @@ final class ColumnarPlate(
       // element-offset lane; duplicates overwrite last-wins via tMark,
       // failures null the grandfield only (per-field struct partials)
       tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
-      tEKA = false; tEKG = true
+      tEKA = false; tEKG = true; tCK = false
       tR = entrySlot
       val c = ekGVecs(tIdx)(curKid)(curEkGrand)
       c.reserve(tR + 1)
@@ -1708,7 +1976,7 @@ final class ColumnarPlate(
       // per-field partials, never array poison (tElem=false keeps
       // tDiscard inert; spark parity probed in round 14)
       tIdx = curIdx; tKid = -1; tElem = false; tEK = true; tGr = false; tCA = false
-      tEKA = false; tEKG = false
+      tEKA = false; tEKG = false; tCK = false
       tR = entrySlot
       val c = elemKidVecs(tIdx)(curKid)
       c.reserve(tR + 1)
@@ -1719,7 +1987,7 @@ final class ColumnarPlate(
       if (elemFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = true; tEK = false; tGr = false; tCA = false
-        tEKA = false; tEKG = false
+        tEKA = false; tEKG = false; tCK = false
         tR = entrySlot
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
@@ -1727,25 +1995,42 @@ final class ColumnarPlate(
         tT = contValType(tIdx)
         true
       }
+    } else if (cScope && curCk >= 0) {
+      // open FIELD of a CHILD-ARRAY STRUCT ELEMENT (round 17): writes
+      // land at the element offset in the ck field vector. A conversion
+      // failure (or a container under the field) nulls the FIELD only —
+      // struct per-field partials, never array poison (tCA=false keeps
+      // tDiscard on the lane-restore path; pyspark-probed)
+      tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
+      tEKA = false; tEKG = false; tCK = true
+      tR = cSlot
+      val c = ckVecs(tIdx)(curChild)(curCk)
+      c.reserve(tR + 1)
+      tV = c
+      tT = ckTypes(tIdx)(curChild)(curCk)
+      true
     } else if (cScope) {
-      // open ELEMENT of an ARRAY<atomic> STRUCT CHILD (checked after the
-      // hotter elemScope lanes): writes land at the running element
+      // open ELEMENT of a vectorized STRUCT CHILD array (checked after
+      // the hotter elemScope lanes): writes land at the running element
       // offset in the child array's element vector; a discard poisons
-      // the BINDING (tDiscard), never the struct
+      // the BINDING (tDiscard), never the struct. For STRUCT elements
+      // the target type is the element struct: null elements keep, any
+      // scalar discards → poison (spark parity)
       if (cFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = true
-        tEKA = false; tEKG = false
+        tEKA = false; tEKG = false; tCK = false
         tR = cSlot
         val c = childArrVecs(tIdx)(curChild)
         c.reserve(tR + 1)
         tV = c
-        tT = childArrElem(tIdx)(curChild)
+        val at = childArrElem(tIdx)(curChild)
+        tT = if (at != null) at else ckElemStruct(tIdx)(curChild)
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
       tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
-      tEKA = false; tEKG = false
+      tEKA = false; tEKG = false; tCK = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else false
@@ -1777,6 +2062,12 @@ final class ColumnarPlate(
       // explicit-null bit so the new value reads back)
       tWasSeen = elemKidSeen(tIdx)(curKid)
       if (!tWasSeen) elemKidSeen(tIdx)(curKid) = true
+      else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
+    }
+    else if (tCK) {
+      // duplicate field key within the child-array element: last-wins
+      tWasSeen = ckSeen(tIdx)(curChild)(curCk)
+      if (!tWasSeen) ckSeen(tIdx)(curChild)(curCk) = true
       else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
     }
     else if (tElem || tCA || tEKA) () // presence marked at array open
@@ -1891,12 +2182,27 @@ final class ColumnarPlate(
 
   /** Scrub a dropped element run of a STRUCT-CHILD array: putX element
     * writes never reset the element vector's validity bit (the child
-    * twin of [[scrubElems]], atomic elements only).
+    * twin of [[scrubElems]]). STRUCT elements also scrub their FIELD
+    * vectors (explicit field nulls at dropped slots would shadow a
+    * later run's values).
     */
   private def scrubChildArrElems(i: Int, j: Int, from: Int, to: Int): Unit = {
     val c = childArrVecs(i)(j)
+    val kids =
+      if (ckNames(i) == null || ckNames(i)(j) == null) null else ckVecs(i)(j)
     var k = from
-    while (k < to) { c.putNotNull(k); k += 1 }
+    while (k < to) {
+      c.putNotNull(k)
+      if (kids != null) {
+        var f = 0
+        while (f < kids.length) {
+          // an abandoned open element may have unreserved field slots
+          kids(f).reserve(k + 1); kids(f).putNotNull(k)
+          f += 1
+        }
+      }
+      k += 1
+    }
   }
 
   /** Rewind the row's element writes (rejected/abandoned rows must not
@@ -1919,13 +2225,17 @@ final class ColumnarPlate(
     elemFilled = false
     elemObjOpen = false
     curKid = -1
-    // struct-child array runs rewind likewise
+    // struct-child array runs rewind likewise; an abandoned OPEN ck
+    // object element wrote fields one slot past the run — scrub it too
     var k2 = 0
     while (k2 < childArrPairs.length) {
       val pr = childArrPairs(k2)
       val i = pr >>> 16
       val j = pr & 0xFFFF
-      scrubChildArrElems(i, j, childRowStartElem(i)(j), childElemPos(i)(j))
+      val to =
+        if (ckObjOpen && curIdx == i && curChild == j) childElemPos(i)(j) + 1
+        else childElemPos(i)(j)
+      scrubChildArrElems(i, j, childRowStartElem(i)(j), to)
       childElemPos(i)(j) = childRowStartElem(i)(j)
       k2 += 1
     }
@@ -1933,6 +2243,8 @@ final class ColumnarPlate(
     cScope = false
     cFilled = false
     cPoison = false
+    ckObjOpen = false
+    curCk = -1
     // inner-element runs of array-typed element fields rewind likewise
     var k3 = 0
     while (k3 < ekPairs.length) {
@@ -2074,6 +2386,15 @@ final class ColumnarPlate(
           kids(j).reserve(tRow + 1); kids(j).putNull(tRow); j += 1
         }
         tDone()
+      } else if (tCA && ckNames(tIdx) != null && ckNames(tIdx)(curChild) != null) {
+        // `{}` ELEMENT of an ARRAY<STRUCT> struct child (round 17): a
+        // PRESENT element with all-null fields
+        val kids = ckVecs(tIdx)(curChild)
+        var f = 0
+        while (f < kids.length) {
+          kids(f).reserve(tRow + 1); kids(f).putNull(tRow); f += 1
+        }
+        tDone()
       } else { tMark(); tVec.putNull(tRow); tDone(); tDiscard() }
     }
     Signal.Continue
@@ -2092,8 +2413,10 @@ final class ColumnarPlate(
         tMark() // dup binding: putNotNull clears a first binding's null
         vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
       } else if (!tElem && !tCA && tKid >= 0 && childArrElem(tIdx) != null &&
-          childArrElem(tIdx)(tKid) != null) {
-        // `[]` on an ARRAY<atomic> struct child: PRESENT with zero elements
+          (childArrElem(tIdx)(tKid) != null ||
+           ckNames(tIdx)(tKid) != null)) {
+        // `[]` on a vectorized struct-child array (atomic or struct
+        // elements): PRESENT with zero elements
         tMark()
         tVec.putArray(tRow, childElemPos(tIdx)(tKid), 0)
       } else if (tEK && ekArrElem(tIdx) != null && ekArrElem(tIdx)(curKid) != null) {
@@ -2414,19 +2737,25 @@ object ColumnarPlate {
     * are row-offset vectors like child lanes) — and, since round 15,
     * ARRAY<atomic> STRUCT CHILDREN (the user.tags / metadata.labels
     * shape: elements stream into the child array vector's element child
-    * at a per-(col,child) running offset). Anything deeper (three struct
-    * levels, ARRAY<STRUCT> or MAP under struct children, containers under
-    * element structs, struct fields inside array elements, non-string map
-    * keys, MAP<_, container>) stays on the row path.
+    * at a per-(col,child) running offset) — and, since round 17,
+    * ARRAY<STRUCT<atomic…>> STRUCT CHILDREN (the user.addresses[].city
+    * shape: elements are rows of the child array's struct element
+    * vector, fields write at per-(col,child) running element offsets).
+    * Anything deeper (three struct levels, MAP under struct children,
+    * containers inside the element structs of struct-child arrays,
+    * non-string map keys, MAP<_, container>) stays on the row path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
-      // structs may nest ONE more struct level (round 14) or an
-      // ARRAY<atomic> child (round 15): children are atomic,
-      // STRUCT<atomic…>, or ARRAY<atomic>
+      // structs may nest ONE more struct level (round 14), an
+      // ARRAY<atomic> child (round 15), or an ARRAY<STRUCT<atomic…>>
+      // child (round 17 — the user.addresses[].city shape): children are
+      // atomic, STRUCT<atomic…>, ARRAY<atomic>, or ARRAY<STRUCT<atomic…>>
       case st: StructType => st.nonEmpty && st.fields.forall(c =>
         atomic(c.dataType) || (c.dataType match {
           case g: StructType => g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
+          case ArrayType(g: StructType, _) =>
+            g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
           case at: ArrayType => atomic(at.elementType)
           case _ => false
         }))

@@ -514,6 +514,134 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of a STRUCT<…, ARRAY<STRUCT>> input yields identical batches") {
+    // round 17 (user.addresses[].city shape): ARRAY<STRUCT<atomic…>>
+    // struct children ride the columnar path — elements are rows of the
+    // child array's struct element vector, fields write at the running
+    // element offset. The pathology matrix is pinned against
+    // spark.read.json by the round-17 probe (23 shapes): scalar/array
+    // elements poison the whole cell; {}/unknown-key elements read
+    // present-all-null; field failures null the FIELD only (the element
+    // and array survive); null elements are kept; [] is present-empty;
+    // dup bindings are last-wins with failed-dup-never-overwrites; dup
+    // element-field keys are last-wins; container values under a STRING
+    // field capture as verbatim source text.
+    val schema = StructType.fromDDL(
+      "id LONG, u STRUCT<name: STRING, addresses: ARRAY<STRUCT<city: STRING, zip: LONG>>>")
+    val input = Seq(
+      """{"id": 1, "u": {"name": "a", "addresses": [{"city": "x", "zip": 1}, {"city": "y", "zip": 2}]}}""",
+      """{"id": 2, "u": {"name": "b", "addresses": []}}""",
+      """{"id": 3, "u": {"name": "c", "addresses": null}}""",
+      """{"id": 4, "u": {"name": "d"}}""",
+      """{"id": 5, "u": {"addresses": [null, {"city": "x", "zip": 1}]}}""",
+      """{"id": 6, "u": {"addresses": [5]}}""",
+      """{"id": 7, "u": {"addresses": [{"city": "x", "zip": 1}, 5]}}""",
+      """{"id": 8, "u": {"addresses": [["x"]]}}""",
+      """{"id": 9, "u": {"addresses": [{}]}}""",
+      """{"id": 10, "u": {"addresses": [{"foo": 1}]}}""",
+      """{"id": 11, "u": {"addresses": [{"city": "x", "zip": "bad"}]}}""",
+      """{"id": 12, "u": {"addresses": [{"city": "x", "zip": [1]}]}}""",
+      """{"id": 13, "u": {"addresses": [{"city": {"a": 1}, "zip": 1}]}}""",
+      """{"id": 14, "u": {"addresses": [{"city": "x", "zip": 1}], "addresses": [{"city": "y", "zip": 2}]}}""",
+      """{"id": 15, "u": {"addresses": [{"city": "x", "zip": 1}], "addresses": 5}}""",
+      """{"id": 16, "u": {"name": "e", "addresses": 5}}""",
+      """{"id": 17, "u": {"name": "f", "addresses": {"city": "x"}}}""",
+      """{"id": 18, "u": {"addresses": [{"city": "x", "city": "y"}]}}""",
+      """{"id": 19, "u": {"addresses": [{"zip": 1, "zip": "bad"}]}}""",
+      """{"id": 20, "u": 7}""",
+      """{"id": 21, "u": {"name": "q", "addresses": [{"city": "x", "zip": 1}]}, "u": {"addresses": [{"city": "y", "zip": 2}]}}""",
+      """{"id": 22, "u": {"addresses": [{"city": "x", "zip": 1, "extra": {"a": 1}}]}}""",
+      """{"id": 23, "u": {"addresses": null, "addresses": [{"zip": 5}]}}""",
+      """{"id": 24, "u": {"addresses": [{"zip": 6}], "addresses": null}}""",
+      """{"id": 25, "u": {"addresses": [{"zip": 7}], "name": "g"}}""",
+      """{"id": 26, "u": {"addresses": [[]]}}""",
+      """{"id": 27, "u": {"addresses": {}}}""",
+      """{"id": 28, "u": {"name": "h", "addresses": [{"city": "z", "zip": 9}]}}""").mkString("\n")
+    val bytes = input.getBytes("UTF-8")
+    val L = (v: Long) => java.lang.Long.valueOf(v)
+    def rowOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Any =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val s = b.column(1)
+        val name = if (s.getChild(0).isNullAt(r)) null
+                   else s.getChild(0).getUTF8String(r).toString
+        val addrs =
+          if (s.getChild(1).isNullAt(r)) null
+          else {
+            val ad = s.getChild(1).getArray(r)
+            (0 until ad.numElements).map { j =>
+              if (ad.isNullAt(j)) null
+              else {
+                val st = ad.getStruct(j, 2)
+                ((if (st.isNullAt(0)) null else st.getUTF8String(0).toString),
+                 (if (st.isNullAt(1)) null else L(st.getLong(1))))
+              }
+            }
+          }
+        (name, addrs)
+      }
+    val want = Seq[(Long, Any)](
+      (1L, ("a", Seq(("x", L(1)), ("y", L(2))))),
+      (2L, ("b", Seq.empty)),
+      (3L, ("c", null)),
+      (4L, ("d", null)),
+      (5L, (null, Seq(null, ("x", L(1))))),   // null element kept
+      (6L, (null, null)),                     // scalar element poisons the cell
+      (7L, (null, null)),                     // mixed scalar poisons the cell
+      (8L, (null, null)),                     // array element poisons the cell
+      (9L, (null, Seq((null, null)))),        // {} present, all-null fields
+      (10L, (null, Seq((null, null)))),       // unknown keys prune
+      (11L, (null, Seq(("x", null)))),        // field conv failure: field null
+      (12L, (null, Seq(("x", null)))),        // container under field: field null
+      (13L, (null, Seq(("""{"a": 1}""", L(1))))), // raw-text capture, string field
+      (14L, (null, Seq(("y", L(2))))),        // dup binding: last-wins
+      (15L, (null, Seq(("x", L(1))))),        // failed dup never overwrites
+      (16L, ("e", null)),                     // scalar where array: field null
+      (17L, ("f", null)),                     // object where array: field null
+      (18L, (null, Seq(("y", null)))),        // dup element field: last-wins
+      (19L, (null, Seq((null, L(1))))),       // failed dup field never overwrites
+      (20L, null),                            // scalar struct: whole struct null
+      (21L, (null, Seq(("y", L(2))))),        // dup STRUCT binding replaces wholesale
+      (22L, (null, Seq(("x", L(1))))),        // unknown deeper keys prune
+      (23L, (null, Seq((null, L(5))))),       // valid over explicit null wins
+      (24L, (null, null)),                    // explicit null over valid wins
+      (25L, ("g", Seq((null, L(7))))),        // field order immaterial
+      (26L, (null, null)),                    // [] element poisons the cell
+      (27L, (null, null)),                    // {} where array: field null
+      (28L, ("h", Seq(("z", L(9))))))         // clean row after the pathologies
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), rowOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("a filter-rejected row rewinds its ARRAY<STRUCT> struct-child writes") {
+    import org.apache.spark.sql.sources.IsNotNull
+    val schema = StructType.fromDDL(
+      "id LONG, k STRING, u STRUCT<addresses: ARRAY<STRUCT<city: STRING, zip: LONG>>>")
+    val plate = new ColumnarPlate(schema, Array(IsNotNull("k")))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "u": {"addresses": [{"city": "dead", "zip": 111}, {"city": "beef", "zip": 222}]}}""" + "\n" +
+      """{"id": 2, "k": "x", "u": {"addresses": [{"city": "live", "zip": 5}]}}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 1)
+    val ad = b.column(2).getChild(0).getArray(0)
+    assert(ad.numElements == 1)
+    assert(ad.getStruct(0, 2).getUTF8String(0).toString == "live")
+    assert(ad.getStruct(0, 2).getLong(1) == 5L)
+  }
+
   test("a filter-rejected row rewinds its struct-child array writes") {
     import org.apache.spark.sql.sources.IsNotNull
     val schema = StructType.fromDDL(

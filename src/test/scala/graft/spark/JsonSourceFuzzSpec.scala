@@ -794,6 +794,103 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Pathology corpus for the round-17 ARRAY<STRUCT> STRUCT-CHILD lanes
+    * (user.addresses[].city shape): every probed shape — scalar/array
+    * elements (cell poison), {}/unknown-key elements (present-all-null),
+    * field conversion failures and container fields (field null, element
+    * survives), null elements, [] present-empty, scalar/object where the
+    * array child was expected (field null), duplicate child bindings
+    * (last-wins, failed dups never overwrite), duplicate element-field
+    * keys, raw-text capture under the STRING field, duplicate struct
+    * bindings replacing wholesale.
+    */
+  private def childStructArrCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def addrElem(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"""{"city": "c${rng.nextInt(9)}"}"""
+        case 3 => s"""{"zip": ${rng.nextInt(1000)}}"""
+        case 4 => s"""{"city": "c${rng.nextInt(9)}", "zip": "np"}"""  // field conv failure
+        case 5 => s"""{"city": "c${rng.nextInt(9)}", "zip": [1]}"""   // container field
+        case 6 => s"""{"city": {"a": ${rng.nextInt(9)}}, "zip": ${rng.nextInt(99)}}""" // raw capture
+        case 7 => s"""{"city": "x", "city": "y${rng.nextInt(9)}"}"""  // dup field key
+        case 8 => s"""{"zip": ${rng.nextInt(9)}, "zip": "np"}"""      // failed dup field
+        case 9 => s"""{"foo": ${rng.nextInt(9)}}"""                   // unknown keys
+        case _ => s"""{"city": "c${rng.nextInt(9)}", "zip": ${rng.nextInt(999)}}"""
+      }
+      def addrs(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "[]"
+        case 2 => s"${rng.nextInt(100)}"                   // scalar for array
+        case 3 => """{"city": "o"}"""                      // object for array
+        case 4 => s"[${addrElem()}, ${rng.nextInt(100)}]"  // scalar ELEMENT: poison
+        case 5 => s"[${addrElem()}, [1]]"                  // array ELEMENT: poison
+        case 6 => Seq.fill(8)(addrElem()).mkString("[", ", ", "]")
+        case _ => Seq.fill(rng.nextInt(4))(addrElem()).mkString("[", ", ", "]")
+      }
+      if (rng.nextInt(10) > 0)
+        fields += s""""u": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"${rng.nextInt(100)}"                 // scalar struct
+          case 3 => s"""{"name": "n${rng.nextInt(5)}"}"""
+          case 4 => s"""{"addresses": ${addrs()}, "addresses": ${addrs()}}""" // dup binding
+          case 5 => s"""{"name": "n${rng.nextInt(5)}", "addresses": ${addrs()}, "zz": [{"d": 1}]}"""
+          case _ => s"""{"name": "n${rng.nextInt(5)}", "addresses": ${addrs()}}"""
+        }}"""
+      if (rng.nextInt(12) == 0) // dup STRUCT binding replaces wholesale
+        fields += s""""u": {"addresses": ${addrs()}}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [{"deep": [1]}, "two"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("ARRAY<STRUCT> STRUCT-CHILD corpora go COLUMNAR and match spark.read.json") {
+    val rng = new scala.util.Random(0xC51717CL)
+    val ckSchema = "id LONG, u STRUCT<name: STRING, " +
+      "addresses: ARRAY<STRUCT<city: STRING, zip: LONG>>>, s STRING"
+    val projections = Seq(
+      Seq("id", "u", "s"), Seq("u", "id"), Seq("u"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"childstructarr$trial.jsonl")
+      Files.write(p, childStructArrCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(ckSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(ckSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: struct-child ARRAY<STRUCT> schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(3) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case _ => (g0.filter(col("u").isNotNull), j0.filter(col("u").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(ckSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == (g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq),
+        s"trial $trial: row vs columnar diverged")
+    }
+  }
+
   /** Map-pathology corpus for the COLUMNAR map lanes (round 13): every
     * shape a one-level MAP<STRING, atomic> column can take — present,
     * missing, null, `{}`, scalar/array mismatch, null values, container
