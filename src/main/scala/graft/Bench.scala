@@ -61,6 +61,7 @@ object Bench {
     val (saVec, saRow, saRatio) = StructArrayColumnarBench.run(spark, sfDir)
     val (ecVec, ecRow, ecRatio) = ElemContainersColumnarBench.run(spark, sfDir)
     val (csVec, csRow, csRatio) = ChildStructArrColumnarBench.run(spark, sfDir)
+    val (t3Vec, t3Row, t3Ratio) = ThreeLevelColumnarBench.run(spark, sfDir)
     val (blkOn, blkOff, blkRatio) = BlockSkipBench.run(spark, sfDir)
     val (dvMasked, dvClean, dvOverhead, dvFilteredOverhead) =
       DvMaskBench.run(spark, sfDir)
@@ -111,6 +112,7 @@ object Bench {
         val (_, _, sa1) = StructArrayColumnarBench.run(spark, sf1Dir)
         val (_, _, ec1) = ElemContainersColumnarBench.run(spark, sf1Dir)
         val (_, _, cs1) = ChildStructArrColumnarBench.run(spark, sf1Dir)
+        val (_, _, t31) = ThreeLevelColumnarBench.run(spark, sf1Dir)
         val sub =
           s""""sf1":{"total":$t1,"queries":${js(r1)},""" +
             s""""queries_max":${js(r1max)},"scale_vs_sf01":${js(scale)},""" +
@@ -119,8 +121,9 @@ object Bench {
             s""""twolevel_columnar_speedup":$tl1,""" +
             s""""structarray_columnar_speedup":$sa1,""" +
             s""""elemcontainers_columnar_speedup":$ec1,""" +
-            s""""childstructarr_columnar_speedup":$cs1,"dir":"$sf1Dir"},"""
-        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1, ec1, cs1))
+            s""""childstructarr_columnar_speedup":$cs1,""" +
+            s""""threelevel_columnar_speedup":$t31,"dir":"$sf1Dir"},"""
+        (sub, t1, Seq(nest1, arr1, as1, tl1, sa1, ec1, cs1, t31))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 rung failed: ${e.getMessage}")
         ("", -1.0, Nil)
@@ -165,15 +168,17 @@ object Bench {
       s""""structarray_columnar_sec":$saVec,"structarray_row_sec":$saRow,""" +
       s""""elemcontainers_columnar_sec":$ecVec,"elemcontainers_row_sec":$ecRow,""" +
       s""""childstructarr_columnar_sec":$csVec,"childstructarr_row_sec":$csRow,""" +
+      s""""threelevel_columnar_sec":$t3Vec,"threelevel_row_sec":$t3Row,""" +
       sf1Json +
       s""""sf":"$sfDir"}"""
     val sf1LaneJson =
       if (sf1Lanes.isEmpty) ""
       else {
-        val Seq(n1, a1, as1, tl1, sa1, ec1, cs1) = sf1Lanes
+        val Seq(n1, a1, as1, tl1, sa1, ec1, cs1, t31) = sf1Lanes
         s""""sf1_total":${r3(sf1Total)},"sf1_nested":$n1,"sf1_array":$a1,""" +
         s""""sf1_arraystruct":$as1,"sf1_twolevel":$tl1,"sf1_structarray":$sa1,""" +
-        s""""sf1_elemcontainers":$ec1,"sf1_childstructarr":$cs1,"""
+        s""""sf1_elemcontainers":$ec1,"sf1_childstructarr":$cs1,""" +
+        s""""sf1_threelevel":$t31,"""
       }
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
@@ -190,6 +195,7 @@ object Bench {
       s""""structarray_columnar_speedup":$saRatio,""" +
       s""""elemcontainers_columnar_speedup":$ecRatio,""" +
       s""""childstructarr_columnar_speedup":$csRatio,""" +
+      s""""threelevel_columnar_speedup":$t3Ratio,""" +
       sf1LaneJson +
       s""""slot_score":$slotScore,""" +
       s""""sf":"$sfDir"}"""
@@ -422,11 +428,36 @@ object ElemContainersColumnarBench {
   }
 }
 
-/** STRUCT<…, ARRAY<STRUCT<atomic…>>> (struct-child struct-array)
-  * columnar vs row path, end to end and PAIRED (round 17): a
-  * user.addresses[].city-shaped corpus — a user struct holding a scalar
-  * plus an array of address records — reads through the SAME scan twice
-  * on the delivery shape.
+/** THREE-LEVEL struct columnar vs row path, end to end and PAIRED
+  * (round 17): an event.context.device.id-shaped corpus — a context
+  * struct nesting a device struct nesting an os struct — reads through
+  * the SAME scan twice on the delivery shape (extract leaves from all
+  * three levels).
+  */
+object ThreeLevelColumnarBench {
+  def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    VectorizedAbBench.run(spark, "threelevel-columnar", "/tmp/graft_bench_threelevel", passes,
+      schema = "l_orderkey BIGINT, ctx STRUCT<device: STRUCT<" +
+        "os: STRUCT<name: STRING, build: BIGINT>, model: STRING>, region: BIGINT>",
+      corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
+        struct(
+          struct(
+            struct($"l_returnflag".as("name"), $"l_partkey".as("build")).as("os"),
+            $"l_linestatus".as("model")).as("device"),
+          $"l_suppkey".as("region")).as("ctx")),
+      shape = _.select($"ctx.device.os.name", $"ctx.device.os.build",
+        $"ctx.device.model", $"ctx.region"))
+  }
+}
+
+/** STRUCT<…, ARRAY<STRUCT<atomic…>>, MAP<STRING, atomic>> (struct-child
+  * container) columnar vs row path, end to end and PAIRED (round 17): a
+  * user.addresses[].city-shaped corpus — a user struct holding a scalar,
+  * an array of address records, AND a string-keyed header map — reads
+  * through the SAME scan twice on the delivery shape, covering both
+  * round-17 lane families in one paired lane.
   */
 object ChildStructArrColumnarBench {
   def run(spark: SparkSession, sfDir: String, passes: Int = 5): (Double, Double, Double) = {
@@ -434,14 +465,17 @@ object ChildStructArrColumnarBench {
     import org.apache.spark.sql.functions._
     VectorizedAbBench.run(spark, "childstructarr-columnar", "/tmp/graft_bench_childstructarr", passes,
       schema = "l_orderkey BIGINT, user STRUCT<name: STRING, " +
-        "addresses: ARRAY<STRUCT<city: STRING, zip: BIGINT>>>",
+        "addresses: ARRAY<STRUCT<city: STRING, zip: BIGINT>>, " +
+        "hdrs: MAP<STRING, BIGINT>>",
       corpus = Tables(spark, sfDir, "lineitem").select($"l_orderkey",
         struct(
           $"l_returnflag".as("name"),
           array(
             struct($"l_shipdate".cast("string").as("city"), $"l_partkey".as("zip")),
             struct($"l_linestatus".as("city"), $"l_suppkey".as("zip")))
-            .as("addresses")).as("user")),
+            .as("addresses"),
+          map(lit("ln"), $"l_linenumber".cast("bigint"),
+            lit("qty"), $"l_quantity".cast("bigint")).as("hdrs")).as("user")),
       shape = _.select($"user"))
   }
 }

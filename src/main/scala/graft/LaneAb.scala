@@ -12,7 +12,7 @@ object LaneAb {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val lanes = if (args.length > 1) args.tail.toSet
       else Set("nested", "array", "arraystruct", "twolevel", "structarray",
-        "elemcontainers", "childstructarr")
+        "elemcontainers", "childstructarr", "threelevel")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-lane-ab")
@@ -32,6 +32,7 @@ object LaneAb {
     show("structarray")(StructArrayColumnarBench.run(spark, dir))
     show("elemcontainers")(ElemContainersColumnarBench.run(spark, dir))
     show("childstructarr")(ChildStructArrColumnarBench.run(spark, dir))
+    show("threelevel")(ThreeLevelColumnarBench.run(spark, dir))
     spark.stop()
   }
 }

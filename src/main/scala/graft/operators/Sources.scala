@@ -3506,6 +3506,120 @@ object Sources {
               FROM orders)
             ORDER BY o_orderkey, city, zip"""))
 
+  // ---------------------------------------------------------------- q239
+  // MAP STRUCT CHILDREN vectorize (round 17) — the payload.headers
+  // shape: keys/values lanes under the child map vector at the
+  // per-(col,child) running offset; the binding's close stamps putArray
+  // at the row offset. The gate writes a payload corpus with empty maps,
+  // null maps, and null values through raw JSONL, ASSERTS the plan is
+  // columnar, and compares per-key lookups + key sets against DuckDB's
+  // read_json with a STRUCT(... MAP(VARCHAR, BIGINT)) column; the
+  // every-split plate matrix and the probe-pinned pathology semantics
+  // (20 shapes) live in ColumnarPlateSpec + JsonSourceFuzzSpec.
+  private val q239 = GQuery(
+    "q239_json_struct_child_map_columnar_scan",
+    "MAP<STRING, atomic> children of STRUCT columns vectorize (plan-asserted)",
+    (s, d) => {
+      ensureFixtures(s, d)
+      val path = s"$fixtureDir/q239_childmaps.jsonl"
+      val nation = Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect() // 25 rows: fixture generation, not a data path
+      val content = nation.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val name = r.getString(1)
+        val reg = r.getAs[Number](2).longValue
+        val m = k % 5 match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"""{"reg": $reg, "len": null}"""   // null value kept
+          case 3 => s"""{"reg": $reg}"""
+          case _ => s"""{"reg": $reg, "len": ${name.length}, "k7": ${k * 7 % 11}}"""
+        }
+        val p = if (k % 7 == 6) "null"
+                else s"""{"nm": "${name.toLowerCase}", "attrs": $m}"""
+        s"""{"n_nationkey": $k, "payload": $p}"""
+      }.mkString("", "\n", "\n")
+      Files.write(Paths.get(path), content.getBytes(UTF_8))
+      val df = s.read.format("graft-json")
+        .schema("n_nationkey LONG, payload STRUCT<nm: STRING, attrs: MAP<STRING, LONG>>")
+        .load(path)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "q239: struct-child MAP schema fell off the columnar path:\n" +
+          df.queryExecution.executedPlan)
+      df.select(
+          col("n_nationkey"),
+          col("payload.nm").as("nm"),
+          element_at(col("payload.attrs"), "reg").as("reg"),
+          element_at(col("payload.attrs"), "len").as("len"),
+          when(col("payload.attrs").isNull, lit(null))
+            .otherwise(array_join(sort_array(map_keys(col("payload.attrs"))), ",")).as("mk"),
+          when(col("payload.attrs").isNull, lit(null))
+            .otherwise(size(col("payload.attrs"))).cast("long").as("n_attrs"))
+        .orderBy("n_nationkey")
+    },
+    Some(s"""SELECT n_nationkey,
+                    payload.nm AS nm,
+                    (payload.attrs['reg'])[1] AS reg,
+                    (payload.attrs['len'])[1] AS len,
+                    CASE WHEN payload.attrs IS NULL THEN NULL
+                         ELSE COALESCE(array_to_string(list_sort(map_keys(payload.attrs)), ','), '') END AS mk,
+                    CAST(cardinality(payload.attrs) AS BIGINT) AS n_attrs
+             FROM read_json('$fixtureDir/q239_childmaps.jsonl',
+                            format='newline_delimited',
+                            columns={n_nationkey: 'BIGINT',
+                                     payload: 'STRUCT(nm VARCHAR, attrs MAP(VARCHAR, BIGINT))'})
+             ORDER BY n_nationkey"""))
+
+  // ---------------------------------------------------------------- q240
+  // THREE-LEVEL STRUCTS vectorize (round 17) — the
+  // event.context.device.id telemetry shape: inner-struct children may
+  // hold STRUCT<atomic…> fields, great lanes are row-offset vectors like
+  // child/grand lanes, and the two-level binding discipline repeats one
+  // more level down. The gate writes an events-like corpus through the
+  // graft sink, ASSERTS the plan is columnar, and extracts leaves from
+  // all three levels; the every-split plate matrix and the 16-shape
+  // probe-pinned pathology semantics live in ColumnarPlateSpec +
+  // JsonSourceFuzzSpec.
+  private val q240 = GQuery(
+    "q240_json_three_level_struct_columnar_scan",
+    "THREE-LEVEL structs vectorize: leaves at depths 1-3 (plan-asserted)",
+    (s, d) => {
+      import s.implicits._
+      val path = s"$fixtureDir/q240_threelevel.jsonl"
+      val ddl = "o_orderkey BIGINT, ctx STRUCT<device: STRUCT<" +
+        "os: STRUCT<name: STRING, build: BIGINT>, model: STRING>, region: BIGINT>"
+      Tables(s, d, "orders")
+        .select($"o_orderkey",
+          struct(
+            struct(
+              struct($"o_orderpriority".as("name"),
+                ($"o_orderkey" % 31).as("build")).as("os"),
+              $"o_orderstatus".as("model")).as("device"),
+            ($"o_custkey" % 7).as("region")).as("ctx"))
+        .repartition(2)
+        .write.format("graft-json").mode("overwrite").save(path)
+      val df = s.read.format("graft-json").schema(ddl).load(path)
+      // the scan must be COLUMNAR (ColumnarToRow present = vectors flow)
+      require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "q240: three-level struct schema fell off the columnar path:\n" +
+          df.queryExecution.executedPlan)
+      df.select($"o_orderkey",
+          $"ctx.device.os.name".as("os_name"),
+          $"ctx.device.os.build".as("os_build"),
+          $"ctx.device.model".as("model"),
+          $"ctx.region".as("region"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   o_orderpriority AS os_name,
+                   o_orderkey % 31 AS os_build,
+                   o_orderstatus AS model,
+                   o_custkey % 7 AS region
+            FROM orders
+            ORDER BY o_orderkey"""))
+
   // ---------------------------------------------------------------- q236
   // CHANGE DATA FEED ACROSS COW REWRITES (round 16, the Delta CDC-file
   // shape): updateWhere/deleteWhere with changeDataFeed=true record the
@@ -3873,5 +3987,5 @@ object Sources {
             SELECT CAST(9999 AS BIGINT), CAST(1.5 AS DOUBLE)
             ORDER BY c_custkey"""))
 
-  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
+  val all: Seq[GQuery] = Seq(q27, q28, q44, q47, q49, q54, q57, q58, q59, q62, q68, q69, q70, q72, q77, q78, q81, q83, q84, q86, q87, q88, q90, q91, q92, q102, q119, q137, q141, q142, q145, q150, q159, q161, q162, q165, q167, q169, q170, q171, q179, q182, q183, q184, q188, q189, q190, q193, q194, q195, q197, q198, q199, q200, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240)
 }

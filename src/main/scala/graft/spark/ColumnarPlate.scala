@@ -132,6 +132,43 @@ final class ColumnarPlate(
       else gn.map(g => if (g == null) null else new Array[Boolean](g.length)))
   private[this] val hasGrand =
     gNames.exists(gn => gn != null && gn.exists(_ != null))
+  // THREE-LEVEL struct lanes (round 17): great-grandchild names/types
+  // per (column, child, grand) where the grand is itself STRUCT<atomic…>
+  // — the event.context.device.id telemetry shape. Great lanes are
+  // row-offset vectors exactly like child/grand lanes; the whole
+  // two-level discipline repeats one more level down (pinned by a fresh
+  // 16-shape pyspark probe: dup grand bindings replace wholesale with
+  // failed-dup-never-overwrites, per-field partials, {} present-all-null,
+  // raw capture for string great-fields, containers under atomic great
+  // lanes are failed bindings).
+  private[this] val g2Names: Array[Array[Array[Array[String]]]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case g: StructType => g.fields.map(_.dataType match {
+          case gg: StructType => gg.fieldNames
+          case _ => null
+        }).toArray
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val g2Types: Array[Array[Array[Array[DataType]]]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case g: StructType => g.fields.map(_.dataType match {
+          case gg: StructType => gg.fields.map(_.dataType)
+          case _ => null
+        }).toArray
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val g2Seen: Array[Array[Array[Array[Boolean]]]] =
+    g2Names.map(gn => if (gn == null) null
+      else gn.map(g => if (g == null) null
+        else g.map(gg => if (gg == null) null else new Array[Boolean](gg.length))))
+  private[this] val hasG2 = g2Names.exists(gn => gn != null &&
+    gn.exists(g => g != null && g.exists(_ != null)))
   // one-level ARRAY lanes (round 13): element type per array-of-atomic
   // column (null for everything else). Elements write into the parent
   // vector's single child at a per-column running offset; the column's
@@ -316,18 +353,54 @@ final class ColumnarPlate(
       else cn.map(c => if (c == null) null else new Array[Boolean](c.length)))
   private[this] val hasCk =
     ckNames.exists(cn => cn != null && cn.exists(_ != null))
+  // MAP<STRING, atomic> STRUCT-CHILD lanes (round 17): value type per
+  // (column, child) where a struct child is a string-keyed map of
+  // atomics — the payload.headers shape. Entries share the child-array
+  // offset machinery: keys stream into the child map vector's keys
+  // child, values into its values child (childArrVecs points there), at
+  // the per-(col,child) running offset; the binding's close stamps
+  // putArray at the row offset (map vectors use array offset storage).
+  // Pinned by pyspark probe (20 shapes): null values kept; conversion-
+  // failure/container/object values poison the cell; scalar/array where
+  // the map was expected nulls the FIELD; duplicate keys BOTH append;
+  // dup bindings last-wins with failed-dup-never-overwrites; raw-text
+  // capture for STRING values (file-based reads).
+  private[this] val cmValT: Array[Array[DataType]] =
+    schema.fields.map(_.dataType match {
+      case st: StructType => st.fields.map(_.dataType match {
+        case MapType(StringType, vt, _) => vt
+        case _ => null
+      }).toArray
+      case _ => null
+    }).toArray
+  private[this] val hasCm =
+    cmValT.exists(cv => cv != null && cv.exists(_ != null))
+  // the plain-element/value target type per vectorized struct child:
+  // atomic element, the ck element struct (null elements keep, scalars
+  // discard → poison), or the cm value type
+  private[this] val cTargetT: Array[Array[DataType]] =
+    childArrElem.indices.map { i =>
+      val ca = childArrElem(i)
+      if (ca == null) null
+      else Array.tabulate(ca.length) { j =>
+        if (ca(j) != null) ca(j)
+        else if (ckElemStruct(i)(j) != null) ckElemStruct(i)(j)
+        else cmValT(i)(j)
+      }
+    }.toArray
   // flat (col, child) pair list for per-row iteration, packed i<<16|j —
-  // EVERY vectorized child array: atomic elements (round 15) and struct
-  // elements (round 17) share the offset/rewind/carry machinery
+  // EVERY vectorized child container: atomic elements (round 15), struct
+  // elements, and map entries (round 17) share the offset/rewind/carry
+  // machinery
   private[this] val childArrPairs: Array[Int] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < numCols) {
-      val ca = childArrElem(i)
+      val ca = cTargetT(i)
       if (ca != null) {
         var j = 0
         while (j < ca.length) {
-          if (ca(j) != null || ckNames(i)(j) != null) buf += (i << 16) | j
+          if (ca(j) != null) buf += (i << 16) | j
           j += 1
         }
       }
@@ -351,7 +424,9 @@ final class ColumnarPlate(
   private[this] var mapKeyChild: Array[WritableColumnVector] = _
   private[this] var elemKidVecs: Array[Array[WritableColumnVector]] = _
   private[this] var gVecs: Array[Array[Array[WritableColumnVector]]] = _
+  private[this] var g2Vecs: Array[Array[Array[Array[WritableColumnVector]]]] = _
   private[this] var childArrVecs: Array[Array[WritableColumnVector]] = _
+  private[this] var cmKeyVecs: Array[Array[WritableColumnVector]] = _
   private[this] var ckVecs: Array[Array[Array[WritableColumnVector]]] = _
   private[this] var ekArrVecs: Array[Array[WritableColumnVector]] = _
   private[this] var ekGVecs: Array[Array[Array[WritableColumnVector]]] = _
@@ -377,6 +452,8 @@ final class ColumnarPlate(
         gNames.filter(_ != null).flatten.filter(_ != null).flatten ++
         ekGNames.filter(_ != null).flatten.filter(_ != null).flatten ++
         ckNames.filter(_ != null).flatten.filter(_ != null).flatten ++
+        g2Names.filter(_ != null).flatten.filter(_ != null).flatten
+          .filter(_ != null).flatten ++
         filters.flatMap(_.references))
       .distinct
       .map(b => b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -422,14 +499,32 @@ final class ColumnarPlate(
 
   /** Last-wins replace of an INNER struct binding: its grandchildren
     * reset to unseen and their explicit null bits scrub (the two-level
-    * twin of [[scrubChildNulls]]).
+    * twin of [[scrubChildNulls]]). Struct-typed grands scrub their
+    * great lanes too.
     */
   private[this] def scrubGrandNulls(i: Int, j: Int): Unit = {
     val gs = gSeen(i)(j)
     var k = 0
     while (k < gs.length) {
-      if (gs(k)) gVecs(i)(j)(k).putNotNull(rows)
+      if (gs(k)) {
+        gVecs(i)(j)(k).putNotNull(rows)
+        if (g2Names(i)(j)(k) != null) scrubG2Nulls(i, j, k)
+      }
       k += 1
+    }
+    java.util.Arrays.fill(gs, false)
+  }
+
+  /** Last-wins replace of a STRUCT-TYPED GRAND binding: its great-
+    * grandchildren reset to unseen and their explicit null bits scrub
+    * (the three-level twin of [[scrubGrandNulls]]).
+    */
+  private[this] def scrubG2Nulls(i: Int, j: Int, k: Int): Unit = {
+    val gs = g2Seen(i)(j)(k)
+    var l = 0
+    while (l < gs.length) {
+      if (gs(l)) g2Vecs(i)(j)(k)(l).putNotNull(rows)
+      l += 1
     }
     java.util.Arrays.fill(gs, false)
   }
@@ -461,7 +556,17 @@ final class ColumnarPlate(
           val gn = gNames(i)
           var j = 0
           while (j < gn.length) {
-            if (gn(j) != null) java.util.Arrays.fill(gSeen(i)(j), false)
+            if (gn(j) != null) {
+              java.util.Arrays.fill(gSeen(i)(j), false)
+              if (hasG2) {
+                val g2 = g2Names(i)(j)
+                var k = 0
+                while (k < g2.length) {
+                  if (g2(k) != null) java.util.Arrays.fill(g2Seen(i)(j)(k), false)
+                  k += 1
+                }
+              }
+            }
             j += 1
           }
         }
@@ -508,6 +613,12 @@ final class ColumnarPlate(
   // the next grandchild of the same binding)
   private[this] var curGrand = -1
   private[this] var innerOpenThisBinding = false
+  // THREE-LEVEL struct state (round 17): the open GREAT-GRANDCHILD lane
+  // (depth 4 under a struct-typed grand; -1 = none) and the grand twin
+  // of innerOpenThisBinding (distinguishes a duplicate GRAND binding
+  // from the next great-field of the same binding)
+  private[this] var curG2 = -1
+  private[this] var grandOpenThisBinding = false
   // STRUCT-CHILD ARRAY state (round 15), the (curIdx, curChild)-anchored
   // twin of the top-level arrOpen machinery: a child-array binding is
   // open (elements span [cArrStart, childElemPos(i)(j))); inside one
@@ -593,6 +704,26 @@ final class ColumnarPlate(
   }
   private[this] val hasChildFilters = childFilterAt.exists(_ != null)
 
+  // great-grandchild vectors: the children of struct-typed grand vectors
+  private def g2Of(grands: Array[Array[Array[WritableColumnVector]]])
+      : Array[Array[Array[Array[WritableColumnVector]]]] = {
+    if (!hasG2) return null
+    val out = new Array[Array[Array[Array[WritableColumnVector]]]](numCols)
+    var i = 0
+    while (i < numCols) {
+      val gn = g2Names(i)
+      if (gn != null && gn.exists(g => g != null && g.exists(_ != null)))
+        out(i) = Array.tabulate(gn.length)(j =>
+          if (gn(j) == null || gn(j).forall(_ == null)) null
+          else Array.tabulate(gn(j).length)(k =>
+            if (gn(j)(k) == null) null
+            else Array.tabulate(gn(j)(k).length)(l =>
+              grands(i)(j)(k).getChild(l).asInstanceOf[WritableColumnVector])))
+      i += 1
+    }
+    out
+  }
+
   // grandchild vectors: the children of inner-struct child vectors
   private def grandsOf(kids: Array[Array[WritableColumnVector]])
       : Array[Array[Array[WritableColumnVector]]] = {
@@ -676,7 +807,9 @@ final class ColumnarPlate(
     mapKeyChild = mapKeyKidsOf(vectors)
     elemKidVecs = elemKidsOf(arrChild)
     gVecs = grandsOf(childVecs)
+    g2Vecs = g2Of(gVecs)
     childArrVecs = childArrKidsOf(childVecs)
+    cmKeyVecs = cmKeysOf(childVecs)
     ckVecs = ckKidsOf(childArrVecs)
     ekArrVecs = ekArrKidsOf(elemKidVecs)
     ekGVecs = ekGrandsOf(elemKidVecs)
@@ -718,19 +851,38 @@ final class ColumnarPlate(
     out
   }
 
-  // element vectors of vectorized struct children: the single child of
-  // the array-typed child vector (element offsets) — atomic elements
-  // (round 15) and struct elements (round 17) alike
+  // value-bearing vectors of vectorized struct children (element
+  // offsets): the single child of array-typed child vectors — atomic
+  // elements (round 15) and struct elements (round 17) alike — or the
+  // VALUES child of map-typed ones (keys live in cmKeyVecs)
   private def childArrKidsOf(kids: Array[Array[WritableColumnVector]])
       : Array[Array[WritableColumnVector]] = {
-    if (!hasChildArrays && !hasCk) return null
+    if (!hasChildArrays && !hasCk && !hasCm) return null
     val out = new Array[Array[WritableColumnVector]](numCols)
     var i = 0
     while (i < numCols) {
-      val ca = childArrElem(i)
-      if (ca != null && (ca.exists(_ != null) || ckNames(i).exists(_ != null)))
-        out(i) = Array.tabulate(ca.length)(j =>
-          if (ca(j) == null && ckNames(i)(j) == null) null
+      val ct = cTargetT(i)
+      if (ct != null && ct.exists(_ != null))
+        out(i) = Array.tabulate(ct.length)(j =>
+          if (ct(j) == null) null
+          else kids(i)(j).getChild(if (cmValT(i)(j) != null) 1 else 0)
+            .asInstanceOf[WritableColumnVector])
+      i += 1
+    }
+    out
+  }
+
+  // keys vectors of MAP struct children (element offsets)
+  private def cmKeysOf(kids: Array[Array[WritableColumnVector]])
+      : Array[Array[WritableColumnVector]] = {
+    if (!hasCm) return null
+    val out = new Array[Array[WritableColumnVector]](numCols)
+    var i = 0
+    while (i < numCols) {
+      val cv = cmValT(i)
+      if (cv != null && cv.exists(_ != null))
+        out(i) = Array.tabulate(cv.length)(j =>
+          if (cv(j) == null) null
           else kids(i)(j).getChild(0).asInstanceOf[WritableColumnVector])
       i += 1
     }
@@ -784,6 +936,7 @@ final class ColumnarPlate(
     val oldElemKids = elemKidVecs
     val oldGrands = gVecs
     val oldChildArr = childArrVecs
+    val oldCmKeys = cmKeyVecs
     val oldCk = ckVecs
     val oldEkArr = ekArrVecs
     val partialAt = rows
@@ -840,19 +993,45 @@ final class ColumnarPlate(
                           val sg = oldGrands(i)(j)(k)
                           val dg = gVecs(i)(j)(k)
                           if (sg.isNullAt(partialAt)) dg.putNull(0)
+                          else if (g2Names(i)(j)(k) != null) {
+                            // struct-typed grand: copy only its WRITTEN
+                            // great cells (three-level carry, round 17)
+                            val g2s = g2Seen(i)(j)(k)
+                            var l = 0
+                            while (l < g2s.length) {
+                              if (g2s(l)) {
+                                val sgg = sg.getChild(l)
+                                  .asInstanceOf[WritableColumnVector]
+                                val dgg = g2Vecs(i)(j)(k)(l)
+                                if (sgg.isNullAt(partialAt)) dgg.putNull(0)
+                                else copyScalarAt(sgg, dgg,
+                                  g2Types(i)(j)(k)(l), partialAt, 0)
+                              }
+                              l += 1
+                            }
+                          }
                           else copyScalarAt(sg, dg, gTypes(i)(j)(k), partialAt, 0)
                         }
                         k += 1
                       }
                     }
-                  } else if (childArrElem(i) != null && childArrElem(i)(j) != null) {
-                    // ARRAY<atomic> child of the in-flight row: move its
-                    // element run to the fresh element vector (closed cell
-                    // re-stamps against row 0; an OPEN binding rebases its
-                    // run and write cursors like the top-level mid-split)
-                    val vt = childArrElem(i)(j)
+                  } else if (childArrElem(i)(j) != null || cmValT(i)(j) != null) {
+                    // ARRAY<atomic> or MAP child of the in-flight row:
+                    // move its element/entry run to the fresh vectors
+                    // (closed cell re-stamps against row 0; an OPEN
+                    // binding rebases its run and write cursors like the
+                    // top-level mid-split). Map children carry their keys
+                    // lane alongside — including a PENDING entry (key
+                    // written, value still in flight) one slot past the
+                    // run, mirroring the top-level map handling.
+                    val vt = cTargetT(i)(j)
+                    val isMap = cmValT(i)(j) != null
                     val src2 = oldKids(i)(j)
                     val dst2 = childVecs(i)(j)
+                    def carryKeys(from: Int, n: Int, dstFrom: Int): Unit =
+                      if (isMap)
+                        copyElemRange(oldCmKeys(i)(j), cmKeyVecs(i)(j),
+                          StringType, from, n, dstFrom)
                     if (cArrOpen && curIdx == i && curChild == j) {
                       if (cPoison) {
                         if (cSeenAtOpen && !cNullAtOpen) {
@@ -861,6 +1040,7 @@ final class ColumnarPlate(
                           val off = src2.getArrayOffset(partialAt)
                           val n = src2.getArrayLength(partialAt)
                           copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off, n)
+                          carryKeys(off, n, 0)
                           dst2.putArray(0, 0, n)
                           cSlot = n; childElemPos(i)(j) = n; cArrStart = n
                         } else {
@@ -876,11 +1056,15 @@ final class ColumnarPlate(
                           val off0 = src2.getArrayOffset(partialAt)
                           val n0 = src2.getArrayLength(partialAt)
                           copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off0, n0)
+                          carryKeys(off0, n0, 0)
                           dst2.putArray(0, 0, n0)
                           pos = n0
                         }
                         val k2 = openChildPos - cArrStart
                         copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, cArrStart, k2, pos)
+                        // a PENDING map entry's key lives one slot past
+                        carryKeys(cArrStart,
+                          if (cScope && !cFilled) k2 + 1 else k2, pos)
                         cSlot = pos + (cSlot - cArrStart)
                         childElemPos(i)(j) = pos + k2
                         cArrStart = pos
@@ -891,6 +1075,7 @@ final class ColumnarPlate(
                       val off = src2.getArrayOffset(partialAt)
                       val n = src2.getArrayLength(partialAt)
                       copyElemRange(oldChildArr(i)(j), childArrVecs(i)(j), vt, off, n)
+                      carryKeys(off, n, 0)
                       dst2.putArray(0, 0, n)
                       childElemPos(i)(j) = n
                     }
@@ -1290,7 +1475,17 @@ final class ColumnarPlate(
             if (gVecs != null && gVecs(i) != null && gVecs(i)(j) != null) {
               val gs = gVecs(i)(j)
               var k = 0
-              while (k < gs.length) { gs(k).reserve(capacity); k += 1 }
+              while (k < gs.length) {
+                gs(k).reserve(capacity)
+                // great lanes are row-offset vectors too (round 17)
+                if (g2Vecs != null && g2Vecs(i) != null &&
+                    g2Vecs(i)(j) != null && g2Vecs(i)(j)(k) != null) {
+                  val g2 = g2Vecs(i)(j)(k)
+                  var l = 0
+                  while (l < g2.length) { g2(l).reserve(capacity); l += 1 }
+                }
+                k += 1
+              }
             }
             j += 1
           }
@@ -1527,6 +1722,72 @@ final class ColumnarPlate(
       } else {
         curGrand = kid
         depth = 3
+        Signal.Continue
+      }
+    } else if (depth == 2 && !elemScope && !cScope && curIdx >= 0 &&
+        curChild >= 0 && cmValT(curIdx) != null &&
+        cmValT(curIdx)(curChild) != null) {
+      // a key under a MAP STRUCT CHILD (round 17): one ENTRY — the first
+      // entry opens the binding (marks the child present; dup bindings
+      // last-wins, failed dups never overwrite — the close consults the
+      // pre-open state). Duplicate keys BOTH append (the top-level map
+      // rule one level down; spark keeps duplicates, element_at returns
+      // the first).
+      val i = curIdx
+      val j = curChild
+      if (!cArrOpen) {
+        cSeenAtOpen = childSeen(i)(j)
+        cNullAtOpen = cSeenAtOpen && childVecs(i)(j).isNullAt(rows)
+        markChildSeen(i, j)
+        cArrOpen = true
+        cArrStart = childElemPos(i)(j)
+      }
+      cSlot = childElemPos(i)(j)
+      val kc = cmKeyVecs(i)(j)
+      kc.reserve(cSlot + 1)
+      pathComponent match {
+        case v: ByteSliceCharSeq =>
+          kc.putByteArray(cSlot, v.bytes, v.offset, v.length)
+        case _ => kc.putByteArray(cSlot,
+          pathComponent.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      cScope = true
+      cFilled = false
+      depth = 3
+      Signal.Continue
+    } else if (depth == 3 && !elemScope && !cScope && curIdx >= 0 &&
+        curChild >= 0 && curGrand >= 0 && g2Names(curIdx)(curChild) != null &&
+        g2Names(curIdx)(curChild)(curGrand) != null) {
+      // a key under a STRUCT-TYPED GRANDCHILD (three-level lanes, round
+      // 17): resolve the great-grandchild. The grand struct is marked
+      // present here; a duplicate grand binding replaces (last-wins):
+      // its prior great-fields reset to unseen so unwritten lanes
+      // null-fill at finishRow — the two-level discipline one level down.
+      val i = curIdx
+      val j = curChild
+      val k = curGrand
+      if (!gSeen(i)(j)(k)) {
+        gSeen(i)(j)(k) = true
+      } else if (curG2 < 0 && !grandOpenThisBinding) {
+        // re-opened by a duplicate key: replace the first binding —
+        // including its explicit null BITS
+        gVecs(i)(j)(k).putNotNull(rows)
+        scrubG2Nulls(i, j, k)
+      }
+      grandOpenThisBinding = true
+      val gn = g2Names(i)(j)(k)
+      var kid = -1
+      var l = 0
+      while (kid < 0 && l < gn.length) {
+        if (gn(l).contentEquals(pathComponent)) kid = l
+        l += 1
+      }
+      if (kid < 0) {
+        skipPending = true
+        Signal.SkipColumn
+      } else {
+        curG2 = kid
+        depth = 4
         Signal.Continue
       }
     } else if (depth == 2 && elemScope && curIdx >= 0 && !elemFilled &&
@@ -1793,6 +2054,7 @@ final class ColumnarPlate(
       if (depth == 3) {
         curEkGrand = -1 // grandfield of an element field closed
         curCk = -1 // field of a child-array struct element closed
+        curG2 = -1 // great-grandchild of a three-level struct closed
         if (ekScope) { ekScope = false; ekFilled = false } // inner element closed
       }
       if (depth == 2) {
@@ -1828,6 +2090,7 @@ final class ColumnarPlate(
           ekInnerOpen = false
         }
         curKid = -1; curGrand = -1 // field/grandchild closed
+        grandOpenThisBinding = false // a grand binding (if any) closed
         // a ck OBJECT element closes: stamp its unwritten fields null at
         // the element slot and advance the run (round 17)
         if (ckObjOpen) {
@@ -1918,18 +2181,19 @@ final class ColumnarPlate(
   private[this] var tEKA = false // open INNER ELEMENT of an array-typed element field
   private[this] var tEKG = false // open GRANDFIELD of a struct-typed element field
   private[this] var tCK = false // open FIELD of a child-array struct element
+  private[this] var tG2 = false // open GREAT-GRANDCHILD of a three-level struct
   private[this] var tV: WritableColumnVector = _
   private[this] var tT: DataType = _
   private[this] var tR = 0
   @inline private def resolveTarget(): Boolean =
     if (depth == 1 && curIdx >= 0 && !elemScope) {
       tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false // duplicates overwrite: last-wins
-      tEKA = false; tEKG = false; tCK = false
+      tEKA = false; tEKG = false; tCK = false; tG2 = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else if (depth == 2 && curIdx >= 0 && curChild >= 0 && !elemScope) {
       tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false; tCA = false
-      tEKA = false; tEKG = false; tCK = false
+      tEKA = false; tEKG = false; tCK = false; tG2 = false
       tV = childVecs(tIdx)(tKid); tT = childTypes(tIdx)(tKid); tR = rows
       true
     } else if (depth == 3 && !elemScope && !cScope && curIdx >= 0 &&
@@ -1937,8 +2201,18 @@ final class ColumnarPlate(
       // open GRANDCHILD of a two-level struct: a row-offset lane like
       // any child; duplicates overwrite last-wins via tMark
       tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = true; tCA = false
-      tEKA = false; tEKG = false; tCK = false
+      tEKA = false; tEKG = false; tCK = false; tG2 = false
       tV = gVecs(tIdx)(tKid)(curGrand); tT = gTypes(tIdx)(tKid)(curGrand)
+      tR = rows
+      true
+    } else if (depth == 4 && !elemScope && !cScope && curIdx >= 0 &&
+        curChild >= 0 && curGrand >= 0 && curG2 >= 0) {
+      // open GREAT-GRANDCHILD of a three-level struct (round 17): a
+      // row-offset lane like any child; duplicates overwrite last-wins
+      tIdx = curIdx; tKid = curChild; tElem = false; tEK = false; tGr = false; tCA = false
+      tEKA = false; tEKG = false; tCK = false; tG2 = true
+      tV = g2Vecs(tIdx)(tKid)(curGrand)(curG2)
+      tT = g2Types(tIdx)(tKid)(curGrand)(curG2)
       tR = rows
       true
     } else if (elemScope && curKid >= 0 && ekScope) {
@@ -1949,7 +2223,7 @@ final class ColumnarPlate(
       if (ekFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
-        tEKA = true; tEKG = false; tCK = false
+        tEKA = true; tEKG = false; tCK = false; tG2 = false
         tR = ekSlot
         val c = ekArrVecs(tIdx)(ekKid)
         c.reserve(tR + 1)
@@ -1962,7 +2236,7 @@ final class ColumnarPlate(
       // element-offset lane; duplicates overwrite last-wins via tMark,
       // failures null the grandfield only (per-field struct partials)
       tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
-      tEKA = false; tEKG = true; tCK = false
+      tEKA = false; tEKG = true; tCK = false; tG2 = false
       tR = entrySlot
       val c = ekGVecs(tIdx)(curKid)(curEkGrand)
       c.reserve(tR + 1)
@@ -1976,7 +2250,7 @@ final class ColumnarPlate(
       // per-field partials, never array poison (tElem=false keeps
       // tDiscard inert; spark parity probed in round 14)
       tIdx = curIdx; tKid = -1; tElem = false; tEK = true; tGr = false; tCA = false
-      tEKA = false; tEKG = false; tCK = false
+      tEKA = false; tEKG = false; tCK = false; tG2 = false
       tR = entrySlot
       val c = elemKidVecs(tIdx)(curKid)
       c.reserve(tR + 1)
@@ -1987,7 +2261,7 @@ final class ColumnarPlate(
       if (elemFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = true; tEK = false; tGr = false; tCA = false
-        tEKA = false; tEKG = false; tCK = false
+        tEKA = false; tEKG = false; tCK = false; tG2 = false
         tR = entrySlot
         val c = arrChild(tIdx) // elements, or a map's VALUES lane
         c.reserve(tR + 1)
@@ -2019,18 +2293,17 @@ final class ColumnarPlate(
       if (cFilled) false
       else {
         tIdx = curIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = true
-        tEKA = false; tEKG = false; tCK = false
+        tEKA = false; tEKG = false; tCK = false; tG2 = false
         tR = cSlot
         val c = childArrVecs(tIdx)(curChild)
         c.reserve(tR + 1)
         tV = c
-        val at = childArrElem(tIdx)(curChild)
-        tT = if (at != null) at else ckElemStruct(tIdx)(curChild)
+        tT = cTargetT(tIdx)(curChild)
         true
       }
     } else if (depth == 0 && valueColIdx >= 0 && !seen(valueColIdx)) {
       tIdx = valueColIdx; tKid = -1; tElem = false; tEK = false; tGr = false; tCA = false
-      tEKA = false; tEKG = false; tCK = false
+      tEKA = false; tEKG = false; tCK = false; tG2 = false
       tV = vectors(tIdx); tT = types(tIdx); tR = rows
       true
     } else false
@@ -2055,6 +2328,12 @@ final class ColumnarPlate(
       // duplicate grandchild key: last-wins (clear a prior explicit-null)
       tWasSeen = gSeen(tIdx)(tKid)(curGrand)
       if (!tWasSeen) gSeen(tIdx)(tKid)(curGrand) = true
+      else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
+    }
+    else if (tG2) {
+      // duplicate great-grandchild key: last-wins
+      tWasSeen = g2Seen(tIdx)(tKid)(curGrand)(curG2)
+      if (!tWasSeen) g2Seen(tIdx)(tKid)(curGrand)(curG2) = true
       else { tWasNull = tV.isNullAt(tR); tV.putNotNull(tR) }
     }
     else if (tEK) {
@@ -2127,7 +2406,17 @@ final class ColumnarPlate(
                 val gs = gSeen(i)(j)
                 var k = 0
                 while (k < gs.length) {
-                  if (gs(k)) gVecs(i)(j)(k).putNotNull(rows)
+                  if (gs(k)) {
+                    gVecs(i)(j)(k).putNotNull(rows)
+                    if (g2Names(i)(j)(k) != null) {
+                      val g2s = g2Seen(i)(j)(k)
+                      var l = 0
+                      while (l < g2s.length) {
+                        if (g2s(l)) g2Vecs(i)(j)(k)(l).putNotNull(rows)
+                        l += 1
+                      }
+                    }
+                  }
                   k += 1
                 }
               }
@@ -2363,13 +2652,31 @@ final class ColumnarPlate(
       } else if (!tElem && tKid < 0 && mapValTypes(tIdx) != null) {
         tMark() // `{}` on a map column: PRESENT with zero entries
         vectors(tIdx).putArray(tRow, elemPos(tIdx), 0)
-      } else if (!tElem && tKid >= 0 && gNames(tIdx)(tKid) != null) {
+      } else if (!tElem && !tGr && !tG2 && tKid >= 0 && gNames(tIdx)(tKid) != null) {
         // `{}` under an INNER-STRUCT child: a PRESENT inner struct with
         // all-null grandchildren (finishRow stamps them; a duplicate
-        // binding's prior grands scrub here — last-wins)
+        // binding's prior grands scrub here — last-wins). The !tGr guard
+        // keeps `{}` under a GRANDCHILD lane of the same child on the
+        // discard path below — without it the row was never marked
+        // malformed (DROPMALFORMED kept it; spark and the row path drop
+        // it — latent since round 14, caught by the round-17 audit)
         if (!childSeen(tIdx)(tKid)) childSeen(tIdx)(tKid) = true
         else tVec.putNotNull(tRow)
         scrubGrandNulls(tIdx, tKid)
+      } else if (!tElem && !tCA && tKid >= 0 && cmValT(tIdx) != null &&
+          cmValT(tIdx)(tKid) != null) {
+        // `{}` on a MAP struct child (round 17): PRESENT with zero
+        // entries (dup binding: last-wins like the top-level map)
+        tMark()
+        tVec.putArray(tRow, childElemPos(tIdx)(tKid), 0)
+      } else if (tGr && g2Names(tIdx)(tKid) != null &&
+          g2Names(tIdx)(tKid)(curGrand) != null) {
+        // `{}` on a STRUCT-TYPED grandchild (round 17): a PRESENT grand
+        // struct with all-null great-fields (finishRow stamps them; a
+        // duplicate binding's prior greats scrub here — last-wins)
+        if (!gSeen(tIdx)(tKid)(curGrand)) gSeen(tIdx)(tKid)(curGrand) = true
+        else tVec.putNotNull(tRow)
+        scrubG2Nulls(tIdx, tKid, curGrand)
       } else if (tEK && ekGNames(tIdx) != null && ekGNames(tIdx)(curKid) != null) {
         // `{}` on a STRUCT element field: a PRESENT inner struct with
         // all-null grandfields (stamped now — no binding ever opens)
@@ -2644,6 +2951,16 @@ final class ColumnarPlate(
               var k = 0
               while (k < gs.length) {
                 if (!gs(k)) gVecs(i)(j)(k).putNull(rows)
+                else if (g2Names(i)(j)(k) != null &&
+                    !gVecs(i)(j)(k).isNullAt(rows)) {
+                  // present grand struct: great lanes it omitted read null
+                  val g2s = g2Seen(i)(j)(k)
+                  var l = 0
+                  while (l < g2s.length) {
+                    if (!g2s(l)) g2Vecs(i)(j)(k)(l).putNull(rows)
+                    l += 1
+                  }
+                }
                 k += 1
               }
             }
@@ -2686,8 +3003,12 @@ final class ColumnarPlate(
     depth = 0
     curIdx = -1
     curChild = -1
+    curGrand = -1
+    curG2 = -1
     skipPending = false
     structOpenThisBinding = false
+    innerOpenThisBinding = false
+    grandOpenThisBinding = false
     fieldPos = 0
     rowDiscarded = false
   }
@@ -2709,8 +3030,12 @@ final class ColumnarPlate(
     depth = 0
     curIdx = -1
     curChild = -1
+    curGrand = -1
+    curG2 = -1
     skipPending = false
     structOpenThisBinding = false
+    innerOpenThisBinding = false
+    grandOpenThisBinding = false
     fieldPos = 0
   }
 }
@@ -2740,10 +3065,16 @@ object ColumnarPlate {
     * at a per-(col,child) running offset) — and, since round 17,
     * ARRAY<STRUCT<atomic…>> STRUCT CHILDREN (the user.addresses[].city
     * shape: elements are rows of the child array's struct element
-    * vector, fields write at per-(col,child) running element offsets).
-    * Anything deeper (three struct levels, MAP under struct children,
-    * containers inside the element structs of struct-child arrays,
-    * non-string map keys, MAP<_, container>) stays on the row path.
+    * vector, fields write at per-(col,child) running element offsets)
+    * and MAP<STRING, atomic> STRUCT CHILDREN (the payload.headers shape:
+    * keys/values lanes under the child map vector at the same running
+    * offsets) and THREE-LEVEL structs — inner-struct children may
+    * themselves hold STRUCT<atomic…> fields (the event.context.device.id
+    * shape; great lanes are row-offset vectors like child/grand lanes).
+    * Anything deeper (four struct levels, containers under level-2+
+    * structs, containers inside the element structs of struct-child
+    * arrays, non-string map keys, MAP<_, container>) stays on the row
+    * path.
     */
   def supports(schema: StructType): Boolean =
     schema.fields.forall(f => atomic(f.dataType) || (f.dataType match {
@@ -2753,10 +3084,18 @@ object ColumnarPlate {
       // atomic, STRUCT<atomic…>, ARRAY<atomic>, or ARRAY<STRUCT<atomic…>>
       case st: StructType => st.nonEmpty && st.fields.forall(c =>
         atomic(c.dataType) || (c.dataType match {
-          case g: StructType => g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
+          // inner structs may nest ONE more all-atomic struct level
+          // (three-level lanes, round 17)
+          case g: StructType => g.nonEmpty && g.fields.forall(x =>
+            atomic(x.dataType) || (x.dataType match {
+              case gg: StructType =>
+                gg.nonEmpty && gg.fields.forall(z => atomic(z.dataType))
+              case _ => false
+            }))
           case ArrayType(g: StructType, _) =>
             g.nonEmpty && g.fields.forall(x => atomic(x.dataType))
           case at: ArrayType => atomic(at.elementType)
+          case mt: MapType => mt.keyType == StringType && atomic(mt.valueType)
           case _ => false
         }))
       case ArrayType(st: StructType, _) =>

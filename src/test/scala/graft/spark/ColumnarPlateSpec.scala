@@ -624,6 +624,250 @@ class ColumnarPlateSpec extends AnyFunSuite {
     }
   }
 
+  test("every split point of a THREE-LEVEL struct input yields identical batches") {
+    // round 17 (event.context.device.id shape): inner-struct children may
+    // themselves hold STRUCT<atomic…> fields — great lanes are row-offset
+    // vectors like child/grand lanes, and the whole two-level discipline
+    // repeats one more level down. Pinned against spark.read.json by the
+    // round-17 probe (16 shapes): dup grand bindings replace wholesale
+    // with failed-dup-never-overwrites, per-field partials, {} reads
+    // present-all-null, containers under atomic great lanes are failed
+    // bindings, raw-text capture for string great-fields.
+    val schema = StructType.fromDDL(
+      "id LONG, t STRUCT<a: STRUCT<b: STRUCT<x: LONG, y: STRING>, c: LONG>, d: STRING>")
+    val input = Seq(
+      """{"id": 1, "t": {"a": {"b": {"x": 1, "y": "u"}, "c": 2}, "d": "v"}}""",
+      """{"id": 2, "t": {"a": {"b": {}, "c": 2}}}""",
+      """{"id": 3, "t": {"a": {"b": null, "c": 2}}}""",
+      """{"id": 4, "t": {"a": {"c": 2}}}""",
+      """{"id": 5, "t": {"a": {"b": 7, "c": 2}}}""",
+      """{"id": 6, "t": {"a": {"b": [1], "c": 2}}}""",
+      """{"id": 7, "t": {"a": {"b": {"x": "bad", "y": "w"}}}}""",
+      """{"id": 8, "t": {"a": {"b": {"zz": 1, "x": 3}}}}""",
+      """{"id": 9, "t": {"a": {"b": {"x": 1}, "b": {"y": "q"}}}}""",
+      """{"id": 10, "t": {"a": {"b": {"x": 1}, "b": 5}}}""",
+      """{"id": 11, "t": {"a": {"b": {"x": 1}}, "a": {"c": 3}}}""",
+      """{"id": 12, "t": {"a": {"b": {"y": {"k": 1}}}}}""",
+      """{"id": 13, "t": {"a": {"b": {"x": [1], "y": "r"}}}}""",
+      """{"id": 14, "t": {"a": {"b": {"x": 1, "x": 2}}}}""",
+      """{"id": 15, "t": {"a": {"b": {"x": 1, "x": "bad"}}}}""",
+      """{"id": 16, "t": {"a": {"b": {"x": {}, "y": "s"}}}}""",
+      """{"id": 17, "t": {"a": {"b": {"x": 4}, "b": null}}}""",
+      """{"id": 18, "t": {"a": {"b": null, "b": {"x": 6}}}}""",
+      """{"id": 19, "t": {"a": {"b": {"x": 9, "y": "z"}, "c": 4}, "d": "e"}}""").mkString("\n")
+    val bytes = input.getBytes("UTF-8")
+    val L = (v: Long) => java.lang.Long.valueOf(v)
+    def rowOf(bt: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Any =
+      if (bt.column(1).isNullAt(r)) null
+      else {
+        val t = bt.column(1)
+        val a = t.getChild(0)
+        val d = if (t.getChild(1).isNullAt(r)) null
+                else t.getChild(1).getUTF8String(r).toString
+        if (a.isNullAt(r)) (null, d)
+        else {
+          val b = a.getChild(0)
+          val c = if (a.getChild(1).isNullAt(r)) null else L(a.getChild(1).getLong(r))
+          val bv =
+            if (b.isNullAt(r)) null
+            else {
+              val x = if (b.getChild(0).isNullAt(r)) null else L(b.getChild(0).getLong(r))
+              val y = if (b.getChild(1).isNullAt(r)) null
+                      else b.getChild(1).getUTF8String(r).toString
+              (x, y)
+            }
+          ((bv, c), d)
+        }
+      }
+    val want = Seq[(Long, Any)](
+      (1L, (((L(1), "u"), L(2)), "v")),
+      (2L, (((null, null), L(2)), null)),     // {} = present, all-null greats
+      (3L, ((null, L(2)), null)),
+      (4L, ((null, L(2)), null)),
+      (5L, ((null, L(2)), null)),             // scalar where struct: b null
+      (6L, ((null, L(2)), null)),             // array where struct: b null
+      (7L, (((null, "w"), null), null)),      // per-field partials
+      (8L, (((L(3), null), null), null)),     // unknown deep keys prune
+      (9L, (((null, "q"), null), null)),      // dup grand binding replaces wholesale
+      (10L, (((L(1), null), null), null)),    // failed dup never overwrites
+      (11L, ((null, L(3)), null)),            // dup MID binding replaces wholesale
+      (12L, (((null, """{"k": 1}"""), null), null)), // raw capture, string great
+      (13L, (((null, "r"), null), null)),     // container under atomic great
+      (14L, (((L(2), null), null), null)),    // dup great key: last-wins
+      (15L, (((L(1), null), null), null)),    // failed dup great never overwrites
+      (16L, (((null, "s"), null), null)),     // {} under atomic great: field null
+      (17L, ((null, null), null)),            // explicit null over valid wins
+      (18L, (((L(6), null), null), null)),    // valid over explicit null wins
+      (19L, (((L(9), "z"), L(4)), "e")))      // clean row after the pathologies
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), rowOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("{} under a GREAT-GRANDCHILD lane is a failed binding (DROPMALFORMED parity)") {
+    // the tGr-guard bug class one level down, fixed preemptively in the
+    // same round: map()'s inner-struct branch must not fire for great
+    // targets either
+    val schema = StructType.fromDDL(
+      "id LONG, t STRUCT<a: STRUCT<b: STRUCT<x: LONG>>>")
+    val input =
+      """{"id": 1, "t": {"a": {"b": {"x": 5}}}}""" + "\n" +
+      """{"id": 2, "t": {"a": {"b": {"x": {}}}}}""" + "\n" +
+      """{"id": 3, "t": {"a": {"b": {"x": null}}}}"""
+    val plate = new ColumnarPlate(schema, Array.empty, dropDiscarded = true)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(input.getBytes("UTF-8")))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    val kept = (0 until b.numRows).map(r => b.column(0).getLong(r))
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("{} under a GRANDCHILD lane is a failed binding (DROPMALFORMED parity)") {
+    // latent since round 14, caught by the round-17 audit: map()'s
+    // inner-struct branch fired for GRAND targets too, so an empty
+    // object bound to an atomic grandchild never marked the row
+    // malformed — DROPMALFORMED kept it where spark and the row path
+    // drop it (non-empty objects/arrays were already correct via the
+    // nestMap/nestArr fallbacks)
+    val schema = StructType.fromDDL("id LONG, n STRUCT<g: STRUCT<x: LONG, y: STRING>>")
+    val input =
+      """{"id": 1, "n": {"g": {"x": 5, "y": "a"}}}""" + "\n" +
+      """{"id": 2, "n": {"g": {"x": {}, "y": "b"}}}""" + "\n" +
+      """{"id": 3, "n": {"g": {"x": {"k": 1}, "y": "c"}}}""" + "\n" +
+      """{"id": 4, "n": {"g": {"x": [], "y": "d"}}}""" + "\n" +
+      """{"id": 5, "n": {"g": {}}}""" + "\n" +
+      """{"id": 6, "n": {"g": {"x": null}}}"""
+    val plate = new ColumnarPlate(schema, Array.empty, dropDiscarded = true)
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(input.getBytes("UTF-8")))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    val kept = (0 until b.numRows).map(r => b.column(0).getLong(r))
+    assert(kept == Seq(1L, 5L, 6L)) // spark DROPMALFORMED keeps exactly these
+  }
+
+  test("every split point of a STRUCT<…, MAP> input yields identical batches") {
+    // round 17 (payload.headers shape): MAP<STRING, atomic> struct
+    // children ride the columnar path — keys/values lanes under the
+    // child map vector at the per-(col,child) running offset. The
+    // pathology matrix is pinned against spark.read.json by the
+    // round-17 probe (20 shapes): null values kept; conversion-failure/
+    // container/object values poison the cell; scalar/array where the
+    // map was expected nulls the FIELD only; duplicate keys BOTH
+    // append; dup bindings last-wins with failed-dup-never-overwrites;
+    // container values under a STRING-valued map capture as verbatim
+    // source text (file-based spark parity).
+    val schema = StructType.fromDDL(
+      "id LONG, p STRUCT<name: STRING, hdrs: MAP<STRING, LONG>, lbls: MAP<STRING, STRING>>")
+    val input = Seq(
+      """{"id": 1, "p": {"name": "a", "hdrs": {"x": 1, "y": 2}}}""",
+      """{"id": 2, "p": {"name": "b", "hdrs": {}}}""",
+      """{"id": 3, "p": {"name": "c", "hdrs": null}}""",
+      """{"id": 4, "p": {"name": "d"}}""",
+      """{"id": 5, "p": {"hdrs": {"x": null, "y": 2}}}""",
+      """{"id": 6, "p": {"hdrs": {"x": 1, "y": "bad"}}}""",
+      """{"id": 7, "p": {"hdrs": {"x": 1, "y": [2]}}}""",
+      """{"id": 8, "p": {"hdrs": {"x": {"k": 1}}}}""",
+      """{"id": 9, "p": {"name": "e", "hdrs": 5}}""",
+      """{"id": 10, "p": {"name": "f", "hdrs": [1]}}""",
+      """{"id": 11, "p": {"hdrs": {"x": 1, "x": 2}}}""",
+      """{"id": 12, "p": {"hdrs": {"x": 1}, "hdrs": {"y": 2}}}""",
+      """{"id": 13, "p": {"hdrs": {"x": 1}, "hdrs": 5}}""",
+      """{"id": 14, "p": {"hdrs": null, "hdrs": {"y": 9}}}""",
+      """{"id": 15, "p": {"hdrs": {"y": 8}, "hdrs": null}}""",
+      """{"id": 16, "p": {"lbls": {"a": {"k": 1}, "b": "t"}}}""",
+      """{"id": 17, "p": {"lbls": {"a": null, "b": "u"}}}""",
+      """{"id": 18, "p": {"name": "q", "hdrs": {"x": 1}}, "p": {"hdrs": {"y": 2}}}""",
+      """{"id": 19, "p": {"hdrs": {"z": 3}, "name": "g"}}""",
+      """{"id": 20, "p": {"name": "h", "hdrs": {"w": 4}, "lbls": {"c": "v"}}}""").mkString("\n")
+    val bytes = input.getBytes("UTF-8")
+    def mapOf(v: org.apache.spark.sql.vectorized.ColumnVector, r: Int,
+        str: Boolean): Seq[(String, Any)] =
+      if (v.isNullAt(r)) null
+      else {
+        val md = v.getMap(r)
+        (0 until md.numElements).map { j =>
+          val k = md.keyArray.getUTF8String(j).toString
+          val x: Any =
+            if (md.valueArray.isNullAt(j)) null
+            else if (str) md.valueArray.getUTF8String(j).toString
+            else md.valueArray.getLong(j)
+          k -> x
+        }
+      }
+    def rowOf(b: org.apache.spark.sql.vectorized.ColumnarBatch, r: Int): Any =
+      if (b.column(1).isNullAt(r)) null
+      else {
+        val s = b.column(1)
+        val name = if (s.getChild(0).isNullAt(r)) null
+                   else s.getChild(0).getUTF8String(r).toString
+        (name, mapOf(s.getChild(1), r, str = false), mapOf(s.getChild(2), r, str = true))
+      }
+    val want = Seq[(Long, Any)](
+      (1L, ("a", Seq("x" -> 1L, "y" -> 2L), null)),
+      (2L, ("b", Seq.empty, null)),
+      (3L, ("c", null, null)),
+      (4L, ("d", null, null)),
+      (5L, (null, Seq("x" -> null, "y" -> 2L), null)),  // null value kept
+      (6L, (null, null, null)),                  // conv-failure value poisons
+      (7L, (null, null, null)),                  // container value poisons
+      (8L, (null, null, null)),                  // object value poisons
+      (9L, ("e", null, null)),                   // scalar where map: field null
+      (10L, ("f", null, null)),                  // array where map: field null
+      (11L, (null, Seq("x" -> 1L, "x" -> 2L), null)), // dup keys BOTH append
+      (12L, (null, Seq("y" -> 2L), null)),       // dup binding: last-wins
+      (13L, (null, Seq("x" -> 1L), null)),       // failed dup never overwrites
+      (14L, (null, Seq("y" -> 9L), null)),       // valid over explicit null wins
+      (15L, (null, null, null)),                 // explicit null over valid wins
+      (16L, (null, null, Seq("a" -> """{"k": 1}""", "b" -> "t"))), // raw capture
+      (17L, (null, null, Seq("a" -> null, "b" -> "u"))),
+      (18L, (null, Seq("y" -> 2L), null)),       // dup STRUCT binding replaces
+      (19L, ("g", Seq("z" -> 3L), null)),        // field order immaterial
+      (20L, ("h", Seq("w" -> 4L), Seq("c" -> "v")))) // clean row after
+    (0 to bytes.length).foreach { i =>
+      val plate = new ColumnarPlate(schema, Array.empty)
+      val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+      raise(p.absorb(bytes.slice(0, i)))
+      val head = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      raise(p.absorb(bytes.slice(i, bytes.length)))
+      raise(p.finish())
+      val tail = if (plate.pendingRows > 0) Some(plate.takeBatch()) else None
+      val rows = (head.toSeq ++ tail.toSeq).flatMap { b =>
+        (0 until b.numRows).map(r => (b.column(0).getLong(r), rowOf(b, r)))
+      }
+      assert(rows == want, s"split $i")
+    }
+  }
+
+  test("a filter-rejected row rewinds its MAP struct-child writes") {
+    import org.apache.spark.sql.sources.IsNotNull
+    val schema = StructType.fromDDL(
+      "id LONG, k STRING, p STRUCT<hdrs: MAP<STRING, LONG>>")
+    val plate = new ColumnarPlate(schema, Array(IsNotNull("k")))
+    val p = new JsonParser[Long](plate, JsonParser.ValueStream)
+    raise(p.absorb(
+      """{"id": 1, "p": {"hdrs": {"dead": 111, "beef": 222}}}""" + "\n" +
+      """{"id": 2, "k": "x", "p": {"hdrs": {"live": 5}}}""" + "\n"))
+    raise(p.finish())
+    val b = plate.takeBatch()
+    assert(b.numRows == 1)
+    val md = b.column(2).getChild(0).getMap(0)
+    assert(md.numElements == 1)
+    assert(md.keyArray.getUTF8String(0).toString == "live")
+    assert(md.valueArray.getLong(0) == 5L)
+  }
+
   test("a filter-rejected row rewinds its ARRAY<STRUCT> struct-child writes") {
     import org.apache.spark.sql.sources.IsNotNull
     val schema = StructType.fromDDL(

@@ -457,9 +457,9 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.json(p).select(nested.columns.map(col).toSeq: _*).orderBy("id")
         .collect().map(_.toString).toSeq)
 
-    // TWO-level nesting vectorizes since round 14 (grand lanes) — the
-    // correct values are covered by the three-way fuzz; THREE levels
-    // still fall back to rows
+    // TWO-level nesting vectorizes since round 14 (grand lanes), THREE
+    // levels since round 17 (great lanes) — values covered by the
+    // three-way fuzz; FOUR levels still fall back to rows
     val deepP = write("colmnr_deep.json",
       """{"id": 1, "n": {"inner": {"x": 1}}}""" + "\n")
     val deep = spark.read.format("graft-json").load(deepP)
@@ -474,7 +474,15 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deep3Scans = deep3.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
     }
-    assert(!deep3Scans.head.supportsColumnar, "three-level nesting stays on the row path")
+    assert(deep3Scans.head.supportsColumnar, "three-level nesting vectorizes (round 17)")
+    assert(deep3.collect().head.getStruct(1).getStruct(0).getStruct(0).getLong(0) == 1L)
+    val deep4P = write("colmnr_deep4.json",
+      """{"id": 1, "n": {"inner": {"g": {"gg": {"x": 1}}}}}""" + "\n")
+    val deep4 = spark.read.format("graft-json").load(deep4P)
+    val deep4Scans = deep4.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(!deep4Scans.head.supportsColumnar, "four-level nesting stays on the row path")
   }
 
   test("columnar path honors filters and null semantics") {

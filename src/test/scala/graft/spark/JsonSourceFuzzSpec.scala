@@ -891,6 +891,205 @@ class JsonSourceFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Pathology corpus for the round-17 THREE-LEVEL struct lanes (the
+    * event.context.device.id shape): dup bindings at every level
+    * (replace wholesale, failed dups never overwrite), per-field
+    * partials, {} present-all-null at each level, scalar/array
+    * mismatches at each level, containers under atomic great lanes,
+    * raw-text capture for string great-fields, unknown keys at depth.
+    */
+  private def threeLevelCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def xv(): String = rng.nextInt(8) match {
+        case 0 => "null"
+        case 1 => "\"np\""                               // conv failure
+        case 2 => s"[${rng.nextInt(9)}]"                 // container: field null
+        case 3 => "{}"                                   // {} under atomic great
+        case _ => s"${rng.nextInt(1000)}"
+      }
+      def yv(): String = rng.nextInt(6) match {
+        case 0 => "null"
+        case 1 => s"""{"k": ${rng.nextInt(9)}}"""        // raw capture
+        case 2 => s"[${rng.nextInt(9)}]"
+        case _ => s""""y${rng.nextInt(9)}""""
+      }
+      def bv(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"${rng.nextInt(100)}"                 // scalar for struct
+        case 3 => "[1]"                                  // array for struct
+        case 4 => s"""{"x": ${xv()}, "x": ${xv()}}"""    // dup great key
+        case 5 => s"""{"zz": ${rng.nextInt(9)}, "x": ${xv()}}""" // unknown key
+        case _ => s"""{"x": ${xv()}, "y": ${yv()}}"""
+      }
+      def av(): String = rng.nextInt(12) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"${rng.nextInt(100)}"
+        case 3 => s"""{"b": ${bv()}, "b": ${bv()}}"""    // dup grand binding
+        case 4 => s"""{"c": ${rng.nextInt(99)}}"""
+        case _ => s"""{"b": ${bv()}, "c": ${rng.nextInt(99)}}"""
+      }
+      if (rng.nextInt(10) > 0)
+        fields += s""""t": ${rng.nextInt(10) match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"""{"a": ${av()}, "a": ${av()}}""" // dup mid binding
+          case 3 => s"""{"a": ${av()}, "d": "d${rng.nextInt(9)}", "zz": [{"q": 1}]}"""
+          case _ => s"""{"a": ${av()}, "d": "d${rng.nextInt(9)}"}"""
+        }}"""
+      if (rng.nextInt(12) == 0) // dup TOP binding replaces wholesale
+        fields += s""""t": {"a": ${av()}}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [{"deep": [1]}, "two"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("THREE-LEVEL struct corpora go COLUMNAR and match spark.read.json") {
+    val rng = new scala.util.Random(0x3713713L)
+    val tlSchema = "id LONG, t STRUCT<a: STRUCT<b: STRUCT<x: LONG, y: STRING>, " +
+      "c: LONG>, d: STRING>, s STRING"
+    val projections = Seq(
+      Seq("id", "t", "s"), Seq("t", "id"), Seq("t"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"threelevel$trial.jsonl")
+      Files.write(p, threeLevelCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(tlSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(tlSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: three-level struct schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(3) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case _ => (g0.filter(col("t").isNotNull), j0.filter(col("t").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(tlSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == (g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq),
+        s"trial $trial: row vs columnar diverged")
+    }
+  }
+
+  /** Pathology corpus for the round-17 MAP STRUCT-CHILD lanes (the
+    * payload.headers shape): null values kept, conversion-failure/
+    * container/object values (cell poison), scalar/array-for-map (field
+    * null), duplicate keys (BOTH append), duplicate bindings (last-wins,
+    * failed dups never overwrite), raw-text capture under STRING-valued
+    * maps, {} present-empty, duplicate struct bindings. LONG values
+    * avoid coercible strings like the top-level map corpus.
+    */
+  private def childMapCorpus(rng: scala.util.Random, rows: Int): String = {
+    val sb = new StringBuilder
+    val keys = Seq("ka", "kb", "kc", "kd", "ke")
+    (1 to rows).foreach { i =>
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      fields += s""""id": $i"""
+      def hdrVal(): String = rng.nextInt(10) match {
+        case 0 => "null"                                   // null value kept
+        case 1 => "\"np\""                                 // conv failure: poison
+        case 2 => s"[${rng.nextInt(9)}]"                   // container: poison
+        case 3 => s"""{"k": ${rng.nextInt(9)}}"""          // object: poison
+        case _ => s"${rng.nextInt(1000)}"
+      }
+      def lblVal(): String = rng.nextInt(8) match {
+        case 0 => "null"
+        case 1 => s"""{"k": ${rng.nextInt(9)}}"""          // raw capture
+        case 2 => s"[${rng.nextInt(9)}, ${rng.nextInt(9)}]"
+        case _ => s""""v${rng.nextInt(9)}""""
+      }
+      def entries(v: () => String): String = {
+        val n = rng.nextInt(4)
+        val ks = rng.shuffle(keys).take(n) ++
+          (if (rng.nextInt(5) == 0) Seq(keys(rng.nextInt(keys.length))) else Nil) // dup key
+        ks.map(k => s""""$k": ${v()}""").mkString("{", ", ", "}")
+      }
+      def hdrs(): String = rng.nextInt(10) match {
+        case 0 => "null"
+        case 1 => "{}"
+        case 2 => s"${rng.nextInt(100)}"                   // scalar for map
+        case 3 => "[1, 2]"                                 // array for map
+        case _ => entries(hdrVal _)
+      }
+      if (rng.nextInt(10) > 0)
+        fields += s""""p": ${rng.nextInt(12) match {
+          case 0 => "null"
+          case 1 => "{}"
+          case 2 => s"${rng.nextInt(100)}"
+          case 3 => s"""{"name": "n${rng.nextInt(5)}"}"""
+          case 4 => s"""{"hdrs": ${hdrs()}, "hdrs": ${hdrs()}}""" // dup binding
+          case 5 => s"""{"name": "n${rng.nextInt(5)}", "hdrs": ${hdrs()}, "lbls": ${entries(lblVal _)}}"""
+          case 6 => s"""{"lbls": ${entries(lblVal _)}, "zz": [{"d": 1}]}"""
+          case _ => s"""{"name": "n${rng.nextInt(5)}", "hdrs": ${hdrs()}}"""
+        }}"""
+      if (rng.nextInt(12) == 0) // dup STRUCT binding replaces wholesale
+        fields += s""""p": {"hdrs": ${hdrs()}}"""
+      if (rng.nextInt(10) > 4)
+        fields += s""""s": ${esc(strPool(rng.nextInt(strPool.length)))}"""
+      if (rng.nextInt(3) == 0)
+        fields += s""""junk${rng.nextInt(5)}": [{"deep": [1]}, "two"]"""
+      sb.append(rng.shuffle(fields.toSeq).mkString("{", ", ", "}")).append('\n')
+    }
+    sb.toString
+  }
+
+  test("MAP STRUCT-CHILD corpora go COLUMNAR and match spark.read.json") {
+    val rng = new scala.util.Random(0xC317AB5L)
+    val cmSchema = "id LONG, p STRUCT<name: STRING, hdrs: MAP<STRING, LONG>, " +
+      "lbls: MAP<STRING, STRING>>, s STRING"
+    val projections = Seq(
+      Seq("id", "p", "s"), Seq("p", "id"), Seq("p"), Seq("id", "s"))
+    for (trial <- 1 to 10 * SoakX.x) {
+      val p = dir.resolve(s"childmap$trial.jsonl")
+      Files.write(p, childMapCorpus(rng, 150).getBytes(UTF_8))
+      val split = Seq("512", "4096", "1048576")(rng.nextInt(3))
+      val g0 = spark.read.format("graft-json").schema(cmSchema)
+        .option("maxsplitbytes", split).load(p.toString)
+      val j0 = spark.read.schema(cmSchema).json(p.toString)
+      assert(g0.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"trial $trial: struct-child MAP schema fell off the columnar path\n" +
+          g0.queryExecution.executedPlan.toString)
+      val proj = projections(rng.nextInt(projections.length))
+      val (g, j) = rng.nextInt(3) match {
+        case 0 => (g0, j0)
+        case 1 => (g0.filter(col("id") < 100), j0.filter(col("id") < 100))
+        case _ => (g0.filter(col("p").isNotNull), j0.filter(col("p").isNotNull))
+      }
+      val got = g.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val want = j.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial split=$split proj=$proj: ${got.size} vs ${want.size} rows\n" +
+          got.zip(want).find { case (a, b) => a != b }.map { case (a, b) =>
+            s"first diff:\n  graft: $a\n  spark: $b" }.getOrElse(""))
+      // and the ROW path must agree with the columnar path exactly
+      val rowSide = spark.read.format("graft-json").schema(cmSchema)
+        .option("vectorized", "false").load(p.toString)
+      assert(!rowSide.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val rowGot = rowSide.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rowGot == (g0.select(proj.map(col): _*).collect().map(_.toString).sorted.toSeq),
+        s"trial $trial: row vs columnar diverged")
+    }
+  }
+
   /** Map-pathology corpus for the COLUMNAR map lanes (round 13): every
     * shape a one-level MAP<STRING, atomic> column can take — present,
     * missing, null, `{}`, scalar/array mismatch, null values, container
