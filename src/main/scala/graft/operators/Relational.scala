@@ -115,7 +115,12 @@ object Relational {
   // pre-aggregation below the join earns its shuffle: lineitem collapses
   // to one row per order BEFORE the sort-merge joins, so both joins and
   // the o_custkey exchange move ~4x fewer rows (Catalyst won't push a
-  // partial agg below a join itself).
+  // partial agg below a join itself). Round 16 (optimization): the same
+  // trick one level up — the order-level rows collapse to one row per
+  // CUSTOMER before the customer join, so the o_custkey exchange and the
+  // customer sort-merge join move |customers| rows instead of |orders|
+  // (~10x fewer; sum-of-sums algebra, identical result), and the final
+  // segment aggregate reads |customers| rows instead of |orders|.
   private val q02 = GQuery(
     "q02_revenue_by_segment",
     "multi-table equi-join (shuffle hash / sort-merge) + aggregate",
@@ -125,8 +130,19 @@ object Relational {
       val ord = T(s, d, "orders").select($"o_orderkey", $"o_custkey")
       val line = T(s, d, "lineitem")
         .select($"l_orderkey", ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      // Round 16 (optimization): the raw plan estimate is COMPRESSED parquet
+      // bytes, but what the executors must hold is an UnsafeRow hash
+      // relation — typically 4-8x larger (decompression + row headers + map
+      // overhead). Comparing the raw estimate against the broadcast
+      // threshold kept choosing the broadcast plan one scale rung past
+      // where it stops being cheap (guide §3.1: size estimates are often
+      // badly wrong — correct them with what you know). The inflation
+      // factor is a conf dial (graft.broadcast.inflation, default 4) so a
+      // deployment can calibrate it to its codec and row shape.
+      val inflation = s.conf.getOption("graft.broadcast.inflation")
+        .flatMap(_.toIntOption).getOrElse(4)
       val ordersBroadcastable =
-        ord.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        ord.queryExecution.optimizedPlan.stats.sizeInBytes * inflation <=
           s.sessionState.conf.autoBroadcastJoinThreshold
       val joined =
         if (ordersBroadcastable)
@@ -137,10 +153,12 @@ object Relational {
         else {
           val li = line.groupBy($"l_orderkey")
             .agg(sum($"rev").as("o_rev"), count(lit(1)).as("o_lines"))
-          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-            .join(cust, ord("o_custkey") === cust("c_custkey"))
+          val perCust = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .groupBy($"o_custkey")
+            .agg(sum($"o_rev").as("c_rev"), sum($"o_lines").as("c_lines"))
+          perCust.join(cust, perCust("o_custkey") === cust("c_custkey"))
             .groupBy($"c_mktsegment")
-            .agg(round(sum($"o_rev"), 2).as("revenue"), sum($"o_lines").as("n_lines"))
+            .agg(round(sum($"c_rev"), 2).as("revenue"), sum($"c_lines").as("n_lines"))
         }
       joined.orderBy($"c_mktsegment")
     },
@@ -182,6 +200,13 @@ object Relational {
     bench = true)
 
   // ---------------------------------------------------------------- q04
+  // Round 16 (optimization): orders pre-aggregate to one row per custkey
+  // BELOW the outer join (count/sum are mergeable partials; Catalyst
+  // won't push an aggregate below an outer join itself), so the join and
+  // its exchange move |customers-with-orders| rows instead of |orders|
+  // (~10x fewer) and the post-join aggregate disappears. Unmatched
+  // customers surface as null aggregates and are restored to the exact
+  // original values (0 / 0.0) by the null-preserving projection.
   private val q04 = GQuery(
     "q04_left_outer_customer_orders",
     "left outer join preserving unmatched rows + aggregate",
@@ -189,11 +214,15 @@ object Relational {
       import s.implicits._
       val cust = T(s, d, "customer").select($"c_custkey")
       val ord = T(s, d, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice")
-      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
-        .groupBy($"c_custkey")
-        .agg(
-          count($"o_orderkey").as("n_orders"),
-          round(sum(coalesce($"o_totalprice", lit(0.0))), 2).as("spend"))
+      val perCust = ord.groupBy($"o_custkey")
+        .agg(count($"o_orderkey").as("cnt"),
+          sum(coalesce($"o_totalprice", lit(0.0))).as("sp"))
+      cust.join(perCust, cust("c_custkey") === perCust("o_custkey"), "left_outer")
+        .select($"c_custkey",
+          coalesce($"cnt", lit(0L)).as("n_orders"),
+          // when/otherwise (not coalesce) keeps the column nullable, the
+          // exact output schema the pre-r16 aggregate produced
+          round(when($"sp".isNull, lit(0.0)).otherwise($"sp"), 2).as("spend"))
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
