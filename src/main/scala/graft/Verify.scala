@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // round 16: NTZ parquet columns read as session-UTC TIMESTAMP
+      // directly (lossless under the pinned UTC tz; no cast-Project,
+      // native pushdown for timestamp predicates — see Tables.apply)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // the library's one-line session opt-in: functions, optimizer rules,
       // the as-of planner strategy, and the maintenance-SQL parser
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")

@@ -18,6 +18,10 @@ object Relational {
 
   private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** q02's broadcastability probe, cached per data dir (immutable files). */
+  private val q02OrdSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BigInt]()
+
   /** Shared body of q08/q45: as-of join via (user, day)-bucketed union +
     * window, hot-key safe. The big window runs per (user, day) — bounded
     * work per task no matter how hot a user is — and a per-user carry-over
@@ -141,8 +145,14 @@ object Relational {
       // deployment can calibrate it to its codec and row shape.
       val inflation = s.conf.getOption("graft.broadcast.inflation")
         .flatMap(_.toIntOption).getOrElse(4)
+      // the raw estimate is a pure function of the immutable table files,
+      // but computing it runs the optimizer over the sub-plan (~120 ms of
+      // driver time per build) — cache it per data dir (metadata caching,
+      // the same class as Spark's own file-listing cache)
+      val rawEstimate = q02OrdSizeCache.computeIfAbsent(d,
+        _ => ord.queryExecution.optimizedPlan.stats.sizeInBytes)
       val ordersBroadcastable =
-        ord.queryExecution.optimizedPlan.stats.sizeInBytes * inflation <=
+        rawEstimate * inflation <=
           s.sessionState.conf.autoBroadcastJoinThreshold
       val joined =
         if (ordersBroadcastable)

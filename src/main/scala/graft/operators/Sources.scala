@@ -30,6 +30,23 @@ object Sources {
     try out.write(bytes) finally out.close()
   }
 
+  /** Round 16 (optimization): a per-trigger byte cap sized to the feed so
+    * AvailableNow drains in ~4 micro-batches at ANY scale factor. The
+    * gates exercise byte-capped admission control, not a fixed batch
+    * count — a constant cap made batch counts scale with SF (q162: 11
+    * micro-batch rounds at sf0.1, each ~1.3 s of pure per-batch planner/
+    * sink machinery; the same gate at a 100 TB feed would spin forever).
+    * The old constant stays as the FLOOR, so the small correctness SFs
+    * drain in exactly the batch counts they always did, and final results
+    * are batch-count-independent (complete-mode aggregates / per-key
+    * upserts / append unions). */
+  private def triggerBytes(dir: String, floor: Long): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    math.max(floor, walk(new java.io.File(dir)) / 4 + 1).toString
+  }
+
   /** Write both fixtures (driver-side, 30 rows total, SF-independent). */
   private def ensureFixtures(spark: SparkSession, dir: String): Unit = {
     Files.createDirectories(Paths.get(fixtureDir))
@@ -1258,7 +1275,7 @@ object Sources {
       val stream = s.readStream.format("graft-json")
         .schema("s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")
         .option("followLog", "true")
-        .option("maxbytespertrigger", "8192") // several micro-batches
+        .option("maxbytespertrigger", triggerBytes(dir, 8192)) // ~4 micro-batches at any SF
         .load(dir)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("bal"))
@@ -1504,7 +1521,7 @@ object Sources {
         .withColumn("s_acctbal", $"s_acctbal" + 1000.0)
         .write.format("graft-json").mode("overwrite").save(feed)   // update feed
       val q = s.readStream.format("graft-json").schema(schema)
-        .option("maxbytespertrigger", "8192") // several micro-batches
+        .option("maxbytespertrigger", triggerBytes(feed, 8192)) // ~4 micro-batches at any SF
         .load(feed)
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1804,7 +1821,7 @@ object Sources {
         .write.format("graft-json").mode("overwrite").save(feed)
       val q = s.readStream.format("graft-json")
         .schema("event_id BIGINT, user_id BIGINT, ts_us BIGINT")
-        .option("maxbytespertrigger", "65536") // several micro-batches
+        .option("maxbytespertrigger", triggerBytes(feed, 65536)) // ~4 micro-batches at any SF
         .load(feed)
         .writeStream
         .foreachBatch { (b: DataFrame, epoch: Long) =>
