@@ -24,6 +24,7 @@ object TimeAll {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
