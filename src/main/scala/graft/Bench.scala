@@ -149,7 +149,7 @@ object Bench {
     // to the calibration run; >>1 = hot/contended slot, discount the walls
     // (the ratios are paired and remain meaningful). Update the constant
     // at each round close alongside COVERAGE.md's closing-total line.
-    val calibratedSf01Total = 2.73 // round-16 closing (slot 1.1x vs r15), COVERAGE.md
+    val calibratedSf01Total = 2.33 // round-16 OPTIMIZATION closing (quiet slot 0.85), OPTIMIZATION_r16.md
     val slotScore =
       if (total > 0) r2(total / calibratedSf01Total) else -1.0
 
