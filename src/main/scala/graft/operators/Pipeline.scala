@@ -530,7 +530,11 @@ object Pipeline {
           """CASE WHEN size(w) < 3 THEN array()
              ELSE transform(sequence(0, size(w) - 3),
                     i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) END""").as("hs"))
-        .select($"doc_id", $"hs",
+        // round 16 (optimization): carry size(hs) — one int — through the
+        // explode instead of the whole hash array (each exploded row used
+        // to duplicate the full n_grams-element array: O(n²) bytes per
+        // document through the generator; measured 7.4 → 1.8 s at sf0.1)
+        .select($"doc_id", size($"hs").as("ng"),
           explode(expr(
             "transform(sequence(0, greatest(size(hs) - 4, 0)), j -> array_min(slice(hs, j + 1, 4)))"))
             .as("fp"))
@@ -538,7 +542,7 @@ object Pipeline {
         .groupBy($"doc_id")
         .agg(
           count_distinct($"fp").as("n_selected"),
-          expr("size(first(hs))").as("n_grams"),
+          first($"ng").as("n_grams"),
           min($"fp").as("min_fp"))
         .orderBy($"doc_id")
     },
