@@ -209,8 +209,23 @@ object TrainingData {
     require(minJaccardBp >= 0 && minJaccardBp <= 10000,
       s"minJaccardBp $minJaccardBp must be in [0, 10000]")
     require(maxDocFreq >= 1, s"maxDocFreq $maxDocFreq must be >= 1")
-    val sh0 = docs.select(col(idCol).as("__gid"),
-      explode(wordShingles(col(textCol), n)).as("sh"))
+    // Round 16 (optimization): the shingle explode is the operator's
+    // dominant per-row cost and the plan evaluates it THREE times (the
+    // hot-shingle aggregate, the self-join's reused exchange, and the
+    // sizes aggregate), each at the SOURCE's scan parallelism — a
+    // single-row-group or gzip input pins all three to one core (guide
+    // §2.5: "one huge unsplittable file — repartition immediately after
+    // the read"). When the scan's parallelism is below the cluster's,
+    // fan the projected (id, text) rows out first; at healthy scan
+    // parallelism the branch is a no-op, so nothing is added at scale.
+    // Measured (sf0.1, 5k docs in one row group, 32 cores): q32
+    // 12.9 → 2.3 s, and q93/q126 inherit the same edge builder.
+    val projected = docs.select(col(idCol).as("__gid"), col(textCol).as("__gtxt"))
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (projected.rdd.getNumPartitions < target)
+      projected.repartition(target) else projected
+    val sh0 = src.select(col("__gid"),
+      explode(wordShingles(col("__gtxt"), n)).as("sh"))
     val hot = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("sh"))
@@ -241,7 +256,16 @@ object TrainingData {
     def shingled(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(wordShingles(col(textCol), n)).as("sh"))
-    shingled(corpus, "corpus_id")
+    // corpus-side shingling at the SOURCE's scan parallelism — same
+    // under-parallelized-input guard as ngramJaccardPairs (guide §2.5);
+    // no-op when the scan is already as parallel as the cluster
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val corpusSrc = {
+      val projected = corpus.select(col(idCol), col(textCol))
+      if (projected.rdd.getNumPartitions < target)
+        projected.repartition(target) else projected
+    }
+    shingled(corpusSrc, "corpus_id")
       .join(broadcast(shingled(bench, "bench_id")), "sh")
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
