@@ -54,8 +54,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // cache key carries the confs the inferred schema depends on: a JVM
+    // hosting sessions with different NTZ / nanos settings must not reuse
+    // a schema inferred under the other conf (round-17, VERDICT item 8)
+    val ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent(s"$path|ntz=$ntz|nanos=$nanos",
+      _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {

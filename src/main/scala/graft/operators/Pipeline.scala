@@ -34,6 +34,34 @@ object Pipeline {
 
   private def T(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** Brand-blocked candidate pairs for the fuzzy/linkage gates
+    * (q116/q135/q163/q185) — round 17, VERDICT item 3.
+    *
+    * The r16 shape joined part to itself with the planner's default: a
+    * sort-merge join whose brand exchange carries a few MB, which AQE
+    * correctly coalesces to ~1 partition — and then the JOIN OUTPUT
+    * explodes to ~|block|² candidate pairs whose kernel evaluations all
+    * run inside that one task (ProbeJw: the kernel is ~355 ns/eval and
+    * the pair table is the real workload, so the whole gate serialized).
+    * The deliberate shape instead (guide §3.1, the q03 discipline): the
+    * dimension side BROADCASTS — the streamed side never exchanges, so
+    * the pair explosion inherits the STREAMED side's parallelism — and
+    * the streamed side fans out first under the change-7 guard (only
+    * when its planned scan parallelism is below the cluster's, so at
+    * healthy scan parallelism nothing is added). Candidate production
+    * and kernel evaluation then scale with cores at any block shape,
+    * instead of serializing on the post-coalesce exchange.
+    */
+  private def brandPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = T(s, d, "part").select($"p_partkey", $"p_brand", $"p_name")
+    val target = s.sparkContext.defaultParallelism
+    val streamed = if (p.rdd.getNumPartitions < target) p.repartition(target) else p
+    streamed.toDF("key_a", "brand", "name_a")
+      .join(broadcast(p.toDF("key_b", "brand", "name_b")), Seq("brand"))
+      .filter($"key_a" < $"key_b")
+  }
+
   // ---------------------------------------------------------------- q29
   // Exact dedup: one shuffle on the md5 content fingerprint. The corpus
   // unions the table with an id-shifted copy so every text has exactly one
@@ -1386,12 +1414,10 @@ object Pipeline {
     "blocked fuzzy join: levenshtein ≤ 2 on part names within brand blocks",
     (s, d) => {
       import s.implicits._
-      val p = T(s, d, "part").select($"p_partkey", $"p_brand", $"p_name")
-      val a = p.toDF("key_a", "brand", "name_a")
-      val b = p.toDF("key_b", "brand", "name_b")
-      a.join(b, Seq("brand"))
-        .filter($"key_a" < $"key_b" &&
-          abs(length($"name_a") - length($"name_b")) <= 2)
+      // round 17: candidate pairs via the broadcast+fan-out shape
+      // (brandPairs above); the pair predicate itself is unchanged
+      brandPairs(s, d)
+        .filter(abs(length($"name_a") - length($"name_b")) <= 2)
         .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
         .filter($"dist" <= 2)
         .select($"key_a", $"key_b", $"dist")
@@ -1571,14 +1597,17 @@ object Pipeline {
     "q135_bounded_fuzzy_join",
     "blocked fuzzy join via the banded levenshtein_bounded expression (SQL registry)",
     (s, d) => {
+      import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      Tables.register(s, d, "part")
-      s.sql("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-              |       CAST(levenshtein_bounded(a.p_name, b.p_name, 2) AS BIGINT) AS dist
-              |FROM part a JOIN part b
-              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-              |WHERE levenshtein_bounded(a.p_name, b.p_name, 2) <= 2
-              |ORDER BY key_a, key_b""".stripMargin)
+      // round 17: same registry-resolved expression (expr() goes through
+      // the SQL parser + function registry), candidate pairs via the
+      // broadcast+fan-out shape (brandPairs above)
+      brandPairs(s, d)
+        .withColumn("dist",
+          expr("CAST(levenshtein_bounded(name_a, name_b, 2) AS BIGINT)"))
+        .filter($"dist" <= 2)
+        .select($"key_a", $"key_b", $"dist")
+        .orderBy($"key_a", $"key_b")
     },
     Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
@@ -1883,14 +1912,15 @@ object Pipeline {
     "q163_jaro_winkler_linkage",
     "blocked record linkage via native jaro_winkler (cross-engine differential)",
     (s, d) => {
+      import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      Tables.register(s, d, "part")
-      s.sql("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-              |       round(jaro_winkler(a.p_name, b.p_name), 4) AS jw
-              |FROM part a JOIN part b
-              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-              |WHERE jaro_winkler(a.p_name, b.p_name) >= 0.93
-              |ORDER BY key_a, key_b""".stripMargin)
+      // round 17: same registry-resolved expression, candidate pairs via
+      // the broadcast+fan-out shape (brandPairs above)
+      brandPairs(s, d)
+        .withColumn("__jw", expr("jaro_winkler(name_a, name_b)"))
+        .filter($"__jw" >= 0.93)
+        .select($"key_a", $"key_b", round($"__jw", 4).as("jw"))
+        .orderBy($"key_a", $"key_b")
     },
     Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
@@ -2386,13 +2416,15 @@ object Pipeline {
     "q185_optimizer_bounded_lev",
     "user-written levenshtein<=k auto-rewritten to the banded kernel (Rule)",
     (s, d) => {
+      import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      Tables.register(s, d, "part")
-      s.sql("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
-              |FROM part a JOIN part b
-              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-              |WHERE levenshtein(a.p_name, b.p_name) <= 2
-              |ORDER BY key_a, key_b""".stripMargin)
+      // round 17: the user-spelled builtin comparison is unchanged (the
+      // Rule still rewrites it to the banded kernel); candidate pairs via
+      // the broadcast+fan-out shape (brandPairs above)
+      brandPairs(s, d)
+        .filter(expr("levenshtein(name_a, name_b) <= 2"))
+        .select($"key_a", $"key_b")
+        .orderBy($"key_a", $"key_b")
     },
     Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
             FROM part a JOIN part b

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -21,6 +21,73 @@ object Relational {
   /** q02's broadcastability probe, cached per data dir (immutable files). */
   private val q02OrdSizeCache =
     new java.util.concurrent.ConcurrentHashMap[String, BigInt]()
+
+  // ------------------------------------------------- exact percentiles
+  // Count-bucketed exact percentile machinery (round 17, VERDICT item 2;
+  // guide §5): Spark's exact percentile/median plans as an
+  // ObjectHashAggregate whose per-group state is the whole value MULTISET —
+  // one task per group at any core count, and a hot group OOMs an executor
+  // at 100 TB. The same exact statistics come out of (group, value) count
+  // buckets: one parallel partial+final hash aggregate over the raw rows,
+  // then a cumulative-count window over the tiny distinct-value table, and
+  // rank lookups that replicate Spark's PercentileBase arithmetic exactly
+  // (verified against the decompiled 4.1.2 bytecode and pinned by
+  // PercentileRewriteSpec on randomized data):
+  //  - continuous median: position = (n-1)*0.5; 0-based lower/higher =
+  //    floor/ceil(position); result = lowerVal when the ranks (or values)
+  //    coincide, else (higher-position)*lowerVal + (position-lower)*higherVal;
+  //  - percentile_disc(p), non-legacy: value at 1-based rank
+  //    ceil(n*p) where n*p is the same DOUBLE product Spark computes, so
+  //    float-representation edges behave identically.
+
+  /** Append total-count `n` and cumulative count `cum` per (g ordered by v)
+    * to a (g, v, cnt) count-bucket table. One exchange on g, one sort.
+    */
+  private[operators] def withCumCounts(counts: DataFrame, g: String, v: String): DataFrame = {
+    val byG = Window.partitionBy(col(g))
+    val ord = Window.partitionBy(col(g)).orderBy(col(v))
+    counts
+      .withColumn("n", sum(col("cnt")).over(byG))
+      .withColumn("cum", sum(col("cnt")).over(ord))
+  }
+
+  /** The value at 1-based rank `r` within each group: the first v (in v
+    * order) whose cumulative count reaches r — a full-partition window min.
+    */
+  private[operators] def valueAtRank(g: String, v: String, r: Column): Column =
+    min(when(col("cum") >= r, col(v))).over(Window.partitionBy(col(g)))
+
+  /** Spark's continuous exact median over the count buckets, as a per-row
+    * (group-constant) column. Requires withCumCounts columns.
+    */
+  private[operators] def medianCol(g: String, v: String): Column = {
+    val pos = (col("n") - 1).cast("double") * lit(0.5)
+    val lower0 = floor(pos) // 0-based lower position (LONG)
+    val higher0 = ceil(pos)
+    val lo = valueAtRank(g, v, lower0 + 1)
+    val hi = valueAtRank(g, v, higher0 + 1)
+    when(lo === hi, lo.cast("double"))
+      .otherwise((higher0.cast("double") - pos) * lo.cast("double")
+        + (pos - lower0.cast("double")) * hi.cast("double"))
+  }
+
+  /** Spark's non-legacy percentile_disc(p) over the count buckets, as a
+    * per-row (group-constant) column. Requires withCumCounts columns.
+    */
+  private[operators] def percentileDiscCol(g: String, v: String, p: Double): Column =
+    valueAtRank(g, v, ceil(col("n").cast("double") * lit(p)))
+
+  /** Shared (l_returnflag, cents) count buckets for q106/q131/q134: the one
+    * aggregation that touches every row, partial+final and fully parallel.
+    */
+  private[operators] def centsCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "lineitem")
+      .select($"l_returnflag",
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .filter($"c".isNotNull) // percentile aggregates ignore nulls
+      .groupBy($"l_returnflag", $"c").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Shared body of q08/q45: as-of join via (user, day)-bucketed union +
     * window, hot-key safe. The big window runs per (user, day) — bounded
@@ -1175,22 +1242,25 @@ object Relational {
   // Exact ordered-set aggregates: median + percentile_disc over integer
   // cents. Cents make interpolation exact (midpoint of two bigints is a
   // double-exact .0/.5), and percentile_disc picks an ACTUAL value, so
-  // both engines agree bit-for-bit. Spark plans exact percentiles as a
-  // single-pass typed aggregate (partial per partition, merge at final);
-  // the per-group state is the value multiset, so at corpus scale
-  // approx_percentile (q48) is the cheap path and this is the exact one.
-  // Oracle uses DuckDB's quantile_disc spelling; names are aligned.
+  // both engines agree bit-for-bit.
+  // Round 17 (optimization): computed over COUNT BUCKETS instead of
+  // Spark's native ObjectHashAggregate value-multiset (one task per group,
+  // OOM-by-design on a hot group at 100 TB) — a parallel partial+final
+  // hash aggregate on (flag, cents) plus a cumulative window over the tiny
+  // distinct-cents table; the rank arithmetic replicates PercentileBase
+  // exactly (see the helpers above; PercentileRewriteSpec pins parity).
   private val q106 = GQuery(
     "q106_percentiles_exact",
     "exact median + percentile_disc (ordered-set aggregates)",
     (s, d) => {
-      Tables.register(s, d, "lineitem")
-      s.sql("""SELECT l_returnflag,
-              |       CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med_cents,
-              |       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS p25_cents
-              |FROM lineitem
-              |GROUP BY l_returnflag
-              |ORDER BY l_returnflag""".stripMargin)
+      import s.implicits._
+      val cc = withCumCounts(centsCounts(s, d), "l_returnflag", "c")
+        .withColumn("__med", medianCol("l_returnflag", "c"))
+        .withColumn("__p25", percentileDiscCol("l_returnflag", "c", 0.25))
+      cc.groupBy($"l_returnflag")
+        .agg(min($"__med").as("med_cents"),
+          min($"__p25").cast("double").as("p25_cents"))
+        .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
                    CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med_cents,
@@ -1764,21 +1834,23 @@ object Relational {
     "q131_winsorize",
     "winsorization: exact p05/p95 percentile capping per group",
     (s, d) => {
-      Tables.register(s, d, "lineitem")
-      s.sql("""WITH b AS (
-              |  SELECT l_returnflag,
-              |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS lo,
-              |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS hi
-              |  FROM lineitem GROUP BY l_returnflag)
-              |SELECT l.l_returnflag, b.lo AS lo_cents, b.hi AS hi_cents,
-              |       CAST(count_if(l.c < b.lo) AS BIGINT) AS n_clipped_lo,
-              |       CAST(count_if(l.c > b.hi) AS BIGINT) AS n_clipped_hi,
-              |       CAST(sum(least(greatest(l.c, b.lo), b.hi)) AS BIGINT) AS sum_wins_cents
-              |FROM (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
-              |      FROM lineitem) l
-              |JOIN b ON b.l_returnflag = l.l_returnflag
-              |GROUP BY l.l_returnflag, b.lo, b.hi
-              |ORDER BY l.l_returnflag""".stripMargin)
+      // Round 17 (optimization): bounds AND clip statistics both come out
+      // of the same (flag, cents) count buckets — one parallel aggregate
+      // over the raw rows replaces the native multiset percentile AND the
+      // whole second pass (the bounds join re-scanned every row; weighted
+      // sums over the bucket table are identical by distributivity).
+      import s.implicits._
+      val cc = withCumCounts(centsCounts(s, d), "l_returnflag", "c")
+        .withColumn("__lo", percentileDiscCol("l_returnflag", "c", 0.05))
+        .withColumn("__hi", percentileDiscCol("l_returnflag", "c", 0.95))
+      cc.groupBy($"l_returnflag")
+        .agg(min($"__lo").as("lo_cents"),
+          min($"__hi").as("hi_cents"),
+          // coalesce pins count_if's non-nullable output schema
+          coalesce(sum(when($"c" < $"__lo", $"cnt")), lit(0L)).as("n_clipped_lo"),
+          coalesce(sum(when($"c" > $"__hi", $"cnt")), lit(0L)).as("n_clipped_hi"),
+          sum(least(greatest($"c", $"__lo"), $"__hi") * $"cnt").as("sum_wins_cents"))
+        .orderBy($"l_returnflag")
     },
     Some("""WITH b AS (
               SELECT l_returnflag,
@@ -1877,16 +1949,25 @@ object Relational {
     "q134_mad_robust",
     "median absolute deviation via two exact ordered-set passes",
     (s, d) => {
-      Tables.register(s, d, "lineitem")
-      s.sql("""WITH m AS (
-              |  SELECT l_returnflag,
-              |         CAST(median(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS med
-              |  FROM lineitem GROUP BY l_returnflag)
-              |SELECT l.l_returnflag, m.med AS median_cents,
-              |       CAST(median(abs(CAST(floor(l.l_extendedprice * 100) AS BIGINT) - m.med)) AS DOUBLE) AS mad_cents
-              |FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
-              |GROUP BY l.l_returnflag, m.med
-              |ORDER BY l.l_returnflag""".stripMargin)
+      // Round 17 (optimization): both medians come out of count buckets —
+      // the raw rows are aggregated ONCE to (flag, cents, cnt); the
+      // deviation pass regroups that tiny table to (flag, |c − med|, Σcnt)
+      // and applies the same cumulative-window median. The original's
+      // second full scan + join of every row against the bounds — and both
+      // ObjectHashAggregate multisets — disappear.
+      import s.implicits._
+      val cc1 = withCumCounts(centsCounts(s, d), "l_returnflag", "c")
+        .withColumn("__med", medianCol("l_returnflag", "c"))
+      val dev = cc1
+        .select($"l_returnflag", $"__med".as("med"),
+          abs($"c" - $"__med").as("dv"), $"cnt")
+        .groupBy($"l_returnflag", $"med", $"dv")
+        .agg(sum($"cnt").as("cnt"))
+      val cc2 = withCumCounts(dev, "l_returnflag", "dv")
+        .withColumn("__mad", medianCol("l_returnflag", "dv"))
+      cc2.groupBy($"l_returnflag")
+        .agg(min($"med").as("median_cents"), min($"__mad").as("mad_cents"))
+        .orderBy($"l_returnflag")
     },
     Some("""WITH m AS (
               SELECT l_returnflag,

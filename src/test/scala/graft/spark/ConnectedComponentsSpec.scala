@@ -57,6 +57,39 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("fused convergence check: CollectMetrics is a pushdown barrier and " +
+      "fills during an RDD-level action") {
+    // connectedComponents (round 17) counts the symmetric difference in
+    // the SAME job that materializes each round's edge set: an `observe`
+    // aggregate above the (a,b) classification, read back off the
+    // executed plan after Dataset.checkpoint's RDD action. That is only
+    // sound if (1) the keep-filter above CollectMetrics is NOT pushed
+    // below it (it would starve the count of removed-old-edge rows) and
+    // (2) the metrics accumulator fills for toRdd-level actions (the
+    // Observation listener would not). Pin both on a miniature of the
+    // exact pipeline shape.
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val small = Seq((1L, 2L), (1L, 3L)).toDF("a", "b") // new set
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")     // old set
+    val classified = small.select($"a", $"b", lit(1).as("side"))
+      .unionByName(e.select($"a", $"b", lit(2).as("side")))
+      .groupBy($"a", $"b")
+      .agg(min($"side").as("s1"), max($"side").as("s2"))
+      .observe("changed", coalesce(sum(when($"s1" === $"s2", 1L)), lit(0L)).as("n"))
+      .filter($"s1" === 1)
+      .select($"a", $"b")
+    val snapped = classified.localCheckpoint(true) // the RDD-level action
+    val metrics = org.apache.spark.sql.execution.CollectMetricsExec
+      .collect(classified.queryExecution.executedPlan)
+    // sym diff = {(1,3) new-only, (2,3) old-only} = 2; the kept set is
+    // exactly `small` — if the filter had been pushed below the metric,
+    // changed would read 1 (the old-only row filtered away pre-count)
+    assert(metrics("changed").getLong(0) == 2L)
+    assert(snapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L)))
+  }
+
   test("a long path converges within its diameter and is repartition-stable") {
     val s = spark; import s.implicits._
     val n = 40L
@@ -123,7 +156,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(300L) == 300L && got(301L) == 301L)
   }
 
-  test("driver actions are bounded: two jobs per half-round (snap + one converge count)") {
+  test("driver actions are bounded: ONE job per half-round (fused snap + converge count)") {
     val s = spark; import s.implicits._
     // classify each job by the call site of its result stage: the
     // contraction's own actions are `localCheckpoint` (snap) and `count`
@@ -149,9 +182,10 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.sparkContext.addSparkListener(listener)
     try {
       // an already-star graph converges in exactly ONE half-round:
-      // init snap + (round snap + converge count) = 3 driver actions.
-      // The previous two-anti-join check took 4 — this probe pins the
-      // one-job convergence count.
+      // init snap + ONE fused round action (snap whose job also fills
+      // the observe-metrics convergence count) = 2 driver actions. The
+      // r16 shape ran a separate count job (3 actions); the pre-r16
+      // two-anti-join check ran 4.
       TrainingData.connectedComponents(
         Seq(1L, 2L, 3L).toDF("id"),
         Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), maxRounds = 5)
@@ -161,10 +195,9 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       while (actions.get() != last && spins < 40) {
         last = actions.get(); Thread.sleep(100); spins += 1
       }
-      // init snap + round snap + ONE convergence count (the previous
-      // two-anti-join check ran two count jobs here)
-      assert(counts.get() == 1, s"${counts.get()} convergence-count jobs in one round")
-      assert(actions.get() <= 3, s"${actions.get()} driver actions for a 1-round contraction")
+      // init snap + the ONE fused round action; zero standalone count jobs
+      assert(counts.get() == 0, s"${counts.get()} standalone convergence-count jobs")
+      assert(actions.get() <= 2, s"${actions.get()} driver actions for a 1-round contraction")
     } finally {
       s.sparkContext.removeSparkListener(listener)
       s.conf.set("spark.sql.adaptive.enabled", aqe)
