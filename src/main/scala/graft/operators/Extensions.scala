@@ -74,6 +74,44 @@ object Extensions {
       case _ => col("ts") + expr(s"INTERVAL $days DAYS")
     }
 
+  /** Round 17 (guide §2.2; VERDICT item 4): run a streaming drain with the
+    * shuffle-partition — and therefore STATE-STORE-partition — count sized
+    * to the feed, the way triggerBytes sizes the admission cap. The r16
+    * shape planned every stateful gate at the session's core-count
+    * partitioning regardless of feed size: at test scale that is 32 state
+    * stores per operator per micro-batch over a few MB (ProbeStream: q63's
+    * summed state-commit time 74 s/batch at 32 partitions vs 0.9 s at 4 —
+    * concurrent tiny-store commits contend, and every batch pays 32 task
+    * launches + commits for rows that fit in one). One partition per 16 MB
+    * of feed, floored at 1 and capped at the cluster's parallelism, keeps
+    * the small-feed gates lean and still widens to full cluster width as
+    * the feed grows (a genuinely huge deployment sizes its state
+    * partitioning deliberately when it creates the checkpoint — this is
+    * the drained-gate analog). The session conf is restored afterwards, so
+    * batch queries and the gates' own post-drain reads are untouched;
+    * results are partition-count independent (the driver's own c8 rung
+    * already proves every gate at a different partitioning). 1 MB of FEED
+    * bytes per partition balances the two costs at the measured crossover
+    * — feeds are compressed parquet/json, so in-memory rows run 4-8× the
+    * file bytes (the q02 broadcast-inflation lesson): coarser starves
+    * join/agg compute (q63's one-partition batch ran its 200k-row join
+    * serially, addBatch 3.2 s vs 1.5 s at four partitions), finer
+    * re-multiplies the commit fan-out (32 stores summed 74 s/batch).
+    */
+  private[operators] def withStreamShuffle[T](s: SparkSession, feedDir: String)(body: => T): T = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.startsWith(".")) 0L else f.length }
+      else if (f.getName == ".graft-log") 0L
+      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      bytes(new java.io.File(feedDir)) / (1L << 20) + 1))
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   // ---------------------------------------------------------------- q22
   // approx_count_distinct = HyperLogLog++ partial-mergeable sketch: the
   // 100 TB way to count distincts (no exact-distinct shuffle explosion).
@@ -186,13 +224,15 @@ object Extensions {
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
-      val query = stream.writeStream
-        .format("memory")
-        .queryName("q42_stream_agg")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStreamShuffle(s, path) {
+        val query = stream.writeStream
+          .format("memory")
+          .queryName("q42_stream_agg")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table("q42_stream_agg")
         .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
         .orderBy($"window_start", $"event_type")
@@ -411,14 +451,16 @@ object Extensions {
             state.update(p)
             (uid, p.n, p.minTs, p.maxTs)
         }
-      val q = updated.toDF("user_id", "n_events", "min_ts_us", "max_ts_us")
-        .writeStream
-        .format("memory")
-        .queryName("q51_state")
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s, streamDir.toString) {
+        val q = updated.toDF("user_id", "n_events", "min_ts_us", "max_ts_us")
+          .writeStream
+          .format("memory")
+          .queryName("q51_state")
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q51_state")
         .select($"user_id", $"n_events",
           timestamp_micros($"min_ts_us").as("first_ts"),
@@ -521,15 +563,17 @@ object Extensions {
       val ckptDir = java.nio.file.Paths.get("/tmp/graft_stream/q55_ckpt")
       org.apache.commons.io.FileUtils.deleteDirectory(sinkDir.toFile)
       org.apache.commons.io.FileUtils.deleteDirectory(ckptDir.toFile)
-      val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
-        .writeStream
-        .format("graft-json")
-        .option("path", sinkDir.toString)
-        .option("checkpointLocation", ckptDir.toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s, streamDir.toString) {
+        val q = sessions.toDF("user_id", "start_us", "end_us", "n_events")
+          .writeStream
+          .format("graft-json")
+          .option("path", sinkDir.toString)
+          .option("checkpointLocation", ckptDir.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.format("graft-json")
         .schema("user_id LONG, start_us LONG, end_us LONG, n_events LONG")
         .load(sinkDir.toString)
@@ -636,12 +680,14 @@ object Extensions {
                 cts > pts - INTERVAL 30 MINUTES AND
                 cts <= pts"""))
         .select($"pu".as("user_id"), ($"pts_us" - $"cts_us").as("gap_us"))
-      val q = joined.writeStream
-        .format("memory").queryName("q63_pairs")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s, streamDir.toString) {
+        val q = joined.writeStream
+          .format("memory").queryName("q63_pairs")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q63_pairs")
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_pairs"),
@@ -693,14 +739,16 @@ object Extensions {
         .withColumn("ets", eventTs(schema)._1)
         .withWatermark("ets", "3650 days")
         .dropDuplicatesWithinWatermark("event_id")
-      val q = deduped
-        .select($"event_id", $"user_id".cast("long").as("user_id"), $"event_type")
-        .writeStream
-        .format("memory").queryName("q64_dedup")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s, streamDir.toString) {
+        val q = deduped
+          .select($"event_id", $"user_id".cast("long").as("user_id"), $"event_type")
+          .writeStream
+          .format("memory").queryName("q64_dedup")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q64_dedup")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -803,15 +851,17 @@ object Extensions {
         .groupBy($"user_id".cast("long").as("user_id"),
           session_window($"ets", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
-      val q = sessions
-        .select($"user_id", $"w.start".as("session_start"),
-          $"w.end".as("session_end"), $"n_events")
-        .writeStream
-        .format("memory").queryName("q67_sessions")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s, streamDir.toString) {
+        val q = sessions
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_end"), $"n_events")
+          .writeStream
+          .format("memory").queryName("q67_sessions")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q67_sessions")
         .filter($"user_id" >= 0)
         .orderBy($"user_id", $"session_start")
@@ -1008,10 +1058,12 @@ object Extensions {
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update(),
             Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
-        val q = out.toDF("user_id", "n_events", "sum_cents")
-          .writeStream.format("memory").queryName("q139_tws")
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withStreamShuffle(s, streamDir.toString) {
+          val q = out.toDF("user_id", "n_events", "sum_cents")
+            .writeStream.format("memory").queryName("q139_tws")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
       } finally prev match {
         case Some(p) => s.conf.set(providerKey, p)
         case None    => s.conf.unset(providerKey)

@@ -143,13 +143,18 @@ object Sources {
         .load(jsonFixture)
         .groupBy($"n_regionkey")
         .agg(count(lit(1)).as("n"), sum(col("meta.len")).as("total_len"))
-      val q = stream.writeStream
-        .format("memory")
-        .queryName("q44_stream")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // round 17: state partitions sized to the fixture feed (see
+      // Extensions.withStreamShuffle) — the 25-row drain was paying 32
+      // state-store commits per micro-batch
+      Extensions.withStreamShuffle(s, jsonFixture) {
+        val q = stream.writeStream
+          .format("memory")
+          .queryName("q44_stream")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q44_stream").orderBy($"n_regionkey")
     },
     Some(s"""SELECT n_regionkey, count(*) AS n, CAST(sum(meta.len) AS BIGINT) AS total_len
@@ -1285,13 +1290,16 @@ object Sources {
         .load(dir)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("bal"))
-      val q = stream.writeStream
-        .format("memory")
-        .queryName("q162_followlog")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // round 17: state partitions sized to the feed (Extensions.withStreamShuffle)
+      Extensions.withStreamShuffle(s, dir) {
+        val q = stream.writeStream
+          .format("memory")
+          .queryName("q162_followlog")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q162_followlog").orderBy($"s_nationkey")
     },
     Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
