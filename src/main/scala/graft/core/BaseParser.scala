@@ -29,11 +29,27 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
   protected var len = 0
   protected var curr = 0
   protected var consumedBase: Long = 0L // absolute offset of data(0)
-  private[this] var linesBase = 0       // newlines discarded by compaction
-  private[this] var colBase = 0         // col of data(0) if no newline since
+  // Incremental line bookkeeping (round 17, reference-parity): subclasses
+  // call countNewline(i) as they CONSUME row/whitespace newlines — exactly
+  // the reference's `newline(i)` hook. The previous scheme re-walked every
+  // consumed byte at buffer retirement with a SWAR newline count purely
+  // for error positions: a full second (cache-cold) pass over the input,
+  // ~14% of the PRUNED skip path's profile and a constant added to both
+  // sides of the projection-skip ratio. Like the reference, newlines
+  // inside byte-SKIPPED spans and quoted CSV cells are not tracked — error
+  // lines are exact for validated content (JsonParserSpec pins the
+  // zero-copy multi-chunk cases) and best-effort after unvalidated skips.
+  private[this] var nlSeen = 0L     // newlines consumed (counted) so far
+  private[this] var lastNlAbs = 0L  // ABSOLUTE offset of the byte after it
   protected var done = false
   protected var finished = false
   private[this] var bomChecked = false
+
+  /** Record one consumed newline at buffer index `i`. */
+  protected final def countNewline(i: Int): Unit = {
+    nlSeen += 1
+    lastNlAbs = consumedBase + i + 1
+  }
 
   /** Rewind point when input runs dry mid-token. */
   protected var tokenStart = 0
@@ -63,9 +79,8 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
   }
 
   private[this] def absorbBorrowed(bytes: Array[Byte], n: Int): ParseResult[A] = {
-    // retire the fully-consumed owned content (compaction bookkeeping,
-    // no copy: curr == len means nothing remains)
-    advanceBases(data, curr)
+    // retire the fully-consumed owned content (no copy: curr == len means
+    // nothing remains; line bases advanced incrementally via countNewline)
     consumedBase += curr
     len = 0; curr = 0; tokenStart = 0
     val owned = data
@@ -75,7 +90,6 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
     finally {
       // keep only the unconsumed tail (partial token / undrained rows)
       val rem = len - curr
-      advanceBases(data, curr)
       consumedBase += curr
       val dst =
         if (owned.length >= rem) owned
@@ -91,34 +105,6 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
       curr = 0
       tokenStart = 0
     }
-  }
-
-  /** Advance the line/column bases past `to` consumed bytes of `b` —
-    * the bookkeeping half of compaction, shared with the zero-copy path.
-    */
-  private[this] def advanceBases(b: Array[Byte], to: Int): Unit = {
-    // SWAR newline count, 8 byte-lanes per step (this is a full re-walk of
-    // every consumed byte purely for error-position bookkeeping — at
-    // GB/s parse rates the byte-at-a-time loop was ~20% of the PRUNED
-    // path's profile), then one short backward scan for the last newline
-    var count = 0
-    var i = 0
-    val n8 = to - 7
-    while (i < n8) {
-      count += java.lang.Long.bitCount(
-        Swar.zeros(Swar.readLongLE(b, i) ^ 0x0A0A0A0A0A0A0A0AL))
-      i += 8
-    }
-    while (i < to) {
-      if (b(i) == '\n') count += 1
-      i += 1
-    }
-    linesBase += count
-    if (count > 0) {
-      var j = to - 1
-      while (b(j) != '\n') j -= 1
-      colBase = to - j - 1
-    } else colBase += to
   }
 
   def absorb(bytes: Array[Byte]): ParseResult[A] = absorb(bytes, 0, bytes.length)
@@ -179,15 +165,9 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
 
   private[this] def append(bytes: Array[Byte], off: Int, n: Int): Unit = {
     // sliding-window compaction: discard the consumed prefix once it passes
-    // the threshold, so unbounded streams parse in bounded memory
+    // the threshold, so unbounded streams parse in bounded memory (line
+    // bases advanced incrementally via countNewline as bytes are consumed)
     if (curr >= BaseParser.CompactionThreshold) {
-      var i = 0
-      var nl = -1
-      while (i < curr) {
-        if (data(i) == '\n') { linesBase += 1; nl = i }
-        i += 1
-      }
-      colBase = if (nl >= 0) curr - nl - 1 else colBase + curr
       System.arraycopy(data, curr, data, 0, len - curr)
       consumedBase += curr
       len -= curr
@@ -231,17 +211,23 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
   protected def absAt(i: Int): Long = consumedBase + i
 
   protected def lineAt(i: Int): Int = {
-    var line = linesBase + 1
-    var j = 0
+    // consumed newlines are counted incrementally; an error position sits
+    // at (or just past) the consumption point, so no in-buffer re-count is
+    // needed — but newlines scanned-ahead-of-consumption between the last
+    // counted one and `i` (e.g. inside the very token that failed) are
+    // added from the buffer, bounded by the current token
+    var line = nlSeen + 1
+    var j = math.max(0, (lastNlAbs - consumedBase).toInt)
     val limit = math.min(i, len)
     while (j < limit) { if (data(j) == '\n') line += 1; j += 1 }
-    line
+    math.min(line, Int.MaxValue.toLong).toInt
   }
 
   protected def colAt(i: Int): Int = {
     var j = math.min(i, len) - 1
     while (j >= 0 && data(j) != '\n') j -= 1
-    if (j >= 0) i - j else colBase + i + 1
+    if (j >= 0) i - j
+    else math.max(1, (consumedBase + i - lastNlAbs + 1)).toInt
   }
 
   protected def die(i: Int, msg: String): Nothing =

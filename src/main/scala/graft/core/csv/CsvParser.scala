@@ -266,11 +266,13 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
         } else if (b == config.row1) {
           if (config.row2 == 0) {
             cellValue = value(i, ascii)
+            if (config.row1 == '\n') countNewline(i)
             curr = i + 1
             return TermRow
           } else if (i + 1 < len) {
             if (data(i + 1) == config.row2) {
               cellValue = value(i, ascii)
+              noteRowNl(i)
               curr = i + 2
               return TermRow
             } else i += 1 // lone row1 byte is literal content
@@ -285,6 +287,16 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
       sys.error("unreachable")
     }
   }
+
+  /** Line bookkeeping (round 17, BaseParser.countNewline): a consumed row
+    * terminator whose bytes include '\n' advances the error-position line
+    * base — the incremental replacement for the retired full-buffer
+    * newline re-walk. Newlines inside quoted cells and skipped rows are
+    * not tracked (best-effort positions there, like the reference).
+    */
+  @inline private[this] def noteRowNl(row1Idx: Int): Unit =
+    if (config.row2 == '\n') countNewline(row1Idx + 1)
+    else if (config.row1 == '\n') countNewline(row1Idx)
 
   /** Quoted cell: `curr` is at the opening quote. Fast path slices the
     * bytes when no escape appears; the slow path processes quote doubling
@@ -344,9 +356,12 @@ final class CsvParser[A](plate0: Plate[A], config: CsvParser.Config)
     val b = data(curr)
     if (b == config.record) { curr += 1; TermRecord }
     else if (b == config.row1) {
-      if (config.row2 == 0) { curr += 1; TermRow }
+      if (config.row2 == 0) {
+        if (config.row1 == '\n') countNewline(curr)
+        curr += 1; TermRow
+      }
       else if (curr + 1 < len) {
-        if (data(curr + 1) == config.row2) { curr += 2; TermRow }
+        if (data(curr + 1) == config.row2) { noteRowNl(curr); curr += 2; TermRow }
         else die(curr, "unexpected content after closing quote")
       } else if (done) die(curr, "unexpected content after closing quote")
       else throw NeedsInput

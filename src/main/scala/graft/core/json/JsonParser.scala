@@ -255,13 +255,18 @@ final class JsonParser[A](plate0: Plate[A], mode: JsonParser.Mode)
   private[this] def skipWs(): Unit = {
     // locals, not fields: this runs between every pair of tokens, and the
     // common case is zero or one space — field load/store per byte showed
-    // up as ~9% of full-parse samples
+    // up as ~9% of full-parse samples. This is also the line-bookkeeping
+    // hook (BaseParser.countNewline): every structural newline — incl. the
+    // row separators of JSONL streams — is consumed here, so error
+    // positions stay exact for validated content with NO retirement
+    // re-walk; newlines inside byte-skipped spans drift (reference parity)
     val buf = data
     val limit = len
     var i = curr
     while (i < limit && {
       val b = buf(i)
-      b == ' ' || b == '\n' || b == '\t' || b == '\r'
+      b == ' ' || b == '\t' || b == '\r' ||
+        (b == '\n' && { countNewline(i); true })
     }) i += 1
     curr = i
   }
