@@ -59,7 +59,12 @@ object Bench {
       q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.sum / ts.size)
     }
 
-    val (skip, csvMbps) = SkipBench.runIsolatedRounds(7)
+    // round 17: 7 → 11 isolated rounds. Same statistic (median of paired
+    // per-round ratios) over more samples: with 7 rounds the median's
+    // run-to-run spread measured ±0.1 on identical binaries (per-round
+    // C2 compile luck), which is material against the ≥3.0 bar; 11
+    // rounds narrow it for ~12 s more bench wall.
+    val (skip, csvMbps) = SkipBench.runIsolatedRounds(11)
     val (nestVec, nestRow, nestRatio) = NestedColumnarBench.run(spark, sfDir)
     val (arrVec, arrRow, arrRatio) = ArrayColumnarBench.run(spark, sfDir)
     val (asVec, asRow, asRatio) = ArrayStructColumnarBench.run(spark, sfDir)
