@@ -154,7 +154,7 @@ object Bench {
     // to the calibration run; >>1 = hot/contended slot, discount the walls
     // (the ratios are paired and remain meaningful). Update the constant
     // at each round close alongside COVERAGE.md's closing-total line.
-    val calibratedSf01Total = 2.33 // round-16 OPTIMIZATION closing (quiet slot 0.85), OPTIMIZATION_r16.md
+    val calibratedSf01Total = 2.19 // round-17 OPTIMIZATION closing (quiet slot 0.94 vs the r16 constant), OPTIMIZATION_r17.md
     val slotScore =
       if (total > 0) r2(total / calibratedSf01Total) else -1.0
 
