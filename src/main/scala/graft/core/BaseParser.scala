@@ -215,9 +215,17 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
     // at (or just past) the consumption point, so no in-buffer re-count is
     // needed — but newlines scanned-ahead-of-consumption between the last
     // counted one and `i` (e.g. inside the very token that failed) are
-    // added from the buffer, bounded by the current token
+    // added from the buffer, bounded by the current token. The converse
+    // also happens (CSV counts a cell's ROW terminator before the caller
+    // validates the cell and dies at the cell start): when the last
+    // counted newline sits at/after `i`, the error is on the line BEFORE
+    // it, so the +1 is dropped. Long math throughout — a multi-GiB single
+    // line must not wrap the Int conversions.
+    val iAbs = consumedBase + i
+    if (lastNlAbs > iAbs)
+      return math.min(math.max(1L, nlSeen), Int.MaxValue.toLong).toInt
     var line = nlSeen + 1
-    var j = math.max(0, (lastNlAbs - consumedBase).toInt)
+    var j = math.min(math.max(0L, lastNlAbs - consumedBase), len.toLong).toInt
     val limit = math.min(i, len)
     while (j < limit) { if (data(j) == '\n') line += 1; j += 1 }
     math.min(line, Int.MaxValue.toLong).toInt
@@ -227,7 +235,14 @@ abstract class BaseParser[A](protected val plate: Plate[A]) {
     var j = math.min(i, len) - 1
     while (j >= 0 && data(j) != '\n') j -= 1
     if (j >= 0) i - j
-    else math.max(1, (consumedBase + i - lastNlAbs + 1)).toInt
+    else if (lastNlAbs > consumedBase + i)
+      // the last counted newline is AHEAD of the error (see lineAt): the
+      // error line starts at or before data(0) — in-buffer distance is
+      // the best available position (exact when the buffer never slid)
+      i + 1
+    else
+      math.min(math.max(1L, consumedBase + i - lastNlAbs + 1),
+        Int.MaxValue.toLong).toInt
   }
 
   protected def die(i: Int, msg: String): Nothing =

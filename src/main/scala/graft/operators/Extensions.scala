@@ -82,7 +82,7 @@ object Extensions {
     * stores per operator per micro-batch over a few MB (ProbeStream: q63's
     * summed state-commit time 74 s/batch at 32 partitions vs 0.9 s at 4 —
     * concurrent tiny-store commits contend, and every batch pays 32 task
-    * launches + commits for rows that fit in one). One partition per 16 MB
+    * launches + commits for rows that fit in one). One partition per 1 MB
     * of feed, floored at 1 and capped at the cluster's parallelism, keeps
     * the small-feed gates lean and still widens to full cluster width as
     * the feed grows (a genuinely huge deployment sizes its state
@@ -99,13 +99,9 @@ object Extensions {
     * re-multiplies the commit fan-out (32 stores summed 74 s/batch).
     */
   private[operators] def withStreamShuffle[T](s: SparkSession, feedDir: String)(body: => T): T = {
-    def bytes(f: java.io.File): Long =
-      if (f.isFile) { if (f.getName.startsWith(".")) 0L else f.length }
-      else if (f.getName == ".graft-log") 0L
-      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
     val parts = math.max(1L, math.min(
       s.sparkContext.defaultParallelism.toLong,
-      bytes(new java.io.File(feedDir)) / (1L << 20) + 1))
+      Sources.dataBytes(feedDir) / (1L << 20) + 1))
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, parts.toString)
@@ -143,7 +139,12 @@ object Extensions {
         approx_count_distinct($"l_partkey", 0.02).as("ap"))
       val parts = base.groupBy($"l_returnflag")
         .agg(count_distinct($"l_partkey").as("exact_parts"))
-      orders.join(parts, Seq("l_returnflag"))
+      // null-safe join key: a NULL group (absent from the fixture but
+      // legal) must survive the rejoin exactly like the original
+      // single-aggregate plan kept it
+      orders.join(parts,
+          orders("l_returnflag") <=> parts("l_returnflag"))
+        .drop(parts("l_returnflag"))
         .select($"l_returnflag", $"exact_orders", $"exact_parts",
           (abs($"ao" - $"exact_orders") <= $"exact_orders" * 0.15)
             .cast("long").as("orders_within_3sd"),

@@ -40,17 +40,25 @@ object Sources {
     * drain in exactly the batch counts they always did, and final results
     * are batch-count-independent (complete-mode aggregates / per-key
     * upserts / append unions). */
-  private def triggerBytes(dir: String, floor: Long): String = {
-    // count only data files: commit-log internals (.graft-log) and dotfiles
-    // are not admitted by the source, so including them would overshoot the
-    // cap and drift the ~4-batch target (round-17, ADVICE). The snapshot is
-    // taken once at build time — a followLog feed appended after start keeps
-    // the start-time cap, which only shifts batch counts, never results.
+  /** Total DATA bytes under a feed path: commit-log internals
+    * (.graft-log) and dotfiles are not admitted by the sources, so they
+    * don't count (round-17, ADVICE). One definition of "feed bytes",
+    * shared by the trigger cap below and the stream state-partition
+    * sizing (Extensions.withStreamShuffle).
+    */
+  private[operators] def dataBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isFile) { if (f.getName.startsWith(".")) 0L else f.length }
       else if (f.getName == ".graft-log") 0L
       else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
-    math.max(floor, walk(new java.io.File(dir)) / 4 + 1).toString
+    walk(new java.io.File(path))
+  }
+
+  private def triggerBytes(dir: String, floor: Long): String = {
+    // the snapshot is taken once at build time — a followLog feed appended
+    // after start keeps the start-time cap, which only shifts batch
+    // counts, never results
+    math.max(floor, dataBytes(dir) / 4 + 1).toString
   }
 
   /** Write both fixtures (driver-side, 30 rows total, SF-independent). */

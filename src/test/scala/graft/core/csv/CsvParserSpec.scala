@@ -139,6 +139,16 @@ class CsvParserSpec extends AnyFunSuite {
     assert(csvError("a\r\n\"fubar").isInstanceOf[ParseException])
   }
 
+  test("newline-terminated empty header cell reports line 1 (round 17)") {
+    // the incremental line bookkeeping counts the cell's ROW terminator
+    // before the caller validates the (empty) cell and dies at the cell
+    // start — the error position must still be on line 1, at the cell
+    val e = csvError("a,\nx,y\n", unix).asInstanceOf[ParseException]
+    assert(e.getMessage.contains("empty header cell"))
+    assert(e.line == 1, s"line ${e.line}")
+    assert(e.col == 3, s"col ${e.col}")
+  }
+
   test("junk after closing quote fails") {
     assert(csvError("a\r\n\"fu\"bar\r\n").isInstanceOf[ParseException])
   }
